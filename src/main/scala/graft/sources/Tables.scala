@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's single load boundary (`load_data`,
+  * reference src/analytics/engine.py:262-284) — but instead of SQL→pandas
+  * materialization, each accessor returns a lazy DataFrame so Catalyst sees
+  * the whole plan (scan → ... → sink) and can push filters/prune columns
+  * into the parquet scan.
+  *
+  * At 100 TB these would be partitioned/bucketed catalog tables; the API
+  * (name → DataFrame) stays identical, so queries are layout-agnostic.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
