@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -10,11 +11,18 @@ import graft.sources.Tables
   * orders/lineitem≈match facts, events≈live stream.
   *
   * Numeric-determinism convention for oracle-checked outputs: monetary sums
-  * go through `decimal(18,2)` (exact, order-independent) and are cast to
-  * double at the end; derived ratios are single IEEE double operations over
-  * those exact values, so Spark and the DuckDB oracle agree bitwise.
+  * go through `decimal(18,2)`/`decimal(18,4)` (exact, order-independent) and
+  * are cast to double at the end; derived ratios are single IEEE double
+  * operations over those exact values, so Spark and the DuckDB oracle agree
+  * bitwise. Counts/ranks are cast to long to match DuckDB's BIGINT.
+  *
+  * Every query ends in a deterministic total order (unique tiebreak) so
+  * top-k results are stable across engines.
   */
 object Analytics {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
 
   /** Flagship — "top performers" (reference src/analytics/engine.py:336-352):
     * fact ⋈ dim ⋈ dim → activity floor → derived ratio → ordered top-k.
@@ -36,11 +44,217 @@ object Analytics {
       .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation_name"))
       .agg(
         count(lit(1)).as("order_cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spend"))
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
       .filter(col("order_cnt") >= minOrders)
       .withColumn("avg_spend", col("total_spend") / col("order_cnt"))
       .select("c_custkey", "c_name", "nation_name", "order_cnt", "total_spend", "avg_spend")
 
     Ranking.topK(agg, k, col("total_spend").desc, col("c_custkey").asc)
   }
+
+  /** P1–P6/P9/F13: pushed-down range+equality filters, pruned projection,
+    * derived revenue, CASE classification. The whole filter reaches the
+    * parquet scan (PushedFilters) and only 6 columns are read. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(lit("1998-01-01").cast("timestamp"),
+                                        lit("2000-12-31").cast("timestamp"))
+        && col("l_returnflag") === "N" && col("l_quantity") > 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))
+          .cast("double").as("revenue"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        when(col("l_quantity") < 20, "small")
+          .when(col("l_quantity") < 35, "medium")
+          .otherwise("large").as("size_class"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A12/A1 — TPC-H-Q1-style grouped aggregation with exact decimal sums.
+    * Catalyst plans partial (map-side) + final agg; one shuffle on the
+    * 2-column group key. */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** W1 grouped top-k: top 3 orders per priority class. One shuffle on the
+    * partition key; rank filter applied before any further join. */
+  def topOrdersPerPriority(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** W2+A4 — "team form over last N matches" (reference engine.py:137-191,
+    * a per-team Python row-loop): last-5 orders per customer via ranked
+    * window, then aggregate. Set-based: one shuffle, no driver loop. */
+  def recentForm(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("recent_cnt"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("recent_spend"))
+      .withColumn("recent_avg", col("recent_spend") / col("recent_cnt"))
+      .orderBy("o_custkey")
+  }
+
+  /** W5 — standings: rank entities within a group by aggregate metric
+    * (reference standing_row.position, schema.sql:759-776). */
+  def nationRevenueStandings(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+    revenue
+      .withColumn("position",
+        rank().over(Window.partitionBy(col("region_name"))
+          .orderBy(col("revenue").desc, col("nation_name").asc)).cast("long"))
+      .orderBy("region_name", "position", "nation_name")
+  }
+
+  /** W3 — percentile rank vs peer group (reference reports.py:84).
+    * NOTE: a global percent_rank needs a total order over all rows — at
+    * 100 TB rank against a *partitioned* peer group (as standings does) or
+    * pre-aggregate first, as here (one row per customer before ranking). */
+  def spendPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+      .withColumn("spend_pct_rank",
+        percent_rank().over(Window.orderBy(col("total_spend"), col("o_custkey"))))
+      .orderBy("o_custkey")
+
+  /** J5+A5 — head-to-head via symmetric pair key: trade volume between
+    * nation pairs regardless of direction. Replaces the reference's
+    * O(n²) self-join loop (engine.py:193-229) with a groupBy on
+    * (least, greatest). */
+  def nationPairTrade(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cNat = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val sNat = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val joined = li
+      .join(cNat, li("l_orderkey") === cNat("o_orderkey"))
+      .join(broadcast(sNat), li("l_suppkey") === sNat("s_suppkey"))
+    val (lo, hi) = Joins.symmetricPair(col("c_nationkey"), col("s_nationkey"))
+    val agg = joined
+      .groupBy(lo.as("nation_lo"), hi.as("nation_hi"))
+      .agg(
+        count(lit(1)).as("trade_cnt"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("trade_value"))
+    Ranking.topK(agg, k, col("trade_value").desc, col("nation_lo").asc, col("nation_hi").asc)
+  }
+
+  /** J6 "create" side — entities with no qualifying facts (left anti join). */
+  def customersWithoutUrgentOrders(spark: SparkSession, dir: String): DataFrame =
+    Joins.anti(
+      Tables.customer(spark, dir),
+      Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"),
+      col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Semi join — entities with at least one qualifying fact (EXISTS). */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame =
+    Joins.semi(
+      Tables.customer(spark, dir),
+      Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"),
+      col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** U2 — distinct union of key sets from two sides (reference
+    * engine.py:143: home ∪ away team ids). */
+  def activeNations(spark: SparkSession, dir: String): DataFrame = {
+    val fromCust = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val fromSupp = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    fromCust.union(fromSupp).distinct()
+      .join(broadcast(Tables.nation(spark, dir)), col("nationkey") === col("n_nationkey"))
+      .select(col("nationkey"), col("n_name"))
+      .orderBy("nationkey")
+  }
+
+  /** U3 — deterministic first-wins dedup: keep min(linenumber) row per
+    * (orderkey, partkey). The reference's seen-set first-wins
+    * (playwright_utils.py:400-427) made deterministic for distribution. */
+  def dedupLineitems(spark: SparkSession, dir: String): DataFrame = {
+    // linenumber alone ties (the corpus has duplicate (orderkey, partkey,
+    // linenumber) rows) — extend the order to a total one.
+    val w = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
+      .orderBy(col("l_linenumber").asc, col("l_quantity").asc, col("l_extendedprice").asc)
+    Tables.lineitem(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
+  /** Rows-frame running total per key (SURVEY §2.6 frame-spec note).
+    * Decimal accumulation keeps every prefix sum exact. */
+  def runningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** A7 — histogram bucketing (reference pd.cut age bins,
+    * reports.py:397-404) as a CASE ladder + count. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("price_bucket",
+        when(col("o_totalprice") < 1000, "p0_under_1k")
+          .when(col("o_totalprice") < 5000, "p1_1k_5k")
+          .when(col("o_totalprice") < 20000, "p2_5k_20k")
+          .otherwise("p3_over_20k"))
+      .groupBy("price_bucket")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("bucket_value"))
+      .orderBy("price_bucket")
+
+  /** A1/A2/A10 — global rollup: counts, exact sums, ratio, exact distinct. */
+  def globalStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("row_cnt"),
+        countDistinct(col("l_orderkey")).as("order_cnt"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .withColumn("avg_qty", col("sum_qty") / col("row_cnt"))
+      .withColumn("lines_per_order", col("row_cnt").cast("double") / col("order_cnt"))
+
+  /** F2/F21-style parsing surface over an oracle-checkable column:
+    * regexp id extraction + case-normalized projection. */
+  def parseCustomerIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#([0-9]+)", 1).cast("long").as("parsed_id"),
+        lower(col("c_mktsegment")).as("segment_lc"))
+      .orderBy("c_custkey")
 }

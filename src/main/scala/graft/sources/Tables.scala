@@ -28,7 +28,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw Long nanos and derive `ts_utc`
+    * (µs-truncated TimestampType) — matching how DuckDB (the oracle) reads
+    * the same file (ns truncated to µs). Raw `ts` stays for exact ordering.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
