@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, EventOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,14 @@ object SparkEntry {
     "q_running_total"   -> ((s, d) => Analytics.runningSpend(s, d)),
     "q_histogram"       -> ((s, d) => Analytics.priceHistogram(s, d)),
     "q_global_stats"    -> ((s, d) => Analytics.globalStats(s, d)),
-    "q_parse_ids"       -> ((s, d) => Analytics.parseCustomerIds(s, d))
+    "q_parse_ids"       -> ((s, d) => Analytics.parseCustomerIds(s, d)),
+    "q_latest_event"    -> ((s, d) => EventOps.latestEventPerUser(s, d)),
+    "q_asof_view"       -> ((s, d) => EventOps.purchasesWithPriorView(s, d)),
+    "q_scd2"            -> ((s, d) => EventOps.userValueScd2(s, d)),
+    "q_json_props"      -> ((s, d) => EventOps.jsonPropsStats(s, d)),
+    "q_upsert_merge"    -> ((s, d) => EventOps.upsertCoalesceMerge(s, d)),
+    "q_weekly_rollup"   -> ((s, d) => EventOps.weeklyEventRollup(s, d)),
+    "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,6 +204,88 @@ object SparkEntry {
         |       CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) AS parsed_id,
         |       lower(c_mktsegment) AS segment_lc
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_latest_event" ->
+      """SELECT user_id, event_id, event_type, value, ts_ms
+        |FROM (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_asof_view" ->
+      """WITH p AS (SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.value, p.ts_ms,
+        |       v.event_id AS asof_event_id, v.value AS asof_value, v.ts_ms AS asof_ts_ms,
+        |       p.ts_ms - v.ts_ms AS gap_ms
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_ms < p.ts_ms
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, value, valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS valid_from,
+        |             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                      ORDER BY epoch_ms(ts), event_id) AS valid_to
+        |      FROM events)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |       count(DISTINCT user_id) AS user_cnt,
+        |       CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS k_avg
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH e AS (SELECT user_id, value, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |cur AS (SELECT user_id, value, ts_ms
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                           ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |              FROM e WHERE ts_ms < 1705708800000)
+        |        WHERE rn = 1),
+        |stg AS (SELECT user_id,
+        |               CASE WHEN value < 50 THEN NULL ELSE value END AS value, ts_ms
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                           ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |              FROM e WHERE ts_ms >= 1705708800000)
+        |        WHERE rn = 1)
+        |SELECT coalesce(stg.user_id, cur.user_id) AS user_id,
+        |       coalesce(stg.value, cur.value) AS value,
+        |       coalesce(stg.ts_ms, cur.ts_ms) AS ts_ms
+        |FROM cur FULL JOIN stg ON cur.user_id = stg.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_weekly_rollup" ->
+      """SELECT epoch_ms(ts) // 604800000 AS week_bucket, event_type,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY week_bucket, event_type""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS tm FROM events),
+        |f AS (SELECT *, CASE WHEN lag(tm) OVER w IS NULL
+        |                       OR tm - lag(tm) OVER w > 3600000 THEN 1 ELSE 0 END AS nf
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+        |g AS (SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tm, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS BIGINT) AS session_seq
+        |      FROM f)
+        |SELECT user_id, session_seq, count(*) AS event_cnt,
+        |       min(tm) AS start_ms, max(tm) AS end_ms,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+        |       max(tm) - min(tm) AS duration_ms
+        |FROM g
+        |GROUP BY 1, 2
+        |ORDER BY user_id, session_seq""".stripMargin
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream (temporal) queries over the `events` table — the batch
+  * equivalents of the reference's live-score/odds micro-stream semantics
+  * (SURVEY.md §2.10): last-writer-wins state, as-of lookback, SCD2
+  * historization, JSON payload extraction, calendar rollups, sessions.
+  *
+  * All event-time arithmetic uses `ts_ms` (epoch millis, long) — derived
+  * identically in Spark (`ts div 1_000_000` over raw nanos) and DuckDB
+  * (`epoch_ms(ts)` over its µs-truncated read), so cross-engine ordering
+  * and bucketing agree exactly.
+  */
+object EventOps {
+
+  /** 2024-01-20 UTC — mid-corpus cutoff splitting "current" vs "staged". */
+  private val CutoffMs = 1705708800000L
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+
+  /** W7/T5 — latest event per key (last-writer-wins read). */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    Ranking.latestPerKey(
+      events(spark, dir).select("user_id", "event_id", "event_type", "value", "ts_ms"),
+      Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))
+      .orderBy("user_id")
+
+  /** J11-family as-of join: each purchase paired with the user's most
+    * recent strictly-earlier view event. */
+  def purchasesWithPriorView(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value", "ts_ms")
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "value", "ts_ms")
+    AsOfJoin.asOf(purchases, views,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts_ms", rightTime = "ts_ms",
+        rightPayload = Seq("event_id", "value", "ts_ms"),
+        strict = true, rightTieBreak = Some("event_id"))
+      .withColumn("gap_ms", col("ts_ms") - col("asof_ts_ms"))
+      .orderBy("event_id")
+  }
+
+  /** SCD2 historization of per-user state from the event log. */
+  def userValueScd2(spark: SparkSession, dir: String): DataFrame =
+    Merge.scd2(
+      events(spark, dir).select("user_id", "event_id", "value", "ts_ms"),
+      keys = Seq("user_id"), orderCol = col("ts_ms"), tieBreak = col("event_id"))
+      .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+
+  /** F22 — JSON payload extraction + grouped rollup. */
+  def jsonPropsStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("k")).as("k_sum"),
+        countDistinct(col("user_id")).as("user_cnt"))
+      .withColumn("k_avg", col("k_sum").cast("double") / col("cnt"))
+      .orderBy("event_type")
+
+  /** K1+K10 — upsert with COALESCE column preservation: merge the
+    * pre-cutoff state snapshot with post-cutoff updates where some staged
+    * values are NULL (and must preserve the current value). */
+  def upsertCoalesceMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select("user_id", "value", "ts_ms", "event_id")
+    def latest(df: DataFrame): DataFrame =
+      Ranking.latestPerKey(df, Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))
+    val current = latest(e.filter(col("ts_ms") < CutoffMs))
+    val staged = latest(e.filter(col("ts_ms") >= CutoffMs))
+      .withColumn("value", when(col("value") < 50, lit(null)).otherwise(col("value")))
+    Merge.coalesceMerge(current, staged,
+        keys = Seq("user_id"), valueCols = Seq("value", "ts_ms"))
+      .orderBy("user_id")
+  }
+
+  /** T7/A2 — calendar (tumbling-window) rollup by epoch week bucket. */
+  def weeklyEventRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("week_bucket", expr("ts_ms div 604800000"))
+      .groupBy("week_bucket", "event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy("week_bucket", "event_type")
+
+  /** Gap-based sessionization (1 h) + per-session rollup. */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(
+      events(spark, dir).select("user_id", "event_id", "value", "ts_ms"),
+      key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("event_id"),
+      gapMs = 3600000L)
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("event_cnt"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .orderBy("user_id", "session_seq")
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch merge primitives — the Spark rebuild of the reference's
+  * `INSERT … ON CONFLICT DO UPDATE` service layer (K1–K11, SURVEY.md §2.2;
+  * reference src/database/manager.py:122-151).
+  *
+  * Without a transactional store, upsert = read current + union staged +
+  * rank-dedup + rewrite. All three primitives are one shuffle on the key:
+  *
+  *  - [[upsertLatest]]   last-writer-wins full-row replace (K1)
+  *  - [[coalesceMerge]]  per-column COALESCE(new, old) preservation (K10,
+  *    reference fbref_match_scraper.py:587-669)
+  *  - [[scd2]]           historize versions with valid_from/valid_to/
+  *    is_current (club_name_history, schema.sql:182-191)
+  *
+  * Idempotence: re-merging the same staged batch yields the same table
+  * (rank-dedup is deterministic given a total version order), which is what
+  * makes the streaming foreachBatch path safe to retry.
+  */
+object Merge {
+
+  /** K1: union current+staged, keep the highest-version row per key.
+    * `version` columns must form a total order (include a unique tiebreak). */
+  def upsertLatest(current: DataFrame, staged: DataFrame,
+                   keys: Seq[String], version: Seq[String]): DataFrame =
+    Ranking.latestPerKey(
+      current.unionByName(staged),
+      keys.map(col), version.map(col))
+
+  /** K10: full-outer merge where staged NULLs preserve current values —
+    * `COALESCE(staged.c, current.c)` per value column. */
+  def coalesceMerge(current: DataFrame, staged: DataFrame,
+                    keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val cur = current.select((keys ++ valueCols).map(col): _*).as("cur")
+    val stg = staged.select((keys ++ valueCols).map(col): _*).as("stg")
+    val cond = keys.map(k => col(s"cur.$k") === col(s"stg.$k")).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(s"stg.$k"), col(s"cur.$k")).as(k))
+    val valCols = valueCols.map(c => coalesce(col(s"stg.$c"), col(s"cur.$c")).as(c))
+    cur.join(stg, cond, "full_outer").select(keyCols ++ valCols: _*)
+  }
+
+  /** SCD2 historization: each (key, orderCol) row becomes a version with
+    * `valid_from` = its own order value, `valid_to` = the next version's
+    * (null for the open/current one), `is_current` = valid_to IS NULL —
+    * the generated-column semantics of the reference's *_name_history. */
+  def scd2(df: DataFrame, keys: Seq[String], orderCol: Column,
+           tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol.asc, tieBreak.asc)
+    df.withColumn("valid_from", orderCol)
+      .withColumn("valid_to", lead(orderCol, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}
