@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, EventOps}
+import graft.scale.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,7 +41,12 @@ object SparkEntry {
     "q_json_props"      -> ((s, d) => EventOps.jsonPropsStats(s, d)),
     "q_upsert_merge"    -> ((s, d) => EventOps.upsertCoalesceMerge(s, d)),
     "q_weekly_rollup"   -> ((s, d) => EventOps.weeklyEventRollup(s, d)),
-    "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d))
+    "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d)),
+    "q_text_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
+    "q_lang_stats"      -> ((s, d) => TextAnalysis.langStats(s, d)),
+    "q_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "q_minhash_pairs"   -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +292,96 @@ object SparkEntry {
         |       max(tm) - min(tm) AS duration_ms
         |FROM g
         |GROUP BY 1, 2
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       len(toks) AS token_cnt,
+        |       len(list_distinct(toks)) AS uniq_cnt,
+        |       CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+        |       CAST(len(list_filter(toks, s -> s = 'the' OR s = 'a' OR s = 'of' OR s = 'and'
+        |            OR s = 'in' OR s = 'to' OR s = 'is')) AS DOUBLE) / len(toks) AS stop_ratio,
+        |       (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |         * (1.0 - CAST(len(list_filter(toks, s -> s = 'the' OR s = 'a' OR s = 'of'
+        |            OR s = 'and' OR s = 'in' OR s = 'to' OR s = 'is')) AS DOUBLE) / len(toks)) AS quality_score,
+        |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS cnt,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+        |       count(DISTINCT source) AS source_cnt,
+        |       CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)])) AS sh
+        |      FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter_cnt
+        |          FROM s a JOIN s b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, inter_cnt,
+        |       CAST(inter_cnt AS DOUBLE) / (x.n + y.n - inter_cnt) AS jaccard
+        |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE CAST(inter_cnt AS DOUBLE) / (x.n + y.n - inter_cnt) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)])) AS sh
+        |      FROM t),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+        |               min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+        |               min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+        |               min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+        |        FROM s GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+        |          UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+        |          UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+        |          UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |         FROM bands x JOIN bands y
+        |           ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT d1, d2,
+        |       CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+        |FROM cand JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id
+        |WHERE CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END
+        |           + CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / 8 >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+        |FROM e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin
   )
 }

@@ -1,0 +1,104 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Near-duplicate detection for a training-data pipeline: exact groups,
+  * shingle-set Jaccard, and MinHash+LSH banding (builder brief; the
+  * reference's fuzzy entity-resolution J8 is the same problem shape —
+  * SURVEY.md §4.1 notes MinHashLSH as its scale path).
+  *
+  * Scale design: the only all-pairs step is the candidate join, and both
+  * variants bound it — Jaccard joins on shared shingles within a blocking
+  * key; LSH joins on band buckets whose collision probability collapses for
+  * dissimilar docs. Neither materializes the O(n²) pair space.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles, distinct, as a Column over a token array.
+    * Guarded for docs shorter than n tokens. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** Exact-duplicate groups by content fingerprint: groups with >1 member. */
+  def exactDupGroups(docs: DataFrame, key: Column): DataFrame =
+    docs.groupBy(key.as("fingerprint"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("first_doc"))
+      .filter(col("dup_cnt") > 1)
+
+  /** doc_id → exploded distinct shingle rows (blocking column carried). */
+  private def shingleRows(docs: DataFrame, block: String): DataFrame =
+    docs.select(col("doc_id"), col(block).as("block"),
+        explode(shingles(split(col("text"), " "))).as("sh"))
+
+  /** Pairwise shingle-set Jaccard within a blocking key, thresholded.
+    * |A∩B| via self-join on shingle; |A|,|B| from per-doc counts; jaccard
+    * as exact integer division — deterministic across engines. */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5, block: String = "lang"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s = shingleRows(docs, block)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = s.as("a"); val b = s.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / (col("n1") + col("n2") - col("inter_cnt")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter_cnt", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** Number of MinHash permutations (md5 with per-permutation salt) and
+    * LSH band width. 8 hashes × 4 bands of 2 → candidate recall ≈ 1 for
+    * sim ≥ 0.8, collapse for sim ≤ 0.1. */
+  val NumHashes = 8
+  val BandWidth = 2
+
+  /** Per-doc MinHash signature columns m0..m7 (min of salted md5 over the
+    * shingle set — lexicographic min is engine-portable). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleRows(Tables.documents(spark, dir), "lang")
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    s.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidates: docs sharing at least one band
+    * bucket, scored by signature agreement (est. Jaccard), thresholded at
+    * est ≥ 0.5. The join key is the band hash — no shingle-level fanout. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bands = (0 until NumHashes / BandWidth).map { b =>
+      val cols = (b * BandWidth until (b + 1) * BandWidth).map(i => col(s"m$i"))
+      sig.select(col("doc_id"), md5(concat(cols: _*)).as("bucket"), lit(b).as("band"))
+    }
+    val candidates = bands.reduce(_ unionByName _)
+      .as("x").join(bands.reduce(_ unionByName _).as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val s1 = sig.columns.filter(_ != "doc_id")
+    val est = candidates
+      .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
+      .withColumn("est_sim",
+        s1.map(m => when(col(s"sa.$m") === col(s"sb.$m"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / NumHashes)
+    est.filter(col("est_sim") >= 0.5)
+      .select("d1", "d2", "est_sim")
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (builder brief): brute-force
+  * cosine top-k as the exact baseline, plus a sign-random-projection LSH
+  * bucketing as the 100 TB scale path.
+  *
+  * All vector math is higher-order Column expressions (`zip_with` /
+  * `aggregate`) over `array<double>` — codegen-friendly, no UDFs, and the
+  * left-to-right summation order matches a scalar loop so results are
+  * reproducible.
+  */
+object Similarity {
+
+  /** Cast a float embedding column to array<double> for stable math. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors of one query vector: broadcast the
+    * query row, score every vector, TakeOrderedAndProject. One scan, no
+    * shuffle beyond the k-row driver merge — the right baseline shape even
+    * at scale (it's embarrassingly parallel). */
+  def knnBruteForce(spark: SparkSession, dir: String,
+                    queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Sign-random-projection LSH bucket id: sign bits of projections onto
+    * `planes` deterministic pseudo-random hyperplanes (hash-derived, no
+    * RNG state). Vectors in the same bucket are candidate near-neighbors;
+    * at scale, join on `bucket` instead of cross-joining the corpus. */
+  def srpBucket(v: Column, dim: Int, planes: Int = 8): Column = {
+    // Plane p, component d = deterministic pseudo-random in [-0.5, 0.5]:
+    // fractional part of sin-hash seeded by (p, d). Stable across runs.
+    def comp(p: Int, d: Int): Double = {
+      val x = math.sin(p * 12.9898 + d * 78.233) * 43758.5453
+      x - math.floor(x) - 0.5
+    }
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim).map(d => element_at(v, d + 1) * lit(comp(p, d)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: assign SRP buckets, then exact cosine only within the
+    * query's bucket. Trades recall for a corpus-size-independent candidate
+    * set. */
+  def knnLshBucketed(spark: SparkSession, dir: String,
+                     queryId: Long = 0L, k: Int = 10, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), dim))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    emb.join(broadcast(query), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline (builder brief +
+  * SURVEY.md §7.4 #8): token counting, quality scoring, language ID,
+  * fingerprinting. All core metrics are pure Column expressions
+  * (whole-stage-codegen friendly, no UDFs in the hot path).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Mean token length derived from char count minus separators —
+    * avoids a second pass over the tokens. */
+  def avgTokenLen(text: Column): Column = {
+    val cnt = tokenCount(text)
+    (length(text).cast("long") - (cnt - 1)).cast("double") / cnt
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long")
+
+  /** Punctuation character count (shared class with the DuckDB oracle). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  /** Composite quality score in [0,1]: lexical diversity damped by
+    * stopword density — the length/punct/stopword-ratio family the brief
+    * asks for, collapsed to one deterministic double. */
+  def qualityScore(text: Column): Column = {
+    val cnt = tokenCount(text)
+    val uniqRatio = uniqueTokenCount(text).cast("double") / cnt
+    val stopRatio = stopwordCount(text).cast("double") / cnt
+    uniqRatio * (lit(1.0) - stopRatio)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Stable join key for exact dedup across sources. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Heuristic language ID: CJK script detection, then per-language
+    * stopword voting. Pure expression (no UDF); returns a 2-letter code or
+    * 'und'. The synthetic corpus's `lang` column is a random label over a
+    * shared English vocabulary, so this is spec-tested on real multilingual
+    * samples rather than oracle-checked.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "with", "for"),
+      "de" -> Seq("der", "die", "das", "und", "nicht", "mit"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+      "es" -> Seq("el", "los", "las", "es", "y", "en"))
+    val toks = array_distinct(split(lower(text), "[^\\p{L}]+"))
+    val votes = markers.map { case (code, ws) =>
+      struct(
+        size(array_intersect(toks, array(ws.map(lit): _*))).as("hits"),
+        lit(code).as("code"))
+    }
+    val best = array_max(array(votes: _*))
+    when(text.rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("code"))
+      .otherwise(lit("und"))
+  }
+
+  /** Per-document stats + fingerprint (oracle-checked). */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(t).as("token_cnt"),
+      uniqueTokenCount(t).as("uniq_cnt"),
+      avgTokenLen(t).as("avg_token_len"),
+      (stopwordCount(t).cast("double") / tokenCount(t)).as("stop_ratio"),
+      qualityScore(t).as("quality_score"),
+      fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus rollup by language label. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).as("char_sum"),
+        countDistinct(col("source")).as("source_cnt"))
+      .withColumn("avg_chars", col("char_sum").cast("double") / col("cnt"))
+      .orderBy("lang")
+}
