@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Normalize
+import graft.operators.EntityResolution
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fuzzyRatio matches thefuzz.fuzz.ratio reference values") {
+    val r = evalExpr(
+      Normalize.fuzzyRatio(lit("new york mets"), lit("new york mets")),
+      Normalize.fuzzyRatio(lit("new york mets"), lit("new york meats")),
+      Normalize.fuzzyRatio(lit("abc"), lit("xyz")))
+    assert(r.getInt(0) == 100)
+    assert(r.getInt(1) == 96) // thefuzz.fuzz.ratio reference value
+    assert(r.getInt(2) == 0)
+  }
+
+  test("normalizeForMatching strips accents and punctuation") {
+    val r = evalExpr(
+      Normalize.normalizeForMatching(lit("José  Álvarez-López")),
+      Normalize.normalizeForMatching(lit("  FC   Köln!! ")))
+    assert(r.getString(0) == "jose alvarez lopez")
+    assert(r.getString(1) == "fc koln")
+  }
+
+  test("termLookup maps synonyms through normalization") {
+    val mapping = Map("torwart" -> "GK", "goalkeeper" -> "GK", "portero" -> "GK")
+    val r = evalExpr(
+      Normalize.termLookup(lit("Torwart"), mapping),
+      Normalize.termLookup(lit("GOALKEEPER "), mapping),
+      Normalize.termLookup(lit("striker"), mapping, lit("UNK")))
+    assert(r.getString(0) == "GK" && r.getString(1) == "GK" && r.getString(2) == "UNK")
+  }
+
+  test("resolve: three-way split (auto / review-or-match / create)") {
+    val entities = Seq(
+      (1L, "Borussia Dortmund", "DE"),
+      (2L, "Bayern München", "DE"),
+      (3L, "Real Madrid", "ES"))
+      .toDF("id", "name", "country")
+    val staged = Seq(
+      ("Borussia Dortmund", "DE"),  // exact -> matched (100)
+      ("Borussia Dortmond", "DE"),  // 1 typo -> matched (~94)
+      ("Atletico Bilbao", "ES"),    // unrelated -> create
+      ("FC Basel", "CH"))           // empty block -> create
+      .toDF("name", "country")
+
+    val res = EntityResolution.resolve(staged, entities,
+      nameCol = "name", blockCol = "country", idCol = "id")
+
+    val matchedNames = res.matched.select("name").as[String].collect().toSet
+    val createNames = res.create.select("name").as[String].collect().toSet
+    assert(matchedNames.contains("Borussia Dortmund"))
+    assert(matchedNames.contains("Borussia Dortmond"))
+    assert(createNames.contains("Atletico Bilbao"))
+    assert(createNames.contains("FC Basel"))
+    val exact = res.matched.filter(col("name") === "Borussia Dortmund")
+      .select("match_score").as[Int].head()
+    assert(exact == 100)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Joins, Merge, Ranking, Sessionize}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Ranking.latestPerKey keeps the highest-version row per key") {
+    val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "only"))
+      .toDF("k", "v", "tag")
+    val out = Ranking.latestPerKey(df, Seq(col("k")), Seq(col("v")))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("new", "only"))
+  }
+
+  test("Ranking.topK plans TakeOrderedAndProject (no global sort)") {
+    val df = Seq(3, 1, 2).toDF("x")
+    val plan = Ranking.topK(df, 2, col("x").desc).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(Ranking.topK(df, 2, col("x").desc).collect().map(_.getInt(0)).toSeq == Seq(3, 2))
+  }
+
+  test("Joins.symmetricPair normalizes unordered pairs") {
+    val (lo, hi) = Joins.symmetricPair(col("a"), col("b"))
+    val out = Seq((5, 3), (3, 5)).toDF("a", "b")
+      .select(lo.as("lo"), hi.as("hi")).distinct().collect()
+    assert(out.length == 1 && out.head.getInt(0) == 3 && out.head.getInt(1) == 5)
+  }
+
+  test("Merge.upsertLatest: staged overwrites current, new keys insert") {
+    val current = Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "ver")
+    val staged = Seq((2, "b2", 2L), (3, "c", 2L)).toDF("k", "v", "ver")
+    val out = Merge.upsertLatest(current, staged, Seq("k"), Seq("ver"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("Merge.upsertLatest is idempotent (re-merge same batch)") {
+    val current = Seq((1, "a", 1L)).toDF("k", "v", "ver")
+    val staged = Seq((1, "a2", 2L)).toDF("k", "v", "ver")
+    val once = Merge.upsertLatest(current, staged, Seq("k"), Seq("ver"))
+    val twice = Merge.upsertLatest(once, staged, Seq("k"), Seq("ver"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("Merge.coalesceMerge preserves current values under staged NULLs") {
+    val current = Seq((1, Some("keep"), Some(10)), (2, Some("x"), Some(20)))
+      .toDF("k", "name", "n")
+    val staged = Seq((1, None: Option[String], Some(11)), (3, Some("new"), None: Option[Int]))
+      .toDF("k", "name", "n")
+    val out = Merge.coalesceMerge(current, staged, Seq("k"), Seq("name", "n"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toSeq == Seq((1, "keep", 11), (2, "x", 20), (3, "new", -1)))
+  }
+
+  test("Merge.scd2 derives valid_from/valid_to/is_current") {
+    val df = Seq((1, 100L, "v1"), (1, 200L, "v2"), (2, 50L, "w1"))
+      .toDF("k", "t", "v")
+    val out = Merge.scd2(df, Seq("k"), col("t"), col("v"))
+      .orderBy("k", "valid_from").collect()
+    assert(out(0).getLong(out(0).fieldIndex("valid_from")) == 100L)
+    assert(out(0).getLong(out(0).fieldIndex("valid_to")) == 200L)
+    assert(!out(0).getBoolean(out(0).fieldIndex("is_current")))
+    assert(out(1).isNullAt(out(1).fieldIndex("valid_to")))
+    assert(out(1).getBoolean(out(1).fieldIndex("is_current")))
+    assert(out(2).getBoolean(out(2).fieldIndex("is_current")))
+  }
+
+  test("AsOfJoin: non-strict picks <=, strict picks <, no-match yields null") {
+    val left = Seq((1, 100L, "L1"), (1, 250L, "L2"), (2, 10L, "L3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1, 100L, "R100"), (1, 200L, "R200"), (1, 300L, "R300"))
+      .toDF("k", "t", "rv")
+    def run(strict: Boolean) = AsOfJoin.asOf(left, right,
+        "k", "k", "t", "t", Seq("rv", "t"), strict = strict)
+      .orderBy("t").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) null else r.getString(3))).toSeq
+
+    assert(run(strict = false) == Seq(("L3", null), ("L1", "R100"), ("L2", "R200")))
+    assert(run(strict = true) == Seq(("L3", null), ("L1", null), ("L2", "R200")))
+  }
+
+  test("AsOfJoin: latest right row wins among multiple earlier rows") {
+    val left = Seq((1, 1000L, "L")).toDF("k", "t", "lv")
+    val right = Seq((1, 10L, "old"), (1, 500L, "mid"), (1, 999L, "latest"))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "t", Seq("rv")).head()
+    assert(out.getString(3) == "latest")
+  }
+
+  test("Sessionize splits on gap and keeps runs together") {
+    val df = Seq(
+      (1, 0L, 1L), (1, 1000L, 2L), (1, 10000L, 3L), // gap 9000 > 5000 -> new session
+      (2, 0L, 4L))
+      .toDF("u", "tm", "id")
+    val out = Sessionize.sessionize(df, col("u"), col("tm"), col("id"), gapMs = 5000L)
+      .orderBy("u", "tm").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 1L, 2L, 1L))
+  }
+}

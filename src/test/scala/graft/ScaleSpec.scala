@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.{Dedup, Similarity, TextAnalysis}
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-grams, distinct, short-doc guard") {
+    val r = evalExpr(
+      Dedup.shingles(split(lit("a b c d"), " ")),
+      Dedup.shingles(split(lit("a b"), " ")))
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
+  test("exactDupGroups finds duplicated fingerprints only") {
+    val docs = Seq((1L, "x y z"), (2L, "x  Y z"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(docs, TextAnalysis.fingerprint(col("text"))).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
+  }
+
+  test("jaccardPairs finds the planted near-dups at sf0.001") {
+    val out = Dedup.jaccardPairs(spark, TestSpark.Sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(3) >= 0.5))
+  }
+
+  test("minhashPairs candidates agree with jaccard near-dups") {
+    val mh = Dedup.minhashPairs(spark, TestSpark.Sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jc = Dedup.jaccardPairs(spark, TestSpark.Sf0001, threshold = 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jc.subsetOf(mh), s"high-jaccard pairs $jc missing from minhash candidates $mh")
+  }
+
+  test("cosine: identical=1, orthogonal=0") {
+    val r = evalExpr(
+      Similarity.cosine(array(lit(1.0), lit(2.0)), array(lit(1.0), lit(2.0))),
+      Similarity.cosine(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0))))
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("knnBruteForce returns k ordered neighbors, excludes query") {
+    val out = Similarity.knnBruteForce(spark, TestSpark.Sf0001, queryId = 0L, k = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(0) != 0L))
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("knnLshBucketed scores agree with brute force on shared candidates") {
+    val brute = Similarity.knnBruteForce(spark, TestSpark.Sf0001, queryId = 0L, k = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lsh = Similarity.knnLshBucketed(spark, TestSpark.Sf0001, queryId = 0L, k = 10)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("langIdHeuristic on real multilingual samples") {
+    val r = evalExpr(
+      TextAnalysis.langIdHeuristic(lit("the cat and the dog is in the house")),
+      TextAnalysis.langIdHeuristic(lit("der Hund und die Katze sind nicht hier")),
+      TextAnalysis.langIdHeuristic(lit("le chat est dans la maison")),
+      TextAnalysis.langIdHeuristic(lit("el perro es grande y los gatos")),
+      TextAnalysis.langIdHeuristic(lit("这是一个中文句子")),
+      TextAnalysis.langIdHeuristic(lit("zzz qqq www")))
+    assert(r.getString(0) == "en")
+    assert(r.getString(1) == "de")
+    assert(r.getString(2) == "fr")
+    assert(r.getString(3) == "es")
+    assert(r.getString(4) == "zh")
+    assert(r.getString(5) == "und")
+  }
+
+  test("quality metrics: counts and ratios") {
+    val r = evalExpr(
+      TextAnalysis.tokenCount(lit("a b b c")),
+      TextAnalysis.uniqueTokenCount(lit("a b b c")),
+      TextAnalysis.stopwordCount(lit("the cat of doom")),
+      TextAnalysis.avgTokenLen(lit("ab cd")))
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0)
+  }
+}
