@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.GBTRegressor
+import org.apache.spark.sql.DataFrame
+
+/** spark.ml rebuilds of the reference's sklearn models (SURVEY.md §2.11,
+  * reference src/analytics/engine.py:29-229):
+  *
+  *  - PlayerPerformanceModel: StandardScaler + GradientBoosting regression
+  *    → VectorAssembler + StandardScaler + GBTRegressor
+  *  - MatchPredictionModel: LabelEncoder + RandomForest 3-class classifier
+  *    → StringIndexer + VectorAssembler + RandomForestClassifier
+  *
+  * The reference's `predict_match_outcome` returns placeholder
+  * probabilities (engine.py:391-397); the *contract* — a 3-class
+  * probability vector — is what matters, and `probabilityCol` delivers it
+  * for real. Train/test split mirrors `train_test_split(0.2, seed 42)`.
+  * Training distributes natively (tree aggregation); inference is a
+  * per-row transform — no collect boundary anywhere.
+  */
+object Models {
+
+  val Seed = 42L
+
+  /** 80/20 split matching the reference (engine.py:76). */
+  def trainTestSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), Seed)
+    (train, test)
+  }
+
+  /** Performance regression pipeline: features → scaled vector → GBT. */
+  def performancePipeline(featureCols: Seq[String], labelCol: String): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("raw_features")
+      .setHandleInvalid("skip")
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val gbt = new GBTRegressor()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(4).setSeed(Seed)
+    new Pipeline().setStages(Array(assembler, scaler, gbt))
+  }
+
+  /** Outcome classification pipeline: label indexing → vector → RF with
+    * 3-class probability output (home_win / draw / away_win contract). */
+  def outcomePipeline(featureCols: Seq[String], labelCol: String): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("label")
+      .setStringOrderType("alphabetAsc") // deterministic class order
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .setHandleInvalid("skip")
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setProbabilityCol("probability")
+      .setNumTrees(50).setMaxDepth(6).setSeed(Seed)
+    new Pipeline().setStages(Array(indexer, assembler, rf))
+  }
+
+  def fit(pipeline: Pipeline, train: DataFrame): PipelineModel = pipeline.fit(train)
+}

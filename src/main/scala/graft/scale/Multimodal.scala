@@ -1,0 +1,94 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing (builder brief): media
+  * payloads travel as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[fakeDecodeFeatures]] derives a deterministic feature
+  * vector from the bytes. Everything around the stub — schema, batch
+  * iteration shape, partition preservation, null handling — is the real
+  * production plumbing: swap `decodeOne` for a JNI/codec call and nothing
+  * else changes.
+  *
+  * Scale notes: mapPartitions amortizes per-batch setup (a real decoder's
+  * model/codec init) across the partition; features stay columnar
+  * (`array<float>`), never driver-collected; `binary` payloads should ride
+  * their own parquet column chunk so scans that skip media never read the
+  * bytes.
+  */
+object Multimodal {
+
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),     // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", MediaMetaSchema)))
+
+  val FeatureDim = 16
+
+  /** Synthesize a media table from the documents corpus: UTF-8 bytes as
+    * the opaque payload + plausible typed metadata. Gives the pipeline
+    * real binary data without container codecs. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit("raw").as("format"),
+        length(col("text")).as("width"),
+        lit(1).as("height"),
+        (col("n_chars") * 10L).as("duration_ms")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-features from byte content.
+    * Production: replace body with the codec / model forward pass. */
+  private def decodeOne(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    if (bytes == null) return out
+    var i = 0
+    while (i < bytes.length) {
+      val d = i % FeatureDim
+      out(d) = out(d) + (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    var d = 0
+    while (d < FeatureDim) { out(d) = out(d) / math.max(1, bytes.length / FeatureDim); d += 1 }
+    out
+  }
+
+  /** Batched per-partition feature extraction: media frame → media frame +
+    * `features array<float>`. Partitioning is preserved (no shuffle). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = media.schema.add(StructField("features", ArrayType(FloatType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      // per-partition setup happens once here (codec init in production)
+      rows.map { r =>
+        val feats = decodeOne(r.getAs[Array[Byte]](bytesIdx))
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * timestamp (every `stepMs`), metadata carried. Pure expressions. */
+  def sampleFrames(media: DataFrame, stepMs: Long = 1000L): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs))))
+      .select(col("media_id"), col("frame_ts_ms"), col("meta"))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+
+import graft.ml.Models
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic synthetic training frame: outcome depends on the
+  // feature difference, so both models have real signal to learn.
+  private lazy val matches = {
+    val rows = (0 until 300).map { i =>
+      val formHome = (i % 10).toDouble
+      val formAway = ((i * 7) % 10).toDouble
+      val diff = formHome - formAway
+      val outcome = if (diff > 2) "home_win" else if (diff < -2) "away_win" else "draw"
+      (formHome, formAway, diff, outcome, formHome * 2.0 + 1.0)
+    }
+    rows.toDF("form_home", "form_away", "form_diff", "outcome", "goals")
+  }
+
+  test("outcome pipeline: 3-class probability contract, deterministic seed") {
+    val (train, test) = Models.trainTestSplit(matches)
+    val model = Models.fit(
+      Models.outcomePipeline(Seq("form_home", "form_away", "form_diff"), "outcome"),
+      train)
+    val preds = model.transform(test)
+    val row = preds.select("probability", "prediction").head()
+    val probs = row.getAs[Vector](0)
+    assert(probs.size == 3)
+    assert(math.abs(probs.toArray.sum - 1.0) < 1e-9)
+    // clear-signal rows classify correctly
+    val clear = model.transform(
+      Seq((9.0, 0.0, 9.0, "home_win", 0.0), (0.0, 9.0, -9.0, "away_win", 0.0))
+        .toDF("form_home", "form_away", "form_diff", "outcome", "goals"))
+    val labels = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray(0)
+    val got = clear.select("prediction").as[Double].collect()
+      .map(p => labels(p.toInt)).toSeq
+    assert(got == Seq("home_win", "away_win"))
+  }
+
+  test("performance pipeline: regression recovers a linear signal") {
+    val (train, test) = Models.trainTestSplit(matches)
+    val model = Models.fit(
+      Models.performancePipeline(Seq("form_home", "form_away"), "goals"), train)
+    val preds = model.transform(test)
+      .select(abs(col("prediction") - col("goals")).as("err"))
+    val mae = preds.agg(avg("err")).head().getDouble(0)
+    assert(mae < 1.0, s"MAE $mae too high for a clean linear target")
+  }
+}

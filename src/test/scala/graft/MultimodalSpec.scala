@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.mediaFromDocuments(spark, TestSpark.Sf0001)
+
+  test("media table has opaque binary payload + typed metadata") {
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val row = media.orderBy("media_id").head()
+    assert(Seq("image", "audio", "video").contains(row.getAs[String]("kind")))
+    assert(row.getAs[Array[Byte]]("bytes").nonEmpty)
+    assert(row.getStruct(row.fieldIndex("meta")).getAs[String]("format") == "raw")
+  }
+
+  test("extractFeatures: fixed dim, deterministic, no shuffle, null-safe") {
+    val out = Multimodal.extractFeatures(media.limit(20)).cache()
+    val feats = out.select("features").collect().map(_.getSeq[Float](0))
+    assert(feats.forall(_.length == Multimodal.FeatureDim))
+    val again = Multimodal.extractFeatures(media.limit(20))
+      .select("features").collect().map(_.getSeq[Float](0))
+    assert(feats.toSeq == again.toSeq)
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "feature extraction must not shuffle")
+  }
+
+  test("sampleFrames: one row per step, only for video rows") {
+    val frames = Multimodal.sampleFrames(media, stepMs = 500L)
+    val one = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+        first(col("meta.duration_ms")).as("dur"))
+      .head()
+    val expected = (one.getAs[Long]("dur") + 499L) / 500L
+    assert(one.getAs[Long]("n") == expected)
+    val kinds = media.join(frames.select("media_id").distinct(), "media_id")
+      .select("kind").distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("video"))
+  }
+}

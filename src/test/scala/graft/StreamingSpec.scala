@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.LiveScores
+
+case class RawScore(home_team: String, away_team: String, score_text: String,
+                    status_text: String, match_time: String, source: String,
+                    scraped_at: Timestamp)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("normalize: score split, status classification, stable external id") {
+    val df = Seq(
+      RawScore("A", "B", "2-1", "45'", "45", "flash", ts("2024-01-01 10:00:00")),
+      RawScore("A", "B", null, "19:30", "", "flash", ts("2024-01-01 09:00:00")))
+      .toDF()
+    val out = LiveScores.normalize(df).orderBy("scraped_at").collect()
+    assert(out(1).getAs[Int]("home_score") == 2)
+    assert(out(1).getAs[Int]("away_score") == 1)
+    assert(out(1).getAs[String]("status") == "live")
+    assert(out(0).getAs[String]("status") == "scheduled")
+    assert(out(0).getAs[String]("external_id") == out(1).getAs[String]("external_id"))
+  }
+
+  test("streaming upsert: later micro-batch overwrites match state (T1/T4/T5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawScore]
+    val tableDir = Files.createTempDirectory("graft_live").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    val query = LiveScores.withDedup(LiveScores.normalize(mem.toDF()))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        LiveScores.upsertBatch(b.sparkSession, b, tableDir)
+      }
+      .start()
+
+    try {
+      mem.addData(
+        RawScore("A", "B", null, "19:30", "", "flash", ts("2024-01-01 09:00:00")),
+        RawScore("C", "D", "0-0", "12'", "12", "flash", ts("2024-01-01 09:00:00")))
+      query.processAllAvailable()
+      mem.addData(
+        RawScore("A", "B", "1-0", "23'", "23", "flash", ts("2024-01-01 09:30:00")))
+      query.processAllAvailable()
+
+      val state = spark.read.parquet(tableDir).collect()
+      assert(state.length == 2)
+      val ab = state.find(_.getAs[String]("home_team") == "A").get
+      assert(ab.getAs[String]("status") == "live")
+      assert(ab.getAs[Int]("home_score") == 1)
+      assert(ab.getAs[Timestamp]("scraped_at") == ts("2024-01-01 09:30:00"))
+    } finally query.stop()
+  }
+
+  test("upsertBatch is idempotent across replays (retry safety)") {
+    val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
+    val batch = LiveScores.normalize(Seq(
+      RawScore("X", "Y", "3-2", "FT", "90", "flash", ts("2024-01-02 20:00:00")))
+      .toDF())
+    LiveScores.upsertBatch(spark, batch, tableDir)
+    LiveScores.upsertBatch(spark, batch, tableDir)
+    val state = spark.read.parquet(tableDir)
+    assert(state.count() == 1)
+    assert(state.head().getAs[String]("status") == "finished")
+  }
+}
