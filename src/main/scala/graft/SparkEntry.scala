@@ -35,6 +35,10 @@ object SparkEntry {
     "q_histogram"       -> ((s, d) => Analytics.priceHistogram(s, d)),
     "q_global_stats"    -> ((s, d) => Analytics.globalStats(s, d)),
     "q_parse_ids"       -> ((s, d) => Analytics.parseCustomerIds(s, d)),
+    "q_trend"           -> ((s, d) => Analytics.customerTrend(s, d)),
+    "q_rollup"          -> ((s, d) => Analytics.pricingRollup(s, d)),
+    "q_argmax_segment"  -> ((s, d) => Analytics.bestSegment(s, d)),
+    "q_region_summary"  -> ((s, d) => Analytics.regionSummary(s, d)),
     "q_latest_event"    -> ((s, d) => EventOps.latestEventPerUser(s, d)),
     "q_asof_view"       -> ((s, d) => EventOps.purchasesWithPriorView(s, d)),
     "q_scd2"            -> ((s, d) => EventOps.userValueScd2(s, d)),
@@ -211,6 +215,55 @@ object SparkEntry {
         |       lower(c_mktsegment) AS segment_lc
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_trend" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n,
+        |                  CAST(sum(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS sx,
+        |                  CAST(sum(CAST(year(o_orderdate) AS BIGINT) * CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS sxx,
+        |                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |                  CAST(sum(CAST(year(o_orderdate) AS BIGINT) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |                  -- VARCHAR round-trip: DuckDB's int128-decimal->double cast is not
+        |                  -- correctly rounded above 2^53 unscaled units; string->double is.
+        |                  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |           FROM orders GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT o_custkey, n,
+        |       CASE WHEN n*sxx - sx*sx <> 0
+        |            THEN (n*sxy - sx*sy) / CAST(n*sxx - sx*sx AS DOUBLE) END AS trend_slope,
+        |       sqrt((n*syy - sy*sy) / CAST(n*(n-1) AS DOUBLE)) AS consistency_sd
+        |FROM a
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_argmax_segment" ->
+      """SELECT segment, cnt, bal_sum / cnt AS avg_bal
+        |FROM (SELECT c_mktsegment AS segment, count(*) AS cnt,
+        |             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |      FROM customer GROUP BY 1)
+        |ORDER BY avg_bal DESC, segment ASC
+        |LIMIT 1""".stripMargin,
+
+    "q_region_summary" ->
+      """SELECT r.r_name AS region_name,
+        |       count(DISTINCT n.n_nationkey) AS nation_cnt,
+        |       count(DISTINCT c.c_custkey) AS customer_cnt,
+        |       count(*) AS order_cnt,
+        |       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / count(*) * 100 AS urgent_pct,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_value
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1
+        |ORDER BY region_name""".stripMargin,
 
     "q_latest_event" ->
       """SELECT user_id, event_id, event_type, value, ts_ms

@@ -248,6 +248,79 @@ object Analytics {
       .withColumn("avg_qty", col("sum_qty") / col("row_cnt"))
       .withColumn("lines_per_order", col("row_cnt").cast("double") / col("order_cnt"))
 
+  /** W4 — per-entity trend over seasons (reference reports.py:73-76:
+    * improving/declining slope + consistency): least-squares slope of
+    * order value over order year and the sample stddev, computed from
+    * exact decimal/integer sums so both engines agree bitwise. One
+    * aggregation pass — no per-entity loop. */
+  def customerTrend(spark: SparkSession, dir: String): DataFrame = {
+    val y = dec2(col("o_totalprice"))
+    val x = year(col("o_orderdate")).cast("long")
+    val agg = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(x * x).as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(y * y).cast("double").as("syy"))
+      .filter(col("n") >= 5)
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    agg
+      .withColumn("trend_slope",
+        when(denom =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / denom.cast("double")))
+      .withColumn("consistency_sd",
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")) /
+          (col("n") * (col("n") - 1)).cast("double")))
+      .select("o_custkey", "n", "trend_slope", "consistency_sd")
+      .orderBy("o_custkey")
+  }
+
+  /** Multi-level rollup (beyond the reference's flat GROUP BYs — subtotal
+    * + grand-total rows in one pass via partial-agg reuse). */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** A8 — argmax of group means (reference
+    * `groupby("position").mean().idxmax()`, reports.py:406-413):
+    * best segment by average balance, deterministic tiebreak. */
+  def bestSegment(spark: SparkSession, dir: String): DataFrame = {
+    val perSeg = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"))
+      .withColumn("avg_bal", col("bal_sum") / col("cnt"))
+    Ranking.topK(perSeg, 1, col("avg_bal").desc, col("segment").asc)
+      .select("segment", "cnt", "avg_bal")
+  }
+
+  /** F14/§2.12 — league-summary shape: per-region entity counts, activity,
+    * percentage rates (exact count ratios, cross-engine stable). */
+  def regionSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(
+        countDistinct(col("n_nationkey")).as("nation_cnt"),
+        countDistinct(col("c_custkey")).as("customer_cnt"),
+        count(lit(1)).as("order_cnt"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("urgent_cnt"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_value"))
+      .withColumn("urgent_pct",
+        col("urgent_cnt").cast("double") / col("order_cnt") * 100)
+      .withColumn("avg_order_value", col("total_value") / col("order_cnt"))
+      .orderBy("region_name")
+
   /** F2/F21-style parsing surface over an oracle-checkable column:
     * regexp id extraction + case-normalized projection. */
   def parseCustomerIds(spark: SparkSession, dir: String): DataFrame =

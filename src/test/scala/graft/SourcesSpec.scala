@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.JsonNorm
+import graft.sources.Bronze
+
+/** Mirrors the reference's JSON-normalization unit tests
+  * (tests/unit/test_utils.py:6-55) and HTML-fixture parser tests
+  * (tests/conftest.py:31-120 pattern). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(json: String) =
+    spark.range(1).select(JsonNorm.normalizeGameJson(lit(json)).as("g"))
+      .select("g.*").head()
+
+  test("normalizeGameNode: home/away objects + score string") {
+    val r = norm("""{"id":"m1","home":{"name":"A","id":"a1"},
+      "away":{"name":"B","id":"b1"},"score":"2-1"}""")
+    assert(r.getAs[String]("home") == "A" && r.getAs[String]("away") == "B")
+    assert(r.getAs[String]("home_id") == "a1")
+    assert(r.getAs[Int]("home_score") == 2 && r.getAs[Int]("away_score") == 1)
+  }
+
+  test("normalizeGameNode: homeTeam/awayTeam + homeScore/awayScore") {
+    val r = norm("""{"homeTeam":{"name":"A"},"awayTeam":{"name":"B"},
+      "homeScore":3,"awayScore":0}""")
+    assert(r.getAs[String]("home") == "A")
+    assert(r.getAs[Int]("home_score") == 3 && r.getAs[Int]("away_score") == 0)
+  }
+
+  test("normalizeGameNode: teams.home/away + scores.ft") {
+    val r = norm("""{"teams":{"home":{"name":"A"},"away":{"name":"B"}},
+      "scores":{"ft":{"home":1,"away":1}}}""")
+    assert(r.getAs[String]("home") == "A")
+    assert(r.getAs[Int]("home_score") == 1 && r.getAs[Int]("away_score") == 1)
+  }
+
+  test("normalizeGameNode: participants list by side") {
+    val r = norm("""{"participants":[{"side":"home","name":"A","id":"x"},
+      {"side":"away","name":"B","id":"y"}]}""")
+    assert(r.getAs[String]("home") == "A" && r.getAs[String]("away") == "B")
+    assert(r.getAs[String]("home_id") == "x" && r.getAs[String]("away_id") == "y")
+  }
+
+  test("extractTableRows: header+data rows, nested tags stripped") {
+    val html = """<html><body><table class="squad">
+      |<tr><th>Name</th><th>Value</th></tr>
+      |<tr><td><a href="/p/1">Foo</a></td><td>42</td></tr>
+      |<tr><td>Bar</td><td>€50.00m</td></tr>
+      |</table></body></html>""".stripMargin
+    val rows = spark.range(1).select(Bronze.extractTableRows(lit(html)).as("r"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toList)
+    assert(rows.length == 3)
+    assert(rows(0) == List("Name", "Value"))
+    assert(rows(1) == List("Foo", "42"))
+    assert(rows(2) == List("Bar", "€50.00m"))
+  }
+
+  test("scrapedDataFrame: K7 bronze capture shape with JSON payload") {
+    val df = Seq(("A", 1), ("B", 2)).toDF("team", "rank")
+    val out = Bronze.scrapedDataFrame(df, "test_scraper")
+    assert(out.columns.toSeq == Seq("scraper_name", "data", "created_at"))
+    val rows = out.collect()
+    assert(rows.forall(_.getString(0) == "test_scraper"))
+    assert(rows.map(_.getString(1)).contains("""{"team":"A","rank":1}"""))
+  }
+}
