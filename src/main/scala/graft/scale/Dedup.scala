@@ -31,10 +31,22 @@ object Dedup {
       .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("first_doc"))
       .filter(col("dup_cnt") > 1)
 
-  /** doc_id → exploded distinct shingle rows (blocking column carried). */
+  /** doc_id → exploded distinct shingle rows (blocking column carried).
+    *
+    * Performance shape matters here: tokenize ONCE into a materialized
+    * array column before shingling (higher-order exprs are interpreted —
+    * leaving `split` inside the lambda re-splits the string per element),
+    * repartition by doc so a small snapshot file (1 input split) still
+    * shingles on every core, and localCheckpoint the exploded rows —
+    * downstream self-joins would otherwise re-run the whole tokenize+
+    * shingle pipeline once per plan branch (~10× at the signature join).
+    * At 100 TB this materialization is a persisted silver table. */
   private def shingleRows(docs: DataFrame, block: String): DataFrame =
-    docs.select(col("doc_id"), col(block).as("block"),
-        explode(shingles(split(col("text"), " "))).as("sh"))
+    docs
+      .select(col("doc_id"), col(block).as("block"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("block"), explode(shingles(col("toks"))).as("sh"))
+      .localCheckpoint(true)
 
   /** Pairwise shingle-set Jaccard within a blocking key, thresholded.
     * |A∩B| via self-join on shingle; |A|,|B| from per-doc counts; jaccard
@@ -79,13 +91,14 @@ object Dedup {
     * bucket, scored by signature agreement (est. Jaccard), thresholded at
     * est ≥ 0.5. The join key is the band hash — no shingle-level fanout. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    // Signatures feed two band branches + two est joins — materialize once.
+    val sig = minhashSignatures(spark, dir).localCheckpoint(true)
     val bands = (0 until NumHashes / BandWidth).map { b =>
       val cols = (b * BandWidth until (b + 1) * BandWidth).map(i => col(s"m$i"))
       sig.select(col("doc_id"), md5(concat(cols: _*)).as("bucket"), lit(b).as("band"))
-    }
-    val candidates = bands.reduce(_ unionByName _)
-      .as("x").join(bands.reduce(_ unionByName _).as("y"),
+    }.reduce(_ unionByName _)
+    val candidates = bands
+      .as("x").join(bands.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
