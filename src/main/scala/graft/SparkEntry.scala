@@ -50,7 +50,10 @@ object SparkEntry {
     "q_lang_stats"      -> ((s, d) => TextAnalysis.langStats(s, d)),
     "q_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q_minhash_pairs"   -> ((s, d) => Dedup.minhashPairs(s, d)),
-    "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d))
+    "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d, Seq(0L, 1L, 2L))),
+    // No DuckDB oracle (UDF signature hash): driver records rows-only.
+    "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -435,6 +438,21 @@ object SparkEntry {
         |FROM e, q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "q_knn_batch" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2))
+        |SELECT query_id, vec_id, label, cos_sim, rk
+        |FROM (SELECT q.query_id, e.vec_id, e.label,
+        |             round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+        |             row_number() OVER (PARTITION BY q.query_id
+        |                                ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+        |                                         e.vec_id ASC) AS rk
+        |      FROM e, q WHERE e.vec_id <> q.query_id)
+        |WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin
   )
 }

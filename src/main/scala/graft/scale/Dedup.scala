@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import scala.util.hashing.MurmurHash3
 
 /** Near-duplicate detection for a training-data pipeline: exact groups,
   * shingle-set Jaccard, and MinHash+LSH banding (builder brief; the
@@ -112,6 +113,58 @@ object Dedup {
           .reduce(_ + _).cast("double") / NumHashes)
     est.filter(col("est_sim") >= 0.5)
       .select("d1", "d2", "est_sim")
+      .orderBy("d1", "d2")
+  }
+
+  /** 64-bit SimHash over a token multiset: per-token 64-bit hash votes
+    * ±1 per bit position; the sign vector is the signature. Near-duplicate
+    * docs land within a small Hamming distance. Deterministic UDF
+    * (MurmurHash3 token hashes combined into two 32-bit halves). */
+  private def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private lazy val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  def simhash(toks: Column): Column = simhashUdf(toks)
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * chunks (a pair within Hamming ≤ 3 must agree on ≥1 chunk), join on
+    * chunk equality, verify with exact `bit_count(xor)`. Same
+    * no-O(n²) LSH shape as [[minhashPairs]]. */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), simhash(col("toks")).as("sig"))
+      .localCheckpoint(true)
+    val chunks = (0 until 4).map { c =>
+      sig.select(col("doc_id"), col("sig"),
+        lit(c).as("band"),
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+    }.reduce(_ unionByName _)
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
   }
 }

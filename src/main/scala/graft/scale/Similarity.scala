@@ -45,6 +45,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact KNN: top-k neighbors for a *set* of query vectors in
+    * one pass — broadcast the query set, score corpus × queries, rank per
+    * query. The corpus is scanned once regardless of query count; the
+    * per-query rank window shuffles on query_id (tiny). */
+  def knnBatch(spark: SparkSession, dir: String,
+               queryIds: Seq[Long], k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
   /** Sign-random-projection LSH bucket id: sign bits of projections onto
     * `planes` deterministic pseudo-random hyperplanes (hash-derived, no
     * RNG state). Vectors in the same bucket are candidate near-neighbors;

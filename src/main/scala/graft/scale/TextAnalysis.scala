@@ -51,6 +51,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Rolling-hash document sketch (winnowing-style): polynomial rolling
+    * hash over character n-grams, keep the k smallest distinct hashes.
+    * Sketch overlap ≈ content overlap; robust to small edits anywhere in
+    * the document. Deterministic UDF. */
+  private def rollingSketch(text: String, k: Int, n: Int): Array[Long] = {
+    if (text == null || text.length < n) return Array.empty
+    val B = 1000003L
+    var bp = 1L // B^(n-1), wrapping
+    var i = 0
+    while (i < n - 1) { bp *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + text.charAt(i); i += 1 }
+    val seen = scala.collection.mutable.TreeSet[Long](h)
+    i = n
+    while (i < text.length) {
+      h = (h - text.charAt(i - n) * bp) * B + text.charAt(i)
+      seen += h
+      if (seen.size > k) seen -= seen.last
+      i += 1
+    }
+    seen.toArray
+  }
+
+  private lazy val sketchUdf =
+    udf((text: String, k: Int, n: Int) => rollingSketch(text, k, n))
+
+  /** k-min rolling-hash fingerprint column (char `n`-grams). */
+  def rollingFingerprint(text: Column, k: Int = 8, n: Int = 16): Column =
+    sketchUdf(text, lit(k), lit(n))
+
+  /** Sketch overlap ratio in [0,1] between two fingerprints. */
+  def sketchOverlap(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(a), size(b)).cast("double")
+
   /** Heuristic language ID: CJK script detection, then per-language
     * stopword voting. Pure expression (no UDF); returns a 2-letter code or
     * 'und'. The synthetic corpus's `lang` column is a random label over a

@@ -64,6 +64,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("simhash: identical tokens -> hamming 0; pairs find planted near-dups") {
+    val r = evalExpr(
+      Dedup.simhash(split(lit("a b c d e f"), " ")),
+      Dedup.simhash(split(lit("a b c d e f"), " ")))
+    assert(r.getLong(0) == r.getLong(1))
+    val pairs = Dedup.simhashPairs(spark, TestSpark.Sf0001, maxHamming = 10).collect()
+    assert(pairs.nonEmpty)
+    val jc = Dedup.jaccardPairs(spark, TestSpark.Sf0001, threshold = 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jc.subsetOf(sh), s"jaccard>=0.9 pairs $jc not all within hamming 10: $sh")
+  }
+
+  test("rollingFingerprint: deterministic, edit-robust overlap") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val edited = base.replace("jumps", "leaps")
+    val r = evalExpr(
+      TextAnalysis.rollingFingerprint(lit(base)),
+      TextAnalysis.rollingFingerprint(lit(base)),
+      TextAnalysis.sketchOverlap(
+        TextAnalysis.rollingFingerprint(lit(base)),
+        TextAnalysis.rollingFingerprint(lit(edited))),
+      TextAnalysis.sketchOverlap(
+        TextAnalysis.rollingFingerprint(lit(base)),
+        TextAnalysis.rollingFingerprint(lit("completely different content here entirely unrelated"))))
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getDouble(2) > 0.3, s"edit overlap ${r.getDouble(2)}")
+    assert(r.getDouble(3) < 0.2, s"unrelated overlap ${r.getDouble(3)}")
+  }
+
+  test("knnBatch: per-query ranked neighbors, consistent with single-query") {
+    val batch = Similarity.knnBatch(spark, TestSpark.Sf0001, Seq(0L, 1L), k = 5)
+      .collect()
+    assert(batch.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    val single = Similarity.knnBruteForce(spark, TestSpark.Sf0001, queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val fromBatch = batch.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(single == fromBatch)
+  }
+
   test("langIdHeuristic on real multilingual samples") {
     val r = evalExpr(
       TextAnalysis.langIdHeuristic(lit("the cat and the dog is in the house")),
