@@ -92,6 +92,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getString(3) == "latest")
   }
 
+  test("Validate: valid/quarantine split with violation names") {
+    import graft.operators.Validate
+    import graft.operators.Validate.{atLeast, inDomain, notNull}
+    val df = Seq(
+      ("live", Some(2.5), "A"),          // ok
+      ("bogus", Some(1.5), "B"),         // bad status
+      ("finished", Some(0.5), null),     // price too low + null name
+      ("scheduled", None: Option[Double], "C")) // null price passes atLeast
+      .toDF("status", "price", "name")
+    val res = Validate.validate(df, Seq(
+      inDomain("status", Seq("scheduled", "live", "finished")),
+      atLeast("price", 1.01),
+      notNull("name")))
+    assert(res.valid.count() == 2)
+    val q = res.quarantine.orderBy("status").collect()
+    assert(q.length == 2)
+    assert(q(0).getSeq[String](q(0).fieldIndex("violations")) == Seq("status_domain"))
+    assert(q(1).getSeq[String](q(1).fieldIndex("violations")).toSet ==
+      Set("price_min", "name_null"))
+  }
+
   test("Sessionize splits on gap and keeps runs together") {
     val df = Seq(
       (1, 0L, 1L), (1, 1000L, 2L), (1, 10000L, 3L), // gap 9000 > 5000 -> new session
