@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §4.2): the two §2.9 functions
+  * whose UDF form costs an encoder boundary on the entity-resolution hot
+  * path, rebuilt as native expressions —
+  *
+  *  - `graft_fold_accents` (F17): Unicode-fold + punctuation-collapse
+  *    normalization with real `doGenCode` (inlines a static call — no
+  *    ScalaUDF serialization, stays inside whole-stage codegen)
+  *  - `graft_fuzzy_ratio` (F19): exact thefuzz-ratio (substitution-cost-2
+  *    edit distance); CodegenFallback, still UDF-overhead-free
+  *
+  * Registered through `SparkSessionExtensions` (set
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session build),
+  * the mechanism a user of the library enables cluster-wide.
+  */
+object GraftExtensions {
+  /** NullType accepted: null inputs short-circuit via null-safe eval. */
+  private[plans] def stringOrNull(dt: DataType): Boolean =
+    dt == StringType || dt == org.apache.spark.sql.types.NullType
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_fold_accents"),
+      new ExpressionInfo(classOf[FoldAccents].getName, "graft_fold_accents"),
+      (children: Seq[Expression]) => FoldAccents(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fuzzy_ratio"),
+      new ExpressionInfo(classOf[FuzzyRatio].getName, "graft_fuzzy_ratio"),
+      (children: Seq[Expression]) => FuzzyRatio(children.head, children(1))))
+  }
+}
+
+/** F17 normalization as a codegen'd unary expression. */
+case class FoldAccents(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fold_accents"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExtensions.stringOrNull(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    FoldAccents.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.FoldAccents.fold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FoldAccents =
+    copy(child = newChild)
+}
+
+object FoldAccents {
+  /** Static so generated code can call it without capturing the tree. */
+  def fold(s: UTF8String): UTF8String = {
+    val noMarks = java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+    UTF8String.fromString(
+      noMarks.toLowerCase
+        .replaceAll("[^\\p{L}\\p{N}]+", " ")
+        .trim
+        .replaceAll("\\s+", " "))
+  }
+}
+
+/** F19 exact fuzzy ratio as a binary expression (no UDF encoder boundary;
+  * the O(n·m) DP keeps it eval-only — CodegenFallback). */
+case class FuzzyRatio(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_fuzzy_ratio"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExtensions.stringOrNull(left.dataType) &&
+        GraftExtensions.stringOrNull(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string arguments, got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FuzzyRatio.ratio(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FuzzyRatio =
+    copy(left = newLeft, right = newRight)
+}
+
+object FuzzyRatio {
+  /** thefuzz.fuzz.ratio semantics: 100·(|a|+|b|−D₂)/(|a|+|b|), D₂ =
+    * edit distance with substitutions costing 2. */
+  def ratio(a: String, b: String): Int = {
+    if (a.isEmpty && b.isEmpty) return 100
+    val (n, m) = (a.length, b.length)
+    var prev = Array.tabulate(m + 1)(identity)
+    var curr = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      curr(0) = i
+      var j = 1
+      while (j <= m) {
+        val sub = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 2
+        curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + sub)
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    math.round(100.0 * (n + m - prev(m)) / (n + m)).toInt
+  }
+}

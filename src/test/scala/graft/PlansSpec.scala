@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PlansSpec extends SparkSpec {
+
+  test("graft_fold_accents: native expression matches the UDF and codegens") {
+    val df = spark.sql(
+      "SELECT graft_fold_accents('José  Álvarez-López!') AS a, graft_fold_accents(NULL) AS b")
+    val r = df.head()
+    assert(r.getString(0) == "jose alvarez lopez")
+    assert(r.isNullAt(1))
+    // same semantics as the UDF path
+    val both = evalExpr(
+      expr("graft_fold_accents('1. FC Köln')"),
+      graft.functions.Normalize.normalizeForMatching(lit("1. FC Köln")))
+    assert(both.getString(0) == both.getString(1))
+    // the expression participates in whole-stage codegen (no ScalaUDF node)
+    val plan = spark.range(3)
+      .selectExpr("graft_fold_accents(cast(id as string)) AS f")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("graft_fuzzy_ratio: exact thefuzz semantics via SQL") {
+    val r = spark.sql(
+      """SELECT graft_fuzzy_ratio('new york mets', 'new york meats') AS a,
+        |       graft_fuzzy_ratio('abc', 'abc') AS b,
+        |       graft_fuzzy_ratio('abc', NULL) AS c""".stripMargin).head()
+    assert(r.getInt(0) == 96)
+    assert(r.getInt(1) == 100)
+    assert(r.isNullAt(2))
+  }
+
+  test("expressions push through a real query (filter + project)") {
+    import spark.implicits._
+    val out = Seq("Bayern München", "José", "plain").toDF("name")
+      .selectExpr("name", "graft_fold_accents(name) AS norm")
+      .where("graft_fuzzy_ratio(norm, 'jose') > 90")
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "José")
+  }
+}
