@@ -36,6 +36,7 @@ object SparkEntry {
     "q_global_stats"    -> ((s, d) => Analytics.globalStats(s, d)),
     "q_parse_ids"       -> ((s, d) => Analytics.parseCustomerIds(s, d)),
     "q_trend"           -> ((s, d) => Analytics.customerTrend(s, d)),
+    "q_form_string"     -> ((s, d) => Analytics.formString(s, d)),
     "q_rollup"          -> ((s, d) => Analytics.pricingRollup(s, d)),
     "q_argmax_segment"  -> ((s, d) => Analytics.bestSegment(s, d)),
     "q_region_summary"  -> ((s, d) => Analytics.regionSummary(s, d)),
@@ -234,6 +235,17 @@ object SparkEntry {
         |            THEN (n*sxy - sx*sy) / CAST(n*sxx - sx*sx AS DOUBLE) END AS trend_slope,
         |       sqrt((n*syy - sy*sy) / CAST(n*(n-1) AS DOUBLE)) AS consistency_sd
         |FROM a
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_form_string" ->
+      """SELECT o_custkey, count(*) AS recent_cnt,
+        |       string_agg(substring(o_orderstatus, 1, 1), '' ORDER BY rn) AS form
+        |FROM (SELECT o_custkey, o_orderstatus,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 5
+        |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
     "q_rollup" ->

@@ -114,6 +114,25 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** A4/§2.11 — "form string" (reference WWDLL reading, SURVEY §2.11 UDAF
+    * note): last-5 status letters per customer, most recent first, via
+    * collect_list + array_sort — no custom Aggregator needed. */
+  def formString(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .withColumn("code", substring(col("o_orderstatus"), 1, 1))
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("recent_cnt"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("rn"), col("code")))),
+          s => s.getField("code"))).as("form"))
+      .orderBy("o_custkey")
+  }
+
   /** W5 — standings: rank entities within a group by aggregate metric
     * (reference standing_row.position, schema.sql:759-776). */
   def nationRevenueStandings(spark: SparkSession, dir: String): DataFrame = {
