@@ -68,6 +68,50 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-style ANN: k-means coarse quantizer (spark.ml KMeans, seeded),
+    * corpus partitioned by nearest centroid; a query probes only the
+    * `nProbe` closest cells and scores exactly within them. The scale path
+    * for corpora where even one full scan per query is too much: the index
+    * is built once (one training job + one assignment pass) and each query
+    * touches ~nProbe/k of the data.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+
+  def ivfBuild(spark: SparkSession, dir: String, k: Int = 16): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(emb)
+    val assigned = model.transform(emb)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+      .localCheckpoint(true)  // the persisted index; a table in production
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    IvfIndex(assigned, centroids)
+  }
+
+  def ivfSearch(index: IvfIndex, queryVec: Array[Double],
+                k: Int = 10, nProbe: Int = 4): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probeCells = index.centroids
+      .sortBy { case (_, c) => -cos(c, queryVec) }
+      .take(nProbe).map(_._1)
+    val qv = array(queryVec.map(lit): _*)
+    index.assigned
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), qv), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Sign-random-projection LSH bucket id: sign bits of projections onto
     * `planes` deterministic pseudo-random hyperplanes (hash-derived, no
     * RNG state). Vectors in the same bucket are candidate near-neighbors;

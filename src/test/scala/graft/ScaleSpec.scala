@@ -105,6 +105,19 @@ class ScaleSpec extends SparkSpec {
     assert(single == fromBatch)
   }
 
+  test("IVF ANN: probed search recalls most of brute-force top-k") {
+    val index = Similarity.ivfBuild(spark, TestSpark.Sf0001, k = 8)
+    assert(index.assigned.select("cell").distinct().count() <= 8)
+    val qv = index.assigned.filter(col("vec_id") === 0L)
+      .select("v").head().getSeq[Double](0).toArray
+    val ivf = Similarity.ivfSearch(index, qv, k = 10, nProbe = 4)
+      .filter(col("vec_id") =!= 0L).collect().map(_.getLong(0)).toSet
+    val brute = Similarity.knnBruteForce(spark, TestSpark.Sf0001, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (ivf=$ivf brute=$brute)")
+  }
+
   test("langIdHeuristic on real multilingual samples") {
     val r = evalExpr(
       TextAnalysis.langIdHeuristic(lit("the cat and the dog is in the house")),
