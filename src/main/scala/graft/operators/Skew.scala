@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key joins (builder brief: "salting for skew").
+  *
+  * A shuffled equi-join sends every row of a hot key to one reducer; at
+  * 100 TB a single viral key serializes the stage. Salting splits each hot
+  * key into `factor` synthetic sub-keys: the large side gets a
+  * deterministic salt from its row content, the small side is replicated
+  * across all salts. Results are identical to the plain join; the hot
+  * key's rows now spread over `factor` reducers.
+  *
+  * AQE's skew-join handles sort-merge cases adaptively; explicit salting
+  * remains the tool for aggregations-after-join and for engines/plans AQE
+  * can't split.
+  */
+object Skew {
+
+  /** Equi-join `large ⋈ small` on `keys`, salted `factor` ways.
+    * Output columns = large.* ++ (small.* minus keys). */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    // Deterministic salt from the large row's full content: same data →
+    // same partitioning (replayable), uniform across the hot key's rows.
+    val salt = pmod(xxhash64(large.columns.map(col): _*), lit(factor))
+    val saltedLarge = large.withColumn("__salt", salt)
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1)))).withColumn("__salt", col("__salt").cast("long"))
+    val cond = (keys.map(k => saltedLarge(k) === saltedSmall(k)) :+
+      (saltedLarge("__salt") === saltedSmall("__salt"))).reduce(_ && _)
+    val dropCols = Seq(saltedSmall("__salt"), saltedLarge("__salt")) ++
+      keys.map(saltedSmall(_))
+    saltedLarge.join(saltedSmall, cond, joinType)
+      .drop(dropCols.head, dropCols.tail: _*)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TestGroupState
+
+import graft.operators.Skew
+import graft.streaming.MatchStateMachine
+import graft.streaming.MatchStateMachine.{MatchState, ScoreUpdate}
+
+class StateAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("state machine: in-batch ordering, stale + backwards updates ignored") {
+    val state = TestGroupState.create[MatchState](
+      optionalState = org.apache.spark.api.java.Optional.empty[MatchState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val updates = Iterator(
+      // delivered out of order on purpose
+      ScoreUpdate("m1", "live", Some(1), Some(0), ts("2024-01-01 10:30:00")),
+      ScoreUpdate("m1", "scheduled", None, None, ts("2024-01-01 09:00:00")),
+      ScoreUpdate("m1", "finished", Some(2), Some(0), ts("2024-01-01 11:45:00")),
+      // stale live update after finished — must be ignored
+      ScoreUpdate("m1", "live", Some(9), Some(9), ts("2024-01-01 11:00:00")))
+    val out = MatchStateMachine.applyUpdates("m1", updates, state)
+    assert(out.status == "finished")
+    assert(out.home_score.contains(2) && out.away_score.contains(0))
+    assert(out.updates_seen == 4L)
+    assert(state.get.status == "finished")
+  }
+
+  test("state machine: cross-batch state via mapGroupsWithState stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ScoreUpdate]
+    val query = MatchStateMachine.track(mem.toDS())
+      .writeStream.format("memory").queryName("match_states")
+      .outputMode(MatchStateMachine.RequiredOutputMode)
+      .start()
+    try {
+      mem.addData(ScoreUpdate("m2", "scheduled", None, None, ts("2024-01-02 09:00:00")))
+      query.processAllAvailable()
+      mem.addData(
+        ScoreUpdate("m2", "live", Some(1), Some(1), ts("2024-01-02 10:00:00")),
+        ScoreUpdate("m3", "live", Some(0), Some(0), ts("2024-01-02 10:00:00")))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY external_id
+          |                               ORDER BY updates_seen DESC) rn
+          |  FROM match_states) WHERE rn = 1""".stripMargin).collect()
+      val m2 = rows.find(_.getAs[String]("external_id") == "m2").get
+      assert(m2.getAs[String]("status") == "live")
+      assert(m2.getAs[Long]("updates_seen") == 2L) // state survived the batch boundary
+      assert(rows.exists(_.getAs[String]("external_id") == "m3"))
+    } finally query.stop()
+  }
+
+  test("saltedJoin: identical results to plain join, including left-join nulls") {
+    val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"row$i"))
+      .toDF("k", "payload") // key 1 is hot: 90% of rows
+    val small = Seq((1L, "dim1"), (7L, "dim7"), (999999L, "unmatched"))
+      .toDF("k", "dim")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "dim").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+        .toSeq.sorted(Ordering.by((t: (Long, String, String)) => (t._1, t._2, String.valueOf(t._3))))
+    val plainInner = canon(large.join(small, Seq("k")))
+    val saltedInner = canon(Skew.saltedJoin(large, small, Seq("k")))
+    assert(saltedInner == plainInner)
+    val plainLeft = canon(large.join(small, Seq("k"), "left"))
+    val saltedLeft = canon(Skew.saltedJoin(large, small, Seq("k"), joinType = "left"))
+    assert(saltedLeft == plainLeft)
+    assert(saltedLeft.count(_._3 == null) == 100) // keys 901..1000 unmatched
+  }
+}
