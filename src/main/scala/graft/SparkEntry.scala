@@ -46,6 +46,7 @@ object SparkEntry {
     "q_json_props"      -> ((s, d) => EventOps.jsonPropsStats(s, d)),
     "q_upsert_merge"    -> ((s, d) => EventOps.upsertCoalesceMerge(s, d)),
     "q_weekly_rollup"   -> ((s, d) => EventOps.weeklyEventRollup(s, d)),
+    "q_open_close"      -> ((s, d) => EventOps.openCloseDaily(s, d)),
     "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d)),
     "q_text_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_stats"      -> ((s, d) => TextAnalysis.langStats(s, d)),
@@ -344,6 +345,24 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY week_bucket, event_type""".stripMargin,
+
+    "q_open_close" ->
+      """WITH e AS (SELECT user_id, value, epoch_ms(ts) AS tm, event_id,
+        |                  epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY user_id, day
+        |                                ORDER BY tm ASC, event_id ASC) AS rna,
+        |             row_number() OVER (PARTITION BY user_id, day
+        |                                ORDER BY tm DESC, event_id DESC) AS rnd
+        |      FROM e)
+        |SELECT user_id, day,
+        |       max(CASE WHEN rna = 1 THEN value END) AS open_value,
+        |       max(CASE WHEN rnd = 1 THEN value END) AS close_value,
+        |       count(*) AS ticks
+        |FROM r
+        |GROUP BY 1, 2
+        |ORDER BY user_id, day""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS tm FROM events),

@@ -93,6 +93,26 @@ object EventOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .orderBy("week_bucket", "event_type")
 
+  /** Open/close snapshot extraction (reference match_odd `price_type ∈
+    * {open, close}`, schema.sql:729-745): first and last value per key per
+    * day in one windowed pass — the time-series endpoints pattern. */
+  def openCloseDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("day", expr("ts_ms div 86400000"))
+    val asc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    e.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy("user_id", "day")
+      .agg(
+        max(when(col("rna") === 1, col("value"))).as("open_value"),
+        max(when(col("rnd") === 1, col("value"))).as("close_value"),
+        count(lit(1)).as("ticks"))
+      .orderBy("user_id", "day")
+  }
+
   /** Gap-based sessionization (1 h) + per-session rollup. */
   def userSessions(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionize(

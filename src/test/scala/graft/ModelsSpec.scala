@@ -42,6 +42,19 @@ class ModelsSpec extends SparkSpec {
     assert(got == Seq("home_win", "away_win"))
   }
 
+  test("pipeline save/load round-trip (joblib-persistence analogue)") {
+    val (train, test) = Models.trainTestSplit(matches)
+    val model = Models.fit(
+      Models.outcomePipeline(Seq("form_home", "form_away", "form_diff"), "outcome"),
+      train)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = model.transform(test).select("prediction").collect().map(_.getDouble(0)).toSeq
+    val b = reloaded.transform(test).select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
   test("performance pipeline: regression recovers a linear signal") {
     val (train, test) = Models.trainTestSplit(matches)
     val model = Models.fit(

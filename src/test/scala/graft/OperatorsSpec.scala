@@ -92,6 +92,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getString(3) == "latest")
   }
 
+  test("ExternalIdMap: append new, ignore re-assertions, report conflicts") {
+    import graft.operators.ExternalIdMap
+    val current = Seq(("fbref", "x1", 100L), ("fbref", "x2", 200L))
+      .toDF("source", "external_id", "internal_id")
+    val staged = Seq(
+      ("fbref", "x1", 100L),  // re-assertion: no-op
+      ("fbref", "x2", 999L),  // conflict
+      ("tm", "y1", 300L))     // new
+      .toDF("source", "external_id", "internal_id")
+    val r = ExternalIdMap.register(current, staged)
+    assert(r.mapping.count() == 3)
+    assert(r.mapping.filter(col("external_id") === "x2")
+      .head().getLong(2) == 200L) // current wins
+    val c = r.conflicts.collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[Long]("claimed_internal_id") == 999L)
+    assert(c.head.getAs[Long]("existing_internal_id") == 200L)
+  }
+
   test("Validate: valid/quarantine split with violation names") {
     import graft.operators.Validate
     import graft.operators.Validate.{atLeast, inDomain, notNull}
