@@ -76,13 +76,24 @@ object LiveScores {
 
   /** T1 — the full 30 s live-score pipeline over a snapshot-drop directory. */
   def run(spark: SparkSession, inputDir: String, tableDir: String,
-          checkpointDir: String, interval: String = "30 seconds"): StreamingQuery = {
+          checkpointDir: String, interval: String = "30 seconds"): StreamingQuery =
+    start(spark, inputDir, tableDir, checkpointDir, Trigger.ProcessingTime(interval))
+
+  /** T3 — daily-batch variant: drain everything available, then stop
+    * (the reference's 02:00 scheduled jobs; scheduling itself lives
+    * outside the engine, exactly as in the reference's asyncio loops). */
+  def runOnce(spark: SparkSession, inputDir: String, tableDir: String,
+              checkpointDir: String): StreamingQuery =
+    start(spark, inputDir, tableDir, checkpointDir, Trigger.AvailableNow())
+
+  private def start(spark: SparkSession, inputDir: String, tableDir: String,
+                    checkpointDir: String, trigger: Trigger): StreamingQuery = {
     val raw = spark.readStream.schema(RawSchema).json(inputDir)
     withDedup(normalize(raw))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(interval))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertBatch(batch.sparkSession, batch, tableDir)
       }

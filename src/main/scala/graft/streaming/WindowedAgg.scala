@@ -1,0 +1,27 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermark (SURVEY.md §2.10 T7):
+  * the reference's calendar-batch weekly/daily aggregates
+  * (scraping_orchestrator.py:236-261) as true streaming tumbling windows —
+  * state bounded by the watermark, late rows beyond it dropped, windows
+  * emitted once closed (append mode).
+  */
+object WindowedAgg {
+
+  /** Tumbling event-time counts + sums per (window, key). */
+  def tumbling(events: DataFrame, timeCol: String, keyCol: String,
+               windowLength: String, watermark: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLength), col(keyCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("cnt"), col("value_sum"))
+}

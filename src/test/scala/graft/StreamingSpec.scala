@@ -63,6 +63,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("runOnce (AvailableNow): drains snapshot drops and terminates (T3)") {
+    val in = Files.createTempDirectory("graft_drop").toString
+    val tableDir = Files.createTempDirectory("graft_daily").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    Files.writeString(java.nio.file.Path.of(in, "snap1.json"),
+      """{"home_team":"A","away_team":"B","score_text":"1-0","status_text":"FT","match_time":"90","source":"flash","scraped_at":"2024-01-03T20:00:00.000Z"}""")
+    val q = LiveScores.runOnce(spark, in, tableDir, ckpt)
+    q.awaitTermination(60000)
+    assert(!q.isActive) // AvailableNow terminates after draining
+    val state = spark.read.parquet(tableDir).collect()
+    assert(state.length == 1 && state.head.getAs[String]("status") == "finished")
+  }
+
+  test("tumbling event-time windows with watermark drop too-late rows (T7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val windowed = graft.streaming.WindowedAgg.tumbling(
+      mem.toDF().toDF("ts", "kind", "value"),
+      timeCol = "ts", keyCol = "kind",
+      windowLength = "10 minutes", watermark = "5 minutes")
+    val q = windowed.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:01:00"), "goal", 1.0),
+                  (ts("2024-01-01 10:04:00"), "goal", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window, plus one too-late row
+      mem.addData((ts("2024-01-01 11:00:00"), "card", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:02:00"), "goal", 99.0)) // too late: dropped
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:00:00"), "card", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT kind, cnt, value_sum FROM win_counts").collect()
+      val goal = rows.find(_.getString(0) == "goal").get
+      assert(goal.getLong(1) == 2L)          // late row not counted
+      assert(goal.getDouble(2) == 3.0)       // 1.0 + 2.0, not 99.0
+    } finally q.stop()
+  }
+
   test("upsertBatch is idempotent across replays (retry safety)") {
     val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
     val batch = LiveScores.normalize(Seq(
