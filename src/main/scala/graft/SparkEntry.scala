@@ -39,6 +39,7 @@ object SparkEntry {
     "q_form_string"     -> ((s, d) => Analytics.formString(s, d)),
     "q_rollup"          -> ((s, d) => Analytics.pricingRollup(s, d)),
     "q_argmax_segment"  -> ((s, d) => Analytics.bestSegment(s, d)),
+    "q_segment_median"  -> ((s, d) => Analytics.segmentMedian(s, d)),
     "q_region_summary"  -> ((s, d) => Analytics.regionSummary(s, d)),
     "q_latest_event"    -> ((s, d) => EventOps.latestEventPerUser(s, d)),
     "q_asof_view"       -> ((s, d) => EventOps.purchasesWithPriorView(s, d)),
@@ -263,6 +264,15 @@ object SparkEntry {
         |      FROM customer GROUP BY 1)
         |ORDER BY avg_bal DESC, segment ASC
         |LIMIT 1""".stripMargin,
+
+    "q_segment_median" ->
+      """SELECT c_mktsegment AS segment, count(*) AS cnt,
+        |       quantile_cont(c_acctbal, 0.5) AS median_bal,
+        |       min(c_acctbal) AS min_bal,
+        |       max(c_acctbal) AS max_bal
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin,
 
     "q_region_summary" ->
       """SELECT r.r_name AS region_name,

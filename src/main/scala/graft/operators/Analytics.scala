@@ -340,6 +340,19 @@ object Analytics {
       .withColumn("avg_order_value", col("total_value") / col("order_cnt"))
       .orderBy("region_name")
 
+  /** A8 — exact per-group median (reference `groupby(...).median()`):
+    * Spark's exact `percentile` (not percentile_approx — approx sketches
+    * are engine-specific and can't oracle-match). */
+  def segmentMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile(c_acctbal, 0.5)").as("median_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy("segment")
+
   /** F2/F21-style parsing surface over an oracle-checkable column:
     * regexp id extraction + case-normalized projection. */
   def parseCustomerIds(spark: SparkSession, dir: String): DataFrame =
