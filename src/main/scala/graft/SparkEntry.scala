@@ -38,6 +38,7 @@ object SparkEntry {
     "q_trend"           -> ((s, d) => Analytics.customerTrend(s, d)),
     "q_form_string"     -> ((s, d) => Analytics.formString(s, d)),
     "q_rollup"          -> ((s, d) => Analytics.pricingRollup(s, d)),
+    "q_cube"            -> ((s, d) => Analytics.pricingCube(s, d)),
     "q_argmax_segment"  -> ((s, d) => Analytics.bestSegment(s, d)),
     "q_segment_median"  -> ((s, d) => Analytics.segmentMedian(s, d)),
     "q_region_summary"  -> ((s, d) => Analytics.regionSummary(s, d)),
@@ -256,6 +257,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_argmax_segment" ->
       """SELECT segment, cnt, bal_sum / cnt AS avg_bal

@@ -37,6 +37,12 @@ object Parsing {
 
   /** F5 `_to_number` (fbref_match_scraper.py:173-194): "—"/"-"→null,
     * stoppage "90+2"→92, "55%"→55.0, comma decimals. */
+  /** ANSI-safe numeric cast: null (not an error) on malformed input. */
+  private def numOrNull(c: Column): Column = {
+    val t = translate(c, ",", ".")
+    when(t.rlike("^-?\\d+(\\.\\d+)?$"), t.cast("double"))
+  }
+
   def toNumber(s: Column): Column = {
     val t = trim(s)
     val dedashed = when(t.isin("—", "-", ""), lit(null).cast("string")).otherwise(t)
@@ -46,8 +52,8 @@ object Parsing {
         lit(0.0), (a, x) => a + x))
     coalesce(
       stoppage,
-      when(pct =!= "", translate(pct, ",", ".").cast("double")),
-      translate(dedashed, ",", ".").cast("double"))
+      when(pct =!= "", numOrNull(pct)),
+      numOrNull(dedashed))
   }
 
   /** F6 `_parse_minute` (fbref_match_scraper.py:486-497): "45'+2" → 47. */
@@ -98,7 +104,7 @@ object Parsing {
       lit(1.0) + split(t, "/").getItem(0).cast("double") / split(t, "/").getItem(1).cast("double"))
       .when(amer && t.startsWith("+"), lit(1.0) + regexp_extract(t, "(\\d+)", 1).cast("double") / 100.0)
       .when(amer, lit(1.0) + lit(100.0) / regexp_extract(t, "(\\d+)", 1).cast("double"))
-      .otherwise(translate(t, ",", ".").cast("double"))
+      .otherwise(numOrNull(t))  // null (not an ANSI error) on non-odds text
   }
 
   /** F10 implied probability (src/domain/models.py:519-532). */

@@ -307,6 +307,17 @@ object Analytics {
         sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over two dimensions — all 2^2 grouping sets in one pass
+    * (generalizes the reference's flat GROUP BYs + rollup). */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** A8 — argmax of group means (reference
     * `groupby("position").mean().idxmax()`, reports.py:406-413):
     * best segment by average balance, deterministic tiebreak. */

@@ -58,6 +58,40 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2) == List("Bar", "€50.00m"))
   }
 
+  test("SiteParsers.squadFromPages: typed squad records from raw HTML (S8)") {
+    import graft.sources.SiteParsers
+    val html = """<table class="items">
+      |<tr><th>#</th><th>Player</th><th>Pos</th><th>Born</th><th>Nat</th><th>Value</th></tr>
+      |<tr><td>10</td><td><a>Lionel Messi</a></td><td>RW</td><td>24.06.1987</td><td>Argentina</td><td>€50.00m</td></tr>
+      |<tr><td>1</td><td>Keeper  Guy</td><td>GK</td><td>01.01.1990</td><td>Germany</td><td>800 Tsd. €</td></tr>
+      |</table>""".stripMargin
+    val pages = Seq(html).toDF("html").withColumn("snapshot_path", lit("p1"))
+    val out = SiteParsers.squadFromPages(pages).orderBy("number").collect()
+    assert(out.length == 2)
+    val messi = out.find(_.getAs[Int]("number") == 10).get
+    assert(messi.getAs[String]("name") == "Lionel Messi")
+    assert(messi.getAs[java.sql.Date]("birth_date").toString == "1987-06-24")
+    assert(messi.getAs[Double]("market_value") == 5.0e7)
+    assert(out.find(_.getAs[Int]("number") == 1).get.getAs[Double]("market_value") == 8.0e5)
+  }
+
+  test("SiteParsers.odds1x2FromPages: odds formats + implied probs (S13)") {
+    import graft.sources.SiteParsers
+    val html = """<table><tr><th>Bookmaker</th><th>1</th><th>X</th><th>2</th></tr>
+      |<tr><td>bet365</td><td>2.50</td><td>3,20</td><td>+150</td></tr>
+      |<tr><td>pinnacle</td><td>5/2</td><td>3.10</td><td>-110</td></tr>
+      |</table>""".stripMargin
+    val pages = Seq(html).toDF("html").withColumn("snapshot_path", lit("p1"))
+    val out = SiteParsers.odds1x2FromPages(pages).orderBy("bookmaker").collect()
+    assert(out.length == 2)
+    val b365 = out.head
+    assert(b365.getAs[Double]("odds_home") == 2.5)
+    assert(b365.getAs[Double]("odds_draw") == 3.2)
+    assert(b365.getAs[Double]("odds_away") == 2.5) // +150 American
+    assert(math.abs(b365.getAs[Double]("overround") - (1 / 2.5 + 1 / 3.2 + 1 / 2.5)) < 1e-12)
+    assert(out(1).getAs[Double]("odds_home") == 3.5) // 5/2 fractional
+  }
+
   test("scrapedDataFrame: K7 bronze capture shape with JSON payload") {
     val df = Seq(("A", 1), ("B", 2)).toDF("team", "rank")
     val out = Bronze.scrapedDataFrame(df, "test_scraper")
