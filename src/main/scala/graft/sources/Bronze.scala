@@ -55,6 +55,14 @@ object Bronze {
       .select(col("snapshot_path"),
         posexplode(col("__rows")).as(Seq("row_idx", "cells")))
 
+  /** S14/S16 Next.js hydration fallback (reference
+    * bundesliga_club_scraper.py / courtside_scraper.py `__NEXT_DATA__`
+    * extraction): pull the embedded JSON blob out of the page; feed the
+    * result to `functions.JsonNorm` / `from_json`. */
+  def extractNextData(html: Column): Column =
+    nullif(regexp_extract(html,
+      "(?s)<script[^>]*id=\"__NEXT_DATA__\"[^>]*>(.*?)</script>", 1), lit(""))
+
   /** K7 generic raw-capture record: (scraper_name, data JSON, created_at). */
   def scrapedDataFrame(df: DataFrame, scraperName: String): DataFrame =
     df.select(

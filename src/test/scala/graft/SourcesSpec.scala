@@ -92,6 +92,21 @@ class SourcesSpec extends SparkSpec {
     assert(out(1).getAs[Double]("odds_home") == 3.5) // 5/2 fractional
   }
 
+  test("extractNextData + normalizeGameJson: hydration JSON to game record (S16)") {
+    val html = """<html><body><div>stuff</div>
+      |<script id="__NEXT_DATA__" type="application/json">{"homeTeam":{"name":"A"},
+      |"awayTeam":{"name":"B"},"homeScore":2,"awayScore":2}</script>
+      |</body></html>""".stripMargin
+    val r = spark.range(1)
+      .select(JsonNorm.normalizeGameJson(Bronze.extractNextData(lit(html))).as("g"))
+      .select("g.*").head()
+    assert(r.getAs[String]("home") == "A" && r.getAs[String]("away") == "B")
+    assert(r.getAs[Int]("home_score") == 2)
+    val none = spark.range(1)
+      .select(Bronze.extractNextData(lit("<html>no hydration</html>"))).head()
+    assert(none.isNullAt(0))
+  }
+
   test("scrapedDataFrame: K7 bronze capture shape with JSON payload") {
     val df = Seq(("A", 1), ("B", 2)).toDF("team", "rank")
     val out = Bronze.scrapedDataFrame(df, "test_scraper")
