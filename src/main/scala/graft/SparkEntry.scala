@@ -52,6 +52,7 @@ object SparkEntry {
     "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d)),
     "q_text_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_stats"      -> ((s, d) => TextAnalysis.langStats(s, d)),
+    "q_quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "q_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q_minhash_pairs"   -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -422,6 +423,31 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |             CAST(len(toks) AS DOUBLE) AS n_words,
+        |             CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+        |               / len(toks) AS mean_len,
+        |             CAST(length(text) - length(regexp_replace(text, '[#…]|\.\.\.', '', 'g')) AS DOUBLE) AS symbol_cnt,
+        |             CAST(len(list_filter(toks, s -> regexp_matches(s, '\p{L}'))) AS DOUBLE) AS alpha_words,
+        |             len(list_filter(toks, s -> s = 'the' OR s = 'a' OR s = 'of' OR s = 'and'
+        |                 OR s = 'in' OR s = 'to' OR s = 'is')) AS stop_hits
+        |      FROM t)
+        |SELECT doc_id,
+        |       (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+        |       (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+        |       (symbol_cnt / n_words <= 0.1) AS symbol_ratio_ok,
+        |       (alpha_words / n_words >= 0.8) AS alpha_ratio_ok,
+        |       (stop_hits >= 2) AS stopword_ok,
+        |       ((n_words >= 50 AND n_words <= 100000)
+        |        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |        AND (symbol_cnt / n_words <= 0.1)
+        |        AND (alpha_words / n_words >= 0.8)
+        |        AND (stop_hits >= 2)) AS pass
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

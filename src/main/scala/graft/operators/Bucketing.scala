@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-layout write/read path (builder brief: "bucketing for
+  * co-located joins").
+  *
+  * At 100 TB the dominant cost of fact⋈fact joins is the shuffle. Writing
+  * both sides bucketed by the join key into the same bucket count lets
+  * Spark plan a sort-merge join with NO Exchange on either side — the
+  * shuffle is paid once at write time and amortized over every subsequent
+  * join/aggregation on that key. This is the layout decision §4.1 maps the
+  * reference's FK B-tree indexes onto.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (sorted within buckets so
+    * merge-join needs no sort either). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** True when the executed plan of `df` contains no shuffle exchange —
+    * the co-location check used by specs and ExplainAudit. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

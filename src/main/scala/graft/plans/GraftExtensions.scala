@@ -39,7 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fuzzy_ratio"),
       new ExpressionInfo(classOf[FuzzyRatio].getName, "graft_fuzzy_ratio"),
       (children: Seq[Expression]) => FuzzyRatio(children.head, children(1))))
+    ext.injectOptimizerRule(_ => FuzzyRatioFolding)
   }
+}
+
+/** Optimizer rule for the custom expression (the `Rule[LogicalPlan]`
+  * extension point, SURVEY.md §4.2): Catalyst's own constant folding can't
+  * see through `graft_fuzzy_ratio`, so fold the two cases it would miss —
+  * identical children (ratio ≡ 100, pays an O(n·m) DP per row otherwise)
+  * and two foldable literals (evaluate once at plan time). */
+object FuzzyRatioFolding extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case FuzzyRatio(a, b) if a.semanticEquals(b) && !a.nullable =>
+        Literal(100, IntegerType)
+      case r @ FuzzyRatio(a, b) if a.foldable && b.foldable &&
+          a.eval() != null && b.eval() != null =>
+        Literal(r.eval(), IntegerType)
+    }
 }
 
 /** F17 normalization as a codegen'd unary expression. */

@@ -51,6 +51,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Gopher-style quality filter flags (Rae et al. 2021 §A1.1 heuristics,
+    * public): per-document rule booleans + overall pass, as one
+    * expression struct — the standard pre-training quality gate shape.
+    * Thresholds parameterized; defaults follow the paper. */
+  def gopherQualityFlags(text: Column,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                         maxSymbolWordRatio: Double = 0.1,
+                         minAlphaWordRatio: Double = 0.8): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nWords
+    val symbolCnt = (length(text) -
+      length(regexp_replace(text, "[#…]|\\.\\.\\.", ""))).cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("\\p{L}"))).cast("double")
+    val stopHits = stopwordCount(text)
+    val wordCountOk = nWords >= minWords && nWords <= maxWords
+    val meanLenOk = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val symbolOk = symbolCnt / nWords <= maxSymbolWordRatio
+    val alphaOk = alphaWords / nWords >= minAlphaWordRatio
+    val stopOk = stopHits >= 2
+    struct(
+      wordCountOk.as("word_count_ok"),
+      meanLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ratio_ok"),
+      alphaOk.as("alpha_ratio_ok"),
+      stopOk.as("stopword_ok"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk && stopOk).as("pass"))
+  }
+
+  /** In-document repetition: fraction of duplicate lines (paragraph-level
+    * repetition signal from the same heuristic family). */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => l.rlike("\\S"))
+    when(size(lines) === 0, 0.0).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
   /** Rolling-hash document sketch (winnowing-style): polynomial rolling
     * hash over character n-grams, keep the k smallest distinct hashes.
     * Sketch overlap ≈ content overlap; robust to small edits anywhere in
@@ -122,6 +161,21 @@ object TextAnalysis {
       (stopwordCount(t).cast("double") / tokenCount(t)).as("stop_ratio"),
       qualityScore(t).as("quality_score"),
       fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality gate (oracle-checked): Gopher flags flattened
+    * to boolean columns. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gopherQualityFlags(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      flags.getField("word_count_ok").as("word_count_ok"),
+      flags.getField("mean_word_len_ok").as("mean_word_len_ok"),
+      flags.getField("symbol_ratio_ok").as("symbol_ratio_ok"),
+      flags.getField("alpha_ratio_ok").as("alpha_ratio_ok"),
+      flags.getField("stopword_ok").as("stopword_ok"),
+      flags.getField("pass").as("pass"))
       .orderBy("doc_id")
   }
 

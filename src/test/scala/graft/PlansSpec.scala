@@ -32,6 +32,21 @@ class PlansSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("FuzzyRatioFolding rule: self-compare and literal pairs fold away") {
+    import spark.implicits._
+    val df = Seq("alpha", "beta").toDF("name").filter("name IS NOT NULL")
+    val self = df.selectExpr("graft_fuzzy_ratio(name, name) AS r")
+    // identical non-nullable children -> constant 100, no DP at runtime
+    assert(!self.queryExecution.optimizedPlan.toString.contains("graft_fuzzy_ratio"))
+    assert(self.collect().map(_.getInt(0)).toSeq == Seq(100, 100))
+    val lits = spark.sql("SELECT graft_fuzzy_ratio('abc', 'abd') AS r FROM range(2)")
+    assert(!lits.queryExecution.optimizedPlan.toString.contains("graft_fuzzy_ratio"))
+    // still evaluates correctly when it can't fold
+    val live = Seq(("abc", "abd")).toDF("a", "b")
+      .selectExpr("graft_fuzzy_ratio(a, b) AS r")
+    assert(live.head().getInt(0) == spark.sql("SELECT graft_fuzzy_ratio('abc','abd')").head().getInt(0))
+  }
+
   test("expressions push through a real query (filter + project)") {
     import spark.implicits._
     val out = Seq("Bayern München", "José", "plain").toDF("name")

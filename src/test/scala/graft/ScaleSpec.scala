@@ -134,6 +134,26 @@ class ScaleSpec extends SparkSpec {
     assert(r.getString(5) == "und")
   }
 
+  test("gopherQualityFlags: good doc passes, degenerate docs fail the right rule") {
+    val good = ("the data pipeline reads and writes rows of structured text " * 5).trim
+    val tooShort = "tiny doc of words"
+    val symbols = ("# ## ### " * 30) + "the a of and in words here now"
+    val noAlpha = ("123 456 789 " * 20).trim + " the of a and"
+    val r = evalExpr(
+      TextAnalysis.gopherQualityFlags(lit(good)).getField("pass"),
+      TextAnalysis.gopherQualityFlags(lit(tooShort)).getField("word_count_ok"),
+      TextAnalysis.gopherQualityFlags(lit(symbols)).getField("symbol_ratio_ok"),
+      TextAnalysis.gopherQualityFlags(lit(noAlpha)).getField("alpha_ratio_ok"),
+      TextAnalysis.duplicateLineFraction(lit("a\nb\na\nc")),
+      TextAnalysis.duplicateLineFraction(lit("x\ny")))
+    assert(r.getBoolean(0), "good doc should pass")
+    assert(!r.getBoolean(1), "short doc fails word count")
+    assert(!r.getBoolean(2), "symbol-heavy doc fails symbol ratio")
+    assert(!r.getBoolean(3), "numeric doc fails alpha ratio")
+    assert(r.getDouble(4) == 0.25)
+    assert(r.getDouble(5) == 0.0)
+  }
+
   test("quality metrics: counts and ratios") {
     val r = evalExpr(
       TextAnalysis.tokenCount(lit("a b b c")),

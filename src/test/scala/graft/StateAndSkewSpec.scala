@@ -62,6 +62,27 @@ class StateAndSkewSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bucketed tables: equi-join and aggregation plan without shuffle") {
+    import graft.operators.Bucketing
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+    val lineitem = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001)
+    Bucketing.writeBucketed(orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k")
+    Bucketing.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k")
+    try {
+      val joined = Bucketing.table(spark, "b_orders")
+        .join(Bucketing.table(spark, "b_lineitem"), "k")
+      assert(Bucketing.isShuffleFree(joined),
+        "bucketed equi-join must not shuffle:\n" + joined.queryExecution.executedPlan)
+      assert(joined.count() == lineitem.count()) // same result as plain join
+      val agg = Bucketing.table(spark, "b_lineitem").groupBy("k").count()
+      assert(Bucketing.isShuffleFree(agg),
+        "aggregation on the bucket key must not shuffle")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("saltedJoin: identical results to plain join, including left-join nulls") {
     val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"row$i"))
       .toDF("k", "payload") // key 1 is hot: 90% of rows
