@@ -35,6 +35,7 @@ object SparkEntry {
     "q_histogram"       -> ((s, d) => Analytics.priceHistogram(s, d)),
     "q_global_stats"    -> ((s, d) => Analytics.globalStats(s, d)),
     "q_parse_ids"       -> ((s, d) => Analytics.parseCustomerIds(s, d)),
+    "q_fuzzy_match"     -> ((s, d) => Analytics.fuzzyBestMatch(s, d)),
     "q_trend"           -> ((s, d) => Analytics.customerTrend(s, d)),
     "q_form_string"     -> ((s, d) => Analytics.formString(s, d)),
     "q_rollup"          -> ((s, d) => Analytics.pricingRollup(s, d)),
@@ -49,6 +50,8 @@ object SparkEntry {
     "q_upsert_merge"    -> ((s, d) => EventOps.upsertCoalesceMerge(s, d)),
     "q_weekly_rollup"   -> ((s, d) => EventOps.weeklyEventRollup(s, d)),
     "q_open_close"      -> ((s, d) => EventOps.openCloseDaily(s, d)),
+    "q_funnel"          -> ((s, d) => EventOps.funnel(s, d)),
+    "q_cohort"          -> ((s, d) => EventOps.cohortRetention(s, d)),
     "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d)),
     "q_text_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_lang_stats"      -> ((s, d) => TextAnalysis.langStats(s, d)),
@@ -224,6 +227,19 @@ object SparkEntry {
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_fuzzy_match" ->
+      """SELECT s_suppkey, c_custkey, ratio
+        |FROM (SELECT s.s_suppkey, c.c_custkey,
+        |             CAST(round(100 * (1 - CAST(levenshtein(s.s_name, c.c_name) AS DOUBLE)
+        |                  / greatest(length(s.s_name), length(c.c_name)))) AS INT) AS ratio,
+        |             row_number() OVER (PARTITION BY s.s_suppkey
+        |                                ORDER BY CAST(round(100 * (1 - CAST(levenshtein(s.s_name, c.c_name) AS DOUBLE)
+        |                                     / greatest(length(s.s_name), length(c.c_name)))) AS INT) DESC,
+        |                                         c.c_custkey ASC) AS rn
+        |      FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey)
+        |WHERE rn = 1
+        |ORDER BY s_suppkey""".stripMargin,
+
     "q_trend" ->
       """WITH a AS (SELECT o_custkey, count(*) AS n,
         |                  CAST(sum(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS sx,
@@ -382,6 +398,35 @@ object SparkEntry {
         |FROM r
         |GROUP BY 1, 2
         |ORDER BY user_id, day""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tm FROM events),
+        |v AS (SELECT user_id, min(tm) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.tm) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id AND e.tm > v.t0
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.tm) AS t2
+        |      FROM e JOIN c ON e.user_id = c.user_id AND e.tm > c.t1
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS viewed,
+        |       (SELECT count(*) FROM c) AS clicked,
+        |       (SELECT count(*) FROM p) AS purchased,
+        |       CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v) AS click_rate,
+        |       CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c) AS purchase_rate""".stripMargin,
+
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+        |          FROM cohorts GROUP BY 1),
+        |active AS (SELECT c.cohort_week, e.week - c.cohort_week AS weeks_since,
+        |                  count(DISTINCT e.user_id) AS active_users
+        |           FROM e JOIN cohorts c ON e.user_id = c.user_id
+        |           GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.weeks_since, a.active_users, s.cohort_size,
+        |       CAST(a.active_users AS DOUBLE) / s.cohort_size AS retention
+        |FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+        |ORDER BY a.cohort_week, a.weeks_since""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS tm FROM events),

@@ -364,6 +364,27 @@ object Analytics {
         max(col("c_acctbal")).as("max_bal"))
       .orderBy("segment")
 
+  /** J8 oracle-checkable core — blocked fuzzy best-match: for every
+    * supplier, the most similar customer name within its nation block by
+    * the codegen Levenshtein ratio (`Normalize.fuzzyRatioApprox`), argmax
+    * via ranked window. The exact-UDF version lives in
+    * [[EntityResolution.resolve]]; this is its cross-engine-verifiable
+    * skeleton (blocking bounds the pair space — no cross join). */
+  def fuzzyBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val pairs = s.join(c, col("s_nationkey") === col("c_nationkey"))
+      .withColumn("ratio",
+        graft.functions.Normalize.fuzzyRatioApprox(col("s_name"), col("c_name")))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("s_suppkey"))
+          .orderBy(col("ratio").desc, col("c_custkey").asc)))
+      .filter(col("rn") === 1)
+      .select("s_suppkey", "c_custkey", "ratio")
+      .orderBy("s_suppkey")
+  }
+
   /** F2/F21-style parsing surface over an oracle-checkable column:
     * regexp id extraction + case-normalized projection. */
   def parseCustomerIds(spark: SparkSession, dir: String): DataFrame =

@@ -113,6 +113,49 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Sequential funnel: view → click → purchase, each stage strictly after
+    * the user's entry into the previous one. Three keyed min-aggregations
+    * + two broadcast-size joins — no per-user iteration, no window over
+    * the full log. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select("user_id", "event_type", "ts_ms")
+    def stage(df: DataFrame, typ: String, after: Option[DataFrame]): DataFrame = {
+      val base = e.filter(col("event_type") === typ)
+      val gated = after match {
+        case Some(prev) => base.join(prev, "user_id")
+          .filter(col("ts_ms") > col("stage_ms")).drop("stage_ms")
+        case None => base
+      }
+      gated.groupBy("user_id").agg(min(col("ts_ms")).as("stage_ms"))
+    }
+    val views = stage(e, "view", None)
+    val clicks = stage(e, "click", Some(views))
+    val purchases = stage(e, "purchase", Some(clicks))
+    views.agg(count(lit(1)).as("viewed"))
+      .crossJoin(clicks.agg(count(lit(1)).as("clicked")))
+      .crossJoin(purchases.agg(count(lit(1)).as("purchased")))
+      .withColumn("click_rate", col("clicked").cast("double") / col("viewed"))
+      .withColumn("purchase_rate", col("purchased").cast("double") / col("clicked"))
+  }
+
+  /** Cohort retention: users grouped by first-seen week; per (cohort,
+    * weeks-since) distinct active users and retention ratio. The classic
+    * two-aggregation + broadcast-join cohort plan. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+    val cohorts = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(countDistinct(col("user_id")).as("cohort_size"))
+    val active = e.join(cohorts, "user_id")
+      .withColumn("weeks_since", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    active.join(sizes, "cohort_week")
+      .withColumn("retention", col("active_users").cast("double") / col("cohort_size"))
+      .select("cohort_week", "weeks_since", "active_users", "cohort_size", "retention")
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** Gap-based sessionization (1 h) + per-session rollup. */
   def userSessions(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionize(
