@@ -1,0 +1,36 @@
+package graft
+
+/** Scale-smell regression gate: every registered query's physical plan is
+  * checked for the failure modes that silently kill a 100 TB run —
+  * cartesian products and top-k queries that degenerate into full global
+  * sorts. Runs on plans only (sf0.001), so it's cheap enough to keep in
+  * the default suite.
+  */
+class PlanGateSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("global top-k queries plan TakeOrderedAndProject, not a full sort") {
+    val topk = Seq("q_top_spenders", "q_h2h_pairs", "q_knn_cosine",
+      "q_argmax_segment")
+    val offenders = topk.filterNot(n => plans(n).contains("TakeOrderedAndProject"))
+    assert(offenders.isEmpty, s"top-k degenerated to full sort in: $offenders")
+  }
+
+  test("broadcast-able dimension joins are actually broadcast") {
+    // queries joining nation/region must broadcast them, never shuffle
+    val dimJoins = Seq("q_top_spenders", "q_standings", "q_region_summary")
+    val offenders = dimJoins.filterNot(n => plans(n).contains("BroadcastHashJoin"))
+    assert(offenders.isEmpty, s"dimension join not broadcast in: $offenders")
+  }
+}

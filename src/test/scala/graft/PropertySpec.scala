@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{Normalize, Parsing}
+
+/** ScalaCheck-generator property tests for the expression library
+  * (SURVEY.md §5 test plan: "ScalaCheck properties for parsers —
+  * round-trip, null-safety"). Raw generators with fixed seeds (the
+  * scalatest-plus bridge isn't in the offline dependency cache), each
+  * property evaluated as ONE batched Spark job over all samples.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 60): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("parseScore round-trips any h-a / h:a pair") {
+    val cases = samples(Gen.zip(Gen.choose(0, 99), Gen.choose(0, 99), Gen.oneOf("-", ":")))
+    val df = cases.map { case (h, a, sep) => (h, a, s"$h$sep$a") }.toDF("h", "a", "s")
+      .withColumn("parsed", Parsing.parseScore(col("s")))
+    val bad = df.filter(
+      col("parsed.home_score") =!= col("h") || col("parsed.away_score") =!= col("a"))
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("cleanText is idempotent and never returns empty strings") {
+    val gen = Gen.listOf(Gen.oneOf(" ", "\t", "a", "b", "  ", "c d")).map(_.mkString)
+    val df = samples(gen).toDF("s")
+      .withColumn("once", Parsing.cleanText(col("s")))
+      .withColumn("twice", Parsing.cleanText(Parsing.cleanText(col("s"))))
+    assert(df.filter(!(col("once") <=> col("twice"))).count() == 0)
+    assert(df.filter(col("once") === "").count() == 0)
+  }
+
+  test("slugify emits only [a-z0-9-] with no edge dashes") {
+    val gen = Gen.listOfN(3,
+      Gen.oneOf("FC Köln", "St. Pauli!", "Real", "1860", "ßig", "  x  ")).map(_.mkString(" "))
+    val df = samples(gen).toDF("s").withColumn("slug", Parsing.slugify(col("s")))
+    assert(df.filter(!col("slug").rlike("^[a-z0-9-]*$")).count() == 0)
+    assert(df.filter(col("slug").rlike("(^-|-$)")).count() == 0)
+  }
+
+  test("fuzzyRatio: bounds, symmetry, identity") {
+    val names = Gen.oneOf("bayern", "borussia dortmund", "fc", "schalke 04",
+      "st pauli", "arminia", "x", "")
+    val df = samples(Gen.zip(names, names)).toDF("a", "b")
+      .withColumn("ab", Normalize.fuzzyRatio(col("a"), col("b")))
+      .withColumn("ba", Normalize.fuzzyRatio(col("b"), col("a")))
+      .withColumn("aa", Normalize.fuzzyRatio(col("a"), col("a")))
+    assert(df.filter(col("ab") < 0 || col("ab") > 100).count() == 0)
+    assert(df.filter(col("ab") =!= col("ba")).count() == 0)
+    assert(df.filter(col("aa") =!= 100).count() == 0)
+  }
+
+  test("toDecimalOdds: every valid format yields decimal odds > 1") {
+    val frac = Gen.zip(Gen.choose(1, 20), Gen.choose(1, 20)).map { case (a, b) => s"$a/$b" }
+    val amer = Gen.oneOf(Gen.choose(100, 900).map(n => s"+$n"), Gen.choose(100, 900).map(n => s"-$n"))
+    val dec = Gen.choose(101, 900).map(n => f"${n / 100.0}%.2f")
+    val df = samples(Gen.oneOf(frac, amer, dec), 120).toDF("s")
+      .withColumn("odds", Parsing.toDecimalOdds(col("s")))
+    val bad = df.filter(col("odds").isNull || col("odds") <= 1.0)
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("externalId: no collisions across distinct key tuples") {
+    val gen = Gen.zip(Gen.alphaStr, Gen.alphaStr)
+    val pairs = samples(gen, 200).distinct
+    val df = pairs.toDF("a", "b")
+      .withColumn("id", Parsing.externalId(col("a"), col("b")))
+    assert(df.select("id").distinct().count() == pairs.length)
+  }
+}
