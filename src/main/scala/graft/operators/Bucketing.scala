@@ -31,4 +31,20 @@ object Bucketing {
     * the co-location check used by specs and ExplainAudit. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Date/key-partitioned layout (the reference's `idx_match_date` B-tree
+    * mapped to physical layout, SURVEY §4.1): facts written under
+    * `partitionCol=value/` directories so equality/range predicates prune
+    * entire partitions at planning time — the other half of the 100 TB
+    * layout story next to bucketing. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** True when the scan of `df` prunes on a partition filter (and is
+    * therefore not reading every partition directory). */
+  def hasPartitionPruning(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty
+  }
 }

@@ -83,6 +83,20 @@ class StateAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes: equality predicate prunes partitions at plan time") {
+    import graft.operators.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .withColumn("order_year", year(col("o_orderdate")))
+    Bucketing.writePartitioned(orders, dir, "order_year")
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1997)
+    assert(Bucketing.hasPartitionPruning(pruned),
+      "year predicate must become a PartitionFilter:\n" +
+        pruned.queryExecution.executedPlan)
+    assert(pruned.count() ==
+      orders.filter(col("order_year") === 1997).count())
+  }
+
   test("saltedJoin: identical results to plain join, including left-join nulls") {
     val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"row$i"))
       .toDF("k", "payload") // key 1 is hot: 90% of rows
