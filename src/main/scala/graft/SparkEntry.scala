@@ -51,6 +51,7 @@ object SparkEntry {
     "q_weekly_rollup"   -> ((s, d) => EventOps.weeklyEventRollup(s, d)),
     "q_open_close"      -> ((s, d) => EventOps.openCloseDaily(s, d)),
     "q_funnel"          -> ((s, d) => EventOps.funnel(s, d)),
+    "q_sliding_window"  -> ((s, d) => EventOps.slidingDailyActivity(s, d)),
     "q_cohort"          -> ((s, d) => EventOps.cohortRetention(s, d)),
     "q_sessions"        -> ((s, d) => EventOps.userSessions(s, d)),
     "q_text_stats"      -> ((s, d) => TextAnalysis.docStats(s, d)),
@@ -413,6 +414,14 @@ object SparkEntry {
         |       (SELECT count(*) FROM p) AS purchased,
         |       CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v) AS click_rate,
         |       CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c) AS purchase_rate""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events)
+        |SELECT e.day - o.off AS window_start_day, count(*) AS events_in_window,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+        |GROUP BY 1
+        |ORDER BY window_start_day""".stripMargin,
 
     "q_cohort" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),

@@ -113,6 +113,22 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Sliding event-time window (7-day window, 1-day slide): each event
+    * contributes to the 7 overlapping windows that contain it —
+    * `explode(sequence(...))` fan-out + groupBy, the batch formulation of
+    * `window(ts, "7 days", "1 day")`. Fan-out factor = window/slide (7),
+    * constant per row — scales linearly. */
+  def slidingDailyActivity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .withColumn("window_start_day",
+        explode(expr("sequence(day - 6, day)")))
+      .groupBy("window_start_day")
+      .agg(
+        count(lit(1)).as("events_in_window"),
+        countDistinct(col("user_id")).as("active_users"))
+      .orderBy("window_start_day")
+
   /** Sequential funnel: view → click → purchase, each stage strictly after
     * the user's entry into the previous one. Three keyed min-aggregations
     * + two broadcast-size joins — no per-user iteration, no window over
