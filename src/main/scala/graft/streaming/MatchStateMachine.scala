@@ -58,4 +58,45 @@ object MatchStateMachine {
   }
 
   val RequiredOutputMode: OutputMode = OutputMode.Update()
+
+  /** Spark-4-native variant: the same lifecycle as a `StatefulProcessor`
+    * for `transformWithState` — typed ValueState handle, RocksDB-backed,
+    * TTL-capable; the successor API to mapGroupsWithState. */
+  class MatchProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, ScoreUpdate, MatchState] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var state: ValueState[MatchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MatchState](
+        "match_state", Encoders.product[MatchState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ScoreUpdate],
+                                 timerValues: TimerValues): Iterator[MatchState] = {
+      val sorted = rows.toSeq.sortBy(_.scraped_at.getTime)
+      val init = Option(state.get()).getOrElse(
+        MatchState(key, "scheduled", None, None, new Timestamp(0L), 0L))
+      val next = sorted.foldLeft(init) { (st, u) =>
+        val fresh = u.scraped_at.getTime > st.last_update.getTime
+        val forward = StatusRank.getOrElse(u.status, -1) >= StatusRank(st.status)
+        if (fresh && forward)
+          MatchState(key, u.status,
+            u.home_score.orElse(st.home_score), u.away_score.orElse(st.away_score),
+            u.scraped_at, st.updates_seen + 1)
+        else st.copy(updates_seen = st.updates_seen + 1)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState wiring (requires the RocksDB state store provider
+    * on the session). */
+  def trackWithState(updates: Dataset[ScoreUpdate]): Dataset[MatchState] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val enc = Encoders.product[MatchState]
+    updates.groupByKey(_.external_id)(Encoders.STRING)
+      .transformWithState(new MatchProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

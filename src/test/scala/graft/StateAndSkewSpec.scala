@@ -62,6 +62,33 @@ class StateAndSkewSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState (Spark 4 StatefulProcessor) tracks the same lifecycle") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ScoreUpdate]
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    // transformWithState needs the RocksDB state store (multi-column-family)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val query = MatchStateMachine.trackWithState(mem.toDS())
+      .writeStream.format("memory").queryName("tws_states")
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .start()
+    try {
+      mem.addData(ScoreUpdate("t1", "scheduled", None, None, ts("2024-01-05 09:00:00")))
+      query.processAllAvailable()
+      mem.addData(ScoreUpdate("t1", "live", Some(1), Some(0), ts("2024-01-05 10:00:00")))
+      query.processAllAvailable()
+      val last = spark.sql(
+        "SELECT status, updates_seen FROM tws_states ORDER BY updates_seen DESC LIMIT 1").head()
+      assert(last.getString(0) == "live")
+      assert(last.getLong(1) == 2L) // state crossed the batch boundary
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("bucketed tables: equi-join and aggregation plan without shuffle") {
     import graft.operators.Bucketing
     val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
