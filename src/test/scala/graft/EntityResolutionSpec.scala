@@ -34,6 +34,25 @@ class EntityResolutionSpec extends SparkSpec {
     assert(r.getString(0) == "GK" && r.getString(1) == "GK" && r.getString(2) == "UNK")
   }
 
+  test("TermConfig: JSON vocabulary loads, normalizes, and feeds termLookup") {
+    import graft.functions.TermConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_terms")
+    java.nio.file.Files.writeString(dir.resolve("terms.json"),
+      """{"category":"positions","code":"GK","synonyms":["goalkeeper","Torwart","Portero!"]}
+        |{"category":"positions","code":"FW","synonyms":["striker","Stürmer"]}
+        |{"category":"nationalities","code":"DE","synonyms":["Germany","Deutschland"]}""".stripMargin)
+    val cfg = TermConfig.load(spark, dir.toString)
+    assert(cfg("positions")("torwart") == "GK")
+    assert(cfg("positions")("portero") == "GK")   // punctuation stripped
+    assert(cfg("positions")("sturmer") == "FW")   // accent folded
+    assert(cfg("nationalities")("deutschland") == "DE")
+    val r = evalExpr(
+      Normalize.termLookup(lit("  TORWART "), cfg("positions")),
+      Normalize.termLookup(lit("Stürmer"), cfg("positions")))
+    assert(r.getString(0) == "GK" && r.getString(1) == "FW")
+    assert(TermConfig.StaticFallback("positions")("goalkeeper") == "GK")
+  }
+
   test("resolve: three-way split (auto / review-or-match / create)") {
     val entities = Seq(
       (1L, "Borussia Dortmund", "DE"),
