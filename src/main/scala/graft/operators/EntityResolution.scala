@@ -31,6 +31,12 @@ object EntityResolution {
     * @param entities  canonical table; must contain `idCol`, `nameCol`, `blockCol`
     * @param prefilterMargin approx-ratio slack below reviewThreshold that
     *        still enters exact scoring (guards against approx underestimate)
+    * @param uidCol    unique per-staged-row key. Every staged row lands in
+    *        exactly one of matched/review/create keyed by this column; two
+    *        distinct rows whose names normalize identically stay distinct.
+    *        When absent a synthetic id is minted and the staged frame is
+    *        pinned (eager localCheckpoint) so all three output branches see
+    *        the same ids; at scale pass a real key instead.
     */
   def resolve(
       staged: DataFrame,
@@ -40,9 +46,15 @@ object EntityResolution {
       idCol: String,
       autoThreshold: Int = 90,
       reviewThreshold: Int = 75,
-      prefilterMargin: Int = 15): Resolution = {
+      prefilterMargin: Int = 15,
+      uidCol: Option[String] = None): Resolution = {
 
-    val s = staged.withColumn("__sname", Normalize.normalizeForMatching(col(nameCol)))
+    val withUid = uidCol match {
+      case Some(u) => staged.withColumn("__sid", col(u))
+      case None => staged.withColumn("__sid", monotonically_increasing_id())
+        .localCheckpoint(true)
+    }
+    val s = withUid.withColumn("__sname", Normalize.normalizeForMatching(col(nameCol)))
     val e = entities.select(
       col(idCol).as("__eid"),
       col(nameCol).as("__ename_raw"),
@@ -59,24 +71,30 @@ object EntityResolution {
       .withColumn("__score", Normalize.fuzzyRatio(col("__sname"), col("__ename")))
       .filter(col("__score") >= reviewThreshold)
 
+    // Best match per STAGED ROW (not per normalized name): partitioning by
+    // __sid keeps two distinct staged records with identical normalized
+    // names from collapsing into one output row.
     val best = candidates
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__sname"), col(blockCol))
+        Window.partitionBy(col("__sid"))
           .orderBy(col("__score").desc, col("__eid").asc)))
       .filter(col("__rn") === 1)
       .drop("__rn", "__approx", "__ename")
 
-    val matched = best.filter(col("__score") >= autoThreshold)
+    // __sid is internal: the caller's uid column (if any) is still present
+    // under its own name.
+    def clean(df: DataFrame): DataFrame = df.drop("__sid")
+    val matched = clean(best.filter(col("__score") >= autoThreshold)
       .withColumnRenamed("__eid", "entity_id")
       .withColumnRenamed("__score", "match_score")
-      .drop("__sname", "__ename_raw", "__eblock")
-    val review = best.filter(col("__score") < autoThreshold)
+      .drop("__sname", "__ename_raw", "__eblock"))
+    val review = clean(best.filter(col("__score") < autoThreshold)
       .withColumnRenamed("__eid", "candidate_entity_id")
       .withColumnRenamed("__score", "match_score")
-      .drop("__sname", "__ename_raw", "__eblock")
-    val create = Joins.anti(s, best.select(col("__sname").as("__bname"), col("__eblock")),
-        col("__sname") === col("__bname") && s(blockCol) === col("__eblock"))
-      .drop("__sname")
+      .drop("__sname", "__ename_raw", "__eblock"))
+    val create = clean(Joins.anti(s, best.select(col("__sid").as("__bsid")),
+        col("__sid") === col("__bsid"))
+      .drop("__sname"))
 
     Resolution(matched, review, create)
   }

@@ -18,19 +18,41 @@ object ExternalIdMap {
   /** Merge staged `(source, external_id, internal_id)` claims into the
     * current mapping. New pairs append; re-assertions of the same mapping
     * are no-ops; a staged claim whose pair already maps to a DIFFERENT
-    * internal id is a conflict (current mapping wins, claim reported). */
+    * internal id is a conflict (current mapping wins, claim reported).
+    *
+    * Conflicts are detected both against the current mapping AND within
+    * the batch itself: two staged claims for the same (source,
+    * external_id) with different internal_ids (the reference's
+    * MappingConflictError case) pick a deterministic winner
+    * (min internal_id); losing claims land in `conflicts` with the winner
+    * as `existing_internal_id`. The registry never ends up with two
+    * internal ids for one external key. */
   def register(current: DataFrame, staged: DataFrame): Registered = {
     val cur = current.select(col("source"), col("external_id"),
       col("internal_id").as("__cur_id"))
     val stg = staged.select("source", "external_id", "internal_id").distinct()
-    val joined = stg.join(cur, Seq("source", "external_id"), "left")
-    val conflicts = joined
+    val winners = stg.groupBy("source", "external_id")
+      .agg(min("internal_id").as("internal_id"),
+        countDistinct("internal_id").as("__n_ids"))
+    val intraConflicts = stg
+      .join(winners.filter(col("__n_ids") > 1)
+        .select(col("source"), col("external_id"),
+          col("internal_id").as("__win_id")),
+        Seq("source", "external_id"), "inner")
+      .filter(col("internal_id") =!= col("__win_id"))
+      .select(col("source"), col("external_id"),
+        col("internal_id").as("claimed_internal_id"),
+        col("__win_id").as("existing_internal_id"))
+    val joined = winners.drop("__n_ids")
+      .join(cur, Seq("source", "external_id"), "left")
+    val curConflicts = joined
       .filter(col("__cur_id").isNotNull && col("__cur_id") =!= col("internal_id"))
-      .withColumnRenamed("__cur_id", "existing_internal_id")
-      .withColumnRenamed("internal_id", "claimed_internal_id")
+      .select(col("source"), col("external_id"),
+        col("internal_id").as("claimed_internal_id"),
+        col("__cur_id").as("existing_internal_id"))
     val fresh = joined.filter(col("__cur_id").isNull)
       .select("source", "external_id", "internal_id")
-    Registered(current.unionByName(fresh), conflicts)
+    Registered(current.unionByName(fresh), intraConflicts.unionByName(curConflicts))
   }
 
   /** Resolve staged rows through the mapping: adds `internal_id`

@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `large ⋈ small` on `keys`, salted `factor` ways.
-    * Output columns = large.* ++ (small.* minus keys). */
+    * Output columns = large.* ++ (small.* minus keys).
+    *
+    * Only `inner` and `left` are supported: the small side is replicated
+    * once per salt, so for right/full-outer joins an unmatched small-side
+    * row would surface `factor` times instead of once. */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner/left only (got $joinType): replicated " +
+        "small-side rows would duplicate unmatched outer rows")
     // Deterministic salt from the large row's full content: same data →
     // same partitioning (replayable), uniform across the hot key's rows.
     val salt = pmod(xxhash64(large.columns.map(col): _*), lit(factor))

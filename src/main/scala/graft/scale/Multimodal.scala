@@ -88,6 +88,9 @@ object Multimodal {
     * timestamp (every `stepMs`), metadata carried. Pure expressions. */
   def sampleFrames(media: DataFrame, stepMs: Long = 1000L): DataFrame =
     media.filter(col("kind") === "video")
+      // duration_ms = 0 would make sequence(0, -1, +step) throw; an empty
+      // payload simply yields zero frames.
+      .filter(col("meta.duration_ms") > 0)
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("meta"))

@@ -32,9 +32,17 @@ object Tables {
     * (PARQUET_TYPE_ILLEGAL). Read it as raw Long nanos and derive `ts_utc`
     * (µs-truncated TimestampType) — matching how DuckDB (the oracle) reads
     * the same file (ns truncated to µs). Raw `ts` stays for exact ordering.
+    *
+    * The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/TestSpark
+    * all set it); this accessor only *checks* the flag — mutating session
+    * conf from inside a table accessor would leak into unrelated reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     load(spark, dir, "events")
       .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

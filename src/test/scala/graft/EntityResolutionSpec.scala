@@ -79,4 +79,29 @@ class EntityResolutionSpec extends SparkSpec {
       .select("match_score").as[Int].head()
     assert(exact == 100)
   }
+
+  test("resolve: distinct staged rows with identical normalized names both survive") {
+    val entities = Seq((1L, "Bayern München", "DE")).toDF("id", "name", "country")
+    // Both normalize to "bayern munchen" but are distinct staged records
+    // (different scrape_src); each must land in exactly one output.
+    val staged = Seq(
+      ("Bayern München", "DE", "tm"),
+      ("bayern munchen!", "DE", "fbref"),
+      ("Hansa Rostock", "DE", "tm"))
+      .toDF("name", "country", "scrape_src")
+
+    val res = EntityResolution.resolve(staged, entities,
+      nameCol = "name", blockCol = "country", idCol = "id")
+    val total = res.matched.count() + res.review.count() + res.create.count()
+    assert(total == 3, s"every staged row lands in exactly one output (got $total)")
+    val matchedSrc = res.matched.select("scrape_src").as[String].collect().toSet
+    assert(matchedSrc == Set("tm", "fbref"))
+    // caller-supplied uid path gives the same split
+    val withUid = staged.withColumn("rec_id", monotonically_increasing_id())
+    val res2 = EntityResolution.resolve(withUid, entities,
+      nameCol = "name", blockCol = "country", idCol = "id",
+      uidCol = Some("rec_id"))
+    assert(res2.matched.count() == 2 && res2.create.count() == 1)
+    assert(res2.matched.columns.contains("rec_id"))
+  }
 }

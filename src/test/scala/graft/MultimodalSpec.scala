@@ -38,4 +38,15 @@ class MultimodalSpec extends SparkSpec {
       .select("kind").distinct().collect().map(_.getString(0)).toSeq
     assert(kinds == Seq("video"))
   }
+
+  test("sampleFrames: zero-duration video yields zero frames, not an error") {
+    import spark.implicits._
+    val empty = Seq((1L, "video", Array.emptyByteArray, ("raw", 0, 1, 0L)),
+        (2L, "video", "x".getBytes, ("raw", 1, 1, 1200L)))
+      .toDF("media_id", "kind", "bytes", "meta")
+      .withColumn("meta", col("meta").cast(Multimodal.MediaMetaSchema))
+    val frames = Multimodal.sampleFrames(empty, stepMs = 1000L).collect()
+    assert(frames.forall(_.getAs[Long]("media_id") == 2L))
+    assert(frames.length == 2) // ts 0 and 1000 for the 1200ms row
+  }
 }

@@ -111,6 +111,26 @@ class OperatorsSpec extends SparkSpec {
     assert(c.head.getAs[Long]("existing_internal_id") == 200L)
   }
 
+  test("ExternalIdMap: intra-batch conflicting claims pick one winner, report losers") {
+    import graft.operators.ExternalIdMap
+    val current = Seq(("fbref", "x1", 100L))
+      .toDF("source", "external_id", "internal_id")
+    val staged = Seq(
+      ("tm", "y1", 300L),   // same pair, two internal ids: intra-batch conflict
+      ("tm", "y1", 301L),
+      ("tm", "y2", 400L))   // clean new pair
+      .toDF("source", "external_id", "internal_id")
+    val r = ExternalIdMap.register(current, staged)
+    // registry has exactly ONE internal id for y1 (deterministic min)
+    val y1 = r.mapping.filter(col("external_id") === "y1").collect()
+    assert(y1.length == 1 && y1.head.getAs[Long]("internal_id") == 300L)
+    assert(r.mapping.count() == 3)
+    val c = r.conflicts.collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[Long]("claimed_internal_id") == 301L)
+    assert(c.head.getAs[Long]("existing_internal_id") == 300L)
+  }
+
   test("Validate: valid/quarantine split with violation names") {
     import graft.operators.Validate
     import graft.operators.Validate.{atLeast, inDomain, notNull}

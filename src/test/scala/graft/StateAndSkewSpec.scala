@@ -140,5 +140,13 @@ class StateAndSkewSpec extends SparkSpec {
     val saltedLeft = canon(Skew.saltedJoin(large, small, Seq("k"), joinType = "left"))
     assert(saltedLeft == plainLeft)
     assert(saltedLeft.count(_._3 == null) == 100) // keys 901..1000 unmatched
+    // outer variants would replicate unmatched small-side rows `factor`
+    // times — the operator refuses them up front
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, Seq("k"), joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, Seq("k"), joinType = "full_outer")
+    }
   }
 }
