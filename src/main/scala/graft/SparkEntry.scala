@@ -61,6 +61,7 @@ object SparkEntry {
     "q_minhash_pairs"   -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d, Seq(0L, 1L, 2L))),
+    "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
     // No DuckDB oracle (UDF signature hash): driver records rows-only.
     "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d))
   )
@@ -582,6 +583,27 @@ object SparkEntry {
         |                                         e.vec_id ASC) AS rk
         |      FROM e, q WHERE e.vec_id <> q.query_id)
         |WHERE rk <= 3
-        |ORDER BY query_id, rk""".stripMargin
+        |ORDER BY query_id, rk""".stripMargin,
+
+    // Round-trip oracle for the FBref data-stat parser: Spark synthesizes
+    // match pages from lineitem and parses them back; DuckDB computes the
+    // expected typed stats directly from lineitem. Any defect in table
+    // selection, row keying, last-wins merge, or _to_number coercion
+    // breaks the hash match.
+    "q_match_stats" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(max(l_quantity) AS INTEGER) AS qty,
+        |         CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS price
+        |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1, 2)
+        |SELECT 'p' || ok || '-' || ln AS player_id,
+        |       CAST(CASE WHEN ln = 7 THEN 92 ELSE ln * 10 END AS BIGINT) AS minutes,
+        |       CAST(qty + 1 AS BIGINT) AS shots_total,
+        |       CAST(floor(qty / 2) AS BIGINT) AS shots_on_target,
+        |       CASE WHEN ln % 2 = 0 THEN CAST(price AS DOUBLE) END AS xg,
+        |       CAST(NULL AS BIGINT) AS fouls_committed,
+        |       CAST(CASE WHEN ln % 2 = 0 THEN 5 ELSE 4 END AS BIGINT) AS n_keys
+        |FROM src
+        |ORDER BY player_id""".stripMargin
   )
 }
