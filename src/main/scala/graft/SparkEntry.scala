@@ -62,7 +62,6 @@ object SparkEntry {
     "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d, Seq(0L, 1L, 2L))),
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
-    // No DuckDB oracle (UDF signature hash): driver records rows-only.
     "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d))
   )
 
@@ -604,6 +603,33 @@ object SparkEntry {
         |       CAST(NULL AS BIGINT) AS fouls_committed,
         |       CAST(CASE WHEN ln % 2 = 0 THEN 5 ELSE 4 END AS BIGINT) AS n_keys
         |FROM src
-        |ORDER BY player_id""".stripMargin
+        |ORDER BY player_id""".stripMargin,
+
+    // The simhash token hash is md5-derived (first 15 hex chars = 60
+    // bits) precisely so this oracle can recompute signatures, banding,
+    // and Hamming verification entirely in SQL.
+    "q_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(60)) AS b) bits
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, sig, c AS band, (sig >> (c * 15)) & 32767 AS chunk
+        |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk = y.chunk AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY d1, d2""".stripMargin
   )
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import scala.util.hashing.MurmurHash3
 
 /** Near-duplicate detection for a training-data pipeline: exact groups,
   * shingle-set Jaccard, and MinHash+LSH banding (builder brief; the
@@ -116,33 +115,59 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** 64-bit SimHash over a token multiset: per-token 64-bit hash votes
-    * ±1 per bit position; the sign vector is the signature. Near-duplicate
-    * docs land within a small Hamming distance. Deterministic UDF
-    * (MurmurHash3 token hashes combined into two 32-bit halves). */
-  private def simhash64(tokens: Seq[String]): Long = {
-    val votes = new Array[Int](64)
+  /** 60-bit SimHash over a token multiset: per-token hash votes ±1 per
+    * bit position; the sign vector is the signature. Near-duplicate docs
+    * land within a small Hamming distance.
+    *
+    * The token hash is the FIRST 15 HEX CHARS OF md5(token) read as a
+    * 60-bit integer — chosen because it is engine-portable: Spark
+    * (`conv(substring(md5(t),1,15),16,10)`), DuckDB
+    * (`CAST('0x' || substr(md5(t),1,15) AS BIGINT)`), and this fast
+    * single-pass UDF all produce identical signatures, so the oracle can
+    * recompute the whole pipeline in SQL. 60 bits (not 64) keeps the
+    * value inside a signed BIGINT in every engine. */
+  private def simhash60(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
     tokens.foreach { t =>
-      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val d = md.digest(t.getBytes("UTF-8"))
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
 
-  private lazy val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+  private lazy val simhashUdf = udf((toks: Seq[String]) => simhash60(toks))
 
   def simhash(toks: Column): Column = simhashUdf(toks)
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+  /** The same signature as pure expressions (per-token, per-bit explode +
+    * two aggregations). ~60× row inflation vs the UDF — exists as the
+    * cross-engine spec of the semantics; [[simhash]] is the fast path. */
+  def simhashRelational(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("sig"))
+
+  /** SimHash near-dup pairs: band the 60-bit signature into 4×15-bit
     * chunks (a pair within Hamming ≤ 3 must agree on ≥1 chunk), join on
     * chunk equality, verify with exact `bit_count(xor)`. Same
     * no-O(n²) LSH shape as [[minhashPairs]]. */
@@ -156,13 +181,13 @@ object Dedup {
     val chunks = (0 until 4).map { c =>
       sig.select(col("doc_id"), col("sig"),
         lit(c).as("band"),
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+        shiftright(col("sig"), c * 15).bitwiseAND(lit(0x7fffL)).as("chunk"))
     }.reduce(_ unionByName _)
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")

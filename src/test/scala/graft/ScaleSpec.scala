@@ -77,6 +77,20 @@ class ScaleSpec extends SparkSpec {
     assert(jc.subsetOf(sh), s"jaccard>=0.9 pairs $jc not all within hamming 10: $sh")
   }
 
+  test("simhash: fast UDF and relational-expression variant agree bit-for-bit") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001).limit(50)
+    val fast = docs
+      .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sig"))
+    val rel = Dedup.simhashRelational(docs)
+      .withColumnRenamed("sig", "sig_rel")
+    val joined = fast.join(rel, "doc_id").collect()
+    assert(joined.length == 50)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("sig") == r.getAs[Long]("sig_rel"),
+        s"doc ${r.getAs[Long]("doc_id")}: UDF and relational simhash differ")
+    }
+  }
+
   test("rollingFingerprint: deterministic, edit-robust overlap") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val edited = base.replace("jumps", "leaps")
