@@ -505,10 +505,12 @@ object SparkEntry {
 
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, lang,
+        |s0 AS (SELECT doc_id, lang,
         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |                                   for i in generate_series(1, len(toks)-2)])) AS sh
         |      FROM t),
+        |keep AS (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 50),
+        |s AS (SELECT s0.* FROM s0 JOIN keep USING (sh)),
         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter_cnt
         |          FROM s a JOIN s b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id

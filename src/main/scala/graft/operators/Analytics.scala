@@ -150,16 +150,19 @@ object Analytics {
   }
 
   /** W3 — percentile rank vs peer group (reference reports.py:84).
-    * NOTE: a global percent_rank needs a total order over all rows — at
-    * 100 TB rank against a *partitioned* peer group (as standings does) or
-    * pre-aggregate first, as here (one row per customer before ranking). */
-  def spendPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    * A global percent_rank needs a total order over all rows; the naive
+    * `Window.orderBy` funnels everything through ONE reducer, so this
+    * uses [[Ranking.distributedPercentRank]] — range-sort + per-partition
+    * offsets, bitwise-equal result, no single-partition stage. Input is
+    * pre-aggregated to one row per customer first. */
+  def spendPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val perCustomer = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
-      .withColumn("spend_pct_rank",
-        percent_rank().over(Window.orderBy(col("total_spend"), col("o_custkey"))))
+    Ranking.distributedPercentRank(perCustomer,
+        Seq(col("total_spend"), col("o_custkey")), outCol = "spend_pct_rank")
       .orderBy("o_custkey")
+  }
 
   /** J5+A5 — head-to-head via symmetric pair key: trade volume between
     * nation pairs regardless of direction. Replaces the reference's

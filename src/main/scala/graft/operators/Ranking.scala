@@ -43,4 +43,59 @@ object Ranking {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Distributed global rank: adds `rankCol` (1-based, dense by the given
+    * unique total order) and `nCol` (total row count) WITHOUT a
+    * single-partition window.
+    *
+    * `Window.orderBy(...)` with no partitionBy moves every row through one
+    * reducer — the textbook scale-killer. This is the classic two-pass
+    * alternative: range-repartition on the order key (a parallel range
+    * sort), local sort, then global rank = per-partition offset + local
+    * index. Offsets come from per-partition counts (`numParts` rows — a
+    * constant, data-size-independent frame) joined back broadcast; the
+    * local index is `monotonically_increasing_id`'s intra-partition
+    * counter, assigned post-sort. No stage ever holds more than one
+    * range-partition of rows.
+    *
+    * `order` must be a UNIQUE total order (include a tiebreak column) —
+    * with ties the result is row_number-like, not rank-like. */
+  def distributedGlobalRank(df: DataFrame, order: Seq[Column],
+                            rankCol: String = "rank", nCol: String = "n",
+                            numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      // spark_partition_id / monotonically_increasing_id are
+      // nondeterministic-flagged, so Catalyst will not reorder them across
+      // the sort; local index = the id's intra-partition counter.
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lidx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // offset + total via a tiny parts×parts self-join — no window, no
+    // single-partition exchange anywhere on the data path.
+    val offsets = counts.as("a").crossJoin(counts.as("b"))
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(sum(when(col("b.__pid") < col("a.__pid"), col("b.__cnt"))
+        .otherwise(0L)).as("__offset"),
+        sum(col("b.__cnt")).as(nCol))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__offset") + col("__lidx") + 1L)
+      .drop("__pid", "__lidx", "__offset")
+  }
+
+  /** Distributed percent_rank over a unique total order: bitwise-equal to
+    * `percent_rank().over(Window.orderBy(order))` (unique order ⇒ rank =
+    * row_number), built on [[distributedGlobalRank]]. */
+  def distributedPercentRank(df: DataFrame, order: Seq[Column],
+                             outCol: String = "pct_rank"): DataFrame =
+    distributedGlobalRank(df, order, rankCol = "__rank", nCol = "__n")
+      .withColumn(outCol,
+        when(col("__n") > 1,
+          (col("__rank") - 1L).cast("double") / (col("__n") - 1L).cast("double"))
+          .otherwise(0.0))
+      .drop("__rank", "__n")
 }

@@ -37,24 +37,50 @@ object Dedup {
     * array column before shingling (higher-order exprs are interpreted —
     * leaving `split` inside the lambda re-splits the string per element),
     * repartition by doc so a small snapshot file (1 input split) still
-    * shingles on every core, and localCheckpoint the exploded rows —
-    * downstream self-joins would otherwise re-run the whole tokenize+
-    * shingle pipeline once per plan branch (~10× at the signature join).
-    * At 100 TB this materialization is a persisted silver table. */
+    * shingles on every core, and materialize the exploded rows via
+    * [[Silver.materialize]] — downstream self-joins would otherwise re-run
+    * the whole tokenize+shingle pipeline once per plan branch (~10× at
+    * the signature join). With `spark.graft.silver.dir` set this is a
+    * real persisted silver table (the 100 TB path). */
   private def shingleRows(docs: DataFrame, block: String): DataFrame =
-    docs
+    Silver.materialize(docs
       .select(col("doc_id"), col(block).as("block"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("block"), explode(shingles(col("toks"))).as("sh"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("block"), explode(shingles(col("toks"))).as("sh")),
+      "shingle_rows")
+
+  /** Document-frequency cap for shingle posting lists: shingles shared by
+    * more than this many documents (boilerplate, stop-phrases) are dropped
+    * from the similarity computation entirely. A shingle shared by d docs
+    * contributes d² candidate rows to the self-join, so without a cap one
+    * viral phrase makes the stage quadratic; with it the worst posting
+    * list is bounded and the join cost is ≤ Σ min(dfᵢ,τ)². Dropping hot
+    * shingles barely moves Jaccard for real near-dups (their overlap is
+    * dominated by content shingles with tiny df) — the standard
+    * stop-shingle trick. */
+  val MaxShingleDf = 50
 
   /** Pairwise shingle-set Jaccard within a blocking key, thresholded.
     * |A∩B| via self-join on shingle; |A|,|B| from per-doc counts; jaccard
-    * as exact integer division — deterministic across engines. */
+    * as exact integer division — deterministic across engines. Shingles
+    * with document frequency > `maxDf` are excluded from both the
+    * intersection and the set sizes (see [[MaxShingleDf]]). */
   def jaccardPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5, block: String = "lang"): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val s = shingleRows(docs, block)
+                   threshold: Double = 0.5, block: String = "lang",
+                   maxDf: Int = MaxShingleDf): DataFrame =
+    jaccardPairsFrom(Tables.documents(spark, dir), threshold, block, maxDf)
+
+  /** [[jaccardPairs]] over an explicit documents frame (doc_id, text,
+    * blocking column). */
+  def jaccardPairsFrom(docs: DataFrame, threshold: Double = 0.5,
+                       block: String = "lang",
+                       maxDf: Int = MaxShingleDf): DataFrame = {
+    val s0 = shingleRows(docs, block)
+    // Hot-shingle set is small by construction (only shingles appearing in
+    // >maxDf docs) — broadcast the anti-join, no extra shuffle of s0.
+    val hot = s0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val s = s0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = s.as("a"); val b = s.as("b")
     val inter = a.join(b,
@@ -92,7 +118,7 @@ object Dedup {
     * est ≥ 0.5. The join key is the band hash — no shingle-level fanout. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Signatures feed two band branches + two est joins — materialize once.
-    val sig = minhashSignatures(spark, dir).localCheckpoint(true)
+    val sig = Silver.materialize(minhashSignatures(spark, dir), "minhash_sig")
     val bands = (0 until NumHashes / BandWidth).map { b =>
       val cols = (b * BandWidth until (b + 1) * BandWidth).map(i => col(s"m$i"))
       sig.select(col("doc_id"), md5(concat(cols: _*)).as("bucket"), lit(b).as("band"))
@@ -173,11 +199,11 @@ object Dedup {
     * no-O(n²) LSH shape as [[minhashPairs]]. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = Tables.documents(spark, dir)
+    val sig = Silver.materialize(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), simhash(col("toks")).as("sig"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), simhash(col("toks")).as("sig")),
+      "simhash_sig")
     val chunks = (0 until 4).map { c =>
       sig.select(col("doc_id"), col("sig"),
         lit(c).as("band"),

@@ -84,10 +84,10 @@ object Similarity {
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(emb)
-    val assigned = model.transform(emb)
+    val assigned = Silver.materialize(model.transform(emb)
       .withColumnRenamed("prediction", "cell")
-      .drop("features")
-      .localCheckpoint(true)  // the persisted index; a table in production
+      .drop("features"),
+      "ivf_assignments") // the persisted index; a silver table in production
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     IvfIndex(assigned, centroids)

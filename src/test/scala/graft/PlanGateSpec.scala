@@ -33,4 +33,12 @@ class PlanGateSpec extends SparkSpec {
     val offenders = dimJoins.filterNot(n => plans(n).contains("BroadcastHashJoin"))
     assert(offenders.isEmpty, s"dimension join not broadcast in: $offenders")
   }
+
+  test("q_pct_rank: no single-partition exchange, no unpartitioned window") {
+    val plan = plans("q_pct_rank")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global rank funnels through one reducer:\n$plan")
+    assert(!plan.contains("Window"),
+      s"expected two-pass distributed rank, found a window:\n$plan")
+  }
 }

@@ -77,6 +77,38 @@ class ScaleSpec extends SparkSpec {
     assert(jc.subsetOf(sh), s"jaccard>=0.9 pairs $jc not all within hamming 10: $sh")
   }
 
+  test("jaccardPairs: hot-shingle cap drops boilerplate-only pairs, keeps real near-dups") {
+    import spark.implicits._
+    // 30 docs sharing ONLY a viral boilerplate phrase + 2 genuine near-dups.
+    val boiler = "subscribe to our newsletter for updates today"
+    val docs = ((1 to 30).map(i => (i.toLong, s"$boiler unique$i token$i filler$i", "en")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta", "en"),
+          (101L, "alpha beta gamma delta epsilon zeta theta", "en")))
+      .toDF("doc_id", "text", "lang")
+    val capped = Dedup.jaccardPairsFrom(docs, threshold = 0.2, maxDf = 10).collect()
+    val pairs = capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), "real near-dup must survive the cap")
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate-only pairs must be dropped by the df cap: $pairs")
+    // without the cap the 30 boilerplate docs generate O(30²) candidates
+    val uncapped = Dedup.jaccardPairsFrom(docs, threshold = 0.2, maxDf = 1000)
+      .count()
+    assert(uncapped > capped.length, "cap must reduce the candidate pair count")
+  }
+
+  test("Silver: persisted-table path produces identical results to localCheckpoint") {
+    val local = Dedup.minhashPairs(spark, TestSpark.Sf0001).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_silver").toString
+    spark.conf.set("spark.graft.silver.dir", dir)
+    try {
+      val persisted = Dedup.minhashPairs(spark, TestSpark.Sf0001).collect().toSeq
+      assert(persisted == local)
+      val silverTables = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(silverTables.contains("shingle_rows") && silverTables.contains("minhash_sig"),
+        s"expected silver tables under $dir, found $silverTables")
+    } finally spark.conf.unset("spark.graft.silver.dir")
+  }
+
   test("simhash: fast UDF and relational-expression variant agree bit-for-bit") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001).limit(50)
     val fast = docs
