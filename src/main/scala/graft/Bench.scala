@@ -30,8 +30,11 @@ object Bench {
     }
     // Dedup/similarity queries localCheckpoint intermediates; drop them
     // between queries so 96 runs don't accumulate block-manager pressure.
+    // Blocking unpersist: async removal would overlap the next timed query
+    // (observed as multi-second phantom slowness on whatever queries run
+    // right after the warmup phase).
     def dropCheckpoints(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warmup: run everything once, untimed.
@@ -40,6 +43,10 @@ object Bench {
       catch { case _: Throwable => () }
       dropCheckpoints()
     }
+    // Settle between warmup and the timed phase: collect warmup garbage
+    // now instead of during the first timed queries.
+    System.gc()
+    Thread.sleep(2000)
     val results = names.map { n =>
       val fn = SparkEntry.queries(n)
       // Best-of-3: the host shows multi-second CPU-steal spikes; min over
