@@ -157,6 +157,21 @@ object Parsing {
       nullif(regexp_extract(href, "/verein/(\\d+)", 1), lit("")),
       nullif(regexp_extract(href, "/(\\d+)(?:/|$)", 1), lit("")))
 
+  /** F27 entity type from a zerozero URL (zerozero_scraper.py:18-38): the
+    * dispatch ladder routing four scrapers' bronze captures. Checked in
+    * reference order against the lowercased URL *path* (host stripped, so
+    * a domain like "spieler-markt.de" can't false-positive). */
+  def entityTypeFromUrl(url: Column): Column = {
+    val path = lower(regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
+    when(path.rlike("/(match|spiel)/"), "match")
+      .when(path.rlike("/(referee|schiedsrichter)/"), "referee")
+      .when(path.rlike("/(stadium|stadion)/"), "stadium")
+      .when(path.rlike("/(player|spieler)/"), "player")
+      .when(path.rlike("/(coach|trainer)/"), "coach")
+      .when(path.rlike("/(team|verein)/"), "team")
+      .otherwise("unknown")
+  }
+
   /** F29 deterministic external id (flashscore_scraper.py:296 — semantic
     * key, NOT python hash()): sha2 over the natural key. */
   def externalId(parts: Column*): Column = sha2(concat_ws("_", parts: _*), 256)

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S14: Bundesliga clubs → squads → players staged crawl, engine side
+  * (reference `bundesliga/bundesliga_club_scraper.py:269-442` drives the
+  * fetch loop; `:444-560` club overview/detail parsing, `:1039-1094`
+  * player-link extraction, `:1096-1180` player parsing).
+  *
+  * The reference walks the three stages with nested async for-loops —
+  * one page at a time, state in Python dicts. Here each stage is a
+  * DataFrame over a snapshot directory and the "crawl" is two joins:
+  *
+  *   clubs(detail pages) ⋈ squad_url  links(squad pages) ⋈ player_url  players(player pages)
+  *
+  * so a 1000-executor cluster parses every page of every stage in
+  * parallel and the club→player association is an equi-join instead of
+  * loop bookkeeping. Fetch stays outside the engine (SURVEY §3.2); the
+  * hydration-JSON enrichment fallback (`_enrich_club_from_hydration`,
+  * `_player_hydration_fallback`) is the same `__NEXT_DATA__` extraction
+  * used by [[Bronze.extractNextData]].
+  */
+object BundesligaCrawl {
+
+  /** `<th>label</th><td>v</td>` / `<dt>label</dt><dd>v</dd>` fact-table
+    * lookup (reference `_find_labeled_value` + `_regex_fact_table_fallback`),
+    * label alternatives ORed. */
+  private def labeled(html: Column, labels: Seq[String]): Column = {
+    val lab = labels.mkString("(?:", "|", ")")
+    nullif(trim(regexp_replace(coalesce(
+      nullif(regexp_extract(html,
+        s"(?si)<(?:th|dt)[^>]*>\\s*$lab\\s*:?\\s*</(?:th|dt)>\\s*<(?:td|dd)[^>]*>(.*?)</(?:td|dd)>", 1), lit("")),
+      nullif(regexp_extract(html,
+        s"(?si)<span[^>]*>\\s*$lab\\s*:?\\s*</span>\\s*<span[^>]*>(.*?)</span>", 1), lit(""))),
+      "<[^>]*>", "")), lit(""))
+  }
+
+  /** Page title: `<h1>` text, else og:title meta, with the
+    * "… - Spielerprofil - …" suffix stripped (reference
+    * `_extract_player_basic_info`). */
+  private def pageTitle(html: Column): Column = {
+    val h1 = nullif(trim(regexp_replace(
+      regexp_extract(html, "(?si)<h1[^>]*>(.*?)</h1>", 1), "<[^>]*>", "")), lit(""))
+    val og = nullif(regexp_extract(html,
+      "(?si)<meta[^>]+property=\"og:title\"[^>]+content=\"([^\"]*)\"", 1), lit(""))
+    trim(regexp_replace(coalesce(h1, og),
+      "(?i)[-–|]?\\s*\\b(spielerprofil|player profile)\\b.*$", ""))
+  }
+
+  /** Short/German position token → long form (reference `map_position` +
+    * the GK→Goalkeeper normalization the scraper applies three times). */
+  def positionLongForm(p: Column): Column = {
+    val t = lower(trim(p))
+    when(t.isNull, lit(null).cast("string"))
+      .when(t.isin("gk", "torwart", "goalkeeper", "keeper"), "Goalkeeper")
+      .when(t.isin("df", "abwehr", "verteidiger", "defender", "defence", "defense"), "Defender")
+      .when(t.isin("mf", "mittelfeld", "midfielder", "midfield"), "Midfielder")
+      .when(t.isin("fw", "sturm", "stürmer", "angriff", "forward", "striker"), "Forward")
+      .otherwise(trim(p))
+  }
+
+  /** Stage 1 — club records from detail-page snapshots
+    * (`_extract_club_data` + hydration enrichment). `pages` needs
+    * (urlCol, htmlCol). */
+  def clubsFromPages(pages: DataFrame, htmlCol: String = "html",
+                     urlCol: String = "source_url"): DataFrame = {
+    val html = col(htmlCol)
+    val hydration = Bronze.extractNextData(html)
+    def hyd(path: String): Column = get_json_object(hydration, path)
+    pages.select(
+      col(urlCol).as("source_url"),
+      coalesce(pageTitle(html), hyd("$.props.pageProps.club.name")).as("name"),
+      coalesce(labeled(html, Seq("Gegründet", "Founded")),
+        hyd("$.props.pageProps.club.founded"))
+        .cast("int").as("founded_year"),
+      coalesce(labeled(html, Seq("Stadion", "Stadium")),
+        hyd("$.props.pageProps.club.stadium.name")).as("stadium"),
+      coalesce(labeled(html, Seq("Trainer", "Coach", "Cheftrainer")),
+        hyd("$.props.pageProps.club.coach.name")).as("coach"),
+      // squad link: first kader/squad href on the page (_find_squad_url)
+      nullif(regexp_extract(html,
+        "(?si)<a[^>]+href=\"([^\"]*(?:kader|squad)[^\"]*)\"", 1), lit(""))
+        .as("squad_url"))
+      .filter(col("name").isNotNull)
+  }
+
+  private val PositionTokens =
+    "position|pos|gk|df|mf|fw|torwart|goalkeeper|abwehr|verteidiger|defender|" +
+      "mittelfeld|midfielder|sturm|stürmer|forward|striker"
+
+  /** Stage 2 — player links from squad-page snapshots
+    * (`_extract_player_links`): anchors matching
+    * `/de/bundesliga/spieler/<slug>` inside a `<tr>`/`<article>` whose
+    * text carries a position token; link text must look like a full name
+    * (≥ 2 words). One row per (squad_url, player_url), deduped. */
+  def playerLinksFromSquadPages(pages: DataFrame, htmlCol: String = "html",
+                                urlCol: String = "squad_url"): DataFrame = {
+    val containers = expr(
+      s"regexp_extract_all($htmlCol, '(?si)<(?:tr|article)[^>]*>.*?</(?:tr|article)>', 0)")
+    pages
+      .select(col(urlCol).as("squad_url"), explode(containers).as("__c"))
+      .filter(lower(regexp_replace(col("__c"), "<[^>]*>", " "))
+        .rlike(s"\\b(?:$PositionTokens)\\b"))
+      .select(col("squad_url"), explode(expr(
+        "regexp_extract_all(__c, '(?si)<a[^>]+href=\"[^\"]*/de/bundesliga/spieler/[a-z0-9\\\\-]+[^\"]*\"[^>]*>.*?</a>', 0)"))
+        .as("__a"))
+      .select(col("squad_url"),
+        regexp_extract(col("__a"),
+          "href=\"([^\"]*/de/bundesliga/spieler/[a-z0-9\\-]+[^\"]*)\"", 1).as("player_url"),
+        trim(regexp_replace(regexp_extract(col("__a"), "(?si)>(.*)</a>$", 1),
+          "<[^>]*>", "")).as("link_text"))
+      .filter(size(split(col("link_text"), "\\s+")) >= 2)
+      .distinct()
+  }
+
+  /** Stage 3 — player records from player-page snapshots
+    * (`_parse_player_data` + `_player_hydration_fallback`): name from
+    * h1/og:title (first space splits first/last), labeled position /
+    * shirt number / nationality with hydration-JSON fallback, position
+    * normalized to long form. */
+  def playersFromPages(pages: DataFrame, htmlCol: String = "html",
+                       urlCol: String = "player_url"): DataFrame = {
+    val html = col(htmlCol)
+    val hydration = Bronze.extractNextData(html)
+    def hyd(path: String): Column = get_json_object(hydration, path)
+    val title = pageTitle(html)
+    val numText = coalesce(labeled(html, Seq("Rückennummer", "Number", "Trikotnummer")),
+      hyd("$.props.pageProps.player.shirtNumber"))
+    val num = nullif(regexp_extract(numText, "(\\d+)", 1), lit("")).cast("int")
+    val nameParts = split(title, " ", 2)
+    pages.select(
+        col(urlCol).as("player_url"),
+        get(nameParts, lit(0)).as("first_name"),
+        coalesce(trim(get(nameParts, lit(1))), lit("")).as("last_name"),
+        positionLongForm(coalesce(labeled(html, Seq("Position")),
+          hyd("$.props.pageProps.player.position"))).as("position"),
+        when(num.between(1, 99), num).as("shirt_number"),
+        coalesce(labeled(html, Seq("Nationalität", "Nationality")),
+          hyd("$.props.pageProps.player.nationality")).as("nationality"))
+      .filter(col("first_name").isNotNull && col("first_name") =!= "")
+  }
+
+  /** The staged-crawl join: one row per (club, player), the frame the
+    * reference assembles as `players_by_club`. Clubs without a resolvable
+    * squad or players drop out (inner joins — same as the reference's
+    * try/except-skip). */
+  def crawl(clubDetailPages: DataFrame, squadPages: DataFrame,
+            playerPages: DataFrame): DataFrame = {
+    val clubs = clubsFromPages(clubDetailPages)
+    val links = playerLinksFromSquadPages(squadPages)
+    val players = playersFromPages(playerPages)
+    clubs.join(links, "squad_url")
+      .join(players, "player_url")
+      .select(col("name").as("club_name"), col("founded_year"), col("stadium"),
+        col("coach"), col("player_url"), col("first_name"), col("last_name"),
+        col("position"), col("shirt_number"), col("nationality"))
+  }
+}

@@ -77,4 +77,132 @@ object SiteParsers {
         coalesce(col("implied_home"), lit(0.0)) +
           coalesce(col("implied_draw"), lit(0.0)) +
           coalesce(col("implied_away"), lit(0.0)))
+
+  // ---- S9 Transfermarkt transfers page ------------------------------
+
+  private val Positions = Seq("GK", "DF", "MF", "FW", "CB", "RB", "LB",
+    "CM", "CAM", "CDM", "RW", "LW")
+
+  /** First element of `arr` satisfying `pred`, or null (mirrors the
+    * reference's `next((c for c in cells if ...), None)`). */
+  private def firstWhere(arr: Column, pred: Column => Column): Column =
+    get(filter(arr, pred), lit(0))
+
+  private def stripTags(c: Column): Column =
+    trim(regexp_replace(c, "<[^>]*>", ""))
+
+  /** S9 Transfermarkt transfers page → typed in/out transfer rows
+    * (transfermarkt_transfers_scraper.py:16-144). Tables with class
+    * `items`; direction from the preceding h2/h3 heading
+    * (Zugänge/arrivals vs Abgänge/departures) falling back to the
+    * header-cell language (von/from vs zu/to); per-row field discovery is
+    * predicate-based over raw cells exactly like the reference: first
+    * linked cell → player, whitelist text → position, bare 16..49 int →
+    * age, €-cell → market value, fee-keyword cell → transfer fee (F8),
+    * /verein/-link cell → club, dd.MM.yyyy cell → date. */
+  def transfersFromPages(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    // Split so each segment starts at an items-table; the heading that
+    // classifies table direction sits at the tail of the PREVIOUS segment.
+    val segs = split(col(htmlCol), "(?i)(?=<table[^>]*class=\"[^\"]*items)")
+    val withSeg = pages
+      .withColumn("__segs", segs)
+      .select(col("snapshot_path"),
+        posexplode(expr("slice(__segs, 2, greatest(size(__segs) - 1, 0))"))
+          .as(Seq("__i", "__cur")),
+        col("__segs"))
+      .withColumn("__prev", element_at(col("__segs"), col("__i") + 1))
+      .drop("__segs")
+    val table = regexp_extract(col("__cur"), "(?si)^(<table.*?</table>)", 1)
+    val heading = lower(regexp_extract(col("__prev"),
+      "(?si).*<h[23][^>]*>(.*?)</h[23]>", 1))
+    val ths = lower(concat_ws(" ",
+      regexp_extract_all(table, lit("(?si)<th[^>]*>(.*?)</th>"), lit(1))))
+    val direction =
+      when(heading.rlike("zugang|arrival"), "in")
+        .when(heading.rlike("abgang|departure"), "out")
+        .when(ths.rlike("\\bvon\\b|\\bfrom\\b"), "in")
+        .when(ths.rlike("\\bzu\\b|\\bto\\b"), "out")
+    val rowsRaw = expr(
+      "slice(" +
+        s"regexp_extract_all(regexp_extract(__cur, '(?si)^(<table.*?</table>)', 1), " +
+        "'(?si)<tr[^>]*>.*?</tr>', 0), 2, 100000)") // skip header row
+
+    val exploded = withSeg
+      .withColumn("direction", direction)
+      .filter(col("direction").isNotNull)
+      .select(col("snapshot_path"), col("direction"),
+        explode(rowsRaw).as("__row"))
+      .withColumn("__cells",
+        expr("regexp_extract_all(__row, '(?si)<td[^>]*>.*?</td>', 0)"))
+      .filter(size(col("__cells")) >= 4)
+
+    val cells = col("__cells")
+    val playerCell = when(get(cells, lit(0)).rlike("(?i)<a"), get(cells, lit(0)))
+      .otherwise(get(cells, lit(1)))
+    val clubCell = firstWhere(cells,
+      c => c.rlike("(?i)<a[^>]+href=\"[^\"]*/verein/"))
+    val posList = Positions.map(lit(_))
+    exploded.select(
+        col("snapshot_path"), col("direction"),
+        stripTags(regexp_extract(playerCell, "(?si)<a[^>]*>(.*?)</a>", 1))
+          .as("player_name"),
+        nullif(regexp_extract(playerCell, "(?si)<a[^>]+href=\"([^\"]*)\"", 1), lit(""))
+          .as("player_url"),
+        stripTags(firstWhere(cells, c => stripTags(c).isin(posList: _*)))
+          .as("position"),
+        firstWhere(transform(cells, stripTags(_)),
+          t => t.rlike("^\\d{1,2}$") && t.cast("int") > 15 && t.cast("int") < 50)
+          .cast("int").as("age"),
+        // reference predicates run on cell *text* (get_text), not raw html
+        Parsing.parseMarketValue(
+          firstWhere(transform(cells, stripTags(_)), t => t.contains("€")))
+          .as("market_value"),
+        Parsing.parseTransferFee(
+          firstWhere(transform(cells, stripTags(_)),
+            t => lower(t).rlike("fee|ablöse|free|loan") || t.contains("€")))
+          .as("transfer_fee"),
+        stripTags(regexp_extract(clubCell,
+          "(?si)<a[^>]+href=\"[^\"]*/verein/[^\"]*\"[^>]*>(.*?)</a>", 1))
+          .as("club_name"),
+        nullif(regexp_extract(clubCell,
+          "(?si)<a[^>]+href=\"([^\"]*/verein/[^\"]*)\"", 1), lit(""))
+          .as("club_url"),
+        to_date(nullif(regexp_extract(
+          firstWhere(cells, c => c.rlike("\\d{2}\\.\\d{2}\\.\\d{4}")),
+          "(\\d{2}\\.\\d{2}\\.\\d{4})", 1), lit("")), "dd.MM.yyyy")
+          .as("transfer_date"))
+      .filter(col("player_name").isNotNull && col("player_name") =!= "")
+  }
+
+  // ---- S11 Transfermarkt market-value / agent page ------------------
+
+  /** S11 player profile page → (agent_name, valuation_date, value_eur,
+    * currency) (transfermarkt_market_scraper.py:33-89). Agent from the
+    * first `/beraterfirma/` link; current market value from the
+    * "… Mio./Tsd. € Letzte Änderung: dd.MM.yyyy" text (German number
+    * format: dots are thousands separators, comma is the decimal).
+    * Unlike the reference, a value without a date keeps a null date
+    * rather than stamping wall-clock now (nondeterministic). */
+  def marketValueFromPages(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val html = col(htmlCol)
+    val text = regexp_replace(regexp_replace(html, "<[^>]*>", " "), "\\s+", " ")
+    val valText = regexp_extract(text,
+      "([0-9.,]+)\\s*(Mio\\.|Tsd\\.)?\\s*€\\s*Letzte Änderung:", 1)
+    val scale = regexp_extract(text,
+      "[0-9.,]+\\s*(Mio\\.|Tsd\\.)?\\s*€\\s*Letzte Änderung:", 1)
+    val raw = nullif(regexp_replace(regexp_replace(valText, "\\.", ""), ",", "."), lit(""))
+      .cast("double")
+    val valueEur = raw * when(scale === "Mio.", 1e6)
+      .when(scale === "Tsd.", 1e3).otherwise(1.0)
+    pages.select(
+      col("snapshot_path"),
+      nullif(stripTags(regexp_extract(html,
+        "(?si)<a[^>]+href=\"[^\"]*/beraterfirma/[^\"]*\"[^>]*>(.*?)</a>", 1)), lit(""))
+        .as("agent_name"),
+      to_date(nullif(regexp_extract(text,
+        "Letzte Änderung:\\s*(\\d{2}\\.\\d{2}\\.\\d{4})", 1), lit("")), "dd.MM.yyyy")
+        .as("valuation_date"),
+      valueEur.as("value_eur"),
+      when(valueEur.isNotNull, "EUR").as("currency"))
+  }
 }

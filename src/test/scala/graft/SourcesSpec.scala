@@ -107,6 +107,161 @@ class SourcesSpec extends SparkSpec {
     assert(none.isNullAt(0))
   }
 
+  test("entityTypeFromUrl: zerozero dispatch ladder (F27)") {
+    import graft.functions.Parsing
+    val r = evalExpr(
+      Parsing.entityTypeFromUrl(lit("https://www.fussballzz.de/match/12345/report")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/spieler/99/profil")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/spiel/42")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/schiedsrichter/7")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/stadion/3/west")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/trainer/5")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/verein/11/kader")),
+      Parsing.entityTypeFromUrl(lit("https://spieler-markt.de/nowhere")),
+      Parsing.entityTypeFromUrl(lit("https://x.de/news/today")))
+    assert(r.getString(0) == "match")
+    assert(r.getString(1) == "player")
+    assert(r.getString(2) == "match")     // '/spiel/' ≠ '/spieler/'
+    assert(r.getString(3) == "referee")
+    assert(r.getString(4) == "stadium")
+    assert(r.getString(5) == "coach")
+    assert(r.getString(6) == "team")
+    assert(r.getString(7) == "unknown")   // host must not dispatch
+    assert(r.getString(8) == "unknown")
+  }
+
+  test("transfersFromPages: in/out direction, typed fields, fee typing (S9)") {
+    import graft.sources.SiteParsers
+    val html =
+      """<html><body>
+        |<h2>Zugänge 24/25</h2>
+        |<table class="items responsive">
+        |<tr><th>Spieler</th><th>Pos</th><th>Alter</th><th>Von</th><th>Ablöse</th></tr>
+        |<tr><td><a href="/jude-bellingham/profil/spieler/581678">Jude Bellingham</a></td>
+        |    <td>CM</td><td>20</td>
+        |    <td><a href="/bvb/startseite/verein/16">Borussia Dortmund</a></td>
+        |    <td>€103.00m</td><td>01.07.2023</td></tr>
+        |<tr><td><a href="/x/profil/spieler/1">Free Guy</a></td>
+        |    <td>FW</td><td>28</td>
+        |    <td><a href="/y/startseite/verein/99">FC Ablösefrei</a></td>
+        |    <td>ablösefrei</td><td>15.08.2023</td></tr>
+        |</table>
+        |<h3>Abgänge 24/25</h3>
+        |<table class="items">
+        |<tr><th>Spieler</th><th>Pos</th><th>Alter</th><th>Zu</th><th>Ablöse</th></tr>
+        |<tr><td><a href="/a/profil/spieler/2">Loan Man</a></td>
+        |    <td>GK</td><td>19</td>
+        |    <td><a href="/z/startseite/verein/7">Leih FC</a></td>
+        |    <td>Leihe / loan</td><td></td></tr>
+        |</table>
+        |</body></html>""".stripMargin
+    val pages = Seq(html).toDF("html").withColumn("snapshot_path", lit("p1"))
+    val out = SiteParsers.transfersFromPages(pages).orderBy("player_name").collect()
+    assert(out.length == 3)
+    val jude = out.find(_.getAs[String]("player_name") == "Jude Bellingham").get
+    assert(jude.getAs[String]("direction") == "in")
+    assert(jude.getAs[String]("position") == "CM")
+    assert(jude.getAs[Int]("age") == 20)
+    assert(jude.getAs[String]("club_name") == "Borussia Dortmund")
+    assert(jude.getAs[String]("club_url") == "/bvb/startseite/verein/16")
+    assert(jude.getAs[java.sql.Date]("transfer_date").toString == "2023-07-01")
+    val fee = jude.getStruct(jude.fieldIndex("transfer_fee"))
+    assert(fee.getAs[String]("fee_type") == "transfer_fee")
+    assert(fee.getAs[Double]("amount") == 1.03e8)
+    val free = out.find(_.getAs[String]("player_name") == "Free Guy").get
+    assert(free.getStruct(free.fieldIndex("transfer_fee")).getAs[String]("fee_type") == "free")
+    val loan = out.find(_.getAs[String]("player_name") == "Loan Man").get
+    assert(loan.getAs[String]("direction") == "out")
+    assert(loan.getStruct(loan.fieldIndex("transfer_fee")).getAs[String]("fee_type") == "loan")
+  }
+
+  test("marketValueFromPages: agent link + Letzte-Änderung value block (S11)") {
+    import graft.sources.SiteParsers
+    val html =
+      """<html><body>
+        |<div class="agent"><a href="/top-agency/beraterfirma/berater/123">Top Agency GmbH</a></div>
+        |<div class="mv"><span>30,00 Mio. €</span> <span>Letzte Änderung: 05.06.2025</span></div>
+        |</body></html>""".stripMargin
+    val pages = Seq(html).toDF("html").withColumn("snapshot_path", lit("p1"))
+    val r = SiteParsers.marketValueFromPages(pages).head()
+    assert(r.getAs[String]("agent_name") == "Top Agency GmbH")
+    assert(r.getAs[java.sql.Date]("valuation_date").toString == "2025-06-05")
+    assert(r.getAs[Double]("value_eur") == 3.0e7)
+    assert(r.getAs[String]("currency") == "EUR")
+    // Tsd. scale + no agent
+    val html2 = """<p>800,5 Tsd. € Letzte Änderung: 01.02.2024</p>"""
+    val r2 = SiteParsers.marketValueFromPages(
+      Seq(html2).toDF("html").withColumn("snapshot_path", lit("p2"))).head()
+    assert(r2.isNullAt(r2.fieldIndex("agent_name")))
+    assert(r2.getAs[Double]("value_eur") == 800500.0)
+    // no value block at all
+    val r3 = SiteParsers.marketValueFromPages(
+      Seq("<p>nothing here</p>").toDF("html").withColumn("snapshot_path", lit("p3"))).head()
+    assert(r3.isNullAt(r3.fieldIndex("value_eur")))
+    assert(r3.isNullAt(r3.fieldIndex("currency")))
+  }
+
+  test("BundesligaCrawl: clubs → squads → players staged join from fixtures (S14)") {
+    import graft.sources.BundesligaCrawl
+    val clubPage =
+      """<html><head><meta property="og:title" content="Borussia Dortmund"/></head><body>
+        |<h1>Borussia Dortmund</h1>
+        |<table><tr><th>Gegründet</th><td>1909</td></tr>
+        |<tr><th>Stadion</th><td>Signal Iduna Park</td></tr>
+        |<tr><th>Trainer</th><td>Edin Terzić</td></tr></table>
+        |<a href="/de/bundesliga/clubs/bvb/kader">Kader</a>
+        |</body></html>""".stripMargin
+    val squadPage =
+      """<html><body><table>
+        |<tr><td>1</td><td><a href="/de/bundesliga/spieler/gregor-kobel">Gregor Kobel</a></td><td>Torwart</td></tr>
+        |<tr><td>9</td><td><a href="/de/bundesliga/spieler/serhou-guirassy">Serhou Guirassy</a></td><td>FW</td></tr>
+        |<tr><td><a href="/de/bundesliga/spieler/one-word">Mononym</a></td><td>MF</td></tr>
+        |<tr><td><a href="/de/bundesliga/news/today">Some News Story</a></td><td>MF</td></tr>
+        |<tr><td><a href="/de/bundesliga/spieler/no-pos-ctx">Backroom Staffer</a></td><td>42</td></tr>
+        |</table></body></html>""".stripMargin
+    val kobelPage =
+      """<html><body><h1>Gregor Kobel - Spielerprofil - Bundesliga</h1>
+        |<dl><dt>Position</dt><dd>GK</dd><dt>Rückennummer</dt><dd>1</dd>
+        |<dt>Nationalität</dt><dd>Schweiz</dd></dl></body></html>""".stripMargin
+    val guirassyPage =
+      """<html><body><h1>Serhou Guirassy</h1>
+        |<script id="__NEXT_DATA__" type="application/json">
+        |{"props":{"pageProps":{"player":{"position":"Sturm","shirtNumber":"9","nationality":"Guinea"}}}}
+        |</script></body></html>""".stripMargin
+
+    val clubs = Seq(("club1", clubPage)).toDF("source_url", "html")
+    val squads = Seq(("/de/bundesliga/clubs/bvb/kader", squadPage)).toDF("squad_url", "html")
+    val players = Seq(
+      ("/de/bundesliga/spieler/gregor-kobel", kobelPage),
+      ("/de/bundesliga/spieler/serhou-guirassy", guirassyPage)).toDF("player_url", "html")
+
+    // stage outputs
+    val clubRows = BundesligaCrawl.clubsFromPages(clubs).collect()
+    assert(clubRows.length == 1)
+    assert(clubRows.head.getAs[String]("name") == "Borussia Dortmund")
+    assert(clubRows.head.getAs[Int]("founded_year") == 1909)
+    assert(clubRows.head.getAs[String]("squad_url") == "/de/bundesliga/clubs/bvb/kader")
+    val links = BundesligaCrawl.playerLinksFromSquadPages(squads).collect()
+    // one-word link text, non-spieler href, and no-position-context rows excluded
+    assert(links.map(_.getAs[String]("player_url")).sorted.toSeq ==
+      Seq("/de/bundesliga/spieler/gregor-kobel", "/de/bundesliga/spieler/serhou-guirassy"))
+
+    // staged join
+    val out = BundesligaCrawl.crawl(clubs, squads, players)
+      .orderBy("shirt_number").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("club_name") == "Borussia Dortmund"))
+    val kobel = out(0)
+    assert(kobel.getAs[String]("first_name") == "Gregor")
+    assert(kobel.getAs[String]("last_name") == "Kobel")
+    assert(kobel.getAs[String]("position") == "Goalkeeper") // GK long-form
+    assert(kobel.getAs[Int]("shirt_number") == 1)
+    val gui = out(1)
+    assert(gui.getAs[String]("position") == "Forward")      // hydration Sturm → Forward
+    assert(gui.getAs[Int]("shirt_number") == 9)
+    assert(gui.getAs[String]("nationality") == "Guinea")
+  }
+
   test("scrapedDataFrame: K7 bronze capture shape with JSON payload") {
     val df = Seq(("A", 1), ("B", 2)).toDF("team", "rank")
     val out = Bronze.scrapedDataFrame(df, "test_scraper")
