@@ -103,14 +103,19 @@ object SiteParsers {
   def transfersFromPages(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
     // Split so each segment starts at an items-table; the heading that
     // classifies table direction sits at the tail of the PREVIOUS segment.
+    // NB: a zero-width lookahead match at position 0 yields NO leading
+    // empty segment (Java 8 split semantics), so segments are filtered by
+    // their own prefix rather than sliced by index.
     val segs = split(col(htmlCol), "(?i)(?=<table[^>]*class=\"[^\"]*items)")
     val withSeg = pages
       .withColumn("__segs", segs)
       .select(col("snapshot_path"),
-        posexplode(expr("slice(__segs, 2, greatest(size(__segs) - 1, 0))"))
-          .as(Seq("__i", "__cur")),
+        posexplode(col("__segs")).as(Seq("__i", "__cur")),
         col("__segs"))
-      .withColumn("__prev", element_at(col("__segs"), col("__i") + 1))
+      .filter(col("__cur").rlike("(?i)^<table[^>]*class=\"[^\"]*items"))
+      .withColumn("__prev",
+        when(col("__i") > 0, element_at(col("__segs"), col("__i")))
+          .otherwise(lit("")))
       .drop("__segs")
     val table = regexp_extract(col("__cur"), "(?si)^(<table.*?</table>)", 1)
     val heading = lower(regexp_extract(col("__prev"),
@@ -172,6 +177,98 @@ object SiteParsers {
           "(\\d{2}\\.\\d{2}\\.\\d{4})", 1), lit("")), "dd.MM.yyyy")
           .as("transfer_date"))
       .filter(col("player_name").isNotNull && col("player_name") =!= "")
+  }
+
+  // ---- S4/S6 FBref league schedule & season fixtures ----------------
+
+  /** S4/S6 FBref "Scores & Fixtures" parser (fbref_season_scraper.py:
+    * 17-114, fbref_scraper league-schedule path): tables whose id matches
+    * `fixture|scores`; per body row the `/en/matches/<id>/` report link
+    * keys the match, the ISO date and `h-a` score cells are
+    * pattern-sniffed, and the first two `/en/squads/` links give
+    * home/away team names — positional like the reference, not
+    * column-indexed, so layout changes don't break it. */
+  def fbrefFixturesFromPages(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val tables = expr(
+      s"regexp_extract_all($htmlCol, '(?si)<table[^>]*\\\\bid=\"[^\"]*(?:fixture|scores)[^\"]*\"[^>]*>.*?</table>', 0)")
+    val rows = expr(
+      "regexp_extract_all(regexp_extract(__tbl, '(?si)<tbody[^>]*>(.*?)</tbody>', 1), " +
+        "'(?si)<tr[^>]*>.*?</tr>', 0)")
+    val row = col("__row")
+    val cellTexts = transform(
+      expr("regexp_extract_all(__row, '(?si)<t[dh][^>]*>.*?</t[dh]>', 0)"),
+      c => stripTags(c))
+    val squadNames = expr(
+      "regexp_extract_all(__row, '(?si)<a[^>]+href=\"[^\"]*/en/squads/[^\"]*\"[^>]*>(.*?)</a>', 1)")
+    pages
+      .select(col("snapshot_path"), explode(tables).as("__tbl"))
+      .select(col("snapshot_path"), explode(rows).as("__row"))
+      .select(
+        col("snapshot_path"),
+        nullif(regexp_extract(row, "href=\"([^\"]*/en/matches/[^/\"]+/[^\"]*)\"", 1), lit(""))
+          .as("match_url"),
+        nullif(regexp_extract(row, "/en/matches/([^/\"]+)/", 1), lit(""))
+          .as("match_id"),
+        to_date(firstWhere(cellTexts, t => t.rlike("^\\d{4}-\\d{2}-\\d{2}$")))
+          .as("match_date"),
+        Parsing.parseScore(firstWhere(cellTexts, t => t.rlike("^\\d+-\\d+$")))
+          .as("score"),
+        stripTags(get(squadNames, lit(0))).as("home_team"),
+        stripTags(get(squadNames, lit(1))).as("away_team"))
+      .filter(col("match_url").isNotNull)
+  }
+
+  // ---- S12 Bet365 / bwin bookmaker odds -----------------------------
+
+  /** Selector config for a bookmaker's odds page — the reference's
+    * per-bookmaker dict (bet365_scraper.py:123-141). `teamsJoined` =
+    * teams in one element split on " - " (bwin) vs two elements
+    * (bet365). */
+  final case class BookmakerSelectors(name: String, rowClass: String,
+                                      teamsClass: String, oddsClass: String,
+                                      teamsJoined: Boolean)
+
+  val Bet365: BookmakerSelectors = BookmakerSelectors("bet365",
+    "gl-Market_General", "gl-ParticipantFixtureDetails_TeamNames",
+    "gl-ParticipantOddsOnly_Odds", teamsJoined = false)
+  val Bwin: BookmakerSelectors = BookmakerSelectors("bwin",
+    "grid-event-wrapper", "participants", "option-value", teamsJoined = true)
+
+  /** S12 bookmaker odds page → (bookmaker, home_team, away_team,
+    * odds_home/draw/away) (bet365_scraper.py:119-270). Match rows split
+    * on the row-class marker; team/odds values pulled by element class;
+    * odds accepted only in plain decimal form (the reference's
+    * `isdigit()` guard → None otherwise). */
+  def bookmakerOddsFromPages(pages: DataFrame, sel: BookmakerSelectors,
+                             htmlCol: String = "html"): DataFrame = {
+    val segs = split(col(htmlCol), s"(?i)(?=<[a-z][^>]*class=\"[^\"]*${sel.rowClass})")
+    val classVals = (cls: String) => expr(
+      s"""regexp_extract_all(__row, '(?si)class="[^"]*$cls[^"]*"[^>]*>([^<]*)<', 1)""")
+    val teams = classVals(sel.teamsClass)
+    val odds = transform(classVals(sel.oddsClass), v => trim(v))
+    val oddsNum = (i: Int) =>
+      when(get(odds, lit(i)).rlike("^\\d+(\\.\\d+)?$"), get(odds, lit(i)).cast("double"))
+    val (home, away) =
+      if (sel.teamsJoined) {
+        val parts = split(trim(get(teams, lit(0))), "\\s+-\\s+")
+        (get(parts, lit(0)), get(parts, lit(1)))
+      } else (trim(get(teams, lit(0))), trim(get(teams, lit(1))))
+    pages
+      .withColumn("__segs", segs)
+      // filter by prefix, not by index: a marker at position 0 produces no
+      // leading empty segment (Java 8 split semantics)
+      .select(col("snapshot_path"),
+        explode(filter(col("__segs"),
+          s => s.rlike(s"(?i)^<[a-z][^>]*class=\"[^\"]*${sel.rowClass}"))).as("__row"))
+      .select(
+        col("snapshot_path"),
+        lit(sel.name).as("bookmaker"),
+        home.as("home_team"),
+        away.as("away_team"),
+        oddsNum(0).as("odds_home"),
+        oddsNum(1).as("odds_draw"),
+        oddsNum(2).as("odds_away"))
+      .filter(col("home_team").isNotNull && col("away_team").isNotNull)
   }
 
   // ---- S11 Transfermarkt market-value / agent page ------------------

@@ -262,6 +262,78 @@ class SourcesSpec extends SparkSpec {
     assert(gui.getAs[String]("nationality") == "Guinea")
   }
 
+  test("fbrefFixturesFromPages: scores & fixtures table to match rows (S4/S6)") {
+    import graft.sources.SiteParsers
+    val html =
+      """<html><body>
+        |<table id="sched_2023-2024_20_1"><caption>nope, id must match</caption></table>
+        |<table id="stats_fixtures_all"><thead><tr><th>Date</th></tr></thead><tbody>
+        |<tr><td>2023-08-18</td>
+        |    <td><a href="/en/squads/054efa67/Bayern">Bayern Munich</a></td>
+        |    <td>4-0</td>
+        |    <td><a href="/en/squads/0cdc4311/Bremen">Werder Bremen</a></td>
+        |    <td><a href="/en/matches/a3c1b2d4/Bayern-Bremen-2023">Match Report</a></td></tr>
+        |<tr><td>2023-08-19</td>
+        |    <td><a href="/en/squads/add600ae/BVB">Dortmund</a></td>
+        |    <td></td>
+        |    <td><a href="/en/squads/60b5e41f/Koeln">Koeln</a></td>
+        |    <td>no report link yet</td></tr>
+        |</tbody></table></body></html>""".stripMargin
+    val pages = Seq(html).toDF("html").withColumn("snapshot_path", lit("p1"))
+    val out = SiteParsers.fbrefFixturesFromPages(pages).collect()
+    assert(out.length == 1) // the linkless row is dropped, like the reference
+    val m = out.head
+    assert(m.getAs[String]("match_id") == "a3c1b2d4")
+    assert(m.getAs[java.sql.Date]("match_date").toString == "2023-08-18")
+    assert(m.getAs[String]("home_team") == "Bayern Munich")
+    assert(m.getAs[String]("away_team") == "Werder Bremen")
+    val sc = m.getStruct(m.fieldIndex("score"))
+    assert(sc.getAs[Int]("home_score") == 4 && sc.getAs[Int]("away_score") == 0)
+  }
+
+  test("bookmakerOddsFromPages: bet365 two-element teams, bwin joined teams (S12)") {
+    import graft.sources.SiteParsers
+    val bet365Html =
+      """<div class="gl-Market_General">
+        |  <span class="gl-ParticipantFixtureDetails_TeamNames">Bayern</span>
+        |  <span class="gl-ParticipantFixtureDetails_TeamNames">Dortmund</span>
+        |  <span class="gl-ParticipantOddsOnly_Odds">1.80</span>
+        |  <span class="gl-ParticipantOddsOnly_Odds">3.90</span>
+        |  <span class="gl-ParticipantOddsOnly_Odds">4.20</span>
+        |</div>
+        |<div class="gl-Market_General">
+        |  <span class="gl-ParticipantFixtureDetails_TeamNames">Leipzig</span>
+        |  <span class="gl-ParticipantFixtureDetails_TeamNames">Mainz</span>
+        |  <span class="gl-ParticipantOddsOnly_Odds">not-a-price</span>
+        |  <span class="gl-ParticipantOddsOnly_Odds">3.50</span>
+        |  <span class="gl-ParticipantOddsOnly_Odds">5.00</span>
+        |</div>""".stripMargin
+    val p1 = Seq(bet365Html).toDF("html").withColumn("snapshot_path", lit("p1"))
+    val b365 = SiteParsers.bookmakerOddsFromPages(p1, SiteParsers.Bet365)
+      .orderBy("home_team").collect()
+    assert(b365.length == 2)
+    assert(b365(0).getAs[String]("home_team") == "Bayern")
+    assert(b365(0).getAs[String]("away_team") == "Dortmund")
+    assert(b365(0).getAs[Double]("odds_home") == 1.8)
+    assert(b365(0).getAs[Double]("odds_draw") == 3.9)
+    assert(b365(1).isNullAt(b365(1).fieldIndex("odds_home"))) // isdigit guard
+    assert(b365(1).getAs[Double]("odds_draw") == 3.5)
+
+    val bwinHtml =
+      """<div class="grid-event-wrapper">
+        |  <div class="participants">Union Berlin - St. Pauli</div>
+        |  <div class="option-value">2.10</div>
+        |  <div class="option-value">3.30</div>
+        |  <div class="option-value">3.60</div>
+        |</div>""".stripMargin
+    val p2 = Seq(bwinHtml).toDF("html").withColumn("snapshot_path", lit("p2"))
+    val bwin = SiteParsers.bookmakerOddsFromPages(p2, SiteParsers.Bwin).head()
+    assert(bwin.getAs[String]("bookmaker") == "bwin")
+    assert(bwin.getAs[String]("home_team") == "Union Berlin")
+    assert(bwin.getAs[String]("away_team") == "St. Pauli")
+    assert(bwin.getAs[Double]("odds_away") == 3.6)
+  }
+
   test("scrapedDataFrame: K7 bronze capture shape with JSON payload") {
     val df = Seq(("A", 1), ("B", 2)).toDF("team", "rank")
     val out = Bronze.scrapedDataFrame(df, "test_scraper")
