@@ -62,6 +62,9 @@ object SparkEntry {
     "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d, Seq(0L, 1L, 2L))),
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
+    "q_transfers"       -> ((s, d) => graft.sources.RoundTrip.transfersFromCustomers(s, d)),
+    "q_idmap_mapping"   -> ((s, d) => graft.sources.RoundTrip.idmapMapping(s, d)),
+    "q_idmap_conflicts" -> ((s, d) => graft.sources.RoundTrip.idmapConflicts(s, d)),
     "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d))
   )
 
@@ -606,6 +609,78 @@ object SparkEntry {
         |       CAST(CASE WHEN ln % 2 = 0 THEN 5 ELSE 4 END AS BIGINT) AS n_keys
         |FROM src
         |ORDER BY player_id""".stripMargin,
+
+    // Round-trip oracle for the Transfermarkt transfers parser (S9):
+    // Spark synthesizes in/out transfer pages per nation from customer
+    // rows and parses them back; DuckDB computes the expected typed rows
+    // directly from customer.
+    "q_transfers" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 'in' ELSE 'out' END AS direction,
+        |       c_name AS player_name,
+        |       ['GK','DF','MF','FW'][(c_custkey % 4) + 1] AS position,
+        |       CAST(18 + c_custkey % 30 AS INTEGER) AS age,
+        |       CASE c_custkey % 3 WHEN 0 THEN 'free' WHEN 1 THEN 'loan'
+        |            ELSE 'transfer_fee' END AS fee_type,
+        |       CASE WHEN c_custkey % 3 = 2
+        |            THEN CAST(CAST(abs(c_acctbal) AS DECIMAL(12,2)) AS DOUBLE) * 1e6
+        |       END AS fee_amount,
+        |       'Nation ' || c_nationkey AS club_name,
+        |       DATE '2023-07-01' + CAST(c_custkey % 60 AS INTEGER) AS transfer_date
+        |FROM customer
+        |ORDER BY player_name""".stripMargin,
+
+    // J7 external-id registry, exercised through ExternalIdMap.register:
+    // current = min custkey per custkey%500 residue; staged = o_custkey
+    // claims keyed by o_orderkey%700 (intra-batch + cross-registry
+    // conflicts); registry keeps one internal id per external key.
+    "q_idmap_mapping" ->
+      """WITH current AS (
+        |  SELECT 'reg' AS source, CAST(c_custkey % 500 AS VARCHAR) AS external_id,
+        |         min(c_custkey) AS internal_id
+        |  FROM customer GROUP BY 2),
+        |staged AS (
+        |  SELECT DISTINCT 'reg' AS source, CAST(o_orderkey % 700 AS VARCHAR) AS external_id,
+        |         o_custkey AS internal_id
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |winners AS (
+        |  SELECT source, external_id, min(internal_id) AS internal_id
+        |  FROM staged GROUP BY 1, 2),
+        |fresh AS (
+        |  SELECT w.* FROM winners w
+        |  LEFT JOIN current c USING (source, external_id)
+        |  WHERE c.internal_id IS NULL)
+        |SELECT source, external_id, internal_id FROM current
+        |UNION ALL
+        |SELECT source, external_id, internal_id FROM fresh
+        |ORDER BY source, external_id, internal_id""".stripMargin,
+
+    "q_idmap_conflicts" ->
+      """WITH current AS (
+        |  SELECT 'reg' AS source, CAST(c_custkey % 500 AS VARCHAR) AS external_id,
+        |         min(c_custkey) AS internal_id
+        |  FROM customer GROUP BY 2),
+        |staged AS (
+        |  SELECT DISTINCT 'reg' AS source, CAST(o_orderkey % 700 AS VARCHAR) AS external_id,
+        |         o_custkey AS internal_id
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |winners AS (
+        |  SELECT source, external_id, min(internal_id) AS win_id,
+        |         count(DISTINCT internal_id) AS n_ids
+        |  FROM staged GROUP BY 1, 2),
+        |intra AS (
+        |  SELECT s.source, s.external_id,
+        |         s.internal_id AS claimed_internal_id, w.win_id AS existing_internal_id
+        |  FROM staged s JOIN winners w USING (source, external_id)
+        |  WHERE w.n_ids > 1 AND s.internal_id <> w.win_id),
+        |cur AS (
+        |  SELECT w.source, w.external_id,
+        |         w.win_id AS claimed_internal_id, c.internal_id AS existing_internal_id
+        |  FROM winners w JOIN current c USING (source, external_id)
+        |  WHERE c.internal_id <> w.win_id)
+        |SELECT * FROM intra
+        |UNION ALL
+        |SELECT * FROM cur
+        |ORDER BY source, external_id, claimed_internal_id""".stripMargin,
 
     // The simhash token hash is md5-derived (first 15 hex chars = 60
     // bits) precisely so this oracle can recompute signatures, banding,

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-trip oracle harnesses: synthesize site-shaped pages from the
+  * corpus tables, push them through the real parsers, and emit typed
+  * columns the DuckDB oracle recomputes directly from the tables. Any
+  * defect in the parser's segmentation, predicates, or coercion breaks
+  * the hash match — the same proof pattern as
+  * [[FbrefStats.matchStatsFromLineitem]].
+  */
+object RoundTrip {
+
+  /** q_transfers: one Transfermarkt-style transfers page per nation.
+    * Even custkeys are listed in the Zugänge (in) table, odd in the
+    * Abgänge (out) table; fee text cycles free / loan / €…m by
+    * custkey % 3 (exercising F8 fee typing); the bare age cell, position
+    * whitelist cell, /verein/ club link, and dd.MM.yyyy date cell
+    * exercise the predicate-based field discovery of
+    * [[SiteParsers.transfersFromPages]]. */
+  def transfersFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val positions = array(lit("GK"), lit("DF"), lit("MF"), lit("FW"))
+    val c = Tables.customer(spark, dir)
+      .select(
+        col("c_custkey").as("ck"),
+        col("c_name").as("nm"),
+        col("c_nationkey").as("nk"),
+        (lit(18) + pmod(col("c_custkey"), lit(30))).cast("int").as("age"),
+        element_at(positions, (pmod(col("c_custkey"), lit(4)) + 1).cast("int")).as("pos"),
+        abs(col("c_acctbal")).cast("decimal(12,2)").as("fee_m"),
+        date_format(date_add(lit("2023-07-01").cast("date"),
+          pmod(col("c_custkey"), lit(60)).cast("int")), "dd.MM.yyyy").as("dt"))
+    // "Leihe" alone would not match the reference's fee-cell keyword list
+    // (fee|ablöse|€|free|loan) — real pages write "Leihe / loan"
+    val feeCell = when(pmod(col("ck"), lit(3)) === 0, lit("ablösefrei"))
+      .when(pmod(col("ck"), lit(3)) === 1, lit("Leihe / loan"))
+      .otherwise(concat(lit("€"), col("fee_m").cast("string"), lit("m")))
+    val rowHtml = concat(
+      lit("<tr><td><a href=\"/p/profil/spieler/"), col("ck"), lit("\">"), col("nm"),
+      lit("</a></td><td>"), col("pos"),
+      lit("</td><td>"), col("age").cast("string"),
+      lit("</td><td><a href=\"/n/startseite/verein/"), col("nk"), lit("\">Nation "),
+      col("nk"), lit("</a></td><td>"), feeCell,
+      lit("</td><td>"), col("dt"), lit("</td></tr>"))
+    val rows = c.withColumn("__row", rowHtml)
+    def tableOf(rowsCol: String): org.apache.spark.sql.Column = concat(
+      lit("<table class=\"items\"><tr><th>Spieler</th><th>Pos</th><th>Alter</th>" +
+        "<th>Verein</th><th>Ablöse</th><th>Datum</th></tr>"),
+      col(rowsCol), lit("</table>"))
+    val pages = rows
+      .groupBy(col("nk"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("ck"), when(pmod(col("ck"), lit(2)) === 0, col("__row")).otherwise("").as("h")))),
+          s => s.getField("h")), "").as("in_rows"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("ck"), when(pmod(col("ck"), lit(2)) === 1, col("__row")).otherwise("").as("h")))),
+          s => s.getField("h")), "").as("out_rows"))
+      .select(col("nk"),
+        concat(lit("<html><body><h2>Zugänge</h2>"), tableOf("in_rows"),
+          lit("<h3>Abgänge</h3>"), tableOf("out_rows"),
+          lit("</body></html>")).as("html"))
+      .withColumn("snapshot_path", concat(lit("nation_"), col("nk")))
+
+    SiteParsers.transfersFromPages(pages)
+      .select(
+        col("direction"), col("player_name"), col("position"), col("age"),
+        col("transfer_fee.fee_type").as("fee_type"),
+        col("transfer_fee.amount").as("fee_amount"),
+        col("club_name"), col("transfer_date"))
+      .orderBy("player_name")
+  }
+
+  /** q_idmap_mapping / q_idmap_conflicts: the J7 external-id registry
+    * exercised end-to-end. `current` maps each residue class of custkey
+    * to its smallest member; `staged` claims map orderkey residues to the
+    * ordering customer — colliding residues create intra-batch conflicts,
+    * overlaps with `current` create cross-registry conflicts. */
+  private def idmapInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val current = Tables.customer(spark, dir)
+      .groupBy(pmod(col("c_custkey"), lit(500)).cast("string").as("external_id"))
+      .agg(min(col("c_custkey")).as("internal_id"))
+      .select(lit("reg").as("source"), col("external_id"), col("internal_id"))
+    val staged = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(lit("reg").as("source"),
+        pmod(col("o_orderkey"), lit(700)).cast("string").as("external_id"),
+        col("o_custkey").as("internal_id"))
+    (current, staged)
+  }
+
+  def idmapMapping(spark: SparkSession, dir: String): DataFrame = {
+    val (current, staged) = idmapInputs(spark, dir)
+    graft.operators.ExternalIdMap.register(current, staged).mapping
+      .orderBy("source", "external_id", "internal_id")
+  }
+
+  def idmapConflicts(spark: SparkSession, dir: String): DataFrame = {
+    val (current, staged) = idmapInputs(spark, dir)
+    graft.operators.ExternalIdMap.register(current, staged).conflicts
+      .orderBy("source", "external_id", "claimed_internal_id")
+  }
+}

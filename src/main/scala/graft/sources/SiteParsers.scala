@@ -123,8 +123,8 @@ object SiteParsers {
     val ths = lower(concat_ws(" ",
       regexp_extract_all(table, lit("(?si)<th[^>]*>(.*?)</th>"), lit(1))))
     val direction =
-      when(heading.rlike("zugang|arrival"), "in")
-        .when(heading.rlike("abgang|departure"), "out")
+      when(heading.rlike("zug[äa]ng|arrival"), "in")
+        .when(heading.rlike("abg[äa]ng|departure"), "out")
         .when(ths.rlike("\\bvon\\b|\\bfrom\\b"), "in")
         .when(ths.rlike("\\bzu\\b|\\bto\\b"), "out")
     val rowsRaw = expr(
