@@ -61,6 +61,7 @@ object SparkEntry {
     "q_minhash_pairs"   -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d, Seq(0L, 1L, 2L))),
+    "q_cosine_dups"     -> ((s, d) => Similarity.cosineDupRoundTrip(s, d)),
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
     "q_transfers"       -> ((s, d) => graft.sources.RoundTrip.transfersFromCustomers(s, d)),
     "q_idmap_mapping"   -> ((s, d) => graft.sources.RoundTrip.idmapMapping(s, d)),
@@ -588,6 +589,32 @@ object SparkEntry {
         |      FROM e, q WHERE e.vec_id <> q.query_id)
         |WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
+
+    // Embedding near-dup via banded sign-LSH + exact cosine verify; the
+    // planted ±0.01 perturbation and the sign-band keys are
+    // engine-portable, so the oracle reruns the whole algorithm.
+    "q_cosine_dups" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         [v[i] + CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END
+        |          for i in generate_series(1, len(v))] AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |chunks AS (
+        |  SELECT vec_id, v, b AS band,
+        |         SUM(CASE WHEN v[8 * b + i + 1] >= 0 THEN (1 << i) ELSE 0 END) AS bkey
+        |  FROM e, (SELECT unnest(range(4)) AS b) bs, (SELECT unnest(range(8)) AS i) bits
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2,
+        |         round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+        |  FROM chunks x JOIN chunks y
+        |    ON x.bkey = y.bkey AND x.band = y.band AND x.vec_id < y.vec_id)
+        |SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
 
     // Round-trip oracle for the FBref data-stat parser: Spark synthesizes
     // match pages from lineitem and parses them back; DuckDB computes the

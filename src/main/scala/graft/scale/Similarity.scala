@@ -131,6 +131,52 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Sign-band key: the sign bits of dims [band·width, band·width+width)
+    * packed into an int. Axis-aligned cousin of [[srpBucket]], chosen for
+    * the near-dup pipeline because it is ENGINE-PORTABLE — no float
+    * hyperplane components, so the DuckDB oracle reproduces keys exactly
+    * (libm `sin` differs across engines; raw sign bits don't). */
+  def signBandKey(v: Column, band: Int, width: Int = 8): Column =
+    (0 until width).map(i =>
+      when(element_at(v, band * width + i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
+    * (a high-cosine pair agrees on all leading signs with overwhelming
+    * probability, and `bands` chances to collide), then exact cosine
+    * verify. Join key = (band, key): never materializes O(n²) — the same
+    * LSH shape as `Dedup.minhashPairs`/`simhashPairs`, for vectors.
+    * `emb` needs (vec_id, v array<double>). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         bands: Int = 4, width: Int = 8): DataFrame = {
+    val chunks = (0 until bands).map(b =>
+      emb.select(col("vec_id"), col("v"), lit(b).as("band"),
+        signBandKey(col("v"), b, width).as("bkey")))
+      .reduce(_ unionByName _)
+    chunks.as("x").join(chunks.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.band") === col("y.band") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  /** q_cosine_dups: the corpus has no natural near-dups, so plant them —
+    * every 10th vector gets a ±0.01-perturbed copy (vec_id + 1,000,000),
+    * a deterministic transform the oracle applies identically. The query
+    * then finds the planted pairs via [[cosineNearDupPairs]] at 0.9. */
+  def cosineDupRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val pert = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + when(pmod(i, lit(2)) === 0, 0.01).otherwise(-0.01)).as("v"))
+    cosineNearDupPairs(base.unionByName(pert), threshold = 0.9)
+  }
+
   /** Bucketed ANN: assign SRP buckets, then exact cosine only within the
     * query's bucket. Trades recall for a corpus-size-independent candidate
     * set. */

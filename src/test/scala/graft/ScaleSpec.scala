@@ -123,6 +123,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupPairs: planted perturbed copies found, disjoint vectors not") {
+    val out = Similarity.cosineDupRoundTrip(spark, TestSpark.Sf0001).collect()
+    assert(out.nonEmpty)
+    // every pair is a (vec, vec+1000000) planted copy with cosine ≈ 1
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 1000000L,
+        s"unexpected non-planted pair: ${r.getLong(0)}, ${r.getLong(1)}")
+      assert(r.getDouble(2) > 0.99)
+    }
+    // candidate generation is banded: the join key is (band, bkey), so the
+    // plan must contain a hash join on the band key, not a cartesian
+    val plan = Similarity.cosineDupRoundTrip(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("rollingFingerprint: deterministic, edit-robust overlap") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val edited = base.replace("jumps", "leaps")
