@@ -141,6 +141,75 @@ object BundesligaCrawl {
       .filter(col("first_name").isNotNull && col("first_name") =!= "")
   }
 
+  // ---- S15 matchday scraper ----------------------------------------
+
+  /** Match-report links on a matchday overview page
+    * (`bundesliga_matchday_scraper.py:177-187`): hrefs matching
+    * `/(en|de)/bundesliga/matchday/<season>/<md>/<slug>`, query strings
+    * stripped, deduped and sorted. */
+  def matchLinksFromOverview(pages: DataFrame, season: String, matchday: Int,
+                             htmlCol: String = "html"): DataFrame = {
+    val seasonRe = java.util.regex.Pattern.quote(season)
+    pages
+      .select(col("snapshot_path"), explode(expr(
+        s"""regexp_extract_all($htmlCol, '(?i)href="([^"]*)"', 1)""")).as("__href"))
+      .select(col("snapshot_path"),
+        regexp_extract(col("__href"), "^([^?]*)", 1).as("match_url"))
+      .filter(col("match_url")
+        .rlike(s"(?i)/(en|de)/bundesliga/matchday/$seasonRe/$matchday/[a-z0-9\\-]+"))
+      .distinct()
+      .orderBy("match_url")
+  }
+
+  /** S15 match-report page → typed match record
+    * (`bundesliga_matchday_scraper.py:188-268`): ld+json `SportsEvent`
+    * object for teams / scores / kickoff / stadium / referee, with the
+    * reference's fallbacks — `<title>` "A vs B" for teams, first
+    * "d - d" text for the score, labeled fact values for stadium and
+    * referee, officiatingCrew role scan. */
+  def matchdayFromPages(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val html = col(htmlCol)
+    val ldBlocks = expr(
+      s"""regexp_extract_all($htmlCol, '(?si)<script[^>]+type="application/ld\\\\+json"[^>]*>(.*?)</script>', 1)""")
+    // the reference picks the FIRST object typed as a sports event
+    val ev = get(filter(ldBlocks, b =>
+      lower(get_json_object(b, "$['@type']"))
+        .isin("sportsevent", "soccer", "soccerseasongame", "event")), lit(0))
+    def j(path: String): Column = get_json_object(ev, path)
+    val titleTxt = regexp_extract(html, "(?si)<title[^>]*>(.*?)</title>", 1)
+    val home = coalesce(j("$.homeTeam.name"), j("$.competitor[0].name"),
+      nullif(trim(regexp_extract(titleTxt, "(?i)^(.*?)\\s+vs\\s+", 1)), lit("")))
+    val away = coalesce(j("$.awayTeam.name"), j("$.competitor[1].name"),
+      nullif(trim(regexp_extract(titleTxt, "(?i)\\s+vs\\s+(\\S+(?:\\s+\\S+)*?)\\s*(?:[-|–].*)?$", 1)), lit("")))
+    val bodyText = regexp_replace(regexp_replace(html, "<[^>]*>", " "), "\\s+", " ")
+    val scoreH = coalesce(j("$.homeScore"),
+      nullif(regexp_extract(bodyText, "(\\d{1,2})\\s*[-:–]\\s*(\\d{1,2})", 1), lit("")))
+    val scoreA = coalesce(j("$.awayScore"),
+      nullif(regexp_extract(bodyText, "(\\d{1,2})\\s*[-:–]\\s*(\\d{1,2})", 2), lit("")))
+    // officiatingCrew scan: first element whose role metadata names a referee
+    val crewRef = (0 until 4).map { i =>
+      when(lower(concat_ws(" ",
+        coalesce(j(s"$$.officiatingCrew[$i].roleName"), lit("")),
+        coalesce(j(s"$$.officiatingCrew[$i].jobTitle"), lit("")),
+        coalesce(j(s"$$.officiatingCrew[$i].description"), lit(""))))
+        .rlike("referee|schiedsrichter"), j(s"$$.officiatingCrew[$i].name"))
+    }.reduce(coalesce(_, _))
+    val refLabeled = nullif(trim(regexp_extract(bodyText,
+      "(?i)(?:Referee|Schiedsrichter)\\s*[:\\-–—]?\\s*([A-Za-zÄÖÜäöüß'\\-\\.]+(?:\\s+[A-Za-zÄÖÜäöüß'\\-\\.]+){0,4})", 1)), lit(""))
+    pages.select(
+        col("snapshot_path"),
+        home.as("home_team"),
+        away.as("away_team"),
+        when(scoreH.rlike("^\\d{1,2}$"), scoreH.cast("int")).as("home_score"),
+        when(scoreA.rlike("^\\d{1,2}$"), scoreA.cast("int")).as("away_score"),
+        j("$.startDate").as("kickoff_utc"),
+        coalesce(j("$.location.name"), j("$.location.address.name"),
+          labeled(html, Seq("Stadium", "Stadion", "Venue", "Spielort"))).as("stadium"),
+        coalesce(j("$.referee.name"), crewRef, refLabeled).as("referee"),
+        lit("bundesliga").as("source"))
+      .filter(col("home_team").isNotNull && col("away_team").isNotNull)
+  }
+
   /** The staged-crawl join: one row per (club, player), the frame the
     * reference assembles as `players_by_club`. Clubs without a resolvable
     * squad or players drop out (inner joins — same as the reference's

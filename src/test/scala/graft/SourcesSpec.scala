@@ -262,6 +262,52 @@ class SourcesSpec extends SparkSpec {
     assert(gui.getAs[String]("nationality") == "Guinea")
   }
 
+  test("BundesligaCrawl matchday: ld+json event, fallbacks, referee crew scan (S15)") {
+    import graft.sources.BundesligaCrawl
+    val ldPage =
+      """<html><head><title>ignored</title>
+        |<script type="application/ld+json">{"@type":"WebPage","name":"nav"}</script>
+        |<script type="application/ld+json">{"@type":"SportsEvent",
+        |"homeTeam":{"name":"FC Bayern"},"awayTeam":{"name":"BVB"},
+        |"homeScore":"3","awayScore":"1","startDate":"2024-03-30T17:30:00Z",
+        |"location":{"name":"Allianz Arena"},
+        |"officiatingCrew":[{"name":"Some Coach","roleName":"coach"},
+        |                   {"name":"Felix Zwayer","roleName":"Referee"}]}</script>
+        |</head><body></body></html>""".stripMargin
+    val fallbackPage =
+      """<html><head><title>Union Berlin vs Heidenheim | Bundesliga</title></head>
+        |<body><p>Final score 2 - 2 at full time.</p>
+        |<dl><dt>Stadion</dt><dd>An der Alten Försterei</dd></dl>
+        |<div>Schiedsrichter: Deniz Aytekin</div></body></html>""".stripMargin
+    val pages = Seq(("m1", ldPage), ("m2", fallbackPage)).toDF("snapshot_path", "html")
+    val out = BundesligaCrawl.matchdayFromPages(pages).orderBy("snapshot_path").collect()
+    assert(out.length == 2)
+    val ld = out(0)
+    assert(ld.getAs[String]("home_team") == "FC Bayern")
+    assert(ld.getAs[String]("away_team") == "BVB")
+    assert(ld.getAs[Int]("home_score") == 3 && ld.getAs[Int]("away_score") == 1)
+    assert(ld.getAs[String]("kickoff_utc") == "2024-03-30T17:30:00Z")
+    assert(ld.getAs[String]("stadium") == "Allianz Arena")
+    assert(ld.getAs[String]("referee") == "Felix Zwayer") // crew scan skips the coach
+    val fb = out(1)
+    assert(fb.getAs[String]("home_team") == "Union Berlin")
+    assert(fb.getAs[String]("away_team") == "Heidenheim")
+    assert(fb.getAs[Int]("home_score") == 2 && fb.getAs[Int]("away_score") == 2)
+    assert(fb.getAs[String]("stadium") == "An der Alten Försterei")
+    assert(fb.getAs[String]("referee") == "Deniz Aytekin")
+
+    val overview =
+      """<a href="/de/bundesliga/matchday/2023-24/27/bayern-vs-bvb?tab=stats">x</a>
+        |<a href="/en/bundesliga/matchday/2023-24/27/union-vs-fch">y</a>
+        |<a href="/de/bundesliga/matchday/2023-24/28/other-md">next md</a>
+        |<a href="/de/bundesliga/table">nope</a>""".stripMargin
+    val links = BundesligaCrawl.matchLinksFromOverview(
+      Seq(("o1", overview)).toDF("snapshot_path", "html"), "2023-24", 27).collect()
+    assert(links.map(_.getAs[String]("match_url")).toSeq ==
+      Seq("/de/bundesliga/matchday/2023-24/27/bayern-vs-bvb",
+        "/en/bundesliga/matchday/2023-24/27/union-vs-fch"))
+  }
+
   test("fbrefFixturesFromPages: scores & fixtures table to match rows (S4/S6)") {
     import graft.sources.SiteParsers
     val html =
