@@ -23,6 +23,17 @@ object SparkEntry {
     "q_filter_project"  -> ((s, d) => Analytics.filterProject(s, d)),
     "q_agg_pricing"     -> ((s, d) => Analytics.aggPricingSummary(s, d)),
     "q_topk_per_group"  -> ((s, d) => Analytics.topOrdersPerPriority(s, d)),
+    // same semantics via the custom TopKPerKey physical operator
+    // (partial per-partition heaps below the exchange)
+    "q_topk_native"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.plans.TopKPerKey(
+          graft.sources.Tables.orders(s, d)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          3, keys = Seq(col("o_orderpriority")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
     "q_recent_form"     -> ((s, d) => Analytics.recentForm(s, d)),
     "q_standings"       -> ((s, d) => Analytics.nationRevenueStandings(s, d)),
     "q_pct_rank"        -> ((s, d) => Analytics.spendPercentile(s, d)),
@@ -615,6 +626,15 @@ object SparkEntry {
         |    ON x.bkey = y.bkey AND x.band = y.band AND x.vec_id < y.vec_id)
         |SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.9
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     // Round-trip oracle for the FBref data-stat parser: Spark synthesizes
     // match pages from lineitem and parses them back; DuckDB computes the

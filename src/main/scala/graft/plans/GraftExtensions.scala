@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FuzzyRatio].getName, "graft_fuzzy_ratio"),
       (children: Seq[Expression]) => FuzzyRatio(children.head, children(1))))
     ext.injectOptimizerRule(_ => FuzzyRatioFolding)
+    // Whole-operator extension: plans TopKPerKeyNode as a partial/final
+    // physical pair (see TopKPerKey.scala).
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

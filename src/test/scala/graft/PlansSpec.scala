@@ -55,4 +55,44 @@ class PlansSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out.head.getString(0) == "José")
   }
+
+  test("TopKPerKey operator: matches window row_number, plans partial before the exchange") {
+    import graft.plans.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+    val k = 3
+    val native = TopKPerKey(orders, k,
+      keys = Seq(col("o_orderpriority")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+    val expected = orders
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= k).drop("rn")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(canon(native) == canon(expected))
+    assert(native.columns.toSeq == orders.columns.toSeq)
+
+    // physical shape: partial heap BELOW the hash exchange, final above it
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKeyPartial"), plan)
+    assert(plan.contains("GraftTopKPerKeyFinal"), plan)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0, plan)
+    assert(plan.indexOf("GraftTopKPerKeyFinal") < exchangeIdx &&
+      exchangeIdx < plan.indexOf("GraftTopKPerKeyPartial"),
+      s"expected final -> exchange -> partial layering:\n$plan")
+
+    // ascending default + single key-less... er, multiple keys
+    val multi = TopKPerKey(orders, 1,
+      keys = Seq(col("o_orderpriority"), col("o_orderstatus")),
+      order = Seq(col("o_orderdate"), col("o_orderkey")))
+    val multiExpected = orders
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("o_orderpriority"), col("o_orderstatus"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .filter(col("rn") === 1).drop("rn")
+    assert(canon(multi) == canon(multiExpected))
+  }
 }
