@@ -379,12 +379,17 @@ object Analytics {
     val pairs = s.join(c, col("s_nationkey") === col("c_nationkey"))
       .withColumn("ratio",
         graft.functions.Normalize.fuzzyRatioApprox(col("s_name"), col("c_name")))
+    // argmax as max_by, not a ranked window: the aggregate partially
+    // combines map-side, so one row per supplier reaches the shuffle
+    // instead of every scored pair (~600× less at this block size).
+    // Tiebreak = highest ratio then LOWEST custkey: maximize
+    // (ratio, -custkey).
     pairs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("s_suppkey"))
-          .orderBy(col("ratio").desc, col("c_custkey").asc)))
-      .filter(col("rn") === 1)
-      .select("s_suppkey", "c_custkey", "ratio")
+      .groupBy(col("s_suppkey"))
+      .agg(max_by(struct(col("c_custkey"), col("ratio")),
+        struct(col("ratio"), -col("c_custkey"))).as("best"))
+      .select(col("s_suppkey"), col("best.c_custkey").as("c_custkey"),
+        col("best.ratio").as("ratio"))
       .orderBy("s_suppkey")
   }
 
