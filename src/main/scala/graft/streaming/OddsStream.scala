@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.Parsing
+import graft.operators.Merge
+
+/** Multi-market odds micro-stream (SURVEY.md §2.10 / S12-S13 / K4): the
+  * Spark rebuild of the reference's 300-second odds loop
+  * (scraping_orchestrator.py:322-331) feeding the odds upsert service
+  * keyed `(match_id, provider, market)` with a selections array
+  * (src/database/services/odds.py:11-35, match_odd schema.sql:736).
+  *
+  * Three stages, all reusable batch/streaming:
+  *   - [[normalize]]: any odds format (F9 fractional/American/decimal) →
+  *     decimal prices, implied probabilities (F10), overround, and the
+  *     K4 selections `array<struct<name, price, implied_prob>>`
+  *   - [[withDedup]] + [[upsertBatch]]: watermark-bounded dedup, then
+  *     last-writer-wins merge per (match_id, bookmaker, market)
+  *   - [[movementAlerts]]: stateful price-drift detection per selection
+  *     via `flatMapGroupsWithState` — the reference recomputes diffs
+  *     against the DB on every poll; here the previous price is streaming
+  *     state and only genuine moves emit downstream rows.
+  */
+object OddsStream {
+
+  /** Bronze odds snapshot schema: one row per (match, bookmaker, market)
+    * with raw odds text in any format. */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("match_id", StringType),
+    StructField("bookmaker", StringType),
+    StructField("market", StringType),
+    StructField("odds_home", StringType),
+    StructField("odds_draw", StringType),
+    StructField("odds_away", StringType),
+    StructField("captured_at", TimestampType)))
+
+  /** Bronze → silver: decimal prices, implied probs, overround, K4
+    * selections array. Pure expressions, batch ≡ streaming. */
+  def normalize(raw: DataFrame): DataFrame = {
+    val h = Parsing.toDecimalOdds(col("odds_home"))
+    val d = Parsing.toDecimalOdds(col("odds_draw"))
+    val a = Parsing.toDecimalOdds(col("odds_away"))
+    def sel(name: String, price: org.apache.spark.sql.Column) =
+      struct(lit(name).as("name"), price.as("price"),
+        Parsing.impliedProb(price).as("implied_prob"))
+    raw
+      .withColumn("price_home", h)
+      .withColumn("price_draw", d)
+      .withColumn("price_away", a)
+      .withColumn("selections",
+        filter(array(sel("home", h), sel("draw", d), sel("away", a)),
+          s => s.getField("price").isNotNull))
+      .withColumn("overround",
+        coalesce(Parsing.impliedProb(h), lit(0.0)) +
+          coalesce(Parsing.impliedProb(d), lit(0.0)) +
+          coalesce(Parsing.impliedProb(a), lit(0.0)))
+      .drop("odds_home", "odds_draw", "odds_away")
+  }
+
+  /** Watermark-bounded dedup of re-polled identical snapshots. */
+  def withDedup(normalized: DataFrame, watermark: String = "1 hour"): DataFrame =
+    normalized
+      .withWatermark("captured_at", watermark)
+      .dropDuplicatesWithinWatermark("match_id", "bookmaker", "market", "captured_at")
+
+  /** K4 micro-batch upsert: latest captured_at wins per
+    * (match_id, bookmaker, market); selections array replaced whole, as
+    * the reference's odds service does. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
+    if (batch.isEmpty) return
+    val deduped = graft.operators.Ranking.latestPerKey(batch,
+      Seq(col("match_id"), col("bookmaker"), col("market")), Seq(col("captured_at")))
+    val current =
+      try spark.read.schema(batch.schema).parquet(tableDir)
+      catch { case _: Throwable => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+    Merge.upsertLatest(current, deduped,
+        keys = Seq("match_id", "bookmaker", "market"), version = Seq("captured_at"))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(tableDir)
+  }
+
+  /** One priced selection observation. `key` identifies the priced thing:
+    * match|bookmaker|market|selection. */
+  final case class OddsTick(key: String, price: Double, captured_at: Timestamp)
+
+  /** Emitted when a selection's price moves ≥ threshold vs the last
+    * observed price. */
+  final case class PriceAlert(key: String, prev_price: Double, price: Double,
+                              move_pct: Double, captured_at: Timestamp)
+
+  final case class LastPrice(price: Double, at: Long)
+
+  private[streaming] def detectMoves(
+      key: String, ticks: Iterator[OddsTick], state: GroupState[LastPrice],
+      thresholdPct: Double): Iterator[PriceAlert] = {
+    // event-time order within the batch; state carries across batches
+    val sorted = ticks.toSeq.sortBy(_.captured_at.getTime)
+    var last = state.getOption
+    val alerts = Seq.newBuilder[PriceAlert]
+    sorted.foreach { t =>
+      last match {
+        case Some(LastPrice(p, at)) if t.captured_at.getTime >= at =>
+          val move = math.abs(t.price - p) / p * 100.0
+          if (move >= thresholdPct)
+            alerts += PriceAlert(key, p, t.price, move, t.captured_at)
+          last = Some(LastPrice(t.price, t.captured_at.getTime))
+        case Some(_) => // stale out-of-order tick: ignore
+        case None =>
+          last = Some(LastPrice(t.price, t.captured_at.getTime))
+      }
+    }
+    last.foreach(state.update)
+    alerts.result().iterator
+  }
+
+  /** T-series stateful stage: price-drift alerts per selection key.
+    * State = last seen price; only moves ≥ `thresholdPct` emit. */
+  def movementAlerts(ticks: Dataset[OddsTick],
+                     thresholdPct: Double = 10.0): Dataset[PriceAlert] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LastPrice, PriceAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key, rows, state) => detectMoves(key, rows, state, thresholdPct))
+  }
+
+  /** Drain-available pipeline over a snapshot-drop directory (the 300 s
+    * loop runs the same graph with a ProcessingTime trigger). */
+  def runOnce(spark: SparkSession, inputDir: String, tableDir: String,
+              checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream.schema(RawSchema).json(inputDir)
+    withDedup(normalize(raw))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch.sparkSession, batch, tableDir)
+      }
+      .start()
+  }
+}

@@ -12,6 +12,10 @@ case class RawScore(home_team: String, away_team: String, score_text: String,
                     status_text: String, match_time: String, source: String,
                     scraped_at: Timestamp)
 
+case class RawOdds(match_id: String, bookmaker: String, market: String,
+                   odds_home: String, odds_draw: String, odds_away: String,
+                   captured_at: Timestamp)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -100,6 +104,81 @@ class StreamingSpec extends SparkSpec {
       val goal = rows.find(_.getString(0) == "goal").get
       assert(goal.getLong(1) == 2L)          // late row not counted
       assert(goal.getDouble(2) == 3.0)       // 1.0 + 2.0, not 99.0
+    } finally q.stop()
+  }
+
+  test("OddsStream.normalize: multi-format prices, selections array, overround (S12/S13/K4)") {
+    import graft.streaming.OddsStream
+    val raw = Seq(
+      RawOdds("m1", "bet365", "1x2", "2.50", "3,20", "+150", ts("2024-01-01 10:00:00")),
+      RawOdds("m1", "pinn", "1x2", "5/2", "3.10", "-110", ts("2024-01-01 10:00:00")),
+      RawOdds("m2", "bet365", "over_under", "1.90", null, "1.90", ts("2024-01-01 10:00:00")))
+      .toDF()
+    val out = OddsStream.normalize(raw).orderBy("match_id", "bookmaker").collect()
+    assert(out(0).getAs[Double]("price_home") == 2.5)
+    assert(out(0).getAs[Double]("price_draw") == 3.2)   // comma decimal
+    assert(out(0).getAs[Double]("price_away") == 2.5)   // +150 American
+    assert(out(1).getAs[Double]("price_home") == 3.5)   // 5/2 fractional
+    assert(math.abs(out(1).getAs[Double]("price_away") - (1 + 100.0 / 110)) < 1e-12)
+    val sels = out(0).getSeq[org.apache.spark.sql.Row](out(0).fieldIndex("selections"))
+    assert(sels.map(_.getAs[String]("name")) == Seq("home", "draw", "away"))
+    assert(math.abs(sels.head.getAs[Double]("implied_prob") - 0.4) < 1e-12)
+    // two-way market: null draw leg dropped from selections
+    val ou = out(2)
+    assert(ou.getSeq[org.apache.spark.sql.Row](ou.fieldIndex("selections")).length == 2)
+    assert(math.abs(ou.getAs[Double]("overround") - 2.0 / 1.9) < 1e-12)
+  }
+
+  test("OddsStream: streaming upsert keyed (match, bookmaker, market) (K4/T1)") {
+    import graft.streaming.OddsStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawOdds]
+    val tableDir = Files.createTempDirectory("graft_odds").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_odds_ckpt").toString
+    val q = OddsStream.withDedup(OddsStream.normalize(mem.toDF()))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        OddsStream.upsertBatch(b.sparkSession, b, tableDir)
+      }
+      .start()
+    try {
+      mem.addData(
+        RawOdds("m1", "bet365", "1x2", "2.00", "3.40", "3.80", ts("2024-01-01 10:00:00")),
+        RawOdds("m1", "bet365", "over_under", "1.90", null, "1.90", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      mem.addData( // re-poll moves the 1x2 price; over_under unchanged key stays
+        RawOdds("m1", "bet365", "1x2", "1.80", "3.60", "4.20", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val state = spark.read.parquet(tableDir).collect()
+      assert(state.length == 2) // one row per (match, bookmaker, market)
+      val x12 = state.find(_.getAs[String]("market") == "1x2").get
+      assert(x12.getAs[Double]("price_home") == 1.8) // latest capture wins
+    } finally q.stop()
+  }
+
+  test("OddsStream.movementAlerts: state across batches, only real moves emit (T4)") {
+    import graft.streaming.OddsStream
+    import graft.streaming.OddsStream.OddsTick
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OddsTick]
+    val alerts = OddsStream.movementAlerts(mem.toDS(), thresholdPct = 10.0)
+    val q = alerts.writeStream.format("memory").queryName("odds_alerts")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        OddsTick("m1|b|1x2|home", 2.00, ts("2024-01-01 10:00:00")),
+        OddsTick("m1|b|1x2|home", 2.05, ts("2024-01-01 10:05:00"))) // 2.5%: no alert
+      q.processAllAvailable()
+      mem.addData(
+        OddsTick("m1|b|1x2|home", 1.70, ts("2024-01-01 10:10:00")), // -17% vs 2.05: alert
+        OddsTick("m2|b|1x2|away", 3.00, ts("2024-01-01 10:10:00"))) // first sight: no alert
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM odds_alerts").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("key") == "m1|b|1x2|home")
+      assert(rows.head.getAs[Double]("prev_price") == 2.05)
+      assert(rows.head.getAs[Double]("price") == 1.7)
     } finally q.stop()
   }
 
