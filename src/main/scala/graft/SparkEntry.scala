@@ -73,6 +73,9 @@ object SparkEntry {
     "q_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d, Seq(0L, 1L, 2L))),
     "q_cosine_dups"     -> ((s, d) => Similarity.cosineDupRoundTrip(s, d)),
+    "q_sample_split"    -> ((s, d) => graft.scale.TrainingData.sampleSplit(s, d)),
+    "q_seq_pack"        -> ((s, d) => graft.scale.TrainingData.sequencePack(s, d)),
+    "q_contamination"   -> ((s, d) => graft.scale.TrainingData.contamination(s, d)),
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
     "q_transfers"       -> ((s, d) => graft.sources.RoundTrip.transfersFromCustomers(s, d)),
     "q_idmap_mapping"   -> ((s, d) => graft.sources.RoundTrip.idmapMapping(s, d)),
@@ -728,6 +731,53 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM cur
         |ORDER BY source, external_id, claimed_internal_id""".stripMargin,
+
+    // Deterministic md5-bucket split: stable under corpus growth, exact
+    // across engines.
+    "q_sample_split" ->
+      """SELECT lang,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT lang, n_chars,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
+
+    // Token-budget sequence packing: contiguous greedy bins from a
+    // per-stratum running token sum.
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, tokens,
+        |         sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM d)
+        |SELECT lang, CAST(floor((cum_tokens - tokens) / 2048) AS BIGINT) AS seq_id,
+        |       count(*) AS docs, CAST(sum(tokens) AS BIGINT) AS tokens
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY lang, seq_id""".stripMargin,
+
+    // Benchmark contamination: training docs sharing any 3-gram shingle
+    // with the held-out set (doc_id % 97 = 0).
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)])) AS sh
+        |      FROM t),
+        |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS shared_shingles
+        |FROM s JOIN bench USING (sh)
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY 1
+        |ORDER BY s.doc_id""".stripMargin,
 
     // The simhash token hash is md5-derived (first 15 hex chars = 60
     // bits) precisely so this oracle can recompute signatures, banding,

@@ -1,0 +1,82 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-data pipeline operators beyond dedup/quality (builder brief):
+  * the three jobs every LLM corpus build runs after cleaning —
+  * deterministic train/valid/test splitting, token-budget sequence
+  * packing, and benchmark-contamination detection. All pure expressions
+  * with exact DuckDB oracles (the split hash is the same md5-prefix
+  * device as [[Dedup.simhash]]).
+  */
+object TrainingData {
+
+  /** Deterministic 0..99 bucket from a key: first 15 hex chars of md5 as
+    * a 60-bit int, mod 100. Engine-portable and stable across runs —
+    * splits never shift when the corpus grows (unlike `rand(seed)`,
+    * which reshuffles with partitioning). */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+
+  /** Split assignment: train < `trainPct` ≤ valid < `validTo` ≤ test. */
+  def splitOf(key: Column, trainPct: Int = 80, validTo: Int = 90): Column = {
+    val b = hashBucket(key)
+    when(b < trainPct, "train").when(b < validTo, "valid").otherwise("test")
+  }
+
+  /** q_sample_split: stratified split accounting per (lang, split) —
+    * the sanity check run after any split job (counts + volume per
+    * stratum). One groupBy, no shuffle beyond it. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), splitOf(col("doc_id")).as("split"), col("n_chars"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars").cast("long")).as("chars"))
+      .orderBy("lang", "split")
+
+  /** q_seq_pack: pack documents into fixed-token-budget training
+    * sequences — contiguous greedy packing in (lang, doc_id) order:
+    * a doc's sequence id is its starting token offset divided by the
+    * budget. The window is partitioned per lang (per-stratum running
+    * sum); at 100 TB the stratum key would be (lang, shard) to bound
+    * partition width, same expression shape. */
+  def sequencePack(spark: SparkSession, dir: String,
+                   tokenBudget: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - col("tokens")) / tokenBudget).cast("long"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("tokens"))
+      .orderBy("lang", "seq_id")
+  }
+
+  /** q_contamination: benchmark-overlap detection — which candidate
+    * training docs share at least one word 3-gram with the held-out set
+    * (doc_id ≡ 0 mod 97 plays the benchmark here). The join key is the
+    * shingle, so cost is bounded by posting lists (the benchmark side is
+    * tiny and broadcastable), never |train|×|bench|. */
+  def contamination(spark: SparkSession, dir: String,
+                    benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("sh"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .select(col("sh")).distinct()
+    docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("shared_shingles"))
+      .orderBy("doc_id")
+  }
+}
