@@ -77,6 +77,7 @@ object SparkEntry {
     "q_seq_pack"        -> ((s, d) => graft.scale.TrainingData.sequencePack(s, d)),
     "q_contamination"   -> ((s, d) => graft.scale.TrainingData.contamination(s, d)),
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
+    "q_team_stats"      -> ((s, d) => graft.sources.FbrefStats.teamStatsFromSuppliers(s, d)),
     "q_transfers"       -> ((s, d) => graft.sources.RoundTrip.transfersFromCustomers(s, d)),
     "q_idmap_mapping"   -> ((s, d) => graft.sources.RoundTrip.idmapMapping(s, d)),
     "q_idmap_conflicts" -> ((s, d) => graft.sources.RoundTrip.idmapConflicts(s, d)),
@@ -659,6 +660,17 @@ object SparkEntry {
         |       CAST(CASE WHEN ln % 2 = 0 THEN 5 ELSE 4 END AS BIGINT) AS n_keys
         |FROM src
         |ORDER BY player_id""".stripMargin,
+
+    // Team-table round trip: sh-vs-shots synonym precedence, crs corners,
+    // percent possession, comma-decimal xg, squad-href keying.
+    "q_team_stats" ->
+      """SELECT 't' || s_suppkey AS fbref_team_id,
+        |       CAST(s_suppkey % 100 AS DOUBLE) AS possession,
+        |       CAST(s_suppkey % 20 + 1 AS BIGINT) AS shots_total,
+        |       CAST(s_suppkey % 15 AS BIGINT) AS corners,
+        |       CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) AS DOUBLE) AS xg
+        |FROM supplier
+        |ORDER BY fbref_team_id""".stripMargin,
 
     // Round-trip oracle for the Transfermarkt transfers parser (S9):
     // Spark synthesizes in/out transfer pages per nation from customer

@@ -280,4 +280,39 @@ object FbrefStats {
         col("xg"), col("fouls_committed"), col("n_keys"))
       .orderBy("player_id")
   }
+
+  /** q_team_stats: team-table round trip from supplier rows — one
+    * team_stats page per nation; exercises squad-href keying, the
+    * sh-vs-shots synonym precedence (both present, `shots` must win),
+    * the crs corner synonym, percent possession, and comma-decimal xg. */
+  def teamStatsFromSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.supplier(spark, dir)
+      .select(
+        col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"),
+        pmod(col("s_suppkey"), lit(100)).cast("int").as("poss"),
+        (pmod(col("s_suppkey"), lit(20)) + 1).cast("int").as("shots"),
+        pmod(col("s_suppkey"), lit(15)).cast("int").as("crs"),
+        abs(col("s_acctbal")).cast("decimal(12,2)").as("xg"))
+    val rowHtml = concat(
+      lit("<tr><th><a href=\"/en/squads/t"), col("sk"), lit("/Team-"), col("sk"),
+      lit("\">T</a></th><td data-stat=\"possession\">"), col("poss").cast("string"),
+      lit("%</td><td data-stat=\"sh\">99</td><td data-stat=\"shots\">"),
+      col("shots").cast("string"),
+      lit("</td><td data-stat=\"crs\">"), col("crs").cast("string"),
+      lit("</td><td data-stat=\"xg\">"),
+      regexp_replace(col("xg").cast("string"), "\\.", ","), lit("</td></tr>"))
+    val pages = src
+      .groupBy("nk")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sk"), rowHtml.as("h")))),
+        s => s.getField("h")), "").as("rows"))
+      .select(col("nk"), concat(
+        lit("<html><body><table id=\"team_stats\"><tbody>"),
+        col("rows"), lit("</tbody></table></body></html>")).as("html"))
+    teamMatchStats(pages, "html", Seq("nk"))
+      .select(col("fbref_team_id"), col("possession"), col("shots_total"),
+        col("corners"), col("xg"))
+      .orderBy("fbref_team_id")
+  }
 }
