@@ -223,12 +223,19 @@ object Analytics {
   def dedupLineitems(spark: SparkSession, dir: String): DataFrame = {
     // linenumber alone ties (the corpus has duplicate (orderkey, partkey,
     // linenumber) rows) — extend the order to a total one.
-    val w = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
-      .orderBy(col("l_linenumber").asc, col("l_quantity").asc, col("l_extendedprice").asc)
+    // First-wins dedup as a min_by AGGREGATE, not a ranked window: the
+    // window form shuffles and sorts the entire fact table to discard all
+    // but one row per key; the aggregate partially combines map-side, so
+    // only one candidate row per key per input partition reaches the
+    // exchange — the shape that survives a 100 TB dedup.
     Tables.lineitem(spark, dir)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(min_by(
+        struct(col("l_linenumber"), col("l_quantity")),
+        struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))).as("first"))
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("first.l_linenumber").as("l_linenumber"),
+        col("first.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey", "l_partkey")
   }
 

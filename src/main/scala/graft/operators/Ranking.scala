@@ -34,15 +34,20 @@ object Ranking {
       .drop(rankCol)
   }
 
-  /** Latest row per key by event-time order (row_number desc = 1).
-    * `order` is ascending "recency" columns; the most-recent row wins.
-    * This is the read-side of last-writer-wins upsert semantics (K1). */
-  def latestPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  /** Latest row per key by event-time order. `order` is ascending
+    * "recency" columns forming a total order within a key; the
+    * most-recent row wins. This is the read-side of last-writer-wins
+    * upsert semantics (K1).
+    *
+    * Implemented as a `max_by` aggregate, not a ranked window: the window
+    * form shuffles and sorts every row to discard all but one per key;
+    * the aggregate partially combines map-side so one candidate per key
+    * per input partition reaches the exchange. Output column order is
+    * preserved (struct expansion). */
+  def latestPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(df.columns.map(col): _*), struct(order: _*)).as("__r"))
+      .select(col("__r.*"))
 
   /** Distributed global rank: adds `rankCol` (1-based, dense by the given
     * unique total order) and `nCol` (total row count) WITHOUT a
