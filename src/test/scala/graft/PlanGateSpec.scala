@@ -41,4 +41,26 @@ class PlanGateSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"expected two-pass distributed rank, found a window:\n$plan")
   }
+
+  test("dedup/latest-per-key queries aggregate map-side, no ranked window") {
+    // min_by/max_by aggregates partially combine before the shuffle; a
+    // Window node here means the whole input is shuffled to be discarded
+    for (q <- Seq("q_dedup_firstwins", "q_latest_event", "q_fuzzy_match")) {
+      assert(!plans(q).contains("Window"),
+        s"$q regressed to a ranked window:\n${plans(q)}")
+      assert(plans(q).contains("partial_"),
+        s"$q lost its partial aggregation phase:\n${plans(q)}")
+    }
+  }
+
+  test("q_contamination: benchmark side broadcast, never shuffled at scale") {
+    assert(plans("q_contamination").contains("BroadcastHashJoin"),
+      plans("q_contamination"))
+  }
+
+  test("q_topk_native: custom operator layering survives planning") {
+    val plan = plans("q_topk_native")
+    assert(plan.contains("GraftTopKPerKeyPartial") &&
+      plan.contains("GraftTopKPerKeyFinal"), plan)
+  }
 }
