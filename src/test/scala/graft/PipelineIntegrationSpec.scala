@@ -57,4 +57,57 @@ class PipelineIntegrationSpec extends SparkSpec {
       .cast("double")).head().getDouble(0)
     assert(total == 5.0e7 + 1.8e8)
   }
+
+  test("corpus cleanup pipeline: quality -> exact dedup -> near-dup -> split -> pack") {
+    import graft.scale.{Dedup, TextAnalysis, TrainingData}
+    val dir = TestSpark.Sf0001
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val total = docs.count()
+
+    // stage 1: Gopher-style quality gate
+    val survivors = TextAnalysis.qualityFilter(spark, dir)
+      .filter(col("pass"))
+      .select("doc_id")
+    val nQuality = survivors.count()
+    assert(nQuality > 0 && nQuality <= total)
+
+    // stage 2: exact dedup — drop all but the first doc of each
+    // fingerprint group
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val dupLosers = fp
+      .join(Dedup.exactDupGroups(docs, TextAnalysis.fingerprint(col("text")))
+        .select(col("fingerprint"), col("first_doc")), "fingerprint")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select("doc_id")
+    // stage 3: near-dup removal — higher doc_id of each minhash pair dies
+    val nearLosers = Dedup.minhashPairs(spark, dir).select(col("d2").as("doc_id"))
+    val clean = docs.join(survivors, "doc_id")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean <= nQuality)
+
+    // stage 4: deterministic stratified split — every doc gets exactly one
+    val splits = clean
+      .select(col("doc_id"), TrainingData.splitOf(col("doc_id")).as("split"))
+    assert(splits.count() == nClean)
+    val bySplit = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == nClean)
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
+
+    // stage 5: pack the train split into token-budget sequences; no
+    // sequence may exceed budget + the largest single document
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val packed = clean.join(splits.filter(col("split") === "train"), "doc_id")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("seq_id", floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
+      .groupBy("seq_id").agg(sum("tokens").as("seq_tokens"), max("tokens").as("max_doc"))
+    val over = packed.filter(col("seq_tokens") > lit(budget) + col("max_doc")).count()
+    assert(over == 0, "a packed sequence exceeded budget + one document")
+  }
 }
