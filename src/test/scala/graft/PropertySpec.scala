@@ -73,4 +73,43 @@ class PropertySpec extends SparkSpec {
       .withColumn("id", Parsing.externalId(col("a"), col("b")))
     assert(df.select("id").distinct().count() == pairs.length)
   }
+
+  test("FbrefStats.toNumber: plain ints and stoppage sums agree with arithmetic") {
+    import graft.sources.FbrefStats
+    val ints = samples(Gen.choose(0, 500), 80)
+    val stoppage = samples(Gen.zip(Gen.choose(1, 90), Gen.choose(1, 15)), 80)
+    val df = (ints.map(i => (i.toString, i.toDouble)) ++
+        stoppage.map { case (a, b) => (s"$a+$b", (a + b).toDouble) })
+      .toDF("s", "expected")
+      .withColumn("got", FbrefStats.toNumber(col("s")))
+    assert(df.filter(!(col("got") <=> col("expected"))).count() == 0)
+    // garbage never throws, always null
+    val junk = samples(Gen.alphaStr.suchThat(_.nonEmpty), 50).toDF("s")
+      .withColumn("got", FbrefStats.toNumber(col("s")))
+    assert(junk.filter(col("got").isNotNull).count() == 0)
+  }
+
+  test("TrainingData.hashBucket: range [0,100), deterministic, roughly uniform") {
+    import graft.scale.TrainingData
+    val keys = (0L until 2000L).toDF("k")
+    val b = keys.select(TrainingData.hashBucket(col("k")).as("b"))
+    assert(b.filter(col("b") < 0 || col("b") >= 100).count() == 0)
+    val again = keys.select(TrainingData.hashBucket(col("k")).as("b"))
+    assert(b.collect().map(_.getLong(0)).toSeq == again.collect().map(_.getLong(0)).toSeq)
+    // each decile within a loose tolerance of the expected 200
+    val deciles = b.groupBy((col("b") / 10).cast("int").as("d")).count().collect()
+    assert(deciles.length == 10)
+    deciles.foreach(r => assert(math.abs(r.getLong(1) - 200L) < 100,
+      s"decile ${r.getInt(0)} has ${r.getLong(1)} keys"))
+  }
+
+  test("entityTypeFromUrl: total function over arbitrary URLs, never throws") {
+    val gen = Gen.listOfN(4,
+      Gen.oneOf("match", "spieler", "x", "verein", "99", "trainer", "")).map(
+      parts => "https://site.example/" + parts.mkString("/"))
+    val out = samples(gen, 120).toDF("url")
+      .withColumn("t", Parsing.entityTypeFromUrl(col("url")))
+    val allowed = Set("match", "referee", "stadium", "player", "coach", "team", "unknown")
+    assert(out.collect().forall(r => allowed.contains(r.getString(1))))
+  }
 }
