@@ -13,12 +13,7 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val prefix = if (args.length > 1) args(1) else ""
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(cpus = 8)
     spark.sparkContext.setLogLevel("ERROR")
 
     SparkEntry.queries.toSeq.sortBy(_._1)
