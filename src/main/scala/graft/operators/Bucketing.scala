@@ -47,4 +47,23 @@ object Bucketing {
     plan.contains("PartitionFilters: [") &&
       !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty
   }
+
+  /** Cost-based-optimizer feed: collect table + per-column statistics so
+    * Catalyst's CBO (join reorder, stats-driven broadcast decisions) has
+    * real row counts and NDVs instead of file-size guesses. At 100 TB this
+    * runs as a scheduled post-ingest job per silver/gold table — stale
+    * stats silently degrade join order, so it belongs next to the write,
+    * which is why it lives here with the layout writers. */
+  def analyzeTable(spark: SparkSession, table: String, columns: Seq[String]): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  /** Catalog row-count statistic for a table, if ANALYZE has run. */
+  def tableRowCount(spark: SparkSession, table: String): Option[BigInt] =
+    spark.sql(s"DESCRIBE EXTENDED $table").collect()
+      .find(_.getString(0).trim == "Statistics")
+      .flatMap(r => "(\\d+) rows".r.findFirstMatchIn(r.getString(1))
+        .map(m => BigInt(m.group(1))))
 }

@@ -124,6 +124,33 @@ class StateAndSkewSpec extends SparkSpec {
       orders.filter(col("order_year") === 1997).count())
   }
 
+  test("CBO stats: ANALYZE feeds exact row counts and NDVs into the optimizer") {
+    import graft.operators.Bucketing
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    val dim = (1 to 40).map(i => (i.toLong, s"name$i")).toDF("id", "nm")
+    dim.write.mode("overwrite").format("parquet").saveAsTable("cbo_dim")
+    Bucketing.analyzeTable(spark, "cbo_dim", Seq("id", "nm"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // catalog row count is exact
+      assert(Bucketing.tableRowCount(spark, "cbo_dim").contains(BigInt(40)))
+      // the optimizer sees the analyzed row count, not a file-size guess
+      val stats = spark.table("cbo_dim").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(40)), s"optimizer stats: $stats")
+      // per-column NDV recorded
+      val idStats = spark.sql("DESCRIBE EXTENDED cbo_dim id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(idStats.get("distinct_count").exists(_.toLong >= 38L), idStats)
+      // stats-visible small table broadcasts in a join
+      val fact = (1 to 2000).map(i => (i.toLong % 40 + 1, i)).toDF("id", "v")
+      val joined = fact.join(spark.table("cbo_dim"), "id")
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    }
+  }
+
   test("saltedJoin: identical results to plain join, including left-join nulls") {
     val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"row$i"))
       .toDF("k", "payload") // key 1 is hot: 90% of rows
