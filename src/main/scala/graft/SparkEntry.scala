@@ -79,6 +79,8 @@ object SparkEntry {
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
     "q_team_stats"      -> ((s, d) => graft.sources.FbrefStats.teamStatsFromSuppliers(s, d)),
     "q_transfers"       -> ((s, d) => graft.sources.RoundTrip.transfersFromCustomers(s, d)),
+    "q_squad"           -> ((s, d) => graft.sources.RoundTrip.squadFromCustomers(s, d)),
+    "q_injuries"        -> ((s, d) => graft.sources.RoundTrip.injuriesFromCustomers(s, d)),
     "q_idmap_mapping"   -> ((s, d) => graft.sources.RoundTrip.idmapMapping(s, d)),
     "q_idmap_conflicts" -> ((s, d) => graft.sources.RoundTrip.idmapConflicts(s, d)),
     "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d))
@@ -688,6 +690,30 @@ object SparkEntry {
         |       END AS fee_amount,
         |       'Nation ' || c_nationkey AS club_name,
         |       DATE '2023-07-01' + CAST(c_custkey % 60 AS INTEGER) AS transfer_date
+        |FROM customer
+        |ORDER BY player_name""".stripMargin,
+
+    // Squad-table round trip (S8): positional cells, dd.MM.yyyy dates,
+    // EUR-millions market values, header-row drop.
+    "q_squad" ->
+      """SELECT CAST(c_custkey % 98 + 1 AS INTEGER) AS number,
+        |       c_name AS name,
+        |       ['GK','DF','MF','FW'][(c_custkey % 4) + 1] AS position,
+        |       DATE '1980-01-01' + CAST(c_custkey % 8000 AS INTEGER) AS birth_date,
+        |       'Nation ' || c_nationkey AS nationality,
+        |       CAST(c_custkey % 90 + 1 AS DOUBLE) * 1e6 AS market_value
+        |FROM customer
+        |ORDER BY name""".stripMargin,
+
+    // Injuries-table round trip (S10): absence typing from reason text.
+    "q_injuries" ->
+      """SELECT c_name AS player_name,
+        |       ['Hamstring injury','Rotsperre','Krank','National team duty'][(c_custkey % 4) + 1] AS reason,
+        |       DATE '2024-01-01' + CAST(c_custkey % 300 AS INTEGER) AS start_date,
+        |       DATE '2024-01-15' + CAST(c_custkey % 300 AS INTEGER) AS end_or_expected,
+        |       CAST(c_custkey % 12 AS INTEGER) AS missed_games,
+        |       CASE c_custkey % 4 WHEN 0 THEN 'injury' WHEN 1 THEN 'suspension'
+        |            WHEN 2 THEN 'illness' ELSE 'national_duty' END AS absence_type
         |FROM customer
         |ORDER BY player_name""".stripMargin,
 

@@ -74,6 +74,83 @@ object RoundTrip {
       .orderBy("player_name")
   }
 
+  /** q_squad: Transfermarkt squad-table round trip (S8) — one page per
+    * nation; exercises the positional cell mapping, dd.MM.yyyy birth
+    * dates (F6 parseDateMulti), €…m market values (F7), and the
+    * header-row drop in [[SiteParsers.squadFromPages]]. */
+  def squadFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val positions = array(lit("GK"), lit("DF"), lit("MF"), lit("FW"))
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"),
+      col("c_name").as("nm"),
+      col("c_nationkey").as("nk"),
+      (pmod(col("c_custkey"), lit(98)) + 1).cast("int").as("num"),
+      element_at(positions, (pmod(col("c_custkey"), lit(4)) + 1).cast("int")).as("pos"),
+      date_format(date_add(lit("1980-01-01").cast("date"),
+        pmod(col("c_custkey"), lit(8000)).cast("int")), "dd.MM.yyyy").as("born"),
+      (pmod(col("c_custkey"), lit(90)) + 1).cast("int").as("mv_m"))
+    val rowHtml = concat(
+      lit("<tr><td>"), col("num"),
+      lit("</td><td><a href=\"/p/spieler/"), col("ck"), lit("\">"), col("nm"),
+      lit("</a></td><td>"), col("pos"),
+      lit("</td><td>"), col("born"),
+      lit("</td><td>Nation "), col("nk"),
+      lit("</td><td>€"), col("mv_m"), lit(".00m</td></tr>"))
+    val pages = c
+      .groupBy("nk")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ck"), rowHtml.as("h")))),
+        s => s.getField("h")), "").as("rows"))
+      .select(
+        concat(lit("nation_"), col("nk")).as("snapshot_path"),
+        concat(
+          lit("<table class=\"items\"><tr><th>#</th><th>Player</th><th>Pos</th>" +
+            "<th>Born</th><th>Nat</th><th>Value</th></tr>"),
+          col("rows"), lit("</table>")).as("html"))
+    SiteParsers.squadFromPages(pages)
+      .select(col("number"), col("name"), col("position"), col("birth_date"),
+        col("nationality"), col("market_value"))
+      .orderBy("name")
+  }
+
+  /** q_injuries: injuries-table round trip (S10) — absence typing (F28)
+    * from the reason text, date parsing, missed-games int. */
+  def injuriesFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val reasons = array(lit("Hamstring injury"), lit("Rotsperre"),
+      lit("Krank"), lit("National team duty"))
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"),
+      col("c_name").as("nm"),
+      col("c_nationkey").as("nk"),
+      element_at(reasons, (pmod(col("c_custkey"), lit(4)) + 1).cast("int")).as("reason"),
+      date_format(date_add(lit("2024-01-01").cast("date"),
+        pmod(col("c_custkey"), lit(300)).cast("int")), "dd.MM.yyyy").as("start"),
+      date_format(date_add(lit("2024-01-15").cast("date"),
+        pmod(col("c_custkey"), lit(300)).cast("int")), "dd.MM.yyyy").as("until"),
+      pmod(col("c_custkey"), lit(12)).cast("int").as("missed"))
+    val rowHtml = concat(
+      lit("<tr><td>"), col("nm"),
+      lit("</td><td>"), col("reason"),
+      lit("</td><td>"), col("start"),
+      lit("</td><td>"), col("until"),
+      lit("</td><td>"), col("missed"), lit("</td></tr>"))
+    val pages = c
+      .groupBy("nk")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ck"), rowHtml.as("h")))),
+        s => s.getField("h")), "").as("rows"))
+      .select(
+        concat(lit("nation_"), col("nk")).as("snapshot_path"),
+        concat(
+          lit("<table><tr><th>Player</th><th>Reason</th><th>From</th>" +
+            "<th>Until</th><th>Games</th></tr>"),
+          col("rows"), lit("</table>")).as("html"))
+    SiteParsers.injuriesFromPages(pages)
+      .select(col("player_name"), col("reason"), col("start_date"),
+        col("end_or_expected"), col("missed_games"), col("absence_type"))
+      .orderBy("player_name")
+  }
+
   /** q_idmap_mapping / q_idmap_conflicts: the J7 external-id registry
     * exercised end-to-end. `current` maps each residue class of custkey
     * to its smallest member; `staged` claims map orderkey residues to the
