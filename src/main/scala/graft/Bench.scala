@@ -32,7 +32,11 @@ object Bench {
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
+    // Optional comma-separated subset for local profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warmup: run everything once, untimed.
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
@@ -43,16 +47,30 @@ object Bench {
     // now instead of during the first timed queries.
     System.gc()
     Thread.sleep(2000)
-    val results = names.map { n =>
+    def bestOf(n: String, reps: Int): Double = {
       val fn = SparkEntry.queries(n)
-      // Best-of-3: the host shows multi-second CPU-steal spikes; min over
-      // three runs isolates the actual query cost.
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val r = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
         dropCheckpoints()
         r
       }
-      n -> (if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0)
+      if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0
+    }
+    // Best-of-3: the host shows multi-second CPU-steal spikes; min over
+    // three runs isolates the actual query cost.
+    val firstPass = names.map(n => n -> bestOf(n, 3))
+    // Steal can persist for a whole query's three reps (observed: a 0.45 s
+    // aggregation printing 19 s because its window coincided with a
+    // sustained spike). Re-run outliers — anything over 4× the suite
+    // median and over 2 s — after the suite, when the spike has passed,
+    // and keep the overall min.
+    val valid = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
+    val median = if (valid.isEmpty) 0.0 else valid(valid.size / 2)
+    val results = firstPass.map { case (n, v) =>
+      if (v > 2.0 && v > 4 * median) {
+        val retry = bestOf(n, 3)
+        n -> (if (retry >= 0) math.min(v, retry) else v)
+      } else n -> v
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
