@@ -83,7 +83,9 @@ object SparkEntry {
     "q_injuries"        -> ((s, d) => graft.sources.RoundTrip.injuriesFromCustomers(s, d)),
     "q_idmap_mapping"   -> ((s, d) => graft.sources.RoundTrip.idmapMapping(s, d)),
     "q_idmap_conflicts" -> ((s, d) => graft.sources.RoundTrip.idmapConflicts(s, d)),
-    "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d))
+    "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q_chunks"          -> ((s, d) => graft.scale.TrainingData.chunkDocs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -842,6 +844,62 @@ object SparkEntry {
         |  FROM chunks x JOIN chunks y
         |    ON x.chunk = y.chunk AND x.band = y.band AND x.doc_id < y.doc_id)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+
+    // Transitive closure of the simhash near-dup pairs: the oracle
+    // recomputes the same edge set in SQL, then min-label reachability via
+    // a recursive CTE (feasible at oracle scale; the Spark side is the
+    // O(log n)-round large-star/small-star algorithm).
+    "q_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(60)) AS b) bits
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, sig, c AS band, (sig >> (c * 15)) & 32767 AS chunk
+        |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk = y.chunk AND x.band = y.band AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+        |       l.doc_id = l.cluster_id AS is_canonical
+        |FROM lab l JOIN sz USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // Token-budget chunking with overlap (budget 100, overlap 10 → step
+    // 90): start offsets from generate_series, chunk content verified by
+    // md5 of the token slice.
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |s AS (SELECT doc_id, toks, n_tokens,
+        |             unnest(generate_series(0, n_tokens - 1, 90)) AS start_tok
+        |      FROM n)
+        |SELECT doc_id,
+        |       start_tok // 90 AS chunk_id,
+        |       start_tok,
+        |       least(100, n_tokens - start_tok) AS chunk_tokens,
+        |       md5(array_to_string(toks[CAST(start_tok + 1 AS INTEGER)
+        |                                : CAST(start_tok + 100 AS INTEGER)], ' ')) AS chunk_md5
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

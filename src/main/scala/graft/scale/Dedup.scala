@@ -218,4 +218,111 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
   }
+
+  /** Connected components over an undirected edge list by alternating
+    * large-star / small-star contractions (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the shuffle-native
+    * CC algorithm: O(log²n) rounds worst case (2–3 in practice for the
+    * near-clique graphs LSH dedup produces), per-round cost a groupBy-min
+    * plus a join, no driver-side graph state and no collect_list
+    * neighborhood blowup (hot nodes aggregate to a single min).
+    *
+    * Near-dup *pairs* are only half a dedup pipeline: keep-one semantics
+    * needs transitive closure (A≈B, B≈C ⇒ {A,B,C} is one group even when
+    * A,C share no band). The reference dedupes per-key via upserts
+    * (`database/repositories.py` ON CONFLICT families); corpus-level
+    * near-dup grouping is the 100 TB generalization.
+    *
+    * @param edges (u, v) long id pairs, any orientation, self-loops ok
+    * @return (node, component) — component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // large-star: center every node, link strictly-larger neighbors to the
+    // neighborhood minimum. small-star: orient hi→lo, link the center and
+    // its (all smaller) neighbors to the minimum. Both preserve
+    // connectivity; alternating converges to per-component stars.
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+          greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Fixpoint detection on a cheap set checksum (count + order-insensitive
+    // hash sums) — two scalar aggregates per round, no frame comparison.
+    // Sums accumulate in decimal(38,0): xxhash64 spans the full long range,
+    // so a long sum overflows under ANSI mode.
+    def checksum(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h"),
+        coalesce(sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s")).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)))
+    }
+    var cur = Silver.materialize(
+      edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      "cc_iter_0")
+    var prev = checksum(cur)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      i += 1
+      // materialize per round: iterative plans otherwise stack the whole
+      // history into one lineage (exponential re-execution under AQE)
+      cur = Silver.materialize(smallStar(largeStar(cur)), s"cc_iter_$i")
+      val cs = checksum(cur)
+      converged = cs == prev
+      prev = cs
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Stars point node→min. Centers (min nodes) map to themselves.
+    cur.select(col("u").as("node"), col("v").as("component"))
+      .union(cur.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** Near-duplicate clusters over the documents table: SimHash pairs →
+    * transitive closure → per-doc cluster id (min doc_id in the
+    * component), cluster size, and the keep-one flag. Docs with no
+    * near-dup partner are not emitted (singletons are kept by
+    * definition). */
+  def dupClusters(spark: SparkSession, dir: String,
+                  maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairs(spark, dir, maxHamming)
+    val cc = connectedComponents(pairs.select(col("d1").as("u"), col("d2").as("v")))
+    val labeled = cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep-one dedup: drop every non-canonical member of a near-dup
+    * cluster from the corpus. Broadcast-size drop list at test SF; at
+    * 100 TB the anti-join shuffles on doc_id — the minimal possible
+    * exchange for this op. */
+  def canonicalKeep(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(!col("is_canonical")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
 }

@@ -79,4 +79,36 @@ object TrainingData {
       .agg(countDistinct(col("sh")).as("shared_shingles"))
       .orderBy("doc_id")
   }
+
+  /** Token-budget chunking with overlap — the context-window prep step:
+    * each document becomes ⌈n/(budget−overlap)⌉ chunks of ≤ `budget`
+    * tokens, consecutive chunks sharing `overlap` tokens. Start offsets
+    * are a `sequence` + `explode` (narrow — no shuffle, no UDF); fan-out
+    * is bounded by budget/(budget−overlap) ≈ 1.1× rows at the default
+    * ratio, so the op scales linearly in corpus tokens. Chunk content is
+    * fingerprinted (md5 of the token slice) rather than re-emitted — at
+    * 100 TB you verify and route chunks by hash, not by copying text
+    * through every downstream shuffle. */
+  def chunk(docs: DataFrame, budget: Int = 100, overlap: Int = 10): DataFrame = {
+    require(overlap < budget, s"overlap $overlap must be < budget $budget")
+    val step = budget - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(step.toLong))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        (col("start_tok") / step).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(budget.toLong), col("n_tokens") - col("start_tok")).as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(budget)))).as("chunk_md5"))
+  }
+
+  /** q_chunks: chunk accounting over the documents table. */
+  def chunkDocs(spark: SparkSession, dir: String,
+                budget: Int = 100, overlap: Int = 10): DataFrame =
+    chunk(Tables.documents(spark, dir), budget, overlap)
+      .orderBy("doc_id", "chunk_id")
 }

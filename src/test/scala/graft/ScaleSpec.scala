@@ -225,4 +225,82 @@ class ScaleSpec extends SparkSpec {
     assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
     assert(r.getDouble(3) == 2.0)
   }
+
+  /** Reference labeling for [[ccAgainstUnionFind]]: plain driver-side
+    * union-find over the same edges. */
+  private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccAgainstUnionFind(edges: Seq[(Long, Long)], hint: String): Unit = {
+    val got = Dedup.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFindLabels(edges), hint)
+  }
+
+  test("connectedComponents matches union-find on chain, cliques, and random graph") {
+    // 64-node chain: worst case for naive min-propagation (diameter 63);
+    // the star-contraction rounds must still converge inside maxIter=20.
+    ccAgainstUnionFind((1L until 64L).map(i => (i, i + 1)), "long chain")
+    // two cliques + an isolated pair, shuffled orientations
+    val cliques =
+      (for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (b, a)) ++
+      (for { a <- 20L to 25L; b <- 20L to 25L if a < b } yield (a, b)) ++
+      Seq((100L, 99L))
+    ccAgainstUnionFind(cliques, "cliques + pair")
+    // deterministic pseudo-random graph with self-loops and dup edges
+    val rng = new scala.util.Random(7)
+    val rand = Seq.fill(200)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    ccAgainstUnionFind(rand, "random graph")
+  }
+
+  test("dupClusters labels simhash pairs transitively; canonicalKeep drops non-canonicals") {
+    val clusters = Dedup.dupClusters(spark, TestSpark.Sf0001)
+    val rows = clusters.collect()
+    // every cluster id is a member of its own cluster and is the minimum
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getLong(0))
+      assert(ids.min == cid, s"cluster $cid min should be the label")
+      assert(members.forall(_.getLong(2) == members.length), "cluster_size consistent")
+      assert(members.count(_.getBoolean(3)) == 1, "exactly one canonical per cluster")
+    }
+    // clusters cover exactly the nodes of the pair graph, transitively
+    val pairs = Dedup.simhashPairs(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_.getLong(0)).toSet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == unionFindLabels(pairs))
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val kept = Dedup.canonicalKeep(docs, clusters)
+    assert(kept.count() == docs.count() - rows.count(r => !r.getBoolean(3)))
+  }
+
+  test("chunk: budget/overlap offsets, clipped tail, md5 content") {
+    import graft.scale.TrainingData
+    val docs = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.chunk(docs, budget = 10, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 25 tokens, budget 10, step 8 → starts 0,8,16,24
+    assert(d1.map(_._3).toSeq == Seq(0L, 8L, 16L, 24L))
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 9L, 1L))
+    // consecutive chunks share `overlap` tokens: chunk0 tokens 1..10,
+    // chunk1 tokens 9..18
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1(0)._5 == md5hex((1 to 10).map(i => s"w$i").mkString(" ")))
+    assert(d1(1)._5 == md5hex((9 to 18).map(i => s"w$i").mkString(" ")))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3L && d2.head._5 == md5hex("a b c"))
+  }
 }
