@@ -27,9 +27,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * partial-aggregation trick Spark applies to `limit` (TakeOrdered) and
   * hash aggregates, which it does NOT apply to ranking windows.
   *
-  * Memory contract: per task, one k-row heap per distinct key seen in the
-  * partition (like a hash aggregate's map; no spill path — a production
-  * hardening would fall back to sort-based per-key limiting on pressure).
+  * Memory contract — bounded on both sides of the exchange:
+  *
+  *  - partial: at most `spark.graft.topk.maxPartialKeys` (default 100k)
+  *    k-row heaps per task. When a partition carries more distinct keys,
+  *    rows of overflow keys stream through unfiltered — the partial stage
+  *    only needs to emit a SUPERSET of each key's top-k, so degrading to
+  *    pass-through trades shuffle volume for memory, never correctness.
+  *  - final: requires child ordering (keys, then order), so
+  *    EnsureRequirements plans a SortExec — which spills to disk under
+  *    pressure — and the operator itself streams each key group with an
+  *    O(1) counter. No per-key state at all on the reduce side.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, child: LogicalPlan) extends UnaryNode {
@@ -59,6 +67,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
+  // Final is a streaming group-wise limit: it needs rows grouped AND
+  // sorted (keys, then ranking order). EnsureRequirements plans a
+  // SortExec to satisfy this — Spark's sort spills to disk, so the
+  // reduce side has no OOM path regardless of key or group size.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
   override def nodeName: String =
@@ -69,28 +84,51 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val limit = k
     val childOutput = child.output
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      // heap keeps the k FIRST rows in sort order; worst-kept on top
-      val worstFirst: java.util.Comparator[InternalRow] = ord.reverse
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
-          heaps.put(key.copy(), heap)
+    if (partial) {
+      val maxKeys = conf.getConfString(
+        "spark.graft.topk.maxPartialKeys", "100000").toInt
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val ord = RowOrdering.create(sortOrder, childOutput)
+        // heap keeps the k FIRST rows in sort order; worst-kept on top
+        val worstFirst: java.util.Comparator[InternalRow] = ord.reverse
+        val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        val filtered = iter.flatMap { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null && heaps.size() < maxKeys) {
+            heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap == null) {
+            // over the key cap: degrade this key to pass-through (still a
+            // superset of its top-k; the final stage trims exactly)
+            Iterator.single(row)
+          } else {
+            if (heap.size < limit) heap.offer(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.offer(row.copy())
+            }
+            Iterator.empty
+          }
         }
-        if (heap.size < limit) heap.offer(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
+        import scala.jdk.CollectionConverters._
+        // ++ is by-name: heaps drain only after the input is exhausted
+        filtered ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var current: UnsafeRow = null
+        var seen = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (current == null || key != current) { current = key.copy(); seen = 0 }
+          seen += 1
+          seen <= limit
         }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 }
 

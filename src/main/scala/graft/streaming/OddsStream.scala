@@ -132,6 +132,43 @@ object OddsStream {
         (key, rows, state) => detectMoves(key, rows, state, thresholdPct))
   }
 
+  /** Sliding-window price history per (match, bookmaker, market,
+    * selection): overlapping event-time windows with open/low/high/close
+    * price stats — the queryable odds-movement history the reference
+    * rebuilds from `match_odd` rows on demand (odds.py stores every
+    * snapshot; consumers re-scan). Streaming shape: watermark bounds the
+    * open-window state; append mode emits each window once it closes;
+    * `min_by`/`max_by` give open/close without a ranked window (partial
+    * aggregation on both sides of the shuffle). Works identically on a
+    * batch frame (windows all close immediately).
+    *
+    * State at scale: open windows per key = windowDur/slideDur (2 at the
+    * defaults), so state size is O(live matches × bookmakers × markets ×
+    * 3 selections × 2) rows — independent of tick rate. */
+  def priceHistory(normalized: DataFrame,
+                   windowDur: String = "10 minutes",
+                   slideDur: String = "5 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    normalized
+      .withWatermark("captured_at", watermark)
+      .select(col("match_id"), col("bookmaker"), col("market"),
+        col("captured_at"), explode(col("selections")).as("sel"))
+      .groupBy(
+        window(col("captured_at"), windowDur, slideDur),
+        col("match_id"), col("bookmaker"), col("market"),
+        col("sel.name").as("selection"))
+      .agg(
+        count(lit(1)).as("ticks"),
+        min_by(col("sel.price"), col("captured_at")).as("open"),
+        max_by(col("sel.price"), col("captured_at")).as("close"),
+        min(col("sel.price")).as("low"),
+        max(col("sel.price")).as("high"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("match_id"), col("bookmaker"), col("market"), col("selection"),
+        col("ticks"), col("open"), col("close"), col("low"), col("high"))
+
   /** Drain-available pipeline over a snapshot-drop directory (the 300 s
     * loop runs the same graph with a ProcessingTime trigger). */
   def runOnce(spark: SparkSession, inputDir: String, tableDir: String,

@@ -95,4 +95,29 @@ class PlansSpec extends SparkSpec {
       .filter(col("rn") === 1).drop("rn")
     assert(canon(multi) == canon(multiExpected))
   }
+
+  test("TopKPerKey: partial key cap degrades to pass-through without changing results") {
+    import graft.plans.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+    val k = 2
+    // per-customer top-k: ~1500 distinct keys per run, far over the cap of
+    // 3, so nearly every key takes the pass-through path
+    def run() = TopKPerKey(orders, k,
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val uncapped = run()
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "3")
+    val capped = try run()
+    finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+    val expected = orders
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= k).drop("rn")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(uncapped == expected)
+    assert(capped == expected, "pass-through partial must not change results")
+  }
 }

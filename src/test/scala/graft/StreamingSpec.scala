@@ -182,6 +182,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("OddsStream.priceHistory: sliding windows emit OHLC per selection once closed") {
+    import graft.streaming.OddsStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawOdds]
+    val hist = OddsStream.priceHistory(
+      OddsStream.normalize(mem.toDF()),
+      windowDur = "10 minutes", slideDur = "5 minutes", watermark = "0 seconds")
+    val q = hist.writeStream.format("memory").queryName("odds_hist")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        RawOdds("m1", "b", "1x2", "2.00", "3.00", "4.00", ts("2024-01-01 10:01:00")),
+        RawOdds("m1", "b", "1x2", "2.20", "3.00", "3.80", ts("2024-01-01 10:04:00")),
+        RawOdds("m1", "b", "1x2", "1.90", "3.10", "4.10", ts("2024-01-01 10:07:00")))
+      q.processAllAvailable()
+      // watermark 0s: advancing event time past a window end closes it
+      mem.addData(
+        RawOdds("m1", "b", "1x2", "1.95", "3.10", "4.05", ts("2024-01-01 10:21:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM odds_hist WHERE selection = 'home' ORDER BY window_start").collect()
+      // ticks at 10:01/10:04/10:07 → sliding windows [09:55,10:05) (2 ticks),
+      // [10:00,10:10) (3), [10:05,10:15) (1); all closed by the 10:21 tick
+      assert(rows.length == 3, rows.mkString("; "))
+      val w0 = rows(0) // [09:55, 10:05): open 2.00 @10:01, close 2.20 @10:04
+      assert(w0.getAs[Long]("ticks") == 2L)
+      assert(w0.getAs[Double]("open") == 2.0 && w0.getAs[Double]("close") == 2.2)
+      val w1 = rows(1) // [10:00, 10:10): low 1.90, high 2.20
+      assert(w1.getAs[Long]("ticks") == 3L)
+      assert(w1.getAs[Double]("open") == 2.0 && w1.getAs[Double]("close") == 1.9)
+      assert(w1.getAs[Double]("low") == 1.9 && w1.getAs[Double]("high") == 2.2)
+      val w2 = rows(2) // [10:05, 10:15): single tick
+      assert(w2.getAs[Long]("ticks") == 1L)
+      assert(w2.getAs[Double]("open") == 1.9 && w2.getAs[Double]("close") == 1.9)
+      // every selection leg is tracked independently
+      val draws = spark.sql(
+        "SELECT low, high FROM odds_hist WHERE selection = 'draw' " +
+        "AND window_start = TIMESTAMP '2024-01-01 10:00:00'").collect()
+      assert(draws.length == 1 &&
+        draws.head.getDouble(0) == 3.0 && draws.head.getDouble(1) == 3.1)
+    } finally q.stop()
+  }
+
   test("upsertBatch is idempotent across replays (retry safety)") {
     val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
     val batch = LiveScores.normalize(Seq(
