@@ -85,7 +85,8 @@ object SparkEntry {
     "q_idmap_conflicts" -> ((s, d) => graft.sources.RoundTrip.idmapConflicts(s, d)),
     "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
-    "q_chunks"          -> ((s, d) => graft.scale.TrainingData.chunkDocs(s, d))
+    "q_chunks"          -> ((s, d) => graft.scale.TrainingData.chunkDocs(s, d)),
+    "q_pii_redact"      -> ((s, d) => TextAnalysis.piiRedact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -900,6 +901,36 @@ object SparkEntry {
         |       md5(array_to_string(toks[CAST(start_tok + 1 AS INTEGER)
         |                                : CAST(start_tok + 100 AS INTEGER)], ' ')) AS chunk_md5
         |FROM s
-        |ORDER BY doc_id, chunk_id""".stripMargin
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // PII-redaction round trip: deterministic synthetic PII injected per
+    // doc, scrubbed with the same RE2-safe patterns in both engines
+    // (email -> ip -> phone order); md5 of the redacted text is the
+    // cross-engine witness.
+    "q_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text || ' contact p' || doc_id || '@mail.example.com now from 10.0.'
+        |              || (doc_id % 256) || '.' || (doc_id % 100)
+        |              || ' or call +1555000' || doc_id AS txt
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, txt,
+        |         regexp_replace(regexp_replace(regexp_replace(txt,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\+\d[\d ]{6,14}\d', '<PHONE>', 'g') AS redacted
+        |  FROM inj)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '\+\d[\d ]{6,14}\d')) AS BIGINT) AS n_phones,
+        |       md5(redacted) AS redacted_md5,
+        |       CAST(length(redacted) AS BIGINT) AS redacted_len
+        |FROM red
+        |ORDER BY doc_id""".stripMargin
   )
 }

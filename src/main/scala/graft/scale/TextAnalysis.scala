@@ -179,6 +179,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns for redaction. Deliberately RE2-safe (no lookaround,
+    * no backreferences, greedy simple classes only) so Java regex (Spark)
+    * and RE2 (DuckDB, and the Go/Rust scanners a corpus pipeline pairs
+    * with) produce byte-identical matches — a redaction step whose output
+    * differs per engine poisons downstream dedup fingerprints. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d ]{6,14}\\d"
+
+  /** Redact emails, IPv4s, and international-format phone numbers with
+    * typed placeholders. Application order matters (emails before phones
+    * so digit runs inside addresses aren't half-eaten): email → ip →
+    * phone. Pure codegen expression — no UDF in the per-document path. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of matches for a PII pattern (pre-redaction audit metric). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** q_pii_redact: round-trip PII scrubbing oracle. The corpus text is
+    * clean by construction, so each doc gets deterministic synthetic PII
+    * (derived from doc_id) appended; the operator under test then
+    * redacts it. DuckDB rebuilds the same injected text and applies the
+    * same RE2 patterns — any cross-engine divergence in regex semantics
+    * or replacement order breaks the md5 match. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" contact p"), col("doc_id"), lit("@mail.example.com now from 10.0."),
+      pmod(col("doc_id"), lit(256L)), lit("."), pmod(col("doc_id"), lit(100L)),
+      lit(" or call +1555000"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("txt"))
+      .select(
+        col("doc_id"),
+        piiCount(col("txt"), EmailRe).as("n_emails"),
+        piiCount(col("txt"), Ipv4Re).as("n_ips"),
+        piiCount(col("txt"), PhoneRe).as("n_phones"),
+        md5(redactPii(col("txt"))).as("redacted_md5"),
+        length(redactPii(col("txt"))).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

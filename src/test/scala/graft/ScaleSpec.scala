@@ -226,6 +226,22 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(3) == 2.0)
   }
 
+  test("redactPii: typed placeholders, counts, clean text untouched") {
+    val r = evalExpr(
+      TextAnalysis.redactPii(lit("mail a.b+c@x-y.example.co.uk now")),
+      TextAnalysis.redactPii(lit("host 192.168.0.1 up")),
+      TextAnalysis.redactPii(lit("call +44 20 7946 0958 now")),
+      TextAnalysis.redactPii(lit("all clean words here")),
+      TextAnalysis.piiCount(lit("a@b.com and c@d.org"), TextAnalysis.EmailRe),
+      TextAnalysis.redactPii(lit("p7@mail.example.com from 10.0.7.7 call +15550007")))
+    assert(r.getString(0) == "mail <EMAIL> now")
+    assert(r.getString(1) == "host <IP> up")
+    assert(r.getString(2) == "call <PHONE> now")
+    assert(r.getString(3) == "all clean words here")
+    assert(r.getLong(4) == 2L)
+    assert(r.getString(5) == "<EMAIL> from <IP> call <PHONE>")
+  }
+
   /** Reference labeling for [[ccAgainstUnionFind]]: plain driver-side
     * union-find over the same edges. */
   private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -16,6 +16,8 @@ case class RawOdds(match_id: String, bookmaker: String, market: String,
                    odds_home: String, odds_draw: String, odds_away: String,
                    captured_at: Timestamp)
 
+case class RawDoc(doc_id: Long, text: String, ingested_at: Timestamp)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -222,6 +224,37 @@ class StreamingSpec extends SparkSpec {
         "AND window_start = TIMESTAMP '2024-01-01 10:00:00'").collect()
       assert(draws.length == 1 &&
         draws.head.getDouble(0) == 3.0 && draws.head.getDouble(1) == 3.1)
+    } finally q.stop()
+  }
+
+  test("StreamDedup.novelDocs: drops in-batch, cross-batch, and historical dups") {
+    import graft.streaming.StreamDedup
+    import graft.scale.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawDoc]
+    // historical corpus already holds "seen before"
+    val historical = Seq("seen before").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val q = StreamDedup.novelDocs(mem.toDF(), historical, watermark = "1 hour")
+      .writeStream.format("memory").queryName("novel_docs")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        RawDoc(1L, "fresh content one", ts("2024-01-01 10:00:00")),
+        RawDoc(2L, "Fresh  Content One", ts("2024-01-01 10:00:30")), // exact dup after normalization
+        RawDoc(3L, "seen before", ts("2024-01-01 10:01:00")))        // historical dup
+      q.processAllAvailable()
+      mem.addData(
+        RawDoc(4L, "fresh content one", ts("2024-01-01 10:05:00")),  // cross-batch dup (in watermark)
+        RawDoc(5L, "genuinely new", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM novel_docs").collect()
+        .map(_.getLong(0)).toSet
+      // exactly one of the in-batch dup pair survives; historical (3) and
+      // cross-batch (4) dups never emit; the novel doc (5) does
+      assert(ids.intersect(Set(1L, 2L)).size == 1, s"got $ids")
+      assert(!ids.contains(3L) && !ids.contains(4L), s"got $ids")
+      assert(ids.contains(5L), s"got $ids")
     } finally q.stop()
   }
 
