@@ -180,6 +180,24 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low (ivf=$ivf brute=$brute)")
   }
 
+  test("PQ ANN: m-id codes, ADC + re-rank recalls brute-force top-k") {
+    val index = Similarity.pqBuild(spark, TestSpark.Sf0001, m = 8, k = 16)
+    // codes are m small ids — the 32x memory compression claim
+    val code = index.assigned.select("code").head().getSeq[Int](0)
+    assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
+    val qv = index.assigned.filter(col("vec_id") === 0L)
+      .select("v").head().getSeq[Double](0).toArray
+    // synthetic embeddings are near-uniform (no cluster structure for the
+    // codebooks to exploit), so recall needs a deeper re-rank pool than
+    // the refine=4 that suits real embedding distributions
+    val pq = Similarity.pqSearch(index, qv, k = 10, refine = 12, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.knnBruteForce(spark, TestSpark.Sf0001, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall too low (pq=$pq brute=$brute)")
+  }
+
   test("langIdHeuristic on real multilingual samples") {
     val r = evalExpr(
       TextAnalysis.langIdHeuristic(lit("the cat and the dog is in the house")),
