@@ -24,4 +24,25 @@ object WindowedAgg {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("cnt"), col("value_sum"))
+
+  /** Event-time session windows per key: activity bursts separated by
+    * ≥ `gap` of silence become one window each (the streaming counterpart
+    * of the batch gap-sessionize in [[graft.operators.Sessionize]] /
+    * q_sessions — same 30-minute-gap semantics the reference's live
+    * tracker encodes procedurally). Native `session_window` keeps one
+    * open session per active key, merges on overlap, and emits when the
+    * watermark passes the session end — state is bounded by concurrently
+    * ACTIVE keys, not history. */
+  def sessions(events: DataFrame, timeCol: String, keyCol: String,
+               gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value")).as("value_sum"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("cnt"), col("value_sum"))
 }

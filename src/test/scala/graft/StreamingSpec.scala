@@ -184,6 +184,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: gap merges within, splits across; emit on watermark pass (T7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sessions = graft.streaming.WindowedAgg.sessions(
+      mem.toDF().toDF("ts", "user", "value"),
+      timeCol = "ts", keyCol = "user", gap = "10 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("session_agg")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "u1", 1.0),
+        (ts("2024-01-01 10:05:00"), "u1", 2.0), // 5 min gap: same session
+        (ts("2024-01-01 10:30:00"), "u1", 4.0), // 25 min gap: new session
+        (ts("2024-01-01 10:02:00"), "u2", 8.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 11:00:00"), "u1", 0.5)) // advances watermark, closes all
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, session_start, cnt, value_sum FROM session_agg ORDER BY user, session_start")
+        .collect()
+      assert(rows.length == 3, rows.mkString("; "))
+      // u1 burst 1: two events merged into [10:00, 10:15)
+      assert(rows(0).getAs[String]("user") == "u1" &&
+        rows(0).getAs[Long]("cnt") == 2L && rows(0).getAs[Double]("value_sum") == 3.0)
+      // u1 burst 2: single event
+      assert(rows(1).getAs[Timestamp]("session_start") == ts("2024-01-01 10:30:00") &&
+        rows(1).getAs[Long]("cnt") == 1L)
+      // u2: independent key
+      assert(rows(2).getAs[String]("user") == "u2" &&
+        rows(2).getAs[Double]("value_sum") == 8.0)
+    } finally q.stop()
+  }
+
   test("OddsStream.priceHistory: sliding windows emit OHLC per selection once closed") {
     import graft.streaming.OddsStream
     implicit val sqlCtx = spark.sqlContext
