@@ -86,7 +86,8 @@ object SparkEntry {
     "q_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_chunks"          -> ((s, d) => graft.scale.TrainingData.chunkDocs(s, d)),
-    "q_pii_redact"      -> ((s, d) => TextAnalysis.piiRedact(s, d))
+    "q_pii_redact"      -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q_source_mix"      -> ((s, d) => graft.scale.TrainingData.sourceMix(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -931,6 +932,27 @@ object SparkEntry {
         |       md5(redacted) AS redacted_md5,
         |       CAST(length(redacted) AS BIGINT) AS redacted_len
         |FROM red
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Source-mixing: per-source token budget (800) via deterministic
+    // md5-bucket downsampling; keep_pct = floor(100*target/total) capped
+    // at 100. The single double division matches IEEE-exactly across
+    // engines.
+    "q_source_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |           FROM documents),
+        |pct AS (SELECT source,
+        |               least(100, CAST(floor(100.0 * 800 / sum(tokens)) AS BIGINT)) AS keep_pct
+        |        FROM d GROUP BY source),
+        |kept AS (SELECT d.source, p.keep_pct, d.tokens
+        |         FROM d JOIN pct p USING (source)
+        |         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |               % 100 < p.keep_pct)
+        |SELECT source, keep_pct, count(*) AS docs_kept,
+        |       CAST(sum(tokens) AS BIGINT) AS tokens_kept
+        |FROM kept
+        |GROUP BY source, keep_pct
+        |ORDER BY source""".stripMargin
   )
 }

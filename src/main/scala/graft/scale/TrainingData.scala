@@ -80,6 +80,31 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Source mixing: cap every source at a per-source token budget by
+    * deterministic hash downsampling — the mixture-weights step of a
+    * pretraining corpus build (oversampled sources are thinned; sources
+    * under budget pass whole). Keep probability = ⌊100·target/total⌋ %,
+    * applied via the same md5 bucket as [[splitOf]], so the kept set is
+    * stable under corpus growth and reproducible across engines. The
+    * per-source totals are a tiny aggregate broadcast back onto the
+    * corpus — one wide scan, one broadcast join, no second shuffle of
+    * the documents. */
+  def sourceMix(spark: SparkSession, dir: String,
+                targetTokens: Long = 800L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val pct = d.groupBy("source").agg(sum("tokens").as("total"))
+      .select(col("source"),
+        least(lit(100L),
+          floor(lit(100.0) * targetTokens / col("total"))).as("keep_pct"))
+    d.join(broadcast(pct), "source")
+      .filter(hashBucket(col("doc_id")) < col("keep_pct"))
+      .groupBy("source", "keep_pct")
+      .agg(count(lit(1)).as("docs_kept"), sum("tokens").as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** Token-budget chunking with overlap — the context-window prep step:
     * each document becomes ⌈n/(budget−overlap)⌉ chunks of ≤ `budget`
     * tokens, consecutive chunks sharing `overlap` tokens. Start offsets
