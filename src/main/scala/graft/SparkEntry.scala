@@ -887,13 +887,14 @@ object SparkEntry {
         |ORDER BY l.doc_id""".stripMargin,
 
     // Token-budget chunking with overlap (budget 100, overlap 10 → step
-    // 90): start offsets from generate_series, chunk content verified by
-    // md5 of the token slice.
+    // 90): start offsets from generate_series bounded at n-overlap-1 (a
+    // later start would duplicate its predecessor's content), chunk
+    // content verified by md5 of the token slice.
     "q_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
         |s AS (SELECT doc_id, toks, n_tokens,
-        |             unnest(generate_series(0, n_tokens - 1, 90)) AS start_tok
+        |             unnest(generate_series(0, greatest(n_tokens - 11, 0), 90)) AS start_tok
         |      FROM n)
         |SELECT doc_id,
         |       start_tok // 90 AS chunk_id,

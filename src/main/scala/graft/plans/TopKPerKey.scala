@@ -120,10 +120,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         var current: UnsafeRow = null
-        var seen = 0
+        var seen = 0L // long: a pass-through-degraded hot key can exceed 2^31 rows
         iter.filter { row =>
           val key = keyProj(row)
-          if (current == null || key != current) { current = key.copy(); seen = 0 }
+          if (current == null || key != current) { current = key.copy(); seen = 0L }
           seen += 1
           seen <= limit
         }

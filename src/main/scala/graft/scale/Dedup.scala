@@ -198,7 +198,14 @@ object Dedup {
     * chunk equality, verify with exact `bit_count(xor)`. Same
     * no-O(n²) LSH shape as [[minhashPairs]]. */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsUnsorted(spark, dir, maxHamming).orderBy("d1", "d2")
+
+  /** [[simhashPairs]] without the terminal total order — the order is an
+    * oracle-output requirement only; consumers that re-shuffle the pairs
+    * anyway ([[dupClusters]]) skip the global sort. */
+  def simhashPairsUnsorted(spark: SparkSession, dir: String,
+                           maxHamming: Int = 3): DataFrame = {
     val sig = Silver.materialize(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
@@ -216,7 +223,6 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("d1", "d2")
   }
 
   /** Connected components over an undirected edge list by alternating
@@ -277,10 +283,32 @@ object Dedup {
           lit(0).cast("decimal(38,0)")).as("s")).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)))
     }
-    var cur = Silver.materialize(
+    // Round-block hygiene (localCheckpoint mode): every materialized round
+    // pins blocks in the block manager; only the first (node universe) and
+    // final (labels) rounds are read after the loop, so superseded rounds
+    // are unpersisted on exit. Id tracking is a before/after snapshot diff
+    // — assumes no concurrent materialization on the same session (holds
+    // for the library's single-query call pattern).
+    val sc = edges.sparkSession.sparkContext
+    val localMode =
+      edges.sparkSession.conf.getOption("spark.graft.silver.dir").isEmpty
+    val roundIds = scala.collection.mutable.ArrayBuffer[Set[Int]]()
+    def materializeRound(df: DataFrame, name: String): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = Silver.materialize(df, name)
+      if (localMode) roundIds += (sc.getPersistentRDDs.keySet.toSet -- before)
+      out
+    }
+    // The raw round keeps self-loops: they don't connect anything, but
+    // their endpoints ARE nodes and must appear in the output (labeled as
+    // their own singleton component), matching a union-find reference.
+    val raw = materializeRound(
       edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-        .filter(col("u") =!= col("v")).distinct(),
+        .distinct(),
       "cc_iter_0")
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
+    var cur = raw.filter(col("u") =!= col("v"))
     var prev = checksum(cur)
     var converged = false
     var i = 0
@@ -288,15 +316,22 @@ object Dedup {
       i += 1
       // materialize per round: iterative plans otherwise stack the whole
       // history into one lineage (exponential re-execution under AQE)
-      cur = Silver.materialize(smallStar(largeStar(cur)), s"cc_iter_$i")
+      cur = materializeRound(smallStar(largeStar(cur)), s"cc_iter_$i")
       val cs = checksum(cur)
       converged = cs == prev
       prev = cs
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // Stars point node→min. Centers (min nodes) map to themselves.
+    if (localMode && roundIds.length > 2) {
+      val keep = roundIds.head ++ roundIds.last
+      roundIds.slice(1, roundIds.length - 1).flatten.filterNot(keep).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    // Stars point node→min; centers and isolated/self-loop-only nodes
+    // map to themselves.
     cur.select(col("u").as("node"), col("v").as("component"))
       .union(cur.select(col("v").as("node"), col("v").as("component")))
+      .union(nodes.select(col("node"), col("node").as("component")))
       .groupBy("node").agg(min("component").as("component"))
   }
 
@@ -307,7 +342,7 @@ object Dedup {
     * definition). */
   def dupClusters(spark: SparkSession, dir: String,
                   maxHamming: Int = 3): DataFrame = {
-    val pairs = simhashPairs(spark, dir, maxHamming)
+    val pairs = simhashPairsUnsorted(spark, dir, maxHamming)
     val cc = connectedComponents(pairs.select(col("d1").as("u"), col("d2").as("v")))
     val labeled = cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))

@@ -134,15 +134,21 @@ object Similarity {
     val dim = emb.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val codebooks = Array.ofDim[Array[Array[Double]]](m)
+    // Fit every codebook on the BASE projection — fitting on the
+    // cumulatively-transformed frame would re-execute all prior models'
+    // transforms on every KMeans iteration (O(m² · iters) passes).
+    val models = (0 until m).map { j =>
+      val featured = emb.select(
+        array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
+      new KMeans().setK(k).setSeed(42L + j).setFeaturesCol("features").fit(featured)
+    }
+    val codebooks = models.map(_.clusterCenters.map(_.toArray)).toArray
+    // Assignment: stack the m transforms lazily and execute them in ONE
+    // pass at materialization.
     var df = emb
-    (0 until m).foreach { j =>
-      val featured = df.withColumn("features",
-        array_to_vector(slice(col("v"), j * sub + 1, sub)))
-      val model = new KMeans().setK(k).setSeed(42L + j)
-        .setFeaturesCol("features").fit(featured)
-      codebooks(j) = model.clusterCenters.map(_.toArray)
-      df = model.transform(featured)
+    models.zipWithIndex.foreach { case (model, j) =>
+      df = model.transform(df.withColumn("features",
+          array_to_vector(slice(col("v"), j * sub + 1, sub))))
         .withColumnRenamed("prediction", s"__c$j").drop("features")
     }
     val assigned = Silver.materialize(

@@ -91,9 +91,13 @@ object TrainingData {
     * the documents. */
   def sourceMix(spark: SparkSession, dir: String,
                 targetTokens: Long = 800L): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // Both the totals aggregate and the keep-filter consume this frame;
+    // materialize the slim (source, doc_id, tokens) projection once so
+    // the heavy text column is scanned and tokenized a single time.
+    val d = Silver.materialize(Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("tokens"))
+        size(split(col("text"), " ")).cast("long").as("tokens")),
+      "source_mix_tokens")
     val pct = d.groupBy("source").agg(sum("tokens").as("total"))
       .select(col("source"),
         least(lit(100L),
@@ -120,8 +124,15 @@ object TrainingData {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // start bound n−overlap−1 (not n−1): a start inside the previous
+      // chunk's overlap region would emit a chunk whose content is fully
+      // contained in its predecessor — duplicate training data. The last
+      // kept start still covers to the end: next_start > n−overlap−1 ⇒
+      // start+budget ≥ n.
       .select(col("doc_id"), col("toks"), col("n_tokens"),
-        explode(sequence(lit(0L), col("n_tokens") - 1, lit(step.toLong))).as("start_tok"))
+        explode(sequence(lit(0L),
+          greatest(col("n_tokens") - (overlap + 1), lit(0L)),
+          lit(step.toLong))).as("start_tok"))
       .select(
         col("doc_id"),
         (col("start_tok") / step).cast("long").as("chunk_id"),

@@ -285,12 +285,13 @@ class ScaleSpec extends SparkSpec {
     // 64-node chain: worst case for naive min-propagation (diameter 63);
     // the star-contraction rounds must still converge inside maxIter=20.
     ccAgainstUnionFind((1L until 64L).map(i => (i, i + 1)), "long chain")
-    // two cliques + an isolated pair, shuffled orientations
+    // two cliques + an isolated pair + a self-loop-only node (must still
+    // be labeled, as its own singleton component)
     val cliques =
       (for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (b, a)) ++
       (for { a <- 20L to 25L; b <- 20L to 25L if a < b } yield (a, b)) ++
-      Seq((100L, 99L))
-    ccAgainstUnionFind(cliques, "cliques + pair")
+      Seq((100L, 99L), (77L, 77L))
+    ccAgainstUnionFind(cliques, "cliques + pair + self-loop")
     // deterministic pseudo-random graph with self-loops and dup edges
     val rng = new scala.util.Random(7)
     val rand = Seq.fill(200)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
@@ -325,9 +326,10 @@ class ScaleSpec extends SparkSpec {
     val out = TrainingData.chunk(docs, budget = 10, overlap = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     val d1 = out.filter(_._1 == 1L).sortBy(_._2)
-    // 25 tokens, budget 10, step 8 → starts 0,8,16,24
-    assert(d1.map(_._3).toSeq == Seq(0L, 8L, 16L, 24L))
-    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 9L, 1L))
+    // 25 tokens, budget 10, overlap 2, step 8 → starts 0,8,16 (a start at
+    // 24 would chunk only token 25, already inside chunk 16..25 — skipped)
+    assert(d1.map(_._3).toSeq == Seq(0L, 8L, 16L))
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 9L))
     // consecutive chunks share `overlap` tokens: chunk0 tokens 1..10,
     // chunk1 tokens 9..18
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
