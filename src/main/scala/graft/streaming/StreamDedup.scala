@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.scale.TextAnalysis
+import graft.scale.{Dedup, TextAnalysis}
 
 /** Incremental corpus-ingestion dedup (the streaming arm of the
   * [[graft.scale.Dedup]] family): as new documents arrive, drop exact
@@ -37,4 +37,35 @@ object StreamDedup {
       .withWatermark("ingested_at", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
       .join(historical.select("fingerprint"), Seq("fingerprint"), "left_anti")
+
+  /** Per-document MinHash LSH band buckets as a single row expression —
+    * no explode/groupBy, so it runs on a stream row as written: the
+    * signature's min-over-shingles is `array_min` over the shingle array
+    * (identical values to the batch [[Dedup.minhashSignatures]]
+    * aggregate), banded exactly like [[Dedup.minhashPairs]]. Short docs
+    * (< shingle length) yield null buckets, which never join-match —
+    * they pass the near-dup gate by construction. */
+  def minhashBandBuckets(text: Column): Column = {
+    val sh = Dedup.shingles(split(text, " "))
+    val ms = (0 until Dedup.NumHashes).map(i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))))
+    array((0 until Dedup.NumHashes / Dedup.BandWidth).map(b =>
+      md5(concat(ms(b * Dedup.BandWidth), ms(b * Dedup.BandWidth + 1)))): _*)
+  }
+
+  /** Near-dup novelty gate for one micro-batch (run inside foreachBatch,
+    * like the upsert sinks): drop every incoming doc sharing ≥1 MinHash
+    * band bucket with the accepted corpus. `bandIndex` is the corpus's
+    * (band, bucket) table — bucketed on `bucket` in production so the
+    * semi-join never shuffles more than the batch. Survivors' band rows
+    * are what the caller appends back to the index. */
+  def novelByMinhash(batch: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val bands = batch.select(col("doc_id"),
+      posexplode(minhashBandBuckets(col("text"))).as(Seq("band", "bucket")))
+    val collided = bands
+      .join(bandIndex.select(col("band").cast("int").as("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+    batch.join(collided, Seq("doc_id"), "left_anti")
+  }
 }

@@ -49,4 +49,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Long]("media_id") == 2L))
     assert(frames.length == 2) // ts 0 and 1000 for the 1200ms row
   }
+
+  test("decode -> embed -> ANN: extracted media features feed the similarity stack") {
+    import graft.scale.Similarity
+    // media features become vectors; a planted perturbed copy must be
+    // found by the banded cosine near-dup operator — the full multimodal
+    // dedup path (decode stub -> feature column -> LSH candidates ->
+    // exact verify) in one pipeline.
+    val raw = Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(spark, TestSpark.Sf0001))
+      .select(col("media_id").as("vec_id"),
+        Similarity.asDouble(col("features")).as("v"))
+    // mean-center per vector: byte-sum features are all-positive, which
+    // degenerates sign-LSH (one bucket); centering is the standard prep
+    val feats = raw
+      .withColumn("mu",
+        aggregate(col("v"), lit(0.0), _ + _) / Multimodal.FeatureDim)
+      .select(col("vec_id"), transform(col("v"), x => x - col("mu")).as("v"))
+    val planted = feats.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.001).as("v"))
+    val pairs = Similarity.cosineNearDupPairs(
+        feats.unionByName(planted), threshold = 0.999, bands = 4, width = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plantedFound = pairs.filter { case (a, b) => b == a + 1000000L }
+    assert(plantedFound.length == 5,
+      s"expected all 5 planted copies found, got ${plantedFound.toSeq}")
+  }
 }

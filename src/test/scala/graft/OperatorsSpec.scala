@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Joins, Merge, Ranking, Sessionize}
+import graft.operators.{Approx, AsOfJoin, Joins, Merge, Ranking, Sessionize}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -160,5 +160,31 @@ class OperatorsSpec extends SparkSpec {
     val out = Sessionize.sessionize(df, col("u"), col("tm"), col("id"), gapMs = 5000L)
       .orderBy("u", "tm").collect()
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("Approx: HLL distinct within rsd bound; quantile within rank tolerance") {
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+    val rsd = 0.02
+    val approx = Approx.distinctBy(orders, Seq(col("o_orderpriority")),
+        Seq("cust_approx" -> col("o_custkey")), rsd)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 4 * rsd,
+        s"HLL estimate $a vs exact $e for $k exceeds 4*rsd")
+    }
+    // p50 of order value: approx must land between the exact 49th and
+    // 51st percentiles (accuracy 10000 => rank error <= 0.01%)
+    val sorted = orders.select(col("o_totalprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val approxP50 = Approx.quantiles(orders, col("o_totalprice").cast("double"),
+      Seq(0.5)).head().getSeq[Double](0).head
+    val lo = sorted(((sorted.length - 1) * 0.49).toInt)
+    val hi = sorted(math.ceil((sorted.length - 1) * 0.51).toInt)
+    assert(approxP50 >= lo && approxP50 <= hi,
+      s"approx p50 $approxP50 outside exact [$lo, $hi]")
   }
 }

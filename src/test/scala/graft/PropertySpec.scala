@@ -112,4 +112,48 @@ class PropertySpec extends SparkSpec {
     val allowed = Set("match", "referee", "stadium", "player", "coach", "team", "unknown")
     assert(out.collect().forall(r => allowed.contains(r.getString(1))))
   }
+
+  test("redactPii is idempotent (placeholders never re-match any pattern)") {
+    import graft.scale.TextAnalysis
+    val gen = Gen.listOfN(5, Gen.oneOf(
+      "plain words", "a@b.com", "x.y+z@mail.example.org", "10.0.0.1",
+      "+49 30 1234567", "+15550001234", "192.168.254.254", "dot.ted",
+      "+", "@", "1.2.3", "price 42")).map(_.mkString(" "))
+    val df = samples(gen, 80).toDF("s")
+      .withColumn("once", TextAnalysis.redactPii(col("s")))
+      .withColumn("twice", TextAnalysis.redactPii(TextAnalysis.redactPii(col("s"))))
+    assert(df.filter(!(col("once") <=> col("twice"))).count() == 0)
+  }
+
+  test("chunk covers every token exactly; no chunk content-contained in its predecessor") {
+    import graft.scale.TrainingData
+    val gen = Gen.choose(1, 60)
+    val docs = samples(gen, 40).zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(t => s"t$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val budget = 10; val overlap = 3; val step = budget - overlap
+    val chunks = TrainingData.chunk(docs, budget, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.collect().foreach { d =>
+      val n = d.getString(1).split(" ").length
+      val cs = chunks(d.getLong(0)).sortBy(_._2)
+      // full coverage: first starts at 0, last reaches n, no gaps
+      assert(cs.head._2 == 0L)
+      assert(cs.last._2 + cs.last._3 == n.toLong, s"tail not covered for n=$n")
+      cs.sliding(2).foreach {
+        case Array((_, s1, t1), (_, s2, _)) =>
+          assert(s2 <= s1 + t1, s"gap between chunks at n=$n")
+          assert(s2 + budget > s1 + t1 || s2 == s1,
+            s"chunk at $s2 adds no new content (n=$n)")
+        case _ => ()
+      }
+      // no chunk is fully inside the previous one's token range
+      cs.sliding(2).foreach {
+        case Array((_, s1, t1), (_, s2, t2)) =>
+          assert(s2 + t2 > s1 + t1, s"contained chunk at n=$n")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -291,6 +291,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamDedup.novelByMinhash: corpus near-dups gated, novel and short docs pass") {
+    import graft.streaming.StreamDedup
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val index = corpus.select(
+        posexplode(StreamDedup.minhashBandBuckets(col("text"))).as(Seq("band", "bucket")))
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 100
+      (2L, "completely different words entirely unrelated content here now"),
+      (3L, "ab")) // shorter than a shingle: null buckets, passes by construction
+      .toDF("doc_id", "text")
+    val out = StreamDedup.novelByMinhash(batch, index)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L), s"got $out")
+  }
+
+  test("StreamDedup.minhashBandBuckets: row expression matches the batch index banding") {
+    import graft.scale.Dedup
+    import graft.streaming.StreamDedup
+    val rowSide = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), StreamDedup.minhashBandBuckets(col("text")).as("bb"))
+    val sig = Dedup.minhashSignatures(spark, TestSpark.Sf0001)
+    val batchSide = sig.select(col("doc_id"),
+      array((0 until Dedup.NumHashes / Dedup.BandWidth).map(b =>
+        md5(concat(col(s"m${b * Dedup.BandWidth}"), col(s"m${b * Dedup.BandWidth + 1}")))): _*)
+        .as("bb2"))
+    val diff = rowSide.join(batchSide, "doc_id")
+      .filter(col("bb") =!= col("bb2")).count()
+    assert(diff == 0L, "streaming band buckets must equal the batch banding")
+  }
+
   test("upsertBatch is idempotent across replays (retry safety)") {
     val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
     val batch = LiveScores.normalize(Seq(
