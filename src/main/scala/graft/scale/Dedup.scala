@@ -256,7 +256,8 @@ object Dedup {
       adj.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+      // no distinct: duplicates are tolerated by smallStar's groupBys and
+      // removed by its terminal distinct — saves one shuffle per round
     }
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(
@@ -271,18 +272,16 @@ object Dedup {
         .distinct()
     }
     // Fixpoint detection on a cheap set checksum (count + order-insensitive
-    // hash sums) — two scalar aggregates per round, no frame comparison.
-    // Sums accumulate in decimal(38,0): xxhash64 spans the full long range,
-    // so a long sum overflows under ANSI mode.
-    def checksum(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
-      val r = e.agg(
-        count(lit(1)).as("c"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("h"),
-        coalesce(sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("s")).head()
-      (r.getLong(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)))
-    }
+    // hash sums), collected via `observe` as a SIDE EFFECT of each round's
+    // materialization job — no separate aggregation job per round. Sums
+    // accumulate in decimal(38,0): xxhash64 spans the full long range, so
+    // a long sum overflows under ANSI mode.
+    def checksumAggs: Seq[Column] = Seq(
+      count(lit(1)).as("c"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"),
+      coalesce(sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
     // Round-block hygiene (localCheckpoint mode): every materialized round
     // pins blocks in the block manager; only the first (node universe) and
     // final (labels) rounds are read after the loop, so superseded rounds
@@ -309,17 +308,25 @@ object Dedup {
     val nodes = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node"))).distinct()
     var cur = raw.filter(col("u") =!= col("v"))
-    var prev = checksum(cur)
+    // Convergence = two consecutive rounds with identical checksums (the
+    // input's own checksum is never computed — a first round always runs).
+    var prev: Option[(Long, BigDecimal, BigDecimal)] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       i += 1
       // materialize per round: iterative plans otherwise stack the whole
       // history into one lineage (exponential re-execution under AQE)
-      cur = materializeRound(smallStar(largeStar(cur)), s"cc_iter_$i")
-      val cs = checksum(cur)
-      converged = cs == prev
-      prev = cs
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
+      cur = materializeRound(
+        smallStar(largeStar(cur)).observe(obs, checksumAggs.head, checksumAggs.tail: _*),
+        s"cc_iter_$i")
+      val r = obs.get
+      val cs = (r("c").asInstanceOf[Long],
+        BigDecimal(r("h").asInstanceOf[java.math.BigDecimal]),
+        BigDecimal(r("s").asInstanceOf[java.math.BigDecimal]))
+      converged = prev.contains(cs)
+      prev = Some(cs)
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     if (localMode && roundIds.length > 2) {
