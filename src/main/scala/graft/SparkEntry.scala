@@ -87,7 +87,11 @@ object SparkEntry {
     "q_dup_clusters"    -> ((s, d) => Dedup.dupClusters(s, d)),
     "q_chunks"          -> ((s, d) => graft.scale.TrainingData.chunkDocs(s, d)),
     "q_pii_redact"      -> ((s, d) => TextAnalysis.piiRedact(s, d)),
-    "q_source_mix"      -> ((s, d) => graft.scale.TrainingData.sourceMix(s, d))
+    "q_source_mix"      -> ((s, d) => graft.scale.TrainingData.sourceMix(s, d)),
+    "q_inverted_index"  -> ((s, d) => graft.scale.Search.invertedIndexQuery(s, d)),
+    "q_bm25"            -> ((s, d) => graft.scale.Search.bm25Query(s, d)),
+    "q_top_ngrams"      -> ((s, d) => graft.scale.Search.topNgrams(s, d)),
+    "q_span_dedup"      -> ((s, d) => graft.scale.Search.spanDedupQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -954,6 +958,100 @@ object SparkEntry {
         |       CAST(sum(tokens) AS BIGINT) AS tokens_kept
         |FROM kept
         |GROUP BY source, keep_pct
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // Inverted index: one row per term with document frequency and the
+    // sorted posting list (array column — export shape; the relational
+    // (term, doc_id, tf) core is Search.termFrequencies).
+    "q_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT t.term, d.doc_id
+        |            FROM documents d,
+        |                 unnest(string_split(d.text, ' ')) AS t(term))
+        |SELECT term, count(*) AS df,
+        |       list(doc_id ORDER BY doc_id) AS postings
+        |FROM td
+        |GROUP BY term
+        |ORDER BY term""".stripMargin,
+
+    // BM25 top-20 for terms (spark, window, hash): log-free rational idf
+    // (N-df+0.5)/(df+0.5) — division-only so both engines round
+    // identically (ln is not correctly-rounded); per-term scores summed
+    // in fixed textual order; score rounded to 6 decimals.
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf_1,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS BIGINT) AS tf_2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS sum_dl,
+        |         sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |  FROM base),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    (CASE WHEN b.tf_0 > 0 THEN
+        |      ((CAST(s.n AS DOUBLE) - CAST(s.df_0 AS DOUBLE) + 0.5) / (CAST(s.df_0 AS DOUBLE) + 0.5))
+        |      * (CAST(b.tf_0 AS DOUBLE) * 2.2)
+        |      / (CAST(b.tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |     ELSE 0.0 END
+        |    +
+        |     CASE WHEN b.tf_1 > 0 THEN
+        |      ((CAST(s.n AS DOUBLE) - CAST(s.df_1 AS DOUBLE) + 0.5) / (CAST(s.df_1 AS DOUBLE) + 0.5))
+        |      * (CAST(b.tf_1 AS DOUBLE) * 2.2)
+        |      / (CAST(b.tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |     ELSE 0.0 END)
+        |    +
+        |     CASE WHEN b.tf_2 > 0 THEN
+        |      ((CAST(s.n AS DOUBLE) - CAST(s.df_2 AS DOUBLE) + 0.5) / (CAST(s.df_2 AS DOUBLE) + 0.5))
+        |      * (CAST(b.tf_2 AS DOUBLE) * 2.2)
+        |      / (CAST(b.tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |     ELSE 0.0 END AS raw_score,
+        |    b.tf_0, b.tf_1, b.tf_2
+        |  FROM base b CROSS JOIN stats s)
+        |SELECT doc_id, round(raw_score, 6) AS score
+        |FROM scored
+        |WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
+    // Corpus bigram frequency, top 50 (count desc, ngram asc tiebreak).
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT toks[i] || ' ' || toks[i + 1] AS ngram
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i))
+        |SELECT ngram, count(*) AS cnt
+        |FROM g
+        |GROUP BY ngram
+        |ORDER BY cnt DESC, ngram ASC
+        |LIMIT 50""".stripMargin,
+
+    // C4-style duplicated-span removal: 10-token spans, global first
+    // occurrence wins (doc_id, span_idx order), documents reassembled
+    // from surviving spans; md5 of the cleaned text is the witness.
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, u.i AS span_idx,
+        |         array_to_string(toks[CAST(u.i * 10 + 1 AS INTEGER)
+        |                              : CAST(u.i * 10 + 10 AS INTEGER)], ' ') AS span
+        |  FROM t, unnest(generate_series(0, CAST(floor((len(toks) - 1) / 10) AS BIGINT))) AS u(i)),
+        |ranked AS (
+        |  SELECT doc_id, span_idx, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id ASC, span_idx ASC) AS rn
+        |  FROM seg),
+        |totals AS (SELECT doc_id, count(*) AS n_spans FROM seg GROUP BY doc_id),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_spans,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       md5(coalesce(k.clean_text, '')) AS clean_md5
+        |FROM totals t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

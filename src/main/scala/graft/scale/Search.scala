@@ -1,0 +1,216 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus search & n-gram statistics for a training-data pipeline:
+  * inverted-index construction, BM25 keyword ranking, corpus n-gram
+  * frequency, and C4-style duplicated-span removal (the reference's
+  * keyword filtering over scraped text — e.g. injury/status term scans in
+  * src/analytics/engine.py and the scrapers' text matching — generalized
+  * to ranked retrieval at corpus scale).
+  *
+  * Scale design: everything is one wide scan of `documents` plus
+  * key-bounded aggregations. Term statistics shuffle on the term (vocab,
+  * not corpus, cardinality); BM25 scoring is per-document arithmetic with
+  * a one-row broadcast of global stats — no explode, no join against the
+  * corpus; span dedup shuffles on the span hash exactly once.
+  */
+object Search {
+
+  /** Tokens column (whitespace corpus convention, same as TextAnalysis). */
+  private def toks(text: Column): Column = split(text, " ")
+
+  // ---------------------------------------------------------------------
+  // Inverted index
+  // ---------------------------------------------------------------------
+
+  /** Inverted index over the documents table: one row per term with
+    * document frequency and the sorted posting list.
+    *
+    * The array-valued postings column is an EXPORT shape (small vocab /
+    * top-of-index use). At 100 TB the index stays relational — the
+    * (term, doc_id, tf) rows of [[termFrequencies]] ARE the index, range-
+    * partitioned by term; collecting a posting list into one array row is
+    * only sane when the list is bounded. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** Relational index core: (term, doc_id, tf) — the scalable shape. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** q_inverted_index: index over the corpus, ordered by term. */
+  def invertedIndexQuery(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(spark, dir)).orderBy("term")
+
+  // ---------------------------------------------------------------------
+  // BM25
+  // ---------------------------------------------------------------------
+
+  /** BM25 parameters (standard Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 ranking of the corpus for a fixed term set.
+    *
+    * Engine-portability choices (oracle = DuckDB must hash-match):
+    *  - log-free idf: `(N − df + 0.5)/(df + 0.5)` — the classic BM25 idf
+    *    without the `ln` wrap. `ln` is not IEEE-correctly-rounded and may
+    *    differ in the last ulp across libm implementations; the rational
+    *    form is division-only (correctly rounded), and `ln` is monotone,
+    *    so rankings are identical.
+    *  - per-term scores are computed per document with `filter` HOF counts
+    *    (no explode/shuffle), then summed in FIXED textual order
+    *    (s0 + s1 + …): FP addition is order-sensitive, so both engines
+    *    evaluate the identical expression tree.
+    *  - the final score is rounded to 6 decimals (same guard as
+    *    q_knn_cosine).
+    *
+    * Scale shape: one scan of documents computing per-doc tf via HOFs;
+    * global stats (N, Σdl, per-term df) are ONE aggregate row broadcast
+    * back; top-k is TakeOrderedAndProject. Zero wide shuffles.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks(col("text")), x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col("doc_id") +: size(toks(col("text"))).cast("long").as("dl") +: tfCols): _*)
+
+    val statAggs =
+      count(lit(1)).as("n") +: sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n").cast("double")
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val idf = (col("n").cast("double") - col(s"df_$i").cast("double") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5))
+      val denom = tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * (col("dl").cast("double") / avgdl))
+      when(col(s"tf_$i") > 0, idf * (tf * lit(K1 + 1.0)) / denom).otherwise(lit(0.0))
+    }
+    val total = terms.indices.map(termScore).reduce(_ + _)
+    scored
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Default query terms for the oracle entry (present in the synthetic
+    * vocab at every SF). */
+  val DefaultTerms: Seq[String] = Seq("spark", "window", "hash")
+
+  /** q_bm25: top-20 documents for [[DefaultTerms]]. */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), DefaultTerms)
+
+  // ---------------------------------------------------------------------
+  // N-gram frequency
+  // ---------------------------------------------------------------------
+
+  /** Corpus n-gram counts (with multiplicity — unlike [[Dedup.shingles]]
+    * these are frequency statistics, not set signatures). Top-k by count
+    * with a deterministic tiebreak.
+    *
+    * Guarded explicitly for docs shorter than n tokens: Spark's
+    * `sequence(1, 0)` infers a NEGATIVE step and yields [1, 0] rather
+    * than an empty range, so short docs must short-circuit to an empty
+    * array before `sequence` is evaluated. */
+  def ngramCounts(docs: DataFrame, n: Int = 2): DataFrame = {
+    val t = toks(col("text"))
+    val grams = when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+    docs
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q_top_ngrams: 50 most frequent bigrams. TakeOrderedAndProject over
+    * a vocab²-bounded aggregate — the shuffle key is the n-gram, never
+    * the corpus row. */
+  def topNgrams(spark: SparkSession, dir: String,
+                n: Int = 2, k: Int = 50): DataFrame =
+    ngramCounts(Tables.documents(spark, dir), n)
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
+  // ---------------------------------------------------------------------
+  // Duplicated-span removal (C4-style)
+  // ---------------------------------------------------------------------
+
+  /** Span width (tokens) for duplicated-span removal. */
+  val SpanTokens = 10
+
+  /** C4-style duplicated-span removal: cut every document into
+    * consecutive [[SpanTokens]]-token spans, keep only the globally FIRST
+    * occurrence of each span text (ordered by doc_id, then span index),
+    * and reassemble each document from its surviving spans.
+    *
+    * This is the cross-document boilerplate scrub of a web-corpus
+    * pipeline (C4 §2.2 removes repeated ≥3-sentence spans; the corpus
+    * here has no sentence punctuation, so fixed token windows stand in
+    * for sentences).
+    *
+    * Output per document: total spans, spans kept, and the md5 of the
+    * reassembled text (the cleaned text itself is reassembled in the
+    * aggregation; only its fingerprint is emitted so the result stays
+    * slim — at 100 TB the fingerprint is what routes to the rewrite job).
+    *
+    * Scale shape: narrow span explode (fan-out = n_tokens/10), ONE
+    * shuffle on the span text for the first-occurrence window (key-
+    * bounded; hot boilerplate spans are exactly the point), one groupBy
+    * doc_id to reassemble. No self-join, no O(n²).
+    */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val spans = docs
+      .select(col("doc_id"), t.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), floor((size(col("toks")) - 1) / lit(SpanTokens)).cast("long")))
+          .as("span_idx"),
+        col("toks"))
+      .select(col("doc_id"), col("span_idx"),
+        concat_ws(" ",
+          slice(col("toks"), (col("span_idx") * SpanTokens + 1).cast("int"), lit(SpanTokens)))
+          .as("span"))
+
+    val firstWins = spans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("span")).orderBy(col("doc_id").asc, col("span_idx").asc)))
+
+    val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val kept = firstWins.filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            s => s.getField("span"))).as("clean_text"))
+
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+  }
+
+  /** q_span_dedup over the documents table, ordered by doc_id. */
+  def spanDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(spark, dir)).orderBy("doc_id")
+}

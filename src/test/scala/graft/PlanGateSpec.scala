@@ -22,7 +22,7 @@ class PlanGateSpec extends SparkSpec {
 
   test("global top-k queries plan TakeOrderedAndProject, not a full sort") {
     val topk = Seq("q_top_spenders", "q_h2h_pairs", "q_knn_cosine",
-      "q_argmax_segment")
+      "q_argmax_segment", "q_bm25", "q_top_ngrams")
     val offenders = topk.filterNot(n => plans(n).contains("TakeOrderedAndProject"))
     assert(offenders.isEmpty, s"top-k degenerated to full sort in: $offenders")
   }

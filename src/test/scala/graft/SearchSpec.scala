@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.Search
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "spark spark spark window"),
+    (1L, "hash join window table"),
+    (2L, "the a of and in to is"),
+    (3L, "spark window hash"))
+    .toDF("doc_id", "text")
+
+  test("invertedIndex: df and sorted postings") {
+    val idx = Search.invertedIndex(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(idx("spark") == (2L, Seq(0L, 3L)))
+    assert(idx("window") == (3L, Seq(0L, 1L, 3L)))
+    // tf multiplicity must NOT inflate df
+    assert(idx("spark")._1 == 2L)
+  }
+
+  test("termFrequencies keeps multiplicity") {
+    val tf = Search.termFrequencies(corpus)
+      .filter(col("term") === "spark" && col("doc_id") === 0L)
+      .collect()
+    assert(tf.length == 1 && tf.head.getLong(2) == 3L)
+  }
+
+  test("bm25: docs with more query terms outrank stopword doc; no-hit docs absent") {
+    val out = Search.bm25(corpus, Seq("spark", "window", "hash")).collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(!ids.contains(2L), "doc with zero query-term hits must not appear")
+    // doc 3 contains all three query terms in a short doc — best score
+    assert(ids.head == 3L, s"expected doc 3 first, got $ids")
+    val scores = out.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "descending score order")
+  }
+
+  test("bm25 idf penalizes common terms: rare term outscores common at same tf") {
+    // 'rare' in 1 of 4 docs, 'common' in 4 of 4; doc 10 has one of each
+    val docs = Seq(
+      (10L, "rare common x"),
+      (11L, "common y z"),
+      (12L, "common q"),
+      (13L, "common w")).toDF("doc_id", "text")
+    val rare = Search.bm25(docs, Seq("rare")).filter(col("doc_id") === 10L)
+      .head().getDouble(1)
+    val common = Search.bm25(docs, Seq("common")).filter(col("doc_id") === 10L)
+      .head().getDouble(1)
+    assert(rare > common, s"rare=$rare should outscore common=$common")
+  }
+
+  test("ngramCounts: bigram multiplicity and short-doc guard") {
+    val docs = Seq((0L, "a b a b"), (1L, "x")).toDF("doc_id", "text")
+    val counts = Search.ngramCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b" -> 2L, "b a" -> 1L))
+  }
+
+  test("spanDedup drops later copies of a repeated span and reassembles") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, span + " " + "tail0 " * 9 + "tail0"), // span at idx 0 (kept)
+      (1L, span),                                 // exact duplicate span — dropped
+      (2L, "unique " * 9 + "unique"))             // untouched
+      .toDF("doc_id", "text")
+    val out = Search.spanDedup(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(0L)._1 == 2L && byId(0L)._2 == 2L)
+    assert(byId(1L)._1 == 1L && byId(1L)._2 == 0L, "duplicate-only doc keeps nothing")
+    assert(byId(1L)._3 == md5Hex(""), "empty reassembly fingerprints the empty string")
+    assert(byId(2L)._2 == 1L)
+  }
+
+  test("spanDedup within-doc repeats: first span instance wins") {
+    val span = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq((5L, span + " " + span)).toDF("doc_id", "text")
+    val r = Search.spanDedup(docs).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+}
