@@ -91,7 +91,8 @@ object SparkEntry {
     "q_inverted_index"  -> ((s, d) => graft.scale.Search.invertedIndexQuery(s, d)),
     "q_bm25"            -> ((s, d) => graft.scale.Search.bm25Query(s, d)),
     "q_top_ngrams"      -> ((s, d) => graft.scale.Search.topNgrams(s, d)),
-    "q_span_dedup"      -> ((s, d) => graft.scale.Search.spanDedupQuery(s, d))
+    "q_span_dedup"      -> ((s, d) => graft.scale.Search.spanDedupQuery(s, d)),
+    "q_token_stats"     -> ((s, d) => TextAnalysis.tokenStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1052,6 +1053,29 @@ object SparkEntry {
         |       coalesce(k.n_kept, 0) AS n_kept,
         |       md5(coalesce(k.clean_text, '')) AS clean_md5
         |FROM totals t LEFT JOIN kept k USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Whitespace vs BPE-ish token accounting: deterministic mixed-content
+    // suffix injected per doc (the corpus is pure lowercase words, where
+    // the tokenizers agree); the BPE-ish pre-tokenizer regex is RE2-safe
+    // so both engines count identically. fertility = chars per BPE-ish
+    // token, rounded to 6.
+    "q_token_stats" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text || ' v' || (doc_id % 10) || '.' || (doc_id % 7)
+        |              || ', cost $' || (doc_id % 100) || '!' AS txt
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(txt, ' ')) AS BIGINT) AS ws_tokens,
+        |         CAST(len(regexp_extract_all(txt,
+        |           ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS bpe_tokens,
+        |         CAST(length(txt) AS BIGINT) AS chars
+        |  FROM inj)
+        |SELECT doc_id, ws_tokens, bpe_tokens, chars,
+        |       round(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS fertility
+        |FROM cnt
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -34,4 +34,18 @@ object Approx {
                 accuracy: Int = 10000): DataFrame =
     df.agg(percentile_approx(value,
       array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+
+  /** Heavy hitters: items whose frequency exceeds `support` of all rows,
+    * via Spark's distributed frequent-items sketch (Karp/Shenker/
+    * Papadimitriou counter maps — bounded 1/support counters per
+    * partition, merged associatively; one pass, no shuffle of the data,
+    * only of the fixed-size maps). The result is a SUPERSET of the true
+    * heavy hitters (false positives possible, false negatives not) —
+    * exactly the guarantee a boilerplate-phrase or hot-key probe needs
+    * before an exact (and expensive) groupBy confirms. Returns one row
+    * per candidate item. */
+  def heavyHitters(df: DataFrame, c: Column, support: Double = 0.01): DataFrame = {
+    val itemsRow = df.select(c.as("hh_item")).stat.freqItems(Seq("hh_item"), support)
+    itemsRow.select(explode(col("hh_item_freqItems")).as("item"))
+  }
 }

@@ -227,6 +227,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish pre-tokenization regex: letter runs, digit runs, and symbol
+    * runs, each optionally absorbing one leading space — the GPT-2
+    * pre-tokenizer shape minus its lookahead (RE2-safe, so Spark/Java and
+    * DuckDB/RE2 count identically; see [[EmailRe]] rationale). Against
+    * whitespace counting this splits "v2.0!" into [v, 2, ., 0, !] — the
+    * token-budget difference is exactly what an LLM cost estimate needs. */
+  val BpeIshRe = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count (pure codegen regexp_count, no UDF). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeIshRe)).cast("long")
+
+  /** q_token_stats: whitespace vs BPE-ish token accounting. The corpus
+    * text is pure lowercase words, where the two tokenizers agree — so
+    * each doc gets a deterministic mixed-content suffix (version string,
+    * price, punctuation derived from doc_id) appended before counting;
+    * `fertility` = chars per BPE-ish token, the cost metric tokenizer
+    * comparisons report. Single scan, per-row expressions only. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" v"), pmod(col("doc_id"), lit(10L)), lit("."), pmod(col("doc_id"), lit(7L)),
+      lit(", cost $"), pmod(col("doc_id"), lit(100L)), lit("!"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("txt"))
+      .select(
+        col("doc_id"),
+        size(split(col("txt"), " ")).cast("long").as("ws_tokens"),
+        bpeishTokenCount(col("txt")).as("bpe_tokens"),
+        length(col("txt")).cast("long").as("chars"))
+      .withColumn("fertility",
+        round(col("chars").cast("double") / col("bpe_tokens").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -83,6 +83,25 @@ class SearchSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
   }
 
+  test("bpeishTokenCount splits letter/digit/symbol runs") {
+    import graft.scale.TextAnalysis
+    // "it costs $12.50 now!" → [it, costs, $, 12, ., 50, now, !] = 8
+    val r = evalExpr(
+      TextAnalysis.bpeishTokenCount(lit("it costs $12.50 now!")),
+      TextAnalysis.bpeishTokenCount(lit("plain words only")))
+    assert(r.getLong(0) == 8L, s"got ${r.getLong(0)}")
+    assert(r.getLong(1) == 3L, "on pure words BPE-ish degenerates to whitespace")
+  }
+
+  test("heavyHitters surfaces a planted hot item and never misses true hitters") {
+    import graft.operators.Approx
+    val rows = (1 to 400).map(i => s"tok$i") ++ Seq.fill(100)("hot")
+    val df = rows.toDF("t")
+    val items = Approx.heavyHitters(df, col("t"), support = 0.1)
+      .collect().map(_.getString(0)).toSet
+    assert(items.contains("hot"), s"true heavy hitter missing from $items")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
