@@ -78,10 +78,14 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write machine-readable output: the stdout line is interleaved
-    // with sbt [info] noise, so harnesses parse the file instead.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // with sbt [info] noise, so harnesses parse the file instead. Filtered
+    // profiling runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // full-suite artifact.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -63,4 +63,12 @@ class PlanGateSpec extends SparkSpec {
     assert(plan.contains("GraftTopKPerKeyPartial") &&
       plan.contains("GraftTopKPerKeyFinal"), plan)
   }
+
+  test("q_bm25: global stats broadcast back, corpus never join-shuffled") {
+    val plan = plans("q_bm25")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"one-row stats frame should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"BM25 scoring must not shuffle the corpus into a join:\n$plan")
+  }
 }
