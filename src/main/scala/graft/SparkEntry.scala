@@ -92,7 +92,9 @@ object SparkEntry {
     "q_bm25"            -> ((s, d) => graft.scale.Search.bm25Query(s, d)),
     "q_top_ngrams"      -> ((s, d) => graft.scale.Search.topNgrams(s, d)),
     "q_span_dedup"      -> ((s, d) => graft.scale.Search.spanDedupQuery(s, d)),
-    "q_token_stats"     -> ((s, d) => TextAnalysis.tokenStats(s, d))
+    "q_token_stats"     -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "q_group_sample"    -> ((s, d) => graft.scale.TrainingData.groupSample(s, d)),
+    "q_quality_trim"    -> ((s, d) => TextAnalysis.qualityTrim(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1076,6 +1078,45 @@ object SparkEntry {
         |SELECT doc_id, ws_tokens, bpe_tokens, chars,
         |       round(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS fertility
         |FROM cnt
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Deterministic stratified sample: 5 docs with the smallest md5 hash
+    // per language (corpus-growth-stable, engine-portable); the Spark
+    // side executes through the custom TopKPerKey operator.
+    "q_group_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, h
+        |FROM r
+        |WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // Percentile-based quality trimming: per lang, survivors of dropping
+    // the bottom 20% by quality score (percent_rank ordered by score
+    // alone — ties share a rank identically in both engines).
+    "q_quality_trim" ->
+      """WITH q AS (
+        |  SELECT lang, doc_id,
+        |         (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |            / len(string_split(text, ' ')))
+        |         * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |              s -> s = 'the' OR s = 'a' OR s = 'of' OR s = 'and'
+        |                OR s = 'in' OR s = 'to' OR s = 'is')) AS DOUBLE)
+        |              / len(string_split(text, ' '))) AS qs
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, qs,
+        |         percent_rank() OVER (PARTITION BY lang ORDER BY qs) AS pr
+        |  FROM q)
+        |SELECT lang,
+        |       count(*) AS docs_total,
+        |       CAST(sum(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+        |       round(min(CASE WHEN pr >= 0.2 THEN qs END), 6) AS min_kept_score
+        |FROM p
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
   )
 }

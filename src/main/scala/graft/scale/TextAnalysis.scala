@@ -262,6 +262,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_quality_trim: percentile-based quality trimming accounting — per
+    * language, how many documents survive dropping the bottom `minPct`
+    * by [[qualityScore]], and the lowest surviving score. percent_rank
+    * is ordered by the score alone (ties share a rank in both engines,
+    * so the cut is deterministic without a tiebreak column).
+    *
+    * Scale: the window partitions by language — strata are few and
+    * wide, so at 100 TB the same cut comes from one approx-quantile
+    * pass per stratum ([[graft.operators.Approx.quantiles]]) broadcast
+    * back as a threshold, not a full per-stratum sort; the exact window
+    * form here is the oracle-checkable spec of the semantics. */
+  def qualityTrim(spark: SparkSession, dir: String,
+                  minPct: Double = 0.2): DataFrame =
+    qualityTrimFrom(Tables.documents(spark, dir), minPct)
+
+  /** [[qualityTrim]] over an explicit (lang, doc_id, text) frame. */
+  def qualityTrimFrom(docs: DataFrame, minPct: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("lang"), col("doc_id"), qualityScore(col("text")).as("qs"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("qs"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs_total"),
+        sum(when(col("pr") >= minPct, 1L).otherwise(0L)).as("docs_kept"),
+        round(min(when(col("pr") >= minPct, col("qs"))), 6).as("min_kept_score"))
+      .orderBy("lang")
+  }
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -109,6 +109,29 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Deterministic per-stratum subsample: the k docs with the smallest
+    * md5 hash within each stratum. Hash order is corpus-growth-stable
+    * (a doc's rank only moves when NEW docs hash below it — unlike
+    * rand(), the sample stays reproducible across engines and runs) —
+    * the eval/debug subset selection every corpus build needs.
+    *
+    * Executes through the custom [[graft.plans.TopKPerKey]] operator:
+    * per-partition bounded heaps combine map-side, so each stratum ships
+    * at most numPartitions·k rows through the exchange instead of the
+    * whole stratum (the window-rank formulation shuffles everything). */
+  def stratifiedSample(docs: DataFrame, k: Int, strata: Column): DataFrame =
+    graft.plans.TopKPerKey(
+      docs.withColumn("h", md5(col("doc_id").cast("string"))),
+      k, keys = Seq(strata), order = Seq(col("h").asc, col("doc_id").asc))
+
+  /** q_group_sample: 5 hash-selected documents per language. */
+  def groupSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    stratifiedSample(
+      Tables.documents(spark, dir).select(col("lang"), col("doc_id")),
+      k, col("lang"))
+      .select(col("lang"), col("doc_id"), col("h"))
+      .orderBy("lang", "doc_id")
+
   /** Token-budget chunking with overlap — the context-window prep step:
     * each document becomes ⌈n/(budget−overlap)⌉ chunks of ≤ `budget`
     * tokens, consecutive chunks sharing `overlap` tokens. Start offsets

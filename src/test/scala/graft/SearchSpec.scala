@@ -102,6 +102,43 @@ class SearchSpec extends SparkSpec {
     assert(items.contains("hot"), s"true heavy hitter missing from $items")
   }
 
+  test("stratifiedSample: k smallest hashes per stratum, agrees with window rank") {
+    import graft.scale.TrainingData
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 60L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("lang", "doc_id")
+    val got = TrainingData.stratifiedSample(docs, 4, col("lang"))
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= 4)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.count(_._1 == "even") == 4 && got.count(_._1 == "odd") == 4)
+  }
+
+  test("qualityTrim drops the bottom quantile per stratum") {
+    import graft.scale.TextAnalysis
+    // 5 docs in one lang: quality ascends with distinct-token diversity
+    val docs = Seq(
+      (1L, "en", "x x x x x"),
+      (2L, "en", "x x x x y"),
+      (3L, "en", "x x x y z"),
+      (4L, "en", "x x w y z"),
+      (5L, "en", "v x w y z")).toDF("doc_id", "lang", "text")
+    // percent_rank over 5 rows = 0, .25, .5, .75, 1 → pr >= 0.2 keeps 4
+    val r = TextAnalysis.qualityTrimFrom(docs).head()
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 4L)
+    // lowest surviving score is doc 2's (one distinct token more than doc 1)
+    val qs2 = evalExpr(TextAnalysis.qualityScore(lit("x x x x y"))).getDouble(0)
+    assert(math.abs(r.getDouble(3) - qs2) < 1e-6)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
