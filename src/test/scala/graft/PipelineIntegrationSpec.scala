@@ -110,4 +110,34 @@ class PipelineIntegrationSpec extends SparkSpec {
     val over = packed.filter(col("seq_tokens") > lit(budget) + col("max_doc")).count()
     assert(over == 0, "a packed sequence exceeded budget + one document")
   }
+
+  test("corpus cleanup pipeline v2: span scrub -> quality trim -> stratified sample") {
+    import graft.scale.{Search, TextAnalysis, TrainingData}
+    val dir = TestSpark.Sf0001
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val total = docs.count()
+
+    // stage 1: cross-document boilerplate scrub — spans survive exactly
+    // once corpus-wide; totals are conserved
+    val scrub = Search.spanDedup(docs)
+    val t = scrub.agg(sum("n_spans").as("s"), sum("n_kept").as("k")).head()
+    assert(t.getLong(1) <= t.getLong(0))
+    assert(scrub.count() == total, "every doc must be accounted for")
+
+    // stage 2: percentile quality trim per language — each stratum keeps
+    // strictly fewer-or-equal docs, and at least the top half
+    val trims = TextAnalysis.qualityTrim(spark, dir).collect()
+    trims.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(2) * 2 >= r.getLong(1),
+        s"lang ${r.getString(0)} lost more than the bottom half")
+    }
+
+    // stage 3: deterministic eval subset — 5 per language, stable across
+    // two independent evaluations
+    val s1 = TrainingData.groupSample(spark, dir).collect().toSeq
+    val s2 = TrainingData.groupSample(spark, dir).collect().toSeq
+    assert(s1 == s2, "stratified sample must be deterministic")
+    assert(s1.groupBy(_.getString(0)).forall(_._2.size == 5))
+  }
 }

@@ -156,4 +156,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bpeishTokenCount: >= whitespace count on single-spaced text, additive under concat") {
+    import graft.scale.TextAnalysis
+    val word = Gen.oneOf("abc", "x1", "12", "a-b", "$5.0", "hey!", "v2")
+    val gen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val df = samples(gen, 50).toDF("s")
+      .withColumn("ws", size(split(col("s"), " ")).cast("long"))
+      .withColumn("bpe", TextAnalysis.bpeishTokenCount(col("s")))
+    // every whitespace word decomposes into >= 1 BPE-ish token
+    assert(df.filter(col("bpe") < col("ws")).count() == 0)
+    // concatenating with a space splits at the boundary: counts add
+    val pairs = samples(Gen.zip(gen, gen), 30).toDF("a", "b")
+      .withColumn("joint",
+        TextAnalysis.bpeishTokenCount(concat(col("a"), lit(" "), col("b"))))
+      .withColumn("parts",
+        TextAnalysis.bpeishTokenCount(col("a")) + TextAnalysis.bpeishTokenCount(col("b")))
+    assert(pairs.filter(col("joint") =!= col("parts")).count() == 0)
+  }
+
+  test("spanDedup: conservation and no-op on span-unique corpora") {
+    import graft.scale.Search
+    // generated docs with globally unique tokens -> every span unique ->
+    // spanDedup must keep everything (n_kept == n_spans)
+    val docs = (0 until 20).map { i =>
+      val n = 5 + (i * 7) % 40
+      (i.toLong, (0 until n).map(t => s"u${i}_$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Search.spanDedup(docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} of ${r.getLong(1)} unique spans")
+    }
+  }
+
+  test("bm25: score strictly increases with tf of a query term") {
+    import graft.scale.Search
+    // same corpus, doc 1 has more 'q' occurrences than doc 2; equal length
+    val docs = Seq(
+      (1L, "q q q f1 f2 f3"),
+      (2L, "q f4 f5 f6 f7 f8"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val scores = Search.bm25(docs, Seq("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+    assert(!scores.contains(3L))
+  }
 }
