@@ -1,8 +1,8 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.RandomForestClassifier
-import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.feature.{HashingTF, IDF, StandardScaler, StringIndexer, Tokenizer, VectorAssembler}
 import org.apache.spark.ml.regression.GBTRegressor
 import org.apache.spark.sql.DataFrame
 
@@ -62,4 +62,28 @@ object Models {
   }
 
   def fit(pipeline: Pipeline, train: DataFrame): PipelineModel = pipeline.fit(train)
+
+  /** Text-classification pipeline for corpus curation: tokenize →
+    * feature-hash to a fixed dim (no vocabulary build — the hashing trick
+    * keeps the feature step stateless and corpus-size-independent, the
+    * only viable shape at 100 TB; CountVectorizer's vocab collect is the
+    * anti-pattern) → IDF reweight → multinomial logistic regression.
+    * This is the model-based quality/language classifier a training-data
+    * pipeline runs after the heuristic gates ([[graft.scale.TextAnalysis]]
+    * flags label the seed set; the model generalizes past the rules). */
+  def textClassifierPipeline(textCol: String, labelCol: String,
+                             numFeatures: Int = 1 << 12): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("toks")
+    val tf = new HashingTF()
+      .setInputCol("toks").setOutputCol("tf").setNumFeatures(numFeatures)
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setProbabilityCol("probability")
+      .setMaxIter(40).setRegParam(1e-3)
+    new Pipeline().setStages(Array(indexer, tok, tf, idf, lr))
+  }
 }

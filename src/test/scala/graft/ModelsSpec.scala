@@ -64,4 +64,29 @@ class ModelsSpec extends SparkSpec {
     val mae = preds.agg(avg("err")).head().getDouble(0)
     assert(mae < 1.0, s"MAE $mae too high for a clean linear target")
   }
+
+  test("text classifier pipeline: hashed-TF-IDF LR separates token dialects") {
+    // two synthetic "languages" with disjoint vocabularies
+    val rows = (0 until 240).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val vocab = if (lang == "aa") Seq("rot", "blau", "gelb", "grun")
+                  else Seq("red", "blue", "yellow", "green")
+      val text = (0 until 8).map(j => vocab((i * 3 + j) % 4)).mkString(" ")
+      (i.toLong, text, lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val (train, test) = Models.trainTestSplit(df)
+    val model = Models.fit(Models.textClassifierPipeline("text", "lang"), train)
+    val preds = model.transform(test)
+    val labels = model.stages.head
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray.head
+    val acc = preds
+      .select((col("label") === col("prediction")).cast("int").as("hit"))
+      .agg(avg("hit")).head().getDouble(0)
+    assert(labels.sameElements(Array("aa", "bb")), labels.mkString(","))
+    assert(acc > 0.95, s"disjoint vocabularies must be separable, acc=$acc")
+    // probability contract: 2-class vector summing to ~1
+    val p = preds.select("probability").head().getAs[Vector](0)
+    assert(p.size == 2 && math.abs(p.toArray.sum - 1.0) < 1e-9)
+  }
 }
