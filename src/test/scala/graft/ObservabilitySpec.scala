@@ -42,6 +42,16 @@ class ObservabilitySpec extends SparkSpec {
     assert(df.filter(col("status") === "ok").count() == 2)
   }
 
+  test("DailyAnalytics.run: all four reference stages succeed on the corpus") {
+    val results = graft.apps.DailyAnalytics.run(spark, TestSpark.Sf0001)
+    assert(results.map(_.stage) ==
+      Seq("model_update", "top_performers", "transfer_analysis", "weekly_summary"))
+    results.foreach { r =>
+      assert(r.status == "ok", s"stage ${r.stage} failed: ${r.error}")
+      assert(r.items > 0L, s"stage ${r.stage} produced no rows")
+    }
+  }
+
   test("BatchRates observes micro-batch throughput of a stream") {
     val listener = new Observability.BatchRates
     spark.streams.addListener(listener)
