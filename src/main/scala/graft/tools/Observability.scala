@@ -116,6 +116,56 @@ object Observability {
   }
 }
 
+/** Component health checks (reference src/monitoring/health_checks.py:
+  * per-component status with latency plus an overall verdict). The
+  * engine's components are its session and its tables: a component is
+  * healthy when the session schedules jobs and the table's first row is
+  * readable (scan + decode path exercised, not just file existence).
+  */
+object HealthCheck {
+
+  final case class ComponentHealth(
+      component: String,
+      status: String, // "healthy" | "unhealthy"
+      latencyMs: Double,
+      detail: String)
+
+  private def timed(name: String)(probe: => String): ComponentHealth = {
+    val t0 = System.nanoTime()
+    try {
+      val d = probe
+      ComponentHealth(name, "healthy", (System.nanoTime() - t0) / 1e6, d)
+    } catch {
+      case e: Throwable =>
+        ComponentHealth(name, "unhealthy", (System.nanoTime() - t0) / 1e6,
+          String.valueOf(e.getMessage))
+    }
+  }
+
+  /** Check the session plus every corpus table; overall status is the
+    * conjunction (`check_all_components` contract). */
+  def checkAll(spark: SparkSession, dir: String): (String, Seq[ComponentHealth]) = {
+    val session = timed("session") {
+      val n = spark.range(1).count(); s"scheduled ok ($n)"
+    }
+    val tables = graft.sources.Tables.names.map { t =>
+      timed(s"table:$t") {
+        val row = graft.sources.Tables.load(spark, dir, t).limit(1).collect()
+        s"readable, first-row fields=${if (row.isEmpty) 0 else row.head.size}"
+      }
+    }
+    val all = session +: tables
+    val overall =
+      if (all.forall(_.status == "healthy")) "healthy" else "unhealthy"
+    (overall, all)
+  }
+
+  def toDF(spark: SparkSession, checks: Seq[ComponentHealth]): DataFrame = {
+    import spark.implicits._
+    checks.toDF()
+  }
+}
+
 /** Sequential stage runner with isolated error capture — the reference's
   * daily-analytics shape (analytics_app.py:133-189: each stage try/except,
   * pipeline continues, stage-level success map as the job result) and its

@@ -76,7 +76,16 @@ class ModelsSpec extends SparkSpec {
     }
     val df = rows.toDF("doc_id", "text", "lang")
     val (train, test) = Models.trainTestSplit(df)
-    val model = Models.fit(Models.textClassifierPipeline("text", "lang"), train)
+    val fitted = Models.fit(Models.textClassifierPipeline("text", "lang"), train)
+    // Persist-and-reload before scoring: the in-memory LR model drags its
+    // training summary (and through it the SparkSession) into the
+    // transform closure — Spark 4's session ObservationManager is not
+    // serializable, so scoring with the fresh model can fail depending on
+    // what else the session has run. Save/load drops the summary, which
+    // is also how a production scorer consumes the model.
+    val dir = java.nio.file.Files.createTempDirectory("graft-textclf").toString
+    fitted.write.overwrite().save(dir)
+    val model = org.apache.spark.ml.PipelineModel.load(dir)
     val preds = model.transform(test)
     val labels = model.stages.head
       .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray.head

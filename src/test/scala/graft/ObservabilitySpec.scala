@@ -52,6 +52,20 @@ class ObservabilitySpec extends SparkSpec {
     }
   }
 
+  test("HealthCheck: healthy on the corpus, unhealthy on a missing dir") {
+    import graft.tools.HealthCheck
+    val (overall, checks) = HealthCheck.checkAll(spark, TestSpark.Sf0001)
+    assert(overall == "healthy", checks.filter(_.status != "healthy").mkString(";"))
+    assert(checks.map(_.component).toSet.contains("table:documents"))
+    assert(checks.forall(_.latencyMs >= 0.0))
+    val (bad, badChecks) = HealthCheck.checkAll(spark, "/nonexistent/corpus")
+    assert(bad == "unhealthy")
+    // the session itself is still fine; only table components degrade
+    assert(badChecks.find(_.component == "session").get.status == "healthy")
+    assert(badChecks.exists(c => c.component.startsWith("table:") &&
+      c.status == "unhealthy"))
+  }
+
   test("BatchRates observes micro-batch throughput of a stream") {
     val listener = new Observability.BatchRates
     spark.streams.addListener(listener)
