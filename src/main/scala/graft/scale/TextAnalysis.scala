@@ -292,6 +292,29 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** The cluster-scale form of [[qualityTrimFrom]]: instead of a full
+    * per-stratum sort for percent_rank, ONE pass computes each stratum's
+    * `minPct` quantile with a mergeable GK sketch (fixed memory,
+    * map-side combinable), and the tiny (lang → threshold) frame
+    * broadcasts back onto the corpus as a plain filter. No window, no
+    * per-stratum sort — the only wide operation left is the slim
+    * quantile aggregate. Keep/drop decisions may differ from the exact
+    * cut only for docs within the sketch's rank-error band of the
+    * threshold (bounded by `accuracy`). */
+  def qualityTrimApproxFrom(docs: DataFrame, minPct: Double = 0.2,
+                            accuracy: Int = 10000): DataFrame = {
+    val scored = docs
+      .select(col("lang"), col("doc_id"), qualityScore(col("text")).as("qs"))
+    val thresholds = scored.groupBy("lang")
+      .agg(percentile_approx(col("qs"), lit(minPct), lit(accuracy)).as("qs_cut"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("qs") >= col("qs_cut"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_kept"),
+        round(min(col("qs")), 6).as("min_kept_score"))
+      .orderBy("lang")
+  }
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -139,6 +139,27 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - qs2) < 1e-6)
   }
 
+  test("qualityTrimApprox agrees with the exact percentile cut on the corpus") {
+    import graft.scale.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val exact = TextAnalysis.qualityTrimFrom(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = TextAnalysis.qualityTrimApproxFrom(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    // at accuracy 10000 on small strata the sketch is exact up to ties at
+    // the threshold — allow a 2% band per stratum
+    exact.foreach { case (lang, n) =>
+      val a = approx(lang)
+      assert(math.abs(a - n) <= math.max(2L, (n * 0.02).toLong),
+        s"lang $lang: approx kept $a vs exact $n")
+    }
+    // the approx plan must not contain a window (that is the whole point)
+    val plan = TextAnalysis.qualityTrimApproxFrom(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
