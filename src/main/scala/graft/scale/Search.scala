@@ -54,6 +54,31 @@ object Search {
   def invertedIndexQuery(spark: SparkSession, dir: String): DataFrame =
     invertedIndex(Tables.documents(spark, dir)).orderBy("term")
 
+  /** Incremental index maintenance: fold a document batch into an
+    * existing (term, doc_id, tf) index. Re-ingesting a document
+    * REPLACES its postings wholesale: an anti-join on doc_id retires
+    * every old posting of the batch's documents (including terms the
+    * new version no longer contains — per-(term,doc_id) upsert à la
+    * [[graft.operators.Merge.upsertLatest]] could not retire those),
+    * then the fresh postings union in. Incremental maintenance is
+    * therefore CONVERGENT: the result equals rebuilding from scratch
+    * over the final corpus state.
+    *
+    * Scale shape: the delta is batch-sized, the current index is
+    * corpus-sized; both shuffles key on (term, doc_id) — in production
+    * the index table is bucketed by term so the big side never
+    * re-shuffles. This is the streaming-ingestion path of the search
+    * family ([[graft.streaming.StreamDedup]] gates novelty upstream).
+    */
+  def indexUpsert(current: DataFrame, docsBatch: DataFrame): DataFrame = {
+    val delta = termFrequencies(docsBatch)
+    val batchDocs = docsBatch.select(col("doc_id")).distinct()
+    // retire stale postings of re-ingested docs (terms dropped by edits)
+    val retained = current
+      .join(batchDocs, Seq("doc_id"), "left_anti")
+    retained.unionByName(delta).select("term", "doc_id", "tf")
+  }
+
   // ---------------------------------------------------------------------
   // BM25
   // ---------------------------------------------------------------------

@@ -25,6 +25,29 @@ object WindowedAgg {
         col("window.end").as("window_end"),
         col(keyCol), col("cnt"), col("value_sum"))
 
+  /** Streaming hot-term monitor: per tumbling window, token frequencies
+    * of a text stream — the streaming counterpart of
+    * [[graft.scale.Search.ngramCounts]] and the live version of the
+    * boilerplate/heavy-hitter probe ([[graft.operators.Approx.heavyHitters]]
+    * confirms suspects offline). The explode is narrow (no shuffle
+    * before the windowed aggregate), the aggregate keys on
+    * (window, token) — vocab-bounded state, watermark-bounded windows,
+    * late text dropped like any T7 window. Emitting every token's count
+    * and letting the consumer top-k keeps the sink append-only; a
+    * foreachBatch [[graft.plans.TopKPerKey]] pass is the bounded-output
+    * variant. */
+  def windowedTokenCounts(docs: DataFrame, timeCol: String, textCol: String,
+                          windowLength: String, watermark: String): DataFrame =
+    docs
+      .withWatermark(timeCol, watermark)
+      .select(col(timeCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(window(col(timeCol), windowLength), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("token"), col("cnt"))
+
   /** Event-time session windows per key: activity bursts separated by
     * ≥ `gap` of silence become one window each (the streaming counterpart
     * of the batch gap-sessionize in [[graft.operators.Sessionize]] /

@@ -139,6 +139,28 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - qs2) < 1e-6)
   }
 
+  test("indexUpsert converges to the from-scratch index") {
+    import graft.scale.Search
+    val v1 = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "gamma delta")).toDF("doc_id", "text")
+    // doc 2 re-ingested with 'delta' dropped and 'alpha' added; doc 3 new
+    val batch = Seq(
+      (2L, "gamma gamma alpha"),
+      (3L, "epsilon")).toDF("doc_id", "text")
+    val finalCorpus = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "gamma gamma alpha"),
+      (3L, "epsilon")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val incremental = canon(Search.indexUpsert(Search.termFrequencies(v1), batch))
+    val rebuilt = canon(Search.termFrequencies(finalCorpus))
+    assert(incremental == rebuilt)
+    // the stale (delta, 2) posting must be retired, not merely shadowed
+    assert(!incremental.exists(t => t._1 == "delta" && t._2 == 2L))
+  }
+
   test("qualityTrimApprox agrees with the exact percentile cut on the corpus") {
     import graft.scale.TextAnalysis
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)

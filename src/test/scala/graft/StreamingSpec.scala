@@ -109,6 +109,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTokenCounts: streaming hot-term frequencies per window, late text dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = graft.streaming.WindowedAgg.windowedTokenCounts(
+      mem.toDF().toDF("ts", "text"),
+      timeCol = "ts", textCol = "text",
+      windowLength = "10 minutes", watermark = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("tok_counts")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:01:00"), "hot hot cold"),
+        (ts("2024-01-01 10:04:00"), "hot warm"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 11:00:00"), "later"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:03:00"), "hot hot hot")) // too late
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:00:00"), "flush"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT token, cnt FROM tok_counts WHERE window_start = timestamp'2024-01-01 10:00:00'")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("hot" -> 3L, "cold" -> 1L, "warm" -> 1L),
+        s"late tokens must not count: $rows")
+    } finally q.stop()
+  }
+
   test("OddsStream.normalize: multi-format prices, selections array, overround (S12/S13/K4)") {
     import graft.streaming.OddsStream
     val raw = Seq(
