@@ -1,7 +1,6 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -200,9 +199,13 @@ object Search {
     * slim — at 100 TB the fingerprint is what routes to the rewrite job).
     *
     * Scale shape: narrow span explode (fan-out = n_tokens/10), ONE
-    * shuffle on the span text for the first-occurrence window (key-
-    * bounded; hot boilerplate spans are exactly the point), one groupBy
-    * doc_id to reassemble. No self-join, no O(n²).
+    * shuffle on the span text for the global first occurrence, one
+    * groupBy doc_id to reassemble. No self-join, no O(n²). The first
+    * occurrence is an argmin AGGREGATE (`min(struct(doc_id, span_idx))`
+    * — partial-combining, so a boilerplate span duplicated across
+    * millions of documents collapses map-side), NOT a ranked window,
+    * which would funnel each hot span's every instance through one
+    * partition — and the skew is exactly where the duplicates are.
     */
   def spanDedup(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
@@ -218,11 +221,12 @@ object Search {
           .as("span"))
 
     val firstWins = spans
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("span")).orderBy(col("doc_id").asc, col("span_idx").asc)))
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.span_idx").as("span_idx"), col("span"))
 
     val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val kept = firstWins.filter(col("rn") === 1)
+    val kept = firstWins
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",

@@ -45,7 +45,8 @@ class PlanGateSpec extends SparkSpec {
   test("dedup/latest-per-key queries aggregate map-side, no ranked window") {
     // min_by/max_by aggregates partially combine before the shuffle; a
     // Window node here means the whole input is shuffled to be discarded
-    for (q <- Seq("q_dedup_firstwins", "q_latest_event", "q_fuzzy_match")) {
+    for (q <- Seq("q_dedup_firstwins", "q_latest_event", "q_fuzzy_match",
+        "q_span_dedup")) {
       assert(!plans(q).contains("Window"),
         s"$q regressed to a ranked window:\n${plans(q)}")
       assert(plans(q).contains("partial_"),
