@@ -94,4 +94,40 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("meta"))
+
+  /** Per-frame content fingerprints: each sampled frame hashes its own
+    * byte window of the payload (`frameBytes` per frame — the stand-in
+    * for a decoded frame's perceptual hash; production swaps the
+    * `substring` for the codec's frame extractor, the md5 for pHash).
+    * Pure expressions: binary `substring` + `md5`, no UDF, narrow until
+    * any consumer aggregates.
+    *
+    * Composes with the dedup family: frames sharing a fingerprint across
+    * DIFFERENT media are near-identical content (intro/outro cards,
+    * repeated stock footage) — [[graft.scale.Dedup.exactDupGroups]] over
+    * the fingerprint column finds them with one vocab-bounded groupBy,
+    * the multimodal mirror of text span dedup. */
+  def frameFingerprints(media: DataFrame, stepMs: Long = 1000L,
+                        frameBytes: Int = 32): DataFrame =
+    media.filter(col("kind") === "video")
+      .filter(col("meta.duration_ms") > 0)
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs))))
+      .withColumn("frame_idx", (col("frame_ts_ms") / stepMs).cast("long"))
+      .select(col("media_id"), col("frame_idx"),
+        md5(expr(s"substring(bytes, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+          .as("frame_md5"))
+
+  /** Cross-media duplicate frames: fingerprint groups appearing in more
+    * than one media item (keep-first semantics mirror text dedup). */
+  def duplicateFrames(media: DataFrame, stepMs: Long = 1000L,
+                      frameBytes: Int = 32): DataFrame = {
+    val fp = frameFingerprints(media, stepMs, frameBytes)
+    fp.groupBy("frame_md5")
+      .agg(
+        countDistinct(col("media_id")).as("media_cnt"),
+        count(lit(1)).as("frame_cnt"),
+        min(col("media_id")).as("first_media"))
+      .filter(col("media_cnt") > 1)
+  }
 }

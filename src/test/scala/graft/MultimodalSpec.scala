@@ -76,4 +76,28 @@ class MultimodalSpec extends SparkSpec {
     assert(plantedFound.length == 5,
       s"expected all 5 planted copies found, got ${plantedFound.toSeq}")
   }
+
+  test("frameFingerprints + duplicateFrames: shared content found across media") {
+    import spark.implicits._
+    // two videos share their first 64 payload bytes (2 frames at 32 B);
+    // the third is unrelated
+    val shared = ("S" * 64).getBytes("UTF-8")
+    def vid(id: Long, payload: Array[Byte]) =
+      (id, "video", payload, ("raw", payload.length, 1, 4000L))
+    val media = Seq(
+      vid(1L, shared ++ ("A" * 64).getBytes("UTF-8")),
+      vid(2L, shared ++ ("B" * 64).getBytes("UTF-8")),
+      vid(3L, ("C" * 128).getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes", "meta")
+      .withColumn("meta", col("meta").cast(Multimodal.MediaMetaSchema))
+    val dups = Multimodal.duplicateFrames(media).collect()
+    // frames 0 and 1 of videos 1 and 2 share fingerprints; video 3 clean.
+    // 'S'*32 is identical for frame 0 and frame 1, so the two shared
+    // windows collapse into ONE fingerprint group spanning both media
+    // with 4 frame instances.
+    assert(dups.length == 1, dups.mkString(";"))
+    assert(dups.head.getLong(1) == 2L, "two media share the group")
+    assert(dups.head.getLong(2) == 4L, "2 frames x 2 media")
+    assert(dups.head.getLong(3) == 1L, "keep-first points at media 1")
+  }
 }
