@@ -94,7 +94,11 @@ object SparkEntry {
     "q_span_dedup"      -> ((s, d) => graft.scale.Search.spanDedupQuery(s, d)),
     "q_token_stats"     -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q_group_sample"    -> ((s, d) => graft.scale.TrainingData.groupSample(s, d)),
-    "q_quality_trim"    -> ((s, d) => TextAnalysis.qualityTrim(s, d))
+    "q_quality_trim"    -> ((s, d) => TextAnalysis.qualityTrim(s, d)),
+    "q_range_join"      -> ((s, d) => graft.operators.RangeJoin.nearbyOrders(s, d)),
+    "q_bloom_prune"     -> ((s, d) => graft.operators.BloomJoin.cleanMonthlyRevenue(s, d)),
+    "q_repetition"      -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "q_vocab"           -> ((s, d) => graft.scale.Search.vocabQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1117,6 +1121,72 @@ object SparkEntry {
         |       round(min(CASE WHEN pr >= 0.2 THEN qs END), 6) AS min_kept_score
         |FROM p
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // Binned point-in-interval self join: orders of the same priority
+    // within ±7 days. The Spark side is the bin-bucketed equi-join
+    // (RangeJoin.pointInInterval); the oracle states the naive
+    // inequality-join semantics directly.
+    "q_range_join" ->
+      """SELECT a.o_orderkey, count(*) AS nearby_cnt
+        |FROM orders a JOIN orders b
+        |  ON b.o_orderpriority = a.o_orderpriority
+        | AND b.o_orderkey <> a.o_orderkey
+        | AND b.o_orderdate >= a.o_orderdate - INTERVAL 7 DAY
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Bloom-prefiltered anti join ≡ plain anti join (the Bloom pass only
+    // prunes; exact verification removes false positives).
+    "q_bloom_prune" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                  WHERE p.p_partkey = l.l_partkey AND p.p_size >= 45)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Gopher repetition signals; ratios are single long/long IEEE
+    // divisions (correctly rounded → exact cross-engine).
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+        |a1 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+        |       FROM c1 GROUP BY 1),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |                              for i in generate_series(1, len(toks)-1)]) AS g FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |                              for i in generate_series(1, len(toks)-2)]) AS g FROM t),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_trigram_frac
+        |       FROM c3 GROUP BY 1)
+        |SELECT a1.doc_id, top_word_frac, top_bigram_frac, dup_trigram_frac
+        |FROM a1 JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Frequency-ranked unigram+bigram vocabulary with contiguous ids
+    // assigned over the unique (cnt desc, gram asc) order. The Spark side
+    // is the distributed two-pass rank; the oracle is the window form.
+    "q_vocab" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT unnest(toks) AS gram, CAST(1 AS BIGINT) AS n FROM t
+        |      UNION ALL
+        |      SELECT unnest([array_to_string(toks[i:i+1], ' ')
+        |                     for i in generate_series(1, len(toks)-1)]) AS gram,
+        |             CAST(2 AS BIGINT) AS n FROM t),
+        |c AS (SELECT gram, n, count(*) AS cnt FROM g GROUP BY 1, 2
+        |      HAVING count(*) >= 2)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS token_id,
+        |       gram, n, CAST(cnt AS BIGINT) AS cnt
+        |FROM c
+        |ORDER BY token_id""".stripMargin
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Bloom-prefiltered joins: exact join semantics, most of the probe-side
+  * shuffle eliminated by a broadcast Bloom filter.
+  *
+  * The scenario: the probe side is the 100 TB fact table; the build side
+  * is too large to broadcast as a hash relation but its KEYS fit in a
+  * Bloom filter (~10 bits/key at 1% fpp — 100 M keys ≈ 120 MB, vs
+  * several GB as a broadcast hash table). One pass over the build side
+  * constructs the filter (tree-aggregated, driver merges partial
+  * filters); the probe side then drops non-matching rows map-side BEFORE
+  * the shuffle. Spark's own runtime row-level filtering
+  * (spark.sql.optimizer.runtime.bloomFilter.enabled) injects the same
+  * shape automatically for selective equi-joins; this operator makes it
+  * explicit, available to anti-join flows the optimizer won't touch, and
+  * independent of join-selectivity heuristics.
+  *
+  * Correctness: a Bloom filter has false positives but NO false
+  * negatives, so
+  *  - semi join: mightContain=false rows are definitely unmatched → drop
+  *    them map-side; survivors still go through the exact join, which
+  *    kills the false positives. Result ≡ plain semi join.
+  *  - anti join: mightContain=false rows are definitely in the answer →
+  *    emit them WITHOUT shuffling; only the (small) maybe fraction goes
+  *    through the exact anti join. Result ≡ plain anti join.
+  *
+  * The 100 TB win for anti join is structural: a plain left_anti shuffles
+  * the entire probe side; here only |matches| + fpp·|probe| rows shuffle.
+  */
+object BloomJoin {
+
+  /** Exact left-semi join of `big` on `small`, Bloom-pruned map-side.
+    * Key columns must be LongType (the fact-table FK case). */
+  def semiJoin(big: DataFrame, bigKey: String,
+               small: DataFrame, smallKey: String,
+               expectedItems: Long = 1000000L,
+               fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.filter(might(col(bigKey)))
+      .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_semi")
+  }
+
+  /** Exact left-anti join of `big` on `small`: definite misses pass
+    * through without shuffling; only Bloom-positive rows are verified by
+    * the exact anti join. Two scans of `big` (each column-pruned) trade
+    * for not shuffling it — the right trade when |matches| ≪ |big|. */
+  def antiJoin(big: DataFrame, bigKey: String,
+               small: DataFrame, smallKey: String,
+               expectedItems: Long = 1000000L,
+               fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    val misses = big.filter(!might(col(bigKey)))
+    val verified = big.filter(might(col(bigKey)))
+      .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_anti")
+    misses.unionByName(verified)
+  }
+
+  /** q_bloom_prune: monthly revenue over lineitems whose part is NOT on
+    * a blocklist (here: oversized parts, p_size ≥ 45) — the
+    * "decontaminate the fact stream against a key blocklist" job. The
+    * result is exactly the plain anti-join aggregate; the Bloom pass is
+    * pure pruning. */
+  def cleanMonthlyRevenue(spark: SparkSession, dir: String,
+                          minSize: Int = 45): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val blocked = Tables.part(spark, dir)
+      .filter(col("p_size") >= minSize)
+      .select(col("p_partkey"))
+    antiJoin(li, "l_partkey", blocked, "p_partkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ship_month"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+      .orderBy("ship_month")
+  }
+}

@@ -242,4 +242,41 @@ object Search {
   /** q_span_dedup over the documents table, ordered by doc_id. */
   def spanDedupQuery(spark: SparkSession, dir: String): DataFrame =
     spanDedup(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // Vocabulary construction
+  // ---------------------------------------------------------------------
+
+  /** Frequency-ranked vocabulary over unigrams + bigrams — the "count,
+    * cut, rank, assign contiguous ids" job that precedes any tokenizer /
+    * embedding-table build (BPE merges operate on exactly this table).
+    *
+    * Ids are assigned by (count desc, gram asc) — a unique total order —
+    * via [[graft.operators.Ranking.distributedGlobalRank]]: a naive
+    * `row_number().over(Window.orderBy(...))` funnels the whole vocab
+    * through ONE partition; the distributed rank is a range sort plus a
+    * parts-sized offset broadcast, so it survives a 1B-entry vocab (the
+    * n-gram vocab BEFORE the min-count cut is corpus-sized — the cut
+    * happens upstream of the rank precisely so the expensive path is the
+    * cheap aggregate, not the sort).
+    */
+  def vocabBuild(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+    val grams = docs.select(explode(t).as("gram"), lit(1L).as("n"))
+      .unionByName(docs.select(explode(bigrams).as("gram"), lit(2L).as("n")))
+    val counted = grams
+      .groupBy("gram", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    graft.operators.Ranking
+      .distributedGlobalRank(counted,
+        Seq(col("cnt").desc, col("gram").asc), rankCol = "token_id", nCol = "__vocab")
+      .select(col("token_id"), col("gram"), col("n"), col("cnt"))
+  }
+
+  /** q_vocab over the documents table, ordered by token id. */
+  def vocabQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabBuild(Tables.documents(spark, dir)).orderBy("token_id")
 }

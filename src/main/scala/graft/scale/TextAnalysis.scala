@@ -315,6 +315,49 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q_repetition: Gopher-style in-document repetition signals — the
+    * filters that catch boilerplate/spam the perplexity-free way
+    * (Rae et al. 2021 §A1.1: top-n-gram fraction, duplicate-n-gram
+    * fraction). Per document:
+    *   - `top_word_frac`   — tokens taken by the single most frequent
+    *     token (Gopher cuts docs where the top word is > 7.5% after
+    *     stopword exclusion);
+    *   - `top_bigram_frac` — occurrences of the most frequent bigram
+    *     over all bigram occurrences (> 18% → cut);
+    *   - `dup_trigram_frac`— fraction of trigram occurrences that are
+    *     repeats of an earlier trigram (> 16% → cut).
+    *
+    * All three are (doc_id, gram) aggregates: the shuffle key is
+    * doc-local, so partition width is bounded by document length — no
+    * corpus-wide hotspot at 100 TB. Ratios are long/long single IEEE
+    * divisions (correctly rounded, so exact cross-engine).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    def grams(n: Int): Column =
+      if (n == 1) col("toks")
+      else when(size(col("toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+    def perDoc(n: Int): DataFrame = docs
+      .select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as(s"max_$n"), sum(col("c")).as(s"tot_$n"),
+        count(lit(1)).as(s"distinct_$n"))
+    perDoc(1).join(perDoc(2), "doc_id").join(perDoc(3), "doc_id")
+      .select(
+        col("doc_id"),
+        (col("max_1").cast("double") / col("tot_1").cast("double"))
+          .as("top_word_frac"),
+        (col("max_2").cast("double") / col("tot_2").cast("double"))
+          .as("top_bigram_frac"),
+        ((col("tot_3") - col("distinct_3")).cast("double") / col("tot_3").cast("double"))
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -72,4 +72,18 @@ class PlanGateSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"BM25 scoring must not shuffle the corpus into a join:\n$plan")
   }
+
+  test("q_range_join: binned equi-join, never a nested-loop range join") {
+    val plan = plans("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a quadratic strategy:\n$plan")
+  }
+
+  test("q_vocab: id assignment has no single-partition exchange, no window") {
+    val plan = plans("q_vocab")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"vocab rank funnels through one reducer:\n$plan")
+    assert(!plan.contains("Window"),
+      s"expected the two-pass distributed rank, found a window:\n$plan")
+  }
 }
