@@ -98,7 +98,13 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => graft.operators.RangeJoin.nearbyOrders(s, d)),
     "q_bloom_prune"     -> ((s, d) => graft.operators.BloomJoin.cleanMonthlyRevenue(s, d)),
     "q_repetition"      -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
-    "q_vocab"           -> ((s, d) => graft.scale.Search.vocabQuery(s, d))
+    "q_vocab"           -> ((s, d) => graft.scale.Search.vocabQuery(s, d)),
+    "q_pivot"           -> ((s, d) => Analytics.statusPivot(s, d)),
+    "q_ntile"           -> ((s, d) => Analytics.spendDeciles(s, d)),
+    "q_range_frame"     -> ((s, d) => Analytics.trailingSpend(s, d)),
+    "q_outliers"        -> ((s, d) => Analytics.segmentOutliers(s, d)),
+    "q_interval_overlap" -> ((s, d) => graft.operators.RangeJoin.overlappingOrderWindows(s, d)),
+    "q_frames"          -> ((s, d) => graft.scale.Multimodal.frameIndex(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1187,6 +1193,109 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS token_id,
         |       gram, n, CAST(cnt AS BIGINT) AS cnt
         |FROM c
-        |ORDER BY token_id""".stripMargin
+        |ORDER BY token_id""".stripMargin,
+
+    // Pivot / crosstab: one conditional-aggregate pass (the Spark side is
+    // groupBy().pivot() with an explicit value list — compiles to exactly
+    // these CASE aggregates, no value-discovery job).
+    "q_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_spend,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_spend,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_spend
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY priority""".stripMargin,
+
+    // Rank-based spend deciles. The Spark side computes the global rank
+    // with the two-pass distributed rank (no single-partition window);
+    // the oracle states the window form over the same unique order.
+    // Decile formula ((rn-1)*10) div n + 1 is deliberately rank-width
+    // (documented) rather than NTILE's remainder-to-front sizing.
+    "q_ntile" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT spend_dec,
+        |         row_number() OVER (ORDER BY spend_dec ASC, o_custkey ASC) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM per)
+        |SELECT ((rn - 1) * 10) // n + 1 AS decile,
+        |       count(*) AS cnt,
+        |       CAST(min(spend_dec) AS DOUBLE) AS min_spend,
+        |       CAST(max(spend_dec) AS DOUBLE) AS max_spend,
+        |       CAST(sum(spend_dec) AS DOUBLE) AS decile_spend
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY decile""".stripMargin,
+
+    // Value-based RANGE frame: trailing 30-day spend per customer,
+    // excluding the order's own day (frame = value interval, so same-day
+    // peers need no tiebreak; empty frame → NULL in both engines).
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey, d,
+        |       CAST(sum(sp) OVER (PARTITION BY o_custkey ORDER BY d
+        |                          RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+        |            AS DOUBLE) AS trailing_spend
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             date_diff('day', DATE '1970-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS d,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS sp
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // Per-segment z-score outliers from exact decimal sums (n, Σx, Σx²);
+    // the double expressions are identical in both engines, so z matches
+    // bitwise. No stddev_samp (its merge order is engine-specific).
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT c_mktsegment AS segment,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+        |                  * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM customer GROUP BY 1),
+        |z AS (
+        |  SELECT c.c_custkey, st.segment, c.c_acctbal,
+        |         (c.c_acctbal - st.s / st.n)
+        |           / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS z
+        |  FROM customer c JOIN stats st ON c.c_mktsegment = st.segment)
+        |SELECT c_custkey, segment, c_acctbal, z
+        |FROM z
+        |WHERE abs(z) >= 2.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Interval-overlap self join: pairs of a customer's orders whose
+    // ±3-day windows intersect. The Spark side is the binned equi-join
+    // with algebraic pair dedup (emit at the overlap-start bin); the
+    // oracle states the naive inequality-join semantics.
+    "q_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |       least(a.d, b.d) - greatest(a.d, b.d) + 7 AS overlap_days
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey
+        | AND a.o_orderkey < b.o_orderkey
+        | AND a.d - 3 <= b.d + 3 AND b.d - 3 <= a.d + 3
+        |ORDER BY a.o_custkey, k1, k2""".stripMargin,
+
+    // Multimodal frame-sampling index: video rows (doc_id mod 3 = 2 under
+    // the kind synthesis), duration = n_chars*10 ms, one row per 1000 ms
+    // sample offset. generate_series/sequence are both stop-inclusive.
+    "q_frames" ->
+      """SELECT doc_id AS media_id,
+        |       unnest(generate_series(0, n_chars * 10 - 1, 1000)) AS frame_ts_ms
+        |FROM documents
+        |WHERE (doc_id % 3) = 2 AND n_chars > 0
+        |ORDER BY media_id, frame_ts_ms""".stripMargin
   )
 }

@@ -409,4 +409,92 @@ object Analytics {
         regexp_extract(col("c_name"), "#([0-9]+)", 1).cast("long").as("parsed_id"),
         lower(col("c_mktsegment")).as("segment_lc"))
       .orderBy("c_custkey")
+
+  /** Pivot / crosstab — long→wide reshaping (the reference's report tables
+    * lay out one column per status/market, e.g. the odds markets of
+    * betexplorer_odds_scraper.py:16-96 and the per-position distributions
+    * of reports.py:393-404). Spark's `pivot` with an EXPLICIT value list
+    * compiles to one pass of conditional aggregates — same single-shuffle
+    * cost as a flat groupBy, no second pass to discover pivot values (an
+    * unlisted `pivot(col)` runs a distinct-collect job first; never do
+    * that at 100 TB). */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+      .select(col("priority"), col("F").as("f_spend"),
+        col("O").as("o_spend"), col("P").as("p_spend"))
+      .orderBy("priority")
+
+  /** Rank-based deciles of customer spend: every customer assigned a
+    * 1..10 decile by total-spend rank, then per-decile stats. The rank is
+    * [[Ranking.distributedGlobalRank]] — a range-sort plus a broadcast of
+    * per-partition counts — so unlike `ntile().over(Window.orderBy(...))`
+    * there is NO single-partition window stage (the same scale fix as
+    * q_pct_rank). Decile = ((rank-1)*10) div n + 1 (equal-width by rank;
+    * documented oracle-identical formula rather than NTILE's
+    * remainder-to-front bucket sizing). */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("spend_dec"))
+    Ranking.distributedGlobalRank(per,
+        Seq(col("spend_dec").asc, col("o_custkey").asc), rankCol = "rn", nCol = "n")
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("spend_dec")).cast("double").as("min_spend"),
+        max(col("spend_dec")).cast("double").as("max_spend"),
+        sum(col("spend_dec")).cast("double").as("decile_spend"))
+      .orderBy("decile")
+  }
+
+  /** RANGE-frame trailing window (value-based frame, not row-based —
+    * complements the rows-frame [[runningSpend]]): per order, the same
+    * customer's spend over the preceding `days` days, EXCLUDING the
+    * order's own day. A value frame is insensitive to peer-row order, so
+    * same-day orders need no tiebreak to be deterministic. */
+  def trailingSpend(spark: SparkSession, dir: String, days: Int = 30): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), epoch).cast("long").as("d"),
+      dec2(col("o_totalprice")).as("sp"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-days, -1)
+    o.select(col("o_custkey"), col("o_orderkey"), col("d"),
+        sum(col("sp")).over(w).cast("double").as("trailing_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Per-group z-score outliers (data-quality screening — the statistical
+    * cousin of the reference's pydantic range checks, models.py:519-532):
+    * customers whose balance deviates ≥ `zThresh` standard deviations from
+    * their segment mean. Mean/stddev come from one aggregation pass of
+    * EXACT decimal sums (n, Σx, Σx²) — no second scan, no stddev_samp
+    * (whose merge order is engine-specific); the double math is the same
+    * single expression in both engines, so z is bitwise-reproducible.
+    * Stats frame is |segments| rows → broadcast back, no second shuffle
+    * of the data. */
+  def segmentOutliers(spark: SparkSession, dir: String,
+                      zThresh: Double = 2.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_acctbal"))
+    val stats = c.groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("s"),
+        sum(dec2(col("c_acctbal")) * dec2(col("c_acctbal"))).cast("double").as("ss"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("sd",
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .select("segment", "mean", "sd")
+    c.join(broadcast(stats), "segment")
+      .withColumn("z", (col("c_acctbal") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) >= zThresh)
+      .select("c_custkey", "segment", "c_acctbal", "z")
+      .orderBy("c_custkey")
+  }
 }

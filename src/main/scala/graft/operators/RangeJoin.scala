@@ -58,6 +58,59 @@ object RangeJoin {
     binned.join(p, cond).drop("__bin", "__pbin")
   }
 
+  /** Interval-overlap SELF-join via the same bin rewrite: all pairs of
+    * rows sharing `key` whose [lo, hi] intervals intersect. Unlike the
+    * point case an interval spans many bins, so a pair can meet in
+    * several — the dedup is algebraic, not a `distinct`: a pair is
+    * emitted only in the bin containing the OVERLAP START
+    * (`floor(max(lo₁,lo₂)/w)`), which every overlapping pair has exactly
+    * one of. Shuffle is the (key, bin) equi-join; explode factor is
+    * span/width+1 per row, so pick binWidth ≈ typical span.
+    *
+    * @return one row per unordered pair (`id1` < `id2`) with the overlap
+    *         interval [overlap_lo, overlap_hi]
+    */
+  def selfIntervalOverlap(df: DataFrame, key: String, id: String,
+                          lo: String, hi: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val w = lit(binWidth)
+    val binned = df
+      .select(col(key), col(id), col(lo), col(hi))
+      .withColumn("__bin", explode(sequence(
+        floor(col(lo) / w).cast("long"), floor(col(hi) / w).cast("long"))))
+    val a = binned.select(col(key).as("__k"), col(id).as("id1"),
+      col(lo).as("__lo1"), col(hi).as("__hi1"), col("__bin"))
+    val b = binned.select(col(key).as("__k2"), col(id).as("id2"),
+      col(lo).as("__lo2"), col(hi).as("__hi2"), col("__bin").as("__bin2"))
+    a.join(b,
+        col("__k") === col("__k2") && col("__bin") === col("__bin2") &&
+          col("id1") < col("id2") &&
+          col("__lo1") <= col("__hi2") && col("__lo2") <= col("__hi1") &&
+          col("__bin") === floor(greatest(col("__lo1"), col("__lo2")) / w).cast("long"))
+      .select(col("__k").as(key), col("id1"), col("id2"),
+        greatest(col("__lo1"), col("__lo2")).as("overlap_lo"),
+        least(col("__hi1"), col("__hi2")).as("overlap_hi"))
+  }
+
+  /** q_interval_overlap: per-customer order-window clustering — pairs of
+    * a customer's orders whose ±`days`-day windows intersect, with the
+    * overlap length. The naive form is an inequality self-join;
+    * [[selfIntervalOverlap]] makes it a (custkey, bin) equi-join. */
+  def overlappingOrderWindows(spark: SparkSession, dir: String,
+                              days: Int = 3): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), epoch).cast("long").as("d"))
+      .withColumn("lo", col("d") - days)
+      .withColumn("hi", col("d") + days)
+    selfIntervalOverlap(o, "o_custkey", "o_orderkey", "lo", "hi",
+        binWidth = 2L * days + 1)
+      .select(col("o_custkey"), col("id1").as("k1"), col("id2").as("k2"),
+        (col("overlap_hi") - col("overlap_lo") + 1L).as("overlap_days"))
+      .orderBy("o_custkey", "k1", "k2")
+  }
+
   /** q_range_join: order-density self range join — for every order, how
     * many other orders of the same priority class were placed within
     * ±`days` days. The naive form is an inequality self-join (quadratic

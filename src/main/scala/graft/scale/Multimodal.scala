@@ -95,6 +95,19 @@ object Multimodal {
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("meta"))
 
+  /** q_frames: the frame-sampling index over the synthesized media table —
+    * one row per sampled video frame timestamp. This is the oracle-checked
+    * face of the multimodal family: the metadata synthesis
+    * ([[mediaFromDocuments]]: kind from doc_id mod 3, duration from
+    * n_chars) and the `sequence`+`explode` sampling are both expressible
+    * in the oracle's SQL, so the plumbing that feeds the (stubbed) decode
+    * stage is verified end-to-end cross-engine. */
+  def frameIndex(spark: SparkSession, dir: String,
+                 stepMs: Long = 1000L): DataFrame =
+    sampleFrames(mediaFromDocuments(spark, dir), stepMs)
+      .select(col("media_id"), col("frame_ts_ms"))
+      .orderBy("media_id", "frame_ts_ms")
+
   /** Per-frame content fingerprints: each sampled frame hashes its own
     * byte window of the payload (`frameBytes` per frame — the stand-in
     * for a decoded frame's perceptual hash; production swaps the

@@ -50,6 +50,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 2) // ts 0 and 1000 for the 1200ms row
   }
 
+  test("frameIndex: offsets are step-aligned and bounded by duration") {
+    val idx = Multimodal.frameIndex(spark, TestSpark.Sf0001, stepMs = 1000L)
+    val joined = idx.join(
+      Multimodal.mediaFromDocuments(spark, TestSpark.Sf0001), "media_id")
+    assert(joined.filter(col("kind") =!= "video").count() == 0)
+    assert(joined.filter(col("frame_ts_ms") % 1000 =!= 0
+      || col("frame_ts_ms") < 0
+      || col("frame_ts_ms") >= col("meta.duration_ms")).count() == 0)
+  }
+
   test("decode -> embed -> ANN: extracted media features feed the similarity stack") {
     import graft.scale.Similarity
     // media features become vectors; a planted perturbed copy must be

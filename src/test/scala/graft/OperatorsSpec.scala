@@ -187,4 +187,83 @@ class OperatorsSpec extends SparkSpec {
     assert(approxP50 >= lo && approxP50 <= hi,
       s"approx p50 $approxP50 outside exact [$lo, $hi]")
   }
+
+  test("Analytics.statusPivot ≡ manual conditional aggregation") {
+    val got = graft.operators.Analytics.statusPivot(spark, TestSpark.Sf0001)
+    val want = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F",
+          col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("f_spend"),
+        sum(when(col("o_orderstatus") === "O",
+          col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("o_spend"),
+        sum(when(col("o_orderstatus") === "P",
+          col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("p_spend"))
+      .orderBy("priority")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("Analytics.spendDeciles ≡ single-partition window formulation") {
+    val got = graft.operators.Analytics.spendDeciles(spark, TestSpark.Sf0001)
+    val per = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("spend_dec").asc, col("o_custkey").asc)
+    val want = per
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("spend_dec")).cast("double").as("min_spend"),
+        max(col("spend_dec")).cast("double").as("max_spend"),
+        sum(col("spend_dec")).cast("double").as("decile_spend"))
+      .orderBy("decile")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // every decile populated, counts sum to the customer count
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(rows.map(_.getLong(1)).sum == per.count())
+  }
+
+  test("Analytics.trailingSpend: value frame sums prior days only") {
+    val got = graft.operators.Analytics.trailingSpend(spark, TestSpark.Sf0001, days = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // naive recomputation on the driver (sf0.001 is small)
+    val rows = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"),
+        col("o_totalprice").cast("decimal(18,2)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    val byCust = rows.groupBy(_._1)
+    rows.foreach { case (ck, ok, d, _) =>
+      val frame = byCust(ck).filter(o => o._3 >= d - 30 && o._3 <= d - 1).map(_._4)
+      val want = if (frame.isEmpty) None
+        else Some(frame.map(BigDecimal(_)).sum.toDouble)
+      assert(got((ck, ok)) == want, s"cust=$ck order=$ok")
+    }
+  }
+
+  test("Analytics.segmentOutliers matches driver-side z-score computation") {
+    val got = graft.operators.Analytics.segmentOutliers(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val c = graft.sources.Tables.customer(spark, TestSpark.Sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = c.toSeq.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = rows.length
+      val s = rows.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val ss = rows.map { r =>
+        val d = BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP); d * d
+      }.sum.toDouble
+      val mean = s / n
+      val sd = math.sqrt((ss - s * s / n) / (n - 1))
+      rows.map(r => r._1 -> (r._3 - mean) / sd).filter(p => math.abs(p._2) >= 2.0)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, z) => assert(z == want(k), s"cust=$k") }
+  }
 }

@@ -65,4 +65,27 @@ class RangeBloomSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
     assert(out.sortBy(_.getOrElse(-1L)) == Seq(None, Some(2L)))
   }
+
+  test("RangeJoin.selfIntervalOverlap ≡ naive overlap join, exactly-once pairs") {
+    // intervals spanning bins, nested, identical, touching, disjoint,
+    // negative coordinates, and a cross-key decoy
+    val iv = Seq(
+      (1L, "a", 0L, 10L), (2L, "a", 5L, 7L), (3L, "a", 10L, 20L),
+      (4L, "a", 21L, 30L), (5L, "a", 0L, 10L), (6L, "b", 5L, 7L),
+      (7L, "a", -12L, -3L), (8L, "a", -5L, 2L))
+      .toDF("key", "id", "lo", "hi")
+    for (width <- Seq(1L, 4L, 7L, 50L)) {
+      val got = RangeJoin.selfIntervalOverlap(iv, "key", "id", "lo", "hi", width)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val a = iv.select(col("key"), col("id").as("i1"), col("lo").as("l1"), col("hi").as("h1"))
+      val b = iv.select(col("key").as("k2"), col("id").as("i2"), col("lo").as("l2"), col("hi").as("h2"))
+      val want = a.join(b, col("key") === col("k2") && col("i1") < col("i2") &&
+          col("l1") <= col("h2") && col("l2") <= col("h1"))
+        .select(col("i1"), col("i2"),
+          greatest(col("l1"), col("l2")), least(col("h1"), col("h2")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.sorted == want.sorted, s"binWidth=$width")
+      assert(got.distinct.length == got.length, s"binWidth=$width produced duplicates")
+    }
+  }
 }
