@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.Layout
+
+/** Z-order clustering: multi-dimensional locality that a plain sort
+  * cannot give. */
+class LayoutSpec extends SparkSpec {
+
+  private def orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+
+  private def avgFrac(report: org.apache.spark.sql.DataFrame,
+                      col_ : String): Double = {
+    val rows = report.collect()
+    rows.map(_.getAs[Double](s"frac_$col_")).sum / rows.length
+  }
+
+  test("zorder bounds per-split ranges on BOTH dimensions; a sort does not") {
+    val cols = Seq("o_custkey", "o_orderdate")
+    val z = Layout.zorder(orders, cols, numFiles = 16)
+    val zRep = Layout.localityReport(z, cols)
+    val zCust = avgFrac(zRep, "o_custkey")
+    val zDate = avgFrac(zRep, "o_orderdate")
+    // plain sort on custkey: perfect on custkey, no locality on date
+    val sorted = orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+    val sRep = Layout.localityReport(sorted, cols)
+    val sCust = avgFrac(sRep, "o_custkey")
+    val sDate = avgFrac(sRep, "o_orderdate")
+    assert(zCust < 0.5, s"z-order custkey locality too weak: $zCust")
+    assert(zDate < 0.5, s"z-order date locality too weak: $zDate")
+    assert(sCust < zCust, "plain sort should beat z-order on its own key")
+    assert(sDate > 0.8, s"sorted layout unexpectedly local on date: $sDate")
+    assert(zDate < sDate / 2,
+      s"z-order date locality $zDate not clearly better than sort $sDate")
+  }
+
+  test("zvalue interleaves bits (hand-checked small case)") {
+    import spark.implicits._
+    // 2 cols, 2 bits, ranges [0,3]: bucket = value. z = interleave bits:
+    // (x,y) -> bit i of x at 2i, bit i of y at 2i+1
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zvalue(Seq(col("x"), col("y")),
+        Seq((0.0, 3.0), (0.0, 3.0)), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x=2(10),y=1(01): bits -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3
+    //   x0=0,y0=1,x1=1,y1=0 -> 0b0110 = 6
+    assert(got == Seq(0L, 5L, 10L, 15L, 6L))
+  }
+
+  test("zorder preserves every row and tolerates constant columns") {
+    import spark.implicits._
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
+    val out = Layout.zorder(df, Seq("a", "b"), numFiles = 2)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 7L), (2L, 7L), (3L, 7L)))
+    assert(out.columns.toSeq == Seq("a", "b"))
+  }
+}
