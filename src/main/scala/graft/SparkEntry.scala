@@ -104,7 +104,8 @@ object SparkEntry {
     "q_range_frame"     -> ((s, d) => Analytics.trailingSpend(s, d)),
     "q_outliers"        -> ((s, d) => Analytics.segmentOutliers(s, d)),
     "q_interval_overlap" -> ((s, d) => graft.operators.RangeJoin.overlappingOrderWindows(s, d)),
-    "q_frames"          -> ((s, d) => graft.scale.Multimodal.frameIndex(s, d))
+    "q_frames"          -> ((s, d) => graft.scale.Multimodal.frameIndex(s, d)),
+    "q_incr_agg"        -> ((s, d) => Analytics.incrementalGold(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1296,6 +1297,18 @@ object SparkEntry {
         |       unnest(generate_series(0, n_chars * 10 - 1, 1000)) AS frame_ts_ms
         |FROM documents
         |WHERE (doc_id % 3) = 2 AND n_chars > 0
-        |ORDER BY media_id, frame_ts_ms""".stripMargin
+        |ORDER BY media_id, frame_ts_ms""".stripMargin,
+
+    // Incremental gold maintenance: the Spark side builds the gold table
+    // from pre-1999 history and merges ONE delta batch additively
+    // (Merge.additiveUpsert, exact decimal accumulators); the oracle is
+    // the full recompute the increment must equal bitwise.
+    "q_incr_agg" ->
+      """SELECT o_custkey,
+        |       count(*) AS order_cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -469,6 +469,26 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** A12 incremental gold maintenance, end-to-end: the customer spend
+    * gold table built from pre-split history, then advanced by ONE delta
+    * batch via [[Merge.additiveUpsert]] — and the result must equal a
+    * full recompute over everything (which is exactly what the oracle
+    * computes). Exact decimal accumulators make the equality bitwise. */
+  def incrementalGold(spark: SparkSession, dir: String,
+                      splitDate: String = "1999-01-01"): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def gold(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(dec2(col("o_totalprice"))).as("spend_dec"))
+    val current = gold(o.filter(col("o_orderdate") < lit(splitDate)))
+    val delta = gold(o.filter(col("o_orderdate") >= lit(splitDate)))
+    Merge.additiveUpsert(current, delta,
+        Seq("o_custkey"), Seq("order_cnt", "spend_dec"))
+      .select(col("o_custkey"), col("order_cnt"),
+        col("spend_dec").cast("double").as("total_spend"))
+      .orderBy("o_custkey")
+  }
+
   /** Per-group z-score outliers (data-quality screening — the statistical
     * cousin of the reference's pydantic range checks, models.py:519-532):
     * customers whose balance deviates ≥ `zThresh` standard deviations from

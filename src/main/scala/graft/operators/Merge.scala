@@ -43,6 +43,32 @@ object Merge {
     cur.join(stg, cond, "full_outer").select(keyCols ++ valCols: _*)
   }
 
+  /** A12 incremental gold-table maintenance: a pre-aggregated table of
+    * ADDITIVE measures (sums, counts; averages derive as sum/cnt) absorbs
+    * a new batch by aggregating the delta alone and adding per key —
+    * the fact history is never rescanned. With exact accumulator types
+    * (decimal sums, long counts) addition is associative, so the merged
+    * table is bitwise-equal to a full recompute; cast to double only at
+    * presentation. This is the reference's season_player_stats pattern
+    * (SURVEY §2.5 A12: pre-aggregated per player/season, maintained by
+    * upserts) in its scalable form — per-batch cost is O(delta) + a
+    * key-join against the gold table, not O(history).
+    *
+    * Null semantics: a key absent from one side keeps the other side's
+    * value unchanged (no typed zero needed — `a+b` only when both exist). */
+  def additiveUpsert(current: DataFrame, deltaAgg: DataFrame,
+                     keys: Seq[String], measures: Seq[String]): DataFrame = {
+    val cur = current.select((keys ++ measures).map(col): _*).as("cur")
+    val stg = deltaAgg.select((keys ++ measures).map(col): _*).as("stg")
+    val cond = keys.map(k => col(s"cur.$k") === col(s"stg.$k")).reduce(_ && _)
+    val keyCols = keys.map(k => coalesce(col(s"stg.$k"), col(s"cur.$k")).as(k))
+    val valCols = measures.map { c =>
+      val a = col(s"cur.$c"); val b = col(s"stg.$c")
+      when(a.isNull, b).when(b.isNull, a).otherwise(a + b).as(c)
+    }
+    cur.join(stg, cond, "full_outer").select(keyCols ++ valCols: _*)
+  }
+
   /** SCD2 historization: each (key, orderCol) row becomes a version with
     * `valid_from` = its own order value, `valid_to` = the next version's
     * (null for the open/current one), `is_current` = valid_to IS NULL —

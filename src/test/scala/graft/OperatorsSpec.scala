@@ -57,6 +57,31 @@ class OperatorsSpec extends SparkSpec {
       .toSeq == Seq((1, "keep", 11), (2, "x", 20), (3, "new", -1)))
   }
 
+  test("Merge.additiveUpsert adds measures per key; one-sided keys pass through") {
+    val current = Seq(("a", 2L, BigDecimal("10.50")), ("b", 1L, BigDecimal("3.00")))
+      .toDF("k", "cnt", "s")
+    val delta = Seq(("a", 3L, BigDecimal("0.25")), ("c", 4L, BigDecimal("7.00")))
+      .toDF("k", "cnt", "s")
+    val out = Merge.additiveUpsert(current, delta, Seq("k"), Seq("cnt", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(("a", 5L), ("b", 1L), ("c", 4L)))
+    assert(BigDecimal(out(0)._3) == BigDecimal("10.75"))
+    assert(BigDecimal(out(1)._3) == BigDecimal("3.00"))
+    assert(BigDecimal(out(2)._3) == BigDecimal("7.00"))
+    // incremental ≡ recompute on a generated fact set split arbitrarily
+    val facts = spark.range(0, 300).select((col("id") % 7).as("k2"),
+      (col("id") % 13).cast("decimal(18,2)").as("v"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k2").agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"))
+    val inc = Merge.additiveUpsert(
+      agg(facts.filter(col("k2") * 40 > col("v") * 17)), // arbitrary split
+      agg(facts.filter(!(col("k2") * 40 > col("v") * 17))),
+      Seq("k2"), Seq("cnt", "s"))
+    val full = agg(facts)
+    assert(inc.orderBy("k2").collect().toSeq == full.orderBy("k2").collect().toSeq)
+  }
+
   test("Merge.scd2 derives valid_from/valid_to/is_current") {
     val df = Seq((1, 100L, "v1"), (1, 200L, "v2"), (2, 50L, "w1"))
       .toDF("k", "t", "v")
