@@ -69,6 +69,29 @@ object Merge {
     cur.join(stg, cond, "full_outer").select(keyCols ++ valCols: _*)
   }
 
+  /** Key-scoped gold backfill: after late/corrected facts arrive, rebuild
+    * ONLY the gold rows whose keys have a fact matching `changed`
+    * (re-aggregated from those keys' full history via `aggFn`) and pass
+    * every other gold row through untouched.
+    *
+    * This is the repair path that [[additiveUpsert]] (append-only deltas)
+    * cannot cover: updates and retractions. Cost is O(affected keys'
+    * history), not O(all history) — the semi-join prunes the fact scan,
+    * and when `changed` is a partition predicate the affected-key
+    * discovery scan partition-prunes too. The reference's nightly jobs
+    * recompute whole tables (analytics_app.py:133-189); at 100 TB only
+    * scoped rebuilds are affordable.
+    *
+    * @param aggFn the gold aggregation, applied to the affected subset —
+    *              the SAME function that built the table (caller-supplied
+    *              so gold definition lives in one place) */
+  def backfill(gold: DataFrame, facts: DataFrame, changed: Column,
+               keys: Seq[String], aggFn: DataFrame => DataFrame): DataFrame = {
+    val affected = facts.filter(changed).select(keys.map(col): _*).distinct()
+    val recomputed = aggFn(facts.join(affected, keys, "left_semi"))
+    gold.join(affected, keys, "left_anti").unionByName(recomputed)
+  }
+
   /** SCD2 historization: each (key, orderCol) row becomes a version with
     * `valid_from` = its own order value, `valid_to` = the next version's
     * (null for the open/current one), `is_current` = valid_to IS NULL —

@@ -82,6 +82,29 @@ class OperatorsSpec extends SparkSpec {
     assert(inc.orderBy("k2").collect().toSeq == full.orderBy("k2").collect().toSeq)
   }
 
+  test("Merge.backfill rebuilds only affected keys, passes others verbatim") {
+    val facts = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 5L),
+      ("b", "2024-01-01", 7L), ("c", "2024-01-02", 2L))
+      .toDF("k", "day", "v")
+    def aggFn(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+    // gold is stale for keys touched on 01-02 (a, c) AND carries a
+    // poisoned-but-unaffected row (b) that must survive verbatim
+    val staleGold = Seq(("a", 1L, 10L), ("b", 999L, 999L), ("c", 0L, 0L))
+      .toDF("k", "cnt", "s")
+    val out = Merge.backfill(staleGold, facts, col("day") === "2024-01-02",
+        Seq("k"), aggFn)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(("a", 2L, 15L), ("b", 999L, 999L), ("c", 1L, 2L)))
+    // with a correct starting gold, backfill ≡ full recompute
+    val correct = Merge.backfill(aggFn(facts), facts, col("day") === "2024-01-02",
+      Seq("k"), aggFn)
+    assert(correct.orderBy("k").collect().toSeq ==
+      aggFn(facts).orderBy("k").collect().toSeq)
+  }
+
   test("Merge.scd2 derives valid_from/valid_to/is_current") {
     val df = Seq((1, 100L, "v1"), (1, 200L, "v2"), (2, 50L, "w1"))
       .toDF("k", "t", "v")
