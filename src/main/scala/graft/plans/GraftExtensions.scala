@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fuzzy_ratio"),
       new ExpressionInfo(classOf[FuzzyRatio].getName, "graft_fuzzy_ratio"),
       (children: Seq[Expression]) => FuzzyRatio(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (children: Seq[Expression]) => SimHash60(children.head)))
     ext.injectOptimizerRule(_ => FuzzyRatioFolding)
     // Whole-operator extension: plans TopKPerKeyNode as a partial/final
     // physical pair (see TopKPerKey.scala).
@@ -124,6 +128,73 @@ case class FuzzyRatio(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FuzzyRatio =
     copy(left = newLeft, right = newRight)
+}
+
+/** 60-bit SimHash of a space-tokenized text as a single codegen'd
+  * expression: tokenize, md5 each token (first 15 hex chars = 60-bit
+  * hash), vote per bit, sign vector = signature — one pass over the
+  * string, no intermediate token array, no UDF encoder boundary. The
+  * semantics are bit-identical to hashing `split(text, ' ')` (limit -1:
+  * empty tokens from consecutive/leading/trailing spaces included) with
+  * [[graft.scale.Dedup.simhash]], which the spec asserts. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExtensions.stringOrNull(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static so generated code can call it without capturing the tree. */
+  def hash(s: UTF8String): Long = {
+    val text = s.toString
+    val md = mdLocal.get()
+    val votes = new Array[Int](60)
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        md.reset()
+        val d = md.digest(text.substring(start, i).getBytes("UTF-8"))
+        // first 15 hex chars = bytes 0..6 + the high nibble of byte 7
+        var h = 0L
+        var k = 0
+        while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
 }
 
 object FuzzyRatio {

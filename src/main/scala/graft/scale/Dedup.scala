@@ -178,6 +178,14 @@ object Dedup {
 
   def simhash(toks: Column): Column = simhashUdf(toks)
 
+  /** The signature as a native codegen expression over the RAW TEXT
+    * ([[graft.plans.SimHash60]]): one pass, no token-array
+    * materialization, no UDF encoder boundary — stays inside whole-stage
+    * codegen. Bit-identical to `simhash(split(text, " "))` (spec). */
+  def simhashText(text: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.plans.SimHash60(org.apache.spark.sql.graft.Shims.expression(text)))
+
   /** The same signature as pure expressions (per-token, per-bit explode +
     * two aggregations). ~60× row inflation vs the UDF — exists as the
     * cross-engine spec of the semantics; [[simhash]] is the fast path. */
@@ -207,9 +215,9 @@ object Dedup {
   def simhashPairsUnsorted(spark: SparkSession, dir: String,
                            maxHamming: Int = 3): DataFrame = {
     val sig = Silver.materialize(Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), simhash(col("toks")).as("sig")),
+      .select(col("doc_id"), simhashText(col("text")).as("sig")),
       "simhash_sig")
     val chunks = (0 until 4).map { c =>
       sig.select(col("doc_id"), col("sig"),

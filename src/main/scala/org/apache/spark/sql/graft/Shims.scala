@@ -19,4 +19,9 @@ object Shims {
     * (e.g. an actual `expressions.SortOrder` for `col.desc`). */
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Inverse direction: wrap a hand-built catalyst Expression as a public
+    * Column (for custom expressions used without SQL registration). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -22,6 +22,18 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("graft_simhash60: SQL-registered, null-safe, codegen (no UDF node)") {
+    val r = spark.sql(
+      "SELECT graft_simhash60('a b c') AS s, graft_simhash60(NULL) AS n").head()
+    assert(!r.isNullAt(0) && r.isNullAt(1))
+    // signature fits 60 bits
+    assert((r.getLong(0) >>> 60) == 0L)
+    val plan = spark.range(3)
+      .selectExpr("graft_simhash60(cast(id as string)) AS s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("graft_fuzzy_ratio: exact thefuzz semantics via SQL") {
     val r = spark.sql(
       """SELECT graft_fuzzy_ratio('new york mets', 'new york meats') AS a,

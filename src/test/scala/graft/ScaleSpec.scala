@@ -69,6 +69,17 @@ class ScaleSpec extends SparkSpec {
       Dedup.simhash(split(lit("a b c d e f"), " ")),
       Dedup.simhash(split(lit("a b c d e f"), " ")))
     assert(r.getLong(0) == r.getLong(1))
+    // codegen expression over raw text ≡ UDF over split tokens, for every
+    // corpus doc plus edge shapes (empty text, repeated/trailing spaces)
+    val edge = Seq((9001L, ""), (9002L, "a  b "), (9003L, " x"))
+      .toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").unionByName(edge)
+    val diff = docs.select(
+        Dedup.simhashText(col("text")).as("e"),
+        Dedup.simhash(split(col("text"), " ")).as("u"))
+      .filter(col("e") =!= col("u")).count()
+    assert(diff == 0L, "expression and UDF signatures must be bit-identical")
     val pairs = Dedup.simhashPairs(spark, TestSpark.Sf0001, maxHamming = 10).collect()
     assert(pairs.nonEmpty)
     val jc = Dedup.jaccardPairs(spark, TestSpark.Sf0001, threshold = 0.9)

@@ -82,6 +82,41 @@ class StreamingSpec extends SparkSpec {
     assert(state.length == 1 && state.head.getAs[String]("status") == "finished")
   }
 
+  test("stream-stream interval join: odds attach within window, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val scores = MemoryStream[(String, Timestamp, String)]
+    val odds = MemoryStream[(String, Timestamp, Double)]
+    val joined = graft.streaming.LiveJoin.scoreOddsJoin(
+      scores.toDF().toDF("match_id", "updated_at", "status"),
+      odds.toDF().toDF("odds_match_id", "captured_at", "price_home"),
+      lookbackMinutes = 10, leadMinutes = 2)
+    val q = joined.writeStream.format("memory").queryName("live_join")
+      .outputMode("append").start()
+    try {
+      // odds 5 min before the score update -> inside [-10, +2] window
+      odds.addData(("m1", ts("2024-01-01 10:00:00"), 2.10))
+      // odds 30 min before -> outside window
+      odds.addData(("m1", ts("2024-01-01 09:35:00"), 2.50))
+      // different match -> never joins
+      odds.addData(("m2", ts("2024-01-01 10:01:00"), 1.90))
+      scores.addData(("m1", ts("2024-01-01 10:05:00"), "live"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT match_id, price_home FROM live_join").collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("m1", 2.10)))
+      // a second score update re-joins odds still inside ITS window
+      scores.addData(("m1", ts("2024-01-01 10:01:00"), "live"))
+      q.processAllAvailable()
+      val rows2 = spark.sql(
+        "SELECT count(*) FROM live_join WHERE price_home = 2.10").collect()
+      assert(rows2.head.getLong(0) == 2L)
+      // the physical plan is a watermarked stream-stream join with state
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.nonEmpty, "join must be stateful")
+    } finally q.stop()
+  }
+
   test("tumbling event-time windows with watermark drop too-late rows (T7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
