@@ -1,0 +1,74 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring (the CCNet recipe, Wenzek et al.
+  * 2020: score web documents by LM perplexity, keep the head of the
+  * distribution): a bigram model with add-k smoothing trained on a
+  * reference corpus, then per-document cross-entropy / perplexity.
+  *
+  * Scale shape: the model is two count tables keyed by (w1) and (w1, w2) —
+  * vocab- and bigram-vocab-bounded, never corpus-bounded. Scoring joins
+  * the document bigram stream against them on the n-gram key (shuffle
+  * keyed by n-gram, the same bounded key space as [[Search.ngramCounts]])
+  * and reduces per doc_id. No driver-side model object, no broadcast of a
+  * vocab²-sized table — at 100 TB the model IS a table and the join is
+  * the lookup.
+  *
+  * Composes with [[TextAnalysis.qualityTrim]]/`qualityTrimApproxFrom` for
+  * the percentile keep/drop decision over the emitted perplexity column.
+  * Spec-verified against a driver-side reference implementation
+  * (`ln` is not IEEE-correctly-rounded across engines, so this family is
+  * deliberately spec-gated, not DuckDB-oracle-gated — the same reasoning
+  * that keeps BM25's idf log-free).
+  */
+object LmScore {
+
+  /** Trained model: unigram counts (w1 → c1), bigram counts
+    * ((w1, w2) → c12), and the vocabulary size for smoothing. */
+  final case class Model(unigrams: DataFrame, bigrams: DataFrame, vocabSize: Long)
+
+  private def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Per-row exploded (w1, w2) bigram pairs of a documents frame. */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Train on a reference corpus (one pass, two aggregations). */
+  def train(reference: DataFrame): Model = {
+    val uni = reference
+      .select(explode(tokens(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bigramPairs(reference)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    Model(uni, bi, uni.count())
+  }
+
+  /** Per-document cross-entropy (bits/bigram) and perplexity under the
+    * model with add-k smoothing: P(w2|w1) = (c12 + k) / (c1 + k·V).
+    * Unseen unigrams/bigrams contribute their smoothed floor. Documents
+    * with fewer than 2 tokens emit no row (no bigram evidence). */
+  def perplexity(docs: DataFrame, model: Model, k: Double = 0.5): DataFrame = {
+    require(k > 0, "add-k smoothing requires k > 0")
+    val scored = bigramPairs(docs)
+      .join(model.unigrams, Seq("w1"), "left")
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        ((coalesce(col("c12"), lit(0L)) + k) /
+          (coalesce(col("c1"), lit(0L)) + k * model.vocabSize)).as("p"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(log(2.0, col("p"))) / count(lit(1))).as("cross_entropy_bits"))
+      .withColumn("perplexity", pow(lit(2.0), col("cross_entropy_bits")))
+  }
+}
