@@ -105,7 +105,8 @@ object SparkEntry {
     "q_outliers"        -> ((s, d) => Analytics.segmentOutliers(s, d)),
     "q_interval_overlap" -> ((s, d) => graft.operators.RangeJoin.overlappingOrderWindows(s, d)),
     "q_frames"          -> ((s, d) => graft.scale.Multimodal.frameIndex(s, d)),
-    "q_incr_agg"        -> ((s, d) => Analytics.incrementalGold(s, d))
+    "q_incr_agg"        -> ((s, d) => Analytics.incrementalGold(s, d)),
+    "q_url_stats"       -> ((s, d) => TextAnalysis.urlStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1309,6 +1310,43 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders
         |GROUP BY 1
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // URL canonicalization round trip: same synthesized URLs, same
+    // RE2-safe host/path/query regexes, same tracking-param filter —
+    // the crawl-frontier dedup-key path recomputed end-to-end in SQL.
+    "q_url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+        |           || source || '.example.com/' || lang || '/doc-' || doc_id
+        |           || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || (doc_id % 7)
+        |                   WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 7) || '&utm_campaign=x&ref=kept'
+        |                   ELSE '' END
+        |           || '#frag' AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(regexp_extract(url,
+        |           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS domain,
+        |         regexp_extract(url,
+        |           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+        |         coalesce(array_to_string(list_filter(
+        |           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |           x -> NOT regexp_matches(x,
+        |                  '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)=')
+        |                AND x <> ''), '&'), '') AS q
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id, domain,
+        |         'https://' || domain || CASE WHEN p = '' THEN '/' ELSE p END
+        |           || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+        |  FROM parts)
+        |SELECT domain, count(*) AS doc_cnt,
+        |       count(DISTINCT canon) AS distinct_urls,
+        |       CAST(sum(CASE WHEN contains(canon, '?') THEN 1 ELSE 0 END) AS BIGINT) AS with_params
+        |FROM canon
+        |GROUP BY 1
+        |ORDER BY domain""".stripMargin
   )
 }

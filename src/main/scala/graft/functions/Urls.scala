@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL parsing & canonicalization as pure RE2-safe expressions — the
+  * web-corpus generalization of the reference's URL handling (F21
+  * transfermarkt id-from-href, F27 zerozero entity-type-from-URL: both
+  * regex dispatch over URLs, graft.functions.Parsing). A training-data
+  * pipeline keys crawl decisions, per-site quality priors, and dedup
+  * scopes by DOMAIN, and exact-dedups by CANONICAL URL — tracking
+  * parameters would otherwise split one logical page into many "unique"
+  * URLs (the classic crawl-frontier inflation).
+  *
+  * Every regex here is RE2-safe (no backreferences/lookahead), so the
+  * whole family is reproducible in DuckDB SQL and the q_url_stats oracle
+  * recomputes it end-to-end. All expressions codegen — no UDFs.
+  */
+object Urls {
+
+  /** Host part of an absolute URL (empty string when not URL-shaped). */
+  def host(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Host with a leading `www.` stripped — the per-site grouping key.
+    * (A full registrable-domain needs the public-suffix list; the
+    * strip-www form is the deterministic, list-free core.) */
+  def domain(url: Column): Column =
+    regexp_replace(lower(host(url)), "^www\\.", "")
+
+  /** Path component ('' when absent; query/fragment excluded). */
+  def path(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+
+  /** Raw query string without the '?' ('' when absent). */
+  def query(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Query with tracking parameters removed (utm_*, fbclid, gclid,
+    * msclkid, ref_src) — parameter ORDER is preserved (sorting would
+    * also canonicalize, but order-preservation keeps the transform
+    * lossless for kept params). '' when nothing survives. */
+  def cleanQuery(url: Column): Column =
+    array_join(
+      filter(split(query(url), "&"),
+        p => !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)=") &&
+          p =!= lit("")),
+      "&")
+
+  /** Canonical URL: https scheme, lowercased www-stripped host, path
+    * ('/' when empty), tracking-cleaned query, fragment dropped. The
+    * exact-dedup key for crawl snapshots. */
+  def canonicalize(url: Column): Column = {
+    val p = path(url)
+    val q = cleanQuery(url)
+    concat(
+      lit("https://"), domain(url),
+      when(p === "", lit("/")).otherwise(p),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+}

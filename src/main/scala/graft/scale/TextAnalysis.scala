@@ -358,6 +358,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_url_stats: URL canonicalization round trip — synthesize a
+    * crawl-shaped URL per document (host from `source`, path from
+    * lang/doc_id, a tracking-parameter mix cycling by doc_id mod 3, a
+    * fragment), run the [[graft.functions.Urls]] family, and aggregate
+    * per domain. The oracle rebuilds the same URLs and the same
+    * canonicalization in SQL (every regex RE2-safe), so the parse +
+    * cleanup + dedup-key path is verified end to end — the crawl-frontier
+    * hygiene step of a web corpus (tracking params would otherwise split
+    * one logical page into many "unique" URLs). */
+  def urlStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Urls
+    val url = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/"), col("lang"),
+      lit("/doc-"), col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7))))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("?id="), pmod(col("doc_id"), lit(7)),
+            lit("&utm_campaign=x&ref=kept")))
+        .otherwise(lit("")),
+      lit("#frag"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        Urls.domain(col("url")).as("domain"),
+        Urls.canonicalize(col("url")).as("canon"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("doc_cnt"),
+        countDistinct(col("canon")).as("distinct_urls"),
+        sum(when(col("canon").contains("?"), 1L).otherwise(0L)).as("with_params"))
+      .orderBy("domain")
+  }
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

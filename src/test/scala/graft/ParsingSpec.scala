@@ -137,4 +137,29 @@ class ParsingSpec extends SparkSpec {
     assert(r.getString(0) == r.getString(1) && r.getString(0).length == 64)
     assert(!r.isNullAt(2))
   }
+
+  test("Urls: host/domain/path/query extraction and canonicalization") {
+    import graft.functions.Urls
+    val u = lit("HTTP://WWW.Example.COM/a/b?utm_source=x&id=7&gclid=z&ref=keep#frag")
+    val r = evalExpr(Urls.host(u), Urls.domain(u), Urls.path(u),
+      Urls.cleanQuery(u), Urls.canonicalize(u))
+    assert(r.getString(0) == "WWW.Example.COM")
+    assert(r.getString(1) == "example.com")
+    assert(r.getString(2) == "/a/b")
+    assert(r.getString(3) == "id=7&ref=keep")
+    assert(r.getString(4) == "https://example.com/a/b?id=7&ref=keep")
+    // no path, all-tracking query -> trailing slash, no '?'
+    val bare = evalExpr(
+      Urls.canonicalize(lit("https://site.org?utm_campaign=a&fbclid=b")),
+      Urls.canonicalize(lit("not a url")),
+      Urls.domain(lit("https://site.org/x")))
+    assert(bare.getString(0) == "https://site.org/")
+    assert(bare.getString(1) == "https:///")  // non-URL degrades, no throw
+    assert(bare.getString(2) == "site.org")
+    // tracking variants of one page share a canonical key (the dedup point)
+    val pair = evalExpr(
+      Urls.canonicalize(lit("https://www.a.com/p?id=1&utm_source=tw")),
+      Urls.canonicalize(lit("https://a.com/p?id=1")))
+    assert(pair.getString(0) == pair.getString(1))
+  }
 }
