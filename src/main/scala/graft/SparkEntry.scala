@@ -106,7 +106,9 @@ object SparkEntry {
     "q_interval_overlap" -> ((s, d) => graft.operators.RangeJoin.overlappingOrderWindows(s, d)),
     "q_frames"          -> ((s, d) => graft.scale.Multimodal.frameIndex(s, d)),
     "q_incr_agg"        -> ((s, d) => Analytics.incrementalGold(s, d)),
-    "q_url_stats"       -> ((s, d) => TextAnalysis.urlStats(s, d))
+    "q_url_stats"       -> ((s, d) => TextAnalysis.urlStats(s, d)),
+    "q_grouping_sets"   -> ((s, d) => Analytics.statusPrioritySets(s, d)),
+    "q_weighted_sample" -> ((s, d) => graft.scale.TrainingData.weightedSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1347,6 +1349,35 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN contains(canon, '?') THEN 1 ELSE 0 END) AS BIGINT) AS with_params
         |FROM canon
         |GROUP BY 1
-        |ORDER BY domain""".stripMargin
+        |ORDER BY domain""".stripMargin,
+
+    // Arbitrary GROUPING SETS: two independent one-column summaries in
+    // one pass (non-hierarchical — neither rollup nor cube).
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // Deterministic weighted Bernoulli sampling: uniform = first 13 md5
+    // hex chars (52 bits, exact in a double) / 2^52 — one IEEE division,
+    // identical in both engines, so kept MEMBERSHIP matches exactly.
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
+        |              WHEN lang = 'de' THEN CAST(0.5 AS DOUBLE)
+        |              ELSE CAST(0.9 AS DOUBLE) END AS w,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents)
+        |SELECT lang, w, count(*) AS docs_kept,
+        |       min(u) AS min_u, max(u) AS max_u
+        |FROM d
+        |WHERE u < w
+        |GROUP BY 1, 2
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -328,6 +328,22 @@ object Analytics {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Arbitrary GROUPING SETS (the non-hierarchical generalization of
+    * [[pricingRollup]]/[[pricingCube]]): two independent one-column
+    * summaries in ONE pass over the facts — Catalyst expands each row
+    * into its grouping sets before the single shuffle, where running the
+    * two GROUP BYs separately would scan the table twice. */
+  def statusPrioritySets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** A8 — argmax of group means (reference
     * `groupby("position").mean().idxmax()`, reports.py:406-413):
     * best segment by average balance, deterministic tiebreak. */

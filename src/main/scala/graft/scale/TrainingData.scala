@@ -27,6 +27,27 @@ object TrainingData {
     when(b < trainPct, "train").when(b < validTo, "valid").otherwise("test")
   }
 
+  /** Deterministic uniform in [0, 1) from a key: first 13 hex chars of
+    * md5 = a 52-bit integer — exactly representable in a double, so the
+    * division is a single correctly-rounded IEEE op and every engine
+    * computes the identical value. The continuous companion of
+    * [[hashBucket]]. */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 2^52
+
+  /** Deterministic weighted Bernoulli keep: true iff
+    * uniform(key) < weight. Per-ROW acceptance probabilities (quality
+    * scores, per-source mixture weights, temperature-scaled priors) with
+    * zero coordination — no sort, no count, no RNG state; membership is
+    * reproducible from the key alone, so a re-run (or a different
+    * cluster) keeps exactly the same rows, and downstream joins against
+    * a previous epoch's sample stay consistent. Complements
+    * [[sourceMix]] (hard per-source budgets) and [[stratifiedSample]]
+    * (exact-k per stratum). */
+  def bernoulliKeep(key: Column, weight: Column): Column =
+    hashUniform(key) < weight
+
   /** q_sample_split: stratified split accounting per (lang, split) —
     * the sanity check run after any split job (counts + volume per
     * stratum). One groupBy, no shuffle beyond it. */
@@ -107,6 +128,26 @@ object TrainingData {
       .groupBy("source", "keep_pct")
       .agg(count(lit(1)).as("docs_kept"), sum("tokens").as("tokens_kept"))
       .orderBy("source")
+  }
+
+  /** q_weighted_sample: per-language acceptance-probability sampling via
+    * [[bernoulliKeep]] — the temperature-style mixture reweighting of a
+    * multilingual corpus build (high-resource languages thinned harder).
+    * Emits the kept rows with their uniform draw so membership itself is
+    * oracle-checked, then the caller aggregates; here per-lang keep
+    * accounting. Embarrassingly parallel: a filter, then one groupBy. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val weight = when(col("lang") === "en", 0.3)
+      .when(col("lang") === "de", 0.5)
+      .otherwise(0.9)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), weight.as("w"),
+        hashUniform(col("doc_id")).as("u"))
+      .filter(col("u") < col("w"))
+      .groupBy("lang", "w")
+      .agg(count(lit(1)).as("docs_kept"),
+        min(col("u")).as("min_u"), max(col("u")).as("max_u"))
+      .orderBy("lang")
   }
 
   /** Deterministic per-stratum subsample: the k docs with the smallest

@@ -103,6 +103,21 @@ class PropertySpec extends SparkSpec {
       s"decile ${r.getInt(0)} has ${r.getLong(1)} keys"))
   }
 
+  test("TrainingData.hashUniform: [0,1), deterministic, keep rate tracks weight") {
+    import graft.scale.TrainingData
+    val keys = (0L until 2000L).toDF("k")
+    val u = keys.select(TrainingData.hashUniform(col("k")).as("u"))
+    assert(u.filter(col("u") < 0.0 || col("u") >= 1.0).count() == 0)
+    assert(u.collect().map(_.getDouble(0)).toSeq ==
+      keys.select(TrainingData.hashUniform(col("k")).as("u"))
+        .collect().map(_.getDouble(0)).toSeq)
+    // Bernoulli keep rate within a loose band of the acceptance weight
+    for (w <- Seq(0.2, 0.5, 0.8)) {
+      val kept = keys.filter(TrainingData.bernoulliKeep(col("k"), lit(w))).count()
+      assert(math.abs(kept - 2000 * w) < 120, s"w=$w kept=$kept")
+    }
+  }
+
   test("entityTypeFromUrl: total function over arbitrary URLs, never throws") {
     val gen = Gen.listOfN(4,
       Gen.oneOf("match", "spieler", "x", "verein", "99", "trainer", "")).map(
