@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
   * library users call [[builder]] instead of memorizing the conf set:
   *
   *  - `spark.sql.extensions=graft.plans.GraftExtensions`: the custom
-  *    expressions (`graft_fold_accents`, `graft_fuzzy_ratio`), the
-  *    FuzzyRatioFolding optimizer rule, and the TopKPerKey planner
-  *    strategy
+  *    expressions (`graft_fold_accents`, `graft_fuzzy_ratio`,
+  *    `graft_simhash60`), the FuzzyRatioFolding optimizer rule, and the
+  *    TopKPerKey planner strategy
   *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the events corpus
   *    carries parquet TIMESTAMP(NANOS), which Spark 4 otherwise rejects
   *    (`Tables.events` checks this and fails fast with a pointer here)
