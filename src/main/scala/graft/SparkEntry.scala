@@ -108,7 +108,10 @@ object SparkEntry {
     "q_incr_agg"        -> ((s, d) => Analytics.incrementalGold(s, d)),
     "q_url_stats"       -> ((s, d) => TextAnalysis.urlStats(s, d)),
     "q_grouping_sets"   -> ((s, d) => Analytics.statusPrioritySets(s, d)),
-    "q_weighted_sample" -> ((s, d) => graft.scale.TrainingData.weightedSample(s, d))
+    "q_weighted_sample" -> ((s, d) => graft.scale.TrainingData.weightedSample(s, d)),
+    "q_share"           -> ((s, d) => Analytics.revenueShare(s, d)),
+    "q_mad"             -> ((s, d) => Analytics.madOutliers(s, d)),
+    "q_streaks"         -> ((s, d) => EventOps.activityStreaks(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1378,6 +1381,61 @@ object SparkEntry {
         |FROM d
         |WHERE u < w
         |GROUP BY 1, 2
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // Ratio-to-report: nation share of region revenue — share computed as
+    // one IEEE division of exact-decimal-cast doubles.
+    "q_share" ->
+      """WITH nr AS (
+        |  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT region_name, sum(rev_dec) AS tot_dec FROM nr GROUP BY 1)
+        |SELECT nr.region_name, nr.nation_name,
+        |       CAST(nr.rev_dec AS DOUBLE) AS revenue,
+        |       CAST(nr.rev_dec AS DOUBLE) / CAST(rt.tot_dec AS DOUBLE) AS region_share
+        |FROM nr JOIN rt ON nr.region_name = rt.region_name
+        |ORDER BY nr.region_name, nr.nation_name""".stripMargin,
+
+    // Median/MAD robust outliers: exact interpolated percentiles
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`), deviations and the
+    // robust z as single IEEE ops.
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT c_mktsegment AS segment,
+        |         quantile_cont(c_acctbal, 0.5) AS med
+        |  FROM customer GROUP BY 1),
+        |dev AS (
+        |  SELECT c.c_custkey, m.segment, c.c_acctbal,
+        |         abs(c.c_acctbal - m.med) AS dev
+        |  FROM customer c JOIN med m ON c.c_mktsegment = m.segment),
+        |mad AS (SELECT segment, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.c_custkey, d.segment, d.c_acctbal, d.dev / m.mad AS robust_z
+        |FROM dev d JOIN mad m ON d.segment = m.segment
+        |WHERE d.dev > CAST(3.0 AS DOUBLE) * m.mad
+        |ORDER BY d.c_custkey""".stripMargin,
+
+    // Gaps-and-islands: per-user consecutive-day streaks via the
+    // day − row_number island key.
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id,
+        |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM islands GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |       max(len) AS longest_streak, count(*) AS n_streaks
+        |FROM runs
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -485,6 +485,53 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Ratio-to-report without a window: each nation's share of its
+    * region's revenue. The share denominator is a second aggregation of
+    * the ALREADY-AGGREGATED frame (|nations| rows) broadcast back — a
+    * `sum().over(partitionBy(region))` window would re-shuffle the
+    * nation rows instead; on a pre-aggregated frame either is cheap, but
+    * the aggregate+broadcast form is the one that still holds when the
+    * report has millions of group rows. Share = one IEEE division of two
+    * exact-decimal-cast doubles. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val nationRev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val regionTot = nationRev.groupBy("region_name")
+      .agg(sum(col("rev_dec")).as("tot_dec"))
+    nationRev.join(broadcast(regionTot), "region_name")
+      .select(col("region_name"), col("nation_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("tot_dec").cast("double"))
+          .as("region_share"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** Robust (median/MAD) outlier screen — the heavy-tail-safe companion
+    * of [[segmentOutliers]]: flag customers whose balance deviates more
+    * than `k`× the median absolute deviation from their segment median.
+    * Two exact-percentile aggregations (group-keyed, partial-combining)
+    * with |segments|-row broadcasts back; deviations and the robust z
+    * are single IEEE ops over values both engines share exactly. */
+  def madOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_acctbal"))
+    val med = c.groupBy("segment")
+      .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+    val dev = c.join(broadcast(med), "segment")
+      .withColumn("dev", abs(col("c_acctbal") - col("med")))
+    val mad = dev.groupBy("segment")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "segment")
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("c_custkey"), col("segment"), col("c_acctbal"),
+        (col("dev") / col("mad")).as("robust_z"))
+      .orderBy("c_custkey")
+  }
+
   /** A12 incremental gold maintenance, end-to-end: the customer spend
     * gold table built from pre-split history, then advanced by ONE delta
     * batch via [[Merge.additiveUpsert]] — and the result must equal a

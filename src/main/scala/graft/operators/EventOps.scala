@@ -186,4 +186,30 @@ object EventOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
       .orderBy("user_id", "session_seq")
+
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    * classic streak pattern — engagement streaks, uptime runs, odds
+    * continuity). Island key = day − row_number over the user's distinct
+    * active days: constant exactly while days are consecutive. The
+    * window partitions by user (per-key state stays on one executor,
+    * bounded by a user's distinct days), then two group-keyed
+    * aggregations — no self-join, no per-user loop (the reference's
+    * form-string scan, engine.py:143-191, is the O(users×events)
+    * Python version of this). */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w).cast("long"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(
+        sum(col("len")).as("active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
 }
