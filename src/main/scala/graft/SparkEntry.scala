@@ -1337,7 +1337,7 @@ object SparkEntry {
         |         regexp_extract(url,
         |           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
         |         coalesce(array_to_string(list_filter(
-        |           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |           string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
         |           x -> NOT regexp_matches(x,
         |                  '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)=')
         |                AND x <> ''), '&'), '') AS q

@@ -32,9 +32,12 @@ object Urls {
   def path(url: Column): Column =
     regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
 
-  /** Raw query string without the '?' ('' when absent). */
+  /** Raw query string without the '?' ('' when absent). The leading
+    * `^[^#]*?` pins the match before any fragment — a '?' INSIDE the
+    * fragment ("/p#section?x=1") is not a query and must not leak into
+    * the canonical dedup key. */
   def query(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
 
   /** Query with tracking parameters removed (utm_*, fbclid, gclid,
     * msclkid, ref_src) — parameter ORDER is preserved (sorting would

@@ -494,12 +494,16 @@ object Analytics {
     * report has millions of group rows. Share = one IEEE division of two
     * exact-decimal-cast doubles. */
   def revenueShare(spark: SparkSession, dir: String): DataFrame = {
-    val nationRev = Tables.orders(spark, dir)
+    // Both the totals re-aggregation and the final join consume this
+    // frame — materialize the |nations|-row aggregate once, or the
+    // fact-table join underneath it executes twice.
+    val nationRev = graft.scale.Silver.materialize(Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec")),
+      "share_nation_rev")
     val regionTot = nationRev.groupBy("region_name")
       .agg(sum(col("rev_dec")).as("tot_dec"))
     nationRev.join(broadcast(regionTot), "region_name")
@@ -521,8 +525,13 @@ object Analytics {
       .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_acctbal"))
     val med = c.groupBy("segment")
       .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
-    val dev = c.join(broadcast(med), "segment")
-      .withColumn("dev", abs(col("c_acctbal") - col("med")))
+    // dev feeds both the MAD aggregation and the final filter —
+    // materialize the slim deviation frame once so the customer⋈median
+    // join doesn't execute twice.
+    val dev = graft.scale.Silver.materialize(
+      c.join(broadcast(med), "segment")
+        .withColumn("dev", abs(col("c_acctbal") - col("med"))),
+      "mad_dev")
     val mad = dev.groupBy("segment")
       .agg(expr("percentile(dev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "segment")

@@ -31,17 +31,25 @@ object Merge {
       current.unionByName(staged),
       keys.map(col), version.map(col))
 
-  /** K10: full-outer merge where staged NULLs preserve current values —
-    * `COALESCE(staged.c, current.c)` per value column. */
-  def coalesceMerge(current: DataFrame, staged: DataFrame,
-                    keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+  /** Shared scaffold for key-matched full-outer merges: align the two
+    * frames on `keys`, combine each value column with `combine(curCol,
+    * stgCol)`. One shuffle on the key. */
+  private def fullOuterMerge(current: DataFrame, staged: DataFrame,
+                             keys: Seq[String], valueCols: Seq[String])(
+                             combine: (Column, Column) => Column): DataFrame = {
     val cur = current.select((keys ++ valueCols).map(col): _*).as("cur")
     val stg = staged.select((keys ++ valueCols).map(col): _*).as("stg")
     val cond = keys.map(k => col(s"cur.$k") === col(s"stg.$k")).reduce(_ && _)
     val keyCols = keys.map(k => coalesce(col(s"stg.$k"), col(s"cur.$k")).as(k))
-    val valCols = valueCols.map(c => coalesce(col(s"stg.$c"), col(s"cur.$c")).as(c))
+    val valCols = valueCols.map(c => combine(col(s"cur.$c"), col(s"stg.$c")).as(c))
     cur.join(stg, cond, "full_outer").select(keyCols ++ valCols: _*)
   }
+
+  /** K10: full-outer merge where staged NULLs preserve current values —
+    * `COALESCE(staged.c, current.c)` per value column. */
+  def coalesceMerge(current: DataFrame, staged: DataFrame,
+                    keys: Seq[String], valueCols: Seq[String]): DataFrame =
+    fullOuterMerge(current, staged, keys, valueCols)((cur, stg) => coalesce(stg, cur))
 
   /** A12 incremental gold-table maintenance: a pre-aggregated table of
     * ADDITIVE measures (sums, counts; averages derive as sum/cnt) absorbs
@@ -57,40 +65,42 @@ object Merge {
     * Null semantics: a key absent from one side keeps the other side's
     * value unchanged (no typed zero needed — `a+b` only when both exist). */
   def additiveUpsert(current: DataFrame, deltaAgg: DataFrame,
-                     keys: Seq[String], measures: Seq[String]): DataFrame = {
-    val cur = current.select((keys ++ measures).map(col): _*).as("cur")
-    val stg = deltaAgg.select((keys ++ measures).map(col): _*).as("stg")
-    val cond = keys.map(k => col(s"cur.$k") === col(s"stg.$k")).reduce(_ && _)
-    val keyCols = keys.map(k => coalesce(col(s"stg.$k"), col(s"cur.$k")).as(k))
-    val valCols = measures.map { c =>
-      val a = col(s"cur.$c"); val b = col(s"stg.$c")
-      when(a.isNull, b).when(b.isNull, a).otherwise(a + b).as(c)
-    }
-    cur.join(stg, cond, "full_outer").select(keyCols ++ valCols: _*)
-  }
+                     keys: Seq[String], measures: Seq[String]): DataFrame =
+    fullOuterMerge(current, deltaAgg, keys, measures)((cur, stg) =>
+      when(cur.isNull, stg).when(stg.isNull, cur).otherwise(cur + stg))
 
-  /** Key-scoped gold backfill: after late/corrected facts arrive, rebuild
-    * ONLY the gold rows whose keys have a fact matching `changed`
-    * (re-aggregated from those keys' full history via `aggFn`) and pass
-    * every other gold row through untouched.
+  /** Key-scoped gold backfill: rebuild ONLY the gold rows of
+    * `affectedKeys` (re-aggregated from those keys' full history via
+    * `aggFn`) and pass every other gold row through untouched. A key in
+    * `affectedKeys` with NO remaining facts simply disappears from gold —
+    * this is the retraction path, so hard-deleted facts need their keys
+    * in `affectedKeys` (from the delete feed / CDC tombstones; the facts
+    * table itself no longer knows them).
     *
     * This is the repair path that [[additiveUpsert]] (append-only deltas)
-    * cannot cover: updates and retractions. Cost is O(affected keys'
-    * history), not O(all history) — the semi-join prunes the fact scan,
-    * and when `changed` is a partition predicate the affected-key
-    * discovery scan partition-prunes too. The reference's nightly jobs
+    * cannot cover. Cost is O(affected keys' history), not O(all history)
+    * — the semi-join prunes the fact scan. The reference's nightly jobs
     * recompute whole tables (analytics_app.py:133-189); at 100 TB only
     * scoped rebuilds are affordable.
     *
     * @param aggFn the gold aggregation, applied to the affected subset —
     *              the SAME function that built the table (caller-supplied
     *              so gold definition lives in one place) */
-  def backfill(gold: DataFrame, facts: DataFrame, changed: Column,
-               keys: Seq[String], aggFn: DataFrame => DataFrame): DataFrame = {
-    val affected = facts.filter(changed).select(keys.map(col): _*).distinct()
+  def backfillKeys(gold: DataFrame, facts: DataFrame, affectedKeys: DataFrame,
+                   keys: Seq[String], aggFn: DataFrame => DataFrame): DataFrame = {
+    val affected = affectedKeys.select(keys.map(col): _*).distinct()
     val recomputed = aggFn(facts.join(affected, keys, "left_semi"))
     gold.join(affected, keys, "left_anti").unionByName(recomputed)
   }
+
+  /** [[backfillKeys]] with the affected keys DISCOVERED from facts rows
+    * matching `changed` — covers updates and late arrivals (the changed
+    * rows are still present). It cannot see hard deletes: a key whose
+    * matching rows were removed from `facts` never matches `changed`;
+    * route delete feeds through [[backfillKeys]] directly. */
+  def backfill(gold: DataFrame, facts: DataFrame, changed: Column,
+               keys: Seq[String], aggFn: DataFrame => DataFrame): DataFrame =
+    backfillKeys(gold, facts, facts.filter(changed), keys, aggFn)
 
   /** SCD2 historization: each (key, orderCol) row becomes a version with
     * `valid_from` = its own order value, `valid_to` = the next version's

@@ -124,14 +124,63 @@ object Bpe {
     learned.toSeq
   }
 
+  /** Above this many merges, [[encode]] switches from the nested
+    * expression fold (one tree layer per merge — Catalyst recursion and
+    * Janino method-size limits make it unusable for big lists) to the
+    * rank-map UDF, whose cost is independent of the merge count. */
+  val ExprMergeLimit = 64
+
   /** Segment a text column with a learned merge list: per word, start
-    * from characters and apply every merge in learned order. Pure
-    * expressions (nested folds) — usable inside any query; returns the
-    * space-joined subword tokens per input word, flattened per doc. */
-  def encode(text: Column, merges: Seq[Merge]): Column = {
+    * from characters and apply the merges. Returns the space-joined
+    * subword tokens per input word, flattened per doc.
+    *
+    * Small lists use pure expressions ([[encodeViaExpressions]]);
+    * production vocab sizes (50k merges) use [[encodeViaRanks]] — the
+    * standard rank-map greedy encoder (repeatedly merge the
+    * lowest-learned-rank adjacent pair), which is equivalent to applying
+    * the merges in learned order but costs O(word²) instead of
+    * O(word · merges) per word. Both paths are spec-asserted equal. */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    if (merges.length <= ExprMergeLimit) encodeViaExpressions(text, merges)
+    else encodeViaRanks(text, merges)
+
+  /** Expression-fold encoder — one plan-tree layer per merge; only for
+    * merge lists up to [[ExprMergeLimit]]. */
+  def encodeViaExpressions(text: Column, merges: Seq[Merge]): Column = {
     val words = filter(split(text, " "), w => length(w) > 0)
     transform(words, w =>
       merges.foldLeft(symbolize(w)) { (c, m) => mergeOnce(c, m.left, m.right) })
+  }
+
+  /** Rank-map greedy encoder: merge the adjacent pair with the lowest
+    * learned rank until none remains — the production-shape per-row
+    * algorithm (cost independent of vocabulary size; the merge table
+    * rides the closure like a broadcast lookup). */
+  def encodeViaRanks(text: Column, merges: Seq[Merge]): Column = {
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap
+    val enc = udf { (t: String) =>
+      if (t == null) null
+      else t.split(" ").filter(_.nonEmpty).toSeq.map { w =>
+        var syms = w.map(_.toString).toVector :+ EndOfWord
+        var done = false
+        while (!done && syms.length > 1) {
+          var bestIdx = -1
+          var bestRank = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < bestRank) { bestRank = r; bestIdx = i }
+            i += 1
+          }
+          if (bestIdx < 0) done = true
+          else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+            syms.drop(bestIdx + 2)
+        }
+        syms.mkString(" ")
+      }
+    }
+    enc(text)
   }
 
   /** Per-doc subword token count under a learned vocabulary — the

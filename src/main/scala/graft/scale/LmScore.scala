@@ -44,13 +44,19 @@ object LmScore {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
-  /** Train on a reference corpus (one pass, two aggregations). */
+  /** Train on a reference corpus. The two count tables are materialized
+    * ([[Silver.materialize]] — persisted silver tables in production):
+    * `vocabSize` already forces the unigram aggregation, and every later
+    * `perplexity` call re-reads the counts instead of re-scanning the
+    * reference corpus per scoring run. */
   def train(reference: DataFrame): Model = {
-    val uni = reference
+    val uni = Silver.materialize(reference
       .select(explode(tokens(col("text"))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bi = bigramPairs(reference)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .groupBy("w1").agg(count(lit(1)).as("c1")),
+      "lm_unigrams")
+    val bi = Silver.materialize(bigramPairs(reference)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      "lm_bigrams")
     Model(uni, bi, uni.count())
   }
 

@@ -80,6 +80,19 @@ class BpeSpec extends SparkSpec {
     assert(enc.getLong(1) == words.map(_.split(" ").length.toLong).sum)
   }
 
+  test("encodeViaRanks ≡ encodeViaExpressions (the production-size path)") {
+    val docs = Seq(corpus.mkString(" ")).toDF("text")
+    val merges = Bpe.train(docs, numMerges = 8, minPairCount = 2L)
+    val probe = Seq("lowest low", "newest wide lower", "", "  ", "xyz")
+      .toDF("text")
+    val both = probe.select(
+      Bpe.encodeViaExpressions(col("text"), merges).as("e"),
+      Bpe.encodeViaRanks(col("text"), merges).as("r"))
+    both.collect().foreach { row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1))
+    }
+  }
+
   test("batched training merges symbol-disjoint pairs per round") {
     val docs = Seq(corpus.mkString(" ")).toDF("text")
     val batched = Bpe.train(docs, numMerges = 6, minPairCount = 2L, batchSize = 3)

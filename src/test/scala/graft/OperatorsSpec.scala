@@ -105,6 +105,18 @@ class OperatorsSpec extends SparkSpec {
       aggFn(facts).orderBy("k").collect().toSeq)
   }
 
+  test("Merge.backfillKeys: tombstoned keys rebuild from remaining history") {
+    val facts = Seq(("a", 10L), ("b", 7L)).toDF("k", "v") // key c hard-deleted
+    def aggFn(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("v").as("s"))
+    val staleGold = Seq(("a", 10L), ("b", 7L), ("c", 99L)).toDF("k", "s")
+    val tombstones = Seq(Tuple1("c")).toDF("k")
+    val out = Merge.backfillKeys(staleGold, facts, tombstones, Seq("k"), aggFn)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    // c had no remaining facts -> disappears from gold entirely
+    assert(out == Seq(("a", 10L), ("b", 7L)))
+  }
+
   test("Merge.scd2 derives valid_from/valid_to/is_current") {
     val df = Seq((1, 100L, "v1"), (1, 200L, "v2"), (2, 50L, "w1"))
       .toDF("k", "t", "v")

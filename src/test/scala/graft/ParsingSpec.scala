@@ -161,5 +161,12 @@ class ParsingSpec extends SparkSpec {
       Urls.canonicalize(lit("https://www.a.com/p?id=1&utm_source=tw")),
       Urls.canonicalize(lit("https://a.com/p?id=1")))
     assert(pair.getString(0) == pair.getString(1))
+    // a '?' inside the fragment is NOT a query — must not leak into the key
+    val frag = evalExpr(
+      Urls.query(lit("https://a.com/p#section?x=1")),
+      Urls.canonicalize(lit("https://a.com/p#section?x=1")),
+      Urls.canonicalize(lit("https://a.com/p")))
+    assert(frag.getString(0) == "")
+    assert(frag.getString(1) == frag.getString(2))
   }
 }

@@ -48,6 +48,32 @@ class ResultCacheSpec extends SparkSpec {
     assert(!cache.isCached(query(11)), "different filter constant must miss")
   }
 
+  test("corrupt pointer file means recompute, never a crash") {
+    var now = 1_000_000L
+    val dir = freshDir()
+    val cache = new ResultCache(spark, dir, ttlMs = 10_000L, clock = () => now)
+    cache.get(query(10))
+    // clobber every entry's pointer with garbage
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { e =>
+      java.nio.file.Files.writeString(e.resolve("_latest"), "not-a-timestamp")
+    }
+    assert(!cache.isCached(query(10)))
+    // and get() recovers by rewriting a fresh version
+    assert(cache.get(query(10)).count() > 0)
+    assert(cache.isCached(query(10)))
+  }
+
+  test("refresh does not break a reader of the previous version") {
+    var now = 1_000_000L
+    val dir = freshDir()
+    val cache = new ResultCache(spark, dir, ttlMs = 1000L, clock = () => now)
+    val served = cache.get(query(10)) // resolves version v1000000
+    now += 2000 // expire, then refresh writes a NEW version directory
+    cache.get(query(10))
+    // the old version's files still exist; the stale reader still works
+    assert(served.count() > 0)
+  }
+
   test("TTL expiry recomputes; fresh entries do not") {
     var now = 1_000_000L
     val dir = freshDir()
