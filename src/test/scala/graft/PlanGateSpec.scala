@@ -13,6 +13,16 @@ class PlanGateSpec extends SparkSpec {
       name -> fn(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
     }
 
+  test("every registered query has a DuckDB oracle (and no orphans)") {
+    // The driver records a weaker rows-only check for any queries entry
+    // without oracle SQL — this gate makes that drift impossible to miss,
+    // and catches oracle entries whose query was renamed/removed.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"query/oracle drift: missing oracles ${q -- o}, " +
+      s"orphan oracles ${o -- q}")
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = plans.collect {
       case (name, plan) if plan.contains("CartesianProduct") => name
