@@ -981,14 +981,16 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
 
     // Inverted index: one row per term with document frequency and the
-    // sorted posting list (array column — export shape; the relational
-    // (term, doc_id, tf) core is Search.termFrequencies).
+    // sorted posting list as a scalar CSV witness (the array column is
+    // the library export shape; the relational (term, doc_id, tf) core
+    // is Search.termFrequencies). Scalar because the harness's
+    // sort/factorize comparison cannot hash array cells.
     "q_inverted_index" ->
       """WITH td AS (SELECT DISTINCT t.term, d.doc_id
         |            FROM documents d,
         |                 unnest(string_split(d.text, ' ')) AS t(term))
         |SELECT term, count(*) AS df,
-        |       list(doc_id ORDER BY doc_id) AS postings
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
         |FROM td
         |GROUP BY term
         |ORDER BY term""".stripMargin,

@@ -359,23 +359,51 @@ object Analytics {
   }
 
   /** F14/§2.12 — league-summary shape: per-region entity counts, activity,
-    * percentage rates (exact count ratios, cross-engine stable). */
-  def regionSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+    * percentage rates (exact count ratios, cross-engine stable).
+    *
+    * Scale shape: NO distinct aggregate touches the fact stream. Two
+    * `countDistinct`s in one groupBy would make Catalyst Expand every
+    * order row ×3 before the shuffle — tripling the shuffle write of the
+    * biggest join in the suite at 100 TB. Instead the fact aggregation is
+    * plain (count/sum, map-side combining), and both distinct counts come
+    * from `orders.select(o_custkey).distinct()` — a custkey-cardinality
+    * partial-combining aggregate — joined through the broadcast dims.
+    * That slim set has one row per active customer, so `count(*)` IS the
+    * distinct customer count and the single `countDistinct(n_nationkey)`
+    * plans as a two-stage aggregate (one distinct set → no Expand). The
+    * final stitch is a 5-row join on region_name. */
+  def regionSummary(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(Tables.nation(spark, dir))
+    val region = broadcast(Tables.region(spark, dir))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+
+    val orderAgg = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"))
       .agg(
-        countDistinct(col("n_nationkey")).as("nation_cnt"),
-        countDistinct(col("c_custkey")).as("customer_cnt"),
         count(lit(1)).as("order_cnt"),
         sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("urgent_cnt"),
         sum(dec2(col("o_totalprice"))).cast("double").as("total_value"))
+
+    val activeCust = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(
+        countDistinct(col("n_nationkey")).as("nation_cnt"),
+        count(lit(1)).as("customer_cnt"))
+
+    orderAgg.join(activeCust, Seq("region_name"))
+      .select(col("region_name"), col("nation_cnt"), col("customer_cnt"),
+        col("order_cnt"), col("urgent_cnt"), col("total_value"))
       .withColumn("urgent_pct",
         col("urgent_cnt").cast("double") / col("order_cnt") * 100)
       .withColumn("avg_order_value", col("total_value") / col("order_cnt"))
       .orderBy("region_name")
+  }
 
   /** A8 — exact per-group median (reference `groupby(...).median()`):
     * Spark's exact `percentile` (not percentile_approx — approx sketches

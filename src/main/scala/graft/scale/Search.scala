@@ -49,9 +49,18 @@ object Search {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
-  /** q_inverted_index: index over the corpus, ordered by term. */
+  /** q_inverted_index: index over the corpus, ordered by term.
+    *
+    * Oracle-facing shape: the posting list is emitted as a scalar CSV
+    * witness (`postings_csv`) rather than the array column — array cells
+    * are not comparable by the cross-engine hash harness. The array-valued
+    * [[invertedIndex]] remains the library export shape. */
   def invertedIndexQuery(spark: SparkSession, dir: String): DataFrame =
-    invertedIndex(Tables.documents(spark, dir)).orderBy("term")
+    invertedIndex(Tables.documents(spark, dir))
+      .select(col("term"), col("df"),
+        array_join(transform(col("postings"), d => d.cast("string")), ",")
+          .as("postings_csv"))
+      .orderBy("term")
 
   /** Incremental index maintenance: fold a document batch into an
     * existing (term, doc_id, tf) index. Re-ingesting a document

@@ -44,6 +44,14 @@ class PlanGateSpec extends SparkSpec {
     assert(offenders.isEmpty, s"dimension join not broadcast in: $offenders")
   }
 
+  test("q_region_summary: no Expand — distinct counts never multiply the fact stream") {
+    // Two countDistincts in one groupBy make Catalyst Expand every fact
+    // row ×3 before the shuffle; the rewritten plan computes them from a
+    // slim distinct-custkey set instead.
+    assert(!plans("q_region_summary").contains("Expand"),
+      s"q_region_summary regressed to an Expand plan:\n${plans("q_region_summary")}")
+  }
+
   test("q_pct_rank: no single-partition exchange, no unpartitioned window") {
     val plan = plans("q_pct_rank")
     assert(!plan.contains("Exchange SinglePartition"),

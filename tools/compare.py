@@ -25,8 +25,11 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
