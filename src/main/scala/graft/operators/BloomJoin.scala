@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.operators.Analytics
 import graft.sources.Tables
@@ -35,16 +40,40 @@ import graft.sources.Tables
   */
 object BloomJoin {
 
+  /** Serialized Bloom filter over `xxhash64(key)` of the build side,
+    * computed with Spark's native `BloomFilterAggregate` (the same
+    * expression the optimizer's runtime row-level filtering injects —
+    * partial filters merge executor-side, one binary reaches the driver,
+    * exactly like `df.stat.bloomFilter`'s tree aggregate). */
+  private def buildFilter(small: DataFrame, key: String,
+                          expectedItems: Long, fpp: Double): Array[Byte] = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      Shims.expression(xxhash64(col(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    small.agg(Shims.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe-side membership test as a native codegen predicate:
+    * `BloomFilterMightContain(<literal filter bytes>, xxhash64(key))` —
+    * no Scala UDF, stays inside whole-stage codegen, Photon-translatable.
+    * The filter ships as a foldable literal in the serialized plan (the
+    * same mechanism the optimizer's injected scalar subquery reduces to
+    * at execution). `xxhash64` is never null (a null key hashes to the
+    * seed), so the predicate itself is null-safe; null keys simply route
+    * through the exact-join branch, which resolves them correctly. */
+  private def mightContain(filter: Array[Byte], key: Column): Column =
+    Shims.column(new BloomFilterMightContain(
+      Literal(filter, BinaryType), Shims.expression(xxhash64(key))))
+
   /** Exact left-semi join of `big` on `small`, Bloom-pruned map-side.
     * Key columns must be LongType (the fact-table FK case). */
   def semiJoin(big: DataFrame, bigKey: String,
                small: DataFrame, smallKey: String,
                expectedItems: Long = 1000000L,
                fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(might(col(bigKey)))
+    val might = mightContain(buildFilter(small, smallKey, expectedItems, fpp), col(bigKey))
+    big.filter(might)
       .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_semi")
   }
 
@@ -56,11 +85,9 @@ object BloomJoin {
                small: DataFrame, smallKey: String,
                expectedItems: Long = 1000000L,
                fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    val misses = big.filter(!might(col(bigKey)))
-    val verified = big.filter(might(col(bigKey)))
+    val might = mightContain(buildFilter(small, smallKey, expectedItems, fpp), col(bigKey))
+    val misses = big.filter(!might)
+    val verified = big.filter(might)
       .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_anti")
     misses.unionByName(verified)
   }

@@ -66,6 +66,15 @@ class RangeBloomSpec extends SparkSpec {
     assert(out.sortBy(_.getOrElse(-1L)) == Seq(None, Some(2L)))
   }
 
+  test("BloomJoin probe filter is a native codegen predicate, not a Scala UDF") {
+    val big = spark.range(0, 100).select(col("id").as("k"))
+    val small = spark.range(0, 10).select(col("id").as("sk"))
+    val plan = BloomJoin.semiJoin(big, "k", small, "sk", expectedItems = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native predicate missing:\n$plan")
+    assert(!plan.contains("UDF"), s"scala UDF in probe path:\n$plan")
+  }
+
   test("RangeJoin.selfIntervalOverlap ≡ naive overlap join, exactly-once pairs") {
     // intervals spanning bins, nested, identical, touching, disjoint,
     // negative coordinates, and a cross-key decoy
