@@ -51,8 +51,14 @@ object EntityResolution {
 
     val withUid = uidCol match {
       case Some(u) => staged.withColumn("__sid", col(u))
-      case None => staged.withColumn("__sid", monotonically_increasing_id())
-        .localCheckpoint(true)
+      case None =>
+        // Pin the minted ids so all three output branches see the same
+        // values. Silver.materialize picks the deployment strategy:
+        // eager localCheckpoint locally, a persisted parquet silver table
+        // when spark.graft.silver.dir is set (fault-tolerant path).
+        graft.scale.Silver.materialize(
+          staged.withColumn("__sid", monotonically_increasing_id()),
+          "entity_resolution_staged_uids")
     }
     val s = withUid.withColumn("__sname", Normalize.normalizeForMatching(col(nameCol)))
     val e = entities.select(

@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  /** Trained model: unigram counts (w1 → c1), bigram counts
+  /** Trained model: history counts (w1 → c1, where c1 counts w1 only as
+    * a bigram HISTORY, i.e. c1 = Σ_w2 c12 — document-final occurrences
+    * carry no outgoing transition and are excluded, so the smoothed
+    * P(·|w1) sums to exactly 1: standard bigram MLE), bigram counts
     * ((w1, w2) → c12), and the vocabulary size for smoothing. */
   final case class Model(unigrams: DataFrame, bigrams: DataFrame, vocabSize: Long)
 
@@ -50,14 +53,24 @@ object LmScore {
     * `perplexity` call re-reads the counts instead of re-scanning the
     * reference corpus per scoring run. */
   def train(reference: DataFrame): Model = {
-    val uni = Silver.materialize(reference
-      .select(explode(tokens(col("text"))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1")),
-      "lm_unigrams")
     val bi = Silver.materialize(bigramPairs(reference)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
       "lm_bigrams")
-    Model(uni, bi, uni.count())
+    // History counts derive FROM the bigram table (c1 = Σ_w2 c12), not
+    // from raw token counts — counting document-final occurrences of w1
+    // in the denominator would make Σ_w2 P(w2|w1) < 1 (a silent
+    // deviation from the standard bigram MLE that shifts perplexities
+    // vs other implementations).
+    val uni = Silver.materialize(
+      bi.groupBy("w1").agg(sum(col("c12")).as("c1")), "lm_unigrams")
+    // V for smoothing = distinct tokens participating in any bigram
+    // (w1 ∪ w2) — model-table-bounded, no extra corpus scan; a token can
+    // only ever be predicted as a w2 outcome, so outcome-space V is the
+    // right normalizer.
+    val v = bi.select(col("w1").as("w"))
+      .unionByName(bi.select(col("w2").as("w")))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    Model(uni, bi, v)
   }
 
   /** Per-document cross-entropy (bits/bigram) and perplexity under the

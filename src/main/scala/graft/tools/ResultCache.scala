@@ -19,10 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * params, so a changed underlying table serves stale results silently
   * for 24 h; here the table PATH is part of the plan and therefore of
   * the key — only in-place mutation of a cached input can still serve
-  * stale data, which the TTL bounds). A 256-bit key makes accidental
-  * cross-query collision unreachable; a 32-bit `semanticHash` would
-  * collide with ~50% probability around 77k cached queries and silently
-  * serve one query's rows as another's.
+  * stale data, which the TTL bounds). The directory name uses the first
+  * 128 bits of the SHA-256 digest — a 50% birthday collision needs ~2^64
+  * cached queries, unreachable in practice; a 32-bit `semanticHash`
+  * would collide with ~50% probability around 77k cached queries and
+  * silently serve one query's rows as another's.
   *
   * Entries are versioned parquet directories: a writer materializes into
   * a fresh `v<timestamp>` subdirectory and then atomically flips the
@@ -73,10 +74,18 @@ final class ResultCache(spark: SparkSession, cacheDir: String,
     val entry = entryPath(df)
     val current = freshVersion(entry).getOrElse {
       val now = clock()
-      val vdir = entry.resolve(s"v$now")
+      // Version dir name includes the writer's pid+thread id: writers
+      // racing within the same clock millisecond (same or different
+      // sessions — the prefix is shared) must land in DISTINCT immutable
+      // version dirs; same-name writers with mode(overwrite) would
+      // interleave/delete each other's files mid-write. Last pointer
+      // flip wins; the loser's version is orphaned garbage.
+      val writerId = s"${ProcessHandle.current().pid()}.${Thread.currentThread().getId}"
+      val vname = s"v$now.$writerId"
+      val vdir = entry.resolve(vname)
       df.write.mode("overwrite").parquet(vdir.toString)
-      val tmp = entry.resolve(s"_latest.tmp.$now.${Thread.currentThread().getId}")
-      Files.writeString(tmp, s"$now:v$now")
+      val tmp = entry.resolve(s"_latest.tmp.$now.$writerId")
+      Files.writeString(tmp, s"$now:$vname")
       Files.move(tmp, entry.resolve("_latest"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       vdir

@@ -104,4 +104,22 @@ class EntityResolutionSpec extends SparkSpec {
     assert(res2.matched.count() == 2 && res2.create.count() == 1)
     assert(res2.matched.columns.contains("rec_id"))
   }
+
+  test("resolve: uid-less pinning goes through the persisted-silver path when configured") {
+    val entities = Seq((1L, "Borussia Dortmund", "DE")).toDF("id", "name", "country")
+    val staged = Seq(
+      ("Borussia Dortmund", "DE"),
+      ("Hansa Rostock", "DE"))
+      .toDF("name", "country")
+    val dir = java.nio.file.Files.createTempDirectory("graft_silver_er").toString
+    spark.conf.set("spark.graft.silver.dir", dir)
+    try {
+      val res = EntityResolution.resolve(staged, entities,
+        nameCol = "name", blockCol = "country", idCol = "id")
+      assert(res.matched.count() == 1 && res.create.count() == 1)
+      val silverTables = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(silverTables.contains("entity_resolution_staged_uids"),
+        s"uid pinning bypassed Silver.materialize; silver dir has $silverTables")
+    } finally spark.conf.unset("spark.graft.silver.dir")
+  }
 }

@@ -19,15 +19,25 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
 
-    // driver-side reference
+    // driver-side reference: standard bigram MLE — the history count of
+    // a word excludes its document-final occurrences (c1 = Σ_w2 c12),
+    // and V is the set of tokens participating in any bigram
     val toks = Seq("the cat sat on the mat", "the dog sat on the rug",
       "the cat ran to the dog").map(_.split(" ").toSeq)
-    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.length }
+    val hist = toks.flatMap(_.dropRight(1)).groupBy(identity)
+      .map { case (w, g) => w -> g.length }
     val bi = toks.flatMap(t => t.zip(t.tail)).groupBy(identity)
       .map { case (p, g) => p -> g.length }
-    val v = uni.size
+    val vocab = (bi.keys.map(_._1) ++ bi.keys.map(_._2)).toSet
+    val v = vocab.size
     def p(a: String, b: String) =
-      (bi.getOrElse((a, b), 0) + 0.5) / (uni.getOrElse(a, 0) + 0.5 * v)
+      (bi.getOrElse((a, b), 0) + 0.5) / (hist.getOrElse(a, 0) + 0.5 * v)
+    // the point of the history-count denominator: the smoothed
+    // conditional distribution is properly normalized
+    for (a <- Seq("the", "cat", "mat")) {
+      val mass = vocab.toSeq.map(b => p(a, b)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"P(·|$a) sums to $mass, not 1")
+    }
     def ce(text: String): (Long, Double) = {
       val t = text.split(" ").toSeq
       val ps = t.zip(t.tail).map { case (a, b) => p(a, b) }
