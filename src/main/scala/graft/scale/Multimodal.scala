@@ -53,32 +53,56 @@ object Multimodal {
         lit(1).as("height"),
         (col("n_chars") * 10L).as("duration_ms")).as("meta"))
 
-  /** STUB decode: deterministic pseudo-features from byte content.
-    * Production: replace body with the codec / model forward pass. */
-  private def decodeOne(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    if (bytes == null) return out
-    var i = 0
-    while (i < bytes.length) {
-      val d = i % FeatureDim
-      out(d) = out(d) + (bytes(i) & 0xff) / 255.0f
-      i += 1
+  /** Decoder seam: the ONE piece of the multimodal path this container
+    * cannot implement for real (no image/audio libraries). A production
+    * deployment implements this trait over its codec/model stack and
+    * passes it to [[extractFeatures]] — the surrounding plumbing (schema,
+    * batch iteration, partition preservation, null handling) is shared
+    * and does not change.
+    *
+    * Ships inside the task closure, so implementations must be
+    * Serializable; hold native/heavy state lazily (or acquire it in
+    * [[open]]) so only the lightweight configuration is serialized. */
+  trait MediaCodec extends Serializable {
+    /** Called once per partition before any [[decode]] call — the hook
+      * for codec/model initialization amortized across the partition. */
+    def open(): Unit = ()
+    /** Payload bytes (+ media kind) → fixed-width feature vector. */
+    def decode(kind: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Default STUB codec: deterministic pseudo-features from byte content
+    * (honestly fake — but stable, spec-tested, and kind-independent).
+    * Production: swap for a JNI/codec-backed [[MediaCodec]]. */
+  object StubCodec extends MediaCodec {
+    def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      if (bytes == null) return out
+      var i = 0
+      while (i < bytes.length) {
+        val d = i % FeatureDim
+        out(d) = out(d) + (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      var d = 0
+      while (d < FeatureDim) { out(d) = out(d) / math.max(1, bytes.length / FeatureDim); d += 1 }
+      out
     }
-    var d = 0
-    while (d < FeatureDim) { out(d) = out(d) / math.max(1, bytes.length / FeatureDim); d += 1 }
-    out
   }
 
   /** Batched per-partition feature extraction: media frame → media frame +
-    * `features array<float>`. Partitioning is preserved (no shuffle). */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * `features array<float>`. Partitioning is preserved (no shuffle); the
+    * codec's [[MediaCodec.open]] runs once per partition. */
+  def extractFeatures(media: DataFrame,
+                      codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = media.schema.add(StructField("features", ArrayType(FloatType)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val bytesIdx = media.schema.fieldIndex("bytes")
+    val kindIdx = media.schema.fieldIndex("kind")
     media.mapPartitions { rows =>
-      // per-partition setup happens once here (codec init in production)
+      codec.open() // per-partition setup: codec/model init in production
       rows.map { r =>
-        val feats = decodeOne(r.getAs[Array[Byte]](bytesIdx))
+        val feats = codec.decode(r.getString(kindIdx), r.getAs[Array[Byte]](bytesIdx))
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)

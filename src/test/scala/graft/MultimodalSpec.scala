@@ -27,6 +27,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "feature extraction must not shuffle")
   }
 
+  test("extractFeatures: injected codec replaces the stub through the same plumbing") {
+    // The decoder seam: a fake codec proves production can swap the stub
+    // without touching schema/iteration/partitioning. open() must run on
+    // the executor side (per partition), decode() per row with the kind.
+    val opened = spark.sparkContext.longAccumulator("codec_opened")
+    val codec = new Multimodal.MediaCodec {
+      override def open(): Unit = opened.add(1)
+      def decode(kind: String, bytes: Array[Byte]): Array[Float] =
+        Array.fill(Multimodal.FeatureDim)(
+          if (kind == "video") 2.0f else 1.0f)
+    }
+    val out = Multimodal.extractFeatures(media.limit(30), codec)
+      .select("kind", "features").collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val want = if (r.getString(0) == "video") 2.0f else 1.0f
+      val f = r.getSeq[Float](1)
+      f.length == Multimodal.FeatureDim && f.forall(_ == want)
+    })
+    assert(opened.value >= 1, "codec.open() never ran")
+  }
+
   test("sampleFrames: one row per step, only for video rows") {
     val frames = Multimodal.sampleFrames(media, stepMs = 500L)
     val one = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
