@@ -111,7 +111,9 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => graft.scale.TrainingData.weightedSample(s, d)),
     "q_share"           -> ((s, d) => Analytics.revenueShare(s, d)),
     "q_mad"             -> ((s, d) => Analytics.madOutliers(s, d)),
-    "q_streaks"         -> ((s, d) => EventOps.activityStreaks(s, d))
+    "q_streaks"         -> ((s, d) => EventOps.activityStreaks(s, d)),
+    "q_bpe_merges"      -> ((s, d) => graft.scale.Bpe.mergesQuery(s, d)),
+    "q_lm_counts"       -> ((s, d) => graft.scale.LmScore.countsQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1438,6 +1440,83 @@ object SparkEntry {
         |       max(len) AS longest_streak, count(*) AS n_streaks
         |FROM runs
         |GROUP BY 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // BPE merge table after 8 exact rounds: the oracle replays training
+    // as unrolled CTE stages. Symbol sequences ride as DOUBLE-space-
+    // joined strings padded with spaces, so applying a merge is one
+    // plain (non-regex) replace of ' a  b ' with ' ab ': each match
+    // consumes one space from each side's double-space separator and
+    // the replacement restores it, which makes left-to-right
+    // non-overlapping replace EXACTLY the greedy merge fold ('a a a'
+    // under (a,a) -> 'aa a'). Pair counting splits on the double space.
+    "q_bpe_merges" -> bpeMergesOracle(8),
+
+    // LM bigram/history count tables (integer face of the CCNet-style
+    // scorer; the ln-based perplexity stays spec-gated): c12 per (w1,w2),
+    // c1 = sum of c12 over w2 (history count — document-final tokens
+    // start no bigram), tail trimmed at c12 >= 5.
+    "q_lm_counts" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1)
+        |SELECT b.w1, b.w2, b.c12, u.c1
+        |FROM bi b JOIN uni u USING (w1)
+        |WHERE b.c12 >= 5
+        |ORDER BY b.w1, b.w2""".stripMargin
   )
+
+  /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the
+    * q_bpe_merges comment for the double-space-padding invariant that
+    * makes plain `replace` the greedy merge fold). Each round k: count
+    * adjacent pairs weighted by word freq (c_k), pick the argmax with
+    * the (cnt DESC, pair ASC) tiebreak and the min-pair-count 2 cut
+    * (m_k), apply it to every word (w_k). An exhausted round leaves m_k
+    * empty and emptiness cascades — matching Bpe.train's early stop. */
+  private def bpeMergesOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf AS (
+        |  SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |  GROUP BY w),
+        |w0 AS (
+        |  SELECT '  ' || array_to_string(
+        |           list_append(regexp_extract_all(w, '.'), '</w>'), '  ')
+        |         || '  ' AS sym, freq
+        |  FROM wf)""".stripMargin)
+    for (k <- 1 to n) {
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT s.syms[r.i] || ' ' || s.syms[r.i + 1] AS pair, s.freq
+        |  FROM (SELECT string_split(trim(sym), '  ') AS syms, freq FROM w${k - 1}) s,
+        |       unnest(range(1, len(s.syms))) AS r(i)),
+        |c$k AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM p$k GROUP BY pair HAVING sum(freq) >= 2),
+        |m$k AS (
+        |  SELECT CAST($k AS BIGINT) AS merge_rank,
+        |         split_part(pair, ' ', 1) AS left_sym,
+        |         split_part(pair, ' ', 2) AS right_sym,
+        |         cnt AS pair_cnt
+        |  FROM c$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+        |w$k AS (
+        |  SELECT replace(w.sym,
+        |           ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+        |           ' ' || m.left_sym || m.right_sym || ' ') AS sym, w.freq
+        |  FROM w${k - 1} w, m$k m)""".stripMargin)
+    }
+    sb.append((1 to n).map(k => s"SELECT * FROM m$k").mkString(
+      "\nSELECT merge_rank, left_sym, right_sym, pair_cnt FROM (\n",
+      "\nUNION ALL ", "\n) ORDER BY merge_rank"))
+    sb.toString
+  }
 }

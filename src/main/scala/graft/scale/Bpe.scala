@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
@@ -122,6 +122,24 @@ object Bpe {
       }
     }
     learned.toSeq
+  }
+
+  /** q_bpe_merges: the learned merge table after `numMerges` exact
+    * (batchSize = 1) rounds over the documents corpus — the
+    * engine-portable INTEGER face of BPE training (pair counts and the
+    * argmax-per-round selection are exact arithmetic; nothing here needs
+    * `ln`). The merge list is the learned parameter and is driver-sized
+    * by design (like k-means centroids); every count feeding it is a
+    * distributed aggregation. The DuckDB oracle replays the same rounds
+    * as unrolled CTE stages (see SparkEntry's generated SQL). */
+  def mergesQuery(spark: SparkSession, dir: String,
+                  numMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val merges = train(graft.sources.Tables.documents(spark, dir), numMerges)
+    merges.zipWithIndex
+      .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.pairCount) }
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
+      .orderBy("merge_rank")
   }
 
   /** Above this many merges, [[encode]] switches from the nested

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N-gram language-model quality scoring (the CCNet recipe, Wenzek et al.
@@ -71,6 +71,22 @@ object LmScore {
       .unionByName(bi.select(col("w2").as("w")))
       .agg(countDistinct(col("w"))).head.getLong(0)
     Model(uni, bi, v)
+  }
+
+  /** q_lm_counts: the model's INTEGER count tables over the documents
+    * corpus — (w1, w2, c12) bigram counts joined with the w1 history
+    * counts (c1 = Σ_w2 c12). This is the engine-portable face of the LM
+    * family: everything here is exact integer arithmetic, so it
+    * oracle-checks against DuckDB even though the `ln`-based perplexity
+    * itself stays spec-gated. `minCount` trims the long tail to keep the
+    * oracle result bounded. */
+  def countsQuery(spark: SparkSession, dir: String,
+                  minCount: Long = 5L): DataFrame = {
+    val m = train(graft.sources.Tables.documents(spark, dir))
+    m.bigrams.join(m.unigrams, Seq("w1"))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"))
+      .orderBy("w1", "w2")
   }
 
   /** Per-document cross-entropy (bits/bigram) and perplexity under the
