@@ -113,7 +113,8 @@ object SparkEntry {
     "q_mad"             -> ((s, d) => Analytics.madOutliers(s, d)),
     "q_streaks"         -> ((s, d) => EventOps.activityStreaks(s, d)),
     "q_bpe_merges"      -> ((s, d) => graft.scale.Bpe.mergesQuery(s, d)),
-    "q_lm_counts"       -> ((s, d) => graft.scale.LmScore.countsQuery(s, d))
+    "q_lm_counts"       -> ((s, d) => graft.scale.LmScore.countsQuery(s, d)),
+    "q_career_stats"    -> ((s, d) => graft.sources.RoundTrip.careerFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1451,6 +1452,32 @@ object SparkEntry {
     // non-overlapping replace EXACTLY the greedy merge fold ('a a a'
     // under (a,a) -> 'aa a'). Pair counting splits on the double space.
     "q_bpe_merges" -> bpeMergesOracle(8),
+
+    // S14-depth round trip: career-table rows (3 per player; the short
+    // decoy row is dropped by the >=3-cells filter, the '-' goals cell
+    // in season 3 by the isdigit guard) + season-stat grid fields
+    // (Einsätze/Tore/Laufdistanz rows; Sprints only via stat-box; the
+    // stat-box Tore value must lose to the grid row). Oracle recomputes
+    // the synthesis arithmetic straight from customer.
+    "q_career_stats" ->
+      """WITH seasons AS (
+        |  SELECT * FROM (VALUES (1, '2021/22'), (2, '2022/23'), (3, '2023/24'))
+        |  AS s(i, season))
+        |SELECT c.c_custkey AS ck,
+        |       s.season,
+        |       'Nation ' || c.c_nationkey AS team,
+        |       'Liga ' || (c.c_custkey % 3) AS league,
+        |       CAST((c.c_custkey + s.i) % 40 AS INT) AS appearances,
+        |       CASE WHEN s.i = 3 THEN NULL
+        |            ELSE CAST((c.c_custkey * s.i) % 20 AS INT) END AS goals,
+        |       CAST((c.c_custkey + 7 * s.i) % 15 AS INT) AS assists,
+        |       CAST(c.c_custkey % 40 AS INT) AS cur_appearances,
+        |       CAST(c.c_custkey % 20 AS INT) AS cur_goals,
+        |       CAST(c.c_custkey % 90 AS INT) AS cur_sprints,
+        |       CAST((c.c_custkey % 400) || '.' || (c.c_custkey % 10) AS DOUBLE)
+        |         AS cur_distance_km
+        |FROM customer c, seasons s
+        |ORDER BY ck, s.season""".stripMargin,
 
     // LM bigram/history count tables (integer face of the CCNet-style
     // scorer; the ln-based perplexity stays spec-gated): c12 per (w1,w2),

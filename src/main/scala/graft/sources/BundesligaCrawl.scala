@@ -118,7 +118,10 @@ object BundesligaCrawl {
     * (`_parse_player_data` + `_player_hydration_fallback`): name from
     * h1/og:title (first space splits first/last), labeled position /
     * shirt number / nationality with hydration-JSON fallback, position
-    * normalized to long form. */
+    * normalized to long form. Carries the S14 depth columns:
+    * `season_stats` (struct, [[seasonStats]]) and `senior_career`
+    * (array of per-season structs, [[careerStats]] — the
+    * `player.senior_career` JSONB shape of `database/schema.sql:330`). */
   def playersFromPages(pages: DataFrame, htmlCol: String = "html",
                        urlCol: String = "player_url"): DataFrame = {
     val html = col(htmlCol)
@@ -137,8 +140,130 @@ object BundesligaCrawl {
           hyd("$.props.pageProps.player.position"))).as("position"),
         when(num.between(1, 99), num).as("shirt_number"),
         coalesce(labeled(html, Seq("Nationalität", "Nationality")),
-          hyd("$.props.pageProps.player.nationality")).as("nationality"))
+          hyd("$.props.pageProps.player.nationality")).as("nationality"),
+        seasonStats(html).as("season_stats"),
+        careerStats(html).as("senior_career"))
       .filter(col("first_name").isNotNull && col("first_name") =!= "")
+  }
+
+  // ---- S14 depth: season-stat grid + career table ------------------
+
+  /** get_text(' ', strip=True) equivalent. */
+  private def stripTags(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** (label-regex-lowercase, field, isFloat) in the REFERENCE'S mapping
+    * order (`bundesliga_club_scraper.py:1474-1496`) — order IS
+    * semantics: each key/value pair is claimed by the FIRST matching
+    * pattern, mirroring the reference's break-on-first-match (so an
+    * "Eigentore" key is claimed by 'tore|goals', exactly as there). */
+  private val SeasonStatMapping: Seq[(String, String, Boolean)] = Seq(
+    ("einsätze|appearances", "appearances", false),
+    ("tore|goals", "goals", false),
+    ("vorlagen|assists", "assists", false),
+    ("gelbe karten|yellow", "yellow_cards", false),
+    ("rote karten|red", "red_cards", false),
+    ("gew\\.? zweikämpfe|duels won", "duels_won", false),
+    ("gew\\.? kopfduelle|aerial duels won", "aerial_duels_won", false),
+    ("sprints", "sprints", false),
+    ("intensive läufe|intensive runs", "intensive_runs", false),
+    ("laufdistanz", "distance_km", true),
+    ("speed|km/h", "top_speed_kmh", true),
+    ("flanken|crosses", "crosses", false),
+    ("fouls|begangene fouls", "fouls_committed", false),
+    ("ballbesitzphasen|possession phases", "possession_phases", false),
+    ("shots on goal|shots on target|torschüsse|torschüsse aufs? tor", "shots_on_target", false),
+    ("abgewehrte schüsse|paraden|saves", "saves", false),
+    ("eigentore|own goals?", "own_goals", false),
+    ("^elfmeter-tore|penalties scored", "penalties_scored", false),
+    ("^elfmeter(?!-tore)|penalties$", "penalties_taken", false),
+    ("minuten|minutes", "minutes_played", false),
+    ("pfosten\\s*/\\s*latte|woodwork", "woodwork", false))
+
+  /** Index of the first mapping pattern the (lower-cased) key matches,
+    * −1 when none — the per-pair claim of the reference's inner loop. */
+  private def seasonFieldIdx(keyLc: Column): Column = {
+    val arms = SeasonStatMapping.zipWithIndex.map {
+      case ((pat, _, _), i) => (keyLc.rlike(pat), lit(i))
+    }
+    arms.tail.foldLeft(when(arms.head._1, arms.head._2)) {
+      case (acc, (c, v)) => acc.when(c, v)
+    }.otherwise(lit(-1))
+  }
+
+  /** `int` parse of the reference: strip thousands dots, comma→dot, then
+    * the first integer run. */
+  private def statInt(v: Column): Column =
+    nullif(regexp_extract(
+      regexp_replace(regexp_replace(v, "\\.", ""), ",", "."),
+      "-?\\d+", 0), lit("")).cast("int")
+
+  /** `float` parse of the reference: first decimal run, comma→dot. */
+  private def statFloat(v: Column): Column =
+    translate(nullif(regexp_extract(v, "-?\\d+[.,]?\\d*", 0), lit("")),
+      ",", ".").cast("double")
+
+  /** Season-stat struct from a player page
+    * (`_extract_player_season_stats_enhanced`): pass 1 reads the dynamic
+    * key/value grid (adjacent `key`/`value` divs — the regex stand-in
+    * for the reference's row-container walk; inside a grid row the two
+    * divs are adjacent), LAST successful match wins per field (the
+    * reference overwrites in pass 1); pass 2 reads `stat-box`
+    * label/value pairs and only fills fields pass 1 missed (FIRST wins
+    * there). Null struct when nothing matched, like the reference's
+    * `return None`. */
+  def seasonStats(html: Column): Column = {
+    def tagged(keyCls: String, valCls: String): Column = {
+      val pair = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>.*?</div>\\s*" +
+        s"<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>.*?</div>"
+      val keyRe = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>(.*?)</div>"
+      val valRe = s"(?si)<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>(.*?)</div>"
+      transform(regexp_extract_all(html, lit(pair), lit(0)), p =>
+        struct(
+          seasonFieldIdx(lower(stripTags(regexp_extract(p, keyRe, 1)))).as("f"),
+          stripTags(regexp_extract(p, valRe, 1)).as("v")))
+    }
+    val rows = tagged("\\bkey\\b", "\\bvalue\\b")
+    val boxes = tagged("label", "value")
+    def fieldValue(i: Int, isFloat: Boolean): Column = {
+      def candidates(src: Column) = filter(src, s =>
+        s.getField("f") === i && s.getField("v").rlike("\\d"))
+      val rowHit = candidates(rows)
+      val rowV = get(rowHit, size(rowHit) - 1).getField("v") // last wins
+      val boxV = get(candidates(boxes), lit(0)).getField("v")     // first fills
+      val v = coalesce(rowV, boxV)
+      if (isFloat) statFloat(v) else statInt(v)
+    }
+    val fields = SeasonStatMapping.zipWithIndex.map {
+      case ((_, name, isFloat), i) => fieldValue(i, isFloat).as(name)
+    }
+    when(fields.map(_.isNotNull).reduce(_ || _), struct(fields: _*))
+  }
+
+  /** Career table from a player page (`_extract_player_career_stats`):
+    * first `<table>` classed career|history|statistik, header row
+    * dropped, rows with ≥ 3 cells kept; season/team/league from the
+    * first three cells, appearances/goals/assists from cells 3–5 when
+    * digit-only (the reference's `isdigit` guard). Returns the
+    * `senior_career` array-of-structs shape. */
+  def careerStats(html: Column): Column = {
+    val tbl = regexp_extract(html,
+      "(?si)<table[^>]*class=\"[^\"]*(?:career|history|statistik)[^\"]*\"[^>]*>(.*?)</table>", 1)
+    val allRows = regexp_extract_all(tbl, lit("(?si)<tr[^>]*>(.*?)</tr>"), lit(1))
+    val dataRows = when(size(allRows) > 1,
+      slice(allRows, lit(2), size(allRows) - 1))
+      .otherwise(array().cast("array<string>"))
+    val cellArrays = transform(dataRows, r =>
+      transform(regexp_extract_all(r, lit("(?si)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)),
+        c => stripTags(c)))
+    def digitInt(c: Column): Column = when(c.rlike("^\\d+$"), c.cast("int"))
+    transform(filter(cellArrays, c => size(c) >= 3), c => struct(
+      get(c, lit(0)).as("season"),
+      get(c, lit(1)).as("team"),
+      get(c, lit(2)).as("league"),
+      digitInt(get(c, lit(3))).as("appearances"),
+      digitInt(get(c, lit(4))).as("goals"),
+      digitInt(get(c, lit(5))).as("assists")))
   }
 
   // ---- S15 matchday scraper ----------------------------------------

@@ -151,6 +151,74 @@ object RoundTrip {
       .orderBy("player_name")
   }
 
+  /** q_career_stats: S14-depth round trip — one Bundesliga-style player
+    * page per customer carrying a career table (header row, three season
+    * rows, a short decoy row that the ≥3-cells filter must drop, and a
+    * non-numeric goals cell in season 3 exercising the isdigit guard)
+    * plus a season-stat grid: key/value rows for Einsätze / Tore /
+    * Laufdistanz (German decimal comma) and stat-box entries for Tore
+    * (must LOSE to the grid row) and Sprints (only present as a box —
+    * must fill). Parsed by [[BundesligaCrawl.playersFromPages]]; the
+    * oracle recomputes every value from `customer` arithmetic. */
+  def careerFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"),
+      col("c_name").as("nm"),
+      col("c_nationkey").as("nk"))
+    val seasonNames = Seq("2021/22", "2022/23", "2023/24")
+    def careerRow(i: Int): org.apache.spark.sql.Column = {
+      val goalsCell =
+        if (i == 3) lit("-")
+        else pmod(col("ck") * i, lit(20)).cast("string")
+      concat(
+        lit("<tr><td>"), lit(seasonNames(i - 1)),
+        lit("</td><td>Nation "), col("nk"),
+        lit("</td><td>Liga "), pmod(col("ck"), lit(3)),
+        lit("</td><td>"), pmod(col("ck") + i, lit(40)),
+        lit("</td><td>"), goalsCell,
+        lit("</td><td>"), pmod(col("ck") + 7 * i, lit(15)),
+        lit("</td></tr>"))
+    }
+    def kvRow(key: String, value: org.apache.spark.sql.Column) = concat(
+      lit(s"""<div class="row"><div class="key">$key</div><div class="value">"""),
+      value, lit("</div></div>"))
+    def statBox(label: String, value: org.apache.spark.sql.Column) = concat(
+      lit(s"""<div class="stat-box"><div class="label">$label</div><div class="value">"""),
+      value, lit("</div></div>"))
+    val html = concat(
+      lit("<html><body><h1>"), col("nm"), lit("</h1>"),
+      kvRow("Einsätze", concat(pmod(col("ck"), lit(40)), lit(" Spiele"))),
+      kvRow("Tore", pmod(col("ck"), lit(20))),
+      kvRow("Laufdistanz",
+        concat(pmod(col("ck"), lit(400)), lit(","), pmod(col("ck"), lit(10)), lit(" km"))),
+      statBox("Tore", pmod(col("ck"), lit(20)) + 1),
+      statBox("Sprints", pmod(col("ck"), lit(90))),
+      lit("<table class=\"career-history\"><tr><th>Saison</th><th>Team</th>" +
+        "<th>Liga</th><th>Spiele</th><th>Tore</th><th>Vorlagen</th></tr>"),
+      careerRow(1), careerRow(2), careerRow(3),
+      lit("<tr><td>decoy</td><td>short</td></tr></table></body></html>"))
+    val pages = c.select(
+      concat(lit("https://example.test/de/bundesliga/spieler/"), col("ck"))
+        .as("player_url"),
+      html.as("html"))
+    BundesligaCrawl.playersFromPages(pages)
+      .select(
+        regexp_extract(col("player_url"), "(\\d+)$", 1).cast("long").as("ck"),
+        col("season_stats.appearances").as("cur_appearances"),
+        col("season_stats.goals").as("cur_goals"),
+        col("season_stats.sprints").as("cur_sprints"),
+        col("season_stats.distance_km").as("cur_distance_km"),
+        explode(col("senior_career")).as("cs"))
+      .select(col("ck"),
+        col("cs.season").as("season"), col("cs.team").as("team"),
+        col("cs.league").as("league"),
+        col("cs.appearances").as("appearances"),
+        col("cs.goals").as("goals"), col("cs.assists").as("assists"),
+        col("cur_appearances"), col("cur_goals"), col("cur_sprints"),
+        col("cur_distance_km"))
+      .orderBy("ck", "season")
+  }
+
   /** q_idmap_mapping / q_idmap_conflicts: the J7 external-id registry
     * exercised end-to-end. `current` maps each residue class of custkey
     * to its smallest member; `staged` claims map orderkey residues to the

@@ -262,6 +262,94 @@ class SourcesSpec extends SparkSpec {
     assert(gui.getAs[String]("nationality") == "Guinea")
   }
 
+  test("BundesligaCrawl season-stat grid: German labels, pass-1 overwrite, stat-box fill (S14 depth)") {
+    import graft.sources.BundesligaCrawl
+    // Mirrors bundesliga_club_scraper.py:1465-1570: key/value grid rows
+    // (German + English labels, German number formats), a later row
+    // overwriting an earlier one (pass 1 is last-wins), an "Eigentore"
+    // key claimed by the earlier 'tore|goals' pattern (the reference's
+    // break-on-first-match ordering), and stat-box entries that only
+    // fill fields the grid missed.
+    val page =
+      """<html><body><h1>Test Spieler - Spielerprofil - Bundesliga</h1>
+        |<div class="stats">
+        |<div class="row"><div class="key">Einsätze</div><div class="value">28 Spiele</div></div>
+        |<div class="row"><div class="key">Tore</div><div class="value">7</div></div>
+        |<div class="row"><div class="key">Tore</div><div class="value">9</div></div>
+        |<div class="row"><div class="key">Eigentore</div><div class="value">2</div></div>
+        |<div class="row"><div class="key">Gew. Zweikämpfe</div><div class="value">312</div></div>
+        |<div class="row"><div class="key">Laufdistanz</div><div class="value">342,7 km</div></div>
+        |<div class="row"><div class="key">Topspeed km/h</div><div class="value">34,91</div></div>
+        |<div class="row"><div class="key">Minuten</div><div class="value">2.340</div></div>
+        |<div class="row"><div class="key">Penalties scored</div><div class="value">4</div></div>
+        |<div class="row"><div class="key">Penalties</div><div class="value">6</div></div>
+        |<div class="row"><div class="key">Unmapped Stat</div><div class="value">5</div></div>
+        |</div>
+        |<div class="stat-box"><div class="label">Tore</div><div class="value">99</div></div>
+        |<div class="stat-box"><div class="label">Sprints</div><div class="value">188</div></div>
+        |</body></html>""".stripMargin
+    val out = BundesligaCrawl.playersFromPages(
+        Seq(("p1", page)).toDF("player_url", "html"))
+      .select("season_stats.*").collect().head
+    assert(out.getAs[Int]("appearances") == 28)
+    // "Eigentore" is claimed by the earlier 'tore|goals' pattern (the
+    // reference's break-on-first-match), and pass 1 is last-wins — so
+    // the Eigentore row OVERWRITES the Tore rows: goals = 2, own_goals
+    // stays null (its pattern is never reached for German keys). The
+    // stat-box 99 must not override a pass-1 field either.
+    assert(out.getAs[Int]("goals") == 2)
+    assert(out.isNullAt(out.fieldIndex("own_goals")))
+    assert(out.getAs[Int]("duels_won") == 312)
+    assert(out.getAs[Double]("distance_km") == 342.7)
+    assert(out.getAs[Double]("top_speed_kmh") == 34.91)
+    assert(out.getAs[Int]("minutes_played") == 2340) // thousands dot stripped
+    // "Penalties scored" is claimed by the earlier 'rote karten|red'
+    // pattern ("sco-RED" — the reference's unanchored search does the
+    // same), so it lands in red_cards and penalties_scored stays null.
+    assert(out.getAs[Int]("red_cards") == 4)
+    assert(out.isNullAt(out.fieldIndex("penalties_scored")))
+    assert(out.getAs[Int]("penalties_taken") == 6)   // 'penalties$'
+    // stat-box fills only the missing field
+    assert(out.getAs[Int]("sprints") == 188)
+    assert(out.isNullAt(out.fieldIndex("assists")))
+  }
+
+  test("BundesligaCrawl career table: header skip, short-row drop, isdigit guard (S14 depth)") {
+    import graft.sources.BundesligaCrawl
+    // Mirrors _extract_player_career_stats (py:1572-1604): table classed
+    // career|history|statistik, rows[1:], >=3 cells, season/team/league
+    // positional, appearances/goals/assists only when digit-only.
+    val page =
+      """<html><body><h1>Test Spieler</h1>
+        |<table class="player-career"><tr><th>Saison</th><th>Team</th><th>Liga</th><th>Sp</th><th>T</th><th>V</th></tr>
+        |<tr><td>2023/24</td><td>BVB</td><td>Bundesliga</td><td>31</td><td>12</td><td>8</td></tr>
+        |<tr><td>2022/23</td><td>VfB</td><td>Bundesliga</td><td>28</td><td>-</td><td>5</td></tr>
+        |<tr><td>2021/22</td><td>VfB II</td><td>3. Liga</td></tr>
+        |<tr><td>short</td><td>row</td></tr>
+        |</table></body></html>""".stripMargin
+    val rows = BundesligaCrawl.playersFromPages(
+        Seq(("p1", page)).toDF("player_url", "html"))
+      .select(explode($"senior_career").as("c")).select("c.*")
+      .orderBy(desc("season")).collect()
+    assert(rows.length == 3) // short decoy row dropped, 3-cell row kept
+    assert(rows(0).getAs[String]("season") == "2023/24")
+    assert(rows(0).getAs[String]("team") == "BVB")
+    assert(rows(0).getAs[Int]("appearances") == 31)
+    assert(rows(0).getAs[Int]("goals") == 12)
+    assert(rows(0).getAs[Int]("assists") == 8)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("goals"))) // '-' fails isdigit
+    assert(rows(1).getAs[Int]("assists") == 5)
+    val bare = rows(2) // 3 cells only: stat fields all null
+    assert(bare.getAs[String]("league") == "3. Liga")
+    assert(bare.isNullAt(bare.fieldIndex("appearances")))
+    // page without a career table -> empty array, not null blowup
+    val none = BundesligaCrawl.playersFromPages(
+        Seq(("p2", "<html><body><h1>No Career</h1></body></html>"))
+          .toDF("player_url", "html"))
+      .select(size($"senior_career")).collect().head.getInt(0)
+    assert(none == 0)
+  }
+
   test("BundesligaCrawl matchday: ld+json event, fallbacks, referee crew scan (S15)") {
     import graft.sources.BundesligaCrawl
     val ldPage =
