@@ -1517,7 +1517,7 @@ object SparkEntry {
         |  GROUP BY w),
         |w0 AS (
         |  SELECT '  ' || array_to_string(
-        |           list_append(regexp_extract_all(w, '.'), '</w>'), '  ')
+        |           list_append(regexp_extract_all(w, '(?s).'), '</w>'), '  ')
         |         || '  ' AS sym, freq
         |  FROM wf)""".stripMargin)
     for (k <- 1 to n) {

@@ -40,18 +40,46 @@ import graft.sources.Tables
   */
 object BloomJoin {
 
+  /** Run `f` with session confs temporarily set, restoring after. */
+  private def withConf[T](spark: SparkSession,
+                          pairs: Seq[(String, String)])(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Serialized Bloom filter over `xxhash64(key)` of the build side,
     * computed with Spark's native `BloomFilterAggregate` (the same
     * expression the optimizer's runtime row-level filtering injects —
     * partial filters merge executor-side, one binary reaches the driver,
-    * exactly like `df.stat.bloomFilter`'s tree aggregate). */
+    * exactly like `df.stat.bloomFilter`'s tree aggregate).
+    *
+    * Returns null for an EMPTY build side (the aggregate's no-input
+    * result) — callers must special-case it, a null literal would make
+    * the probe predicate null out both filter branches.
+    *
+    * BloomFilterAggregate silently clamps its sizing to the runtime-
+    * filter conf caps (maxNumItems 4M / maxNumBits 64M by default) —
+    * far below the "build side keys fit in a filter, not a hash
+    * relation" scale this operator exists for — so the caps are raised
+    * to the requested size for the build and restored after. */
   private def buildFilter(small: DataFrame, key: String,
                           expectedItems: Long, fpp: Double): Array[Byte] = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val agg = new BloomFilterAggregate(
-      Shims.expression(xxhash64(col(key))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    small.agg(Shims.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+    val spark = small.sparkSession
+    withConf(spark, Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(expectedItems, 4000000L).toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        math.max(numBits, 67108864L).toString)) {
+      val agg = new BloomFilterAggregate(
+        Shims.expression(xxhash64(col(key))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      small.agg(Shims.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+    }
   }
 
   /** Probe-side membership test as a native codegen predicate:
@@ -72,8 +100,12 @@ object BloomJoin {
                small: DataFrame, smallKey: String,
                expectedItems: Long = 1000000L,
                fpp: Double = 0.01): DataFrame = {
-    val might = mightContain(buildFilter(small, smallKey, expectedItems, fpp), col(bigKey))
-    big.filter(might)
+    val bytes = buildFilter(small, smallKey, expectedItems, fpp)
+    // empty build side → no filter to prune with; the exact semi join
+    // against the empty key set returns the correct empty result
+    val pruned =
+      if (bytes == null) big else big.filter(mightContain(bytes, col(bigKey)))
+    pruned
       .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_semi")
   }
 
@@ -85,11 +117,18 @@ object BloomJoin {
                small: DataFrame, smallKey: String,
                expectedItems: Long = 1000000L,
                fpp: Double = 0.01): DataFrame = {
-    val might = mightContain(buildFilter(small, smallKey, expectedItems, fpp), col(bigKey))
-    val misses = big.filter(!might)
-    val verified = big.filter(might)
-      .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_anti")
-    misses.unionByName(verified)
+    val bytes = buildFilter(small, smallKey, expectedItems, fpp)
+    // empty build side → anti join against nothing is the whole probe
+    // side (a null filter literal would instead null out BOTH branches
+    // and silently return zero rows)
+    if (bytes == null) big
+    else {
+      val might = mightContain(bytes, col(bigKey))
+      val misses = big.filter(!might)
+      val verified = big.filter(might)
+        .join(small.select(col(smallKey)).distinct(), col(bigKey) === col(smallKey), "left_anti")
+      misses.unionByName(verified)
+    }
   }
 
   /** q_bloom_prune: monthly revenue over lineitems whose part is NOT on

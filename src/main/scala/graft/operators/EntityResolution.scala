@@ -55,10 +55,15 @@ object EntityResolution {
         // Pin the minted ids so all three output branches see the same
         // values. Silver.materialize picks the deployment strategy:
         // eager localCheckpoint locally, a persisted parquet silver table
-        // when spark.graft.silver.dir is set (fault-tolerant path).
+        // when spark.graft.silver.dir is set (fault-tolerant path). The
+        // table name is unique PER CALL: a fixed name would let a later
+        // resolve() (or a concurrent session sharing the silver prefix)
+        // overwrite parquet parts a live Resolution still lazily reads.
+        // Superseded tables are garbage, collected by the same lifecycle
+        // rule as ResultCache's orphaned versions.
         graft.scale.Silver.materialize(
           staged.withColumn("__sid", monotonically_increasing_id()),
-          "entity_resolution_staged_uids")
+          s"entity_resolution_staged_uids_${java.util.UUID.randomUUID().toString.take(8)}")
     }
     val s = withUid.withColumn("__sname", Normalize.normalizeForMatching(col(nameCol)))
     val e = entities.select(

@@ -70,7 +70,11 @@ object LmScore {
     val v = bi.select(col("w1").as("w"))
       .unionByName(bi.select(col("w2").as("w")))
       .agg(countDistinct(col("w"))).head.getLong(0)
-    Model(uni, bi, v)
+    // Degenerate corpus (no 2-token document anywhere) → V would be 0
+    // and every smoothed p = k/0 = +Inf, scoring garbage as perplexity
+    // 0. Floor at 1 so probabilities stay finite (uniform over the
+    // single pseudo-outcome).
+    Model(uni, bi, math.max(v, 1L))
   }
 
   /** q_lm_counts: the model's INTEGER count tables over the documents

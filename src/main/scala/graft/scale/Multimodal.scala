@@ -10,11 +10,11 @@ import org.apache.spark.sql.types._
   * feature-extraction runs batched per partition.
   *
   * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[fakeDecodeFeatures]] derives a deterministic feature
-  * vector from the bytes. Everything around the stub — schema, batch
-  * iteration shape, partition preservation, null handling — is the real
-  * production plumbing: swap `decodeOne` for a JNI/codec call and nothing
-  * else changes.
+  * libraries): [[StubCodec]] derives a deterministic feature vector from
+  * the bytes. Everything around it — schema, batch iteration shape,
+  * partition preservation, null handling — is the real production
+  * plumbing: pass a codec-backed [[MediaCodec]] to [[extractFeatures]]
+  * and nothing else changes.
   *
   * Scale notes: mapPartitions amortizes per-batch setup (a real decoder's
   * model/codec init) across the partition; features stay columnar

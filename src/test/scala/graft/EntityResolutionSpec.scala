@@ -118,7 +118,8 @@ class EntityResolutionSpec extends SparkSpec {
         nameCol = "name", blockCol = "country", idCol = "id")
       assert(res.matched.count() == 1 && res.create.count() == 1)
       val silverTables = new java.io.File(dir).listFiles().map(_.getName).toSet
-      assert(silverTables.contains("entity_resolution_staged_uids"),
+      // name carries a per-call unique suffix (overwrite-safety)
+      assert(silverTables.exists(_.startsWith("entity_resolution_staged_uids_")),
         s"uid pinning bypassed Silver.materialize; silver dir has $silverTables")
     } finally spark.conf.unset("spark.graft.silver.dir")
   }

@@ -8,8 +8,16 @@ package graft
   */
 class PlanGateSpec extends SparkSpec {
 
+  // Queries whose builder RUNS distributed jobs eagerly (driver-loop
+  // training) before returning a driver-local frame: collecting their
+  // "plan" would execute full training for a LocalTableScan string the
+  // gates can't meaningfully check — excluded to keep this suite
+  // plans-only cheap. Their scale shapes are spec-gated in BpeSpec /
+  // LmScoreSpec instead.
+  private val eagerDriverQueries = Set("q_bpe_merges", "q_lm_counts")
+
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
+    (SparkEntry.queries -- eagerDriverQueries).map { case (name, fn) =>
       name -> fn(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
     }
 

@@ -66,6 +66,16 @@ class RangeBloomSpec extends SparkSpec {
     assert(out.sortBy(_.getOrElse(-1L)) == Seq(None, Some(2L)))
   }
 
+  test("BloomJoin: empty build side — anti keeps everything, semi keeps nothing") {
+    // BloomFilterAggregate yields a NULL filter for empty input; a null
+    // literal in the probe predicate would null out BOTH branches and
+    // silently drop the whole corpus from antiJoin.
+    val big = spark.range(0, 50).select(col("id").as("k"))
+    val empty = spark.range(0, 0).select(col("id").as("sk"))
+    assert(BloomJoin.antiJoin(big, "k", empty, "sk", expectedItems = 10).count() == 50)
+    assert(BloomJoin.semiJoin(big, "k", empty, "sk", expectedItems = 10).count() == 0)
+  }
+
   test("BloomJoin probe filter is a native codegen predicate, not a Scala UDF") {
     val big = spark.range(0, 100).select(col("id").as("k"))
     val small = spark.range(0, 10).select(col("id").as("sk"))
