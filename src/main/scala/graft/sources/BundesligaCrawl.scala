@@ -132,6 +132,14 @@ object BundesligaCrawl {
       hyd("$.props.pageProps.player.shirtNumber"))
     val num = nullif(regexp_extract(numText, "(\\d+)", 1), lit("")).cast("int")
     val nameParts = split(title, " ", 2)
+    // The season-stat pipeline is staged across separate projections on
+    // purpose: the tagged-pair arrays (regex extraction + the 21-pattern
+    // classifier per pair) are EXPENSIVE and referenced by every stat
+    // field — as one inline expression each of the 21 fields would carry
+    // its own copy, and higher-order functions get no codegen CSE (the
+    // first cut benched 4.5 s at sf0.1 for exactly this reason).
+    // CollapseProject keeps expensive multiply-referenced aliases in
+    // their own Project, so each stage evaluates once per row.
     pages.select(
         col(urlCol).as("player_url"),
         get(nameParts, lit(0)).as("first_name"),
@@ -141,8 +149,15 @@ object BundesligaCrawl {
         when(num.between(1, 99), num).as("shirt_number"),
         coalesce(labeled(html, Seq("Nationalität", "Nationality")),
           hyd("$.props.pageProps.player.nationality")).as("nationality"),
-        seasonStats(html).as("season_stats"),
+        seasonTagged(html, "\\bkey\\b", "\\bvalue\\b").as("__ss_rows"),
+        seasonTagged(html, "label", "value").as("__ss_boxes"),
         careerStats(html).as("senior_career"))
+      .withColumn("__ss_rowvals", foldSlots(col("__ss_rows"), lastWins = true))
+      .withColumn("__ss_boxvals", foldSlots(col("__ss_boxes"), lastWins = false))
+      .withColumn("season_stats",
+        seasonStatsFromSlots(col("__ss_rowvals"), col("__ss_boxvals")))
+      .select("player_url", "first_name", "last_name", "position",
+        "shirt_number", "nationality", "season_stats", "senior_career")
       .filter(col("first_name").isNotNull && col("first_name") =!= "")
   }
 
@@ -203,42 +218,64 @@ object BundesligaCrawl {
     translate(nullif(regexp_extract(v, "-?\\d+[.,]?\\d*", 0), lit("")),
       ",", ".").cast("double")
 
-  /** Season-stat struct from a player page
-    * (`_extract_player_season_stats_enhanced`): pass 1 reads the dynamic
-    * key/value grid (adjacent `key`/`value` divs — the regex stand-in
-    * for the reference's row-container walk; inside a grid row the two
-    * divs are adjacent), LAST successful match wins per field (the
-    * reference overwrites in pass 1); pass 2 reads `stat-box`
-    * label/value pairs and only fills fields pass 1 missed (FIRST wins
-    * there). Null struct when nothing matched, like the reference's
-    * `return None`. */
-  def seasonStats(html: Column): Column = {
-    def tagged(keyCls: String, valCls: String): Column = {
-      val pair = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>.*?</div>\\s*" +
-        s"<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>.*?</div>"
-      val keyRe = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>(.*?)</div>"
-      val valRe = s"(?si)<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>(.*?)</div>"
-      transform(regexp_extract_all(html, lit(pair), lit(0)), p =>
-        struct(
-          seasonFieldIdx(lower(stripTags(regexp_extract(p, keyRe, 1)))).as("f"),
-          stripTags(regexp_extract(p, valRe, 1)).as("v")))
-    }
-    val rows = tagged("\\bkey\\b", "\\bvalue\\b")
-    val boxes = tagged("label", "value")
-    def fieldValue(i: Int, isFloat: Boolean): Column = {
-      def candidates(src: Column) = filter(src, s =>
-        s.getField("f") === i && s.getField("v").rlike("\\d"))
-      val rowHit = candidates(rows)
-      val rowV = get(rowHit, size(rowHit) - 1).getField("v") // last wins
-      val boxV = get(candidates(boxes), lit(0)).getField("v")     // first fills
-      val v = coalesce(rowV, boxV)
-      if (isFloat) statFloat(v) else statInt(v)
-    }
+  /** Tagged (claimed-field, value-text) structs for every adjacent
+    * key/value (or label/value) div pair on the page — the regex
+    * stand-in for the reference's row-container walk; inside a grid row
+    * or stat-box the two divs are adjacent. This is the expensive step
+    * (pair regex over the page + the 21-pattern classifier per pair);
+    * evaluate it ONCE per row behind its own projection. */
+  private def seasonTagged(html: Column, keyCls: String, valCls: String): Column = {
+    val pair = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>.*?</div>\\s*" +
+      s"<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>.*?</div>"
+    val keyRe = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>(.*?)</div>"
+    val valRe = s"(?si)<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>(.*?)</div>"
+    transform(regexp_extract_all(html, lit(pair), lit(0)), p =>
+      struct(
+        seasonFieldIdx(lower(stripTags(regexp_extract(p, keyRe, 1)))).as("f"),
+        stripTags(regexp_extract(p, valRe, 1)).as("v")))
+  }
+
+  /** Fold tagged pairs into one value slot per mapping field.
+    * `lastWins = true` is pass 1 (the reference overwrites on every
+    * match); `false` is the stat-box pass (only fills empty slots). A
+    * pair only claims its slot when the value carries a digit (the
+    * reference sets a field only on successful numeric parse). */
+  private def foldSlots(tagged: Column, lastWins: Boolean): Column = {
+    val init = array_repeat(lit(null).cast("string"), SeasonStatMapping.length)
+    aggregate(tagged, init, (acc, s) => {
+      val take = s.getField("f") >= 0 && s.getField("v").rlike("\\d")
+      transform(acc, (v, j) => {
+        val hit = take && j === s.getField("f")
+        if (lastWins) when(hit, s.getField("v")).otherwise(v)
+        else when(hit && v.isNull, s.getField("v")).otherwise(v)
+      })
+    })
+  }
+
+  /** Assemble the season-stat struct from the two slot arrays (cheap
+    * per-field lookups). Null struct when nothing matched, like the
+    * reference's `return None`; grid slots take precedence, stat-box
+    * slots fill the gaps. */
+  private def seasonStatsFromSlots(rowVals: Column, boxVals: Column): Column = {
     val fields = SeasonStatMapping.zipWithIndex.map {
-      case ((_, name, isFloat), i) => fieldValue(i, isFloat).as(name)
+      case ((_, name, isFloat), i) =>
+        val v = coalesce(get(rowVals, lit(i)), get(boxVals, lit(i)))
+        (if (isFloat) statFloat(v) else statInt(v)).as(name)
     }
     when(fields.map(_.isNotNull).reduce(_ || _), struct(fields: _*))
   }
+
+  /** Season-stat struct from a player page
+    * (`_extract_player_season_stats_enhanced`): pass 1 reads the dynamic
+    * key/value grid, LAST successful match wins per field (the reference
+    * overwrites in pass 1); pass 2 reads `stat-box` label/value pairs
+    * and only fills fields pass 1 missed. Single-column convenience form
+    * — [[playersFromPages]] stages the same pieces across projections so
+    * the expensive tagging runs once per row. */
+  def seasonStats(html: Column): Column =
+    seasonStatsFromSlots(
+      foldSlots(seasonTagged(html, "\\bkey\\b", "\\bvalue\\b"), lastWins = true),
+      foldSlots(seasonTagged(html, "label", "value"), lastWins = false))
 
   /** Career table from a player page (`_extract_player_career_stats`):
     * first `<table>` classed career|history|statistik, header row

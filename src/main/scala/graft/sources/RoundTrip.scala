@@ -14,6 +14,16 @@ import graft.sources.Tables
   */
 object RoundTrip {
 
+  /** Fan expression-dense synthesized pages across the session's cores.
+    * The synthetic corpus arrives as ONE small parquet split, so without
+    * this a parse-heavy round trip runs as a single task and the bench
+    * measures one core of 32 — an artifact of the tiny input, not a
+    * scale property (production inputs are many splits and parallelize
+    * naturally; the rows here are a few KB each, so the extra exchange
+    * is negligible). */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** q_transfers: one Transfermarkt-style transfers page per nation.
     * Even custkeys are listed in the Zugänge (in) table, odd in the
     * Abgänge (out) table; fee text cycles free / loan / €…m by
@@ -197,10 +207,10 @@ object RoundTrip {
         "<th>Liga</th><th>Spiele</th><th>Tore</th><th>Vorlagen</th></tr>"),
       careerRow(1), careerRow(2), careerRow(3),
       lit("<tr><td>decoy</td><td>short</td></tr></table></body></html>"))
-    val pages = c.select(
+    val pages = fanOut(c.select(
       concat(lit("https://example.test/de/bundesliga/spieler/"), col("ck"))
         .as("player_url"),
-      html.as("html"))
+      html.as("html")))
     BundesligaCrawl.playersFromPages(pages)
       .select(
         regexp_extract(col("player_url"), "(\\d+)$", 1).cast("long").as("ck"),
@@ -208,7 +218,13 @@ object RoundTrip {
         col("season_stats.goals").as("cur_goals"),
         col("season_stats.sprints").as("cur_sprints"),
         col("season_stats.distance_km").as("cur_distance_km"),
-        explode(col("senior_career")).as("cs"))
+        // explode_outer, deliberately: plain explode lets
+        // InferFiltersFromGenerate add `isnotnull(career) && size>0`,
+        // and predicate pushdown inlines the whole career parse into a
+        // filter that sinks below the fan-out exchange — re-running the
+        // expensive parse in the single-split scan stage. Every page
+        // here has 3 career rows, so outer ≡ inner.
+        explode_outer(col("senior_career")).as("cs"))
       .select(col("ck"),
         col("cs.season").as("season"), col("cs.team").as("team"),
         col("cs.league").as("league"),
