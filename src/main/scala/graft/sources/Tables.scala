@@ -18,8 +18,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose map-side compute dominates an extra exchange of their
+    * bytes: only the text corpus qualifies — tokenize/shingle/n-gram
+    * explosion costs orders of magnitude more than re-shuffling 0.6 MB.
+    * Measured at sf0.1: fanning documents wins 2-3× on every corpus
+    * query; fanning the relational facts (lineitem/orders/events) LOST
+    * ~0.5 s per query — their map phases are cheap scans where the
+    * added exchange is pure overhead. Dimensions are excluded — they
+    * ride broadcast hints. */
+  private val FanTables = Set("documents")
+
+  /** Parallelism floor for single-split inputs. The local corpus is ONE
+    * parquet row group per table, so without this every scan stage —
+    * and with it the whole map side of every query (explode, partial
+    * aggregation, expression work) — runs as a single task regardless
+    * of cores. When a fact/corpus scan yields fewer splits than the
+    * session parallelism, fan it out with an explicit repartition
+    * (REPARTITION_BY_NUM — AQE respects user-specified counts and will
+    * not coalesce it away). Production inputs arrive as many splits, so
+    * this is a no-op there; disable with
+    * `spark.graft.scan.minPartitions=1`. Filter pushdown and column
+    * pruning are unaffected — predicates push through Repartition into
+    * the scan. */
+  private def parallelismFloor(spark: SparkSession, df: DataFrame): DataFrame = {
+    val floor = spark.conf.getOption("spark.graft.scan.minPartitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    if (floor > 1 && df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (FanTables(name)) parallelismFloor(spark, df) else df
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
