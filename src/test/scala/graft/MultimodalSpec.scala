@@ -23,8 +23,12 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media.limit(20))
       .select("features").collect().map(_.getSeq[Float](0))
     assert(feats.toSeq == again.toSeq)
-    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), "feature extraction must not shuffle")
+    // extraction must ADD no exchange over its input (the input scan may
+    // carry the Tables.load parallelism-floor repartition)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges(Multimodal.extractFeatures(media)) == exchanges(media),
+      "feature extraction must not shuffle")
   }
 
   test("extractFeatures: injected codec replaces the stub through the same plumbing") {
