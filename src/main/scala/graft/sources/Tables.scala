@@ -28,27 +28,46 @@ object Tables {
     * ride broadcast hints. */
   private val FanTables = Set("documents")
 
-  /** Parallelism floor for single-split inputs. The local corpus is ONE
-    * parquet row group per table, so without this every scan stage —
-    * and with it the whole map side of every query (explode, partial
-    * aggregation, expression work) — runs as a single task regardless
-    * of cores. When a fact/corpus scan yields fewer splits than the
-    * session parallelism, fan it out with an explicit repartition
-    * (REPARTITION_BY_NUM — AQE respects user-specified counts and will
-    * not coalesce it away). Production inputs arrive as many splits, so
-    * this is a no-op there; disable with
-    * `spark.graft.scan.minPartitions=1`. Filter pushdown and column
-    * pruning are unaffected — predicates push through Repartition into
-    * the scan. */
-  private def parallelismFloor(spark: SparkSession, df: DataFrame): DataFrame = {
-    val floor = spark.conf.getOption("spark.graft.scan.minPartitions")
-      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
-    if (floor > 1 && df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+  /** A corpus below this size is necessarily few-split (≲2 row groups
+    * at parquet defaults) — the fan-out candidates. Anything larger
+    * arrives as many splits and parallelizes naturally. */
+  private val FanMaxBytes = 256L * 1024 * 1024
+
+  /** Cached fan decision per file path: the size probe costs a plan
+    * analysis, and accessors are called once per query construction. */
+  private val fanDecision = new scala.collection.concurrent.TrieMap[String, Boolean]
+
+  /** Parallelism floor for SMALL (hence few-split) corpus inputs. The
+    * local corpus is ONE parquet row group per table, so without this
+    * every scan stage — and with it the whole map side of every corpus
+    * query (tokenize/explode/partial aggregation) — runs as a single
+    * task regardless of cores. Small scans are fanned with an explicit
+    * repartition (REPARTITION_BY_NUM — AQE respects user-specified
+    * counts and will not coalesce it away). Gated on file SIZE, not
+    * split count: a production corpus of many splits on a huge cluster
+    * must never be round-robin-reshuffled just because splits < cores.
+    * Filter pushdown and column pruning are unaffected — predicates
+    * push through Repartition into the scan. Disable with
+    * `spark.graft.scan.minPartitions=1`. */
+  private def parallelismFloor(spark: SparkSession, df: DataFrame,
+                               path: String): DataFrame = {
+    val confVal = spark.conf.getOption("spark.graft.scan.minPartitions")
+    val floor = confVal.map { v =>
+      try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.scan.minPartitions must be an integer (got '$v'); " +
+            "use 1 to disable the small-scan parallelism floor")
+      }
+    }.getOrElse(spark.sparkContext.defaultParallelism)
+    val fan = floor > 1 && fanDecision.getOrElseUpdate(path,
+      df.queryExecution.analyzed.stats.sizeInBytes < FanMaxBytes)
+    if (fan) df.repartition(floor) else df
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (FanTables(name)) parallelismFloor(spark, df) else df
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (FanTables(name)) parallelismFloor(spark, df, path) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")

@@ -17,11 +17,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures: fixed dim, deterministic, no shuffle, null-safe") {
-    val out = Multimodal.extractFeatures(media.limit(20)).cache()
-    val feats = out.select("features").collect().map(_.getSeq[Float](0))
+    // deterministic subset, not limit(): limit over the fanned
+    // (shuffled) documents scan may pick different rows per execution
+    val sample = media.filter(col("media_id") < 20)
+    val out = Multimodal.extractFeatures(sample).cache()
+    val feats = out.orderBy("media_id").select("features")
+      .collect().map(_.getSeq[Float](0))
     assert(feats.forall(_.length == Multimodal.FeatureDim))
-    val again = Multimodal.extractFeatures(media.limit(20))
-      .select("features").collect().map(_.getSeq[Float](0))
+    val again = Multimodal.extractFeatures(sample)
+      .orderBy("media_id").select("features")
+      .collect().map(_.getSeq[Float](0))
     assert(feats.toSeq == again.toSeq)
     // extraction must ADD no exchange over its input (the input scan may
     // carry the Tables.load parallelism-floor repartition)

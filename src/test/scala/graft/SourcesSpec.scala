@@ -312,6 +312,12 @@ class SourcesSpec extends SparkSpec {
     // stat-box fills only the missing field
     assert(out.getAs[Int]("sprints") == 188)
     assert(out.isNullAt(out.fieldIndex("assists")))
+    // the single-column convenience form must agree with the staged
+    // pipeline inside playersFromPages
+    val direct = Seq(page).toDF("html")
+      .select(BundesligaCrawl.seasonStats(col("html")).as("s"))
+      .select("s.*").collect().head
+    assert(direct == out)
   }
 
   test("BundesligaCrawl career table: header skip, short-row drop, isdigit guard (S14 depth)") {
