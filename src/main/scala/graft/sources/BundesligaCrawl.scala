@@ -73,7 +73,7 @@ object BundesligaCrawl {
       coalesce(pageTitle(html), hyd("$.props.pageProps.club.name")).as("name"),
       coalesce(labeled(html, Seq("Gegründet", "Founded")),
         hyd("$.props.pageProps.club.founded"))
-        .cast("int").as("founded_year"),
+        .try_cast("int").as("founded_year"),
       coalesce(labeled(html, Seq("Stadion", "Stadium")),
         hyd("$.props.pageProps.club.stadium.name")).as("stadium"),
       coalesce(labeled(html, Seq("Trainer", "Coach", "Cheftrainer")),
@@ -130,7 +130,7 @@ object BundesligaCrawl {
     val title = pageTitle(html)
     val numText = coalesce(labeled(html, Seq("Rückennummer", "Number", "Trikotnummer")),
       hyd("$.props.pageProps.player.shirtNumber"))
-    val num = nullif(regexp_extract(numText, "(\\d+)", 1), lit("")).cast("int")
+    val num = nullif(regexp_extract(numText, "(\\d+)", 1), lit("")).try_cast("int")
     val nameParts = split(title, " ", 2)
     // The season-stat pipeline is staged across separate projections on
     // purpose: the tagged-pair arrays (regex extraction + the 21-pattern
@@ -207,11 +207,13 @@ object BundesligaCrawl {
   }
 
   /** `int` parse of the reference: strip thousands dots, comma→dot, then
-    * the first integer run. */
+    * the first integer run. `try_cast`, not `cast`: under ANSI mode a
+    * digit run beyond Int range would otherwise throw mid-query; a
+    * malformed scraped stat must degrade to null, never kill the job. */
   private def statInt(v: Column): Column =
     nullif(regexp_extract(
       regexp_replace(regexp_replace(v, "\\.", ""), ",", "."),
-      "-?\\d+", 0), lit("")).cast("int")
+      "-?\\d+", 0), lit("")).try_cast("int")
 
   /** `float` parse of the reference: first decimal run, comma→dot. */
   private def statFloat(v: Column): Column =
@@ -293,7 +295,9 @@ object BundesligaCrawl {
     val cellArrays = transform(dataRows, r =>
       transform(regexp_extract_all(r, lit("(?si)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)),
         c => stripTags(c)))
-    def digitInt(c: Column): Column = when(c.rlike("^\\d+$"), c.cast("int"))
+    // try_cast: an all-digit cell longer than Int range must yield null
+    // under ANSI mode, not a query-killing cast error
+    def digitInt(c: Column): Column = when(c.rlike("^\\d+$"), c.try_cast("int"))
     transform(filter(cellArrays, c => size(c) >= 3), c => struct(
       get(c, lit(0)).as("season"),
       get(c, lit(1)).as("team"),

@@ -206,6 +206,89 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("season-stat value parsing matches the reference int/float semantics on generated inputs") {
+    import graft.sources.BundesligaCrawl
+    // Generated value texts over an HTML-safe alphabet (digit runs,
+    // German thousands dots / decimal commas, units, junk, minus signs,
+    // overlong digit runs). Driver reference replicates the Python:
+    //   int:   re.search('-?\d+', v.replace('.','').replace(',','.'))
+    //   float: re.search('-?\d+[.,]?\d*', v), ',' -> '.'
+    // with int overflow degrading to null (try_cast), never an error.
+    val atom = Gen.oneOf(
+      Gen.choose(0, 99999).map(_.toString),
+      Gen.const("1.234"), Gen.const("3,5"), Gen.const("-"), Gen.const("km/h x"),
+      Gen.const("Spiele"), Gen.const(" "), Gen.const("-17"), Gen.const(","),
+      Gen.const("."), Gen.const("99999999999999999999"))
+    val gen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, atom)).map(_.mkString(" "))
+    val cases = samples(gen, 80).distinct
+    def clean(s: String) = s.trim.replaceAll("\\s+", " ")
+    def refInt(v0: String): Option[Int] = {
+      val v = clean(v0).replace(".", "").replace(",", ".")
+      "-?\\d+".r.findFirstIn(v).flatMap(s => scala.util.Try(s.toInt).toOption)
+    }
+    def refFloat(v0: String): Option[Double] =
+      "-?\\d+[.,]?\\d*".r.findFirstIn(clean(v0))
+        .flatMap(s => scala.util.Try(s.replace(",", ".").toDouble).toOption)
+    val pages = cases.zipWithIndex.map { case (v, i) =>
+      (i.toLong,
+        s"""<html><body><h1>P $i</h1>
+           |<div class="row"><div class="key">Einsätze</div><div class="value">$v</div></div>
+           |<div class="row"><div class="key">Laufdistanz</div><div class="value">$v</div></div>
+           |</body></html>""".stripMargin)
+    }.toDF("player_url", "html")
+    val got = BundesligaCrawl.playersFromPages(pages)
+      .select(col("player_url").cast("long"),
+        col("season_stats.appearances"), col("season_stats.distance_km"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    for ((v, i) <- cases.zipWithIndex) {
+      // a pair only claims its slot when the value carries a digit
+      val expInt = if (clean(v).exists(_.isDigit)) refInt(v) else None
+      val expFloat = if (clean(v).exists(_.isDigit)) refFloat(v) else None
+      assert(got(i.toLong)._1 == expInt, s"int of '$v'")
+      assert(got(i.toLong)._2 == expFloat, s"float of '$v'")
+    }
+  }
+
+  test("career table parsing: cell-count filter and isdigit guard on generated rows") {
+    import graft.sources.BundesligaCrawl
+    // rows with 0-7 cells; stat cells randomly digit-only / junk /
+    // overlong digit runs; reference: rows[1:], keep >=3 cells,
+    // stats only when isdigit (overflow -> null, not error)
+    val cellGen = Gen.oneOf(
+      Gen.choose(0, 500).map(_.toString), Gen.const("-"),
+      Gen.const("x9"), Gen.const("12345678901234567890"))
+    val rowGen = Gen.choose(0, 7).flatMap(n => Gen.listOfN(n, cellGen))
+    val tables = samples(Gen.listOfN(5, rowGen), 30).zipWithIndex.map { case (rows, i) =>
+      val body = rows.map(cells =>
+        "<tr>" + cells.map(c => s"<td>$c</td>").mkString + "</tr>").mkString
+      (i.toLong, rows,
+        s"""<html><body><h1>P $i</h1><table class="statistik">
+           |<tr><th>h</th></tr>$body</table></body></html>""".stripMargin)
+    }
+    val got = BundesligaCrawl.playersFromPages(
+        tables.map(t => (t._1, t._3)).toDF("player_url", "html"))
+      .select(col("player_url").cast("long").as("id"), col("senior_career"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    def refStat(c: Option[String]): Option[Int] =
+      c.filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+    for ((id, rows, _) <- tables) {
+      val expected = rows.filter(_.length >= 3)
+      val parsed = got(id)
+      assert(parsed.length == expected.length, s"table $id row count")
+      parsed.zip(expected).foreach { case (p, cells) =>
+        assert(p.getString(0) == cells(0) && p.getString(1) == cells(1)
+          && p.getString(2) == cells(2), s"table $id positional cells")
+        def opt(i: Int) = if (p.isNullAt(i)) None else Some(p.getInt(i))
+        assert(opt(3) == refStat(cells.lift(3)), s"table $id appearances")
+        assert(opt(4) == refStat(cells.lift(4)), s"table $id goals")
+        assert(opt(5) == refStat(cells.lift(5)), s"table $id assists")
+      }
+    }
+  }
+
   test("bm25: score strictly increases with tf of a query term") {
     import graft.scale.Search
     // same corpus, doc 1 has more 'q' occurrences than doc 2; equal length
