@@ -20,7 +20,9 @@ object Parsing {
   /** F2 `parse_int` (parsing.py:24-28): strip thousands dots, first
     * signed integer run; null when absent. */
   def parseInt(s: Column): Column =
-    nullif(regexp_extract(translate(s, ".", ""), "(-?\\d+)", 1), lit("")).cast("long")
+    // try_cast: a scraped digit run beyond Long range must degrade to
+    // null under ANSI mode, never throw mid-query
+    nullif(regexp_extract(translate(s, ".", ""), "(-?\\d+)", 1), lit("")).try_cast("long")
 
   /** F3 `parse_decimal` (parsing.py:31-36): comma decimals → dot, first
     * decimal number; null when absent. */
@@ -61,7 +63,7 @@ object Parsing {
     val base = regexp_extract(s, "^(\\d+)", 1)
     val extra = regexp_extract(s, "\\+(\\d+)", 1)
     when(base =!= "",
-      base.cast("long") + coalesce(nullif(extra, lit("")).cast("long"), lit(0L)))
+      base.try_cast("long") + coalesce(nullif(extra, lit("")).try_cast("long"), lit(0L)))
   }
 
   /** F7 canonical market-value parser (transfermarkt_squad_scraper.py:
@@ -115,8 +117,8 @@ object Parsing {
     * struct(home_score, away_score); null for non-scores. */
   def parseScore(s: Column): Column = {
     val norm = translate(trim(s), ":", "-")
-    val h = nullif(regexp_extract(norm, "^(\\d+)\\s*-\\s*(\\d+)$", 1), lit("")).cast("int")
-    val a = nullif(regexp_extract(norm, "^(\\d+)\\s*-\\s*(\\d+)$", 2), lit("")).cast("int")
+    val h = nullif(regexp_extract(norm, "^(\\d+)\\s*-\\s*(\\d+)$", 1), lit("")).try_cast("int")
+    val a = nullif(regexp_extract(norm, "^(\\d+)\\s*-\\s*(\\d+)$", 2), lit("")).try_cast("int")
     when(h.isNotNull && a.isNotNull, struct(h.as("home_score"), a.as("away_score")))
   }
 

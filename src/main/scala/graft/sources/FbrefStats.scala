@@ -169,7 +169,7 @@ object FbrefStats {
     val coreAggs = PlayerCore.map { case (fbKey, dbCol, isInt) =>
       val raw = max(when(col("stat_key") === fbKey, col("stat_value")))
       val num = toNumber(raw)
-      (if (isInt) num.cast("long") else num).as(dbCol)
+      (if (isInt) num.try_cast("long") else num).as(dbCol)
     }
     merged
       .groupBy((pageKey :+ "fbref_player_id").map(col): _*)
@@ -203,7 +203,7 @@ object FbrefStats {
       val raw = coalesce(fbKeys.reverse.map(k =>
         max(when(col("stat_key") === k, col("stat_value")))): _*)
       val num = toNumber(raw)
-      (if (isInt) num.cast("long") else num).as(dbCol)
+      (if (isInt) num.try_cast("long") else num).as(dbCol)
     }
     merged
       .groupBy((pageKey :+ "fbref_team_id").map(col): _*)

@@ -25,7 +25,7 @@ object SiteParsers {
       .filter(size(col("cells")) >= 6)
       .select(
         col("snapshot_path"),
-        Parsing.parseInt(cell(0)).cast("int").as("number"),
+        Parsing.parseInt(cell(0)).try_cast("int").as("number"),
         Parsing.cleanText(cell(1)).as("name"),
         Parsing.cleanText(cell(2)).as("position"),
         Parsing.parseDateMulti(cell(3)).as("birth_date"),
@@ -46,7 +46,7 @@ object SiteParsers {
         Parsing.cleanText(cell(1)).as("reason"),
         Parsing.parseDateMulti(cell(2)).as("start_date"),
         Parsing.parseDateMulti(cell(3)).as("end_or_expected"),
-        Parsing.parseInt(cell(4)).cast("int").as("missed_games"))
+        Parsing.parseInt(cell(4)).try_cast("int").as("missed_games"))
       .withColumn("absence_type",
         when(lower(col("reason")).rlike("suspen|sperre"), "suspension")
           .when(lower(col("reason")).rlike("ill|krank"), "illness")
