@@ -114,7 +114,10 @@ object SparkEntry {
     "q_streaks"         -> ((s, d) => EventOps.activityStreaks(s, d)),
     "q_bpe_merges"      -> ((s, d) => graft.scale.Bpe.mergesQuery(s, d)),
     "q_lm_counts"       -> ((s, d) => graft.scale.LmScore.countsQuery(s, d)),
-    "q_career_stats"    -> ((s, d) => graft.sources.RoundTrip.careerFromCustomers(s, d))
+    "q_career_stats"    -> ((s, d) => graft.sources.RoundTrip.careerFromCustomers(s, d)),
+    "q_market_value"    -> ((s, d) => graft.sources.RoundTrip.marketValueFromCustomers(s, d)),
+    "q_odds"            -> ((s, d) => graft.sources.RoundTrip.oddsFromCustomers(s, d)),
+    "q_fixtures"        -> ((s, d) => graft.sources.RoundTrip.fixturesFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1478,6 +1481,63 @@ object SparkEntry {
         |         AS cur_distance_km
         |FROM customer c, seasons s
         |ORDER BY ck, s.season""".stripMargin,
+
+    // S11 round trip: German market-value formats (comma decimal Mio.,
+    // Tsd., bare euros), /beraterfirma/ agent link, Letzte-Änderung
+    // date. Value strings are built identically on both sides, so the
+    // double parse is bit-equal.
+    "q_market_value" ->
+      """SELECT c_custkey AS ck,
+        |       'Agentur ' || (c_custkey % 50) AS agent_name,
+        |       DATE '2024-01-01' + CAST(c_custkey % 365 AS INTEGER) AS valuation_date,
+        |       CASE CAST(c_custkey % 3 AS INTEGER)
+        |         WHEN 0 THEN CAST(((c_custkey % 90) + 1) || '.' || (c_custkey % 10) AS DOUBLE) * 1e6
+        |         WHEN 1 THEN CAST((c_custkey % 900) + 100 AS DOUBLE) * 1e3
+        |         ELSE CAST((c_custkey % 5000) + 1 AS DOUBLE) END AS value_eur,
+        |       'EUR' AS currency
+        |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // S12/S13 round trip: bet365 (two team elements) + bwin (joined
+    // "A - B") selector configs over the same synthesized odds; the
+    // plain-decimal guard nulls the fractional "1/2" home price (every
+    // 3rd customer) and the "evens" draw (every 5th).
+    "q_odds" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS ck,
+        |         (c_custkey % 80) + 11 AS h,
+        |         (c_custkey % 60) + 21 AS d,
+        |         (c_custkey % 90) + 12 AS a
+        |  FROM customer)
+        |SELECT bm.bookmaker, v.ck,
+        |       'Home ' || v.ck AS home_team,
+        |       'Away ' || v.ck AS away_team,
+        |       CASE WHEN v.ck % 3 = 0 THEN NULL
+        |            ELSE CAST((v.h // 10) || '.' || (v.h % 10) AS DOUBLE) END AS odds_home,
+        |       CASE WHEN v.ck % 5 = 0 THEN NULL
+        |            ELSE CAST((v.d // 10) || '.' || (v.d % 10) AS DOUBLE) END AS odds_draw,
+        |       CAST((v.a // 10) || '.' || (v.a % 10) AS DOUBLE) AS odds_away
+        |FROM v, (VALUES ('bet365'), ('bwin')) AS bm(bookmaker)
+        |ORDER BY bm.bookmaker, v.ck""".stripMargin,
+
+    // S4/S6 round trip: FBref Scores & Fixtures pattern-sniffing —
+    // /en/matches/<id>/ report link, ISO date cell, h-a score cell
+    // (absent for every 9th customer -> null goals), /en/squads/ team
+    // links; the decoy stats_misc table must be skipped by the id
+    // filter.
+    "q_fixtures" ->
+      """SELECT c_custkey AS ck,
+        |       'm' || c_custkey AS match_id,
+        |       '/en/matches/m' || c_custkey || '/report' AS match_url,
+        |       DATE '2024-03-01' + CAST(c_custkey % 28 AS INTEGER) AS match_date,
+        |       CASE WHEN c_custkey % 9 = 0 THEN NULL
+        |            ELSE CAST(c_custkey % 7 AS INT) END AS home_goals,
+        |       CASE WHEN c_custkey % 9 = 0 THEN NULL
+        |            ELSE CAST(c_custkey % 5 AS INT) END AS away_goals,
+        |       'Home ' || c_custkey AS home_team,
+        |       'Away ' || c_custkey AS away_team
+        |FROM customer
+        |ORDER BY ck""".stripMargin,
 
     // LM bigram/history count tables (integer face of the CCNet-style
     // scorer; the ln-based perplexity stays spec-gated): c12 per (w1,w2),

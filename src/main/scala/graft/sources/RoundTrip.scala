@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -233,6 +233,135 @@ object RoundTrip {
         col("cur_appearances"), col("cur_goals"), col("cur_sprints"),
         col("cur_distance_km"))
       .orderBy("ck", "season")
+  }
+
+  /** q_market_value: S11 round trip — one Transfermarkt-style profile
+    * page per customer: `/beraterfirma/` agent link, and a market-value
+    * block cycling German formats by custkey mod 3 — "a,b Mio." (comma
+    * decimal ×1e6), "n Tsd." (×1e3), bare euros — followed by the
+    * "Letzte Änderung: dd.MM.yyyy" date. Exercises F7 value scaling,
+    * German decimal handling, and date extraction; the oracle recomputes
+    * every field from customer arithmetic (value strings are built
+    * identically on both sides, so the double parse is bit-equal). */
+  def marketValueFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    val a = pmod(col("ck"), lit(90)) + 1
+    val b = pmod(col("ck"), lit(10))
+    val valBlock = when(pmod(col("ck"), lit(3)) === 0,
+        concat(a, lit(","), b, lit(" Mio. €")))
+      .when(pmod(col("ck"), lit(3)) === 1,
+        concat((pmod(col("ck"), lit(900)) + 100), lit(" Tsd. €")))
+      .otherwise(concat((pmod(col("ck"), lit(5000)) + 1), lit(" €")))
+    val dt = date_format(date_add(lit("2024-01-01").cast("date"),
+      pmod(col("ck"), lit(365)).cast("int")), "dd.MM.yyyy")
+    val html = concat(
+      lit("<html><body><a href=\"/beraterfirma/agentur-"), pmod(col("ck"), lit(50)),
+      lit("/\">Agentur "), pmod(col("ck"), lit(50)), lit("</a>"),
+      lit("<div class=\"marktwert\">"), valBlock,
+      lit(" Letzte Änderung: "), dt, lit("</div></body></html>"))
+    val pages = fanOut(c.select(
+      concat(lit("profil_"), col("ck")).as("snapshot_path"), html.as("html")))
+    SiteParsers.marketValueFromPages(pages)
+      .select(
+        regexp_extract(col("snapshot_path"), "(\\d+)$", 1).cast("long").as("ck"),
+        col("agent_name"), col("valuation_date"), col("value_eur"), col("currency"))
+      .orderBy("ck")
+  }
+
+  /** q_odds: S12/S13 round trip — bet365-shaped AND bwin-shaped odds
+    * pages synthesized per nation (one match row per customer), pushed
+    * through [[SiteParsers.bookmakerOddsFromPages]] with both selector
+    * configs. Exercises the row-class segmentation, per-class value
+    * extraction, the two-element vs " - "-joined team layouts, and the
+    * plain-decimal odds guard (every 3rd customer carries a fractional
+    * "1/2" home price, every 5th an "evens" draw — both must null out,
+    * like the reference's isdigit rejection). */
+  def oddsFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    def oddsStr(base: Column): Column =
+      concat((base / 10).cast("int"), lit("."), pmod(base, lit(10)))
+    val oh = oddsStr(pmod(col("ck"), lit(80)) + 11)
+    val od = oddsStr(pmod(col("ck"), lit(60)) + 21)
+    val oa = oddsStr(pmod(col("ck"), lit(90)) + 12)
+    val homeCell = when(pmod(col("ck"), lit(3)) === 0, lit("1/2")).otherwise(oh)
+    val drawCell = when(pmod(col("ck"), lit(5)) === 0, lit("evens")).otherwise(od)
+    def span(cls: String, v: Column): Column =
+      concat(lit(s"""<span class="$cls">"""), v, lit("</span>"))
+    val bet365Row = concat(
+      lit("<div class=\"gl-Market_General\">"),
+      span("gl-ParticipantFixtureDetails_TeamNames", concat(lit("Home "), col("ck"))),
+      span("gl-ParticipantFixtureDetails_TeamNames", concat(lit("Away "), col("ck"))),
+      span("gl-ParticipantOddsOnly_Odds", homeCell),
+      span("gl-ParticipantOddsOnly_Odds", drawCell),
+      span("gl-ParticipantOddsOnly_Odds", oa),
+      lit("</div>"))
+    val bwinRow = concat(
+      lit("<div class=\"grid-event-wrapper\">"),
+      span("participants", concat(lit("Home "), col("ck"), lit(" - Away "), col("ck"))),
+      span("option-value", homeCell),
+      span("option-value", drawCell),
+      span("option-value", oa),
+      lit("</div>"))
+    def pagesOf(rowCol: Column, tag: String): DataFrame = fanOut(c
+      .withColumn("__row", rowCol)
+      .groupBy(col("nk"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("ck"), col("__row").as("h")))), s => s.getField("h")), "").as("rows"))
+      .select(concat(lit(tag), col("nk")).as("snapshot_path"),
+        concat(lit("<html><body>"), col("rows"), lit("</body></html>")).as("html")))
+    val out365 = SiteParsers.bookmakerOddsFromPages(
+      pagesOf(bet365Row, "b365_"), SiteParsers.Bet365)
+    val outBwin = SiteParsers.bookmakerOddsFromPages(
+      pagesOf(bwinRow, "bwin_"), SiteParsers.Bwin)
+    out365.unionByName(outBwin)
+      .select(
+        col("bookmaker"),
+        regexp_extract(col("home_team"), "(\\d+)$", 1).cast("long").as("ck"),
+        col("home_team"), col("away_team"),
+        col("odds_home"), col("odds_draw"), col("odds_away"))
+      .orderBy("bookmaker", "ck")
+  }
+
+  /** q_fixtures: S4/S6 round trip — one FBref-style Scores & Fixtures
+    * page per nation (a `sched`-id table with thead/tbody, one row per
+    * customer, plus a decoy `stats_misc` table the id filter must skip).
+    * Exercises the positional pattern-sniffing: `/en/matches/<id>/`
+    * report link, ISO date cell, `h-a` score cell (absent for every 9th
+    * customer → null score), and the two `/en/squads/` team links. */
+  def fixturesFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    val scoreCell = when(pmod(col("ck"), lit(9)) === 0, lit("—"))
+      .otherwise(concat(pmod(col("ck"), lit(7)), lit("-"), pmod(col("ck"), lit(5))))
+    val rowHtml = concat(
+      lit("<tr><td><a href=\"/en/matches/m"), col("ck"), lit("/report\">Report</a></td><td>"),
+      date_format(date_add(lit("2024-03-01").cast("date"),
+        pmod(col("ck"), lit(28)).cast("int")), "yyyy-MM-dd"),
+      lit("</td><td>"), scoreCell,
+      lit("</td><td><a href=\"/en/squads/h"), col("ck"), lit("/\">Home "), col("ck"),
+      lit("</a></td><td><a href=\"/en/squads/a"), col("ck"), lit("/\">Away "), col("ck"),
+      lit("</a></td></tr>"))
+    val pages = fanOut(c
+      .withColumn("__row", rowHtml)
+      .groupBy(col("nk"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("ck"), col("__row").as("h")))), s => s.getField("h")), "").as("rows"))
+      .select(concat(lit("sched_"), col("nk")).as("snapshot_path"),
+        concat(
+          lit("<html><body><table id=\"stats_misc\"><tbody><tr><td>" +
+            "<a href=\"/en/matches/decoy/x\">decoy</a></td></tr></tbody></table>" +
+            "<table id=\"sched_2024_fixtures\"><thead><tr><th>Date</th></tr></thead><tbody>"),
+          col("rows"), lit("</tbody></table></body></html>")).as("html")))
+    SiteParsers.fbrefFixturesFromPages(pages)
+      .select(
+        regexp_extract(col("match_id"), "(\\d+)$", 1).cast("long").as("ck"),
+        col("match_id"), col("match_url"), col("match_date"),
+        col("score.home_score").as("home_goals"),
+        col("score.away_score").as("away_goals"),
+        col("home_team"), col("away_team"))
+      .orderBy("ck")
   }
 
   /** q_idmap_mapping / q_idmap_conflicts: the J7 external-id registry

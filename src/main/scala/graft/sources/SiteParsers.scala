@@ -287,8 +287,10 @@ object SiteParsers {
       "([0-9.,]+)\\s*(Mio\\.|Tsd\\.)?\\s*€\\s*Letzte Änderung:", 1)
     val scale = regexp_extract(text,
       "[0-9.,]+\\s*(Mio\\.|Tsd\\.)?\\s*€\\s*Letzte Änderung:", 1)
+    // try_cast: a malformed value text ("12,5,3" → "12.5.3") must yield
+    // null under ANSI mode, not a query-killing cast error
     val raw = nullif(regexp_replace(regexp_replace(valText, "\\.", ""), ",", "."), lit(""))
-      .cast("double")
+      .try_cast("double")
     val valueEur = raw * when(scale === "Mio.", 1e6)
       .when(scale === "Tsd.", 1e3).otherwise(1.0)
     pages.select(
