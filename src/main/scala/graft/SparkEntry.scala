@@ -117,7 +117,10 @@ object SparkEntry {
     "q_career_stats"    -> ((s, d) => graft.sources.RoundTrip.careerFromCustomers(s, d)),
     "q_market_value"    -> ((s, d) => graft.sources.RoundTrip.marketValueFromCustomers(s, d)),
     "q_odds"            -> ((s, d) => graft.sources.RoundTrip.oddsFromCustomers(s, d)),
-    "q_fixtures"        -> ((s, d) => graft.sources.RoundTrip.fixturesFromCustomers(s, d))
+    "q_fixtures"        -> ((s, d) => graft.sources.RoundTrip.fixturesFromCustomers(s, d)),
+    "q_matchday"        -> ((s, d) => graft.sources.RoundTrip.matchdayFromCustomers(s, d)),
+    "q_clubs"           -> ((s, d) => graft.sources.RoundTrip.clubsFromCustomers(s, d)),
+    "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1536,6 +1539,56 @@ object SparkEntry {
         |            ELSE CAST(c_custkey % 5 AS INT) END AS away_goals,
         |       'Home ' || c_custkey AS home_team,
         |       'Away ' || c_custkey AS away_team
+        |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // S15 round trip: ld+json SportsEvent extraction with its fallback
+    // ladder cycled by custkey mod 3 — full JSON / crew-scan + body
+    // score / title + labeled facts. Person names come from a fixed
+    // 5-name list (the referee regex rejects digits).
+    "q_matchday" ->
+      """SELECT c_custkey AS ck,
+        |       'Home ' || c_custkey AS home_team,
+        |       'Away ' || c_custkey AS away_team,
+        |       CAST(c_custkey % 5 AS INT) AS home_score,
+        |       CAST(c_custkey % 4 AS INT) AS away_score,
+        |       CASE WHEN c_custkey % 3 = 0 THEN '2024-05-04T18:30:00Z' END AS kickoff_utc,
+        |       'Arena ' || c_nationkey AS stadium,
+        |       CASE CAST(c_custkey % 5 AS INT)
+        |         WHEN 0 THEN 'Anna Berg' WHEN 1 THEN 'Max Hofer'
+        |         WHEN 2 THEN 'Lena Vogt' WHEN 3 THEN 'Paul Krause'
+        |         ELSE 'Mia Steiner' END AS referee,
+        |       'bundesliga' AS source
+        |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // S14 stage-1 round trip: club detail parsing (h1 name, labeled
+    // fact rows, first kader link).
+    "q_clubs" ->
+      """SELECT c_custkey AS ck,
+        |       'Club ' || c_custkey AS name,
+        |       CAST(1900 + c_custkey % 120 AS INT) AS founded_year,
+        |       'Arena ' || c_nationkey AS stadium,
+        |       CASE CAST(c_custkey % 5 AS INT)
+        |         WHEN 0 THEN 'Anna Berg' WHEN 1 THEN 'Max Hofer'
+        |         WHEN 2 THEN 'Lena Vogt' WHEN 3 THEN 'Paul Krause'
+        |         ELSE 'Mia Steiner' END AS coach,
+        |       '/de/bundesliga/clubs/c' || c_custkey || '/kader' AS squad_url
+        |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // S16/F25/F26 round trip: every supported game-node JSON shape
+    // (4 team layouts x 3 score layouts) flattens to one canonical
+    // record the oracle recomputes directly.
+    "q_game_json" ->
+      """SELECT c_custkey AS ck,
+        |       'g' || c_custkey AS game_id,
+        |       'Home ' || c_custkey AS home,
+        |       'Away ' || c_custkey AS away,
+        |       'h' || c_custkey AS home_id,
+        |       'a' || c_custkey AS away_id,
+        |       CAST(c_custkey % 7 AS INT) AS home_score,
+        |       CAST(c_custkey % 6 AS INT) AS away_score
         |FROM customer
         |ORDER BY ck""".stripMargin,
 

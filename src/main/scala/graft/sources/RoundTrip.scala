@@ -364,6 +364,135 @@ object RoundTrip {
       .orderBy("ck")
   }
 
+  /** Letter-only people names (the referee fallback regex and the
+    * labeled-value extractor both reject digits in names). */
+  private val PersonNames = Seq(
+    "Anna Berg", "Max Hofer", "Lena Vogt", "Paul Krause", "Mia Steiner")
+
+  private def personName(k: Column): Column =
+    element_at(
+      array(PersonNames.map(lit): _*), (pmod(k, lit(5)) + 1).cast("int"))
+
+  /** q_matchday: S15 round trip — one match-report page per customer,
+    * cycling the parser's three extraction paths by custkey mod 3:
+    * mode 0 = full ld+json SportsEvent (teams/scores/kickoff/location/
+    * referee straight from JSON); mode 1 = partial ld+json (teams and
+    * location only) — scores fall back to the FIRST "d - d" body text
+    * and the referee to the officiatingCrew role scan (the non-referee
+    * crew entry must be skipped); mode 2 = no JSON at all: title
+    * "A vs B" teams, body score, labeled Stadium fact row, and the
+    * "Schiedsrichter: Name" text. The score div precedes any script so
+    * the body-text score regex always hits the real score first. */
+  def matchdayFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    val mode = pmod(col("ck"), lit(3))
+    val h = pmod(col("ck"), lit(5))
+    val a = pmod(col("ck"), lit(4))
+    val ref = personName(col("ck"))
+    val kickoff = lit("2024-05-04T18:30:00Z")
+    val scriptOpen = "<script type=\"application/ld+json\">"
+    val fullJson = concat(
+      lit(scriptOpen + "{\"@type\":\"SportsEvent\",\"homeTeam\":{\"name\":\"Home "),
+      col("ck"), lit("\"},\"awayTeam\":{\"name\":\"Away "), col("ck"),
+      lit("\"},\"homeScore\":"), h, lit(",\"awayScore\":"), a,
+      lit(",\"startDate\":\""), kickoff,
+      lit("\",\"location\":{\"name\":\"Arena "), col("nk"),
+      lit("\"},\"referee\":{\"name\":\""), ref, lit("\"}}</script>"))
+    val crewJson = concat(
+      lit(scriptOpen + "{\"@type\":\"SportsEvent\",\"homeTeam\":{\"name\":\"Home "),
+      col("ck"), lit("\"},\"awayTeam\":{\"name\":\"Away "), col("ck"),
+      lit("\"},\"location\":{\"name\":\"Arena "), col("nk"),
+      lit("\"},\"officiatingCrew\":[{\"name\":\"Jo Stein\",\"roleName\":\"Fourth Official\"}," +
+        "{\"name\":\""), ref, lit("\",\"roleName\":\"Referee\"}]}</script>"))
+    val scoreDiv = concat(lit("<div class=\"result\">"), h, lit(" - "), a, lit("</div>"))
+    val title = concat(lit("<title>Home "), col("ck"), lit(" vs Away "), col("ck"),
+      lit("</title>"))
+    val body = when(mode === 0, concat(scoreDiv, fullJson))
+      .when(mode === 1, concat(scoreDiv, crewJson))
+      .otherwise(concat(scoreDiv,
+        lit("<table><tr><th>Stadium</th><td>Arena "), col("nk"), lit("</td></tr></table>"),
+        lit("<p>Schiedsrichter: "), ref, lit("</p>")))
+    val pages = fanOut(c.select(
+      concat(lit("match_"), col("ck")).as("snapshot_path"),
+      concat(lit("<html><head>"), title, lit("</head><body>"), body,
+        lit("</body></html>")).as("html")))
+    BundesligaCrawl.matchdayFromPages(pages)
+      .select(
+        regexp_extract(col("snapshot_path"), "(\\d+)$", 1).cast("long").as("ck"),
+        col("home_team"), col("away_team"), col("home_score"), col("away_score"),
+        col("kickoff_utc"), col("stadium"), col("referee"), col("source"))
+      .orderBy("ck")
+  }
+
+  /** q_clubs: S14 stage-1 round trip — club detail pages (h1 name,
+    * Gegründet/Stadion/Trainer fact rows, first kader link) recomputed
+    * by the oracle from customer arithmetic. */
+  def clubsFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    val html = concat(
+      lit("<html><body><h1>Club "), col("ck"), lit("</h1><table>"),
+      lit("<tr><th>Gegründet</th><td>"), (pmod(col("ck"), lit(120)) + 1900),
+      lit("</td></tr><tr><th>Stadion</th><td>Arena "), col("nk"),
+      lit("</td></tr><tr><th>Trainer</th><td>"), personName(col("ck")),
+      lit("</td></tr></table><a href=\"/de/bundesliga/clubs/c"), col("ck"),
+      lit("/kader\">Kader</a></body></html>"))
+    val pages = fanOut(c.select(
+      concat(lit("club_"), col("ck")).as("source_url"), html.as("html")))
+    BundesligaCrawl.clubsFromPages(pages)
+      .select(
+        regexp_extract(col("source_url"), "(\\d+)$", 1).cast("long").as("ck"),
+        col("name"), col("founded_year"), col("stadium"), col("coach"),
+        col("squad_url"))
+      .orderBy("ck")
+  }
+
+  /** q_game_json: S16/F25/F26 round trip — captured game-node JSON in
+    * every shape the normalizer supports, cycled per customer: team
+    * layout by custkey mod 4 (home/away objects, homeTeam/awayTeam,
+    * nested teams, participants-by-side list) × score layout by custkey
+    * mod 3 (score string "h-a", homeScore/awayScore ints, nested
+    * scores.ft). Every combination must flatten to the same canonical
+    * record, which the oracle recomputes from customer arithmetic. */
+  def gameJsonFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("ck"))
+    val h = pmod(col("ck"), lit(7))
+    val a = pmod(col("ck"), lit(6))
+    def teamObj(idPrefix: String, name: String): Column = concat(
+      lit("{\"id\":\"" + idPrefix), col("ck"),
+      lit("\",\"name\":\"" + name + " "), col("ck"), lit("\"}"))
+    val home = teamObj("h", "Home")
+    val away = teamObj("a", "Away")
+    val teamsPart = when(pmod(col("ck"), lit(4)) === 0,
+        concat(lit("\"home\":"), home, lit(",\"away\":"), away))
+      .when(pmod(col("ck"), lit(4)) === 1,
+        concat(lit("\"homeTeam\":"), home, lit(",\"awayTeam\":"), away))
+      .when(pmod(col("ck"), lit(4)) === 2,
+        concat(lit("\"teams\":{\"home\":"), home, lit(",\"away\":"), away, lit("}")))
+      .otherwise(concat(
+        lit("\"participants\":[{\"side\":\"home\",\"id\":\"h"), col("ck"),
+        lit("\",\"name\":\"Home "), col("ck"),
+        lit("\"},{\"side\":\"away\",\"id\":\"a"), col("ck"),
+        lit("\",\"name\":\"Away "), col("ck"), lit("\"}]")))
+    val scorePart = when(pmod(col("ck"), lit(3)) === 0,
+        concat(lit("\"score\":\""), h, lit("-"), a, lit("\"")))
+      .when(pmod(col("ck"), lit(3)) === 1,
+        concat(lit("\"homeScore\":"), h, lit(",\"awayScore\":"), a))
+      .otherwise(concat(
+        lit("\"scores\":{\"ft\":{\"home\":"), h, lit(",\"away\":"), a, lit("}}")))
+    val json = concat(lit("{\"id\":\"g"), col("ck"), lit("\","),
+      teamsPart, lit(","), scorePart, lit("}"))
+    fanOut(c.withColumn("__json", json))
+      .select(col("ck"),
+        graft.functions.JsonNorm.normalizeGameJson(col("__json")).as("g"))
+      .select(col("ck"), col("g.id").as("game_id"),
+        col("g.home").as("home"), col("g.away").as("away"),
+        col("g.home_id").as("home_id"), col("g.away_id").as("away_id"),
+        col("g.home_score").as("home_score"), col("g.away_score").as("away_score"))
+      .orderBy("ck")
+  }
+
   /** q_idmap_mapping / q_idmap_conflicts: the J7 external-id registry
     * exercised end-to-end. `current` maps each residue class of custkey
     * to its smallest member; `staged` claims map orderkey residues to the
