@@ -120,7 +120,8 @@ object SparkEntry {
     "q_fixtures"        -> ((s, d) => graft.sources.RoundTrip.fixturesFromCustomers(s, d)),
     "q_matchday"        -> ((s, d) => graft.sources.RoundTrip.matchdayFromCustomers(s, d)),
     "q_clubs"           -> ((s, d) => graft.sources.RoundTrip.clubsFromCustomers(s, d)),
-    "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d))
+    "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d)),
+    "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1589,6 +1590,28 @@ object SparkEntry {
         |       'a' || c_custkey AS away_id,
         |       CAST(c_custkey % 7 AS INT) AS home_score,
         |       CAST(c_custkey % 6 AS INT) AS away_score
+        |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // S2/S3 round trip: live-score normalization — score split over
+    // "h-a"/"h:a"/unparseable, case-insensitive F12 status ladder,
+    // F29 sha-256 external id (DuckDB sha256 = Spark sha2(..,256),
+    // both lowercase hex).
+    "q_live_norm" ->
+      """SELECT c_custkey AS ck,
+        |       'Home ' || c_custkey AS home_team,
+        |       'Away ' || c_custkey AS away_team,
+        |       CASE WHEN c_custkey % 4 = 2 THEN NULL
+        |            ELSE CAST(c_custkey % 9 AS INT) END AS home_score,
+        |       CASE WHEN c_custkey % 4 = 2 THEN NULL
+        |            ELSE CAST(c_custkey % 8 AS INT) END AS away_score,
+        |       CASE CAST(c_custkey % 6 AS INTEGER)
+        |         WHEN 0 THEN 'live' WHEN 1 THEN 'live'
+        |         WHEN 2 THEN 'finished' WHEN 3 THEN 'finished'
+        |         WHEN 4 THEN 'scheduled' ELSE 'live' END AS status,
+        |       sha256('Home ' || c_custkey || '_Away ' || c_custkey || '_' ||
+        |              CASE WHEN c_custkey % 2 = 0 THEN 'flashscore'
+        |                   ELSE 'sofascore' END) AS external_id
         |FROM customer
         |ORDER BY ck""".stripMargin,
 

@@ -493,6 +493,39 @@ object RoundTrip {
       .orderBy("ck")
   }
 
+  /** q_live_norm: S2/S3 round trip — the batch/stream-shared live-score
+    * normalization ([[graft.streaming.LiveScores.normalize]]): score
+    * split over "h-a" / "h:a" / unparseable text, the F12 status ladder
+    * (minute ticks and HT → live, FT/AET → finished, else scheduled,
+    * case-insensitive), and the F29 sha-256 external id — recomputed in
+    * DuckDB with its own sha256. */
+  def liveNormFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("ck"))
+    val h = pmod(col("ck"), lit(9))
+    val a = pmod(col("ck"), lit(8))
+    val scoreText = when(pmod(col("ck"), lit(4)) === 0, concat(h, lit("-"), a))
+      .when(pmod(col("ck"), lit(4)) === 1, concat(h, lit(":"), a))
+      .when(pmod(col("ck"), lit(4)) === 2, lit("vs"))
+      .otherwise(concat(h, lit(" - "), a))
+    val statusText = element_at(array(
+      lit("45'"), lit("HT"), lit("FT"), lit("aet"), lit("Scheduled"), lit("live")),
+      (pmod(col("ck"), lit(6)) + 1).cast("int"))
+    val src = when(pmod(col("ck"), lit(2)) === 0, "flashscore").otherwise("sofascore")
+    val raw = c.select(
+      col("ck"),
+      concat(lit("Home "), col("ck")).as("home_team"),
+      concat(lit("Away "), col("ck")).as("away_team"),
+      scoreText.as("score_text"),
+      statusText.as("status_text"),
+      lit("45").as("match_time"),
+      src.as("source"),
+      lit("2024-05-04 18:30:00").cast("timestamp").as("scraped_at"))
+    graft.streaming.LiveScores.normalize(raw)
+      .select(col("ck"), col("home_team"), col("away_team"),
+        col("home_score"), col("away_score"), col("status"), col("external_id"))
+      .orderBy("ck")
+  }
+
   /** q_idmap_mapping / q_idmap_conflicts: the J7 external-id registry
     * exercised end-to-end. `current` maps each residue class of custkey
     * to its smallest member; `staged` claims map orderkey residues to the
