@@ -289,6 +289,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bookmaker odds parsing survives generated markup variation") {
+    import graft.sources.SiteParsers
+    // the selector config keys on CLASS SUBSTRINGS: random extra
+    // classes, attribute order, and inter-element whitespace must not
+    // change the extraction
+    val junkAttr = Gen.oneOf("", " data-x=\"1\"", " id=\"e7\"", " aria-hidden=\"true\"")
+    val pad = Gen.oneOf("", " ", "\n  ")
+    val extraCls = Gen.oneOf("", "x-pad ", "zz-9 ")
+    val gen = Gen.zip(Gen.zip(junkAttr, pad, extraCls),
+      Gen.zip(Gen.choose(11, 89), Gen.choose(21, 79), Gen.choose(12, 95)))
+    val cases = samples(gen, 40).zipWithIndex
+    val pages = cases.map { case (((attr, p, ec), (h, d, a)), i) =>
+      def span(cls: String, v: String) =
+        s"""<span$attr class="$ec$cls">$v</span>$p"""
+      (s"pg_$i",
+        s"""<div class="$ec gl-Market_General"$attr>$p""" +
+          span("gl-ParticipantFixtureDetails_TeamNames", s"Alpha $i") +
+          span("gl-ParticipantFixtureDetails_TeamNames", s"Beta $i") +
+          span("gl-ParticipantOddsOnly_Odds", s"${h / 10}.${h % 10}") +
+          span("gl-ParticipantOddsOnly_Odds", s"${d / 10}.${d % 10}") +
+          span("gl-ParticipantOddsOnly_Odds", s"${a / 10}.${a % 10}") + "</div>")
+    }.toDF("snapshot_path", "html")
+    val got = SiteParsers.bookmakerOddsFromPages(pages, SiteParsers.Bet365)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getString(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.size == cases.size)
+    for ((((_, _, _), (h, d, a)), i) <- cases) {
+      val (ht, at, oh, od, oa) = got(s"pg_$i")
+      assert(ht == s"Alpha $i" && at == s"Beta $i", s"teams of pg_$i")
+      assert(oh == s"${h / 10}.${h % 10}".toDouble
+        && od == s"${d / 10}.${d % 10}".toDouble
+        && oa == s"${a / 10}.${a % 10}".toDouble, s"odds of pg_$i")
+    }
+  }
+
+  test("market value parsing: generated German formats match driver arithmetic") {
+    import graft.sources.SiteParsers
+    // value text variants: "a,b Mio." / "n Tsd." / "n" with optional
+    // thousands dots; reference semantics = strip dots, comma->dot,
+    // scale by suffix
+    val gen = Gen.zip(Gen.choose(1, 999), Gen.choose(0, 9), Gen.choose(0, 2))
+    val cases = samples(gen, 50).distinct.zipWithIndex
+    val rows = cases.map { case ((n, f, m), i) =>
+      val (vt, want) = m match {
+        case 0 => (s"$n,$f Mio.", s"$n.$f".toDouble * 1e6)
+        case 1 => (s"$n Tsd.", n.toDouble * 1e3)
+        case _ => (f"1.$n%03d", f"1$n%03d".toDouble) // "1.234" thousands dot
+      }
+      (s"p_$i", s"<html><body><div>$vt € Letzte Änderung: 01.02.2024</div></body></html>", want)
+    }
+    val got = SiteParsers.marketValueFromPages(
+        rows.map(r => (r._1, r._2)).toDF("snapshot_path", "html"))
+      .select("snapshot_path", "value_eur").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((id, _, want) <- rows)
+      assert(got(id) == want, s"$id: got ${got(id)} want $want")
+  }
+
   test("bm25: score strictly increases with tf of a query term") {
     import graft.scale.Search
     // same corpus, doc 1 has more 'q' occurrences than doc 2; equal length
