@@ -24,6 +24,21 @@ object RoundTrip {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** One synthesized page per nation: the input's `__row` HTML fragments
+    * are concatenated in custkey order — `array_sort` on the (ck, html)
+    * struct keys the collected rows deterministically, which is what
+    * makes every per-nation round trip reproducible — and wrapped in
+    * `head`/`foot`, with `prefix<nk>` as the snapshot path. Shared by
+    * every per-nation harness so the ordering trick lives in ONE place. */
+  private def pagesByNation(rows: DataFrame, prefix: String,
+                            head: String, foot: String): DataFrame =
+    rows.groupBy(col("nk"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("ck"), col("__row").as("h")))), s => s.getField("h")), "")
+        .as("rows"))
+      .select(concat(lit(prefix), col("nk")).as("snapshot_path"),
+        concat(lit(head), col("rows"), lit(foot)).as("html"))
+
   /** q_transfers: one Transfermarkt-style transfers page per nation.
     * Even custkeys are listed in the Zugänge (in) table, odd in the
     * Abgänge (out) table; fee text cycles free / loan / €…m by
@@ -106,17 +121,10 @@ object RoundTrip {
       lit("</td><td>"), col("born"),
       lit("</td><td>Nation "), col("nk"),
       lit("</td><td>€"), col("mv_m"), lit(".00m</td></tr>"))
-    val pages = c
-      .groupBy("nk")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("ck"), rowHtml.as("h")))),
-        s => s.getField("h")), "").as("rows"))
-      .select(
-        concat(lit("nation_"), col("nk")).as("snapshot_path"),
-        concat(
-          lit("<table class=\"items\"><tr><th>#</th><th>Player</th><th>Pos</th>" +
-            "<th>Born</th><th>Nat</th><th>Value</th></tr>"),
-          col("rows"), lit("</table>")).as("html"))
+    val pages = pagesByNation(c.withColumn("__row", rowHtml), "nation_",
+      "<table class=\"items\"><tr><th>#</th><th>Player</th><th>Pos</th>" +
+        "<th>Born</th><th>Nat</th><th>Value</th></tr>",
+      "</table>")
     SiteParsers.squadFromPages(pages)
       .select(col("number"), col("name"), col("position"), col("birth_date"),
         col("nationality"), col("market_value"))
@@ -144,17 +152,10 @@ object RoundTrip {
       lit("</td><td>"), col("start"),
       lit("</td><td>"), col("until"),
       lit("</td><td>"), col("missed"), lit("</td></tr>"))
-    val pages = c
-      .groupBy("nk")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("ck"), rowHtml.as("h")))),
-        s => s.getField("h")), "").as("rows"))
-      .select(
-        concat(lit("nation_"), col("nk")).as("snapshot_path"),
-        concat(
-          lit("<table><tr><th>Player</th><th>Reason</th><th>From</th>" +
-            "<th>Until</th><th>Games</th></tr>"),
-          col("rows"), lit("</table>")).as("html"))
+    val pages = pagesByNation(c.withColumn("__row", rowHtml), "nation_",
+      "<table><tr><th>Player</th><th>Reason</th><th>From</th>" +
+        "<th>Until</th><th>Games</th></tr>",
+      "</table>")
     SiteParsers.injuriesFromPages(pages)
       .select(col("player_name"), col("reason"), col("start_date"),
         col("end_or_expected"), col("missed_games"), col("absence_type"))
@@ -304,13 +305,9 @@ object RoundTrip {
       span("option-value", drawCell),
       span("option-value", oa),
       lit("</div>"))
-    def pagesOf(rowCol: Column, tag: String): DataFrame = fanOut(c
-      .withColumn("__row", rowCol)
-      .groupBy(col("nk"))
-      .agg(array_join(transform(array_sort(collect_list(
-        struct(col("ck"), col("__row").as("h")))), s => s.getField("h")), "").as("rows"))
-      .select(concat(lit(tag), col("nk")).as("snapshot_path"),
-        concat(lit("<html><body>"), col("rows"), lit("</body></html>")).as("html")))
+    def pagesOf(rowCol: Column, tag: String): DataFrame = fanOut(
+      pagesByNation(c.withColumn("__row", rowCol), tag,
+        "<html><body>", "</body></html>"))
     val out365 = SiteParsers.bookmakerOddsFromPages(
       pagesOf(bet365Row, "b365_"), SiteParsers.Bet365)
     val outBwin = SiteParsers.bookmakerOddsFromPages(
@@ -343,17 +340,11 @@ object RoundTrip {
       lit("</td><td><a href=\"/en/squads/h"), col("ck"), lit("/\">Home "), col("ck"),
       lit("</a></td><td><a href=\"/en/squads/a"), col("ck"), lit("/\">Away "), col("ck"),
       lit("</a></td></tr>"))
-    val pages = fanOut(c
-      .withColumn("__row", rowHtml)
-      .groupBy(col("nk"))
-      .agg(array_join(transform(array_sort(collect_list(
-        struct(col("ck"), col("__row").as("h")))), s => s.getField("h")), "").as("rows"))
-      .select(concat(lit("sched_"), col("nk")).as("snapshot_path"),
-        concat(
-          lit("<html><body><table id=\"stats_misc\"><tbody><tr><td>" +
-            "<a href=\"/en/matches/decoy/x\">decoy</a></td></tr></tbody></table>" +
-            "<table id=\"sched_2024_fixtures\"><thead><tr><th>Date</th></tr></thead><tbody>"),
-          col("rows"), lit("</tbody></table></body></html>")).as("html")))
+    val pages = fanOut(pagesByNation(c.withColumn("__row", rowHtml), "sched_",
+      "<html><body><table id=\"stats_misc\"><tbody><tr><td>" +
+        "<a href=\"/en/matches/decoy/x\">decoy</a></td></tr></tbody></table>" +
+        "<table id=\"sched_2024_fixtures\"><thead><tr><th>Date</th></tr></thead><tbody>",
+      "</tbody></table></body></html>"))
     SiteParsers.fbrefFixturesFromPages(pages)
       .select(
         regexp_extract(col("match_id"), "(\\d+)$", 1).cast("long").as("ck"),

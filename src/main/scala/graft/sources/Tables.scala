@@ -28,26 +28,33 @@ object Tables {
     * ride broadcast hints. */
   private val FanTables = Set("documents")
 
-  /** A corpus below this size is necessarily few-split (≲2 row groups
-    * at parquet defaults) — the fan-out candidates. Anything larger
-    * arrives as many splits and parallelizes naturally. */
+  /** Reshuffle budget: fanning is only worth it when re-shuffling the
+    * WHOLE table costs less than the map-side compute it unlocks. A
+    * few-split corpus over this size keeps its layout (conservative:
+    * a 300 MB single-row-group file stays 1-task rather than paying a
+    * full reshuffle on every scan — write it as many row groups
+    * instead). */
   private val FanMaxBytes = 256L * 1024 * 1024
 
-  /** Cached fan decision per file path: the size probe costs a plan
-    * analysis, and accessors are called once per query construction. */
-  private val fanDecision = new scala.collection.concurrent.TrieMap[String, Boolean]
+  /** Cached fan decision, keyed by (path, file length) so a file
+    * REWRITTEN at the same path re-evaluates (java.io length is 0 for
+    * non-local URIs — those still key consistently by path). The probe
+    * costs a plan analysis + file listing, and accessors run once per
+    * query construction. */
+  private val fanDecision = new scala.collection.concurrent.TrieMap[(String, Long), Boolean]
 
-  /** Parallelism floor for SMALL (hence few-split) corpus inputs. The
-    * local corpus is ONE parquet row group per table, so without this
-    * every scan stage — and with it the whole map side of every corpus
-    * query (tokenize/explode/partial aggregation) — runs as a single
-    * task regardless of cores. Small scans are fanned with an explicit
-    * repartition (REPARTITION_BY_NUM — AQE respects user-specified
-    * counts and will not coalesce it away). Gated on file SIZE, not
-    * split count: a production corpus of many splits on a huge cluster
-    * must never be round-robin-reshuffled just because splits < cores.
-    * Filter pushdown and column pruning are unaffected — predicates
-    * push through Repartition into the scan. Disable with
+  /** Parallelism floor for small few-split corpus inputs. The local
+    * corpus is ONE parquet row group per table, so without this every
+    * scan stage — and with it the whole map side of every corpus query
+    * (tokenize/explode/partial aggregation) — runs as a single task
+    * regardless of cores. Fanned with an explicit repartition
+    * (REPARTITION_BY_NUM — AQE respects user-specified counts and will
+    * not coalesce it away). BOTH gates must hold: fewer splits than the
+    * floor (an already-parallel corpus must never be round-robin
+    * re-shuffled — that can REDUCE its parallelism) and under
+    * [[FanMaxBytes]] (re-shuffling must be cheap relative to the map
+    * work). Filter pushdown and column pruning are unaffected —
+    * predicates push through Repartition into the scan. Disable with
     * `spark.graft.scan.minPartitions=1`. */
   private def parallelismFloor(spark: SparkSession, df: DataFrame,
                                path: String): DataFrame = {
@@ -59,8 +66,11 @@ object Tables {
             "use 1 to disable the small-scan parallelism floor")
       }
     }.getOrElse(spark.sparkContext.defaultParallelism)
-    val fan = floor > 1 && fanDecision.getOrElseUpdate(path,
-      df.queryExecution.analyzed.stats.sizeInBytes < FanMaxBytes)
+    def fileLen: Long =
+      try new java.io.File(path).length() catch { case _: Throwable => 0L }
+    val fan = floor > 1 && fanDecision.getOrElseUpdate((path, fileLen),
+      df.queryExecution.analyzed.stats.sizeInBytes < FanMaxBytes &&
+        df.rdd.getNumPartitions < floor)
     if (fan) df.repartition(floor) else df
   }
 
