@@ -40,17 +40,6 @@ import graft.sources.Tables
   */
 object BloomJoin {
 
-  /** Run `f` with session confs temporarily set, restoring after. */
-  private def withConf[T](spark: SparkSession,
-                          pairs: Seq[(String, String)])(f: => T): T = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   /** Serialized Bloom filter over `xxhash64(key)` of the build side,
     * computed with Spark's native `BloomFilterAggregate` (the same
     * expression the optimizer's runtime row-level filtering injects —
@@ -64,22 +53,24 @@ object BloomJoin {
     * BloomFilterAggregate silently clamps its sizing to the runtime-
     * filter conf caps (maxNumItems 4M / maxNumBits 64M by default) —
     * far below the "build side keys fit in a filter, not a hash
-    * relation" scale this operator exists for — so the caps are raised
-    * to the requested size for the build and restored after. */
+    * relation" scale this operator exists for. The caps are raised on a
+    * CLONED session (`spark.newSession()`: shared SparkContext and
+    * catalog, isolated SQLConf) and the build job runs there, so a
+    * concurrent query planning on the caller's session never observes
+    * the inflated caps and no restore can race another build. */
   private def buildFilter(small: DataFrame, key: String,
                           expectedItems: Long, fpp: Double): Array[Byte] = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val spark = small.sparkSession
-    withConf(spark, Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
-        math.max(expectedItems, 4000000L).toString,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
-        math.max(numBits, 67108864L).toString)) {
-      val agg = new BloomFilterAggregate(
-        Shims.expression(xxhash64(col(key))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-      small.agg(Shims.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
-    }
+    val iso = small.sparkSession.newSession()
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(expectedItems, 4000000L).toString)
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(numBits, 67108864L).toString)
+    val build = Shims.ofRows(iso, small.queryExecution.analyzed)
+    val agg = new BloomFilterAggregate(
+      Shims.expression(xxhash64(col(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    build.agg(Shims.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
   }
 
   /** Probe-side membership test as a native codegen predicate:

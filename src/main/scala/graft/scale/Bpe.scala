@@ -42,9 +42,14 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** Space-joined initial symbol sequence: characters + [[EndOfWord]]. */
+  /** Space-joined initial symbol sequence: CODEPOINTS + [[EndOfWord]].
+    * Codepoint split (`(?s).` extraction — Java regex `.` matches one
+    * code point, surrogate pairs included), NOT `split(w, "")` (UTF-16
+    * code units): a non-BMP character (emoji) must symbolize as one
+    * unit, matching the DuckDB oracle's `regexp_extract_all(w,'(?s).')`
+    * and the reference's Python per-character split. */
   private def symbolize(w: Column): Column =
-    concat(concat_ws(" ", filter(split(w, ""), s => s =!= lit(""))),
+    concat(concat_ws(" ", regexp_extract_all(w, lit("(?s)."), lit(0))),
       lit(" " + EndOfWord))
 
   /** All adjacent symbol pairs of a space-joined sequence, as
@@ -80,10 +85,14 @@ object Bpe {
   def train(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
             batchSize: Int = 1, textCol: String = "text"): Seq[Merge] = {
     require(numMerges >= 0 && batchSize >= 1)
+    // Per-call unique silver names (same rule as EntityResolution): a
+    // concurrent or later train() sharing spark.graft.silver.dir must
+    // not overwrite parts under this run's still-live round tables.
+    val uid = java.util.UUID.randomUUID().toString.take(8)
     var words = Silver.materialize(
       wordFreqs(docs, textCol)
         .select(symbolize(col("w")).as("sym"), col("freq")),
-      "bpe_words_0")
+      s"bpe_words_${uid}_0")
     val learned = scala.collection.mutable.ArrayBuffer[Merge]()
     var round = 0
     var exhausted = false
@@ -118,7 +127,7 @@ object Bpe {
         }
         words = Silver.materialize(
           words.select(mergedSym.as("sym"), col("freq")),
-          s"bpe_words_$round")
+          s"bpe_words_${uid}_$round")
       }
     }
     learned.toSeq

@@ -53,16 +53,22 @@ object LmScore {
     * `perplexity` call re-reads the counts instead of re-scanning the
     * reference corpus per scoring run. */
   def train(reference: DataFrame): Model = {
+    // Silver names are unique PER CALL (same rule as
+    // EntityResolution.resolve): the Model lazily re-reads these parquet
+    // tables, so a later or concurrent train() sharing
+    // spark.graft.silver.dir must never overwrite parts under a live
+    // Model's count tables.
+    val uid = java.util.UUID.randomUUID().toString.take(8)
     val bi = Silver.materialize(bigramPairs(reference)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
-      "lm_bigrams")
+      s"lm_bigrams_$uid")
     // History counts derive FROM the bigram table (c1 = Σ_w2 c12), not
     // from raw token counts — counting document-final occurrences of w1
     // in the denominator would make Σ_w2 P(w2|w1) < 1 (a silent
     // deviation from the standard bigram MLE that shifts perplexities
     // vs other implementations).
     val uni = Silver.materialize(
-      bi.groupBy("w1").agg(sum(col("c12")).as("c1")), "lm_unigrams")
+      bi.groupBy("w1").agg(sum(col("c12")).as("c1")), s"lm_unigrams_$uid")
     // V for smoothing = distinct tokens participating in any bigram
     // (w1 ∪ w2) — model-table-bounded, no extra corpus scan; a token can
     // only ever be predicted as a w2 outcome, so outcome-space V is the

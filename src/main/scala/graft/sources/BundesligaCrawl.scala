@@ -231,21 +231,45 @@ object BundesligaCrawl {
       s"<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>.*?</div>"
     val keyRe = s"(?si)<div[^>]*class=\"[^\"]*$keyCls[^\"]*\"[^>]*>(.*?)</div>"
     val valRe = s"(?si)<div[^>]*class=\"[^\"]*$valCls[^\"]*\"[^>]*>(.*?)</div>"
-    transform(regexp_extract_all(html, lit(pair), lit(0)), p =>
+    val base = transform(regexp_extract_all(html, lit(pair), lit(0)), p =>
       struct(
         seasonFieldIdx(lower(stripTags(regexp_extract(p, keyRe, 1)))).as("f"),
         stripTags(regexp_extract(p, valRe, 1)).as("v")))
+    // Second pass adds the parse-success flag over the ALREADY-extracted
+    // (f, v) struct (HOFs get no codegen CSE — referencing the regex
+    // extractions again would re-run them): the reference commits a
+    // field only when its typed parse succeeds, so the flag is the
+    // field-type parse, not a has-a-digit heuristic.
+    transform(base, s => struct(
+      s.getField("f").as("f"),
+      s.getField("v").as("v"),
+      parseOk(s.getField("f"), s.getField("v")).as("ok")))
+  }
+
+  /** Would the typed parse of value `v` for field index `f` succeed?
+    * Mirrors [[seasonStatsFromSlots]]'s per-field statInt/statFloat
+    * choice — a value like a 12-digit run contains digits yet
+    * try_casts to null, and the reference keeps the earlier value (or
+    * lets the stat-box pass fill) in that case. */
+  private def parseOk(f: Column, v: Column): Column = {
+    val floatIdx = SeasonStatMapping.zipWithIndex.collect {
+      case ((_, _, true), i) => i
+    }
+    val isFloat = floatIdx.map(i => f === lit(i))
+      .foldLeft(lit(false))(_ || _)
+    when(isFloat, statFloat(v).isNotNull).otherwise(statInt(v).isNotNull)
   }
 
   /** Fold tagged pairs into one value slot per mapping field.
     * `lastWins = true` is pass 1 (the reference overwrites on every
     * match); `false` is the stat-box pass (only fills empty slots). A
-    * pair only claims its slot when the value carries a digit (the
-    * reference sets a field only on successful numeric parse). */
+    * pair only claims its slot when its TYPED parse succeeded (the
+    * `ok` flag [[seasonTagged]] precomputed — the reference sets a
+    * field only on successful numeric parse). */
   private def foldSlots(tagged: Column, lastWins: Boolean): Column = {
     val init = array_repeat(lit(null).cast("string"), SeasonStatMapping.length)
     aggregate(tagged, init, (acc, s) => {
-      val take = s.getField("f") >= 0 && s.getField("v").rlike("\\d")
+      val take = s.getField("f") >= 0 && s.getField("ok")
       transform(acc, (v, j) => {
         val hit = take && j === s.getField("f")
         if (lastWins) when(hit, s.getField("v")).otherwise(v)

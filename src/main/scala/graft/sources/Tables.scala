@@ -36,12 +36,27 @@ object Tables {
     * instead). */
   private val FanMaxBytes = 256L * 1024 * 1024
 
-  /** Cached fan decision, keyed by (path, file length) so a file
-    * REWRITTEN at the same path re-evaluates (java.io length is 0 for
-    * non-local URIs — those still key consistently by path). The probe
-    * costs a plan analysis + file listing, and accessors run once per
-    * query construction. */
+  /** Cached fan decision, keyed by (path, content signature) so a table
+    * REWRITTEN at the same path re-evaluates. A parquet table is usually
+    * a DIRECTORY, whose own length() does not change when part files are
+    * rewritten in place — the signature therefore folds every child
+    * file's length AND mtime (one local-FS listing; non-local URIs
+    * signature as 0 and key consistently by path). The probe costs a
+    * plan analysis + file listing, and accessors run once per query
+    * construction. */
   private val fanDecision = new scala.collection.concurrent.TrieMap[(String, Long), Boolean]
+
+  /** Rewrite-sensitive content signature of a local file or parquet
+    * directory: Σ over regular child files of (length + lastModified),
+    * plus the top-level entry's own values. 0 for anything unlistable. */
+  private def contentSignature(path: String): Long =
+    try {
+      val f = new java.io.File(path)
+      val children = Option(f.listFiles()).getOrElse(Array.empty)
+      children.iterator.filter(_.isFile)
+        .map(c => c.length() + c.lastModified())
+        .foldLeft(f.length() + f.lastModified())(_ + _)
+    } catch { case _: Throwable => 0L }
 
   /** Parallelism floor for small few-split corpus inputs. The local
     * corpus is ONE parquet row group per table, so without this every
@@ -66,9 +81,7 @@ object Tables {
             "use 1 to disable the small-scan parallelism floor")
       }
     }.getOrElse(spark.sparkContext.defaultParallelism)
-    def fileLen: Long =
-      try new java.io.File(path).length() catch { case _: Throwable => 0L }
-    val fan = floor > 1 && fanDecision.getOrElseUpdate((path, fileLen),
+    val fan = floor > 1 && fanDecision.getOrElseUpdate((path, contentSignature(path)),
       df.queryExecution.analyzed.stats.sizeInBytes < FanMaxBytes &&
         df.rdd.getNumPartitions < floor)
     if (fan) df.repartition(floor) else df

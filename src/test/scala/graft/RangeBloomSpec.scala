@@ -85,6 +85,30 @@ class RangeBloomSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"scala UDF in probe path:\n$plan")
   }
 
+  test("BloomJoin build never mutates the caller session's runtime-filter confs") {
+    // The aggregate's sizing caps are raised on a CLONED session
+    // (spark.newSession); a concurrent query planned on the caller's
+    // session must never observe inflated caps, and user-pinned values
+    // must survive a build that requests far larger sizing.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, "1234")
+    spark.conf.set(bitsKey, "123456")
+    try {
+      val big = spark.range(0, 100).select(col("id").as("k"))
+      val small = spark.range(0, 10).select(col("id").as("sk"))
+      assert(BloomJoin.semiJoin(big, "k", small, "sk",
+        expectedItems = 50000000L).count() == 10)
+      assert(spark.conf.get(itemsKey) == "1234", "maxNumItems leaked")
+      assert(spark.conf.get(bitsKey) == "123456", "maxNumBits leaked")
+    } finally {
+      oldItems.fold(spark.conf.unset(itemsKey))(spark.conf.set(itemsKey, _))
+      oldBits.fold(spark.conf.unset(bitsKey))(spark.conf.set(bitsKey, _))
+    }
+  }
+
   test("RangeJoin.selfIntervalOverlap ≡ naive overlap join, exactly-once pairs") {
     // intervals spanning bins, nested, identical, touching, disjoint,
     // negative coordinates, and a cross-key decoy
