@@ -7,8 +7,17 @@ import org.apache.spark.sql.SparkSession
   * A first untimed warmup pass per query absorbs one-time costs that a real
   * cluster amortizes across jobs (JIT, codegen compilation, parquet footer
   * caching, shuffle service init) — without it the first query's number is
-  * ~50 s of JVM warmup, not query time. Timed number = best of 3 runs
-  * (the host exhibits multi-second CPU-steal spikes; min filters them).
+  * ~50 s of JVM warmup, not query time.
+  *
+  * Timed protocol: per-query MEDIAN of 3 runs, with min/max/raw reported
+  * alongside (the `runs` object). The host exhibits multi-second CPU-steal
+  * spikes; a single-run number can't distinguish a plan regression from one
+  * spike landing on one query (round 4 showed 8× apparent swings on
+  * untouched code). The median filters a single spiked rep; the reported
+  * spread makes any residual contamination visible instead of silently
+  * shipping as "the" number. `queries` stays a flat name→seconds map (the
+  * median) so downstream tooling and round-over-round comparisons keep
+  * working unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +34,7 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     // Dedup/similarity queries localCheckpoint intermediates; drop them
-    // between queries so 96 runs don't accumulate block-manager pressure.
+    // between queries so ~300 runs don't accumulate block-manager pressure.
     // Blocking unpersist: async removal would overlap the next timed query
     // (observed as multi-second phantom slowness on whatever queries run
     // right after the warmup phase).
@@ -47,35 +56,48 @@ object Bench {
     // now instead of during the first timed queries.
     System.gc()
     Thread.sleep(2000)
-    def bestOf(n: String, reps: Int): Double = {
+
+    def runsOf(n: String, reps: Int): Seq[Double] = {
       val fn = SparkEntry.queries(n)
-      val runs = (1 to reps).map { _ =>
-        val r = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      (1 to reps).flatMap { _ =>
+        val r = try Some(time(fn(spark, sfDir).count()))
+                catch { case _: Throwable => None }
         dropCheckpoints()
         r
       }
-      if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0
     }
-    // Best-of-3: the host shows multi-second CPU-steal spikes; min over
-    // three runs isolates the actual query cost.
-    val firstPass = names.map(n => n -> bestOf(n, 3))
-    // Steal can persist for a whole query's three reps (observed: a 0.45 s
-    // aggregation printing 19 s because its window coincided with a
-    // sustained spike). Re-run outliers — anything over 4× the suite
-    // median and over 2 s — after the suite, when the spike has passed,
-    // and keep the overall min.
-    val valid = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
-    val median = if (valid.isEmpty) 0.0 else valid(valid.size / 2)
-    val results = firstPass.map { case (n, v) =>
-      if (v > 2.0 && v > 4 * median) {
-        val retry = bestOf(n, 3)
-        n -> (if (retry >= 0) math.min(v, retry) else v)
-      } else n -> v
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    val firstPass = names.map(n => n -> runsOf(n, 3))
+    // A steal spike can persist across a whole query's three reps
+    // (observed: a 0.45 s aggregation printing 19 s because its window
+    // coincided with a sustained spike). Re-run such outliers — median over
+    // 4× the suite median and over 2 s — after the suite, when the spike
+    // has passed, pooling all runs so the final median reflects both
+    // samples.
+    val medians0 = firstPass.collect { case (_, rs) if rs.nonEmpty => median(rs) }.sorted
+    val suiteMed = if (medians0.isEmpty) 0.0 else medians0(medians0.size / 2)
+    val results: Seq[(String, Seq[Double])] = firstPass.map { case (n, rs) =>
+      if (rs.nonEmpty && median(rs) > 2.0 && median(rs) > 4 * suiteMed)
+        n -> (rs ++ runsOf(n, 3))
+      else n -> rs
+    }
+
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, rs) =>
+      "\"" + k + "\":" + (if (rs.isEmpty) "-1.0" else fmt(median(rs)))
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, rs) =>
+      val body = if (rs.isEmpty) "\"n\":0"
+        else s""""median":${fmt(median(rs))},"min":${fmt(rs.min)},"max":${fmt(rs.max)},"n":${rs.size},"raw":[${rs.map(fmt).mkString(",")}]"""
+      "\"" + k + "\":{" + body + "}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, rs) if rs.nonEmpty => median(rs) }.sum
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"per-query median of 3 timed runs after an untimed warmup pass; sustained outliers re-run and pooled","queries":$qs,"runs":$spread,"sf":"$sfDir"}"""
     println(json)
     // Also write machine-readable output: the stdout line is interleaved
     // with sbt [info] noise, so harnesses parse the file instead. Filtered
