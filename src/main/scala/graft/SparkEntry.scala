@@ -121,7 +121,10 @@ object SparkEntry {
     "q_matchday"        -> ((s, d) => graft.sources.RoundTrip.matchdayFromCustomers(s, d)),
     "q_clubs"           -> ((s, d) => graft.sources.RoundTrip.clubsFromCustomers(s, d)),
     "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d)),
-    "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d))
+    "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d)),
+    "q_rest_teams"      -> ((s, d) => graft.sources.RoundTrip.restTeamsFromCustomers(s, d)),
+    "q_rest_players"    -> ((s, d) => graft.sources.RoundTrip.restPlayersFromCustomers(s, d)),
+    "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1633,7 +1636,56 @@ object SparkEntry {
         |SELECT b.w1, b.w2, b.c12, u.c1
         |FROM bi b JOIN uni u USING (w1)
         |WHERE b.c12 >= 5
-        |ORDER BY b.w1, b.w2""".stripMargin
+        |ORDER BY b.w1, b.w2""".stripMargin,
+
+    // S18/S19 REST-collector round trips: Spark synthesizes
+    // football-data.org-shaped response JSON per nation from customer
+    // rows, runs the collectors' field/status-enum mapping, and DuckDB
+    // recomputes the expected typed rows directly from customer
+    // (football_data_api_collector.py:55-151 semantics).
+    "q_rest_teams" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS team_id,
+        |       c_name AS name,
+        |       CASE WHEN c_custkey % 13 <> 0 THEN 'Nation ' || c_nationkey END AS country,
+        |       CASE WHEN c_custkey % 5 <> 0 THEN 1900 + c_custkey % 120 END AS founded,
+        |       CASE WHEN c_custkey % 3 <> 0 THEN substring(c_name, 1, 8) ELSE '' END AS short_name,
+        |       CASE WHEN c_custkey % 4 <> 0 THEN 'T' || (c_custkey % 26) ELSE '' END AS tla
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rest_players" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS player_id,
+        |       CASE WHEN c_custkey % 11 IN (0, 5) THEN 'Unknown'
+        |            WHEN c_custkey % 4 = 0 THEN 'F' || c_custkey || ' L' || c_custkey
+        |            ELSE c_name END AS name,
+        |       CASE WHEN c_custkey % 7 <> 0
+        |            THEN DATE '1980-01-01' + CAST(c_custkey % 8000 AS INTEGER) END AS birth_date,
+        |       'Nation ' || c_nationkey AS nationality,
+        |       CASE WHEN c_custkey % 6 IN (0, 1) THEN NULL
+        |            ELSE ['GK','DF','MF','FW'][(c_custkey % 4) + 1] END AS position
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rest_matches" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS match_id,
+        |       CAST(c_custkey AS VARCHAR) AS home_team_id,
+        |       CAST(c_custkey + 1 AS VARCHAR) AS away_team_id,
+        |       CAST(DATE '2024-01-01' + CAST(c_custkey % 365 AS INTEGER) AS VARCHAR)
+        |         || ' ' || lpad(CAST(c_custkey % 24 AS VARCHAR), 2, '0')
+        |         || ':' || lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0')
+        |         || ':00' AS utc_datetime,
+        |       CASE CAST(c_custkey % 10 AS INTEGER)
+        |         WHEN 1 THEN 'live' WHEN 2 THEN 'live' WHEN 3 THEN 'live'
+        |         WHEN 4 THEN 'finished' WHEN 5 THEN 'postponed'
+        |         WHEN 6 THEN 'cancelled' WHEN 7 THEN 'suspended'
+        |         ELSE 'scheduled' END AS status,
+        |       CAST(c_nationkey AS VARCHAR) AS competition,
+        |       '2024' AS season,
+        |       CASE WHEN c_custkey % 3 = 0 THEN 'Arena ' || c_nationkey END AS venue,
+        |       CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey % 34 + 1 AS VARCHAR)
+        |            ELSE 'Stage ' || (c_custkey % 5) END AS round_label
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
   )
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the

@@ -546,4 +546,111 @@ object RoundTrip {
     graft.operators.ExternalIdMap.register(current, staged).conflicts
       .orderBy("source", "external_id", "claimed_internal_id")
   }
+
+  // ---- REST-collector round trips (S18/S19) -------------------------------
+  // Synthesize football-data.org-shaped response documents (one JSON doc
+  // per nation) from customer rows via to_json — null struct fields are
+  // OMITTED from the generated JSON (spark.sql.jsonGenerator.ignoreNullFields
+  // default), which is exactly what exercises the collectors' .get()
+  // default paths — then push them through RestCollectors and emit typed
+  // rows the DuckDB oracle recomputes directly from customer.
+
+  /** Per-customer element structs rolled into one response doc per
+    * nation: {"<arrayField>": [...]} (+ optional envelope fields). */
+  private def responsesByNation(elems: DataFrame, arrayField: String,
+                                envelope: Seq[Column] = Nil): DataFrame =
+    fanOut(elems.groupBy(col("nk"))
+      .agg(collect_list(col("__elem")).as("items"))
+      .select(to_json(struct(
+        envelope :+ col("items").as(arrayField): _*)).as("body")))
+
+  /** q_rest_teams: collect_teams branch matrix — absent `area` (ck%13=0
+    * → null country), absent `founded` (ck%5=0 → null), absent
+    * `shortName`/`tla` (ck%3=0 / ck%4=0 → "" defaults). */
+  def restTeamsFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_name").as("nm"),
+      col("c_nationkey").as("nk"))
+    val elem = struct(
+      col("ck").as("id"),
+      col("nm").as("name"),
+      when(pmod(col("ck"), lit(13)) =!= 0,
+        struct(concat(lit("Nation "), col("nk")).as("name"))).as("area"),
+      when(pmod(col("ck"), lit(5)) =!= 0,
+        lit(1900) + pmod(col("ck"), lit(120))).as("founded"),
+      when(pmod(col("ck"), lit(3)) =!= 0, substring(col("nm"), 1, 8)).as("shortName"),
+      when(pmod(col("ck"), lit(4)) =!= 0,
+        concat(lit("T"), pmod(col("ck"), lit(26)))).as("tla"))
+    RestCollectors.collectTeams(
+        responsesByNation(c.withColumn("__elem", elem), "teams"))
+      .orderBy(col("team_id").cast("long"))
+  }
+
+  /** q_rest_players: collect_players name-composition ladder — ck%11=0:
+    * no name fields → "Unknown"; ck%11=5: firstName WITHOUT lastName →
+    * still "Unknown" (the reference requires both); else ck%4=0:
+    * firstName+lastName; else plain `name`. dateOfBirth absent for
+    * ck%7=0; position "" (ck%6=0) and absent (ck%6=1) both → null. */
+  def restPlayersFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val positions = array(lit("GK"), lit("DF"), lit("MF"), lit("FW"))
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_name").as("nm"),
+      col("c_nationkey").as("nk"))
+    val m11 = pmod(col("ck"), lit(11))
+    val caseB = m11 === 5
+    val caseC = m11 =!= 0 && m11 =!= 5 && pmod(col("ck"), lit(4)) === 0
+    val caseD = m11 =!= 0 && m11 =!= 5 && pmod(col("ck"), lit(4)) =!= 0
+    val elem = struct(
+      col("ck").as("id"),
+      when(caseD, col("nm")).as("name"),
+      when(caseB || caseC, concat(lit("F"), col("ck"))).as("firstName"),
+      when(caseC, concat(lit("L"), col("ck"))).as("lastName"),
+      when(pmod(col("ck"), lit(7)) =!= 0,
+        date_add(lit("1980-01-01").cast("date"),
+          pmod(col("ck"), lit(8000)).cast("int")).cast("string")).as("dateOfBirth"),
+      concat(lit("Nation "), col("nk")).as("nationality"),
+      when(pmod(col("ck"), lit(6)) === 0, lit(""))
+        .when(pmod(col("ck"), lit(6)) =!= 1,
+          element_at(positions, (pmod(col("ck"), lit(4)) + 1).cast("int")))
+        .as("position"))
+    RestCollectors.collectPlayers(
+        responsesByNation(c.withColumn("__elem", elem), "squad"))
+      .orderBy(col("player_id").cast("long"))
+  }
+
+  /** q_rest_matches: collect_matches — all 8 ladder statuses plus an
+    * unknown ("AWARDED", ck%10=8) and an absent one (ck%10=9), both →
+    * "scheduled"; Z-suffixed utcDate; null-safe venue (present ck%3=0);
+    * round_label precedence (matchday when even, else round.name —
+    * overlap rows where both exist prove matchday wins). */
+  def restMatchesFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val statuses = array(Seq("SCHEDULED", "LIVE", "IN_PLAY", "PAUSED",
+      "FINISHED", "POSTPONED", "CANCELLED", "SUSPENDED", "AWARDED").map(lit): _*)
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+    val m10 = pmod(col("ck"), lit(10))
+    val utcDate = concat(
+      date_add(lit("2024-01-01").cast("date"),
+        pmod(col("ck"), lit(365)).cast("int")).cast("string"),
+      lit("T"), lpad(pmod(col("ck"), lit(24)).cast("string"), 2, "0"),
+      lit(":"), lpad(pmod(col("ck"), lit(60)).cast("string"), 2, "0"),
+      lit(":00Z"))
+    val elem = struct(
+      col("ck").as("id"),
+      struct(col("ck").as("id")).as("homeTeam"),
+      struct((col("ck") + 1).as("id")).as("awayTeam"),
+      utcDate.as("utcDate"),
+      when(m10 <= 8, element_at(statuses, (m10 + 1).cast("int"))).as("status"),
+      when(pmod(col("ck"), lit(3)) === 0,
+        struct(concat(lit("Arena "), col("nk")).as("name"))).as("venue"),
+      when(pmod(col("ck"), lit(2)) === 0, pmod(col("ck"), lit(34)) + 1).as("matchday"),
+      when(pmod(col("ck"), lit(2)) =!= 0 || pmod(col("ck"), lit(6)) === 0,
+        struct(concat(lit("Stage "), pmod(col("ck"), lit(5))).as("name"))).as("round"))
+    RestCollectors.collectMatches(
+        responsesByNation(c.withColumn("__elem", elem), "matches",
+          envelope = Seq(
+            struct(col("nk").cast("long").as("id")).as("competition"),
+            struct(lit("2024").as("season")).as("filters"))))
+      .orderBy(col("match_id").cast("long"))
+  }
 }

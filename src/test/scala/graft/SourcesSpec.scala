@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.JsonNorm
-import graft.sources.Bronze
+import graft.sources.{Bronze, RestCollectors}
 
 /** Mirrors the reference's JSON-normalization unit tests
   * (tests/unit/test_utils.py:6-55) and HTML-fixture parser tests
@@ -481,5 +481,30 @@ class SourcesSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.forall(_.getString(0) == "test_scraper"))
     assert(rows.map(_.getString(1)).contains("""{"team":"A","rank":1}"""))
+  }
+
+  test("RestCollectors: degenerate responses — missing array, empty array, malformed doc (S18/S19)") {
+    // The branch matrix itself is oracle-checked end-to-end
+    // (q_rest_teams/players/matches); this covers the shapes the oracle
+    // corpus can't carry: a response with no array key, an empty array,
+    // and a non-JSON body — all must yield zero rows, never a crash.
+    val docs = Seq("""{"count": 0}""", """{"teams": []}""", "not json at all")
+      .toDF("body")
+    assert(RestCollectors.collectTeams(docs).count() == 0)
+    val squads = Seq("""{"squad": []}""", """{"other": 1}""").toDF("body")
+    assert(RestCollectors.collectPlayers(squads).count() == 0)
+    val matches = Seq("""{"matches": []}""", """{}""").toDF("body")
+    assert(RestCollectors.collectMatches(matches).count() == 0)
+    // status ladder default on a minimal real row: unknown status maps
+    // to "scheduled", absent venue/round stay null
+    val one = Seq(
+      """{"matches":[{"id":7,"homeTeam":{"id":1},"awayTeam":{"id":2},
+        |"utcDate":"2024-03-01T18:30:00Z","status":"WEIRD"}]}""".stripMargin.replace("\n", ""))
+      .toDF("body")
+    val r = RestCollectors.collectMatches(one).head()
+    assert(r.getAs[String]("status") == "scheduled")
+    assert(r.getAs[String]("utc_datetime") == "2024-03-01 18:30:00")
+    assert(r.getAs[String]("venue") == null)
+    assert(r.getAs[String]("round_label") == null)
   }
 }
