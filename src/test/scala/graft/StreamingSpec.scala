@@ -82,6 +82,61 @@ class StreamingSpec extends SparkSpec {
     assert(state.length == 1 && state.head.getAs[String]("status") == "finished")
   }
 
+  test("E2E: snapshot drops -> AvailableNow -> foreachBatch upsert ≡ batch recompute, incl. late drop (T1/T4/T5)") {
+    // The full integration seam the unit tests cover only in pieces:
+    // file-source drops drain through Trigger.AvailableNow into the
+    // foreachBatch K1 merge, across TWO runs sharing a checkpoint (the
+    // second drop arrives out-of-order: one stale row that must lose,
+    // one newer row that must win), and the final table must equal —
+    // row for row — a batch recompute over the union of every drop.
+    val in = Files.createTempDirectory("graft_e2e_in").toString
+    val tableDir = Files.createTempDirectory("graft_e2e_tbl").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_e2e_ckpt").toString
+    def drop(name: String, lines: String*): Unit =
+      Files.writeString(java.nio.file.Path.of(in, name), lines.mkString("\n"))
+    def row(h: String, a: String, score: String, st: String, at: String) =
+      s"""{"home_team":"$h","away_team":"$a","score_text":$score,"status_text":"$st","match_time":"","source":"flash","scraped_at":"$at"}"""
+
+    drop("snap1.json",
+      row("A", "B", "null", "19:30", "2024-01-05T10:00:00.000Z"),
+      row("C", "D", "\"0-0\"", "12'", "2024-01-05T10:05:00.000Z"))
+    drop("snap2.json",
+      row("A", "B", "\"1-0\"", "23'", "2024-01-05T10:20:00.000Z"),
+      row("E", "F", "\"2-2\"", "55'", "2024-01-05T10:25:00.000Z"))
+    val q1 = LiveScores.runOnce(spark, in, tableDir, ckpt)
+    q1.awaitTermination(120000)
+    assert(!q1.isActive)
+
+    // Late, out-of-order drop (within the 1 h watermark): the stale A-B
+    // re-scrape (10:10 < the applied 10:20) must NOT regress the table;
+    // the newer C-D final must overwrite.
+    drop("snap3.json",
+      row("A", "B", "\"0-0\"", "7'", "2024-01-05T10:10:00.000Z"),
+      row("C", "D", "\"1-0\"", "FT", "2024-01-05T10:30:00.000Z"))
+    val q2 = LiveScores.runOnce(spark, in, tableDir, ckpt)
+    q2.awaitTermination(120000)
+    assert(!q2.isActive)
+
+    // Batch recompute over the union of all three drops: same normalize
+    // expressions, latest-per-key over everything at once.
+    val batch = LiveScores.normalize(
+      spark.read.schema(LiveScores.RawSchema).json(in))
+    val expect = graft.operators.Ranking.latestPerKey(batch,
+      Seq(col("external_id")), Seq(col("scraped_at")))
+    val cols = expect.columns.sorted.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val got = canon(spark.read.parquet(tableDir))
+    assert(got == canon(expect), s"streamed state != batch recompute:\n${got.mkString("\n")}")
+    // And the content is what the drops imply: A-B at 10:20 (stale row
+    // lost), C-D finished, E-F live.
+    val byTeam = spark.read.parquet(tableDir).collect()
+      .map(r => r.getAs[String]("home_team") -> r).toMap
+    assert(byTeam("A").getAs[Timestamp]("scraped_at") == ts("2024-01-05 10:20:00"))
+    assert(byTeam("C").getAs[String]("status") == "finished")
+    assert(byTeam.size == 3)
+  }
+
   test("stream-stream interval join: odds attach within window, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val scores = MemoryStream[(String, Timestamp, String)]
