@@ -124,7 +124,8 @@ object SparkEntry {
     "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d)),
     "q_rest_teams"      -> ((s, d) => graft.sources.RoundTrip.restTeamsFromCustomers(s, d)),
     "q_rest_players"    -> ((s, d) => graft.sources.RoundTrip.restPlayersFromCustomers(s, d)),
-    "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d))
+    "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d)),
+    "q_game_enrich"     -> ((s, d) => graft.sources.RoundTrip.gameEnrichFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1685,7 +1686,41 @@ object SparkEntry {
         |       CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey % 34 + 1 AS VARCHAR)
         |            ELSE 'Stage ' || (c_custkey % 5) END AS round_label
         |FROM customer
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // S16 completeness gate + enrichment coalesce-merge round trip:
+    // ck%4 cycles the gate cases (0 complete — capture passes through
+    // untouched even though a page exists; 1 xor-score; 2 missing away;
+    // 3 no score evidence); pages exist for ck%11<>3; the page's
+    // home_id is absent for ck%8=1 (capture id survives the coalesce).
+    "q_game_enrich" ->
+      """SELECT c_custkey AS ck,
+        |       'g' || c_custkey AS id,
+        |       CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 11 <> 3
+        |            THEN 'PgHome ' || c_custkey
+        |            ELSE 'CapHome ' || c_custkey END AS home,
+        |       CASE WHEN c_custkey % 4 = 0 THEN 'CapAway ' || c_custkey
+        |            WHEN c_custkey % 11 <> 3 THEN 'PgAway ' || c_custkey
+        |            WHEN c_custkey % 4 = 2 THEN NULL
+        |            ELSE 'CapAway ' || c_custkey END AS away,
+        |       CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 11 <> 3
+        |                 AND c_custkey % 8 <> 1
+        |            THEN 'ph' || c_custkey
+        |            ELSE 'ch' || c_custkey END AS home_id,
+        |       CASE WHEN c_custkey % 4 = 0 THEN 'ca' || c_custkey
+        |            WHEN c_custkey % 11 <> 3 THEN 'pa' || c_custkey
+        |            WHEN c_custkey % 4 = 2 THEN NULL
+        |            ELSE 'ca' || c_custkey END AS away_id,
+        |       CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 9 AS INTEGER)
+        |            WHEN c_custkey % 11 <> 3 THEN CAST(c_custkey % 7 AS INTEGER)
+        |            WHEN c_custkey % 4 = 1 THEN CAST(c_custkey % 5 AS INTEGER)
+        |            END AS home_score,
+        |       CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 8 AS INTEGER)
+        |            WHEN c_custkey % 11 <> 3 THEN CAST(c_custkey % 6 AS INTEGER)
+        |            END AS away_score,
+        |       c_custkey % 4 <> 0 AS needed_enrichment
+        |FROM customer
+        |ORDER BY ck""".stripMargin
   )
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the

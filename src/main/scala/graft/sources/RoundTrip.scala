@@ -653,4 +653,47 @@ object RoundTrip {
             struct(lit("2024").as("season")).as("filters"))))
       .orderBy(col("match_id").cast("long"))
   }
+
+  /** q_game_enrich: the S16 fixture-completeness gate + game-page
+    * enrichment coalesce-merge, round-tripped. Captures cycle the gate's
+    * four cases by ck%4 — 0: complete (unified score string, must pass
+    * through UNTOUCHED even though a page exists); 1: xor-incomplete
+    * (homeScore only); 2: away side missing; 3: no score evidence.
+    * Pages exist for ck%11≠3 (missing page → enrichment keeps capture
+    * values) in the homeTeam/awayTeam + scores.ft node shape, with
+    * home_id absent for ck%8=1 (page-null falls back to the capture's
+    * id — the coalesce direction proof). */
+  def gameEnrichFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("ck"))
+    val m4 = pmod(col("ck"), lit(4))
+    val raw = concat(
+      lit("{\"id\":\"g"), col("ck"),
+      lit("\",\"home\":{\"name\":\"CapHome "), col("ck"),
+      lit("\",\"id\":\"ch"), col("ck"), lit("\"}"),
+      when(m4 =!= 2, concat(
+        lit(",\"away\":{\"name\":\"CapAway "), col("ck"),
+        lit("\",\"id\":\"ca"), col("ck"), lit("\"}"))).otherwise(lit("")),
+      when(m4 === 0, concat(
+          lit(",\"score\":\""), pmod(col("ck"), lit(9)),
+          lit("-"), pmod(col("ck"), lit(8)), lit("\"")))
+        .when(m4 === 1, concat(lit(",\"homeScore\":"), pmod(col("ck"), lit(5))))
+        .otherwise(lit("")),
+      lit("}"))
+    val captures = fanOut(c.select(col("ck"), raw.as("raw")))
+    val pageJson = concat(
+      lit("{\"id\":\"g"), col("ck"),
+      lit("\",\"homeTeam\":{\"name\":\"PgHome "), col("ck"), lit("\""),
+      when(pmod(col("ck"), lit(8)) =!= 1,
+        concat(lit(",\"id\":\"ph"), col("ck"), lit("\""))).otherwise(lit("")),
+      lit("},\"awayTeam\":{\"name\":\"PgAway "), col("ck"),
+      lit("\",\"id\":\"pa"), col("ck"),
+      lit("\"},\"scores\":{\"ft\":{\"home\":"), pmod(col("ck"), lit(7)),
+      lit(",\"away\":"), pmod(col("ck"), lit(6)), lit("}}}"))
+    val pages = c.filter(pmod(col("ck"), lit(11)) =!= 3)
+      .select(concat(lit("<html><script id=\"__NEXT_DATA__\">"),
+        pageJson, lit("</script></html>")).as("html"))
+    Courtside.enrichFixtures(captures, "raw", pages, "html")
+      .orderBy("ck")
+  }
 }

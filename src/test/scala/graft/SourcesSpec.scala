@@ -507,4 +507,28 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[String]("venue") == null)
     assert(r.getAs[String]("round_label") == null)
   }
+
+  test("Courtside.isIncompleteFixture: score-string, xor, id-only-team gate cases (S16)") {
+    // The end-to-end merge is oracle-checked (q_game_enrich); this pins
+    // the gate corners: an UNPARSEABLE score string still counts as
+    // score evidence (the reference's isinstance(str) check), exactly
+    // one individual score is the xor-incomplete case, and a side
+    // witnessed only by its id passes the team check.
+    import graft.sources.Courtside
+    val cases = Seq(
+      // (raw, expectIncomplete)
+      ("""{"home":{"name":"A"},"away":{"name":"B"},"score":"vs"}""", false),
+      ("""{"home":{"name":"A"},"away":{"name":"B"},"homeScore":1}""", true),
+      ("""{"home":{"name":"A"},"away":{"name":"B"},"homeScore":1,"awayScore":0}""", false),
+      ("""{"home":{"id":"h1"},"away":{"id":"a1"},"score":"2-1"}""", false),
+      ("""{"home":{"name":"A"},"score":"2-1"}""", true),
+      ("""{"home":{"name":"A"},"away":{"name":"B"}}""", true))
+    val df = cases.toDF("raw", "want")
+    val node = graft.functions.JsonNorm.parseGameNode(col("raw"))
+    val got = df.select(col("want"),
+      Courtside.isIncompleteFixture(node,
+        graft.functions.JsonNorm.normalizeGameNode(node)).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
 }
