@@ -125,7 +125,8 @@ object SparkEntry {
     "q_rest_teams"      -> ((s, d) => graft.sources.RoundTrip.restTeamsFromCustomers(s, d)),
     "q_rest_players"    -> ((s, d) => graft.sources.RoundTrip.restPlayersFromCustomers(s, d)),
     "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d)),
-    "q_game_enrich"     -> ((s, d) => graft.sources.RoundTrip.gameEnrichFromCustomers(s, d))
+    "q_game_enrich"     -> ((s, d) => graft.sources.RoundTrip.gameEnrichFromCustomers(s, d)),
+    "q_ml_labels"       -> ((s, d) => graft.ml.Models.labelIndexQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1720,7 +1721,18 @@ object SparkEntry {
         |            END AS away_score,
         |       c_custkey % 4 <> 0 AS needed_enrichment
         |FROM customer
-        |ORDER BY ck""".stripMargin
+        |ORDER BY ck""".stripMargin,
+
+    // §2.11 ML substrate: the fitted StringIndexer (alphabetAsc) label
+    // mapping applied per row ≡ dense_rank over sorted distinct labels
+    // − 1. randomSplit/HashingTF have no DuckDB-replayable witness
+    // (XORShiftRandom / murmur3) and are spec-pinned instead — see
+    // Models.labelIndexQuery scaladoc.
+    "q_ml_labels" ->
+      """SELECT p_partkey, p_type,
+        |       CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS label_index
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
   )
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the

@@ -4,7 +4,8 @@ import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.feature.{HashingTF, IDF, StandardScaler, StringIndexer, Tokenizer, VectorAssembler}
 import org.apache.spark.ml.regression.GBTRegressor
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** spark.ml rebuilds of the reference's sklearn models (SURVEY.md §2.11,
   * reference src/analytics/engine.py:29-229):
@@ -62,6 +63,36 @@ object Models {
   }
 
   def fit(pipeline: Pipeline, train: DataFrame): PipelineModel = pipeline.fit(train)
+
+  /** q_ml_labels: the engine-portable face of the ML family — the fitted
+    * StringIndexer's label→index mapping applied to every row. With
+    * `alphabetAsc` ordering the learned parameter is pure relational
+    * math: index = rank of the label among sorted distinct labels − 1,
+    * which DuckDB recomputes as `dense_rank() OVER (ORDER BY label) − 1`.
+    * A drift in the indexer's ordering, its fit, or the transform's
+    * per-row lookup breaks the hash match. (The fit collects only the
+    * distinct-label array — vocabulary-bounded, the k-means-centroid
+    * pattern, never corpus-bounded.)
+    *
+    * Portability ruling for the rest of the §2.11 substrate
+    * (VERDICT r4 #7): `randomSplit(seed)` draws from Spark's
+    * XORShiftRandom stream per partition and `HashingTF` indexes by
+    * murmur3_x86_32(seed 42) of the UTF-8 term — neither is replayable
+    * in DuckDB SQL, so no portable oracle witness exists; both are
+    * spec-pinned instead (`ModelsSpec`: split reproducibility +
+    * disjointness, literal hash-index pins that fail if a Spark upgrade
+    * changes the hash). */
+  def labelIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val parts = graft.sources.Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"))
+    val indexer = new StringIndexer()
+      .setInputCol("p_type").setOutputCol("__idx")
+      .setStringOrderType("alphabetAsc")
+    indexer.fit(parts).transform(parts)
+      .select(col("p_partkey"), col("p_type"),
+        col("__idx").cast("long").as("label_index"))
+      .orderBy("p_partkey")
+  }
 
   /** Text-classification pipeline for corpus curation: tokenize →
     * feature-hash to a fixed dim (no vocabulary build — the hashing trick

@@ -98,4 +98,36 @@ class ModelsSpec extends SparkSpec {
     val p = preds.select("probability").head().getAs[Vector](0)
     assert(p.size == 2 && math.abs(p.toArray.sum - 1.0) < 1e-9)
   }
+
+  test("seeded split: reproducible, disjoint, exhaustive (no portable oracle — spec pin)") {
+    // randomSplit draws from Spark's per-partition XORShiftRandom stream;
+    // DuckDB cannot replay it, so the determinism contract is pinned
+    // here: same seed → identical membership; the two splits partition
+    // the input exactly.
+    val (tr1, te1) = Models.trainTestSplit(matches)
+    val (tr2, te2) = Models.trainTestSplit(matches)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("form_home", "form_away", "goals").collect().map(_.toString).sorted.toSeq
+    assert(ids(tr1) == ids(tr2) && ids(te1) == ids(te2), "same seed must reproduce membership")
+    assert(tr1.count() + te1.count() == matches.count())
+    assert((ids(tr1) ++ ids(te1)).sorted == ids(matches.toDF()).sorted)
+  }
+
+  test("HashingTF: literal murmur3 index pins (no portable oracle — spec pin)") {
+    // The hashed feature index is murmur3_x86_32(seed 42) of the UTF-8
+    // term mod numFeatures — not replayable in DuckDB SQL. Pin concrete
+    // indices so a Spark upgrade that silently changes the hash (and so
+    // every trained model's feature space) fails loudly here.
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("tf").setNumFeatures(1 << 12)
+    val out = tf.transform(Seq(Seq("goal", "corner", "goal")).toDF("toks"))
+      .select("tf").head().getAs[Vector](0).toSparse
+    // two distinct terms, "goal" counted twice
+    assert(out.indices.length == 2, out.toString)
+    assert(out.values.sorted.toSeq == Seq(1.0, 2.0), out.toString)
+    // literal pins: murmur3_x86_32 (hashUnsafeBytes2 variant, seed 42)
+    // mod 4096 of the UTF-8 terms
+    assert(out.indices.sorted.toSeq == Seq(3031, 3121),
+      s"feature hash changed: ${out.indices.toSeq} (corner=3031, goal=3121)")
+  }
 }
