@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Scale-trend harness: inflate a testdata directory by an integer
+  * factor so the expensive queries can be timed at N× rows (SCALE.md
+  * "Scale-trend evidence"). Usage:
+  *
+  *   runMain graft.tools.Inflate <inDir> <outDir> <factor>
+  *
+  * Replicas get disjoint key ranges (doc_id/c_custkey/event_id/user_id
+  * offset per replica). Document TEXT is token-suffixed per replica
+  * (`word` → `word_r3`), so replicas are mutually DISSIMILAR: naive
+  * replication would make every document a 10-way exact/near duplicate,
+  * turning the dedup/LSH workloads quadratic in the factor and
+  * invalidating the linear-growth measurement — suffixing yields N
+  * independent corpora of the original's similarity structure instead.
+  * Non-inflated tables are copied verbatim. The output is written by
+  * Spark (many row groups), so scans parallelize as a production layout
+  * would — the single-row-group artifact of the driver corpus does not
+  * carry over.
+  */
+object Inflate {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: Inflate <inDir> <outDir> <factor>")
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.local(cpus)
+
+    val rep = explode(sequence(lit(0), lit(factor - 1))).as("__r")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    val off = 100000000L
+
+    val docs = spark.read.parquet(s"$inDir/documents.parquet")
+      .select(col("*"), rep)
+    write(docs.select(
+      (col("doc_id") + col("__r") * off).as("doc_id"),
+      when(col("__r") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_r"), col("__r"))), " ")).as("text"),
+      col("lang"), col("source"), col("n_chars")), "documents")
+
+    val cust = spark.read.parquet(s"$inDir/customer.parquet")
+      .select(col("*"), rep)
+    write(cust.select(
+      (col("c_custkey") + col("__r") * off).as("c_custkey"),
+      concat(col("c_name"), lit("#r"), col("__r")).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+
+    val ev = spark.read.parquet(s"$inDir/events.parquet")
+      .select(col("*"), rep)
+    write(ev.select(
+      (col("event_id") + col("__r") * off).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("__r") * off).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    // remaining tables verbatim (file copy keeps their layout)
+    val inflated = Set("documents", "customer", "events")
+    val in = new java.io.File(inDir)
+    in.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+        !inflated.contains(f.getName.stripSuffix(".parquet")))
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Path.of(outDir, f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    println(s"inflated $inDir -> $outDir x$factor")
+    spark.stop()
+  }
+}
