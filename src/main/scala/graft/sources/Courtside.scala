@@ -57,10 +57,16 @@ object Courtside {
     * incomplete ones left-join the page table on fixture id and take
     * `coalesce(page.field, capture.field)` per field. Emits the
     * canonical flat columns plus `needed_enrichment`. Non-key capture
-    * columns are preserved. */
+    * columns are preserved — except ones named like the canonical
+    * outputs (id, home, …), which the normalized record supersedes.
+    * Duplicate page snapshots of one fixture are reduced to a single
+    * deterministic record (struct-min) before the join, so re-archived
+    * pages can't fan incomplete fixtures out into duplicate rows. */
   def enrichFixtures(captures: DataFrame, rawCol: String,
                      pages: DataFrame, htmlCol: String): DataFrame = {
-    val passthrough = captures.columns.filterNot(_ == rawCol).toSeq
+    val generated = Set("id", "needed_enrichment") ++ Fields
+    val passthrough = captures.columns
+      .filterNot(c => c == rawCol || generated.contains(c)).toSeq
     val node = JsonNorm.parseGameNode(col(rawCol))
     val base = captures
       .withColumn("__f", JsonNorm.normalizeGameNode(node))
@@ -72,6 +78,10 @@ object Courtside {
       .select(JsonNorm.normalizeGameJson(Bronze.extractNextData(col(htmlCol))).as("__p"))
       .select(col("__p.id").as("__pid") +:
         Fields.map(f => col(s"__p.$f").as(s"__p_$f")): _*)
+      .groupBy(col("__pid"))
+      .agg(min(struct(Fields.map(f => col(s"__p_$f")): _*)).as("__pp"))
+      .select(col("__pid") +:
+        Fields.map(f => col(s"__pp.__p_$f").as(s"__p_$f")): _*)
 
     val complete = base.filter(!col("needed_enrichment"))
     val enriched = base.filter(col("needed_enrichment"))

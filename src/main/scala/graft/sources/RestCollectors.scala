@@ -115,8 +115,16 @@ object RestCollectors {
   /** collect_matches (reference :117-155): one row per `matches[]`
     * element. `utc_datetime` is the parsed timestamp re-rendered as
     * "yyyy-MM-dd HH:mm:ss" UTC — a cross-engine-stable witness that the
-    * Z → +00:00 rewrite and the ISO parse actually ran. */
-  def collectMatches(responses: DataFrame, jsonCol: String = "body"): DataFrame =
+    * Z → +00:00 rewrite and the ISO parse actually ran. `date_format`
+    * renders in the SESSION time zone, so a UTC session is a hard
+    * precondition (GraftSession pins it) — failing fast beats a
+    * silently shifted "utc_datetime" on a Europe/Berlin session. */
+  def collectMatches(responses: DataFrame, jsonCol: String = "body"): DataFrame = {
+    val tz = responses.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"collectMatches renders utc_datetime via date_format, which uses the session " +
+        s"time zone (currently '$tz'); set spark.sql.session.timeZone=UTC " +
+        "(GraftSession.builder does)")
     responses
       .select(from_json(col(jsonCol), MatchesSchema).as("r"))
       .select(col("r.competition.id").cast("string").as("competition"),
@@ -135,4 +143,5 @@ object RestCollectors {
         col("m.venue.name").as("venue"),
         coalesce(col("m.matchday").cast("string"), col("m.round.name"))
           .as("round_label"))
+  }
 }

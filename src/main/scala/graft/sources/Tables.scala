@@ -47,16 +47,16 @@ object Tables {
   private val fanDecision = new scala.collection.concurrent.TrieMap[(String, Long), Boolean]
 
   /** Rewrite-sensitive content signature of a local file or parquet
-    * directory: Σ over regular child files of (length + lastModified),
-    * plus the top-level entry's own values. 0 for anything unlistable. */
-  private def contentSignature(path: String): Long =
-    try {
-      val f = new java.io.File(path)
-      val children = Option(f.listFiles()).getOrElse(Array.empty)
-      children.iterator.filter(_.isFile)
-        .map(c => c.length() + c.lastModified())
-        .foldLeft(f.length() + f.lastModified())(_ + _)
-    } catch { case _: Throwable => 0L }
+    * directory: Σ over the whole tree (partitioned tables nest part
+    * files under key=… subdirectories, whose rewrite changes neither
+    * the top directory's length nor its mtime) of every entry's
+    * (length + lastModified). 0 for anything unlistable. */
+  private def contentSignature(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(f.length() + f.lastModified())((acc, c) => acc + walk(c))
+    try walk(new java.io.File(path)) catch { case _: Throwable => 0L }
+  }
 
   /** Parallelism floor for small few-split corpus inputs. The local
     * corpus is ONE parquet row group per table, so without this every

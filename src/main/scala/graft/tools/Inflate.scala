@@ -41,12 +41,16 @@ object Inflate {
 
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
       .select(col("*"), rep)
+    // n_chars recomputed: the suffixed replica text is longer, and the
+    // corpus invariant n_chars == length(text) must hold on the output
+    // or char-driven workloads would be timed against understated work
     write(docs.select(
-      (col("doc_id") + col("__r") * off).as("doc_id"),
-      when(col("__r") === 0, col("text")).otherwise(
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit("_r"), col("__r"))), " ")).as("text"),
-      col("lang"), col("source"), col("n_chars")), "documents")
+        (col("doc_id") + col("__r") * off).as("doc_id"),
+        when(col("__r") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("__r"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
     val cust = spark.read.parquet(s"$inDir/customer.parquet")
       .select(col("*"), rep)
@@ -63,16 +67,22 @@ object Inflate {
       (col("user_id") + col("__r") * off).as("user_id"),
       col("event_type"), col("value"), col("props")), "events")
 
-    // remaining tables verbatim (file copy keeps their layout)
+    // remaining tables verbatim; a table may be a single file (driver
+    // corpus) or a Spark-written DIRECTORY (a previously inflated dir) —
+    // copy recursively so chained inflation doesn't produce empty tables
+    def copyTree(src: java.io.File, dst: java.nio.file.Path): Unit =
+      if (src.isDirectory) {
+        java.nio.file.Files.createDirectories(dst)
+        src.listFiles().foreach(c => copyTree(c, dst.resolve(c.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val inflated = Set("documents", "customer", "events")
     val in = new java.io.File(inDir)
-    in.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+    val entries = Option(in.listFiles()).getOrElse(
+      sys.error(s"not a readable directory: $inDir"))
+    entries.filter(f => f.getName.endsWith(".parquet") &&
         !inflated.contains(f.getName.stripSuffix(".parquet")))
-      .foreach { f =>
-        java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Path.of(outDir, f.getName),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      .foreach(f => copyTree(f, java.nio.file.Path.of(outDir, f.getName)))
     println(s"inflated $inDir -> $outDir x$factor")
     spark.stop()
   }
