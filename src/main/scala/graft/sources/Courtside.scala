@@ -53,15 +53,26 @@ object Courtside {
 
   /** Gate + enrich: `captures` rows carry a raw game-node JSON column;
     * `pages` rows carry game-page HTML whose `__NEXT_DATA__` hydration
-    * JSON normalizes to the full record. Complete captures pass through;
-    * incomplete ones left-join the page table on fixture id and take
-    * `coalesce(page.field, capture.field)` per field. Emits the
+    * JSON normalizes to the full record. Complete captures pass through
+    * unmodified; incomplete ones match the page table on fixture id and
+    * take `coalesce(page.field, capture.field)` per field. Emits the
     * canonical flat columns plus `needed_enrichment`. Non-key capture
     * columns are preserved — except ones named like the canonical
     * outputs (id, home, …), which the normalized record supersedes.
     * Duplicate page snapshots of one fixture are reduced to a single
     * deterministic record (struct-min) before the join, so re-archived
-    * pages can't fan incomplete fixtures out into duplicate rows. */
+    * pages can't fan incomplete fixtures out into duplicate rows.
+    *
+    * Plan shape: ONE pass over captures — the gate rides the join
+    * condition (`id match AND needed_enrichment`), so complete rows
+    * simply never match and the unconditional `coalesce(page, capture)`
+    * is the identity for them. A filter-split + union would instead
+    * execute the capture scan (and its whole parse expression chain)
+    * once per branch — Spark does not share the subtree — doubling the
+    * dominant cost. The price is that under a (non-broadcast) shuffle
+    * join complete rows shuffle too; for a parse-heavy capture source
+    * the saved second scan wins, and the page side is the broadcast
+    * side in the expected regime anyway. */
   def enrichFixtures(captures: DataFrame, rawCol: String,
                      pages: DataFrame, htmlCol: String): DataFrame = {
     val generated = Set("id", "needed_enrichment") ++ Fields
@@ -83,12 +94,10 @@ object Courtside {
       .select(col("__pid") +:
         Fields.map(f => col(s"__pp.__p_$f").as(s"__p_$f")): _*)
 
-    val complete = base.filter(!col("needed_enrichment"))
-    val enriched = base.filter(col("needed_enrichment"))
-      .join(page, col("id") === col("__pid"), "left")
+    base
+      .join(page, col("id") === col("__pid") && col("needed_enrichment"), "left")
       .select(passthrough.map(col) ++ Seq(col("id")) ++
         Fields.map(f => coalesce(col(s"__p_$f"), col(f)).as(f)) :+
         col("needed_enrichment"): _*)
-    complete.unionByName(enriched)
   }
 }

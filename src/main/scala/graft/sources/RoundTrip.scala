@@ -690,9 +690,9 @@ object RoundTrip {
       lit("\",\"id\":\"pa"), col("ck"),
       lit("\"},\"scores\":{\"ft\":{\"home\":"), pmod(col("ck"), lit(7)),
       lit(",\"away\":"), pmod(col("ck"), lit(6)), lit("}}}"))
-    val pages = c.filter(pmod(col("ck"), lit(11)) =!= 3)
+    val pages = fanOut(c.filter(pmod(col("ck"), lit(11)) =!= 3)
       .select(concat(lit("<html><script id=\"__NEXT_DATA__\">"),
-        pageJson, lit("</script></html>")).as("html"))
+        pageJson, lit("</script></html>")).as("html")))
     Courtside.enrichFixtures(captures, "raw", pages, "html")
       .orderBy("ck")
   }
