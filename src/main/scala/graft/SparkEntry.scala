@@ -126,7 +126,8 @@ object SparkEntry {
     "q_rest_players"    -> ((s, d) => graft.sources.RoundTrip.restPlayersFromCustomers(s, d)),
     "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d)),
     "q_game_enrich"     -> ((s, d) => graft.sources.RoundTrip.gameEnrichFromCustomers(s, d)),
-    "q_ml_labels"       -> ((s, d) => graft.ml.Models.labelIndexQuery(s, d))
+    "q_ml_labels"       -> ((s, d) => graft.ml.Models.labelIndexQuery(s, d)),
+    "q_exact_dups"      -> ((s, d) => graft.scale.Dedup.exactDupQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1732,7 +1733,25 @@ object SparkEntry {
       """SELECT p_partkey, p_type,
         |       CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS label_index
         |FROM part
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    // Exact dedup by md5 fingerprint of whitespace-collapsed lowercase
+    // text, with planted duplicates (doc_id % 7 = 0 re-keyed +10M) —
+    // the fingerprint normalization replays verbatim in DuckDB.
+    "q_exact_dups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |         doc_id
+        |  FROM all_docs)
+        |SELECT fingerprint, count(*) AS dup_cnt, min(doc_id) AS first_doc
+        |FROM fp
+        |GROUP BY fingerprint
+        |HAVING count(*) > 1
+        |ORDER BY fingerprint""".stripMargin
   )
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the

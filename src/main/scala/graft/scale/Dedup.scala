@@ -31,6 +31,25 @@ object Dedup {
       .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("first_doc"))
       .filter(col("dup_cnt") > 1)
 
+  /** q_exact_dups: [[exactDupGroups]] over the documents corpus with a
+    * planted duplicate set (every doc_id % 7 = 0 re-keyed +10M, same
+    * text — the synthetic corpus has no natural exact dups, so the
+    * planted rows make the groups non-trivial). The md5 fingerprint
+    * normalization (whitespace collapse + lowercase) replays verbatim
+    * in DuckDB, so the oracle hash-checks fingerprint, group size, and
+    * keep-one witness end-to-end. One map-side-combining shuffle on the
+    * fingerprint — the canonical exact-dedup shape at any scale. */
+  def exactDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    exactDupGroups(
+      docs.unionByName(planted)
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
+      col("__fp"))
+      .orderBy("fingerprint")
+  }
+
   /** doc_id → exploded distinct shingle rows (blocking column carried).
     *
     * Performance shape matters here: tokenize ONCE into a materialized
