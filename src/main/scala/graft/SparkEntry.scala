@@ -127,7 +127,8 @@ object SparkEntry {
     "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d)),
     "q_game_enrich"     -> ((s, d) => graft.sources.RoundTrip.gameEnrichFromCustomers(s, d)),
     "q_ml_labels"       -> ((s, d) => graft.ml.Models.labelIndexQuery(s, d)),
-    "q_exact_dups"      -> ((s, d) => graft.scale.Dedup.exactDupQuery(s, d))
+    "q_exact_dups"      -> ((s, d) => graft.scale.Dedup.exactDupQuery(s, d)),
+    "q_lang_id"         -> ((s, d) => graft.scale.TextAnalysis.langIdQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1751,7 +1752,34 @@ object SparkEntry {
         |FROM fp
         |GROUP BY fingerprint
         |HAVING count(*) > 1
-        |ORDER BY fingerprint""".stripMargin
+        |ORDER BY fingerprint""".stripMargin,
+
+    // Language-ID vote replay: distinct letter-run tokens ∩ marker
+    // lists, argmax with the Spark struct tie-break (highest hits, then
+    // lexicographically LARGEST code → the CASE ladder tests fr, es,
+    // en, de in that order). CJK check precedes the vote.
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
+        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, cjk,
+        |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
+        |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
+        |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
+        |         len(list_intersect(toks, ['el','los','las','es','y','en'])) AS hs
+        |  FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN cjk THEN 'zh'
+        |            WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |            WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |            WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+        |            WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |            ELSE 'de' END AS lang_id
+        |FROM v
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the

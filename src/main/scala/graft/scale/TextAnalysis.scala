@@ -150,6 +150,19 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** q_lang_id: [[langIdHeuristic]] applied per document — the vote is
+    * pure relational math (distinct letter-run tokens ∩ per-language
+    * marker lists, argmax with the struct tie-break: highest hits, then
+    * lexicographically largest code), so DuckDB replays it exactly
+    * (list_intersect + a CASE ladder in fr>es>en>de order). The corpus
+    * is English-vocabulary synthetic, so the interesting outcome space
+    * is en vs und plus the stray short-marker hits ('en'/'es'/'y' are
+    * Spanish markers) — the tie-break path does fire. */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), langIdHeuristic(col("text")).as("lang_id"))
+      .orderBy("doc_id")
+
   /** Per-document stats + fingerprint (oracle-checked). */
   def docStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
