@@ -128,7 +128,8 @@ object SparkEntry {
     "q_game_enrich"     -> ((s, d) => graft.sources.RoundTrip.gameEnrichFromCustomers(s, d)),
     "q_ml_labels"       -> ((s, d) => graft.ml.Models.labelIndexQuery(s, d)),
     "q_exact_dups"      -> ((s, d) => graft.scale.Dedup.exactDupQuery(s, d)),
-    "q_lang_id"         -> ((s, d) => graft.scale.TextAnalysis.langIdQuery(s, d))
+    "q_lang_id"         -> ((s, d) => graft.scale.TextAnalysis.langIdQuery(s, d)),
+    "q_entity_type"     -> ((s, d) => graft.sources.RoundTrip.entityTypeFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1779,7 +1780,33 @@ object SparkEntry {
         |            WHEN he = greatest(he, hd, hf, hs) THEN 'en'
         |            ELSE 'de' END AS lang_id
         |FROM v
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // F27 dispatch round trip: expected type derived arithmetically from
+    // the synthesized segment (the ladder's precedence, not path
+    // position: a prepended /verein/ only wins for otherwise-unknown
+    // rows). The host carries a kind token to pin the host-strip guard.
+    "q_entity_type" ->
+      """SELECT c_custkey AS ck,
+        |       'https://spieler-markt.de' ||
+        |       CASE WHEN c_custkey % 5 = 0 THEN '/verein/c' || c_custkey ELSE '' END ||
+        |       CASE WHEN c_custkey % 13 < 12
+        |            THEN '/' || ['match','spiel','referee','schiedsrichter',
+        |                         'stadium','stadion','player','spieler',
+        |                         'coach','trainer','team','verein']
+        |                        [CAST(c_custkey % 13 AS INTEGER) + 1]
+        |                 || '/p' || c_custkey
+        |            ELSE '/news/' || c_custkey END AS url,
+        |       CASE WHEN c_custkey % 13 = 12 AND c_custkey % 5 = 0 THEN 'team'
+        |            WHEN c_custkey % 13 IN (0, 1) THEN 'match'
+        |            WHEN c_custkey % 13 IN (2, 3) THEN 'referee'
+        |            WHEN c_custkey % 13 IN (4, 5) THEN 'stadium'
+        |            WHEN c_custkey % 13 IN (6, 7) THEN 'player'
+        |            WHEN c_custkey % 13 IN (8, 9) THEN 'coach'
+        |            WHEN c_custkey % 13 IN (10, 11) THEN 'team'
+        |            ELSE 'unknown' END AS entity_type
+        |FROM customer
+        |ORDER BY ck""".stripMargin
   )
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the

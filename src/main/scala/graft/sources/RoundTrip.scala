@@ -696,4 +696,30 @@ object RoundTrip {
     Courtside.enrichFixtures(captures, "raw", pages, "html")
       .orderBy("ck")
   }
+
+  /** q_entity_type: the F27 URL dispatch ladder round-tripped. URLs live
+    * on host `spieler-markt.de` — the host itself contains a kind token,
+    * so a broken host-strip would classify every row "player" and fail
+    * the hash. ck%13 cycles all 12 kind segments (German + English) plus
+    * a no-kind path; ck%5=0 prepends a `/verein/` segment, which must
+    * only win for the otherwise-unknown rows (ladder precedence, not
+    * path position, decides). */
+  def entityTypeFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val kinds = array(Seq("match", "spiel", "referee", "schiedsrichter",
+      "stadium", "stadion", "player", "spieler", "coach", "trainer",
+      "team", "verein").map(lit): _*)
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("ck"))
+    val m13 = pmod(col("ck"), lit(13))
+    val seg = when(m13 < 12,
+        concat(lit("/"), element_at(kinds, (m13 + 1).cast("int")),
+          lit("/p"), col("ck")))
+      .otherwise(concat(lit("/news/"), col("ck")))
+    val pre = when(pmod(col("ck"), lit(5)) === 0,
+      concat(lit("/verein/c"), col("ck"))).otherwise(lit(""))
+    val url = concat(lit("https://spieler-markt.de"), pre, seg)
+    fanOut(c)
+      .select(col("ck"), url.as("url"),
+        graft.functions.Parsing.entityTypeFromUrl(url).as("entity_type"))
+      .orderBy("ck")
+  }
 }
