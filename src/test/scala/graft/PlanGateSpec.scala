@@ -21,6 +21,53 @@ class PlanGateSpec extends SparkSpec {
       name -> fn(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
     }
 
+  /** Statically planned trees (cloned session, AQE off) with the
+    * deterministic output `orderBy` stripped: AQE's printed initial plan
+    * carries no codegen wrapping, and every oracle query ends in a
+    * global sort BY DESIGN (the hash-compare needs a total order) — so
+    * codegen-span and interior-sort gates need this view, same as
+    * `tools.ExplainAudit`. */
+  private lazy val staticPlans: Map[String, String] = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    (SparkEntry.queries -- eagerDriverQueries).map { case (name, fn) =>
+      val df = fn(iso, TestSpark.Sf0001)
+      val stripped = df.queryExecution.optimizedPlan match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+          org.apache.spark.sql.graft.Shims.ofRows(iso, s.child)
+        case _ => df
+      }
+      name -> stripped.queryExecution.executedPlan.toString
+    }
+  }
+
+  test("every query keeps a whole-stage-codegen span (static plans)") {
+    // A query with NO codegen span runs fully interpreted — an easy
+    // 2-5× constant-factor regression to introduce silently (e.g. by
+    // wrapping the hot path in a non-codegen expression or RDD hop).
+    // toString renders codegen spans as "*(n)" operator prefixes.
+    val offenders = staticPlans.collect {
+      case (name, plan) if !plan.contains("*(") => name
+    }
+    assert(offenders.isEmpty, s"no codegen span in: $offenders")
+  }
+
+  test("no INTERIOR global sort outside the total-order-by-design allowlist") {
+    // After stripping the output orderBy, a remaining range-partitioned
+    // Sort means the query globally sorts mid-plan. Exactly three
+    // queries rank the FULL set by semantics (deciles / percent_rank /
+    // vocabulary rank via the distributed two-pass rank); anything else
+    // is a degenerated top-k or an accidental total order.
+    val totalOrderBySemantics = Set("q_ntile", "q_pct_rank", "q_vocab")
+    val offenders = (staticPlans -- totalOrderBySemantics).collect {
+      case (name, plan)
+        if plan.contains("Exchange rangepartitioning") &&
+          !plan.contains("TakeOrderedAndProject") && plan.contains("Sort [") =>
+        name
+    }
+    assert(offenders.isEmpty, s"unexpected interior global sort in: $offenders")
+  }
+
   test("every registered query has a DuckDB oracle (and no orphans)") {
     // The driver records a weaker rows-only check for any queries entry
     // without oracle SQL — this gate makes that drift impossible to miss,
