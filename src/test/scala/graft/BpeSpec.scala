@@ -111,4 +111,18 @@ class BpeSpec extends SparkSpec {
       assert(sym.split(" ").mkString == w + Bpe.EndOfWord)
     }
   }
+
+  test("symbolize splits by CODEPOINT: non-BMP characters stay whole (r4 advice)") {
+    // "😀" (U+1F600) is a surrogate pair in UTF-16. A code-unit split
+    // (the old split(w, "")) would symbolize it as two lone surrogates —
+    // learning garbage merges and diverging from the DuckDB oracle's
+    // regexp '(?s).' codepoint split. In "😀😀😀ab" the (😀,😀) pair
+    // counts twice per word, beating every other pair, so the FIRST
+    // learned merge proves the emoji survived as one symbol.
+    val docs = Seq(Seq.fill(4)("😀😀😀ab").mkString(" ")).toDF("text")
+    val merges = Bpe.train(docs, numMerges = 1, minPairCount = 2L)
+    assert(merges.head.left == "😀" && merges.head.right == "😀",
+      s"non-BMP symbolization broke: ${merges.head}")
+    assert(merges.head.pairCount == 8L, merges.head.toString)
+  }
 }

@@ -359,4 +359,44 @@ class PropertySpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
     assert(!scores.contains(3L))
   }
+
+  test("Courtside completeness gate ≡ reference is_incomplete_fixture over random node shapes") {
+    // Model: the reference's dict logic (scraper_utils.py:63-81) under
+    // the documented null≡absent convention — team evidence per side
+    // (name or id), then score string, then xor/both on the individual
+    // scores. Generated nodes cycle independent presence of every field.
+    final case class Node(homeName: Boolean, homeId: Boolean, awayName: Boolean,
+                          awayId: Boolean, score: Option[String],
+                          hs: Option[Int], as_ : Option[Int])
+    def model(n: Node): Boolean =
+      !((n.homeName || n.homeId) && (n.awayName || n.awayId) &&
+        (n.score.isDefined || (n.hs.isDefined && n.as_.isDefined)))
+    def json(n: Node): String = {
+      val team = (name: Boolean, id: Boolean, nm: String, tid: String) =>
+        if (!name && !id) None
+        else Some(Seq(
+          if (name) Some(s""""name":"$nm"""") else None,
+          if (id) Some(s""""id":"$tid"""") else None).flatten.mkString("{", ",", "}"))
+      val fields = Seq(
+        team(n.homeName, n.homeId, "H", "h1").map(t => s""""home":$t"""),
+        team(n.awayName, n.awayId, "A", "a1").map(t => s""""away":$t"""),
+        n.score.map(s => s""""score":"$s""""),
+        n.hs.map(v => s""""homeScore":$v"""),
+        n.as_.map(v => s""""awayScore":$v""")).flatten
+      fields.mkString("{", ",", "}")
+    }
+    val gen = for {
+      hn <- Gen.oneOf(true, false); hi <- Gen.oneOf(true, false)
+      an <- Gen.oneOf(true, false); ai <- Gen.oneOf(true, false)
+      sc <- Gen.oneOf(None, Some("2-1"), Some("vs"))
+      hs <- Gen.oneOf(None, Some(1)); as_ <- Gen.oneOf(None, Some(0))
+    } yield Node(hn, hi, an, ai, sc, hs, as_)
+    val cases = samples(gen, 200)
+    val df = cases.map(n => (json(n), model(n))).toDF("raw", "want")
+    val node = graft.functions.JsonNorm.parseGameNode(col("raw"))
+    val bad = df.filter(
+      graft.sources.Courtside.isIncompleteFixture(node,
+        graft.functions.JsonNorm.normalizeGameNode(node)) =!= col("want"))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
 }
