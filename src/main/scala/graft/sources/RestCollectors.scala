@@ -121,7 +121,11 @@ object RestCollectors {
     * silently shifted "utc_datetime" on a Europe/Berlin session. */
   def collectMatches(responses: DataFrame, jsonCol: String = "body"): DataFrame = {
     val tz = responses.sparkSession.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
+    val isUtc =
+      try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+        .normalized() == java.time.ZoneOffset.UTC
+      catch { case _: Throwable => false }
+    require(isUtc,
       s"collectMatches renders utc_datetime via date_format, which uses the session " +
         s"time zone (currently '$tz'); set spark.sql.session.timeZone=UTC " +
         "(GraftSession.builder does)")

@@ -51,12 +51,24 @@ object Tables {
     * files under key=… subdirectories, whose rewrite changes neither
     * the top directory's length nor its mtime) of every entry's
     * (length + lastModified). 0 for anything unlistable. */
-  private def contentSignature(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .foldLeft(f.length() + f.lastModified())((acc, c) => acc + walk(c))
-    try walk(new java.io.File(path)) catch { case _: Throwable => 0L }
-  }
+  private def contentSignature(path: String): Long =
+    try {
+      // iterative walk with a visited set of canonical paths: a symlink
+      // cycle must not recurse to StackOverflow (the catch would turn
+      // that into a permanently-cached 0 signature — the exact staleness
+      // this signature exists to prevent)
+      val seen = scala.collection.mutable.Set[String]()
+      val stack = scala.collection.mutable.Stack(new java.io.File(path))
+      var sig = 0L
+      while (stack.nonEmpty) {
+        val f = stack.pop()
+        if (seen.add(f.getCanonicalPath)) {
+          sig += f.length() + f.lastModified()
+          Option(f.listFiles()).foreach(cs => stack.pushAll(cs))
+        }
+      }
+      sig
+    } catch { case _: Throwable => 0L }
 
   /** Parallelism floor for small few-split corpus inputs. The local
     * corpus is ONE parquet row group per table, so without this every

@@ -73,7 +73,9 @@ object Inflate {
     def copyTree(src: java.io.File, dst: java.nio.file.Path): Unit =
       if (src.isDirectory) {
         java.nio.file.Files.createDirectories(dst)
-        src.listFiles().foreach(c => copyTree(c, dst.resolve(c.getName)))
+        Option(src.listFiles())
+          .getOrElse(sys.error(s"unreadable directory: $src"))
+          .foreach(c => copyTree(c, dst.resolve(c.getName)))
       } else java.nio.file.Files.copy(src.toPath, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val inflated = Set("documents", "customer", "events")

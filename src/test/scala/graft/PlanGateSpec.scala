@@ -21,23 +21,18 @@ class PlanGateSpec extends SparkSpec {
       name -> fn(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
     }
 
-  /** Statically planned trees (cloned session, AQE off) with the
-    * deterministic output `orderBy` stripped: AQE's printed initial plan
-    * carries no codegen wrapping, and every oracle query ends in a
-    * global sort BY DESIGN (the hash-compare needs a total order) — so
-    * codegen-span and interior-sort gates need this view, same as
-    * `tools.ExplainAudit`. */
+  /** Statically planned trees with the deterministic output `orderBy`
+    * stripped — the SAME view `tools.ExplainAudit` inspects (shared
+    * helpers, so the audit tool and these gates cannot diverge): AQE's
+    * printed initial plan carries no codegen wrapping, and every oracle
+    * query ends in a global sort BY DESIGN (the hash-compare needs a
+    * total order). */
   private lazy val staticPlans: Map[String, String] = {
-    val iso = spark.newSession()
-    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    val iso = graft.tools.ExplainAudit.staticSession(spark)
     (SparkEntry.queries -- eagerDriverQueries).map { case (name, fn) =>
-      val df = fn(iso, TestSpark.Sf0001)
-      val stripped = df.queryExecution.optimizedPlan match {
-        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
-          org.apache.spark.sql.graft.Shims.ofRows(iso, s.child)
-        case _ => df
-      }
-      name -> stripped.queryExecution.executedPlan.toString
+      name -> graft.tools.ExplainAudit
+        .stripOutputSort(iso, fn(iso, TestSpark.Sf0001))
+        .queryExecution.executedPlan.toString
     }
   }
 
@@ -53,17 +48,15 @@ class PlanGateSpec extends SparkSpec {
   }
 
   test("no INTERIOR global sort outside the total-order-by-design allowlist") {
-    // After stripping the output orderBy, a remaining range-partitioned
-    // Sort means the query globally sorts mid-plan. Exactly three
-    // queries rank the FULL set by semantics (deciles / percent_rank /
-    // vocabulary rank via the distributed two-pass rank); anything else
-    // is a degenerated top-k or an accidental total order.
+    // After stripping the output orderBy, ANY remaining range-partitioned
+    // exchange is a mid-plan global sort (no other operator plans one —
+    // in particular TakeOrderedAndProject does not, so a query with a
+    // legitimate top-k elsewhere can't mask an accidental total order).
+    // Exactly three queries rank the FULL set by semantics (deciles /
+    // percent_rank / vocabulary rank via the distributed two-pass rank).
     val totalOrderBySemantics = Set("q_ntile", "q_pct_rank", "q_vocab")
     val offenders = (staticPlans -- totalOrderBySemantics).collect {
-      case (name, plan)
-        if plan.contains("Exchange rangepartitioning") &&
-          !plan.contains("TakeOrderedAndProject") && plan.contains("Sort [") =>
-        name
+      case (name, plan) if plan.contains("Exchange rangepartitioning") => name
     }
     assert(offenders.isEmpty, s"unexpected interior global sort in: $offenders")
   }
