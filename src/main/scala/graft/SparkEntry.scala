@@ -129,7 +129,8 @@ object SparkEntry {
     "q_ml_labels"       -> ((s, d) => graft.ml.Models.labelIndexQuery(s, d)),
     "q_exact_dups"      -> ((s, d) => graft.scale.Dedup.exactDupQuery(s, d)),
     "q_lang_id"         -> ((s, d) => graft.scale.TextAnalysis.langIdQuery(s, d)),
-    "q_entity_type"     -> ((s, d) => graft.sources.RoundTrip.entityTypeFromCustomers(s, d))
+    "q_entity_type"     -> ((s, d) => graft.sources.RoundTrip.entityTypeFromCustomers(s, d)),
+    "q_normalize"       -> ((s, d) => graft.sources.RoundTrip.normalizeFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1806,6 +1807,22 @@ object SparkEntry {
         |            WHEN c_custkey % 13 IN (10, 11) THEN 'team'
         |            ELSE 'unknown' END AS entity_type
         |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // F17 matching-normalization round trip over an accent alphabet
+    // where Java NFD-mark-strip ≡ DuckDB ICU strip_accents (ø/ß-class
+    // divergers excluded by construction).
+    "q_normalize" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS ck,
+        |         ['Café','Über','Àgua','Señor','Çois'][CAST(c_custkey % 5 AS INTEGER) + 1]
+        |           || ['-','/','!!','  ','_'][CAST(c_custkey % 5 AS INTEGER) + 1]
+        |           || c_name || ' ' || c_custkey AS raw
+        |  FROM customer)
+        |SELECT ck, raw,
+        |       trim(regexp_replace(lower(strip_accents(raw)),
+        |                           '[^a-z0-9]+', ' ', 'g')) AS normalized
+        |FROM raw
         |ORDER BY ck""".stripMargin
   )
 

@@ -722,4 +722,26 @@ object RoundTrip {
         graft.functions.Parsing.entityTypeFromUrl(url).as("entity_type"))
       .orderBy("ck")
   }
+
+  /** q_normalize: the F17 matching normalization round-tripped. Raw
+    * names mix a cycled ACCENTED token (restricted to characters where
+    * Java's NFD-mark-strip and DuckDB's ICU strip_accents provably
+    * agree — é/ü/à/ñ/ç classes; ø and ß intentionally excluded, they
+    * diverge between the two), cycled punctuation runs, the customer
+    * name (carries '#'), and a trailing digit run — exercising accent
+    * fold, case fold, punctuation→space, and whitespace collapse. */
+  def normalizeFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val acc = array(Seq("Café", "Über", "Àgua", "Señor", "Çois").map(lit): _*)
+    val punct = array(Seq("-", "/", "!!", "  ", "_").map(lit): _*)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
+    val raw = concat(
+      element_at(acc, (pmod(col("ck"), lit(5)) + 1).cast("int")),
+      element_at(punct, (pmod(col("ck"), lit(5)) + 1).cast("int")),
+      col("nm"), lit(" "), col("ck"))
+    fanOut(c)
+      .select(col("ck"), raw.as("raw"),
+        graft.functions.Normalize.normalizeForMatching(raw).as("normalized"))
+      .orderBy("ck")
+  }
 }
