@@ -130,7 +130,8 @@ object SparkEntry {
     "q_exact_dups"      -> ((s, d) => graft.scale.Dedup.exactDupQuery(s, d)),
     "q_lang_id"         -> ((s, d) => graft.scale.TextAnalysis.langIdQuery(s, d)),
     "q_entity_type"     -> ((s, d) => graft.sources.RoundTrip.entityTypeFromCustomers(s, d)),
-    "q_normalize"       -> ((s, d) => graft.sources.RoundTrip.normalizeFromCustomers(s, d))
+    "q_normalize"       -> ((s, d) => graft.sources.RoundTrip.normalizeFromCustomers(s, d)),
+    "q_fuzzy_ratio"     -> ((s, d) => graft.sources.RoundTrip.fuzzyRatioFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1823,6 +1824,49 @@ object SparkEntry {
         |       trim(regexp_replace(lower(strip_accents(raw)),
         |                           '[^a-z0-9]+', ' ', 'g')) AS normalized
         |FROM raw
+        |ORDER BY ck""".stripMargin,
+
+    // F19 cross-engine replay: the substitution-cost-2 edit-distance DP
+    // unrolled as a recursive CTE (one step per DP cell; `prev` is row
+    // i−1, `curr` the growing prefix of row i — 1-based list indexing:
+    // dp[i−1][j] = prev[j+1]); ratio = round(100·(n+m−D₂)/(n+m)), both
+    // engines computing the same double expression and rounding half
+    // away from zero.
+    "q_fuzzy_ratio" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT c_custkey AS ck, c_name AS a,
+        |         CASE CAST(c_custkey % 4 AS INTEGER)
+        |           WHEN 0 THEN c_name
+        |           WHEN 1 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+        |           WHEN 2 THEN substr(c_name, 1, p - 1) || 'x' || substr(c_name, p + 1)
+        |           ELSE substr(c_name, 1, p) || substr(c_name, p) END AS b
+        |  FROM (SELECT c_custkey, c_name,
+        |               CAST(c_custkey % (length(c_name) - 2) AS INTEGER) + 2 AS p
+        |        FROM customer)),
+        |dp AS (
+        |  SELECT ck, a, b, 1 AS i, 0 AS j,
+        |         list_transform(range(0, len(b) + 1), x -> x) AS prev,
+        |         [1] AS curr
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT ck, a, b,
+        |    CASE WHEN j < len(b) THEN i ELSE i + 1 END,
+        |    CASE WHEN j < len(b) THEN j + 1 ELSE 0 END,
+        |    CASE WHEN j < len(b) THEN prev ELSE curr END,
+        |    CASE WHEN j < len(b)
+        |         THEN list_append(curr, least(
+        |                curr[j + 1] + 1,
+        |                prev[j + 2] + 1,
+        |                prev[j + 1] + CASE WHEN substr(a, i, 1) = substr(b, j + 1, 1)
+        |                              THEN 0 ELSE 2 END))
+        |         ELSE [i + 1] END
+        |  FROM dp
+        |  WHERE NOT (i = len(a) AND j = len(b)))
+        |SELECT ck, a, b,
+        |       CAST(round(100.0 * (len(a) + len(b) - curr[len(b) + 1])
+        |                  / (len(a) + len(b))) AS INTEGER) AS ratio
+        |FROM dp
+        |WHERE i = len(a) AND j = len(b)
         |ORDER BY ck""".stripMargin
   )
 

@@ -744,4 +744,31 @@ object RoundTrip {
         graft.functions.Normalize.normalizeForMatching(raw).as("normalized"))
       .orderBy("ck")
   }
+
+  /** q_fuzzy_ratio: the F19 custom Catalyst expression
+    * (`graft_fuzzy_ratio`, exact thefuzz semantics: substitution-cost-2
+    * edit distance, 100·2M/(|a|+|b|), half-up rounding) checked
+    * CROSS-ENGINE — the DuckDB oracle replays the DP itself as a
+    * recursive CTE (one recursion step per DP cell, the same
+    * unrolled-replay technique as the BPE oracle). Pairs cycle
+    * identical / one-delete / one-replace / one-duplicate edits of the
+    * customer name at a key-derived position. The rounding agrees
+    * bitwise: both engines compute 100.0·(n+m−D₂)/(n+m) in double with
+    * the same op order and round half away from zero. */
+  def fuzzyRatioFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("ck"), col("c_name").as("a"))
+    val p = (pmod(col("ck"), length(col("a")) - 2) + 2).cast("int")
+    val m4 = pmod(col("ck"), lit(4))
+    val b = when(m4 === 0, col("a"))
+      .when(m4 === 1, concat(col("a").substr(lit(1), p - 1),
+        col("a").substr(p + 1, length(col("a")) - p)))
+      .when(m4 === 2, concat(col("a").substr(lit(1), p - 1), lit("x"),
+        col("a").substr(p + 1, length(col("a")) - p)))
+      .otherwise(concat(col("a").substr(lit(1), p),
+        col("a").substr(p, length(col("a")) - p + 1)))
+    fanOut(c.withColumn("b", b))
+      .selectExpr("ck", "a", "b", "graft_fuzzy_ratio(a, b) AS ratio")
+      .orderBy("ck")
+  }
 }
