@@ -131,7 +131,8 @@ object SparkEntry {
     "q_lang_id"         -> ((s, d) => graft.scale.TextAnalysis.langIdQuery(s, d)),
     "q_entity_type"     -> ((s, d) => graft.sources.RoundTrip.entityTypeFromCustomers(s, d)),
     "q_normalize"       -> ((s, d) => graft.sources.RoundTrip.normalizeFromCustomers(s, d)),
-    "q_fuzzy_ratio"     -> ((s, d) => graft.sources.RoundTrip.fuzzyRatioFromCustomers(s, d))
+    "q_fuzzy_ratio"     -> ((s, d) => graft.sources.RoundTrip.fuzzyRatioFromCustomers(s, d)),
+    "q_term_map"        -> ((s, d) => graft.sources.RoundTrip.termMapFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1867,6 +1868,21 @@ object SparkEntry {
         |                  / (len(a) + len(b))) AS INTEGER) AS ratio
         |FROM dp
         |WHERE i = len(a) AND j = len(b)
+        |ORDER BY ck""".stripMargin,
+
+    // F18 normalize-then-lookup: expected codes derived arithmetically
+    // from the synonym cycle; "Links" (a footedness synonym) and the
+    // unknown both fall to the null default under the positions map.
+    "q_term_map" ->
+      """SELECT c_custkey AS ck,
+        |       ['Goalkeeper!!','TORWART',' cb ','Links','  Striker',
+        |        'Mittelfeld','??unknown??','RB'][CAST(c_custkey % 8 AS INTEGER) + 1]
+        |         AS raw_term,
+        |       CASE CAST(c_custkey % 8 AS INTEGER)
+        |         WHEN 0 THEN 'GK' WHEN 1 THEN 'GK' WHEN 2 THEN 'DF'
+        |         WHEN 4 THEN 'FW' WHEN 5 THEN 'MF' WHEN 7 THEN 'DF'
+        |         END AS position_code
+        |FROM customer
         |ORDER BY ck""".stripMargin
   )
 

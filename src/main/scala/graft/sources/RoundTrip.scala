@@ -771,4 +771,22 @@ object RoundTrip {
       .selectExpr("ck", "a", "b", "graft_fuzzy_ratio(a, b) AS ratio")
       .orderBy("ck")
   }
+
+  /** q_term_map: the F18 normalize-then-lookup composition round-tripped
+    * over the static positions vocabulary. Raw terms cycle decorated
+    * synonyms (case noise, punctuation, padding), one cross-CATEGORY
+    * decoy ("Links" is a footedness synonym — must NOT map under
+    * positions) and one unknown — both land on the null default. The
+    * oracle derives the expected code arithmetically from the cycle. */
+  def termMapFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array(Seq("Goalkeeper!!", "TORWART", " cb ", "Links",
+      "  Striker", "Mittelfeld", "??unknown??", "RB").map(lit): _*)
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("ck"))
+    val raw = element_at(toks, (pmod(col("ck"), lit(8)) + 1).cast("int"))
+    fanOut(c)
+      .select(col("ck"), raw.as("raw_term"),
+        graft.functions.Normalize.termLookup(raw,
+          graft.functions.TermConfig.StaticFallback("positions")).as("position_code"))
+      .orderBy("ck")
+  }
 }
