@@ -1846,7 +1846,7 @@ object SparkEntry {
         |        FROM customer)),
         |dp AS (
         |  SELECT ck, a, b, 1 AS i, 0 AS j,
-        |         list_transform(range(0, len(b) + 1), x -> x) AS prev,
+        |         range(0, len(b) + 1) AS prev,
         |         [1] AS curr
         |  FROM pairs
         |  UNION ALL
