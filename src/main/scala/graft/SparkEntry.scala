@@ -132,7 +132,8 @@ object SparkEntry {
     "q_entity_type"     -> ((s, d) => graft.sources.RoundTrip.entityTypeFromCustomers(s, d)),
     "q_normalize"       -> ((s, d) => graft.sources.RoundTrip.normalizeFromCustomers(s, d)),
     "q_fuzzy_ratio"     -> ((s, d) => graft.sources.RoundTrip.fuzzyRatioFromCustomers(s, d)),
-    "q_term_map"        -> ((s, d) => graft.sources.RoundTrip.termMapFromCustomers(s, d))
+    "q_term_map"        -> ((s, d) => graft.sources.RoundTrip.termMapFromCustomers(s, d)),
+    "q_fuzzy_approx"    -> ((s, d) => graft.sources.RoundTrip.fuzzyApproxFromCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1883,6 +1884,25 @@ object SparkEntry {
         |         WHEN 4 THEN 'FW' WHEN 5 THEN 'MF' WHEN 7 THEN 'DF'
         |         END AS position_code
         |FROM customer
+        |ORDER BY ck""".stripMargin,
+
+    // F19 blocking pre-filter: unit-cost Levenshtein ratio — both
+    // engines' levenshtein and half-away-from-zero rounding agree.
+    "q_fuzzy_approx" ->
+      """WITH pairs AS (
+        |  SELECT c_custkey AS ck, c_name AS a,
+        |         CASE CAST(c_custkey % 4 AS INTEGER)
+        |           WHEN 0 THEN c_name
+        |           WHEN 1 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+        |           WHEN 2 THEN substr(c_name, 1, p - 1) || 'x' || substr(c_name, p + 1)
+        |           ELSE substr(c_name, 1, p) || substr(c_name, p) END AS b
+        |  FROM (SELECT c_custkey, c_name,
+        |               CAST(c_custkey % (length(c_name) - 2) AS INTEGER) + 2 AS p
+        |        FROM customer))
+        |SELECT ck, a, b,
+        |       CAST(round(100.0 * (1.0 - levenshtein(a, b)
+        |                  / greatest(length(a), length(b)))) AS INTEGER) AS approx_ratio
+        |FROM pairs
         |ORDER BY ck""".stripMargin
   )
 

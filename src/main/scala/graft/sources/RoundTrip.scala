@@ -755,7 +755,10 @@ object RoundTrip {
     * customer name at a key-derived position. The rounding agrees
     * bitwise: both engines compute 100.0·(n+m−D₂)/(n+m) in double with
     * the same op order and round half away from zero. */
-  def fuzzyRatioFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+  /** Typo'd name pairs shared by the two F19 harnesses: identical /
+    * one-delete / one-replace / one-duplicate edits of the customer
+    * name at a key-derived position. */
+  private def typoPairs(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("ck"), col("c_name").as("a"))
     val p = (pmod(col("ck"), length(col("a")) - 2) + 2).cast("int")
@@ -768,9 +771,24 @@ object RoundTrip {
       .otherwise(concat(col("a").substr(lit(1), p),
         col("a").substr(p, length(col("a")) - p + 1)))
     fanOut(c.withColumn("b", b))
+  }
+
+  def fuzzyRatioFromCustomers(spark: SparkSession, dir: String): DataFrame =
+    typoPairs(spark, dir)
       .selectExpr("ck", "a", "b", "graft_fuzzy_ratio(a, b) AS ratio")
       .orderBy("ck")
-  }
+
+  /** q_fuzzy_approx: the codegen Levenshtein BLOCKING pre-filter
+    * ([[graft.functions.Normalize.fuzzyRatioApprox]] — what
+    * EntityResolution uses to trim candidates before the exact ratio).
+    * Unit-cost Levenshtein and half-away-from-zero rounding agree
+    * between Spark and DuckDB, so the oracle is direct. */
+  def fuzzyApproxFromCustomers(spark: SparkSession, dir: String): DataFrame =
+    typoPairs(spark, dir)
+      .select(col("ck"), col("a"), col("b"),
+        graft.functions.Normalize.fuzzyRatioApprox(col("a"), col("b"))
+          .as("approx_ratio"))
+      .orderBy("ck")
 
   /** q_term_map: the F18 normalize-then-lookup composition round-tripped
     * over the static positions vocabulary. Raw terms cycle decorated
