@@ -133,7 +133,9 @@ object SparkEntry {
     "q_normalize"       -> ((s, d) => graft.sources.RoundTrip.normalizeFromCustomers(s, d)),
     "q_fuzzy_ratio"     -> ((s, d) => graft.sources.RoundTrip.fuzzyRatioFromCustomers(s, d)),
     "q_term_map"        -> ((s, d) => graft.sources.RoundTrip.termMapFromCustomers(s, d)),
-    "q_fuzzy_approx"    -> ((s, d) => graft.sources.RoundTrip.fuzzyApproxFromCustomers(s, d))
+    "q_fuzzy_approx"    -> ((s, d) => graft.sources.RoundTrip.fuzzyApproxFromCustomers(s, d)),
+    "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
+    "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1903,8 +1905,56 @@ object SparkEntry {
         |       CAST(round(100.0 * (1.0 - levenshtein(a, b)
         |                  / greatest(length(a), length(b)))) AS INTEGER) AS approx_ratio
         |FROM pairs
-        |ORDER BY ck""".stripMargin
+        |ORDER BY ck""".stripMargin,
+
+    // The sketch-then-verify two-pass is EXACT (the sketch's superset
+    // guarantee means the verified+filtered output equals the plain
+    // GROUP BY ... HAVING answer, whatever extra candidates the sketch
+    // proposed), so the oracle is that plain answer. The threshold
+    // multiply is forced to DOUBLE on both sides — DuckDB would
+    // otherwise compare against an exact DECIMAL product, which can
+    // disagree with IEEE doubles within one ulp of an integer count.
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        |     n AS (SELECT count(*) AS total FROM t)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t, n
+        |GROUP BY item, n.total
+        |HAVING count(*) > CAST(0.005 AS DOUBLE) * n.total
+        |ORDER BY item""".stripMargin,
+
+    "q_zorder" -> zorderOracleSql
   )
+
+  /** DuckDB replay of `Layout.zvalue` over lineitem: the same
+    * floor-then-clamp bucketization in the same IEEE operation order
+    * ((c - lo) / span * maxBucket, span floored at MIN_NORMAL), the bit
+    * interleave unrolled as shift/mask terms (disjoint bits, so + ≡ OR).
+    * Ranges are recomputed by min/max in SQL — min/max of doubles is
+    * exact selection, so both engines bucketize against identical
+    * layout parameters. */
+  private def zorderOracleSql: String = {
+    val bits = graft.scale.Layout.DefaultBits
+    val maxB = (1L << bits) - 1
+    val minNormal = "2.2250738585072014e-308"
+    def bucket(c: String, lo: String, span: String) =
+      s"LEAST(GREATEST(CAST(floor(($c - $lo) / $span * $maxB) AS BIGINT), 0), $maxB)"
+    val terms = (0 until bits).flatMap(i =>
+      Seq(s"(((b0 >> $i) & 1) << ${2 * i})", s"(((b1 >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH r AS (SELECT min(l_quantity) AS lo0,
+       |                  GREATEST(max(l_quantity) - min(l_quantity), $minNormal) AS span0,
+       |                  min(l_extendedprice) AS lo1,
+       |                  GREATEST(max(l_extendedprice) - min(l_extendedprice), $minNormal) AS span1
+       |           FROM lineitem),
+       |b AS (SELECT l_orderkey, l_linenumber,
+       |             ${bucket("l_quantity", "lo0", "span0")} AS b0,
+       |             ${bucket("l_extendedprice", "lo1", "span1")} AS b1
+       |      FROM lineitem, r)
+       |SELECT l_orderkey, l_linenumber,
+       |       CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+       |FROM b
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
 
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the
     * q_bpe_merges comment for the double-space-padding invariant that

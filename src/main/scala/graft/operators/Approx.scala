@@ -48,4 +48,47 @@ object Approx {
     val itemsRow = df.select(c.as("hh_item")).stat.freqItems(Seq("hh_item"), support)
     itemsRow.select(explode(col("hh_item_freqItems")).as("item"))
   }
+
+  /** EXACT heavy hitters via the sketch-then-verify two-pass: pass 1 is
+    * the one-pass sketch above (≤ 1/support candidates, superset
+    * guarantee — no false negatives), pass 2 counts ONLY candidate rows
+    * (broadcast semi-join, so the groupBy shuffles at most 1/support
+    * distinct keys) and keeps items whose exact count exceeds
+    * support·n. The output equals `GROUP BY item HAVING count(*) >
+    * support·n` — but the full key cardinality is never shuffled or
+    * held in memory, which is the 100 TB shape for hot-key and
+    * boilerplate-phrase detection (the exact groupBy would shuffle
+    * every distinct token). */
+  def heavyHittersVerified(df: DataFrame, c: Column,
+                           support: Double = 0.01,
+                           totalHint: Option[DataFrame] = None): DataFrame = {
+    val items = df.select(c.as("item"))
+    val counted = items
+      .join(broadcast(heavyHitters(df, c, support)), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+    // `totalHint`: optional 1-row frame with a LONG `total` = df's row
+    // count, for callers that can derive it without re-materializing the
+    // item rows (e.g. sum-of-array-sizes instead of a second explode).
+    val total = totalHint.getOrElse(items.agg(count(lit(1)).as("total")))
+    counted.crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") > lit(support) * col("total").cast("double"))
+      .select(col("item"), col("cnt"))
+  }
+
+  /** q_heavy_hitters: exact heavy-hitter tokens of the documents corpus
+    * (support 0.5% of all token occurrences), sketch-proposed and
+    * exactly verified. Tokenization matches the vocab family (plain
+    * space split). The token total is summed from per-doc array sizes —
+    * no third explode pass over the corpus (explode drops null/empty
+    * arrays, which contribute exactly 0 to the size sum). */
+  def heavyTokensQuery(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val t = split(col("text"), " ")
+    val total = docs.agg(
+      sum(coalesce(size(t), lit(0))).cast("long").as("total"))
+    heavyHittersVerified(docs.select(explode(t).as("tok")), col("tok"),
+        support = 0.005, totalHint = Some(total))
+      .orderBy("item")
+  }
 }

@@ -86,6 +86,28 @@ object Layout {
       .drop("__z")
   }
 
+  /** q_zorder: the Morton code of every lineitem row over
+    * (l_quantity, l_extendedprice) with exact global min/max ranges —
+    * the arithmetic substrate of `zorder`, checkable bit-for-bit across
+    * engines: the bucketization is plain IEEE double arithmetic in a
+    * fixed operation order and the interleave plain integer bit ops, so
+    * a SQL replay (clamp → floor → unrolled shift/mask terms) must agree
+    * exactly. The min/max collect is a layout parameter (4 doubles),
+    * like `zorder`'s own range pass. */
+  def zvalueQuery(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"))
+    val stats = li.agg(min("q"), max("q"), min("p"), max("p")).head()
+    val ranges = Seq((stats.getDouble(0), stats.getDouble(1)),
+      (stats.getDouble(2), stats.getDouble(3)))
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        zvalue(Seq(col("q"), col("p")), ranges).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Per-split locality report for a clustered frame: for each partition,
     * the normalized min/max span of every probe column (0 = perfectly
     * local, 1 = the split covers the full value range — nothing prunable).

@@ -50,6 +50,20 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 5L, 10L, 15L, 6L))
   }
 
+  test("zvalue clamps out-of-range values and sends nulls to bucket 0") {
+    import spark.implicits._
+    // ranges [0,3] but values outside them: -5 clamps to bucket 0,
+    // 99 clamps to bucket 3; a null column contributes bucket 0.
+    val df = Seq((-5.0, Some(99.0)), (99.0, None))
+      .toDF("x", "y")
+    val got = df.select(Layout.zvalue(Seq(col("x"), col("y")),
+        Seq((0.0, 3.0), (0.0, 3.0)), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (-5→0, 99→3): y bits at odd positions -> 0b1010 = 10
+    // (99→3, null→0): x bits at even positions -> 0b0101 = 5
+    assert(got == Seq(10L, 5L))
+  }
+
   test("zorder preserves every row and tolerates constant columns") {
     import spark.implicits._
     val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")

@@ -102,6 +102,20 @@ class SearchSpec extends SparkSpec {
     assert(items.contains("hot"), s"true heavy hitter missing from $items")
   }
 
+  test("heavyHittersVerified equals the exact GROUP BY/HAVING answer") {
+    import graft.operators.Approx
+    // 1000 rows, support 5% (threshold 50): three true hitters, one item
+    // at EXACTLY the threshold (strict >, must be excluded) and a long
+    // cold tail the sketch may or may not propose — the verify pass must
+    // kill every false positive either way.
+    val rows = Seq.fill(200)("a") ++ Seq.fill(90)("b") ++ Seq.fill(51)("c") ++
+      Seq.fill(50)("edge") ++ (1 to 609).map(i => s"cold$i")
+    val df = rows.toDF("t")
+    val got = Approx.heavyHittersVerified(df, col("t"), support = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 200L, "b" -> 90L, "c" -> 51L), s"got $got")
+  }
+
   test("stratifiedSample: k smallest hashes per stratum, agrees with window rank") {
     import graft.scale.TrainingData
     import org.apache.spark.sql.expressions.Window
