@@ -135,7 +135,9 @@ object SparkEntry {
     "q_term_map"        -> ((s, d) => graft.sources.RoundTrip.termMapFromCustomers(s, d)),
     "q_fuzzy_approx"    -> ((s, d) => graft.sources.RoundTrip.fuzzyApproxFromCustomers(s, d)),
     "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
-    "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d))
+    "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d)),
+    "q_salted_join"     -> ((s, d) => graft.operators.Skew.saltedOrdersQuery(s, d)),
+    "q_validate"        -> ((s, d) => graft.operators.Validate.quarantineQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1923,7 +1925,37 @@ object SparkEntry {
         |HAVING count(*) > CAST(0.005 AS DOUBLE) * n.total
         |ORDER BY item""".stripMargin,
 
-    "q_zorder" -> zorderOracleSql
+    "q_zorder" -> zorderOracleSql,
+
+    // Salting is an execution-layout change only; the oracle is the
+    // plain join it must be result-identical to.
+    "q_salted_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |       c.c_name, c.c_nationkey
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Validate's violation array is a CASE ladder in rule order with
+    // nulls compacted — replayed literally (NOT COALESCE(pred, FALSE)
+    // per rule, list_filter for the compaction). The not-null rule on
+    // event_id never fires, pinning that passing rules stay absent.
+    "q_validate" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type, value,
+        |         list_filter([
+        |           CASE WHEN NOT COALESCE(event_id IS NOT NULL, FALSE)
+        |                THEN 'event_id_null' ELSE NULL END,
+        |           CASE WHEN NOT COALESCE(event_type IS NULL OR event_type
+        |                  IN ('click', 'view', 'purchase', 'signup'), FALSE)
+        |                THEN 'event_type_domain' ELSE NULL END,
+        |           CASE WHEN NOT COALESCE(value IS NULL OR value >= 1.0, FALSE)
+        |                THEN 'value_min' ELSE NULL END
+        |         ], x -> x IS NOT NULL) AS violations
+        |  FROM events)
+        |SELECT * FROM q
+        |WHERE len(violations) > 0
+        |ORDER BY event_id""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -43,4 +43,19 @@ object Skew {
     saltedLarge.join(saltedSmall, cond, joinType)
       .drop(dropCols.head, dropCols.tail: _*)
   }
+
+  /** q_salted_join: orders ⋈ customer salted 8 ways, oracled against the
+    * PLAIN SQL join — the result-identity claim ("salting never changes
+    * the answer, only the reducer spread") checked cross-engine on the
+    * full corpus rather than only on the spec's synthetic hot key. */
+  def saltedOrdersQuery(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val custs = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_nationkey"))
+    saltedJoin(orders, custs, Seq("o_custkey"), factor = 8)
+      .orderBy("o_orderkey")
+  }
 }

@@ -39,4 +39,20 @@ object Validate {
       valid = tagged.filter(size(col("violations")) === 0).drop("violations"),
       quarantine = tagged.filter(size(col("violations")) > 0))
   }
+
+  /** q_validate: the quarantine side of a 3-rule validation of events —
+    * a not-null rule that never fires (proving passing rules stay out of
+    * the violation list), a domain rule excluding 'error', and a minimum
+    * on value. Violation names appear in rule order, the same CASE
+    * ladder the SQL replay builds. */
+  def quarantineQuery(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+    validate(ev, Seq(
+        notNull("event_id"),
+        inDomain("event_type", Seq("click", "view", "purchase", "signup")),
+        atLeast("value", 1.0)))
+      .quarantine.orderBy("event_id")
+  }
 }
