@@ -87,7 +87,16 @@ object Approx {
     val t = split(col("text"), " ")
     val total = docs.agg(
       sum(coalesce(size(t), lit(0))).cast("long").as("total"))
-    heavyHittersVerified(docs.select(explode(t).as("tok")), col("tok"),
+    // explode_outer + isNotNull guard, not plain explode:
+    // InferFiltersFromGenerate would infer isnotnull(split)/size>0 from
+    // explode and pushdown then inlines the split below the corpus
+    // fan-out repartition into the single-split scan stage. split of a
+    // non-null string is never null (empty text gives [""]), so with
+    // the guard explode_outer emits exactly explode's rows, and dropped
+    // null texts contribute exactly 0 to the size-sum total.
+    val toks = docs.where(col("text").isNotNull)
+      .select(explode_outer(t).as("tok"))
+    heavyHittersVerified(toks, col("tok"),
         support = 0.005, totalHint = Some(total))
       .orderBy("item")
   }
