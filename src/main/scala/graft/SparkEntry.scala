@@ -1951,10 +1951,12 @@ object SparkEntry {
         |                THEN 'event_type_domain' ELSE NULL END,
         |           CASE WHEN NOT COALESCE(value IS NULL OR value >= 1.0, FALSE)
         |                THEN 'value_min' ELSE NULL END
-        |         ], x -> x IS NOT NULL) AS violations
+        |         ], x -> x IS NOT NULL) AS viol_list
         |  FROM events)
-        |SELECT * FROM q
-        |WHERE len(violations) > 0
+        |SELECT event_id, event_type, value,
+        |       array_to_string(viol_list, ',') AS violations
+        |FROM q
+        |WHERE len(viol_list) > 0
         |ORDER BY event_id""".stripMargin
   )
 

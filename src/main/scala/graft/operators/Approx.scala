@@ -55,14 +55,19 @@ object Approx {
     * (broadcast semi-join, so the groupBy shuffles at most 1/support
     * distinct keys) and keeps items whose exact count exceeds
     * support·n. The output equals `GROUP BY item HAVING count(*) >
-    * support·n` — but the full key cardinality is never shuffled or
-    * held in memory, which is the 100 TB shape for hot-key and
-    * boilerplate-phrase detection (the exact groupBy would shuffle
-    * every distinct token). */
+    * support·n` over the NON-NULL keys — null keys are excluded from
+    * candidates, counts, and the default denominator alike (an equi
+    * semi-join can never match a null key, so counting nulls in the
+    * denominator would only make the threshold inconsistent; callers
+    * passing `totalHint` must likewise supply a non-null-row total).
+    * The full key cardinality is never shuffled or held in memory,
+    * which is the 100 TB shape for hot-key and boilerplate-phrase
+    * detection (the exact groupBy would shuffle every distinct
+    * token). */
   def heavyHittersVerified(df: DataFrame, c: Column,
                            support: Double = 0.01,
                            totalHint: Option[DataFrame] = None): DataFrame = {
-    val items = df.select(c.as("item"))
+    val items = df.select(c.as("item")).filter(col("item").isNotNull)
     val counted = items
       .join(broadcast(heavyHitters(df, c, support)), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))

@@ -44,7 +44,10 @@ object Validate {
     * a not-null rule that never fires (proving passing rules stay out of
     * the violation list), a domain rule excluding 'error', and a minimum
     * on value. Violation names appear in rule order, the same CASE
-    * ladder the SQL replay builds. */
+    * ladder the SQL replay builds. The array is witnessed as a
+    * comma-joined scalar: the oracle harness hashes cell values and
+    * cannot canonicalize array cells, so both sides emit the joined
+    * string (order is deterministic — rule order — on both engines). */
   def quarantineQuery(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, dir)
@@ -53,6 +56,8 @@ object Validate {
         notNull("event_id"),
         inDomain("event_type", Seq("click", "view", "purchase", "signup")),
         atLeast("value", 1.0)))
-      .quarantine.orderBy("event_id")
+      .quarantine
+      .withColumn("violations", array_join(col("violations"), ","))
+      .orderBy("event_id")
   }
 }

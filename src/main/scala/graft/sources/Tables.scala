@@ -47,12 +47,27 @@ object Tables {
   private val fanDecision = new scala.collection.concurrent.TrieMap[(String, Long), Boolean]
 
   /** Rewrite-sensitive content signature of a local file or parquet
-    * directory: Σ over the whole tree (partitioned tables nest part
-    * files under key=… subdirectories, whose rewrite changes neither
-    * the top directory's length nor its mtime) of every entry's
-    * (length + lastModified). 0 for anything unlistable. */
+    * directory, folded over the whole tree (partitioned tables nest
+    * part files under key=… subdirectories, whose rewrite changes
+    * neither the top directory's length nor its mtime). Each entry
+    * contributes a 64-bit MIX of (relative path, length, mtime) — not
+    * a raw `length + mtime` sum, which two offsetting changes (or a
+    * rewrite that preserves sizes on a coarse-mtime filesystem) could
+    * leave unchanged. The per-entry hashes are XOR-combined: order-
+    * independent (listFiles order is unspecified) yet collision-
+    * resistant, since cancelling one entry's change requires a 64-bit
+    * hash collision, not an arithmetic offset. 0 for anything
+    * unlistable. */
   private def contentSignature(path: String): Long =
     try {
+      // splitmix64 finalizer — full-avalanche mix so any field change
+      // flips ~half the output bits
+      def mix(v: Long): Long = {
+        var z = v + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
       // iterative walk with a visited set of canonical paths: a symlink
       // cycle must not recurse to StackOverflow (the catch would turn
       // that into a permanently-cached 0 signature — the exact staleness
@@ -62,8 +77,10 @@ object Tables {
       var sig = 0L
       while (stack.nonEmpty) {
         val f = stack.pop()
-        if (seen.add(f.getCanonicalPath)) {
-          sig += f.length() + f.lastModified()
+        val canon = f.getCanonicalPath
+        if (seen.add(canon)) {
+          sig ^= mix(mix(canon.hashCode.toLong) ^
+            mix(f.length()) ^ mix(f.lastModified()))
           Option(f.listFiles()).foreach(cs => stack.pushAll(cs))
         }
       }

@@ -56,7 +56,11 @@ object Inflate {
       .select(col("*"), rep)
     write(cust.select(
       (col("c_custkey") + col("__r") * off).as("c_custkey"),
-      concat(col("c_name"), lit("#r"), col("__r")).as("c_name"),
+      // replica 0 keeps the verbatim name (mirrors the documents
+      // pattern) so factor-1 inflation is the identity and
+      // name-length-dependent queries see the uninflated base rows
+      when(col("__r") === 0, col("c_name"))
+        .otherwise(concat(col("c_name"), lit("#r"), col("__r"))).as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
 
     val ev = spark.read.parquet(s"$inDir/events.parquet")
