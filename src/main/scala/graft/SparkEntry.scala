@@ -137,7 +137,10 @@ object SparkEntry {
     "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
     "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d)),
     "q_salted_join"     -> ((s, d) => graft.operators.Skew.saltedOrdersQuery(s, d)),
-    "q_validate"        -> ((s, d) => graft.operators.Validate.quarantineQuery(s, d))
+    "q_validate"        -> ((s, d) => graft.operators.Validate.quarantineQuery(s, d)),
+    "q_cdc_apply"       -> ((s, d) => graft.operators.Cdc.cdcApplyQuery(s, d)),
+    "q_incr_join"       -> ((s, d) => graft.operators.Incremental.incrJoinQuery(s, d)),
+    "q_embed_stats"     -> ((s, d) => graft.scale.EmbedStats.embedStatsQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1957,7 +1960,67 @@ object SparkEntry {
         |       array_to_string(viol_list, ',') AS violations
         |FROM q
         |WHERE len(viol_list) > 0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // CDC apply: the changelog compaction is replayed as a ranked
+    // window (the SEMANTIC spec; the engine's argmax aggregate must
+    // agree), the apply as a full-outer coalesce with the D filter.
+    // Same synthetic feed: seq = o_orderkey, every 17th record D,
+    // every 13th an I under a +500000 key offset, the rest U.
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey + CASE WHEN o_orderkey % 13 = 0
+        |                          THEN 500000 ELSE 0 END AS cust_key,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+        |              WHEN o_orderkey % 13 = 0 THEN 'I'
+        |              ELSE 'U' END AS op,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |  FROM orders),
+        |latest AS (
+        |  SELECT cust_key, op, acctbal FROM log
+        |  QUALIFY row_number() OVER (PARTITION BY cust_key ORDER BY seq DESC) = 1),
+        |base AS (
+        |  SELECT c_custkey AS cust_key,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |  FROM customer)
+        |SELECT COALESCE(b.cust_key, l.cust_key) AS cust_key,
+        |       COALESCE(l.acctbal, b.acctbal) AS acctbal,
+        |       CASE WHEN l.cust_key IS NULL THEN 'base' ELSE 'cdc' END AS src
+        |FROM base b FULL OUTER JOIN latest l ON b.cust_key = l.cust_key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY cust_key""".stripMargin,
+
+    // Incremental join maintenance: the oracle is the MONOLITHIC join
+    // with the factorization term recomputed as a CASE over the split
+    // predicates — result identity proves the four delta terms are
+    // disjoint and total, not merely count-preserving.
+    "q_incr_join" ->
+      """SELECT o.o_orderkey, o.o_custkey AS cust_key,
+        |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |       c.c_name,
+        |       CASE WHEN o.o_orderkey % 10 = 0 AND c.c_custkey % 7 = 0 THEN 'both_delta'
+        |            WHEN o.o_orderkey % 10 = 0 THEN 'a_delta'
+        |            WHEN c.c_custkey % 7 = 0 THEN 'b_delta'
+        |            ELSE 'old' END AS via
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Embedding per-dim stats: float→double widening is exact, ×1e6 and
+    // floor are identical IEEE ops, so the scaled integer sum is
+    // bit-stable under any partitioning; min/max are exact selections.
+    // generate_subscripts and unnest zip positionally in DuckDB.
+    "q_embed_stats" ->
+      """SELECT CAST(dim AS BIGINT) AS dim,
+        |       count(*) AS n_vals,
+        |       CAST(min(v) AS DOUBLE) AS min_v,
+        |       CAST(max(v) AS DOUBLE) AS max_v,
+        |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS scaled_sum,
+        |       CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |             unnest(embedding) AS v
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY dim""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -1,0 +1,46 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-dimension embedding-column statistics — the QA pass that precedes
+  * any ANN index build or whitening transform over a 100 TB embedding
+  * store: dead dimensions (min = max), scale imbalance across
+  * dimensions (a few dominant dims wreck cosine recall), drift between
+  * ingest batches. The reference has no embedding pipeline; this is
+  * part of the training-data toolbox the engine adds on top.
+  *
+  * Scale shape: posexplode fans each vector to (dim, value) rows, then
+  * ONE groupBy over the dimension index — cardinality = vector width
+  * (64 here), so partial aggregation collapses everything map-side and
+  * the shuffle moves `width × partitions` rows regardless of corpus
+  * size. No collect, no per-row UDF.
+  *
+  * Determinism: float sums are order-dependent, so the cross-engine sum
+  * witness is an INTEGER: Σ floor(v·10⁶) per dimension. float→double
+  * widening is exact, ×10⁶ and floor are identical IEEE-754 ops in both
+  * engines, and the resulting long sum is associative — bit-stable under
+  * any partitioning. min/max are exact selections (no arithmetic), so
+  * they witness directly, widened to double.
+  */
+object EmbedStats {
+
+  /** One row per dimension: count, exact min/max, the scaled integer
+    * sum described above, and the count of strictly-positive entries
+    * (a cheap symmetry probe). */
+  def perDimension(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n_vals"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"),
+        sum(floor(col("v").cast("double") * 1000000d).cast("long")).as("scaled_sum"),
+        sum(when(col("v") > 0f, 1L).otherwise(0L)).as("n_pos"))
+
+  /** q_embed_stats over the embeddings table, ordered by dimension. */
+  def embedStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    perDimension(graft.sources.Tables.embeddings(spark, dir))
+      .orderBy("dim")
+}
