@@ -140,7 +140,9 @@ object SparkEntry {
     "q_validate"        -> ((s, d) => graft.operators.Validate.quarantineQuery(s, d)),
     "q_cdc_apply"       -> ((s, d) => graft.operators.Cdc.cdcApplyQuery(s, d)),
     "q_incr_join"       -> ((s, d) => graft.operators.Incremental.incrJoinQuery(s, d)),
-    "q_embed_stats"     -> ((s, d) => graft.scale.EmbedStats.embedStatsQuery(s, d))
+    "q_embed_stats"     -> ((s, d) => graft.scale.EmbedStats.embedStatsQuery(s, d)),
+    "q_hilbert"         -> ((s, d) => graft.scale.Layout.hilbertQuery(s, d)),
+    "q_bpe_encode"      -> ((s, d) => graft.scale.Bpe.encodeQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1478,6 +1480,7 @@ object SparkEntry {
     // non-overlapping replace EXACTLY the greedy merge fold ('a a a'
     // under (a,a) -> 'aa a'). Pair counting splits on the double space.
     "q_bpe_merges" -> bpeMergesOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
 
     // S14-depth round trip: career-table rows (3 per player; the short
     // decoy row is dropped by the >=3-cells filter, the '-' goals cell
@@ -1929,6 +1932,7 @@ object SparkEntry {
         |ORDER BY item""".stripMargin,
 
     "q_zorder" -> zorderOracleSql,
+    "q_hilbert" -> hilbertOracleSql,
 
     // Salting is an execution-layout change only; the oracle is the
     // plain join it must be result-identical to.
@@ -2053,6 +2057,56 @@ object SparkEntry {
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** DuckDB replay of `Layout.hilbertIndex` over lineitem: identical
+    * bucketization to the z-order oracle, then one chained CTE per bit
+    * level running the same rotate-and-reflect state machine (the CASE
+    * ladders mirror the Spark staged projections term for term; all
+    * integer arithmetic, so agreement is exact). */
+  private def hilbertOracleSql: String = {
+    val bits = graft.scale.Layout.DefaultBits
+    val maxB = (1L << bits) - 1
+    val n = 1L << bits
+    val minNormal = "2.2250738585072014e-308"
+    def bucket(c: String, lo: String, span: String) =
+      s"LEAST(GREATEST(CAST(floor(($c - $lo) / $span * $maxB) AS BIGINT), 0), $maxB)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH r AS (SELECT min(l_quantity) AS lo0,
+         |                  GREATEST(max(l_quantity) - min(l_quantity), $minNormal) AS span0,
+         |                  min(l_extendedprice) AS lo1,
+         |                  GREATEST(max(l_extendedprice) - min(l_extendedprice), $minNormal) AS span1
+         |           FROM lineitem),
+         |h0 AS (SELECT l_orderkey, l_linenumber,
+         |              ${bucket("l_quantity", "lo0", "span0")} AS x,
+         |              ${bucket("l_extendedprice", "lo1", "span1")} AS y,
+         |              CAST(0 AS BIGINT) AS d
+         |       FROM lineitem, r)""".stripMargin)
+    var s = n / 2
+    var k = 0
+    while (s > 0) {
+      k += 1
+      sb.append(s""",
+         |h$k AS (
+         |  SELECT p.l_orderkey, p.l_linenumber,
+         |    CASE WHEN (p.y & $s) > 0 THEN p.x
+         |         WHEN (p.x & $s) > 0 THEN ${n - 1} - p.y
+         |         ELSE p.y END AS x,
+         |    CASE WHEN (p.y & $s) > 0 THEN p.y
+         |         WHEN (p.x & $s) > 0 THEN ${n - 1} - p.x
+         |         ELSE p.x END AS y,
+         |    p.d + ${s * s} * (CASE WHEN (p.x & $s) > 0 AND (p.y & $s) > 0 THEN 2
+         |                           WHEN (p.x & $s) > 0 THEN 3
+         |                           WHEN (p.y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |  FROM h${k - 1} p)""".stripMargin)
+      s /= 2
+    }
+    sb.append(s"""
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h
+         |FROM h$k
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    sb.toString
+  }
+
   /** Generated DuckDB SQL replaying `n` exact BPE rounds (see the
     * q_bpe_merges comment for the double-space-padding invariant that
     * makes plain `replace` the greedy merge fold). Each round k: count
@@ -2060,7 +2114,7 @@ object SparkEntry {
     * the (cnt DESC, pair ASC) tiebreak and the min-pair-count 2 cut
     * (m_k), apply it to every word (w_k). An exhausted round leaves m_k
     * empty and emptiness cascades — matching Bpe.train's early stop. */
-  private def bpeMergesOracle(n: Int): String = {
+  private def bpeRoundsCtes(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH wf AS (
@@ -2069,7 +2123,7 @@ object SparkEntry {
         |  WHERE length(w) > 0
         |  GROUP BY w),
         |w0 AS (
-        |  SELECT '  ' || array_to_string(
+        |  SELECT w, '  ' || array_to_string(
         |           list_append(regexp_extract_all(w, '(?s).'), '</w>'), '  ')
         |         || '  ' AS sym, freq
         |  FROM wf)""".stripMargin)
@@ -2089,14 +2143,27 @@ object SparkEntry {
         |         cnt AS pair_cnt
         |  FROM c$k ORDER BY cnt DESC, pair ASC LIMIT 1),
         |w$k AS (
-        |  SELECT replace(w.sym,
+        |  SELECT w.w, replace(w.sym,
         |           ' ' || m.left_sym || '  ' || m.right_sym || ' ',
         |           ' ' || m.left_sym || m.right_sym || ' ') AS sym, w.freq
         |  FROM w${k - 1} w, m$k m)""".stripMargin)
     }
-    sb.append((1 to n).map(k => s"SELECT * FROM m$k").mkString(
-      "\nSELECT merge_rank, left_sym, right_sym, pair_cnt FROM (\n",
-      "\nUNION ALL ", "\n) ORDER BY merge_rank"))
     sb.toString
   }
+
+  private def bpeMergesOracle(n: Int): String =
+    bpeRoundsCtes(n) + (1 to n).map(k => s"SELECT * FROM m$k").mkString(
+      "\nSELECT merge_rank, left_sym, right_sym, pair_cnt FROM (\n",
+      "\nUNION ALL ", "\n) ORDER BY merge_rank")
+
+  /** Encode-apply oracle: the final round-table w_n of the merges
+    * replay IS the fully-encoded vocabulary — every distinct corpus
+    * word with its subword segmentation after all `n` merges. The
+    * double-space padding collapses back to single-space tokens. */
+  private def bpeEncodeOracle(n: Int): String =
+    bpeRoundsCtes(n) + s"""
+      |SELECT w, array_to_string(string_split(trim(sym), '  '), ' ') AS sym,
+      |       CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sub
+      |FROM w$n
+      |ORDER BY w""".stripMargin
 }

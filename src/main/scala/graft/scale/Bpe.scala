@@ -151,6 +151,25 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
+  /** q_bpe_encode: the word → subword-segmentation table of every
+    * distinct corpus word under the `numMerges` learned merges — the
+    * ENCODE half of BPE, oracle-checked end-to-end (q_bpe_merges
+    * already oracles the learning half; the DuckDB replay's final
+    * round table is exactly this vocabulary). Runs the expression-fold
+    * encoder; BpeSpec pins the rank-map production encoder equal to
+    * it, so the oracle transitively covers both paths. Distinct words,
+    * not documents, keep the witness vocabulary-sized — the per-doc
+    * application is a broadcast-map over this table. */
+  def encodeQuery(spark: SparkSession, dir: String,
+                  numMerges: Int = 8): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val merges = train(docs, numMerges)
+    wordFreqs(docs).select(col("w"))
+      .withColumn("sym", element_at(encodeViaExpressions(col("w"), merges), 1))
+      .withColumn("n_sub", size(split(col("sym"), " ")).cast("long"))
+      .orderBy("w")
+  }
+
   /** Above this many merges, [[encode]] switches from the nested
     * expression fold (one tree layer per merge — Catalyst recursion and
     * Janino method-size limits make it unusable for big lists) to the

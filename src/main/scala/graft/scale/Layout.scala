@@ -108,6 +108,94 @@ object Layout {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Hilbert-curve index over two columns — the locality-optimal
+    * alternative to the Morton code above: consecutive Hilbert indexes
+    * are always grid-ADJACENT (no Z-shaped jumps across the key space),
+    * so equal-size splits cover tighter hyper-rectangles and parquet
+    * min/max pruning discards more row groups for the same predicates.
+    * The standard iterative xy2d transform (Hamilton's state machine,
+    * one rotate-and-reflect step per bit level, top bit first).
+    *
+    * Implementation note: each bit level is staged as its OWN projection
+    * (x/y/d become named attributes between levels) rather than one
+    * nested expression — a single folded expression would re-inline each
+    * level's CASE into the next and grow exponentially with bit depth;
+    * staged aliases are referenced-many-times non-cheap expressions,
+    * which CollapseProject deliberately leaves in place. The per-row
+    * cost is `bits` fused projections, all inside whole-stage codegen.
+    */
+  def hilbertIndex(df: DataFrame, x: Column, y: Column,
+                   ranges: Seq[(Double, Double)], bits: Int = DefaultBits,
+                   outCol: String = "h"): DataFrame = {
+    require(ranges.length == 2, "hilbertIndex is 2-D")
+    require(2 * bits <= 62, s"2 x $bits bits exceeds a signed long")
+    val maxBucket = (1L << bits) - 1
+    def bucket(c: Column, r: (Double, Double)): Column = {
+      val span = math.max(r._2 - r._1, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+          floor((c.cast("double") - lit(r._1)) / lit(span) * maxBucket).cast("long"),
+          lit(0L)), lit(maxBucket))
+    }
+    val n = 1L << bits
+    var cur = df.withColumn("__hx", bucket(x, ranges(0)))
+      .withColumn("__hy", bucket(y, ranges(1)))
+      .withColumn("__hd", lit(0L))
+    var s = n / 2
+    while (s > 0) {
+      val rx = col("__hx").bitwiseAND(lit(s)) > 0
+      val ry = col("__hy").bitwiseAND(lit(s)) > 0
+      // quadrant = (3*rx) XOR ry, spelled as the same CASE ladder the
+      // SQL replay uses (no engine-specific xor needed)
+      val quad = when(rx && ry, 2L).when(rx, 3L).when(ry, 1L).otherwise(0L)
+      // rotate: ry=1 -> identity; ry=0,rx=1 -> flip both then swap;
+      // ry=0,rx=0 -> swap
+      val nx = when(ry, col("__hx"))
+        .when(rx, lit(n - 1) - col("__hy")).otherwise(col("__hy"))
+      val ny = when(ry, col("__hy"))
+        .when(rx, lit(n - 1) - col("__hx")).otherwise(col("__hx"))
+      val keep = cur.columns.filterNot(Set("__hx", "__hy", "__hd")).map(col)
+      cur = cur.select(keep ++ Seq(nx.as("__hx"), ny.as("__hy"),
+        (col("__hd") + lit(s * s) * quad).as("__hd")): _*)
+      s /= 2
+    }
+    cur.withColumnRenamed("__hd", outCol).drop("__hx", "__hy")
+  }
+
+  /** Cluster `df` by the Hilbert index of two columns — same contract as
+    * [[zorder]], better per-split locality. */
+  def hilbertOrder(df: DataFrame, xCol: String, yCol: String, numFiles: Int,
+                   bits: Int = DefaultBits): DataFrame = {
+    val stats = df.agg(min(numericize(df, xCol)), max(numericize(df, xCol)),
+      min(numericize(df, yCol)), max(numericize(df, yCol))).head()
+    val ranges = Seq((stats.getDouble(0), stats.getDouble(1)),
+      (stats.getDouble(2), stats.getDouble(3)))
+    hilbertIndex(df, numericize(df, xCol), numericize(df, yCol), ranges,
+        bits, outCol = "__h")
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
+  /** q_hilbert: the Hilbert index of every lineitem row over
+    * (l_quantity, l_extendedprice) with exact global min/max ranges —
+    * like q_zorder, pure IEEE bucketization in a fixed operation order
+    * followed by pure integer state-machine steps, so a DuckDB replay
+    * (one chained CTE per bit level, same CASE ladders) must agree
+    * bit-for-bit. */
+  def hilbertQuery(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"))
+    val stats = li.agg(min("q"), max("q"), min("p"), max("p")).head()
+    val ranges = Seq((stats.getDouble(0), stats.getDouble(1)),
+      (stats.getDouble(2), stats.getDouble(3)))
+    hilbertIndex(li, col("q"), col("p"), ranges)
+      .select(col("l_orderkey"), col("l_linenumber"), col("h"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Per-split locality report for a clustered frame: for each partition,
     * the normalized min/max span of every probe column (0 = perfectly
     * local, 1 = the split covers the full value range — nothing prunable).

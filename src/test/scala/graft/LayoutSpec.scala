@@ -72,4 +72,45 @@ class LayoutSpec extends SparkSpec {
       Seq((1L, 7L), (2L, 7L), (3L, 7L)))
     assert(out.columns.toSeq == Seq("a", "b"))
   }
+
+  test("hilbertIndex is a Hilbert curve: bijective and grid-adjacent over the full grid") {
+    import spark.implicits._
+    // The defining property, checked exhaustively at bits = 4 (a 16x16
+    // grid): the index is a bijection onto [0, 256) and consecutive
+    // indexes are Manhattan-distance-1 neighbors — the locality
+    // guarantee z-order does NOT have (its seams jump across the grid).
+    val bits = 4; val n = 1 << bits
+    val cells = (for { x <- 0 until n; y <- 0 until n } yield (x.toDouble, y.toDouble))
+      .toDF("x", "y")
+    // identity bucketization: ranges chosen so bucket(v) = v exactly
+    val ranges = Seq((0.0, (n - 1).toDouble), (0.0, (n - 1).toDouble))
+    val got = Layout.hilbertIndex(cells, col("x"), col("y"), ranges, bits)
+      .collect().map(r => (r.getLong(2), (r.getDouble(0).toInt, r.getDouble(1).toInt)))
+    assert(got.map(_._1).sorted.toSeq == (0L until (n.toLong * n)).toSeq)
+    val byD = got.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbertOrder preserves rows; Hilbert splits are at least as local as z-order's") {
+    import spark.implicits._
+    // 32x32 grid of points; cluster into 8 range-splits by each curve and
+    // compare the mean per-split normalized span (localityReport's
+    // fraction) — the Hilbert layout must not be WORSE than Morton.
+    val pts = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    def meanSpan(clustered: org.apache.spark.sql.DataFrame): Double = {
+      val rep = Layout.localityReport(clustered, Seq("x", "y"))
+        .agg(avg((col("frac_x") + col("frac_y")) / 2)).head().getDouble(0)
+      rep
+    }
+    val hil = Layout.hilbertOrder(pts, "x", "y", numFiles = 8, bits = 5)
+    val zor = Layout.zorder(pts, Seq("x", "y"), numFiles = 8, bits = 5)
+    assert(hil.count() == 1024 && zor.count() == 1024)
+    val (hSpan, zSpan) = (meanSpan(hil), meanSpan(zor))
+    assert(hSpan <= zSpan + 1e-9,
+      s"hilbert mean split span $hSpan worse than z-order $zSpan")
+  }
 }

@@ -14,7 +14,7 @@ class PlanGateSpec extends SparkSpec {
   // gates can't meaningfully check — excluded to keep this suite
   // plans-only cheap. Their scale shapes are spec-gated in BpeSpec /
   // LmScoreSpec instead.
-  private val eagerDriverQueries = Set("q_bpe_merges", "q_lm_counts")
+  private val eagerDriverQueries = Set("q_bpe_merges", "q_bpe_encode", "q_lm_counts")
 
   private lazy val plans: Map[String, String] =
     (SparkEntry.queries -- eagerDriverQueries).map { case (name, fn) =>
