@@ -142,7 +142,8 @@ object SparkEntry {
     "q_incr_join"       -> ((s, d) => graft.operators.Incremental.incrJoinQuery(s, d)),
     "q_embed_stats"     -> ((s, d) => graft.scale.EmbedStats.embedStatsQuery(s, d)),
     "q_hilbert"         -> ((s, d) => graft.scale.Layout.hilbertQuery(s, d)),
-    "q_bpe_encode"      -> ((s, d) => graft.scale.Bpe.encodeQuery(s, d))
+    "q_bpe_encode"      -> ((s, d) => graft.scale.Bpe.encodeQuery(s, d)),
+    "q_temp_mix"        -> ((s, d) => graft.scale.TrainingData.temperatureMix(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2024,7 +2025,30 @@ object SparkEntry {
         |FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
         |             unnest(embedding) AS v
         |      FROM embeddings)
-        |GROUP BY 1 ORDER BY dim""".stripMargin
+        |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // Temperature mixing: sqrt is correctly-rounded IEEE (portable,
+    // unlike general pow); the normalizer is an exact integer sum of
+    // quantized weights; the rate is the same fixed op sequence
+    // min(1, target*sq/den/n); membership is the md5 52-bit uniform.
+    "q_temp_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+        |  FROM documents GROUP BY source),
+        |den AS (SELECT CAST(sum(sq) AS BIGINT) AS den FROM c),
+        |r AS (SELECT c.source, c.n_docs, c.sq,
+        |             LEAST(CAST(1.0 AS DOUBLE),
+        |                   CAST(300 AS DOUBLE) * CAST(c.sq AS DOUBLE)
+        |                     / CAST(den.den AS DOUBLE)
+        |                     / CAST(c.n_docs AS DOUBLE)) AS rate
+        |      FROM c, den)
+        |SELECT d.source, r.n_docs, r.sq, r.rate, count(*) AS docs_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |        / 4503599627370496.0 < r.rate
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY d.source""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -101,6 +101,44 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled source mixing: sampling rates derived FROM the
+    * corpus counts as p_i ∝ n_i^α (α = 1 preserves the natural mix;
+    * α → 0 flattens toward uniform — the multilingual/multi-source
+    * rebalancing knob of every pretraining recipe). α = ½ here, because
+    * n^½ = sqrt(n) is an IEEE-754 correctly-rounded operation — unlike
+    * pow(n, α) generally, whose libm result may differ between engines
+    * by an ulp.
+    *
+    * Determinism of the normalizer: Σ_j sqrt(n_j) over doubles would
+    * depend on summation order (window/partial-agg trees regroup
+    * additions), so the weights are QUANTIZED first — sq_i =
+    * ⌊sqrt(n_i)·10⁶⌋ as integers — and the denominator is their exact
+    * associative integer sum. The acceptance rate is then the fixed
+    * operation sequence min(1, target·sq_i / den / n_i), every step a
+    * single correctly-rounded double op, and membership is the same
+    * hash-uniform Bernoulli as [[bernoulliKeep]] — reproducible across
+    * engines, runs, and cluster sizes.
+    *
+    * Scale shape: one count aggregate (cardinality = #sources), the
+    * integer normalizer folded in the same tiny frame, broadcast back
+    * onto the corpus for a filter — one wide scan, no second shuffle. */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     targetDocs: Long = 300L): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", floor(sqrt(col("n_docs").cast("double")) * 1000000d).cast("long"))
+    val den = counts.agg(sum(col("sq")).as("den"))
+    val rates = counts.crossJoin(broadcast(den))
+      .withColumn("rate",
+        least(lit(1.0), lit(targetDocs.toDouble) * col("sq").cast("double") /
+          col("den").cast("double") / col("n_docs").cast("double")))
+    d.join(broadcast(rates), "source")
+      .filter(hashUniform(col("doc_id")) < col("rate"))
+      .groupBy("source", "n_docs", "sq", "rate")
+      .agg(count(lit(1)).as("docs_kept"))
+      .orderBy("source")
+  }
+
   /** Source mixing: cap every source at a per-source token budget by
     * deterministic hash downsampling — the mixture-weights step of a
     * pretraining corpus build (oversampled sources are thinned; sources

@@ -354,4 +354,23 @@ class ScaleSpec extends SparkSpec {
     val d2 = out.filter(_._1 == 2L)
     assert(d2.length == 1 && d2.head._4 == 3L && d2.head._5 == md5hex("a b c"))
   }
+
+  test("temperatureMix: alpha=1/2 flattens the mix toward low-resource sources") {
+    val out = graft.scale.TrainingData.temperatureMix(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // every rate is a probability, and kept <= n
+    out.foreach { case (_, n, rate, kept) =>
+      assert(rate > 0.0 && rate <= 1.0); assert(kept <= n)
+    }
+    // flattening is a property of the RATES (realized counts carry
+    // Bernoulli noise on small sources): rate_i ∝ 1/sqrt(n_i), so a
+    // strictly smaller source never gets a lower acceptance rate
+    out.sortBy(_._2).sliding(2).foreach { case Array(small, big) =>
+      if (small._2 < big._2)
+        assert(small._3 >= big._3 - 1e-12,
+          s"smaller source ${small._1} rate ${small._3} < ${big._1} rate ${big._3}")
+    }
+  }
 }
