@@ -2137,7 +2137,10 @@ object SparkEntry {
     * adjacent pairs weighted by word freq (c_k), pick the argmax with
     * the (cnt DESC, pair ASC) tiebreak and the min-pair-count 2 cut
     * (m_k), apply it to every word (w_k). An exhausted round leaves m_k
-    * empty and emptiness cascades — matching Bpe.train's early stop. */
+    * empty; the LEFT JOIN keeps w_k = w_{k-1} (words pass through
+    * unmerged, so the ENCODE oracle still emits the vocabulary) and
+    * every later m_j stays empty too — unchanged words produce the same
+    * sub-threshold pair counts — matching Bpe.train's early stop. */
   private def bpeRoundsCtes(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -2167,10 +2170,10 @@ object SparkEntry {
         |         cnt AS pair_cnt
         |  FROM c$k ORDER BY cnt DESC, pair ASC LIMIT 1),
         |w$k AS (
-        |  SELECT w.w, replace(w.sym,
+        |  SELECT w.w, COALESCE(replace(w.sym,
         |           ' ' || m.left_sym || '  ' || m.right_sym || ' ',
-        |           ' ' || m.left_sym || m.right_sym || ' ') AS sym, w.freq
-        |  FROM w${k - 1} w, m$k m)""".stripMargin)
+        |           ' ' || m.left_sym || m.right_sym || ' '), w.sym) AS sym, w.freq
+        |  FROM w${k - 1} w LEFT JOIN m$k m ON TRUE)""".stripMargin)
     }
     sb.toString
   }

@@ -41,21 +41,32 @@ object Cdc {
   /** Apply a compacted-or-raw changelog to `base`. Both frames share
     * `keyCols`; the changelog additionally has `seqCol` and `opCol`
     * (values 'I'/'U'/'D' — I and U are both upserts; D removes the key).
-    * Payload columns present in BOTH frames resolve changelog-wins;
-    * base rows without a changelog entry pass through unchanged; a D on
-    * an absent key is a no-op (idempotent replay). */
+    * Output schema: keys, then every base payload column (changelog
+    * wins where the changelog carries the column, otherwise passed
+    * through untouched — partial-row CDC feeds are the norm), then any
+    * changelog-only payload columns (null for untouched base rows),
+    * then a `src` provenance flag. A D on an absent key is a no-op
+    * (idempotent replay). The base must not itself contain `opCol` —
+    * the op verb is feed metadata, never payload. */
   def applyChangelog(base: DataFrame, changelog: DataFrame,
                      keyCols: Seq[String], seqCol: String,
                      opCol: String = "op"): DataFrame = {
+    require(!base.columns.contains(opCol),
+      s"base must not contain the op column '$opCol'")
     val latest = compact(changelog, keyCols, seqCol)
-    val shared = base.columns.filterNot(keyCols.contains)
-      .filter(latest.columns.contains)
+    val basePayload = base.columns.filterNot(keyCols.contains)
+    val shared = basePayload.filter(latest.columns.contains)
+    val logOnly = latest.columns.filterNot(c =>
+      keyCols.contains(c) || c == opCol || basePayload.contains(c))
     val b = shared.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
     val l = shared.foldLeft(latest)((d, c) => d.withColumnRenamed(c, s"__l_$c"))
     b.join(l, keyCols, "full_outer")
       .filter(col(opCol).isNull || col(opCol) =!= "D")
       .select(keyCols.map(col) ++
-        shared.map(c => coalesce(col(s"__l_$c"), col(s"__b_$c")).as(c)) :+
+        basePayload.map(c =>
+          if (shared.contains(c)) coalesce(col(s"__l_$c"), col(s"__b_$c")).as(c)
+          else col(c)) ++
+        logOnly.map(col) :+
         when(col(opCol).isNull, lit("base")).otherwise(lit("cdc")).as("src"): _*)
   }
 

@@ -84,15 +84,24 @@ object Bpe {
     * on the pair string ascending. */
   def train(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
             batchSize: Int = 1, textCol: String = "text"): Seq[Merge] = {
-    require(numMerges >= 0 && batchSize >= 1)
     // Per-call unique silver names (same rule as EntityResolution): a
     // concurrent or later train() sharing spark.graft.silver.dir must
     // not overwrite parts under this run's still-live round tables.
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    var words = Silver.materialize(
+    trainOnWords(Silver.materialize(
       wordFreqs(docs, textCol)
         .select(symbolize(col("w")).as("sym"), col("freq")),
-      s"bpe_words_${uid}_0")
+      s"bpe_words_${uid}_0"), numMerges, minPairCount, batchSize, uid)
+  }
+
+  /** Training loop over an already-materialized (sym, freq) word table —
+    * split out so callers that need the word table for other work too
+    * ([[encodeQuery]]) pay the corpus tokenize-and-count pass once. */
+  private def trainOnWords(words0: DataFrame, numMerges: Int,
+                           minPairCount: Long, batchSize: Int,
+                           uid: String): Seq[Merge] = {
+    require(numMerges >= 0 && batchSize >= 1)
+    var words = words0
     val learned = scala.collection.mutable.ArrayBuffer[Merge]()
     var round = 0
     var exhausted = false
@@ -163,8 +172,16 @@ object Bpe {
   def encodeQuery(spark: SparkSession, dir: String,
                   numMerges: Int = 8): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
-    val merges = train(docs, numMerges)
-    wordFreqs(docs).select(col("w"))
+    // One corpus pass: materialize (w, sym, freq) once; training reads
+    // the (sym, freq) projection, the encode below re-reads the words —
+    // no second tokenize-and-count over the documents.
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val wf = Silver.materialize(
+      wordFreqs(docs).select(col("w"), symbolize(col("w")).as("sym"), col("freq")),
+      s"bpe_words_${uid}_0")
+    val merges = trainOnWords(wf.select("sym", "freq"), numMerges,
+      minPairCount = 2L, batchSize = 1, uid)
+    wf.select(col("w"))
       .withColumn("sym", element_at(encodeViaExpressions(col("w"), merges), 1))
       .withColumn("n_sub", size(split(col("sym"), " ")).cast("long"))
       .orderBy("w")

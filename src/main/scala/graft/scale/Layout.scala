@@ -42,6 +42,20 @@ object Layout {
     }
   }
 
+  /** One aggregation pass collecting [min, max] per expression — the
+    * shared layout-parameter collect of every curve builder below (a
+    * handful of doubles to the driver, like IVF centroids). Single
+    * definition so the clamp/span contract the oracles replay cannot
+    * drift between call sites. */
+  private def columnRanges(df: DataFrame, cols: Seq[Column]): Seq[(Double, Double)] = {
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).cast("double").as(s"__lo_$i"), max(c).cast("double").as(s"__hi_$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i =>
+      (stats.getAs[Double](s"__lo_$i"), stats.getAs[Double](s"__hi_$i")))
+  }
+
   /** Morton z-value over `cols`, each normalized to `bits`-bit buckets by
     * the provided [lo, hi] ranges. Null sorts first (bucket 0). */
   def zvalue(cols: Seq[Column], ranges: Seq[(Double, Double)],
@@ -72,13 +86,7 @@ object Layout {
     * (`df.write.parquet`) to materialize the layout. */
   def zorder(df: DataFrame, clusterCols: Seq[String], numFiles: Int,
              bits: Int = DefaultBits): DataFrame = {
-    val statAggs = clusterCols.flatMap(c => Seq(
-      min(numericize(df, c)).as(s"__lo_$c"),
-      max(numericize(df, c)).as(s"__hi_$c")))
-    val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
-    val ranges = clusterCols.map { c =>
-      (stats.getAs[Double](s"__lo_$c"), stats.getAs[Double](s"__hi_$c"))
-    }
+    val ranges = columnRanges(df, clusterCols.map(c => numericize(df, c)))
     df.withColumn("__z",
         zvalue(clusterCols.map(c => numericize(df, c)), ranges, bits))
       .repartitionByRange(numFiles, col("__z"))
@@ -100,9 +108,7 @@ object Layout {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("double").as("q"),
         col("l_extendedprice").cast("double").as("p"))
-    val stats = li.agg(min("q"), max("q"), min("p"), max("p")).head()
-    val ranges = Seq((stats.getDouble(0), stats.getDouble(1)),
-      (stats.getDouble(2), stats.getDouble(3)))
+    val ranges = columnRanges(li, Seq(col("q"), col("p")))
     li.select(col("l_orderkey"), col("l_linenumber"),
         zvalue(Seq(col("q"), col("p")), ranges).as("z"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -165,10 +171,8 @@ object Layout {
     * [[zorder]], better per-split locality. */
   def hilbertOrder(df: DataFrame, xCol: String, yCol: String, numFiles: Int,
                    bits: Int = DefaultBits): DataFrame = {
-    val stats = df.agg(min(numericize(df, xCol)), max(numericize(df, xCol)),
-      min(numericize(df, yCol)), max(numericize(df, yCol))).head()
-    val ranges = Seq((stats.getDouble(0), stats.getDouble(1)),
-      (stats.getDouble(2), stats.getDouble(3)))
+    val ranges = columnRanges(df,
+      Seq(numericize(df, xCol), numericize(df, yCol)))
     hilbertIndex(df, numericize(df, xCol), numericize(df, yCol), ranges,
         bits, outCol = "__h")
       .repartitionByRange(numFiles, col("__h"))
@@ -188,9 +192,7 @@ object Layout {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("double").as("q"),
         col("l_extendedprice").cast("double").as("p"))
-    val stats = li.agg(min("q"), max("q"), min("p"), max("p")).head()
-    val ranges = Seq((stats.getDouble(0), stats.getDouble(1)),
-      (stats.getDouble(2), stats.getDouble(3)))
+    val ranges = columnRanges(li, Seq(col("q"), col("p")))
     hilbertIndex(li, col("q"), col("p"), ranges)
       .select(col("l_orderkey"), col("l_linenumber"), col("h"))
       .orderBy("l_orderkey", "l_linenumber")

@@ -50,14 +50,16 @@ object Tables {
     * directory, folded over the whole tree (partitioned tables nest
     * part files under key=… subdirectories, whose rewrite changes
     * neither the top directory's length nor its mtime). Each entry
-    * contributes a 64-bit MIX of (relative path, length, mtime) — not
-    * a raw `length + mtime` sum, which two offsetting changes (or a
-    * rewrite that preserves sizes on a coarse-mtime filesystem) could
-    * leave unchanged. The per-entry hashes are XOR-combined: order-
-    * independent (listFiles order is unspecified) yet collision-
-    * resistant, since cancelling one entry's change requires a 64-bit
-    * hash collision, not an arithmetic offset. 0 for anything
-    * unlistable. */
+    * contributes a 64-bit chained MIX of (canonical path, length,
+    * mtime) — not a raw `length + mtime` sum, which two offsetting
+    * changes (or a rewrite that preserves sizes on a coarse-mtime
+    * filesystem) could leave unchanged. Fields are folded
+    * SEQUENTIALLY through the mixer (not XORed side by side, which
+    * would be symmetric under swapping field values); the per-entry
+    * hashes are then XOR-combined, which is order-independent
+    * (listFiles order is unspecified) yet collision-resistant —
+    * cancelling one entry's change requires a 64-bit hash collision,
+    * not an arithmetic offset. 0 for anything unlistable. */
   private def contentSignature(path: String): Long =
     try {
       // splitmix64 finalizer — full-avalanche mix so any field change
@@ -79,8 +81,8 @@ object Tables {
         val f = stack.pop()
         val canon = f.getCanonicalPath
         if (seen.add(canon)) {
-          sig ^= mix(mix(canon.hashCode.toLong) ^
-            mix(f.length()) ^ mix(f.lastModified()))
+          sig ^= mix(mix(mix(canon.hashCode.toLong) + f.length()) +
+            f.lastModified())
           Option(f.listFiles()).foreach(cs => stack.pushAll(cs))
         }
       }

@@ -53,6 +53,30 @@ class CdcIncrementalSpec extends SparkSpec {
       once.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("applyChangelog passes base-only columns through (partial-row CDC feed)") {
+    val base = Seq((1L, 1.0, "EU"), (2L, 2.0, "NA")).toDF("k", "bal", "region")
+    val out = Cdc.applyChangelog(base, log((1L, 5L, "U", 9.0)), Seq("k"), "seq")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq((1L, 9.0, "EU", "cdc"), (2L, 2.0, "NA", "base")))
+  }
+
+  test("applyChangelog carries changelog-only payload columns (null for base rows)") {
+    val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "bal")
+    val l = Seq((1L, 5L, "U", "feed-7")).toDF("k", "seq", "op", "origin")
+    val out = Cdc.applyChangelog(base, l, Seq("k"), "seq").orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq ==
+      Seq((1L, 1.0, Some("feed-7")), (2L, 2.0, None)))
+  }
+
+  test("applyChangelog rejects a base frame that owns the op column name") {
+    val base = Seq((1L, "x")).toDF("k", "op")
+    val err = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(base, log((1L, 1L, "U", 1.0)), Seq("k"), "seq")
+    }
+    assert(err.getMessage.contains("op"))
+  }
+
   test("Cdc.compact is an aggregate, not a ranked window (map-side combining)") {
     val plan = Cdc.compact(log((1L, 1L, "U", 1.0)), Seq("k"), "seq")
       .queryExecution.executedPlan.toString

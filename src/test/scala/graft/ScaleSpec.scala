@@ -367,10 +367,12 @@ class ScaleSpec extends SparkSpec {
     // flattening is a property of the RATES (realized counts carry
     // Bernoulli noise on small sources): rate_i ∝ 1/sqrt(n_i), so a
     // strictly smaller source never gets a lower acceptance rate
-    out.sortBy(_._2).sliding(2).foreach { case Array(small, big) =>
-      if (small._2 < big._2)
-        assert(small._3 >= big._3 - 1e-12,
-          s"smaller source ${small._1} rate ${small._3} < ${big._1} rate ${big._3}")
+    out.sortBy(_._2).sliding(2).foreach {
+      case Array(small, big) =>
+        if (small._2 < big._2)
+          assert(small._3 >= big._3 - 1e-12,
+            s"smaller source ${small._1} rate ${small._3} < ${big._1} rate ${big._3}")
+      case _ => () // single-source corpus: nothing to compare
     }
   }
 }
