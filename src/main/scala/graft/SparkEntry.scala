@@ -134,6 +134,9 @@ object SparkEntry {
     "q_fuzzy_ratio"     -> ((s, d) => graft.sources.RoundTrip.fuzzyRatioFromCustomers(s, d)),
     "q_term_map"        -> ((s, d) => graft.sources.RoundTrip.termMapFromCustomers(s, d)),
     "q_fuzzy_approx"    -> ((s, d) => graft.sources.RoundTrip.fuzzyApproxFromCustomers(s, d)),
+    "q_jaro_winkler"    -> ((s, d) => graft.sources.RoundTrip.jaroWinklerFromCustomers(s, d)),
+    "q_skyline"         -> ((s, d) => graft.operators.Skyline.skylineQuery(s, d)),
+    "q_prefix_join"     -> ((s, d) => Dedup.prefixJoinQuery(s, d)),
     "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
     "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d)),
     "q_salted_join"     -> ((s, d) => graft.operators.Skew.saltedOrdersQuery(s, d)),
@@ -1881,6 +1884,72 @@ object SparkEntry {
         |FROM dp
         |WHERE i = len(a) AND j = len(b)
         |ORDER BY ck""".stripMargin,
+
+    // Cross-engine check of the codegen JaroWinkler expression against
+    // DuckDB's OWN jaro_winkler_similarity (RapidFuzz-derived) — raw
+    // doubles compared, no rounding witness; the Scala evaluation order
+    // is pinned bit-exact to DuckDB's (fuzz-verified, 20k cases).
+    "q_jaro_winkler" ->
+      """WITH pairs AS (
+        |  SELECT c_custkey AS ck, c_name AS a,
+        |         CASE CAST(c_custkey % 6 AS INTEGER)
+        |           WHEN 0 THEN c_name
+        |           WHEN 1 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+        |           WHEN 2 THEN substr(c_name, 1, p - 1) || 'x' || substr(c_name, p + 1)
+        |           WHEN 3 THEN substr(c_name, 1, p) || substr(c_name, p)
+        |           WHEN 4 THEN reverse(c_name)
+        |           ELSE '' END AS b
+        |  FROM (SELECT c_custkey, c_name,
+        |               CAST(c_custkey % (length(c_name) - 2) AS INTEGER) + 2 AS p
+        |        FROM customer))
+        |SELECT ck, a, b, jaro_winkler_similarity(a, b) AS jw
+        |FROM pairs
+        |ORDER BY ck""".stripMargin,
+
+    // Independent dominance semantics: the Spark side is the two-phase
+    // mapPartitions skyline, the oracle the classic NOT EXISTS query —
+    // two entirely different algorithms, same frontier. Comparisons
+    // only, no double arithmetic.
+    "q_skyline" ->
+      """SELECT p_partkey AS partkey, p_retailprice AS price,
+        |       CAST(p_size AS BIGINT) AS size
+        |FROM part t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part d
+        |  WHERE d.p_retailprice <= t.p_retailprice AND d.p_size >= t.p_size
+        |    AND (d.p_retailprice < t.p_retailprice OR d.p_size > t.p_size))
+        |ORDER BY partkey""".stripMargin,
+
+    // Losslessness proof for the PPJoin prefix filter: the oracle runs
+    // the EXACT all-pairs token-join Jaccard with NO prefix filter —
+    // agreement means the filter dropped nothing. The md5 plant coin
+    // keys on the ORIGINAL doc_id (both engines compute it before the
+    // +20M re-key). τ as exact integers (5·|∩| ≥ 3·|∪|); jac is one
+    // IEEE division of exact ints.
+    "q_prefix_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |planted AS (
+        |  -- base.doc_id qualified: DuckDB's lateral alias would otherwise
+        |  -- shadow doc_id with the +20M re-key inside the lambda coin.
+        |  SELECT base.doc_id + 20000000 AS doc_id,
+        |         array_to_string(list_filter(list_distinct(string_split(text, ' ')),
+        |           t -> substr(md5(CAST(base.doc_id AS VARCHAR) || '|' || t), 1, 1)
+        |                NOT IN ('0','1','2','3')), ' ') AS text
+        |  FROM base WHERE base.doc_id % 20 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |         FROM corpus),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |                 CAST(count(*) AS BIGINT) AS inter_cnt
+        |          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, inter_cnt,
+        |       CAST(inter_cnt AS DOUBLE) / (s1.n + s2.n - inter_cnt) AS jac
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE 5 * inter_cnt >= 3 * (s1.n + s2.n - inter_cnt)
+        |ORDER BY d1, d2""".stripMargin,
 
     // F18 normalize-then-lookup: expected codes derived arithmetically
     // from the synonym cycle; "Links" (a footedness synonym) and the

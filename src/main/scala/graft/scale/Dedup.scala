@@ -117,6 +117,85 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** PPJoin-style prefix-filtered set-similarity self-join — the LOSSLESS
+    * alternative to the df-capped shingle blocking above: order every
+    * document's distinct tokens by ascending global document frequency
+    * (rarest first, ties by token), and with Jaccard threshold τ any pair
+    * with J ≥ τ must collide inside each side's first
+    * n − ⌈τ·n⌉ + 1 tokens (if the prefixes were disjoint, even matching
+    * everything after them leaves the overlap below the τ bound). So:
+    * candidates = pairs sharing ≥ 1 prefix token; verify exactly. No cap,
+    * no recall loss — the candidate volume is bounded by the RAREST
+    * tokens' posting lists, which is what makes it the 100 TB shape: the
+    * frequent tokens that would make a token self-join quadratic never
+    * enter a prefix. Threshold arithmetic is exact-integer on both sides
+    * (τ = 3/5: survive iff 5·|∩| ≥ 3·|∪|).
+    *
+    * Output: (d1, d2, inter_cnt, jac) for every pair with J ≥ τ, d1 < d2.
+    */
+  def prefixFilteredPairs(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    val toks = Silver.materialize(docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok")),
+      "prefix_toks")
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Per-doc token list, rarest-first: (df, tok) struct sort is portable
+    // (integer then lexicographic), so the prefix is deterministic.
+    val sorted = toks.join(df, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), s => s.getField("tok")).as("toks"),
+        size(col("st")).as("n"))
+    // prefixLen = n − ⌈τ·n⌉ + 1, in exact integer arithmetic:
+    // ⌈(num·n)/den⌉ = floor((num·n + den − 1) / den).
+    val pre = Silver.materialize(sorted
+      .withColumn("plen",
+        col("n") - floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
+          .cast("int") + lit(1))
+      .select(col("doc_id"), col("toks"), col("n"),
+        slice(col("toks"), lit(1), greatest(col("plen"), lit(1))).as("prefix")),
+      "prefix_docs")
+    val pa = pre.select(col("doc_id").as("d1"), explode(col("prefix")).as("tok"))
+    val pb = pre.select(col("doc_id").as("d2"), explode(col("prefix")).as("tok"))
+    val cand = pa.join(pb, Seq("tok")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val byId = pre.select(col("doc_id"), col("toks"), col("n"))
+    cand
+      .join(byId.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
+      .join(byId.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
+      .withColumn("inter_cnt", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .filter(lit(tauDen) * col("inter_cnt") >=
+        lit(tauNum) * (col("n1") + col("n2") - col("inter_cnt")))
+      .withColumn("jac", col("inter_cnt").cast("double") /
+        (col("n1") + col("n2") - col("inter_cnt")))
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("jac"))
+  }
+
+  /** q_prefix_join: [[prefixFilteredPairs]] at τ = 3/5 over a 1-in-10
+    * document sample plus planted near-dups (doc_id % 20 == 0 re-keyed
+    * +20M, with ~1/4 of tokens dropped by a portable md5 coin — J ≈ 0.75
+    * against the original, above τ). The oracle recomputes the EXACT
+    * all-pairs token-join Jaccard in DuckDB with no prefix filter at all —
+    * passing proves the filter lossless on this corpus, not just fast.
+    * (The sample keeps the oracle's unfiltered self-join feasible; the
+    * Spark side needs no such cap.) */
+  def prefixJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    // The coin keys on the ORIGINAL id, renamed first: a bare
+    // col("doc_id") inside the HOF lambda would resolve to the +20M
+    // lateral alias in the same select (observed: Spark prefers the
+    // lateral alias there; DuckDB the child column — silent divergence).
+    val planted = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .withColumnRenamed("doc_id", "base_id")
+      .select((col("base_id") + 20000000L).as("doc_id"),
+        array_join(filter(array_distinct(split(col("text"), " ")),
+          t => substring(md5(concat(col("base_id").cast("string"), lit("|"), t)), 1, 1)
+            .isin("0", "1", "2", "3") === false), " ").as("text"))
+    prefixFilteredPairs(base.unionByName(planted)).orderBy("d1", "d2")
+  }
+
   /** Number of MinHash permutations (md5 with per-permutation salt) and
     * LSH band width. 8 hashes × 4 bands of 2 → candidate recall ≈ 1 for
     * sim ≥ 0.8, collapse for sim ≤ 0.1. */

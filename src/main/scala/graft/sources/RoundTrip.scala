@@ -790,6 +790,34 @@ object RoundTrip {
           .as("approx_ratio"))
       .orderBy("ck")
 
+  /** q_jaro_winkler: the codegen'd [[graft.plans.JaroWinkler]] expression
+    * checked CROSS-ENGINE against DuckDB's independent
+    * `jaro_winkler_similarity` implementation (RapidFuzz-derived) — raw
+    * doubles, no rounding witness (the evaluation order is pinned
+    * bit-exact, fuzz-verified over 20k cases; see the expression's
+    * scaladoc). Pairs cycle identical / one-delete / one-replace /
+    * one-duplicate / reversed / empty variants of the customer name, so
+    * the boost path (shared "Customer#" prefix), the no-common-prefix
+    * path (reversed), and the zero path (empty) all cycle. */
+  def jaroWinklerFromCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("ck"), col("c_name").as("a"))
+    val p = (pmod(col("ck"), length(col("a")) - 2) + 2).cast("int")
+    val m6 = pmod(col("ck"), lit(6))
+    val b = when(m6 === 0, col("a"))
+      .when(m6 === 1, concat(col("a").substr(lit(1), p - 1),
+        col("a").substr(p + 1, length(col("a")) - p)))
+      .when(m6 === 2, concat(col("a").substr(lit(1), p - 1), lit("x"),
+        col("a").substr(p + 1, length(col("a")) - p)))
+      .when(m6 === 3, concat(col("a").substr(lit(1), p),
+        col("a").substr(p, length(col("a")) - p + 1)))
+      .when(m6 === 4, reverse(col("a")))
+      .otherwise(lit(""))
+    fanOut(c.withColumn("b", b))
+      .selectExpr("ck", "a", "b", "graft_jaro_winkler(a, b) AS jw")
+      .orderBy("ck")
+  }
+
   /** q_term_map: the F18 normalize-then-lookup composition round-tripped
     * over the static positions vocabulary. Raw terms cycle decorated
     * synonyms (case noise, punctuation, padding), one cross-CATEGORY
