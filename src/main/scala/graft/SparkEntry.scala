@@ -137,6 +137,8 @@ object SparkEntry {
     "q_jaro_winkler"    -> ((s, d) => graft.sources.RoundTrip.jaroWinklerFromCustomers(s, d)),
     "q_skyline"         -> ((s, d) => graft.operators.Skyline.skylineQuery(s, d)),
     "q_prefix_join"     -> ((s, d) => Dedup.prefixJoinQuery(s, d)),
+    "q_regression"      -> ((s, d) => graft.operators.Regression.regressionQuery(s, d)),
+    "q_union_byname"    -> ((s, d) => graft.operators.Merge.schemaDriftQuery(s, d)),
     "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
     "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d)),
     "q_salted_join"     -> ((s, d) => graft.operators.Skew.saltedOrdersQuery(s, d)),
@@ -1950,6 +1952,49 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE 5 * inter_cnt >= 3 * (s1.n + s2.n - inter_cnt)
         |ORDER BY d1, d2""".stripMargin,
+
+    // OLS from exact integer moments: both engines accumulate Σx, Σy,
+    // Σxy, Σx², Σy² exactly (Spark decimal(38,0), DuckDB HUGEINT), then
+    // derive slope/intercept/corr with the same final IEEE sequence.
+    // HUGEINT→DOUBLE routed through VARCHAR (DuckDB's direct cast
+    // mis-rounds above 2^53 — the q_trend ruling).
+    "q_regression" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM c GROUP BY rf, ls),
+        |d AS (
+        |  SELECT rf, ls, n,
+        |    CAST(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS den_x,
+        |    CAST(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS VARCHAR) AS DOUBLE) AS den_y,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d
+        |  FROM s)
+        |SELECT rf, ls, n,
+        |       num / den_x AS slope,
+        |       (sy_d - (num / den_x) * sx_d) / CAST(n AS DOUBLE) AS intercept,
+        |       num / sqrt(den_x * den_y) AS corr
+        |FROM d ORDER BY rf, ls""".stripMargin,
+
+    // Schema-drift union: DuckDB's independent UNION ALL BY NAME
+    // null-fills exactly like unionByName(allowMissingColumns=true).
+    "q_union_byname" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |         o_totalprice AS totalprice, 'v1' AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |         o_orderstatus AS status, 'api' AS channel, 'v2' AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |ORDER BY ok""".stripMargin,
 
     // F18 normalize-then-lookup: expected codes derived arithmetically
     // from the synonym cycle; "Links" (a footedness synonym) and the

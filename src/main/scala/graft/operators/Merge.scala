@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,34 @@ object Merge {
   def backfill(gold: DataFrame, facts: DataFrame, changed: Column,
                keys: Seq[String], aggFn: DataFrame => DataFrame): DataFrame =
     backfillKeys(gold, facts, facts.filter(changed), keys, aggFn)
+
+  /** Schema-drift-tolerant append (K13 family): batches written by
+    * different collector versions carry different column subsets —
+    * `unionByName(allowMissingColumns = true)` aligns by NAME and
+    * null-fills what a batch lacks, the schema-evolution contract a
+    * parquet/Delta sink gives `mergeSchema` writers. Purely structural
+    * (no shuffle, no data movement beyond the union), so it scales
+    * trivially; the discipline it encodes is that drift is handled
+    * DECLARATIVELY, not with per-batch if/else column surgery. */
+  def schemaDriftUnion(batches: Seq[DataFrame]): DataFrame =
+    batches.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** q_union_byname: an old-schema batch (totalprice, no status/channel)
+    * unioned with a new-schema batch (status + channel, totalprice
+    * dropped) of the same orders table. Oracle: DuckDB's independent
+    * `UNION ALL BY NAME`. Projection-only — doubles pass through
+    * untouched, so parity is exact. */
+  def schemaDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val oldBatch = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_totalprice").as("totalprice"), lit("v1").as("batch"))
+    val newBatch = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("status"), lit("api").as("channel"),
+        lit("v2").as("batch"))
+    schemaDriftUnion(Seq(oldBatch, newBatch)).orderBy("ok")
+  }
 
   /** SCD2 historization: each (key, orderCol) row becomes a version with
     * `valid_from` = its own order value, `valid_to` = the next version's

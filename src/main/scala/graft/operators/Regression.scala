@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Grouped ordinary-least-squares / correlation aggregates — the
+  * "trend over a stat" analytics the reference computes client-side over
+  * ranked query output (`database.py:1253-1306` feeds matplotlib trend
+  * fits in the analysis notebooks; here it's one distributed aggregation).
+  *
+  * Portability design (the reason this is NOT `regr_slope`/`corr`
+  * built-ins on either engine): slope, intercept and Pearson r are
+  * DERIVED from exact integer moment sums — Σx, Σy, Σxy, Σx², Σy² over
+  * integer-scaled inputs accumulate in decimal(38,0) (no rounding, no
+  * accumulation-order sensitivity, map-side combinable), and the only
+  * floating-point steps are the final handful of IEEE ops on exactly-cast
+  * doubles, the same sequence both engines evaluate. Spark's `corr` and
+  * DuckDB's `regr_slope` use running double updates whose results differ
+  * in the last ulps between engines (and between partition counts!) —
+  * moment sums are the deterministic, scale-out-stable formulation: at
+  * 100 TB the five sums are one map-side-combining shuffle of 5 longs per
+  * group, and the derivation costs nothing.
+  */
+object Regression {
+
+  /** Per-group OLS of y on x plus Pearson r, from exact decimal moments.
+    * `x`/`y` must be integer-valued long columns (pre-scale decimals:
+    * e.g. cents). Emits n, slope, intercept, corr. */
+  def groupedOls(df: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val moments = df
+      .select(keys.map(col) :+ x.as("x") :+ y.as("y"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val n38 = col("n").cast(d38)
+    val num = (n38 * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (n38 * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (n38 * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / denX
+    moments.select(
+      keys.map(col) ++ Seq(
+        col("n"),
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        (num / sqrt(denX * denY)).as("corr")): _*)
+  }
+
+  /** q_regression: price-on-quantity OLS per (returnflag, linestatus) over
+    * lineitem, prices scaled to exact cents. The oracle recomputes the
+    * same moments in DuckDB HUGEINT and derives with the same final IEEE
+    * sequence — int128→double routed through VARCHAR (DuckDB's direct
+    * cast mis-rounds above 2^53). */
+  def regressionQuery(spark: SparkSession, dir: String): DataFrame =
+    groupedOls(
+      Tables.lineitem(spark, dir).select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y")),
+      Seq("rf", "ls"), col("x"), col("y"))
+      .orderBy("rf", "ls")
+}

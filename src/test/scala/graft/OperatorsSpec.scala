@@ -326,4 +326,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
     got.foreach { case (k, z) => assert(z == want(k), s"cust=$k") }
   }
+
+  test("Regression.groupedOls recovers an exact linear relationship") {
+    // y = 3x + 7 exactly -> slope 3, intercept 7, corr 1.
+    val df = (1L to 100L).map(x => ("g", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = graft.operators.Regression.groupedOls(df, Seq("g"), col("x"), col("y"))
+      .head()
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 7.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("Regression.groupedOls matches closed-form moments on noisy data") {
+    val pts = (1L to 50L).map(x => (x, x * x % 17 + 2 * x)) // deterministic 'noise'
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val r = graft.operators.Regression.groupedOls(df, Seq("g"), col("x"), col("y"))
+      .head()
+    assert(r.getDouble(2) == slope)
+    assert(r.getDouble(3) == (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+  }
+
+  test("schemaDriftUnion aligns by name and null-fills missing columns") {
+    val v1 = Seq((1L, 10.0)).toDF("ok", "totalprice")
+    val v2 = Seq((2L, "O", "api")).toDF("ok", "status", "channel")
+    val out = graft.operators.Merge.schemaDriftUnion(Seq(v1, v2)).orderBy("ok")
+    assert(out.columns.toSeq == Seq("ok", "totalprice", "status", "channel"))
+    val rows = out.collect()
+    assert(rows(0).getDouble(1) == 10.0 && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "O" && rows(1).getString(3) == "api")
+  }
 }
