@@ -139,6 +139,8 @@ object SparkEntry {
     "q_prefix_join"     -> ((s, d) => Dedup.prefixJoinQuery(s, d)),
     "q_regression"      -> ((s, d) => graft.operators.Regression.regressionQuery(s, d)),
     "q_union_byname"    -> ((s, d) => graft.operators.Merge.schemaDriftQuery(s, d)),
+    "q_table_diff"      -> ((s, d) => graft.operators.Reconcile.tableDiffQuery(s, d)),
+    "q_triangles"       -> ((s, d) => graft.operators.Triangles.triangleQuery(s, d)),
     "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
     "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d)),
     "q_salted_join"     -> ((s, d) => graft.operators.Skew.saltedOrdersQuery(s, d)),
@@ -1995,6 +1997,57 @@ object SparkEntry {
         |         o_orderstatus AS status, 'api' AS channel, 'v2' AS batch
         |  FROM orders WHERE o_orderkey % 2 = 1)
         |ORDER BY ok""".stripMargin,
+
+    // Soundness+completeness check for the Merkle reconciliation: the
+    // Spark side finds drift via bucket checksums then compares only
+    // drifted buckets; the oracle computes the TRUE diff brute-force
+    // (full outer join, no buckets). Agreement proves the checksum
+    // pruning dropped nothing. Price witnessed as exact cents.
+    "q_table_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k,
+        |         concat_ws('|', o_orderkey,
+        |           CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus) AS fp
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey AS k,
+        |         concat_ws('|', o_orderkey,
+        |           CAST(round(CASE WHEN o_orderkey % 97 = 0
+        |                           THEN o_totalprice + 1.0
+        |                           ELSE o_totalprice END * 100) AS BIGINT),
+        |           o_orderstatus) AS fp
+        |  FROM orders WHERE o_orderkey % 131 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000 AS k,
+        |         concat_ws('|', o_orderkey + 5000000,
+        |           CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus) AS fp
+        |  FROM orders WHERE o_orderkey % 113 = 0)
+        |SELECT COALESCE(a.k, b.k) AS k,
+        |       CASE WHEN a.k IS NULL THEN 'only_b'
+        |            WHEN b.k IS NULL THEN 'only_a'
+        |            WHEN a.fp <> b.fp THEN 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE (a.k IS NULL OR b.k IS NULL OR a.fp <> b.fp)
+        |ORDER BY k""".stripMargin,
+
+    // Independent formulations: Spark counts triangles degree-ordered
+    // (one apex per triangle, arboricity-bounded wedges); the oracle is
+    // the id-canonical a<b<c three-way join with no degrees at all.
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT i.l_partkey AS x, j.l_partkey AS y
+        |  FROM lineitem i JOIN lineitem j
+        |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |       JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |nodes AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
 
     // F18 normalize-then-lookup: expected codes derived arithmetically
     // from the synonym cycle; "Links" (a footedness synonym) and the

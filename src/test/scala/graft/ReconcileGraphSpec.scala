@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Reconcile, Triangles}
+
+/** Round-6 operators: Merkle snapshot reconciliation and degree-ordered
+  * triangle counting, on hand-built inputs with known answers. */
+class ReconcileGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff labels changed/only_a/only_b and nothing else") {
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("k", "fp")
+    val b = Seq((1L, "one"), (2L, "TWO"), (4L, "four"), (5L, "five"))
+      .toDF("k", "fp")
+    val got = Reconcile.snapshotDiff(a, b, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "only_a", 5L -> "only_b"))
+  }
+
+  test("snapshotDiff of identical snapshots is empty (all buckets pruned)") {
+    val a = (1L to 200L).map(k => (k, s"fp$k")).toDF("k", "fp")
+    assert(Reconcile.snapshotDiff(a, a, buckets = 8).count() == 0)
+    // And the checksum tables themselves agree bucket by bucket.
+    val cs = Reconcile.bucketChecksums(a, col("k"), col("fp"), 8)
+    assert(Reconcile.driftedBuckets(cs, cs).count() == 0)
+  }
+
+  test("nodeTriangleCounts: K4 plus a pendant edge") {
+    // Complete graph on {1,2,3,4}: 4 triangles, each node in 3.
+    // Pendant 4-5 adds no triangle; 5 absent from output.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Triangles.nodeTriangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("nodeTriangleCounts: duplicate and reversed edges collapse") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Triangles.nodeTriangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
