@@ -141,6 +141,9 @@ object SparkEntry {
     "q_union_byname"    -> ((s, d) => graft.operators.Merge.schemaDriftQuery(s, d)),
     "q_table_diff"      -> ((s, d) => graft.operators.Reconcile.tableDiffQuery(s, d)),
     "q_triangles"       -> ((s, d) => graft.operators.Triangles.triangleQuery(s, d)),
+    "q_moments"         -> ((s, d) => graft.operators.Regression.momentsQuery(s, d)),
+    "q_unpivot"         -> ((s, d) => graft.operators.Reshape.unpivotQuery(s, d)),
+    "q_set_ops"         -> ((s, d) => graft.operators.Reshape.setOpsQuery(s, d)),
     "q_heavy_hitters"   -> ((s, d) => graft.operators.Approx.heavyTokensQuery(s, d)),
     "q_zorder"          -> ((s, d) => graft.scale.Layout.zvalueQuery(s, d)),
     "q_salted_join"     -> ((s, d) => graft.operators.Skew.saltedOrdersQuery(s, d)),
@@ -2048,6 +2051,65 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
         |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
+
+    // Skew/kurtosis from exact central-moment identities (A2/A3/A4 in
+    // HUGEINT, VARCHAR-routed to double); the 3/2 power is A2·√A2, not
+    // pow(x,1.5) — pow is not correctly rounded, sqrt and ·/÷ are.
+    "q_moments" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |         CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+        |         sum(x*x*x*x) AS s4
+        |  FROM c GROUP BY rf, ls),
+        |d AS (
+        |  SELECT rf, ls, n,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+        |    CAST(CAST(CAST(n AS HUGEINT)*s2 - s1*s1 AS VARCHAR) AS DOUBLE) AS a2,
+        |    CAST(CAST(CAST(n AS HUGEINT)*n*s3 - 3*CAST(n AS HUGEINT)*s1*s2
+        |              + 2*s1*s1*s1 AS VARCHAR) AS DOUBLE) AS a3,
+        |    CAST(CAST(CAST(n AS HUGEINT)*n*n*s4 - 4*CAST(n AS HUGEINT)*n*s1*s3
+        |              + 6*CAST(n AS HUGEINT)*s1*s1*s2
+        |              - 3*s1*s1*s1*s1 AS VARCHAR) AS DOUBLE) AS a4
+        |  FROM s)
+        |SELECT rf, ls, n,
+        |       s1d / CAST(n AS DOUBLE) AS mean,
+        |       a3 / (a2 * sqrt(a2)) AS skew,
+        |       a4 / (a2 * a2) - 3.0 AS kurt
+        |FROM d ORDER BY rf, ls""".stripMargin,
+
+    // Wide->long reshaping vs DuckDB's independent UNPIVOT.
+    "q_unpivot" ->
+      """WITH cust AS (SELECT c_nationkey AS nk1, CAST(count(*) AS BIGINT) AS customers
+        |              FROM customer GROUP BY 1),
+        |supp AS (SELECT s_nationkey AS nk2, CAST(count(*) AS BIGINT) AS suppliers
+        |         FROM supplier GROUP BY 1),
+        |wide AS (SELECT n_name AS nation,
+        |                COALESCE(customers, 0) AS customers,
+        |                COALESCE(suppliers, 0) AS suppliers
+        |         FROM nation LEFT JOIN cust ON n_nationkey = nk1
+        |                     LEFT JOIN supp ON n_nationkey = nk2)
+        |SELECT nation, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (customers, suppliers))
+        |ORDER BY nation, metric""".stripMargin,
+
+    // Spark intersect/except (distinct set semantics) vs native SQL
+    // INTERSECT/EXCEPT.
+    "q_set_ops" ->
+      """WITH o AS (SELECT o_custkey AS ck, year(o_orderdate) AS y,
+        |                  month(o_orderdate) AS m
+        |           FROM orders),
+        |h1 AS (SELECT ck FROM o WHERE y = 1995 AND m <= 6),
+        |h2 AS (SELECT ck FROM o WHERE y = 1995 AND m > 6)
+        |SELECT ck, 'both' AS tag
+        |FROM (SELECT ck FROM h1 INTERSECT SELECT ck FROM h2)
+        |UNION ALL
+        |SELECT ck, 'h1_only' AS tag
+        |FROM (SELECT ck FROM h1 EXCEPT SELECT ck FROM h2)
+        |ORDER BY ck, tag""".stripMargin,
 
     // F18 normalize-then-lookup: expected codes derived arithmetically
     // from the synonym cycle; "Links" (a footedness synonym) and the

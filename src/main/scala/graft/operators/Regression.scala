@@ -54,6 +54,54 @@ object Regression {
         (num / sqrt(denX * denY)).as("corr")): _*)
   }
 
+  /** Grouped skewness and excess kurtosis from exact central-moment
+    * identities — same portability design as [[groupedOls]] (Spark's
+    * `skewness`/`kurtosis` built-ins use running double updates that are
+    * partition-order sensitive and engine-divergent):
+    *
+    *   A2 = n·Σx² − (Σx)²          = n²  · Σ(x−μ)²
+    *   A3 = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³   = n³·... (scaled Σ(x−μ)³·n²)
+    *   A4 = n³·Σx⁴ − 4n²·Σx·Σx³ + 6n·(Σx)²·Σx² − 3(Σx)⁴
+    *
+    * all exact integers; g1 = A3 / (A2·√A2), g2 = A4/A2² − 3 — the only
+    * float ops are one sqrt, two mults, one divide on exactly-cast
+    * doubles (√ and ·/÷ are IEEE-correctly-rounded; `pow(x,1.5)` is NOT,
+    * which is why the 3/2 power is spelled A2·√A2). */
+  def groupedMoments(df: DataFrame, keys: Seq[String], x: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = df.select(keys.map(col) :+ x.as("x"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("s1"),
+        sum((col("x") * col("x")).cast(d38)).as("s2"),
+        sum((col("x") * col("x") * col("x")).cast(d38)).as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x")).cast(d38)).as("s4"))
+    val n38 = col("n").cast(d38)
+    val a2 = (n38 * col("s2") - col("s1") * col("s1")).cast("double")
+    val a3 = (n38 * n38 * col("s3") - lit(3).cast(d38) * n38 * col("s1") * col("s2")
+      + lit(2).cast(d38) * col("s1") * col("s1") * col("s1")).cast("double")
+    val a4 = (n38 * n38 * n38 * col("s4")
+      - lit(4).cast(d38) * n38 * n38 * col("s1") * col("s3")
+      + lit(6).cast(d38) * n38 * col("s1") * col("s1") * col("s2")
+      - lit(3).cast(d38) * col("s1") * col("s1") * col("s1") * col("s1")).cast("double")
+    m.select(keys.map(col) ++ Seq(
+      col("n"),
+      (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+      (a3 / (a2 * sqrt(a2))).as("skew"),
+      (a4 / (a2 * a2) - lit(3.0)).as("kurt")): _*)
+  }
+
+  /** q_moments: quantity distribution shape per (returnflag, linestatus).
+    * Oracle recomputes the same exact moment identities in HUGEINT. */
+  def momentsQuery(spark: SparkSession, dir: String): DataFrame =
+    groupedMoments(
+      Tables.lineitem(spark, dir).select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_quantity").cast("long").as("x")),
+      Seq("rf", "ls"), col("x"))
+      .orderBy("rf", "ls")
+
   /** q_regression: price-on-quantity OLS per (returnflag, linestatus) over
     * lineitem, prices scaled to exact cents. The oracle recomputes the
     * same moments in DuckDB HUGEINT and derives with the same final IEEE

@@ -34,8 +34,15 @@ object Triangles {
     * (columns `a`, `b`; distinct, a ≠ b, each edge once in either
     * direction). Returns (node, tri_cnt), only nodes in ≥1 triangle. */
   def nodeTriangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(least(col("a"), col("b")).as("x"),
-      greatest(col("a"), col("b")).as("y")).distinct()
+    // The dedup'd edge list feeds THREE plan branches (degrees, oriented
+    // edges, closing join) and the oriented list two more — Spark shares
+    // no subtrees, so without materialization the upstream edge
+    // derivation would re-execute once per branch (measured 4x on
+    // q_triangles).
+    val und = graft.scale.Silver.materialize(
+      edges.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y")).distinct(),
+      "tri_edges")
     val deg = und.select(col("x").as("v")).unionAll(und.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // Orient x—y from the (deg, id)-smaller endpoint to the larger.
@@ -44,18 +51,46 @@ object Triangles {
       .join(deg.withColumnRenamed("v", "y").withColumnRenamed("deg", "dy"), Seq("y"))
     val xOrd = struct(col("dx").as("d"), col("x").as("n"))
     val yOrd = struct(col("dy").as("d"), col("y").as("n"))
-    val out = withDeg.select(
+    val out = graft.scale.Silver.materialize(withDeg.select(
       when(xOrd < yOrd, col("x")).otherwise(col("y")).as("src"),
       when(xOrd < yOrd, col("y")).otherwise(col("x")).as("dst"),
-      when(xOrd < yOrd, yOrd).otherwise(xOrd).as("dord"))
+      when(xOrd < yOrd, yOrd).otherwise(xOrd).as("dord")),
+      "tri_oriented")
     // Wedges from each apex: two out-edges, ordered by the dst's ≺ rank so
     // each unordered wedge appears once; closed by the oriented (v,w) edge.
-    val e1 = out.select(col("src"), col("dst").as("v"), col("dord").as("vord"))
-    val e2 = out.select(col("src"), col("dst").as("w"), col("dord").as("word"))
-    val wedges = e1.join(e2, Seq("src")).filter(col("vord") < col("word"))
-    val closing = out.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
-      .select(col("src").as("n1"), col("v").as("n2"), col("w").as("n3"))
+    // Two physical strategies behind one logical op, gated on edge count
+    // (read off the tiny degree table):
+    //
+    //  - broadcast-sized graphs: join each oriented edge (u,v) with the
+    //    BROADCAST out-adjacency table for both endpoints and explode
+    //    N⁺(u) ∩ N⁺(v) — each element w closes the triangle {u,v,w}
+    //    exactly once (w ∈ N⁺(v) means the v→w closing edge exists; the
+    //    other two edge rotations fail the N⁺ membership test). The
+    //    Σ outdeg² wedge set is never materialized, nothing shuffles but
+    //    the final per-node aggregate.
+    //  - big graphs (the 100 TB shape): enumerate wedges via the src
+    //    self-join and close them with a shuffle equi-join on (v,w) —
+    //    all shuffles are on edge keys, no single broadcast grows with
+    //    the graph.
+    val m = deg.agg(sum(col("deg"))).head().getLong(0) / 2
+    val tris =
+      if (m <= 10000000L) {
+        val adj = out.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        out.join(broadcast(adj.select(col("src").as("u1"), col("nbrs").as("nu"))),
+            col("src") === col("u1"))
+          .join(broadcast(adj.select(col("src").as("u2"), col("nbrs").as("nv"))),
+            col("dst") === col("u2"))
+          .select(col("src").as("n1"), col("dst").as("n2"),
+            explode(array_intersect(col("nu"), col("nv"))).as("n3"))
+      } else {
+        val e1 = out.select(col("src"), col("dst").as("v"), col("dord").as("vord"))
+        val e2 = out.select(col("src"), col("dst").as("w"), col("dord").as("word"))
+        val wedges = e1.join(e2, Seq("src")).filter(col("vord") < col("word"))
+        val closing = out.select(col("src").as("v"), col("dst").as("w"))
+        wedges.join(closing, Seq("v", "w"))
+          .select(col("src").as("n1"), col("v").as("n2"), col("w").as("n3"))
+      }
     tris.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
   }

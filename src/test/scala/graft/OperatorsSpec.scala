@@ -350,6 +350,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(3) == (sy.toDouble - slope * sx.toDouble) / n.toDouble)
   }
 
+  test("groupedMoments: symmetric data has zero skew, uniform has kurt -6/5") {
+    // x uniform on 1..9 (symmetric): skew = 0 exactly (A3 integer-cancels).
+    val df = (1L to 9L).map(("g", _)).toDF("g", "x")
+    val r = graft.operators.Regression.groupedMoments(df, Seq("g"), col("x")).head()
+    assert(r.getDouble(3) == 0.0)
+    // discrete uniform on m=9 points: excess kurtosis = -(6/5)(m^2+1)/(m^2-1)
+    assert(math.abs(r.getDouble(4) - (-1.2 * 82 / 80)) < 1e-12)
+  }
+
+  test("Reshape.melt emits one long row per (id, metric)") {
+    val wide = Seq(("a", 1L, 2L), ("b", 3L, 4L)).toDF("id", "m1", "m2")
+    val out = graft.operators.Reshape.melt(wide, Seq("id"), Seq("m1", "m2"))
+      .orderBy("id", "metric").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "m1", 1L), ("a", "m2", 2L), ("b", "m1", 3L), ("b", "m2", 4L)))
+  }
+
   test("schemaDriftUnion aligns by name and null-fills missing columns") {
     val v1 = Seq((1L, 10.0)).toDF("ok", "totalprice")
     val v2 = Seq((2L, "O", "api")).toDF("ok", "status", "channel")
