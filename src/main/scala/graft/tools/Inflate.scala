@@ -71,6 +71,34 @@ object Inflate {
       (col("user_id") + col("__r") * off).as("user_id"),
       col("event_type"), col("value"), col("props")), "events")
 
+    // Round-6 additions: the fact tables behind the regression/graph/
+    // reconciliation operators. Keys offset per replica — o_custkey with
+    // the SAME offset as customer so cross-table joins stay consistent,
+    // and l_partkey/p_partkey offset so the co-occurrence graph becomes N
+    // DISJOINT replicas (a shared part space would densify the graph and
+    // grow triangle work superlinearly for reasons that are corpus
+    // artifacts, not operator behavior). Values stay verbatim.
+    val ord = spark.read.parquet(s"$inDir/orders.parquet").select(col("*"), rep)
+    write(ord.select(
+      (col("o_orderkey") + col("__r") * off).as("o_orderkey"),
+      (col("o_custkey") + col("__r") * off).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders")
+
+    val li = spark.read.parquet(s"$inDir/lineitem.parquet").select(col("*"), rep)
+    write(li.select(
+      (col("l_orderkey") + col("__r") * off).as("l_orderkey"),
+      (col("l_partkey") + col("__r") * off).as("l_partkey"),
+      col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), "lineitem")
+
+    val prt = spark.read.parquet(s"$inDir/part.parquet").select(col("*"), rep)
+    write(prt.select(
+      (col("p_partkey") + col("__r") * off).as("p_partkey"),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), "part")
+
     // remaining tables verbatim; a table may be a single file (driver
     // corpus) or a Spark-written DIRECTORY (a previously inflated dir) —
     // copy recursively so chained inflation doesn't produce empty tables
@@ -82,7 +110,8 @@ object Inflate {
           .foreach(c => copyTree(c, dst.resolve(c.getName)))
       } else java.nio.file.Files.copy(src.toPath, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val inflated = Set("documents", "customer", "events")
+    val inflated = Set("documents", "customer", "events", "orders",
+      "lineitem", "part")
     val in = new java.io.File(inDir)
     val entries = Option(in.listFiles()).getOrElse(
       sys.error(s"not a readable directory: $inDir"))
