@@ -2021,8 +2021,8 @@ object SparkEntry {
         |           o_orderstatus) AS fp
         |  FROM orders WHERE o_orderkey % 131 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 5000000 AS k,
-        |         concat_ws('|', o_orderkey + 5000000,
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS k,
+        |         concat_ws('|', o_orderkey + (SELECT max(o_orderkey) FROM orders),
         |           CAST(round(o_totalprice * 100) AS BIGINT), o_orderstatus) AS fp
         |  FROM orders WHERE o_orderkey % 113 = 0)
         |SELECT COALESCE(a.k, b.k) AS k,

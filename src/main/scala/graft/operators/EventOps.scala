@@ -12,9 +12,9 @@ import graft.sources.Tables
   * historization, JSON payload extraction, calendar rollups, sessions.
   *
   * All event-time arithmetic uses `ts_ms` (epoch millis, long) — derived
-  * identically in Spark (`ts div 1_000_000` over raw nanos) and DuckDB
-  * (`epoch_ms(ts)` over its µs-truncated read), so cross-engine ordering
-  * and bucketing agree exactly.
+  * by [[Tables.events]] for whichever physical `ts` encoding the corpus
+  * carries, matching DuckDB's `epoch_ms(ts)` exactly, so cross-engine
+  * ordering and bucketing agree.
   */
 object EventOps {
 
@@ -22,7 +22,7 @@ object EventOps {
   private val CutoffMs = 1705708800000L
 
   private def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+    Tables.events(spark, dir) // ts_ms/ts_utc derived there, schema-adaptively
 
   /** W7/T5 — latest event per key (last-writer-wins read). */
   def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =

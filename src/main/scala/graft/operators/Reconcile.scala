@@ -79,9 +79,13 @@ object Reconcile {
 
   /** q_table_diff: snapshot A = orders; snapshot B = orders with planted
     * updates (totalprice bumped where key % 97 = 0), deletes (% 131 = 0)
-    * and inserts (% 113 = 0 re-keyed +5M). Fingerprint renders the price
-    * as exact cents (double→string would not be engine-portable). The
-    * oracle computes the true diff brute-force — no buckets. */
+    * and inserts (% 113 = 0, re-keyed past the corpus maximum key — a
+    * FIXED offset collides with real keys as soon as the corpus outgrows
+    * it, e.g. under tools.Inflate; `+ max(o_orderkey)` is collision-free
+    * at any scale and costs one broadcast scalar, not a collect).
+    * Fingerprint renders the price as exact cents (double→string would
+    * not be engine-portable). The oracle computes the true diff
+    * brute-force — no buckets. */
   def tableDiffQuery(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def snap(df: DataFrame): DataFrame = df.select(
@@ -90,6 +94,7 @@ object Reconcile {
         round(col("o_totalprice") * 100).cast("long"),
         col("o_orderstatus")).as("fp"))
     val a = snap(o)
+    val maxKey = o.agg(max(col("o_orderkey")).as("mk"))
     val b = snap(
       o.filter(pmod(col("o_orderkey"), lit(131)) =!= 0)
         .withColumn("o_totalprice",
@@ -97,7 +102,9 @@ object Reconcile {
             .otherwise(col("o_totalprice"))))
       .unionByName(snap(
         o.filter(pmod(col("o_orderkey"), lit(113)) === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 5000000L)))
+          .crossJoin(broadcast(maxKey))
+          .withColumn("o_orderkey", col("o_orderkey") + col("mk"))
+          .drop("mk")))
     snapshotDiff(a, b, buckets = 64).orderBy("k")
   }
 }

@@ -30,16 +30,20 @@ object Regression {
     * e.g. cents). Emits n, slope, intercept, corr. */
   def groupedOls(df: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
     val d38 = "decimal(38,0)"
+    // Operands are cast to decimal BEFORE any product: x*y on Long wraps
+    // silently past 2^63 (e.g. |y| > 3e9 cents squared), poisoning the
+    // "exact" moments. Decimal products stay exact and, under ANSI mode,
+    // fail loudly if a group's true sum ever exceeds 38 digits.
     val moments = df
-      .select(keys.map(col) :+ x.as("x") :+ y.as("y"): _*)
+      .select(keys.map(col) :+ x.cast(d38).as("x") :+ y.cast(d38).as("y"): _*)
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x").cast(d38)).as("sx"),
-        sum(col("y").cast(d38)).as("sy"),
-        sum((col("x") * col("x")).cast(d38)).as("sxx"),
-        sum((col("x") * col("y")).cast(d38)).as("sxy"),
-        sum((col("y") * col("y")).cast(d38)).as("syy"))
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
     val n38 = col("n").cast(d38)
     val num = (n38 * col("sxy") - col("sx") * col("sy")).cast("double")
     val denX = (n38 * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -69,14 +73,16 @@ object Regression {
     * which is why the 3/2 power is spelled A2·√A2). */
   def groupedMoments(df: DataFrame, keys: Seq[String], x: Column): DataFrame = {
     val d38 = "decimal(38,0)"
-    val m = df.select(keys.map(col) :+ x.as("x"): _*)
+    // Same operand-first decimal cast as groupedOls: x⁴ on Long wraps
+    // for |x| > ~55k — the products must be computed in decimal.
+    val m = df.select(keys.map(col) :+ x.cast(d38).as("x"): _*)
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x").cast(d38)).as("s1"),
-        sum((col("x") * col("x")).cast(d38)).as("s2"),
-        sum((col("x") * col("x") * col("x")).cast(d38)).as("s3"),
-        sum((col("x") * col("x") * col("x") * col("x")).cast(d38)).as("s4"))
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
     val n38 = col("n").cast(d38)
     val a2 = (n38 * col("s2") - col("s1") * col("s1")).cast("double")
     val a3 = (n38 * n38 * col("s3") - lit(3).cast(d38) * n38 * col("s1") * col("s2")

@@ -68,8 +68,13 @@ object Skyline {
     }
 
     implicit val enc = Encoders.row(schema)
+    // repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    // that would fuse phase 1 into the single downstream task, serializing
+    // the full-data pass. The exchange forces a stage boundary — phase 1
+    // runs at input parallelism and only the candidate union (kilobytes)
+    // is shuffled to the final single-task pass.
     df.mapPartitions(localSkyline)
-      .coalesce(1)
+      .repartition(1)
       .mapPartitions(localSkyline)
   }
 

@@ -30,6 +30,11 @@ import graft.sources.Tables
   */
 object Triangles {
 
+  /** Broadcast-path budget for the estimated out-adjacency table size
+    * (~64 MB — comfortably under typical `spark.sql
+    * .autoBroadcastJoinThreshold`-style driver/executor memory budgets). */
+  private val BroadcastMaxBytes = 64L * 1024 * 1024
+
   /** Per-node triangle participation counts from an undirected edge list
     * (columns `a`, `b`; distinct, a ≠ b, each edge once in either
     * direction). Returns (node, tri_cnt), only nodes in ≥1 triangle. */
@@ -39,7 +44,7 @@ object Triangles {
     // no subtrees, so without materialization the upstream edge
     // derivation would re-execute once per branch (measured 4x on
     // q_triangles).
-    val und = graft.scale.Silver.materialize(
+    val und = graft.scale.Silver.scratch(
       edges.select(least(col("a"), col("b")).as("x"),
         greatest(col("a"), col("b")).as("y")).distinct(),
       "tri_edges")
@@ -51,7 +56,7 @@ object Triangles {
       .join(deg.withColumnRenamed("v", "y").withColumnRenamed("deg", "dy"), Seq("y"))
     val xOrd = struct(col("dx").as("d"), col("x").as("n"))
     val yOrd = struct(col("dy").as("d"), col("y").as("n"))
-    val out = graft.scale.Silver.materialize(withDeg.select(
+    val out = graft.scale.Silver.scratch(withDeg.select(
       when(xOrd < yOrd, col("x")).otherwise(col("y")).as("src"),
       when(xOrd < yOrd, col("y")).otherwise(col("x")).as("dst"),
       when(xOrd < yOrd, yOrd).otherwise(xOrd).as("dord")),
@@ -72,9 +77,19 @@ object Triangles {
     //    self-join and close them with a shuffle equi-join on (v,w) —
     //    all shuffles are on edge keys, no single broadcast grows with
     //    the graph.
-    val m = deg.agg(sum(col("deg"))).head().getLong(0) / 2
+    // sum() over zero rows is NULL — an empty graph must yield an empty
+    // result, not an NPE. The broadcast gate is sized in BYTES, not edge
+    // count: the broadcast side is the out-adjacency table (one id per
+    // oriented edge + per-node row overhead), so estimate m × 16 bytes
+    // and require it under a driver-safe cap. Edge-count gates lie —
+    // 10 M edges of long ids is ~160 MB before kryo overhead, already
+    // past the point where shipping it to every executor beats one
+    // keyed shuffle.
+    val m = Option(deg.agg(sum(col("deg"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    val adjBytesEst = m * 16L
     val tris =
-      if (m <= 10000000L) {
+      if (adjBytesEst <= BroadcastMaxBytes) {
         val adj = out.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
         out.join(broadcast(adj.select(col("src").as("u1"), col("nbrs").as("nu"))),

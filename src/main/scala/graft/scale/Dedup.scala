@@ -134,7 +134,7 @@ object Dedup {
     * Output: (d1, d2, inter_cnt, jac) for every pair with J ≥ τ, d1 < d2.
     */
   def prefixFilteredPairs(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
-    val toks = Silver.materialize(docs
+    val toks = Silver.scratch(docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok")),
       "prefix_toks")
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -148,7 +148,7 @@ object Dedup {
         size(col("st")).as("n"))
     // prefixLen = n − ⌈τ·n⌉ + 1, in exact integer arithmetic:
     // ⌈(num·n)/den⌉ = floor((num·n + den − 1) / den).
-    val pre = Silver.materialize(sorted
+    val pre = Silver.scratch(sorted
       .withColumn("plen",
         col("n") - floor((lit(tauNum) * col("n") + lit(tauDen - 1)) / lit(tauDen))
           .cast("int") + lit(1))

@@ -36,4 +36,12 @@ object Silver {
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** [[materialize]] under a per-call unique name (`prefix_<uuid8>`).
+    * For CALL-SCOPED scratch intermediates: a fixed name means two
+    * concurrent runs sharing one `spark.graft.silver.dir` overwrite each
+    * other's parquet mid-read. Named silver tables that are deliberately
+    * reusable across jobs (e.g. minhash signatures) keep fixed names. */
+  def scratch(df: DataFrame, prefix: String): DataFrame =
+    materialize(df, s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
 }

@@ -131,23 +131,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw Long nanos and derive `ts_utc`
-    * (µs-truncated TimestampType) — matching how DuckDB (the oracle) reads
-    * the same file (ns truncated to µs). Raw `ts` stays for exact ordering.
+  /** Loads `events` and normalizes its `ts` column, whose physical type
+    * has drifted across testdata generations: parquet TIMESTAMP(NANOS)
+    * (readable only as raw Long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which [[graft.GraftSession]]
+    * always sets) vs plain `timestamp[us]` (read as TIMESTAMP_NTZ). Every
+    * downstream event-time operator works off the two derived columns, so
+    * the drift is absorbed HERE and nowhere else:
     *
-    * The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/TestSpark
-    * all set it); this accessor only *checks* the flag — mutating session
-    * conf from inside a table accessor would leak into unrelated reads.
+    *  - `ts_utc`: TimestampType, µs precision. The NTZ→timestamp cast is
+    *    instant-preserving because the session timezone is UTC (enforced
+    *    by GraftSession; RestCollectors guards it).
+    *  - `ts_ms`: epoch millis as Long — the cross-engine ordering/bucketing
+    *    key. DuckDB's oracle-side `epoch_ms(ts)` computes the same value
+    *    on either physical encoding.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    load(spark, dir, "events")
-      .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr, unix_millis}
+    import org.apache.spark.sql.types._
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy NANOS corpus read as raw nanos
+        raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts_ms", expr("ts div 1000000"))
+      case TimestampNTZType | TimestampType =>
+        val tsUtc = col("ts").cast(TimestampType)
+        raw.withColumn("ts_utc", tsUtc).withColumn("ts_ms", unix_millis(tsUtc))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected raw Long nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP (see Tables.events)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

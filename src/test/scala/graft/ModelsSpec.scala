@@ -55,6 +55,21 @@ class ModelsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("performance pipeline save/load round-trip (joblib-persistence analogue)") {
+    // The second reference model family (engine.py:424-439 persists BOTH
+    // via joblib): scaler + GBT regressor must survive save → load with
+    // bit-identical predictions.
+    val (train, test) = Models.trainTestSplit(matches)
+    val model = Models.fit(
+      Models.performancePipeline(Seq("form_home", "form_away"), "goals"), train)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_perf").toString + "/m"
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = model.transform(test).select("prediction").collect().map(_.getDouble(0)).toSeq
+    val b = reloaded.transform(test).select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
   test("performance pipeline: regression recovers a linear signal") {
     val (train, test) = Models.trainTestSplit(matches)
     val model = Models.fit(

@@ -350,6 +350,32 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(3) == (sy.toDouble - slope * sx.toDouble) / n.toDouble)
   }
 
+  test("Regression.groupedOls: no Long wrap for |y| > 3.1e9 (decimal operands)") {
+    // y = 4e9 + x: y² ≈ 1.6e19 > Long.MaxValue — a Long product would
+    // silently wrap before the decimal cast. Exact recompute in BigInt.
+    val pts = (1L to 40L).map(x => (x, 4000000000L + x))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val r = graft.operators.Regression.groupedOls(df, Seq("g"), col("x"), col("y"))
+      .head()
+    assert(r.getDouble(2) == slope) // exact: y is affine in x → slope 1.0
+    assert(r.getDouble(4) == 1.0, "corr must be exactly 1 on an affine signal")
+  }
+
+  test("groupedMoments: no Long wrap for x > 56k (x⁴ past Long range)") {
+    // x around 3e6: x⁴ ≈ 8e25 ≫ Long.MaxValue. Symmetric grid → skew
+    // exactly 0 only if the quartic moments stayed exact.
+    val df = (-4L to 4L).map(d => ("g", 3000000L + d)).toDF("g", "x")
+    val r = graft.operators.Regression.groupedMoments(df, Seq("g"), col("x")).head()
+    assert(r.getDouble(3) == 0.0, "symmetric data must have exactly zero skew")
+    assert(math.abs(r.getDouble(4) - (-1.2 * 82 / 80)) < 1e-9)
+  }
+
   test("groupedMoments: symmetric data has zero skew, uniform has kurt -6/5") {
     // x uniform on 1..9 (symmetric): skew = 0 exactly (A3 integer-cancels).
     val df = (1L to 9L).map(("g", _)).toDF("g", "x")

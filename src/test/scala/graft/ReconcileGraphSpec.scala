@@ -37,6 +37,13 @@ class ReconcileGraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("nodeTriangleCounts: empty edge list yields empty result, no NPE") {
+    // sum() over zero rows is NULL — the edge-count scalar must be
+    // null-guarded, not head().getLong'd.
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Triangles.nodeTriangleCounts(edges).count() == 0)
+  }
+
   test("nodeTriangleCounts: duplicate and reversed edges collapse") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
       .toDF("a", "b")

@@ -30,6 +30,18 @@ class SkylineSpec extends SparkSpec {
     assert(got.contains(2L) && got.contains(3L)) // equal points: neither dominates
   }
 
+  test("skyline: exchange before the final pass keeps phase 1 parallel") {
+    // coalesce(1) is a narrow dependency that would fuse the per-partition
+    // local-skyline pass into the single final task; the plan must show a
+    // real stage boundary (shuffle exchange) between the two passes.
+    val df = (1L to 1000L).map(i => (i, (i % 37).toDouble, (i % 41).toDouble))
+      .toDF("id", "x", "y").repartition(8)
+    val plan = Skyline.skyline(df, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"no exchange between skyline phases — phase 1 serialized:\n$plan")
+  }
+
   test("skyline2d agrees with the generic path on part data") {
     val df = spark.read.parquet(s"${TestSpark.Sf0001}/part.parquet")
       .select(col("p_partkey").as("id"), col("p_retailprice").as("x"),

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Testdata-schema canary: the driver regenerates the parquet corpus
+  * between rounds and has already changed physical encodings once
+  * (events.ts: TIMESTAMP(NANOS)-as-Long → timestamp[us]/TIMESTAMP_NTZ),
+  * which silently took out every event-time query. This suite fails
+  * LOUDLY, in one named place, if a regeneration breaks a contract the
+  * engine relies on:
+  *
+  *  - every registry table loads and has rows;
+  *  - `Tables.events` exposes the normalized `ts_utc` (timestamp) and
+  *    `ts_ms` (long epoch millis) columns regardless of the physical
+  *    `ts` encoding, and they agree with each other (ms = µs-truncated
+  *    instant millis).
+  */
+class TablesCanarySpec extends SparkSpec {
+
+  test("every registry table loads with rows > 0") {
+    for (name <- Tables.names) {
+      val df = Tables.load(spark, TestSpark.Sf0001, name)
+      assert(df.limit(1).count() == 1, s"table $name is empty or unreadable")
+    }
+  }
+
+  test("events exposes normalized ts_utc/ts_ms whatever the physical ts type") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val schema = ev.schema
+    assert(schema("ts_utc").dataType == TimestampType,
+      s"ts_utc must be TimestampType, got ${schema("ts_utc").dataType}")
+    assert(schema("ts_ms").dataType == LongType,
+      s"ts_ms must be LongType, got ${schema("ts_ms").dataType}")
+    // ts_ms is exactly the millis of the ts_utc instant (µs truncation)
+    val bad = ev.filter(
+      org.apache.spark.sql.functions.expr("unix_millis(ts_utc) <> ts_ms"))
+    assert(bad.limit(1).count() == 0, "ts_ms disagrees with ts_utc")
+    // sane range: corpus is 2024-era, not 1970 (a unit slip of 1e3/1e6
+    // lands decades away)
+    val range = ev.agg(
+      org.apache.spark.sql.functions.min("ts_ms"),
+      org.apache.spark.sql.functions.max("ts_ms")).head()
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
+    assert(lo > 1262304000000L && hi < 2524608000000L, // 2010..2050
+      s"ts_ms range [$lo, $hi] outside plausible epoch-millis window — unit drift?")
+  }
+}
