@@ -120,6 +120,7 @@ object SparkEntry {
     "q_fixtures"        -> ((s, d) => graft.sources.RoundTrip.fixturesFromCustomers(s, d)),
     "q_matchday"        -> ((s, d) => graft.sources.RoundTrip.matchdayFromCustomers(s, d)),
     "q_clubs"           -> ((s, d) => graft.sources.RoundTrip.clubsFromCustomers(s, d)),
+    "q_clubs_json"      -> ((s, d) => graft.sources.RoundTrip.clubsJsonFromNations(s, d)),
     "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d)),
     "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d)),
     "q_rest_teams"      -> ((s, d) => graft.sources.RoundTrip.restTeamsFromCustomers(s, d)),
@@ -1610,6 +1611,18 @@ object SparkEntry {
         |       '/de/bundesliga/clubs/c' || c_custkey || '/kader' AS squad_url
         |FROM customer
         |ORDER BY ck""".stripMargin,
+
+    // S20 round trip: static multi-line JSON club documents written to
+    // disk and read back through Bronze.readJsonSnapshots; the oracle
+    // recomputes the document fields straight from nation.
+    "q_clubs_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS club_id,
+        |       'FC ' || n_name AS name,
+        |       CAST(1900 + n_nationkey % 120 AS BIGINT) AS founded,
+        |       CAST(n_regionkey AS BIGINT) AS region,
+        |       n_nationkey % 2 = 0 AS active
+        |FROM nation
+        |ORDER BY club_id""".stripMargin,
 
     // S16/F25/F26 round trip: every supported game-node JSON shape
     // (4 team layouts x 3 score layouts) flattens to one canonical

@@ -439,6 +439,39 @@ object RoundTrip {
       .orderBy("ck")
   }
 
+  /** q_clubs_json: S20 round trip — static JSON club documents (the
+    * reference serves a bundled clubs JSON file from its API layer,
+    * src/api/endpoints/clubs.py:24-55) written as REAL multi-line JSON
+    * files on local disk and read back through the S20 source
+    * ([[Bronze.readJsonSnapshots]]), so the file-based multiLine parse
+    * path itself is oracle-witnessed — the other S-series round trips
+    * synthesize pages in-plan and never touch the reader. One document
+    * per nation; the write is `partitionBy` (one file per key) so no
+    * row ever crosses the driver, and the inner object goes through
+    * `to_json` for correct escaping. */
+  def clubsJsonFromNations(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val doc = concat(
+      lit("{\n  \"club\": "),
+      to_json(struct(
+        col("n_nationkey").cast("long").as("club_id"),
+        concat(lit("FC "), col("n_name")).as("name"),
+        (pmod(col("n_nationkey"), lit(120)) + 1900).cast("long").as("founded"),
+        col("n_regionkey").cast("long").as("region"))),
+      lit(",\n  \"active\": "),
+      (pmod(col("n_nationkey"), lit(2)) === 0).cast("string"),
+      lit("\n}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clubs_json").toString
+    n.select(col("n_nationkey").as("k"), doc.as("value"))
+      .write.partitionBy("k").mode("overwrite").text(tmp)
+    Bronze.readJsonSnapshots(spark, tmp)
+      .select(
+        col("club.club_id").as("club_id"), col("club.name").as("name"),
+        col("club.founded").as("founded"), col("club.region").as("region"),
+        col("active"))
+      .orderBy("club_id")
+  }
+
   /** q_game_json: S16/F25/F26 round trip — captured game-node JSON in
     * every shape the normalizer supports, cycled per customer: team
     * layout by custkey mod 4 (home/away objects, homeTeam/awayTeam,
