@@ -45,5 +45,13 @@ class TablesCanarySpec extends SparkSpec {
     val (lo, hi) = (range.getLong(0), range.getLong(1))
     assert(lo > 1262304000000L && hi < 2524608000000L, // 2010..2050
       s"ts_ms range [$lo, $hi] outside plausible epoch-millis window — unit drift?")
+    // The upsert/merge witnesses split the log at EventOps.CutoffMs
+    // (2024-01-20). Both engines share the constant, so a corpus that no
+    // longer straddles it would still hash-match — while silently testing
+    // nothing. Fail loudly instead.
+    assert(lo < 1705708800000L && hi > 1705708800000L,
+      s"events no longer straddle the 2024-01-20 cutoff ([$lo, $hi]) — " +
+        "q_upsert_merge's current/staged split has degenerated; move " +
+        "EventOps.CutoffMs (and its oracle SQL literal) to mid-corpus")
   }
 }
