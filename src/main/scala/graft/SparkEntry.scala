@@ -76,6 +76,7 @@ object SparkEntry {
     "q_sample_split"    -> ((s, d) => graft.scale.TrainingData.sampleSplit(s, d)),
     "q_seq_pack"        -> ((s, d) => graft.scale.TrainingData.sequencePack(s, d)),
     "q_contamination"   -> ((s, d) => graft.scale.TrainingData.contamination(s, d)),
+    "q_curation"        -> ((s, d) => graft.scale.TrainingData.curationPipeline(s, d)),
     "q_match_stats"     -> ((s, d) => graft.sources.FbrefStats.matchStatsFromLineitem(s, d)),
     "q_team_stats"      -> ((s, d) => graft.sources.FbrefStats.teamStatsFromSuppliers(s, d)),
     "q_transfers"       -> ((s, d) => graft.sources.RoundTrip.transfersFromCustomers(s, d)),
@@ -887,6 +888,93 @@ object SparkEntry {
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY 1
         |ORDER BY s.doc_id""".stripMargin,
+
+    // The composed curation pipeline: every stage's oracle piece reused
+    // verbatim (quality CTEs from q_quality_filter, the lang vote from
+    // q_lang_id, the simhash-cluster recursive CTE from q_dup_clusters,
+    // the shingle-overlap CTEs from q_contamination) plus the
+    // fingerprint keep-first window — one per-document verdict row.
+    "q_curation" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, text, source FROM documents),
+        |qt AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM t),
+        |qf AS (SELECT doc_id,
+        |             CAST(len(toks) AS DOUBLE) AS n_words,
+        |             CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+        |               / len(toks) AS mean_len,
+        |             CAST(length(text) - length(regexp_replace(text, '[#…]|\.\.\.', '', 'g')) AS DOUBLE) AS symbol_cnt,
+        |             CAST(len(list_filter(toks, s -> regexp_matches(s, '\p{L}'))) AS DOUBLE) AS alpha_words,
+        |             len(list_filter(toks, s -> s = 'the' OR s = 'a' OR s = 'of' OR s = 'and'
+        |                 OR s = 'in' OR s = 'to' OR s = 'is')) AS stop_hits
+        |      FROM qt),
+        |q AS (SELECT doc_id,
+        |             ((n_words >= 50 AND n_words <= 100000)
+        |              AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |              AND (symbol_cnt / n_words <= 0.1)
+        |              AND (alpha_words / n_words >= 0.8)
+        |              AND (stop_hits >= 2)) AS q_pass
+        |      FROM qf),
+        |lt AS (SELECT doc_id,
+        |              list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS ltoks,
+        |              regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |       FROM t),
+        |lv AS (SELECT doc_id, cjk,
+        |              len(list_intersect(ltoks, ['the','and','of','is','with','for'])) AS he,
+        |              len(list_intersect(ltoks, ['der','die','das','und','nicht','mit'])) AS hd,
+        |              len(list_intersect(ltoks, ['le','la','les','et','est','dans'])) AS hf,
+        |              len(list_intersect(ltoks, ['el','los','las','es','y','en'])) AS hs
+        |       FROM lt),
+        |l AS (SELECT doc_id,
+        |             (CASE WHEN cjk THEN 'zh'
+        |                   WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |                   WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |                   WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+        |                   WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |                   ELSE 'de' END) = 'en' AS lang_ok
+        |      FROM lv),
+        |e AS (SELECT doc_id,
+        |             row_number() OVER (
+        |               PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |               ORDER BY doc_id) = 1 AS exact_keep
+        |      FROM t),
+        |stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM t),
+        |th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM stoks),
+        |votes AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM th, (SELECT unnest(range(60)) AS b) bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |        FROM votes GROUP BY 1),
+        |chunks AS (SELECT doc_id, sig, c AS band, (sig >> (c * 15)) & 32767 AS chunk
+        |           FROM sig, (SELECT unnest(range(4)) AS c) cs),
+        |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |          FROM chunks x JOIN chunks y
+        |            ON x.chunk = y.chunk AND x.band = y.band AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        |noncanon AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+        |csh AS (SELECT doc_id,
+        |               unnest(list_distinct([array_to_string(ctoks[i:i+2], ' ')
+        |                                     for i in generate_series(1, len(ctoks)-2)])) AS sh
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ctoks FROM t)),
+        |bench AS (SELECT DISTINCT sh FROM csh WHERE doc_id % 97 = 0),
+        |contaminated AS (SELECT csh.doc_id FROM csh JOIN bench USING (sh)
+        |                 WHERE csh.doc_id % 97 <> 0
+        |                 GROUP BY 1 HAVING count(DISTINCT csh.sh) >= 3)
+        |SELECT t.doc_id, t.source, q.q_pass, l.lang_ok, e.exact_keep,
+        |       noncanon.doc_id IS NULL AS near_keep,
+        |       (contaminated.doc_id IS NULL AND t.doc_id % 97 <> 0) AS decon_ok,
+        |       (q.q_pass AND l.lang_ok AND e.exact_keep AND noncanon.doc_id IS NULL
+        |        AND contaminated.doc_id IS NULL AND t.doc_id % 97 <> 0) AS kept
+        |FROM t
+        |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
+        |LEFT JOIN noncanon ON t.doc_id = noncanon.doc_id
+        |LEFT JOIN contaminated ON t.doc_id = contaminated.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // The simhash token hash is md5-derived (first 15 hex chars = 60
     // bits) precisely so this oracle can recompute signatures, banding,

@@ -101,6 +101,61 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q_curation: the composed end-to-end curation pipeline — the full
+    * pre-training data build run as ONE query, every stage's per-document
+    * verdict surfaced and oracle-checked:
+    *
+    *  1. `q_pass`   — Gopher quality gate ([[TextAnalysis.gopherQualityFlags]])
+    *  2. `lang_ok`  — language-ID keep (en, [[TextAnalysis.langIdHeuristic]])
+    *  3. `exact_keep` — exact dedup keep-first (fingerprint window; one
+    *     shuffle on the fingerprint)
+    *  4. `near_keep`  — near-dup prune: corpus-wide SimHash clusters
+    *     ([[Dedup.dupClusters]]), non-canonical members dropped
+    *  5. `decon_ok`   — benchmark decontamination: held-out docs
+    *     (doc_id ≡ 0 mod 97) and any candidate sharing ≥ 3 word-3-grams
+    *     with them ([[contamination]]) are excluded
+    *  6. `kept` = 1 ∧ 2 ∧ 3 ∧ 4 ∧ 5
+    *
+    * Stages compute their drop-sets INDEPENDENTLY over the corpus and
+    * compose by anti-join semantics (left joins against small drop
+    * lists) — the production shape: each stage is restartable and
+    * auditable on its own, and the final verdict row per document is the
+    * lineage record a 100 TB curation run has to emit anyway. No stage
+    * adds a shuffle beyond what it needs alone; the drop-list joins key
+    * on doc_id (broadcast at test SF, minimal exchange at scale).
+    *
+    * Note: the synthetic corpus has no natural exact duplicates, so
+    * `exact_keep` is uniformly true here — the fingerprint keep-first
+    * FALSE branch is separately oracle-witnessed by q_exact_dups, which
+    * plants duplicates for exactly that reason. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val flags = TextAnalysis.gopherQualityFlags(col("text"))
+    val base = docs
+      .withColumn("q_pass", flags.getField("pass"))
+      .withColumn("lang_ok", TextAnalysis.langIdHeuristic(col("text")) === "en")
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val exact = base.withColumn("exact_keep", row_number().over(w) === 1)
+    val nonCanon = Dedup.dupClusters(spark, dir)
+      .filter(!col("is_canonical")).select(col("doc_id"), lit(true).as("__nd"))
+    val contaminated = contamination(spark, dir)
+      .filter(col("shared_shingles") >= 3).select(col("doc_id"), lit(true).as("__ct"))
+    exact
+      .join(nonCanon, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("near_keep", col("__nd").isNull)
+      .withColumn("decon_ok",
+        col("__ct").isNull && pmod(col("doc_id"), lit(97)) =!= 0)
+      .withColumn("kept", col("q_pass") && col("lang_ok") && col("exact_keep") &&
+        col("near_keep") && col("decon_ok"))
+      .select("doc_id", "source", "q_pass", "lang_ok", "exact_keep",
+        "near_keep", "decon_ok", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled source mixing: sampling rates derived FROM the
     * corpus counts as p_i ∝ n_i^α (α = 1 preserves the natural mix;
     * α → 0 flattens toward uniform — the multilingual/multi-source

@@ -334,6 +334,31 @@ class ScaleSpec extends SparkSpec {
     assert(kept.count() == docs.count() - rows.count(r => !r.getBoolean(3)))
   }
 
+  test("curationPipeline: verdicts compose stage outputs; kept = AND of gates") {
+    import graft.scale.{TextAnalysis, TrainingData}
+    val v = TrainingData.curationPipeline(spark, TestSpark.Sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    assert(v.length == docs.count(), "one verdict row per document")
+    // kept is exactly the conjunction of the five gates
+    v.foreach { r =>
+      val gates = (2 to 6).map(r.getBoolean)
+      assert(r.getBoolean(7) == gates.forall(identity),
+        s"kept must equal AND of gates for doc ${r.getLong(0)}")
+    }
+    // stage agreement with the standalone operators
+    val qPass = TextAnalysis.qualityFilter(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(v.forall(r => r.getBoolean(2) == qPass(r.getLong(0))),
+      "q_pass must match the standalone quality filter")
+    val nonCanon = Dedup.dupClusters(spark, TestSpark.Sf0001)
+      .filter(!col("is_canonical")).collect().map(_.getLong(0)).toSet
+    assert(v.forall(r => r.getBoolean(5) == !nonCanon(r.getLong(0))),
+      "near_keep must match the cluster canonicals")
+    // held-out docs are never kept
+    assert(v.filter(r => r.getLong(0) % 97 == 0).forall(!_.getBoolean(7)),
+      "benchmark docs must be excluded")
+  }
+
   test("chunk: budget/overlap offsets, clipped tail, md5 content") {
     import graft.scale.TrainingData
     val docs = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")), (2L, "a b c"))
