@@ -70,6 +70,17 @@ object Ranking {
                             numParts: Int = 0): DataFrame = {
     val parts = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // The ranged frame feeds TWO consumers (the per-partition counts and
+    // the final rank join). It MUST be materialized once: each plan
+    // branch re-executing the range exchange re-runs RangePartitioner's
+    // boundary SAMPLING, and nothing guarantees the two executions pick
+    // identical boundaries (observed at 32 partitions on a 9 370-row
+    // vocab: counts from one partitioning + local indices from another →
+    // duplicate and skipped ranks). Freezing the frame — partition ids
+    // and local indices included — makes the offsets provably consistent
+    // with the indexed rows. At cluster scale this materialization is a
+    // sorted silver table; here it is an eager localCheckpoint of the
+    // post-cut (aggregated, not corpus-sized) frame.
     val ranged = df
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
@@ -79,6 +90,7 @@ object Ranking {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lidx",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(true)
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // offset + total via a tiny parts×parts self-join — no window, no
     // single-partition exchange anywhere on the data path.

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale regression tests for Ranking.distributedGlobalRank: the ranged
+  * frame feeds two plan branches, and before it was checkpointed the two
+  * executions of the range exchange could sample DIFFERENT partition
+  * boundaries (RangePartitioner reservoir sampling), yielding duplicate
+  * and skipped ranks — observed on the 10×-inflated vocab at 32 shuffle
+  * partitions (9 370 rows → 9 330 distinct ids), invisible at small SF
+  * where the sample covers the data. */
+class DistributedRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributedGlobalRank: unique contiguous ranks on a large tied frame") {
+    val df = (1L to 60000L).map(i => (s"g${i % 997}_${i}", i % 13))
+      .toDF("k", "v").repartition(32)
+    val ranked = graft.operators.Ranking.distributedGlobalRank(
+      df, Seq(col("v").desc, col("k").asc), rankCol = "r", nCol = "n", numParts = 32)
+    val dup = ranked.groupBy("r").count().filter(col("count") > 1).count()
+    val total = ranked.count()
+    val maxR = ranked.agg(max("r")).head().getLong(0)
+    assert(dup == 0, s"$dup duplicate ranks")
+    assert(maxR == total, s"max rank $maxR != $total rows — skipped ranks")
+  }
+
+  test("vocabQuery on an inflated corpus: token_id is a bijection 1..n") {
+    // Gated on the scale-trend corpus being present (dev loop); the
+    // synthetic test above is the always-on witness.
+    assume(new java.io.File("/tmp/inflated_x10/documents.parquet").exists())
+    val v = graft.scale.Search.vocabQuery(spark, "/tmp/inflated_x10")
+    val dup = v.groupBy("token_id").count().filter(col("count") > 1).count()
+    val total = v.count()
+    val maxId = v.agg(max("token_id")).head().getLong(0)
+    assert(dup == 0, s"$dup duplicate token ids")
+    assert(maxId == total, s"max id $maxId != $total rows")
+  }
+}
