@@ -1098,17 +1098,17 @@ object SparkEntry {
       """WITH d AS (SELECT source, doc_id,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
         |           FROM documents),
-        |pct AS (SELECT source,
-        |               least(100, CAST(floor(100.0 * 800 / sum(tokens)) AS BIGINT)) AS keep_pct
-        |        FROM d GROUP BY source),
-        |kept AS (SELECT d.source, p.keep_pct, d.tokens
-        |         FROM d JOIN pct p USING (source)
-        |         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-        |               % 100 < p.keep_pct)
-        |SELECT source, keep_pct, count(*) AS docs_kept,
+        |rate AS (SELECT source,
+        |                least(1.0, 800.0 / CAST(sum(tokens) AS DOUBLE)) AS keep_rate
+        |         FROM d GROUP BY source),
+        |kept AS (SELECT d.source, r.keep_rate, d.tokens
+        |         FROM d JOIN rate r USING (source)
+        |         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+        |               / 4503599627370496.0 < r.keep_rate)
+        |SELECT source, keep_rate, count(*) AS docs_kept,
         |       CAST(sum(tokens) AS BIGINT) AS tokens_kept
         |FROM kept
-        |GROUP BY source, keep_pct
+        |GROUP BY source, keep_rate
         |ORDER BY source""".stripMargin,
 
     // Inverted index: one row per term with document frequency and the

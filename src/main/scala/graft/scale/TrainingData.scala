@@ -197,12 +197,15 @@ object TrainingData {
   /** Source mixing: cap every source at a per-source token budget by
     * deterministic hash downsampling — the mixture-weights step of a
     * pretraining corpus build (oversampled sources are thinned; sources
-    * under budget pass whole). Keep probability = ⌊100·target/total⌋ %,
-    * applied via the same md5 bucket as [[splitOf]], so the kept set is
-    * stable under corpus growth and reproducible across engines. The
-    * per-source totals are a tiny aggregate broadcast back onto the
-    * corpus — one wide scan, one broadcast join, no second shuffle of
-    * the documents. */
+    * under budget pass whole). Keep probability = min(1, target/total)
+    * as a CONTINUOUS double against [[hashUniform]] — an integer-percent
+    * bucket (the original formulation) floors to 0 as soon as a source
+    * exceeds 100× the budget, silently emptying the mix; caught by the
+    * 30×-inflation sweep, where every keep_pct quantized to zero. The
+    * ratio is one correctly-rounded IEEE divide on both engines, so
+    * membership stays exactly reproducible. The per-source totals are a
+    * tiny aggregate broadcast back onto the corpus — one wide scan, one
+    * broadcast join, no second shuffle of the documents. */
   def sourceMix(spark: SparkSession, dir: String,
                 targetTokens: Long = 800L): DataFrame = {
     // Both the totals aggregate and the keep-filter consume this frame;
@@ -212,13 +215,13 @@ object TrainingData {
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tokens")),
       "source_mix_tokens")
-    val pct = d.groupBy("source").agg(sum("tokens").as("total"))
+    val rate = d.groupBy("source").agg(sum("tokens").as("total"))
       .select(col("source"),
-        least(lit(100L),
-          floor(lit(100.0) * targetTokens / col("total"))).as("keep_pct"))
-    d.join(broadcast(pct), "source")
-      .filter(hashBucket(col("doc_id")) < col("keep_pct"))
-      .groupBy("source", "keep_pct")
+        least(lit(1.0),
+          lit(targetTokens.toDouble) / col("total").cast("double")).as("keep_rate"))
+    d.join(broadcast(rate), "source")
+      .filter(hashUniform(col("doc_id")) < col("keep_rate"))
+      .groupBy("source", "keep_rate")
       .agg(count(lit(1)).as("docs_kept"), sum("tokens").as("tokens_kept"))
       .orderBy("source")
   }

@@ -380,6 +380,27 @@ class ScaleSpec extends SparkSpec {
     assert(d2.length == 1 && d2.head._4 == 3L && d2.head._5 == md5hex("a b c"))
   }
 
+  test("sourceMix: keep rate never quantizes to zero; budget met on inflated corpus") {
+    import graft.scale.TrainingData
+    // The original integer-percent formulation floored to 0 once a source
+    // exceeded 100x the token budget — the mix silently emptied at 30x
+    // inflation. The continuous rate must keep every source represented
+    // and land tokens_kept in the Bernoulli neighborhood of the target.
+    val small = TrainingData.sourceMix(spark, TestSpark.Sf0001).collect()
+    assert(small.nonEmpty && small.forall(_.getDouble(1) > 0.0))
+    val big = new java.io.File("/tmp/inflated_x10/documents.parquet")
+    if (big.exists()) {
+      val rows = TrainingData.sourceMix(spark, "/tmp/inflated_x10").collect()
+      assert(rows.nonEmpty, "inflated mix must not be empty")
+      rows.foreach { r =>
+        assert(r.getDouble(1) > 0.0, s"source ${r.getString(0)} rate quantized to 0")
+        val kept = r.getLong(3)
+        assert(kept > 100L && kept < 3200L,
+          s"source ${r.getString(0)} kept $kept tokens, target 800")
+      }
+    }
+  }
+
   test("temperatureMix: alpha=1/2 flattens the mix toward low-resource sources") {
     val out = graft.scale.TrainingData.temperatureMix(spark, TestSpark.Sf0001)
       .collect()
