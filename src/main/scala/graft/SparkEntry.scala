@@ -139,6 +139,7 @@ object SparkEntry {
     "q_jaro_winkler"    -> ((s, d) => graft.sources.RoundTrip.jaroWinklerFromCustomers(s, d)),
     "q_skyline"         -> ((s, d) => graft.operators.Skyline.skylineQuery(s, d)),
     "q_prefix_join"     -> ((s, d) => Dedup.prefixJoinQuery(s, d)),
+    "q_winnow_pairs"    -> ((s, d) => TextAnalysis.winnowPairsQuery(s, d)),
     "q_regression"      -> ((s, d) => graft.operators.Regression.regressionQuery(s, d)),
     "q_union_byname"    -> ((s, d) => graft.operators.Merge.schemaDriftQuery(s, d)),
     "q_table_diff"      -> ((s, d) => graft.operators.Reconcile.tableDiffQuery(s, d)),
@@ -2058,6 +2059,46 @@ object SparkEntry {
         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE 5 * inter_cnt >= 3 * (s1.n + s2.n - inter_cnt)
         |ORDER BY d1, d2""".stripMargin,
+
+    // Winnowing (MOSS) fingerprints replayed positionally: md5 over each
+    // 6-token gram, per-window minimum via a 8-wide ROWS frame (frames
+    // that would run past the end are cut by the i <= m-7 start filter),
+    // distinct per doc, df-capped, self-joined. The planted mutation
+    // keeps token ORDER (list_filter, no list_distinct) — winnowing is
+    // positional, unlike the set-semantics q_prefix_join plant.
+    "q_winnow_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |planted AS (
+        |  SELECT base.doc_id + 30000000 AS doc_id,
+        |         array_to_string(list_filter(string_split(text, ' '),
+        |           t -> substr(md5(CAST(base.doc_id AS VARCHAR) || '|' || t), 1, 1)
+        |                <> '0'), ' ') AS text
+        |  FROM base WHERE base.doc_id % 20 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 5)) AS i,
+        |         len(t) - 5 AS m, t
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, i, m, md5(array_to_string(t[i:i+5], ' ')) AS h
+        |  FROM grams),
+        |wins AS (
+        |  SELECT doc_id, i, m,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM hashed),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wins WHERE m >= 8 AND i <= m - 7),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |keyed AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(count(*) AS BIGINT) AS shared
+        |  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT d1, d2, shared FROM pairs ORDER BY d1, d2""".stripMargin,
 
     // OLS from exact integer moments: both engines accumulate Σx, Σy,
     // Σxy, Σx², Σy² exactly (Spark decimal(38,0), DuckDB HUGEINT), then

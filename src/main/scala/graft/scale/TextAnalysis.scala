@@ -126,6 +126,84 @@ object TextAnalysis {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(a), size(b)).cast("double")
 
+  /** Winnowing parameters: token k-grams, window of w gram hashes, hot
+    * fingerprint df-cap, min shared fingerprints to report a pair. */
+  val WinnowK = 6
+  val WinnowW = 8
+  val WinnowMaxDf = 50
+  val WinnowMinShared = 2
+
+  /** Winnowing fingerprint set (Schleimer–Wilkerson–Aiken / MOSS): hash
+    * every k-token gram, slide a w-wide window over the positional hash
+    * sequence, keep each window's minimum. Unlike the k-min sketch above
+    * ([[rollingFingerprint]]), winnowing carries a COVERAGE GUARANTEE:
+    * any shared token run of length ≥ k+w-1 yields ≥ 1 shared
+    * fingerprint, at expected density 2/(w+1) — the property plagiarism
+    * and near-dup detectors rely on. Pure Column expressions (no UDF);
+    * the md5-hex lexicographic minimum is engine-portable, the same
+    * portability precedent as the MinHash signatures
+    * ([[Dedup.minhashSignatures]]). Docs with fewer than k+w-1 tokens
+    * produce an empty set (too short to winnow). */
+  def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column = {
+    val toks = tokens(text)
+    val m = size(toks) - (k - 1) // gram count
+    val grams = transform(sequence(lit(1), m),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    // CaseWhen evaluates only the matching branch, so the descending
+    // sequence() a short doc would produce is never constructed.
+    when(m >= w,
+      array_distinct(transform(sequence(lit(1), m - (w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+
+  /** The q_winnow_pairs input corpus: 1-in-10 document sample plus
+    * planted order-preserving mutations (doc_id % 20 == 0 re-keyed +30M
+    * with ~1/16 of token TYPES dropped by a portable md5 coin — long
+    * identical runs survive, so the coverage guarantee fires). Exposed
+    * for the spec's independent false-positive check. */
+  def winnowCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    // Order-preserving token drop: winnowing is positional, so the
+    // planted copy must keep surviving tokens in sequence (contrast the
+    // set-semantics plant in Dedup.prefixJoinQuery). base_id renamed
+    // before the lambda for the same alias-shadowing reason documented
+    // there.
+    val planted = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .withColumnRenamed("doc_id", "base_id")
+      .select((col("base_id") + 30000000L).as("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          t => substring(md5(concat(col("base_id").cast("string"), lit("|"), t)), 1, 1) =!= "0"),
+          " ").as("text"))
+    base.unionByName(planted)
+  }
+
+  /** q_winnow_pairs: near-dup pairs by shared winnowing fingerprints over
+    * [[winnowCorpus]]. Each fingerprint row explodes once into a
+    * [[Silver]] scratch table; hot fingerprints (df > [[WinnowMaxDf]])
+    * are dropped before the self-join — the same df-cap that keeps the
+    * shingle join ([[Dedup.jaccardPairsFrom]]) from going quadratic on
+    * boilerplate, replayed exactly in the oracle. Output (d1, d2,
+    * shared), pairs with ≥ [[WinnowMinShared]] shared fingerprints. */
+  def winnowPairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = winnowCorpus(spark, dir)
+    val fps = Silver.scratch(
+      corpus.select(col("doc_id"),
+        explode(winnowFingerprints(col("text"))).as("fp")),
+      "winnow_fp")
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(WinnowMaxDf))
+    val keyed = fps.join(rare.select("fp"), "fp")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+      .orderBy("d1", "d2")
+  }
+
   /** Heuristic language ID: CJK script detection, then per-language
     * stopword voting. Pure expression (no UDF); returns a 2-letter code or
     * 'und'. The synthetic corpus's `lang` column is a random label over a

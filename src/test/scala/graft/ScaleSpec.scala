@@ -171,6 +171,60 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.2, s"unrelated overlap ${r.getDouble(3)}")
   }
 
+  test("winnowFingerprints: coverage guarantee, short-doc empty, disjoint texts disjoint") {
+    import TextAnalysis.{WinnowK, WinnowW}
+    // Winnowing's guarantee: a shared token run of length >= k+w-1 yields
+    // >= 1 shared fingerprint, whatever surrounds it in either document.
+    val run = (1 to (WinnowK + WinnowW - 1)).map(i => s"run$i").mkString(" ")
+    val inA = s"alpha beta gamma delta $run omega"
+    val inB = s"$run zeta eta theta iota kappa lambda"
+    val r = evalExpr(
+      size(array_intersect(
+        TextAnalysis.winnowFingerprints(lit(inA)),
+        TextAnalysis.winnowFingerprints(lit(inB)))),
+      TextAnalysis.winnowFingerprints(lit("too short to winnow at all")),
+      size(array_intersect(
+        TextAnalysis.winnowFingerprints(lit(inA)),
+        TextAnalysis.winnowFingerprints(
+          lit("wholly unrelated words with zero overlap whatsoever in any position of this text")))))
+    assert(r.getInt(0) >= 1, "coverage guarantee violated for a k+w-1 shared run")
+    assert(r.getSeq[String](1).isEmpty, "sub-window doc must have no fingerprints")
+    assert(r.getInt(2) == 0, "disjoint texts must share no fingerprints")
+  }
+
+  test("winnowPairsQuery: planted mutations detected, organic pairs real, join not cartesian") {
+    val out = TextAnalysis.winnowPairsQuery(spark, TestSpark.Sf0001).collect()
+    out.foreach(r => assert(r.getLong(2) >= TextAnalysis.WinnowMinShared))
+    // Most planted mutations are detected: the ~1/16 type-drop leaves
+    // long identical runs, so the coverage guarantee fires.
+    val plantedFound = out.count(r => r.getLong(1) == r.getLong(0) + 30000000L)
+    val planted = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .filter(pmod(col("doc_id"), lit(20)) === 0).count()
+    assert(plantedFound >= (planted * 8) / 10,
+      s"only $plantedFound of $planted planted pairs detected")
+    // The corpus also carries ORGANIC near-dups (the same ones
+    // q_exact_dups / the jaccard family find). Any non-planted pair must
+    // be a true detection: verify each shares >= 1 literal 6-token gram
+    // (the winnowing fingerprint preimage) by direct recomputation.
+    val organic = out.filter(r => r.getLong(1) != r.getLong(0) + 30000000L)
+    if (organic.nonEmpty) {
+      import TextAnalysis.WinnowK
+      val grams = TextAnalysis.winnowCorpus(spark, TestSpark.Sf0001)
+        .select(col("doc_id"), transform(
+          sequence(lit(1), size(split(col("text"), " ")) - (WinnowK - 1)),
+          i => concat_ws(" ", slice(split(col("text"), " "), i, lit(WinnowK)))).as("gs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      organic.foreach { r =>
+        val (d1, d2) = (r.getLong(0), r.getLong(1))
+        assert(grams(d1).intersect(grams(d2)).nonEmpty,
+          s"organic pair ($d1, $d2) shares no literal $WinnowK-gram — false positive")
+      }
+    }
+    val plan = TextAnalysis.winnowPairsQuery(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("knnBatch: per-query ranked neighbors, consistent with single-query") {
     val batch = Similarity.knnBatch(spark, TestSpark.Sf0001, Seq(0L, 1L), k = 5)
       .collect()
