@@ -22,7 +22,9 @@ def main(sf_dir, out_dir):
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written (e.g. tools.Inflate output)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
