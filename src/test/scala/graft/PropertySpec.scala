@@ -399,4 +399,35 @@ class PropertySpec extends SparkSpec {
         graft.functions.JsonNorm.normalizeGameNode(node)) =!= col("want"))
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
+
+  test("winnowFingerprints matches an independent Scala winnow on random token streams") {
+    import graft.scale.TextAnalysis.{WinnowK, WinnowW}
+    // Independent reimplementation: direct per-window md5 minimum over
+    // the same k-gram stream (java.security MessageDigest, no Spark).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnowRef(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      val grams = toks.sliding(WinnowK).filter(_.length == WinnowK)
+        .map(g => md5hex(g.mkString(" "))).toVector
+      if (grams.length < WinnowW) Set.empty
+      else grams.sliding(WinnowW).filter(_.length == WinnowW).map(_.min).toSet
+    }
+    // Vocab includes tokens that repeat a lot (degenerate hash streams)
+    // and lengths straddling the too-short boundary.
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "spark", "merge", "x1", "a"))
+    } yield ts.mkString(" ")
+    val cases = samples(gen, 120).distinct
+    val df = cases.toDF("text").withColumn("fp",
+      array_sort(graft.scale.TextAnalysis.winnowFingerprints(col("text"))))
+    val got = df.select("text", "fp").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    cases.foreach { t =>
+      val want = winnowRef(t).toVector.sorted
+      assert(got(t) == want, s"mismatch for '$t': got ${got(t)}, want $want")
+    }
+  }
 }
