@@ -145,15 +145,28 @@ object TextAnalysis {
     * ([[Dedup.minhashSignatures]]). Docs with fewer than k+w-1 tokens
     * produce an empty set (too short to winnow). */
   def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column = {
+    // Catalyst has no let-binding: a subexpression named in Scala is
+    // INLINED into every lambda that references it, and HOF lambdas
+    // re-evaluate their body per element — a naive
+    // `transform(seq, j => array_min(slice(grams, j, w)))` recomputes
+    // the ENTIRE md5 gram array for every window start (O(m²) md5 calls
+    // per document; measured 5.4 s for 750 ×50-token docs). Binding each
+    // intermediate as a lambda VARIABLE via `transform(array(x), v => …)`
+    // evaluates it once per row: `ts` holds the token split, `gs` the
+    // gram-hash array — O(m·w) total.
     val toks = tokens(text)
-    val m = size(toks) - (k - 1) // gram count
-    val grams = transform(sequence(lit(1), m),
-      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    val m0 = size(toks) - (k - 1) // gram count (guard; one cheap split)
     // CaseWhen evaluates only the matching branch, so the descending
     // sequence() a short doc would produce is never constructed.
-    when(m >= w,
-      array_distinct(transform(sequence(lit(1), m - (w - 1)),
-        j => array_min(slice(grams, j, lit(w))))))
+    when(m0 >= w,
+      element_at(transform(array(toks), ts => {
+        val m = size(ts) - (k - 1)
+        element_at(transform(
+          array(transform(sequence(lit(1), m),
+            i => md5(concat_ws(" ", slice(ts, i, lit(k)))))),
+          gs => array_distinct(transform(sequence(lit(1), m - (w - 1)),
+            j => array_min(slice(gs, j, lit(w)))))), 1)
+      }), 1))
       .otherwise(typedlit(Seq.empty[String]))
   }
 
