@@ -3,6 +3,8 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Let
+
 /** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
   * Machine Translation of Rare Words with Subword Units") as Spark jobs —
   * the tokenizer-construction stage of a training-data pipeline, the
@@ -55,13 +57,15 @@ object Bpe {
   /** All adjacent symbol pairs of a space-joined sequence, as
     * "left right" strings (overlapping positions counted, matching the
     * reference get_stats). */
-  private def adjacentPairs(sym: Column): Column = {
-    val syms = split(sym, " ")
-    when(size(syms) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(syms) - 2),
-        i => concat_ws(" ",
-          element_at(syms, i + 1), element_at(syms, i + 2))))
-  }
+  private def adjacentPairs(sym: Column): Column =
+    // Let-bound: the pair lambda references the symbol split twice per
+    // position — unbound, that re-splits the string 2(m-1) times
+    // (see graft.functions.Let).
+    Let.bind(split(sym, " "))(syms =>
+      when(size(syms) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(syms) - 2),
+          i => concat_ws(" ",
+            element_at(syms, i + 1), element_at(syms, i + 2)))))
 
   /** Left-to-right greedy merge of one (a, b) pair inside a space-joined
     * symbol sequence, as a pure fold expression: "a a a" under (a,a) →

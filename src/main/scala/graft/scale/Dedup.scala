@@ -3,6 +3,7 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Let
 import graft.sources.Tables
 
 /** Near-duplicate detection for a training-data pipeline: exact groups,
@@ -20,10 +21,14 @@ object Dedup {
   /** Word 3-gram shingles, distinct, as a Column over a token array.
     * Guarded for docs shorter than n tokens. */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    // Let-bound defensively: today's callers pass a materialized token
+    // attribute (cheap to re-read), but a caller passing `split(...)`
+    // directly would re-split per gram position (see graft.functions.Let).
+    Let.bind(toks)(ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(n)))))))
 
   /** Exact-duplicate groups by content fingerprint: groups with >1 member. */
   def exactDupGroups(docs: DataFrame, key: Column): DataFrame =

@@ -3,6 +3,7 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Let
 import graft.sources.Tables
 
 /** Corpus search & n-gram statistics for a training-data pipeline:
@@ -166,10 +167,12 @@ object Search {
     * than an empty range, so short docs must short-circuit to an empty
     * array before `sequence` is evaluated. */
   def ngramCounts(docs: DataFrame, n: Int = 2): DataFrame = {
-    val t = toks(col("text"))
-    val grams = when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    // Let-bound: the gram lambda referencing a bare split would re-split
+    // the text once per gram position (see graft.functions.Let).
+    val grams = Let.bind(toks(col("text")))(t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
     docs
       .select(explode(grams).as("ngram"))
       .groupBy("ngram")
@@ -271,9 +274,11 @@ object Search {
     */
   def vocabBuild(docs: DataFrame, minCount: Long = 2L): DataFrame = {
     val t = toks(col("text"))
-    val bigrams = when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", slice(t, i, lit(2)))))
+    // Let-bound for the same reason as ngramCounts.
+    val bigrams = Let.bind(t)(ts =>
+      when(size(ts) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", slice(ts, i, lit(2))))))
     val grams = docs.select(explode(t).as("gram"), lit(1L).as("n"))
       .unionByName(docs.select(explode(bigrams).as("gram"), lit(2L).as("n")))
     val counted = grams
