@@ -156,7 +156,10 @@ object SparkEntry {
     "q_embed_stats"     -> ((s, d) => graft.scale.EmbedStats.embedStatsQuery(s, d)),
     "q_hilbert"         -> ((s, d) => graft.scale.Layout.hilbertQuery(s, d)),
     "q_bpe_encode"      -> ((s, d) => graft.scale.Bpe.encodeQuery(s, d)),
-    "q_temp_mix"        -> ((s, d) => graft.scale.TrainingData.temperatureMix(s, d))
+    "q_temp_mix"        -> ((s, d) => graft.scale.TrainingData.temperatureMix(s, d)),
+    "q_novelty"         -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
+    "q_source_overlap"  -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "q_length_buckets"  -> ((s, d) => graft.scale.TrainingData.lengthBuckets(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2419,7 +2422,77 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
         |        / 4503599627370496.0 < r.rate
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY d.source""".stripMargin
+        |ORDER BY d.source""".stripMargin,
+
+    // Shingle novelty: first occurrence = min(doc_id) per distinct word
+    // 3-gram; per-doc novel count = count of shingles first seen there.
+    // All-integer until the single final division. Docs with < 3 tokens
+    // carry no shingles and are absent from both engines' group-bys.
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(u.i AS INTEGER)
+        |                              : CAST(u.i + 2 AS INTEGER)], ' ') AS sh
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |perdoc AS (SELECT doc_id, count(*) AS n_shingles FROM g GROUP BY doc_id),
+        |novel AS (
+        |  SELECT first_doc AS doc_id, count(*) AS n_novel
+        |  FROM (SELECT sh, min(doc_id) AS first_doc FROM g GROUP BY sh)
+        |  GROUP BY first_doc)
+        |SELECT p.doc_id, p.n_shingles,
+        |       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |       CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_shingles AS novelty
+        |FROM perdoc p LEFT JOIN novel n USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // Pairwise source shingle Jaccard. The oracle self-joins on the
+    // shingle (fine at oracle scale); the engine collects the bounded
+    // per-shingle source set instead. Zero-intersection pairs absent on
+    // both sides.
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |         array_to_string(toks[CAST(u.i AS INTEGER)
+        |                              : CAST(u.i + 2 AS INTEGER)], ' ') AS sh
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |per AS (SELECT source, count(*) AS n_sh FROM g GROUP BY source),
+        |icnt AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.s1, i.s2,
+        |       p1.n_sh AS n1, p2.n_sh AS n2, i.inter,
+        |       CAST(i.inter AS DOUBLE) / (p1.n_sh + p2.n_sh - i.inter) AS jac
+        |FROM icnt i
+        |JOIN per p1 ON i.s1 = p1.source
+        |JOIN per p2 ON i.s2 = p2.source
+        |ORDER BY i.s1, i.s2""".stripMargin,
+
+    // Length-bucketed batch construction: band = tokens // 32, in-band
+    // order (tokens desc, doc_id), batches of 8; padding waste is exact
+    // integer arithmetic.
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, tokens, tokens // 32 AS bucket FROM d),
+        |r AS (
+        |  SELECT bucket, tokens,
+        |         row_number() OVER (PARTITION BY bucket
+        |                            ORDER BY tokens DESC, doc_id ASC) - 1 AS rn
+        |  FROM b)
+        |SELECT bucket, rn // 8 AS batch_id,
+        |       count(*) AS n_docs,
+        |       max(tokens) AS max_tokens,
+        |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * max(tokens) - sum(tokens) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY 1, 2
+        |ORDER BY bucket, batch_id""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

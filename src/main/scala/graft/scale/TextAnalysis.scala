@@ -496,6 +496,76 @@ object TextAnalysis {
       .orderBy("domain")
   }
 
+  /** q_novelty — per-document shingle novelty in ingestion (doc_id)
+    * order: the fraction of a document's distinct word 3-grams never seen
+    * in any earlier document. The corpus-growth curve behind "is more
+    * crawl still adding content?" decisions (heap's-law monitoring), and
+    * the doc-level score behind novelty-weighted sampling.
+    *
+    * Scale shape: NO self-join and NO window over the corpus — first
+    * occurrence is `min(doc_id)` per shingle, a partial-combining
+    * aggregate (a boilerplate shingle duplicated across millions of docs
+    * collapses map-side, exactly where the skew is), and per-doc novel
+    * counts are a second aggregate over that (one row per DISTINCT
+    * shingle, grouped by its first doc). The only join is per-doc ⋈
+    * per-doc at the end. Documents shorter than the shingle width carry
+    * no shingles and are absent, matching the oracle's group-by.
+    */
+  def novelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("sh"))
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
+  /** q_novelty over the documents table, ordered by doc_id. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    novelty(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** q_source_overlap — pairwise source-level shingle Jaccard: which
+    * sources duplicate each other's content. The source-selection /
+    * mixing-weight diagnostic of a multi-crawl corpus (two mirrors of the
+    * same site should not both get full weight).
+    *
+    * Scale shape: the naive form is a shingle self-join (quadratic in hot
+    * shingles). Instead: distinct (source, shingle) → `collect_set
+    * (source)` per shingle — bounded by the SOURCE cardinality (a small
+    * constant: tens-to-thousands of crawls, never corpus-sized) — then
+    * explode the ≤ |S|² ordered pairs per shingle and count. Per-source
+    * sizes broadcast back (|S| rows). Intersection-empty pairs are
+    * absent, matching the oracle join.
+    */
+  def overlapBySource(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(Dedup.shingles(col("toks"))).as("sh"))
+      .distinct()
+    val perSource = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("s1"), col("srcs"))
+      .select(col("s1"), explode(col("srcs")).as("s2"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(perSource.select(col("source").as("s1"), col("n_sh").as("n1"))), "s1")
+      .join(broadcast(perSource.select(col("source").as("s2"), col("n_sh").as("n2"))), "s2")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .select("s1", "s2", "n1", "n2", "inter", "jac")
+  }
+
+  /** q_source_overlap over the documents table, ordered by pair. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    overlapBySource(Tables.documents(spark, dir)).orderBy("s1", "s2")
+
   /** Corpus rollup by language label. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -307,4 +307,45 @@ object TrainingData {
                 budget: Int = 100, overlap: Int = 10): DataFrame =
     chunk(Tables.documents(spark, dir), budget, overlap)
       .orderBy("doc_id", "chunk_id")
+
+  /** q_length_buckets — padding-aware training-batch construction: docs
+    * bucketed by token-length band, ordered longest-first within the
+    * band, grouped into fixed-size batches; per batch the padded-token
+    * waste (`n·max − Σ tokens`) is the quantity a dataloader minimizes.
+    * The batch-assembly dual of [[sequencePack]]: packing concatenates to
+    * a budget, bucketing batches like-lengths to shrink padding.
+    *
+    * Scale shape: the per-band rank is NOT a `Window.partitionBy(bucket)`
+    * row_number — length bands are few and heavily populated, so each
+    * band would funnel through one reducer. Instead ONE
+    * [[graft.operators.Ranking.distributedGlobalRank]] over the composite
+    * order (bucket, tokens desc, doc_id) — a parallel range sort — and
+    * the in-band index is the global rank minus the band's minimum rank
+    * (a bands-sized broadcast). Every stage holds at most one range
+    * partition.
+    */
+  def batchByLength(docs: DataFrame,
+                    bandWidth: Long = 32L, batchSize: Int = 8): DataFrame = {
+    val lengths = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("bucket", floor(col("tokens") / bandWidth).cast("long"))
+    val ranked = graft.operators.Ranking.distributedGlobalRank(
+      lengths, Seq(col("bucket").asc, col("tokens").desc, col("doc_id").asc))
+    val bandStart = ranked.groupBy("bucket").agg(min(col("rank")).as("rank0"))
+    ranked.join(broadcast(bandStart), "bucket")
+      .withColumn("batch_id",
+        floor((col("rank") - col("rank0")) / batchSize).cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("tokens")).as("max_tokens"),
+        sum(col("tokens")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
+  /** q_length_buckets over the documents table, ordered by batch. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    batchByLength(Tables.documents(spark, dir)).orderBy("bucket", "batch_id")
 }

@@ -475,4 +475,42 @@ class ScaleSpec extends SparkSpec {
       case _ => () // single-source corpus: nothing to compare
     }
   }
+
+  test("novelty: first occurrence wins in doc_id order; full repeats score 0") {
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b c", "b c d" — both novel
+      (2L, "a b c x"),   // "a b c" seen, "b c x" novel → 0.5
+      (3L, "a b c d")    // both shingles seen in doc 1 → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("overlapBySource: pairwise shingle Jaccard, zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "a b c d", "A"), // A: {a b c, b c d}
+      (2L, "a b c x", "B"), // B: {a b c, b c x}
+      (3L, "q r s t", "C")  // C: disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.overlapBySource(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("A", "B", 2L, 2L, 1L, 1.0 / 3.0)))
+  }
+
+  test("batchByLength: longest-first in-band batches, exact padding waste") {
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(3, 4, 5, 6, 7, 8).zipWithIndex
+      .map { case (n, i) => (i + 1L, doc(n)) }.toDF("doc_id", "text")
+    val out = graft.scale.TrainingData.batchByLength(docs, bandWidth = 4L, batchSize = 2)
+      .orderBy("bucket", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L, 3L, 3L, 0L),   // band [0,4): the 3-token doc alone
+      (1L, 0L, 2L, 7L, 13L, 1L),  // band [4,8): 7+6 → pad 6 up to 7
+      (1L, 1L, 2L, 5L, 9L, 1L),   //             5+4 → pad 4 up to 5
+      (2L, 0L, 1L, 8L, 8L, 0L)))  // band [8,12): the 8-token doc
+  }
 }
