@@ -159,7 +159,8 @@ object SparkEntry {
     "q_temp_mix"        -> ((s, d) => graft.scale.TrainingData.temperatureMix(s, d)),
     "q_novelty"         -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
     "q_source_overlap"  -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
-    "q_length_buckets"  -> ((s, d) => graft.scale.TrainingData.lengthBuckets(s, d))
+    "q_length_buckets"  -> ((s, d) => graft.scale.TrainingData.lengthBuckets(s, d)),
+    "q_pagerank"        -> ((s, d) => graft.operators.PageRank.pagerankQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2492,7 +2493,12 @@ object SparkEntry {
         |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
         |       CAST(count(*) * max(tokens) - sum(tokens) AS BIGINT) AS padding_waste
         |FROM r GROUP BY 1, 2
-        |ORDER BY bucket, batch_id""".stripMargin
+        |ORDER BY bucket, batch_id""".stripMargin,
+
+    // Integer-quantized PageRank: the iterative recurrence replayed as
+    // unrolled CTE rounds (see PageRank scaladoc — all-Long arithmetic,
+    // so both engines are bit-identical at every round).
+    "q_pagerank" -> pagerankOracleSql
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -2502,6 +2508,44 @@ object SparkEntry {
     * Ranges are recomputed by min/max in SQL — min/max of doubles is
     * exact selection, so both engines bucketize against identical
     * layout parameters. */
+  /** DuckDB replay of `PageRank.pagerankQuery`: the quantized power
+    * iteration unrolled round by round (r0 … r5). Every step is Long
+    * arithmetic — `//` (DuckDB) ≡ `div` (Spark) on the non-negative
+    * operands here — so the replay is exact, not approximate. */
+  private def pagerankOracleSql: String = {
+    val init = graft.operators.PageRank.Init
+    val base = init * 15L / 100L
+    val iters = 5
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST($base + (85 * coalesce(i$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outdeg d ON e.src = d.src
+         |    GROUP BY e.dst) i$i ON n.node = i$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l.l_suppkey AS s, -(o.o_custkey + 1) AS c
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT s AS src, c AS dst FROM pairs
+       |    UNION ALL
+       |    SELECT c AS src, s AS dst FROM pairs)),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges)),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST($init AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def zorderOracleSql: String = {
     val bits = graft.scale.Layout.DefaultBits
     val maxB = (1L << bits) - 1

@@ -51,4 +51,41 @@ class ReconcileGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  /** Independent single-threaded reimplementation of the quantized
+    * PageRank recurrence (Map-based, no Spark) — the cross-check that
+    * the distributed joins implement the recurrence, not an artifact. */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = nodes.map(_ -> graft.operators.PageRank.Init).toMap
+    for (_ <- 1 to iters) {
+      val inc = es.groupBy(_._2).map { case (d, in) =>
+        d -> in.map(e => rank(e._1) / out(e._1)).sum }
+      rank = nodes.map(n =>
+        n -> (graft.operators.PageRank.Init * 15L / 100L +
+          85L * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pagerank: symmetric cycle is a fixed point at Init") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = graft.operators.PageRank.pagerank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> graft.operators.PageRank.Init,
+      2L -> graft.operators.PageRank.Init))
+  }
+
+  test("pagerank matches the independent reimplementation on an asymmetric graph") {
+    // Hub with reciprocated spokes + a dangling sink + a duplicate edge.
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 5L), (1L, 2L))
+    val got = graft.operators.PageRank.pagerank(es.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPagerank(es, 5))
+    // The hub with two reciprocated in-spokes outranks everything.
+    assert(got(1L) == got.values.max)
+  }
 }
