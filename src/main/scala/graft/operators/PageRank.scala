@@ -44,8 +44,15 @@ object PageRank {
 
   /** Fixed-iteration integer PageRank over a directed edge list
     * (columns `src`, `dst`; duplicates allowed — deduped here). Returns
-    * (node, rank) for every node after `iters` rounds. */
-  def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    * (node, rank) for every node after `iters` rounds.
+    *
+    * `ckptEvery` bounds plan depth: each rank table is consumed exactly
+    * ONCE (by the next iteration), so a lazy chain executes every stage
+    * once anyway — materialization buys nothing per-iteration and costs
+    * a write-read round trip. It is only needed to keep analysis/codegen
+    * time and lineage bounded over MANY iterations, so the cut happens
+    * every few rounds, not every round. */
+  def pagerank(edges: DataFrame, iters: Int = 5, ckptEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e = graft.scale.Silver.scratch(
       edges.select(col("src"), col("dst")).distinct(), "pr_edges")
@@ -55,17 +62,17 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val base = Init * 15L / 100L
     var rank = nodes.withColumn("rank", lit(Init))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val incoming = e
         .join(rank.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      rank = graft.scale.Silver.scratch(
-        nodes.join(incoming, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank")),
-        "pr_iter")
+      val next = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      rank = if (i % ckptEvery == 0 && i < iters)
+        graft.scale.Silver.scratch(next, "pr_iter") else next
     }
     rank
   }
