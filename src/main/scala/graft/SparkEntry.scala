@@ -160,7 +160,8 @@ object SparkEntry {
     "q_novelty"         -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
     "q_source_overlap"  -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_length_buckets"  -> ((s, d) => graft.scale.TrainingData.lengthBuckets(s, d)),
-    "q_pagerank"        -> ((s, d) => graft.operators.PageRank.pagerankQuery(s, d))
+    "q_pagerank"        -> ((s, d) => graft.operators.PageRank.pagerankQuery(s, d)),
+    "q_semantic_keep"   -> ((s, d) => Similarity.semanticKeep(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2498,7 +2499,49 @@ object SparkEntry {
     // Integer-quantized PageRank: the iterative recurrence replayed as
     // unrolled CTE rounds (see PageRank scaladoc — all-Long arithmetic,
     // so both engines are bit-identical at every round).
-    "q_pagerank" -> pagerankOracleSql
+    "q_pagerank" -> pagerankOracleSql,
+
+    // SemDeDup-shaped keep-one: the q_cosine_dups pair pipeline (same
+    // planted corpus, same banding, same rounded-cosine threshold)
+    // feeding a recursive-CTE connected components; keep = min vec_id
+    // per cluster, singletons kept. Full-corpus keep decisions.
+    "q_semantic_keep" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         [v[i] + CASE WHEN (i - 1) % 2 = 0 THEN 0.01 ELSE -0.01 END
+        |          for i in generate_series(1, len(v))] AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |chunks AS (
+        |  SELECT vec_id, v, b AS band,
+        |         SUM(CASE WHEN v[8 * b + i + 1] >= 0 THEN (1 << i) ELSE 0 END) AS bkey
+        |  FROM e, (SELECT unnest(range(4)) AS b) bs, (SELECT unnest(range(8)) AS i) bits
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2,
+        |           round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+        |    FROM chunks x JOIN chunks y
+        |      ON x.bkey = y.bkey AND x.band = y.band AND x.vec_id < y.vec_id)
+        |  WHERE cos_sim >= 0.9),
+        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node),
+        |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |l2 AS (
+        |  SELECT a.vec_id, coalesce(l.cluster_id, a.vec_id) AS cluster_id
+        |  FROM (SELECT vec_id FROM e) a LEFT JOIN lab l ON a.vec_id = l.node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM l2 GROUP BY 1)
+        |SELECT v.vec_id, v.cluster_id, s.cluster_size,
+        |       v.vec_id = v.cluster_id AS is_kept
+        |FROM l2 v JOIN sz s USING (cluster_id)
+        |ORDER BY v.vec_id""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

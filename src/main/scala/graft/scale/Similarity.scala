@@ -246,18 +246,53 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
-  /** q_cosine_dups: the corpus has no natural near-dups, so plant them —
-    * every 10th vector gets a ±0.01-perturbed copy (vec_id + 1,000,000),
-    * a deterministic transform the oracle applies identically. The query
-    * then finds the planted pairs via [[cosineNearDupPairs]] at 0.9. */
-  def cosineDupRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted near-dup embedding corpus shared by `q_cosine_dups` and
+    * `q_semantic_keep`: the synthetic corpus has no natural near-dups, so
+    * every 10th vector gets a ±0.01-perturbed copy (vec_id + 1,000,000) —
+    * a deterministic transform the oracle applies identically. */
+  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val pert = base.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("v"), (x, i) =>
           x + when(pmod(i, lit(2)) === 0, 0.01).otherwise(-0.01)).as("v"))
-    cosineNearDupPairs(base.unionByName(pert), threshold = 0.9)
+    base.unionByName(pert)
+  }
+
+  /** q_cosine_dups: find the planted pairs via [[cosineNearDupPairs]]
+    * at 0.9. */
+  def cosineDupRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(plantedCorpus(spark, dir), threshold = 0.9)
+
+  /** q_semantic_keep — SemDeDup-shaped embedding-level dedup (Abbas et
+    * al. 2023, public): cosine near-dup pairs → connected components →
+    * keep ONE representative per semantic cluster (min vec_id — a
+    * deterministic stand-in for the paper's centroid-distance choice;
+    * swap the keep policy by joining doc metadata). Emits the per-vector
+    * keep decision for the FULL corpus, singletons included — the
+    * downstream filter is one broadcast-able semi-join on the dropped
+    * ids.
+    *
+    * Scale shape: pairs come banded (never all-pairs), components from
+    * the large-star/small-star loop (edge-linear rounds), and the final
+    * labeling is two keyed aggregates/joins. Nothing quadratic, nothing
+    * driver-side. */
+  def semanticKeep(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val pairs = cosineNearDupPairs(corpus, threshold = 0.9)
+    val cc = Dedup.connectedComponents(
+      pairs.select(col("d1").as("u"), col("d2").as("v")))
+    val labeled = corpus.select("vec_id")
+      .join(cc.select(col("node").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_kept"))
+      .orderBy("vec_id")
   }
 
   /** Bucketed ANN: assign SRP buckets, then exact cosine only within the

@@ -476,6 +476,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("semanticKeep: exactly one representative per cluster, planted copies dropped") {
+    val out = Similarity.semanticKeep(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // one kept member per cluster, cluster sizes consistent
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $cid kept ${rows.count(_._4)}")
+      assert(rows.forall(_._3 == rows.length))
+    }
+    // planted copies (vec_id >= 1e6) cluster with their base and are never
+    // the kept representative (min-id policy picks the base)
+    val planted = out.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, cid, sz, kept) =>
+      assert(!kept && sz >= 2 && cid == id - 1000000L)
+    }
+  }
+
   test("novelty: first occurrence wins in doc_id order; full repeats score 0") {
     val docs = Seq(
       (1L, "a b c d"),   // "a b c", "b c d" — both novel
