@@ -161,7 +161,8 @@ object SparkEntry {
     "q_source_overlap"  -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q_length_buckets"  -> ((s, d) => graft.scale.TrainingData.lengthBuckets(s, d)),
     "q_pagerank"        -> ((s, d) => graft.operators.PageRank.pagerankQuery(s, d)),
-    "q_semantic_keep"   -> ((s, d) => Similarity.semanticKeep(s, d))
+    "q_semantic_keep"   -> ((s, d) => Similarity.semanticKeep(s, d)),
+    "q_importance"      -> ((s, d) => graft.scale.TrainingData.importanceScores(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2541,7 +2542,36 @@ object SparkEntry {
         |SELECT v.vec_id, v.cluster_id, s.cluster_size,
         |       v.vec_id = v.cluster_id AS is_kept
         |FROM l2 v JOIN sz s USING (cluster_id)
-        |ORDER BY v.vec_id""".stripMargin
+        |ORDER BY v.vec_id""".stripMargin,
+
+    // DSIR-shaped importance scores with rational quantized weights —
+    // all-integer (products in HUGEINT, matching Spark's decimal(38,0)),
+    // so the replay is exact. Target slice = lang = 'en'.
+    "q_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |fc AS (
+        |  SELECT tok, count(*) AS cr,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(cr) AS HUGEINT) AS tr,
+        |         CAST(sum(ct) AS HUGEINT) AS tt
+        |  FROM fc),
+        |w AS (
+        |  SELECT tok,
+        |         CAST((1000000 * (CAST(ct AS HUGEINT) + 1) * tr)
+        |              // ((CAST(cr AS HUGEINT) + 1) * tt) AS BIGINT) AS w
+        |  FROM fc, tot)
+        |SELECT dt.doc_id,
+        |       CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(dt.c * w.w) AS BIGINT) AS score,
+        |       CAST(sum(dt.c * w.w) // sum(dt.c) AS BIGINT) AS mean_w
+        |FROM dt JOIN w USING (tok)
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

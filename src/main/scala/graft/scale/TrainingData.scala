@@ -348,4 +348,54 @@ object TrainingData {
   /** q_length_buckets over the documents table, ordered by batch. */
   def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
     batchByLength(Tables.documents(spark, dir)).orderBy("bucket", "batch_id")
+
+  /** q_importance — DSIR-shaped importance reweighting (Xie et al. 2023,
+    * public): score each raw document by how target-like its token
+    * distribution is, for importance resampling toward a target domain.
+    * DSIR's per-feature weight is log(p_target/p_raw); logs are not
+    * IEEE-portable across engines, so the weight here is the RATIONAL
+    * quantized ratio
+    *
+    *   w(f) = (Q · (ct(f)+1) · Tr)  div  ((cr(f)+1) · Tt),   Q = 1e6
+    *
+    * (add-one smoothed, ≈ Q·p_t(f)/p_r(f)) and a document's score is the
+    * exact integer Σ_f c_doc(f)·w(f) — same ordering intent, zero FP.
+    * The products run in decimal(38,0) (HUGEINT oracle-side): (ct+1)·Tr
+    * overflows Long beyond ~10⁶-token corpora. At much larger corpora
+    * shrink Q — the score is homogeneous in it.
+    *
+    * Target here = the `lang = 'en'` slice (domain adaptation toward
+    * English); any predicate slots in.
+    *
+    * Scale shape: everything is token-keyed — per-(doc, token) counts and
+    * per-token target/raw counts are map-side-combining aggregates, the
+    * weight table joins back on the token key (posting-list join, never
+    * doc×doc), totals ride a one-row broadcast. */
+  def importance(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.cast("long").as("t"),
+        explode(split(col("text"), " ")).as("tok"))
+    val docTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val fc = toks
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cr"), sum(col("t")).as("ct"))
+    val totals = fc.agg(
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val d38 = "decimal(38,0)"
+    val w = fc.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr(s"CAST((CAST(1000000 AS $d38) * (ct + 1) * tr) div ((CAST(cr AS $d38) + 1) * tt) AS BIGINT)")
+          .as("w"))
+    docTok.join(w, "tok")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("w")).as("score"))
+      .withColumn("mean_w", expr("score div n_tokens"))
+  }
+
+  /** q_importance over the documents table (target = English slice). */
+  def importanceScores(spark: SparkSession, dir: String): DataFrame =
+    importance(Tables.documents(spark, dir), col("lang") === "en")
+      .orderBy("doc_id")
 }

@@ -493,6 +493,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("importance: hand-computed rational quantized weights") {
+    // fc: a(cr=3,ct=2) b(1,1) c(1,0); Tr=5, Tt=3
+    // w(a)=15e6 div 12=1250000; w(b)=10e6 div 6=1666666; w(c)=5e6 div 6=833333
+    val docs = Seq(
+      (1L, "a a b", "en"),
+      (2L, "a c", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.scale.TrainingData.importance(docs, col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L * 1250000L + 1666666L, (2L * 1250000L + 1666666L) / 3L),
+      (2L, 2L, 1250000L + 833333L, (1250000L + 833333L) / 2L)))
+    // the target-slice doc is more target-like than the raw-only doc
+    assert(out(0)._4 > out(1)._4)
+  }
+
   test("novelty: first occurrence wins in doc_id order; full repeats score 0") {
     val docs = Seq(
       (1L, "a b c d"),   // "a b c", "b c d" — both novel
