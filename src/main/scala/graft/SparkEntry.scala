@@ -162,7 +162,8 @@ object SparkEntry {
     "q_length_buckets"  -> ((s, d) => graft.scale.TrainingData.lengthBuckets(s, d)),
     "q_pagerank"        -> ((s, d) => graft.operators.PageRank.pagerankQuery(s, d)),
     "q_semantic_keep"   -> ((s, d) => Similarity.semanticKeep(s, d)),
-    "q_importance"      -> ((s, d) => graft.scale.TrainingData.importanceScores(s, d))
+    "q_importance"      -> ((s, d) => graft.scale.TrainingData.importanceScores(s, d)),
+    "q_skew_profile"    -> ((s, d) => graft.operators.Skew.skewProfileQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2571,7 +2572,31 @@ object SparkEntry {
         |       CAST(sum(dt.c * w.w) // sum(dt.c) AS BIGINT) AS mean_w
         |FROM dt JOIN w USING (tok)
         |GROUP BY dt.doc_id
-        |ORDER BY dt.doc_id""".stripMargin
+        |ORDER BY dt.doc_id""".stripMargin,
+
+    // Exact key-distribution profile: positional percentiles over the
+    // (cnt, key)-sorted counts — a unique total order, so both engines
+    // select the same row; ⌈p·n/100⌉ in exact integer arithmetic.
+    "q_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT k, cnt,
+        |         row_number() OVER (ORDER BY cnt ASC, k ASC) AS rank,
+        |         count(*) OVER () AS n
+        |  FROM c),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |         max(cnt) AS max_cnt
+        |  FROM c),
+        |p50 AS (SELECT cnt AS p50 FROM r WHERE rank = (n * 50 + 99) // 100),
+        |p90 AS (SELECT cnt AS p90 FROM r WHERE rank = (n * 90 + 99) // 100),
+        |p99 AS (SELECT cnt AS p99 FROM r WHERE rank = (n * 99 + 99) // 100)
+        |SELECT a.n_keys, a.total_rows, a.max_cnt, p50.p50, p90.p90, p99.p99,
+        |       CAST((1000 * a.max_cnt * a.n_keys) // a.total_rows AS BIGINT)
+        |         AS skew_x1000
+        |FROM agg a, p50, p90, p99""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -58,4 +58,43 @@ object Skew {
     saltedJoin(orders, custs, Seq("o_custkey"), factor = 8)
       .orderBy("o_orderkey")
   }
+
+  /** Exact key-distribution profile of `df` grouped by `key` — the
+    * DIAGNOSIS step before [[saltedJoin]]: is this key skewed enough to
+    * salt, and by what factor? One row: key cardinality, total rows,
+    * max/p50/p90/p99 per-key counts (EXACT order statistics, not
+    * approximate), and `skew_x1000` = 1000·max/avg — the replication
+    * factor a uniform spread of the hottest key would need.
+    *
+    * Percentiles are positional (value at row ⌈p·n⌉ of the counts sorted
+    * by (cnt, key) — a unique total order, so both engines select the
+    * same row). At scale the counts frame is keys-sized (already
+    * aggregated); its order statistics go through
+    * [[Ranking.distributedGlobalRank]] — a parallel range sort, never a
+    * single-partition window — and the three percentile picks are
+    * filters on the ranked frame. */
+  def keyProfile(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val ranked = Ranking.distributedGlobalRank(
+      counts, Seq(col("cnt").asc, col("k").asc))
+    def pick(p: Int) = ranked
+      .filter(col("rank") === expr(s"(n * $p + 99) div 100")) // integer ⌈p·n/100⌉
+      .select(col("cnt"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"))
+    agg
+      .crossJoin(broadcast(pick(50).select(col("cnt").as("p50"))))
+      .crossJoin(broadcast(pick(90).select(col("cnt").as("p90"))))
+      .crossJoin(broadcast(pick(99).select(col("cnt").as("p99"))))
+      .withColumn("skew_x1000",
+        expr("(1000 * max_cnt * n_keys) div total_rows"))
+  }
+
+  /** q_skew_profile: the lineitem order-key distribution — the join key
+    * every TPC-H-shaped workload shuffles on. */
+  def skewProfileQuery(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    keyProfile(graft.sources.Tables.lineitem(spark, dir), col("l_orderkey"))
 }

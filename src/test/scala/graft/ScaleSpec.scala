@@ -493,6 +493,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("keyProfile: exact positional percentiles on a hand-built skewed frame") {
+    // counts sorted by (cnt, key): (1,c) (1,d) (2,b) (10,a); n = 4
+    // p50 -> rank 2 -> 1; p90/p99 -> rank 4 -> 10; skew = 40000 div 14
+    val rows = Seq.fill(10)("a") ++ Seq("b", "b", "c", "d")
+    val out = graft.operators.Skew.keyProfile(rows.toDF("k"), col("k")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((4L, 14L, 10L, 1L, 10L, 10L, 2857L)))
+  }
+
   test("importance: hand-computed rational quantized weights") {
     // fc: a(cr=3,ct=2) b(1,1) c(1,0); Tr=5, Tt=3
     // w(a)=15e6 div 12=1250000; w(b)=10e6 div 6=1666666; w(c)=5e6 div 6=833333
