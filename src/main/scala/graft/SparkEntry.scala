@@ -163,7 +163,8 @@ object SparkEntry {
     "q_pagerank"        -> ((s, d) => graft.operators.PageRank.pagerankQuery(s, d)),
     "q_semantic_keep"   -> ((s, d) => Similarity.semanticKeep(s, d)),
     "q_importance"      -> ((s, d) => graft.scale.TrainingData.importanceScores(s, d)),
-    "q_skew_profile"    -> ((s, d) => graft.operators.Skew.skewProfileQuery(s, d))
+    "q_skew_profile"    -> ((s, d) => graft.operators.Skew.skewProfileQuery(s, d)),
+    "q_kcore"           -> ((s, d) => graft.operators.KCore.kcoreQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2503,6 +2504,10 @@ object SparkEntry {
     // so both engines are bit-identical at every round).
     "q_pagerank" -> pagerankOracleSql,
 
+    // k-core peeling: 6 unrolled peel rounds (degree count → survivors →
+    // edge filter), exact integer degrees at every round.
+    "q_kcore" -> kcoreOracleSql,
+
     // SemDeDup-shaped keep-one: the q_cosine_dups pair pipeline (same
     // planted corpus, same banding, same rounded-cosine threshold)
     // feeding a recursive-CTE connected components; keep = min vec_id
@@ -2642,6 +2647,39 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(node AS BIGINT) AS node, rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.kcoreQuery`: 6 peel rounds unrolled — per
+    * round a degree count, the ≥3 survivor set, and the two-sided edge
+    * filter. Exact integer arithmetic throughout. The per-round CTEs are
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    * round references its predecessor several times — uninlined, the
+    * 6-round chain expands to thousands of base-table scans (observed as
+    * an fd-exhaustion failure, not just slowness). */
+  private def kcoreOracleSql: String = {
+    val (k, rounds) = (3, 6)
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${i - 1}
+         |    UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY node),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN a$i x ON e.a = x.node
+         |  JOIN a$i y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS s, -(o.o_custkey + 1) AS c
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(s, c) AS a, GREATEST(s, c) AS b FROM pairs),
+       |$peels
+       |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
   }
 
   private def zorderOracleSql: String = {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** k-core peeling — the ITERATED-FILTER graph workload (repeatedly drop
+  * nodes of degree < k until the k-core remains), complementing
+  * [[PageRank]]'s iterated scoring. The k-core is the standard "robust
+  * cluster" extraction: entities that co-occur with ≥ k partners that
+  * are themselves robustly connected (reference analogue: squads/clubs
+  * whose head-to-head graph survives casual-pairing removal).
+  *
+  * Runs a FIXED number of peeling rounds (not to fixpoint) so the result
+  * is a deterministic function of (graph, k, rounds) that an unrolled-CTE
+  * oracle replays exactly; on the corpus graphs the peel converges well
+  * inside the default rounds, so the output IS the k-core there.
+  *
+  * Scale shape per round: one degree aggregation (map-side combining)
+  * and one two-sided semi-join of edges against surviving nodes — all
+  * keyed shuffles. Unlike [[PageRank]] (each rank table consumed once),
+  * the edge frame feeds TWO consumers per round (degree count + the
+  * filter join), so lineage MUST be cut EVERY round — an uncut chain
+  * re-executes the whole prefix per consumer, doubling work per round
+  * (2^rounds blowup). [[graft.scale.Silver.scratch]] makes that cut a
+  * parquet silver table on a cluster, a localCheckpoint locally.
+  */
+object KCore {
+
+  /** Peel `rounds` times toward the k-core of an undirected edge list
+    * (columns `a`, `b`; duplicates/orientation collapsed here). Returns
+    * (node, deg) for nodes surviving all rounds, with degrees in the
+    * surviving subgraph. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1 (got $k, $rounds)")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = graft.scale.Silver.scratch(
+      edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct(),
+      "kcore_edges")
+    for (_ <- 1 to rounds) {
+      val alive = degrees(e).filter(col("deg") >= k).select("node")
+      e = graft.scale.Silver.scratch(
+        e.join(alive.withColumnRenamed("node", "a"), "a")
+          .join(alive.withColumnRenamed("node", "b"), "b")
+          .select("a", "b"),
+        "kcore_iter")
+    }
+    degrees(e)
+  }
+
+  /** q_kcore: the 3-core of the supplier↔customer co-trading graph
+    * (same node mapping as [[PageRank.pagerankQuery]]) after 6 peeling
+    * rounds — suppliers/customers whose trading neighborhoods survive
+    * mutual thinning. */
+  def kcoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("a"), (-(col("o_custkey") + 1)).as("b"))
+      .distinct()
+    kcore(pairs, k = 3, rounds = 6)
+      .select(col("node").cast("long").as("node"), col("deg"))
+      .orderBy("node")
+  }
+}

@@ -70,6 +70,22 @@ class ReconcileGraphSpec extends SparkSpec {
     rank
   }
 
+  test("kcore: K4 core survives, pendant peels, path cascades to nothing") {
+    // K4 on 1-4 (a 3-core) + pendant 5-1: pendant peels round 1, K4 stays.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L))
+    val core = graft.operators.KCore.kcore(k4.toDF("a", "b"), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // A path has no 2-core: endpoints peel each round until nothing is left
+    // — the cascade needs the multiple rounds.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(graft.operators.KCore.kcore(path, k = 2, rounds = 4).count() == 0)
+    // ...and with too few rounds the same path is NOT yet empty (the
+    // fixed-round semantics is real, not a fixpoint in disguise).
+    assert(graft.operators.KCore.kcore(path, k = 2, rounds = 1).count() > 0)
+  }
+
   test("pagerank: symmetric cycle is a fixed point at Init") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val got = graft.operators.PageRank.pagerank(edges, iters = 3)
