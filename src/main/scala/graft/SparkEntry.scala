@@ -164,7 +164,8 @@ object SparkEntry {
     "q_semantic_keep"   -> ((s, d) => Similarity.semanticKeep(s, d)),
     "q_importance"      -> ((s, d) => graft.scale.TrainingData.importanceScores(s, d)),
     "q_skew_profile"    -> ((s, d) => graft.operators.Skew.skewProfileQuery(s, d)),
-    "q_kcore"           -> ((s, d) => graft.operators.KCore.kcoreQuery(s, d))
+    "q_kcore"           -> ((s, d) => graft.operators.KCore.kcoreQuery(s, d)),
+    "q_bfs"             -> ((s, d) => graft.operators.KCore.bfsQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2508,6 +2509,10 @@ object SparkEntry {
     // edge filter), exact integer degrees at every round.
     "q_kcore" -> kcoreOracleSql,
 
+    // Multi-source BFS: 4 unrolled min-plus relaxations (MATERIALIZED
+    // for the same CTE-inlining reason as q_kcore).
+    "q_bfs" -> bfsOracleSql,
+
     // SemDeDup-shaped keep-one: the q_cosine_dups pair pipeline (same
     // planted corpus, same banding, same rounded-cosine threshold)
     // feeding a recursive-CTE connected components; keep = min vec_id
@@ -2680,6 +2685,34 @@ object SparkEntry {
        |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
        |GROUP BY node
        |ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.bfsQuery`: 4 min-plus relaxation rounds
+    * unrolled as MATERIALIZED CTEs. All-integer. */
+  private def bfsOracleSql: String = {
+    val rounds = 4
+    val relax = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + 1 AS dist
+         |    FROM und e JOIN d${i - 1} d ON e.a = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)),
+       |d0 AS MATERIALIZED (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier
+       |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+       |$relax
+       |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+       |FROM d$rounds ORDER BY node""".stripMargin
   }
 
   private def zorderOracleSql: String = {

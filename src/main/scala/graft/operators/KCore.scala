@@ -52,18 +52,69 @@ object KCore {
     degrees(e)
   }
 
+  /** The supplier↔customer co-trading edge list shared by the iterative
+    * graph queries (customers at `-(custkey+1)` — see
+    * [[PageRank.pagerankQuery]]'s node-space note). */
+  private[operators] def coTradingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("a"), (-(col("o_custkey") + 1)).as("b"))
+      .distinct()
+  }
+
   /** q_kcore: the 3-core of the supplier↔customer co-trading graph
     * (same node mapping as [[PageRank.pagerankQuery]]) after 6 peeling
     * rounds — suppliers/customers whose trading neighborhoods survive
     * mutual thinning. */
-  def kcoreQuery(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("a"), (-(col("o_custkey") + 1)).as("b"))
-      .distinct()
-    kcore(pairs, k = 3, rounds = 6)
+  def kcoreQuery(spark: SparkSession, dir: String): DataFrame =
+    kcore(coTradingPairs(spark, dir), k = 3, rounds = 6)
       .select(col("node").cast("long").as("node"), col("deg"))
+      .orderBy("node")
+
+  /** Multi-source BFS — the FRONTIER-EXPANSION iteration shape (min-plus
+    * relaxation), alongside [[PageRank]] (scoring) and [[kcore]]
+    * (filtering): after `rounds` relaxations each reached node carries
+    * its exact hop distance from the nearest seed, capped at `rounds`.
+    * The classic "reachability / blast-radius in R hops" query
+    * (supply-chain exposure, contamination spread, social distance).
+    *
+    * Per round: dist ∪ (edges ⋈ dist + 1) → min per node — one keyed
+    * join plus a map-side-combining min. The dist frame feeds both union
+    * branches, so lineage is cut every round (same 2-consumer argument
+    * as [[kcore]]). Monotone (distances only shrink), so fixed rounds ≥
+    * graph diameter give the true BFS distances; fewer give the exact
+    * R-hop relaxation either way — deterministic and oracle-replayable. */
+  def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val und = graft.scale.Silver.scratch(
+      edges.select(col("a"), col("b")).unionAll(
+        edges.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "bfs_edges")
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = graft.scale.Silver.scratch(
+        dist.unionAll(
+            und.join(dist.withColumnRenamed("node", "a"), "a")
+              .select(col("b").as("node"), (col("dist") + 1L).as("dist")))
+          .groupBy("node").agg(min(col("dist")).as("dist")),
+        "bfs_round")
+    }
+    dist
+  }
+
+  /** q_bfs: hop distance from the lowest-nation supplier cohort across
+    * the co-trading graph, 4 relaxation rounds. Seeds = suppliers of
+    * `min(s_nationkey)` — a scale-independent non-empty cohort (a fixed
+    * nation id can be absent from a small corpus sample). */
+  def bfsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val minNation = sup.agg(min(col("s_nationkey")).as("mn"))
+    val seeds = sup.join(broadcast(minNation), col("s_nationkey") === col("mn"))
+      .select(col("s_suppkey").cast("long").as("node"))
+    bfs(coTradingPairs(spark, dir), seeds, rounds = 4)
+      .select(col("node").cast("long").as("node"), col("dist"))
       .orderBy("node")
   }
 }

@@ -86,6 +86,21 @@ class ReconcileGraphSpec extends SparkSpec {
     assert(graft.operators.KCore.kcore(path, k = 2, rounds = 1).count() > 0)
   }
 
+  test("bfs: exact hop distances, round cap, multi-source min") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    def run(seeds: Seq[Long], rounds: Int) =
+      graft.operators.KCore.bfs(path, seeds.toDF("node"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single seed, capped at 3 hops: nodes 5 and 6 not yet reached
+    assert(run(Seq(1L), 3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // enough rounds: full BFS distances
+    assert(run(Seq(1L), 5) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 5L))
+    // two seeds: every node takes the nearer one
+    assert(run(Seq(1L, 6L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
+
   test("pagerank: symmetric cycle is a fixed point at Init") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val got = graft.operators.PageRank.pagerank(edges, iters = 3)
