@@ -165,7 +165,8 @@ object SparkEntry {
     "q_importance"      -> ((s, d) => graft.scale.TrainingData.importanceScores(s, d)),
     "q_skew_profile"    -> ((s, d) => graft.operators.Skew.skewProfileQuery(s, d)),
     "q_kcore"           -> ((s, d) => graft.operators.KCore.kcoreQuery(s, d)),
-    "q_bfs"             -> ((s, d) => graft.operators.KCore.bfsQuery(s, d))
+    "q_bfs"             -> ((s, d) => graft.operators.KCore.bfsQuery(s, d)),
+    "q_shuffle"         -> ((s, d) => graft.scale.TrainingData.shuffleQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2512,6 +2513,18 @@ object SparkEntry {
     // Multi-source BFS: 4 unrolled min-plus relaxations (MATERIALIZED
     // for the same CTE-inlining reason as q_kcore).
     "q_bfs" -> bfsOracleSql,
+
+    // Deterministic epoch shuffle: md5-keyed permutation with contiguous
+    // positions; the hash and the (key, doc_id) total order replay
+    // identically in DuckDB.
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |       md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)) ASC,
+        |                  doc_id ASC) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY pos""".stripMargin,
 
     // SemDeDup-shaped keep-one: the q_cosine_dups pair pipeline (same
     // planted corpus, same banding, same rounded-cosine threshold)

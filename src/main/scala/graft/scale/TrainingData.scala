@@ -398,4 +398,24 @@ object TrainingData {
   def importanceScores(spark: SparkSession, dir: String): DataFrame =
     importance(Tables.documents(spark, dir), col("lang") === "en")
       .orderBy("doc_id")
+
+  /** q_shuffle — deterministic epoch shuffle: assign every document a
+    * contiguous position 1..N in a pseudo-random but REPLAYABLE order
+    * (md5 of salt‖doc_id, doc_id tiebreak). The dataloader-side
+    * requirement `rand()` cannot meet: the same (corpus, epoch) must
+    * yield the same permutation on every run and every partitioning, and
+    * positions must be gapless so readers can range-split them. One
+    * [[graft.operators.Ranking.distributedGlobalRank]] — a parallel
+    * range sort over the hash — no single-partition window anywhere. */
+  def epochShuffle(docs: DataFrame, epoch: Int): DataFrame =
+    graft.operators.Ranking.distributedGlobalRank(
+      docs.select(col("doc_id"),
+        md5(concat(lit(s"epoch$epoch:"), col("doc_id"))).as("shuffle_key")),
+      Seq(col("shuffle_key").asc, col("doc_id").asc),
+      rankCol = "pos")
+      .select(col("doc_id"), col("shuffle_key"), col("pos"))
+
+  /** q_shuffle over the documents table (epoch 1), ordered by position. */
+  def shuffleQuery(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir), epoch = 1).orderBy("pos")
 }

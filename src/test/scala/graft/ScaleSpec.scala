@@ -493,6 +493,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: gapless replayable permutation, epoch-dependent order") {
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def perm(epoch: Int) = graft.scale.TrainingData.epochShuffle(docs, epoch)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p1 = perm(1)
+    assert(p1.values.toSeq.sorted == (1L to 100L)) // gapless 1..N
+    assert(p1 == perm(1))                          // replayable
+    assert(p1 != perm(2))                          // epoch changes the order
+    assert(p1 != (1L to 100L).map(i => i -> i).toMap) // actually shuffled
+  }
+
   test("keyProfile: exact positional percentiles on a hand-built skewed frame") {
     // counts sorted by (cnt, key): (1,c) (1,d) (2,b) (10,a); n = 4
     // p50 -> rank 2 -> 1; p90/p99 -> rank 4 -> 10; skew = 40000 div 14
