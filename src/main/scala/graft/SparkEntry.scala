@@ -166,7 +166,8 @@ object SparkEntry {
     "q_skew_profile"    -> ((s, d) => graft.operators.Skew.skewProfileQuery(s, d)),
     "q_kcore"           -> ((s, d) => graft.operators.KCore.kcoreQuery(s, d)),
     "q_bfs"             -> ((s, d) => graft.operators.KCore.bfsQuery(s, d)),
-    "q_shuffle"         -> ((s, d) => graft.scale.TrainingData.shuffleQuery(s, d))
+    "q_shuffle"         -> ((s, d) => graft.scale.TrainingData.shuffleQuery(s, d)),
+    "q_join_size"       -> ((s, d) => graft.operators.Skew.joinSizeQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2525,6 +2526,20 @@ object SparkEntry {
         |                  doc_id ASC) AS BIGINT) AS pos
         |FROM documents
         |ORDER BY pos""".stripMargin,
+
+    // Join-size prediction identity: Σ cntA·cntB over common keys must
+    // equal the measured join size, in both engines.
+    "q_join_size" ->
+      """WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys_common,
+        |         CAST(sum(ca * cb) AS BIGINT) AS predicted_rows
+        |  FROM ca JOIN cb USING (k)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT p.n_keys_common, p.predicted_rows, a.actual_rows FROM p, a""".stripMargin,
 
     // SemDeDup-shaped keep-one: the q_cosine_dups pair pipeline (same
     // planted corpus, same banding, same rounded-cosine threshold)

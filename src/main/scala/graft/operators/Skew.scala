@@ -97,4 +97,34 @@ object Skew {
   def skewProfileQuery(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame =
     keyProfile(graft.sources.Tables.lineitem(spark, dir), col("l_orderkey"))
+
+  /** Exact equi-join output-size prediction from per-key count profiles:
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k). At 100 TB this is the pre-flight
+    * check before committing to a join order / broadcast choice — the
+    * profiles are key-cardinality-sized (tiny next to the fact tables),
+    * and the SUM is exact, not a sketch, so a surprise fan-out (hidden
+    * many-to-many) is caught before the shuffle, not during it. Returns
+    * one row: common-key count and the predicted output size. */
+  def joinSizeEstimate(a: DataFrame, ka: Column,
+                       b: DataFrame, kb: Column): DataFrame = {
+    val ca = a.groupBy(ka.as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(kb.as("k")).agg(count(lit(1)).as("cb"))
+    ca.join(cb, "k").agg(
+      count(lit(1)).as("n_keys_common"),
+      sum(col("ca") * col("cb")).as("predicted_rows"))
+  }
+
+  /** q_join_size: predicted vs MEASURED size of orders ⋈ lineitem — the
+    * prediction identity (`predicted_rows = actual_rows`, exactly) is the
+    * correctness witness, checked cross-engine. */
+  def joinSizeQuery(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val actual = o.select("o_orderkey")
+      .join(li.select("l_orderkey"), col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    joinSizeEstimate(o, col("o_orderkey"), li, col("l_orderkey"))
+      .crossJoin(broadcast(actual))
+  }
 }

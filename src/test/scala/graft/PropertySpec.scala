@@ -430,4 +430,43 @@ class PropertySpec extends SparkSpec {
       assert(got(t) == want, s"mismatch for '$t': got ${got(t)}, want $want")
     }
   }
+
+  test("novelty conserves the corpus distinct-shingle count") {
+    // small vocab forces cross-doc shingle collisions
+    val gen = Gen.choose(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")))
+    val docsSeq = samples(gen, 25).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val out = graft.scale.TextAnalysis.novelty(docsSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // every shingle is novel for exactly one doc ⇒ Σ n_novel = |global set|
+    val globalSet = docsSeq.flatMap { case (_, t) =>
+      val toks = t.split(" ")
+      if (toks.length < 3) Seq.empty[String]
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    }.toSet
+    assert(out.map(_._2).sum == globalSet.size.toLong)
+    out.foreach { case (nSh, nNov) => assert(nNov <= nSh) }
+  }
+
+  test("join-size prediction equals the measured equi-join size") {
+    val aSeq = samples(Gen.choose(1, 10), 50).zipWithIndex
+      .map { case (k, i) => (k.toLong, i.toLong) }
+    val bSeq = samples(Gen.choose(1, 12), 70).zipWithIndex
+      .map { case (k, i) => (k.toLong, i.toLong) }
+    val (a, b) = (aSeq.toDF("k", "va"), bSeq.toDF("k", "vb"))
+    val pred = graft.operators.Skew.joinSizeEstimate(a, col("k"), b, col("k"))
+      .head().getLong(1)
+    assert(pred == a.join(b, "k").count())
+  }
+
+  test("k-cores are nested: 3-core nodes are a subset of 2-core nodes") {
+    val g = samples(Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L)), 45)
+      .filter(p => p._1 != p._2)
+    def core(k: Int) = graft.operators.KCore
+      .kcore(g.toDF("a", "b"), k, rounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    val (c2, c3) = (core(2), core(3))
+    assert(c3.subsetOf(c2), s"3-core $c3 not within 2-core $c2")
+  }
 }
