@@ -167,7 +167,8 @@ object SparkEntry {
     "q_kcore"           -> ((s, d) => graft.operators.KCore.kcoreQuery(s, d)),
     "q_bfs"             -> ((s, d) => graft.operators.KCore.bfsQuery(s, d)),
     "q_shuffle"         -> ((s, d) => graft.scale.TrainingData.shuffleQuery(s, d)),
-    "q_join_size"       -> ((s, d) => graft.operators.Skew.joinSizeQuery(s, d))
+    "q_join_size"       -> ((s, d) => graft.operators.Skew.joinSizeQuery(s, d)),
+    "q_gap_fill"        -> ((s, d) => EventOps.gapFillDaily(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2540,6 +2541,33 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS actual_rows
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
         |SELECT p.n_keys_common, p.predicted_rows, a.actual_rows FROM p, a""".stripMargin,
+
+    // Gap-fill to a daily grid with forward fill: close-of-day value is
+    // the ordered-last aggregate (same (ts_ms, event_id) total order as
+    // the engine's max_by), the spine is generate_series over each
+    // user's [min, max] day, and the carry is IGNORE NULLS last_value.
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, last(value ORDER BY ts_ms, event_id) AS value
+        |  FROM e GROUP BY user_id, day),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.value
+        |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        |       last_value(value IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY day) AS filled_value,
+        |       value IS NOT NULL AS is_observed
+        |FROM j
+        |ORDER BY user_id, day""".stripMargin,
 
     // SemDeDup-shaped keep-one: the q_cosine_dups pair pipeline (same
     // planted corpus, same banding, same rounded-cosine threshold)

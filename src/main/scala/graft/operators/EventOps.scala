@@ -187,6 +187,38 @@ object EventOps {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
       .orderBy("user_id", "session_seq")
 
+  /** Gap-fill / resample (q_gap_fill): project each user's event stream
+    * onto a regular DAILY grid spanning [first, last] active day and
+    * forward-fill the close-of-day value across silent days — the
+    * time-series regularization every downstream model/report assumes
+    * (reference analogue: market-value and odds histories are sparse
+    * snapshots read as if continuous, schema.sql market_value/odds
+    * keying). `is_observed` distinguishes carried values from real ones.
+    *
+    * Scale shape: close-of-day state is a max_by aggregate (map-side
+    * combining, no ranked window over the raw log); the spine explode is
+    * bounded by each user's day RANGE (grid size, not event count); the
+    * forward fill partitions by user — per-key frames, never a global
+    * window. */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts_ms div 86400000").as("day"), col("ts_ms"))
+    val daily = Ranking.latestPerKey(e,
+        Seq(col("user_id"), col("day")), Seq(col("ts_ms"), col("event_id")))
+      .select(col("user_id"), col("day"), col("value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("value").isNotNull)
+      .select("user_id", "day", "filled_value", "is_observed")
+      .orderBy("user_id", "day")
+  }
+
   /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     * classic streak pattern — engagement streaks, uptime runs, odds
     * continuity). Island key = day − row_number over the user's distinct

@@ -54,4 +54,20 @@ class TablesCanarySpec extends SparkSpec {
         "q_upsert_merge's current/staged split has degenerated; move " +
         "EventOps.CutoffMs (and its oracle SQL literal) to mid-corpus")
   }
+
+  test("gapFillDaily: contiguous per-user spine, no nulls after the first day") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.EventOps.gapFillDaily(spark, TestSpark.Sf0001)
+    // spine is gapless: per user, day count == max-min+1
+    val gaps = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max(col("day")) - min(col("day")) + 1).as("span"))
+      .filter(col("n") =!= col("span"))
+    assert(gaps.limit(1).count() == 0, "spine has gaps")
+    // the first spine day is an observation by construction, so the
+    // forward fill never leaves a null
+    assert(out.filter(col("filled_value").isNull).limit(1).count() == 0)
+    // carried rows exist (the corpus has silent days) and carry the
+    // previous observed value, never invent one
+    assert(out.filter(!col("is_observed")).limit(1).count() == 1)
+  }
 }
