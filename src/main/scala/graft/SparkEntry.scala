@@ -168,7 +168,16 @@ object SparkEntry {
     "q_bfs"             -> ((s, d) => graft.operators.KCore.bfsQuery(s, d)),
     "q_shuffle"         -> ((s, d) => graft.scale.TrainingData.shuffleQuery(s, d)),
     "q_join_size"       -> ((s, d) => graft.operators.Skew.joinSizeQuery(s, d)),
-    "q_gap_fill"        -> ((s, d) => EventOps.gapFillDaily(s, d))
+    "q_gap_fill"        -> ((s, d) => EventOps.gapFillDaily(s, d)),
+    "q_transitions"     -> ((s, d) => EventOps.eventTransitions(s, d)),
+    "q_decay"           -> ((s, d) => EventOps.decayedUserValue(s, d)),
+    "q_pmi"             -> ((s, d) => graft.scale.Search.pmiQuery(s, d)),
+    "q_oov"             -> ((s, d) => graft.scale.Search.oovQuery(s, d)),
+    "q_profile"         -> ((s, d) => graft.operators.Profile.lineitemProfile(s, d)),
+    "q_containment"     -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q_table_digest"    -> ((s, d) => graft.operators.Reconcile.tableDigestQuery(s, d)),
+    "q_log2_hist"       -> ((s, d) => graft.operators.Approx.log2Histogram(s, d)),
+    "q_sorted_neighborhood" -> ((s, d) => graft.operators.Joins.sortedNeighborhoodQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2662,7 +2671,195 @@ object SparkEntry {
         |SELECT a.n_keys, a.total_rows, a.max_cnt, p50.p50, p90.p90, p99.p99,
         |       CAST((1000 * a.max_cnt * a.n_keys) // a.total_rows AS BIGINT)
         |         AS skew_x1000
-        |FROM agg a, p50, p90, p99""".stripMargin
+        |FROM agg a, p50, p90, p99""".stripMargin,
+
+    // Markov transitions: adjacent-pair lead over the engine's
+    // (ts_ms, event_id) total order; p = one IEEE division of exact longs.
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |nx AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_ms, event_id) AS next_type
+        |  FROM e),
+        |pairs AS (
+        |  SELECT event_type AS prev_type, next_type,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(cnt) AS total FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.cnt,
+        |       CAST(p.cnt AS DOUBLE) / t.total AS p
+        |FROM pairs p JOIN tot t USING (prev_type)
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    // Half-life decay: exact power-of-two weights over the per-user
+    // recency rank; floor(value*100) and the final division are the only
+    // IEEE ops, both single and engine-identical.
+    "q_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_ms DESC, event_id DESC) AS r
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, cents, CAST(1 AS BIGINT) << (16 - r) AS wgt
+        |  FROM r WHERE r <= 16)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |       CAST(sum(wgt * cents) AS BIGINT) AS wsum,
+        |       CAST(sum(wgt) AS BIGINT) AS wtot,
+        |       CAST(sum(wgt * cents) AS DOUBLE) / sum(wgt) AS decayed_cents
+        |FROM f GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // PMI-shaped collocations: score = c_xy·N/(c_x·c_y) from exact longs
+    // (log omitted — monotone), cast-and-divide is the only IEEE step.
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS bigram,
+        |         CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT b.bigram, b.c_xy, u1.cnt AS c1, u2.cnt AS c2,
+        |       CAST(b.c_xy * tot.n_total AS DOUBLE)
+        |         / CAST(u1.cnt * u2.cnt AS DOUBLE) AS score
+        |FROM bi b
+        |JOIN uni u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+        |JOIN uni u2 ON u2.tok = split_part(b.bigram, ' ', 2)
+        |CROSS JOIN tot
+        |ORDER BY score DESC, bigram ASC
+        |LIMIT 100""".stripMargin,
+
+    // OOV rate vs the corpus-built vocab (global count >= 3); the rate is
+    // one IEEE division of exact longs.
+    "q_oov" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT term FROM tf GROUP BY term HAVING sum(tf) >= 3)
+        |SELECT t.doc_id,
+        |       CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN t.tf ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN t.tf ELSE 0 END)
+        |            AS DOUBLE) / sum(t.tf) AS oov_rate
+        |FROM tf t LEFT JOIN vocab v USING (term)
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Column profiling through the canonical VARCHAR cast; min/max are
+    // lexicographic on the string form (int + string columns only, where
+    // the cast is engine-identical).
+    "q_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem)
+        |SELECT col_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_nulls,
+        |       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+        |       min(val) AS min_val, max(val) AS max_val
+        |FROM u GROUP BY col_name
+        |ORDER BY col_name""".stripMargin,
+
+    // Asymmetric containment: same df-capped shingle machinery as
+    // q_jaccard_pairs; exact integer threshold (inter·5 ≥ 4·min(n1,n2)),
+    // containment emitted as one IEEE division.
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id, lang,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)])) AS sh
+        |      FROM t),
+        |keep AS (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 50),
+        |s AS (SELECT s0.* FROM s0 JOIN keep USING (sh)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter_cnt
+        |          FROM s a JOIN s b
+        |            ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, inter_cnt, x.n AS n1, y.n AS n2,
+        |       CAST(inter_cnt AS DOUBLE) / least(x.n, y.n) AS containment
+        |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE inter_cnt * 5 >= least(x.n, y.n) * 4
+        |ORDER BY d1, d2""".stripMargin,
+
+    // Merkle bucket digest: brute-force replay of the md5-prefix bucket
+    // routing and the order-insensitive xor checksum fold.
+    "q_table_digest" ->
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 64 AS bucket,
+        |         CAST('0x' || substr(md5(concat_ws('|', o_orderkey,
+        |                CAST(round(o_totalprice * 100) AS BIGINT),
+        |                o_orderstatus)), 1, 15) AS BIGINT) AS rh
+        |  FROM orders)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(bit_xor(rh) AS BIGINT) AS checksum
+        |FROM s GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    // Power-of-two histogram: bucket = bit length of the floored value
+    // (printf('%b') length ≡ Spark's bin() length); all quantile flags
+    // are exact integer cross-multiplies.
+    "q_log2_hist" ->
+      """WITH b AS (
+        |  SELECT CAST(length(printf('%b', CAST(floor(o_totalprice) AS BIGINT)))
+        |              AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT x.bucket, x.cnt, CAST(sum(y.cnt) AS BIGINT) AS cum
+        |  FROM b x JOIN b y ON y.bucket <= x.bucket
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b)
+        |SELECT bucket, cnt, cum,
+        |       CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER) AS lo,
+        |       cum * 100 >= total * 50 AND (cum - cnt) * 100 < total * 50 AS is_p50,
+        |       cum * 100 >= total * 90 AND (cum - cnt) * 100 < total * 90 AS is_p90,
+        |       cum * 100 >= total * 99 AND (cum - cnt) * 100 < total * 99 AS is_p99
+        |FROM c, t
+        |ORDER BY bucket""".stripMargin,
+
+    // Sorted-neighborhood blocking: rank = row_number over the unique
+    // (name, id) order; candidates = the w=2 successors; plain
+    // Levenshtein cut at 2 (ASCII keys — engine-portable).
+    "q_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_name,
+        |         CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT)
+        |           AS rnk
+        |  FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |       a.c_name AS name1, b.c_name AS name2,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 2
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

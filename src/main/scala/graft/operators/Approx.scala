@@ -105,4 +105,44 @@ object Approx {
         support = 0.005, totalHint = Some(total))
       .orderBy("item")
   }
+
+  /** Power-of-two histogram with quantile-bearing buckets (q_log2_hist) —
+    * the DDSketch idea with base 2: bucket = bit length of the floored
+    * value, so each bucket spans [2^(b−1), 2^b) and any quantile read off
+    * the bucket table carries ≤ 2× relative error. Unlike the GK sketch
+    * ([[quantiles]]) this layout is a PLAIN COUNT AGGREGATE: mergeable
+    * across partitions/days by addition, persistable as a tiny gold
+    * table, and exactly reproducible in any engine — which is why it is
+    * the oracle-checkable member of the sketch family (GK's answer
+    * depends on merge order; bucket counts don't).
+    *
+    * Scale shape: one scan + one map-side-combining aggregate to ≤64
+    * rows. The cumulative pass is a bucket×bucket self-join on the
+    * ≤64-row table — bounded by the value type's bit width, never by
+    * data, so no window and no single-partition funnel on anything
+    * corpus-sized. All quantile flags are exact integer cross-multiplies. */
+  def log2Histogram(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val b = graft.scale.Silver.scratch(
+      graft.sources.Tables.orders(spark, dir)
+        .select(length(bin(floor(col("o_totalprice")).cast("long")))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt")),
+      "log2_hist") // feeds the self-join twice + the total — materialize
+    val cum = b.as("x").join(b.as("y"), col("y.bucket") <= col("x.bucket"))
+      .groupBy(col("x.bucket").as("bucket"), col("x.cnt").as("cnt"))
+      .agg(sum(col("y.cnt")).as("cum"))
+    val tot = b.agg(sum(col("cnt")).as("total"))
+    def holds(p: Int) = // bucket containing the p-th percentile row
+      col("cum") * 100 >= col("total") * p &&
+        (col("cum") - col("cnt")) * 100 < col("total") * p
+    cum.crossJoin(broadcast(tot))
+      .withColumn("lo",
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int) - 1)"))
+      .withColumn("is_p50", holds(50))
+      .withColumn("is_p90", holds(90))
+      .withColumn("is_p99", holds(99))
+      .select("bucket", "cnt", "cum", "lo", "is_p50", "is_p90", "is_p99")
+      .orderBy("bucket")
+  }
 }

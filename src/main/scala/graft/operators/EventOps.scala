@@ -219,6 +219,63 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Markov transition matrix over each user's event-type sequence
+    * (q_transitions): P(next event type | current event type) estimated
+    * from adjacent-event pairs — the sequence-mining staple behind
+    * next-action prediction and funnel-drop diagnosis (the reference
+    * walks per-match event sequences in Python for exactly this shape of
+    * question; here it's two aggregates).
+    *
+    * Scale shape: the only window partitions by user and orders by the
+    * engine's (ts_ms, event_id) total order — per-key frames, state
+    * bounded by a user's events. Pair counts shuffle on the
+    * (type, type) key (|types|² cardinality, tiny); totals are a
+    * broadcast. `p` is one IEEE division of exact longs. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("prev_type").agg(sum(col("cnt")).as("total"))
+    pairs.join(broadcast(totals), "prev_type")
+      .withColumn("p", col("cnt").cast("double") / col("total"))
+      .select("prev_type", "next_type", "cnt", "p")
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Half-life-decayed recency-weighted value per user (q_decay): the
+    * EWMA-style "recent form counts double" metric (reference: recent-form
+    * weighting in engine.py's team form) made cross-engine-exact. The
+    * usual exp(-λ·age) is IEEE-accumulation-order-dependent; instead the
+    * last `horizon` events get exact power-of-two weights (newest =
+    * 2^(horizon−1), halving per step back), values are floored to integer
+    * cents, and the weighted sum accumulates in longs — the only IEEE op
+    * is the final division. Bounded weights also bound the sum:
+    * |Σ w·cents| ≤ 2^16 · maxcents · 16 ≪ 2^63.
+    *
+    * Scale shape: one per-user ranked window (per-key frames), one keyed
+    * aggregation. No cross-key state. */
+  def decayedUserValue(spark: SparkSession, dir: String, horizon: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= horizon)
+      .withColumn("wgt", expr(s"shiftleft(cast(1 as bigint), $horizon - r)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("wgt") * col("cents")).as("wsum"),
+        sum(col("wgt")).as("wtot"))
+      .withColumn("decayed_cents", col("wsum").cast("double") / col("wtot"))
+      .select("user_id", "n_recent", "wsum", "wtot", "decayed_cents")
+      .orderBy("user_id")
+  }
+
   /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     * classic streak pattern — engagement streaks, uptime runs, odds
     * continuity). Island key = day − row_number over the user's distinct

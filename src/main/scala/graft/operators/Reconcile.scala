@@ -111,4 +111,22 @@ object Reconcile {
           .drop("mk"))), "table_diff_b")
     snapshotDiff(a, b, buckets = 64).orderBy("k")
   }
+
+  /** q_table_digest: the Merkle bucket summary ITSELF as a query — the
+    * per-bucket (row count, order-insensitive xor checksum) table that
+    * step 2 of [[snapshotDiff]] compares. This is the artifact a 100 TB
+    * deployment persists per snapshot (kilobytes regardless of table
+    * size) so the next reconciliation never rescans an unchanged
+    * snapshot; the oracle recomputes every hash brute-force in DuckDB,
+    * pinning both the md5-prefix bucket routing and the xor fold. */
+  def tableDigestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    bucketChecksums(
+      o.select(col("o_orderkey").as("k"),
+        concat_ws("|", col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long"),
+          col("o_orderstatus")).as("fp")),
+      col("k"), col("fp"), buckets = 64)
+      .orderBy("bucket")
+  }
 }

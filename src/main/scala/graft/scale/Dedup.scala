@@ -122,6 +122,49 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Asymmetric shingle CONTAINMENT (q_containment): c = |A∩B| / min(|A|,|B|)
+    * — the "one document quotes / embeds the other" detector that symmetric
+    * Jaccard misses by construction: a 10-shingle doc fully contained in a
+    * 1000-shingle doc has J ≈ 0.01 but containment 1.0. This is the
+    * subset-duplication pass (boilerplate inclusion, quote farms, partial
+    * scrapes) a corpus pipeline runs NEXT TO resemblance dedup.
+    *
+    * Same candidate machinery as [[jaccardPairsFrom]] — df-capped shingle
+    * self-join within the blocking key, broadcast hot-shingle anti-join —
+    * so the pair space stays bounded by Σ min(df,cap)². The threshold test
+    * is an exact integer cross-multiply (inter·den ≥ num·min(n1,n2));
+    * the emitted `containment` is one IEEE division of exact longs. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       tauNum: Int = 4, tauDen: Int = 5,
+                       block: String = "lang",
+                       maxDf: Int = MaxShingleDf): DataFrame =
+    containmentPairsFrom(Tables.documents(spark, dir), tauNum, tauDen, block, maxDf)
+
+  /** [[containmentPairs]] over an explicit documents frame. */
+  def containmentPairsFrom(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5,
+                           block: String = "lang",
+                           maxDf: Int = MaxShingleDf): DataFrame = {
+    val s0 = shingleRows(docs, block)
+    val hot = s0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val s = s0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = s.as("a"); val b = s.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .filter(col("inter_cnt") * tauDen >= least(col("n1"), col("n2")) * tauNum)
+      .withColumn("containment",
+        col("inter_cnt").cast("double") / least(col("n1"), col("n2")))
+      .select("d1", "d2", "inter_cnt", "n1", "n2", "containment")
+      .orderBy("d1", "d2")
+  }
+
   /** PPJoin-style prefix-filtered set-similarity self-join — the LOSSLESS
     * alternative to the df-capped shingle blocking above: order every
     * document's distinct tokens by ascending global document frequency

@@ -293,4 +293,85 @@ object Search {
   /** q_vocab over the documents table, ordered by token id. */
   def vocabQuery(spark: SparkSession, dir: String): DataFrame =
     vocabBuild(Tables.documents(spark, dir)).orderBy("token_id")
+
+  // ---------------------------------------------------------------------
+  // Collocation mining (PMI-shaped)
+  // ---------------------------------------------------------------------
+
+  /** PMI-shaped collocation mining (q_pmi): rank adjacent word pairs by
+    * association strength score = c_xy·N / (c_x·c_y) — the monotone
+    * argument of pointwise mutual information (log omitted: log is not
+    * IEEE-portable across engines and is order-preserving, so the ranking
+    * is identical). High score = the pair co-occurs far more than its
+    * parts' frequencies predict — the phrase-detection pass (word2vec
+    * §4's phrase step) every corpus pipeline runs before tokenization.
+    *
+    * Exactness: all counts are exact longs; the products stay well under
+    * 2^63 (c_xy ≤ N, and c_xy·N at 10×-sf0.1 is ~1e11); score is one
+    * cast-and-divide of exact integers — a single IEEE op both engines
+    * perform identically. minCount kills the unstable low-frequency tail
+    * (classic PMI pathology: hapax pairs score highest).
+    *
+    * Scale shape: two token-keyed aggregates (vocab cardinality, map-side
+    * combining), one bigram→unigram join per side keyed on the token, a
+    * one-row broadcast for N, TakeOrderedAndProject top-k. The corpus is
+    * scanned twice (unigrams + bigrams) and never self-joined. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    // The unigram table feeds THREE consumers (N, the w1 join, the w2
+    // join) — materialize once or the corpus tokenize+agg re-runs per
+    // plan branch.
+    val uni = Silver.scratch(ngramCounts(docs, 1), "pmi_uni") // (ngram, cnt)
+    val nTotal = uni.agg(sum(col("cnt")).as("n_total"))
+    val bi = ngramCounts(docs, 2)
+      .filter(col("cnt") >= minCount)
+      .select(col("ngram").as("bigram"), col("cnt").as("c_xy"),
+        split(col("ngram"), " ").getItem(0).as("w1"),
+        split(col("ngram"), " ").getItem(1).as("w2"))
+    bi
+      .join(uni.select(col("ngram").as("w1"), col("cnt").as("c1")), Seq("w1"))
+      .join(uni.select(col("ngram").as("w2"), col("cnt").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("score",
+        (col("c_xy") * col("n_total")).cast("double") /
+          (col("c1") * col("c2")).cast("double"))
+      .select("bigram", "c_xy", "c1", "c2", "score")
+      .orderBy(col("score").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
+  /** q_pmi over the documents table. */
+  def pmiQuery(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Vocabulary coverage / OOV rate
+  // ---------------------------------------------------------------------
+
+  /** Per-document out-of-vocabulary rate (q_oov) against the corpus-built
+    * unigram vocabulary (tokens seen ≥ minCount times corpus-wide) — the
+    * tokenizer-coverage report run before committing to a vocab: docs
+    * with high OOV mass are either foreign, noisy, or evidence the vocab
+    * cut is too aggressive.
+    *
+    * Scale shape: term frequencies shuffle on the token; vocab membership
+    * is a token-keyed left join of two token-keyed frames (co-partitioned
+    * by the same key — AQE may broadcast the vocab side when small); the
+    * per-doc rollup shuffles on doc_id. `oov_rate` is one IEEE division
+    * of exact longs. */
+  def oovRate(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    // tf feeds both the vocab cut and the membership join — materialize.
+    val tf = Silver.scratch(termFrequencies(docs), "oov_tf") // (term, doc_id, tf)
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+      .filter(col("c") >= minCount).select(col("term"), lit(1).as("in_vocab"))
+    tf.join(vocab, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+  }
+
+  /** q_oov over the documents table, ordered by doc_id. */
+  def oovQuery(spark: SparkSession, dir: String): DataFrame =
+    oovRate(Tables.documents(spark, dir)).orderBy("doc_id")
 }
