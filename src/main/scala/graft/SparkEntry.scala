@@ -177,7 +177,8 @@ object SparkEntry {
     "q_containment"     -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_table_digest"    -> ((s, d) => graft.operators.Reconcile.tableDigestQuery(s, d)),
     "q_log2_hist"       -> ((s, d) => graft.operators.Approx.log2Histogram(s, d)),
-    "q_sorted_neighborhood" -> ((s, d) => graft.operators.Joins.sortedNeighborhoodQuery(s, d))
+    "q_sorted_neighborhood" -> ((s, d) => graft.operators.Joins.sortedNeighborhoodQuery(s, d)),
+    "q_kmeans"          -> ((s, d) => graft.operators.KMeans.kmeansQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2859,7 +2860,12 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 2
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Quantized Lloyd's k-means — 4 unrolled MATERIALIZED rounds (the
+    // same CTE-inlining hazard as q_kcore); every round is exact integer
+    // arithmetic so the replay is bit-exact.
+    "q_kmeans" -> kmeansOracle(iters = 4, k = 8)
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -3103,4 +3109,65 @@ object SparkEntry {
       |       CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sub
       |FROM w$n
       |ORDER BY w""".stripMargin
+
+  /** Generated DuckDB SQL replaying `iters` exact k-means rounds (see
+    * graft.operators.KMeans): quantize to floor((x+1)·10⁴), assign by
+    * min (dist, cid) — the row_number tiebreak matches the engine's
+    * min-struct argmin — and update centroids by per-position
+    * `sum // count` (all operands nonnegative, so `//` ≡ Spark's `div`).
+    * Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference and the round chain otherwise re-expands the whole prefix
+    * per round (same hazard as the k-core oracle). */
+  private def kmeansOracle(iters: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH v AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         [CAST(floor((CAST(x AS DOUBLE) + 1) * 10000) AS BIGINT)
+      |          for x in embedding] AS q
+      |  FROM embeddings),
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cid, q AS c FROM v WHERE vec_id < $k)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(s""",
+        |d$r AS MATERIALIZED (
+        |  SELECT vec_id, q, cid, dist,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dist, cid) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, v.q, c.cid,
+        |           list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+        |                     for i in generate_series(1, len(v.q))]) AS dist
+        |    FROM v, c${r - 1} c)),
+        |a$r AS MATERIALIZED (
+        |  SELECT vec_id, q, cid, dist FROM d$r WHERE rn = 1)""".stripMargin)
+      if (r < iters) {
+        sb.append(s""",
+          |u$r AS MATERIALIZED (
+          |  SELECT cid, g.i AS pos, CAST(sum(q[g.i]) // count(*) AS BIGINT) AS comp
+          |  FROM a$r, unnest(generate_series(1, len(q))) AS g(i)
+          |  GROUP BY cid, g.i),
+          |c$r AS MATERIALIZED (
+          |  SELECT p.cid, coalesce(u.c, p.c) AS c
+          |  FROM c${r - 1} p LEFT JOIN
+          |    (SELECT cid, list(comp ORDER BY pos) AS c FROM u$r GROUP BY cid) u
+          |    ON p.cid = u.cid)""".stripMargin)
+      }
+    }
+    sb.append(s"""
+      |, m AS (
+      |  SELECT cid, g.i AS pos, CAST(sum(q[g.i]) // count(*) AS BIGINT) AS comp
+      |  FROM a$iters, unnest(generate_series(1, len(q))) AS g(i)
+      |  GROUP BY cid, g.i),
+      |fp AS (
+      |  SELECT cid, CAST(sum(pos * comp) AS BIGINT) AS centroid_fp
+      |  FROM m GROUP BY cid)
+      |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+      |       CAST(sum(dist) AS BIGINT) AS inertia,
+      |       any_value(fp.centroid_fp) AS centroid_fp
+      |FROM a$iters a JOIN fp ON a.cid = fp.cid
+      |GROUP BY a.cid
+      |ORDER BY a.cid""".stripMargin)
+    sb.toString
+  }
 }

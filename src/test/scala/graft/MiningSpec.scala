@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Joins, KMeans, Profile}
+import graft.scale.{Dedup, Search}
+
+/** Specs for the round-8 mining/profiling additions: k-means,
+  * containment, sorted-neighborhood blocking, column profiling, PMI,
+  * OOV, transitions, decay. The oracle queries pin cross-engine
+  * exactness; these pin the SEMANTIC contracts on hand-built fixtures
+  * (planted structure with known answers). */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- kmeans
+
+  test("kmeans: two well-separated blobs are recovered exactly") {
+    // Two tight groups far apart; seeds (vec_id 0,1) land one in each.
+    val vecs = Seq(
+      (0L, Array(0.10f, 0.10f)), (2L, Array(0.11f, 0.09f)),
+      (4L, Array(0.09f, 0.11f)),
+      (1L, Array(-0.80f, -0.80f)), (3L, Array(-0.79f, -0.81f)),
+      (5L, Array(-0.81f, -0.79f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor((x.cast("double") + 1d) * 10000d).cast("long")).as("q"))
+    val a = KMeans.assignments(q, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(0L) == a(2L) && a(2L) == a(4L))
+    assert(a(1L) == a(3L) && a(3L) == a(5L))
+    assert(a(0L) != a(1L))
+  }
+
+  test("kmeans: assignment is total and ties break to the smaller cid") {
+    // All points identical → every centroid is equidistant (dist 0);
+    // the min-struct argmin must put everything in cluster 0.
+    val vecs = (0L to 5L).map(i => (i, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor((x.cast("double") + 1d) * 10000d).cast("long")).as("q"))
+    val a = KMeans.assignments(q, k = 3, iters = 2).collect()
+    assert(a.length == 6)
+    assert(a.forall(_.getLong(1) == 0L))
+    assert(a.forall(_.getLong(2) == 0L)) // dist 0
+  }
+
+  // ----------------------------------------------------------- containment
+
+  test("containment flags a quoted subset that Jaccard misses") {
+    // Doc 2 = the first 8 tokens of doc 1 (fully contained); doc 1 is 40
+    // tokens long, so Jaccard is far below any sane threshold while
+    // containment = 1.0.
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big, "en"), (2L, quote, "en"),
+      (3L, (100 to 140).map(i => s"x$i").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.containmentPairsFrom(docs, tauNum = 4, tauDen = 5)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getAs[Double]("containment") == 1.0)
+    // and the symmetric-resemblance path indeed misses it at 0.5
+    assert(Dedup.jaccardPairsFrom(docs, threshold = 0.5).count() == 0)
+  }
+
+  // --------------------------------------------------- sorted neighborhood
+
+  test("sorted-neighborhood pairs adjacent near-duplicates, linear candidates") {
+    val recs = Seq(
+      (1L, "alpha corp"), (2L, "alpha corpx"), // adjacent, dist 1
+      (3L, "beta llc"), (4L, "gamma inc"),
+      (5L, "zeta gmbh"), (6L, "zeta gmbi")     // adjacent, dist 1
+    ).toDF("id", "name")
+    val out = Joins.sortedNeighborhood(recs, col("id"), col("name"),
+        w = 1, maxDist = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (5L, 6L)))
+  }
+
+  // ---------------------------------------------------------------- profile
+
+  test("column profile counts nulls and exact distincts per column") {
+    val df = Seq(
+      (Some(1), "a"), (Some(1), "b"), (None, "b"), (Some(3), "c")
+    ).toDF("k", "s")
+    val p = Profile.columnProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(p("k") == ((4L, 1L, 2L, "1", "3")))
+    assert(p("s") == ((4L, 0L, 3L, "a", "c")))
+  }
+
+  // -------------------------------------------------------------- pmi / oov
+
+  test("PMI ranks an exclusive pair above a frequent-but-independent one") {
+    // "rare pair" always co-occur (and only with each other);
+    // "common world" co-occur but both words also appear alone a lot.
+    val glue = (1 to 30).map(i => s"common f$i world").mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(6)("rare pair").mkString(" ") + " " + glue)
+    ).toDF("doc_id", "text")
+    val out = Search.pmiCollocations(docs, minCount = 5L, topK = 10)
+      .select("bigram", "score").as[(String, Double)].collect()
+    val scores = out.toMap
+    assert(scores.contains("rare pair"))
+    assert(scores("rare pair") > scores.getOrElse("common f1", 0.0))
+    assert(out.head._1 == "rare pair")
+  }
+
+  test("OOV rate: doc of hapaxes is fully OOV, repeated tokens are covered") {
+    val docs = Seq(
+      (1L, "t t t t"),      // 't' count 4 → in vocab
+      (2L, "u1 u2 u3 u4")   // all singletons → all OOV at minCount=3
+    ).toDF("doc_id", "text")
+    val m = Search.oovRate(docs, minCount = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((4L, 0L)))
+    assert(m(2L) == ((4L, 4L)))
+  }
+
+  // --------------------------------------------- transitions / decay / hist
+
+  test("transition probabilities sum to 1 per source state") {
+    val sums = graft.operators.EventOps.eventTransitions(spark, TestSpark.Sf0001)
+      .groupBy("prev_type").agg(sum(col("p")).as("ps"))
+      .select("ps").as[Double].collect()
+    assert(sums.nonEmpty)
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("decayed value: newest event dominates with 2x weighting") {
+    val d = graft.operators.EventOps.decayedUserValue(spark, TestSpark.Sf0001)
+      .collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      val (n, wtot) = (r.getLong(1), r.getLong(3))
+      // weights are 2^15 .. 2^(16-n): their sum is 2^16 - 2^(16-n)
+      assert(wtot == (1L << 16) - (1L << (16 - n.toInt)))
+    }
+  }
+
+  test("log2 histogram: buckets partition the rows and quantile flags are unique") {
+    val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
+    val total = h.map(_.getLong(1)).sum
+    assert(h.last.getLong(2) == total) // cum of last bucket = total
+    for (i <- Seq(4, 5, 6)) // is_p50/is_p90/is_p99 columns
+      assert(h.count(_.getBoolean(i)) == 1)
+  }
+}
