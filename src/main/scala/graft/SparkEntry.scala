@@ -178,7 +178,13 @@ object SparkEntry {
     "q_table_digest"    -> ((s, d) => graft.operators.Reconcile.tableDigestQuery(s, d)),
     "q_log2_hist"       -> ((s, d) => graft.operators.Approx.log2Histogram(s, d)),
     "q_sorted_neighborhood" -> ((s, d) => graft.operators.Joins.sortedNeighborhoodQuery(s, d)),
-    "q_kmeans"          -> ((s, d) => graft.operators.KMeans.kmeansQuery(s, d))
+    "q_kmeans"          -> ((s, d) => graft.operators.KMeans.kmeansQuery(s, d)),
+    "q_cluster_purity"  -> ((s, d) => graft.operators.KMeans.clusterPurityQuery(s, d)),
+    "q_tfidf"           -> ((s, d) => graft.scale.Search.tfidfQuery(s, d)),
+    "q_interval_union"  -> ((s, d) => EventOps.intervalUnion(s, d)),
+    "q_autocorr"        -> ((s, d) => graft.operators.Regression.autocorrQuery(s, d)),
+    "q_degree_dist"     -> ((s, d) => graft.operators.KCore.degreeDistQuery(s, d)),
+    "q_dataset_card"    -> ((s, d) => graft.scale.TrainingData.datasetCardQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2865,7 +2871,130 @@ object SparkEntry {
     // Quantized Lloyd's k-means — 4 unrolled MATERIALIZED rounds (the
     // same CTE-inlining hazard as q_kcore); every round is exact integer
     // arithmetic so the replay is bit-exact.
-    "q_kmeans" -> kmeansOracle(iters = 4, k = 8)
+    "q_kmeans" -> kmeansOracle(iters = 4, k = 8),
+
+    // Same replayed rounds, evaluated against the ground-truth labels;
+    // majority tie-break (cnt DESC, label ASC) matches the engine's
+    // min-struct on (−cnt, label).
+    "q_cluster_purity" -> clusterPurityOracle(iters = 4, k = 8),
+
+    // Rational-idf tf-idf top-3 per doc: score = tf·N/df from exact
+    // longs, row_number (score DESC, term ASC) ≡ the TopKPerKey order.
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN dfq d USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term ASC) AS rn
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // Interval union sweep: distinct starts make the per-user order
+    // total; running-max-end flags merged-run starts.
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, s, s + 300000 AS e
+        |  FROM (SELECT DISTINCT user_id, epoch_ms(ts) AS s FROM events)),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(i_end - i_start) AS BIGINT) AS covered_ms
+        |FROM i GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Lag-1 autocorrelation: exact daily cents series, equi-join lag
+    // pairing, then the same exact-moment OLS replay as q_regression
+    // (VARCHAR-routed HUGEINT→DOUBLE casts — see q_trend pitfall note).
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.prio, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON a.prio = b.prio AND b.day = a.day + 1),
+        |s AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM p GROUP BY prio),
+        |d AS (
+        |  SELECT prio, n,
+        |    CAST(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS den_x,
+        |    CAST(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS VARCHAR) AS DOUBLE) AS den_y,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d
+        |  FROM s)
+        |SELECT prio, n,
+        |       num / den_x AS slope,
+        |       (sy_d - (num / den_x) * sx_d) / CAST(n AS DOUBLE) AS intercept,
+        |       num / sqrt(den_x * den_y) AS corr
+        |FROM d ORDER BY prio""".stripMargin,
+
+    // Degree distribution of the co-trading graph in log2 buckets.
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM pairs
+        |        UNION ALL SELECT b AS node FROM pairs)
+        |  GROUP BY node)
+        |SELECT CAST(length(printf('%b', deg)) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg,
+        |       min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // Per-source dataset card; language spread via the distinct
+    // subselect, avg_tokens exact integer division.
+    "q_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_en
+        |  FROM d GROUP BY source),
+        |l AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM (SELECT DISTINCT source, lang FROM d) GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_tokens, l.n_langs,
+        |       CAST(b.n_tokens // b.n_docs AS BIGINT) AS avg_tokens,
+        |       CAST(b.n_en AS DOUBLE) / b.n_docs AS en_share
+        |FROM base b JOIN l USING (source)
+        |ORDER BY b.source""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -3118,7 +3247,44 @@ object SparkEntry {
     * Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     * reference and the round chain otherwise re-expands the whole prefix
     * per round (same hazard as the k-core oracle). */
-  private def kmeansOracle(iters: Int, k: Int): String = {
+  private def kmeansOracle(iters: Int, k: Int): String =
+    kmeansRoundsCtes(iters, k) + s"""
+      |, m AS (
+      |  SELECT cid, g.i AS pos, CAST(sum(q[g.i]) // count(*) AS BIGINT) AS comp
+      |  FROM a$iters, unnest(generate_series(1, len(q))) AS g(i)
+      |  GROUP BY cid, g.i),
+      |fp AS (
+      |  SELECT cid, CAST(sum(pos * comp) AS BIGINT) AS centroid_fp
+      |  FROM m GROUP BY cid)
+      |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+      |       CAST(sum(dist) AS BIGINT) AS inertia,
+      |       any_value(fp.centroid_fp) AS centroid_fp
+      |FROM a$iters a JOIN fp ON a.cid = fp.cid
+      |GROUP BY a.cid
+      |ORDER BY a.cid""".stripMargin
+
+  /** Same replayed rounds as [[kmeansOracle]], final select = per-cluster
+    * majority ground-truth label + purity. */
+  private def clusterPurityOracle(iters: Int, k: Int): String =
+    kmeansRoundsCtes(iters, k) + s"""
+      |, bl AS (
+      |  SELECT a.cid, CAST(e.label AS BIGINT) AS label, count(*) AS cnt
+      |  FROM a$iters a JOIN embeddings e ON a.vec_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |mj AS (
+      |  SELECT cid, label, cnt,
+      |         row_number() OVER (PARTITION BY cid
+      |                            ORDER BY cnt DESC, label ASC) AS rn,
+      |         sum(cnt) OVER (PARTITION BY cid) AS n_members
+      |  FROM bl)
+      |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
+      |       label AS majority_label, CAST(cnt AS BIGINT) AS majority_cnt,
+      |       CAST(cnt AS DOUBLE) / n_members AS purity
+      |FROM mj WHERE rn = 1
+      |ORDER BY cid""".stripMargin
+
+  private def kmeansRoundsCtes(iters: Int, k: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH v AS MATERIALIZED (
       |  SELECT vec_id,
@@ -3153,21 +3319,6 @@ object SparkEntry {
           |    ON p.cid = u.cid)""".stripMargin)
       }
     }
-    sb.append(s"""
-      |, m AS (
-      |  SELECT cid, g.i AS pos, CAST(sum(q[g.i]) // count(*) AS BIGINT) AS comp
-      |  FROM a$iters, unnest(generate_series(1, len(q))) AS g(i)
-      |  GROUP BY cid, g.i),
-      |fp AS (
-      |  SELECT cid, CAST(sum(pos * comp) AS BIGINT) AS centroid_fp
-      |  FROM m GROUP BY cid)
-      |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_members,
-      |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
-      |       CAST(sum(dist) AS BIGINT) AS inertia,
-      |       any_value(fp.centroid_fp) AS centroid_fp
-      |FROM a$iters a JOIN fp ON a.cid = fp.cid
-      |GROUP BY a.cid
-      |ORDER BY a.cid""".stripMargin)
     sb.toString
   }
 }

@@ -301,4 +301,42 @@ object EventOps {
         count(lit(1)).as("n_streaks"))
       .orderBy("user_id")
   }
+
+  /** Interval union (q_interval_union): merge each user's overlapping
+    * activity intervals ([ts, ts+5 min) per event) and report the merged
+    * interval count and total covered milliseconds — the "how much wall-
+    * clock was this key actually active" measure (uptime from heartbeats,
+    * effective session coverage; the VALUE-overlap sibling of the
+    * gap-based [[userSessions]]). Classic sweep: an interval starts a new
+    * merged run iff its start exceeds the running max end of all earlier
+    * intervals.
+    *
+    * Determinism: intervals are pre-collapsed to one per (user, start) —
+    * equal starts would otherwise make the "preceding rows" frame
+    * order-ambiguous across engines; after the collapse the per-user
+    * (start) order is total. Both windows partition by user (per-key
+    * frames); the rollup is two keyed aggregations. All arithmetic is
+    * exact longs. */
+  def intervalUnion(spark: SparkSession, dir: String,
+                    lenMs: Long = 300000L): DataFrame = {
+    val iv = events(spark, dir)
+      .select(col("user_id"), col("ts_ms").as("s"))
+      .distinct()
+      .withColumn("e", col("s") + lenMs)
+    val before = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("maxe", max(col("e")).over(before))
+      .withColumn("fresh",
+        (col("maxe").isNull || col("s") > col("maxe")).cast("long"))
+      .withColumn("island", sum(col("fresh")).over(upto))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("i_end") - col("i_start")).as("covered_ms"))
+      .orderBy("user_id")
+  }
 }

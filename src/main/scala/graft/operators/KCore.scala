@@ -117,4 +117,24 @@ object KCore {
       .select(col("node").cast("long").as("node"), col("dist"))
       .orderBy("node")
   }
+
+  /** q_degree_dist: power-of-two degree distribution of the co-trading
+    * graph — the first diagnostic run on ANY large graph (is it
+    * power-law? where does the heavy tail start?), and the input to
+    * choosing broadcast-vs-shuffle thresholds for the graph operators.
+    * Bucket = bit length of the degree (the [[Approx.log2Histogram]]
+    * layout), so the result is ≤64 rows at any graph size and the whole
+    * job is two map-side-combining aggregates over the edge list. */
+  def degreeDistQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = coTradingPairs(spark, dir)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg
+      .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("sum_deg"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy("bucket")
+  }
 }

@@ -107,4 +107,32 @@ object KMeans {
       .select("cid", "n_members", "sum_vec_id", "inertia", "centroid_fp")
       .orderBy("cid")
   }
+
+  /** q_cluster_purity: evaluate the k-means clustering against the
+    * corpus's ground-truth `label` column — per cluster, the majority
+    * label (argmax count, ties to the smaller label via the min-struct
+    * idiom on (−cnt, label)) and its purity fraction. The
+    * clustering-evaluation pass every embedding-pipeline run ends with;
+    * one (cid, label)-keyed count plus a k-row argmin — no new heavy
+    * structure beyond the assignment job itself. */
+  def clusterPurityQuery(spark: SparkSession, dir: String, k: Int = 8,
+                         iters: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val a = assignments(vecs, k, iters)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+    val byLabel = a.groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+    val maj = byLabel
+      .groupBy("cid")
+      .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("w"),
+        sum(col("cnt")).as("n_members"))
+      .select(col("cid"), col("n_members"),
+        col("w.label").as("majority_label"), (-col("w.neg")).as("majority_cnt"))
+    maj
+      .withColumn("purity",
+        col("majority_cnt").cast("double") / col("n_members"))
+      .select("cid", "n_members", "majority_label", "majority_cnt", "purity")
+      .orderBy("cid")
+  }
 }

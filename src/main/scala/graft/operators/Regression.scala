@@ -121,4 +121,35 @@ object Regression {
         round(col("l_extendedprice") * 100).cast("long").as("y")),
       Seq("rf", "ls"), col("x"), col("y"))
       .orderBy("rf", "ls")
+
+  /** q_autocorr: lag-1 autocorrelation of the daily revenue series per
+    * order priority — "does yesterday predict today" as a join-then-OLS:
+    * build the exact daily series (cents, decimal-summed), pair day t
+    * with day t+1 by an EQUI-join on (priority, day+1) — no window, no
+    * sort, co-partitioned on the same key — and push the pairs through
+    * [[groupedOls]], whose `corr` on (v_t, v_{t+1}) IS the lag-1
+    * autocorrelation. Missing days simply produce no pair (the join is
+    * the gap policy, stated rather than implicit).
+    *
+    * Scale shape: one keyed aggregate to the (priority, day) series —
+    * thousands of rows at any corpus size — then a self-equi-join on
+    * that series and the exact-moment OLS. Nothing corpus-sized passes
+    * a window. */
+  def autocorrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("prio"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+            .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("prio", "day")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "autocorr_daily") // feeds both sides of the lag join
+    val pairs = daily
+      .join(daily.select(col("prio"), (col("day") - 1).as("day"),
+          col("v").as("v_next")),
+        Seq("prio", "day"))
+    groupedOls(pairs, Seq("prio"), col("v"), col("v_next"))
+      .orderBy("prio")
+  }
 }

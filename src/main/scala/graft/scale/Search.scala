@@ -374,4 +374,40 @@ object Search {
   /** q_oov over the documents table, ordered by doc_id. */
   def oovQuery(spark: SparkSession, dir: String): DataFrame =
     oovRate(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // TF-IDF keyword extraction
+  // ---------------------------------------------------------------------
+
+  /** Per-document top-k keywords by tf-idf (q_tfidf) — the keyword-
+    * extraction pass behind document tagging and related-content joins.
+    * Like [[bm25]], the idf is the RATIONAL form N/df rather than
+    * log(N/df): log is not IEEE-portable across engines; the rational
+    * form keeps score = tf·N/df a single cast-and-divide of exact longs.
+    * (Unlike a per-term monotone rescale this does reweight tf against
+    * df cross-term — the rational variant is its own documented scoring
+    * function, not a claim of log-tf-idf ordering.)
+    *
+    * Scale shape: term frequencies and document frequencies shuffle on
+    * the token; N is a one-row broadcast; the per-doc top-k executes
+    * through the custom [[graft.plans.TopKPerKey]] operator — map-side
+    * bounded heaps below the exchange, so the shuffle carries at most
+    * k rows per (partition, doc), never the full posting mass. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    // tf feeds both the df aggregate and the scoring join — materialize.
+    val tf = Silver.scratch(termFrequencies(docs), "tfidf_tf")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .select("doc_id", "term", "tf", "df", "score")
+    graft.plans.TopKPerKey(scored, k,
+      keys = Seq(col("doc_id")),
+      order = Seq(col("score").desc, col("term").asc))
+  }
+
+  /** q_tfidf over the documents table. */
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir)).orderBy("doc_id", "term")
 }

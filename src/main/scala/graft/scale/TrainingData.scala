@@ -418,4 +418,35 @@ object TrainingData {
   /** q_shuffle over the documents table (epoch 1), ordered by position. */
   def shuffleQuery(spark: SparkSession, dir: String): DataFrame =
     epochShuffle(Tables.documents(spark, dir), epoch = 1).orderBy("pos")
+
+  /** Per-source dataset card (q_dataset_card) — the "datasheet" summary
+    * published next to every released training corpus: per source, the
+    * document count, token mass, language spread, English share, and
+    * mean document length. One slim scan feeding two keyed aggregates
+    * (the language spread is the two-level no-Expand distinct); the
+    * source-keyed join at the end is |sources|-bounded. `avg_tokens` is
+    * exact integer division; `en_share` is the single IEEE division. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    // Feeds the base rollup AND the language-spread rollup — materialize
+    // so the corpus tokenize runs once.
+    val d = Silver.scratch(
+      docs.select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")),
+      "card_docs")
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val langs = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(count(lit(1)).as("n_langs"))
+    base.join(langs, "source")
+      .withColumn("avg_tokens", expr("n_tokens div n_docs"))
+      .withColumn("en_share", col("n_en").cast("double") / col("n_docs"))
+      .select("source", "n_docs", "n_tokens", "n_langs", "avg_tokens", "en_share")
+      .orderBy("source")
+  }
+
+  /** q_dataset_card over the documents table. */
+  def datasetCardQuery(spark: SparkSession, dir: String): DataFrame =
+    datasetCard(Tables.documents(spark, dir))
 }

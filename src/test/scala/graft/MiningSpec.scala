@@ -145,6 +145,61 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- batch 3
+
+  test("tfidf: a document's exclusive term outranks corpus-wide terms") {
+    val docs = Seq(
+      (1L, "shared shared shared zebra zebra"),
+      (2L, "shared shared shared"),
+      (3L, "shared shared shared")
+    ).toDF("doc_id", "text")
+    val top = Search.tfidfTopTerms(docs, k = 1)
+      .filter(col("doc_id") === 1L).select("term").as[String].collect()
+    assert(top.toSeq == Seq("zebra")) // tf·N/df: 2·3/1 = 6 beats 3·3/3 = 3
+  }
+
+  test("interval union: covered time is bounded by islands and events") {
+    val iu = graft.operators.EventOps.intervalUnion(spark, TestSpark.Sf0001)
+      .collect()
+    assert(iu.nonEmpty)
+    iu.foreach { r =>
+      val (n, ms) = (r.getLong(1), r.getLong(2))
+      assert(ms >= n * 300000L) // every merged island spans >= one interval
+    }
+  }
+
+  test("autocorr/cluster-purity/degree-dist invariants on the corpus") {
+    val ac = graft.operators.Regression.autocorrQuery(spark, TestSpark.Sf0001)
+      .select("corr").as[Double].collect()
+    assert(ac.nonEmpty && ac.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+
+    val cp = graft.operators.KMeans.clusterPurityQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(cp.map(_.getLong(1)).sum ==
+      graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count())
+    cp.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+
+    val dd = graft.operators.KCore.degreeDistQuery(spark, TestSpark.Sf0001)
+      .collect()
+    dd.foreach { r =>
+      val (b, n, sum, mn, mx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn >= (1L << (b.toInt - 1)) && mx < (1L << b.toInt))
+      assert(sum >= n * mn && sum <= n * mx)
+    }
+  }
+
+  test("dataset card: per-source rows cover the corpus exactly") {
+    val card = graft.scale.TrainingData
+      .datasetCardQuery(spark, TestSpark.Sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(card.map(_.getLong(1)).sum == total)
+    card.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // en_share
+      assert(r.getLong(3) >= 1L)                             // n_langs
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
