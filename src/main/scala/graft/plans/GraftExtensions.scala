@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
     ext.injectOptimizerRule(_ => FuzzyRatioFolding)
     // Whole-operator extension: plans TopKPerKeyNode as a partial/final
     // physical pair (see TopKPerKey.scala).
@@ -160,6 +164,66 @@ case class SimHash60(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
+}
+
+/** Fused cosine similarity over two array<double> vectors (the ANN hot
+  * path) as a real codegen expression: one loop accumulates dot product
+  * and both squared norms, then dot/(√na·√nb) — the higher-order-function
+  * chain (`aggregate(zip_with(...))` + two `aggregate(transform(...))`)
+  * walks the arrays three times through INTERPRETED lambda dispatch
+  * (HigherOrderFunctions are CodegenFallback) and breaks the surrounding
+  * whole-stage-codegen span; this stays inside it and reads each element
+  * once. Accumulation order (left-to-right per accumulator, division by
+  * the product of the two square roots) is bit-identical to the HOF
+  * chain, asserted in spec. Vectors of unequal length score over the
+  * common prefix (stated semantics; the corpus is fixed-width). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  private def arrayOfDouble(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, _) => true
+    case org.apache.spark.sql.types.NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (arrayOfDouble(left.dataType) && arrayOfDouble(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cos(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CosineSim.cos($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Static so generated code can call it without capturing the tree. */
+  def cos(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (Math.sqrt(na) * Math.sqrt(nb))
+  }
 }
 
 object SimHash60 {

@@ -25,7 +25,19 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** [[cosine]] as composed higher-order functions — three interpreted
+    * array walks (HOFs are CodegenFallback). Kept as the reference
+    * implementation the fused expression is spec-checked against. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — the fused single-pass codegen expression
+    * ([[graft.plans.CosineSim]]), bit-identical to [[cosineHof]] but
+    * staying inside whole-stage codegen on the ANN scoring hot path. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.plans.CosineSim(
+        org.apache.spark.sql.graft.Shims.expression(a),
+        org.apache.spark.sql.graft.Shims.expression(b)))
 
   /** Exact brute-force top-k neighbors of one query vector: broadcast the
     * query row, score every vector, TakeOrderedAndProject. One scan, no

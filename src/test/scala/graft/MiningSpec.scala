@@ -200,6 +200,20 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("fused graft_cosine is bit-identical to the HOF cosine chain") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"),
+        graft.scale.Similarity.asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        graft.scale.Similarity.cosine(col("v"), col("qv")).as("fused"),
+        graft.scale.Similarity.cosineHof(col("v"), col("qv")).as("hof"))
+    // exact double equality — same accumulation order, not just closeness
+    assert(both.filter(col("fused") =!= col("hof")).count() == 0)
+    assert(both.count() == emb.count())
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
