@@ -184,7 +184,12 @@ object SparkEntry {
     "q_interval_union"  -> ((s, d) => EventOps.intervalUnion(s, d)),
     "q_autocorr"        -> ((s, d) => graft.operators.Regression.autocorrQuery(s, d)),
     "q_degree_dist"     -> ((s, d) => graft.operators.KCore.degreeDistQuery(s, d)),
-    "q_dataset_card"    -> ((s, d) => graft.scale.TrainingData.datasetCardQuery(s, d))
+    "q_dataset_card"    -> ((s, d) => graft.scale.TrainingData.datasetCardQuery(s, d)),
+    "q_wow"             -> ((s, d) => Analytics.weekOverWeek(s, d)),
+    "q_mode"            -> ((s, d) => Analytics.modalPriority(s, d)),
+    "q_fano"            -> ((s, d) => EventOps.dailyFano(s, d)),
+    "q_dup_rate"        -> ((s, d) => Dedup.dupRateBySource(s, d)),
+    "q_hist2d"          -> ((s, d) => graft.operators.Approx.hist2d(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2994,7 +2999,92 @@ object SparkEntry {
         |       CAST(b.n_tokens // b.n_docs AS BIGINT) AS avg_tokens,
         |       CAST(b.n_en AS DOUBLE) / b.n_docs AS en_share
         |FROM base b JOIN l USING (source)
-        |ORDER BY b.source""".stripMargin
+        |ORDER BY b.source""".stripMargin,
+
+    // Week-over-week growth: exact weekly cents series + lag equi-join;
+    // pct is the single IEEE division.
+    "q_wow" ->
+      """WITH weekly AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 604800000 AS week,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.prio, a.week + 1 AS week, a.v AS v_prev, b.v AS v_cur,
+        |       b.v - a.v AS delta,
+        |       CAST(b.v - a.v AS DOUBLE) / a.v AS pct
+        |FROM weekly a JOIN weekly b
+        |  ON a.prio = b.prio AND b.week = a.week + 1
+        |ORDER BY a.prio, week""".stripMargin,
+
+    // Per-group exact mode; row_number (cnt DESC, prio ASC) ≡ the
+    // engine's min-struct on (−cnt, prio).
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT n.n_name AS nation_name, o.o_orderpriority AS prio,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |       JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY nation_name
+        |                               ORDER BY cnt DESC, prio ASC) AS rn,
+        |         sum(cnt) OVER (PARTITION BY nation_name) AS n_orders
+        |  FROM c)
+        |SELECT nation_name, prio AS mode_priority, cnt AS mode_cnt,
+        |       CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(cnt AS DOUBLE) / n_orders AS share
+        |FROM r WHERE rn = 1
+        |ORDER BY nation_name""".stripMargin,
+
+    // Fano factor from exact integer moments of the daily count series.
+    "q_fano" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sx,
+        |       CAST(sx AS DOUBLE) / n_days AS mean,
+        |       CAST(n_days * sxx - sx * sx AS DOUBLE) / (n_days * sx) AS fano
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // Per-source exact-dup mass, same fingerprint normalization and
+    // planted-duplicate fixture as q_exact_dups ('mirror' source).
+    "q_dup_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'mirror', text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |f AS (
+        |  SELECT doc_id, source,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM d),
+        |c AS (SELECT fp, count(*) AS cnt FROM f GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_docs,
+        |       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_share
+        |FROM f JOIN c USING (fp)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // 2-D power-of-two heatmap over (quantity, extendedprice).
+    "q_hist2d" ->
+      """SELECT CAST(length(printf('%b', CAST(floor(l_quantity) AS BIGINT)))
+        |            AS BIGINT) AS qty_bucket,
+        |       CAST(length(printf('%b', CAST(floor(l_extendedprice) AS BIGINT)))
+        |            AS BIGINT) AS price_bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY qty_bucket, price_bucket""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

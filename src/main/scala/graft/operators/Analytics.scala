@@ -617,4 +617,56 @@ object Analytics {
       .select("c_custkey", "segment", "c_acctbal", "z")
       .orderBy("c_custkey")
   }
+
+  /** Week-over-week growth (q_wow): the period-over-period delta report
+    * every BI layer ships — weekly revenue per order priority paired with
+    * the previous week by an EQUI-join on (priority, week+1), exactly the
+    * [[Regression.autocorrQuery]] lag-pairing shape (no window, the
+    * weekly series is co-partitioned with itself). Missing weeks yield no
+    * row — a stated gap policy, not an implicit zero. Cents are exact
+    * longs; `pct` is the single IEEE division. */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("prio"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 604800000")
+            .as("week"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("prio", "week")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "wow_weekly") // both sides of the lag join
+    weekly
+      .join(weekly.select(col("prio"), (col("week") - 1).as("week"),
+          col("v").as("v_next")),
+        Seq("prio", "week"))
+      .select(col("prio"), (col("week") + 1).as("week"),
+        col("v").as("v_prev"), col("v_next").as("v_cur"),
+        (col("v_next") - col("v")).as("delta"),
+        ((col("v_next") - col("v")).cast("double") / col("v")).as("pct"))
+      .orderBy("prio", "week")
+  }
+
+  /** Per-group exact mode (q_mode): each nation's most common order
+    * priority — argmax by (count DESC, value ASC) via the min-struct
+    * idiom on (−cnt, value): a two-level keyed aggregate, partial-
+    * combining at every step, never a ranked window over the fact
+    * stream. `share` is the single IEEE division. */
+  def modalPriority(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("nation_name")
+      .agg(min(struct((-col("cnt")).as("neg"), col("prio"))).as("w"),
+        sum(col("cnt")).as("n_orders"))
+      .select(col("nation_name"), col("w.prio").as("mode_priority"),
+        (-col("w.neg")).as("mode_cnt"), col("n_orders"),
+        ((-col("w.neg")).cast("double") / col("n_orders")).as("share"))
+      .orderBy("nation_name")
+  }
 }

@@ -145,4 +145,23 @@ object Approx {
       .select("bucket", "cnt", "cum", "lo", "is_p50", "is_p90", "is_p99")
       .orderBy("bucket")
   }
+
+  /** 2-D power-of-two heatmap (q_hist2d): joint distribution of lineitem
+    * (quantity, extendedprice) on the same bit-length bucketization as
+    * [[log2Histogram]] — the density grid behind scatter-at-scale UIs
+    * and joint-skew diagnosis (which price tiers drive which volume
+    * tiers). One scan, one map-side-combining aggregate to a
+    * bits×bits-bounded grid (≤64² cells at ANY row count); each cell
+    * carries its exact marginal bounds. */
+  def hist2d(spark: org.apache.spark.sql.SparkSession,
+             dir: String): DataFrame =
+    graft.sources.Tables.lineitem(spark, dir)
+      .select(
+        length(bin(floor(col("l_quantity")).cast("long")))
+          .cast("long").as("qty_bucket"),
+        length(bin(floor(col("l_extendedprice")).cast("long")))
+          .cast("long").as("price_bucket"))
+      .groupBy("qty_bucket", "price_bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("qty_bucket", "price_bucket")
 }

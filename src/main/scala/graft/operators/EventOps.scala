@@ -339,4 +339,32 @@ object EventOps {
         sum(col("i_end") - col("i_start")).as("covered_ms"))
       .orderBy("user_id")
   }
+
+  /** Burstiness per event type (q_fano): the Fano factor (variance-to-
+    * mean ratio) of the DAILY event-count series — ≈1 for Poisson-like
+    * arrivals, ≫1 for bursty traffic (flash crowds, batch backfills,
+    * scraper retries). Computed from exact integer moments over the
+    * daily counts: fano = (n·Σx² − (Σx)²) / (n·Σx) — numerator and
+    * denominator exact longs (daily counts are small; products ≪ 2⁶³),
+    * one IEEE division at the end, same portability design as
+    * [[Regression.groupedOls]].
+    *
+    * Scale shape: one (type, day)-keyed count (map-side combining), one
+    * type-keyed moment rollup. Nothing passes a window. */
+  def dailyFano(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mean",
+        col("sx").cast("double") / col("n_days"))
+      .withColumn("fano",
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n_days") * col("sx")))
+      .select("event_type", "n_days", "sx", "mean", "fano")
+      .orderBy("event_type")
+  }
 }

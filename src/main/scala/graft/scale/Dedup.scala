@@ -122,6 +122,40 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Per-source duplication rate (q_dup_rate): the corpus-quality metric
+    * reported per ingestion source — how much of each source's volume is
+    * exact-duplicate mass (within OR across sources; a source that only
+    * re-hosts another's content scores 100%). Fingerprint = the same
+    * normalization as [[exactDupGroups]]; a doc is "dup" iff its
+    * fingerprint occurs >1 time corpus-wide. Same planted-duplicate
+    * fixture as q_exact_dups (the synthetic corpus has no natural exact
+    * dups): doc_id % 7 = 0 re-keyed +10M under source 'mirror'.
+    *
+    * Scale shape: one fingerprint-keyed count (map-side combining), one
+    * fingerprint-keyed join back (co-partitioned), one |sources|-bounded
+    * rollup. `dup_share` is the single IEEE division. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        lit("mirror").as("source"), col("text"))
+    val all = Silver.scratch(
+      docs.unionByName(planted)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fp")),
+      "duprate_docs") // feeds the count and the join-back
+    val counts = all.groupBy("fp").agg(count(lit(1)).as("cnt"))
+    all.join(counts, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_share",
+        col("n_dup_docs").cast("double") / col("n_docs"))
+      .select("source", "n_docs", "n_dup_docs", "dup_share")
+      .orderBy("source")
+  }
+
   /** Asymmetric shingle CONTAINMENT (q_containment): c = |A∩B| / min(|A|,|B|)
     * — the "one document quotes / embeds the other" detector that symmetric
     * Jaccard misses by construction: a 10-shingle doc fully contained in a

@@ -200,6 +200,36 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- batch 4
+
+  test("wow/mode/fano/dup-rate/hist2d invariants on the corpus") {
+    val wow = graft.operators.Analytics.weekOverWeek(spark, TestSpark.Sf0001)
+      .collect()
+    assert(wow.nonEmpty)
+    wow.foreach(r => // pct ≡ delta/v_prev by construction
+      assert(r.getDouble(5) == r.getLong(4).toDouble / r.getLong(2)))
+
+    val mode = graft.operators.Analytics.modalPriority(spark, TestSpark.Sf0001)
+      .collect()
+    assert(mode.length == 25) // every nation has a modal priority
+    mode.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))            // mode_cnt <= n_orders
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+
+    val fano = graft.operators.EventOps.dailyFano(spark, TestSpark.Sf0001)
+      .select("fano").as[Double].collect()
+    assert(fano.nonEmpty && fano.forall(_ >= 0.0))
+
+    val dr = graft.scale.Dedup.dupRateBySource(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(dr("mirror") == 1.0) // every planted doc duplicates an original
+
+    val h2 = graft.operators.Approx.hist2d(spark, TestSpark.Sf0001).collect()
+    assert(h2.map(_.getLong(2)).sum ==
+      graft.sources.Tables.lineitem(spark, TestSpark.Sf0001).count())
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
