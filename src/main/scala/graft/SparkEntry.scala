@@ -189,7 +189,12 @@ object SparkEntry {
     "q_mode"            -> ((s, d) => Analytics.modalPriority(s, d)),
     "q_fano"            -> ((s, d) => EventOps.dailyFano(s, d)),
     "q_dup_rate"        -> ((s, d) => Dedup.dupRateBySource(s, d)),
-    "q_hist2d"          -> ((s, d) => graft.operators.Approx.hist2d(s, d))
+    "q_hist2d"          -> ((s, d) => graft.operators.Approx.hist2d(s, d)),
+    "q_conv_lag"        -> ((s, d) => EventOps.conversionLag(s, d)),
+    "q_seasonality"     -> ((s, d) => EventOps.weekdaySeasonality(s, d)),
+    "q_ab_lift"         -> ((s, d) => EventOps.abLift(s, d)),
+    "q_bipartite"       -> ((s, d) => graft.operators.Joins.bipartiteProjectionQuery(s, d)),
+    "q_simpson"         -> ((s, d) => TextAnalysis.languageSimpson(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3084,7 +3089,87 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem
         |GROUP BY 1, 2
-        |ORDER BY qty_bucket, price_bucket""".stripMargin
+        |ORDER BY qty_bucket, price_bucket""".stripMargin,
+
+    // Conversion lag by purchase weekday: DuckDB's native ASOF JOIN
+    // replays the engine's union-sort as-of; dow by epoch arithmetic
+    // (calendar functions are engine/locale-dependent, epoch math isn't).
+    "q_conv_lag" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+        |           FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT (p.ts_ms // 86400000 + 4) % 7 AS dow,
+        |         p.ts_ms - v.ts_ms AS lag_ms
+        |  FROM p ASOF JOIN v
+        |    ON p.user_id = v.user_id AND v.ts_ms < p.ts_ms)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(lag_ms) // count(*) AS BIGINT) AS mean_ms,
+        |       quantile_cont(lag_ms, 0.5) AS median_ms,
+        |       CAST(max(lag_ms) AS BIGINT) AS max_ms
+        |FROM j GROUP BY dow
+        |ORDER BY dow""".stripMargin,
+
+    // Weekday seasonality: per-(type, dow) counts + share of type total.
+    "q_seasonality" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(cnt) AS total FROM cells GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.cnt,
+        |       CAST(c.cnt AS DOUBLE) / t.total AS share
+        |FROM cells c JOIN t USING (event_type)
+        |ORDER BY c.event_type, c.dow""".stripMargin,
+
+    // Deterministic A/B arms by md5 parity of the user id; exact cents
+    // mass per arm, ratios as single IEEE divisions.
+    "q_ab_lift" ->
+      """WITH p AS (
+        |  SELECT CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
+        |              AS BIGINT) % 2 AS arm,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS sum_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS sum_b
+        |  FROM p)
+        |SELECT n_a, n_b, sum_a, sum_b,
+        |       CAST(sum_a AS DOUBLE) / n_a AS mean_a,
+        |       CAST(sum_b AS DOUBLE) / n_b AS mean_b,
+        |       (CAST(sum_b AS DOUBLE) / n_b - CAST(sum_a AS DOUBLE) / n_a)
+        |         / (CAST(sum_a AS DOUBLE) / n_a) AS lift
+        |FROM s""".stripMargin,
+
+    // Bipartite projection onto suppliers, weight = shared customers.
+    "q_bipartite" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT a.s AS s1, b.s AS s2,
+        |       CAST(count(*) AS BIGINT) AS shared_customers
+        |FROM cs a JOIN cs b ON a.cust = b.cust AND a.s < b.s
+        |GROUP BY 1, 2
+        |ORDER BY shared_customers DESC, s1, s2
+        |LIMIT 50""".stripMargin,
+
+    // Simpson language-concentration index per source.
+    "q_simpson" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_langs,
+        |         CAST(sum(c*(c-1)) AS BIGINT) AS num
+        |  FROM c GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |       CAST(num AS DOUBLE) / (n_docs * (n_docs - 1)) AS simpson
+        |FROM s WHERE n_docs > 1
+        |ORDER BY source""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

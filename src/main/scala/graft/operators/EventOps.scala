@@ -340,6 +340,83 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Conversion-lag distribution (q_conv_lag): how long between a user's
+    * purchase and their most recent prior view, profiled by purchase
+    * day-of-week — the e-commerce "time to convert" report, built on the
+    * SAME as-of join as [[purchasesWithPriorView]] (one union-sort pass,
+    * no row multiplication). Purchases with no prior view are excluded
+    * (stated policy — they have no lag). Day-of-week is computed as
+    * ((epoch_day + 4) mod 7, 0 = Monday) in plain integer arithmetic:
+    * calendar functions differ across engines/locales, epoch arithmetic
+    * cannot. `mean_ms` is exact integer division; the exact interpolated
+    * median matches DuckDB's quantile_cont. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value", "ts_ms")
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "value", "ts_ms")
+    AsOfJoin.asOf(purchases, views,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts_ms", rightTime = "ts_ms",
+        rightPayload = Seq("ts_ms"),
+        strict = true)
+      .filter(col("asof_ts_ms").isNotNull)
+      .select(
+        pmod(expr("ts_ms div 86400000") + 4, lit(7)).as("dow"),
+        (col("ts_ms") - col("asof_ts_ms")).as("lag_ms"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(lag_ms) div count(1)").as("mean_ms"),
+        expr("percentile(lag_ms, 0.5)").as("median_ms"),
+        max(col("lag_ms")).as("max_ms"))
+      .orderBy("dow")
+  }
+
+  /** Day-of-week seasonality profile (q_seasonality): event volume per
+    * (type, weekday) with each cell's share of its type's total — the
+    * weekly-rhythm heatmap behind staffing/scheduling views. Weekday by
+    * epoch arithmetic (see [[conversionLag]]); shares are single IEEE
+    * divisions of exact longs; totals ride a broadcast (|types| rows). */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .groupBy(col("event_type"),
+        pmod(expr("ts_ms div 86400000") + 4, lit(7)).as("dow"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cells.groupBy("event_type").agg(sum(col("cnt")).as("total"))
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .select("event_type", "dow", "cnt", "share")
+      .orderBy("event_type", "dow")
+  }
+
+  /** Deterministic A/B comparison (q_ab_lift): split users into two
+    * stable arms by the md5-parity of their id (the same replayable
+    * hash-bucketing as TrainingData's splits — re-runs and engines
+    * agree), compare purchase-value mass per arm, and report the lift.
+    * One conditional-aggregate pass over purchases; cents are exact
+    * longs (floor(value·100)); the three ratios are single IEEE
+    * divisions. The single-row output is the experiment-dashboard
+    * shape. */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        pmod(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 15),
+          16, 10).cast("long"), lit(2)).as("arm"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    p.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("sum_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("sum_b"))
+      .withColumn("mean_a", col("sum_a").cast("double") / col("n_a"))
+      .withColumn("mean_b", col("sum_b").cast("double") / col("n_b"))
+      .withColumn("lift",
+        (col("mean_b") - col("mean_a")) / col("mean_a"))
+      .select("n_a", "n_b", "sum_a", "sum_b", "mean_a", "mean_b", "lift")
+  }
+
   /** Burstiness per event type (q_fano): the Fano factor (variance-to-
     * mean ratio) of the DAILY event-count series — ≈1 for Poisson-like
     * arrivals, ≫1 for bursty traffic (flash crowds, batch backfills,

@@ -69,4 +69,36 @@ object Joins {
                               dir: String): DataFrame =
     sortedNeighborhood(graft.sources.Tables.customer(spark, dir),
       col("c_custkey"), col("c_name"))
+
+  /** Bipartite projection (q_bipartite): project the customer↔supplier
+    * purchase graph onto suppliers — edge weight = number of customers
+    * the pair shares ("co-shopped suppliers", the retail flavor of
+    * co-citation / co-view graphs). Top-50 heaviest pairs.
+    *
+    * The self-join is keyed on the customer, so its fan-out is
+    * Σ_c d(c)² where d(c) = a customer's DISTINCT suppliers — bounded by
+    * per-customer basket size, never corpus-quadratic (the same bound
+    * family as [[symmetricPair]]'s H2H rewrite and the shingle blocks).
+    * The projected pair list shuffles on the (s1, s2) key; the final
+    * top-k is TakeOrderedAndProject. */
+  def bipartiteProjectionQuery(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, k: Int = 50): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    // one row per (customer, supplier) — the bipartite edge list; feeds
+    // both sides of the projection self-join.
+    val cs = graft.scale.Silver.scratch(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("s"))
+        .distinct(),
+      "bip_edges")
+    cs.as("a").join(cs.as("b"),
+        col("a.cust") === col("b.cust") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("shared_customers"))
+      .orderBy(col("shared_customers").desc, col("s1").asc, col("s2").asc)
+      .limit(k)
+  }
 }

@@ -576,4 +576,28 @@ object TextAnalysis {
         countDistinct(col("source")).as("source_cnt"))
       .withColumn("avg_chars", col("char_sum").cast("double") / col("cnt"))
       .orderBy("lang")
+
+  /** Per-source language concentration (q_simpson): Simpson's index
+    * Σ cᵢ(cᵢ−1) / (N(N−1)) over each source's language counts — the
+    * probability two random docs from the source share a language
+    * (1 = monolingual, →0 = maximally diverse; the Herfindahl cousin the
+    * diversity literature standardized on). The corpus-balance metric
+    * read next to the [[graft.scale.TrainingData.datasetCard]].
+    *
+    * Both numerator and denominator are exact longs (counts are corpus-
+    * bounded; cᵢ(cᵢ−1) ≪ 2⁶³); `simpson` is the single IEEE division.
+    * Two keyed aggregates, |source|×|lang|-bounded shuffle. */
+  def languageSimpson(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * (col("c") - 1)).as("num"))
+      .filter(col("n_docs") > 1)
+      .withColumn("simpson",
+        col("num").cast("double") / (col("n_docs") * (col("n_docs") - 1)))
+      .select("source", "n_docs", "n_langs", "simpson")
+      .orderBy("source")
 }

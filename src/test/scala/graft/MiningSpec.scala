@@ -230,6 +230,39 @@ class MiningSpec extends SparkSpec {
       graft.sources.Tables.lineitem(spark, TestSpark.Sf0001).count())
   }
 
+  // ------------------------------------------------------------- batch 5
+
+  test("conv-lag/seasonality/ab-lift/bipartite/simpson invariants") {
+    val cl = graft.operators.EventOps.conversionLag(spark, TestSpark.Sf0001)
+      .collect()
+    assert(cl.nonEmpty)
+    cl.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6)        // dow domain
+      assert(r.getLong(2) > 0 && r.getDouble(3) <= r.getLong(4).toDouble)
+    }
+
+    val se = graft.operators.EventOps.weekdaySeasonality(spark, TestSpark.Sf0001)
+    val sums = se.groupBy("event_type").agg(sum(col("share")).as("s"))
+      .select("s").as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+
+    val ab = graft.operators.EventOps.abLift(spark, TestSpark.Sf0001).head()
+    val purchases = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(ab.getLong(0) + ab.getLong(1) == purchases)
+
+    val bp = graft.operators.Joins
+      .bipartiteProjectionQuery(spark, TestSpark.Sf0001, k = 10).collect()
+    assert(bp.nonEmpty)
+    bp.foreach(r => assert(r.getLong(0) < r.getLong(1) && r.getLong(2) >= 1))
+    assert(bp.map(_.getLong(2)).toSeq ==
+      bp.map(_.getLong(2)).toSeq.sorted.reverse) // descending weights
+
+    val si = graft.scale.TextAnalysis.languageSimpson(spark, TestSpark.Sf0001)
+      .select("simpson").as[Double].collect()
+    assert(si.nonEmpty && si.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
