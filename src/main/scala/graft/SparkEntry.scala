@@ -194,7 +194,12 @@ object SparkEntry {
     "q_seasonality"     -> ((s, d) => EventOps.weekdaySeasonality(s, d)),
     "q_ab_lift"         -> ((s, d) => EventOps.abLift(s, d)),
     "q_bipartite"       -> ((s, d) => graft.operators.Joins.bipartiteProjectionQuery(s, d)),
-    "q_simpson"         -> ((s, d) => TextAnalysis.languageSimpson(s, d))
+    "q_simpson"         -> ((s, d) => TextAnalysis.languageSimpson(s, d)),
+    "q_rfm"             -> ((s, d) => EventOps.rfmSegments(s, d)),
+    "q_time_travel"     -> ((s, d) => EventOps.timeTravel(s, d)),
+    "q_graph_jaccard"   -> ((s, d) => graft.operators.Joins.graphJaccardQuery(s, d)),
+    "q_coverage"        -> ((s, d) => graft.scale.Search.coverageQuery(s, d)),
+    "q_keyness"         -> ((s, d) => graft.scale.Search.keynessQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3169,7 +3174,114 @@ object SparkEntry {
         |SELECT source, n_docs, n_langs,
         |       CAST(num AS DOUBLE) / (n_docs * (n_docs - 1)) AS simpson
         |FROM s WHERE n_docs > 1
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // RFM terciles against exact interpolated percentile thresholds
+    // (quantile_cont ≡ Spark's percentile); codes by plain comparisons.
+    "q_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, max(day) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS f_cnt,
+        |         CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM p GROUP BY user_id),
+        |h AS (SELECT max(last_day) AS h FROM u),
+        |r AS (SELECT user_id, h.h - last_day AS r_days, f_cnt, m_cents
+        |      FROM u, h),
+        |th AS (
+        |  SELECT quantile_cont(r_days, 0.33) AS r1, quantile_cont(r_days, 0.67) AS r2,
+        |         quantile_cont(f_cnt, 0.33) AS f1, quantile_cont(f_cnt, 0.67) AS f2,
+        |         quantile_cont(m_cents, 0.33) AS m1, quantile_cont(m_cents, 0.67) AS m2
+        |  FROM r),
+        |coded AS (
+        |  SELECT user_id, r_days, f_cnt, m_cents,
+        |    CAST(CASE WHEN r_days <= r1 THEN 1 WHEN r_days <= r2 THEN 2
+        |              ELSE 3 END AS BIGINT) AS r_code,
+        |    CAST(CASE WHEN f_cnt <= f1 THEN 3 WHEN f_cnt <= f2 THEN 2
+        |              ELSE 1 END AS BIGINT) AS f_code,
+        |    CAST(CASE WHEN m_cents <= m1 THEN 3 WHEN m_cents <= m2 THEN 2
+        |              ELSE 1 END AS BIGINT) AS m_code
+        |  FROM r, th)
+        |SELECT user_id, r_days, f_cnt, m_cents, r_code, f_code, m_code,
+        |       r_code * 100 + f_code * 10 + m_code AS rfm_code
+        |FROM coded
+        |ORDER BY user_id""".stripMargin,
+
+    // Point-in-time snapshot from the SCD2 window (same lead replay as
+    // q_scd2) at the mid-corpus cutoff.
+    "q_time_travel" ->
+      """SELECT user_id, event_id, value, valid_from
+        |FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS valid_from,
+        |             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                      ORDER BY epoch_ms(ts), event_id)
+        |               AS valid_to
+        |      FROM events)
+        |WHERE valid_from <= 1705708800000
+        |  AND (valid_to IS NULL OR valid_to > 1705708800000)
+        |ORDER BY user_id""".stripMargin,
+
+    // Neighbor-set Jaccard over the bipartite projection; exact integer
+    // threshold (shared·4 ≥ union) before the one IEEE division.
+    "q_graph_jaccard" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM cs GROUP BY s),
+        |sh AS (
+        |  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
+        |  FROM cs a JOIN cs b ON a.cust = b.cust AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT sh.s1, sh.s2, sh.shared, x.d AS d1, y.d AS d2,
+        |       CAST(sh.shared AS DOUBLE) / (x.d + y.d - sh.shared) AS jaccard
+        |FROM sh JOIN deg x ON sh.s1 = x.s JOIN deg y ON sh.s2 = y.s
+        |WHERE sh.shared * 4 >= x.d + y.d - sh.shared
+        |ORDER BY jaccard DESC, s1, s2
+        |LIMIT 50""".stripMargin,
+
+    // Zipf coverage curve: row_number (cnt DESC, tok) ≡ the distributed
+    // global rank; conditional sums per cutoff.
+    "q_coverage" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT tok, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+        |  FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |cuts AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS cutoff),
+        |sel AS (
+        |  SELECT cutoff,
+        |         CAST(sum(CASE WHEN rnk <= cutoff THEN cnt ELSE 0 END)
+        |              AS BIGINT) AS covered
+        |  FROM r, cuts GROUP BY cutoff)
+        |SELECT cutoff, covered, CAST(covered AS DOUBLE) / t.total AS share
+        |FROM sel, t
+        |ORDER BY cutoff""".stripMargin,
+
+    // Keyness: smoothed relative risk of the English slice, exact longs,
+    // one cast-and-divide.
+    "q_keyness" ->
+      """WITH tok AS (
+        |  SELECT tok,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n_en,
+        |             CAST(sum(b) AS BIGINT) AS n_rest FROM tok)
+        |SELECT tok, a, b,
+        |       CAST(a * (t.n_rest + 1) AS DOUBLE)
+        |         / CAST((b + 1) * t.n_en AS DOUBLE) AS score
+        |FROM tok, t
+        |WHERE a + b >= 20
+        |ORDER BY score DESC, tok
+        |LIMIT 50""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -417,6 +417,69 @@ object EventOps {
       .select("n_a", "n_b", "sum_a", "sum_b", "mean_a", "mean_b", "lift")
   }
 
+  /** RFM segmentation (q_rfm): the classic customer-value triage —
+    * Recency (days since last purchase, vs the corpus horizon),
+    * Frequency (purchase count), Monetary (exact cents) — each coded
+    * into terciles against EXACT interpolated percentile thresholds
+    * (percentile ≡ DuckDB quantile_cont; thresholds are a one-row
+    * broadcast, codes are plain comparisons, so the fact stream is never
+    * ranked). rfm_code = 100·r + 10·f + m with 1 = best tercile.
+    * Recency codes invert (small gap = best); ties at a threshold go to
+    * the better code via the ≤ comparisons, identically in both engines
+    * (same IEEE threshold, same comparison). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val u = graft.scale.Silver.scratch(
+      p.groupBy("user_id")
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("f_cnt"),
+          sum(col("cents")).as("m_cents")),
+      "rfm_users") // feeds the horizon, the thresholds, and the coding
+    val horizon = u.agg(max(col("last_day")).as("h"))
+    val r = u.crossJoin(broadcast(horizon))
+      .withColumn("r_days", col("h") - col("last_day"))
+      .select("user_id", "r_days", "f_cnt", "m_cents")
+    val th = r.agg(
+      expr("percentile(r_days, 0.33)").as("r1"),
+      expr("percentile(r_days, 0.67)").as("r2"),
+      expr("percentile(f_cnt, 0.33)").as("f1"),
+      expr("percentile(f_cnt, 0.67)").as("f2"),
+      expr("percentile(m_cents, 0.33)").as("m1"),
+      expr("percentile(m_cents, 0.67)").as("m2"))
+    def code(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+             hi: org.apache.spark.sql.Column,
+             invert: Boolean): org.apache.spark.sql.Column =
+      if (invert) when(v <= lo, 1L).when(v <= hi, 2L).otherwise(3L)
+      else when(v <= lo, 3L).when(v <= hi, 2L).otherwise(1L)
+    r.crossJoin(broadcast(th))
+      .withColumn("r_code", code(col("r_days"), col("r1"), col("r2"), invert = true))
+      .withColumn("f_code", code(col("f_cnt"), col("f1"), col("f2"), invert = false))
+      .withColumn("m_code", code(col("m_cents"), col("m1"), col("m2"), invert = false))
+      .withColumn("rfm_code",
+        col("r_code") * 100 + col("f_code") * 10 + col("m_code"))
+      .select("user_id", "r_days", "f_cnt", "m_cents",
+        "r_code", "f_code", "m_code", "rfm_code")
+      .orderBy("user_id")
+  }
+
+  /** Point-in-time reconstruction (q_time_travel): the state of every
+    * user AS OF the mid-corpus cutoff, read from the SCD2 historization
+    * — `valid_from ≤ T < valid_to` selects exactly one interval per key
+    * that existed at T. The "what did the table look like last Tuesday"
+    * query SCD2 exists to answer; one filter over the windowed history,
+    * no extra shuffle beyond [[userValueScd2]]'s per-key frame. */
+  def timeTravel(spark: SparkSession, dir: String,
+                 atMs: Long = CutoffMs): DataFrame =
+    Merge.scd2(
+        events(spark, dir).select("user_id", "event_id", "value", "ts_ms"),
+        keys = Seq("user_id"), orderCol = col("ts_ms"), tieBreak = col("event_id"))
+      .filter(col("valid_from") <= atMs &&
+        (col("valid_to").isNull || col("valid_to") > atMs))
+      .select("user_id", "event_id", "value", "valid_from")
+      .orderBy("user_id")
+
   /** Burstiness per event type (q_fano): the Fano factor (variance-to-
     * mean ratio) of the DAILY event-count series — ≈1 for Poisson-like
     * arrivals, ≫1 for bursty traffic (flash crowds, batch backfills,

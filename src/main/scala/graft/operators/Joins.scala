@@ -101,4 +101,40 @@ object Joins {
       .orderBy(col("shared_customers").desc, col("s1").asc, col("s2").asc)
       .limit(k)
   }
+
+  /** Neighbor-set similarity (q_graph_jaccard): Jaccard of two suppliers'
+    * CUSTOMER sets — |A∩B| from the same customer-keyed projection join
+    * as [[bipartiteProjectionQuery]], |A|,|B| from per-supplier degrees
+    * joined on each side. The "structurally equivalent nodes" query
+    * (interchangeable suppliers, substitute products) that raw shared
+    * counts get wrong: a hub shares customers with everyone, Jaccard
+    * normalizes that away. Pairs are thresholded by an exact integer
+    * cross-multiply (shared·4 ≥ union·1, i.e. J ≥ 0.25) before the one
+    * IEEE division; top-k by (jaccard, pair) via TakeOrderedAndProject. */
+  def graphJaccardQuery(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, k: Int = 50): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cs = graft.scale.Silver.scratch(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("s"))
+        .distinct(),
+      "gj_edges")
+    val deg = cs.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val shared = cs.as("a").join(cs.as("b"),
+        col("a.cust") === col("b.cust") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("s").as("s1"), col("d").as("d1")), "s1")
+      .join(deg.select(col("s").as("s2"), col("d").as("d2")), "s2")
+      .withColumn("uni", col("d1") + col("d2") - col("shared"))
+      .filter(col("shared") * 4 >= col("uni"))
+      .withColumn("jaccard", col("shared").cast("double") / col("uni"))
+      .select("s1", "s2", "shared", "d1", "d2", "jaccard")
+      .orderBy(col("jaccard").desc, col("s1").asc, col("s2").asc)
+      .limit(k)
+  }
 }

@@ -410,4 +410,79 @@ object Search {
   /** q_tfidf over the documents table. */
   def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(Tables.documents(spark, dir)).orderBy("doc_id", "term")
+
+  // ---------------------------------------------------------------------
+  // Zipf coverage curve
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary coverage curve (q_coverage): what fraction of all token
+    * OCCURRENCES the top-N types cover, at N ∈ {100, 1000, 10000} — the
+    * Zipf curve every vocab-size decision reads ("a 10k vocab covers
+    * 97%"). Frequency ranks come from the two-pass
+    * [[graft.operators.Ranking.distributedGlobalRank]] (no single-
+    * partition window over the vocab); coverage at each cutoff is one
+    * conditional aggregate over the ranked type table, with the corpus
+    * total as a one-row broadcast. `share` is the single IEEE division. */
+  def coverageCurve(docs: DataFrame,
+                    cutoffs: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    val counted = docs.select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.Ranking.distributedGlobalRank(
+      counted, Seq(col("cnt").desc, col("tok").asc),
+      rankCol = "rnk", nCol = "__n")
+    val total = ranked.agg(sum(col("cnt")).as("total"))
+    val cuts = docs.sparkSession
+      .createDataFrame(cutoffs.map(Tuple1(_))).toDF("cutoff")
+    ranked.crossJoin(broadcast(cuts))
+      .groupBy("cutoff")
+      .agg(sum(when(col("rnk") <= col("cutoff"), col("cnt"))
+        .otherwise(lit(0L))).as("covered"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("covered").cast("double") / col("total"))
+      .select("cutoff", "covered", "share")
+      .orderBy("cutoff")
+  }
+
+  /** q_coverage over the documents table. */
+  def coverageQuery(spark: SparkSession, dir: String): DataFrame =
+    coverageCurve(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Keyness (distinctive vocabulary)
+  // ---------------------------------------------------------------------
+
+  /** Distinctive-vocabulary ranking (q_keyness): which tokens are
+    * characteristic of the English slice vs the rest of the corpus —
+    * corpus-comparison "keyness", scored as smoothed relative risk
+    * score = a·(N_rest+1) / ((b+1)·N_en) (a,b = token counts in each
+    * slice, N = slice token totals). The log-likelihood G² the
+    * literature uses needs log (not IEEE-portable); relative risk keeps
+    * every product an exact long and the score a single cast-and-divide,
+    * and the +1 smoothing keeps slice-exclusive tokens finite. Minimum
+    * combined count 20 kills the hapax tail.
+    *
+    * Scale shape: two token-keyed aggregates via one conditional pass,
+    * one-row broadcast totals, TakeOrderedAndProject top-k. */
+  def keyness(docs: DataFrame, minCount: Long = 20L, topK: Int = 50): DataFrame = {
+    val tok = Silver.scratch(
+      docs.select((col("lang") === "en").as("is_en"),
+        explode(toks(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(sum(when(col("is_en"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("is_en"), 0L).otherwise(1L)).as("b")),
+      "keyness_tok") // feeds the totals and the scoring
+    val totals = tok.agg(sum(col("a")).as("n_en"), sum(col("b")).as("n_rest"))
+    tok.filter(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        (col("a") * (col("n_rest") + 1)).cast("double") /
+          ((col("b") + 1) * col("n_en")).cast("double"))
+      .select("tok", "a", "b", "score")
+      .orderBy(col("score").desc, col("tok").asc)
+      .limit(topK)
+  }
+
+  /** q_keyness over the documents table. */
+  def keynessQuery(spark: SparkSession, dir: String): DataFrame =
+    keyness(Tables.documents(spark, dir))
 }

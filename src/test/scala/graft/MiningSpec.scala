@@ -263,6 +263,46 @@ class MiningSpec extends SparkSpec {
     assert(si.nonEmpty && si.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  // ------------------------------------------------------------- batch 6
+
+  test("rfm/time-travel/graph-jaccard/coverage/keyness invariants") {
+    val rfm = graft.operators.EventOps.rfmSegments(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rfm.nonEmpty)
+    rfm.foreach { r =>
+      val (rc, fc, mc, code) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(Seq(rc, fc, mc).forall(c => c >= 1 && c <= 3))
+      assert(code == rc * 100 + fc * 10 + mc)
+    }
+
+    val tt = graft.operators.EventOps.timeTravel(spark, TestSpark.Sf0001)
+      .collect()
+    assert(tt.nonEmpty)
+    assert(tt.map(_.getLong(0)).distinct.length == tt.length) // one per user
+    tt.foreach(r => assert(r.getLong(3) <= 1705708800000L))
+
+    val gj = graft.operators.Joins.graphJaccardQuery(spark, TestSpark.Sf0001)
+      .collect()
+    gj.foreach { r =>
+      val (sh, d1, d2, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(j == sh.toDouble / (d1 + d2 - sh) && j >= 0.25 && j <= 1.0)
+    }
+
+    val cov = graft.scale.Search.coverageQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(cov.map(_.getLong(1)).toSeq == cov.map(_.getLong(1)).toSeq.sorted)
+    cov.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+
+    val key = graft.scale.Search.keynessQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(key.nonEmpty)
+    assert(key.map(_.getDouble(3)).toSeq ==
+      key.map(_.getDouble(3)).toSeq.sorted.reverse)
+    key.foreach(r => assert(r.getLong(1) + r.getLong(2) >= 20L))
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
