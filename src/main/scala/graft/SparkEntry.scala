@@ -199,7 +199,13 @@ object SparkEntry {
     "q_time_travel"     -> ((s, d) => EventOps.timeTravel(s, d)),
     "q_graph_jaccard"   -> ((s, d) => graft.operators.Joins.graphJaccardQuery(s, d)),
     "q_coverage"        -> ((s, d) => graft.scale.Search.coverageQuery(s, d)),
-    "q_keyness"         -> ((s, d) => graft.scale.Search.keynessQuery(s, d))
+    "q_keyness"         -> ((s, d) => graft.scale.Search.keynessQuery(s, d)),
+    "q_paths"           -> ((s, d) => EventOps.frequentPaths(s, d)),
+    "q_churn"           -> ((s, d) => EventOps.churn(s, d)),
+    "q_purchase_gaps"   -> ((s, d) => EventOps.purchaseGaps(s, d)),
+    "q_anomaly_days"    -> ((s, d) => EventOps.anomalousDays(s, d)),
+    "q_basket_lift"     -> ((s, d) => Analytics.basketLift(s, d)),
+    "q_movers"          -> ((s, d) => Analytics.rankMovers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3281,7 +3287,119 @@ object SparkEntry {
         |FROM tok, t
         |WHERE a + b >= 20
         |ORDER BY score DESC, tok
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // Order-2 event paths: two leads over the (ts_ms, event_id) order.
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM p WHERE t3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY cnt DESC, path
+        |LIMIT 20""".stripMargin,
+
+    // Churn flag vs the corpus horizon; exact integer comparison.
+    "q_churn" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_ms(ts) // 86400000) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT max(last_day) AS max_day FROM u)
+        |SELECT user_id, last_day, n_events,
+        |       last_day < max_day - 30 AS churned
+        |FROM u, h
+        |ORDER BY user_id""".stripMargin,
+
+    // Inter-purchase gaps: per-user lag, one global stats row; exact
+    // mean division, interpolated exact percentiles.
+    "q_purchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts_ms, event_id) AS gap_ms
+        |  FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(sum(gap_ms) // count(*) AS BIGINT) AS mean_ms,
+        |       quantile_cont(gap_ms, 0.5) AS p50_ms,
+        |       quantile_cont(gap_ms, 0.9) AS p90_ms,
+        |       CAST(max(gap_ms) AS BIGINT) AS max_ms
+        |FROM g WHERE gap_ms IS NOT NULL""".stripMargin,
+
+    // Exact 2-sigma day flags: z² > 4 with both sides ×n² — pure
+    // integer arithmetic, no σ, no sqrt, no FP.
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.x
+        |FROM daily d JOIN m USING (event_type)
+        |WHERE (m.n * d.x - m.sx) * (m.n * d.x - m.sx)
+        |        > 4 * (m.n * m.sxx - m.sx * m.sx)
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // Market-basket lift: the PMI rational over order baskets.
+    "q_basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pairs.p1, pairs.p2, pairs.c_ab, x.c AS c1, y.c AS c2,
+        |       CAST(pairs.c_ab * n.n_orders AS DOUBLE)
+        |         / CAST(x.c * y.c AS DOUBLE) AS lift
+        |FROM pairs JOIN pc x ON pairs.p1 = x.p
+        |     JOIN pc y ON pairs.p2 = y.p
+        |     CROSS JOIN n
+        |ORDER BY lift DESC, p1, p2
+        |LIMIT 50""".stripMargin,
+
+    // Rank movers between corpus halves; row_number over the 25-row
+    // per-half aggregate ≡ the engine's counting self-join rank.
+    "q_movers" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |hv AS (
+        |  SELECT n.n_name AS nation_name,
+        |         CASE WHEN o.day * 2 <= b.d0 + b.d1 THEN 'h1' ELSE 'h2' END AS half,
+        |         CAST(sum(o.p) * 100 AS BIGINT) AS v
+        |  FROM o CROSS JOIN b
+        |       JOIN customer c ON o.o_custkey = c.c_custkey
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nation_name, half, v,
+        |         CAST(row_number() OVER (PARTITION BY half
+        |                                 ORDER BY v DESC, nation_name)
+        |              AS BIGINT) AS rnk
+        |  FROM hv)
+        |SELECT a.nation_name, a.v AS v_h1, c.v AS v_h2,
+        |       a.rnk AS rank_h1, c.rnk AS rank_h2,
+        |       a.rnk - c.rnk AS rank_delta
+        |FROM r a JOIN r c ON a.nation_name = c.nation_name
+        |     AND a.half = 'h1' AND c.half = 'h2'
+        |ORDER BY a.nation_name""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

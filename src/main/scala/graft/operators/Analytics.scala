@@ -646,6 +646,86 @@ object Analytics {
       .orderBy("prio", "week")
   }
 
+  /** Market-basket lift (q_basket_lift): part pairs that co-occur in
+    * orders far beyond what their individual popularity predicts —
+    * lift = c_ab·N / (c_a·c_b) from exact longs, the basket-mining twin
+    * of [[graft.scale.Search.pmiCollocations]] (same rational, log-free
+    * scoring; same bounded-fan-out discipline: the self-join is keyed on
+    * the ORDER, so candidate volume is Σ basket² — basket size is
+    * physically bounded — never parts²). Pair counts shuffle on the
+    * (p1, p2) key; per-part order counts join token-style on each side;
+    * N rides a one-row broadcast; top-k via TakeOrderedAndProject. */
+  def basketLift(spark: SparkSession, dir: String,
+                 minCnt: Long = 3L, k: Int = 50): DataFrame = {
+    val op = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      "basket_edges") // feeds pair join, part counts, and N
+    val n = op.agg(countDistinct(col("o")).as("n_orders"))
+    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCnt)
+    pairs
+      .join(pc.select(col("p").as("p1"), col("c").as("c1")), "p1")
+      .join(pc.select(col("p").as("p2"), col("c").as("c2")), "p2")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        (col("c_ab") * col("n_orders")).cast("double") /
+          (col("c1") * col("c2")).cast("double"))
+      .select("p1", "p2", "c_ab", "c1", "c2", "lift")
+      .orderBy(col("lift").desc, col("p1").asc, col("p2").asc)
+      .limit(k)
+  }
+
+  /** Rank movers between corpus halves (q_movers): each nation's revenue
+    * rank in the first vs second half of the order history and the rank
+    * movement — the "who's rising" leaderboard delta. Halves split at
+    * the midpoint of the corpus day range (broadcast min/max — no data-
+    * dependent config). Ranks are computed by a counting self-join over
+    * the 25-row nation aggregate (rank = 1 + #strictly-better rows under
+    * the unique (cents DESC, name ASC) order) — dimension-sized
+    * arithmetic, rather than any window machinery, reaches the same
+    * unique total order. */
+  def rankMovers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val halves = graft.scale.Silver.scratch(
+      o.crossJoin(broadcast(bounds))
+        .withColumn("half",
+          when(col("day") * 2 <= col("d0") + col("d1"), lit("h1"))
+            .otherwise(lit("h2")))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation_name"), col("half"))
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "movers_halves") // 50 rows; feeds both half frames and both rank joins
+    def ranked(h: String) = {
+      val x = halves.filter(col("half") === h)
+        .select(col("nation_name"), col("v"))
+      x.as("a").join(x.as("b"),
+          col("b.v") > col("a.v") ||
+            (col("b.v") === col("a.v") && col("b.nation_name") < col("a.nation_name")),
+          "left")
+        .groupBy(col("a.nation_name").as("nation_name"), col("a.v").as("v"))
+        .agg((count(col("b.nation_name")) + 1).as("rnk"))
+    }
+    ranked("h1").select(col("nation_name"), col("v").as("v_h1"), col("rnk").as("rank_h1"))
+      .join(ranked("h2").select(col("nation_name"), col("v").as("v_h2"),
+        col("rnk").as("rank_h2")), "nation_name")
+      .withColumn("rank_delta", col("rank_h1") - col("rank_h2"))
+      .select("nation_name", "v_h1", "v_h2", "rank_h1", "rank_h2", "rank_delta")
+      .orderBy("nation_name")
+  }
+
   /** Per-group exact mode (q_mode): each nation's most common order
     * priority — argmax by (count DESC, value ASC) via the min-struct
     * idiom on (−cnt, value): a two-level keyed aggregate, partial-

@@ -480,6 +480,92 @@ object EventOps {
       .select("user_id", "event_id", "value", "valid_from")
       .orderBy("user_id")
 
+  /** Frequent 3-event paths (q_paths): the order-2 extension of
+    * [[eventTransitions]] — which (t₁ → t₂ → t₃) journeys actually
+    * happen, the input to funnel design rather than funnel measurement.
+    * Two leads over the same per-user (ts_ms, event_id) total order, a
+    * |types|³-bounded count, top-20. */
+  def frequentPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Churn report (q_churn): per user, last active day, volume, and the
+    * churn flag (no activity in the corpus's final 30 days) — the
+    * retention denominator every lifecycle dashboard starts from. One
+    * keyed aggregate + a one-row broadcast horizon; the flag is exact
+    * integer arithmetic. */
+  def churn(spark: SparkSession, dir: String, horizonDays: Int = 30): DataFrame = {
+    val u = graft.scale.Silver.scratch(
+      events(spark, dir)
+        .groupBy("user_id")
+        .agg(max(expr("ts_ms div 86400000")).as("last_day"),
+          count(lit(1)).as("n_events")),
+      "churn_users") // feeds the horizon and the flagging
+    val h = u.agg(max(col("last_day")).as("max_day"))
+    u.crossJoin(broadcast(h))
+      .withColumn("churned", col("last_day") < col("max_day") - horizonDays)
+      .select("user_id", "last_day", "n_events", "churned")
+      .orderBy("user_id")
+  }
+
+  /** Inter-purchase gap distribution (q_purchase_gaps): the corpus-wide
+    * distribution of time between a user's consecutive purchases — the
+    * replenishment-cycle statistic behind send-time optimization and
+    * churn-risk horizons (a user 3× past their typical gap is at risk;
+    * [[churn]]'s fixed 30-day cut is this query's output made static).
+    * Per-user lag window (per-key frames), then ONE global aggregate
+    * row: exact mean (integer division), exact interpolated p50/p90,
+    * max. */
+  def purchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select((col("ts_ms") - col("prev_ts")).as("gap_ms"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("sum(gap_ms) div count(1)").as("mean_ms"),
+        expr("percentile(gap_ms, 0.5)").as("p50_ms"),
+        expr("percentile(gap_ms, 0.9)").as("p90_ms"),
+        max(col("gap_ms")).as("max_ms"))
+  }
+
+  /** Exact anomalous-day detection (q_anomaly_days): days whose volume
+    * sits more than `sigma` population standard deviations from the
+    * type's daily mean — flagged ENTIRELY in integer arithmetic:
+    * (n·x − Σx)² > σ²·(n·Σx² − (Σx)²) is z² > σ² with both sides
+    * multiplied through by n², so the filter is exact (no σ, no sqrt,
+    * no FP at all — the same moments trick as [[Regression.groupedOls]]
+    * taken one step further). One (type, day) count, one type-keyed
+    * moment rollup broadcast back over the daily table. */
+  def anomalousDays(spark: SparkSession, dir: String,
+                    sigma: Int = 2): DataFrame = {
+    val daily = graft.scale.Silver.scratch(
+      events(spark, dir)
+        .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("x")),
+      "anom_daily") // feeds the moments and the flagging
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    daily.join(broadcast(m), "event_type")
+      .withColumn("dev", col("n") * col("x") - col("sx"))
+      .filter(col("dev") * col("dev") >
+        lit(sigma.toLong * sigma) * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select("event_type", "day", "x")
+      .orderBy("event_type", "day")
+  }
+
   /** Burstiness per event type (q_fano): the Fano factor (variance-to-
     * mean ratio) of the DAILY event-count series — ≈1 for Poisson-like
     * arrivals, ≫1 for bursty traffic (flash crowds, batch backfills,

@@ -303,6 +303,45 @@ class MiningSpec extends SparkSpec {
     key.foreach(r => assert(r.getLong(1) + r.getLong(2) >= 20L))
   }
 
+  // ------------------------------------------------------------- batch 7
+
+  test("paths/churn/gaps/anomaly/basket-lift/movers invariants") {
+    val paths = graft.operators.EventOps.frequentPaths(spark, TestSpark.Sf0001)
+      .collect()
+    assert(paths.nonEmpty)
+    assert(paths.map(_.getLong(1)).toSeq ==
+      paths.map(_.getLong(1)).toSeq.sorted.reverse)
+    paths.foreach(r => assert(r.getString(0).split(">").length == 3))
+
+    val ch = graft.operators.EventOps.churn(spark, TestSpark.Sf0001).collect()
+    val maxDay = ch.map(_.getLong(1)).max
+    ch.foreach(r =>
+      assert(r.getBoolean(3) == (r.getLong(1) < maxDay - 30)))
+
+    val g = graft.operators.EventOps.purchaseGaps(spark, TestSpark.Sf0001).head()
+    assert(g.getLong(0) > 0 && g.getLong(1) > 0)
+    assert(g.getDouble(2) <= g.getDouble(3) && g.getDouble(3) <= g.getLong(4))
+
+    val an = graft.operators.EventOps.anomalousDays(spark, TestSpark.Sf0001)
+      .collect()
+    assert(an.nonEmpty) // threshold chosen to be non-vacuous on the corpus
+
+    val bl = graft.operators.Analytics.basketLift(spark, TestSpark.Sf0001)
+      .collect()
+    assert(bl.nonEmpty)
+    bl.foreach { r => // lift ≡ c_ab·N/(c1·c2) sanity: positive, pairs ordered
+      assert(r.getLong(0) < r.getLong(1) && r.getDouble(5) > 0.0)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+
+    val mv = graft.operators.Analytics.rankMovers(spark, TestSpark.Sf0001)
+      .collect()
+    assert(mv.length == 25)
+    assert(mv.map(_.getLong(3)).sorted.toSeq == (1L to 25L)) // rank_h1 is a permutation
+    assert(mv.map(_.getLong(4)).sorted.toSeq == (1L to 25L))
+    mv.foreach(r => assert(r.getLong(5) == r.getLong(3) - r.getLong(4)))
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
