@@ -205,7 +205,10 @@ object SparkEntry {
     "q_purchase_gaps"   -> ((s, d) => EventOps.purchaseGaps(s, d)),
     "q_anomaly_days"    -> ((s, d) => EventOps.anomalousDays(s, d)),
     "q_basket_lift"     -> ((s, d) => Analytics.basketLift(s, d)),
-    "q_movers"          -> ((s, d) => Analytics.rankMovers(s, d))
+    "q_movers"          -> ((s, d) => Analytics.rankMovers(s, d)),
+    "q_clustering"      -> ((s, d) => graft.operators.Triangles.clusteringQuery(s, d)),
+    "q_assortativity"   -> ((s, d) => graft.operators.Triangles.assortativityQuery(s, d)),
+    "q_hhi"             -> ((s, d) => Analytics.revenueHhi(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3399,7 +3402,82 @@ object SparkEntry {
         |       a.rnk - c.rnk AS rank_delta
         |FROM r a JOIN r c ON a.nation_name = c.nation_name
         |     AND a.half = 'h1' AND c.half = 'h2'
-        |ORDER BY a.nation_name""".stripMargin
+        |ORDER BY a.nation_name""".stripMargin,
+
+    // Global clustering coefficient: independent formulations (engine:
+    // degree-ordered per-node counts summed; oracle: id-canonical
+    // 3-join) + wedge count from degrees.
+    "q_clustering" ->
+      """WITH e AS (
+        |  SELECT DISTINCT i.l_partkey AS x, j.l_partkey AS y
+        |  FROM lineitem i JOIN lineitem j
+        |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+        |  GROUP BY node),
+        |ds AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS wedges
+        |  FROM deg),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |       JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+        |SELECT ds.n_nodes, ds.n_edges, ds.wedges, tri.t AS triangles,
+        |       CAST(3 * tri.t AS DOUBLE) / ds.wedges AS global_coef
+        |FROM ds, tri""".stripMargin,
+
+    // Degree assortativity: exact-moment OLS over endpoint degrees of
+    // the symmetrized co-trading edge list (q_regression replay).
+    "q_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l.l_suppkey AS x, -(o.o_custkey + 1) AS y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+        |deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |sc AS (
+        |  SELECT 'all' AS g, dx.d AS x, dy.d AS y
+        |  FROM sym JOIN deg dx ON sym.x = dx.v JOIN deg dy ON sym.y = dy.v),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM sc GROUP BY g),
+        |d AS (
+        |  SELECT g, n,
+        |    CAST(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS den_x,
+        |    CAST(CAST(CAST(n AS HUGEINT)*syy - sy*sy AS VARCHAR) AS DOUBLE) AS den_y,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d
+        |  FROM s)
+        |SELECT g, n,
+        |       num / den_x AS slope,
+        |       (sy_d - (num / den_x) * sx_d) / CAST(n AS DOUBLE) AS intercept,
+        |       num / sqrt(den_x * den_y) AS corr
+        |FROM d""".stripMargin,
+
+    // HHI: exact HUGEINT sums of squared cents, VARCHAR-routed casts.
+    "q_hhi" ->
+      """WITH bySupp AS (
+        |  SELECT s.s_nationkey, l.l_suppkey,
+        |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+        |              AS HUGEINT) AS v
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         CAST(sum(v) AS BIGINT) AS total_cents,
+        |         sum(v * v) AS num,
+        |         sum(v) * sum(v) AS den
+        |  FROM bySupp GROUP BY 1)
+        |SELECT n.n_name AS nation_name, a.n_suppliers, a.total_cents,
+        |       CAST(CAST(a.num AS VARCHAR) AS DOUBLE)
+        |         / CAST(CAST(a.den AS VARCHAR) AS DOUBLE) AS hhi
+        |FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+        |ORDER BY nation_name""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -726,6 +726,37 @@ object Analytics {
       .orderBy("nation_name")
   }
 
+  /** Market concentration (q_hhi): Herfindahl–Hirschman index of each
+    * nation's supplier revenue — HHI = Σ vᵢ² / (Σ vᵢ)², the antitrust /
+    * vendor-risk concentration number (1 = monopoly, 1/n = perfectly
+    * even). Both sums accumulate exactly in decimal(38,0) over squared
+    * cents (cents² exceeds Long — this is precisely the overflow class
+    * [[Regression.groupedOls]]'s decimal discipline exists for); the two
+    * double casts and one division are the only IEEE steps, and the
+    * DuckDB side routes its HUGEINT→DOUBLE casts through VARCHAR (the
+    * q_trend pitfall). One supplier rollup + one nation rollup +
+    * broadcast nation dim. */
+  def revenueHhi(spark: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").as("v"))
+    bySupp
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("v")).cast("long").as("total_cents"),
+        sum(col("v") * col("v")).as("num"),
+        (sum(col("v")) * sum(col("v"))).as("den"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation_name"), col("n_suppliers"),
+        col("total_cents"),
+        (col("num").cast("double") / col("den").cast("double")).as("hhi"))
+      .orderBy("nation_name")
+  }
+
   /** Per-group exact mode (q_mode): each nation's most common order
     * priority — argmax by (count DESC, value ASC) via the min-struct
     * idiom on (−cnt, value): a two-level keyed aggregate, partial-

@@ -107,4 +107,64 @@ object Triangles {
       .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
     nodeTriangleCounts(edges).orderBy("node")
   }
+
+  /** Global clustering coefficient (q_clustering): C = 3·T / W — the
+    * one-number "how cliquish is this graph" summary (T = triangles,
+    * W = wedges = Σ d(d−1)/2). Triangle mass reuses the degree-ordered
+    * counter above (Σ per-node counts = 3T); wedges are one aggregate
+    * over the degree table. All counts exact longs; `global_coef` is the
+    * single IEEE division. Output also carries n_nodes/n_edges — the
+    * graph's one-row fact sheet. */
+  def clusteringQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("i").join(li.as("j"),
+        col("i.l_orderkey") === col("j.l_orderkey") &&
+          col("i.l_partkey") < col("j.l_partkey"))
+      .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
+    val und = graft.scale.Silver.scratch(
+      edges.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y")).distinct(),
+      "clust_edges")
+    val deg = und.select(col("x").as("v")).unionAll(und.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * (col("d") - 1)).as("sw"))
+      .select(col("n_nodes"), expr("sd div 2").as("n_edges"),
+        expr("sw div 2").as("wedges"))
+    val triTotal = nodeTriangleCounts(und.select(col("x").as("a"), col("y").as("b")))
+      .agg(coalesce(sum(col("tri_cnt")), lit(0L)).as("tri3")) // = 3 · T
+    degStats.crossJoin(broadcast(triTotal))
+      .withColumn("triangles", expr("tri3 div 3"))
+      .withColumn("global_coef",
+        col("tri3").cast("double") / col("wedges"))
+      .select("n_nodes", "n_edges", "wedges", "triangles", "global_coef")
+  }
+
+  /** Degree assortativity (q_assortativity): Pearson correlation of the
+    * endpoint degrees over the symmetrized edge list — positive: hubs
+    * link to hubs (social nets), negative: hubs link to leaves
+    * (hub-and-spoke supply/infrastructure). One degree aggregate, two
+    * edge-keyed degree joins, then [[Regression.groupedOls]]'s exact
+    * decimal moments on a constant key — corr IS the assortativity.
+    * Degrees are small integers so the decimal moments never approach
+    * their bounds. */
+  def assortativityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = graft.scale.Silver.scratch(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("x"), (-(col("o_custkey") + 1)).as("y"))
+        .distinct(),
+      "assort_edges")
+    val sym = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
+    val deg = sym.groupBy(col("x").as("v")).agg(count(lit(1)).as("d"))
+    val scored = sym
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+      .select(lit("all").as("g"), col("dx"), col("dy"))
+    Regression.groupedOls(scored, Seq("g"), col("dx"), col("dy"))
+      .select("g", "n", "slope", "intercept", "corr")
+  }
 }

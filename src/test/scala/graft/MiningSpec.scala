@@ -342,6 +342,30 @@ class MiningSpec extends SparkSpec {
     mv.foreach(r => assert(r.getLong(5) == r.getLong(3) - r.getLong(4)))
   }
 
+  // ------------------------------------------------------------- batch 8
+
+  test("clustering/assortativity/hhi invariants on the corpus") {
+    val cl = graft.operators.Triangles.clusteringQuery(spark, TestSpark.Sf0001)
+      .head()
+    val (wedges, tris, coef) = (cl.getLong(2), cl.getLong(3), cl.getDouble(4))
+    assert(tris >= 0 && wedges >= tris * 3)       // every triangle is 3 wedges
+    assert(coef == 3.0 * tris / wedges && coef >= 0.0 && coef <= 1.0)
+
+    val as = graft.operators.Triangles
+      .assortativityQuery(spark, TestSpark.Sf0001).head()
+    val corr = as.getDouble(4)
+    assert(corr >= -1.0 - 1e-9 && corr <= 1.0 + 1e-9)
+
+    val hhi = graft.operators.Analytics.revenueHhi(spark, TestSpark.Sf0001)
+      .collect()
+    assert(hhi.nonEmpty) // sf0.001 has 10 suppliers across 10 nations
+    hhi.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(3))
+      assert(h > 0.0 && h <= 1.0)
+      assert(h >= 1.0 / n - 1e-12) // HHI is minimized by an even split
+    }
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
