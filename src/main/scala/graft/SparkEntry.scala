@@ -208,7 +208,11 @@ object SparkEntry {
     "q_movers"          -> ((s, d) => Analytics.rankMovers(s, d)),
     "q_clustering"      -> ((s, d) => graft.operators.Triangles.clusteringQuery(s, d)),
     "q_assortativity"   -> ((s, d) => graft.operators.Triangles.assortativityQuery(s, d)),
-    "q_hhi"             -> ((s, d) => Analytics.revenueHhi(s, d))
+    "q_hhi"             -> ((s, d) => Analytics.revenueHhi(s, d)),
+    "q_gini"            -> ((s, d) => Analytics.spendGini(s, d)),
+    "q_boxplot"         -> ((s, d) => Analytics.segmentBoxplot(s, d)),
+    "q_benford"         -> ((s, d) => Analytics.benfordDigits(s, d)),
+    "q_pareto"          -> ((s, d) => Analytics.paretoCurve(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3477,7 +3481,91 @@ object SparkEntry {
         |       CAST(CAST(a.num AS VARCHAR) AS DOUBLE)
         |         / CAST(CAST(a.den AS VARCHAR) AS DOUBLE) AS hhi
         |FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
-        |ORDER BY nation_name""".stripMargin
+        |ORDER BY nation_name""".stripMargin,
+
+    // Gini from the closed positional form; i·v sums in HUGEINT with
+    // VARCHAR-routed double casts; row_number ≡ the distributed rank.
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v, o_custkey)
+        |            AS BIGINT) AS i
+        |  FROM spend),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(v) AS BIGINT) AS total_cents,
+        |         sum(CAST(i AS HUGEINT) * v) AS siv,
+        |         sum(CAST(v AS HUGEINT)) AS sv
+        |  FROM r)
+        |SELECT n_customers, total_cents,
+        |       CAST(CAST(2 * siv - (n_customers + 1) * sv AS VARCHAR) AS DOUBLE)
+        |         / CAST(CAST(CAST(n_customers AS HUGEINT) * sv AS VARCHAR)
+        |                AS DOUBLE) AS gini
+        |FROM s""".stripMargin,
+
+    // Box-plot stats: exact interpolated quartiles, Tukey fences in
+    // identical double arithmetic, outlier tally via the broadcast-back.
+    "q_boxplot" ->
+      """WITH c AS (SELECT c_mktsegment AS segment, c_acctbal FROM customer),
+        |st AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |         quantile_cont(c_acctbal, 0.25) AS p25,
+        |         quantile_cont(c_acctbal, 0.75) AS p75
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT segment, n, p25, p75, p75 - p25 AS iqr,
+        |             p25 - 1.5 * (p75 - p25) AS lo_fence,
+        |             p75 + 1.5 * (p75 - p25) AS hi_fence
+        |      FROM st)
+        |SELECT f.segment, f.n, f.p25, f.p75, f.iqr, f.lo_fence, f.hi_fence,
+        |       CAST(sum(CASE WHEN c.c_acctbal < f.lo_fence
+        |                       OR c.c_acctbal > f.hi_fence
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM c JOIN f USING (segment)
+        |GROUP BY f.segment, f.n, f.p25, f.p75, f.iqr, f.lo_fence, f.hi_fence
+        |ORDER BY f.segment""".stripMargin,
+
+    // Benford first digits from the integer's decimal string (double
+    // formatting is not engine-portable; integer formatting is).
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |                1, 1) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM d WHERE digit <> '0' GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g)
+        |SELECT digit, cnt, CAST(cnt AS DOUBLE) / t.total AS share
+        |FROM g, t
+        |ORDER BY digit""".stripMargin,
+
+    // Pareto curve: ⌈p·n/100⌉ cutoffs in exact integers over the ranked
+    // spend table; conditional sums per cutoff.
+    "q_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v DESC, o_custkey)
+        |            AS BIGINT) AS i
+        |  FROM spend),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS total FROM r),
+        |cuts AS (SELECT CAST(unnest([1, 5, 20]) AS BIGINT) AS pct),
+        |sel AS (
+        |  SELECT pct, (pct * t.n + 99) // 100 AS k, t.total AS total,
+        |         CAST(sum(CASE WHEN i <= (pct * t.n + 99) // 100
+        |                  THEN v ELSE 0 END) AS BIGINT) AS top_cents
+        |  FROM r, cuts, t GROUP BY 1, 2, 3)
+        |SELECT pct, CAST(k AS BIGINT) AS top_k, top_cents,
+        |       CAST(top_cents AS DOUBLE) / total AS share
+        |FROM sel
+        |ORDER BY pct""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

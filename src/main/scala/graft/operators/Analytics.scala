@@ -757,6 +757,111 @@ object Analytics {
       .orderBy("nation_name")
   }
 
+  /** Gini coefficient of customer spend (q_gini): the inequality number
+    * next to [[revenueHhi]]'s concentration number, computed from the
+    * closed positional form over ascending-sorted values:
+    * G = (2·Σ i·vᵢ − (n+1)·Σv) / (n·Σv). Positions come from
+    * [[Ranking.distributedGlobalRank]] under the unique (spend, custkey)
+    * order; i·vᵢ products exceed Long at scale, so the sums accumulate
+    * in decimal(38,0) (HUGEINT in the oracle) and the single division is
+    * the only IEEE op. */
+  def spendGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val ranked = Ranking.distributedGlobalRank(spend,
+      Seq(col("v").asc, col("o_custkey").asc), rankCol = "i", nCol = "__n")
+    val d38 = "decimal(38,0)"
+    ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("v").cast(d38)).as("sv"),
+        sum(col("i").cast(d38) * col("v").cast(d38)).as("siv"))
+      .select(col("n_customers"),
+        col("sv").cast("long").as("total_cents"),
+        ((lit(2).cast(d38) * col("siv") -
+            (col("n_customers") + 1).cast(d38) * col("sv")).cast("double") /
+          (col("n_customers").cast(d38) * col("sv")).cast("double")).as("gini"))
+  }
+
+  /** Box-plot statistics with Tukey fences (q_boxplot): per market
+    * segment, exact interpolated quartiles, IQR, the 1.5·IQR fences, and
+    * the count of customers outside them — the distribution summary a
+    * dashboard draws as a box plot, including the outlier tally that
+    * motivates the whiskers. Quartile thresholds broadcast back over the
+    * fact stream (the [[EventOps.rfmSegments]] coding discipline);
+    * fences are plain double arithmetic identical in both engines. */
+  def segmentBoxplot(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"), col("c_acctbal"))
+    val stats = c.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(c_acctbal, 0.25)").as("p25"),
+        expr("percentile(c_acctbal, 0.75)").as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("lo_fence", col("p25") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence", col("p75") + lit(1.5) * col("iqr"))
+    c.join(broadcast(stats), "segment")
+      .groupBy("segment")
+      .agg(first(col("n")).as("n"), first(col("p25")).as("p25"),
+        first(col("p75")).as("p75"), first(col("iqr")).as("iqr"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        sum(when(col("c_acctbal") < col("lo_fence") ||
+          col("c_acctbal") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("segment")
+  }
+
+  /** Benford first-digit profile (q_benford): distribution of the
+    * leading digit of order totals — the fraud-screening staple
+    * (fabricated figures drift from Benford's log curve). The digit is
+    * taken from the DECIMAL STRING of the floored integer total —
+    * double→string formatting differs across engines, integer→string
+    * cannot. `share` is the single IEEE division of exact longs. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .filter(col("digit") =!= "0")
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum(col("cnt")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .select("digit", "cnt", "share")
+      .orderBy("digit")
+  }
+
+  /** Pareto concentration curve (q_pareto): what share of total revenue
+    * the top 1% / 5% / 20% of customers carry — the "80/20" read on the
+    * same ranked-spend table as [[spendGini]]. Cutoff sizes are exact
+    * integer arithmetic (⌈p·n/100⌉); coverage at each cutoff is one
+    * conditional aggregate (the [[graft.scale.Search.coverageCurve]]
+    * pattern pointed at revenue); shares are single IEEE divisions. */
+  def paretoCurve(spark: SparkSession, dir: String,
+                  pcts: Seq[Int] = Seq(1, 5, 20)): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val ranked = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(spend,
+        Seq(col("v").desc, col("o_custkey").asc), rankCol = "i", nCol = "__n"),
+      "pareto_ranked") // feeds the totals row and the cutoff sums
+    val totals = ranked.agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val cuts = spark.createDataFrame(pcts.map(p => Tuple1(p.toLong)))
+      .toDF("pct")
+    ranked.crossJoin(broadcast(totals)).crossJoin(broadcast(cuts))
+      .withColumn("k", expr("(pct * n + 99) div 100")) // ⌈p·n/100⌉ exact
+      .groupBy("pct")
+      .agg(first(col("k")).as("top_k"),
+        sum(when(col("i") <= col("k"), col("v")).otherwise(0L)).as("top_cents"),
+        first(col("total")).as("total"))
+      .withColumn("share", col("top_cents").cast("double") / col("total"))
+      .select("pct", "top_k", "top_cents", "share")
+      .orderBy("pct")
+  }
+
   /** Per-group exact mode (q_mode): each nation's most common order
     * priority — argmax by (count DESC, value ASC) via the min-struct
     * idiom on (−cnt, value): a two-level keyed aggregate, partial-

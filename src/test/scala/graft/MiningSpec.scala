@@ -366,6 +366,35 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- batch 9
+
+  test("gini/boxplot/benford/pareto invariants on the corpus") {
+    val g = graft.operators.Analytics.spendGini(spark, TestSpark.Sf0001).head()
+    assert(g.getDouble(2) >= 0.0 && g.getDouble(2) < 1.0)
+
+    val bx = graft.operators.Analytics.segmentBoxplot(spark, TestSpark.Sf0001)
+      .collect()
+    assert(bx.nonEmpty)
+    bx.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3))            // p25 <= p75
+      assert(r.getDouble(5) <= r.getDouble(2))            // lo_fence <= p25
+      assert(r.getLong(7) <= r.getLong(1))                // outliers <= n
+    }
+
+    val bf = graft.operators.Analytics.benfordDigits(spark, TestSpark.Sf0001)
+      .collect()
+    assert(bf.map(_.getString(0)).forall(d => d >= "1" && d <= "9"))
+    assert(math.abs(bf.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+
+    val pa = graft.operators.Analytics.paretoCurve(spark, TestSpark.Sf0001)
+      .collect()
+    assert(pa.map(_.getLong(0)).toSeq == Seq(1L, 5L, 20L))
+    // concentration: a larger top slice always covers at least as much,
+    // and the top p% covers at least p% of revenue (sorted descending)
+    assert(pa.map(_.getDouble(3)).toSeq == pa.map(_.getDouble(3)).toSeq.sorted)
+    pa.foreach(r => assert(r.getDouble(3) >= r.getLong(0) / 100.0))
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
