@@ -212,7 +212,10 @@ object SparkEntry {
     "q_gini"            -> ((s, d) => Analytics.spendGini(s, d)),
     "q_boxplot"         -> ((s, d) => Analytics.segmentBoxplot(s, d)),
     "q_benford"         -> ((s, d) => Analytics.benfordDigits(s, d)),
-    "q_pareto"          -> ((s, d) => Analytics.paretoCurve(s, d))
+    "q_pareto"          -> ((s, d) => Analytics.paretoCurve(s, d)),
+    "q_growth_accounting" -> ((s, d) => EventOps.growthAccounting(s, d)),
+    "q_stickiness"      -> ((s, d) => EventOps.stickiness(s, d)),
+    "q_label_balance"   -> ((s, d) => graft.scale.EmbedStats.labelBalanceQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3565,7 +3568,71 @@ object SparkEntry {
         |SELECT pct, CAST(k AS BIGINT) AS top_k, top_cents,
         |       CAST(top_cents AS DOUBLE) / total AS share
         |FROM sel
-        |ORDER BY pct""".stripMargin
+        |ORDER BY pct""".stripMargin,
+
+    // Weekly growth accounting: lag equi-join for previous-week
+    // presence, shifted anti-join for churn, full outer stitch.
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS w
+        |            FROM events),
+        |f AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+        |sh AS (SELECT user_id, w + 1 AS w FROM uw),
+        |cls AS (
+        |  SELECT uw.w,
+        |         CASE WHEN uw.w = f.w0 THEN 1 ELSE 0 END AS is_new,
+        |         CASE WHEN sh.user_id IS NOT NULL AND uw.w <> f.w0
+        |              THEN 1 ELSE 0 END AS is_retained,
+        |         CASE WHEN sh.user_id IS NULL AND uw.w <> f.w0
+        |              THEN 1 ELSE 0 END AS is_resurrected
+        |  FROM uw JOIN f USING (user_id)
+        |       LEFT JOIN sh ON uw.user_id = sh.user_id AND uw.w = sh.w),
+        |c1 AS (SELECT w, CAST(sum(is_new) AS BIGINT) AS n_new,
+        |              CAST(sum(is_retained) AS BIGINT) AS n_retained,
+        |              CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
+        |       FROM cls GROUP BY w),
+        |ch AS (SELECT sh.w, CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM sh LEFT JOIN uw ON sh.user_id = uw.user_id AND sh.w = uw.w
+        |       WHERE uw.user_id IS NULL GROUP BY sh.w)
+        |SELECT COALESCE(c1.w, ch.w) AS w,
+        |       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |       CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |       CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM c1 FULL OUTER JOIN ch ON c1.w = ch.w
+        |ORDER BY w""".stripMargin,
+
+    // Trailing-window stickiness: constant-factor window fan-out +
+    // exact distinct per anchor, clipped to the corpus day range.
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |            FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |w7 AS (
+        |  SELECT anchor, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM (SELECT user_id, unnest(generate_series(day, day + 6)) AS anchor
+        |        FROM ud)
+        |  GROUP BY 1),
+        |w28 AS (
+        |  SELECT anchor, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM (SELECT user_id, unnest(generate_series(day, day + 27)) AS anchor
+        |        FROM ud)
+        |  GROUP BY 1)
+        |SELECT w7.anchor AS day, wau, mau,
+        |       CAST(wau AS DOUBLE) / mau AS stickiness
+        |FROM w7 JOIN w28 USING (anchor) CROSS JOIN b
+        |WHERE anchor >= b.d0 AND anchor <= b.d1
+        |ORDER BY day""".stripMargin,
+
+    // Class balance of the embeddings labels.
+    "q_label_balance" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS mx FROM c)
+        |SELECT label, cnt, CAST(cnt AS DOUBLE) / t.total AS share,
+        |       cnt = t.mx AS is_majority
+        |FROM c, t
+        |ORDER BY label""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -566,6 +566,79 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Weekly growth accounting (q_growth_accounting): the canonical
+    * new / retained / resurrected / churned decomposition of weekly
+    * active users — the growth-team ledger where every active user is
+    * exactly one of {new, retained, resurrected} and churn is counted
+    * against the week the user went silent. Built from the distinct
+    * (user, week) activity frame: presence-in-previous-week is an
+    * equi-join against the week-shifted frame (the lag-join discipline
+    * — nothing windows over the user timeline), first-week from one
+    * keyed min, churn via a shifted anti-join. All counts exact longs.
+    *
+    * Scale shape: the activity frame is materialized once and every
+    * classification is a (user_id, week)-keyed join against it —
+    * co-partitioned, linear, skew-free. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = graft.scale.Silver.scratch(
+      events(spark, dir)
+        .select(col("user_id"), expr("ts_ms div 604800000").as("w"))
+        .distinct(),
+      "growth_uw") // feeds first-week, the lag join, and the churn anti-join
+    val first = uw.groupBy("user_id").agg(min(col("w")).as("w0"))
+    val shifted = uw.select(col("user_id"), (col("w") + 1).as("w"))
+    val classified = uw
+      .join(first, "user_id")
+      .join(shifted.withColumn("was_prev", lit(1L)), Seq("user_id", "w"), "left")
+      .select(col("w"),
+        when(col("w") === col("w0"), 1L).otherwise(0L).as("is_new"),
+        when(col("was_prev").isNotNull && col("w") =!= col("w0"), 1L)
+          .otherwise(0L).as("is_retained"),
+        when(col("was_prev").isNull && col("w") =!= col("w0"), 1L)
+          .otherwise(0L).as("is_resurrected"))
+      .groupBy("w")
+      .agg(sum(col("is_new")).as("n_new"),
+        sum(col("is_retained")).as("n_retained"),
+        sum(col("is_resurrected")).as("n_resurrected"))
+    val churned = shifted.join(uw, Seq("user_id", "w"), "left_anti")
+      .groupBy("w").agg(count(lit(1)).as("n_churned"))
+    classified.join(churned, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("w")
+  }
+
+  /** DAU/WAU/MAU stickiness (q_stickiness): per day, distinct users
+    * active in the trailing 7 and trailing 28 days and their ratio —
+    * the engagement-quality ratio product teams watch (1.0 = every
+    * monthly user shows up weekly). Batch formulation: constant-factor
+    * explode of the distinct (user, day) frame into the windows each
+    * day belongs to (7× and 28× — fan-out bounded by the window, never
+    * by data), then one exact distinct count per window anchor; the
+    * ratio is the single IEEE division. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = graft.scale.Silver.scratch(
+      events(spark, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .distinct(),
+      "stick_ud") // feeds both window fan-outs
+    def windowed(days: Int, name: String) = ud
+      .withColumn("anchor", explode(sequence(col("day"), col("day") + (days - 1))))
+      .groupBy("anchor")
+      .agg(countDistinct(col("user_id")).as(name))
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    windowed(7, "wau")
+      .join(windowed(28, "mau"), Seq("anchor"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("anchor") >= col("d0") && col("anchor") <= col("d1"))
+      .withColumn("stickiness", col("wau").cast("double") / col("mau"))
+      .select(col("anchor").as("day"), col("wau"), col("mau"), col("stickiness"))
+      .orderBy("day")
+  }
+
   /** Burstiness per event type (q_fano): the Fano factor (variance-to-
     * mean ratio) of the DAILY event-count series — ≈1 for Poisson-like
     * arrivals, ≫1 for bursty traffic (flash crowds, batch backfills,

@@ -43,4 +43,23 @@ object EmbedStats {
   def embedStatsQuery(spark: SparkSession, dir: String): DataFrame =
     perDimension(graft.sources.Tables.embeddings(spark, dir))
       .orderBy("dim")
+
+  /** Label balance (q_label_balance): class distribution of the
+    * embeddings' ground-truth labels + the majority-class flag — the
+    * first table of any classification-dataset card (the majority share
+    * IS the accuracy baseline every model must beat). One keyed count,
+    * one-row broadcast total+max, single IEEE division per row. */
+  def labelBalanceQuery(spark: SparkSession,
+                        dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = graft.sources.Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"), max(col("cnt")).as("mx"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"),
+        (col("cnt") === col("mx")).as("is_majority"))
+      .orderBy("label")
+  }
 }

@@ -395,6 +395,39 @@ class MiningSpec extends SparkSpec {
     pa.foreach(r => assert(r.getDouble(3) >= r.getLong(0) / 100.0))
   }
 
+  // ------------------------------------------------------------ batch 10
+
+  test("growth-accounting/stickiness/label-balance invariants") {
+    val ga = graft.operators.EventOps.growthAccounting(spark, TestSpark.Sf0001)
+      .collect()
+    assert(ga.nonEmpty)
+    // conservation: total new across all weeks = distinct users
+    val users = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select("user_id").distinct().count()
+    assert(ga.map(_.getLong(1)).sum == users)
+    // week-over-week: retained(w) + churned(w) = active(w-1)
+    val active = ga.map(r => r.getLong(0) ->
+      (r.getLong(1) + r.getLong(2) + r.getLong(3))).toMap
+    ga.foreach { r =>
+      val w = r.getLong(0)
+      active.get(w - 1).foreach(prev =>
+        assert(r.getLong(2) + r.getLong(4) == prev))
+    }
+
+    val st = graft.operators.EventOps.stickiness(spark, TestSpark.Sf0001)
+      .collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2)) // wau <= mau
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+
+    val lb = graft.scale.EmbedStats.labelBalanceQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(math.abs(lb.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(lb.count(_.getBoolean(3)) >= 1)
+  }
+
   test("fused graft_cosine is bit-identical to the HOF cosine chain") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
       .select(col("vec_id"),
