@@ -215,7 +215,13 @@ object SparkEntry {
     "q_pareto"          -> ((s, d) => Analytics.paretoCurve(s, d)),
     "q_growth_accounting" -> ((s, d) => EventOps.growthAccounting(s, d)),
     "q_stickiness"      -> ((s, d) => EventOps.stickiness(s, d)),
-    "q_label_balance"   -> ((s, d) => graft.scale.EmbedStats.labelBalanceQuery(s, d))
+    "q_label_balance"   -> ((s, d) => graft.scale.EmbedStats.labelBalanceQuery(s, d)),
+    "q_ks"              -> ((s, d) => graft.operators.Distribution.ksTest(s, d)),
+    "q_chi2"            -> ((s, d) => graft.operators.Distribution.chi2Contingency(s, d)),
+    "q_percentile_bands" -> ((s, d) => graft.operators.Distribution.percentileBands(s, d)),
+    "q_cum_distinct"    -> ((s, d) => graft.operators.TimeSeries.cumulativeDistinctUsers(s, d)),
+    "q_bollinger"       -> ((s, d) => graft.operators.TimeSeries.bollingerBands(s, d)),
+    "q_ewma"            -> ((s, d) => graft.operators.TimeSeries.ewmaRevenue(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3632,7 +3638,176 @@ object SparkEntry {
         |SELECT label, cnt, CAST(cnt AS DOUBLE) / t.total AS share,
         |       cnt = t.mx AS is_majority
         |FROM c, t
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // Two-sample KS distance in exact integers: cumulative counts per
+    // distinct cents value, D·nA·nB = max |ca·nB − cb·nA|, one final
+    // division. Argmax ties resolve to the smallest threshold.
+    "q_ks" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS ib
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |               CAST(sum(ib) AS BIGINT) AS b
+        |        FROM o GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |               CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+        |        FROM per),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |               CAST(sum(b) AS BIGINT) AS n_b FROM per),
+        |d AS (SELECT v, abs(ca * n_b - cb * n_a) AS dn
+        |      FROM cum CROSS JOIN tot),
+        |best AS (SELECT dn, v FROM d ORDER BY dn DESC, v LIMIT 1)
+        |SELECT n_a, n_b, CAST(dn AS BIGINT) AS d_num,
+        |       v AS at_cents,
+        |       CAST(CAST(dn AS BIGINT) AS DOUBLE) /
+        |         CAST(n_a * n_b AS DOUBLE) AS ks
+        |FROM best CROSS JOIN tot""".stripMargin,
+
+    // Chi-square contingency cells: integer cell/row/col totals, per-cell
+    // e = rt·ct/N and (o−e)²/e as a fixed tree of single IEEE ops.
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |         CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT segment, CAST(sum(obs) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT priority, CAST(sum(obs) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |e AS (
+        |  SELECT segment, priority, obs,
+        |         CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expect
+        |  FROM cells JOIN rt USING (segment) JOIN ct USING (priority)
+        |       CROSS JOIN n)
+        |SELECT segment, priority, obs, expect,
+        |       (CAST(obs AS DOUBLE) - expect) * (CAST(obs AS DOUBLE) - expect)
+        |         / expect AS chi2_term
+        |FROM e
+        |ORDER BY segment, priority""".stripMargin,
+
+    // Exact discrete percentile bands: cumulative (segment, cents) counts,
+    // band_p = min v with cum ≥ ⌈p·n/100⌉ — all integer arithmetic.
+    "q_percentile_bands" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT segment, v,
+        |               CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY v)
+        |                    AS BIGINT) AS cum
+        |        FROM per),
+        |tot AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM per GROUP BY 1)
+        |SELECT segment, n,
+        |       min(CASE WHEN cum >= (25 * n + 99) // 100 THEN v END) AS p25_cents,
+        |       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS p50_cents,
+        |       min(CASE WHEN cum >= (75 * n + 99) // 100 THEN v END) AS p75_cents,
+        |       min(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END) AS p90_cents
+        |FROM cum JOIN tot USING (segment)
+        |GROUP BY segment, n
+        |ORDER BY segment""".stripMargin,
+
+    // Adoption curve: each user collapses to a first-seen day, then a
+    // cumulative sum over the calendar-bounded daily frame.
+    "q_cum_distinct" ->
+      """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |      FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM p ORDER BY day""".stripMargin,
+
+    // Bollinger bands: exact rolling Σx/Σx² over full 7-observation
+    // windows; variance via 7·Σx²−(Σx)² in HUGEINT, VARCHAR-routed to
+    // double (int128→double casts mis-round above 2^53), then the fixed
+    // mean/sd/band op tree. sqrt is IEEE-correctly-rounded → portable.
+    "q_bollinger" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT prio, day, v,
+        |         count(*) OVER w AS n_w,
+        |         CAST(sum(v) OVER w AS BIGINT) AS s,
+        |         sum(CAST(v AS HUGEINT) * v) OVER w AS q
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY prio ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT prio, day, v AS day_cents,
+        |         CAST(s AS DOUBLE) / 7.0 AS mean_cents,
+        |         sqrt(CAST(CAST(7 * q - CAST(s AS HUGEINT) * s AS VARCHAR)
+        |                   AS DOUBLE) / 42.0) AS sd_cents
+        |  FROM r WHERE n_w = 7)
+        |SELECT prio, day, day_cents, mean_cents, sd_cents,
+        |       mean_cents + 2.0 * sd_cents AS upper,
+        |       mean_cents - 2.0 * sd_cents AS lower
+        |FROM b
+        |ORDER BY prio, day""".stripMargin,
+
+    // Truncated-horizon EWMA: exact integer weighted sum over the last
+    // 10 observations (weight 2^(9−k)), one final division.
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT prio, day, v,
+        |         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+        |         lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+        |         lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+        |         lag(v, 7) OVER w AS l7, lag(v, 8) OVER w AS l8,
+        |         lag(v, 9) OVER w AS l9
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY prio ORDER BY day))
+        |SELECT prio, day, v AS day_cents,
+        |       CAST(v * 512 + COALESCE(l1, 0) * 256 + COALESCE(l2, 0) * 128
+        |        + COALESCE(l3, 0) * 64 + COALESCE(l4, 0) * 32
+        |        + COALESCE(l5, 0) * 16 + COALESCE(l6, 0) * 8
+        |        + COALESCE(l7, 0) * 4 + COALESCE(l8, 0) * 2
+        |        + COALESCE(l9, 0) AS BIGINT) AS ewma_num,
+        |       CAST(512 + CASE WHEN l1 IS NULL THEN 0 ELSE 256 END
+        |        + CASE WHEN l2 IS NULL THEN 0 ELSE 128 END
+        |        + CASE WHEN l3 IS NULL THEN 0 ELSE 64 END
+        |        + CASE WHEN l4 IS NULL THEN 0 ELSE 32 END
+        |        + CASE WHEN l5 IS NULL THEN 0 ELSE 16 END
+        |        + CASE WHEN l6 IS NULL THEN 0 ELSE 8 END
+        |        + CASE WHEN l7 IS NULL THEN 0 ELSE 4 END
+        |        + CASE WHEN l8 IS NULL THEN 0 ELSE 2 END
+        |        + CASE WHEN l9 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS ewma_den,
+        |       CAST(v * 512 + COALESCE(l1, 0) * 256 + COALESCE(l2, 0) * 128
+        |        + COALESCE(l3, 0) * 64 + COALESCE(l4, 0) * 32
+        |        + COALESCE(l5, 0) * 16 + COALESCE(l6, 0) * 8
+        |        + COALESCE(l7, 0) * 4 + COALESCE(l8, 0) * 2
+        |        + COALESCE(l9, 0) AS DOUBLE) /
+        |       CAST(512 + CASE WHEN l1 IS NULL THEN 0 ELSE 256 END
+        |        + CASE WHEN l2 IS NULL THEN 0 ELSE 128 END
+        |        + CASE WHEN l3 IS NULL THEN 0 ELSE 64 END
+        |        + CASE WHEN l4 IS NULL THEN 0 ELSE 32 END
+        |        + CASE WHEN l5 IS NULL THEN 0 ELSE 16 END
+        |        + CASE WHEN l6 IS NULL THEN 0 ELSE 8 END
+        |        + CASE WHEN l7 IS NULL THEN 0 ELSE 4 END
+        |        + CASE WHEN l8 IS NULL THEN 0 ELSE 2 END
+        |        + CASE WHEN l9 IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+        |         AS ewma_cents
+        |FROM l
+        |ORDER BY prio, day""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distribution-comparison statistics — the "are these two populations
+  * the same?" toolkit a data platform needs next to its dashboards
+  * (reference: the analytics engine's cross-segment comparisons,
+  * src/analytics/engine.py performance/market-value breakdowns).
+  *
+  * Everything here follows the repo's exactness discipline: heavy passes
+  * reduce to integer sufficient statistics (cents, counts) with map-side
+  * combine; the statistic itself is a fixed tree of single IEEE ops over
+  * those exact values, so DuckDB replays it bit-identically.
+  */
+object Distribution {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  /** Two-sample Kolmogorov–Smirnov distance between the order-price
+    * distributions of two market segments (q_ks).
+    *
+    * D = max over thresholds of |F_A(v) − F_B(v)| is computed fully in
+    * integers: per distinct cents value the two counts, cumulative counts
+    * via [[Ranking.distributedCumSum]] (range exchange + broadcast
+    * offsets — never a single-partition window), then
+    * D·n_A·n_B = max |ca·n_B − cb·n_A|. The only float op is the final
+    * division. `at_cents` is the smallest threshold attaining the max.
+    *
+    * Scale shape: one fact-side shuffle (groupBy v, map-side combining to
+    * ≤ |price domain| rows), then everything runs on the domain-bounded
+    * aggregated frame. Products go through decimal(38,0) so cum·n stays
+    * exact at any corpus size. */
+  def ksTest(spark: SparkSession, dir: String,
+             segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(cents(col("o_totalprice")).as("v"),
+        when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("ia"),
+        when(col("c_mktsegment") === segB, 1L).otherwise(0L).as("ib"))
+    val per = o.groupBy("v").agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+    val cum = Ranking.distributedCumSum(per, Seq(col("v").asc), Seq("a", "b"))
+    val tot = per.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(d38) * col("n_b").cast(d38) -
+            col("cum_b").cast(d38) * col("n_a").cast(d38)).as("dn"))
+      // argmax with ties to the smallest threshold: min-struct on (−D, v)
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        min(struct((-col("dn")).as("nd"), col("v"))).as("w"))
+      .select(col("n_a"), col("n_b"),
+        (-col("w.nd")).cast("long").as("d_num"),
+        col("w.v").as("at_cents"),
+        ((-col("w.nd")).cast("long").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** Chi-square contingency cells for market segment × order priority
+    * (q_chi2): per cell the observed count, the independence-model
+    * expectation e = rowTot·colTot/N, and the cell's chi-square term
+    * (o − e)²/e — the association breakdown behind a "does priority mix
+    * differ by segment?" dashboard.
+    *
+    * One fact shuffle builds the cell counts; row/column totals and N are
+    * re-aggregations of the ~|segments|·|priorities| cell frame and come
+    * back broadcast. Per-cell term is a fixed op tree over exact integers:
+    * e = (rt·ct as exact long) / N, term = (o−e)·(o−e)/e. */
+  def chi2Contingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("segment").agg(sum(col("obs")).as("rt"))
+    val ct = cells.groupBy("priority").agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    cells.join(broadcast(rt), "segment").join(broadcast(ct), "priority")
+      .crossJoin(broadcast(n))
+      .withColumn("expect", (col("rt") * col("ct")).cast("double") /
+        col("n").cast("double"))
+      .withColumn("chi2_term",
+        (col("obs").cast("double") - col("expect")) *
+        (col("obs").cast("double") - col("expect")) / col("expect"))
+      .select("segment", "priority", "obs", "expect", "chi2_term")
+      .orderBy("segment", "priority")
+  }
+
+  /** Exact discrete percentile bands of order price per market segment
+    * (q_percentile_bands): the smallest cents value whose cumulative
+    * count reaches ⌈p·n/100⌉ for p ∈ {25, 50, 75, 90} — percentile_disc
+    * semantics pinned by explicit integer rank arithmetic so both engines
+    * agree by construction (no library interpolation in sight).
+    *
+    * The fact stream collapses to (segment, cents)→count with map-side
+    * combine; the cumulative pass and band selection run on that
+    * domain-bounded frame (≤ |segments|·|price domain| rows — the
+    * partition-key window is over the aggregate, never the facts). */
+  def percentileBands(spark: SparkSession, dir: String,
+                      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        cents(col("o_totalprice")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = per.groupBy("segment").agg(sum(col("cnt")).as("n"))
+    val joined = cum.join(broadcast(tot), "segment")
+    val bandAggs = pcts.map { p =>
+      // rank_p = ⌈p·n/100⌉, exact integer div (Column./ would be double)
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+        col("v"))).as(s"p${p}_cents")
+    }
+    joined.groupBy("segment")
+      .agg(first(col("n")).as("n"), bandAggs: _*)
+      .orderBy("segment")
+  }
+}

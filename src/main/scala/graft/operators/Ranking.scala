@@ -115,4 +115,44 @@ object Ranking {
           (col("__rank") - 1L).cast("double") / (col("__n") - 1L).cast("double"))
           .otherwise(0.0))
       .drop("__rank", "__n")
+
+  /** Distributed cumulative sum over a unique global order: for each name
+    * `c` in `valueCols` adds `cum_c` = sum of `c` over every row at-or-
+    * before this one in `order` — WITHOUT a single-partition window.
+    *
+    * Same two-pass shape as [[distributedGlobalRank]]: range exchange +
+    * local sort (frozen by the checkpoint so the partition ids the offsets
+    * were computed from are the partition ids the rows carry), partition-
+    * local running sums via a `__pid`-partitioned window, then a broadcast
+    * per-partition offset from the numParts-row totals frame. No stage
+    * holds more than one range-partition of rows.
+    *
+    * `order` must be a unique total order; value columns must be integral
+    * (long) so the running sums are exact and engine-order-independent. */
+  def distributedCumSum(df: DataFrame, order: Seq[Column],
+                        valueCols: Seq[String],
+                        numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totalsAgg = valueCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val ptot = ranged.groupBy(col("__pid"))
+      .agg(totalsAgg.head, totalsAgg.tail: _*)
+    val offsetAgg = valueCols.map(c =>
+      sum(when(col("b.__pid") < col("a.__pid"), col(s"b.__t_$c"))
+        .otherwise(0L)).as(s"__off_$c"))
+    val offsets = ptot.as("a").crossJoin(ptot.as("b"))
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(offsetAgg.head, offsetAgg.tail: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = valueCols.foldLeft(ranged.join(broadcast(offsets), "__pid")) {
+      (d, c) => d.withColumn(s"cum_$c", sum(col(c)).over(w) + col(s"__off_$c"))
+    }
+    withCum.drop("__pid" +: valueCols.map(c => s"__off_$c"): _*)
+  }
 }

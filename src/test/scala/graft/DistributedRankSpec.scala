@@ -24,6 +24,21 @@ class DistributedRankSpec extends SparkSpec {
     assert(maxR == total, s"max rank $maxR != $total rows — skipped ranks")
   }
 
+  test("distributedCumSum matches a single-partition window cumsum") {
+    val df = (1L to 20000L).map(i => (i * 7 % 20011, i % 5, (i % 3) * 2))
+      .toDF("k", "x", "y").repartition(32)
+    val fast = graft.operators.Ranking.distributedCumSum(
+      df, Seq(col("k").asc), Seq("x", "y"), numParts = 32)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      .rowsBetween(Long.MinValue, 0)
+    val slow = df.withColumn("ex", sum(col("x")).over(w))
+      .withColumn("ey", sum(col("y")).over(w))
+    val joined = fast.join(slow.select("k", "ex", "ey"), "k")
+    assert(joined.count() == 20000L)
+    assert(joined.filter(col("cum_x") =!= col("ex") ||
+      col("cum_y") =!= col("ey")).count() == 0)
+  }
+
   test("vocabQuery on an inflated corpus: token_id is a bijection 1..n") {
     // Gated on the scale-trend corpus being present (dev loop); the
     // synthetic test above is the always-on witness.

@@ -442,6 +442,37 @@ class MiningSpec extends SparkSpec {
     assert(both.count() == emb.count())
   }
 
+  test("KS statistic is in [0,1] and zero for a segment against itself") {
+    val ks = graft.operators.Distribution.ksTest(spark, TestSpark.Sf0001).head()
+    assert(ks.getLong(0) > 0 && ks.getLong(1) > 0)
+    val d = ks.getDouble(4)
+    assert(d >= 0.0 && d <= 1.0)
+    val self = graft.operators.Distribution
+      .ksTest(spark, TestSpark.Sf0001, "BUILDING", "BUILDING").head()
+    assert(self.getLong(2) == 0L && self.getDouble(4) == 0.0)
+  }
+
+  test("chi-square cells: nonnegative terms, totals reconcile with orders") {
+    val cells = graft.operators.Distribution
+      .chi2Contingency(spark, TestSpark.Sf0001).collect()
+    val nOrders = graft.sources.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(cells.map(_.getLong(2)).sum == nOrders)
+    cells.foreach { r =>
+      assert(r.getDouble(3) > 0.0)      // expectation
+      assert(r.getDouble(4) >= 0.0)     // chi2 term
+    }
+  }
+
+  test("percentile bands are monotone and bracket the segment medians") {
+    val b = graft.operators.Distribution
+      .percentileBands(spark, TestSpark.Sf0001).collect()
+    assert(b.length == 5)
+    b.foreach { r =>
+      val Seq(p25, p50, p75, p90) = Seq(2, 3, 4, 5).map(r.getLong)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
