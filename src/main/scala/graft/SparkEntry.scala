@@ -3715,15 +3715,16 @@ object SparkEntry {
         |GROUP BY segment, n
         |ORDER BY segment""".stripMargin,
 
-    // Adoption curve: each user collapses to a first-seen day, then a
-    // cumulative sum over the calendar-bounded daily frame.
+    // Adoption curve: each customer collapses to a first-order day, then
+    // a cumulative sum over the calendar-bounded daily frame.
     "q_cum_distinct" ->
-      """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
-        |           FROM events GROUP BY 1),
+      """WITH f AS (SELECT o_custkey,
+        |                  min(epoch_ms(o_orderdate) // 86400000) AS day
+        |           FROM orders GROUP BY 1),
         |p AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
         |      FROM f GROUP BY 1)
         |SELECT day, n_new,
-        |       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_customers
         |FROM p ORDER BY day""".stripMargin,
 
     // Bollinger bands: exact rolling Σx/Σx² over full 7-observation

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series operators over the daily/weekly aggregate grids — the
+  * rolling-statistics layer of the reference's trend reports
+  * (src/analytics/reports.py weekly summaries) extended with the standard
+  * monitoring-chart primitives: cumulative adoption, rolling bands, EWMA.
+  *
+  * Scale shape shared by all three: ONE fact-stream shuffle collapses the
+  * input to a calendar-bounded aggregate (days × groups rows — a frame
+  * whose size is set by the calendar, not the corpus), and every window
+  * after that runs on the aggregate. Rolling sums stay exact (cents in
+  * long, squares in decimal(38,0)); the emitted statistic is a fixed tree
+  * of single IEEE ops (+ sqrt, which IEEE 754 requires correctly rounded,
+  * so it is portable across engines — unlike log/exp, which this repo
+  * keeps off the oracle board). */
+object TimeSeries {
+
+  /** Cumulative distinct customers by first-order day (q_cum_distinct):
+    * the adoption curve. Distinct-so-far is NOT computed by re-counting a
+    * growing set per day (quadratic) — each customer collapses to their
+    * first-order day (one map-side-combining aggregate), daily first-
+    * order counts then accumulate via [[Ranking.distributedCumSum]]. */
+  def cumulativeDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .as("day"))
+    val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+    Ranking.distributedCumSum(perDay, Seq(col("day").asc), Seq("n_new"))
+      .select(col("day"), col("n_new"), col("cum_n_new").as("cum_customers"))
+      .orderBy("day")
+  }
+
+  /** Bollinger bands (q_bollinger): 7-observation rolling mean ± 2σ of
+    * daily revenue per order priority, emitted only for full windows.
+    * Rolling Σx (long) and Σx² (decimal(38,0)) are exact; variance comes
+    * from the integer identity 7·Σx² − (Σx)² before the one cast to
+    * double, so the band arithmetic is mean = s/7, var = num/42,
+    * sd = sqrt(var), band = mean ± 2·sd — five single IEEE ops. */
+  def bollingerBands(spark: SparkSession, dir: String,
+                     window: Int = 7): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("prio", "day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), 0)
+    val nn = window.toLong
+    val rolled = daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("q", sum(col("v").cast(d38) * col("v").cast(d38)).over(w))
+      .filter(col("n_w") === nn)
+    rolled
+      .withColumn("mean_cents", col("s").cast("double") / lit(nn.toDouble))
+      .withColumn("var_num",
+        (lit(nn).cast(d38) * col("q") -
+          col("s").cast(d38) * col("s").cast(d38)).cast("double"))
+      .withColumn("sd_cents",
+        sqrt(col("var_num") / lit((nn * (nn - 1)).toDouble)))
+      .select(col("prio"), col("day"), col("v").as("day_cents"),
+        col("mean_cents"), col("sd_cents"),
+        (col("mean_cents") + lit(2.0) * col("sd_cents")).as("upper"),
+        (col("mean_cents") - lit(2.0) * col("sd_cents")).as("lower"))
+      .orderBy("prio", "day")
+  }
+
+  /** EWMA (q_ewma): exponentially weighted daily revenue per priority
+    * with decay 1/2 over the last 10 observations. The weighted sum is
+    * EXACT integer arithmetic — weight 2^(9−k) for lag k over present
+    * observations, normalized by the sum of present weights — so the only
+    * IEEE op is the final division. (A true infinite-horizon EWMA is a
+    * float recurrence whose value depends on evaluation order; the
+    * truncated integer form is what can be oracle-pinned, and at decay
+    * 1/2 the dropped tail is < 2⁻¹⁰ of the weight mass.) */
+  def ewmaRevenue(spark: SparkSession, dir: String,
+                  horizon: Int = 10): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("prio", "day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+    val lags = (0 until horizon).map { k =>
+      (if (k == 0) col("v") else lag(col("v"), k).over(w)).as(s"l$k")
+    }
+    val withLags = daily.select(col("prio") +: col("day") +: col("v") +: lags: _*)
+    val weight: Int => Long = k => 1L << (horizon - 1 - k)
+    val num = (0 until horizon).map { k =>
+      coalesce(col(s"l$k"), lit(0L)) * lit(weight(k))
+    }.reduceLeft(_ + _)
+    val den = (0 until horizon).map { k =>
+      when(col(s"l$k").isNotNull, lit(weight(k))).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    withLags
+      .select(col("prio"), col("day"), col("v").as("day_cents"),
+        num.as("ewma_num"), den.as("ewma_den"))
+      .withColumn("ewma_cents",
+        col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+      .orderBy("prio", "day")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the rolling/cumulative time-series operators: the
+  * oracle pins cross-engine equality; these pin the math's internal
+  * consistency (conservation, monotonicity, band geometry, weight mass)
+  * on the real corpus. */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("cumulative distinct customers: monotone, ends at the true distinct count") {
+    val c = graft.operators.TimeSeries
+      .cumulativeDistinctUsers(spark, TestSpark.Sf0001).collect()
+    assert(c.length > 10) // a real curve, not a degenerate single row
+    val cums = c.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b || a == b })
+    assert(cums.last == c.map(_.getLong(1)).sum)
+    val trueDistinct = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select("o_custkey").distinct().count()
+    assert(cums.last == trueDistinct)
+  }
+
+  test("bollinger bands: full windows only, sane geometry") {
+    val b = graft.operators.TimeSeries
+      .bollingerBands(spark, TestSpark.Sf0001).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      val (mean, sd) = (r.getDouble(3), r.getDouble(4))
+      assert(sd >= 0.0)
+      assert(r.getDouble(5) >= mean && mean >= r.getDouble(6)) // upper/lower
+      assert(math.abs((r.getDouble(5) + r.getDouble(6)) / 2 - mean) < 1e-6)
+    }
+  }
+
+  test("ewma: weight mass matches observation count; steady-state den = 1023") {
+    val e = graft.operators.TimeSeries
+      .ewmaRevenue(spark, TestSpark.Sf0001).collect()
+    assert(e.nonEmpty)
+    // per prio, the i-th row (0-based) has den = 2^10 − 2^(9−min(i,9))·… :
+    // simpler closed form: k observed lags → den = 1024 − 2^(10−k)
+    e.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        val k = math.min(i + 1, 10)
+        assert(r.getLong(4) == 1024L - (1L << (10 - k)),
+          s"row $i den=${r.getLong(4)}")
+      }
+    }
+    // ewma is a convex combination → bounded by the series' min/max
+    val vs = e.map(_.getLong(2))
+    e.foreach(r => assert(r.getDouble(5) >= vs.min.toDouble &&
+      r.getDouble(5) <= vs.max.toDouble))
+  }
+}
