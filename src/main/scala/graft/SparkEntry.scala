@@ -221,7 +221,10 @@ object SparkEntry {
     "q_percentile_bands" -> ((s, d) => graft.operators.Distribution.percentileBands(s, d)),
     "q_cum_distinct"    -> ((s, d) => graft.operators.TimeSeries.cumulativeDistinctUsers(s, d)),
     "q_bollinger"       -> ((s, d) => graft.operators.TimeSeries.bollingerBands(s, d)),
-    "q_ewma"            -> ((s, d) => graft.operators.TimeSeries.ewmaRevenue(s, d))
+    "q_ewma"            -> ((s, d) => graft.operators.TimeSeries.ewmaRevenue(s, d)),
+    "q_debounce"        -> ((s, d) => EventOps.debounceStats(s, d)),
+    "q_nearest_event"   -> ((s, d) => EventOps.nearestViewToPurchase(s, d)),
+    "q_minhash_acc"     -> ((s, d) => Dedup.minhashCalibration(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3808,7 +3811,115 @@ object SparkEntry {
         |        + CASE WHEN l9 IS NULL THEN 0 ELSE 1 END AS DOUBLE)
         |         AS ewma_cents
         |FROM l
-        |ORDER BY prio, day""".stripMargin
+        |ORDER BY prio, day""".stripMargin,
+
+    // Gap-based debounce audit: lag within (user, type), kept iff the
+    // gap to the previous same-type event is >= 5 minutes.
+    "q_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, ts_ms,
+        |         lag(ts_ms, 1) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY ts_ms, event_id) AS prev_ts
+        |  FROM e),
+        |k AS (SELECT event_type,
+        |             CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts >= 300000
+        |                  THEN 1 ELSE 0 END AS kept
+        |      FROM l)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+        |       CAST(count(*) - sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS drop_rate
+        |FROM k GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Nearest view to each purchase: running max of view-times behind and
+    // running min ahead over the per-user ordered stream, closest wins
+    // (ties to the earlier view).
+    "q_nearest_event" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |w AS (
+        |  SELECT *,
+        |         max(CASE WHEN event_type = 'view' THEN ts_ms END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_view,
+        |         min(CASE WHEN event_type = 'view' THEN ts_ms END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_view
+        |  FROM e),
+        |p AS (
+        |  SELECT event_id, user_id, ts_ms,
+        |         CASE WHEN next_view IS NULL THEN prev_view
+        |              WHEN prev_view IS NULL THEN next_view
+        |              WHEN ts_ms - prev_view <= next_view - ts_ms
+        |                THEN prev_view
+        |              ELSE next_view END AS view_ts
+        |  FROM w
+        |  WHERE event_type = 'purchase'
+        |    AND (prev_view IS NOT NULL OR next_view IS NOT NULL))
+        |SELECT event_id, user_id, ts_ms, view_ts,
+        |       view_ts - ts_ms AS delta_ms
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    // MinHash calibration: the q_minhash_pairs candidates re-scored with
+    // their exact shingle Jaccard; err = est − jac.
+    "q_minhash_acc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)])) AS sh
+        |      FROM t),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+        |               min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+        |               min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+        |               min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+        |        FROM s GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+        |          UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+        |          UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+        |          UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |         FROM bands x JOIN bands y
+        |           ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT d1, d2,
+        |         CAST((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END
+        |             + CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) AS DOUBLE) / 8
+        |           AS est_sim
+        |  FROM cand JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id),
+        |pairs AS (SELECT * FROM est WHERE est_sim >= 0.5),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM s GROUP BY doc_id),
+        |i AS (SELECT p.d1, p.d2, CAST(count(*) AS BIGINT) AS inter
+        |      FROM pairs p JOIN s a ON p.d1 = a.doc_id
+        |                   JOIN s b ON p.d2 = b.doc_id AND a.sh = b.sh
+        |      GROUP BY p.d1, p.d2)
+        |SELECT p.d1, p.d2, p.est_sim,
+        |       COALESCE(i.inter, 0) AS inter,
+        |       na.n + nb.n - COALESCE(i.inter, 0) AS uni,
+        |       CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        |         CAST(na.n + nb.n - COALESCE(i.inter, 0) AS DOUBLE) AS jac,
+        |       p.est_sim - CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        |         CAST(na.n + nb.n - COALESCE(i.inter, 0) AS DOUBLE) AS err
+        |FROM pairs p
+        |LEFT JOIN i ON p.d1 = i.d1 AND p.d2 = i.d2
+        |JOIN sizes na ON p.d1 = na.doc_id
+        |JOIN sizes nb ON p.d2 = nb.doc_id
+        |ORDER BY p.d1, p.d2""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

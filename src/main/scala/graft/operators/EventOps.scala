@@ -666,4 +666,61 @@ object EventOps {
       .select("event_type", "n_days", "sx", "mean", "fano")
       .orderBy("event_type")
   }
+
+  /** Gap-based debounce audit (q_debounce): per event type, how much of
+    * the stream is "bounce" — an event arriving within `gapMs` of the
+    * user's previous event of the same type. The kept/dropped split is
+    * the batch shape of a streaming debounce filter (the dedup guard a
+    * collector puts in front of at-least-once ingestion; reference: the
+    * live-score upsert discarding unchanged re-deliveries,
+    * src/database/manager.py:122-151). One shuffle on (user, type); the
+    * lag is a per-key window over that partitioning. */
+  def debounceStats(spark: SparkSession, dir: String,
+                    gapMs: Long = 300000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("kept",
+        col("prev_ts").isNull || col("ts_ms") - col("prev_ts") >= gapMs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .withColumn("drop_rate",
+        col("n_dropped").cast("double") / col("n_total").cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** Nearest-event temporal join (q_nearest_event): each purchase paired
+    * with the user's CLOSEST view event in either time direction (as-of
+    * looks only backward; attribution often wants nearest). Both
+    * directions come from one pass over the per-user ordered stream —
+    * running max of view-times behind, running min ahead — so the cost is
+    * one (user)-keyed shuffle, not two as-of joins. Ties (equidistant)
+    * resolve to the earlier view. Purchases with no view at all drop. */
+  def nearestViewToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val behind = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val ahead = ord.rowsBetween(1, Window.unboundedFollowing)
+    val viewTs = when(col("event_type") === "view", col("ts_ms"))
+    e.withColumn("prev_view", max(viewTs).over(behind))
+      .withColumn("next_view", min(viewTs).over(ahead))
+      .filter(col("event_type") === "purchase" &&
+        (col("prev_view").isNotNull || col("next_view").isNotNull))
+      .withColumn("view_ts",
+        when(col("next_view").isNull, col("prev_view"))
+          .when(col("prev_view").isNull, col("next_view"))
+          .when(col("ts_ms") - col("prev_view") <= col("next_view") - col("ts_ms"),
+            col("prev_view"))
+          .otherwise(col("next_view")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("view_ts"), (col("view_ts") - col("ts_ms")).as("delta_ms"))
+      .orderBy("event_id")
+  }
 }

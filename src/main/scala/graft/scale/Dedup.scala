@@ -321,6 +321,37 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Sketch calibration (q_minhash_acc): every [[minhashPairs]] candidate
+    * re-scored with its EXACT shingle Jaccard, plus the estimator error —
+    * the accuracy report that tells an operator whether 8 hashes are
+    * enough before they dedup 100 TB on the estimate. The exact pass
+    * joins shingle rows only against the (tiny) candidate pair set — a
+    * semi-join-shaped probe of the silver shingle table, never an
+    * all-pairs rescore. `err = est − jac` is a single IEEE subtraction of
+    * two single-division values. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Silver.scratch(minhashPairs(spark, dir), "cal_pairs")
+    // shingles() is array_distinct per doc, so (doc_id, sh) is already unique
+    val sh = shingleRows(Tables.documents(spark, dir), "lang")
+      .select("doc_id", "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
+      .select(col("d1"), col("d2"), col("est_sim"), col("inter"), col("uni"),
+        col("jac"), (col("est_sim") - col("jac")).as("err"))
+      .orderBy("d1", "d2")
+  }
+
   /** 60-bit SimHash over a token multiset: per-token hash votes ±1 per
     * bit position; the sign vector is the signature. Near-duplicate docs
     * land within a small Hamming distance.

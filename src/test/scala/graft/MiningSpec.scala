@@ -473,6 +473,51 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("debounce: kept+dropped conserves the stream; zero gap always drops") {
+    val d = graft.operators.EventOps.debounceStats(spark, TestSpark.Sf0001)
+      .collect()
+    val nEvents = graft.sources.Tables.events(spark, TestSpark.Sf0001).count()
+    assert(d.map(_.getLong(1)).sum == nEvents)
+    d.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+    // gapMs=0 never drops: every gap (ts strictly ordered per key or 0) >= 0
+    val all = graft.operators.EventOps.debounceStats(spark, TestSpark.Sf0001, 0L)
+      .collect()
+    all.foreach(r => assert(r.getLong(3) == 0L))
+  }
+
+  test("nearest view is at least as close as both directional candidates") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val viewTs = when(col("event_type") === "view", col("ts_ms"))
+    val both = e
+      .withColumn("pv", max(viewTs).over(ord.rowsBetween(Long.MinValue, -1)))
+      .withColumn("nv", min(viewTs).over(ord.rowsBetween(1, Long.MaxValue)))
+      .filter(col("event_type") === "purchase")
+    val got = graft.operators.EventOps.nearestViewToPurchase(spark, TestSpark.Sf0001)
+    val joined = got.join(both.select("event_id", "pv", "nv"), "event_id")
+    val bad = joined.filter(
+      (col("pv").isNotNull && abs(col("delta_ms")) > col("ts_ms") - col("pv")) ||
+      (col("nv").isNotNull && abs(col("delta_ms")) > col("nv") - col("ts_ms")))
+    assert(bad.count() == 0)
+    assert(got.count() == both.filter(col("pv").isNotNull || col("nv").isNotNull).count())
+  }
+
+  test("minhash calibration: exact jaccard bounds and err consistency") {
+    val c = graft.scale.Dedup.minhashCalibration(spark, TestSpark.Sf0001)
+      .collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      val (est, inter, uni, jac, err) =
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+      assert(est >= 0.5 && est <= 1.0)
+      assert(inter <= uni && jac >= 0.0 && jac <= 1.0)
+      assert(err == est - jac)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
