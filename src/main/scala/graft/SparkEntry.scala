@@ -224,7 +224,9 @@ object SparkEntry {
     "q_ewma"            -> ((s, d) => graft.operators.TimeSeries.ewmaRevenue(s, d)),
     "q_debounce"        -> ((s, d) => EventOps.debounceStats(s, d)),
     "q_nearest_event"   -> ((s, d) => EventOps.nearestViewToPurchase(s, d)),
-    "q_minhash_acc"     -> ((s, d) => Dedup.minhashCalibration(s, d))
+    "q_minhash_acc"     -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    "q_local_clustering" -> ((s, d) => graft.operators.Triangles.localClusteringQuery(s, d)),
+    "q_cusum"           -> ((s, d) => graft.operators.TimeSeries.cusumChangepoint(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3919,7 +3921,62 @@ object SparkEntry {
         |LEFT JOIN i ON p.d1 = i.d1 AND p.d2 = i.d2
         |JOIN sizes na ON p.d1 = na.doc_id
         |JOIN sizes nb ON p.d2 = nb.doc_id
-        |ORDER BY p.d1, p.d2""".stripMargin
+        |ORDER BY p.d1, p.d2""".stripMargin,
+
+    // Per-node local clustering: tri/(d(d−1)/2) for deg ≥ 2 nodes of the
+    // co-order part graph; triangle counts as in q_triangles.
+    "q_local_clustering" ->
+      """WITH e AS (
+        |  SELECT DISTINCT i.l_partkey AS x, j.l_partkey AS y
+        |  FROM lineitem i JOIN lineitem j
+        |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |       JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+        |  FROM (SELECT a AS node FROM tri
+        |        UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY v)
+        |SELECT v AS node, deg, deg * (deg - 1) // 2 AS wedges_v,
+        |       COALESCE(tri_cnt, 0) AS tri_cnt,
+        |       CAST(COALESCE(tri_cnt, 0) AS DOUBLE) /
+        |         CAST(deg * (deg - 1) // 2 AS DOUBLE) AS lcc
+        |FROM deg LEFT JOIN tn ON deg.v = tn.node
+        |WHERE deg >= 2
+        |ORDER BY node""".stripMargin,
+
+    // Integer CUSUM changepoint: argmax |n·cum_i − i·total| over the
+    // daily revenue series, exact in HUGEINT; ties to the earliest day.
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |         CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS cum_v,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM daily),
+        |t AS (SELECT CAST(sum(v) AS BIGINT) AS total_cents,
+        |             CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |s AS (SELECT day,
+        |             abs(CAST(cum_v AS HUGEINT) * n_days -
+        |                 CAST(i AS HUGEINT) * total_cents) AS s
+        |      FROM c CROSS JOIN t),
+        |best AS (SELECT day, s FROM s ORDER BY s DESC, day LIMIT 1)
+        |SELECT n_days, total_cents, day AS at_day,
+        |       CAST(s AS BIGINT) AS s_num,
+        |       CAST(CAST(s AS BIGINT) AS DOUBLE) /
+        |         CAST(n_days * total_cents AS DOUBLE) AS rel
+        |FROM best CROSS JOIN t""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -111,4 +111,37 @@ object TimeSeries {
         col("ewma_num").cast("double") / col("ewma_den").cast("double"))
       .orderBy("prio", "day")
   }
+
+  /** CUSUM changepoint (q_cusum): the day where cumulative daily revenue
+    * deviates most from the uniform-rate line — argmax over i of
+    * |n·cum_i − i·total|, the integer-scaled CUSUM statistic (scaling by
+    * n·total keeps every comparison exact; the float mean-shift form
+    * would make the argmax order-dependent). Rank i and cumulative both
+    * come from ONE [[Ranking.distributedCumSum]] pass (a constant-1
+    * column cumsums to the rank). Products go through decimal(38,0).
+    * `rel` = S/(n·total) ∈ [0,1] is the single final division. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+      .withColumn("one", lit(1L))
+    val cum = Ranking.distributedCumSum(daily, Seq(col("day").asc), Seq("v", "one"))
+    val tot = daily.agg(sum(col("v")).as("total_cents"), count(lit(1)).as("n_days"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("day"), col("n_days"), col("total_cents"),
+        abs(col("cum_v").cast(d38) * col("n_days").cast(d38) -
+            col("cum_one").cast(d38) * col("total_cents").cast(d38)).as("s"))
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("total_cents")).as("total_cents"),
+        min(struct((-col("s")).as("ns"), col("day"))).as("w"))
+      .select(col("n_days"), col("total_cents"),
+        col("w.day").as("at_day"),
+        (-col("w.ns")).cast("long").as("s_num"),
+        ((-col("w.ns")).cast("long").cast("double") /
+          (col("n_days") * col("total_cents")).cast("double")).as("rel"))
+  }
 }

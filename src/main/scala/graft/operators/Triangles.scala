@@ -108,6 +108,38 @@ object Triangles {
     nodeTriangleCounts(edges).orderBy("node")
   }
 
+  /** Local clustering coefficient per node (q_local_clustering): for
+    * every part with degree ≥ 2 in the co-order graph, its closed-wedge
+    * fraction lcc = tri/​(d(d−1)/2) — the per-node refinement of
+    * [[clusteringQuery]]'s one global number, and the standard "is this
+    * node a clique member or a hub bridge" feature. Triangle counts come
+    * from the same degree-ordered counter (arboricity-bounded, never the
+    * naive wedge join); nodes outside every triangle left-join to 0. The
+    * output is dimension-sized (≤ |parts| rows). */
+  def localClusteringQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("i").join(li.as("j"),
+        col("i.l_orderkey") === col("j.l_orderkey") &&
+          col("i.l_partkey") < col("j.l_partkey"))
+      .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
+    val und = graft.scale.Silver.scratch(
+      edges.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y")).distinct(),
+      "lcc_edges")
+    val deg = und.select(col("x").as("v")).unionAll(und.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = nodeTriangleCounts(und.select(col("x").as("a"), col("y").as("b")))
+      .withColumnRenamed("node", "v")
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("v"), "left")
+      .na.fill(0L, Seq("tri_cnt"))
+      .select(col("v").as("node"), col("deg"),
+        expr("deg * (deg - 1) div 2").as("wedges_v"), col("tri_cnt"))
+      .withColumn("lcc",
+        col("tri_cnt").cast("double") / col("wedges_v").cast("double"))
+      .orderBy("node")
+  }
+
   /** Global clustering coefficient (q_clustering): C = 3·T / W — the
     * one-number "how cliquish is this graph" summary (T = triangles,
     * W = wedges = Σ d(d−1)/2). Triangle mass reuses the degree-ordered

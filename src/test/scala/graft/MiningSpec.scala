@@ -518,6 +518,22 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("local clustering: lcc in [0,1], triangle mass = 3T of the global query") {
+    val lcc = graft.operators.Triangles
+      .localClusteringQuery(spark, TestSpark.Sf0001)
+    val rows = lcc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2)                       // deg filter
+      assert(r.getLong(3) <= r.getLong(2))            // tri <= wedges
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val triMass = rows.map(_.getLong(3)).sum
+    val g = graft.operators.Triangles
+      .clusteringQuery(spark, TestSpark.Sf0001).head()
+    assert(triMass == 3L * g.getLong(3))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum

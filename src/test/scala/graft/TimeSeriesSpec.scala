@@ -32,6 +32,28 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("cusum matches an independent single-partition recompute") {
+    val got = graft.operators.TimeSeries
+      .cusumChangepoint(spark, TestSpark.Sf0001).head()
+    val daily = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg((sum(col("p")) * 100).cast("long").as("v"))
+      .orderBy("day").collect()
+    val total = daily.map(_.getLong(1)).sum
+    val n = daily.length.toLong
+    var cum = 0L; var best = 0L; var bestDay = Long.MaxValue
+    daily.zipWithIndex.foreach { case (r, i) =>
+      cum += r.getLong(1)
+      val s = math.abs(cum * n - (i + 1L) * total)
+      if (s > best) { best = s; bestDay = r.getLong(0) }
+    }
+    assert(got.getLong(0) == n && got.getLong(1) == total)
+    assert(got.getLong(3) == best && got.getLong(2) == bestDay)
+    assert(got.getDouble(4) >= 0.0 && got.getDouble(4) <= 1.0)
+  }
+
   test("ewma: weight mass matches observation count; steady-state den = 1023") {
     val e = graft.operators.TimeSeries
       .ewmaRevenue(spark, TestSpark.Sf0001).collect()
