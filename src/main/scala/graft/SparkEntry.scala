@@ -226,7 +226,10 @@ object SparkEntry {
     "q_nearest_event"   -> ((s, d) => EventOps.nearestViewToPurchase(s, d)),
     "q_minhash_acc"     -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q_local_clustering" -> ((s, d) => graft.operators.Triangles.localClusteringQuery(s, d)),
-    "q_cusum"           -> ((s, d) => graft.operators.TimeSeries.cusumChangepoint(s, d))
+    "q_cusum"           -> ((s, d) => graft.operators.TimeSeries.cusumChangepoint(s, d)),
+    "q_fk_audit"        -> ((s, d) => graft.operators.Profile.fkAudit(s, d)),
+    "q_runs"            -> ((s, d) => graft.operators.TimeSeries.runsTest(s, d)),
+    "q_ooo_rate"        -> ((s, d) => EventOps.outOfOrderRate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3976,7 +3979,125 @@ object SparkEntry {
         |       CAST(s AS BIGINT) AS s_num,
         |       CAST(CAST(s AS BIGINT) AS DOUBLE) /
         |         CAST(n_days * total_cents AS DOUBLE) AS rel
-        |FROM best CROSS JOIN t""".stripMargin
+        |FROM best CROSS JOIN t""".stripMargin,
+
+    // Referential-integrity audit: per FK edge, child count + orphan
+    // count from one left join each.
+    "q_fk_audit" ->
+      """WITH edges AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+        |         CAST(count(*) AS BIGINT) AS n_child,
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation.n_nationkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation.n_nationkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region.r_regionkey',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT fk, n_child, n_orphans,
+        |       CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+        |         AS orphan_rate
+        |FROM edges ORDER BY fk""".stripMargin,
+
+    // Wald–Wolfowitz runs test over daily revenue direction: exact
+    // up/down/flat and run counts; E[R]/Var[R]/z as a fixed IEEE tree.
+    "q_runs" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, v,
+        |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |      FROM daily),
+        |s AS (SELECT b.i,
+        |             CASE WHEN b.v > a.v THEN 1
+        |                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sign
+        |      FROM r a JOIN r b ON b.i = a.i + 1),
+        |nz AS (SELECT sign,
+        |              CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j
+        |       FROM s WHERE sign <> 0),
+        |ch AS (SELECT CAST(sum(CASE WHEN a.sign <> b.sign THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_changes
+        |       FROM nz a JOIN nz b ON b.j = a.j + 1),
+        |c AS (SELECT CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_up,
+        |             CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_down,
+        |             CAST(sum(CASE WHEN sign = 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_flat
+        |      FROM s),
+        |e AS (SELECT n_up, n_down, n_flat, n_changes + 1 AS n_runs,
+        |             1.0 + CAST(2 * n_up * n_down AS DOUBLE) /
+        |                   CAST(n_up + n_down AS DOUBLE) AS expected_runs
+        |      FROM c CROSS JOIN ch)
+        |SELECT n_up, n_down, n_flat, n_runs, expected_runs,
+        |       (CAST(n_runs AS DOUBLE) - expected_runs) /
+        |       sqrt(CAST(2 * n_up * n_down *
+        |                 (2 * n_up * n_down - n_up - n_down) AS DOUBLE) /
+        |            CAST((n_up + n_down) * (n_up + n_down) *
+        |                 (n_up + n_down - 1) AS DOUBLE)) AS z
+        |FROM e""".stripMargin,
+
+    // Out-of-order arrival audit: event-time vs the arrival-order
+    // high-water mark per (user, type); max lateness sizes a watermark.
+    "q_ooo_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, ts_ms,
+        |         max(ts_ms) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |f AS (
+        |  SELECT event_type,
+        |         CASE WHEN hwm IS NOT NULL AND ts_ms < hwm
+        |              THEN 1 ELSE 0 END AS late,
+        |         CASE WHEN hwm IS NOT NULL AND ts_ms < hwm
+        |              THEN hwm - ts_ms END AS lateness
+        |  FROM w)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(late) AS BIGINT) AS n_late,
+        |       COALESCE(max(lateness), 0) AS max_lateness_ms,
+        |       CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS late_rate
+        |FROM f GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

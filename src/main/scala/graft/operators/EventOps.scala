@@ -693,6 +693,39 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Out-of-order arrival audit (q_ooo_rate): per event type, how often
+    * an event's event-time runs BEHIND the stream's high-water mark when
+    * replayed in arrival order (event_id as the arrival proxy) — the
+    * batch measurement that sizes a streaming watermark
+    * (`withWatermark`'s allowed-lateness is exactly max_lateness_ms).
+    * One (user, type) shuffle; the running max is a per-key window. */
+  def outOfOrderRate(spark: SparkSession, dir: String): DataFrame =
+    outOfOrderRateOf(events(spark, dir))
+
+  /** Core of [[outOfOrderRate]] over any (user_id, event_type, event_id,
+    * ts_ms) frame — the driver corpus is perfectly ordered (the audit's
+    * answer there is a true all-zeros row set), so the late path is
+    * exercised by spec on a synthetic out-of-order stream. */
+  def outOfOrderRateOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"))
+      .withColumn("hwm", max(col("ts_ms")).over(w))
+      .withColumn("late",
+        col("hwm").isNotNull && col("ts_ms") < col("hwm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("late"), col("hwm") - col("ts_ms")))
+          .as("max_lateness_ms"))
+      .na.fill(0L, Seq("max_lateness_ms"))
+      .withColumn("late_rate",
+        col("n_late").cast("double") / col("n_events").cast("double"))
+      .orderBy("event_type")
+  }
+
   /** Nearest-event temporal join (q_nearest_event): each purchase paired
     * with the user's CLOSEST view event in either time direction (as-of
     * looks only backward; attribution often wants nearest). Both

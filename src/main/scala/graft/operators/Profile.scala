@@ -57,4 +57,53 @@ object Profile {
       Tables.lineitem(spark, dir),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus"))
+
+  /** Referential-integrity audit (q_fk_audit): one row per foreign-key
+    * edge of the warehouse schema with child cardinality, orphan count,
+    * and orphan rate — the FK half of the reference's constraint layer
+    * (database/schema.sql REFERENCES clauses) as a queryable report
+    * instead of per-row rejections ([[Validate]] covers those).
+    *
+    * Each edge is one left join on the parent's key projection: n_child
+    * and n_orphans come from the SAME pass (count + null-count), so an
+    * edge costs one join, not a count plus an anti-join. Dimension
+    * parents (nation, region) broadcast; fact-sized parents take the
+    * unavoidable key shuffle. The 7 one-row aggregates union at the end —
+    * each keeps its own plan, so AQE sizes each join independently. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String,
+             broadcastParent: Boolean = false): DataFrame = {
+      val p0 = parent.select(col(parentKey).as("__pk"))
+      val p = if (broadcastParent) broadcast(p0) else p0
+      child.select(col(childKey).as("__ck"))
+        .join(p, col("__ck") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_child").cast("double"))
+            .as("orphan_rate"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      edge("lineitem.l_orderkey->orders.o_orderkey",
+        li, "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+      edge("lineitem.l_partkey->part.p_partkey",
+        li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier.s_suppkey",
+        li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      edge("orders.o_custkey->customer.c_custkey",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("customer.c_nationkey->nation.n_nationkey",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", broadcastParent = true),
+      edge("supplier.s_nationkey->nation.n_nationkey",
+        Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", broadcastParent = true),
+      edge("nation.n_regionkey->region.r_regionkey",
+        Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey", broadcastParent = true)
+    ).reduce(_ unionByName _).orderBy("fk")
+  }
 }

@@ -120,6 +120,56 @@ object TimeSeries {
     * come from ONE [[Ranking.distributedCumSum]] pass (a constant-1
     * column cumsums to the rank). Products go through decimal(38,0).
     * `rel` = S/(n·total) ∈ [0,1] is the single final division. */
+  /** Wald–Wolfowitz runs test (q_runs): is the daily revenue's up/down
+    * sequence random, or momentum/mean-reverting? Day-over-day signs come
+    * from a rank self-join (consecutive ranks via
+    * [[Ranking.distributedGlobalRank]] — the lag-equi-join idiom, no
+    * global window); flat days are excluded per the classic test; runs
+    * are sign changes + 1 counted by a second rank pass over the nonzero
+    * signs. Counts are exact; E[R], Var[R], z form a fixed IEEE tree
+    * (the only non-arithmetic op is the correctly-rounded sqrt). */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val ranked = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i"),
+      "runs_ranked")
+    val signs = ranked.as("a")
+      .join(ranked.as("b"), col("b.i") === col("a.i") + 1)
+      .select(col("b.i").as("i"),
+        when(col("b.v") > col("a.v"), 1L)
+          .when(col("b.v") < col("a.v"), -1L).otherwise(0L).as("sign"))
+    val nz = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(signs.filter(col("sign") =!= 0L),
+        Seq(col("i").asc), rankCol = "j"),
+      "runs_nz")
+    val changes = nz.as("a")
+      .join(nz.as("b"), col("b.j") === col("a.j") + 1)
+      .agg(sum(when(col("a.sign") =!= col("b.sign"), 1L).otherwise(0L))
+        .as("n_changes"))
+    val counts = signs.agg(
+      sum(when(col("sign") === 1L, 1L).otherwise(0L)).as("n_up"),
+      sum(when(col("sign") === -1L, 1L).otherwise(0L)).as("n_down"),
+      sum(when(col("sign") === 0L, 1L).otherwise(0L)).as("n_flat"))
+    counts.crossJoin(broadcast(changes))
+      .withColumn("n_runs", col("n_changes") + 1L)
+      .withColumn("expected_runs",
+        lit(1.0) + (lit(2L) * col("n_up") * col("n_down")).cast("double") /
+          (col("n_up") + col("n_down")).cast("double"))
+      .withColumn("z",
+        (col("n_runs").cast("double") - col("expected_runs")) /
+          sqrt((lit(2L) * col("n_up") * col("n_down") *
+              (lit(2L) * col("n_up") * col("n_down") -
+                col("n_up") - col("n_down"))).cast("double") /
+            ((col("n_up") + col("n_down")) * (col("n_up") + col("n_down")) *
+              (col("n_up") + col("n_down") - 1L)).cast("double")))
+      .select("n_up", "n_down", "n_flat", "n_runs", "expected_runs", "z")
+  }
+
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = Tables.orders(spark, dir)

@@ -534,6 +534,33 @@ class MiningSpec extends SparkSpec {
     assert(triMass == 3L * g.getLong(3))
   }
 
+  test("fk audit: child counts match table sizes; the synthetic corpus is closed") {
+    val a = graft.operators.Profile.fkAudit(spark, TestSpark.Sf0001).collect()
+    assert(a.length == 7)
+    val byFk = a.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nLi = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(byFk("lineitem.l_orderkey->orders.o_orderkey") == nLi)
+    a.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("out-of-order audit counts a synthetic late stream correctly") {
+    import spark.implicits._
+    // user 1 / type t: arrival order 1,2,3 with times 10, 30, 20 — the
+    // third event is 10ms behind the high-water mark.
+    val ev = Seq(
+      (1L, "t", 1L, 10L), (1L, "t", 2L, 30L), (1L, "t", 3L, 20L),
+      (2L, "t", 4L, 5L), (2L, "t", 5L, 5L) // equal ts is NOT late
+    ).toDF("user_id", "event_type", "event_id", "ts_ms")
+    val r = graft.operators.EventOps.outOfOrderRateOf(ev).head()
+    assert(r.getLong(1) == 5L)   // n_events
+    assert(r.getLong(2) == 1L)   // n_late
+    assert(r.getLong(3) == 10L)  // max_lateness_ms
+    // and the real corpus is verified in-order (a true zero, not a skip)
+    val corpus = graft.operators.EventOps
+      .outOfOrderRate(spark, TestSpark.Sf0001).collect()
+    assert(corpus.forall(_.getLong(2) == 0L))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum

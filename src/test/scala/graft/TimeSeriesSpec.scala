@@ -54,6 +54,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.getDouble(4) >= 0.0 && got.getDouble(4) <= 1.0)
   }
 
+  test("runs test: sign counts partition the pairs; runs bounded by nonzero signs") {
+    val r = graft.operators.TimeSeries.runsTest(spark, TestSpark.Sf0001).head()
+    val (up, down, flat, runs) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nDays = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+      .distinct().count()
+    assert(up + down + flat == nDays - 1)
+    assert(runs >= 1 && runs <= up + down)
+    assert(r.getDouble(4) > 0.0) // expected runs
+  }
+
   test("ewma: weight mass matches observation count; steady-state den = 1023") {
     val e = graft.operators.TimeSeries
       .ewmaRevenue(spark, TestSpark.Sf0001).collect()
