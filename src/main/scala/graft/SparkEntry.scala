@@ -229,7 +229,10 @@ object SparkEntry {
     "q_cusum"           -> ((s, d) => graft.operators.TimeSeries.cusumChangepoint(s, d)),
     "q_fk_audit"        -> ((s, d) => graft.operators.Profile.fkAudit(s, d)),
     "q_runs"            -> ((s, d) => graft.operators.TimeSeries.runsTest(s, d)),
-    "q_ooo_rate"        -> ((s, d) => EventOps.outOfOrderRate(s, d))
+    "q_ooo_rate"        -> ((s, d) => EventOps.outOfOrderRate(s, d)),
+    "q_langid_eval"     -> ((s, d) => TextAnalysis.langIdEval(s, d)),
+    "q_boilerplate"     -> ((s, d) => TextAnalysis.boilerplatePrefixes(s, d)),
+    "q_dedup_savings"   -> ((s, d) => TextAnalysis.dedupSavings(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4097,7 +4100,77 @@ object SparkEntry {
         |       CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |         AS late_rate
         |FROM f GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Language-ID confusion matrix: the q_lang_id ladder joined back to
+    // the labeled lang; per-cell share of its true-label row.
+    "q_langid_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
+        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, cjk,
+        |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
+        |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
+        |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
+        |         len(list_intersect(toks, ['el','los','las','es','y','en'])) AS hs
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN cjk THEN 'zh'
+        |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |              WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |              WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+        |              WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |              ELSE 'de' END AS pred
+        |  FROM v),
+        |cells AS (
+        |  SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+        |       FROM cells GROUP BY 1)
+        |SELECT lang, pred, n, lang = pred AS is_correct,
+        |       CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS recall_share
+        |FROM cells JOIN rt USING (lang)
+        |ORDER BY lang, pred""".stripMargin,
+
+    // Boilerplate prefixes: repeated 5-token openings, two-level
+    // aggregate for the distinct-source count.
+    "q_boilerplate" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks, source, n_chars
+        |           FROM documents),
+        |f AS (SELECT array_to_string(toks[1:5], ' ') AS prefix, source, n_chars
+        |      FROM t WHERE len(toks) >= 5),
+        |l1 AS (SELECT prefix, source, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(n_chars) AS BIGINT) AS chars
+        |       FROM f GROUP BY 1, 2),
+        |p AS (SELECT prefix, CAST(sum(n) AS BIGINT) AS n_docs,
+        |             CAST(count(*) AS BIGINT) AS n_sources,
+        |             CAST(sum(chars) AS BIGINT) AS total_chars
+        |      FROM l1 GROUP BY 1)
+        |SELECT prefix, n_docs, n_sources, total_chars
+        |FROM p WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin,
+
+    // Keep-first dedup survivorship: per source, docs/chars deleted
+    // under the min-doc_id keeper policy.
+    "q_dedup_savings" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_removed,
+        |       CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |            AS BIGINT) AS chars_saved,
+        |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS removal_rate
+        |FROM d JOIN k USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

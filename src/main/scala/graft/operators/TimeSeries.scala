@@ -135,8 +135,12 @@ object TimeSeries {
         col("o_totalprice").cast("decimal(18,2)").as("p"))
       .groupBy("day")
       .agg((sum(col("p")) * 100).cast("long").as("v"))
+    // The daily frame is calendar-bounded (~thousands of rows at any
+    // corpus size); 8 range partitions keep the two-pass rank's fixed
+    // costs (boundary sampling, offset cross-join) proportionate.
     val ranked = graft.scale.Silver.scratch(
-      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i"),
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i",
+        numParts = 8),
       "runs_ranked")
     val signs = ranked.as("a")
       .join(ranked.as("b"), col("b.i") === col("a.i") + 1)
@@ -145,7 +149,7 @@ object TimeSeries {
           .when(col("b.v") < col("a.v"), -1L).otherwise(0L).as("sign"))
     val nz = graft.scale.Silver.scratch(
       Ranking.distributedGlobalRank(signs.filter(col("sign") =!= 0L),
-        Seq(col("i").asc), rankCol = "j"),
+        Seq(col("i").asc), rankCol = "j", numParts = 8),
       "runs_nz")
     val changes = nz.as("a")
       .join(nz.as("b"), col("b.j") === col("a.j") + 1)

@@ -587,6 +587,75 @@ object TextAnalysis {
     * Both numerator and denominator are exact longs (counts are corpus-
     * bounded; cᵢ(cᵢ−1) ≪ 2⁶³); `simpson` is the single IEEE division.
     * Two keyed aggregates, |source|×|lang|-bounded shuffle. */
+  /** Language-ID evaluation (q_langid_eval): confusion cells of
+    * [[langIdHeuristic]] against the corpus's labeled `lang` — the
+    * accuracy report a pipeline owner reads before trusting the cheap
+    * classifier to route 100 TB. One pass classifies, one map-side-
+    * combining aggregate builds the |langs|²-bounded cell frame;
+    * `recall_share` is each cell's fraction of its true-label row. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), langIdHeuristic(col("text")).as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    cells.join(broadcast(rowTot), "lang")
+      .select(col("lang"), col("pred"), col("n"),
+        (col("lang") === col("pred")).as("is_correct"),
+        (col("n").cast("double") / col("n_lang").cast("double"))
+          .as("recall_share"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Boilerplate prefixes (q_boilerplate): the most-repeated 5-token
+    * document openings — the cheap detector for injected headers/
+    * templates that exact-dedup misses (bodies differ) and shingle
+    * near-dup only catches pairwise. GroupBy on the prefix string is one
+    * map-side-combining shuffle; output is top-20 by support. */
+  def boilerplatePrefixes(spark: SparkSession, dir: String,
+                          k: Int = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    // Two-level aggregate for the distinct-source count — the house
+    // no-Expand discipline (a count(DISTINCT) beside other aggregates
+    // would plan an Expand over the doc stream).
+    val lvl1 = Tables.documents(spark, dir)
+      .filter(size(toks) >= 5)
+      .select(array_join(slice(toks, 1, 5), " ").as("prefix"),
+        col("source"), col("n_chars"))
+      .groupBy("prefix", "source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val pref = lvl1.groupBy("prefix")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("chars")).as("total_chars"))
+      .filter(col("n_docs") >= 2)
+    graft.operators.Ranking.topK(pref, k,
+      col("n_docs").desc, col("prefix").asc)
+  }
+
+  /** Dedup survivorship report (q_dedup_savings): per source, what
+    * keep-first exact dedup would delete — doc and char savings under
+    * the min-doc_id keeper policy (the [[graft.operators.Merge]]
+    * first-writer-wins convention applied to content identity). The
+    * keeper is a per-fingerprint min; everything else is one join back
+    * and a per-source rollup. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        fingerprint(col("text")).as("fp"))
+    val keeper = docs.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    docs.join(keeper, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(0L)).as("chars_saved"))
+      .withColumn("removal_rate",
+        col("n_removed").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   def languageSimpson(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("source", "lang")

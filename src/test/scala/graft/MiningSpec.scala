@@ -561,6 +561,43 @@ class MiningSpec extends SparkSpec {
     assert(corpus.forall(_.getLong(2) == 0L))
   }
 
+  test("langid eval: cells conserve the corpus; recall shares sum to 1 per label") {
+    val cells = graft.scale.TextAnalysis.langIdEval(spark, TestSpark.Sf0001)
+      .collect()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(cells.map(_.getLong(2)).sum == nDocs)
+    cells.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    }
+    cells.foreach(r =>
+      assert(r.getBoolean(3) == (r.getString(0) == r.getString(1))))
+  }
+
+  test("boilerplate prefixes have support >= 2 and bounded source counts") {
+    val b = graft.scale.TextAnalysis
+      .boilerplatePrefixes(spark, TestSpark.Sf0001).collect()
+    assert(b.nonEmpty && b.length <= 20)
+    b.foreach { r =>
+      assert(r.getString(0).split(" ").length == 5)
+      assert(r.getLong(1) >= 2 && r.getLong(2) <= r.getLong(1))
+    }
+    // sorted by support desc
+    val supports = b.map(_.getLong(1))
+    assert(supports.zip(supports.tail).forall { case (a, c) => a >= c })
+  }
+
+  test("dedup savings reconcile with the exact-dup group structure") {
+    val s = graft.scale.TextAnalysis.dedupSavings(spark, TestSpark.Sf0001)
+      .collect()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(s.map(_.getLong(1)).sum == nDocs)
+    // total removed = docs − distinct fingerprints
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val distinctFp = docs
+      .select(graft.scale.TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(s.map(_.getLong(2)).sum == nDocs - distinctFp)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
