@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, EventOps}
-import graft.scale.{Dedup, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Similarity, TextAnalysis, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -232,7 +232,10 @@ object SparkEntry {
     "q_ooo_rate"        -> ((s, d) => EventOps.outOfOrderRate(s, d)),
     "q_langid_eval"     -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     "q_boilerplate"     -> ((s, d) => TextAnalysis.boilerplatePrefixes(s, d)),
-    "q_dedup_savings"   -> ((s, d) => TextAnalysis.dedupSavings(s, d))
+    "q_dedup_savings"   -> ((s, d) => TextAnalysis.dedupSavings(s, d)),
+    "q_allocation"      -> ((s, d) => TrainingData.budgetAllocation(s, d)),
+    "q_split_leakage"   -> ((s, d) => TrainingData.splitLeakage(s, d)),
+    "q_psi_drift"       -> ((s, d) => graft.operators.Distribution.distributionDrift(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4170,7 +4173,117 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
         |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS removal_rate
         |FROM d JOIN k USING (fp)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Hamilton largest-remainder allocation: base = floor(k·n/N), the
+    // k−Σbase leftovers to the biggest remainders (counting-join rank).
+    "q_allocation" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |wb AS (SELECT source, n_docs,
+        |              (10000 * n_docs) // n_total AS base,
+        |              10000 * n_docs - ((10000 * n_docs) // n_total) * n_total
+        |                AS rem
+        |       FROM c CROSS JOIN t),
+        |r AS (SELECT a.source, a.n_docs, a.base, a.rem,
+        |             CAST(count(b.source) AS BIGINT) AS n_better
+        |      FROM wb a LEFT JOIN wb b
+        |        ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+        |      GROUP BY a.source, a.n_docs, a.base, a.rem),
+        |l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS leftover FROM wb)
+        |SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+        |       CAST(rem AS BIGINT) AS rem,
+        |       n_better < leftover AS extra,
+        |       CAST(base + CASE WHEN n_better < leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS alloc
+        |FROM r CROSS JOIN l
+        |ORDER BY source""".stripMargin,
+
+    // Split-leakage audit: fingerprints present in >1 hash split.
+    "q_split_leakage" ->
+      """WITH d AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |                        AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |                        AS BIGINT) % 100 < 90 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |  FROM documents),
+        |cells AS (SELECT fp, split, CAST(count(*) AS BIGINT) AS n
+        |          FROM d GROUP BY 1, 2),
+        |fs AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_splits
+        |       FROM cells GROUP BY 1)
+        |SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN n_splits > 1 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_leaked_docs,
+        |       CAST(sum(CASE WHEN n_splits > 1 THEN n ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(n) AS DOUBLE) AS leak_rate
+        |FROM cells JOIN fs USING (fp)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    // Decile drift: reference-half deciles code both halves; per-bucket
+    // shares, shift, and χ² term (the log-free PSI stand-in).
+    "q_psi_drift" ->
+      """WITH o AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |bd AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+        |tg AS (SELECT v, day <= mid AS is_ref FROM o CROSS JOIN bd),
+        |rp AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tg WHERE is_ref GROUP BY v),
+        |rc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        |       FROM rp),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM rp),
+        |th AS (SELECT
+        |         min(CASE WHEN cum >= (1 * n + 9) // 10 THEN v END) AS t1,
+        |         min(CASE WHEN cum >= (2 * n + 9) // 10 THEN v END) AS t2,
+        |         min(CASE WHEN cum >= (3 * n + 9) // 10 THEN v END) AS t3,
+        |         min(CASE WHEN cum >= (4 * n + 9) // 10 THEN v END) AS t4,
+        |         min(CASE WHEN cum >= (5 * n + 9) // 10 THEN v END) AS t5,
+        |         min(CASE WHEN cum >= (6 * n + 9) // 10 THEN v END) AS t6,
+        |         min(CASE WHEN cum >= (7 * n + 9) // 10 THEN v END) AS t7,
+        |         min(CASE WHEN cum >= (8 * n + 9) // 10 THEN v END) AS t8,
+        |         min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS t9
+        |       FROM rc CROSS JOIN nn),
+        |cd AS (SELECT CAST(1
+        |         + (CASE WHEN v > t1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t3 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t4 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t5 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t6 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t7 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t8 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN v > t9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+        |              is_ref
+        |       FROM tg CROSS JOIN th),
+        |cn AS (SELECT bucket,
+        |              CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS n_ref,
+        |              CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+        |                AS n_cur
+        |       FROM cd GROUP BY bucket),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |              CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM cn),
+        |sp AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+        |j AS (SELECT sp.bucket, COALESCE(n_ref, 0) AS n_ref,
+        |             COALESCE(n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN cn USING (bucket)),
+        |e AS (SELECT bucket, n_ref, n_cur,
+        |             CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)
+        |               AS ref_share,
+        |             CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE)
+        |               AS cur_share,
+        |             CAST(tot_cur * n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)
+        |               AS expect
+        |      FROM j CROSS JOIN tt)
+        |SELECT bucket, n_ref, n_cur, ref_share, cur_share,
+        |       cur_share - ref_share AS shift,
+        |       (CAST(n_cur AS DOUBLE) - expect) *
+        |       (CAST(n_cur AS DOUBLE) - expect) / expect AS chi2_term
+        |FROM e ORDER BY bucket""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

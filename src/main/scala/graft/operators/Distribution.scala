@@ -128,4 +128,67 @@ object Distribution {
       .agg(first(col("n")).as("n"), bandAggs: _*)
       .orderBy("segment")
   }
+
+  /** Distribution drift report (q_psi_drift): decile-bucket comparison
+    * of order prices between the corpus's first and second calendar
+    * halves — the model-monitoring "did the input distribution move?"
+    * query. Bucket edges are the REFERENCE half's exact deciles (the
+    * [[percentileBands]] integer-rank machinery over the domain-bounded
+    * cents frame); both halves are then CODED against the broadcast
+    * 9-threshold row (comparison coding — the fact stream is never
+    * ranked). Per bucket: counts, shares, shift, and a chi-square term —
+    * the log-free drift statistic (PSI proper needs ln, which is not
+    * engine-portable; the χ² form detects the same movement). */
+  def distributionDrift(spark: SparkSession, dir: String,
+                        buckets: Int = 10): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        cents(col("o_totalprice")).as("v"))
+    val bounds = o.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val tagged = graft.scale.Silver.scratch(
+      o.crossJoin(broadcast(bounds))
+        .select(col("v"), (col("day") <= col("mid")).as("is_ref")),
+      "drift_tagged") // feeds the threshold pass and both codings
+    val refPer = tagged.filter(col("is_ref"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val refCum = Ranking.distributedCumSum(refPer, Seq(col("v").asc), Seq("cnt"))
+    val nRef = refPer.agg(sum(col("cnt")).as("n"))
+    val thrAggs = (1 until buckets).map { i =>
+      min(when(col("cum_cnt") >= expr(s"($i * n + ${buckets - 1}) div $buckets"),
+        col("v"))).as(s"t$i")
+    }
+    val thresholds = refCum.crossJoin(broadcast(nRef))
+      .agg(thrAggs.head, thrAggs.tail: _*)
+    val bucket = (1 until buckets).map { i =>
+      when(col("v") > col(s"t$i"), 1).otherwise(0)
+    }.reduceLeft(_ + _) + 1
+    val counts = tagged.crossJoin(broadcast(thresholds))
+      .select(bucket.cast("long").as("bucket"), col("is_ref"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"))
+    val spine = (1 to buckets).map(_.toLong).toDF("bucket")
+    spine.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ref_share",
+        col("n_ref").cast("double") / col("tot_ref").cast("double"))
+      .withColumn("cur_share",
+        col("n_cur").cast("double") / col("tot_cur").cast("double"))
+      .withColumn("shift", col("cur_share") - col("ref_share"))
+      .withColumn("expect",
+        (col("tot_cur") * col("n_ref")).cast("double") /
+          col("tot_ref").cast("double"))
+      .withColumn("chi2_term",
+        (col("n_cur").cast("double") - col("expect")) *
+        (col("n_cur").cast("double") - col("expect")) / col("expect"))
+      .select("bucket", "n_ref", "n_cur", "ref_share", "cur_share",
+        "shift", "chi2_term")
+      .orderBy("bucket")
+  }
 }

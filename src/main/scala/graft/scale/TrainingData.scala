@@ -449,4 +449,67 @@ object TrainingData {
   /** q_dataset_card over the documents table. */
   def datasetCardQuery(spark: SparkSession, dir: String): DataFrame =
     datasetCard(Tables.documents(spark, dir))
+
+  /** Largest-remainder budget allocation (q_allocation): split a fixed
+    * sampling budget of `k` slots across sources proportional to their
+    * doc counts, Hamilton-method exact — base_i = ⌊k·n_i/N⌋, then the
+    * k−Σbase leftover slots go to the largest remainders (ties to the
+    * lexicographically-first source). Everything is integer arithmetic
+    * over the dimension-sized per-source frame; the remainder rank is a
+    * counting self-join (the q_movers idiom), not a window. Σalloc = k
+    * by construction — the spec pins it. */
+  def budgetAllocation(spark: SparkSession, dir: String,
+                       k: Long = 10000L): DataFrame = {
+    val counts = Silver.scratch(
+      Tables.documents(spark, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs")),
+      "alloc_counts") // feeds totals, rank join, and the output
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val withBase = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($k * n_docs) div n_total"))
+      .withColumn("rem", expr(s"$k * n_docs - base * n_total"))
+    val ranked = withBase.as("a").join(withBase.as("b"),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
+        "left")
+      .groupBy(col("a.source").as("source"))
+      .agg(first(col("a.n_docs")).as("n_docs"),
+        first(col("a.base")).as("base"),
+        first(col("a.rem")).as("rem"),
+        count(col("b.source")).as("n_better"))
+    val leftover = withBase.agg((lit(k) - sum(col("base"))).as("leftover"))
+    ranked.crossJoin(broadcast(leftover))
+      .withColumn("extra", col("n_better") < col("leftover"))
+      .withColumn("alloc",
+        col("base") + when(col("extra"), 1L).otherwise(0L))
+      .select("source", "n_docs", "base", "rem", "extra", "alloc")
+      .orderBy("source")
+  }
+
+  /** Split-leakage audit (q_split_leakage): per split, how many docs
+    * share a content fingerprint with a DIFFERENT split — the
+    * decontamination check run after [[splitOf]] assignment (hash splits
+    * are leak-free only if content identity and the split key agree;
+    * exact duplicates under different doc_ids leak). Two-level
+    * aggregates throughout: (fp, split) cells, fp-level split counts,
+    * then the per-split rollup — nothing rescans the doc stream. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+          splitOf(col("doc_id")).as("split"))
+        .groupBy("fp", "split").agg(count(lit(1)).as("n")),
+      "leak_cells") // feeds the fp-level count and the rollup
+    val fpSplits = cells.groupBy("fp")
+      .agg(count(lit(1)).as("n_splits"))
+    cells.join(fpSplits, "fp")
+      .groupBy("split")
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("n_splits") > 1, col("n")).otherwise(0L))
+          .as("n_leaked_docs"))
+      .withColumn("leak_rate",
+        col("n_leaked_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("split")
+  }
 }

@@ -598,6 +598,41 @@ class MiningSpec extends SparkSpec {
     assert(s.map(_.getLong(2)).sum == nDocs - distinctFp)
   }
 
+  test("allocation: conserves the budget exactly, extras go to top remainders") {
+    val a = graft.scale.TrainingData.budgetAllocation(spark, TestSpark.Sf0001)
+      .collect()
+    assert(a.map(_.getLong(5)).sum == 10000L)
+    a.foreach(r => assert(r.getLong(5) - r.getLong(2) == (if (r.getBoolean(4)) 1L else 0L)))
+    // every extra-receiving source has remainder >= every non-extra one
+    val extras = a.filter(_.getBoolean(4)).map(_.getLong(3))
+    val rest = a.filterNot(_.getBoolean(4)).map(_.getLong(3))
+    if (extras.nonEmpty && rest.nonEmpty) assert(extras.min >= rest.max)
+  }
+
+  test("split leakage: conserves the corpus and matches a direct recompute") {
+    val s = graft.scale.TrainingData.splitLeakage(spark, TestSpark.Sf0001)
+      .collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    assert(s.map(_.getLong(1)).sum == docs.count())
+    val direct = docs
+      .select(graft.scale.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.scale.TrainingData.splitOf(col("doc_id")).as("split"))
+    val leakedFps = direct.select("fp", "split").distinct()
+      .groupBy("fp").count().filter(col("count") > 1).select("fp")
+    val leakedDocs = direct.join(leakedFps, "fp").count()
+    assert(s.map(_.getLong(2)).sum == leakedDocs)
+  }
+
+  test("psi drift: full bucket spine, shares sum to 1, nonnegative chi terms") {
+    val d = graft.operators.Distribution
+      .distributionDrift(spark, TestSpark.Sf0001).collect()
+    assert(d.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(math.abs(d.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    d.foreach(r => assert(r.getDouble(6) >= 0.0))
+    assert(math.abs(d.map(_.getDouble(5)).sum) < 1e-9) // shifts cancel
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
