@@ -235,7 +235,9 @@ object SparkEntry {
     "q_dedup_savings"   -> ((s, d) => TextAnalysis.dedupSavings(s, d)),
     "q_allocation"      -> ((s, d) => TrainingData.budgetAllocation(s, d)),
     "q_split_leakage"   -> ((s, d) => TrainingData.splitLeakage(s, d)),
-    "q_psi_drift"       -> ((s, d) => graft.operators.Distribution.distributionDrift(s, d))
+    "q_psi_drift"       -> ((s, d) => graft.operators.Distribution.distributionDrift(s, d)),
+    "q_cohort_ltv"      -> ((s, d) => EventOps.cohortLtv(s, d)),
+    "q_dwell"           -> ((s, d) => EventOps.dwellStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4283,7 +4285,57 @@ object SparkEntry {
         |       cur_share - ref_share AS shift,
         |       (CAST(n_cur AS DOUBLE) - expect) *
         |       (CAST(n_cur AS DOUBLE) - expect) / expect AS chi2_term
-        |FROM e ORDER BY bucket""".stripMargin
+        |FROM e ORDER BY bucket""".stripMargin,
+
+    // Cohort LTV: purchases tagged with their user's first-seen week,
+    // exact cents cells, per-cohort cumulative revenue, per-user LTV.
+    "q_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 604800000) AS cw
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT user_id, epoch_ms(ts) // 604800000 AS w, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |cells AS (
+        |  SELECT f.cw, p.w - f.cw AS age,
+        |         CAST(count(*) AS BIGINT) AS n_purchases,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS rev_cents
+        |  FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+        |cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM f GROUP BY 1),
+        |c AS (SELECT cw, age, n_purchases, rev_cents,
+        |             CAST(sum(rev_cents) OVER (PARTITION BY cw ORDER BY age)
+        |                  AS BIGINT) AS cum_rev_cents
+        |      FROM cells)
+        |SELECT c.cw AS cohort_week, c.age AS age_week, cs.n_users,
+        |       n_purchases, rev_cents, cum_rev_cents,
+        |       CAST(cum_rev_cents AS DOUBLE) / CAST(cs.n_users AS DOUBLE)
+        |         AS ltv_cents
+        |FROM c JOIN cs USING (cw)
+        |ORDER BY cohort_week, age_week""".stripMargin,
+
+    // Dwell time: lead gap to the user's next event, exact-ms stats per
+    // type; terminal events counted, not dropped.
+    "q_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |         lead(ts_ms, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts_ms, event_id) - ts_ms
+        |           AS dwell_ms
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN dwell_ms IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_terminal,
+        |       CAST(sum(dwell_ms) AS BIGINT) AS dwell_sum_ms,
+        |       min(dwell_ms) AS dwell_min_ms,
+        |       max(dwell_ms) AS dwell_max_ms,
+        |       CAST(sum(dwell_ms) AS DOUBLE) /
+        |         CAST(count(*) - sum(CASE WHEN dwell_ms IS NULL THEN 1 ELSE 0 END)
+        |              AS DOUBLE) AS dwell_mean_ms
+        |FROM l GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -726,6 +726,62 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Cohort LTV matrix (q_cohort_ltv): cumulative purchase revenue per
+    * signup-week cohort by age week, per-user — the revenue companion of
+    * [[cohortRetention]]'s activity matrix. One keyed join tags each
+    * purchase with its user's cohort; cells aggregate exact cents; the
+    * cumulative pass is a per-cohort window over the weeks²-bounded cell
+    * frame. Age weeks with no purchases yield no row (stated gap policy,
+    * as [[graft.operators.Analytics.weekOverWeek]]). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val firstWeek = e.groupBy(col("user_id"))
+      .agg(min(expr("ts_ms div 604800000")).as("cw"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ms div 604800000").as("w"),
+        col("value"))
+    val cells = purchases.join(firstWeek, "user_id")
+      .groupBy(col("cw"), (col("w") - col("cw")).as("age"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("rev_cents"))
+    val cohortSize = firstWeek.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("cw")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(cohortSize), "cw")
+      .select(col("cw").as("cohort_week"), col("age").as("age_week"),
+        col("n_users"), col("n_purchases"), col("rev_cents"),
+        col("cum_rev_cents"),
+        (col("cum_rev_cents").cast("double") / col("n_users").cast("double"))
+          .as("ltv_cents"))
+      .orderBy("cohort_week", "age_week")
+  }
+
+  /** Dwell-time stats (q_dwell): per event type, the gap to the user's
+    * NEXT event of any type — how long each action "holds" the user. The
+    * lead is one per-user ordered window; stats are exact millisecond
+    * integers with the mean as the single division. Last events (no
+    * successor) are counted separately, not silently dropped. */
+  def dwellStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("dwell_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("dwell_ms").isNull, 1L).otherwise(0L)).as("n_terminal"),
+        sum(col("dwell_ms")).as("dwell_sum_ms"),
+        min(col("dwell_ms")).as("dwell_min_ms"),
+        max(col("dwell_ms")).as("dwell_max_ms"))
+      .withColumn("dwell_mean_ms",
+        col("dwell_sum_ms").cast("double") /
+          (col("n_events") - col("n_terminal")).cast("double"))
+      .orderBy("event_type")
+  }
+
   /** Nearest-event temporal join (q_nearest_event): each purchase paired
     * with the user's CLOSEST view event in either time direction (as-of
     * looks only backward; attribution often wants nearest). Both

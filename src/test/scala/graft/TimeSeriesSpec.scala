@@ -66,6 +66,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0) // expected runs
   }
 
+  test("cohort LTV: cumulative is monotone per cohort and conserves revenue") {
+    val m = graft.operators.EventOps.cohortLtv(spark, TestSpark.Sf0001).collect()
+    assert(m.nonEmpty)
+    m.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cums = rows.sortBy(_.getLong(1)).map(_.getLong(5))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      // last cumulative equals the cohort's summed cells
+      assert(cums.last == rows.map(_.getLong(4)).sum)
+    }
+    val totalCents = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long"))
+      .head().getLong(0)
+    assert(m.map(_.getLong(4)).sum == totalCents)
+  }
+
+  test("dwell: terminal events equal the user count; gaps are nonnegative") {
+    val d = graft.operators.EventOps.dwellStats(spark, TestSpark.Sf0001).collect()
+    val nUsers = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select("user_id").distinct().count()
+    assert(d.map(_.getLong(2)).sum == nUsers) // one terminal event per user
+    d.foreach { r =>
+      assert(r.getLong(4) >= 0L)            // min dwell
+      assert(r.getDouble(6) >= 0.0)         // mean dwell
+    }
+  }
+
   test("ewma: weight mass matches observation count; steady-state den = 1023") {
     val e = graft.operators.TimeSeries
       .ewmaRevenue(spark, TestSpark.Sf0001).collect()
