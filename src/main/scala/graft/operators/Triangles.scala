@@ -37,17 +37,25 @@ object Triangles {
 
   /** Per-node triangle participation counts from an undirected edge list
     * (columns `a`, `b`; distinct, a ≠ b, each edge once in either
-    * direction). Returns (node, tri_cnt), only nodes in ≥1 triangle. */
-  def nodeTriangleCounts(edges: DataFrame): DataFrame = {
+    * direction). Returns (node, tri_cnt), only nodes in ≥1 triangle.
+    *
+    * `normalized = true` asserts the input is ALREADY canonical (a < b,
+    * distinct) AND materialized — callers that built the edge frame via
+    * `Silver.scratch` skip the redundant second normalize+materialize
+    * pass this method would otherwise pay (one exchange + one silver
+    * write saved; clusteringQuery/localClusteringQuery use it). */
+  def nodeTriangleCounts(edges: DataFrame,
+                         normalized: Boolean = false): DataFrame = {
     // The dedup'd edge list feeds THREE plan branches (degrees, oriented
     // edges, closing join) and the oriented list two more — Spark shares
     // no subtrees, so without materialization the upstream edge
     // derivation would re-execute once per branch (measured 4x on
     // q_triangles).
-    val und = graft.scale.Silver.scratch(
-      edges.select(least(col("a"), col("b")).as("x"),
-        greatest(col("a"), col("b")).as("y")).distinct(),
-      "tri_edges")
+    val und = if (normalized) edges.select(col("a").as("x"), col("b").as("y"))
+      else graft.scale.Silver.scratch(
+        edges.select(least(col("a"), col("b")).as("x"),
+          greatest(col("a"), col("b")).as("y")).distinct(),
+        "tri_edges")
     val deg = und.select(col("x").as("v")).unionAll(und.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // Orient x—y from the (deg, id)-smaller endpoint to the larger.
@@ -128,7 +136,7 @@ object Triangles {
       "lcc_edges")
     val deg = und.select(col("x").as("v")).unionAll(und.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    val tri = nodeTriangleCounts(und.select(col("x").as("a"), col("y").as("b")))
+    val tri = nodeTriangleCounts(und.select(col("x").as("a"), col("y").as("b")), normalized = true)
       .withColumnRenamed("node", "v")
     deg.filter(col("deg") >= 2)
       .join(tri, Seq("v"), "left")
@@ -165,7 +173,7 @@ object Triangles {
         sum(col("d") * (col("d") - 1)).as("sw"))
       .select(col("n_nodes"), expr("sd div 2").as("n_edges"),
         expr("sw div 2").as("wedges"))
-    val triTotal = nodeTriangleCounts(und.select(col("x").as("a"), col("y").as("b")))
+    val triTotal = nodeTriangleCounts(und.select(col("x").as("a"), col("y").as("b")), normalized = true)
       .agg(coalesce(sum(col("tri_cnt")), lit(0L)).as("tri3")) // = 3 · T
     degStats.crossJoin(broadcast(triTotal))
       .withColumn("triangles", expr("tri3 div 3"))
