@@ -237,7 +237,9 @@ object SparkEntry {
     "q_split_leakage"   -> ((s, d) => TrainingData.splitLeakage(s, d)),
     "q_psi_drift"       -> ((s, d) => graft.operators.Distribution.distributionDrift(s, d)),
     "q_cohort_ltv"      -> ((s, d) => EventOps.cohortLtv(s, d)),
-    "q_dwell"           -> ((s, d) => EventOps.dwellStats(s, d))
+    "q_dwell"           -> ((s, d) => EventOps.dwellStats(s, d)),
+    "q_neg_sample"      -> ((s, d) => TrainingData.negativeSampling(s, d)),
+    "q_feature_hash"    -> ((s, d) => TrainingData.featureHashProfile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4335,7 +4337,49 @@ object SparkEntry {
         |         CAST(count(*) - sum(CASE WHEN dwell_ms IS NULL THEN 1 ELSE 0 END)
         |              AS DOUBLE) AS dwell_mean_ms
         |FROM l GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Deterministic negative sampling: md5("u|p|i") candidate parts,
+    // observed positives anti-joined out.
+    "q_neg_sample" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS "user", l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |mp AS (SELECT max(p_partkey) AS max_part FROM part),
+        |c AS (
+        |  SELECT "user", part, i,
+        |         CAST('0x' || substr(md5("user" || '|' || part || '|' || i),
+        |                             1, 15) AS BIGINT) % max_part + 1
+        |           AS neg_part
+        |  FROM pos CROSS JOIN mp
+        |       CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i))
+        |SELECT c."user", c.part, CAST(c.i AS BIGINT) AS i, c.neg_part
+        |FROM c LEFT JOIN pos p2
+        |  ON c."user" = p2."user" AND c.neg_part = p2.part
+        |WHERE p2."user" IS NULL
+        |ORDER BY c."user", c.part, c.i""".stripMargin,
+
+    // Hashing-trick collision profile: vocab → 64 buckets, bucket-load
+    // histogram with the empty-bucket row from totals.
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+        |ld AS (
+        |  SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64
+        |           AS bucket,
+        |         CAST(count(*) AS BIGINT) AS load
+        |  FROM t2 GROUP BY 1),
+        |h AS (SELECT load, CAST(count(*) AS BIGINT) AS n_buckets
+        |      FROM ld GROUP BY 1),
+        |z AS (SELECT CAST(0 AS BIGINT) AS load,
+        |             64 - CAST(sum(n_buckets) AS BIGINT) AS n_buckets
+        |      FROM h)
+        |SELECT load, n_buckets FROM h
+        |UNION ALL
+        |SELECT load, n_buckets FROM z WHERE n_buckets > 0
+        |ORDER BY load""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -487,6 +487,67 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Deterministic negative sampling (q_neg_sample): for every observed
+    * (customer, part) purchase pair, `m` hash-derived candidate parts,
+    * minus any that are themselves observed positives for that customer
+    * (the anti-join every contrastive-training pipeline needs). The
+    * candidate generator is the [[hashBucket]] md5 construction over
+    * "u|p|i", so the sample is reproducible on any engine and any run —
+    * no RNG state, no seed plumbing. Fan-out is exactly m per positive
+    * BEFORE the filter (bounded, never data-dependent); the anti-join is
+    * one shuffle on (customer, part). */
+  def negativeSampling(spark: SparkSession, dir: String,
+                       m: Int = 3): DataFrame = {
+    val positives = Silver.scratch(
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("part"))
+        .distinct(),
+      "neg_pos") // feeds the generator and the anti-join
+    val maxPart = Tables.part(spark, dir)
+      .agg(max(col("p_partkey")).as("max_part"))
+    val cands = positives.crossJoin(broadcast(maxPart))
+      .select(col("user"), col("part"),
+        explode(sequence(lit(1), lit(m))).as("i"), col("max_part"))
+      .withColumn("neg_part",
+        pmod(conv(substring(md5(concat_ws("|",
+            col("user"), col("part"), col("i"))), 1, 15), 16, 10)
+          .cast("long"), col("max_part")) + 1L)
+    cands.join(positives
+        .select(col("user"), col("part").as("neg_part")),
+        Seq("user", "neg_part"), "left_anti")
+      .select(col("user"), col("part"), col("i").cast("long").as("i"),
+        col("neg_part"))
+      .orderBy("user", "part", "i")
+  }
+
+  /** Hashing-trick collision profile (q_feature_hash): hash the corpus
+    * vocabulary into `buckets` feature slots and report the bucket-load
+    * histogram — the collision report that decides whether 2^k features
+    * are enough before anyone trains on hashed features. Loads come from
+    * one distinct-token pass + one bucket aggregate; the histogram is an
+    * aggregate of THAT (buckets-bounded) frame, and the empty-bucket row
+    * is computed from totals, not materialized. */
+  def featureHashProfile(spark: SparkSession, dir: String,
+                         buckets: Int = 64): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val load = toks
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .groupBy("bucket").agg(count(lit(1)).as("load"))
+    val hist = load.groupBy("load").agg(count(lit(1)).as("n_buckets"))
+    val zero = hist.agg((lit(buckets.toLong) - sum(col("n_buckets")))
+        .as("n_buckets"))
+      .select(lit(0L).as("load"), col("n_buckets"))
+      .filter(col("n_buckets") > 0)
+    hist.unionByName(zero).orderBy("load")
+  }
+
   /** Split-leakage audit (q_split_leakage): per split, how many docs
     * share a content fingerprint with a DIFFERENT split — the
     * decontamination check run after [[splitOf]] assignment (hash splits

@@ -633,6 +633,35 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(d.map(_.getDouble(5)).sum) < 1e-9) // shifts cancel
   }
 
+  test("negative sampling: exact fan-out minus collisions, no positives sampled") {
+    val pos = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .join(graft.sources.Tables.lineitem(spark, TestSpark.Sf0001),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("part"))
+      .distinct()
+    val neg = graft.scale.TrainingData.negativeSampling(spark, TestSpark.Sf0001)
+    val nPos = pos.count()
+    val nNeg = neg.count()
+    assert(nNeg <= 3 * nPos && nNeg > 2 * nPos) // few hash collisions
+    // no sampled negative is an observed positive
+    val bad = neg.join(pos
+        .withColumnRenamed("part", "neg_part"), Seq("user", "neg_part"))
+    assert(bad.count() == 0)
+    // deterministic: a second run is identical
+    val again = graft.scale.TrainingData.negativeSampling(spark, TestSpark.Sf0001)
+    assert(neg.exceptAll(again).count() == 0 && again.exceptAll(neg).count() == 0)
+  }
+
+  test("feature hash profile: bucket-loads conserve vocab and bucket count") {
+    val h = graft.scale.TrainingData.featureHashProfile(spark, TestSpark.Sf0001)
+      .collect()
+    assert(h.map(_.getLong(1)).sum == 64L) // all buckets accounted for
+    val vocab = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct().count()
+    assert(h.map(r => r.getLong(0) * r.getLong(1)).sum == vocab)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
