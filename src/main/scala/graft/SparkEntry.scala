@@ -239,7 +239,10 @@ object SparkEntry {
     "q_cohort_ltv"      -> ((s, d) => EventOps.cohortLtv(s, d)),
     "q_dwell"           -> ((s, d) => EventOps.dwellStats(s, d)),
     "q_neg_sample"      -> ((s, d) => TrainingData.negativeSampling(s, d)),
-    "q_feature_hash"    -> ((s, d) => TrainingData.featureHashProfile(s, d))
+    "q_feature_hash"    -> ((s, d) => TrainingData.featureHashProfile(s, d)),
+    "q_heaps"           -> ((s, d) => graft.scale.Search.heapsCurve(s, d)),
+    "q_k_anon"          -> ((s, d) => graft.operators.Profile.kAnonymity(s, d)),
+    "q_abc"             -> ((s, d) => Analytics.abcAnalysis(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4379,7 +4382,77 @@ object SparkEntry {
         |SELECT load, n_buckets FROM h
         |UNION ALL
         |SELECT load, n_buckets FROM z WHERE n_buckets > 0
-        |ORDER BY load""".stripMargin
+        |ORDER BY load""".stripMargin,
+
+    // Heaps vocabulary-growth curve: types collapse to their first
+    // containing doc's rank; decile readings off the cumulative counts.
+    "q_heaps" ->
+      """WITH r AS (SELECT doc_id,
+        |                  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+        |                    AS r
+        |           FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |fr AS (
+        |  SELECT tok, min(r.r) AS fr
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  JOIN r USING (doc_id)
+        |  WHERE tok <> '' GROUP BY tok),
+        |pr AS (SELECT fr, CAST(count(*) AS BIGINT) AS c FROM fr GROUP BY 1),
+        |cm AS (SELECT fr, CAST(sum(c) OVER (ORDER BY fr) AS BIGINT) AS cum
+        |       FROM pr),
+        |d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+        |SELECT d.decile,
+        |       (d.decile * n_docs + 9) // 10 AS docs_cutoff,
+        |       COALESCE(max(CASE WHEN cum >= 0 AND fr <= (d.decile * n_docs + 9) // 10
+        |                         THEN cum END), 0) AS vocab_size
+        |FROM d CROSS JOIN n LEFT JOIN cm ON true
+        |GROUP BY d.decile, n_docs
+        |ORDER BY d.decile""".stripMargin,
+
+    // k-anonymity audit over the (segment, nation) quasi-identifier.
+    "q_k_anon" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_small_groups,
+        |       CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |         AS n_rows_at_risk,
+        |       min(cnt) AS min_group,
+        |       CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(cnt) AS DOUBLE) AS risk_share
+        |FROM g""".stripMargin,
+
+    // ABC classification: cumulative revenue share in exact integers
+    // (100·cum vs 80/95·total), per-class rollup.
+    "q_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT v,
+        |             CAST(sum(v) OVER (ORDER BY v DESC, l_partkey)
+        |                  AS BIGINT) AS cum
+        |      FROM rev),
+        |t AS (SELECT CAST(sum(v) AS BIGINT) AS total FROM rev),
+        |cls AS (
+        |  SELECT v,
+        |         CASE WHEN CAST(cum AS HUGEINT) * 100 <=
+        |                   CAST(total AS HUGEINT) * 80 THEN 'A'
+        |              WHEN CAST(cum AS HUGEINT) * 100 <=
+        |                   CAST(total AS HUGEINT) * 95 THEN 'B'
+        |              ELSE 'C' END AS cls, total
+        |  FROM c CROSS JOIN t)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(v) AS BIGINT) AS rev_cents,
+        |       CAST(sum(v) AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share
+        |FROM cls GROUP BY cls, total
+        |ORDER BY cls""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

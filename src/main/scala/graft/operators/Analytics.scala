@@ -885,4 +885,36 @@ object Analytics {
         ((-col("w.neg")).cast("double") / col("n_orders")).as("share"))
       .orderBy("nation_name")
   }
+
+  /** ABC inventory analysis (q_abc): parts classed by cumulative revenue
+    * share — A while cumulative ≤ 80% of total, B to 95%, C after — the
+    * [[paretoCurve]] turned into the classification ops teams actually
+    * act on. Rank and cumulative revenue come from ONE
+    * [[Ranking.distributedCumSum]] pass over the per-part aggregate
+    * (revenue desc, partkey tiebreak); class boundaries compare
+    * 100·cum against 80·total / 95·total in decimal(38,0) — no float
+    * touches the classification. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val cum = Ranking.distributedCumSum(rev,
+      Seq(col("v").desc, col("l_partkey").asc), Seq("v"))
+    val tot = rev.agg(sum(col("v")).as("total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum_v").cast(d38) * 100 <= col("total").cast(d38) * 80, "A")
+          .when(col("cum_v").cast(d38) * 100 <= col("total").cast(d38) * 95, "B")
+          .otherwise(lit("C")))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("v")).as("rev_cents"),
+        first(col("total")).as("total"))
+      .withColumn("rev_share",
+        col("rev_cents").cast("double") / col("total").cast("double"))
+      .select("cls", "n_parts", "rev_cents", "rev_share")
+      .orderBy("cls")
+  }
 }

@@ -58,6 +58,26 @@ object Profile {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus"))
 
+  /** k-anonymity audit (q_k_anon): how re-identifiable is the customer
+    * table under the (market segment, nation) quasi-identifier — group
+    * sizes below k put their members at risk. The privacy gate a dataset
+    * publisher runs before sharing; one map-side-combining aggregate
+    * builds the QI groups, a second (groups-bounded) aggregate rolls up
+    * the risk numbers. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 5L): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(lit(k).as("k"),
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("cnt")).as("min_group"))
+      .withColumn("risk_share",
+        col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
+
   /** Referential-integrity audit (q_fk_audit): one row per foreign-key
     * edge of the warehouse schema with child cardinality, orphan count,
     * and orphan rate — the FK half of the reference's constraint layer

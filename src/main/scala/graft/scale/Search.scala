@@ -485,4 +485,44 @@ object Search {
   /** q_keyness over the documents table. */
   def keynessQuery(spark: SparkSession, dir: String): DataFrame =
     keyness(Tables.documents(spark, dir))
+
+  /** Vocabulary growth curve (q_heaps): distinct-token count after each
+    * decile of the corpus in doc order — the Heaps'-law measurement that
+    * sizes tokenizer vocab and predicts how much new text still adds new
+    * types. The quadratic "recount per prefix" is avoided the adoption-
+    * curve way: each TYPE collapses to the rank of its first containing
+    * doc (one min-aggregate over the exploded tokens joined to the doc
+    * rank), per-rank first-occurrence counts accumulate via
+    * [[graft.operators.Ranking.distributedCumSum]], and the ten decile
+    * readings are conditional aggregates over that doc-bounded frame. */
+  def heapsCurve(spark: SparkSession, dir: String,
+                 deciles: Int = 10): DataFrame = {
+    import graft.operators.Ranking
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ranked = Silver.scratch(
+      Ranking.distributedGlobalRank(docs.select(col("doc_id")),
+        Seq(col("doc_id").asc), rankCol = "r", nCol = "n"),
+      "heaps_rank") // joined against the exploded tokens AND the totals
+    val firstRank = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(ranked, "doc_id")
+      .groupBy("tok").agg(min(col("r")).as("fr"))
+    val perRank = firstRank.groupBy("fr").agg(count(lit(1)).as("c"))
+    val cum = Ranking.distributedCumSum(perRank, Seq(col("fr").asc), Seq("c"))
+    val tot = ranked.agg(max(col("n")).as("n_docs"))
+    val readings = (1 to deciles).map { i =>
+      max(when(col("fr") <= expr(s"($i * n_docs + ${deciles - 1}) div $deciles"),
+        col("cum_c"))).as(s"v$i")
+    }
+    val wide = cum.crossJoin(broadcast(tot))
+      .agg(first(col("n_docs")).as("n_docs"), readings: _*)
+    // unpivot the ten readings into (decile, docs_cutoff, vocab_size)
+    val stackArgs = (1 to deciles).map { i =>
+      s"${i}L, ($i * n_docs + ${deciles - 1}) div $deciles, coalesce(v$i, 0L)"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack($deciles, $stackArgs) as (decile, docs_cutoff, vocab_size)")
+      .orderBy("decile")
+  }
 }

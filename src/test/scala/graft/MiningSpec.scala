@@ -662,6 +662,39 @@ class MiningSpec extends SparkSpec {
     assert(h.map(r => r.getLong(0) * r.getLong(1)).sum == vocab)
   }
 
+  test("heaps curve: monotone, ends at the full vocabulary size") {
+    val h = graft.scale.Search.heapsCurve(spark, TestSpark.Sf0001).collect()
+    assert(h.length == 10)
+    val vs = h.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    val vocab = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct().count()
+    assert(vs.last == vocab)
+    val cuts = h.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(cuts.last == graft.sources.Tables
+      .documents(spark, TestSpark.Sf0001).count())
+  }
+
+  test("k-anonymity: rows conserve; risk bounded by small-group mass") {
+    val r = graft.operators.Profile.kAnonymity(spark, TestSpark.Sf0001).head()
+    val nCust = graft.sources.Tables.customer(spark, TestSpark.Sf0001).count()
+    assert(r.getLong(1) == nCust)
+    assert(r.getLong(4) <= r.getLong(3) * (r.getLong(0) - 1)) // risk <= small*(k-1)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+  }
+
+  test("abc classes partition parts and revenue; A-share ~ 80%") {
+    val a = graft.operators.Analytics.abcAnalysis(spark, TestSpark.Sf0001)
+      .collect()
+    val nParts = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select("l_partkey").distinct().count()
+    assert(a.map(_.getLong(1)).sum == nParts)
+    assert(math.abs(a.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    val aShare = a.find(_.getString(0) == "A").map(_.getDouble(3)).getOrElse(0.0)
+    assert(aShare <= 0.80 + 1e-9) // boundary rule: A stops at 80%
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
