@@ -242,7 +242,10 @@ object SparkEntry {
     "q_feature_hash"    -> ((s, d) => TrainingData.featureHashProfile(s, d)),
     "q_heaps"           -> ((s, d) => graft.scale.Search.heapsCurve(s, d)),
     "q_k_anon"          -> ((s, d) => graft.operators.Profile.kAnonymity(s, d)),
-    "q_abc"             -> ((s, d) => Analytics.abcAnalysis(s, d))
+    "q_abc"             -> ((s, d) => Analytics.abcAnalysis(s, d)),
+    "q_error_bound"     -> ((s, d) => EventOps.errorRateBounds(s, d)),
+    "q_weighted_median" -> ((s, d) => graft.operators.Distribution.weightedMedian(s, d)),
+    "q_simpsons_paradox" -> ((s, d) => graft.operators.Distribution.simpsonsParadox(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4452,7 +4455,94 @@ object SparkEntry {
         |       CAST(sum(v) AS BIGINT) AS rev_cents,
         |       CAST(sum(v) AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share
         |FROM cls GROUP BY cls, total
-        |ORDER BY cls""".stripMargin
+        |ORDER BY cls""".stripMargin,
+
+    // Wilson error-rate interval per hour of day: exact counts, the
+    // score interval as a fixed +,−,×,÷,sqrt tree. The z literal is
+    // CAST(1.96 AS DOUBLE): bare 1.96 parses as DECIMAL in DuckDB, so
+    // 1.96·1.96 would fold to exact 3.8416 instead of the double
+    // product 3.8415999999999997 Spark computes — a last-ulp trap.
+    "q_error_bound" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS errors
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT hour_of_day, n, errors,
+        |         CAST(errors AS DOUBLE) / CAST(n AS DOUBLE) AS share
+        |  FROM c),
+        |z AS (SELECT CAST(1.96 AS DOUBLE) AS zv),
+        |w AS (
+        |  SELECT *,
+        |         share + (zv * zv) / (2.0 * CAST(n AS DOUBLE)) AS center,
+        |         zv * sqrt((share * (1.0 - share) +
+        |                    (zv * zv) / (4.0 * CAST(n AS DOUBLE)))
+        |                   / CAST(n AS DOUBLE)) AS margin,
+        |         1.0 + (zv * zv) / CAST(n AS DOUBLE) AS denom
+        |  FROM s CROSS JOIN z)
+        |SELECT hour_of_day, n, errors, share,
+        |       (center - margin) / denom AS wilson_low,
+        |       (center + margin) / denom AS wilson_high
+        |FROM w ORDER BY hour_of_day""".stripMargin,
+
+    // Quantity-weighted median price per return flag: 2·cumQty ≥ totQty
+    // over the (flag, cents) aggregate — integer-exact selection.
+    "q_weighted_median" ->
+      """WITH per AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT rf, v, qty,
+        |               CAST(sum(qty) OVER (PARTITION BY rf ORDER BY v)
+        |                    AS BIGINT) AS cum_qty
+        |        FROM per),
+        |tot AS (SELECT rf, CAST(sum(n) AS BIGINT) AS n_rows,
+        |               CAST(sum(qty) AS BIGINT) AS total_qty
+        |        FROM per GROUP BY 1)
+        |SELECT rf, n_rows, total_qty,
+        |       min(CASE WHEN cum_qty * 2 >= total_qty THEN v END)
+        |         AS wmedian_cents
+        |FROM cum JOIN tot USING (rf)
+        |GROUP BY rf, n_rows, total_qty
+        |ORDER BY rf""".stripMargin,
+
+    // Simpson's-paradox detector: per-segment vs aggregate direction of
+    // mean price between calendar halves, all cross-multiplied integer
+    // comparisons.
+    "q_simpsons_paradox" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS segment,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+        |t AS (SELECT segment, v, day > mid AS h2 FROM o CROSS JOIN b),
+        |ps AS (
+        |  SELECT segment,
+        |         CAST(sum(CASE WHEN h2 THEN 0 ELSE v END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN h2 THEN 0 ELSE 1 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN h2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM t GROUP BY 1),
+        |ov AS (
+        |  SELECT CAST(sum(s2) AS HUGEINT) * CAST(sum(n1) AS HUGEINT) >
+        |         CAST(sum(s1) AS HUGEINT) * CAST(sum(n2) AS HUGEINT)
+        |           AS overall_up
+        |  FROM ps)
+        |SELECT segment, n1, n2,
+        |       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS avg1_cents,
+        |       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS avg2_cents,
+        |       CAST(s2 AS HUGEINT) * n1 > CAST(s1 AS HUGEINT) * n2 AS seg_up,
+        |       overall_up,
+        |       (CAST(s2 AS HUGEINT) * n1 > CAST(s1 AS HUGEINT) * n2)
+        |         <> overall_up AS disagrees
+        |FROM ps CROSS JOIN ov
+        |ORDER BY segment""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -129,6 +129,74 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Quantity-weighted median price per return flag (q_weighted_median):
+    * the smallest cents value whose cumulative QUANTITY reaches half the
+    * total — the "typical unit's price" rather than the typical line's.
+    * Same integer-rank machinery as [[percentileBands]] with a weight
+    * column instead of a count: the fact stream collapses to
+    * (flag, cents)→Σqty map-side, the cumulative pass runs on that
+    * domain-bounded frame, and the selection test 2·cum ≥ total is
+    * integer-exact. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("rf"),
+        cents(col("l_extendedprice")).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val w = Window.partitionBy(col("rf")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("cum_qty", sum(col("qty")).over(w))
+    val tot = per.groupBy("rf")
+      .agg(sum(col("n")).as("n_rows"), sum(col("qty")).as("total_qty"))
+    cum.join(broadcast(tot), "rf")
+      .groupBy("rf")
+      .agg(first(col("n_rows")).as("n_rows"),
+        first(col("total_qty")).as("total_qty"),
+        min(when(col("cum_qty") * 2 >= col("total_qty"), col("v")))
+          .as("wmedian_cents"))
+      .orderBy("rf")
+  }
+
+  /** Simpson's-paradox detector (q_simpsons_paradox): does each market
+    * segment's average order price move the SAME direction between the
+    * corpus's calendar halves as the aggregate does? Every direction
+    * test is a cross-multiplied integer comparison (s2·n1 vs s1·n2 in
+    * decimal(38,0)) — no division decides anything; the printed averages
+    * are display-only single divisions. The aggregate verdict rides
+    * along as a broadcast one-row frame. */
+  def simpsonsParadox(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        cents(col("o_totalprice")).as("v"))
+    val bounds = o.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val tagged = o.crossJoin(broadcast(bounds))
+      .withColumn("h2", col("day") > col("mid"))
+    val perSeg = tagged.groupBy("segment")
+      .agg(sum(when(!col("h2"), col("v")).otherwise(0L)).as("s1"),
+        sum(when(!col("h2"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h2"), col("v")).otherwise(0L)).as("s2"),
+        sum(when(col("h2"), 1L).otherwise(0L)).as("n2"))
+    val overall = perSeg.agg(
+      (sum(col("s2")).cast(d38) * sum(col("n1")).cast(d38) >
+        sum(col("s1")).cast(d38) * sum(col("n2")).cast(d38)).as("overall_up"))
+    perSeg.crossJoin(broadcast(overall))
+      .withColumn("seg_up",
+        col("s2").cast(d38) * col("n1").cast(d38) >
+          col("s1").cast(d38) * col("n2").cast(d38))
+      .select(col("segment"), col("n1"), col("n2"),
+        (col("s1").cast("double") / col("n1").cast("double")).as("avg1_cents"),
+        (col("s2").cast("double") / col("n2").cast("double")).as("avg2_cents"),
+        col("seg_up"), col("overall_up"),
+        (col("seg_up") =!= col("overall_up")).as("disagrees"))
+      .orderBy("segment")
+  }
+
   /** Distribution drift report (q_psi_drift): decile-bucket comparison
     * of order prices between the corpus's first and second calendar
     * halves — the model-monitoring "did the input distribution move?"

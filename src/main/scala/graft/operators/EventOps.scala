@@ -726,6 +726,34 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Wilson-interval error-rate bounds per hour of day (q_error_bound):
+    * the on-call question "is this hour's error rate actually elevated,
+    * or is the sample just small?" answered with a proper confidence
+    * interval instead of a raw share. Counts are one map-side-combining
+    * aggregate; the Wilson score needs only +,−,×,÷ and sqrt — all
+    * IEEE-exact — so the interval itself is oracle-portable (z² is
+    * written as 1.96·1.96 in BOTH engines so constant folding yields the
+    * identical double). */
+  def errorRateBounds(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    val counts = events(spark, dir)
+      .groupBy((expr("ts_ms div 3600000") % 24).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+    val nD = col("n").cast("double")
+    counts
+      .withColumn("share", col("errors").cast("double") / nD)
+      .withColumn("center", col("share") + (z * z) / (lit(2.0) * nD))
+      .withColumn("margin", z * sqrt(
+        (col("share") * (lit(1.0) - col("share")) + (z * z) / (lit(4.0) * nD))
+          / nD))
+      .withColumn("denom", lit(1.0) + (z * z) / nD)
+      .select(col("hour_of_day"), col("n"), col("errors"), col("share"),
+        ((col("center") - col("margin")) / col("denom")).as("wilson_low"),
+        ((col("center") + col("margin")) / col("denom")).as("wilson_high"))
+      .orderBy("hour_of_day")
+  }
+
   /** Cohort LTV matrix (q_cohort_ltv): cumulative purchase revenue per
     * signup-week cohort by age week, per-user — the revenue companion of
     * [[cohortRetention]]'s activity matrix. One keyed join tags each

@@ -695,6 +695,50 @@ class MiningSpec extends SparkSpec {
     assert(aShare <= 0.80 + 1e-9) // boundary rule: A stops at 80%
   }
 
+  test("wilson bounds bracket the share and stay in [0,1]") {
+    val w = graft.operators.EventOps.errorRateBounds(spark, TestSpark.Sf0001)
+      .collect()
+    assert(w.length == 24)
+    w.foreach { r =>
+      val (share, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= share && share <= hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+    val nEvents = graft.sources.Tables.events(spark, TestSpark.Sf0001).count()
+    assert(w.map(_.getLong(1)).sum == nEvents)
+  }
+
+  test("weighted median splits the quantity mass at its value") {
+    val wm = graft.operators.Distribution.weightedMedian(spark, TestSpark.Sf0001)
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_returnflag").as("rf"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        col("l_quantity").cast("long").as("qty"))
+    wm.collect().foreach { r =>
+      val (rf, tot, med) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val below = li.filter(col("rf") === rf && col("v") < med)
+        .agg(coalesce(sum(col("qty")), lit(0L))).head().getLong(0)
+      val atOrBelow = li.filter(col("rf") === rf && col("v") <= med)
+        .agg(sum(col("qty"))).head().getLong(0)
+      assert(below * 2 < tot)       // strictly-below mass is under half
+      assert(atOrBelow * 2 >= tot)  // including the median reaches half
+    }
+  }
+
+  test("simpsons paradox: exact cross-multiplied directions are consistent") {
+    val s = graft.operators.Distribution.simpsonsParadox(spark, TestSpark.Sf0001)
+      .collect()
+    assert(s.length == 5)
+    val overall = s.map(_.getBoolean(6)).distinct
+    assert(overall.length == 1) // one aggregate verdict repeated
+    s.foreach { r =>
+      assert(r.getBoolean(7) == (r.getBoolean(5) != r.getBoolean(6)))
+      // direction agrees with the printed averages
+      assert(r.getBoolean(5) == r.getDouble(4) > r.getDouble(3) ||
+        math.abs(r.getDouble(4) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
