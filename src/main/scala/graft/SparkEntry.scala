@@ -245,7 +245,9 @@ object SparkEntry {
     "q_abc"             -> ((s, d) => Analytics.abcAnalysis(s, d)),
     "q_error_bound"     -> ((s, d) => EventOps.errorRateBounds(s, d)),
     "q_weighted_median" -> ((s, d) => graft.operators.Distribution.weightedMedian(s, d)),
-    "q_simpsons_paradox" -> ((s, d) => graft.operators.Distribution.simpsonsParadox(s, d))
+    "q_simpsons_paradox" -> ((s, d) => graft.operators.Distribution.simpsonsParadox(s, d)),
+    "q_ship_latency"    -> ((s, d) => graft.operators.TimeSeries.shipLatency(s, d)),
+    "q_backlog"         -> ((s, d) => graft.operators.TimeSeries.backlogCurve(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4542,7 +4544,52 @@ object SparkEntry {
         |       (CAST(s2 AS HUGEINT) * n1 > CAST(s1 AS HUGEINT) * n2)
         |         <> overall_up AS disagrees
         |FROM ps CROSS JOIN ov
-        |ORDER BY segment""".stripMargin
+        |ORDER BY segment""".stripMargin,
+
+    // Ship latency per priority: epoch-day subtraction, exact mean and
+    // cumulative-count median over the (prio, days) aggregate.
+    "q_ship_latency" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(l_shipdate) // 86400000 -
+        |         epoch_ms(o_orderdate) // 86400000 AS days,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT prio, days, cnt,
+        |               CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY days)
+        |                    AS BIGINT) AS cum
+        |        FROM per),
+        |tot AS (SELECT prio, CAST(sum(cnt) AS BIGINT) AS n,
+        |               CAST(sum(days * cnt) AS BIGINT) AS day_sum,
+        |               max(days) AS max_days
+        |        FROM per GROUP BY 1)
+        |SELECT prio, n,
+        |       CAST(day_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_days,
+        |       min(CASE WHEN cum * 2 >= n THEN days END) AS median_days,
+        |       max_days
+        |FROM cum JOIN tot USING (prio)
+        |GROUP BY prio, n, day_sum, max_days
+        |ORDER BY prio""".stripMargin,
+
+    // Backlog curve: +1 at placement, −1 at last-ship day, cumulative
+    // delta = open orders at each changepoint.
+    "q_backlog" ->
+      """WITH ends AS (
+        |  SELECT l_orderkey,
+        |         max(epoch_ms(l_shipdate) // 86400000) AS end_day
+        |  FROM lineitem GROUP BY 1),
+        |spans AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS start_day, end_day
+        |  FROM orders JOIN ends ON o_orderkey = l_orderkey),
+        |deltas AS (
+        |  SELECT day, CAST(sum(d) AS BIGINT) AS delta
+        |  FROM (SELECT start_day AS day, 1 AS d FROM spans
+        |        UNION ALL SELECT end_day, -1 FROM spans)
+        |  GROUP BY day)
+        |SELECT day, delta,
+        |       CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+        |FROM deltas ORDER BY day""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

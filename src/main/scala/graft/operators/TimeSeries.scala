@@ -120,6 +120,66 @@ object TimeSeries {
     * come from ONE [[Ranking.distributedCumSum]] pass (a constant-1
     * column cumsums to the rank). Products go through decimal(38,0).
     * `rel` = S/(n·total) ∈ [0,1] is the single final division. */
+  /** Ship-latency distribution per priority (q_ship_latency): days from
+    * order placement to each line item's ship date — n, exact mean, an
+    * exact median via the cumulative-count selection (the
+    * [[graft.operators.Distribution.percentileBands]] machinery over the
+    * (priority, days) aggregate — latency domain is calendar-bounded),
+    * and max. The SLA question "does priority actually buy speed?". */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("prio"),
+        // epoch-day subtraction, not datediff: calendar functions are
+        // engine/timezone traps, epoch arithmetic is not (house idiom)
+        (expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000") -
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+          .as("days"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = per.groupBy("prio")
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("days") * col("cnt")).as("day_sum"),
+        max(col("days")).as("max_days"))
+    cum.join(broadcast(tot), "prio")
+      .groupBy("prio")
+      .agg(first(col("n")).as("n"),
+        first(col("day_sum")).as("day_sum"),
+        first(col("max_days")).as("max_days"),
+        min(when(col("cum") * 2 >= col("n"), col("days"))).as("median_days"))
+      .withColumn("mean_days",
+        col("day_sum").cast("double") / col("n").cast("double"))
+      .select("prio", "n", "mean_days", "median_days", "max_days")
+      .orderBy("prio")
+  }
+
+  /** Order-backlog curve (q_backlog): how many orders are open (placed,
+    * not yet fully shipped) on each day the count CHANGES — the classic
+    * interval-stabbing count as a delta encoding: +1 at placement, −1 at
+    * the order's last ship day, cumulative via
+    * [[Ranking.distributedCumSum]]. No day ever scans the order set; the
+    * curve is exact at every emitted changepoint and constant between
+    * them (stated encoding). */
+  def backlogCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ends = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
+        .as("end_day"))
+    val spans = Tables.orders(spark, dir)
+      .join(ends, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("start_day"), col("end_day"))
+    val deltas = spans.select(col("start_day").as("day"), lit(1L).as("d"))
+      .unionAll(spans.select(col("end_day").as("day"), lit(-1L).as("d")))
+      .groupBy("day").agg(sum(col("d")).as("delta"))
+    Ranking.distributedCumSum(deltas, Seq(col("day").asc), Seq("delta"))
+      .select(col("day"), col("delta"), col("cum_delta").as("n_open"))
+      .orderBy("day")
+  }
+
   /** Wald–Wolfowitz runs test (q_runs): is the daily revenue's up/down
     * sequence random, or momentum/mean-reverting? Day-over-day signs come
     * from a rank self-join (consecutive ranks via

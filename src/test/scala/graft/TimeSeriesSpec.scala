@@ -93,6 +93,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ship latency: conserves lineitems; median between 0 and max") {
+    val l = graft.operators.TimeSeries.shipLatency(spark, TestSpark.Sf0001)
+      .collect()
+    val nLi = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(l.map(_.getLong(1)).sum == nLi)
+    l.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(4))
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("backlog: deltas net to zero and the curve never goes negative") {
+    val b = graft.operators.TimeSeries.backlogCurve(spark, TestSpark.Sf0001)
+      .collect()
+    assert(b.map(_.getLong(1)).sum == 0L)        // every order opens and closes
+    b.foreach(r => assert(r.getLong(2) >= 0L))   // n_open
+    assert(b.last.getLong(2) == 0L)              // fully drained at the end
+    val nOrders = graft.sources.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(b.filter(_.getLong(1) > 0).map(_.getLong(1)).sum <= nOrders)
+  }
+
   test("ewma: weight mass matches observation count; steady-state den = 1023") {
     val e = graft.operators.TimeSeries
       .ewmaRevenue(spark, TestSpark.Sf0001).collect()
