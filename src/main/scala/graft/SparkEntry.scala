@@ -247,7 +247,10 @@ object SparkEntry {
     "q_weighted_median" -> ((s, d) => graft.operators.Distribution.weightedMedian(s, d)),
     "q_simpsons_paradox" -> ((s, d) => graft.operators.Distribution.simpsonsParadox(s, d)),
     "q_ship_latency"    -> ((s, d) => graft.operators.TimeSeries.shipLatency(s, d)),
-    "q_backlog"         -> ((s, d) => graft.operators.TimeSeries.backlogCurve(s, d))
+    "q_backlog"         -> ((s, d) => graft.operators.TimeSeries.backlogCurve(s, d)),
+    "q_abandonment"     -> ((s, d) => EventOps.abandonment(s, d)),
+    "q_concurrency"     -> ((s, d) => EventOps.peakConcurrency(s, d)),
+    "q_double_charge"   -> ((s, d) => Analytics.doubleCharge(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4589,7 +4592,92 @@ object SparkEntry {
         |  GROUP BY day)
         |SELECT day, delta,
         |       CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
-        |FROM deltas ORDER BY day""".stripMargin
+        |FROM deltas ORDER BY day""".stripMargin,
+
+    // Cart abandonment: running min of upcoming purchase times per user
+    // (one ordered pass), views converted iff a purchase follows in 24h.
+    "q_abandonment" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts_ms END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_purchase
+        |  FROM e),
+        |v AS (
+        |  SELECT ts_ms // 86400000 AS day,
+        |         CASE WHEN next_purchase IS NOT NULL
+        |                   AND next_purchase - ts_ms <= 86400000
+        |              THEN 1 ELSE 0 END AS converted
+        |  FROM w WHERE event_type = 'view')
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_views,
+        |       CAST(sum(converted) AS BIGINT) AS n_converted,
+        |       CAST(count(*) - sum(converted) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS abandon_rate
+        |FROM v GROUP BY day ORDER BY day""".stripMargin,
+
+    // Peak session concurrency: 1h-gap sessions → ±1 delta encoding →
+    // max cumulative (ties to the earliest instant).
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         lag(ts_ms, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts_ms, event_id) AS prev
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CASE WHEN prev IS NULL OR ts_ms - prev > 3600000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id
+        |                             ORDER BY ts_ms, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                  AND CURRENT ROW) AS BIGINT)
+        |           AS session_seq
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_seq, min(ts_ms) AS start_ms,
+        |         max(ts_ms) AS end_ms
+        |  FROM s GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT t, CAST(sum(d) AS BIGINT) AS delta
+        |  FROM (SELECT start_ms AS t, 1 AS d FROM sess
+        |        UNION ALL SELECT end_ms + 1, -1 FROM sess)
+        |  GROUP BY t),
+        |cum AS (
+        |  SELECT t, CAST(sum(delta) OVER (ORDER BY t) AS BIGINT) AS c
+        |  FROM deltas),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess),
+        |best AS (SELECT c, t FROM cum ORDER BY c DESC, t LIMIT 1)
+        |SELECT n_sessions, c AS peak_concurrent, t AS at_ms
+        |FROM best CROSS JOIN ns""".stripMargin,
+
+    // Duplicate-order audit: same (customer, day, exact cents) groups;
+    // every 97th order planted as a re-keyed resubmission (q_exact_dups
+    // precedent) so the firing path is what gets checked.
+    "q_double_charge" ->
+      """WITH all_o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_custkey,
+        |       epoch_ms(o_orderdate) // 86400000 AS day,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS cents,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       min(o_orderkey) AS first_order
+        |FROM all_o
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) > 1
+        |ORDER BY o_custkey, day, cents""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -886,6 +886,32 @@ object Analytics {
       .orderBy("nation_name")
   }
 
+  /** Duplicate-order audit (q_double_charge): order groups with the
+    * SAME customer, day, and exact total — the billing-dedup check
+    * (retried submissions, double charges). One map-side-combining
+    * aggregate on the (customer, day, cents) key; only groups with > 1
+    * order surface. The synthetic corpus has no natural duplicates, so
+    * (as q_exact_dups does) every 97th order is planted as a re-keyed
+    * resubmission — both engines see the same planted stream, and the
+    * audit's firing path is what gets oracle-checked. */
+  def doubleCharge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val resubmitted = o.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    o.unionByName(resubmitted)
+      .groupBy(col("o_custkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("first_order"))
+      .filter(col("n_orders") > 1)
+      .orderBy("o_custkey", "day", "cents")
+  }
+
   /** ABC inventory analysis (q_abc): parts classed by cumulative revenue
     * share — A while cumulative ≤ 80% of total, B to 95%, C after — the
     * [[paretoCurve]] turned into the classification ops teams actually

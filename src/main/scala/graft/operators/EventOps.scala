@@ -726,6 +726,63 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Cart-abandonment rate by day (q_abandonment): per view day, how
+    * many views converted to a purchase by the same user within 24 h,
+    * and how many were abandoned. The "did a purchase follow?" test is
+    * the [[nearestViewToPurchase]] single-pass trick mirrored: one
+    * per-user ordered window carrying the running MIN of upcoming
+    * purchase times — no view×purchase join. */
+  def abandonment(spark: SparkSession, dir: String,
+                  windowMs: Long = 86400000L): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"))
+    val ahead = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_purchase",
+        min(when(col("event_type") === "purchase", col("ts_ms"))).over(ahead))
+      .filter(col("event_type") === "view")
+      .withColumn("converted",
+        col("next_purchase").isNotNull &&
+          col("next_purchase") - col("ts_ms") <= windowMs)
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("abandon_rate",
+        (col("n_views") - col("n_converted")).cast("double") /
+          col("n_views").cast("double"))
+      .orderBy("day")
+  }
+
+  /** Peak session concurrency (q_concurrency): the most 1-hour-gap user
+    * sessions simultaneously open, and when — capacity planning's
+    * headline number. Session intervals come from [[userSessions]]'s
+    * grouping; the concurrency curve is the interval-stabbing delta
+    * encoding (+1 at start, −1 AFTER end — end bounds are inclusive, so
+    * the close fires at end+1ms) accumulated by
+    * [[Ranking.distributedCumSum]]; the peak is an argmax over the
+    * changepoint frame (ties → earliest). */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Sessionize.sessionize(
+      events(spark, dir).select("user_id", "event_id", "ts_ms"),
+      key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("event_id"),
+      gapMs = 3600000L)
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+    val deltas = sessions
+      .select(col("start_ms").as("t"), lit(1L).as("d"))
+      .unionAll(sessions.select((col("end_ms") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum(col("d")).as("delta"))
+    val cum = Ranking.distributedCumSum(deltas, Seq(col("t").asc), Seq("delta"))
+    val nSessions = sessions.agg(count(lit(1)).as("n_sessions"))
+    cum.crossJoin(broadcast(nSessions))
+      .agg(first(col("n_sessions")).as("n_sessions"),
+        min(struct((-col("cum_delta")).as("nc"), col("t"))).as("w"))
+      .select(col("n_sessions"), (-col("w.nc")).as("peak_concurrent"),
+        col("w.t").as("at_ms"))
+  }
+
   /** Wilson-interval error-rate bounds per hour of day (q_error_bound):
     * the on-call question "is this hour's error rate actually elevated,
     * or is the sample just small?" answered with a proper confidence

@@ -739,6 +739,38 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("abandonment: views conserve; converted never exceeds views") {
+    val a = graft.operators.EventOps.abandonment(spark, TestSpark.Sf0001)
+      .collect()
+    val nViews = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_type") === "view").count()
+    assert(a.map(_.getLong(1)).sum == nViews)
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // window=0 converts nothing (strictly-later purchase, gap > 0)
+    val zero = graft.operators.EventOps
+      .abandonment(spark, TestSpark.Sf0001, 0L).collect()
+    assert(zero.map(_.getLong(2)).sum <= a.map(_.getLong(2)).sum)
+  }
+
+  test("peak concurrency is positive and bounded by the session count") {
+    val p = graft.operators.EventOps.peakConcurrency(spark, TestSpark.Sf0001)
+      .head()
+    assert(p.getLong(1) >= 1L && p.getLong(1) <= p.getLong(0))
+  }
+
+  test("double-charge audit: planted resubmissions all surface") {
+    val d = graft.operators.Analytics.doubleCharge(spark, TestSpark.Sf0001)
+      .collect()
+    val planted = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0).count()
+    // every planted resubmission creates (or joins) a duplicate group
+    assert(d.map(_.getLong(3) - 1).sum >= planted)
+    d.foreach(r => assert(r.getLong(3) >= 2))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
