@@ -250,7 +250,8 @@ object SparkEntry {
     "q_backlog"         -> ((s, d) => graft.operators.TimeSeries.backlogCurve(s, d)),
     "q_abandonment"     -> ((s, d) => EventOps.abandonment(s, d)),
     "q_concurrency"     -> ((s, d) => EventOps.peakConcurrency(s, d)),
-    "q_double_charge"   -> ((s, d) => Analytics.doubleCharge(s, d))
+    "q_double_charge"   -> ((s, d) => Analytics.doubleCharge(s, d)),
+    "q_recs"            -> ((s, d) => Analytics.itemRecommendations(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4677,7 +4678,37 @@ object SparkEntry {
         |FROM all_o
         |GROUP BY 1, 2, 3
         |HAVING count(*) > 1
-        |ORDER BY o_custkey, day, cents""".stripMargin
+        |ORDER BY o_custkey, day, cents""".stripMargin,
+
+    // Item-item recommendations: symmetrized co-purchase pairs, top-3
+    // per source by (c_ab DESC, rec ASC) — exact-integer ordering.
+    "q_recs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (
+        |  SELECT p1 AS src, p2 AS rec, c_ab FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, c_ab FROM pairs),
+        |j AS (
+        |  SELECT d.src, d.rec, d.c_ab, cs.c AS c_src, cr.c AS c_rec
+        |  FROM d JOIN pc cs ON d.src = cs.p JOIN pc cr ON d.rec = cr.p),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY src
+        |                 ORDER BY c_ab DESC, rec) AS BIGINT) AS rk
+        |  FROM j)
+        |SELECT src, rk, rec, c_ab,
+        |       CAST(c_ab AS DOUBLE) / CAST(c_src AS DOUBLE) AS conf,
+        |       CAST(c_ab * n_orders AS DOUBLE) /
+        |         CAST(c_src * c_rec AS DOUBLE) AS lift
+        |FROM r CROSS JOIN n
+        |WHERE rk <= 3
+        |ORDER BY src, rk""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -681,6 +681,47 @@ object Analytics {
       .limit(k)
   }
 
+  /** Item-item recommendations (q_recs): for every part, the top-3
+    * co-purchased parts by directional confidence conf(a→b) =
+    * c_ab / c_a — [[basketLift]]'s pair frame turned into the
+    * recommendation lists a "customers also bought" surface serves. The
+    * per-source ranking never orders by the float confidence: within a
+    * source part c_src is constant, so (c_ab DESC, rec ASC) is the same
+    * order in exact integers. One order-keyed self-join (basket-bounded),
+    * one per-source top-k window over the pair aggregate. */
+  def itemRecommendations(spark: SparkSession, dir: String,
+                          minCnt: Long = 2L, k: Int = 3): DataFrame = {
+    val op = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      "rec_edges") // feeds pair join, part counts, and N
+    val n = op.agg(countDistinct(col("o")).as("n_orders"))
+    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCnt)
+    val directed = pairs
+      .select(col("p1").as("src"), col("p2").as("rec"), col("c_ab"))
+      .unionAll(pairs
+        .select(col("p2").as("src"), col("p1").as("rec"), col("c_ab")))
+      .join(pc.select(col("p").as("src"), col("c").as("c_src")), "src")
+      .join(pc.select(col("p").as("rec"), col("c").as("c_rec")), "rec")
+      .crossJoin(broadcast(n))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("c_ab").desc, col("rec").asc)
+    directed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("rk"), col("rec"), col("c_ab"),
+        (col("c_ab").cast("double") / col("c_src").cast("double")).as("conf"),
+        ((col("c_ab") * col("n_orders")).cast("double") /
+          (col("c_src") * col("c_rec")).cast("double")).as("lift"))
+      .orderBy("src", "rk")
+  }
+
   /** Rank movers between corpus halves (q_movers): each nation's revenue
     * rank in the first vs second half of the order history and the rank
     * movement — the "who's rising" leaderboard delta. Halves split at

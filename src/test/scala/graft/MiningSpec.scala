@@ -771,6 +771,23 @@ class MiningSpec extends SparkSpec {
     d.foreach(r => assert(r.getLong(3) >= 2))
   }
 
+  test("recs: <=3 per source, confidence in (0,1], symmetric support") {
+    val r = graft.operators.Analytics
+      .itemRecommendations(spark, TestSpark.Sf0001).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+      // within a source, ranks follow support descending
+      val bySupport = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(bySupport.zip(bySupport.tail).forall { case (a, b) => a >= b })
+    }
+    r.foreach { row =>
+      assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+      assert(row.getDouble(5) > 0.0)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
