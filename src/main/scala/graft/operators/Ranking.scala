@@ -93,8 +93,11 @@ object Ranking {
       .localCheckpoint(true)
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // offset + total via a tiny parts×parts self-join — no window, no
-    // single-partition exchange anywhere on the data path.
-    val offsets = counts.as("a").crossJoin(counts.as("b"))
+    // single-partition exchange anywhere on the data path. The broadcast
+    // hint pins BroadcastNestedLoopJoin: without it, a stats-less input
+    // (e.g. a checkpointed upstream) makes JoinSelection fall through to
+    // CartesianProduct for the cross join.
+    val offsets = counts.as("a").crossJoin(broadcast(counts.as("b")))
       .groupBy(col("a.__pid").as("__pid"))
       .agg(sum(when(col("b.__pid") < col("a.__pid"), col("b.__cnt"))
         .otherwise(0L)).as("__offset"),
@@ -145,7 +148,9 @@ object Ranking {
     val offsetAgg = valueCols.map(c =>
       sum(when(col("b.__pid") < col("a.__pid"), col(s"b.__t_$c"))
         .otherwise(0L)).as(s"__off_$c"))
-    val offsets = ptot.as("a").crossJoin(ptot.as("b"))
+    // broadcast hint: see distributedGlobalRank — pins BNLJ over the
+    // numParts-row frame regardless of upstream stats.
+    val offsets = ptot.as("a").crossJoin(broadcast(ptot.as("b")))
       .groupBy(col("a.__pid").as("__pid"))
       .agg(offsetAgg.head, offsetAgg.tail: _*)
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
