@@ -251,7 +251,9 @@ object SparkEntry {
     "q_abandonment"     -> ((s, d) => EventOps.abandonment(s, d)),
     "q_concurrency"     -> ((s, d) => EventOps.peakConcurrency(s, d)),
     "q_double_charge"   -> ((s, d) => Analytics.doubleCharge(s, d)),
-    "q_recs"            -> ((s, d) => Analytics.itemRecommendations(s, d))
+    "q_recs"            -> ((s, d) => Analytics.itemRecommendations(s, d)),
+    "q_brand_margin"    -> ((s, d) => Analytics.brandMargin(s, d)),
+    "q_single_source"   -> ((s, d) => Analytics.singleSourceRisk(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4708,7 +4710,44 @@ object SparkEntry {
         |         CAST(c_src * c_rec AS DOUBLE) AS lift
         |FROM r CROSS JOIN n
         |WHERE rk <= 3
-        |ORDER BY src, rk""".stripMargin
+        |ORDER BY src, rk""".stripMargin,
+
+    // Brand margin: exact decimal gross/discount accumulation in
+    // micro-dollars (scale-6 products ⇒ ×10⁶ is integer-valued; ×100
+    // would round in DuckDB and truncate in Spark), one final ratio.
+    "q_brand_margin" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,4)) AS disc
+        |  FROM lineitem)
+        |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(gross) * 1000000 AS BIGINT) AS gross_micro,
+        |       CAST(sum(disc) * 1000000 AS BIGINT) AS disc_micro,
+        |       CAST(sum(gross) * 1000000 AS BIGINT) -
+        |         CAST(sum(disc) * 1000000 AS BIGINT) AS net_micro,
+        |       CAST(CAST(sum(disc) * 1000000 AS BIGINT) AS DOUBLE) /
+        |         CAST(CAST(sum(gross) * 1000000 AS BIGINT) AS DOUBLE)
+        |         AS discount_rate
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY brand""".stripMargin,
+
+    // Single-source risk: supplier-count histogram over distinct
+    // (part, supplier) pairs.
+    "q_single_source" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+        |           AS n_suppliers
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM pp)
+        |SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_parts_bucket,
+        |       CAST(count(*) AS DOUBLE) / CAST(n_parts AS DOUBLE) AS share,
+        |       n_suppliers = 1 AS at_risk
+        |FROM pp CROSS JOIN t
+        |GROUP BY n_suppliers, n_parts
+        |ORDER BY n_suppliers""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -681,6 +681,53 @@ object Analytics {
       .limit(k)
   }
 
+  /** Brand margin report (q_brand_margin): per part brand, gross
+    * revenue, the discount given away, net revenue, and the effective
+    * discount rate — exact decimal(18,4) accumulation for the
+    * discount-weighted products (the [[aggPricingSummary]] convention),
+    * cents as longs, one fact⋈dim join with the part side reduced to
+    * (partkey, brand) before the join. */
+  def brandMargin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        dec2(col("l_extendedprice")).as("gross"),
+        (dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+          .as("disc"))
+    li.join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      // micro-dollar units (×10⁶): the discount product carries scale 6,
+      // so ×100 would leave a fraction whose long-cast ROUNDS in DuckDB
+      // but TRUNCATES in Spark — ×10⁶ is integer-valued on both sides.
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("gross")) * 1000000).cast("long").as("gross_micro"),
+        (sum(col("disc")) * 1000000).cast("long").as("disc_micro"))
+      .withColumn("net_micro", col("gross_micro") - col("disc_micro"))
+      .withColumn("discount_rate",
+        col("disc_micro").cast("double") / col("gross_micro").cast("double"))
+      .orderBy("brand")
+  }
+
+  /** Single-source risk audit (q_single_source): how many parts depend
+    * on exactly one supplier (and the full supplier-count distribution)
+    * — the supply-chain fragility report. Two-level aggregate: distinct
+    * (part, supplier) pairs collapse map-side, then per-part supplier
+    * counts, then the histogram over THAT dimension-sized frame. */
+  def singleSourceRisk(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_suppliers"))
+    val tot = perPart.agg(count(lit(1)).as("n_parts"))
+    perPart.groupBy("n_suppliers")
+      .agg(count(lit(1)).as("n_parts_bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_parts_bucket").cast("double") / col("n_parts").cast("double"))
+      .withColumn("at_risk", col("n_suppliers") === 1L)
+      .select("n_suppliers", "n_parts_bucket", "share", "at_risk")
+      .orderBy("n_suppliers")
+  }
+
   /** Item-item recommendations (q_recs): for every part, the top-3
     * co-purchased parts by directional confidence conf(a→b) =
     * c_ab / c_a — [[basketLift]]'s pair frame turned into the

@@ -788,6 +788,27 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("brand margin: net = gross - disc, rates in (0,1), lines conserve") {
+    val m = graft.operators.Analytics.brandMargin(spark, TestSpark.Sf0001)
+      .collect()
+    val nLi = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(m.map(_.getLong(1)).sum == nLi)
+    m.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0)
+    }
+  }
+
+  test("single-source risk: buckets partition the part space") {
+    val s = graft.operators.Analytics.singleSourceRisk(spark, TestSpark.Sf0001)
+      .collect()
+    val nParts = graft.sources.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select("l_partkey").distinct().count()
+    assert(s.map(_.getLong(1)).sum == nParts)
+    assert(math.abs(s.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    s.foreach(r => assert(r.getBoolean(3) == (r.getLong(0) == 1L)))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
