@@ -253,7 +253,8 @@ object SparkEntry {
     "q_double_charge"   -> ((s, d) => Analytics.doubleCharge(s, d)),
     "q_recs"            -> ((s, d) => Analytics.itemRecommendations(s, d)),
     "q_brand_margin"    -> ((s, d) => Analytics.brandMargin(s, d)),
-    "q_single_source"   -> ((s, d) => Analytics.singleSourceRisk(s, d))
+    "q_single_source"   -> ((s, d) => Analytics.singleSourceRisk(s, d)),
+    "q_quant_error"     -> ((s, d) => graft.scale.EmbedStats.quantErrorQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4747,7 +4748,36 @@ object SparkEntry {
         |       n_suppliers = 1 AS at_risk
         |FROM pp CROSS JOIN t
         |GROUP BY n_suppliers, n_parts
-        |ORDER BY n_suppliers""".stripMargin
+        |ORDER BY n_suppliers""".stripMargin,
+
+    // Int8-quantization error per dimension: fixed round/clip/abs tree
+    // (round half-up == half-away for non-negative args), integer sum
+    // witness Σ floor(err·10⁹), max as a selection.
+    "q_quant_error" ->
+      """WITH vals AS (
+        |  SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings)),
+        |stats AS (SELECT dim, min(v) AS mn, max(v) AS mx
+        |          FROM vals GROUP BY 1),
+        |e AS (
+        |  SELECT vals.dim,
+        |         CASE WHEN mx = mn THEN 0.0
+        |              ELSE abs(v - (mn + least(255.0, greatest(0.0,
+        |                     round((v - mn) / ((mx - mn) / 255.0)))) *
+        |                     ((mx - mn) / 255.0))) END AS err
+        |  FROM vals JOIN stats USING (dim)),
+        |agg AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+        |         max(err) AS max_err,
+        |         CAST(sum(CAST(floor(err * 1000000000.0) AS BIGINT))
+        |              AS BIGINT) AS scaled_err_sum
+        |  FROM e GROUP BY 1)
+        |SELECT agg.dim, n_vals, (mx - mn) / 255.0 AS scale,
+        |       max_err, scaled_err_sum
+        |FROM agg JOIN stats ON agg.dim = stats.dim
+        |ORDER BY agg.dim""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

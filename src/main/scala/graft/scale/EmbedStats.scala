@@ -62,4 +62,41 @@ object EmbedStats {
         (col("cnt") === col("mx")).as("is_majority"))
       .orderBy("label")
   }
+
+  /** Int8-quantization error report per dimension (q_quant_error): what
+    * min/max-scaled 8-bit compression of the embedding store would cost,
+    * per dimension — the go/no-go audit before shrinking a 100 TB vector
+    * store 4×. Per value: q = round((v−min)/scale) clipped to [0,255],
+    * err = |v − (min + q·scale)|. Every op is a fixed IEEE tree (round
+    * is half-up in Spark and half-away in DuckDB — identical for the
+    * non-negative arguments here); the cross-engine SUM witness is the
+    * [[perDimension]] integer device (Σ floor(err·10⁹)); max_err is a
+    * selection of per-row identical values. Dead dimensions (min = max)
+    * define err = 0 rather than dividing by zero. One fan-out pass,
+    * dimension-level stats broadcast back. */
+  def quantErrorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Silver.scratch(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v")),
+      "quant_vals") // feeds the stats pass and the error pass
+    val stats = vals.groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    val q = least(lit(255.0), greatest(lit(0.0),
+      round((col("v") - col("mn")) / scale)))
+    val err = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise(abs(col("v") - (col("mn") + q * scale)))
+    val errAgg = vals.join(broadcast(stats), "dim")
+      .withColumn("err", err)
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vals"),
+        max(col("err")).as("max_err"),
+        sum(floor(col("err") * 1000000000d).cast("long")).as("scaled_err_sum"))
+    errAgg.join(broadcast(stats), "dim")
+      .select(col("dim"), col("n_vals"), scale.as("scale"),
+        col("max_err"), col("scaled_err_sum"))
+      .orderBy("dim")
+  }
 }

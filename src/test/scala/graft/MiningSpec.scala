@@ -809,6 +809,19 @@ class MiningSpec extends SparkSpec {
     s.foreach(r => assert(r.getBoolean(3) == (r.getLong(0) == 1L)))
   }
 
+  test("quant error: bounded by half a quantization step per value") {
+    val q = graft.scale.EmbedStats.quantErrorQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(q.length == 64)
+    q.foreach { r =>
+      val (scale, maxErr) = (r.getDouble(2), r.getDouble(3))
+      assert(maxErr >= 0.0)
+      // in-range values quantize to within scale/2 (+ float slack)
+      assert(maxErr <= scale / 2 + 1e-12, s"dim ${r.getLong(0)}")
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
