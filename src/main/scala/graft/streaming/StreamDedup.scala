@@ -59,6 +59,38 @@ object StreamDedup {
     * (band, bucket) table — bucketed on `bucket` in production so the
     * semi-join never shuffles more than the batch. Survivors' band rows
     * are what the caller appends back to the index. */
+  /** One event row for the stateful debounce gate. */
+  case class DebEvent(userId: Long, eventType: String, eventId: Long,
+                      tsMs: Long)
+
+  /** Streaming debounce (the stream arm of
+    * [[graft.operators.EventOps.debounceStats]]'s batch audit): per
+    * (user, type), an event passes only when it arrives ≥ `gapMs` after
+    * the PREVIOUS event of that key — raw-gap semantics, identical to
+    * the batch lag formulation, so batch and stream agree row-for-row
+    * on ordered input (spec-pinned). State per key is ONE long (the last
+    * event time) — ingest-rate-independent, and the within-batch sort is
+    * bounded by a key's per-trigger arrivals. */
+  def debounce(events: org.apache.spark.sql.Dataset[DebEvent],
+               gapMs: Long): org.apache.spark.sql.Dataset[DebEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(e => (e.userId, e.eventType))
+      .flatMapGroupsWithState[Long, DebEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.eventId))
+          var last = state.getOption
+          val out = sorted.filter { e =>
+            val keep = last.forall(l => e.tsMs - l >= gapMs)
+            last = Some(e.tsMs) // raw gap: state advances on EVERY event
+            keep
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def novelByMinhash(batch: DataFrame, bandIndex: DataFrame): DataFrame = {
     val bands = batch.select(col("doc_id"),
       posexplode(minhashBandBuckets(col("text"))).as(Seq("band", "bucket")))

@@ -442,6 +442,35 @@ class StreamingSpec extends SparkSpec {
     assert(diff == 0L, "streaming band buckets must equal the batch banding")
   }
 
+  test("streaming debounce equals the batch lag audit on the corpus stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup.DebEvent
+    val all = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"))
+      .orderBy("ts_ms", "event_id").collect()
+      .map(r => DebEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (b1, b2) = all.splitAt(all.length / 2) // state must carry across triggers
+    val mem = MemoryStream[DebEvent]
+    val ckpt = Files.createTempDirectory("graft_deb").toString
+    val query = graft.streaming.StreamDedup.debounce(mem.toDS(), 300000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("deb_out")
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); query.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); query.processAllAvailable()
+      val streamed = spark.table("deb_out")
+        .groupBy("eventType").agg(count(lit(1)).as("kept"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.EventOps
+        .debounceStats(spark, TestSpark.Sf0001).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream kept $streamed but batch audit says $batch")
+    } finally query.stop()
+  }
+
   test("upsertBatch is idempotent across replays (retry safety)") {
     val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
     val batch = LiveScores.normalize(Seq(
