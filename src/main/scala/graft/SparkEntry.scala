@@ -254,7 +254,8 @@ object SparkEntry {
     "q_recs"            -> ((s, d) => Analytics.itemRecommendations(s, d)),
     "q_brand_margin"    -> ((s, d) => Analytics.brandMargin(s, d)),
     "q_single_source"   -> ((s, d) => Analytics.singleSourceRisk(s, d)),
-    "q_quant_error"     -> ((s, d) => graft.scale.EmbedStats.quantErrorQuery(s, d))
+    "q_quant_error"     -> ((s, d) => graft.scale.EmbedStats.quantErrorQuery(s, d)),
+    "q_delta_bits"      -> ((s, d) => graft.scale.Layout.deltaEncodingProfile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4777,7 +4778,28 @@ object SparkEntry {
         |SELECT agg.dim, n_vals, (mx - mn) / 255.0 AS scale,
         |       max_err, scaled_err_sum
         |FROM agg JOIN stats ON agg.dim = stats.dim
-        |ORDER BY agg.dim""".stripMargin
+        |ORDER BY agg.dim""".stripMargin,
+
+    // Delta+varint profile: adjacent sorted-column deltas by bit length
+    // (printf('%b') mirrors Spark bin()), varint cost = ceil(bits/7).
+    "q_delta_bits" ->
+      """WITH vals AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         o_orderkey AS k
+        |  FROM orders),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v, k) AS BIGINT)
+        |             AS i
+        |      FROM vals),
+        |d AS (SELECT b.v - a.v AS d FROM r a JOIN r b ON b.i = a.i + 1),
+        |g AS (SELECT CAST(length(printf('%b', d)) AS BIGINT) AS bits,
+        |             CAST(count(*) AS BIGINT) AS n_deltas,
+        |             CAST(sum(d) AS BIGINT) AS delta_sum
+        |      FROM d GROUP BY 1)
+        |SELECT bits, n_deltas, delta_sum,
+        |       n_deltas * ((bits + 6) // 7) AS varint_bytes,
+        |       n_deltas * 8 AS raw_bytes
+        |FROM g ORDER BY bits""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

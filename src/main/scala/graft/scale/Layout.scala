@@ -1,7 +1,9 @@
 package graft.scale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Multi-dimensional data layout: Z-order (Morton-curve) clustering.
   *
@@ -220,5 +222,34 @@ object Layout {
     df.withColumn("__split", spark_partition_id())
       .groupBy("__split")
       .agg(allAggs.head, allAggs.tail: _*)
+  }
+
+  /** Delta+varint encoding profile (q_delta_bits): what sorting the
+    * order-price column and storing adjacent differences as varints
+    * would cost, by delta bit-length — the layout decision next to
+    * [[zvalue]]/[[hilbert]]: Z-order answers "which rows co-locate",
+    * this answers "how small does the sorted column get". Adjacent
+    * deltas come from a consecutive-rank equi-join over
+    * [[graft.operators.Ranking.distributedGlobalRank]] (the lag idiom —
+    * no global window); bit lengths via `bin()` string length (the
+    * q_degree_dist device, log-free); varint cost = ⌈bits/7⌉ bytes,
+    * all exact integers. */
+  def deltaEncodingProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranking
+    val vals = Tables.orders(spark, dir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("v"), col("o_orderkey").as("k"))
+    val ranked = Silver.scratch(
+      Ranking.distributedGlobalRank(vals, Seq(col("v").asc, col("k").asc),
+        rankCol = "i"),
+      "delta_ranked")
+    ranked.as("a").join(ranked.as("b"), col("b.i") === col("a.i") + 1)
+      .select((col("b.v") - col("a.v")).as("d"))
+      .groupBy(length(bin(col("d"))).cast("long").as("bits"))
+      .agg(count(lit(1)).as("n_deltas"),
+        sum(col("d")).as("delta_sum"))
+      .withColumn("varint_bytes", col("n_deltas") * expr("(bits + 6) div 7"))
+      .withColumn("raw_bytes", col("n_deltas") * 8L)
+      .orderBy("bits")
   }
 }

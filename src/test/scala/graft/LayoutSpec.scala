@@ -113,4 +113,19 @@ class LayoutSpec extends SparkSpec {
     assert(hSpan <= zSpan + 1e-9,
       s"hilbert mean split span $hSpan worse than z-order $zSpan")
   }
+
+  test("delta profile: deltas reconstruct the value span; varint bounded by raw") {
+    val p = graft.scale.Layout
+      .deltaEncodingProfile(spark, TestSpark.Sf0001).collect()
+    assert(p.nonEmpty)
+    val span = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .agg(((max(col("o_totalprice").cast("decimal(18,2)")) -
+        min(col("o_totalprice").cast("decimal(18,2)"))) * 100).cast("long"))
+      .head().getLong(0)
+    assert(p.map(_.getLong(2)).sum == span) // telescoping sum of deltas
+    p.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(1))      // >= 1 byte per delta
+      assert(r.getLong(3) <= r.getLong(4))      // varint never exceeds raw
+    }
+  }
 }
