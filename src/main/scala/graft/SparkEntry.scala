@@ -255,7 +255,8 @@ object SparkEntry {
     "q_brand_margin"    -> ((s, d) => Analytics.brandMargin(s, d)),
     "q_single_source"   -> ((s, d) => Analytics.singleSourceRisk(s, d)),
     "q_quant_error"     -> ((s, d) => graft.scale.EmbedStats.quantErrorQuery(s, d)),
-    "q_delta_bits"      -> ((s, d) => graft.scale.Layout.deltaEncodingProfile(s, d))
+    "q_delta_bits"      -> ((s, d) => graft.scale.Layout.deltaEncodingProfile(s, d)),
+    "q_mannwhitney"     -> ((s, d) => graft.operators.Distribution.mannWhitney(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4799,7 +4800,51 @@ object SparkEntry {
         |SELECT bits, n_deltas, delta_sum,
         |       n_deltas * ((bits + 6) // 7) AS varint_bytes,
         |       n_deltas * 8 AS raw_bytes
-        |FROM g ORDER BY bits""".stripMargin
+        |FROM g ORDER BY bits""".stripMargin,
+
+    // Mann–Whitney U with tie correction: doubled midranks keep every
+    // rank integer; z/Cliff's δ are the fixed tree over exact sums.
+    "q_mannwhitney" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS ib
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |               CAST(sum(ib) AS BIGINT) AS b,
+        |               CAST(sum(ia) + sum(ib) AS BIGINT) AS t
+        |        FROM o GROUP BY v),
+        |cum AS (SELECT v, a, b, t,
+        |               CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum_t
+        |        FROM per),
+        |agg AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(b) AS BIGINT) AS n_b,
+        |         sum(CAST(a AS HUGEINT) * (2 * CAST(cum_t AS HUGEINT) - t + 1))
+        |           AS rank2_a,
+        |         sum(CAST(t AS HUGEINT) * t * t - t) AS tie_sum
+        |  FROM cum),
+        |s AS (
+        |  SELECT n_a, n_b,
+        |         CAST(rank2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+        |           AS u2,
+        |         n_a + n_b AS n, tie_sum
+        |  FROM agg),
+        |f AS (
+        |  SELECT n_a, n_b, u2,
+        |         CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |         CAST(u2 AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) - 1.0
+        |           AS cliffs_delta,
+        |         CAST(n_a * n_b AS DOUBLE) / 2.0 AS mean,
+        |         (CAST(n + 1 AS DOUBLE) -
+        |          CAST(tie_sum AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+        |           AS tie_inner
+        |  FROM s)
+        |SELECT n_a, n_b, u2, u, cliffs_delta,
+        |       (u - mean) /
+        |       sqrt(CAST(n_a * n_b AS DOUBLE) * tie_inner / 12.0) AS z
+        |FROM f""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -129,6 +129,58 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Mann–Whitney U test with tie correction (q_mannwhitney): the
+    * rank-based two-sample companion of [[ksTest]] — "do BUILDING and
+    * MACHINERY order prices come from the same distribution?" judged on
+    * rank sums rather than CDF distance. Doubled midranks keep every
+    * rank integer (2·midrank = 2·cumBefore + t + 1), so
+    * 2U = Σa·(2·cum − t + 1) − n_A(n_A+1) is exact decimal arithmetic
+    * off ONE [[Ranking.distributedCumSum]] pass; the tie-corrected
+    * variance, z, and Cliff's δ are a fixed IEEE tree over those exact
+    * values (÷2 and ÷12 are the only divisions before the
+    * correctly-rounded sqrt). */
+  def mannWhitney(spark: SparkSession, dir: String,
+                  segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(cents(col("o_totalprice")).as("v"),
+        when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("ia"),
+        when(col("c_mktsegment") === segB, 1L).otherwise(0L).as("ib"))
+    val per = o.groupBy("v").agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val cum = Ranking.distributedCumSum(per, Seq(col("v").asc), Seq("t"))
+    val agg = cum.agg(
+      sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+      // 2·Σ_A midrank: per value, a · (2·cumBefore + t + 1) = a·(2cum − t + 1)
+      sum(col("a").cast(d38) *
+        (lit(2).cast(d38) * col("cum_t").cast(d38) -
+          col("t").cast(d38) + lit(1).cast(d38))).as("rank2_a"),
+      sum(col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+        col("t").cast(d38)).as("tie_sum"))
+    val nA = col("n_a").cast(d38)
+    agg
+      .withColumn("u2",
+        (col("rank2_a") - nA * (nA + lit(1).cast(d38))).cast("long"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u", col("u2").cast("double") / lit(2.0))
+      .withColumn("cliffs_delta",
+        col("u2").cast("double") /
+          (col("n_a") * col("n_b")).cast("double") - lit(1.0))
+      .withColumn("z", {
+        val mean = (col("n_a") * col("n_b")).cast("double") / lit(2.0)
+        val tieRatio = col("tie_sum").cast("double") /
+          ((col("n") * (col("n") - 1L)).cast("double"))
+        val inner = (col("n") + 1L).cast("double") - tieRatio
+        val variance = (col("n_a") * col("n_b")).cast("double") * inner / lit(12.0)
+        (col("u") - mean) / sqrt(variance)
+      })
+      .select("n_a", "n_b", "u2", "u", "cliffs_delta", "z")
+  }
+
   /** Quantity-weighted median price per return flag (q_weighted_median):
     * the smallest cents value whose cumulative QUANTITY reaches half the
     * total — the "typical unit's price" rather than the typical line's.

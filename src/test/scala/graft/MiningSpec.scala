@@ -822,6 +822,19 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: U bounds, symmetry with swapped samples, delta in [-1,1]") {
+    val r = graft.operators.Distribution.mannWhitney(spark, TestSpark.Sf0001)
+      .head()
+    val (na, nb, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(u2 >= 0L && u2 <= 2L * na * nb)
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+    // U_A + U_B = nA*nB  (computed by swapping the sample roles)
+    val sw = graft.operators.Distribution
+      .mannWhitney(spark, TestSpark.Sf0001, "MACHINERY", "BUILDING").head()
+    assert(u2 + sw.getLong(2) == 2L * na * nb)
+    assert(math.abs(r.getDouble(5) + sw.getDouble(5)) < 1e-9) // z antisymmetric
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
