@@ -256,7 +256,8 @@ object SparkEntry {
     "q_single_source"   -> ((s, d) => Analytics.singleSourceRisk(s, d)),
     "q_quant_error"     -> ((s, d) => graft.scale.EmbedStats.quantErrorQuery(s, d)),
     "q_delta_bits"      -> ((s, d) => graft.scale.Layout.deltaEncodingProfile(s, d)),
-    "q_mannwhitney"     -> ((s, d) => graft.operators.Distribution.mannWhitney(s, d))
+    "q_mannwhitney"     -> ((s, d) => graft.operators.Distribution.mannWhitney(s, d)),
+    "q_dim_variance"    -> ((s, d) => graft.scale.EmbedStats.dimVarianceQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4844,7 +4845,33 @@ object SparkEntry {
         |SELECT n_a, n_b, u2, u, cliffs_delta,
         |       (u - mean) /
         |       sqrt(CAST(n_a * n_b AS DOUBLE) * tie_inner / 12.0) AS z
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Per-dimension variance on the floor(v·10⁶) grid: exact integer
+    // n·Σq²−(Σq)² numerator, one division; anisotropy broadcast back.
+    "q_dim_variance" ->
+      """WITH q AS (
+        |  SELECT CAST(dim - 1 AS BIGINT) AS dim,
+        |         CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings)),
+        |per AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sq,
+        |         sum(CAST(q AS HUGEINT) * q) AS sqq
+        |  FROM q GROUP BY 1),
+        |v AS (
+        |  SELECT dim, n, sq,
+        |         CAST(CAST(n * sqq - CAST(sq AS HUGEINT) * sq AS VARCHAR)
+        |              AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS variance
+        |  FROM per),
+        |b AS (SELECT max(variance) AS mx, min(variance) AS mn FROM v)
+        |SELECT dim, n, sq, variance,
+        |       variance / mx AS rel_variance,
+        |       mx / mn AS anisotropy
+        |FROM v CROSS JOIN b
+        |ORDER BY dim""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -63,6 +63,40 @@ object EmbedStats {
       .orderBy("label")
   }
 
+  /** Per-dimension variance on the quantized grid (q_dim_variance): the
+    * anisotropy report behind a whitening/PCA decision — if a few
+    * dimensions carry most of the variance, cosine recall degrades and
+    * whitening pays. Values are quantized once to the integer grid
+    * q = floor(v·10⁶) (the [[perDimension]] witness device), so Σq and
+    * Σq² are exact longs/decimals and the variance numerator
+    * n·Σq² − (Σq)² is exact integer arithmetic; the emitted variance is
+    * one division (of micro-unit² quantities). The global anisotropy
+    * ratio (max/min variance) broadcasts back as two single ops. */
+  def dimVarianceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = graft.sources.Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 1000000d).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q").cast(d38) * col("q").cast(d38)).as("sqq"))
+      .withColumn("var_num",
+        (col("n").cast(d38) * col("sqq") -
+          col("sq").cast(d38) * col("sq").cast(d38)))
+      .withColumn("variance",
+        col("var_num").cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double"))
+    val bounds = per.agg(max(col("variance")).as("mx"),
+      min(col("variance")).as("mn"))
+    per.crossJoin(broadcast(bounds))
+      .select(col("dim"), col("n"), col("sq"), col("variance"),
+        (col("variance") / col("mx")).as("rel_variance"),
+        (col("mx") / col("mn")).as("anisotropy"))
+      .orderBy("dim")
+  }
+
   /** Int8-quantization error report per dimension (q_quant_error): what
     * min/max-scaled 8-bit compression of the embedding store would cost,
     * per dimension — the go/no-go audit before shrinking a 100 TB vector

@@ -835,6 +835,18 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) + sw.getDouble(5)) < 1e-9) // z antisymmetric
   }
 
+  test("dim variance: positive, rel <= 1, one shared anisotropy ratio >= 1") {
+    val v = graft.scale.EmbedStats.dimVarianceQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(v.length == 64)
+    val aniso = v.map(_.getDouble(5)).distinct
+    assert(aniso.length == 1 && aniso.head >= 1.0)
+    v.foreach { r =>
+      assert(r.getDouble(3) > 0.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
