@@ -257,7 +257,8 @@ object SparkEntry {
     "q_quant_error"     -> ((s, d) => graft.scale.EmbedStats.quantErrorQuery(s, d)),
     "q_delta_bits"      -> ((s, d) => graft.scale.Layout.deltaEncodingProfile(s, d)),
     "q_mannwhitney"     -> ((s, d) => graft.operators.Distribution.mannWhitney(s, d)),
-    "q_dim_variance"    -> ((s, d) => graft.scale.EmbedStats.dimVarianceQuery(s, d))
+    "q_dim_variance"    -> ((s, d) => graft.scale.EmbedStats.dimVarianceQuery(s, d)),
+    "q_spearman"        -> ((s, d) => graft.operators.Distribution.spearman(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4871,7 +4872,40 @@ object SparkEntry {
         |       variance / mx AS rel_variance,
         |       mx / mn AS anisotropy
         |FROM v CROSS JOIN b
-        |ORDER BY dim""".stripMargin
+        |ORDER BY dim""".stripMargin,
+
+    // Spearman over tie-broken unique ranks: integer Σd², one fixed
+    // tree for ρ (n(n²−1) in HUGEINT).
+    "q_spearman" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS bal,
+        |         COALESCE(spend, 0) AS spend
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |r AS (
+        |  SELECT c_custkey,
+        |         CAST(row_number() OVER (ORDER BY bal, c_custkey) AS BIGINT)
+        |           AS r_bal,
+        |         CAST(row_number() OVER (ORDER BY spend, c_custkey) AS BIGINT)
+        |           AS r_spend
+        |  FROM base),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST((r_bal - r_spend) * (r_bal - r_spend) AS HUGEINT))
+        |           AS sum_d2
+        |  FROM r)
+        |SELECT n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+        |       1.0 - CAST(CAST(6 * sum_d2 AS VARCHAR) AS DOUBLE) /
+        |             CAST(CAST(CAST(n AS HUGEINT) *
+        |                       (CAST(n AS HUGEINT) * n - 1) AS VARCHAR)
+        |                  AS DOUBLE) AS rho
+        |FROM agg""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

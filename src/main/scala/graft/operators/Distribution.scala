@@ -129,6 +129,46 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Spearman rank correlation (q_spearman): does a customer's account
+    * balance predict their total spend? Both variables rank under a
+    * UNIQUE total order ((value, custkey) — the tie-broken form whose
+    * Σd² is integer-exact; documented: with ties this is Spearman over
+    * tie-broken ranks, not midranks), each via one
+    * [[Ranking.distributedGlobalRank]] pass over the customer-level
+    * aggregate. ρ = 1 − 6Σd²/(n(n²−1)) is a fixed tree over exact
+    * decimals — the n(n²−1) denominator exceeds Long by construction, so
+    * both engines route it through decimal/HUGEINT. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("spend"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal"))
+      .join(spend.withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("spend"))
+    val r1 = Ranking.distributedGlobalRank(base,
+      Seq(col("bal").asc, col("c_custkey").asc), rankCol = "r_bal")
+      .select(col("c_custkey"), col("r_bal"))
+    val r2 = Ranking.distributedGlobalRank(base,
+      Seq(col("spend").asc, col("c_custkey").asc), rankCol = "r_spend")
+      .select(col("c_custkey"), col("r_spend"))
+    r1.join(r2, "c_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(((col("r_bal") - col("r_spend")) * (col("r_bal") - col("r_spend")))
+          .cast(d38)).as("sum_d2"))
+      .withColumn("rho",
+        lit(1.0) - (lit(6).cast(d38) * col("sum_d2")).cast("double") /
+          (col("n").cast(d38) *
+            (col("n").cast(d38) * col("n").cast(d38) - lit(1).cast(d38)))
+            .cast("double"))
+      .select("n", "sum_d2", "rho")
+      .withColumn("sum_d2", col("sum_d2").cast("long"))
+  }
+
   /** Mann–Whitney U test with tie correction (q_mannwhitney): the
     * rank-based two-sample companion of [[ksTest]] — "do BUILDING and
     * MACHINERY order prices come from the same distribution?" judged on

