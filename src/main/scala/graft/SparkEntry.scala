@@ -258,7 +258,8 @@ object SparkEntry {
     "q_delta_bits"      -> ((s, d) => graft.scale.Layout.deltaEncodingProfile(s, d)),
     "q_mannwhitney"     -> ((s, d) => graft.operators.Distribution.mannWhitney(s, d)),
     "q_dim_variance"    -> ((s, d) => graft.scale.EmbedStats.dimVarianceQuery(s, d)),
-    "q_spearman"        -> ((s, d) => graft.operators.Distribution.spearman(s, d))
+    "q_spearman"        -> ((s, d) => graft.operators.Distribution.spearman(s, d)),
+    "q_benford_gof"     -> ((s, d) => Analytics.benfordGof(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4905,7 +4906,40 @@ object SparkEntry {
         |             CAST(CAST(CAST(n AS HUGEINT) *
         |                       (CAST(n AS HUGEINT) * n - 1) AS VARCHAR)
         |                  AS DOUBLE) AS rho
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // Benford goodness-of-fit: the nine log10(1+1/d) constants as
+    // DOUBLE-cast literals (identical strings to the Spark side; bare
+    // decimals would parse as DECIMAL — the q_error_bound trap), then
+    // the fixed (o−e)²/e tree over exact counts.
+    "q_benford_gof" ->
+      """WITH bf(digit, p) AS (VALUES
+        |  ('1', CAST(0.3010299956639812 AS DOUBLE)),
+        |  ('2', CAST(0.17609125905568124 AS DOUBLE)),
+        |  ('3', CAST(0.12493873660829992 AS DOUBLE)),
+        |  ('4', CAST(0.09691001300805642 AS DOUBLE)),
+        |  ('5', CAST(0.07918124604762482 AS DOUBLE)),
+        |  ('6', CAST(0.06694678963061322 AS DOUBLE)),
+        |  ('7', CAST(0.05799194697768673 AS DOUBLE)),
+        |  ('8', CAST(0.05115252244738129 AS DOUBLE)),
+        |  ('9', CAST(0.04575749056067514 AS DOUBLE))),
+        |d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |                1, 1) AS digit,
+        |         CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders
+        |  WHERE substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |               1, 1) <> '0'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM d),
+        |e AS (
+        |  SELECT bf.digit, COALESCE(d.obs, 0) AS obs, bf.p,
+        |         CAST(total AS DOUBLE) * bf.p AS expect
+        |  FROM bf LEFT JOIN d ON bf.digit = d.digit CROSS JOIN t)
+        |SELECT digit, obs, p, expect,
+        |       (CAST(obs AS DOUBLE) - expect) * (CAST(obs AS DOUBLE) - expect)
+        |         / expect AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -920,6 +920,47 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** Benford goodness-of-fit (q_benford_gof): [[benfordDigits]]'s digit
+    * profile turned into the fraud-screen test statistic — per digit,
+    * the observed count against the Benford expectation e_d = N·log10(1
+    * + 1/d) and the χ² cell term. log10 is NOT engine-portable, so the
+    * nine Benford probabilities are written as double LITERALS (both
+    * engines parse decimal literals to the identical double — the same
+    * device as q_error_bound's z, with the DuckDB DECIMAL-literal trap
+    * avoided by 17-significant-digit mantissas); everything after them
+    * is the fixed (o−e)²/e tree over exact counts. The digit spine is a
+    * literal 9-row frame, so digits the corpus never produces still get
+    * their full-expectation χ² contribution. */
+  def benfordGof(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    // log10(1 + 1/d), d = 1..9, shortest round-trip representations —
+    // the IDENTICAL literal strings appear in the oracle SQL, and both
+    // parsers round them to the same double.
+    val benford = Seq(
+      ("1", 0.3010299956639812), ("2", 0.17609125905568124),
+      ("3", 0.12493873660829992), ("4", 0.09691001300805642),
+      ("5", 0.07918124604762482), ("6", 0.06694678963061322),
+      ("7", 0.05799194697768673), ("8", 0.05115252244738129),
+      ("9", 0.04575749056067514)).toDF("digit", "p")
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .filter(col("digit") =!= "0")
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val total = digits.agg(sum(col("obs")).as("total"))
+    broadcast(benford)
+      .join(digits, Seq("digit"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(total))
+      .withColumn("expect", col("total").cast("double") * col("p"))
+      .withColumn("chi2_term",
+        (col("obs").cast("double") - col("expect")) *
+        (col("obs").cast("double") - col("expect")) / col("expect"))
+      .select("digit", "obs", "p", "expect", "chi2_term")
+      .orderBy("digit")
+  }
+
   /** Pareto concentration curve (q_pareto): what share of total revenue
     * the top 1% / 5% / 20% of customers carry — the "80/20" read on the
     * same ranked-spend table as [[spendGini]]. Cutoff sizes are exact

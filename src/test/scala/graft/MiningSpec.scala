@@ -862,6 +862,17 @@ class MiningSpec extends SparkSpec {
     assert(rho == -1.0)
   }
 
+  test("benford gof: 9-digit spine, probabilities sum to 1, counts conserve") {
+    val g = graft.operators.Analytics.benfordGof(spark, TestSpark.Sf0001)
+      .collect()
+    assert(g.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
+    assert(math.abs(g.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    val direct = graft.operators.Analytics
+      .benfordDigits(spark, TestSpark.Sf0001).collect().map(_.getLong(1)).sum
+    assert(g.map(_.getLong(1)).sum == direct)
+    g.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
