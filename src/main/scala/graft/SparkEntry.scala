@@ -259,7 +259,8 @@ object SparkEntry {
     "q_mannwhitney"     -> ((s, d) => graft.operators.Distribution.mannWhitney(s, d)),
     "q_dim_variance"    -> ((s, d) => graft.scale.EmbedStats.dimVarianceQuery(s, d)),
     "q_spearman"        -> ((s, d) => graft.operators.Distribution.spearman(s, d)),
-    "q_benford_gof"     -> ((s, d) => Analytics.benfordGof(s, d))
+    "q_benford_gof"     -> ((s, d) => Analytics.benfordGof(s, d)),
+    "q_srm"             -> ((s, d) => EventOps.sampleRatioMismatch(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4939,7 +4940,36 @@ object SparkEntry {
         |SELECT digit, obs, p, expect,
         |       (CAST(obs AS DOUBLE) - expect) * (CAST(obs AS DOUBLE) - expect)
         |         / expect AS chi2_term
-        |FROM e ORDER BY digit""".stripMargin
+        |FROM e ORDER BY digit""".stripMargin,
+
+    // Sample-ratio mismatch: user-grain arm counts, two fixed-order χ²
+    // cell terms, literal 3.841 critical value.
+    "q_srm" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT CAST('0x' || substr(md5('ab:' || user_id), 1, 15)
+        |              AS BIGINT) % 2 AS arm
+        |  FROM u),
+        |c AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_b
+        |  FROM a),
+        |e AS (SELECT n_a, n_b,
+        |             CAST(n_a + n_b AS DOUBLE) / 2.0 AS expect
+        |      FROM c)
+        |SELECT n_a, n_b, expect,
+        |       (CAST(n_a AS DOUBLE) - expect) * (CAST(n_a AS DOUBLE) - expect)
+        |         / expect +
+        |       (CAST(n_b AS DOUBLE) - expect) * (CAST(n_b AS DOUBLE) - expect)
+        |         / expect AS chi2,
+        |       ((CAST(n_a AS DOUBLE) - expect) * (CAST(n_a AS DOUBLE) - expect)
+        |         / expect +
+        |        (CAST(n_b AS DOUBLE) - expect) * (CAST(n_b AS DOUBLE) - expect)
+        |         / expect) > CAST(3.841 AS DOUBLE) AS srm_detected
+        |FROM e""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

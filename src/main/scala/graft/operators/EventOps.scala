@@ -417,6 +417,33 @@ object EventOps {
       .select("n_a", "n_b", "sum_a", "sum_b", "mean_a", "mean_b", "lift")
   }
 
+  /** Sample-ratio mismatch check (q_srm): is [[abLift]]'s md5-parity
+    * split actually 50/50 at the USER grain? The experimentation-
+    * platform guardrail that runs before any lift number is believed —
+    * a skewed split means the assignment itself is broken and the
+    * experiment is void. χ² against the half/half expectation is two
+    * fixed-order cell terms over exact counts; the flag compares against
+    * the literal 3.841 (χ²₁, α=0.05) — no distribution function runs. */
+  def sampleRatioMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val users = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .select(pmod(conv(substring(md5(concat(lit("ab:"), col("user_id"))),
+        1, 15), 16, 10).cast("long"), lit(2)).as("arm"))
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("expect",
+        (col("n_a") + col("n_b")).cast("double") / lit(2.0))
+      .withColumn("chi2",
+        (col("n_a").cast("double") - col("expect")) *
+          (col("n_a").cast("double") - col("expect")) / col("expect") +
+        (col("n_b").cast("double") - col("expect")) *
+          (col("n_b").cast("double") - col("expect")) / col("expect"))
+      .withColumn("srm_detected", col("chi2") > lit(3.841))
+      .select("n_a", "n_b", "expect", "chi2", "srm_detected")
+  }
+
   /** RFM segmentation (q_rfm): the classic customer-value triage —
     * Recency (days since last purchase, vs the corpus horizon),
     * Frequency (purchase count), Monetary (exact cents) — each coded

@@ -873,6 +873,17 @@ class MiningSpec extends SparkSpec {
     g.foreach(r => assert(r.getDouble(4) >= 0.0))
   }
 
+  test("srm: arms partition the purchasing users; chi2 nonnegative") {
+    val r = graft.operators.EventOps.sampleRatioMismatch(spark, TestSpark.Sf0001)
+      .head()
+    val users = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users)
+    assert(r.getDouble(3) >= 0.0)
+    assert(r.getBoolean(4) == (r.getDouble(3) > 3.841))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
