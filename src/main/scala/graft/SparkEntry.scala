@@ -260,7 +260,8 @@ object SparkEntry {
     "q_dim_variance"    -> ((s, d) => graft.scale.EmbedStats.dimVarianceQuery(s, d)),
     "q_spearman"        -> ((s, d) => graft.operators.Distribution.spearman(s, d)),
     "q_benford_gof"     -> ((s, d) => Analytics.benfordGof(s, d)),
-    "q_srm"             -> ((s, d) => EventOps.sampleRatioMismatch(s, d))
+    "q_srm"             -> ((s, d) => EventOps.sampleRatioMismatch(s, d)),
+    "q_prop_test"       -> ((s, d) => graft.operators.Distribution.twoProportionTest(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4969,7 +4970,41 @@ object SparkEntry {
         |         / expect +
         |        (CAST(n_b AS DOUBLE) - expect) * (CAST(n_b AS DOUBLE) - expect)
         |         / expect) > CAST(3.841 AS DOUBLE) AS srm_detected
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // Two-proportion z-test on return rates: exact counts, fixed tree,
+    // correctly-rounded sqrt.
+    "q_prop_test" ->
+      """WITH li AS (
+        |  SELECT c_mktsegment AS seg, l_returnflag = 'R' AS ret
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' AND ret THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r_a,
+        |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN seg = 'MACHINERY' AND ret THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r_b
+        |  FROM li),
+        |p AS (
+        |  SELECT *,
+        |         CAST(r_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |         CAST(r_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |         CAST(r_a + r_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |           AS p_pool
+        |  FROM a)
+        |SELECT n_a, r_a, n_b, r_b, p_a, p_b, p_pool,
+        |       (p_a - p_b) /
+        |       sqrt(p_pool * (1.0 - p_pool) *
+        |            (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |         AS z
+        |FROM p""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -129,6 +129,41 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Two-proportion z-test (q_prop_test): do BUILDING and MACHINERY
+    * customers return items at the same rate? Counts are exact; p̂s,
+    * the pooled proportion, and z are a fixed IEEE tree ending in the
+    * correctly-rounded sqrt — the proportions companion of
+    * [[mannWhitney]]/[[ksTest]] for the binary-outcome case. */
+  def twoProportionTest(spark: SparkSession, dir: String,
+                        segA: String = "BUILDING",
+                        segB: String = "MACHINERY"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_mktsegment").as("seg"),
+        (col("l_returnflag") === "R").as("ret"))
+    val agg = li.agg(
+      sum(when(col("seg") === segA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("seg") === segA && col("ret"), 1L).otherwise(0L)).as("r_a"),
+      sum(when(col("seg") === segB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("seg") === segB && col("ret"), 1L).otherwise(0L)).as("r_b"))
+    agg
+      .withColumn("p_a", col("r_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("p_b", col("r_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p_pool",
+        (col("r_a") + col("r_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double"))))
+      .select("n_a", "r_a", "n_b", "r_b", "p_a", "p_b", "p_pool", "z")
+  }
+
   /** Spearman rank correlation (q_spearman): does a customer's account
     * balance predict their total spend? Both variables rank under a
     * UNIQUE total order ((value, custkey) — the tie-broken form whose

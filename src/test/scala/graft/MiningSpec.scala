@@ -884,6 +884,17 @@ class MiningSpec extends SparkSpec {
     assert(r.getBoolean(4) == (r.getDouble(3) > 3.841))
   }
 
+  test("prop test: pooled rate between the arms; z antisymmetric under swap") {
+    val r = graft.operators.Distribution
+      .twoProportionTest(spark, TestSpark.Sf0001).head()
+    val (pa, pb, pool) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(pool >= math.min(pa, pb) && pool <= math.max(pa, pb))
+    val sw = graft.operators.Distribution
+      .twoProportionTest(spark, TestSpark.Sf0001, "MACHINERY", "BUILDING")
+      .head()
+    assert(math.abs(r.getDouble(7) + sw.getDouble(7)) < 1e-12)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
