@@ -261,7 +261,8 @@ object SparkEntry {
     "q_spearman"        -> ((s, d) => graft.operators.Distribution.spearman(s, d)),
     "q_benford_gof"     -> ((s, d) => Analytics.benfordGof(s, d)),
     "q_srm"             -> ((s, d) => EventOps.sampleRatioMismatch(s, d)),
-    "q_prop_test"       -> ((s, d) => graft.operators.Distribution.twoProportionTest(s, d))
+    "q_prop_test"       -> ((s, d) => graft.operators.Distribution.twoProportionTest(s, d)),
+    "q_anova"           -> ((s, d) => graft.operators.Distribution.anovaWeekday(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5004,7 +5005,54 @@ object SparkEntry {
         |       sqrt(p_pool * (1.0 - p_pool) *
         |            (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
         |         AS z
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // One-way ANOVA (weekday → order value): exact pivoted sums, the
+    // fixed 7-term Σ S_d²/n_d tree, VARCHAR-routed HUGEINT casts.
+    "q_anova" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         (epoch_ms(o_orderdate) // 86400000) % 7 AS dow
+        |  FROM orders),
+        |w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(v AS HUGEINT)) AS s,
+        |         sum(CAST(v AS HUGEINT) * v) AS q,
+        |         sum(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS n0,
+        |         sum(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS n2,
+        |         sum(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS n3,
+        |         sum(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS n4,
+        |         sum(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS n5,
+        |         sum(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS n6,
+        |         sum(CASE WHEN dow = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0,
+        |         sum(CASE WHEN dow = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+        |         sum(CASE WHEN dow = 2 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s2,
+        |         sum(CASE WHEN dow = 3 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s3,
+        |         sum(CASE WHEN dow = 4 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s4,
+        |         sum(CASE WHEN dow = 5 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s5,
+        |         sum(CASE WHEN dow = 6 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s6
+        |  FROM o),
+        |t AS (
+        |  SELECT n,
+        |         CAST(n AS DOUBLE) *
+        |           (CAST(CAST(s0 * s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(CAST(s1 * s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          + CAST(CAST(s2 * s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |          + CAST(CAST(s3 * s3 AS VARCHAR) AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |          + CAST(CAST(s4 * s4 AS VARCHAR) AS DOUBLE) / CAST(n4 AS DOUBLE)
+        |          + CAST(CAST(s5 * s5 AS VARCHAR) AS DOUBLE) / CAST(n5 AS DOUBLE)
+        |          + CAST(CAST(s6 * s6 AS VARCHAR) AS DOUBLE) / CAST(n6 AS DOUBLE))
+        |          - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS ssb_n,
+        |         CAST(n AS DOUBLE) * CAST(CAST(q AS VARCHAR) AS DOUBLE)
+        |          - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS sst_n
+        |  FROM w),
+        |e AS (SELECT n, ssb_n / sst_n AS eta_sq FROM t)
+        |SELECT n, eta_sq,
+        |       eta_sq / (1.0 - eta_sq) * (CAST(n - 7 AS DOUBLE) / 6.0)
+        |         AS f_stat
+        |FROM e""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -129,6 +129,49 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** One-way ANOVA for the weekday effect on order value (q_anova):
+    * does day-of-week explain any of the price variance? The
+    * sum-of-squares identities keep everything exact until the last few
+    * ops: SST·n = n·Σx² − S² and SSB·n = n·Σ_d S_d²/n_d − S² with
+    * per-weekday sums as decimal(38,0); because the weekday domain is
+    * FIXED (7 values), the Σ_d term is a PIVOTED fixed-order expression
+    * tree (s0…s6 conditional aggregates), not an order-dependent float
+    * aggregation — the same device that keeps [[chi2Contingency]] and
+    * q_benford_gof on the oracle board. η² = SSB/SST and
+    * F = (η²/(1−η²))·((n−k)/(k−1)) are single-op chains. Weekday via
+    * epoch-day arithmetic (day 0 = Thursday), not calendar functions. */
+  def anovaWeekday(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("v"),
+        expr("pmod(unix_millis(cast(o_orderdate as timestamp)) div 86400000, 7)")
+          .as("dow"))
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("s"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("q")) ++
+      (0 until 7).flatMap { d =>
+        Seq(sum(when(col("dow") === d, 1L).otherwise(0L)).as(s"n$d"),
+          sum(when(col("dow") === d, col("v").cast(d38))
+            .otherwise(lit(0).cast(d38))).as(s"s$d"))
+      }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    // Σ_d S_d²/n_d as a fixed left-assoc 7-term tree of single ops
+    val inner = (0 until 7).map { d =>
+      (col(s"s$d") * col(s"s$d")).cast("double") / col(s"n$d").cast("double")
+    }.reduceLeft(_ + _)
+    wide
+      .withColumn("sst_n",
+        nD * (col("q")).cast("double") - (col("s") * col("s")).cast("double"))
+      .withColumn("ssb_n", nD * inner - (col("s") * col("s")).cast("double"))
+      .withColumn("eta_sq", col("ssb_n") / col("sst_n"))
+      .withColumn("f_stat",
+        col("eta_sq") / (lit(1.0) - col("eta_sq")) *
+          ((col("n") - 7L).cast("double") / lit(6.0)))
+      .select("n", "eta_sq", "f_stat")
+  }
+
   /** Two-proportion z-test (q_prop_test): do BUILDING and MACHINERY
     * customers return items at the same rate? Counts are exact; p̂s,
     * the pooled proportion, and z are a fixed IEEE tree ending in the

@@ -895,6 +895,16 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) + sw.getDouble(7)) < 1e-12)
   }
 
+  test("anova: eta-squared in [0,1), F nonnegative, n conserves orders") {
+    val r = graft.operators.Distribution.anovaWeekday(spark, TestSpark.Sf0001)
+      .head()
+    assert(r.getLong(0) ==
+      graft.sources.Tables.orders(spark, TestSpark.Sf0001).count())
+    val eta = r.getDouble(1)
+    assert(eta >= 0.0 && eta < 1.0)
+    assert(r.getDouble(2) >= 0.0)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
