@@ -262,7 +262,8 @@ object SparkEntry {
     "q_benford_gof"     -> ((s, d) => Analytics.benfordGof(s, d)),
     "q_srm"             -> ((s, d) => EventOps.sampleRatioMismatch(s, d)),
     "q_prop_test"       -> ((s, d) => graft.operators.Distribution.twoProportionTest(s, d)),
-    "q_anova"           -> ((s, d) => graft.operators.Distribution.anovaWeekday(s, d))
+    "q_anova"           -> ((s, d) => graft.operators.Distribution.anovaWeekday(s, d)),
+    "q_winsorized"      -> ((s, d) => graft.operators.Distribution.winsorizedMean(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5052,7 +5053,39 @@ object SparkEntry {
         |SELECT n, eta_sq,
         |       eta_sq / (1.0 - eta_sq) * (CAST(n - 7 AS DOUBLE) / 6.0)
         |         AS f_stat
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // Winsorized mean: exact [p5,p95] integer clamp over the
+    // (segment, cents) aggregate; both means single divisions.
+    "q_winsorized" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT segment, v, cnt,
+        |               CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY v)
+        |                    AS BIGINT) AS cum
+        |        FROM per),
+        |tot AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM per GROUP BY 1),
+        |th AS (
+        |  SELECT segment, n,
+        |         min(CASE WHEN cum >= (5 * n + 99) // 100 THEN v END)
+        |           AS lo_cents,
+        |         min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+        |           AS hi_cents
+        |  FROM cum JOIN tot USING (segment)
+        |  GROUP BY segment, n)
+        |SELECT per.segment, n, lo_cents, hi_cents,
+        |       CAST(sum(v * cnt) AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean,
+        |       CAST(sum(least(greatest(v, lo_cents), hi_cents) * cnt)
+        |            AS DOUBLE) / CAST(n AS DOUBLE) AS wins_mean
+        |FROM per JOIN th ON per.segment = th.segment
+        |GROUP BY per.segment, n, lo_cents, hi_cents
+        |ORDER BY per.segment""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -129,6 +129,51 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Winsorized mean per segment (q_winsorized): the robust average
+    * after clamping each order's price into the segment's exact
+    * [p5, p95] band — the outlier-resistant KPI dashboards should show
+    * instead of the raw mean. Thresholds come from the
+    * [[percentileBands]] integer-rank machinery (broadcast back, the
+    * threshold-coding discipline); clamping is integer min/max, so the
+    * winsorized sum is EXACT and both means are single divisions. */
+  def winsorizedMean(spark: SparkSession, dir: String,
+                     loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), cents(col("o_totalprice")).as("v"))
+    val per = graft.scale.Silver.scratch(
+      o.groupBy("segment", "v").agg(count(lit(1)).as("cnt")),
+      "wins_per") // feeds the threshold pass and the clamped aggregation
+    val w = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = per.groupBy("segment").agg(sum(col("cnt")).as("n"))
+    val thresholds = cum.join(broadcast(tot), "segment")
+      .groupBy("segment")
+      .agg(first(col("n")).as("n"),
+        min(when(col("cum") >= expr(s"($loPct * n + 99) div 100"), col("v")))
+          .as("lo_cents"),
+        min(when(col("cum") >= expr(s"($hiPct * n + 99) div 100"), col("v")))
+          .as("hi_cents"))
+    per.join(broadcast(thresholds), "segment")
+      .withColumn("cl",
+        least(greatest(col("v"), col("lo_cents")), col("hi_cents")))
+      .groupBy("segment")
+      .agg(first(col("n")).as("n"),
+        first(col("lo_cents")).as("lo_cents"),
+        first(col("hi_cents")).as("hi_cents"),
+        sum(col("v") * col("cnt")).as("raw_sum"),
+        sum(col("cl") * col("cnt")).as("wins_sum"))
+      .withColumn("raw_mean",
+        col("raw_sum").cast("double") / col("n").cast("double"))
+      .withColumn("wins_mean",
+        col("wins_sum").cast("double") / col("n").cast("double"))
+      .select("segment", "n", "lo_cents", "hi_cents", "raw_mean", "wins_mean")
+      .orderBy("segment")
+  }
+
   /** One-way ANOVA for the weekday effect on order value (q_anova):
     * does day-of-week explain any of the price variance? The
     * sum-of-squares identities keep everything exact until the last few

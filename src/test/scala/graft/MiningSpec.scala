@@ -905,6 +905,21 @@ class MiningSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0)
   }
 
+  test("winsorized mean: inside the clamp band, pulled toward the center") {
+    val r = graft.operators.Distribution.winsorizedMean(spark, TestSpark.Sf0001)
+      .collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      val (lo, hi) = (row.getLong(2), row.getLong(3))
+      val (raw, wins) = (row.getDouble(4), row.getDouble(5))
+      assert(lo <= hi)
+      assert(wins >= lo.toDouble && wins <= hi.toDouble)
+      // clamping can only move mass toward the band
+      assert(math.abs(wins - (lo + hi) / 2.0) <=
+        math.abs(raw - (lo + hi) / 2.0) + math.abs(raw - wins) + 1e-9)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
