@@ -263,7 +263,8 @@ object SparkEntry {
     "q_srm"             -> ((s, d) => EventOps.sampleRatioMismatch(s, d)),
     "q_prop_test"       -> ((s, d) => graft.operators.Distribution.twoProportionTest(s, d)),
     "q_anova"           -> ((s, d) => graft.operators.Distribution.anovaWeekday(s, d)),
-    "q_winsorized"      -> ((s, d) => graft.operators.Distribution.winsorizedMean(s, d))
+    "q_winsorized"      -> ((s, d) => graft.operators.Distribution.winsorizedMean(s, d)),
+    "q_gini_segments"   -> ((s, d) => Analytics.giniBySegment(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5085,7 +5086,35 @@ object SparkEntry {
         |            AS DOUBLE) / CAST(n AS DOUBLE) AS wins_mean
         |FROM per JOIN th ON per.segment = th.segment
         |GROUP BY per.segment, n, lo_cents, hi_cents
-        |ORDER BY per.segment""".stripMargin
+        |ORDER BY per.segment""".stripMargin,
+
+    // Per-segment Gini: rank-weighted exact sums within each segment,
+    // VARCHAR-routed HUGEINT casts (the q_gini device, segment-keyed).
+    "q_gini_segments" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, v,
+        |         CAST(row_number() OVER (PARTITION BY segment
+        |                                 ORDER BY v, o_custkey) AS BIGINT)
+        |           AS i
+        |  FROM spend),
+        |s AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(v) AS BIGINT) AS total_cents,
+        |         sum(CAST(i AS HUGEINT) * v) AS siv,
+        |         sum(CAST(v AS HUGEINT)) AS sv
+        |  FROM r GROUP BY 1)
+        |SELECT segment, n_customers, total_cents,
+        |       CAST(CAST(2 * siv - (n_customers + 1) * sv AS VARCHAR)
+        |            AS DOUBLE) /
+        |       CAST(CAST(CAST(n_customers AS HUGEINT) * sv AS VARCHAR)
+        |            AS DOUBLE) AS gini
+        |FROM s ORDER BY segment""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

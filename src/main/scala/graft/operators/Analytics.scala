@@ -853,6 +853,38 @@ object Analytics {
     * order; i·vᵢ products exceed Long at scale, so the sums accumulate
     * in decimal(38,0) (HUGEINT in the oracle) and the single division is
     * the only IEEE op. */
+  /** Per-segment Gini coefficients (q_gini_segments): [[spendGini]]'s
+    * inequality number computed within each market segment — "is spend
+    * concentration a BUILDING thing or everywhere?". Positions come from
+    * a per-segment ranked window over the customer-level AGGREGATE
+    * (dimension-keyed frame, the q_pct_rank discipline — the fact stream
+    * is never windowed); the rank-weighted sums stay in decimal(38,0)
+    * and each segment's Gini is its single division. */
+  def giniBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("v").asc, col("o_custkey").asc)
+    spend
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("v").cast(d38)).as("sv"),
+        sum(col("i").cast(d38) * col("v").cast(d38)).as("siv"))
+      .select(col("segment"), col("n_customers"),
+        col("sv").cast("long").as("total_cents"),
+        ((lit(2).cast(d38) * col("siv") -
+            (col("n_customers") + 1).cast(d38) * col("sv")).cast("double") /
+          (col("n_customers").cast(d38) * col("sv")).cast("double")).as("gini"))
+      .orderBy("segment")
+  }
+
   def spendGini(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

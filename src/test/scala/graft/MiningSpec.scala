@@ -920,6 +920,16 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("segment ginis: in [0,1), customers conserve vs the global query") {
+    val g = graft.operators.Analytics.giniBySegment(spark, TestSpark.Sf0001)
+      .collect()
+    assert(g.length == 5)
+    g.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
+    val globalN = graft.operators.Analytics.spendGini(spark, TestSpark.Sf0001)
+      .head().getLong(0)
+    assert(g.map(_.getLong(1)).sum == globalN)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
