@@ -646,6 +646,32 @@ object Analytics {
       .orderBy("prio", "week")
   }
 
+  /** Shared basket-pair pipeline behind [[basketLift]] and
+    * [[itemRecommendations]]: the distinct (order, part) edge frame —
+    * materialized once under `scratchName`, since it feeds the pair
+    * join, the per-part counts, AND the order count — and from it the
+    * one-row order total `n`, the per-part order counts `pc`, and the
+    * undirected co-purchase pair counts `pairs` thresholded at
+    * `minCnt`. The self-join is keyed on the ORDER, so candidate
+    * volume is Σ basket² (basket size is physically bounded), never
+    * parts². */
+  private def basketPairs(spark: SparkSession, dir: String, minCnt: Long,
+      scratchName: String): (DataFrame, DataFrame, DataFrame) = {
+    val op = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      scratchName)
+    val n = op.agg(countDistinct(col("o")).as("n_orders"))
+    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCnt)
+    (n, pc, pairs)
+  }
+
   /** Market-basket lift (q_basket_lift): part pairs that co-occur in
     * orders far beyond what their individual popularity predicts —
     * lift = c_ab·N / (c_a·c_b) from exact longs, the basket-mining twin
@@ -657,18 +683,7 @@ object Analytics {
     * N rides a one-row broadcast; top-k via TakeOrderedAndProject. */
   def basketLift(spark: SparkSession, dir: String,
                  minCnt: Long = 3L, k: Int = 50): DataFrame = {
-    val op = graft.scale.Silver.scratch(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct(),
-      "basket_edges") // feeds pair join, part counts, and N
-    val n = op.agg(countDistinct(col("o")).as("n_orders"))
-    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCnt)
+    val (n, pc, pairs) = basketPairs(spark, dir, minCnt, "basket_edges")
     pairs
       .join(pc.select(col("p").as("p1"), col("c").as("c1")), "p1")
       .join(pc.select(col("p").as("p2"), col("c").as("c2")), "p2")
@@ -738,18 +753,7 @@ object Analytics {
     * one per-source top-k window over the pair aggregate. */
   def itemRecommendations(spark: SparkSession, dir: String,
                           minCnt: Long = 2L, k: Int = 3): DataFrame = {
-    val op = graft.scale.Silver.scratch(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct(),
-      "rec_edges") // feeds pair join, part counts, and N
-    val n = op.agg(countDistinct(col("o")).as("n_orders"))
-    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCnt)
+    val (n, pc, pairs) = basketPairs(spark, dir, minCnt, "rec_edges")
     val directed = pairs
       .select(col("p1").as("src"), col("p2").as("rec"), col("c_ab"))
       .unionAll(pairs
@@ -855,11 +859,15 @@ object Analytics {
     * the only IEEE op. */
   /** Per-segment Gini coefficients (q_gini_segments): [[spendGini]]'s
     * inequality number computed within each market segment — "is spend
-    * concentration a BUILDING thing or everywhere?". Positions come from
-    * a per-segment ranked window over the customer-level AGGREGATE
-    * (dimension-keyed frame, the q_pct_rank discipline — the fact stream
-    * is never windowed); the rank-weighted sums stay in decimal(38,0)
-    * and each segment's Gini is its single division. */
+    * concentration a BUILDING thing or everywhere?". With only ~5
+    * segments a segment-partitioned window would hold ~n_customers/5
+    * rows per partition — a corpus-proportional single-task sort — so
+    * positions instead come from ONE [[Ranking.distributedGlobalRank]]
+    * pass over the composite (segment, v, custkey) order: segments are
+    * contiguous in that order, so the within-segment position is the
+    * global rank minus the segment's broadcast 5-row min-rank offset.
+    * The rank-weighted sums stay in decimal(38,0) and each segment's
+    * Gini is its single division. */
   def giniBySegment(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val spend = Tables.orders(spark, dir)
@@ -869,10 +877,14 @@ object Analytics {
       .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long").as("v"))
-    val w = Window.partitionBy(col("segment"))
-      .orderBy(col("v").asc, col("o_custkey").asc)
-    spend
-      .withColumn("i", row_number().over(w).cast("long"))
+    val ranked = Ranking.distributedGlobalRank(spend,
+      Seq(col("segment").asc, col("v").asc, col("o_custkey").asc),
+      rankCol = "__g", nCol = "__n")
+    val offsets = ranked.groupBy(col("segment").as("__seg"))
+      .agg(min(col("__g")).as("__g0"))
+    ranked
+      .join(broadcast(offsets), col("segment") === col("__seg"))
+      .withColumn("i", col("__g") - col("__g0") + 1L)
       .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("v").cast(d38)).as("sv"),

@@ -175,12 +175,16 @@ case class SimHash60(child: Expression)
   * whole-stage-codegen span; this stays inside it and reads each element
   * once. Accumulation order (left-to-right per accumulator, division by
   * the product of the two square roots) is bit-identical to the HOF
-  * chain, asserted in spec. Vectors of unequal length score over the
-  * common prefix (stated semantics; the corpus is fixed-width). */
+  * chain, asserted in spec. Vectors of unequal length — and vectors
+  * carrying null elements — yield NULL, exactly as the HOF chain does
+  * (`zip_with` pads the shorter array with null and the null propagates
+  * through `aggregate`), so the fused expression is a strict drop-in
+  * beyond the fixed-width corpus. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   private def arrayOfDouble(dt: DataType): Boolean = dt match {
@@ -203,7 +207,14 @@ case class CosineSim(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CosineSim.cos($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosRes")
+      s"""
+      java.lang.Double $tmp = graft.plans.CosineSim.cos($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -211,18 +222,22 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Static so generated code can call it without capturing the tree. */
+  /** Static so generated code can call it without capturing the tree.
+    * Returns null (→ SQL NULL) for unequal lengths or null elements —
+    * the same rows the HOF chain nulls out. */
   def cos(a: org.apache.spark.sql.catalyst.util.ArrayData,
-          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+          b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0d; var na = 0d; var nb = 0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (Math.sqrt(na) * Math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (Math.sqrt(na) * Math.sqrt(nb)))
   }
 }
 

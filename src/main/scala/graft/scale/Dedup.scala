@@ -293,8 +293,11 @@ object Dedup {
     * identical by StreamingSpec) rather than the explode + 8-way
     * min-aggregate it used to be: the aggregate form shuffles every
     * (doc, shingle) row on doc_id before reducing; the projection form
-    * computes the identical mins inside the scan stage — zero exchanges
-    * for the whole signature build. Docs too short to shingle yield null
+    * computes the identical mins inside one stage — the only exchange
+    * left is the document-count-sized repartition that spreads a
+    * one-split snapshot across cores (vs the shingle-fanout-sized
+    * exchange of the aggregate form), and the reduce itself needs
+    * none. Docs too short to shingle yield null
     * signature columns; null band buckets never equality-match, so they
     * exit candidate generation exactly as the absent rows of the
     * aggregate form did. */

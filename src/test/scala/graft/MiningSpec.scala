@@ -442,6 +442,22 @@ class MiningSpec extends SparkSpec {
     assert(both.count() == emb.count())
   }
 
+  test("graft_cosine nulls out unequal lengths and null elements, like the HOF chain") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](3.0, 4.0), Seq[java.lang.Double](4.0, 3.0))
+    ).toDF("a", "b")
+      .select(
+        graft.scale.Similarity.cosine(col("a"), col("b")).as("fused"),
+        graft.scale.Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1)) // length mismatch
+    assert(df(1).isNullAt(0) && df(1).isNullAt(1)) // null element
+    assert(!df(2).isNullAt(0) && df(2).getDouble(0) == df(2).getDouble(1))
+  }
+
   test("KS statistic is in [0,1] and zero for a segment against itself") {
     val ks = graft.operators.Distribution.ksTest(spark, TestSpark.Sf0001).head()
     assert(ks.getLong(0) > 0 && ks.getLong(1) > 0)
