@@ -264,7 +264,13 @@ object SparkEntry {
     "q_prop_test"       -> ((s, d) => graft.operators.Distribution.twoProportionTest(s, d)),
     "q_anova"           -> ((s, d) => graft.operators.Distribution.anovaWeekday(s, d)),
     "q_winsorized"      -> ((s, d) => graft.operators.Distribution.winsorizedMean(s, d)),
-    "q_gini_segments"   -> ((s, d) => Analytics.giniBySegment(s, d))
+    "q_gini_segments"   -> ((s, d) => Analytics.giniBySegment(s, d)),
+    "q_welch"           -> ((s, d) => graft.operators.Distribution.welchTTest(s, d)),
+    "q_kendall"         -> ((s, d) => graft.operators.Distribution.kendallTau(s, d)),
+    "q_grubbs"          -> ((s, d) => graft.operators.Distribution.grubbsTest(s, d)),
+    "q_corr_matrix"     -> ((s, d) => graft.operators.Regression.corrMatrix(s, d)),
+    "q_shards"          -> ((s, d) => TrainingData.balancedShards(s, d)),
+    "q_attribution"     -> ((s, d) => EventOps.attribution(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5114,7 +5120,207 @@ object SparkEntry {
         |            AS DOUBLE) /
         |       CAST(CAST(CAST(n_customers AS HUGEINT) * sv AS VARCHAR)
         |            AS DOUBLE) AS gini
-        |FROM s ORDER BY segment""".stripMargin
+        |FROM s ORDER BY segment""".stripMargin,
+
+    // Welch t: exact (n, Σv, Σv²) per arm, then the same fixed IEEE
+    // tree (means, variances, t, Welch–Satterthwaite df, Cohen's d).
+    "q_welch" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS ib
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |agg AS (
+        |  SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+        |         sum(CAST(ia * v AS HUGEINT)) AS s_a,
+        |         sum(CAST(ib * v AS HUGEINT)) AS s_b,
+        |         sum(CAST(ia AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+        |           AS q_a,
+        |         sum(CAST(ib AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+        |           AS q_b
+        |  FROM o),
+        |d AS (
+        |  SELECT n_a, n_b,
+        |         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |         CAST(CAST(s_a AS VARCHAR) AS DOUBLE) AS sad,
+        |         CAST(CAST(s_b AS VARCHAR) AS DOUBLE) AS sbd,
+        |         CAST(CAST(q_a AS VARCHAR) AS DOUBLE) AS qad,
+        |         CAST(CAST(q_b AS VARCHAR) AS DOUBLE) AS qbd
+        |  FROM agg),
+        |m AS (
+        |  SELECT n_a, n_b, nad, nbd, sad / nad AS ma, sbd / nbd AS mb,
+        |         (qad - sad * sad / nad) / (nad - 1.0) AS va,
+        |         (qbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+        |  FROM d),
+        |se AS (SELECT *, va / nad AS sea, vb / nbd AS seb FROM m)
+        |SELECT n_a, n_b, ma / 100.0 AS mean_a, mb / 100.0 AS mean_b,
+        |       (ma - mb) / sqrt(sea + seb) AS t_welch,
+        |       (sea + seb) * (sea + seb) /
+        |         (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)) AS df_welch,
+        |       (ma - mb) / sqrt(((nad - 1.0) * va + (nbd - 1.0) * vb) /
+        |                        (nad + nbd - 2.0)) AS cohens_d
+        |FROM se""".stripMargin,
+
+    // Kendall tau-b: exact pair classification over the 25-row nation
+    // aggregate; the one sqrt+division is the only IEEE step.
+    "q_kendall" ->
+      """WITH bn AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS HUGEINT) AS x,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.x - b.x AS dx, CAST(a.y AS HUGEINT) - b.y AS dy
+        |  FROM bn a JOIN bn b ON a.nk < b.nk),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+        |                        AND ((dx > 0) = (dy > 0)) THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS concordant,
+        |         CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+        |                        AND ((dx > 0) <> (dy > 0)) THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS discordant,
+        |         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS tied_x,
+        |         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS tied_y
+        |  FROM p)
+        |SELECT n_pairs, concordant, discordant, tied_x, tied_y,
+        |       CAST(concordant - discordant AS DOUBLE) /
+        |       sqrt(CAST(n_pairs - tied_x AS DOUBLE) *
+        |            CAST(n_pairs - tied_y AS DOUBLE)) AS tau_b
+        |FROM agg""".stripMargin,
+
+    // Grubbs: exact per-segment sufficient stats; per-row |v−μ| is one
+    // double subtraction and max is accumulation-order-free.
+    "q_grubbs" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer),
+        |st AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(v AS HUGEINT)) AS s,
+        |         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM c GROUP BY 1),
+        |st2 AS (
+        |  SELECT segment, n,
+        |         CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE) -
+        |               CAST(CAST(s AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM st),
+        |mx AS (
+        |  SELECT c.segment, max(abs(CAST(v AS DOUBLE) - mu)) AS max_dev
+        |  FROM c JOIN st2 ON c.segment = st2.segment GROUP BY 1)
+        |SELECT st2.segment, n, mu / 100.0 AS mean_bal, sd / 100.0 AS sd_bal,
+        |       max_dev / 100.0 AS max_dev, max_dev / sd AS grubbs_g
+        |FROM st2 JOIN mx ON st2.segment = mx.segment
+        |ORDER BY st2.segment""".stripMargin,
+
+    // Pearson triangle from one exact moment row; each corr is the
+    // same num/√(dx·dy) tree as q_regression.
+    "q_corr_matrix" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS x2,
+        |         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |           AS x3
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+        |         sum(CAST(x3 AS HUGEINT)) AS s3,
+        |         sum(CAST(x1 AS HUGEINT) * x1) AS q11,
+        |         sum(CAST(x2 AS HUGEINT) * x2) AS q22,
+        |         sum(CAST(x3 AS HUGEINT) * x3) AS q33,
+        |         sum(CAST(x1 AS HUGEINT) * x2) AS q12,
+        |         sum(CAST(x1 AS HUGEINT) * x3) AS q13,
+        |         sum(CAST(x2 AS HUGEINT) * x3) AS q23
+        |  FROM li),
+        |c AS (
+        |  SELECT n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q12 - s1 * s2 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(n AS HUGEINT) * q11 - s1 * s1 AS VARCHAR)
+        |                AS DOUBLE) *
+        |           CAST(CAST(CAST(n AS HUGEINT) * q22 - s2 * s2 AS VARCHAR)
+        |                AS DOUBLE)) AS c12,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q13 - s1 * s3 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(n AS HUGEINT) * q11 - s1 * s1 AS VARCHAR)
+        |                AS DOUBLE) *
+        |           CAST(CAST(CAST(n AS HUGEINT) * q33 - s3 * s3 AS VARCHAR)
+        |                AS DOUBLE)) AS c13,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q23 - s2 * s3 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(n AS HUGEINT) * q22 - s2 * s2 AS VARCHAR)
+        |                AS DOUBLE) *
+        |           CAST(CAST(CAST(n AS HUGEINT) * q33 - s3 * s3 AS VARCHAR)
+        |                AS DOUBLE)) AS c23
+        |  FROM m)
+        |SELECT 'quantity' AS var_x, 'extendedprice' AS var_y, n, c12 AS corr FROM c
+        |UNION ALL
+        |SELECT 'quantity', 'discount', n, c13 FROM c
+        |UNION ALL
+        |SELECT 'extendedprice', 'discount', n, c23 FROM c
+        |ORDER BY var_x, var_y""".stripMargin,
+
+    // Balanced shards: round-robin over the size-descending rank.
+    "q_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |              AS BIGINT) AS r
+        |  FROM documents),
+        |s AS (
+        |  SELECT (r - 1) % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |         CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(total_chars) AS BIGINT) AS grand FROM s)
+        |SELECT shard, n_docs, total_chars, min_chars, max_chars,
+        |       CAST(total_chars * 8 AS DOUBLE) / CAST(grand AS DOUBLE)
+        |         AS balance_ratio
+        |FROM s CROSS JOIN t ORDER BY shard""".stripMargin,
+
+    // Linear + last-touch attribution with integer micro-credits
+    // (1000000 // k is engine-identical truncation; no float 1/k sums).
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |p AS (SELECT event_id AS pid, user_id, ts_ms AS pts
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, event_type AS touch_type,
+        |             ts_ms AS tts
+        |      FROM e WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT pid, tid, touch_type, tts
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE tts < pts AND tts >= pts - 604800000),
+        |pt AS (SELECT pid, touch_type, CAST(count(*) AS BIGINT) AS c
+        |       FROM j GROUP BY 1, 2),
+        |k AS (SELECT pid, CAST(sum(c) AS BIGINT) AS k FROM pt GROUP BY 1),
+        |lin AS (
+        |  SELECT touch_type, CAST(sum(c) AS BIGINT) AS touches,
+        |         CAST(count(DISTINCT pid) AS BIGINT) AS purchases_touched,
+        |         CAST(sum(c * (1000000 // k)) AS BIGINT) AS linear_micro
+        |  FROM pt JOIN k USING (pid) GROUP BY 1),
+        |last AS (
+        |  SELECT touch_type, CAST(count(*) AS BIGINT) AS last_touch_wins
+        |  FROM (SELECT touch_type,
+        |               row_number() OVER (PARTITION BY pid
+        |                                  ORDER BY tts DESC, tid DESC) AS rn
+        |        FROM j)
+        |  WHERE rn = 1 GROUP BY 1)
+        |SELECT touch_type, touches, purchases_touched, linear_micro,
+        |       COALESCE(last_touch_wins, 0) AS last_touch_wins
+        |FROM lin LEFT JOIN last USING (touch_type)
+        |ORDER BY touch_type""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -474,4 +474,123 @@ object Distribution {
         "shift", "chi2_term")
       .orderBy("bucket")
   }
+
+  /** Welch's unequal-variance t-test + Cohen's d (q_welch): do BUILDING
+    * and MACHINERY order prices differ in MEAN — the parametric
+    * companion of [[mannWhitney]]'s rank test and [[ksTest]]'s CDF
+    * distance. One fact pass accumulates the exact sufficient
+    * statistics per arm (n, Σv, Σv² — cents in decimal(38,0), operands
+    * cast BEFORE the square per the [[Regression.groupedOls]] overflow
+    * discipline); t, the Welch–Satterthwaite df, and Cohen's d (pooled-
+    * variance form) are a fixed IEEE tree over those exact values that
+    * DuckDB replays verbatim. Means are reported in dollars (a single
+    * ÷100.0 each). */
+  def welchTTest(spark: SparkSession, dir: String,
+                 segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(cents(col("o_totalprice")).as("v"),
+        when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("ia"),
+        when(col("c_mktsegment") === segB, 1L).otherwise(0L).as("ib"))
+    val agg = o.agg(
+      sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+      sum((col("ia") * col("v")).cast(d38)).as("s_a"),
+      sum((col("ib") * col("v")).cast(d38)).as("s_b"),
+      sum(col("ia").cast(d38) * col("v").cast(d38) * col("v").cast(d38)).as("q_a"),
+      sum(col("ib").cast(d38) * col("v").cast(d38) * col("v").cast(d38)).as("q_b"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val ma = col("s_a").cast("double") / naD
+    val mb = col("s_b").cast("double") / nbD
+    val va = (col("q_a").cast("double") -
+      col("s_a").cast("double") * col("s_a").cast("double") / naD) / (naD - lit(1.0))
+    val vb = (col("q_b").cast("double") -
+      col("s_b").cast("double") * col("s_b").cast("double") / nbD) / (nbD - lit(1.0))
+    val sea = va / naD; val seb = vb / nbD
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (naD - lit(1.0)) + seb * seb / (nbD - lit(1.0)))
+    val pooled = ((naD - lit(1.0)) * va + (nbD - lit(1.0)) * vb) /
+      (naD + nbD - lit(2.0))
+    agg.select(col("n_a"), col("n_b"),
+      (ma / lit(100.0)).as("mean_a"), (mb / lit(100.0)).as("mean_b"),
+      t.as("t_welch"), dfW.as("df_welch"),
+      ((ma - mb) / sqrt(pooled)).as("cohens_d"))
+  }
+
+  /** Kendall tau-b (q_kendall): rank agreement between a nation's order
+    * revenue and its purchasing-customer count, on the 25-row nation
+    * aggregate — the concordance companion of [[spearman]] that is
+    * robust to the monotone-transform choice. All pair classification
+    * is exact integer counting over the dimension-sized self-join
+    * (25·24/2 pairs — never the fact stream): concordant, discordant,
+    * and the tie totals the tau-b denominator needs. Diffs go through
+    * decimal(38,0) (nation revenue cents exceed Long headroom when
+    * differenced at 100 TB); tau-b's one sqrt+division is the only IEEE
+    * step. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast(d38).as("x"),
+        countDistinct(col("o_custkey")).as("y"))
+    val p = byNation.as("a").join(byNation.as("b"), col("a.nk") < col("b.nk"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.y").cast(d38) - col("b.y").cast(d38)).as("dy"))
+    p.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+          (col("dx") > 0) === (col("dy") > 0), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+          (col("dx") > 0) =!= (col("dy") > 0), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tied_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("tied_y"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("tied_x"), col("tied_y"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n_pairs") - col("tied_x")).cast("double") *
+            (col("n_pairs") - col("tied_y")).cast("double"))).as("tau_b"))
+  }
+
+  /** Grubbs' outlier statistic per segment (q_grubbs): G = max|x−μ|/s
+    * over customer balances — "does any segment hide a single extreme
+    * account?" μ and s derive from the exact (n, Σv, Σv²) sufficient
+    * statistics; the only per-row float work is |v−μ| (long-exact v
+    * cast to double, one subtraction), and max over doubles is
+    * accumulation-order-free, so the whole statistic replays
+    * bit-identically in DuckDB. The 5-row stats frame broadcasts back
+    * over the fact side — no second wide shuffle. */
+  def grubbsTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val c = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("v"))
+    val stats = c.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("s"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("q"))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sd", sqrt(
+        (col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))))
+    c.join(broadcast(stats), "segment")
+      .groupBy("segment")
+      .agg(first(col("n")).as("n"), first(col("mu")).as("mu"),
+        first(col("sd")).as("sd"),
+        max(abs(col("v").cast("double") - col("mu"))).as("max_dev"))
+      .select(col("segment"), col("n"),
+        (col("mu") / lit(100.0)).as("mean_bal"),
+        (col("sd") / lit(100.0)).as("sd_bal"),
+        (col("max_dev") / lit(100.0)).as("max_dev"),
+        (col("max_dev") / col("sd")).as("grubbs_g"))
+      .orderBy("segment")
+  }
 }

@@ -924,4 +924,52 @@ object EventOps {
         col("view_ts"), (col("view_ts") - col("ts_ms")).as("delta_ms"))
       .orderBy("event_id")
   }
+
+  /** Multi-touch marketing attribution (q_attribution): which touch
+    * channel (click vs view) gets credit for purchases? Each purchase
+    * distributes exactly 1,000,000 integer micro-credits across the
+    * user's touches in the strictly-prior `lookbackDays` window — the
+    * linear model's per-touch share is `1000000 div k` (integer
+    * division; the ≤k−1 remainder micro-credits are dropped, an
+    * engine-identical rounding rule — never a float 1/k whose sum is
+    * accumulation-order-dependent) — alongside the last-touch model
+    * where the single latest touch (ties broken by event id) takes all.
+    *
+    * Scale shape: the purchase⋈touch join is keyed on user_id, so
+    * candidate volume is Σ per-user purchases·touches (user activity is
+    * bounded), never |purchases|·|touches|; the joined frame feeds both
+    * models, so it is materialized once; both models then run on
+    * per-purchase aggregates. */
+  def attribution(spark: SparkSession, dir: String,
+                  lookbackDays: Int = 7): DataFrame = {
+    val e = events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts_ms").as("pts"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("event_type").as("touch_type"), col("ts_ms").as("tts"))
+    val lb = lookbackDays.toLong * 86400000L
+    val joined = graft.scale.Silver.scratch(
+      purchases.join(touches, Seq("user_id"))
+        .filter(col("tts") < col("pts") && col("tts") >= col("pts") - lb)
+        .select(col("pid"), col("tid"), col("touch_type"), col("tts")),
+      "attrib_touches") // feeds the linear counts AND the last-touch pick
+    val perType = joined.groupBy(col("pid"), col("touch_type"))
+      .agg(count(lit(1)).as("c"))
+    val k = perType.groupBy("pid").agg(sum(col("c")).as("k"))
+    val linear = perType.join(k, "pid")
+      .groupBy("touch_type")
+      .agg(sum(col("c")).as("touches"),
+        countDistinct(col("pid")).as("purchases_touched"),
+        sum(expr("c * (1000000 div k)")).as("linear_micro"))
+    val last = Ranking.latestPerKey(joined,
+        Seq(col("pid")), Seq(col("tts"), col("tid")))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("last_touch_wins"))
+    linear.join(last, Seq("touch_type"), "left")
+      .na.fill(0L, Seq("last_touch_wins"))
+      .select("touch_type", "touches", "purchases_touched",
+        "linear_micro", "last_touch_wins")
+      .orderBy("touch_type")
+  }
 }

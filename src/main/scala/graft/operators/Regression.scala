@@ -152,4 +152,52 @@ object Regression {
     groupedOls(pairs, Seq("prio"), col("v"), col("v_next"))
       .orderBy("prio")
   }
+
+  /** Pairwise Pearson correlation matrix (q_corr_matrix): the
+    * feature-screening triangle over lineitem's three numeric measures
+    * (quantity, extendedprice, discount) — "which measures move
+    * together?" before any modeling. ONE fact pass accumulates every
+    * moment the 3×3 triangle needs (n + three Σx + three Σx² + three
+    * Σxy, integer-scaled into decimal(38,0), operands cast before each
+    * product per [[groupedOls]]); each correlation is then the same
+    * fixed num/√(dx·dy) tree, and `stack` unpivots the single moment
+    * row into the 3 pair rows. Scale shape: the whole matrix costs one
+    * map-side-combining reduction of 10 numbers — no per-pair passes,
+    * no shuffle of the fact stream. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").cast(d38).as("x1"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").cast(d38).as("x2"),
+      (col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long").cast(d38).as("x3"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("q11"),
+      sum(col("x2") * col("x2")).as("q22"),
+      sum(col("x3") * col("x3")).as("q33"),
+      sum(col("x1") * col("x2")).as("q12"),
+      sum(col("x1") * col("x3")).as("q13"),
+      sum(col("x2") * col("x3")).as("q23"))
+    def corrOf(si: String, sj: String, qii: String, qjj: String,
+               qij: String): org.apache.spark.sql.Column = {
+      val n38 = col("n").cast(d38)
+      val num = (n38 * col(qij) - col(si) * col(sj)).cast("double")
+      val di = (n38 * col(qii) - col(si) * col(si)).cast("double")
+      val dj = (n38 * col(qjj) - col(sj) * col(sj)).cast("double")
+      num / sqrt(di * dj)
+    }
+    m.select(col("n"),
+        corrOf("s1", "s2", "q11", "q22", "q12").as("c12"),
+        corrOf("s1", "s3", "q11", "q33", "q13").as("c13"),
+        corrOf("s2", "s3", "q22", "q33", "q23").as("c23"))
+      .select(col("n"), expr(
+        "stack(3, 'quantity', 'extendedprice', c12," +
+          " 'quantity', 'discount', c13," +
+          " 'extendedprice', 'discount', c23) as (var_x, var_y, corr)"))
+      .select("var_x", "var_y", "n", "corr")
+      .orderBy("var_x", "var_y")
+  }
 }

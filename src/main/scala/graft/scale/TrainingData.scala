@@ -573,4 +573,37 @@ object TrainingData {
         col("n_leaked_docs").cast("double") / col("n_docs").cast("double"))
       .orderBy("split")
   }
+
+  /** Balanced output sharding (q_shards): assign every document to one
+    * of `nShards` output files so the shards carry near-equal bytes —
+    * the write-side twin of [[batchByLength]]. Round-robin over the
+    * size-DESCENDING order (the classic LPT greedy's streaming
+    * approximation: the k largest docs land on k different shards, and
+    * each following wave fills in reverse wave order) — positions come
+    * from [[graft.operators.Ranking.distributedGlobalRank]], never a
+    * global window, so the assignment is one range exchange at any
+    * corpus size. Emits the per-shard manifest a writer job consumes:
+    * doc count, total/min/max bytes, and the balance ratio vs the ideal
+    * equal split. */
+  def balancedShards(spark: SparkSession, dir: String,
+                     nShards: Int = 8): DataFrame = {
+    val ranked = graft.operators.Ranking.distributedGlobalRank(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id").asc), rankCol = "r", nCol = "__n")
+    val shards = ranked
+      .withColumn("shard", (col("r") - 1L) % nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val tot = shards.agg(sum(col("total_chars")).as("grand"))
+    shards.crossJoin(broadcast(tot))
+      .withColumn("balance_ratio",
+        (col("total_chars") * nShards).cast("double") /
+          col("grand").cast("double"))
+      .select("shard", "n_docs", "total_chars", "min_chars", "max_chars",
+        "balance_ratio")
+      .orderBy("shard")
+  }
 }

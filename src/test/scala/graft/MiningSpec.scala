@@ -946,6 +946,82 @@ class MiningSpec extends SparkSpec {
     assert(g.map(_.getLong(1)).sum == globalN)
   }
 
+  test("welch t: arms conserve orders, t antisymmetric under arm swap, df bounded") {
+    val w = graft.operators.Distribution.welchTTest(spark, TestSpark.Sf0001).head()
+    val nA = w.getLong(0); val nB = w.getLong(1)
+    val expected = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .join(graft.sources.Tables.customer(spark, TestSpark.Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .count()
+    assert(nA + nB == expected)
+    val t = w.getDouble(4); val dfW = w.getDouble(5); val d = w.getDouble(6)
+    assert(math.signum(t) == math.signum(d)) // same numerator sign
+    assert(dfW >= math.min(nA, nB) - 1.0 && dfW <= nA + nB - 2.0)
+    val swapped = graft.operators.Distribution
+      .welchTTest(spark, TestSpark.Sf0001, "MACHINERY", "BUILDING").head()
+    assert(math.abs(swapped.getDouble(4) + t) < 1e-12)
+  }
+
+  test("kendall tau-b: pair classes partition the nation pairs, tau in [-1,1]") {
+    val k = graft.operators.Distribution.kendallTau(spark, TestSpark.Sf0001).head()
+    val (np, c, dis, tx, ty) =
+      (k.getLong(0), k.getLong(1), k.getLong(2), k.getLong(3), k.getLong(4))
+    assert(c + dis <= np && tx <= np && ty <= np)
+    assert(c + dis + math.max(tx, ty) >= np - math.min(tx, ty)) // classes cover
+    val tau = k.getDouble(5)
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
+  test("grubbs: five segments, positive sd, G consistent with max_dev/sd") {
+    val g = graft.operators.Distribution.grubbsTest(spark, TestSpark.Sf0001).collect()
+    assert(g.length == 5)
+    g.foreach { r =>
+      assert(r.getDouble(3) > 0.0) // sd
+      assert(r.getDouble(4) >= 0.0) // max_dev
+      assert(math.abs(r.getDouble(5) - r.getDouble(4) / r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("corr matrix: three finite pairs in [-1,1], self-consistent with groupedOls") {
+    val m = graft.operators.Regression.corrMatrix(spark, TestSpark.Sf0001).collect()
+    assert(m.length == 3)
+    m.foreach(r => assert(!r.getDouble(3).isNaN &&
+      r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0))
+    // the (quantity, extendedprice) cell must equal the groupedOls corr
+    // over the same scaled inputs — one shared exact-moment discipline
+    val viaOls = graft.operators.Regression.groupedOls(
+      graft.sources.Tables.lineitem(spark, TestSpark.Sf0001)
+        .select(lit(1).as("g"), col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("y")),
+      Seq("g"), col("x"), col("y")).head().getDouble(4)
+    val qp = m.find(r => r.getString(0) == "quantity" &&
+      r.getString(1) == "extendedprice").get.getDouble(3)
+    assert(math.abs(qp - viaOls) < 1e-12)
+  }
+
+  test("balanced shards: docs conserve and loads stay near the even split") {
+    val s = graft.scale.TrainingData.balancedShards(spark, TestSpark.Sf0001).collect()
+    assert(s.length == 8)
+    val total = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(s.map(_.getLong(1)).sum == total)
+    s.foreach { r =>
+      val ratio = r.getDouble(5)
+      assert(ratio > 0.8 && ratio < 1.2, s"shard ${r.getLong(0)} ratio $ratio")
+    }
+  }
+
+  test("attribution: last-touch wins conserve touched purchases; credits bounded") {
+    val a = graft.operators.EventOps.attribution(spark, TestSpark.Sf0001).collect()
+    assert(a.nonEmpty && a.map(_.getString(0)).toSet.subsetOf(Set("click", "view")))
+    val lastWins = a.map(_.getLong(4)).sum
+    val touchedPurchases = a.map(_.getLong(2)).max // ≥ distinct pids per type
+    assert(lastWins >= touchedPurchases) // every touched purchase has ONE last touch
+    // linear credits never exceed 1e6 per touched purchase overall
+    assert(a.map(_.getLong(3)).sum <= lastWins * 1000000L)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
