@@ -270,7 +270,10 @@ object SparkEntry {
     "q_grubbs"          -> ((s, d) => graft.operators.Distribution.grubbsTest(s, d)),
     "q_corr_matrix"     -> ((s, d) => graft.operators.Regression.corrMatrix(s, d)),
     "q_shards"          -> ((s, d) => TrainingData.balancedShards(s, d)),
-    "q_attribution"     -> ((s, d) => EventOps.attribution(s, d))
+    "q_attribution"     -> ((s, d) => EventOps.attribution(s, d)),
+    "q_sax"             -> ((s, d) => graft.operators.TimeSeries.saxSymbols(s, d)),
+    "q_basket3"         -> ((s, d) => Analytics.tripleItemsets(s, d)),
+    "q_fertility"       -> ((s, d) => graft.scale.TextAnalysis.fertilityByLang(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5320,7 +5323,91 @@ object SparkEntry {
         |SELECT touch_type, touches, purchases_touched, linear_micro,
         |       COALESCE(last_touch_wins, 0) AS last_touch_wins
         |FROM lin LEFT JOIN last USING (touch_type)
-        |ORDER BY touch_type""".stripMargin
+        |ORDER BY touch_type""".stripMargin,
+
+    // SAX: integer day→segment assignment off broadcast bounds, exact
+    // PAA/μ/σ sums, literal-pinned ±0.6745 breakpoints.
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(min(day) AS BIGINT) AS d0, CAST(max(day) AS BIGINT) AS d1,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         sum(CAST(v AS HUGEINT)) AS s,
+        |         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM daily),
+        |st2 AS (
+        |  SELECT d0, d1,
+        |         CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |           AS mu,
+        |         sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE) -
+        |               CAST(CAST(s AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+        |               CAST(n_days AS DOUBLE)) /
+        |              (CAST(n_days AS DOUBLE) - 1.0)) AS sd
+        |  FROM st),
+        |seg AS (
+        |  SELECT ((day - d0) * 16) // (d1 - d0 + 1) AS seg,
+        |         CAST(count(*) AS BIGINT) AS n_days_seg,
+        |         CAST(sum(v) AS BIGINT) AS total_cents,
+        |         any_value(mu) AS mu, any_value(sd) AS sd
+        |  FROM daily CROSS JOIN st2 GROUP BY 1),
+        |z AS (
+        |  SELECT seg, n_days_seg, total_cents,
+        |         CAST(total_cents AS DOUBLE) / CAST(n_days_seg AS DOUBLE) AS paa,
+        |         (CAST(total_cents AS DOUBLE) / CAST(n_days_seg AS DOUBLE) - mu)
+        |           / sd AS z
+        |  FROM seg)
+        |SELECT seg, n_days_seg, total_cents, paa, z,
+        |       CASE WHEN z < -0.6745 THEN 'a'
+        |            WHEN z < 0.0 THEN 'b'
+        |            WHEN z < 0.6745 THEN 'c'
+        |            ELSE 'd' END AS symbol
+        |FROM z ORDER BY seg""".stripMargin,
+
+    // Frequent triples: order-keyed double self-join, exact support
+    // counts, unique (cnt DESC, p1, p2, p3) top-k order.
+    "q_basket3" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM op a
+        |JOIN op b ON a.o = b.o AND a.p < b.p
+        |JOIN op c ON b.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) >= 2
+        |ORDER BY cnt DESC, p1, p2, p3
+        |LIMIT 20""".stripMargin,
+
+    // Tokenizer fertility per language: exact token/char sums, two
+    // terminal divisions.
+    "q_fertility" ->
+      """WITH inj AS (
+        |  SELECT lang,
+        |         text || ' v' || (doc_id % 10) || '.' || (doc_id % 7)
+        |              || ', cost $' || (doc_id % 100) || '!' AS txt
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang,
+        |         CAST(len(string_split(txt, ' ')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(txt,
+        |           ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS bpe,
+        |         CAST(length(txt) AS BIGINT) AS chars
+        |  FROM inj)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(chars) AS BIGINT) AS chars,
+        |       CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
+        |         AS tokens_per_word,
+        |       CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE)
+        |         AS chars_per_token
+        |FROM cnt GROUP BY lang
+        |ORDER BY lang""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

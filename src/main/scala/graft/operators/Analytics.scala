@@ -696,6 +696,31 @@ object Analytics {
       .limit(k)
   }
 
+  /** Frequent 3-itemsets (q_basket3): the top part TRIPLES by basket
+    * support — one Apriori level past [[basketLift]]'s pairs, for the
+    * bundle-design question pairs can't answer. Same bounded-fan-out
+    * discipline: both self-joins are keyed on the ORDER with p1<p2<p3,
+    * so candidate volume is Σ basket³ over physically bounded baskets
+    * (never parts³); support counts shuffle on the triple key and the
+    * top-k is TakeOrderedAndProject under the unique
+    * (cnt DESC, p1, p2, p3) order. */
+  def tripleItemsets(spark: SparkSession, dir: String,
+                     minCnt: Long = 2L, k: Int = 20): DataFrame = {
+    val op = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      "triple_edges") // feeds all three join branches
+    op.as("a")
+      .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .join(op.as("c"), col("b.o") === col("c.o") && col("b.p") < col("c.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"), col("c.p").as("p3"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCnt)
+      .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc, col("p3").asc)
+      .limit(k)
+  }
+
   /** Brand margin report (q_brand_margin): per part brand, gross
     * revenue, the discount given away, net revenue, and the effective
     * discount rate — exact decimal(18,4) accumulation for the

@@ -258,4 +258,58 @@ object TimeSeries {
         ((-col("w.ns")).cast("long").cast("double") /
           (col("n_days") * col("total_cents")).cast("double")).as("rel"))
   }
+
+  /** SAX symbolization of the daily revenue series (q_sax): Piecewise
+    * Aggregate Approximation over `segments` equal calendar windows,
+    * z-normalized against the whole series, then mapped onto the
+    * standard 4-symbol Gaussian-breakpoint alphabet (±0.6745, 0 — the
+    * quartiles of N(0,1)) — the index key time-series stores use for
+    * similarity search over long series (Lin et al.'s SAX).
+    *
+    * Determinism: day → segment is pure integer arithmetic off the
+    * broadcast (min, max) day bounds ((day−d0)·w div span — no window,
+    * no data-dependent config); each segment's PAA mean and the global
+    * μ/σ derive from exact cents sums (Σv, Σv² in decimal(38,0)); the
+    * z-score and the three literal-pinned breakpoint comparisons are
+    * the only IEEE steps. At 100 TB the daily frame stays
+    * calendar-bounded — one fact shuffle, then constant-size work. */
+  def saxSymbols(spark: SparkSession, dir: String,
+                 segments: Int = 16): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("day")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "sax_daily") // feeds the stats row AND the segment rollup
+    val stats = daily.agg(
+      min(col("day")).as("d0"), max(col("day")).as("d1"),
+      count(lit(1)).as("n_days"),
+      sum(col("v").cast(d38)).as("s"),
+      sum(col("v").cast(d38) * col("v").cast(d38)).as("q"))
+    val mu = col("s").cast("double") / col("n_days").cast("double")
+    val sd = sqrt((col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n_days").cast("double")) /
+      (col("n_days").cast("double") - lit(1.0)))
+    val paa = daily.crossJoin(broadcast(stats))
+      .withColumn("seg",
+        expr(s"((day - d0) * $segments) div (d1 - d0 + 1)"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_days_seg"),
+        sum(col("v")).as("total_cents"),
+        first(mu).as("mu"), first(sd).as("sd"))
+      .withColumn("paa",
+        col("total_cents").cast("double") / col("n_days_seg").cast("double"))
+      .withColumn("z", (col("paa") - col("mu")) / col("sd"))
+    paa.select(col("seg"), col("n_days_seg"), col("total_cents"), col("paa"),
+        col("z"),
+        when(col("z") < lit(-0.6745), lit("a"))
+          .when(col("z") < lit(0.0), lit("b"))
+          .when(col("z") < lit(0.6745), lit("c"))
+          .otherwise(lit("d")).as("symbol"))
+      .orderBy("seg")
+  }
 }

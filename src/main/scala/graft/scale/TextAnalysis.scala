@@ -364,6 +364,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language (q_fertility): corpus-level
+    * tokens-per-word and chars-per-token by `lang` — the number a
+    * tokenizer evaluation reports per language (a high tokens/word
+    * stratum is under-served by the vocabulary and inflates its
+    * training cost). Same injected mixed-content suffix and BPE-ish
+    * regex as [[tokenStats]], but rolled up over each language stratum:
+    * all three counters sum exactly in longs, and the two ratios are
+    * one terminal double division each. One scan, one 5-row shuffle. */
+  def fertilityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" v"), pmod(col("doc_id"), lit(10L)), lit("."), pmod(col("doc_id"), lit(7L)),
+      lit(", cost $"), pmod(col("doc_id"), lit(100L)), lit("!"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), injected.as("txt"))
+      .select(col("lang"),
+        size(split(col("txt"), " ")).cast("long").as("ws"),
+        regexp_count(col("txt"), lit(BpeIshRe)).cast("long").as("bpe"),
+        length(col("txt")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("chars"))
+      .withColumn("tokens_per_word",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("chars").cast("double") / col("bpe_tokens").cast("double"))
+      .orderBy("lang")
+  }
+
   /** q_quality_trim: percentile-based quality trimming accounting — per
     * language, how many documents survive dropping the bottom `minPct`
     * by [[qualityScore]], and the lowest surviving score. percent_rank

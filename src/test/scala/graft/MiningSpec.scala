@@ -1022,6 +1022,55 @@ class MiningSpec extends SparkSpec {
     assert(a.map(_.getLong(3)).sum <= lastWins * 1000000L)
   }
 
+  test("sax: 16 segments partition the days; symbols drawn from the 4-letter alphabet") {
+    val s = graft.operators.TimeSeries.saxSymbols(spark, TestSpark.Sf0001).collect()
+    assert(s.length == 16)
+    assert(s.map(_.getLong(0)).toSeq == (0L until 16L))
+    val nDays = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+      .distinct().count()
+    assert(s.map(_.getLong(1)).sum == nDays)
+    s.foreach { r =>
+      assert(Set("a", "b", "c", "d").contains(r.getString(5)))
+      // symbol agrees with the z bucket it claims
+      val z = r.getDouble(4)
+      val sym = if (z < -0.6745) "a" else if (z < 0.0) "b"
+        else if (z < 0.6745) "c" else "d"
+      assert(r.getString(5) == sym)
+    }
+  }
+
+  test("basket3: triples are ordered, supported, and bounded by pair support") {
+    val t = graft.operators.Analytics.tripleItemsets(spark, TestSpark.Sf0001).collect()
+    assert(t.length <= 20)
+    t.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2))
+      assert(r.getLong(3) >= 2L)
+    }
+    // anti-monotonicity: a triple's support never exceeds any pair's
+    val pairSupport = graft.operators.Analytics
+      .basketLift(spark, TestSpark.Sf0001, minCnt = 1L, k = 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    t.foreach { r =>
+      val c = r.getLong(3)
+      pairSupport.get((r.getLong(0), r.getLong(1))).foreach(p => assert(c <= p))
+      pairSupport.get((r.getLong(1), r.getLong(2))).foreach(p => assert(c <= p))
+    }
+  }
+
+  test("fertility: docs conserve per language; ratios positive and consistent") {
+    val f = graft.scale.TextAnalysis.fertilityByLang(spark, TestSpark.Sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(f.map(_.getLong(1)).sum == total)
+    f.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(6) > 0.0)
+      // tokens_per_word · chars_per_token = chars/words (ratio identity)
+      val lhs = r.getDouble(5) * r.getDouble(6)
+      val rhs = r.getLong(4).toDouble / r.getLong(2).toDouble
+      assert(math.abs(lhs - rhs) < 1e-9)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
