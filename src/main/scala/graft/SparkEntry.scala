@@ -273,7 +273,10 @@ object SparkEntry {
     "q_attribution"     -> ((s, d) => EventOps.attribution(s, d)),
     "q_sax"             -> ((s, d) => graft.operators.TimeSeries.saxSymbols(s, d)),
     "q_basket3"         -> ((s, d) => Analytics.tripleItemsets(s, d)),
-    "q_fertility"       -> ((s, d) => graft.scale.TextAnalysis.fertilityByLang(s, d))
+    "q_fertility"       -> ((s, d) => graft.scale.TextAnalysis.fertilityByLang(s, d)),
+    "q_auc"             -> ((s, d) => graft.ml.Eval.aucQuery(s, d)),
+    "q_calibration"     -> ((s, d) => graft.ml.Eval.calibrationQuery(s, d)),
+    "q_decompose"       -> ((s, d) => graft.operators.TimeSeries.weekdayDecomposition(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5407,7 +5410,99 @@ object SparkEntry {
         |       CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE)
         |         AS chars_per_token
         |FROM cnt GROUP BY lang
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // AUC via the rank-sum identity over doubled midranks (exact ints,
+    // one terminal division) — the q_mannwhitney device.
+    "q_auc" ->
+      """WITH lbl AS (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM orders o LEFT JOIN (
+        |    SELECT DISTINCT l_orderkey
+        |    FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o.o_orderkey = r.l_orderkey),
+        |per AS (
+        |  SELECT v, CAST(sum(y) AS BIGINT) AS a,
+        |         CAST(sum(1 - y) AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS t
+        |  FROM lbl GROUP BY v),
+        |cum AS (SELECT v, a, b, t,
+        |               CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum_t
+        |        FROM per),
+        |agg AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+        |         CAST(sum(b) AS BIGINT) AS n_neg,
+        |         sum(CAST(a AS HUGEINT) *
+        |             (2 * CAST(cum_t AS HUGEINT) - t + 1)) AS rank2_pos
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |       CAST(rank2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+        |         AS u2,
+        |       CAST(CAST(rank2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+        |                 AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS VARCHAR)
+        |            AS DOUBLE) AS auc
+        |FROM agg""".stripMargin,
+
+    // Calibration/gains: integer decile assignment off the unique
+    // (v DESC, custkey) rank; every rate is a ratio of exact counts.
+    "q_calibration" ->
+      """WITH lbl AS (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM orders o LEFT JOIN (
+        |    SELECT DISTINCT l_orderkey
+        |    FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o.o_orderkey = r.l_orderkey),
+        |rk AS (
+        |  SELECT y, CAST(row_number() OVER (ORDER BY v DESC, o_orderkey)
+        |                 AS BIGINT) AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_all
+        |  FROM lbl),
+        |d AS (
+        |  SELECT ((r - 1) * 10) // n_all AS decile,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM rk GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        |             CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM d),
+        |c AS (SELECT decile, n, n_pos,
+        |             CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+        |               AS cum_pos
+        |      FROM d)
+        |SELECT decile, n, n_pos,
+        |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |       CAST(n_pos * tot_n AS DOUBLE) / CAST(n * tot_pos AS DOUBLE)
+        |         AS lift,
+        |       CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS gain
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // Weekday decomposition in ×7-scaled integers: rolling 7-day SUM
+    // via the offset spine, residual 7v−S7 exact, one division per dow.
+    "q_decompose" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders GROUP BY 1),
+        |s7 AS (
+        |  SELECT d.day + o.off AS center, CAST(count(*) AS BIGINT) AS w_n,
+        |         CAST(sum(d.v) AS BIGINT) AS s7
+        |  FROM daily d CROSS JOIN (
+        |    SELECT unnest(generate_series(-3, 3)) AS off) o
+        |  GROUP BY 1 HAVING count(*) = 7),
+        |r AS (
+        |  SELECT (day + 4) % 7 AS dow, v * 7 - s7 AS resid7
+        |  FROM daily JOIN s7 ON day = center)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(resid7) AS BIGINT) AS sum_resid7,
+        |       CAST(sum(resid7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE)
+        |         AS seasonal_cents
+        |FROM r GROUP BY dow
+        |ORDER BY dow""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

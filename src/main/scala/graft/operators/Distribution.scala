@@ -533,15 +533,22 @@ object Distribution {
     * step. */
   def kendallTau(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val byNation = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_nationkey").as("nk"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast(d38).as("x"),
-        countDistinct(col("o_custkey")).as("y"))
-    val p = byNation.as("a").join(byNation.as("b"), col("a.nk") < col("b.nk"))
+    // Materialized once (feeds both sides of the pair join); the
+    // broadcast hint pins BroadcastNestedLoopJoin for the
+    // inequality-only condition — without it JoinSelection falls
+    // through to CartesianProduct (gate-banned) on the 25-row frame.
+    val byNation = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast(d38).as("x"),
+          countDistinct(col("o_custkey")).as("y")),
+      "kendall_nation")
+    val p = byNation.as("a")
+      .join(broadcast(byNation.as("b")), col("a.nk") < col("b.nk"))
       .select((col("a.x") - col("b.x")).as("dx"),
         (col("a.y").cast(d38) - col("b.y").cast(d38)).as("dy"))
     p.agg(

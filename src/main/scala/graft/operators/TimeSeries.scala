@@ -273,6 +273,45 @@ object TimeSeries {
     * z-score and the three literal-pinned breakpoint comparisons are
     * the only IEEE steps. At 100 TB the daily frame stays
     * calendar-bounded — one fact shuffle, then constant-size work. */
+  /** Additive weekday decomposition (q_decompose): the classical
+    * decompose step — centered 7-day moving-average trend, and per
+    * weekday the mean detrended residual ("how much does Monday deviate
+    * from its surrounding week?") — computed entirely in ×7-scaled
+    * integers so nothing accumulates in floats: trend·7 is the exact
+    * 7-day rolling SUM, the scaled residual is 7v − S7 (exact long),
+    * and each weekday's mean is one terminal division by n·7. The
+    * rolling sum comes from a 7-row offset-spine join on the
+    * calendar-bounded daily frame (no global window anywhere); weekday
+    * is pure integer arithmetic ((day+4) mod 7, 0 = Sunday) so both
+    * engines agree without any date-function semantics. */
+  def weekdayDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("day")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "decomp_daily") // feeds the offset join on both sides
+    val offsets = (-3 to 3).map(_.toLong).toDF("off")
+    val s7 = daily.crossJoin(broadcast(offsets))
+      .select((col("day") + col("off")).as("center"), col("v"))
+      .groupBy("center")
+      .agg(count(lit(1)).as("w_n"), sum(col("v")).as("s7"))
+      .filter(col("w_n") === 7L) // full windows only (trims 3 days each end)
+    daily.join(s7, col("day") === col("center"))
+      .select(((col("day") + 4) % 7).as("dow"),
+        (col("v") * 7 - col("s7")).as("resid7"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("resid7")).as("sum_resid7"))
+      .withColumn("seasonal_cents",
+        col("sum_resid7").cast("double") /
+          (col("n_days") * 7).cast("double"))
+      .orderBy("dow")
+  }
+
   def saxSymbols(spark: SparkSession, dir: String,
                  segments: Int = 16): DataFrame = {
     val d38 = "decimal(38,0)"

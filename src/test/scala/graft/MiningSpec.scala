@@ -1071,6 +1071,44 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("auc: in [0,1] and consistent with the U identity") {
+    val a = graft.ml.Eval.aucQuery(spark, TestSpark.Sf0001).head()
+    val (nPos, nNeg, u2) = (a.getLong(0), a.getLong(1), a.getLong(2))
+    assert(nPos > 0 && nNeg > 0)
+    val auc = a.getDouble(3)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(auc - u2.toDouble / (2.0 * nPos * nNeg)) < 1e-12)
+  }
+
+  test("calibration: deciles partition orders; gain monotone to 1.0; lift consistent") {
+    val c = graft.ml.Eval.calibrationQuery(spark, TestSpark.Sf0001).collect()
+    assert(c.length == 10)
+    val totalOrders = graft.sources.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(c.map(_.getLong(1)).sum == totalOrders)
+    val gains = c.map(_.getDouble(5))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(gains.last - 1.0) < 1e-12)
+    val totPos = c.map(_.getLong(2)).sum.toDouble
+    c.foreach { r =>
+      val expLift = r.getDouble(3) / (totPos / totalOrders)
+      assert(math.abs(r.getDouble(4) - expLift) < 1e-9)
+    }
+  }
+
+  test("decompose: weekday rows carry the exact scaled-residual identity") {
+    val d = graft.operators.TimeSeries
+      .weekdayDecomposition(spark, TestSpark.Sf0001).collect()
+    assert(d.nonEmpty && d.map(_.getLong(0)).forall(w => w >= 0 && w <= 6))
+    d.foreach { r =>
+      val expected = r.getLong(2).toDouble / (r.getLong(1) * 7).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+    }
+    // residuals of a 7-day MA sum to ~0 over whole weeks: the weekday
+    // means must not all share one sign
+    val signs = d.map(r => math.signum(r.getDouble(3))).toSet
+    assert(signs.size > 1 || signs.contains(0.0))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
