@@ -276,7 +276,9 @@ object SparkEntry {
     "q_fertility"       -> ((s, d) => graft.scale.TextAnalysis.fertilityByLang(s, d)),
     "q_auc"             -> ((s, d) => graft.ml.Eval.aucQuery(s, d)),
     "q_calibration"     -> ((s, d) => graft.ml.Eval.calibrationQuery(s, d)),
-    "q_decompose"       -> ((s, d) => graft.operators.TimeSeries.weekdayDecomposition(s, d))
+    "q_decompose"       -> ((s, d) => graft.operators.TimeSeries.weekdayDecomposition(s, d)),
+    "q_cms"             -> ((s, d) => graft.operators.Approx.countMinSketch(s, d)),
+    "q_hll"             -> ((s, d) => graft.operators.Approx.hllEstimate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5502,7 +5504,65 @@ object SparkEntry {
         |       CAST(sum(resid7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE)
         |         AS seasonal_cents
         |FROM r GROUP BY dow
-        |ORDER BY dow""".stripMargin
+        |ORDER BY dow""".stripMargin,
+
+    // Count-Min Sketch built from the part-count table (identical cells
+    // at d×|parts| cost); md5-prefix hashes seeded per row.
+    "q_cms" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT p, c, j,
+        |         CAST('0x' || substr(md5(j || '|' || CAST(p AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 256 AS b
+        |  FROM counts CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+        |sk AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS cms FROM e GROUP BY 1, 2),
+        |top AS (SELECT p, c FROM counts ORDER BY c DESC, p LIMIT 20)
+        |SELECT t.p AS part_key, t.c AS true_cnt,
+        |       CAST(min(cms) AS BIGINT) AS est_cnt,
+        |       CAST(min(cms) - t.c AS BIGINT) AS overest
+        |FROM top t
+        |JOIN e ON e.p = t.p
+        |JOIN sk ON sk.j = e.j AND sk.b = e.b
+        |GROUP BY 1, 2
+        |ORDER BY true_cnt DESC, part_key""".stripMargin,
+
+    // Deterministic 64-register HLL: ρ via bin() length, harmonic sum
+    // scaled by 2^55 into an exact BIGINT, α·m²·2^55/S terminal.
+    "q_hll" ->
+      """WITH h AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT h % 64 AS j, h // 64 AS v FROM h),
+        |regs AS (
+        |  SELECT j, CAST(max(CASE WHEN v = 0 THEN 55
+        |                          ELSE 55 - length(bin(v)) END) AS BIGINT) AS reg
+        |  FROM r GROUP BY 1),
+        |filled AS (
+        |  SELECT s.j, COALESCE(reg, 0) AS reg
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j) s
+        |  LEFT JOIN regs ON s.j = regs.j),
+        |agg AS (
+        |  SELECT CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nonzero_regs,
+        |         CAST(sum(CAST(1 AS BIGINT) << CAST(55 - reg AS INTEGER))
+        |              AS BIGINT) AS s_scaled
+        |  FROM filled),
+        |t AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |        AS true_distinct FROM orders)
+        |SELECT CAST(64 AS BIGINT) AS m, nonzero_regs, s_scaled,
+        |       CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
+        |         CAST(36028797018963968.0 AS DOUBLE) /
+        |         CAST(s_scaled AS DOUBLE) AS est,
+        |       true_distinct,
+        |       (CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
+        |          CAST(36028797018963968.0 AS DOUBLE) /
+        |          CAST(s_scaled AS DOUBLE) - CAST(true_distinct AS DOUBLE)) /
+        |         CAST(true_distinct AS DOUBLE) AS rel_err
+        |FROM agg CROSS JOIN t""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

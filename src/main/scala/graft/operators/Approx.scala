@@ -164,4 +164,90 @@ object Approx {
       .groupBy("qty_bucket", "price_bucket")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("qty_bucket", "price_bucket")
+
+  /** Count-Min Sketch accuracy report (q_cms): build a depth×width CMS
+    * over part frequencies, then compare its estimate against truth for
+    * the top-k parts — the sketch a streaming frequency service keeps
+    * in O(d·w) memory, with its one-sided error made visible
+    * (est ≥ true always; the report shows by how much).
+    *
+    * Scale shape: counts reduce FIRST (one fact shuffle to the
+    * dimension-sized part-count table); the sketch is then built from
+    * those counts — for count queries `cms[j][b] = Σ_{h_j(p)=b} c_p` is
+    * identical to hashing every fact row, at d×|parts| cost instead of
+    * d×|facts|. Hashes are the repo's engine-portable md5-prefix 60-bit
+    * device, seeded per row j. The d·w-cell sketch broadcasts to the
+    * estimate join. */
+  def countMinSketch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     depth: Int = 4, width: Int = 256, k: Int = 20): DataFrame = {
+    val counts = graft.scale.Silver.scratch(
+      graft.sources.Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("c")),
+      "cms_counts") // feeds the sketch build AND the top-k truth
+    val bucket = pmod(
+      conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+        col("p").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(width.toLong))
+    val exploded = counts
+      .select(col("p"), col("c"),
+        explode(array((0 until depth).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("b", bucket)
+    val sketch = exploded.groupBy("j", "b").agg(sum(col("c")).as("cms"))
+    val top = counts.orderBy(col("c").desc, col("p").asc).limit(k)
+    top
+      .select(col("p"), col("c"),
+        explode(array((0 until depth).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("b", bucket)
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("p", "c")
+      .agg(min(col("cms")).as("est_cnt"))
+      .select(col("p").as("part_key"), col("c").as("true_cnt"),
+        col("est_cnt"), (col("est_cnt") - col("c")).as("overest"))
+      .orderBy(col("true_cnt").desc, col("part_key").asc)
+  }
+
+  /** Deterministic HyperLogLog (q_hll): the 64-register HLL estimate of
+    * distinct order keys, built end-to-end in EXACT integer arithmetic
+    * so DuckDB replays it bit-identically — unlike the built-in
+    * approx_count_distinct whose HLL++ internals differ per engine.
+    * Register j keeps max ρ (leading-zero count + 1 of the 54-bit tail
+    * of the md5-prefix hash, via `55 − bitlength` — `bin()` length, no
+    * log2); the harmonic denominator Σ2^(−M_j) is scaled by 2^55 into
+    * an exact long (empty registers contribute 2^55 via the zero-filled
+    * 64-row spine), and the α·m²·2^55/S estimate is the only IEEE
+    * step. Registers are a 64-row aggregate at any corpus size. */
+  def hllEstimate(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 64
+    val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val regs = graft.sources.Tables.orders(spark, dir)
+      // shiftright, not /64: float division of a 60-bit int would lose
+      // the low bits past the 53-bit mantissa before the cast back
+      .select(pmod(h, lit(m.toLong)).as("j"), shiftright(h, 6).as("v"))
+      .withColumn("rho",
+        when(col("v") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("v"))).cast("long")))
+      .groupBy("j").agg(max(col("rho")).as("reg"))
+    val spine = (0 until m).map(_.toLong).toDF("j")
+    val filled = spine.join(regs, Seq("j"), "left")
+      .na.fill(0L, Seq("reg"))
+    val agg = filled.agg(
+      sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("nonzero_regs"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(55 - reg as int))"))
+        .as("s_scaled"))
+    val truth = graft.sources.Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_orderkey")).as("true_distinct"))
+    agg.crossJoin(broadcast(truth))
+      .withColumn("est",
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_scaled").cast("double"))
+      .withColumn("rel_err",
+        (col("est") - col("true_distinct").cast("double")) /
+          col("true_distinct").cast("double"))
+      .select(lit(64L).as("m"), col("nonzero_regs"), col("s_scaled"),
+        col("est"), col("true_distinct"), col("rel_err"))
+  }
 }

@@ -1109,6 +1109,24 @@ class MiningSpec extends SparkSpec {
     assert(signs.size > 1 || signs.contains(0.0))
   }
 
+  test("cms: estimates are one-sided (est >= true) for every reported part") {
+    val c = graft.operators.Approx.countMinSketch(spark, TestSpark.Sf0001).collect()
+    assert(c.length == 20)
+    c.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1)) // est >= true
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("hll: 64 registers, estimate lands within the sketch's error regime") {
+    val h = graft.operators.Approx.hllEstimate(spark, TestSpark.Sf0001).head()
+    assert(h.getLong(0) == 64L)
+    assert(h.getLong(1) > 0 && h.getLong(1) <= 64L)
+    val relErr = h.getDouble(5)
+    // m=64 → rsd ≈ 1.04/√64 = 13%; allow 4 sigma
+    assert(math.abs(relErr) < 0.52, s"rel_err $relErr")
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
