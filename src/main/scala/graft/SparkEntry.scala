@@ -278,7 +278,11 @@ object SparkEntry {
     "q_calibration"     -> ((s, d) => graft.ml.Eval.calibrationQuery(s, d)),
     "q_decompose"       -> ((s, d) => graft.operators.TimeSeries.weekdayDecomposition(s, d)),
     "q_cms"             -> ((s, d) => graft.operators.Approx.countMinSketch(s, d)),
-    "q_hll"             -> ((s, d) => graft.operators.Approx.hllEstimate(s, d))
+    "q_hll"             -> ((s, d) => graft.operators.Approx.hllEstimate(s, d)),
+    "q_lorenz"          -> ((s, d) => Analytics.lorenzCurve(s, d)),
+    "q_hazard"          -> ((s, d) => graft.operators.TimeSeries.reorderHazard(s, d)),
+    "q_backtest"        -> ((s, d) => graft.operators.TimeSeries.seasonalNaiveBacktest(s, d)),
+    "q_kmv"             -> ((s, d) => graft.operators.Approx.kmvEstimate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5562,7 +5566,119 @@ object SparkEntry {
         |          CAST(36028797018963968.0 AS DOUBLE) /
         |          CAST(s_scaled AS DOUBLE) - CAST(true_distinct AS DOUBLE)) /
         |         CAST(true_distinct AS DOUBLE) AS rel_err
-        |FROM agg CROSS JOIN t""".stripMargin
+        |FROM agg CROSS JOIN t""".stripMargin,
+
+    // Lorenz curve: integer decile off the ascending spend rank, window
+    // sums over the 10-row decile frame, shares as exact-count ratios.
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v, o_custkey) AS BIGINT)
+        |           AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_all
+        |  FROM spend),
+        |d AS (
+        |  SELECT ((r - 1) * 10) // n_all AS decile,
+        |         CAST(count(*) AS BIGINT) AS n_customers,
+        |         CAST(sum(v) AS BIGINT) AS decile_cents
+        |  FROM rk GROUP BY 1),
+        |c AS (
+        |  SELECT decile, n_customers, decile_cents,
+        |         CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+        |           AS cum_cents,
+        |         CAST(sum(n_customers) OVER (ORDER BY decile) AS BIGINT)
+        |           AS cum_n
+        |  FROM d),
+        |t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS tot_n,
+        |             CAST(sum(decile_cents) AS BIGINT) AS tot_cents FROM d)
+        |SELECT decile, n_customers, decile_cents, cum_cents,
+        |       CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+        |         AS cum_share,
+        |       CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE) AS pop_share
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // Reorder hazard: integer event/censor weeks, suffix risk set via
+    // total − cum + cnt, hazard = events/at_risk.
+    "q_hazard" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day
+        |  FROM orders),
+        |f AS (SELECT ck, CAST(min(day) AS BIGINT) AS d1 FROM o GROUP BY 1),
+        |s AS (SELECT o.ck, CAST(min(day) AS BIGINT) AS d2
+        |      FROM o JOIN f ON o.ck = f.ck WHERE day > d1 GROUP BY 1),
+        |hz AS (SELECT CAST(max(day) AS BIGINT) AS dmax FROM o),
+        |pc AS (
+        |  SELECT CASE WHEN d2 IS NOT NULL THEN (d2 - d1) // 7
+        |              ELSE (dmax - d1) // 7 END AS w,
+        |         d2 IS NOT NULL AS is_event
+        |  FROM f LEFT JOIN s ON f.ck = s.ck CROSS JOIN hz),
+        |h AS (
+        |  SELECT w,
+        |         CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_events,
+        |         CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_censored
+        |  FROM pc GROUP BY 1),
+        |c AS (
+        |  SELECT w, n_events, n_censored,
+        |         n_events + n_censored AS cnt,
+        |         CAST(sum(n_events + n_censored) OVER (ORDER BY w) AS BIGINT)
+        |           AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS total FROM h)
+        |SELECT w, total - cum + cnt AS n_at_risk, n_events, n_censored,
+        |       CAST(n_events AS DOUBLE) / CAST(total - cum + cnt AS DOUBLE)
+        |         AS hazard
+        |FROM c CROSS JOIN t ORDER BY w""".stripMargin,
+
+    // Seasonal-naive backtest: exact |v − v_lag7| cent sums, two
+    // terminal means per priority.
+    "q_backtest" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.prio, a.v, b.v AS v_lag7
+        |  FROM daily a JOIN daily b
+        |    ON a.prio = b.prio AND a.day = b.day + 7)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(v - v_lag7)) AS BIGINT) AS abs_err_cents,
+        |       CAST(sum(v - v_lag7) AS BIGINT) AS bias_cents,
+        |       CAST(sum(abs(v - v_lag7)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mae_cents,
+        |       CAST(sum(v - v_lag7) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mean_bias_cents
+        |FROM j GROUP BY prio
+        |ORDER BY prio""".stripMargin,
+
+    // KMV: bottom-k of the 52-bit md5 uniform hash, est = (k−1)/h_k.
+    "q_kmv" ->
+      """WITH u AS (
+        |  SELECT DISTINCT o_orderkey,
+        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)
+        |                   AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS h
+        |  FROM orders),
+        |bk AS (SELECT o_orderkey, h FROM u
+        |       ORDER BY h, o_orderkey LIMIT 64),
+        |kth AS (SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS k_got
+        |        FROM bk),
+        |t AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |        AS true_distinct FROM orders)
+        |SELECT k_got AS k, h_k,
+        |       (CAST(k_got AS DOUBLE) - 1.0) / h_k AS est,
+        |       true_distinct,
+        |       ((CAST(k_got AS DOUBLE) - 1.0) / h_k -
+        |          CAST(true_distinct AS DOUBLE)) /
+        |         CAST(true_distinct AS DOUBLE) AS rel_err
+        |FROM kth CROSS JOIN t""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

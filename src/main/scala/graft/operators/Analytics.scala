@@ -922,6 +922,39 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Lorenz curve (q_lorenz): the 10-point curve behind [[spendGini]]'s
+    * single number — per spend decile (customers ranked ascending by
+    * exact cents under the unique (v, custkey) order), the decile's
+    * customers, its cents, and the cumulative spend share vs the
+    * cumulative population share ("the bottom 60% of customers hold X%
+    * of spend"). Decile assignment is ((rank−1)·10) div n off the
+    * distributed global rank; cumulative sums run over the 10-row
+    * decile frame; every share is a ratio of exact longs. */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val ranked = Ranking.distributedGlobalRank(spend,
+      Seq(col("v").asc, col("o_custkey").asc), rankCol = "r", nCol = "__n")
+    val byDecile = ranked
+      .withColumn("decile", expr("((r - 1) * 10) div __n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("v")).as("decile_cents"))
+    val tot = byDecile.agg(sum(col("n_customers")).as("tot_n"),
+      sum(col("decile_cents")).as("tot_cents"))
+    Ranking.distributedCumSum(byDecile, Seq(col("decile").asc),
+        Seq("n_customers", "decile_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        col("cum_decile_cents").as("cum_cents"),
+        (col("cum_decile_cents").cast("double") /
+          col("tot_cents").cast("double")).as("cum_share"),
+        (col("cum_n_customers").cast("double") /
+          col("tot_n").cast("double")).as("pop_share"))
+      .orderBy("decile")
+  }
+
   def spendGini(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -207,6 +207,36 @@ object Approx {
       .orderBy(col("true_cnt").desc, col("part_key").asc)
   }
 
+  /** KMV distinct-count sketch (q_kmv): the k-minimum-values estimator
+    * — keep the k smallest 52-bit md5-derived uniform hashes of the key
+    * and estimate distinct = (k−1)/h₍ₖ₎ — the other classic mergeable
+    * cardinality sketch next to [[hllEstimate]], and the one whose
+    * retained sample doubles as a deterministic uniform key sample
+    * (bottom-k sampling). The hash is [[
+    * graft.scale.TrainingData.hashUniform]]'s 52-bit device (exact in a
+    * double, engine-identical); the k-th smallest comes from a
+    * TakeOrderedAndProject top-k, never a global sort; the estimate is
+    * one terminal division. */
+  def kmvEstimate(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  k: Int = 64): DataFrame = {
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0)
+    val bottomK = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), u.as("h")).distinct()
+      .orderBy(col("h").asc, col("o_orderkey").asc)
+      .limit(k)
+    val kth = bottomK.agg(max(col("h")).as("h_k"), count(lit(1)).as("k_got"))
+    val truth = graft.sources.Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_orderkey")).as("true_distinct"))
+    kth.crossJoin(broadcast(truth))
+      .withColumn("est", (col("k_got").cast("double") - lit(1.0)) / col("h_k"))
+      .withColumn("rel_err",
+        (col("est") - col("true_distinct").cast("double")) /
+          col("true_distinct").cast("double"))
+      .select(col("k_got").as("k"), col("h_k"), col("est"),
+        col("true_distinct"), col("rel_err"))
+  }
+
   /** Deterministic HyperLogLog (q_hll): the 64-register HLL estimate of
     * distinct order keys, built end-to-end in EXACT integer arithmetic
     * so DuckDB replays it bit-identically — unlike the built-in

@@ -273,6 +273,85 @@ object TimeSeries {
     * z-score and the three literal-pinned breakpoint comparisons are
     * the only IEEE steps. At 100 TB the daily frame stays
     * calendar-bounded — one fact shuffle, then constant-size work. */
+  /** Reorder hazard table (q_hazard): discrete-time survival analysis
+    * of "how many weeks until a customer's SECOND order" — per week w,
+    * the customers still at risk (no second order yet, still observed),
+    * the second orders landing in week w, the right-censored exits
+    * (first-order-only customers whose observation window ends at w),
+    * and the hazard events/at_risk. The Kaplan–Meier ingredient table,
+    * kept exactly integer: event time = (d2−d1) div 7, censor time =
+    * (corpus_end − d1) div 7, at_risk(w) = total − cum(w) + cnt(w) off
+    * one [[Ranking.distributedCumSum]] pass over the calendar-bounded
+    * week histogram. The per-week hazard ratio is the only IEEE op —
+    * the cumulative KM product is intentionally NOT emitted (an ordered
+    * float product has no engine-portable exact form).
+    *
+    * Scale shape: two keyed aggregations collapse the order stream to
+    * one row per customer, then everything is week-histogram-sized. */
+  def reorderHazard(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("ck"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+    val firsts = o.groupBy("ck").agg(min(col("day")).as("d1"))
+    val seconds = o.join(firsts, "ck")
+      .filter(col("day") > col("d1"))
+      .groupBy("ck").agg(min(col("day")).as("d2"))
+    val horizon = o.agg(max(col("day")).as("dmax"))
+    val perCust = firsts
+      .join(seconds, Seq("ck"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("d2").isNotNull, expr("(d2 - d1) div 7"))
+          .otherwise(expr("(dmax - d1) div 7")).as("w"),
+        col("d2").isNotNull.as("is_event"))
+    val hist = perCust.groupBy("w")
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("n_censored"))
+      .withColumn("cnt", col("n_events") + col("n_censored"))
+    val tot = hist.agg(sum(col("cnt")).as("total"))
+    Ranking.distributedCumSum(hist, Seq(col("w").asc), Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        col("total") - col("cum_cnt") + col("cnt"))
+      .select(col("w"), col("n_at_risk"), col("n_events"), col("n_censored"),
+        (col("n_events").cast("double") / col("n_at_risk").cast("double"))
+          .as("hazard"))
+      .orderBy("w")
+  }
+
+  /** Seasonal-naive backtest (q_backtest): forecast each day's revenue
+    * as the SAME WEEKDAY one week earlier and score the forecast per
+    * order priority — MAE and signed bias, the honesty check a
+    * forecasting pipeline runs before anything fancier. Absolute and
+    * signed errors are exact cent integers summed in longs; the two
+    * per-priority means are the only divisions. One fact shuffle to the
+    * daily grid, one self-join on (prio, day−7). */
+  def seasonalNaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("prio"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+            .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("prio", "day")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "backtest_daily") // both sides of the lag-7 join
+    daily
+      .join(daily.select(col("prio"), (col("day") + 7).as("day"),
+          col("v").as("v_lag7")),
+        Seq("prio", "day"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("v") - col("v_lag7"))).as("abs_err_cents"),
+        sum(col("v") - col("v_lag7")).as("bias_cents"))
+      .withColumn("mae_cents",
+        col("abs_err_cents").cast("double") / col("n_days").cast("double"))
+      .withColumn("mean_bias_cents",
+        col("bias_cents").cast("double") / col("n_days").cast("double"))
+      .orderBy("prio")
+  }
+
   /** Additive weekday decomposition (q_decompose): the classical
     * decompose step — centered 7-day moving-average trend, and per
     * weekday the mean detrended residual ("how much does Monday deviate

@@ -1127,6 +1127,52 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(relErr) < 0.52, s"rel_err $relErr")
   }
 
+  test("lorenz: shares monotone, convex below the diagonal, ending at 1.0") {
+    val l = graft.operators.Analytics.lorenzCurve(spark, TestSpark.Sf0001).collect()
+    assert(l.length == 10)
+    val shares = l.map(_.getDouble(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+    // ascending-order deciles ⇒ curve under the diagonal
+    l.foreach(r => assert(r.getDouble(4) <= r.getDouble(5) + 1e-9))
+  }
+
+  test("hazard: risk sets telescope by exits; all customers enter at week 0") {
+    val h = graft.operators.TimeSeries.reorderHazard(spark, TestSpark.Sf0001)
+      .collect()
+    val nCust = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(h.head.getLong(0) == 0L || h.head.getLong(1) == nCust)
+    assert(h.map(r => r.getLong(2) + r.getLong(3)).sum == nCust)
+    // at_risk(w+1) = at_risk(w) − events(w) − censored(w) on the week spine
+    h.sliding(2).foreach {
+      case Array(a, b) if b.getLong(0) == a.getLong(0) + 1 =>
+        assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3))
+      case _ => // non-contiguous weeks: no telescoping claim
+    }
+    h.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("backtest: per-priority MAE bounds the signed bias") {
+    val b = graft.operators.TimeSeries
+      .seasonalNaiveBacktest(spark, TestSpark.Sf0001).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(math.abs(r.getLong(3)) <= r.getLong(2)) // |bias| <= abs err
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-9)
+    }
+  }
+
+  test("kmv: full sketch, kth hash in (0,1], estimate in the error regime") {
+    val r = graft.operators.Approx.kmvEstimate(spark, TestSpark.Sf0001).head()
+    assert(r.getLong(0) == 64L)
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0)
+    // k=64 → rsd ≈ 1/√62 ≈ 12.7%; allow 4 sigma
+    assert(math.abs(r.getDouble(4)) < 0.51, s"rel_err ${r.getDouble(4)}")
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
