@@ -282,7 +282,9 @@ object SparkEntry {
     "q_lorenz"          -> ((s, d) => Analytics.lorenzCurve(s, d)),
     "q_hazard"          -> ((s, d) => graft.operators.TimeSeries.reorderHazard(s, d)),
     "q_backtest"        -> ((s, d) => graft.operators.TimeSeries.seasonalNaiveBacktest(s, d)),
-    "q_kmv"             -> ((s, d) => graft.operators.Approx.kmvEstimate(s, d))
+    "q_kmv"             -> ((s, d) => graft.operators.Approx.kmvEstimate(s, d)),
+    "q_bootstrap"       -> ((s, d) => graft.operators.Distribution.poissonBootstrap(s, d)),
+    "q_price_index"     -> ((s, d) => Analytics.priceIndices(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5678,7 +5680,76 @@ object SparkEntry {
         |       ((CAST(k_got AS DOUBLE) - 1.0) / h_k -
         |          CAST(true_distinct AS DOUBLE)) /
         |         CAST(true_distinct AS DOUBLE) AS rel_err
-        |FROM kth CROSS JOIN t""".stripMargin
+        |FROM kth CROSS JOIN t""".stripMargin,
+
+    // Poisson bootstrap: md5-uniform(orderkey|b) cut at literal
+    // Poisson(1) CDF thresholds; exact weighted sums, one mean each.
+    "q_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |e AS (
+        |  SELECT b, v,
+        |         CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+        |                    || '|' || b), 1, 13) AS BIGINT) AS DOUBLE)
+        |           / 4503599627370496.0 AS u
+        |  FROM o CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)),
+        |w AS (
+        |  SELECT b, v,
+        |         CASE WHEN u < CAST(0.3679 AS DOUBLE) THEN 0
+        |              WHEN u < CAST(0.7358 AS DOUBLE) THEN 1
+        |              WHEN u < CAST(0.9197 AS DOUBLE) THEN 2
+        |              WHEN u < CAST(0.9810 AS DOUBLE) THEN 3
+        |              ELSE 4 END AS w
+        |  FROM e)
+        |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |       CAST(sum(w * v) AS BIGINT) AS sum_cents,
+        |       CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+        |         AS mean_cents
+        |FROM w GROUP BY b
+        |ORDER BY b""".stripMargin,
+
+    // Price indices: integer milli-price (cents·1000 div qty), exact
+    // Σ price·qty products, one division per index + Fisher sqrt.
+    "q_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS p,
+        |         epoch_ms(CAST(l_shipdate AS TIMESTAMP)) // 86400000 AS day,
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM lineitem),
+        |b AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |             CAST(max(day) AS BIGINT) AS d1 FROM li),
+        |ph AS (
+        |  SELECT p, CASE WHEN day * 2 <= d0 + d1 THEN 0 ELSE 1 END AS half,
+        |         CAST(sum(q) AS BIGINT) AS qty,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM li CROSS JOIN b GROUP BY 1, 2),
+        |pm AS (SELECT p, half, qty, (cents * 1000) // qty AS price_milli
+        |       FROM ph),
+        |j AS (
+        |  SELECT a.p, a.qty AS q0, a.price_milli AS p0,
+        |         c.qty AS q1, c.price_milli AS p1
+        |  FROM pm a JOIN pm c ON a.p = c.p AND a.half = 0 AND c.half = 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |         sum(CAST(p1 AS HUGEINT) * q0) AS l_num,
+        |         sum(CAST(p0 AS HUGEINT) * q0) AS l_den,
+        |         sum(CAST(p1 AS HUGEINT) * q1) AS p_num,
+        |         sum(CAST(p0 AS HUGEINT) * q1) AS p_den
+        |  FROM j)
+        |SELECT n_parts,
+        |       CAST(CAST(l_num AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(l_den AS VARCHAR) AS DOUBLE) AS laspeyres,
+        |       CAST(CAST(p_num AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(p_den AS VARCHAR) AS DOUBLE) AS paasche,
+        |       sqrt((CAST(CAST(l_num AS VARCHAR) AS DOUBLE) /
+        |             CAST(CAST(l_den AS VARCHAR) AS DOUBLE)) *
+        |            (CAST(CAST(p_num AS VARCHAR) AS DOUBLE) /
+        |             CAST(CAST(p_den AS VARCHAR) AS DOUBLE))) AS fisher
+        |FROM agg""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

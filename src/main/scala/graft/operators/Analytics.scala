@@ -696,6 +696,52 @@ object Analytics {
       .limit(k)
   }
 
+  /** Price indices between corpus halves (q_price_index): Laspeyres,
+    * Paasche, and Fisher indices of part prices — "did prices rise,
+    * holding the basket fixed?", the economics-desk aggregate over the
+    * same half-split as [[rankMovers]]. Portability device: each
+    * (part, half) unit price is `(cents·1000) div qty` — an integer
+    * milli-cents-per-unit with engine-identical truncation — so both
+    * index numerators/denominators are exact decimal(38,0) Σ price·qty
+    * products and each index is ONE terminal division (Fisher adds the
+    * IEEE-portable sqrt). Only parts traded in BOTH halves enter (the
+    * matched-basket rule). One fact pass to the (part, half) aggregate;
+    * everything after is part-dimension-sized. */
+  def priceIndices(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("day"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val bounds = li.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perHalf = li.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("day") * 2 <= col("d0") + col("d1"), lit(0L)).otherwise(1L))
+      .groupBy("p", "half")
+      .agg(sum(col("q")).as("qty"), sum(col("cents")).as("cents"))
+      .withColumn("price_milli", expr("(cents * 1000) div qty"))
+    val both = perHalf.filter(col("half") === 0L)
+      .select(col("p"), col("qty").as("q0"), col("price_milli").as("p0"))
+      .join(perHalf.filter(col("half") === 1L)
+        .select(col("p"), col("qty").as("q1"), col("price_milli").as("p1")),
+        "p")
+    both.agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("p1").cast(d38) * col("q0").cast(d38)).as("l_num"),
+        sum(col("p0").cast(d38) * col("q0").cast(d38)).as("l_den"),
+        sum(col("p1").cast(d38) * col("q1").cast(d38)).as("p_num"),
+        sum(col("p0").cast(d38) * col("q1").cast(d38)).as("p_den"))
+      .withColumn("laspeyres",
+        col("l_num").cast("double") / col("l_den").cast("double"))
+      .withColumn("paasche",
+        col("p_num").cast("double") / col("p_den").cast("double"))
+      .select(col("n_parts"), col("laspeyres"), col("paasche"),
+        sqrt(col("laspeyres") * col("paasche")).as("fisher"))
+  }
+
   /** Frequent 3-itemsets (q_basket3): the top part TRIPLES by basket
     * support — one Apriori level past [[basketLift]]'s pairs, for the
     * bundle-design question pairs can't answer. Same bounded-fan-out

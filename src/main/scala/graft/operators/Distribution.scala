@@ -566,6 +566,38 @@ object Distribution {
             (col("n_pairs") - col("tied_y")).cast("double"))).as("tau_b"))
   }
 
+  /** Deterministic Poisson bootstrap (q_bootstrap): B hash-weighted
+    * resamples of the order-price mean — the one-pass bootstrap a
+    * cluster actually runs (per-row resample weights are independent
+    * Poisson(1) draws, so no resample ever materializes; the classic
+    * large-scale CI device). Determinism: the Poisson draw is the
+    * 52-bit md5 uniform of (orderkey, b) cut at the literal Poisson(1)
+    * CDF thresholds (0.3679/0.7358/0.9197/0.9810 — identical strings
+    * both engines), so weights are engine-identical and re-run-stable.
+    * Per resample the weighted sum/count are exact longs; each mean is
+    * one terminal division. One fact pass with a B-row spine fan-out
+    * (constant factor), one B-row shuffle. */
+  def poissonBootstrap(spark: SparkSession, dir: String,
+                       b: Int = 32): DataFrame = {
+    import spark.implicits._
+    val spine = (0 until b).map(_.toLong).toDF("b")
+    val u = conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit("|"), col("b").cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    val w = when(u < lit(0.3679), 0L).when(u < lit(0.7358), 1L)
+      .when(u < lit(0.9197), 2L).when(u < lit(0.9810), 3L).otherwise(4L)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+      .crossJoin(broadcast(spine))
+      .select(col("b"), w.as("w"), col("v"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("v")).as("sum_cents"))
+      .withColumn("mean_cents",
+        col("sum_cents").cast("double") / col("n_eff").cast("double"))
+      .orderBy("b")
+  }
+
   /** Grubbs' outlier statistic per segment (q_grubbs): G = max|x−μ|/s
     * over customer balances — "does any segment hide a single extreme
     * account?" μ and s derive from the exact (n, Σv, Σv²) sufficient

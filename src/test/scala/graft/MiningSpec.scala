@@ -1173,6 +1173,31 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4)) < 0.51, s"rel_err ${r.getDouble(4)}")
   }
 
+  test("bootstrap: 32 resamples, weights near Poisson(1) mass, means bracket truth") {
+    val b = graft.operators.Distribution.poissonBootstrap(spark, TestSpark.Sf0001)
+      .collect()
+    assert(b.length == 32)
+    val n = graft.sources.Tables.orders(spark, TestSpark.Sf0001).count()
+    // E[n_eff] = n per resample (Poisson(1) truncated at 4: mass ≈ 0.996)
+    b.foreach(r => assert(math.abs(r.getLong(1) - n) < n * 0.25))
+    val means = b.map(_.getDouble(3))
+    val truth = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .agg(avg((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head().getDouble(0)
+    // the resample spread brackets the plain mean
+    assert(means.min <= truth && truth <= means.max)
+  }
+
+  test("price index: laspeyres/paasche positive, fisher is their geometric mean") {
+    val r = graft.operators.Analytics.priceIndices(spark, TestSpark.Sf0001).head()
+    assert(r.getLong(0) > 0)
+    val (l, p, f) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(l > 0.0 && p > 0.0)
+    assert(math.abs(f - math.sqrt(l * p)) < 1e-12)
+    // both indices near 1 on a stationary synthetic corpus
+    assert(l > 0.5 && l < 2.0 && p > 0.5 && p < 2.0)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
