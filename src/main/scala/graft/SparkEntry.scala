@@ -284,7 +284,8 @@ object SparkEntry {
     "q_backtest"        -> ((s, d) => graft.operators.TimeSeries.seasonalNaiveBacktest(s, d)),
     "q_kmv"             -> ((s, d) => graft.operators.Approx.kmvEstimate(s, d)),
     "q_bootstrap"       -> ((s, d) => graft.operators.Distribution.poissonBootstrap(s, d)),
-    "q_price_index"     -> ((s, d) => Analytics.priceIndices(s, d))
+    "q_price_index"     -> ((s, d) => Analytics.priceIndices(s, d)),
+    "q_pca_power"       -> ((s, d) => graft.scale.EmbedStats.pcaPowerQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5749,7 +5750,9 @@ object SparkEntry {
         |             CAST(CAST(l_den AS VARCHAR) AS DOUBLE)) *
         |            (CAST(CAST(p_num AS VARCHAR) AS DOUBLE) /
         |             CAST(CAST(p_den AS VARCHAR) AS DOUBLE))) AS fisher
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q_pca_power" -> pcaRoundsCtes(12)
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -6038,6 +6041,51 @@ object SparkEntry {
       |       CAST(cnt AS DOUBLE) / n_members AS purity
       |FROM mj WHERE rn = 1
       |ORDER BY cid""".stripMargin
+
+  /** Unrolled power-iteration oracle for q_pca_power — the
+    * kmeansRoundsCtes device applied to the scatter-matrix eigenvector:
+    * exact HUGEINT moments, per-round sign·((|y|·10⁴) // max|y|)
+    * renormalization (floor on the non-negative operand ≡ Spark's
+    * truncating `div`), Rayleigh quotient as the one terminal division. */
+  private def pcaRoundsCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH qv AS MATERIALIZED (
+      |  SELECT vec_id, g.i AS j,
+      |         CAST(floor((CAST(embedding[g.i] AS DOUBLE) + 1) * 10000)
+      |              AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+      |s AS MATERIALIZED (
+      |  SELECT a.j AS j, b.j AS k, sum(CAST(a.q AS HUGEINT) * b.q) AS s_jk
+      |  FROM qv a JOIN qv b USING (vec_id) GROUP BY 1, 2),
+      |m AS MATERIALIZED (
+      |  SELECT j, sum(CAST(q AS HUGEINT)) AS mj, CAST(count(*) AS BIGINT) AS n
+      |  FROM qv GROUP BY 1),
+      |a AS MATERIALIZED (
+      |  SELECT s.j, s.k, CAST(m1.n AS HUGEINT) * s.s_jk - m1.mj * m2.mj AS a
+      |  FROM s JOIN m m1 ON s.j = m1.j JOIN m m2 ON s.k = m2.j),
+      |x0 AS MATERIALIZED (SELECT j, CAST(10000 AS HUGEINT) AS x FROM m)""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(s""",
+        |y$r AS MATERIALIZED (
+        |  SELECT a.j, sum(a.a * x.x) AS y
+        |  FROM a JOIN x${r - 1} x ON a.k = x.j GROUP BY 1),
+        |x$r AS MATERIALIZED (
+        |  SELECT j, CAST(CASE WHEN y < 0 THEN -1 ELSE 1 END AS HUGEINT) *
+        |            ((abs(y) * 10000) // (SELECT max(abs(y)) FROM y$r)) AS x
+        |  FROM y$r)""".stripMargin)
+    }
+    sb.append(s""",
+      |num AS (SELECT sum(CAST(xj.x AS HUGEINT) * a.a * xk.x) AS num
+      |        FROM a JOIN x$iters xj ON a.j = xj.j
+      |               JOIN x$iters xk ON a.k = xk.j),
+      |den AS (SELECT sum(x * x) AS den FROM x$iters)
+      |SELECT xf.j AS dim, CAST(xf.x AS BIGINT) AS component,
+      |       CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+      |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rayleigh
+      |FROM x$iters xf CROSS JOIN num CROSS JOIN den
+      |ORDER BY dim""".stripMargin)
+    sb.toString
+  }
 
   private def kmeansRoundsCtes(iters: Int, k: Int): String = {
     val sb = new StringBuilder

@@ -133,4 +133,73 @@ object EmbedStats {
         col("max_err"), col("scaled_err_sum"))
       .orderBy("dim")
   }
+
+  /** Top principal component by integer power iteration (q_pca_power):
+    * the whitening/PCA direction of the embedding cloud, computed
+    * end-to-end in EXACT integer arithmetic so every iterate — and
+    * therefore the final eigenvector — replays bit-identically in a
+    * DuckDB unrolled-CTE oracle (the [[graft.operators.KMeans]]
+    * device, applied to linear algebra).
+    *
+    * Vectors quantize to `floor((x+1)·10⁴)` longs; the un-centered
+    * second-moment matrix S = QᵀQ and the mean sums m come from ONE
+    * pass each (S via the vec-keyed self-join — 64² cells per vector,
+    * a constant fan-out); the scatter matrix A = n·S − m·mᵀ (∝ n²·cov)
+    * is exact decimal(38,0) on a 4096-cell frame. Each of the `iters`
+    * rounds is a 4096×64 join + 64-row renormalization
+    * `sign(y)·((|y|·10⁴) div max|y|)` — integer TRUNCATING division on
+    * the non-negative operand, because DuckDB's `//` floors while
+    * Spark's `div` truncates, and only the abs-form agrees on both.
+    * The Rayleigh quotient xᵀAx/xᵀx is the one terminal IEEE division.
+    *
+    * Scale shape: the corpus is touched exactly twice (moment build);
+    * iterations run on fixed 4096/64-row frames with a lineage cut per
+    * round — at 100 TB this is two scans plus constant-size work. */
+  def pcaPowerQuery(spark: SparkSession, dir: String,
+                    iters: Int = 12): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val qv = Silver.materialize(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+        .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
+          floor((col("x").cast("double") + 1d) * 10000d).cast("long").as("q")),
+      "pca_qv") // feeds S (twice) and m
+    val s = qv.as("a").join(qv.as("b"), "vec_id")
+      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+      .agg(sum(col("a.q").cast(d38) * col("b.q").cast(d38)).as("s_jk"))
+    val m = qv.groupBy("j")
+      .agg(sum(col("q").cast(d38)).as("mj"), count(lit(1)).as("n"))
+    val aMat = Silver.materialize(
+      s.join(broadcast(m.select(col("j"), col("mj"))), "j")
+        .join(broadcast(m.select(col("j").as("k"), col("mj").as("mk"),
+          col("n"))), "k")
+        .select(col("j"), col("k"),
+          (col("n").cast(d38) * col("s_jk") - col("mj") * col("mk")).as("a")),
+      "pca_scatter") // consumed every round + the Rayleigh quotient
+    var x = m.select(col("j"), lit(10000L).as("x")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val y = aMat
+        .join(broadcast(x.select(col("j").as("k"), col("x"))), "k")
+        .groupBy("j")
+        .agg(sum(col("a") * col("x").cast(d38)).as("y"))
+      val mx = y.agg(max(abs(col("y"))).as("mx"))
+      x = y.crossJoin(broadcast(mx))
+        .select(col("j"),
+          (when(col("y") < 0, -1L).otherwise(1L) *
+            expr("(abs(y) * 10000) div mx")).as("x"))
+        .localCheckpoint(true)
+    }
+    val xA = aMat
+      .join(broadcast(x.select(col("j").as("k"), col("x").as("xk"))), "k")
+      .join(broadcast(x.select(col("j"), col("x").as("xj"))), "j")
+    val rq = xA.agg(
+        sum(col("xj").cast(d38) * col("a") * col("xk").cast(d38)).as("num"))
+      .crossJoin(broadcast(
+        x.agg(sum(col("x") * col("x")).as("den"))))
+      .select((col("num").cast("double") / col("den").cast("double"))
+        .as("rayleigh"))
+    x.crossJoin(broadcast(rq))
+      .select(col("j").as("dim"), col("x").as("component"), col("rayleigh"))
+      .orderBy("dim")
+  }
 }

@@ -1198,6 +1198,41 @@ class MiningSpec extends SparkSpec {
     assert(l > 0.5 && l < 2.0 && p > 0.5 && p < 2.0)
   }
 
+  test("pca power: normalized iterate is a near-fixed-point of the scatter matrix") {
+    val rows = graft.scale.EmbedStats.pcaPowerQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.length == 64)
+    val x = rows.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble)).toMap
+    assert(x.values.map(math.abs).max == 10000.0) // renormalization invariant
+    assert(rows.head.getDouble(2) > 0.0) // top eigenvalue of the scatter > 0
+    // rebuild the exact scatter matrix locally and check cos(x, Ax) ≈ 1
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v => math.floor((v + 1) * 10000).toLong).toArray)
+    val d = 64; val n = vecs.length.toDouble
+    val s = Array.ofDim[Double](d, d); val m = new Array[Double](d)
+    vecs.foreach { q =>
+      var j = 0
+      while (j < d) {
+        m(j) += q(j)
+        var k = 0
+        while (k < d) { s(j)(k) += q(j).toDouble * q(k); k += 1 }
+        j += 1
+      }
+    }
+    val ax = new Array[Double](d)
+    for (j <- 0 until d; k <- 0 until d)
+      ax(j) += (n * s(j)(k) - m(j) * m(k)) * x(k + 1)
+    val dot = (0 until d).map(j => ax(j) * x(j + 1)).sum
+    val na = math.sqrt(ax.map(v => v * v).sum)
+    val nx = math.sqrt((1 to d).map(j => x(j) * x(j)).sum)
+    // the 10⁴ renormalization grid floors the attainable alignment at
+    // ~1e-3 angle error (each component carries ±0.5e-4 quantization);
+    // 0.995 is well above chance (≈0.12 for a random 64-dim direction)
+    // and just under the observed 0.9986 fixed point
+    assert(dot / (na * nx) > 0.995, s"cos=${dot / (na * nx)}")
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
