@@ -285,7 +285,9 @@ object SparkEntry {
     "q_kmv"             -> ((s, d) => graft.operators.Approx.kmvEstimate(s, d)),
     "q_bootstrap"       -> ((s, d) => graft.operators.Distribution.poissonBootstrap(s, d)),
     "q_price_index"     -> ((s, d) => Analytics.priceIndices(s, d)),
-    "q_pca_power"       -> ((s, d) => graft.scale.EmbedStats.pcaPowerQuery(s, d))
+    "q_pca_power"       -> ((s, d) => graft.scale.EmbedStats.pcaPowerQuery(s, d)),
+    "q_modularity"      -> ((s, d) => graft.operators.Triangles.modularityQuery(s, d)),
+    "q_f1"              -> ((s, d) => graft.scale.TextAnalysis.f1Report(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5752,7 +5754,96 @@ object SparkEntry {
         |             CAST(CAST(p_den AS VARCHAR) AS DOUBLE))) AS fisher
         |FROM agg""".stripMargin,
 
-    "q_pca_power" -> pcaRoundsCtes(12)
+    "q_pca_power" -> pcaRoundsCtes(12),
+
+    // Modularity with cleared denominators: per-community numerator
+    // 4m·e_c − a_c² exact HUGEINT, ONE division by 4m² per emitted value.
+    "q_modularity" ->
+      """WITH so AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.s AS x, b.s AS y
+        |  FROM so a JOIN so b ON a.o = b.o AND a.s < b.s),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1),
+        |ac AS (
+        |  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         CAST(sum(d) AS BIGINT) AS a_c
+        |  FROM deg JOIN supplier ON v = s_suppkey GROUP BY 1),
+        |ec AS (
+        |  SELECT nx.s_nationkey AS nk, CAST(count(*) AS BIGINT) AS e_in
+        |  FROM e JOIN supplier nx ON e.x = nx.s_suppkey
+        |         JOIN supplier ny ON e.y = ny.s_suppkey
+        |  WHERE nx.s_nationkey = ny.s_nationkey GROUP BY 1),
+        |per AS (
+        |  SELECT ac.nk, n_suppliers, COALESCE(e_in, 0) AS e_in, a_c,
+        |         4 * CAST(m.m AS HUGEINT) * COALESCE(e_in, 0) -
+        |           CAST(a_c AS HUGEINT) * a_c AS num
+        |  FROM ac LEFT JOIN ec ON ac.nk = ec.nk CROSS JOIN m),
+        |q AS (
+        |  SELECT CAST(CAST(sum(num) AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(4 * CAST(m.m AS HUGEINT) * m.m AS VARCHAR)
+        |              AS DOUBLE) AS modularity
+        |  FROM per CROSS JOIN m GROUP BY m.m)
+        |SELECT n_name AS nation_name, n_suppliers, e_in, a_c,
+        |       CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(4 * CAST(m.m AS HUGEINT) * m.m AS VARCHAR)
+        |              AS DOUBLE) AS contribution,
+        |       modularity
+        |FROM per JOIN nation ON nk = n_nationkey
+        |CROSS JOIN m CROSS JOIN q
+        |ORDER BY nation_name""".stripMargin,
+
+    // Per-class P/R/F1 over the langid confusion cells; F1 as
+    // 2tp/(2tp+fp+fn) — one division, no chained floats.
+    "q_f1" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
+        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, cjk,
+        |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
+        |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
+        |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
+        |         len(list_intersect(toks, ['el','los','las','es','y','en'])) AS hs
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN cjk THEN 'zh'
+        |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |              WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |              WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+        |              WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |              ELSE 'de' END AS pred
+        |  FROM v),
+        |cells AS (
+        |  SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT lang AS label,
+        |         CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT)
+        |           AS tp,
+        |         CAST(sum(CASE WHEN lang <> pred THEN n ELSE 0 END) AS BIGINT)
+        |           AS fn
+        |  FROM cells GROUP BY 1),
+        |bp AS (
+        |  SELECT pred AS label, CAST(sum(n) AS BIGINT) AS fp
+        |  FROM cells WHERE lang <> pred GROUP BY 1)
+        |SELECT label, tp, COALESCE(fp, 0) AS fp, fn,
+        |       CASE WHEN tp + COALESCE(fp, 0) > 0
+        |            THEN CAST(tp AS DOUBLE) /
+        |                 CAST(tp + COALESCE(fp, 0) AS DOUBLE)
+        |            END AS precision,
+        |       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        |       CAST(2 * tp AS DOUBLE) /
+        |         CAST(2 * tp + COALESCE(fp, 0) + fn AS DOUBLE) AS f1
+        |FROM bt LEFT JOIN bp USING (label)
+        |ORDER BY label""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

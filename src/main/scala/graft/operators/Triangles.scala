@@ -207,4 +207,63 @@ object Triangles {
     Regression.groupedOls(scored, Seq("g"), col("dx"), col("dy"))
       .select("g", "n", "slope", "intercept", "corr")
   }
+
+  /** Newman modularity of the nation partition (q_modularity): is the
+    * supplier co-order graph actually organized along nations? Q =
+    * Σ_c (e_c/m − (a_c/2m)²), kept exact by clearing denominators: the
+    * per-community numerator 4m·e_c − a_c² and the global numerator
+    * Σ_c(4m·e_c − a_c²) are exact decimal(38,0); Q and each
+    * community's contribution divide ONCE by 4m². Edges are supplier
+    * pairs sharing an order (order-keyed self-join — Σ order-size²,
+    * never suppliers²); degrees/communities are dimension-sized
+    * aggregates with the nation dim broadcast. */
+  def modularityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val so = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = graft.scale.Silver.scratch(
+      so.as("a").join(so.as("b"),
+          col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("x"), col("b.s").as("y"))
+        .distinct(),
+      "modularity_edges") // feeds m, degrees, and internal-edge counts
+    val nations = broadcast(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("x").as("v"))
+      .unionAll(edges.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val aC = deg.join(nations, col("v") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("d")).as("a_c"))
+    val eC = edges
+      .join(nations.as("nx"), col("x") === col("nx.s_suppkey"))
+      .join(nations.as("ny"), col("y") === col("ny.s_suppkey"))
+      .filter(col("nx.s_nationkey") === col("ny.s_nationkey"))
+      .groupBy(col("nx.s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("e_in"))
+    val per = aC.join(eC, Seq("nk"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("num",
+        lit(4).cast(d38) * col("m").cast(d38) * col("e_in").cast(d38) -
+          col("a_c").cast(d38) * col("a_c").cast(d38))
+    val q = per.agg(sum(col("num")).as("qnum"))
+      .crossJoin(broadcast(m))
+      .select((col("qnum").cast("double") /
+        (lit(4).cast(d38) * col("m").cast(d38) * col("m").cast(d38))
+          .cast("double")).as("modularity"))
+    per
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("nk") === col("n_nationkey"))
+      .crossJoin(broadcast(q))
+      .select(col("n_name").as("nation_name"), col("n_suppliers"),
+        col("e_in"), col("a_c"),
+        (col("num").cast("double") /
+          (lit(4).cast(d38) * col("m").cast(d38) * col("m").cast(d38))
+            .cast("double")).as("contribution"),
+        col("modularity"))
+      .orderBy("nation_name")
+  }
 }

@@ -638,6 +638,43 @@ object TextAnalysis {
       .orderBy("lang", "pred")
   }
 
+  /** Per-class precision/recall/F1 (q_f1): the classification report
+    * over [[langIdEval]]'s confusion cells — tp/fp/fn are exact counts
+    * from the |langs|²-bounded cell frame (never the doc stream), and
+    * each metric is ONE division of exact counts: F1 is emitted as
+    * 2·tp/(2·tp+fp+fn), the algebraic form that avoids chaining the
+    * p·r/(p+r) floats. */
+  def f1Report(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("lang"), langIdHeuristic(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n")),
+      "f1_cells") // feeds the tp/fn rollup and the fp rollup
+    val byTrue = cells.groupBy(col("lang").as("label"))
+      .agg(sum(when(col("lang") === col("pred"), col("n")).otherwise(0L))
+        .as("tp"),
+        sum(when(col("lang") =!= col("pred"), col("n")).otherwise(0L))
+          .as("fn"))
+    val byPred = cells.filter(col("lang") =!= col("pred"))
+      .groupBy(col("pred").as("label"))
+      .agg(sum(col("n")).as("fp"))
+    byTrue.join(byPred, Seq("label"), "left")
+      .na.fill(0L, Seq("fp"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        // a label the classifier never emits has tp+fp = 0: precision
+        // is undefined (NULL), matching the oracle's CASE guard
+        when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+      .orderBy("label")
+  }
+
   /** Boilerplate prefixes (q_boilerplate): the most-repeated 5-token
     * document openings — the cheap detector for injected headers/
     * templates that exact-dedup misses (bodies differ) and shingle

@@ -1233,6 +1233,31 @@ class MiningSpec extends SparkSpec {
     assert(dot / (na * nx) > 0.995, s"cos=${dot / (na * nx)}")
   }
 
+  test("modularity: Q in [-0.5, 1], contributions sum to Q, edges conserve") {
+    val m = graft.operators.Triangles.modularityQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(m.nonEmpty)
+    val q = m.head.getDouble(5)
+    assert(q >= -0.5 && q <= 1.0)
+    assert(math.abs(m.map(_.getDouble(4)).sum - q) < 1e-9)
+    // Σ a_c = 2m (every edge endpoint counted once in some community)
+    val degSum = m.map(_.getLong(3)).sum
+    assert(degSum % 2 == 0)
+    assert(m.map(_.getLong(2)).sum <= degSum / 2) // internal ≤ total edges
+  }
+
+  test("f1: per-label identity 2tp/(2tp+fp+fn); fn+tp conserves docs") {
+    val f = graft.scale.TextAnalysis.f1Report(spark, TestSpark.Sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(f.map(r => r.getLong(1) + r.getLong(3)).sum == total)
+    f.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val f1 = r.getDouble(6)
+      assert(math.abs(f1 - 2.0 * tp / (2.0 * tp + fp + fn)) < 1e-12)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
