@@ -287,7 +287,9 @@ object SparkEntry {
     "q_price_index"     -> ((s, d) => Analytics.priceIndices(s, d)),
     "q_pca_power"       -> ((s, d) => graft.scale.EmbedStats.pcaPowerQuery(s, d)),
     "q_modularity"      -> ((s, d) => graft.operators.Triangles.modularityQuery(s, d)),
-    "q_f1"              -> ((s, d) => graft.scale.TextAnalysis.f1Report(s, d))
+    "q_f1"              -> ((s, d) => graft.scale.TextAnalysis.f1Report(s, d)),
+    "q_polyfit"         -> ((s, d) => graft.operators.Regression.polyfitQuery(s, d)),
+    "q_theil_sen"       -> ((s, d) => graft.operators.Regression.theilSenQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5843,7 +5845,82 @@ object SparkEntry {
         |       CAST(2 * tp AS DOUBLE) /
         |         CAST(2 * tp + COALESCE(fp, 0) + fn AS DOUBLE) AS f1
         |FROM bt LEFT JOIN bp USING (label)
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // Quadratic fit by Cramer on exact HUGEINT moment determinants;
+    // the three coefficient divisions are the only IEEE steps.
+    "q_polyfit" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |d0 AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM daily),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS s0,
+        |         sum(CAST(day - d0 AS HUGEINT)) AS s1,
+        |         sum(CAST(day - d0 AS HUGEINT) * (day - d0)) AS s2,
+        |         sum(CAST(day - d0 AS HUGEINT) * (day - d0) * (day - d0))
+        |           AS s3,
+        |         sum(CAST(day - d0 AS HUGEINT) * (day - d0) * (day - d0)
+        |             * (day - d0)) AS s4,
+        |         sum(CAST(y AS HUGEINT)) AS t0,
+        |         sum(CAST(day - d0 AS HUGEINT) * y) AS t1,
+        |         sum(CAST(day - d0 AS HUGEINT) * (day - d0) * y) AS t2
+        |  FROM daily CROSS JOIN d0),
+        |d AS (
+        |  SELECT s0,
+        |    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)
+        |      AS den,
+        |    s0*(s2*t2 - s3*t1) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)
+        |      AS num_a,
+        |    s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)
+        |      AS num_b,
+        |    t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)
+        |      AS num_c
+        |  FROM m)
+        |SELECT CAST(s0 AS BIGINT) AS n_days,
+        |       CAST(CAST(num_a AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS a_quad,
+        |       CAST(CAST(num_b AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS b_lin,
+        |       CAST(CAST(num_c AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS c_const
+        |FROM d""".stripMargin,
+
+    // Theil–Sen: exact-operand slope doubles, rank-selected medians.
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT a.day AS di, b.day AS dj,
+        |         CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |           AS slope
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |r AS (
+        |  SELECT slope,
+        |         CAST(row_number() OVER (ORDER BY slope, di, dj) AS BIGINT)
+        |           AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS np
+        |  FROM p),
+        |med AS (SELECT slope AS med_slope, np AS n_pairs FROM r
+        |        WHERE r * 2 = np OR r * 2 = np + 1),
+        |res AS (
+        |  SELECT day,
+        |         CAST(y AS DOUBLE) - med_slope * CAST(day AS DOUBLE) AS b0,
+        |         med_slope, n_pairs
+        |  FROM daily CROSS JOIN med),
+        |r2 AS (
+        |  SELECT b0, med_slope, n_pairs,
+        |         CAST(row_number() OVER (ORDER BY b0, day) AS BIGINT) AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS nd
+        |  FROM res)
+        |SELECT nd AS n_days, n_pairs, med_slope AS slope_cents_per_day,
+        |       b0 AS intercept_cents
+        |FROM r2 WHERE r * 2 = nd OR r * 2 = nd + 1""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

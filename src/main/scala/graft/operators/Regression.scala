@@ -153,6 +153,101 @@ object Regression {
       .orderBy("prio")
   }
 
+  /** Quadratic trend fit (q_polyfit): least-squares y = a·x² + b·x + c
+    * over the daily revenue series, solved by Cramer's rule on the
+    * 3×3 normal equations with EVERY determinant an exact
+    * decimal(38,0) polynomial of the moment sums (n, Σx…Σx⁴, Σy, Σxy,
+    * Σx²y — x is the 0-based day index so powers stay calendar-
+    * bounded); the three coefficients are the only IEEE divisions.
+    * The curvature sign answers "is growth accelerating?" exactly —
+    * no iterative solver, no float normal-equation inversion. */
+  def polyfitQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val m = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("d0")).cast(d38).as("x"),
+        col("y").cast(d38).as("y"))
+      .agg(count(lit(1)).cast(d38).as("s0"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"),
+        sum(col("y")).as("t0"),
+        sum(col("x") * col("y")).as("t1"),
+        sum(col("x") * col("x") * col("y")).as("t2"))
+    // det of [[s0 s1 s2],[s1 s2 s3],[s2 s3 s4]] and the three
+    // right-hand-side substitutions — identical expression trees in SQL
+    def det3(a: Column, b: Column, c: Column,
+             d: Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val den = det3(col("s0"), col("s1"), col("s2"),
+      col("s1"), col("s2"), col("s3"),
+      col("s2"), col("s3"), col("s4"))
+    val numC = det3(col("t0"), col("s1"), col("s2"),
+      col("t1"), col("s2"), col("s3"),
+      col("t2"), col("s3"), col("s4"))
+    val numB = det3(col("s0"), col("t0"), col("s2"),
+      col("s1"), col("t1"), col("s3"),
+      col("s2"), col("t2"), col("s4"))
+    val numA = det3(col("s0"), col("s1"), col("t0"),
+      col("s1"), col("s2"), col("t1"),
+      col("s2"), col("s3"), col("t2"))
+    m.select(col("s0").cast("long").as("n_days"),
+      (numA.cast("double") / den.cast("double")).as("a_quad"),
+      (numB.cast("double") / den.cast("double")).as("b_lin"),
+      (numC.cast("double") / den.cast("double")).as("c_const"))
+  }
+
+  /** Theil–Sen robust trend (q_theil_sen): the median of all pairwise
+    * slopes of the daily revenue series, plus the median-residual
+    * intercept — the slope estimator a single outlier day cannot drag.
+    * The pair frame is calendar²-bounded (never corpus-sized); each
+    * slope is ONE division of exact cent/day integers so both engines
+    * compute identical doubles; medians are rank selections (lower
+    * median at ⌈n/2⌉) under unique (value, i, j) orders via
+    * [[Ranking.distributedGlobalRank]] — selection, not float
+    * aggregation. The inequality self-join is broadcast-pinned (BNLJ,
+    * not CartesianProduct). */
+  def theilSenQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("day")
+        .agg((sum(col("p")) * 100).cast("long").as("y")),
+      "theil_daily") // both sides of the pair join + the intercept pass
+    val pairs = daily.as("a")
+      .join(broadcast(daily.as("b")), col("a.day") < col("b.day"))
+      .select(col("a.day").as("di"), col("b.day").as("dj"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val ranked = Ranking.distributedGlobalRank(pairs,
+      Seq(col("slope").asc, col("di").asc, col("dj").asc),
+      rankCol = "r", nCol = "np")
+    val med = ranked.filter(col("r") * 2 === col("np") ||
+        (col("r") * 2 === col("np") + 1))
+      .select(col("slope").as("med_slope"), col("np").as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(med))
+      .select(col("day"),
+        (col("y").cast("double") -
+          col("med_slope") * col("day").cast("double")).as("b0"),
+        col("med_slope"), col("n_pairs"))
+    Ranking.distributedGlobalRank(resid, Seq(col("b0").asc, col("day").asc),
+        rankCol = "r", nCol = "nd")
+      .filter(col("r") * 2 === col("nd") || (col("r") * 2 === col("nd") + 1))
+      .select(col("nd").as("n_days"), col("n_pairs"),
+        col("med_slope").as("slope_cents_per_day"),
+        col("b0").as("intercept_cents"))
+  }
+
   /** Pairwise Pearson correlation matrix (q_corr_matrix): the
     * feature-screening triangle over lineitem's three numeric measures
     * (quantity, extendedprice, discount) — "which measures move

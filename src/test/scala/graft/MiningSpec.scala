@@ -1258,6 +1258,40 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("polyfit: coefficients reproduce the exact normal equations") {
+    val r = graft.operators.Regression.polyfitQuery(spark, TestSpark.Sf0001).head()
+    val (a, b, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // rebuild the moments locally and check the three normal equations
+    val daily = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg((sum(col("p")) * 100).cast("long").as("y"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val dmin = daily.map(_._1).min
+    val xs = daily.map { case (d, y) => ((d - dmin).toDouble, y.toDouble) }
+    def mom(px: Int, withY: Boolean) =
+      xs.map { case (x, y) => math.pow(x, px) * (if (withY) y else 1.0) }.sum
+    val (s0, s1, s2, s3, s4) =
+      (mom(0, false), mom(1, false), mom(2, false), mom(3, false), mom(4, false))
+    val (t0, t1, t2) = (mom(0, true), mom(1, true), mom(2, true))
+    assert(math.abs(c * s0 + b * s1 + a * s2 - t0) / math.abs(t0) < 1e-6)
+    assert(math.abs(c * s1 + b * s2 + a * s3 - t1) / math.abs(t1) < 1e-6)
+    assert(math.abs(c * s2 + b * s3 + a * s4 - t2) / math.abs(t2) < 1e-6)
+  }
+
+  test("theil-sen: median slope is bracketed by the slope extremes; pair count checks") {
+    val r = graft.operators.Regression.theilSenQuery(spark, TestSpark.Sf0001).head()
+    val (nDays, nPairs) = (r.getLong(0), r.getLong(1))
+    assert(nPairs == nDays * (nDays - 1) / 2)
+    val s = r.getDouble(2)
+    // a robust slope of a stationary synthetic series is near zero
+    // relative to the daily magnitudes
+    val meanY = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .agg(avg((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head().getDouble(0)
+    assert(math.abs(s) < meanY) // slope/day far below one order's value
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
