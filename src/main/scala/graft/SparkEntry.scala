@@ -289,7 +289,9 @@ object SparkEntry {
     "q_modularity"      -> ((s, d) => graft.operators.Triangles.modularityQuery(s, d)),
     "q_f1"              -> ((s, d) => graft.scale.TextAnalysis.f1Report(s, d)),
     "q_polyfit"         -> ((s, d) => graft.operators.Regression.polyfitQuery(s, d)),
-    "q_theil_sen"       -> ((s, d) => graft.operators.Regression.theilSenQuery(s, d))
+    "q_theil_sen"       -> ((s, d) => graft.operators.Regression.theilSenQuery(s, d)),
+    "q_wasserstein"     -> ((s, d) => graft.operators.Distribution.wassersteinDistance(s, d)),
+    "q_stationary"      -> ((s, d) => EventOps.stationaryDistribution(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5920,7 +5922,41 @@ object SparkEntry {
         |  FROM res)
         |SELECT nd AS n_days, n_pairs, med_slope AS slope_cents_per_day,
         |       b0 AS intercept_cents
-        |FROM r2 WHERE r * 2 = nd OR r * 2 = nd + 1""".stripMargin
+        |FROM r2 WHERE r * 2 = nd OR r * 2 = nd + 1""".stripMargin,
+
+    // Wasserstein-1: cross-multiplied integer CDF gaps × successor
+    // value gaps (rank+1 join), one division by na·nb.
+    "q_wasserstein" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS ib
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |               CAST(sum(ib) AS BIGINT) AS b
+        |        FROM o GROUP BY v),
+        |cum AS (
+        |  SELECT v, CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+        |         CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+        |         CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS r
+        |  FROM per),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |             CAST(sum(b) AS BIGINT) AS nb FROM per),
+        |g AS (SELECT x.cum_a, x.cum_b, x.v, y.v AS v_next
+        |      FROM cum x JOIN cum y ON y.r = x.r + 1),
+        |agg AS (
+        |  SELECT na, nb,
+        |         sum(abs(CAST(cum_a AS HUGEINT) * nb -
+        |                 CAST(cum_b AS HUGEINT) * na) * (v_next - v)) AS num
+        |  FROM g CROSS JOIN t GROUP BY 1, 2)
+        |SELECT na, nb,
+        |       CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(CAST(na AS HUGEINT) * nb AS VARCHAR) AS DOUBLE)
+        |         AS emd_cents
+        |FROM agg""".stripMargin,
+
+    "q_stationary" -> stationaryRoundsCtes(12)
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -6252,6 +6288,48 @@ object SparkEntry {
       |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rayleigh
       |FROM x$iters xf CROSS JOIN num CROSS JOIN den
       |ORDER BY dim""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled π=πP power-iteration oracle for q_stationary: per-cell
+    * truncating mass flow (x·c)//r on non-negative operands, 10⁶
+    * renormalization per round, zero-filled state spine. */
+  private def stationaryRoundsCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH e AS MATERIALIZED (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+      |  FROM events),
+      |pr AS MATERIALIZED (
+      |  SELECT event_type AS src,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts_ms, event_id) AS dst
+      |  FROM e),
+      |c AS MATERIALIZED (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      |  FROM pr WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |p AS MATERIALIZED (
+      |  SELECT c.src, c.dst, c.c, r.r
+      |  FROM c JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS r
+      |               FROM c GROUP BY 1) r USING (src)),
+      |s AS MATERIALIZED (
+      |  SELECT DISTINCT t
+      |  FROM (SELECT src AS t FROM c UNION ALL SELECT dst FROM c)),
+      |x0 AS MATERIALIZED (SELECT t, CAST(1000000 AS BIGINT) AS x FROM s)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |y$k AS MATERIALIZED (
+        |  SELECT dst AS t, CAST(sum((x.x * p.c) // p.r) AS BIGINT) AS y
+        |  FROM p JOIN x${k - 1} x ON p.src = x.t GROUP BY 1),
+        |f$k AS MATERIALIZED (
+        |  SELECT s.t, COALESCE(y, 0) AS y FROM s LEFT JOIN y$k USING (t)),
+        |x$k AS MATERIALIZED (
+        |  SELECT t, (y * 1000000) // (SELECT sum(y) FROM f$k) AS x
+        |  FROM f$k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT t AS event_type, CAST(x AS BIGINT) AS pi_micro,
+      |       CAST(x AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS pi
+      |FROM x$iters ORDER BY event_type""".stripMargin)
     sb.toString
   }
 

@@ -566,6 +566,49 @@ object Distribution {
             (col("n_pairs") - col("tied_y")).cast("double"))).as("tau_b"))
   }
 
+  /** 1-D Wasserstein distance (q_wasserstein): the earth-mover's
+    * distance between two segments' order-price distributions —
+    * ∫|F_A − F_B| dv, the metric that (unlike [[ksTest]]'s sup-norm)
+    * weights HOW FAR mass must move, not just the worst gap. Fully
+    * exact: per distinct cents value the cross-multiplied CDF gap
+    * |cumA·n_B − cumB·n_A| (integers), times the gap to the NEXT
+    * distinct value (successor via a rank+1 equi-join on the
+    * domain-bounded value frame — no window, no inequality join),
+    * summed in decimal(38,0); the single IEEE step divides by
+    * n_A·n_B once. */
+  def wassersteinDistance(spark: SparkSession, dir: String,
+                          segA: String = "BUILDING",
+                          segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(cents(col("o_totalprice")).as("v"),
+        when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("ia"),
+        when(col("c_mktsegment") === segB, 1L).otherwise(0L).as("ib"))
+      .groupBy("v").agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+    val ranked = Ranking.distributedGlobalRank(
+      Ranking.distributedCumSum(per, Seq(col("v").asc), Seq("a", "b")),
+      Seq(col("v").asc), rankCol = "r", nCol = "__nv")
+      .select(col("r"), col("v"), col("cum_a"), col("cum_b"))
+    val tot = per.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    ranked
+      .join(ranked.select((col("r") - 1L).as("r"), col("v").as("v_next")), "r")
+      .crossJoin(broadcast(tot))
+      .select((abs(col("cum_a").cast(d38) * col("nb").cast(d38) -
+        col("cum_b").cast(d38) * col("na").cast(d38)) *
+        (col("v_next") - col("v")).cast(d38)).as("term"),
+        col("na"), col("nb"))
+      .groupBy("na", "nb")
+      .agg(sum(col("term")).as("num"))
+      .select(col("na"), col("nb"),
+        (col("num").cast("double") /
+          (col("na").cast(d38) * col("nb").cast(d38)).cast("double"))
+          .as("emd_cents"))
+  }
+
   /** Deterministic Poisson bootstrap (q_bootstrap): B hash-weighted
     * resamples of the order-price mean — the one-pass bootstrap a
     * cluster actually runs (per-row resample weights are independent

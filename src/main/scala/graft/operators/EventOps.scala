@@ -246,6 +246,52 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Stationary distribution of the event-type Markov chain
+    * (q_stationary): where does a user's session settle in the long
+    * run? — π = πP by integer power iteration over
+    * [[eventTransitions]]' count matrix, the
+    * [[graft.scale.EmbedStats.pcaPowerQuery]] device applied to the
+    * |types|²-cell chain. Each round's mass flow is
+    * `(x_src·c) div r_src` per cell (truncating division on
+    * non-negative operands — engine-identical; the ≤|types| dropped
+    * remainder micro-units per state are the documented quantization)
+    * and the iterate renormalizes to 10⁶ total via one more `div`; a
+    * zero-filled state spine keeps never-entered states at mass 0.
+    * All frames after the one fact pass are |types|-sized. */
+  def stationaryDistribution(spark: SparkSession, dir: String,
+                             iters: Int = 12): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val counts = graft.scale.Silver.materialize(
+      events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("c")),
+      "stationary_counts") // feeds P (every round) and the state spine
+    val p = graft.scale.Silver.materialize(
+      counts.join(
+        counts.groupBy("src").agg(sum(col("c")).as("r")), "src"),
+      "stationary_p")
+    val spine = counts.select(col("src").as("t"))
+      .unionAll(counts.select(col("dst").as("t"))).distinct()
+      .localCheckpoint(true)
+    var x = spine.select(col("t"), lit(1000000L).as("x")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val y = p.join(broadcast(x.select(col("t").as("src"), col("x"))), "src")
+        .groupBy(col("dst").as("t"))
+        .agg(sum(expr("(x * c) div r")).as("y"))
+      val filled = spine.join(y, Seq("t"), "left").na.fill(0L, Seq("y"))
+      val tot = filled.agg(sum(col("y")).as("ty"))
+      x = filled.crossJoin(broadcast(tot))
+        .select(col("t"), expr("(y * 1000000) div ty").as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("t").as("event_type"), col("x").as("pi_micro"),
+        (col("x").cast("double") / lit(1000000.0)).as("pi"))
+      .orderBy("event_type")
+  }
+
   /** Half-life-decayed recency-weighted value per user (q_decay): the
     * EWMA-style "recent form counts double" metric (reference: recent-form
     * weighting in engine.py's team form) made cross-engine-exact. The

@@ -1292,6 +1292,34 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(s) < meanY) // slope/day far below one order's value
   }
 
+  test("wasserstein: nonnegative, zero on a self-comparison, above the mean gap") {
+    val r = graft.operators.Distribution
+      .wassersteinDistance(spark, TestSpark.Sf0001).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    val emd = r.getDouble(2)
+    assert(emd >= 0.0)
+    val self = graft.operators.Distribution
+      .wassersteinDistance(spark, TestSpark.Sf0001, "BUILDING", "BUILDING")
+      .head().getDouble(2)
+    assert(self == 0.0)
+    // EMD dominates the mean difference (Jensen)
+    val m = graft.operators.Distribution.welchTTest(spark, TestSpark.Sf0001).head()
+    val meanGap = math.abs(m.getDouble(2) - m.getDouble(3)) * 100 // dollars→cents
+    assert(emd >= meanGap - 1e-6, s"emd=$emd meanGap=$meanGap")
+  }
+
+  test("stationary: five states, mass conserved to the 1e6 grid, matches visit rates") {
+    val s = graft.operators.EventOps.stationaryDistribution(spark, TestSpark.Sf0001)
+      .collect()
+    assert(s.length == 5)
+    val total = s.map(_.getLong(1)).sum
+    assert(total > 990000L && total <= 1000000L) // div truncation loses < |types|·rounds
+    s.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // the chain is built from near-uniform synthetic transitions: the
+    // stationary mass should not collapse onto one state
+    assert(s.map(_.getDouble(2)).max < 0.5)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
