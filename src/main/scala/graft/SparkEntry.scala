@@ -291,7 +291,8 @@ object SparkEntry {
     "q_polyfit"         -> ((s, d) => graft.operators.Regression.polyfitQuery(s, d)),
     "q_theil_sen"       -> ((s, d) => graft.operators.Regression.theilSenQuery(s, d)),
     "q_wasserstein"     -> ((s, d) => graft.operators.Distribution.wassersteinDistance(s, d)),
-    "q_stationary"      -> ((s, d) => EventOps.stationaryDistribution(s, d))
+    "q_stationary"      -> ((s, d) => EventOps.stationaryDistribution(s, d)),
+    "q_did"             -> ((s, d) => graft.operators.Distribution.diffInDiff(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5956,7 +5957,55 @@ object SparkEntry {
         |         AS emd_cents
         |FROM agg""".stripMargin,
 
-    "q_stationary" -> stationaryRoundsCtes(12)
+    "q_stationary" -> stationaryRoundsCtes(12),
+
+    // DiD: four exact (n, Σ) cells from one conditional pass; the
+    // estimate is a fixed four-division tree.
+    "q_did" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day,
+        |         c_mktsegment = 'BUILDING' AS is_t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |b AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |             CAST(max(day) AS BIGINT) AS d1 FROM o),
+        |f AS (SELECT v, is_t, day * 2 > d0 + d1 AS is_post
+        |      FROM o CROSS JOIN b),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN is_t AND NOT is_post THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_tpre,
+        |    sum(CASE WHEN is_t AND NOT is_post THEN CAST(v AS HUGEINT)
+        |             ELSE 0 END) AS s_tpre,
+        |    CAST(sum(CASE WHEN is_t AND is_post THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_tpost,
+        |    sum(CASE WHEN is_t AND is_post THEN CAST(v AS HUGEINT)
+        |             ELSE 0 END) AS s_tpost,
+        |    CAST(sum(CASE WHEN NOT is_t AND NOT is_post THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_cpre,
+        |    sum(CASE WHEN NOT is_t AND NOT is_post THEN CAST(v AS HUGEINT)
+        |             ELSE 0 END) AS s_cpre,
+        |    CAST(sum(CASE WHEN NOT is_t AND is_post THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_cpost,
+        |    sum(CASE WHEN NOT is_t AND is_post THEN CAST(v AS HUGEINT)
+        |             ELSE 0 END) AS s_cpost
+        |  FROM f)
+        |SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+        |  CAST(CAST(s_tpre AS VARCHAR) AS DOUBLE) / CAST(n_tpre AS DOUBLE)
+        |    AS mean_t_pre,
+        |  CAST(CAST(s_tpost AS VARCHAR) AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+        |    AS mean_t_post,
+        |  CAST(CAST(s_cpre AS VARCHAR) AS DOUBLE) / CAST(n_cpre AS DOUBLE)
+        |    AS mean_c_pre,
+        |  CAST(CAST(s_cpost AS VARCHAR) AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+        |    AS mean_c_post,
+        |  (CAST(CAST(s_tpost AS VARCHAR) AS DOUBLE) / CAST(n_tpost AS DOUBLE) -
+        |   CAST(CAST(s_tpre AS VARCHAR) AS DOUBLE) / CAST(n_tpre AS DOUBLE)) -
+        |  (CAST(CAST(s_cpost AS VARCHAR) AS DOUBLE) / CAST(n_cpost AS DOUBLE) -
+        |   CAST(CAST(s_cpre AS VARCHAR) AS DOUBLE) / CAST(n_cpre AS DOUBLE))
+        |    AS did_cents
+        |FROM cells""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

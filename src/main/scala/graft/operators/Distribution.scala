@@ -566,6 +566,55 @@ object Distribution {
             (col("n_pairs") - col("tied_y")).cast("double"))).as("tau_b"))
   }
 
+  /** Difference-in-differences (q_did): the 2×2 causal-inference
+    * contrast — (treated post − treated pre) − (control post − control
+    * pre) over mean order value, with BUILDING as the "treated"
+    * segment and the corpus midpoint as the intervention date. All
+    * four cell means derive from exact (n, Σcents) sums gathered in
+    * ONE fact pass (conditional aggregation — no per-cell scans); the
+    * DiD estimate is a fixed four-division tree. The broadcast
+    * midpoint comes from the day bounds, never config. */
+  def diffInDiff(spark: SparkSession, dir: String,
+                 treated: String = "BUILDING",
+                 control: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(treated, control))
+      .select(cents(col("o_totalprice")).as("v"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        (col("c_mktsegment") === treated).as("is_t"))
+    val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cells = o.crossJoin(broadcast(bounds))
+      .withColumn("is_post", col("day") * 2 > col("d0") + col("d1"))
+      .agg(
+        sum(when(col("is_t") && !col("is_post"), 1L).otherwise(0L)).as("n_tpre"),
+        sum(when(col("is_t") && !col("is_post"), col("v")).otherwise(0L)
+          .cast(d38)).as("s_tpre"),
+        sum(when(col("is_t") && col("is_post"), 1L).otherwise(0L)).as("n_tpost"),
+        sum(when(col("is_t") && col("is_post"), col("v")).otherwise(0L)
+          .cast(d38)).as("s_tpost"),
+        sum(when(!col("is_t") && !col("is_post"), 1L).otherwise(0L)).as("n_cpre"),
+        sum(when(!col("is_t") && !col("is_post"), col("v")).otherwise(0L)
+          .cast(d38)).as("s_cpre"),
+        sum(when(!col("is_t") && col("is_post"), 1L).otherwise(0L)).as("n_cpost"),
+        sum(when(!col("is_t") && col("is_post"), col("v")).otherwise(0L)
+          .cast(d38)).as("s_cpost"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    cells.select(
+      col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+      mean("s_tpre", "n_tpre").as("mean_t_pre"),
+      mean("s_tpost", "n_tpost").as("mean_t_post"),
+      mean("s_cpre", "n_cpre").as("mean_c_pre"),
+      mean("s_cpost", "n_cpost").as("mean_c_post"),
+      ((mean("s_tpost", "n_tpost") - mean("s_tpre", "n_tpre")) -
+        (mean("s_cpost", "n_cpost") - mean("s_cpre", "n_cpre"))).as("did_cents"))
+  }
+
   /** 1-D Wasserstein distance (q_wasserstein): the earth-mover's
     * distance between two segments' order-price distributions —
     * ∫|F_A − F_B| dv, the metric that (unlike [[ksTest]]'s sup-norm)

@@ -1320,6 +1320,18 @@ class MiningSpec extends SparkSpec {
     assert(s.map(_.getDouble(2)).max < 0.5)
   }
 
+  test("did: cells conserve orders; estimate matches the four-mean identity") {
+    val r = graft.operators.Distribution.diffInDiff(spark, TestSpark.Sf0001).head()
+    val cellsTotal = (0 to 3).map(r.getLong).sum
+    val expected = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .join(graft.sources.Tables.customer(spark, TestSpark.Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")).count()
+    assert(cellsTotal == expected)
+    val did = (r.getDouble(5) - r.getDouble(4)) - (r.getDouble(7) - r.getDouble(6))
+    assert(math.abs(r.getDouble(8) - did) < 1e-9)
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
