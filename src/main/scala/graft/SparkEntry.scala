@@ -292,7 +292,8 @@ object SparkEntry {
     "q_theil_sen"       -> ((s, d) => graft.operators.Regression.theilSenQuery(s, d)),
     "q_wasserstein"     -> ((s, d) => graft.operators.Distribution.wassersteinDistance(s, d)),
     "q_stationary"      -> ((s, d) => EventOps.stationaryDistribution(s, d)),
-    "q_did"             -> ((s, d) => graft.operators.Distribution.diffInDiff(s, d))
+    "q_did"             -> ((s, d) => graft.operators.Distribution.diffInDiff(s, d)),
+    "q_pca_project"     -> ((s, d) => graft.scale.EmbedStats.pcaProjectionQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5760,6 +5761,7 @@ object SparkEntry {
         |FROM agg""".stripMargin,
 
     "q_pca_power" -> pcaRoundsCtes(12),
+    "q_pca_project" -> pcaProjectCtes(12),
 
     // Modularity with cleared denominators: per-community numerator
     // 4m·e_c − a_c² exact HUGEINT, ONE division by 4m² per emitted value.
@@ -6300,10 +6302,46 @@ object SparkEntry {
     * exact HUGEINT moments, per-round sign·((|y|·10⁴) // max|y|)
     * renormalization (floor on the non-negative operand ≡ Spark's
     * truncating `div`), Rayleigh quotient as the one terminal division. */
-  private def pcaRoundsCtes(iters: Int): String = {
+  private def pcaRoundsCtes(iters: Int): String =
+    pcaCtePrefix(iters) + s""",
+      |num AS (SELECT sum(CAST(xj.x AS HUGEINT) * a.a * xk.x) AS num
+      |        FROM a JOIN x$iters xj ON a.j = xj.j
+      |               JOIN x$iters xk ON a.k = xk.j),
+      |den AS (SELECT sum(x * x) AS den FROM x$iters)
+      |SELECT xf.j AS dim, CAST(xf.x AS BIGINT) AS component,
+      |       CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+      |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rayleigh
+      |FROM x$iters xf CROSS JOIN num CROSS JOIN den
+      |ORDER BY dim""".stripMargin
+
+  /** q_pca_project oracle: the shared power-iteration prefix + the
+    * exact integer projection and per-label moment rollup. */
+  private def pcaProjectCtes(iters: Int): String =
+    pcaCtePrefix(iters) + s""",
+      |proj AS (
+      |  SELECT qv.vec_id, qv.label,
+      |         CAST(sum(CAST(qv.q AS HUGEINT) * x.x) AS BIGINT) AS p
+      |  FROM qv JOIN x$iters x ON qv.j = x.j
+      |  GROUP BY 1, 2),
+      |per AS (
+      |  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(p AS HUGEINT)) AS s,
+      |         sum(CAST(p AS HUGEINT) * p) AS q2
+      |  FROM proj GROUP BY 1)
+      |SELECT label, n,
+      |       CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+      |         / CAST(10000.0 AS DOUBLE) AS mean_proj,
+      |       (CAST(CAST(q2 AS VARCHAR) AS DOUBLE) -
+      |        CAST(CAST(s AS VARCHAR) AS DOUBLE) *
+      |        CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |         (CAST(n AS DOUBLE) - 1.0) / CAST(100000000.0 AS DOUBLE)
+      |         AS var_proj
+      |FROM per ORDER BY label""".stripMargin
+
+  private def pcaCtePrefix(iters: Int): String = {
     val sb = new StringBuilder
     sb.append("""WITH qv AS MATERIALIZED (
-      |  SELECT vec_id, g.i AS j,
+      |  SELECT vec_id, label, g.i AS j,
       |         CAST(floor((CAST(embedding[g.i] AS DOUBLE) + 1) * 10000)
       |              AS BIGINT) AS q
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
@@ -6327,16 +6365,6 @@ object SparkEntry {
         |            ((abs(y) * 10000) // (SELECT max(abs(y)) FROM y$r)) AS x
         |  FROM y$r)""".stripMargin)
     }
-    sb.append(s""",
-      |num AS (SELECT sum(CAST(xj.x AS HUGEINT) * a.a * xk.x) AS num
-      |        FROM a JOIN x$iters xj ON a.j = xj.j
-      |               JOIN x$iters xk ON a.k = xk.j),
-      |den AS (SELECT sum(x * x) AS den FROM x$iters)
-      |SELECT xf.j AS dim, CAST(xf.x AS BIGINT) AS component,
-      |       CAST(CAST(num AS VARCHAR) AS DOUBLE) /
-      |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rayleigh
-      |FROM x$iters xf CROSS JOIN num CROSS JOIN den
-      |ORDER BY dim""".stripMargin)
     sb.toString
   }
 

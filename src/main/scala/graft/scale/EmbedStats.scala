@@ -158,12 +158,35 @@ object EmbedStats {
   def pcaPowerQuery(spark: SparkSession, dir: String,
                     iters: Int = 12): DataFrame = {
     val d38 = "decimal(38,0)"
+    val (_, aMat, x) = pcaComponent(spark, dir, iters)
+    val xA = aMat
+      .join(broadcast(x.select(col("j").as("k"), col("x").as("xk"))), "k")
+      .join(broadcast(x.select(col("j"), col("x").as("xj"))), "j")
+    val rq = xA.agg(
+        sum(col("xj").cast(d38) * col("a") * col("xk").cast(d38)).as("num"))
+      .crossJoin(broadcast(
+        x.agg(sum(col("x") * col("x")).as("den"))))
+      .select((col("num").cast("double") / col("den").cast("double"))
+        .as("rayleigh"))
+    x.crossJoin(broadcast(rq))
+      .select(col("j").as("dim"), col("x").as("component"), col("rayleigh"))
+      .orderBy("dim")
+  }
+
+  /** Shared engine behind [[pcaPowerQuery]] and [[pcaProjectionQuery]]:
+    * the quantized (vec_id, j, q) frame, the materialized 4096-cell
+    * scatter matrix, and the converged 10⁴-grid eigenvector iterate. */
+  private def pcaComponent(spark: SparkSession, dir: String,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val d38 = "decimal(38,0)"
     val qv = Silver.materialize(
       graft.sources.Tables.embeddings(spark, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
-        .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("j0", "x")))
+        .select(col("vec_id"), col("label"),
+          (col("j0") + 1).cast("long").as("j"),
           floor((col("x").cast("double") + 1d) * 10000d).cast("long").as("q")),
-      "pca_qv") // feeds S (twice) and m
+      "pca_qv") // feeds S (twice), m, and the projection pass
     val s = qv.as("a").join(qv.as("b"), "vec_id")
       .groupBy(col("a.j").as("j"), col("b.j").as("k"))
       .agg(sum(col("a.q").cast(d38) * col("b.q").cast(d38)).as("s_jk"))
@@ -189,17 +212,45 @@ object EmbedStats {
             expr("(abs(y) * 10000) div mx")).as("x"))
         .localCheckpoint(true)
     }
-    val xA = aMat
-      .join(broadcast(x.select(col("j").as("k"), col("x").as("xk"))), "k")
-      .join(broadcast(x.select(col("j"), col("x").as("xj"))), "j")
-    val rq = xA.agg(
-        sum(col("xj").cast(d38) * col("a") * col("xk").cast(d38)).as("num"))
-      .crossJoin(broadcast(
-        x.agg(sum(col("x") * col("x")).as("den"))))
-      .select((col("num").cast("double") / col("den").cast("double"))
-        .as("rayleigh"))
-    x.crossJoin(broadcast(rq))
-      .select(col("j").as("dim"), col("x").as("component"), col("rayleigh"))
-      .orderBy("dim")
+    (qv, aMat, x)
+  }
+
+  /** Label separation along the top PC (q_pca_project): project every
+    * vector onto [[pcaPowerQuery]]'s eigenvector — the projection
+    * Σ x_j·q_ij is an EXACT long (10⁴-grid component × 10⁴-grid
+    * coordinate, 64 terms) — and report per label n, mean and variance
+    * of the projection, plus the one-way-ANOVA F statistic for "does
+    * the unsupervised direction separate the labels?" (the
+    * [[graft.operators.Distribution]] exact-sufficient-stats device:
+    * between/within sums of squares from per-label (n, Σp, Σp²), the F
+    * ratio the only chained float work, identical tree both engines).
+    * The 64-row component broadcasts into the projection pass — the
+    * corpus is touched once more, keyed, no shuffle of the vectors. */
+  def pcaProjectionQuery(spark: SparkSession, dir: String,
+                         iters: Int = 12): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val (qv, _, x) = pcaComponent(spark, dir, iters)
+    val proj = qv
+      .join(broadcast(x), "j")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q") * col("x")).as("p"))
+    val per = proj.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(d38)).as("s"),
+        sum(col("p").cast(d38) * col("p").cast(d38)).as("q2"))
+    // per-label means/variances only: a cross-label F statistic would
+    // sum per-group float terms in engine order — the same reason
+    // Distribution.anovaWeekday pins its 7 terms via a pivoted fixed
+    // tree, which |labels| here doesn't warrant
+    per
+      .select(col("label"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / lit(10000.0))
+          .as("mean_proj"),
+        ((col("q2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)) / lit(100000000.0))
+          .as("var_proj"))
+      .orderBy("label")
   }
 }

@@ -1332,6 +1332,17 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(r.getDouble(8) - did) < 1e-9)
   }
 
+  test("pca projection: labels conserve vectors; variances positive") {
+    val p = graft.scale.EmbedStats.pcaProjectionQuery(spark, TestSpark.Sf0001)
+      .collect()
+    val total = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(p.map(_.getLong(1)).sum == total)
+    p.foreach { r =>
+      assert(!r.getDouble(2).isNaN)
+      assert(r.getDouble(3) > 0.0) // non-degenerate projections per label
+    }
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
