@@ -293,7 +293,8 @@ object SparkEntry {
     "q_wasserstein"     -> ((s, d) => graft.operators.Distribution.wassersteinDistance(s, d)),
     "q_stationary"      -> ((s, d) => EventOps.stationaryDistribution(s, d)),
     "q_did"             -> ((s, d) => graft.operators.Distribution.diffInDiff(s, d)),
-    "q_pca_project"     -> ((s, d) => graft.scale.EmbedStats.pcaProjectionQuery(s, d))
+    "q_pca_project"     -> ((s, d) => graft.scale.EmbedStats.pcaProjectionQuery(s, d)),
+    "q_ipf"             -> ((s, d) => graft.operators.Distribution.ipfRaking(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5762,6 +5763,7 @@ object SparkEntry {
 
     "q_pca_power" -> pcaRoundsCtes(12),
     "q_pca_project" -> pcaProjectCtes(12),
+    "q_ipf" -> ipfRoundsCtes(6),
 
     // Modularity with cleared denominators: per-community numerator
     // 4m·e_c − a_c² exact HUGEINT, ONE division by 4m² per emitted value.
@@ -6365,6 +6367,42 @@ object SparkEntry {
         |            ((abs(y) * 10000) // (SELECT max(abs(y)) FROM y$r)) AS x
         |  FROM y$r)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** Unrolled IPF oracle for q_ipf: integer micro-unit weights, two
+    * truncating `(w·tgt)//margin` half-steps per round. */
+  private def ipfRoundsCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH cells AS MATERIALIZED (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS prio,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |w0 AS MATERIALIZED (
+      |  SELECT segment, prio, c,
+      |         (CAST(n AS HUGEINT) * 1000000) // 5 AS tgt,
+      |         CAST(c AS HUGEINT) * 1000000 AS w
+      |  FROM cells CROSS JOIN n)""".stripMargin)
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+        |r$k AS MATERIALIZED (
+        |  SELECT segment, CAST(sum(w) AS HUGEINT) AS rs
+        |  FROM w${k - 1} GROUP BY 1),
+        |wr$k AS MATERIALIZED (
+        |  SELECT segment, prio, c, tgt, (w * tgt) // rs AS w
+        |  FROM w${k - 1} JOIN r$k USING (segment)),
+        |c$k AS MATERIALIZED (
+        |  SELECT prio, CAST(sum(w) AS HUGEINT) AS cs
+        |  FROM wr$k GROUP BY 1),
+        |w$k AS MATERIALIZED (
+        |  SELECT segment, prio, c, tgt, (w * tgt) // cs AS w
+        |  FROM wr$k JOIN c$k USING (prio))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT segment, prio, c, CAST(w AS BIGINT) AS w_micro,
+      |       CAST(w AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS fitted
+      |FROM w$rounds ORDER BY segment, prio""".stripMargin)
     sb.toString
   }
 

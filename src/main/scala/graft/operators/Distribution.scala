@@ -566,6 +566,49 @@ object Distribution {
             (col("n_pairs") - col("tied_y")).cast("double"))).as("tau_b"))
   }
 
+  /** Iterative proportional fitting / raking (q_ipf): reweight the
+    * (segment × priority) order contingency so BOTH margins hit the
+    * uniform target — the survey-statistics bias correction (and the
+    * classic IPF algorithm) run on integer micro-unit weights: each
+    * half-step rescales by `(w·target) div margin_sum` (truncating
+    * division on non-negative operands — engine-identical), so every
+    * intermediate table replays bitwise in the unrolled-CTE oracle.
+    * All post-aggregation frames are |segments|·|priorities|-sized;
+    * the corpus is touched once. */
+  def ipfRaking(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = graft.scale.Silver.materialize(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("c")),
+      "ipf_cells") // feeds the total AND round 0
+    val n = cells.agg(sum(col("c")).as("n"))
+    var w = cells.crossJoin(broadcast(n))
+      .withColumn("tgt", expr("(n * 1000000) div 5"))
+      .select(col("segment"), col("prio"), col("c"), col("tgt"),
+        (col("c") * lit(1000000L)).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy("segment").agg(sum(col("w")).as("rs"))
+      val wr = w.join(broadcast(rs), "segment")
+        .select(col("segment"), col("prio"), col("c"), col("tgt"),
+          expr(s"(cast(w as $d38) * cast(tgt as $d38)) div rs").as("w"))
+      val cs = wr.groupBy("prio").agg(sum(col("w")).as("cs"))
+      w = wr.join(broadcast(cs), "prio")
+        .select(col("segment"), col("prio"), col("c"), col("tgt"),
+          expr(s"(cast(w as $d38) * cast(tgt as $d38)) div cs").as("w"))
+        .localCheckpoint(true)
+    }
+    w.select(col("segment"), col("prio"), col("c"),
+        col("w").as("w_micro"),
+        (col("w").cast("double") / lit(1000000.0)).as("fitted"))
+      .orderBy("segment", "prio")
+  }
+
   /** Difference-in-differences (q_did): the 2×2 causal-inference
     * contrast — (treated post − treated pre) − (control post − control
     * pre) over mean order value, with BUILDING as the "treated"

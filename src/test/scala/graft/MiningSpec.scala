@@ -1343,6 +1343,20 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ipf: fitted margins converge to the uniform target") {
+    val w = graft.operators.Distribution.ipfRaking(spark, TestSpark.Sf0001)
+      .collect()
+    assert(w.length == 25)
+    val total = w.map(_.getLong(2)).sum.toDouble
+    val target = total / 5.0
+    val rowSums = w.groupBy(_.getString(0)).values.map(_.map(_.getDouble(4)).sum)
+    val colSums = w.groupBy(_.getString(1)).values.map(_.map(_.getDouble(4)).sum)
+    // after 6 rounds both margins sit within 0.1% of the target
+    rowSums.foreach(s => assert(math.abs(s - target) / target < 1e-3, s"row $s vs $target"))
+    colSums.foreach(s => assert(math.abs(s - target) / target < 1e-3, s"col $s vs $target"))
+    w.foreach(r => assert(r.getLong(3) >= 0L))
+  }
+
   test("log2 histogram: buckets partition the rows and quantile flags are unique") {
     val h = graft.operators.Approx.log2Histogram(spark, TestSpark.Sf0001).collect()
     val total = h.map(_.getLong(1)).sum
