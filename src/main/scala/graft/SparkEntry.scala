@@ -294,7 +294,10 @@ object SparkEntry {
     "q_stationary"      -> ((s, d) => EventOps.stationaryDistribution(s, d)),
     "q_did"             -> ((s, d) => graft.operators.Distribution.diffInDiff(s, d)),
     "q_pca_project"     -> ((s, d) => graft.scale.EmbedStats.pcaProjectionQuery(s, d)),
-    "q_ipf"             -> ((s, d) => graft.operators.Distribution.ipfRaking(s, d))
+    "q_ipf"             -> ((s, d) => graft.operators.Distribution.ipfRaking(s, d)),
+    "q_cramers_v"       -> ((s, d) => graft.operators.Distribution.cramersV(s, d)),
+    "q_mcnemar"         -> ((s, d) => graft.operators.Distribution.mcnemarTest(s, d)),
+    "q_kappa"           -> ((s, d) => graft.scale.TextAnalysis.cohenKappa(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6009,7 +6012,119 @@ object SparkEntry {
         |  (CAST(CAST(s_cpost AS VARCHAR) AS DOUBLE) / CAST(n_cpost AS DOUBLE) -
         |   CAST(CAST(s_cpre AS VARCHAR) AS DOUBLE) / CAST(n_cpre AS DOUBLE))
         |    AS did_cents
-        |FROM cells""".stripMargin
+        |FROM cells""".stripMargin,
+
+    // Cramér's V: per-cell χ² terms as exact-decimal rationals floored at
+    // 1e-9 into an order-free integer sum (floor-witness device); V is a
+    // terminal fixed chain. VARCHAR-routed HUGEINT→DOUBLE casts.
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |         CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT segment, CAST(sum(obs) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT priority, CAST(sum(obs) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |d AS (
+        |  SELECT
+        |    CAST(CAST(CAST(n AS DECIMAL(38,0)) * obs -
+        |              CAST(rt AS DECIMAL(38,0)) * ct AS VARCHAR) AS DOUBLE)
+        |      AS dev,
+        |    CAST(CAST(CAST(n AS DECIMAL(38,0)) * rt * ct AS VARCHAR)
+        |         AS DOUBLE) AS den
+        |  FROM cells JOIN rt USING (segment) JOIN ct USING (priority)
+        |       CROSS JOIN n),
+        |s AS (SELECT CAST(sum(CAST(floor(dev * dev / den * 1000000000.0)
+        |                           AS BIGINT)) AS BIGINT) AS chi2_e9
+        |      FROM d),
+        |k AS (SELECT CAST(count(DISTINCT segment) AS BIGINT) AS r,
+        |             CAST(count(DISTINCT priority) AS BIGINT) AS c
+        |      FROM cells)
+        |SELECT n, r, c, chi2_e9,
+        |       sqrt(CAST(chi2_e9 AS DOUBLE) / 1000000000.0 /
+        |            (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+        |         AS v
+        |FROM n CROSS JOIN s CROSS JOIN k""".stripMargin,
+
+    // McNemar: per-order paired flags, four exact cells, the statistic is
+    // one integer square over the discordant counts and one division.
+    "q_mcnemar" ->
+      """WITH f AS (
+        |  SELECT l_orderkey,
+        |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN CAST(l_discount AS DECIMAL(18,6)) >
+        |                  CAST('0.05' AS DECIMAL(18,6))
+        |             THEN 1 ELSE 0 END) AS b
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11
+        |  FROM f)
+        |SELECT n00, n01, n10, n11,
+        |       CASE WHEN n01 + n10 > 0 THEN
+        |         CAST((n01 - n10) * (n01 - n10) AS DOUBLE) /
+        |         CAST(n01 + n10 AS DOUBLE) END AS mcnemar
+        |FROM c""".stripMargin,
+
+    // Cohen's kappa over the langID confusion cells: κ =
+    // (n·diag − Σrt·ct)/(n² − Σrt·ct), one division of exact integers.
+    "q_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
+        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, cjk,
+        |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
+        |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
+        |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
+        |         len(list_intersect(toks, ['el','los','las','es','y','en'])) AS hs
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN cjk THEN 'zh'
+        |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |              WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |              WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+        |              WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |              ELSE 'de' END AS pred
+        |  FROM v),
+        |cells AS (
+        |  SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+        |rt AS (SELECT lang AS label, CAST(sum(n) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT)
+        |           AS diag
+        |  FROM cells),
+        |e AS (
+        |  SELECT CAST(COALESCE(sum(CAST(rt AS DECIMAL(38,0)) * ct), 0)
+        |              AS BIGINT) AS sum_e
+        |  FROM rt JOIN ct USING (label))
+        |SELECT n, diag, sum_e,
+        |       CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |       CAST(sum_e AS DOUBLE) /
+        |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+        |       CAST(CAST(CAST(n AS DECIMAL(38,0)) * diag - sum_e AS VARCHAR)
+        |            AS DOUBLE) /
+        |       CAST(CAST(CAST(n AS DECIMAL(38,0)) * n - sum_e AS VARCHAR)
+        |            AS DOUBLE) AS kappa
+        |FROM tot CROSS JOIN e""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -767,4 +767,90 @@ object Distribution {
         (col("max_dev") / col("sd")).as("grubbs_g"))
       .orderBy("segment")
   }
+
+  /** Cramér's V association strength between market segment and order
+    * priority (q_cramers_v) — the effect-size companion to
+    * [[chi2Contingency]]: "the χ² is significant, but is the
+    * association MEANINGFUL?"
+    *
+    * χ² is accumulated through the repo's floor-witness device
+    * (q_quant_error precedent): each cell's term is the exact rational
+    * (n·obs − rt·ct)²/(n·rt·ct) evaluated as a fixed float tree over
+    * exact decimal(38,0) operands, then floored at 1e-9 resolution to a
+    * long — the SUM of longs is accumulation-order-free where a float
+    * Σ of 25 terms would depend on partition order. V =
+    * √(χ²/(n·min(r−1,c−1))) is a terminal fixed chain.
+    *
+    * Scale shape: ONE map-side-combining fact aggregate to the ≤ r·c
+    * cell frame; margins, distinct-level counts and the witness sum all
+    * run on that bounded frame (broadcast one-row joins — never a
+    * second fact pass). Bound: (n·obs)² must fit decimal(38,0) — exact
+    * up to ~3·10⁹ facts, which covers the 100 TB order table; beyond
+    * that scale the witness resolution down. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("segment").agg(sum(col("obs")).as("rt"))
+    val ct = cells.groupBy("priority").agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    val terms = cells.join(broadcast(rt), "segment")
+      .join(broadcast(ct), "priority")
+      .crossJoin(broadcast(n))
+      .withColumn("dev",
+        (col("n").cast(d38) * col("obs") - col("rt").cast(d38) * col("ct"))
+          .cast("double"))
+      .withColumn("den",
+        (col("n").cast(d38) * col("rt") * col("ct")).cast("double"))
+    val chi2 = terms.agg(
+      sum(floor(col("dev") * col("dev") / col("den") * lit(1.0e9))
+        .cast("long")).as("chi2_e9"))
+    // distinct level counts as two tiny aggregates over the cell frame
+    // (a double countDistinct in one agg would plan an Expand).
+    val r = cells.select("segment").distinct().agg(count(lit(1)).as("r"))
+    val c = cells.select("priority").distinct().agg(count(lit(1)).as("c"))
+    n.crossJoin(broadcast(chi2)).crossJoin(broadcast(r))
+      .crossJoin(broadcast(c))
+      .select(col("n"), col("r"), col("c"), col("chi2_e9"),
+        sqrt(col("chi2_e9").cast("double") / lit(1.0e9) /
+          (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))).as("v"))
+  }
+
+  /** McNemar's test for paired binary outcomes (q_mcnemar): per order,
+    * flag A = "any item returned" vs flag B = "any item discounted
+    * above 5%" — do the two conditions disagree symmetrically? The statistic
+    * (n01−n10)²/(n01+n10) only involves the DISCORDANT counts; all four
+    * cells are exact longs from one fact aggregate (per-order flag
+    * reduction, map-side combine on the natural l_orderkey clustering),
+    * and the statistic is one integer square and one division. NULL
+    * when there are no discordant pairs — both engines' CASE guard. */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("a"),
+        max(when(col("l_discount").cast("decimal(18,6)") >
+            lit("0.05").cast("decimal(18,6)"), 1L)
+          .otherwise(0L)).as("b"))
+    flags.agg(
+        sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+          .as("n11"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        when(col("n01") + col("n10") > 0L,
+          ((col("n01") - col("n10")) * (col("n01") - col("n10")))
+            .cast("double") / (col("n01") + col("n10")).cast("double"))
+          .as("mcnemar"))
+  }
 }

@@ -724,6 +724,45 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Cohen's kappa for the language-ID heuristic vs the gold labels
+    * (q_kappa) — chance-corrected agreement over [[langIdEval]]'s
+    * confusion cells: the single-number answer to "is the classifier
+    * better than the marginal-frequency coin?"
+    *
+    * Everything reduces to three exact integers on the |langs|²-bounded
+    * cell frame: n, the diagonal mass, and Σᵢ rtᵢ·ctᵢ (the chance-
+    * agreement numerator; the inner join on label drops labels that
+    * appear only as truth or only as prediction — their product term is
+    * zero anyway). κ = (n·diag − Σrt·ct)/(n² − Σrt·ct) is then ONE
+    * division of exact decimal(38,0) values, and po/pe are each a
+    * single-op chain — no float accumulation anywhere. One doc-stream
+    * pass total; every later frame is ≤ |langs|² rows. */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("lang"), langIdHeuristic(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n")),
+      "kappa_cells") // feeds tot, rt and ct
+    val rt = cells.groupBy(col("lang").as("label")).agg(sum(col("n")).as("rt"))
+    val ct = cells.groupBy(col("pred").as("label")).agg(sum(col("n")).as("ct"))
+    val tot = cells.agg(sum(col("n")).as("n"),
+      sum(when(col("lang") === col("pred"), col("n")).otherwise(0L))
+        .as("diag"))
+    val e = rt.join(ct, "label")
+      .agg(coalesce(sum(col("rt").cast(d38) * col("ct")), lit(0L).cast(d38))
+        .cast("long").as("sum_e"))
+    tot.crossJoin(broadcast(e))
+      .select(col("n"), col("diag"), col("sum_e"),
+        (col("diag").cast("double") / col("n").cast("double")).as("po"),
+        (col("sum_e").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("pe"),
+        ((col("n").cast(d38) * col("diag") - col("sum_e")).cast("double") /
+          (col("n").cast(d38) * col("n") - col("sum_e")).cast("double"))
+          .as("kappa"))
+  }
+
   def languageSimpson(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("source", "lang")
