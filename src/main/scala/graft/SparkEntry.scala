@@ -297,7 +297,15 @@ object SparkEntry {
     "q_ipf"             -> ((s, d) => graft.operators.Distribution.ipfRaking(s, d)),
     "q_cramers_v"       -> ((s, d) => graft.operators.Distribution.cramersV(s, d)),
     "q_mcnemar"         -> ((s, d) => graft.operators.Distribution.mcnemarTest(s, d)),
-    "q_kappa"           -> ((s, d) => graft.scale.TextAnalysis.cohenKappa(s, d))
+    "q_kappa"           -> ((s, d) => graft.scale.TextAnalysis.cohenKappa(s, d)),
+    "q_partial_corr"    -> ((s, d) => graft.operators.Regression.partialCorrQuery(s, d)),
+    "q_hits"            -> ((s, d) => graft.operators.PageRank.hitsQuery(s, d)),
+    "q_label_prop"      -> ((s, d) => graft.operators.PageRank.labelPropQuery(s, d)),
+    "q_component_sizes" -> ((s, d) => Dedup.componentSizeDist(s, d)),
+    "q_mann_kendall"    -> ((s, d) => graft.operators.TimeSeries.mannKendall(s, d)),
+    "q_rbo"             -> ((s, d) => graft.scale.Search.rboQuery(s, d)),
+    "q_xval_folds"      -> ((s, d) => TrainingData.xvalFolds(s, d)),
+    "q_centroid_classify" -> ((s, d) => graft.scale.EmbedStats.centroidClassifyQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6124,7 +6132,219 @@ object SparkEntry {
         |            AS DOUBLE) /
         |       CAST(CAST(CAST(n AS DECIMAL(38,0)) * n - sum_e AS VARCHAR)
         |            AS DOUBLE) AS kappa
-        |FROM tot CROSS JOIN e""".stripMargin
+        |FROM tot CROSS JOIN e""".stripMargin,
+
+    // Partial correlation: the corr_matrix moment pass + the
+    // confounder-adjustment fixed tree over the three pairwise r's.
+    "q_partial_corr" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS x2,
+        |         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |           AS x3
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+        |         sum(CAST(x3 AS HUGEINT)) AS s3,
+        |         sum(CAST(x1 AS HUGEINT) * x1) AS q11,
+        |         sum(CAST(x2 AS HUGEINT) * x2) AS q22,
+        |         sum(CAST(x3 AS HUGEINT) * x3) AS q33,
+        |         sum(CAST(x1 AS HUGEINT) * x2) AS q12,
+        |         sum(CAST(x1 AS HUGEINT) * x3) AS q13,
+        |         sum(CAST(x2 AS HUGEINT) * x3) AS q23
+        |  FROM li),
+        |c AS (
+        |  SELECT n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q12 - s1 * s2 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(n AS HUGEINT) * q11 - s1 * s1 AS VARCHAR)
+        |                AS DOUBLE) *
+        |           CAST(CAST(CAST(n AS HUGEINT) * q22 - s2 * s2 AS VARCHAR)
+        |                AS DOUBLE)) AS r12,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q13 - s1 * s3 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(n AS HUGEINT) * q11 - s1 * s1 AS VARCHAR)
+        |                AS DOUBLE) *
+        |           CAST(CAST(CAST(n AS HUGEINT) * q33 - s3 * s3 AS VARCHAR)
+        |                AS DOUBLE)) AS r13,
+        |    CAST(CAST(CAST(n AS HUGEINT) * q23 - s2 * s3 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(n AS HUGEINT) * q22 - s2 * s2 AS VARCHAR)
+        |                AS DOUBLE) *
+        |           CAST(CAST(CAST(n AS HUGEINT) * q33 - s3 * s3 AS VARCHAR)
+        |                AS DOUBLE)) AS r23
+        |  FROM m)
+        |SELECT n, r12, r13, r23,
+        |       (r12 - r13 * r23) /
+        |       sqrt((1.0 - r13 * r13) * (1.0 - r23 * r23)) AS partial_r
+        |FROM c""".stripMargin,
+
+    "q_hits" -> hitsOracleSql,
+    "q_label_prop" -> labelPropOracleSql,
+
+    // Component-size histogram of the SimHash near-dup graph: the
+    // q_dup_clusters recursive closure, collapsed to sizes.
+    "q_component_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(60)) AS b) bits
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, sig, c AS band, (sig >> (c * 15)) & 32767 AS chunk
+        |  FROM sig, (SELECT unnest(range(4)) AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk = y.chunk AND x.band = y.band AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+        |sym AS (SELECT d1 AS u, d2 AS v FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+        |       FROM lab GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Mann–Kendall: integer S over the week-pair frame, exact tie
+    // correction, z as one fixed tree.
+    "q_mann_kendall" ->
+      """WITH weekly AS (
+        |  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 604800000 AS week,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(COALESCE(sum(CASE WHEN b.v > a.v THEN 1
+        |                                WHEN b.v < a.v THEN -1
+        |                                ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM weekly a JOIN weekly b ON a.week < b.week),
+        |ties AS (
+        |  SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |           AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM weekly GROUP BY v)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks FROM weekly),
+        |w AS (
+        |  SELECT n_weeks, s,
+        |         n_weeks * (n_weeks - 1) * (2 * n_weeks + 5) - tie_term AS var18
+        |  FROM n CROSS JOIN s CROSS JOIN ties)
+        |SELECT n_weeks, s, var18,
+        |       CASE WHEN var18 = 0 THEN 0.0
+        |            WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) /
+        |                            sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) /
+        |                            sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |            ELSE 0.0 END AS z
+        |FROM w""".stripMargin,
+
+    // RBO(p=1/2, k=10): per-half top-10 via ORDER/LIMIT, counting-join
+    // ranks, depth-spine overlaps, exact 2^10·2520-scaled integer sum.
+    "q_rbo" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day
+        |  FROM orders),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |ph AS (
+        |  SELECT l_partkey AS part,
+        |         CASE WHEN day * 2 <= d0 + d1 THEN 'h1' ELSE 'h2' END AS half,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN o ON l_orderkey = o_orderkey CROSS JOIN b
+        |  GROUP BY 1, 2),
+        |ta AS (SELECT part, rev FROM ph WHERE half = 'h1'
+        |       ORDER BY rev DESC, part ASC LIMIT 10),
+        |tb AS (SELECT part, rev FROM ph WHERE half = 'h2'
+        |       ORDER BY rev DESC, part ASC LIMIT 10),
+        |ra AS (
+        |  SELECT a.part, CAST(count(b2.part) + 1 AS BIGINT) AS r
+        |  FROM ta a LEFT JOIN ta b2
+        |    ON b2.rev > a.rev OR (b2.rev = a.rev AND b2.part < a.part)
+        |  GROUP BY a.part),
+        |rb AS (
+        |  SELECT a.part, CAST(count(b2.part) + 1 AS BIGINT) AS r
+        |  FROM tb a LEFT JOIN tb b2
+        |    ON b2.rev > a.rev OR (b2.rev = a.rev AND b2.part < a.part)
+        |  GROUP BY a.part),
+        |common AS (
+        |  SELECT ra.part, greatest(ra.r, rb.r) AS dmin
+        |  FROM ra JOIN rb USING (part)),
+        |spine AS (SELECT unnest(range(1, 11)) AS d),
+        |ov AS (
+        |  SELECT d, CAST(count(c.part) AS BIGINT) AS ov
+        |  FROM spine s LEFT JOIN common c ON c.dmin <= s.d
+        |  GROUP BY d),
+        |t AS (SELECT d, ov,
+        |             (2520 // d) * (1 << CAST(10 - d AS INTEGER)) * ov AS term
+        |      FROM ov)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |       max(CASE WHEN d = 10 THEN ov END) AS overlap_at_k,
+        |       CAST(sum(term) AS BIGINT) AS rbo_scaled,
+        |       CAST(sum(term) AS DOUBLE) / 2580480.0 AS rbo
+        |FROM t""".stripMargin,
+
+    // k-fold audit: (md5 % 100) % 5 fold id + per-fold class balance.
+    "q_xval_folds" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 % 5 AS fold,
+        |         n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT fold, lang, CAST(count(*) AS BIGINT) AS docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM f GROUP BY 1, 2),
+        |t AS (SELECT fold, CAST(sum(docs) AS BIGINT) AS fold_docs
+        |      FROM g GROUP BY 1)
+        |SELECT fold, lang, docs, chars, fold_docs,
+        |       CAST(docs AS DOUBLE) / CAST(fold_docs AS DOUBLE) AS lang_share
+        |FROM g JOIN t USING (fold)
+        |ORDER BY fold, lang""".stripMargin,
+
+    // Nearest-centroid confusion: 10⁴-grid quantization, truncating-mean
+    // centroids, exact long distances, min-struct argmin.
+    "q_centroid_classify" ->
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS j,
+        |         CAST(floor((CAST(x AS DOUBLE) + 1) * 10000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label AS clabel, j, CAST(sum(q) // count(*) AS BIGINT) AS c
+        |  FROM qv GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT qv.vec_id, qv.label, cent.clabel,
+        |         CAST(sum((qv.q - cent.c) * (qv.q - cent.c)) AS BIGINT) AS d2
+        |  FROM qv JOIN cent USING (j) GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT vec_id, label, clabel AS pred FROM (
+        |    SELECT vec_id, label, clabel,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY d2 ASC, clabel ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cells AS (
+        |  SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2),
+        |rt AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label
+        |       FROM cells GROUP BY 1)
+        |SELECT label, pred, n, label = pred AS is_correct,
+        |       CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall_share
+        |FROM cells JOIN rt USING (label)
+        |ORDER BY label, pred""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -6170,6 +6390,88 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(node AS BIGINT) AS node, rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `PageRank.hitsQuery`: 3 quantized HITS rounds
+    * unrolled — per round the authority sum+renorm and the hub
+    * sum+renorm, all integer (`//` on non-negative operands ≡ Spark's
+    * truncating `div`). MATERIALIZED per level (each referenced twice). */
+  private def hitsOracleSql: String = {
+    val iters = 3
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h.h) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         |am$i AS MATERIALIZED (SELECT max(raw) AS mx FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN m.mx IS NULL THEN 0
+         |              ELSE (COALESCE(r.raw, 0) * 10000) // m.mx END
+         |              AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node
+         |       CROSS JOIN am$i m),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a.a) AS raw
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         |hm$i AS MATERIALIZED (SELECT max(raw) AS mx FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN m.mx IS NULL THEN 0
+         |              ELSE (COALESCE(r.raw, 0) * 10000) // m.mx END
+         |              AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node
+         |       CROSS JOIN hm$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS src, -(o.o_custkey + 1) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |h0 AS (SELECT node, CAST(10000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT CAST(h.node AS BIGINT) AS node, h.h AS hub, a.a AS authority
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node
+       |ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `PageRank.labelPropQuery`: 4 synchronous LPA
+    * rounds unrolled — per round the neighbor-label vote count and the
+    * (c DESC, label ASC) argmax; community sizes at the end. */
+  private def labelPropOracleSql: String = {
+    val iters = 4
+    val rounds = (1 to iters).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |p$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, label ASC) AS rn
+         |    FROM v$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(p.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN p$i p ON n.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS s, -(o.o_custkey + 1) AS c
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT s AS src, c AS dst FROM pairs
+       |    UNION ALL SELECT c, s FROM pairs)),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds,
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+       |       FROM l$iters GROUP BY 1)
+       |SELECT CAST(l.node AS BIGINT) AS node, CAST(l.label AS BIGINT) AS label,
+       |       sz.comm_size
+       |FROM l$iters l JOIN sz USING (label)
+       |ORDER BY node""".stripMargin
   }
 
   /** DuckDB replay of `KCore.kcoreQuery`: 6 peel rounds unrolled — per

@@ -95,4 +95,124 @@ object PageRank {
       .select(col("node").cast("long").as("node"), col("rank"))
       .orderBy("node")
   }
+
+  /** HITS hubs & authorities over a DIRECTED edge list — the
+    * mutual-reinforcement companion to [[pagerank]] (Kleinberg's
+    * algorithm): a node is a good authority if good hubs point at it,
+    * a good hub if it points at good authorities.
+    *
+    * Same integer-quantization discipline as pagerank: scores live on a
+    * 10⁴ grid; each half-round is one edges⋈scores join + map-side-
+    * combining sum, then the max-renormalization
+    * `(raw·10⁴) div max(raw)` — truncating division on NON-NEGATIVE
+    * operands, where DuckDB's flooring `//` agrees (the pca_power
+    * device). max is accumulation-order-free, so every iterate replays
+    * bitwise in the unrolled-CTE oracle. Bound: raw = Σ scores ≤
+    * 10⁴·degree, so raw·10⁴ stays in Long up to ~10¹⁴-degree hubs.
+    *
+    * Scale shape per round: two keyed shuffles (by dst, by src) over
+    * the edge list, two node-spine left joins, a one-row broadcast max;
+    * lineage cut per round via [[graft.scale.Silver.scratch]]. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e = graft.scale.Silver.scratch(
+      edges.select(col("src"), col("dst")).distinct(), "hits_edges")
+    val nodes = graft.scale.Silver.scratch(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(), "hits_nodes")
+    // empty-graph guard: a null max would null every score (the
+    // Triangles empty-edge lesson); with no edges all scores are 0.
+    def renorm(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("mx").isNull, lit(0L))
+            .otherwise(expr("(coalesce(raw, 0L) * 10000) div mx")).as(out))
+    }
+    var h = nodes.withColumn("h", lit(10000L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (i <- 1 to iters) {
+      val ain = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("raw"))
+      a = graft.scale.Silver.scratch(renorm(ain, "a"), "hits_a")
+      val hout = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("raw"))
+      h = graft.scale.Silver.scratch(renorm(hout, "h"), "hits_h")
+    }
+    h.join(a, "node").select(col("node"), col("h").as("hub"),
+      col("a").as("authority"))
+  }
+
+  /** q_hits: hubs/authorities of the supplier→customer trading graph
+    * (an edge per distinct supplier–customer lineitem pair — suppliers
+    * can only be hubs, customers only authorities in this bipartite
+    * orientation, which the scores confirm). 3 quantized rounds. */
+  def hitsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), (-(col("o_custkey") + 1)).as("dst"))
+      .distinct()
+    hits(edges, iters = 3)
+      .select(col("node").cast("long").as("node"), col("hub"),
+        col("authority"))
+      .orderBy("node")
+  }
+
+  /** Synchronous label propagation (community detection) over an
+    * undirected edge list: labels start as node ids; each round every
+    * node adopts its neighbors' most frequent label, ties to the
+    * SMALLEST label (the min-struct argmax device — deterministic under
+    * any partitioning, so fixed rounds replay exactly in the oracle;
+    * float-free, seed-free, the cheap communities pass before a
+    * modularity score justifies anything heavier).
+    *
+    * Scale shape per round: one edges⋈labels shuffle join, one
+    * map-side-combining (node, label) count (bounded by E rows), one
+    * argmax reduce to the node spine; lineage cut per round. Fixed
+    * `iters` — synchronous LPA may oscillate on bipartite structure,
+    * and a fixed horizon is exactly what an unrolled oracle can check. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e = graft.scale.Silver.scratch(
+      edges.select(col("src"), col("dst")).distinct(), "lpa_edges")
+    val nodes = graft.scale.Silver.scratch(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(), "lpa_nodes")
+    var lab = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val votes = e.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes.groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      // every node has in-edges (both directions registered), but keep
+      // the isolated-node fallback for directed callers
+      lab = graft.scale.Silver.scratch(
+        nodes.join(next, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("label"), col("node")).as("label")), "lpa_iter")
+    }
+    lab
+  }
+
+  /** q_label_prop: communities of the supplier↔customer co-trading
+    * graph after 4 synchronous rounds — (node, community label,
+    * community size). */
+  def labelPropQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (-(col("o_custkey") + 1)).as("c"))
+      .distinct()
+    val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+      .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+    val lab = labelPropagation(edges, iters = 4)
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("comm_size"))
+    lab.join(sizes, "label")
+      .select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label"), col("comm_size"))
+      .orderBy("node")
+  }
 }

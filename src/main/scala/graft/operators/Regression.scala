@@ -295,4 +295,51 @@ object Regression {
       .select("var_x", "var_y", "n", "corr")
       .orderBy("var_x", "var_y")
   }
+
+  /** Partial correlation of quantity and line revenue CONTROLLING for
+    * discount (q_partial_corr): r₁₂·₃ = (r₁₂ − r₁₃·r₂₃) /
+    * √((1−r₁₃²)(1−r₂₃²)) — "is the quantity↔revenue association real,
+    * or does the discount schedule drive both?" The confounder-adjusted
+    * companion to [[corrMatrix]].
+    *
+    * Same scale shape as corrMatrix: ONE fact pass accumulates all ten
+    * exact decimal(38,0) moments map-side; the three pairwise r's are
+    * each the corrOf fixed tree over exact operands, and the partial-r
+    * adjustment is four more single IEEE ops over those three doubles —
+    * the identical expression tree replays in DuckDB (VARCHAR-routed
+    * HUGEINT→DOUBLE casts oracle-side). */
+  def partialCorrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").cast(d38).as("x1"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").cast(d38).as("x2"),
+      (col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long").cast(d38).as("x3"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("q11"),
+      sum(col("x2") * col("x2")).as("q22"),
+      sum(col("x3") * col("x3")).as("q33"),
+      sum(col("x1") * col("x2")).as("q12"),
+      sum(col("x1") * col("x3")).as("q13"),
+      sum(col("x2") * col("x3")).as("q23"))
+    def corrOf(si: String, sj: String, qii: String, qjj: String,
+               qij: String): org.apache.spark.sql.Column = {
+      val n38 = col("n").cast(d38)
+      val num = (n38 * col(qij) - col(si) * col(sj)).cast("double")
+      val di = (n38 * col(qii) - col(si) * col(si)).cast("double")
+      val dj = (n38 * col(qjj) - col(sj) * col(sj)).cast("double")
+      num / sqrt(di * dj)
+    }
+    m.select(col("n"),
+        corrOf("s1", "s2", "q11", "q22", "q12").as("r12"),
+        corrOf("s1", "s3", "q11", "q33", "q13").as("r13"),
+        corrOf("s2", "s3", "q22", "q33", "q23").as("r23"))
+      .select(col("n"), col("r12"), col("r13"), col("r23"),
+        ((col("r12") - col("r13") * col("r23")) /
+          sqrt((lit(1.0) - col("r13") * col("r13")) *
+            (lit(1.0) - col("r23") * col("r23")))).as("partial_r"))
+  }
 }

@@ -430,4 +430,50 @@ object TimeSeries {
           .otherwise(lit("d")).as("symbol"))
       .orderBy("seg")
   }
+
+  /** Mann–Kendall trend test over the weekly revenue series
+    * (q_mann_kendall): the NONPARAMETRIC "is there a monotone trend?"
+    * companion to the least-squares slope (`q_trend`) and Theil–Sen
+    * (`q_theil_sen`) — S = Σ_{i<j} sign(v_j − v_i) counts direction
+    * only, so a single outlier week can't buy a trend.
+    *
+    * The fact stream collapses to the calendar-bounded weekly frame
+    * (exact cents sums); the pair frame is weeks²-bounded — the
+    * broadcast hint pins BroadcastNestedLoopJoin for the inequality
+    * condition (the q_kendall device; never a CartesianProduct). Tie
+    * correction Σ t(t−1)(2t+5) comes from one groupBy over the weekly
+    * VALUES. Var[S]·18 stays exact integer; z = (S∓1)/√(var) is a
+    * fixed tree with one sqrt (correctly rounded, portable). */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 604800000")
+            .as("week"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("week")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "mk_weekly") // both sides of the pair join + the tie counts
+    val s = weekly.as("a")
+      .join(broadcast(weekly.as("b")), col("a.week") < col("b.week"))
+      .agg(
+        sum(when(col("b.v") > col("a.v"), 1L)
+          .when(col("b.v") < col("a.v"), -1L).otherwise(0L)).as("s"))
+    val ties = weekly.groupBy("v").agg(count(lit(1)).as("t"))
+      .agg(coalesce(
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+        lit(0L)).as("tie_term"))
+    val n = weekly.agg(count(lit(1)).as("n_weeks"))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("n_weeks") * (col("n_weeks") - 1L) *
+          (lit(2L) * col("n_weeks") + 5L) - col("tie_term"))
+      .select(col("n_weeks"), col("s"), col("var18"),
+        when(col("var18") === 0L, lit(0.0))
+          .when(col("s") > 0L, (col("s") - 1L).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s") < 0L, (col("s") + 1L).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"))
+  }
 }

@@ -600,6 +600,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Component-size distribution of the near-dup graph
+    * (q_component_sizes): how big do duplicate clusters get — the
+    * shape answer behind "is our duplication a long tail of pairs or a
+    * few mega-clusters?" (mega-clusters usually mean boilerplate, not
+    * true dups, and deserve a rule not a dedup). Reuses [[dupClusters]]'
+    * SimHash pair graph + connected components; the size histogram is
+    * two keyed aggregates over the component labels — exact counts,
+    * sizes are the natural histogram key (cluster sizes are small by
+    * construction of the Hamming threshold). */
+  def componentSizeDist(spark: SparkSession, dir: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairsUnsorted(spark, dir, maxHamming)
+    val cc = connectedComponents(pairs.select(col("d1").as("u"), col("d2").as("v")))
+    cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** Keep-one dedup: drop every non-canonical member of a near-dup
     * cluster from the corpus. Broadcast-size drop list at test SF; at
     * 100 TB the anti-join shuffles on doc_id — the minimal possible

@@ -253,4 +253,51 @@ object EmbedStats {
           .as("var_proj"))
       .orderBy("label")
   }
+
+  /** Nearest-centroid classification of the embedding corpus against
+    * its own label centroids (q_centroid_classify): the zero-training
+    * baseline every embedding model should beat, and the confusion
+    * matrix that says WHICH labels the embedding space actually
+    * separates (the multi-class sibling of [[pcaProjectionQuery]]'s
+    * one-direction view).
+    *
+    * All-integer: vectors quantize to the non-negative
+    * `floor((x+1)·10⁴)` grid; centroid components are the truncating
+    * mean `sum(q) div count` (floor ≡ trunc on the non-negative
+    * operand — engine-identical); per-(vector, label) squared distance
+    * Σ(q−c)² is an exact long (≤ 64·(2·10⁴)² per vector); argmin by
+    * min-struct (d², label) — ties to the smaller label,
+    * deterministic. Confusion cells + per-true-label recall shares
+    * are exact-count ratios.
+    *
+    * Scale shape: the |labels|·width centroid table broadcasts into
+    * the scoring join — the corpus fans out width·|labels| rows per
+    * vector (a constant), collapses map-side per (vec, label), and is
+    * never shuffled at vector grain twice. */
+  def centroidClassifyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Silver.materialize(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("j0", "x")))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          (col("j0") + 1).cast("long").as("j"),
+          floor((col("x").cast("double") + 1d) * 10000d).cast("long").as("q")),
+      "nc_qv") // feeds the centroid build and the scoring pass
+    val cent = qv.groupBy(col("label").as("clabel"), col("j"))
+      .agg(expr("sum(q) div count(1)").as("c"))
+    val dist = qv.join(broadcast(cent), "j")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val pred = dist.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2").as("d"), col("clabel").as("l"))).as("m"))
+      .select(col("vec_id"), col("label"), col("m.l").as("pred"))
+    val cells = pred.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("label").agg(sum(col("n")).as("n_label"))
+    cells.join(broadcast(rowTot), "label")
+      .select(col("label"), col("pred"), col("n"),
+        (col("label") === col("pred")).as("is_correct"),
+        (col("n").cast("double") / col("n_label").cast("double"))
+          .as("recall_share"))
+      .orderBy("label", "pred")
+  }
 }

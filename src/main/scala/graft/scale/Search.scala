@@ -525,4 +525,64 @@ object Search {
       s"stack($deciles, $stackArgs) as (decile, docs_cutoff, vocab_size)")
       .orderBy("decile")
   }
+
+  /** Rank-biased overlap, p = 1/2, k = 10 (q_rbo): how similar are two
+    * top-k rankings — here the top-10 revenue parts of the first vs
+    * second half of the order history (the "did the leaderboard
+    * actually change?" metric for search/recs regression testing,
+    * top-weighted where plain set overlap is not).
+    *
+    * RBO(1/2) = Σ_{d=1..k} 2⁻ᵈ·ov_d/d (truncated form). With k = 10
+    * every term times 2¹⁰·2520 (lcm(1..10)) is an EXACT integer —
+    * 2520/d divides evenly for all d ≤ 10 — so the sum accumulates as
+    * longs in any order and ONE terminal division by 2 580 480 emits
+    * the float. Per-half top-10s come from TakeOrderedAndProject (never
+    * a full sort); ranks within each 10-row result use the counting
+    * self-join (the q_movers device — no window anywhere); overlaps at
+    * every depth come from a 10-row depth spine vs the ≤10-row common
+    * frame. Everything after the two fact aggregates is constant-size. */
+  def rboQuery(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+    val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perHalf = Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("half",
+          when(col("day") * 2 <= col("d0") + col("d1"), lit("h1"))
+            .otherwise(lit("h2")))
+        .groupBy(col("l_partkey").as("part"), col("half"))
+        .agg(sum(col("v")).as("rev")),
+      "rbo_halves") // feeds both per-half top-k selections
+    def rankedTop(h: String): DataFrame = {
+      val t = perHalf.filter(col("half") === h).select(col("part"), col("rev"))
+        .orderBy(col("rev").desc, col("part").asc).limit(k)
+      t.as("a").join(broadcast(t.as("b")),
+          col("b.rev") > col("a.rev") ||
+            (col("b.rev") === col("a.rev") && col("b.part") < col("a.part")),
+          "left")
+        .groupBy(col("a.part").as("part"))
+        .agg((count(col("b.part")) + 1).as("r"))
+    }
+    val common = rankedTop("h1").select(col("part"), col("r").as("ra"))
+      .join(rankedTop("h2").select(col("part"), col("r").as("rb")), "part")
+      .select(col("part"), greatest(col("ra"), col("rb")).as("dmin"))
+    val spine = spark.range(1, k + 1).select(col("id").as("d"))
+    val ov = spine.join(broadcast(common), col("dmin") <= col("d"), "left")
+      .groupBy("d").agg(count(col("part")).as("ov"))
+    ov.select(col("d"), col("ov"),
+        expr("(2520 div d) * shiftleft(1L, cast(10 - d as int)) * ov")
+          .as("term"))
+      .agg(sum(col("term")).as("rbo_scaled"),
+        max(when(col("d") === k.toLong, col("ov"))).as("overlap_at_k"))
+      .select(lit(k.toLong).as("k"), col("overlap_at_k"), col("rbo_scaled"),
+        (col("rbo_scaled").cast("double") / lit(2580480.0)).as("rbo"))
+  }
 }

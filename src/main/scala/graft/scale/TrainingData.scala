@@ -574,6 +574,29 @@ object TrainingData {
       .orderBy("split")
   }
 
+  /** k-fold cross-validation assignment audit (q_xval_folds): the
+    * deterministic md5-bucket fold id (the [[splitOf]] family — rerun-
+    * and partitioning-stable, so folds never leak between runs) plus
+    * the per-fold class-balance table that decides whether plain
+    * k-fold suffices or stratified folds are needed. One doc-stream
+    * aggregate; the fold-total join broadcasts k rows back. */
+  def xvalFolds(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val folds = Tables.documents(spark, dir)
+      .select(col("lang"),
+        pmod(hashBucket(col("doc_id")), lit(k.toLong)).as("fold"),
+        col("n_chars"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars").cast("long")).as("chars"))
+    val tot = folds.groupBy("fold").agg(sum(col("docs")).as("fold_docs"))
+    folds.join(broadcast(tot), "fold")
+      .select(col("fold"), col("lang"), col("docs"), col("chars"),
+        col("fold_docs"),
+        (col("docs").cast("double") / col("fold_docs").cast("double"))
+          .as("lang_share"))
+      .orderBy("fold", "lang")
+  }
+
   /** Balanced output sharding (q_shards): assign every document to one
     * of `nShards` output files so the shards carry near-equal bytes —
     * the write-side twin of [[batchByLength]]. Round-robin over the
