@@ -305,7 +305,12 @@ object SparkEntry {
     "q_mann_kendall"    -> ((s, d) => graft.operators.TimeSeries.mannKendall(s, d)),
     "q_rbo"             -> ((s, d) => graft.scale.Search.rboQuery(s, d)),
     "q_xval_folds"      -> ((s, d) => TrainingData.xvalFolds(s, d)),
-    "q_centroid_classify" -> ((s, d) => graft.scale.EmbedStats.centroidClassifyQuery(s, d))
+    "q_centroid_classify" -> ((s, d) => graft.scale.EmbedStats.centroidClassifyQuery(s, d)),
+    "q_markov_acc"      -> ((s, d) => EventOps.markovAccuracy(s, d)),
+    "q_mde"             -> ((s, d) => graft.operators.Distribution.mdeQuery(s, d)),
+    "q_kmv_union"       -> ((s, d) => graft.operators.Approx.kmvUnion(s, d)),
+    "q_stylometry"      -> ((s, d) => TextAnalysis.burrowsDelta(s, d)),
+    "q_grid_cluster"    -> ((s, d) => graft.scale.EmbedStats.gridClusterQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6344,7 +6349,197 @@ object SparkEntry {
         |SELECT label, pred, n, label = pred AS is_correct,
         |       CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall_share
         |FROM cells JOIN rt USING (label)
-        |ORDER BY label, pred""".stripMargin
+        |ORDER BY label, pred""".stripMargin,
+
+    // Order-1 Markov next-event baseline: argmax next type per prev type
+    // ((cnt DESC, type ASC) — the min-struct device), exact-count accuracy.
+    "q_markov_acc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |nx AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_ms, event_id) AS next_type
+        |  FROM e),
+        |pairs AS (
+        |  SELECT event_type AS prev_type, next_type,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT prev_type, next_type AS pred_next FROM (
+        |    SELECT prev_type, next_type,
+        |           row_number() OVER (PARTITION BY prev_type
+        |                              ORDER BY cnt DESC, next_type ASC) AS rn
+        |    FROM pairs) WHERE rn = 1)
+        |SELECT p.prev_type, d.pred_next,
+        |       CAST(sum(p.cnt) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN p.next_type = d.pred_next THEN p.cnt
+        |                     ELSE 0 END) AS BIGINT) AS n_correct,
+        |       CAST(sum(CASE WHEN p.next_type = d.pred_next THEN p.cnt
+        |                     ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(p.cnt) AS DOUBLE) AS accuracy
+        |FROM pairs p JOIN pred d USING (prev_type)
+        |GROUP BY 1, 2
+        |ORDER BY p.prev_type""".stripMargin,
+
+    // Minimum detectable effect: Grubbs sufficient-stats tree + the
+    // pinned 2.8 = z_{0.025}+z_{0.20} literal.
+    "q_mde" ->
+      """WITH s AS (
+        |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) AS HUGEINT)) AS s,
+        |         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) AS HUGEINT) *
+        |             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) AS HUGEINT)) AS q
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT segment, n,
+        |         CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE) -
+        |               CAST(CAST(s AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+        |               CAST(n AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM s),
+        |m AS (
+        |  SELECT segment, n, mu, sd,
+        |         2.8 * sd * sqrt(2.0 / CAST(n AS DOUBLE)) AS mde_cents
+        |  FROM t)
+        |SELECT segment, n, mu / 100.0 AS mean_price, sd / 100.0 AS sd_price,
+        |       mde_cents / 100.0 AS mde, mde_cents / mu AS mde_rel
+        |FROM m
+        |ORDER BY segment""".stripMargin,
+
+    // KMV sketch union: per-source bottom-k over the 52-bit md5 uniform,
+    // merged sketch = bottom-k of the two sketches' union.
+    "q_kmv_union" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS fp FROM documents
+        |  WHERE source IN ('src1', 'src2')),
+        |h AS (
+        |  SELECT DISTINCT source, fp,
+        |         CAST('0x' || substr(fp, 1, 13) AS BIGINT) /
+        |           4503599627370496.0 AS h
+        |  FROM d),
+        |ska AS (SELECT fp, h FROM h WHERE source = 'src1'
+        |        ORDER BY h, fp LIMIT 16),
+        |skb AS (SELECT fp, h FROM h WHERE source = 'src2'
+        |        ORDER BY h, fp LIMIT 16),
+        |mrg AS (SELECT DISTINCT fp, h FROM
+        |          (SELECT * FROM ska UNION ALL SELECT * FROM skb)
+        |        ORDER BY h, fp LIMIT 16),
+        |ea AS (SELECT max(h) AS h_a, CAST(count(*) AS BIGINT) AS k_a FROM ska),
+        |eb AS (SELECT max(h) AS h_b, CAST(count(*) AS BIGINT) AS k_b FROM skb),
+        |eu AS (SELECT max(h) AS h_u, CAST(count(*) AS BIGINT) AS k_union
+        |       FROM mrg),
+        |tr AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS true_union FROM d)
+        |SELECT k_union,
+        |       (CAST(k_a AS DOUBLE) - 1.0) / h_a AS est_a,
+        |       (CAST(k_b AS DOUBLE) - 1.0) / h_b AS est_b,
+        |       (CAST(k_union AS DOUBLE) - 1.0) / h_u AS est_union,
+        |       true_union,
+        |       ((CAST(k_union AS DOUBLE) - 1.0) / h_u -
+        |        CAST(true_union AS DOUBLE)) /
+        |         CAST(true_union AS DOUBLE) AS rel_err
+        |FROM eu CROSS JOIN ea CROSS JOIN eb CROSS JOIN tr""".stripMargin,
+
+    // Burrows' delta: 10⁹-grid relative frequencies, exact per-term
+    // moments, z fixed tree, floor-witness |Δz| sums.
+    "q_stylometry" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |      FROM st GROUP BY 1, 2),
+        |top AS (SELECT term FROM (
+        |          SELECT term, sum(c) AS tc FROM c GROUP BY 1
+        |          ORDER BY tc DESC, term ASC LIMIT 20)),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+        |rq AS (
+        |  SELECT tot.source, top.term,
+        |         CAST((COALESCE(c.c, 0) * 1000000000) // tot.t AS BIGINT) AS rq
+        |  FROM tot CROSS JOIN top
+        |       LEFT JOIN c ON c.source = tot.source AND c.term = top.term),
+        |pt AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(rq) AS BIGINT) AS s,
+        |         sum(CAST(rq AS HUGEINT) * rq) AS qq
+        |  FROM rq GROUP BY 1),
+        |pv AS (
+        |  SELECT term, n, s,
+        |         CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s AS vnum
+        |  FROM pt),
+        |z AS (
+        |  SELECT rq.source, rq.term,
+        |         CAST(CAST(CAST(p.n AS HUGEINT) * rq.rq - p.s AS VARCHAR)
+        |              AS DOUBLE) /
+        |           sqrt(CAST(CAST(p.vnum AS VARCHAR) AS DOUBLE)) AS z
+        |  FROM rq JOIN pv p ON rq.term = p.term
+        |  WHERE p.vnum > 0)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000.0) AS BIGINT))
+        |            AS BIGINT) AS delta_e6,
+        |       CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000.0) AS BIGINT))
+        |            AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS delta
+        |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // Grid-density clustering: 11×11 cell counts, cross-multiplied core
+    // test, 8-offset adjacency, recursive min-label components.
+    "q_grid_cluster" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT CAST(floor((CAST(embedding[1] AS DOUBLE) + 1) * 5)
+        |              AS BIGINT) AS gx,
+        |         CAST(floor((CAST(embedding[2] AS DOUBLE) + 1) * 5)
+        |              AS BIGINT) AS gy
+        |  FROM embeddings),
+        |cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM pts GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pts,
+        |               CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |core AS (
+        |  SELECT gx, gy, cnt, gx * 100 + gy AS id
+        |  FROM cells CROSS JOIN tot
+        |  WHERE cnt * n_cells >= 2 * n_pts),
+        |off AS (
+        |  SELECT dx.dx, dy.dy
+        |  FROM (SELECT unnest(range(-1, 2)) AS dx) dx,
+        |       (SELECT unnest(range(-1, 2)) AS dy) dy
+        |  WHERE NOT (dx.dx = 0 AND dy.dy = 0)),
+        |e AS (
+        |  SELECT a.id AS u, b.id AS v
+        |  FROM core a CROSS JOIN off
+        |       JOIN core b ON b.gx = a.gx + off.dx AND b.gy = a.gy + off.dy
+        |  WHERE a.id < b.id),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node),
+        |lab AS (SELECT node AS id, min(r) AS comp FROM reach GROUP BY 1),
+        |cl AS (
+        |  SELECT COALESCE(l.comp, c.id) AS cluster_id, c.cnt
+        |  FROM core c LEFT JOIN lab l ON c.id = l.id),
+        |summary AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(sum(cnt) AS BIGINT) AS n_points
+        |  FROM cl GROUP BY 1),
+        |noise AS (
+        |  SELECT CAST(-1 AS BIGINT) AS cluster_id,
+        |         CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_points
+        |  FROM cells CROSS JOIN tot
+        |  WHERE cnt * n_cells < 2 * n_pts)
+        |SELECT * FROM summary
+        |UNION ALL
+        |SELECT * FROM noise WHERE n_cells > 0
+        |ORDER BY cluster_id""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

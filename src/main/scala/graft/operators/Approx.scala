@@ -237,6 +237,50 @@ object Approx {
         col("true_distinct"), col("rel_err"))
   }
 
+  /** KMV sketch MERGEABILITY (q_kmv_union): build a bottom-k sketch per
+    * document source, merge the two SKETCHES (bottom-k of their union —
+    * never re-touching the raw data), and estimate the union
+    * cardinality — the algebra that makes sketches work at 100 TB:
+    * per-partition/per-source sketches reduce associatively, so a
+    * 1000-executor tree aggregation yields the same sketch as a single
+    * pass. Same 52-bit md5 uniform + (k−1)/h_k estimator as
+    * [[kmvEstimate]]; the exact union count rides along as the error
+    * witness. Element identity is the md5 text fingerprint (the exact-
+    * dedup key), so cross-source duplicates collapse correctly. */
+  def kmvUnion(spark: org.apache.spark.sql.SparkSession, dir: String,
+               srcA: String = "src1", srcB: String = "src2",
+               k: Int = 16): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), md5(col("text")).as("fp"))
+    val u = conv(substring(col("fp"), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0)
+    val hashed = graft.scale.Silver.scratch(
+      docs.select(col("source"), col("fp")).distinct()
+        .withColumn("h", u),
+      "kmv_hashed") // feeds both sketches and the exact-union witness
+    def sketch(s: String) = hashed.filter(col("source") === s)
+      .select(col("fp"), col("h"))
+      .orderBy(col("h").asc, col("fp").asc).limit(k)
+    def est(df: org.apache.spark.sql.DataFrame, pre: String) =
+      df.agg(max(col("h")).as(s"h_$pre"), count(lit(1)).as(s"k_$pre"))
+        .withColumn(s"est_$pre",
+          (col(s"k_$pre").cast("double") - lit(1.0)) / col(s"h_$pre"))
+    val skA = sketch(srcA)
+    val skB = sketch(srcB)
+    val merged = skA.unionAll(skB).distinct()
+      .orderBy(col("h").asc, col("fp").asc).limit(k)
+    val truth = hashed.select("fp").distinct()
+      .agg(count(lit(1)).as("true_union"))
+    est(merged, "union").crossJoin(broadcast(est(skA, "a")))
+      .crossJoin(broadcast(est(skB, "b")))
+      .crossJoin(broadcast(truth))
+      .select(col("k_union"), col("est_a"), col("est_b"), col("est_union"),
+        col("true_union"),
+        ((col("est_union") - col("true_union").cast("double")) /
+          col("true_union").cast("double")).as("rel_err"))
+  }
+
   /** Deterministic HyperLogLog (q_hll): the 64-register HLL estimate of
     * distinct order keys, built end-to-end in EXACT integer arithmetic
     * so DuckDB replays it bit-identically — unlike the built-in

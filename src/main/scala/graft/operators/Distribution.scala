@@ -822,6 +822,43 @@ object Distribution {
             least(col("r") - 1, col("c") - 1).cast("double"))).as("v"))
   }
 
+  /** Minimum detectable effect per market segment (q_mde): the A/B
+    * power analysis that belongs NEXT to q_srm and q_welch — before
+    * running an experiment on a segment, what's the smallest order-value
+    * lift it could resolve at α=0.05, power=0.80 with a 50/50 split?
+    * MDE = (z_{α/2}+z_{β})·σ·√(2/n) with the 2.8 constant pinned as an
+    * identical literal in both engines (z-quantiles are not portable
+    * functions). σ comes from the exact (n, Σv, Σv²) sufficient stats
+    * (the Grubbs tree); everything after the one fact aggregate is a
+    * fixed chain of single IEEE ops per 5-row segment. */
+  def mdeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("s"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("q"))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sd", sqrt(
+        (col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))))
+      .withColumn("mde_cents",
+        lit(2.8) * col("sd") * sqrt(lit(2.0) / col("n").cast("double")))
+      .select(col("segment"), col("n"),
+        (col("mu") / lit(100.0)).as("mean_price"),
+        (col("sd") / lit(100.0)).as("sd_price"),
+        (col("mde_cents") / lit(100.0)).as("mde"),
+        (col("mde_cents") / col("mu")).as("mde_rel"))
+      .orderBy("segment")
+  }
+
   /** McNemar's test for paired binary outcomes (q_mcnemar): per order,
     * flag A = "any item returned" vs flag B = "any item discounted
     * above 5%" — do the two conditions disagree symmetrically? The statistic

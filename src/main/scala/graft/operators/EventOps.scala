@@ -246,6 +246,40 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Markov next-event predictor accuracy (q_markov_acc): how well does
+    * the order-1 chain from [[eventTransitions]] predict the next event?
+    * — the sequence-model baseline every session model must beat (the
+    * event-stream sibling of the majority-class accuracy floor in
+    * q_label_balance). Per previous type the predictor is the argmax
+    * next type (min-struct on (−cnt, type): deterministic, smallest
+    * type on ties); accuracy = the predicted cell's mass over the row
+    * mass — exact-count ratios on the |types|²-bounded pair frame, ONE
+    * fact pass total (train = eval corpus, which is what a BASELINE
+    * audit wants: the ceiling an order-1 predictor can reach). */
+  def markovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = graft.scale.Silver.scratch(
+      events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt")),
+      "markov_pairs") // feeds the argmax and the accuracy rollup
+    val pred = pairs.groupBy("prev_type")
+      .agg(min(struct((-col("cnt")).as("nc"), col("next_type").as("nt")))
+        .as("m"))
+      .select(col("prev_type"), col("m.nt").as("pred_next"))
+    pairs.join(broadcast(pred), "prev_type")
+      .groupBy(col("prev_type"), col("pred_next"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(when(col("next_type") === col("pred_next"), col("cnt"))
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_pairs").cast("double"))
+      .orderBy("prev_type")
+  }
+
   /** Stationary distribution of the event-type Markov chain
     * (q_stationary): where does a user's session settle in the long
     * run? — π = πP by integer power iteration over

@@ -254,6 +254,64 @@ object EmbedStats {
       .orderBy("label")
   }
 
+  /** Grid-density clustering over the first two embedding dimensions
+    * (q_grid_cluster): the DBSCAN-family answer to "does the embedding
+    * cloud have dense modes, and how many?" — without k (contrast
+    * [[graft.operators.KMeans]], which must be told). Points bucket to
+    * an 11×11 grid (floor((x+1)·5) per axis); a cell is CORE when its
+    * count is ≥ 2× the mean occupied-cell load (the integer
+    * cross-multiplied test cnt·n_cells ≥ 2·n_pts — no division);
+    * adjacent core cells (Chebyshev ≤ 1, via the 8-offset spine — an
+    * equi-join, never an inequality join) merge into clusters through
+    * the same large-star/small-star components as the dedup graph.
+    * Everything after the one corpus pass runs on ≤ 121 cells; the
+    * output is the per-cluster (cells, points) summary plus the noise
+    * row (cluster_id = −1: mass in non-core cells).
+    *
+    * At 100 TB the grid would be finer and per-cell counts still
+    * reduce map-side — the corpus is never shuffled at point grain. */
+  def gridClusterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Silver.scratch(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(
+          floor((element_at(col("embedding"), 1).cast("double") + 1d) * 5d)
+            .cast("long").as("gx"),
+          floor((element_at(col("embedding"), 2).cast("double") + 1d) * 5d)
+            .cast("long").as("gy"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("cnt")),
+      "grid_cells") // feeds totals, core split, and the noise row
+    val tot = cells.agg(sum(col("cnt")).as("n_pts"),
+      count(lit(1)).as("n_cells"))
+    val withTot = cells.crossJoin(broadcast(tot))
+    val core = withTot
+      .filter(col("cnt") * col("n_cells") >= lit(2L) * col("n_pts"))
+      .withColumn("id", col("gx") * 100L + col("gy"))
+    val off = spark.range(-1, 2).select(col("id").as("dx"))
+      .crossJoin(spark.range(-1, 2).select(col("id").as("dy")))
+      .filter(!(col("dx") === 0L && col("dy") === 0L))
+    val e = core.crossJoin(broadcast(off))
+      .select((col("gx") + col("dx")).as("ngx"),
+        (col("gy") + col("dy")).as("ngy"), col("id").as("u"))
+      .join(core.select(col("gx").as("ngx"), col("gy").as("ngy"),
+        col("id").as("v")), Seq("ngx", "ngy"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+    val cc = Dedup.connectedComponents(e)
+      .select(col("node").as("id"), col("component"))
+    val clusters = core.join(cc, Seq("id"), "left")
+      .select(coalesce(col("component"), col("id")).as("cluster_id"),
+        col("cnt"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_points"))
+    val noise = withTot
+      .filter(col("cnt") * col("n_cells") < lit(2L) * col("n_pts"))
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_points"))
+      .select(lit(-1L).as("cluster_id"), col("n_cells"), col("n_points"))
+      .filter(col("n_cells") > 0L)
+    clusters.unionAll(noise).orderBy("cluster_id")
+  }
+
   /** Nearest-centroid classification of the embedding corpus against
     * its own label centroids (q_centroid_classify): the zero-training
     * baseline every embedding model should beat, and the confusion

@@ -763,6 +763,65 @@ object TextAnalysis {
           .as("kappa"))
   }
 
+  /** Burrows' delta stylometry between sources (q_stylometry): the
+    * classic authorship-attribution distance — per source the relative
+    * frequency of the corpus' top-`topT` terms, z-scored per term
+    * across sources, delta(a,b) = mean |z_a − z_b|. Here it answers
+    * "which document sources share a template/house style?" — the
+    * stylistic companion to the content-overlap report
+    * (q_source_overlap).
+    *
+    * Exactness: relative frequencies quantize to the integer grid
+    * rq = (c·10⁹) div T_source (truncating, non-negative); per-term
+    * moments over sources are exact, and z = (n·rq − Σrq)/√(n·Σrq²
+    * −(Σrq)²) is one division after a portable sqrt. The cross-source
+    * |z| sums go through the floor-witness device (Σ floor(|Δz|·10⁶) —
+    * order-free long accumulation). Zero-variance terms are excluded
+    * (z undefined); n_terms reports the effective divisor.
+    *
+    * Scale shape: one token explode + (source, term) count (map-side
+    * combining), top-term selection via TakeOrderedAndProject; every
+    * later frame is |sources|·topT or smaller. */
+  def burrowsDelta(spark: SparkSession, dir: String,
+                   topT: Int = 20): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val st = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term")
+        .agg(count(lit(1)).as("c")),
+      "delta_st") // feeds top terms, source totals, and the rq spine
+    val top = st.groupBy("term").agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("term").asc).limit(topT)
+      .select("term")
+    val totals = st.groupBy("source").agg(sum(col("c")).as("t"))
+    val rq = totals.crossJoin(broadcast(top))
+      .join(st, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        expr("(coalesce(c, 0L) * 1000000000) div t").as("rq"))
+    val perTerm = rq.groupBy("term")
+      .agg(count(lit(1)).as("n"), sum(col("rq")).as("s"),
+        sum(col("rq").cast(d38) * col("rq").cast(d38)).as("qq"))
+      .withColumn("vnum",
+        col("n").cast(d38) * col("qq") -
+          col("s").cast(d38) * col("s").cast(d38))
+      .filter(col("vnum") > 0)
+    val z = rq.join(broadcast(perTerm), "term")
+      .select(col("source"), col("term"),
+        ((col("n").cast(d38) * col("rq") - col("s")).cast("double") /
+          sqrt(col("vnum").cast("double"))).as("z"))
+    z.as("a").join(broadcast(z.as("b")),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(floor(abs(col("a.z") - col("b.z")) * lit(1000000.0))
+          .cast("long")).as("delta_e6"))
+      .withColumn("delta",
+        col("delta_e6").cast("double") / lit(1000000.0) /
+          col("n_terms").cast("double"))
+      .orderBy("src_a", "src_b")
+  }
+
   def languageSimpson(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("source", "lang")

@@ -140,6 +140,65 @@ class StatsGraphSpec extends SparkSpec {
     shares.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("markov baseline: predicted cell is the row argmax, pairs conserved") {
+    val acc = graft.operators.EventOps.markovAccuracy(spark, TestSpark.Sf0001)
+    val trans = graft.operators.EventOps.eventTransitions(spark, TestSpark.Sf0001)
+    val rowMax = trans.groupBy(col("prev_type"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("tot"))
+    val j = acc.join(rowMax, "prev_type").collect()
+    j.foreach { r =>
+      assert(r.getAs[Long]("n_correct") == r.getAs[Long]("mx"))
+      assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("tot"))
+    }
+  }
+
+  test("mde: reproduces the closed form from its own stats columns") {
+    graft.operators.Distribution.mdeQuery(spark, TestSpark.Sf0001).collect()
+      .foreach { r =>
+        val n = r.getLong(1); val sd = r.getDouble(3); val mde = r.getDouble(4)
+        assert(mde > 0.0)
+        assert(math.abs(mde - 2.8 * sd * math.sqrt(2.0 / n)) < 1e-9)
+      }
+  }
+
+  test("kmv union sketch equals the sketch of the raw union (mergeability)") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("source").isin("src1", "src2"))
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("h", conv(substring(col("fp"), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0))
+    val direct = docs.orderBy(col("h").asc, col("fp").asc).limit(16)
+      .select("fp").collect().map(_.getString(0)).toSet
+    // merged-sketch h_k must equal the direct union sketch's h_k, so the
+    // estimator is identical whichever way the sketch was built
+    val viaMerge = graft.operators.Approx.kmvUnion(spark, TestSpark.Sf0001).head()
+    val directKth = docs.orderBy(col("h").asc, col("fp").asc).limit(16)
+      .agg(max(col("h"))).head().getDouble(0)
+    assert(viaMerge.getLong(0) == direct.size)
+    assert(math.abs((viaMerge.getLong(0) - 1.0) / directKth -
+      viaMerge.getDouble(3)) < 1e-12)
+  }
+
+  test("stylometry: full pair matrix, non-negative deltas, bounded terms") {
+    val d = graft.scale.TextAnalysis.burrowsDelta(spark, TestSpark.Sf0001)
+    val rows = d.collect()
+    val nSrc = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_terms") >= 1L && r.getAs[Long]("n_terms") <= 20L)
+      assert(r.getAs[Double]("delta") >= 0.0)
+    }
+  }
+
+  test("grid clustering: clusters + noise conserve every vector") {
+    val g = graft.scale.EmbedStats.gridClusterQuery(spark, TestSpark.Sf0001)
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(g.agg(sum(col("n_points"))).head().getLong(0) == vecs)
+    assert(g.filter(col("cluster_id") >= 0).count() >= 1)
+  }
+
   test("centroid classifier: confusion cells conserve the corpus") {
     val c = EmbedStats.centroidClassifyQuery(spark, TestSpark.Sf0001)
     val vecs = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count()
