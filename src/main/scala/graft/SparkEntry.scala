@@ -310,7 +310,18 @@ object SparkEntry {
     "q_mde"             -> ((s, d) => graft.operators.Distribution.mdeQuery(s, d)),
     "q_kmv_union"       -> ((s, d) => graft.operators.Approx.kmvUnion(s, d)),
     "q_stylometry"      -> ((s, d) => TextAnalysis.burrowsDelta(s, d)),
-    "q_grid_cluster"    -> ((s, d) => graft.scale.EmbedStats.gridClusterQuery(s, d))
+    "q_grid_cluster"    -> ((s, d) => graft.scale.EmbedStats.gridClusterQuery(s, d)),
+    "q_textrank"        -> ((s, d) => graft.scale.Search.textrankQuery(s, d)),
+    "q_phonetic"        -> ((s, d) => graft.operators.EntityResolution.phoneticBlocksQuery(s, d)),
+    "q_mmr"             -> ((s, d) => Similarity.mmrSelect(s, d)),
+    "q_hbos"            -> ((s, d) => graft.scale.EmbedStats.hbosQuery(s, d)),
+    "q_ndcg"            -> ((s, d) => graft.ml.Eval.ndcgQuery(s, d)),
+    "q_conformal"       -> ((s, d) => graft.ml.Eval.conformalQuery(s, d)),
+    "q_friedman"        -> ((s, d) => graft.operators.Distribution.friedmanQuery(s, d)),
+    "q_cochran_q"       -> ((s, d) => graft.operators.Distribution.cochranQ(s, d)),
+    "q_stump"           -> ((s, d) => graft.ml.Eval.stumpQuery(s, d)),
+    "q_silhouette"      -> ((s, d) => graft.scale.EmbedStats.silhouetteQuery(s, d)),
+    "q_kcenter"         -> ((s, d) => Similarity.kcenterSelect(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6539,7 +6550,308 @@ object SparkEntry {
         |SELECT * FROM summary
         |UNION ALL
         |SELECT * FROM noise WHERE n_cells > 0
-        |ORDER BY cluster_id""".stripMargin
+        |ORDER BY cluster_id""".stripMargin,
+
+    "q_textrank" -> textrankOracleSql,
+    "q_mmr" -> mmrOracleSql,
+
+    // Simplified-Soundex collision groups: the identical translate +
+    // six-pass run-collapse + zero-strip chain (RE2 has no backrefs, so
+    // the collapse is one literal regexp per digit class in both engines).
+    "q_phonetic" ->
+      """WITH terms AS (
+        |  SELECT DISTINCT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |    UNION ALL
+        |    SELECT unnest(string_split(p_name, ' ')) AS term FROM part)),
+        |k AS (
+        |  SELECT term, upper(term) AS up,
+        |         translate(upper(term),
+        |           'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+        |           '00000000111122222222334556') AS codes
+        |  FROM terms),
+        |c AS (
+        |  SELECT term, up,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(
+        |             codes, '11+', '1', 'g'), '22+', '2', 'g'),
+        |             '33+', '3', 'g'), '44+', '4', 'g'),
+        |             '55+', '5', 'g'), '66+', '6', 'g') AS collapsed
+        |  FROM k),
+        |ky AS (
+        |  SELECT term,
+        |         substr(up, 1, 1) ||
+        |           rpad(substr(translate(substr(collapsed, 2, 1000), '0', ''),
+        |                       1, 3), 3, '0') AS code
+        |  FROM c)
+        |SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+        |       string_agg(term, ',' ORDER BY term) AS terms_csv
+        |FROM ky GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY code""".stripMargin,
+
+    // HBOS outliers: grid bins over the first 4 dims, exact per-(dim,bin)
+    // counts, rarity = exact integer product (monotone stand-in for the
+    // log-density sum), string witness for the hugeint/decimal cell.
+    "q_hbos" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS MATERIALIZED (
+        |  SELECT vec_id, d, CAST(floor((v[d] + 1) * 5) AS BIGINT) AS bin
+        |  FROM e, unnest(range(1, 5)) AS r(d)),
+        |h AS MATERIALIZED (
+        |  SELECT d, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT b.vec_id,
+        |         max(CASE WHEN b.d = 1 THEN h.cnt END) AS c1,
+        |         max(CASE WHEN b.d = 2 THEN h.cnt END) AS c2,
+        |         max(CASE WHEN b.d = 3 THEN h.cnt END) AS c3,
+        |         max(CASE WHEN b.d = 4 THEN h.cnt END) AS c4
+        |  FROM b JOIN h ON b.d = h.d AND b.bin = h.bin
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT vec_id, c1, c2, c3, c4,
+        |         CAST(c1 AS HUGEINT) * c2 * c3 * c4 AS rarity
+        |  FROM p)
+        |SELECT vec_id, c1, c2, c3, c4, CAST(rarity AS VARCHAR) AS rarity
+        |FROM r ORDER BY r.rarity ASC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // NDCG@10: exact cent relevance, 10x10 rank joins, the fixed
+    // 10-term discount tree with pinned 1/log2(i+1) literals.
+    "q_ndcg" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS pred,
+        |         CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS rel
+        |  FROM orders GROUP BY 1),
+        |pt AS MATERIALIZED (
+        |  SELECT custkey, pred, rel FROM per
+        |  ORDER BY pred DESC, custkey ASC LIMIT 10),
+        |pr AS (
+        |  SELECT a.custkey, a.rel, CAST(count(b.bc) + 1 AS BIGINT) AS rk
+        |  FROM pt a LEFT JOIN (SELECT pred AS bo, custkey AS bc FROM pt) b
+        |    ON b.bo > a.pred OR (b.bo = a.pred AND b.bc < a.custkey)
+        |  GROUP BY 1, 2),
+        |it AS MATERIALIZED (
+        |  SELECT custkey, rel FROM per
+        |  ORDER BY rel DESC, custkey ASC LIMIT 10),
+        |ir AS (
+        |  SELECT a.custkey, a.rel, CAST(count(b.bc) + 1 AS BIGINT) AS rk
+        |  FROM it a LEFT JOIN (SELECT rel AS bo, custkey AS bc FROM it) b
+        |    ON b.bo > a.rel OR (b.bo = a.rel AND b.bc < a.custkey)
+        |  GROUP BY 1, 2),
+        |d AS (SELECT
+        |  CAST(COALESCE(max(CASE WHEN rk = 1 THEN rel END), 0) AS DOUBLE) * 1.0
+        |  + CAST(COALESCE(max(CASE WHEN rk = 2 THEN rel END), 0) AS DOUBLE) * 0.6309297535714575
+        |  + CAST(COALESCE(max(CASE WHEN rk = 3 THEN rel END), 0) AS DOUBLE) * 0.5
+        |  + CAST(COALESCE(max(CASE WHEN rk = 4 THEN rel END), 0) AS DOUBLE) * 0.43067655807339306
+        |  + CAST(COALESCE(max(CASE WHEN rk = 5 THEN rel END), 0) AS DOUBLE) * 0.38685280723454163
+        |  + CAST(COALESCE(max(CASE WHEN rk = 6 THEN rel END), 0) AS DOUBLE) * 0.3562071871080222
+        |  + CAST(COALESCE(max(CASE WHEN rk = 7 THEN rel END), 0) AS DOUBLE) * 0.3333333333333333
+        |  + CAST(COALESCE(max(CASE WHEN rk = 8 THEN rel END), 0) AS DOUBLE) * 0.31546487678572877
+        |  + CAST(COALESCE(max(CASE WHEN rk = 9 THEN rel END), 0) AS DOUBLE) * 0.3010299956639812
+        |  + CAST(COALESCE(max(CASE WHEN rk = 10 THEN rel END), 0) AS DOUBLE) * 0.2890648263178879
+        |  AS dcg FROM pr),
+        |i AS (SELECT
+        |  CAST(COALESCE(max(CASE WHEN rk = 1 THEN rel END), 0) AS DOUBLE) * 1.0
+        |  + CAST(COALESCE(max(CASE WHEN rk = 2 THEN rel END), 0) AS DOUBLE) * 0.6309297535714575
+        |  + CAST(COALESCE(max(CASE WHEN rk = 3 THEN rel END), 0) AS DOUBLE) * 0.5
+        |  + CAST(COALESCE(max(CASE WHEN rk = 4 THEN rel END), 0) AS DOUBLE) * 0.43067655807339306
+        |  + CAST(COALESCE(max(CASE WHEN rk = 5 THEN rel END), 0) AS DOUBLE) * 0.38685280723454163
+        |  + CAST(COALESCE(max(CASE WHEN rk = 6 THEN rel END), 0) AS DOUBLE) * 0.3562071871080222
+        |  + CAST(COALESCE(max(CASE WHEN rk = 7 THEN rel END), 0) AS DOUBLE) * 0.3333333333333333
+        |  + CAST(COALESCE(max(CASE WHEN rk = 8 THEN rel END), 0) AS DOUBLE) * 0.31546487678572877
+        |  + CAST(COALESCE(max(CASE WHEN rk = 9 THEN rel END), 0) AS DOUBLE) * 0.3010299956639812
+        |  + CAST(COALESCE(max(CASE WHEN rk = 10 THEN rel END), 0) AS DOUBLE) * 0.2890648263178879
+        |  AS idcg FROM ir),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM pt
+        |      WHERE custkey IN (SELECT custkey FROM it))
+        |SELECT d.dcg, i.idcg, d.dcg / i.idcg AS ndcg, h.n_hits
+        |FROM d CROSS JOIN i CROSS JOIN h""".stripMargin,
+
+    // Split-conformal: train-fold segment means (VARCHAR-routed hugeint
+    // cast), exact rank selection of the 90% calibration residual,
+    // exact-count test coverage.
+    "q_conformal" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, c_mktsegment AS segment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         o_orderkey % 3 AS fold
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |mu AS (
+        |  SELECT segment,
+        |         CAST(CAST(sum(CAST(v AS HUGEINT)) AS VARCHAR) AS DOUBLE) /
+        |           CAST(count(*) AS DOUBLE) AS mu
+        |  FROM base WHERE fold = 0 GROUP BY 1),
+        |cal AS (
+        |  SELECT b.o_orderkey, abs(CAST(b.v AS DOUBLE) - m.mu) AS r
+        |  FROM base b JOIN mu m USING (segment) WHERE b.fold = 1),
+        |rk AS (
+        |  SELECT r, row_number() OVER (ORDER BY r, o_orderkey) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM cal),
+        |qh AS (
+        |  SELECT r AS q_hat, CAST(n AS BIGINT) AS n_cal
+        |  FROM rk WHERE rk = (9 * (n + 1)) // 10),
+        |tst AS (
+        |  SELECT abs(CAST(b.v AS DOUBLE) - m.mu) AS r
+        |  FROM base b JOIN mu m USING (segment) WHERE b.fold = 2)
+        |SELECT q.n_cal, q.q_hat, CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_covered,
+        |       CAST(sum(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM tst t CROSS JOIN qh q
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Friedman across three eras blocked by nation: float-free ranks via
+    // cross-multiplied exact sums (HUGEINT), k=3 closed form.
+    "q_friedman" ->
+      """WITH base AS (
+        |  SELECT c.c_nationkey AS nation,
+        |         CASE WHEN o.o_orderdate < DATE '1997-01-01' THEN 1
+        |              WHEN o.o_orderdate < DATE '1999-01-01' THEN 2
+        |              ELSE 3 END AS era,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |per0 AS (
+        |  SELECT nation,
+        |         sum(CASE WHEN era = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+        |         sum(CASE WHEN era = 1 THEN CAST(1 AS HUGEINT) ELSE 0 END) AS n1,
+        |         sum(CASE WHEN era = 2 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s2,
+        |         sum(CASE WHEN era = 2 THEN CAST(1 AS HUGEINT) ELSE 0 END) AS n2,
+        |         sum(CASE WHEN era = 3 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s3,
+        |         sum(CASE WHEN era = 3 THEN CAST(1 AS HUGEINT) ELSE 0 END) AS n3
+        |  FROM base GROUP BY 1),
+        |per AS (SELECT * FROM per0 WHERE n1 > 0 AND n2 > 0 AND n3 > 0),
+        |r AS (
+        |  SELECT
+        |    1 + (CASE WHEN s2*n1 > s1*n2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s3*n1 > s1*n3 THEN 1 ELSE 0 END) AS r1,
+        |    1 + (CASE WHEN s1*n2 > s2*n1 OR s1*n2 = s2*n1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s3*n2 > s2*n3 THEN 1 ELSE 0 END) AS r2,
+        |    1 + (CASE WHEN s1*n3 > s3*n1 OR s1*n3 = s3*n1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s2*n3 > s3*n2 OR s2*n3 = s3*n2 THEN 1 ELSE 0 END) AS r3
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(r1) AS BIGINT) AS rank_sum1,
+        |       CAST(sum(r2) AS BIGINT) AS rank_sum2,
+        |       CAST(sum(r3) AS BIGINT) AS rank_sum3,
+        |       CAST(sum(r1)*sum(r1) + sum(r2)*sum(r2) + sum(r3)*sum(r3)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         - CAST(12 * count(*) AS DOUBLE) AS q
+        |FROM r""".stripMargin,
+
+    // Cochran's Q, k=3 closed form: exact column totals and row-sum
+    // moments from one per-order flag reduction, one terminal division.
+    "q_cochran_q" ->
+      """WITH flags AS (
+        |  SELECT l_orderkey,
+        |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x1,
+        |         max(CASE WHEN CAST(l_discount AS DECIMAL(18,6)) >
+        |             CAST('0.05' AS DECIMAL(18,6)) THEN 1 ELSE 0 END) AS x2,
+        |         max(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) >=
+        |             CAST('30' AS DECIMAL(18,2)) THEN 1 ELSE 0 END) AS x3
+        |  FROM lineitem GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+        |         CAST(sum(x3) AS BIGINT) AS c3,
+        |         CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sum_r2
+        |  FROM flags),
+        |w AS (SELECT c1, c2, c3, sum_r2, c1 + c2 + c3 AS t FROM agg)
+        |SELECT c1, c2, c3, sum_r2,
+        |       CAST(2 * (3 * (c1*c1 + c2*c2 + c3*c3) - t*t) AS BIGINT) AS q_num,
+        |       CAST(3 * t - sum_r2 AS BIGINT) AS q_den,
+        |       CASE WHEN 3 * t - sum_r2 > 0
+        |            THEN CAST(2 * (3 * (c1*c1 + c2*c2 + c3*c3) - t*t) AS DOUBLE)
+        |                 / CAST(3 * t - sum_r2 AS DOUBLE) END AS q
+        |FROM w""".stripMargin,
+
+    // Decision stump on the price-decile split: exact prefix counts off
+    // the calibration decile frame, score = sum of two exact-ratio
+    // divisions, argmax (score DESC, d ASC).
+    "q_stump" ->
+      """WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |           GROUP BY 1),
+        |lab AS (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey),
+        |rk AS (
+        |  SELECT y, row_number() OVER (ORDER BY v DESC, o_orderkey ASC) AS r,
+        |         count(*) OVER () AS tot
+        |  FROM lab),
+        |bd AS MATERIALIZED (
+        |  SELECT ((r - 1) * 10) // tot AS decile,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM rk GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |             CAST(sum(pos) AS BIGINT) AS pp FROM bd),
+        |cand AS (
+        |  SELECT s.d, CAST(sum(b.n) AS BIGINT) AS n_left,
+        |         CAST(sum(b.pos) AS BIGINT) AS pos_left
+        |  FROM (SELECT unnest(range(0, 9)) AS d) s JOIN bd b ON b.decile <= s.d
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT c.d, c.n_left, c.pos_left,
+        |         t.nn - c.n_left AS n_right, t.pp - c.pos_left AS pos_right
+        |  FROM cand c CROSS JOIN t),
+        |scored AS MATERIALIZED (
+        |  SELECT d, n_left, pos_left, n_right, pos_right,
+        |         CAST(pos_left*pos_left + (n_left-pos_left)*(n_left-pos_left)
+        |              AS DOUBLE) / CAST(n_left AS DOUBLE)
+        |         + CAST(pos_right*pos_right +
+        |                (n_right-pos_right)*(n_right-pos_right)
+        |              AS DOUBLE) / CAST(n_right AS DOUBLE) AS score
+        |  FROM sc),
+        |best AS (SELECT d AS bd FROM scored ORDER BY score DESC, d ASC LIMIT 1)
+        |SELECT s.d, s.n_left, s.pos_left, s.n_right, s.pos_right, s.score,
+        |       s.d = b.bd AS is_best
+        |FROM scored s CROSS JOIN best b
+        |ORDER BY s.d""".stripMargin,
+
+    // Centroid silhouette: exact grid distances (shared with
+    // q_centroid_classify), s = one division of exact longs, per-label
+    // mean via the floor witness.
+    "q_silhouette" ->
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS j,
+        |         CAST(floor((CAST(x AS DOUBLE) + 1) * 10000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label AS clabel, j, CAST(sum(q) // count(*) AS BIGINT) AS c
+        |  FROM qv GROUP BY 1, 2),
+        |dist AS MATERIALIZED (
+        |  SELECT qv.vec_id, qv.label, cent.clabel,
+        |         CAST(sum((qv.q - cent.c) * (qv.q - cent.c)) AS BIGINT) AS d2
+        |  FROM qv JOIN cent USING (j) GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, label, d2 AS a2 FROM dist WHERE clabel = label),
+        |b AS (SELECT vec_id, CAST(min(d2) AS BIGINT) AS b2 FROM dist
+        |      WHERE clabel <> label GROUP BY 1),
+        |s AS (
+        |  SELECT a.label,
+        |         CASE WHEN greatest(a.a2, b.b2) = 0 THEN 0.0
+        |              ELSE CAST(b.b2 - a.a2 AS DOUBLE) /
+        |                   CAST(greatest(a.a2, b.b2) AS DOUBLE) END AS s
+        |  FROM a JOIN b USING (vec_id))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN s > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT)) AS BIGINT)
+        |         AS s_witness,
+        |       CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT)) AS DOUBLE) /
+        |         (1000000.0 * CAST(count(*) AS DOUBLE)) AS mean_s
+        |FROM s GROUP BY 1
+        |ORDER BY label""".stripMargin,
+
+    "q_kcenter" -> kcenterOracleSql
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -6585,6 +6897,116 @@ object SparkEntry {
        |$rounds
        |SELECT CAST(node AS BIGINT) AS node, rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `Search.textrankQuery`: the SAME quantized
+    * PageRank recurrence as `pagerankOracleSql`, over the word-adjacency
+    * graph (distinct adjacent token pairs, self-loops dropped, both
+    * directions) — 3 unrolled rounds, top-30 by (rank DESC, term ASC). */
+  private def textrankOracleSql: String = {
+    val init = graft.operators.PageRank.Init
+    val base = init * 15L / 100L
+    val iters = 3
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST($base + (85 * coalesce(i$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outdeg d ON e.src = d.src
+         |    GROUP BY e.dst) i$i ON n.node = i$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |bi AS (
+       |  SELECT DISTINCT t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS r(i)
+       |  WHERE t[i] <> t[i + 1]),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT w1 AS src, w2 AS dst FROM bi
+       |    UNION ALL
+       |    SELECT w2 AS src, w1 AS dst FROM bi)),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges)),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST($init AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node AS term, rank
+       |FROM r$iters ORDER BY rank DESC, term ASC LIMIT 30""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.mmrSelect`: round-6 relevance pool of
+    * 12, round-6 pairwise matrix, then the greedy MMR selection UNROLLED
+    * to 5 rounds — λ = 0.7 and (1−λ) pinned to Scala's computed double
+    * literal 0.30000000000000004 so the score arithmetic is identical. */
+  private def mmrOracleSql: String = {
+    val k = 5
+    val rounds = (2 to k).map { i =>
+      val selected = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel,
+         |         c.rel * 0.7 - m.msim * 0.30000000000000004 AS mmr_score,
+         |         CAST($i AS BIGINT) AS pick
+         |  FROM cand c JOIN (
+         |    SELECT id, max(sim) AS msim FROM pw
+         |    WHERE sid IN ($selected) GROUP BY id) m
+         |    ON c.vec_id = m.id
+         |  WHERE c.vec_id NOT IN ($selected)
+         |  ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |         round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id ASC LIMIT 12),
+       |pw AS MATERIALIZED (
+       |  SELECT a.vec_id AS id, b.vec_id AS sid,
+       |         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, rel AS mmr_score, CAST(1 AS BIGINT) AS pick
+       |  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |$rounds
+       |SELECT pick, vec_id, rel, mmr_score FROM ($all)
+       |ORDER BY pick""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.kcenterSelect`: Gonzalez greedy
+    * k-center unrolled to 5 rounds — per round the max-min round-6
+    * cosine distance to the selected set, ties by vec_id. */
+  private def kcenterOracleSql: String = {
+    val k = 5
+    val rounds = (2 to k).map { i =>
+      val selected = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         min(1.0 - round(list_cosine_similarity(e.v, c.v), 6)) AS dmin,
+         |         CAST($i AS BIGINT) AS pick
+         |  FROM e JOIN e c ON c.vec_id IN ($selected)
+         |  WHERE e.vec_id NOT IN ($selected)
+         |  GROUP BY e.vec_id
+         |  ORDER BY dmin DESC, e.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s1 AS (SELECT vec_id, 0.0 AS dmin, CAST(1 AS BIGINT) AS pick
+       |       FROM e WHERE vec_id = 0),
+       |$rounds
+       |SELECT pick, vec_id, dmin FROM ($all)
+       |ORDER BY pick""".stripMargin
   }
 
   /** DuckDB replay of `PageRank.hitsQuery`: 3 quantized HITS rounds

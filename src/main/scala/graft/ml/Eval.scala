@@ -102,4 +102,164 @@ object Eval {
           .as("gain"))
       .orderBy("decile")
   }
+
+  /** 1/log₂(i+1) position discounts for NDCG@10, pinned as identical
+    * double literals in both engines (log2 itself is not a portable
+    * cross-engine function — the Benford-constants device). */
+  private val NdcgW: Seq[Double] = Seq(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+
+  /** NDCG@10 of "past spend predicts future spend" (q_ndcg): rank
+    * customers by first-era order value (o_orderdate < 1998-01-01, the corpus midpoint), score
+    * the ranking against second-era value as graded relevance — the
+    * ranking-quality metric [[aucQuery]]'s binary AUC can't express
+    * (position-discounted, graded). DCG = Σ rel_i/log₂(i+1) over the
+    * predicted top-10, normalized by the ideal ordering's IDCG; `n_hits`
+    * counts predicted-top-10 members that are also ideal-top-10.
+    *
+    * Exactness: both eras' spends are exact cent sums from ONE
+    * conditional pass over orders; top-10s are TakeOrderedAndProject
+    * under unique (value, custkey) orders; positions come from a
+    * 10×10 BNLJ count (no global window); DCG is a FIXED 10-term tree —
+    * each term one cast·literal multiply, summed in written order — so
+    * the oracle replays it bit-identically.
+    *
+    * Scale shape: one map-side-combining aggregate over orders
+    * (customer-grain), materialized once for its four consumers; all
+    * downstream frames are ≤ 10 rows. */
+  def ndcgQuery(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val per = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < to_date(lit("1998-01-01")),
+            cents(col("o_totalprice"))).otherwise(0L)).as("pred"),
+          sum(when(col("o_orderdate") >= to_date(lit("1998-01-01")),
+            cents(col("o_totalprice"))).otherwise(0L)).as("rel")),
+      "ndcg_per") // feeds both top-10s, both rank joins, and the hit count
+    def rankedTop(ord: String): DataFrame = {
+      val top = per.orderBy(col(ord).desc, col("custkey").asc).limit(k)
+      val b = top.select(col(ord).as("bo"), col("custkey").as("bc"))
+      top.join(broadcast(b),
+          col("bo") > col(ord) ||
+            (col("bo") === col(ord) && col("bc") < col("custkey")), "left")
+        .groupBy(col("custkey"), col("rel"))
+        .agg((count(col("bc")) + 1L).as("rk"))
+    }
+    val dcgExpr = NdcgW.zipWithIndex.map { case (w, i) =>
+      coalesce(max(when(col("rk") === (i + 1).toLong, col("rel"))), lit(0L))
+        .cast("double") * lit(w)
+    }.reduceLeft(_ + _)
+    val dcg = rankedTop("pred").agg(dcgExpr.as("dcg"))
+    val idcg = rankedTop("rel").agg(dcgExpr.as("idcg"))
+    val hits = per.orderBy(col("pred").desc, col("custkey").asc).limit(k)
+      .join(per.orderBy(col("rel").desc, col("custkey").asc).limit(k)
+        .select("custkey"), Seq("custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(hits))
+      .select(col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"), col("n_hits"))
+  }
+
+  /** Split-conformal prediction interval + empirical coverage
+    * (q_conformal): the distribution-free uncertainty wrapper any
+    * point predictor should ship with. Orders fold by `o_orderkey % 3`
+    * (train / calibrate / test); the model is the train-fold segment
+    * mean; q̂ is the ⌊0.9·(n+1)⌋-th smallest calibration residual
+    * (the finite-sample-valid conformal quantile), and the test fold
+    * reports what fraction of absolute residuals fall within q̂ —
+    * ≈ 90% if the folds are exchangeable.
+    *
+    * Exactness: segment means are one division of an exact decimal sum;
+    * residuals are two IEEE ops on identically-derived doubles; q̂ is a
+    * RANK SELECTION via [[Ranking.distributedGlobalRank]] under the
+    * unique (r, orderkey) order — never a float quantile estimate — with
+    * the index computed in integer arithmetic ((9·(n+1)) div 10);
+    * coverage is a ratio of exact counts.
+    *
+    * Scale shape: one fact⋈dim join materialized once for its three
+    * fold consumers; a 5-row broadcast of means; the only sort is the
+    * distributed rank's range exchange over the calibration third. */
+  def conformalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+          cents(col("o_totalprice")).as("v"),
+          (col("o_orderkey") % 3).as("fold")),
+      "conf_base") // feeds the train means and the cal/test folds
+    val mu = base.filter(col("fold") === 0L).groupBy("segment")
+      .agg((sum(col("v").cast(d38)).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+    val cal = base.filter(col("fold") === 1L)
+      .join(broadcast(mu), "segment")
+      .select(col("o_orderkey"),
+        abs(col("v").cast("double") - col("mu")).as("r"))
+    val qhat = Ranking.distributedGlobalRank(cal,
+        Seq(col("r").asc, col("o_orderkey").asc), rankCol = "rk", nCol = "__n")
+      .filter(col("rk") === expr("(9 * (__n + 1)) div 10"))
+      .select(col("r").as("q_hat"), col("__n").as("n_cal"))
+    base.filter(col("fold") === 2L)
+      .join(broadcast(mu), "segment")
+      .select(abs(col("v").cast("double") - col("mu")).as("r"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("n_cal"), col("q_hat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+  }
+
+  /** Decision-stump training in pure SQL (q_stump): pick the best
+    * "price decile ≤ d" split for predicting a returned order by Gini
+    * impurity reduction — the first boosting round / the CART root
+    * node, trained with exact arithmetic. Minimizing weighted child
+    * Gini ⟺ maximizing Σ_child (pos² + neg²)/n_child, so the score is
+    * two divisions of exact longs added in written order; the argmax
+    * takes (score DESC, d ASC).
+    *
+    * Scale shape: the decile assignment is [[calibrationQuery]]'s
+    * distributed rank; the candidate evaluation runs entirely on the
+    * 10-row decile frame (a 9×10 broadcast prefix join — never a second
+    * corpus pass). */
+  def stumpQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Ranking.distributedGlobalRank(
+      scoredLabels(spark, dir),
+      Seq(col("v").desc, col("o_orderkey").asc), rankCol = "r", nCol = "__n")
+    val byDecile = graft.scale.Silver.scratch(
+      ranked.withColumn("decile", expr("((r - 1) * 10) div __n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")),
+      "stump_deciles") // feeds the totals, the prefix join, and the argmax
+    val tot = byDecile.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+    val spine = spark.range(0, 9).select(col("id").as("d"))
+    val cand = spine.join(broadcast(byDecile), col("decile") <= col("d"))
+      .groupBy("d")
+      .agg(sum(col("n")).as("n_left"), sum(col("pos")).as("pos_left"))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n_left"), col("pos_left"),
+        (col("nn") - col("n_left")).as("n_right"),
+        (col("pp") - col("pos_left")).as("pos_right"))
+      .withColumn("score",
+        (col("pos_left") * col("pos_left") +
+          (col("n_left") - col("pos_left")) *
+          (col("n_left") - col("pos_left"))).cast("double") /
+          col("n_left").cast("double") +
+        (col("pos_right") * col("pos_right") +
+          (col("n_right") - col("pos_right")) *
+          (col("n_right") - col("pos_right"))).cast("double") /
+          col("n_right").cast("double"))
+    val best = cand.agg(max(struct(col("score"), (-col("d")).as("nd")))
+      .as("m")).select((-col("m.nd")).as("bd"))
+    cand.crossJoin(broadcast(best))
+      .select(col("d"), col("n_left"), col("pos_left"), col("n_right"),
+        col("pos_right"), col("score"), (col("d") === col("bd")).as("is_best"))
+      .orderBy("d")
+  }
 }

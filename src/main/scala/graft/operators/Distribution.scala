@@ -890,4 +890,98 @@ object Distribution {
             .cast("double") / (col("n01") + col("n10")).cast("double"))
           .as("mcnemar"))
   }
+
+  /** Friedman test across three order-date eras, blocked by nation
+    * (q_friedman): the nonparametric repeated-measures ANOVA — did
+    * average order value shift across eras CONSISTENTLY across nations?
+    * (The rank-based sibling of [[anovaWeekday]]: no normality
+    * assumption, blocks absorb nation-level scale.)
+    *
+    * Per nation the three era means are RANKED WITHOUT EVER FORMING A
+    * FLOAT MEAN: era j beats era i iff s_j·n_i > s_i·n_j (cross-
+    * multiplied exact decimal sums — the Kendall device), ties broken
+    * by era index, so ranks are exact integers under any engine. With
+    * k = 3, Q = ΣR_j²/n − 12n — one division over exact integers.
+    *
+    * Scale shape: ONE conditional pass over the fact join (map-side
+    * combining to |nations| rows); everything after runs on the 25-row
+    * pivoted frame. */
+  def friedmanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val era = when(col("o_orderdate") < to_date(lit("1997-01-01")), 1L)
+      .when(col("o_orderdate") < to_date(lit("1999-01-01")), 2L)
+      .otherwise(3L)
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"), era.as("era"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy("nation")
+      .agg(
+        sum(when(col("era") === 1L, col("v")).otherwise(0L)).cast(d38).as("s1"),
+        sum(when(col("era") === 1L, 1L).otherwise(0L)).cast(d38).as("n1"),
+        sum(when(col("era") === 2L, col("v")).otherwise(0L)).cast(d38).as("s2"),
+        sum(when(col("era") === 2L, 1L).otherwise(0L)).cast(d38).as("n2"),
+        sum(when(col("era") === 3L, col("v")).otherwise(0L)).cast(d38).as("s3"),
+        sum(when(col("era") === 3L, 1L).otherwise(0L)).cast(d38).as("n3"))
+      .filter(col("n1") > 0 && col("n2") > 0 && col("n3") > 0)
+    // beats(j, i): era j's mean strictly exceeds era i's (exact cross-
+    // multiply), or equal means with the smaller era index winning.
+    def beats(j: Int, i: Int) = {
+      val l = col(s"s$j") * col(s"n$i"); val r = col(s"s$i") * col(s"n$j")
+      l > r || (l === r && lit(j) < lit(i))
+    }
+    def rank(i: Int) = lit(1L) +
+      (1 to 3).filter(_ != i)
+        .map(j => when(beats(j, i), 1L).otherwise(0L))
+        .reduceLeft(_ + _)
+    val ranked = per.select(
+      rank(1).as("r1"), rank(2).as("r2"), rank(3).as("r3"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("r1")).as("rank_sum1"),
+        sum(col("r2")).as("rank_sum2"),
+        sum(col("r3")).as("rank_sum3"))
+      .select(col("n"), col("rank_sum1"), col("rank_sum2"), col("rank_sum3"),
+        ((col("rank_sum1") * col("rank_sum1") +
+          col("rank_sum2") * col("rank_sum2") +
+          col("rank_sum3") * col("rank_sum3")).cast("double") /
+          col("n").cast("double") -
+          (lit(12L) * col("n")).cast("double")).as("q"))
+  }
+
+  /** Cochran's Q over three per-order binary treatments (q_cochran_q):
+    * "any line returned", "any line discounted above 5%", "any line of
+    * quantity ≥ 30" — do the three conditions fire at the same rate?
+    * The k-treatment generalization of [[mcnemarTest]] (k = 3 here).
+    *
+    * Everything reduces to exact integers: column totals C_j, row-sum
+    * moments ΣR and ΣR² from ONE per-order flag reduction, and the
+    * k = 3 closed form Q = 2·(3·ΣC_j² − T²) / (3·T − ΣR²) — numerator
+    * and denominator exact longs, one terminal division (NULL when the
+    * denominator is zero: all rows all-equal). */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x1"),
+        max(when(col("l_discount").cast("decimal(18,6)") >
+            lit("0.05").cast("decimal(18,6)"), 1L).otherwise(0L)).as("x2"),
+        max(when(col("l_quantity").cast("decimal(18,2)") >=
+            lit("30").cast("decimal(18,2)"), 1L).otherwise(0L)).as("x3"))
+    flags.agg(
+        sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+        sum(col("x3")).as("c3"),
+        sum((col("x1") + col("x2") + col("x3")) *
+          (col("x1") + col("x2") + col("x3"))).as("sum_r2"))
+      .withColumn("t", col("c1") + col("c2") + col("c3"))
+      .select(col("c1"), col("c2"), col("c3"), col("sum_r2"),
+        (lit(2L) * (lit(3L) * (col("c1") * col("c1") +
+          col("c2") * col("c2") + col("c3") * col("c3")) -
+          col("t") * col("t"))).as("q_num"),
+        (lit(3L) * col("t") - col("sum_r2")).as("q_den"))
+      .withColumn("q",
+        when(col("q_den") > 0L,
+          col("q_num").cast("double") / col("q_den").cast("double")))
+  }
 }

@@ -109,4 +109,55 @@ object EntityResolution {
 
     Resolution(matched, review, create)
   }
+
+  /** Simplified Soundex phonetic key — the classic cheap blocking key for
+    * name-matching ER (reference entity_mapper.py's fuzzy matching would
+    * sit downstream of exactly this blocking pass): first letter + the
+    * first three consonant-class codes, adjacent duplicates collapsed,
+    * vowels dropped, zero-padded to 4.
+    *
+    * Differences from archival Soundex, chosen for ENGINE PORTABILITY:
+    * H/W are coded 0 like vowels (not "transparent"), because the
+    * transparent-H/W rule needs lookahead no regexp-free string pipeline
+    * expresses; and run-collapse happens per digit class via six literal
+    * regexp passes (`11+`→`1` …) because DuckDB's RE2 has no
+    * backreferences. Both engines run the IDENTICAL transformation
+    * chain, so keys agree byte-for-byte. */
+  def phoneticKey(term: Column): Column = {
+    val up = upper(term)
+    val codes = translate(up,
+      "AEIOUYHWBFPVCGJKQSXZDTLMNR",
+      "00000000111122222222334556")
+    val collapsed = (1 to 6).foldLeft(codes)((c, d) =>
+      regexp_replace(c, s"$d$d+", d.toString))
+    val tail = translate(substring(collapsed, 2, 1000), "0", "")
+    concat(substring(up, 1, 1), rpad(substring(tail, 1, 3), 3, "0"))
+  }
+
+  /** Phonetic collision groups across the combined vocabulary of
+    * document text and part names (q_phonetic): every phonetic key under
+    * which ≥ 2 distinct terms collide — the blocking-quality report an
+    * ER pipeline reads before trusting [[phoneticKey]] blocks ("red" and
+    * "rod" share R300: one block, candidates for the expensive fuzzy
+    * ratio; terms in singleton blocks never pay it).
+    *
+    * Scale shape: two token projections union into a distinct-term
+    * vocabulary (map-side combining — vocab-, not corpus-, sized); the
+    * key is a pure codegen string chain; the group-by shuffles the vocab
+    * only. The CSV witness is bounded by the block size. */
+  def phoneticBlocksQuery(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import graft.sources.Tables
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .unionAll(Tables.part(spark, dir)
+        .select(explode(split(col("p_name"), " ")).as("term")))
+      .distinct()
+    terms.withColumn("code", phoneticKey(col("term")))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_terms"),
+        array_join(sort_array(collect_list(col("term"))), ",").as("terms_csv"))
+      .filter(col("n_terms") >= 2L)
+      .orderBy("code")
+  }
 }

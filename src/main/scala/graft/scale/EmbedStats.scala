@@ -332,7 +332,12 @@ object EmbedStats {
     * the scoring join — the corpus fans out width·|labels| rows per
     * vector (a constant), collapses map-side per (vec, label), and is
     * never shuffled at vector grain twice. */
-  def centroidClassifyQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared centroid-distance frame for [[centroidClassifyQuery]] and
+    * [[silhouetteQuery]]: per (vector, candidate label) the EXACT
+    * squared distance on the 10⁴ quantization grid — integer centroids
+    * (truncating mean), integer squared distances, so every downstream
+    * comparison is engine-exact. */
+  private def centroidDistances(spark: SparkSession, dir: String): DataFrame = {
     val qv = Silver.materialize(
       graft.sources.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
@@ -343,9 +348,13 @@ object EmbedStats {
       "nc_qv") // feeds the centroid build and the scoring pass
     val cent = qv.groupBy(col("label").as("clabel"), col("j"))
       .agg(expr("sum(q) div count(1)").as("c"))
-    val dist = qv.join(broadcast(cent), "j")
+    qv.join(broadcast(cent), "j")
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+  }
+
+  def centroidClassifyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val dist = centroidDistances(spark, dir)
     val pred = dist.groupBy(col("vec_id"), col("label"))
       .agg(min(struct(col("d2").as("d"), col("clabel").as("l"))).as("m"))
       .select(col("vec_id"), col("label"), col("m.l").as("pred"))
@@ -357,5 +366,86 @@ object EmbedStats {
         (col("n").cast("double") / col("n_label").cast("double"))
           .as("recall_share"))
       .orderBy("label", "pred")
+  }
+
+  /** Histogram-based outlier score (q_hbos): rank vectors by how thinly
+    * populated their per-dimension histogram bins are — HBOS
+    * (Goldstein & Dengel) with the log-density sum replaced by the
+    * EXACT INTEGER PRODUCT of the first `nDims` bin counts (log is
+    * monotone, so the ranking is identical and the score is
+    * engine-portable; the anomaly-detection companion to
+    * [[gridClusterQuery]], which finds dense modes — this finds the
+    * points no mode claims). Bins reuse the grid device:
+    * floor((x+1)·5) per dimension, 10-ish bins over the unit range.
+    *
+    * Scale shape: one posexplode pass to (dim, bin) counts — ≤
+    * nDims·bins cells, map-side combining — broadcast back onto the
+    * corpus, one product per row, TakeOrderedAndProject for the top
+    * outliers. The corpus is scanned twice and never shuffled at row
+    * grain. Product bound: each count ≤ N, so N⁴ needs N < 2^15 per…
+    * — counts here are ≤ corpus size ~1e5 at sf0.1 → product ≤ 1e20
+    * overflows Long at extreme skew; the counts multiply as
+    * decimal(38,0) and surface as exact decimal. */
+  def hbosQuery(spark: SparkSession, dir: String,
+                nDims: Int = 4, topK: Int = 20): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val binned = graft.scale.Silver.scratch(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, nDims)))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          floor((col("col").cast("double") + 1d) * 5d).cast("long")
+            .as("bin")),
+      "hbos_binned") // feeds the histogram and the per-vector lookup
+    val hist = binned.groupBy("d", "bin").agg(count(lit(1)).as("cnt"))
+    val perDim = (1 to nDims).map(d =>
+      max(when(col("d") === d.toLong, col("cnt"))).as(s"c$d"))
+    val rarity = (1 to nDims).map(d => col(s"c$d").cast(d38))
+      .reduceLeft(_ * _)
+    binned.join(broadcast(hist), Seq("d", "bin"))
+      .groupBy("vec_id")
+      .agg(perDim.head, perDim.tail: _*)
+      .withColumn("__rarity", rarity)
+      .orderBy(col("__rarity").asc, col("vec_id").asc)
+      .limit(topK)
+      // exact integer, surfaced as a string witness: the harness cannot
+      // canonicalize Spark decimal vs DuckDB hugeint cells identically
+      .select((Seq(col("vec_id")) ++ (1 to nDims).map(d => col(s"c$d")) :+
+        col("__rarity").cast("string").as("rarity")): _*)
+  }
+
+  /** Centroid-based (simplified) silhouette per label (q_silhouette):
+    * a = squared grid distance to the own-label centroid, b = the
+    * nearest OTHER centroid's squared distance, s = (b−a)/max(a,b) —
+    * the cluster-separation score every embedding-space labeling
+    * should report next to its confusion matrix
+    * ([[centroidClassifyQuery]] says WHERE points land; this says how
+    * CLEANLY). Classic silhouette is O(n²) pairwise; the centroid form
+    * is the standard O(n·k) scale substitute.
+    *
+    * Exactness: a and b are exact longs off the shared
+    * [[centroidDistances]] grid, so s is ONE division of exact
+    * integers — identical in both engines — and the per-label mean
+    * goes through the floor-witness (Σ floor(s·10⁶) — order-free long
+    * accumulation), never a float sum. */
+  def silhouetteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val dist = Silver.scratch(centroidDistances(spark, dir), "sil_dist")
+    val a = dist.filter(col("clabel") === col("label"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val b = dist.filter(col("clabel") =!= col("label"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("b2"))
+    val s = a.join(b, "vec_id")
+      .withColumn("s",
+        when(greatest(col("a2"), col("b2")) === 0L, lit(0.0))
+          .otherwise((col("b2") - col("a2")).cast("double") /
+            greatest(col("a2"), col("b2")).cast("double")))
+    s.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") > 0.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(floor(col("s") * lit(1000000.0)).cast("long")).as("s_witness"))
+      .withColumn("mean_s",
+        col("s_witness").cast("double") /
+          (lit(1000000.0) * col("n").cast("double")))
+      .orderBy("label")
   }
 }

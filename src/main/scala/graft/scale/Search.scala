@@ -585,4 +585,41 @@ object Search {
       .select(lit(k.toLong).as("k"), col("overlap_at_k"), col("rbo_scaled"),
         (col("rbo_scaled").cast("double") / lit(2580480.0)).as("rbo"))
   }
+
+  // ---------------------------------------------------------------------
+  // TextRank keyword extraction
+  // ---------------------------------------------------------------------
+
+  /** TextRank keyword extraction (q_textrank): Mihalcea & Tarau's
+    * graph-based keyword ranker — PageRank over the word-adjacency
+    * graph (an undirected edge per DISTINCT adjacent token pair in the
+    * corpus) — the unsupervised keyword pass of a corpus curation
+    * pipeline (contrast [[pmiCollocations]], which scores PAIRS by
+    * association; TextRank scores single terms by graph centrality:
+    * a term matters when it neighbors other terms that matter).
+    *
+    * Reuses [[graft.operators.PageRank.pagerank]] verbatim — the
+    * integer-quantized power iteration is node-type-generic (string
+    * word nodes here, long entity keys there), so the engine-portable
+    * arithmetic and the per-iteration lineage cuts come for free.
+    *
+    * Scale shape: one corpus tokenize into distinct adjacent pairs
+    * (vocab²-bounded, map-side combining), then `iters` edge-keyed
+    * shuffle joins — the graph is vocab-sized, never corpus-sized.
+    * Self-loops are dropped (w→w from stuttered text would let a term
+    * vote for itself). */
+  def textrankQuery(spark: SparkSession, dir: String,
+                    iters: Int = 3, topK: Int = 30): DataFrame = {
+    val pairs = ngramCounts(Tables.documents(spark, dir), 2)
+      .select(split(col("ngram"), " ").getItem(0).as("w1"),
+        split(col("ngram"), " ").getItem(1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .distinct()
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    graft.operators.PageRank.pagerank(edges, iters = iters)
+      .select(col("node").as("term"), col("rank"))
+      .orderBy(col("rank").desc, col("term").asc)
+      .limit(topK)
+  }
 }

@@ -324,4 +324,102 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-ranking (q_mmr): the diversified
+    * retrieval pass on top of [[knnBruteForce]] — greedily pick `k`
+    * results that balance relevance to the query against redundancy with
+    * what's already picked: score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    * (Carbonell & Goldstein '98). The near-dup-heavy corpora this engine
+    * curates are exactly where plain top-k returns k copies of one
+    * document; MMR is the standard fix.
+    *
+    * Determinism: rel and all pairwise sims are round-6 cosines (the
+    * knn device — exact multiples of 1e-6, so comparisons are exact);
+    * each greedy score is two multiplies and a subtract on those, in the
+    * same written order both engines; ties break by vec_id. The greedy
+    * recursion is UNROLLED to `k` fixed rounds, so the DuckDB oracle
+    * replays the identical selection.
+    *
+    * Scale shape: one corpus scan scores relevance (broadcast query,
+    * TakeOrderedAndProject keeps `poolK`); everything after — the
+    * poolK² pairwise matrix and k greedy rounds — runs on broadcast-
+    * sized frames. poolK bounds the corpus-independent tail exactly the
+    * way IVF's nProbe does. */
+  def mmrSelect(spark: SparkSession, dir: String, queryId: Long = 0L,
+                poolK: Int = 12, k: Int = 5, lam: Double = 0.7): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val cand = Silver.scratch(
+      emb.filter(col("vec_id") =!= queryId)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("v"),
+          round(cosine(col("v"), col("qv")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(poolK),
+      "mmr_cand") // feeds the pairwise matrix and every greedy round
+    val pw = Silver.scratch(
+      cand.as("a").join(cand.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("id"), col("b.vec_id").as("sid"),
+          round(cosine(col("a.v"), col("b.v")), 6).as("sim")),
+      "mmr_pw")
+    var sel: DataFrame = cand
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("rel"), col("rel").as("mmr_score"),
+        lit(1L).as("pick"))
+    for (i <- 2 to k) {
+      val chosen = sel.select(col("vec_id").as("sid"))
+      val next = cand.join(chosen, col("vec_id") === col("sid"), "left_anti")
+        .join(pw.join(chosen, "sid"), col("vec_id") === col("id"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .select(col("vec_id"), col("rel"),
+          (col("rel") * lit(lam) - col("msim") * lit(1.0 - lam))
+            .as("mmr_score"),
+          lit(i.toLong).as("pick"))
+        .orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
+      sel = Silver.scratch(sel.unionAll(next), "mmr_sel")
+    }
+    sel.orderBy("pick")
+  }
+
+  /** Greedy k-center coreset selection (q_kcenter): Gonzalez's
+    * 2-approximation — start from a seed vector, then `k−1` times pick
+    * the point FARTHEST from everything selected so far (max-min
+    * cosine distance). The diversity-first dual of [[mmrSelect]]
+    * (which is relevance-first): this is the "pick maximally spread
+    * exemplars" pass of coreset sampling / facility location in
+    * training-data curation.
+    *
+    * Determinism: distances are 1 − round-6 cosine (exact multiples of
+    * 1e-6 ⇒ exact comparisons), ties break by vec_id; the greedy
+    * recursion is unrolled to k fixed rounds for the oracle.
+    *
+    * Scale shape: each round is ONE corpus pass against a broadcast
+    * ≤ k-row selected set (score, min-reduce, TakeOrderedAndProject
+    * top-1) — k passes total, never a corpus self-join; `dmin` at
+    * selection time is the classic k-center radius telemetry. */
+  def kcenterSelect(spark: SparkSession, dir: String, seedId: Long = 0L,
+                    k: Int = 5): DataFrame = {
+    val emb = Silver.scratch(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "kc_emb") // feeds every greedy round
+    var sel: DataFrame = emb.filter(col("vec_id") === seedId)
+      .select(col("vec_id"), lit(0.0).as("dmin"), lit(1L).as("pick"))
+    for (i <- 2 to k) {
+      val chosen = emb.join(sel.select(col("vec_id").as("sid")),
+        col("vec_id") === col("sid")).select(col("sid"), col("v").as("sv"))
+      val next = emb.join(sel.select(col("vec_id").as("sid")),
+          col("vec_id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(chosen))
+        .select(col("vec_id"),
+          (lit(1.0) - round(cosine(col("v"), col("sv")), 6)).as("dist"))
+        .groupBy("vec_id").agg(min(col("dist")).as("dmin"))
+        .select(col("vec_id"), col("dmin"), lit(i.toLong).as("pick"))
+        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+      sel = Silver.scratch(sel.unionAll(next), "kc_sel")
+    }
+    sel.orderBy("pick")
+  }
 }
