@@ -321,7 +321,12 @@ object SparkEntry {
     "q_cochran_q"       -> ((s, d) => graft.operators.Distribution.cochranQ(s, d)),
     "q_stump"           -> ((s, d) => graft.ml.Eval.stumpQuery(s, d)),
     "q_silhouette"      -> ((s, d) => graft.scale.EmbedStats.silhouetteQuery(s, d)),
-    "q_kcenter"         -> ((s, d) => Similarity.kcenterSelect(s, d))
+    "q_kcenter"         -> ((s, d) => Similarity.kcenterSelect(s, d)),
+    "q_sssp"            -> ((s, d) => graft.operators.KCore.ssspQuery(s, d)),
+    "q_cdc_chunks"      -> ((s, d) => TextAnalysis.cdcChunksQuery(s, d)),
+    "q_hhi"             -> ((s, d) => graft.operators.Analytics.hhiQuery(s, d)),
+    "q_hist_median"     -> ((s, d) => graft.operators.Approx.histMedianQuery(s, d)),
+    "q_ann_recall"      -> ((s, d) => Similarity.annRecallQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6851,7 +6856,132 @@ object SparkEntry {
         |FROM s GROUP BY 1
         |ORDER BY label""".stripMargin,
 
-    "q_kcenter" -> kcenterOracleSql
+    "q_kcenter" -> kcenterOracleSql,
+    "q_sssp" -> ssspOracleSql,
+
+    // CDC chunking profile: md5-trigram boundary test, exclusive running
+    // boundary counts per doc (0-based positions both engines).
+    "q_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |flag AS (
+        |  SELECT source, doc_id, pos,
+        |         CASE WHEN pos >= 2 AND
+        |           CAST('0x' || substr(md5(lag(tok, 2) OVER w || ' ' ||
+        |             lag(tok, 1) OVER w || ' ' || tok), 1, 8) AS BIGINT)
+        |             % 32 = 0
+        |           THEN 1 ELSE 0 END AS cut
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |cidx AS (
+        |  SELECT source, doc_id,
+        |         COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS chunk_idx
+        |  FROM flag),
+        |chunks AS (
+        |  SELECT source, doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS len
+        |  FROM cidx GROUP BY 1, 2, 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(len) AS BIGINT) AS n_tokens,
+        |       CAST(max(len) AS BIGINT) AS max_len,
+        |       CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len
+        |FROM chunks GROUP BY 1
+        |ORDER BY source""".stripMargin,
+
+    // HHI concentration: exact cent revenues, numerator/denominator as
+    // exact wide integers, VARCHAR-routed casts for the >2^53 squares.
+    "q_hhi" ->
+      """WITH rev AS (
+        |  SELECT r.r_name AS region, l.l_suppkey,
+        |         CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS rev
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT region, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         sum(CAST(rev AS HUGEINT)) AS tot,
+        |         sum(CAST(rev AS HUGEINT) * rev) AS sumsq,
+        |         CAST(max(rev) AS BIGINT) AS max_rev
+        |  FROM rev GROUP BY 1)
+        |SELECT region, n_suppliers,
+        |       CAST(CAST(sumsq AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(tot * tot AS VARCHAR) AS DOUBLE) AS hhi,
+        |       CAST(max_rev AS DOUBLE) /
+        |         CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS top_share
+        |FROM agg
+        |ORDER BY region""".stripMargin,
+
+    // Mergeable-histogram median vs the exact rank-selected median.
+    "q_hist_median" ->
+      """WITH d AS (SELECT doc_id, n_chars, source FROM documents),
+        |b AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |             CAST(max(n_chars) AS BIGINT) AS hi FROM d),
+        |ps AS (
+        |  SELECT source, ((n_chars - lo) * 20) // (hi - lo + 1) AS bin
+        |  FROM d CROSS JOIN b),
+        |psh AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM ps GROUP BY 1, 2),
+        |m AS MATERIALIZED (
+        |  SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM psh GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM m),
+        |cum AS (
+        |  SELECT a.bin, a.cnt, CAST(sum(x.c2) AS BIGINT) AS cum
+        |  FROM m a JOIN (SELECT bin AS b2, cnt AS c2 FROM m) x
+        |    ON x.b2 <= a.bin
+        |  GROUP BY 1, 2),
+        |mb AS (
+        |  SELECT bin AS med_bin, cnt AS bin_count FROM (
+        |    SELECT c.bin, c.cnt FROM cum c CROSS JOIN nn
+        |    WHERE c.cum >= (nn.n + 1) // 2
+        |    ORDER BY c.bin ASC LIMIT 1)),
+        |ex AS (
+        |  SELECT n_chars AS exact_median, n FROM (
+        |    SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+        |           count(*) OVER () AS n
+        |    FROM d) rk WHERE r = (n + 1) // 2)
+        |SELECT CAST(ex.n AS BIGINT) AS n, (ex.n + 1) // 2 AS k, mb.med_bin,
+        |       mb.bin_count, ex.exact_median,
+        |       ((ex.exact_median - b.lo) * 20) // (b.hi - b.lo + 1) = mb.med_bin
+        |         AS in_bin
+        |FROM ex CROSS JOIN mb CROSS JOIN b""".stripMargin,
+
+    // ANN recall audit: portable sign-band bucket (dims 1-8 sign bits),
+    // both round-6 top-10 arms replayed, exact-count recall.
+    "q_ann_recall" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |            + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |            + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |            + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |            + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+        |           AS BIGINT) AS bkey
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, bkey AS qkey FROM e WHERE vec_id = 0),
+        |ex AS MATERIALIZED (
+        |  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS s
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY s DESC, e.vec_id ASC LIMIT 10),
+        |bucket AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, q.qv FROM e JOIN q ON e.bkey = q.qkey
+        |  WHERE e.vec_id <> 0),
+        |ap AS MATERIALIZED (
+        |  SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS s
+        |  FROM bucket ORDER BY s DESC, vec_id ASC LIMIT 10),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM bucket),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM ap
+        |      WHERE vec_id IN (SELECT vec_id FROM ex))
+        |SELECT nc.n_candidates, CAST(10 AS BIGINT) AS k, h.n_hits,
+        |       CAST(h.n_hits AS DOUBLE) / 10.0 AS recall
+        |FROM nc CROSS JOIN h""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -7007,6 +7137,35 @@ object SparkEntry {
        |$rounds
        |SELECT pick, vec_id, dmin FROM ($all)
        |ORDER BY pick""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.ssspQuery`: 4 unrolled Bellman–Ford
+    * relaxation rounds over the weighted co-trading graph — integer
+    * weights 10⁶ div count, min-reduce per node, exact both engines. */
+  private def ssspOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + e.w AS dist
+         |    FROM edges e JOIN d${i - 1} d ON e.a = d.node)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT l.l_suppkey AS a, -(o.o_custkey + 1) AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT a, b, 1000000 // cnt AS w FROM pairs
+       |  UNION ALL
+       |  SELECT b, a, 1000000 // cnt FROM pairs),
+       |seed AS (SELECT CAST(min(s_suppkey) AS BIGINT) AS node FROM supplier),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, dist FROM d4
+       |ORDER BY node""".stripMargin
   }
 
   /** DuckDB replay of `PageRank.hitsQuery`: 3 quantized HITS rounds

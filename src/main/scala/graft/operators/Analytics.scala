@@ -1220,4 +1220,46 @@ object Analytics {
       .select("cls", "n_parts", "rev_cents", "rev_share")
       .orderBy("cls")
   }
+
+  /** Herfindahl–Hirschman supplier-concentration index per region
+    * (q_hhi): HHI = Σᵢ shareᵢ² of supplier revenue within each region —
+    * the antitrust-style concentration readout next to
+    * [[singleSourceRisk]]'s count histogram (that flags parts with few
+    * suppliers; this flags REGIONS where revenue concentrates in few).
+    *
+    * Exactness: supplier revenues are exact cent sums; HHI is written
+    * numerator-over-denominator — Σrev² and (Σrev)² as exact
+    * decimal(38,0) — so the only IEEE work is one division of two
+    * correctly-rounded casts (the q_trend VARCHAR device oracle-side
+    * for the >2⁵³ squares). top_share = max revenue over total, same
+    * shape. Scale: one fact shuffle to (region, supplier) grain —
+    * dims broadcast — then a |regions|-row rollup. */
+  def hhiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val nation = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val region = broadcast(Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name")))
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("v"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("l_suppkey"))
+      .agg(sum(col("v")).as("rev"))
+    rev.groupBy("region")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev").cast(d38)).as("tot"),
+        sum(col("rev").cast(d38) * col("rev").cast(d38)).as("sumsq"),
+        max(col("rev")).as("max_rev"))
+      .select(col("region"), col("n_suppliers"),
+        (col("sumsq").cast("double") /
+          (col("tot") * col("tot")).cast("double")).as("hhi"),
+        (col("max_rev").cast("double") / col("tot").cast("double"))
+          .as("top_share"))
+      .orderBy("region")
+  }
 }

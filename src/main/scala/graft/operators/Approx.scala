@@ -324,4 +324,52 @@ object Approx {
       .select(lit(64L).as("m"), col("nonzero_regs"), col("s_scaled"),
         col("est"), col("true_distinct"), col("rel_err"))
   }
+
+  /** Mergeable-histogram median vs exact median (q_hist_median): each
+    * document SOURCE builds a 20-bin equi-width histogram of document
+    * length — the fixed-size summary a 1000-executor fleet can reduce
+    * associatively (the [[kmvUnion]] algebra, for quantiles) — the
+    * merged histogram names the median bin, and the EXACT median
+    * (rank-selected, never estimated) witnesses whether the sketch's
+    * bin contains it.
+    *
+    * All integer: bins via ((x−lo)·B) div (hi−lo+1) against broadcast
+    * exact min/max; the median bin is the first with cumulative count
+    * ≥ (N+1) div 2 over the ≤B-row merged frame; the exact median is
+    * the (N+1) div 2-ranked value under the unique (n_chars, doc_id)
+    * order via [[graft.operators.Ranking.distributedGlobalRank]]. */
+  def histMedianQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      bins: Int = 20): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val bounds = docs.agg(min(col("n_chars")).as("lo"),
+      max(col("n_chars")).as("hi"))
+    // per-source histograms (the mergeable summaries), then the merge
+    val perSource = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .crossJoin(broadcast(bounds))
+      .select(col("source"),
+        expr(s"((n_chars - lo) * $bins) div (hi - lo + 1)").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+    val merged = perSource.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    val n = merged.agg(sum(col("cnt")).as("n"))
+    val cum = merged.as("a")
+      .join(broadcast(merged.select(col("bin").as("b2"), col("cnt").as("c2"))),
+        col("b2") <= col("bin"))
+      .groupBy(col("bin"), col("cnt")).agg(sum(col("c2")).as("cum"))
+    val medBin = cum.crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(struct(col("bin"), col("cnt").as("c"))).as("m"))
+      .select(col("m.bin").as("med_bin"), col("m.c").as("bin_count"))
+    val exact = graft.operators.Ranking.distributedGlobalRank(
+        docs, Seq(col("n_chars").asc, col("doc_id").asc),
+        rankCol = "rk", nCol = "__n")
+      .filter(col("rk") === expr("(__n + 1) div 2"))
+      .select(col("n_chars").as("exact_median"), col("__n").as("n"))
+    exact.crossJoin(broadcast(medBin)).crossJoin(broadcast(bounds))
+      .select(col("n"), expr("(n + 1) div 2").as("k"), col("med_bin"),
+        col("bin_count"), col("exact_median"),
+        (expr(s"((exact_median - lo) * $bins) div (hi - lo + 1)") ===
+          col("med_bin")).as("in_bin"))
+  }
 }

@@ -118,6 +118,54 @@ object KCore {
       .orderBy("node")
   }
 
+  /** Weighted single-source shortest paths by fixed Bellman–Ford rounds
+    * — the weighted companion of [[bfs]] (supply-chain COST exposure,
+    * not hop exposure). Same recurrence shape: per round
+    * dist ∪ (edges ⋈ dist + w) → min per node; monotone, so `rounds`
+    * rounds give exact distances over ≤ `rounds`-edge paths —
+    * deterministic under integer weights and oracle-replayable.
+    * `edges` needs (a, b, w) with non-negative integer w. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val e = graft.scale.Silver.scratch(
+      edges.select(col("a"), col("b"), col("w")).unionAll(
+        edges.select(col("b").as("a"), col("a").as("b"), col("w"))),
+      "sssp_edges")
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = graft.scale.Silver.scratch(
+        dist.unionAll(
+            e.join(dist.withColumnRenamed("node", "a"), "a")
+              .select(col("b").as("node"), (col("dist") + col("w")).as("dist")))
+          .groupBy("node").agg(min(col("dist")).as("dist")),
+        "sssp_round")
+    }
+    dist
+  }
+
+  /** q_sssp: cheapest supply-chain path cost from the lowest-key
+    * supplier across the weighted co-trading graph — edge weight
+    * 10⁶ div (shared lineitems): frequent trading pairs are cheap hops.
+    * 4 relaxation rounds; customers keyed −(custkey+1) as everywhere. */
+  def ssspQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("a"), (-(col("o_custkey") + 1)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("a"), col("b"), expr("1000000 div cnt").as("w"))
+    val minSup = Tables.supplier(spark, dir)
+      .agg(min(col("s_suppkey")).as("mk"))
+    val seeds = Tables.supplier(spark, dir)
+      .join(broadcast(minSup), col("s_suppkey") === col("mk"))
+      .select(col("s_suppkey").cast("long").as("node"))
+    sssp(pairs, seeds, rounds = 4)
+      .select(col("node").cast("long").as("node"), col("dist"))
+      .orderBy("node")
+  }
+
   /** q_degree_dist: power-of-two degree distribution of the co-trading
     * graph — the first diagnostic run on ANY large graph (is it
     * power-law? where does the heavy tail start?), and the input to

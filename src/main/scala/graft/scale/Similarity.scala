@@ -422,4 +422,43 @@ object Similarity {
     }
     sel.orderBy("pick")
   }
+
+  /** ANN recall audit (q_ann_recall): how much of the EXACT top-k does
+    * the sign-band-bucketed search recover? — the accuracy/cost readout
+    * every approximate index must publish before it replaces
+    * [[knnBruteForce]]. The bucketed search restricts candidates to
+    * vectors sharing the query's [[signBandKey]] (band 0: the sign
+    * pattern of dims 1–8) — the ENGINE-PORTABLE bucketing (srpBucket's
+    * float hyperplanes are not replayable; raw sign bits are), so the
+    * oracle reruns the whole audit.
+    *
+    * recall = |approx∩exact| / k over two deterministic round-6 top-k
+    * sets; n_candidates is the bucket's cost denominator (candidates
+    * scored vs corpus size). One corpus scan per arm, broadcast query,
+    * TakeOrderedAndProject — the audit costs what two queries cost. */
+  def annRecallQuery(spark: SparkSession, dir: String,
+                     queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Silver.scratch(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bkey", signBandKey(col("v"), 0)),
+      "ann_emb") // feeds the exact arm, the bucket arm, and the query row
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bkey").as("qkey"))
+    val exact = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(k)
+    val bucket = emb.join(broadcast(q), col("bkey") === col("qkey"))
+      .filter(col("vec_id") =!= queryId)
+    val approx = bucket
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(k)
+    val nc = bucket.agg(count(lit(1)).as("n_candidates"))
+    val hits = approx.join(exact.select("vec_id"), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nc.crossJoin(broadcast(hits))
+      .select(col("n_candidates"), lit(k.toLong).as("k"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
 }

@@ -835,4 +835,52 @@ object TextAnalysis {
         col("num").cast("double") / (col("n_docs") * (col("n_docs") - 1)))
       .select("source", "n_docs", "n_langs", "simpson")
       .orderBy("source")
+
+  /** Content-defined chunking profile (q_cdc_chunks): split every
+    * document at ROLLING-HASH boundaries (a token position is a cut
+    * when the md5 of its closing trigram ≡ 0 mod `targetLen`) and
+    * report the per-source chunk-length distribution — the CDC primitive
+    * behind dedup-friendly storage and shift-robust corpus chunking
+    * (insert one token and only the local chunk changes, unlike the
+    * fixed-stride [[chunkDocuments]] where every downstream chunk
+    * shifts). The length profile (mean vs the targetLen design point,
+    * max straggler) is the QA readout that says whether the boundary
+    * hash behaves.
+    *
+    * Determinism: the boundary predicate is a pure md5-prefix test —
+    * identical in both engines; chunk ids are exclusive running counts
+    * of boundaries per document. Scale shape: one tokenize pass; the
+    * lag/cumsum windows are partitioned BY DOCUMENT (bounded by doc
+    * length — the chunkDocuments precedent, never a corpus-wide
+    * window); the rollup is map-side-combining on (source, doc, chunk)
+    * then source. */
+  def cdcChunksQuery(spark: SparkSession, dir: String,
+                     targetLen: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val flagged = toks
+      .withColumn("l1", lag(col("tok"), 1).over(byDoc))
+      .withColumn("l2", lag(col("tok"), 2).over(byDoc))
+      .withColumn("cut",
+        when(col("pos") >= 2 &&
+          conv(substring(md5(concat_ws(" ", col("l2"), col("l1"), col("tok"))),
+            1, 8), 16, 10).cast("long") % targetLen === 0L, 1L)
+          .otherwise(0L))
+      // a cut token CLOSES its chunk: id = boundaries strictly before pos
+      .withColumn("chunk_idx",
+        coalesce(sum(col("cut")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = flagged
+      .groupBy(col("source"), col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("len"))
+    chunks.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("n_tokens"),
+        max(col("len")).as("max_len"))
+      .withColumn("mean_len",
+        col("n_tokens").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("source")
+  }
 }

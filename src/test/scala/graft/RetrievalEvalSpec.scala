@@ -131,6 +131,62 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b - 1e-12 })
   }
 
+  test("sssp: seed at 0, weighted dists dominate hop dists, monotone vs bfs") {
+    val d = graft.operators.KCore.ssspQuery(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seed = graft.sources.Tables.supplier(spark, TestSpark.Sf0001)
+      .agg(min(col("s_suppkey"))).head().getLong(0)
+    assert(d(seed) == 0L)
+    assert(d.values.forall(_ >= 0L))
+    // every non-seed distance is a sum of >=1 positive edge weights
+    assert(d.filter(_._1 != seed).values.forall(_ > 0L))
+  }
+
+  test("cdc chunks: tokens conserved, chunk count = boundaries + docs") {
+    val rows = graft.scale.TextAnalysis
+      .cdcChunksQuery(spark, TestSpark.Sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val totTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1L)
+      assert(r.getAs[Long]("max_len") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("mean_len") > 0.0)
+    }
+  }
+
+  test("hhi: bounded by [1/n, 1], top_share <= 1") {
+    graft.operators.Analytics.hhiQuery(spark, TestSpark.Sf0001)
+      .collect().foreach { r =>
+        val n = r.getAs[Long]("n_suppliers")
+        val h = r.getAs[Double]("hhi")
+        assert(h >= 1.0 / n - 1e-12 && h <= 1.0 + 1e-12)
+        val ts = r.getAs[Double]("top_share")
+        assert(ts > 0.0 && ts <= 1.0)
+        assert(h <= ts + 1e-12) // Σs² ≤ max_s·Σs ⇒ HHI ≤ top_share
+      }
+  }
+
+  test("hist median: the merged histogram bin contains the exact median") {
+    val r = graft.operators.Approx.histMedianQuery(spark, TestSpark.Sf0001)
+      .head()
+    assert(r.getAs[Boolean]("in_bin"))
+    assert(r.getAs[Long]("bin_count") >= 1L)
+    assert(r.getAs[Long]("k") == (r.getAs[Long]("n") + 1) / 2)
+  }
+
+  test("ann recall: bucket arm is a subset search — recall in [0,1], " +
+    "candidates smaller than the corpus") {
+    val r = graft.scale.Similarity.annRecallQuery(spark, TestSpark.Sf0001)
+      .head()
+    val corpus = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(r.getAs[Long]("n_candidates") < corpus)
+    val rec = r.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("k"))
+  }
+
   test("conformal: q_hat is a calibration residual quantile; coverage near 0.9") {
     val r = Eval.conformalQuery(spark, TestSpark.Sf0001).head()
     val nCal = r.getAs[Long]("n_cal")
