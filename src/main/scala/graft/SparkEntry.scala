@@ -326,7 +326,11 @@ object SparkEntry {
     "q_cdc_chunks"      -> ((s, d) => TextAnalysis.cdcChunksQuery(s, d)),
     "q_hhi"             -> ((s, d) => graft.operators.Analytics.hhiQuery(s, d)),
     "q_hist_median"     -> ((s, d) => graft.operators.Approx.histMedianQuery(s, d)),
-    "q_ann_recall"      -> ((s, d) => Similarity.annRecallQuery(s, d))
+    "q_ann_recall"      -> ((s, d) => Similarity.annRecallQuery(s, d)),
+    "q_walks"           -> ((s, d) => graft.operators.KCore.walksQuery(s, d)),
+    "q_link_pred"       -> ((s, d) => graft.operators.KCore.linkPredQuery(s, d)),
+    "q_cuped"           -> ((s, d) => graft.operators.Distribution.cupedQuery(s, d)),
+    "q_tv_drift"        -> ((s, d) => graft.operators.Distribution.tvDriftQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6981,7 +6985,90 @@ object SparkEntry {
         |      WHERE vec_id IN (SELECT vec_id FROM ex))
         |SELECT nc.n_candidates, CAST(10 AS BIGINT) AS k, h.n_hits,
         |       CAST(h.n_hits AS DOUBLE) / 10.0 AS recall
-        |FROM nc CROSS JOIN h""".stripMargin
+        |FROM nc CROSS JOIN h""".stripMargin,
+
+    "q_walks" -> walksOracleSql,
+
+    // RA link prediction: integer 10^6 div deg weights, df-capped
+    // wedges, existing edges anti-joined away.
+    "q_link_pred" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)),
+        |deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY 1),
+        |nbrs AS MATERIALIZED (
+        |  SELECT e.a AS z, e.b AS nbr, 1000000 // d.deg AS w
+        |  FROM edges e JOIN deg d ON e.a = d.z WHERE d.deg <= 64),
+        |sc AS (
+        |  SELECT x.nbr AS u, y.nbr AS v, CAST(sum(x.w) AS BIGINT) AS ra_score,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM nbrs x JOIN nbrs y ON x.z = y.z AND x.nbr < y.nbr
+        |  GROUP BY 1, 2)
+        |SELECT u, v, ra_score, n_common
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.a = sc.u AND e.b = sc.v)
+        |ORDER BY ra_score DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+
+    // CUPED: exact moment sums, cleared-denominator cov/var numerators,
+    // theta and rho^2 as fixed IEEE trees over VARCHAR-routed casts.
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           ELSE 0 END) AS x,
+        |         sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           ELSE 0 END) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per),
+        |t AS (
+        |  SELECT n,
+        |         CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |              AS DOUBLE) AS cov_num,
+        |         CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |              AS DOUBLE) AS varx_num,
+        |         CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |              AS DOUBLE) AS vary_num
+        |  FROM m)
+        |SELECT n, cov_num / varx_num AS theta,
+        |       cov_num * cov_num / (varx_num * vary_num) AS reduction
+        |FROM t""".stripMargin,
+
+    // Total-variation drift: cleared denominators, exact integer witness,
+    // one terminal division.
+    "q_tv_drift" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |               CAST(sum(b) AS BIGINT) AS tb FROM cells),
+        |w AS (
+        |  SELECT c.priority,
+        |         abs(CAST(c.a AS HUGEINT) * t.tb - CAST(c.b AS HUGEINT) * t.ta)
+        |           AS w, t.ta, t.tb
+        |  FROM cells c CROSS JOIN tot t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells, ta, tb,
+        |       CAST(sum(w) AS VARCHAR) AS tv_witness,
+        |       CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(2 * CAST(ta AS HUGEINT) * tb AS VARCHAR) AS DOUBLE)
+        |         AS tv
+        |FROM w GROUP BY ta, tb""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -7137,6 +7224,33 @@ object SparkEntry {
        |$rounds
        |SELECT pick, vec_id, dmin FROM ($all)
        |ORDER BY pick""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.walksQuery`: 3 unrolled hash-seeded walk
+    * steps — per step the (md5(cur:t:dst), dst) argmin over the
+    * frontier's neighbors. */
+  private def walksOracleSql: String = {
+    val steps = (1 to 3).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT start, dst AS cur FROM (
+         |    SELECT w.start, e.dst,
+         |           row_number() OVER (PARTITION BY w.start
+         |             ORDER BY md5(w.cur || ':' || $t || ':' || e.dst),
+         |                      e.dst) AS rn
+         |    FROM w${t - 1} w JOIN edges e ON w.cur = e.src) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a AS src, b AS dst FROM pairs
+       |    UNION ALL SELECT b, a FROM pairs)),
+       |w0 AS (SELECT CAST(s_suppkey AS BIGINT) AS start,
+       |              CAST(s_suppkey AS BIGINT) AS cur FROM supplier),
+       |$steps
+       |SELECT start, cur AS end_node FROM w3
+       |ORDER BY start""".stripMargin
   }
 
   /** DuckDB replay of `KCore.ssspQuery`: 4 unrolled Bellman–Ford

@@ -984,4 +984,74 @@ object Distribution {
         when(col("q_den") > 0L,
           col("q_num").cast("double") / col("q_den").cast("double")))
   }
+
+  /** CUPED variance reduction (q_cuped): per customer, X = pre-period
+    * spend (orders before 1998-01-01) and Y = post-period spend;
+    * θ = cov(X,Y)/var(X) and the achievable metric-variance reduction
+    * 1 − var(Y − θX)/var(Y) = ρ² — the pre-experiment covariate
+    * adjustment every A/B platform runs to shrink [[mdeQuery]]'s MDE
+    * (reduction 0.3 ⇒ 30% fewer samples for the same power).
+    *
+    * All five moment sums are exact decimal(38,0) from ONE conditional
+    * pass; θ and ρ² are fixed trees over their correctly-rounded double
+    * casts (the n·Σxy − ΣxΣy cleared-denominator forms — never a float
+    * mean in sight; squaring happens in IEEE because the exact squares
+    * would exceed decimal(38)). */
+  def cupedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < to_date(lit("1998-01-01")),
+          cents(col("o_totalprice"))).otherwise(0L)).as("x"),
+        sum(when(col("o_orderdate") >= to_date(lit("1998-01-01")),
+          cents(col("o_totalprice"))).otherwise(0L)).as("y"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+      sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+    m.select(col("n"),
+        (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("cov_num"),
+        (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("varx_num"),
+        (col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("vary_num"))
+      .select(col("n"),
+        (col("cov_num") / col("varx_num")).as("theta"),
+        (col("cov_num") * col("cov_num") /
+          (col("varx_num") * col("vary_num"))).as("reduction"))
+  }
+
+  /** Total-variation drift between the order-priority mixes of the two
+    * order-date eras (q_tv_drift): TV(P,Q) = ½ Σ|p_i − q_i|, computed
+    * EXACTLY through cleared denominators — per priority the witness
+    * |a_i·B − b_i·A| (exact longs), so 2·A·B·TV is an exact integer and
+    * the distance is ONE division. The exact companion of the
+    * PSI/χ² drift family for categorical mixes (PSI needs logs; TV
+    * doesn't). */
+  def tvDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        sum(when(col("o_orderdate") < to_date(lit("1998-01-01")), 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("o_orderdate") >= to_date(lit("1998-01-01")), 1L)
+          .otherwise(0L)).as("b"))
+    val tot = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("priority"), col("a"), col("b"),
+        abs(col("a").cast(d38) * col("tb").cast(d38) -
+          col("b").cast(d38) * col("ta").cast(d38)).as("w"),
+        col("ta"), col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("w")).as("tv_witness"))
+      .select(col("n_cells"), col("ta"), col("tb"),
+        col("tv_witness").cast("string").as("tv_witness"),
+        (col("tv_witness").cast("double") /
+          (lit(2).cast(d38) * col("ta").cast(d38) * col("tb").cast(d38))
+            .cast("double")).as("tv"))
+  }
 }

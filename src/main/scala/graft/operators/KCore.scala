@@ -166,6 +166,79 @@ object KCore {
       .orderBy("node")
   }
 
+  /** Deterministic graph walks (q_walks): one 3-step walk from every
+    * supplier node, where each step moves to the neighbor minimizing
+    * md5(cur:step:neighbor) — a HASH-SEEDED walk, so the sampling is
+    * reproducible under any partitioning and replayable in the oracle
+    * (true RNG walks are not). This is the distributed walk-sampling
+    * shape under node2vec/DeepWalk: per step ONE edges⋈frontier join
+    * plus an argmin reduce; w walks of length L cost L joins total, not
+    * L per walk.
+    *
+    * Argmin ties cannot occur (md5 collisions aside) but the struct min
+    * breaks them by neighbor id anyway. */
+  def walksQuery(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val e = graft.scale.Silver.scratch({
+      val p = coTradingPairs(spark, dir)
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+    }, "walk_edges")
+    var walk = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("start"))
+      .withColumn("cur", col("start"))
+    for (t <- 1 to steps) {
+      walk = graft.scale.Silver.scratch(
+        walk.join(e, col("cur") === col("src"))
+          .select(col("start"),
+            md5(concat_ws(":", col("cur"), lit(t), col("dst"))).as("h"),
+            col("dst"))
+          .groupBy("start")
+          .agg(min(struct(col("h"), col("dst").as("d"))).as("m"))
+          .select(col("start"), col("m.d").as("cur")),
+        "walk_step")
+    }
+    walk.select(col("start"), col("cur").as("end_node"))
+      .orderBy("start")
+  }
+
+  /** Resource-allocation link prediction (q_link_pred): score
+    * NON-adjacent node pairs by Σ_{z ∈ N(u)∩N(v)} 1/deg(z) — the RA
+    * index (Zhou et al.), the strongest of the classic common-neighbor
+    * link predictors and, unlike Adamic–Adar, computable EXACTLY: the
+    * per-z weight is the integer 10⁶ div deg(z), so pair scores are
+    * exact long sums ("who will trade next?" over the co-trading
+    * graph).
+    *
+    * Scale shape: wedges enumerate per common neighbor z — the same
+    * Σ deg² blowup the triangle counter bounds by orientation; here
+    * hub wedges carry ~zero RA mass (weight 1/deg), so hubs with
+    * deg > `degCap` are dropped ENTIRELY (the shingle df-cap device:
+    * bounded candidates, and the discarded mass is provably
+    * ≤ 10⁶/degCap per wedge). Existing edges are anti-joined away;
+    * TakeOrderedAndProject keeps the top candidates. */
+  def linkPredQuery(spark: SparkSession, dir: String,
+                    degCap: Long = 64L, topK: Int = 20): DataFrame = {
+    val p = coTradingPairs(spark, dir)
+    val edges = graft.scale.Silver.scratch(
+      p.select(col("a"), col("b")).unionAll(
+        p.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "lp_edges") // feeds degrees, wedges, and the existing-edge filter
+    val deg = edges.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+    val nbrs = edges.select(col("a").as("z"), col("b").as("nbr"))
+      .join(deg.filter(col("deg") <= degCap), "z")
+      .withColumn("w", expr("1000000 div deg"))
+    val scores = nbrs.as("x").join(nbrs.as("y"),
+        col("x.z") === col("y.z") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("u"), col("y.nbr").as("v"), col("x.w").as("w"))
+      .groupBy("u", "v")
+      .agg(sum(col("w")).as("ra_score"), count(lit(1)).as("n_common"))
+    scores.join(edges.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_score").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+  }
+
   /** q_degree_dist: power-of-two degree distribution of the co-trading
     * graph — the first diagnostic run on ANY large graph (is it
     * power-law? where does the heavy tail start?), and the input to

@@ -187,6 +187,46 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("k"))
   }
 
+  test("walks: one walk per supplier, every end node is in the graph") {
+    val w = graft.operators.KCore.walksQuery(spark, TestSpark.Sf0001).collect()
+    val nSup = graft.sources.Tables.supplier(spark, TestSpark.Sf0001).count()
+    assert(w.length == nSup)
+    // 3 steps on a bipartite graph from the supplier side lands on the
+    // customer side (odd path length) — a structural walk invariant
+    w.foreach(r => assert(r.getAs[Long]("end_node") < 0L))
+  }
+
+  test("link prediction: candidates are non-edges; RA score reconciles") {
+    val top = graft.operators.KCore.linkPredQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Long]("ra_score") > 0L)
+      assert(r.getAs[Long]("n_common") >= 1L)
+      // per-z weight <= 10^6, so score <= n_common * 10^6
+      assert(r.getAs[Long]("ra_score") <= r.getAs[Long]("n_common") * 1000000L)
+    }
+  }
+
+  test("cuped: reduction = rho^2 in [0,1]; theta sign matches covariance") {
+    val r = graft.operators.Distribution.cupedQuery(spark, TestSpark.Sf0001)
+      .head()
+    val red = r.getAs[Double]("reduction")
+    assert(red >= 0.0 && red <= 1.0 + 1e-12)
+    assert(!r.getAs[Double]("theta").isNaN)
+  }
+
+  test("tv drift: bounded by [0,1], witness consistent with the division") {
+    val r = graft.operators.Distribution.tvDriftQuery(spark, TestSpark.Sf0001)
+      .head()
+    val tv = r.getAs[Double]("tv")
+    assert(tv >= 0.0 && tv <= 1.0)
+    assert(r.getAs[Long]("n_cells") >= 1L)
+    val w = BigInt(r.getAs[String]("tv_witness"))
+    val denom = BigInt(2) * BigInt(r.getAs[Long]("ta")) * BigInt(r.getAs[Long]("tb"))
+    assert(math.abs(tv - (BigDecimal(w) / BigDecimal(denom)).toDouble) < 1e-15)
+  }
+
   test("conformal: q_hat is a calibration residual quantile; coverage near 0.9") {
     val r = Eval.conformalQuery(spark, TestSpark.Sf0001).head()
     val nCal = r.getAs[Long]("n_cal")
