@@ -330,7 +330,10 @@ object SparkEntry {
     "q_walks"           -> ((s, d) => graft.operators.KCore.walksQuery(s, d)),
     "q_link_pred"       -> ((s, d) => graft.operators.KCore.linkPredQuery(s, d)),
     "q_cuped"           -> ((s, d) => graft.operators.Distribution.cupedQuery(s, d)),
-    "q_tv_drift"        -> ((s, d) => graft.operators.Distribution.tvDriftQuery(s, d))
+    "q_tv_drift"        -> ((s, d) => graft.operators.Distribution.tvDriftQuery(s, d)),
+    "q_max_cover"       -> ((s, d) => TrainingData.maxCoverSelect(s, d)),
+    "q_budget_select"   -> ((s, d) => TrainingData.budgetSelect(s, d)),
+    "q_join_size"       -> ((s, d) => graft.operators.Profile.joinSizeQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7068,7 +7071,56 @@ object SparkEntry {
         |       CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) /
         |         CAST(CAST(2 * CAST(ta AS HUGEINT) * tb AS VARCHAR) AS DOUBLE)
         |         AS tv
-        |FROM w GROUP BY ta, tb""".stripMargin
+        |FROM w GROUP BY ta, tb""".stripMargin,
+
+    "q_max_cover" -> maxCoverOracleSql,
+
+    // Greedy knapsack under the 20% token budget: one-division ratios,
+    // inclusive cumulative cost under the unique (ratio, doc_id) order.
+    "q_budget_select" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |           AS v,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS ratio
+        |  FROM documents),
+        |b AS (SELECT CAST(sum(cost) // 5 AS BIGINT) AS budget FROM docs),
+        |cum AS (
+        |  SELECT source, cost, v,
+        |         sum(cost) OVER (ORDER BY ratio DESC, doc_id ASC) AS cum_cost
+        |  FROM docs)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+        |       CAST(sum(cost) AS BIGINT) AS tokens_used,
+        |       CAST(sum(v) AS BIGINT) AS value_sum
+        |FROM cum CROSS JOIN b WHERE cum_cost <= budget
+        |GROUP BY 1
+        |ORDER BY source""".stripMargin,
+
+    // Join-size planner witness: full-corpus sum-of-squares estimate plus
+    // the bounded-subset estimate proven equal to the executed join.
+    "q_join_size" ->
+      """WITH li AS (SELECT l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |      FROM li GROUP BY 1),
+        |fe AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(c) AS BIGINT) AS max_key_cnt,
+        |         CAST(sum(CAST(c AS HUGEINT) * c) AS VARCHAR) AS est_full
+        |  FROM f),
+        |sk AS (SELECT p_partkey FROM part WHERE p_size = 1),
+        |sub AS MATERIALIZED (
+        |  SELECT l.l_partkey FROM li l JOIN sk ON l.l_partkey = sk.p_partkey),
+        |se AS (
+        |  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS est_sub
+        |  FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |        FROM sub GROUP BY 1)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_sub
+        |      FROM sub x JOIN sub y ON x.l_partkey = y.l_partkey)
+        |SELECT fe.n_keys, fe.max_key_cnt, fe.est_full, se.est_sub,
+        |       a.actual_sub, se.est_sub = a.actual_sub AS est_exact
+        |FROM fe CROSS JOIN se CROSS JOIN a""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -7251,6 +7303,40 @@ object SparkEntry {
        |$steps
        |SELECT start, cur AS end_node FROM w3
        |ORDER BY start""".stripMargin
+  }
+
+  /** DuckDB replay of `TrainingData.maxCoverSelect`: 5 unrolled greedy
+    * max-coverage rounds — per round the uncovered-term gain count and
+    * the (gain DESC, doc_id ASC) argmax; saturation yields fewer rows
+    * in BOTH engines identically. */
+  private def maxCoverOracleSql: String = {
+    val k = 5
+    val rounds = (1 to k).map { i =>
+      val selDocs = (1 to i - 1).map(j => s"SELECT doc_id FROM s$j")
+        .mkString(" UNION ALL ")
+      val notCovered = if (i == 1) ""
+        else
+          s"""WHERE term NOT IN (
+             |    SELECT DISTINCT term FROM d
+             |    WHERE doc_id IN ($selDocs)) """.stripMargin
+      s"""g$i AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM d
+         |  $notCovered GROUP BY 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT doc_id, gain, CAST($i AS BIGINT) AS pick FROM g$i
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |d AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    [t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)])
+       |    AS term
+       |  FROM toks WHERE len(t) >= 2),
+       |$rounds
+       |SELECT pick, doc_id, gain FROM ($all)
+       |ORDER BY pick""".stripMargin
   }
 
   /** DuckDB replay of `KCore.ssspQuery`: 4 unrolled Bellman–Ford

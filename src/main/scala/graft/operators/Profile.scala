@@ -126,4 +126,40 @@ object Profile {
         Tables.region(spark, dir), "r_regionkey", broadcastParent = true)
     ).reduce(_ unionByName _).orderBy("fk")
   }
+
+  /** Join-cardinality estimation witness (q_join_size): the planner
+    * statistic Σ_k c_k² (per-key count histogram product) PREDICTS a
+    * self-join's output size without running it; the query then RUNS the
+    * join on a bounded key subset and witnesses estimate ≡ execution —
+    * the sanity check behind every similarity-join blow-up guard in this
+    * repo (`Dedup.MaxShingleDf`, the triangle broadcast gate all reason
+    * from exactly this Σc² number).
+    *
+    * Subset = lineitems of parts with p_size = 1 (a stable ~2% slice) so
+    * the witnessed join stays bounded at any SF; the FULL-corpus Σc² is
+    * still reported (string witness — it exceeds long under 10×
+    * inflation) as the pure-estimate column. */
+  def joinSizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val full = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), max(col("c")).as("max_key_cnt"),
+        sum(col("c").cast(d38) * col("c").cast(d38)).as("est_full"))
+    val subKeys = Tables.part(spark, dir)
+      .filter(col("p_size") === 1).select(col("p_partkey"))
+    val sub = graft.scale.Silver.scratch(
+      li.join(broadcast(subKeys), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey")),
+      "js_sub") // feeds the estimate and the witnessed join
+    val subEst = sub.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast(d38) * col("c").cast(d38)).as("est_sub"))
+    val actual = sub.as("x").join(sub.as("y"),
+        col("x.l_partkey") === col("y.l_partkey"))
+      .agg(count(lit(1)).as("actual_sub"))
+    full.crossJoin(broadcast(subEst)).crossJoin(broadcast(actual))
+      .select(col("n_keys"), col("max_key_cnt"),
+        col("est_full").cast("string").as("est_full"),
+        col("est_sub").cast("long").as("est_sub"), col("actual_sub"),
+        (col("est_sub").cast("long") === col("actual_sub")).as("est_exact"))
+  }
 }

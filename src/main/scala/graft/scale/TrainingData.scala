@@ -629,4 +629,80 @@ object TrainingData {
         "balance_ratio")
       .orderBy("shard")
   }
+
+  /** Greedy maximum-coverage document selection (q_max_cover): pick up
+    * to `k` documents that together cover the most VOCABULARY — the
+    * submodular facility-location pass of data curation (the lexical
+    * dual of [[graft.scale.Similarity.kcenterSelect]]'s geometric
+    * spread; greedy is the classic (1−1/e)-approximation). Selection
+    * stops early when no document adds a new term — the output carries
+    * however many picks saturate the corpus.
+    *
+    * Per round: ONE pass over the distinct (doc, term) frame (anti-join
+    * the covered-term set, count per doc, argmax with doc_id ties) —
+    * k passes total; the covered set only grows and is re-materialized
+    * per round (the iterative lineage cut). Exact counts throughout. */
+  def maxCoverSelect(spark: SparkSession, dir: String,
+                     k: Int = 5): DataFrame = {
+    // coverage units are BIGRAMS: the unigram vocab saturates in one
+    // pick on a small closed vocabulary, which tests nothing
+    val bigrams = graft.functions.Let.bind(split(col("text"), " "))(t =>
+      when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2))))))
+    val d = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(bigrams)).as("term")),
+      "mc_terms") // feeds every greedy round
+    var covered = d.select(col("term")).limit(0)
+    var sel: DataFrame = null
+    for (i <- 1 to k) {
+      val gain = d
+        .join(covered, Seq("term"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .select(col("doc_id"), col("gain"), lit(i.toLong).as("pick"))
+        .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+      sel = if (sel == null) Silver.scratch(gain, "mc_sel")
+        else Silver.scratch(sel.unionAll(gain), "mc_sel")
+      covered = Silver.scratch(
+        d.join(sel.select("doc_id"), "doc_id").select("term").distinct(),
+        "mc_covered")
+    }
+    sel.select(col("pick"), col("doc_id"), col("gain")).orderBy("pick")
+  }
+
+  /** Greedy knapsack corpus selection under a token budget
+    * (q_budget_select): order documents by lexical value density
+    * (distinct terms per token — the cheap quality proxy), take the
+    * prefix whose cumulative token cost fits 20% of the corpus — the
+    * "best data for a fixed compute budget" pass (DoReMi/DSIR-adjacent
+    * reweighting reduces to exactly this shape under a hard budget).
+    *
+    * The ratio is ONE division of exact counts (identical both
+    * engines); the prefix comes from [[graft.operators.Ranking
+    * .distributedCumSum]] under the unique (ratio, doc_id) order — no
+    * single-partition window — and the budget is integer arithmetic
+    * off the exact total. Reported per source: how the greedy
+    * selection redistributes the mix. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("cost"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("value"))
+        .withColumn("ratio",
+          col("value").cast("double") / col("cost").cast("double")),
+      "bs_docs") // feeds the budget total and the ranked prefix
+    val budget = docs.agg(expr("sum(cost) div 5").as("budget"))
+    val cum = graft.operators.Ranking.distributedCumSum(docs,
+      Seq(col("ratio").desc, col("doc_id").asc), Seq("cost"))
+    cum.crossJoin(broadcast(budget))
+      .filter(col("cum_cost") <= col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum(col("cost")).as("tokens_used"),
+        sum(col("value")).as("value_sum"))
+      .orderBy("source")
+  }
 }

@@ -227,6 +227,35 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(math.abs(tv - (BigDecimal(w) / BigDecimal(denom)).toDouble) < 1e-15)
   }
 
+  test("max cover: gains non-increasing (submodularity of greedy picks)") {
+    val sel = graft.scale.TrainingData.maxCoverSelect(spark, TestSpark.Sf0001)
+      .orderBy("pick").collect()
+    assert(sel.nonEmpty)
+    val gains = sel.map(_.getAs[Long]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    assert(sel.map(_.getAs[Long]("doc_id")).distinct.length == sel.length)
+  }
+
+  test("budget select: total tokens within the 20% budget, value positive") {
+    val rows = graft.scale.TrainingData.budgetSelect(spark, TestSpark.Sf0001)
+      .collect()
+    val totTokens = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    val used = rows.map(_.getAs[Long]("tokens_used")).sum
+    assert(used <= totTokens / 5)
+    assert(used > 0L)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("value_sum") >= r.getAs[Long]("n_selected")))
+  }
+
+  test("join size: the subset estimate equals the executed join exactly") {
+    val r = graft.operators.Profile.joinSizeQuery(spark, TestSpark.Sf0001)
+      .head()
+    assert(r.getAs[Boolean]("est_exact"))
+    assert(r.getAs[Long]("est_sub") == r.getAs[Long]("actual_sub"))
+    assert(BigInt(r.getAs[String]("est_full")) >= BigInt(r.getAs[Long]("n_keys")))
+  }
+
   test("conformal: q_hat is a calibration residual quantile; coverage near 0.9") {
     val r = Eval.conformalQuery(spark, TestSpark.Sf0001).head()
     val nCal = r.getAs[Long]("n_cal")
