@@ -333,7 +333,11 @@ object SparkEntry {
     "q_tv_drift"        -> ((s, d) => graft.operators.Distribution.tvDriftQuery(s, d)),
     "q_max_cover"       -> ((s, d) => TrainingData.maxCoverSelect(s, d)),
     "q_budget_select"   -> ((s, d) => TrainingData.budgetSelect(s, d)),
-    "q_join_size"       -> ((s, d) => graft.operators.Profile.joinSizeQuery(s, d))
+    "q_join_size"       -> ((s, d) => graft.operators.Profile.joinSizeQuery(s, d)),
+    "q_kn_counts"       -> ((s, d) => graft.scale.LmScore.knCountsQuery(s, d)),
+    "q_phrase_search"   -> ((s, d) => graft.scale.Search.phraseSearchQuery(s, d)),
+    "q_rendezvous"      -> ((s, d) => TrainingData.rendezvousQuery(s, d)),
+    "q_weak_labels"     -> ((s, d) => TrainingData.weakLabelsQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7120,7 +7124,64 @@ object SparkEntry {
         |      FROM sub x JOIN sub y ON x.l_partkey = y.l_partkey)
         |SELECT fe.n_keys, fe.max_key_cnt, fe.est_full, se.est_sub,
         |       a.actual_sub, se.est_sub = a.actual_sub AS est_exact
-        |FROM fe CROSS JOIN se CROSS JOIN a""".stripMargin
+        |FROM fe CROSS JOIN se CROSS JOIN a""".stripMargin,
+
+    // Kneser-Ney continuation counts over the bigram-type frame.
+    "q_kn_counts" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS MATERIALIZED (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks, unnest(range(1, len(t))) AS r(i) GROUP BY 1, 2),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bi),
+        |co AS (SELECT w2 AS word, CAST(count(*) AS BIGINT) AS n_cont
+        |       FROM bi GROUP BY 1),
+        |su AS (SELECT w1 AS word, CAST(count(*) AS BIGINT) AS n_succ
+        |       FROM bi GROUP BY 1),
+        |uni AS (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS raw_cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |SELECT u.word, u.raw_cnt,
+        |       CAST(COALESCE(co.n_cont, 0) AS BIGINT) AS n_cont,
+        |       CAST(COALESCE(su.n_succ, 0) AS BIGINT) AS n_succ,
+        |       CAST(COALESCE(co.n_cont, 0) AS DOUBLE) /
+        |         CAST(ty.n_types AS DOUBLE) AS continuation_p,
+        |       CAST(COALESCE(co.n_cont, 0) AS DOUBLE) /
+        |         CAST(u.raw_cnt AS DOUBLE) AS ratio
+        |FROM uni u LEFT JOIN co USING (word) LEFT JOIN su USING (word)
+        |     CROSS JOIN ty
+        |ORDER BY raw_cnt DESC, word ASC LIMIT 30""".stripMargin,
+
+    // Positional-index phrase search, self-witnessed by the plain
+    // n-gram count of the same bigram.
+    "q_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS ngram,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks, unnest(range(1, len(t))) AS r(i) GROUP BY 1),
+        |ph AS (SELECT ngram AS phrase, cnt AS witness_count FROM bg
+        |       ORDER BY cnt DESC, ngram ASC LIMIT 1),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, unnest(t) AS term,
+        |         generate_subscripts(t, 1) - 1 AS pos
+        |  FROM toks),
+        |p1 AS (
+        |  SELECT pos.doc_id, pos.pos, ph.phrase, ph.witness_count
+        |  FROM pos CROSS JOIN ph
+        |  WHERE pos.term = split_part(ph.phrase, ' ', 1)),
+        |m AS (
+        |  SELECT p1.* FROM p1
+        |  JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos - 1 = p1.pos
+        |  WHERE p2.term = split_part(p1.phrase, ' ', 2))
+        |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS total_occurrences, witness_count,
+        |       CAST(count(*) AS BIGINT) = witness_count AS index_exact
+        |FROM m GROUP BY phrase, witness_count""".stripMargin,
+
+    "q_rendezvous" -> rendezvousOracleSql,
+    "q_weak_labels" -> weakLabelsOracleSql
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -7303,6 +7364,62 @@ object SparkEntry {
        |$steps
        |SELECT start, cur AS end_node FROM w3
        |ORDER BY start""".stripMargin
+  }
+
+  /** DuckDB replay of `TrainingData.rendezvousQuery`: least-of-md5
+    * rendezvous owner (all 8 nodes, then node 0 removed), per-node
+    * before/after counts and the minimal-movement witness. */
+  private def rendezvousOracleSql: String = {
+    val n = 8
+    def h(i: Int) = s"md5(doc_id || ':' || $i)"
+    def caseChain(m: String, ns: Seq[Int]) =
+      "CAST(CASE " + ns.map(i => s"WHEN ${h(i)} = $m THEN $i").mkString(" ") +
+        " END AS BIGINT)"
+    s"""WITH hm AS (
+       |  SELECT doc_id,
+       |         least(${(0 until n).map(h).mkString(", ")}) AS m,
+       |         least(${(1 until n).map(h).mkString(", ")}) AS m2
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id,
+       |         ${caseChain("m", 0 until n)} AS node,
+       |         ${caseChain("m2", 1 until n)} AS node_after
+       |  FROM hm),
+       |b AS (SELECT node, CAST(count(*) AS BIGINT) AS n_docs FROM o GROUP BY 1),
+       |a AS (SELECT node_after AS node, CAST(count(*) AS BIGINT) AS n_after
+       |      FROM o GROUP BY 1)
+       |SELECT b.node, b.n_docs,
+       |       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       |       (COALESCE(a.n_after, 0) >= b.n_docs OR b.node = 0) AS only_grows
+       |FROM b LEFT JOIN a USING (node)
+       |ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `TrainingData.weakLabelsQuery`: the three vote
+    * columns, then one aggregate block per (lf_a ≤ lf_b) pair. */
+  private def weakLabelsOracleSql: String = {
+    val blocks = (for { a <- 1 to 3; b <- a to 3 } yield
+      s"""SELECT lf_a, lf_b, n_overlap, n_conflict,
+         |       CASE WHEN n_overlap > 0
+         |            THEN CAST(n_conflict AS DOUBLE) / CAST(n_overlap AS DOUBLE)
+         |       END AS conflict_rate
+         |FROM (
+         |  SELECT 'l$a' AS lf_a, 'l$b' AS lf_b,
+         |         CAST(sum(CASE WHEN l$a <> 0 AND l$b <> 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_overlap,
+         |         CAST(sum(CASE WHEN l$a <> 0 AND l$b <> 0 AND l$a <> l$b
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict
+         |  FROM v)""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS l1,
+       |         CASE WHEN n_chars > 400 THEN 1
+       |              WHEN n_chars < 250 THEN -1 ELSE 0 END AS l2,
+       |         CASE WHEN len(string_split(text, ' ')) > 80 THEN 1
+       |              WHEN len(string_split(text, ' ')) < 50 THEN -1
+       |              ELSE 0 END AS l3
+       |  FROM documents)
+       |$blocks
+       |ORDER BY lf_a, lf_b""".stripMargin
   }
 
   /** DuckDB replay of `TrainingData.maxCoverSelect`: 5 unrolled greedy

@@ -116,4 +116,46 @@ object LmScore {
         (-sum(log(2.0, col("p"))) / count(lit(1))).as("cross_entropy_bits"))
       .withColumn("perplexity", pow(lit(2.0), col("cross_entropy_bits")))
   }
+
+  /** Kneser–Ney continuation counts (q_kn_counts): for the corpus'
+    * top-30 words, the raw unigram count against the CONTINUATION
+    * count N₁₊(·w) = "how many distinct words precede w" — the insight
+    * behind KN smoothing (the best classical LM smoother): "Francisco"
+    * is frequent but continues only "San", so its unigram backoff mass
+    * should be tiny. continuation_p = N₁₊(·w) / |distinct bigram
+    * types| is the exact KN lower-order distribution.
+    *
+    * Everything is distinct-counting over the bigram-type frame (vocab²-
+    * bounded, map-side combining); the only float op is the one
+    * division. The diagnostic column `ratio` (continuation over raw)
+    * flags the Francisco-shaped words. */
+  def knCountsQuery(spark: SparkSession, dir: String,
+                    topK: Int = 30): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bi = Silver.scratch(
+      Search.ngramCounts(docs, 2)
+        .select(split(col("ngram"), " ").getItem(0).as("w1"),
+          split(col("ngram"), " ").getItem(1).as("w2"),
+          col("cnt")),
+      "kn_bi") // feeds the type total, both diversity counts
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    val cont = bi.groupBy(col("w2").as("word"))
+      .agg(count(lit(1)).as("n_cont"))
+    val succ = bi.groupBy(col("w1").as("word"))
+      .agg(count(lit(1)).as("n_succ"))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("raw_cnt"))
+    uni.join(cont, Seq("word"), "left").join(succ, Seq("word"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("word"), col("raw_cnt"),
+        coalesce(col("n_cont"), lit(0L)).as("n_cont"),
+        coalesce(col("n_succ"), lit(0L)).as("n_succ"),
+        (coalesce(col("n_cont"), lit(0L)).cast("double") /
+          col("n_types").cast("double")).as("continuation_p"),
+        (coalesce(col("n_cont"), lit(0L)).cast("double") /
+          col("raw_cnt").cast("double")).as("ratio"))
+      .orderBy(col("raw_cnt").desc, col("word").asc)
+      .limit(topK)
+  }
 }

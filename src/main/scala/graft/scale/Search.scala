@@ -622,4 +622,46 @@ object Search {
       .orderBy(col("rank").desc, col("term").asc)
       .limit(topK)
   }
+
+  // ---------------------------------------------------------------------
+  // Positional index / phrase search
+  // ---------------------------------------------------------------------
+
+  /** Phrase search through a POSITIONAL index (q_phrase_search): find
+    * every occurrence of the corpus' top bigram by joining the
+    * (term, doc, position) index against itself on (doc, pos+1) — the
+    * mechanism behind quoted-phrase queries, which the docfreq-only
+    * [[invertedIndex]] cannot answer. The result is SELF-WITNESSING:
+    * the positional join's total must equal the plain n-gram counter's
+    * count for the same bigram — two completely different plans, one
+    * number.
+    *
+    * Scale shape: the positional index is one tokenize pass shuffled by
+    * term (exactly the inverted-index build); the phrase join touches
+    * only the two terms' posting rows (term-selective), never the
+    * corpus. */
+  def phraseSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val phrase = ngramCounts(docs, 2)
+      .orderBy(col("cnt").desc, col("ngram").asc).limit(1)
+      .select(col("ngram").as("phrase"), col("cnt").as("witness_count"))
+    val pos = Silver.scratch(
+      docs.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "term"))),
+      "ph_pos") // the positional index: feeds both phrase-term probes
+    val p = pos.crossJoin(broadcast(phrase))
+      .filter(col("term") === split(col("phrase"), " ").getItem(0))
+      .select(col("doc_id"), col("pos"), col("phrase"), col("witness_count"))
+    val matches = p.join(
+        pos.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("term").as("t2")),
+        Seq("doc_id", "pos"))
+      .filter(col("t2") === split(col("phrase"), " ").getItem(1))
+    matches.groupBy(col("phrase"), col("witness_count"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_occurrences"))
+      .select(col("phrase"), col("n_docs"), col("total_occurrences"),
+        col("witness_count"),
+        (col("total_occurrences") === col("witness_count")).as("index_exact"))
+  }
 }

@@ -705,4 +705,73 @@ object TrainingData {
         sum(col("value")).as("value_sum"))
       .orderBy("source")
   }
+
+  /** Rendezvous (highest-random-weight) sharding (q_rendezvous): every
+    * document goes to the node minimizing md5(doc:node) over `nNodes`
+    * stateless nodes — no ring, no lookup table, and when a node dies
+    * ONLY its documents move (the rendezvous guarantee consistent
+    * hashing approximates with vnodes). The query assigns twice — all
+    * nodes, then with node 0 removed — and reports per node the before/
+    * after counts; the invariant "survivor counts only grow" is the
+    * minimal-movement proof, witnessed per node.
+    *
+    * One corpus pass per assignment (the argmin is an 8-way expression,
+    * not a join); exact counts; hash strings compare identically in
+    * both engines. */
+  def rendezvousQuery(spark: SparkSession, dir: String,
+                      nNodes: Int = 8): DataFrame = {
+    // argmin as least-of-hashes + a CASE chain (portable: DuckDB's
+    // least() doesn't order structs; varchar md5s compare identically)
+    def owner(exclude: Int): Column = {
+      val ns = (0 until nNodes).filter(_ != exclude)
+      def hash(n: Int) = md5(concat_ws(":", col("doc_id"), lit(n)))
+      val hmin = least(ns.map(hash): _*)
+      ns.foldRight(lit(null).cast("long")) { (n, acc) =>
+        when(hash(n) === hmin, lit(n.toLong)).otherwise(acc)
+      }
+    }
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"), owner(-1).as("node"), owner(0).as("node_after"))
+    val before = assigned.groupBy("node").agg(count(lit(1)).as("n_docs"))
+    val after = assigned.groupBy(col("node_after").as("node"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("node"), "left")
+      .select(col("node"), col("n_docs"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (coalesce(col("n_after"), lit(0L)) >= col("n_docs") ||
+          col("node") === 0L).as("only_grows"))
+      .orderBy("node")
+  }
+
+  /** Weak-supervision labeler diagnostics (q_weak_labels): three
+    * rule-based labeling functions over the corpus (is-English,
+    * long-document, token-rich — each votes +1/−1 or ABSTAINS 0) and
+    * the Snorkel-style pairwise analysis: overlap (both vote) and
+    * conflict (vote differently) per labeler pair, self-pairs carrying
+    * coverage. This is the data-programming QA table read before
+    * trusting any label model — high conflict ⇒ a labeler is noise.
+    * All cells are exact counts; the rate is one division. */
+  def weakLabelsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Silver.scratch(
+      Tables.documents(spark, dir).select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("l1"),
+        when(col("n_chars") > 400L, 1L)
+          .when(col("n_chars") < 250L, -1L).otherwise(0L).as("l2"),
+        when(size(split(col("text"), " ")) > 80, 1L)
+          .when(size(split(col("text"), " ")) < 50, -1L).otherwise(0L)
+          .as("l3")),
+      "wl_votes") // feeds all six pair aggregates
+    val pairs = for {
+      a <- 1 to 3; b <- a to 3
+    } yield labeled.agg(
+        sum(when(col(s"l$a") =!= 0L && col(s"l$b") =!= 0L, 1L).otherwise(0L))
+          .as("n_overlap"),
+        sum(when(col(s"l$a") =!= 0L && col(s"l$b") =!= 0L &&
+          col(s"l$a") =!= col(s"l$b"), 1L).otherwise(0L)).as("n_conflict"))
+      .select(lit(s"l$a").as("lf_a"), lit(s"l$b").as("lf_b"),
+        col("n_overlap"), col("n_conflict"),
+        when(col("n_overlap") > 0L, col("n_conflict").cast("double") /
+          col("n_overlap").cast("double")).as("conflict_rate"))
+    pairs.reduce(_ unionAll _).orderBy("lf_a", "lf_b")
+  }
 }

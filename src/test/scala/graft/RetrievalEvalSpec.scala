@@ -256,6 +256,56 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(BigInt(r.getAs[String]("est_full")) >= BigInt(r.getAs[Long]("n_keys")))
   }
 
+  test("kn counts: continuation bounded by raw count and by the vocab") {
+    val rows = graft.scale.LmScore.knCountsQuery(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.length == 30)
+    val vocab = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cont") <= vocab) // ≤ distinct predecessors
+      assert(r.getAs[Long]("n_succ") <= vocab)
+      val p = r.getAs[Double]("continuation_p")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("phrase search: the positional join reproduces the ngram count") {
+    val r = graft.scale.Search.phraseSearchQuery(spark, TestSpark.Sf0001)
+      .head()
+    assert(r.getAs[Boolean]("index_exact"))
+    assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("total_occurrences"))
+    assert(r.getAs[String]("phrase").split(" ").length == 2)
+  }
+
+  test("rendezvous: docs conserved, removal only grows survivors") {
+    val rows = graft.scale.TrainingData
+      .rendezvousQuery(spark, TestSpark.Sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    assert(rows.map(_.getAs[Long]("n_after")).sum == docs)
+    assert(rows.forall(_.getAs[Boolean]("only_grows")))
+    assert(rows.filter(_.getAs[Long]("node") == 0L)
+      .forall(_.getAs[Long]("n_after") == 0L))
+  }
+
+  test("weak labels: self-pairs have zero conflict; overlap symmetric bound") {
+    val rows = graft.scale.TrainingData
+      .weakLabelsQuery(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 6)
+    rows.filter(r => r.getAs[String]("lf_a") == r.getAs[String]("lf_b"))
+      .foreach(r => assert(r.getAs[Long]("n_conflict") == 0L))
+    val cov = rows.filter(r => r.getAs[String]("lf_a") == r.getAs[String]("lf_b"))
+      .map(r => r.getAs[String]("lf_a") -> r.getAs[Long]("n_overlap")).toMap
+    rows.filter(r => r.getAs[String]("lf_a") != r.getAs[String]("lf_b"))
+      .foreach { r =>
+        val bound = math.min(cov(r.getAs[String]("lf_a")),
+          cov(r.getAs[String]("lf_b")))
+        assert(r.getAs[Long]("n_overlap") <= bound)
+        assert(r.getAs[Long]("n_conflict") <= r.getAs[Long]("n_overlap"))
+      }
+  }
+
   test("conformal: q_hat is a calibration residual quantile; coverage near 0.9") {
     val r = Eval.conformalQuery(spark, TestSpark.Sf0001).head()
     val nCal = r.getAs[Long]("n_cal")
