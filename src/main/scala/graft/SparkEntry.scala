@@ -337,7 +337,10 @@ object SparkEntry {
     "q_kn_counts"       -> ((s, d) => graft.scale.LmScore.knCountsQuery(s, d)),
     "q_phrase_search"   -> ((s, d) => graft.scale.Search.phraseSearchQuery(s, d)),
     "q_rendezvous"      -> ((s, d) => TrainingData.rendezvousQuery(s, d)),
-    "q_weak_labels"     -> ((s, d) => TrainingData.weakLabelsQuery(s, d))
+    "q_weak_labels"     -> ((s, d) => TrainingData.weakLabelsQuery(s, d)),
+    "q_pr_curve"        -> ((s, d) => graft.ml.Eval.prCurveQuery(s, d)),
+    "q_fleiss"          -> ((s, d) => graft.ml.Eval.fleissKappaQuery(s, d)),
+    "q_effective_dim"   -> ((s, d) => graft.scale.EmbedStats.effectiveDimQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7181,7 +7184,100 @@ object SparkEntry {
         |FROM m GROUP BY phrase, witness_count""".stripMargin,
 
     "q_rendezvous" -> rendezvousOracleSql,
-    "q_weak_labels" -> weakLabelsOracleSql
+    "q_weak_labels" -> weakLabelsOracleSql,
+
+    // Top-k precision/recall curve off the unique (score desc, key) rank;
+    // every metric one division of exact longs.
+    "q_pr_curve" ->
+      """WITH lbl AS (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM orders o LEFT JOIN (
+        |    SELECT DISTINCT l_orderkey
+        |    FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o.o_orderkey = r.l_orderkey),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY v DESC, o_orderkey ASC)
+        |              AS BIGINT) AS k, y
+        |  FROM lbl),
+        |tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM ranked),
+        |top AS (SELECT k, CAST(sum(y) OVER (ORDER BY k) AS BIGINT) AS tp
+        |        FROM ranked WHERE k <= 50)
+        |SELECT k, tp,
+        |       CAST(tp AS DOUBLE) / CAST(k AS DOUBLE) AS "precision",
+        |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall,
+        |       CAST(2 * tp AS DOUBLE) / CAST(k + n_pos AS DOUBLE) AS f1
+        |FROM top CROSS JOIN tot
+        |ORDER BY k""".stripMargin,
+
+    // Fleiss' kappa, exact-rational form: kappa = (A*E - C*B)/(B*(E - C))
+    // with A = S - 3N, B = 6N, C = T1^2 + T0^2, E = 9N^2. VARCHAR-routed
+    // HUGEINT->DOUBLE casts (the q_trend device).
+    "q_fleiss" ->
+      """WITH votes AS (
+        |  SELECT (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END +
+        |          CASE WHEN len(string_split(text, ' ')) >= 50
+        |               THEN 1 ELSE 0 END +
+        |          CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END)
+        |           AS n1
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |         CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS s,
+        |         CAST(sum(n1) AS BIGINT) AS t1
+        |  FROM votes),
+        |f AS (
+        |  SELECT n_items, t1,
+        |         CAST(s - 3 * n_items AS HUGEINT) AS a,
+        |         CAST(6 * n_items AS HUGEINT) AS b,
+        |         CAST(t1 AS HUGEINT) * t1 +
+        |           CAST(3 * n_items - t1 AS HUGEINT) *
+        |           (3 * n_items - t1) AS c,
+        |         CAST(3 * n_items AS HUGEINT) *
+        |           (3 * n_items) AS e
+        |  FROM agg)
+        |SELECT n_items, t1,
+        |       CAST(CAST(a AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(b AS VARCHAR) AS DOUBLE) AS p_bar,
+        |       CAST(CAST(c AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(e AS VARCHAR) AS DOUBLE) AS p_e,
+        |       CAST(CAST(a * e - c * b AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(b * (e - c) AS VARCHAR) AS DOUBLE) AS kappa
+        |FROM f""".stripMargin,
+
+    // Participation ratio over integer-witnessed per-dim variances;
+    // VARCHAR-routed HUGEINT->DOUBLE (var_num and sv^2 exceed 2^53).
+    "q_effective_dim" ->
+      """WITH vals AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT CAST(dim AS BIGINT) AS dim,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sq,
+        |         sum(CAST(q AS HUGEINT) * q) AS sqq
+        |  FROM vals GROUP BY 1),
+        |lam AS (
+        |  SELECT dim,
+        |         CAST(floor(
+        |           CAST(CAST(CAST(n AS HUGEINT) * sqq -
+        |                     CAST(sq AS HUGEINT) * sq AS VARCHAR) AS DOUBLE)
+        |           / CAST(n * (n - 1) AS DOUBLE)) AS BIGINT) AS lam
+        |  FROM per),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS width,
+        |         CAST(sum(lam) AS BIGINT) AS sv,
+        |         sum(CAST(lam AS HUGEINT) * lam) AS svv,
+        |         CAST(max(lam) AS BIGINT) AS mx
+        |  FROM lam)
+        |SELECT width, sv,
+        |       CAST(CAST(CAST(sv AS HUGEINT) * sv AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(svv AS VARCHAR) AS DOUBLE) AS pr_dims,
+        |       CAST(mx AS DOUBLE) / CAST(sv AS DOUBLE) AS top_share
+        |FROM agg""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

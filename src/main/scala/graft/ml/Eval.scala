@@ -262,4 +262,82 @@ object Eval {
         col("pos_right"), col("score"), (col("d") === col("bd")).as("is_best"))
       .orderBy("d")
   }
+
+  /** Precision/recall curve at the top of the ranking (q_pr_curve): for
+    * each cutoff k = 1..50 under the unique (score desc, orderkey asc)
+    * order, the exact precision@k, recall@k and F1@k of [[scoredLabels]]
+    * — the row-granular companion to [[calibrationQuery]]'s decile
+    * gains chart (how fast do positives surface at the very top, where
+    * a reviewer actually looks?).
+    *
+    * Every metric is ONE division of exact longs: precision = tp/k,
+    * recall = tp/P, F1 in the algebraic 2·tp/(k+P) form (P = total
+    * positives, broadcast one row). The global rank is the distributed
+    * two-pass rank; the k ≤ 50 frame the running tp is computed over is
+    * CONSTANT-BOUNDED (50 rows whatever the corpus size), so its window
+    * is not a scale hazard. */
+  def prCurveQuery(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Ranking.distributedGlobalRank(
+      scoredLabels(spark, dir),
+      Seq(col("v").desc, col("o_orderkey").asc), rankCol = "k", nCol = "__n")
+    val tot = ranked.agg(sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.filter(col("k") <= topK) // bounded: 50 rows from here on
+      .select(col("k"), col("y"))
+      .withColumn("tp", sum(col("y")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("tp"),
+        (col("tp").cast("double") / col("k").cast("double")).as("precision"),
+        (col("tp").cast("double") / col("n_pos").cast("double")).as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (col("k") + col("n_pos")).cast("double")).as("f1"))
+      .orderBy("k")
+  }
+
+  /** Fleiss' kappa across three deterministic rule labelers (q_fleiss):
+    * chance-corrected inter-annotator agreement on a binary "keep this
+    * document" vote — the dataset-curation QA statistic run before
+    * trusting weak labels (are the labeling rules measuring the same
+    * thing, or just both firing often?). Raters: length ≥ 300 chars,
+    * ≥ 50 whitespace tokens, contains "the".
+    *
+    * Arithmetic is the exact-rational device: with N items, n = 3
+    * raters, 2 categories, P̄ = (S − nN)/(Nn(n−1)) and
+    * Pₑ = (T₁² + T₀²)/(nN)² where S = Σᵢ(n₁ᵢ² + n₀ᵢ²) and T₁ = Σᵢn₁ᵢ
+    * are exact longs off ONE map-side-combining aggregate over the doc
+    * stream; kappa = (P̄ − Pₑ)/(1 − Pₑ) is emitted as the cross-
+    * multiplied integer fraction (A·E − C·B)/(B·(E − C)) — a single
+    * IEEE division of exact decimals. No per-item state leaves the
+    * executors. */
+  def fleissKappaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val votes = Tables.documents(spark, dir)
+      .select(
+        (when(col("n_chars") >= 300L, 1L).otherwise(0L) +
+         when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L) +
+         when(col("text").contains("the"), 1L).otherwise(0L)).as("n1"))
+      .select(col("n1"), (lit(3L) - col("n1")).as("n0"))
+    val agg = votes.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("n1") * col("n1") + col("n0") * col("n0")).as("s"),
+      sum(col("n1")).as("t1"))
+    agg.select(
+        col("n_items"), col("t1"),
+        // A/B = P-bar, C/E = P_e; kappa = (A*E - C*B) / (B*(E - C))
+        col("s"), (lit(3L) * col("n_items")).as("nn"))
+      .select(col("n_items"), col("t1"),
+        (col("s") - col("nn")).cast(d38).as("a"),
+        (lit(2L) * col("nn")).cast(d38).as("b"),
+        (col("t1").cast(d38) * col("t1").cast(d38) +
+          (col("nn") - col("t1")).cast(d38) *
+          (col("nn") - col("t1")).cast(d38)).as("c"),
+        (col("nn").cast(d38) * col("nn").cast(d38)).as("e"))
+      .select(col("n_items"), col("t1"),
+        (col("a").cast("double") / col("b").cast("double")).as("p_bar"),
+        (col("c").cast("double") / col("e").cast("double")).as("p_e"),
+        ((col("a") * col("e") - col("c") * col("b")).cast("double") /
+          (col("b") * (col("e") - col("c"))).cast("double")).as("kappa"))
+  }
 }

@@ -448,4 +448,47 @@ object EmbedStats {
           (lit(1000000.0) * col("n").cast("double")))
       .orderBy("label")
   }
+
+  /** Effective dimensionality of the embedding store (q_effective_dim):
+    * the participation ratio PR = (Σλ)²/Σλ² over the per-dimension
+    * variances — the one-number answer to "how many of the 64 axes
+    * actually carry signal?" (PR = width for isotropic embeddings, ≈ 1
+    * when a single axis dominates; the go/no-go input to a
+    * dimensionality-reduction decision, diagonal-covariance
+    * approximation so it composes from [[dimVarianceQuery]]'s exact
+    * machinery without a d×d covariance build).
+    *
+    * Determinism: variances are first computed EXACTLY on the 10⁶
+    * integer grid (n·Σq² − (Σq)² in decimal(38,0)), then each is
+    * collapsed to the integer witness λ = floor(var_num/(n(n−1))) —
+    * one IEEE division + floor per dimension, identical both engines.
+    * Σλ and Σλ² are exact longs/decimals over the WIDTH-sized frame
+    * (64 rows — map-side collapse, nothing corpus-proportional
+    * shuffles); PR and the top-dimension share are one division each. */
+  def effectiveDimQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perDim = graft.sources.Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 1000000d).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q").cast(d38) * col("q").cast(d38)).as("sqq"))
+      .select(col("dim"),
+        floor((col("n").cast(d38) * col("sqq") -
+            col("sq").cast(d38) * col("sq").cast(d38)).cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double")).cast("long")
+          .as("lam"))
+    perDim.agg(
+        count(lit(1)).as("width"),
+        sum(col("lam")).as("sv"),
+        sum(col("lam").cast(d38) * col("lam").cast(d38)).as("svv"),
+        max(col("lam")).as("mx"))
+      .select(col("width"), col("sv"),
+        ((col("sv").cast(d38) * col("sv").cast(d38)).cast("double") /
+          col("svv").cast("double")).as("pr_dims"),
+        (col("mx").cast("double") / col("sv").cast("double"))
+          .as("top_share"))
+  }
 }
