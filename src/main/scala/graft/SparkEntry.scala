@@ -340,7 +340,10 @@ object SparkEntry {
     "q_weak_labels"     -> ((s, d) => TrainingData.weakLabelsQuery(s, d)),
     "q_pr_curve"        -> ((s, d) => graft.ml.Eval.prCurveQuery(s, d)),
     "q_fleiss"          -> ((s, d) => graft.ml.Eval.fleissKappaQuery(s, d)),
-    "q_effective_dim"   -> ((s, d) => graft.scale.EmbedStats.effectiveDimQuery(s, d))
+    "q_effective_dim"   -> ((s, d) => graft.scale.EmbedStats.effectiveDimQuery(s, d)),
+    "q_padding_waste"   -> ((s, d) => TrainingData.paddingWasteQuery(s, d)),
+    "q_quantile_norm"   -> ((s, d) => TextAnalysis.quantileNormQuery(s, d)),
+    "q_bh_fdr"          -> ((s, d) => graft.operators.Distribution.bhFdrQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7277,7 +7280,107 @@ object SparkEntry {
         |       CAST(CAST(CAST(sv AS HUGEINT) * sv AS VARCHAR) AS DOUBLE) /
         |         CAST(CAST(svv AS VARCHAR) AS DOUBLE) AS pr_dims,
         |       CAST(mx AS DOUBLE) / CAST(sv AS DOUBLE) AS top_share
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // Padding waste under arrival-order vs length-sorted batching;
+    // exact token integers, one terminal division per strategy.
+    "q_padding_waste" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |           AS n_tok
+        |  FROM documents),
+        |arr AS (SELECT CAST(row_number() OVER (ORDER BY doc_id)
+        |                    AS BIGINT) AS r, n_tok FROM docs),
+        |srt AS (SELECT CAST(row_number() OVER (ORDER BY n_tok, doc_id)
+        |                    AS BIGINT) AS r, n_tok FROM docs),
+        |ab AS (SELECT (r - 1) // 16 AS batch, CAST(count(*) AS BIGINT)
+        |                AS cnt,
+        |              CAST(max(n_tok) AS BIGINT) AS mx,
+        |              CAST(sum(n_tok) AS BIGINT) AS toks
+        |       FROM arr GROUP BY 1),
+        |sb AS (SELECT (r - 1) // 16 AS batch, CAST(count(*) AS BIGINT)
+        |                AS cnt,
+        |              CAST(max(n_tok) AS BIGINT) AS mx,
+        |              CAST(sum(n_tok) AS BIGINT) AS toks
+        |       FROM srt GROUP BY 1),
+        |u AS (
+        |  SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT)
+        |           AS n_batches,
+        |         CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |         CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens
+        |  FROM ab
+        |  UNION ALL
+        |  SELECT 'sorted', CAST(count(*) AS BIGINT),
+        |         CAST(sum(toks) AS BIGINT), CAST(sum(cnt * mx) AS BIGINT)
+        |  FROM sb)
+        |SELECT strategy, n_batches, total_tokens, padded_tokens,
+        |       padded_tokens - total_tokens AS waste_tokens,
+        |       CAST(total_tokens AS DOUBLE) / CAST(padded_tokens AS DOUBLE)
+        |         AS efficiency
+        |FROM u ORDER BY strategy""".stripMargin,
+
+    // Quantile normalization: within-source rank -> cross-source mean
+    // length at that rank; exact longs, one division per rank.
+    "q_quantile_norm" ->
+      """WITH within AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS r
+        |  FROM documents),
+        |ref AS (
+        |  SELECT r, CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) /
+        |              CAST(count(*) AS DOUBLE) AS norm_len
+        |  FROM within GROUP BY r)
+        |SELECT source, r, doc_id, n_chars, norm_len
+        |FROM within JOIN ref USING (r)
+        |ORDER BY source, r""".stripMargin,
+
+    // Benjamini-Hochberg step-up over per-brand 2x2 chi^2 p-proxies;
+    // chi^2 exact integer fraction (VARCHAR-routed), BH on the
+    // 25-row brand frame.
+    "q_bh_fdr" ->
+      """WITH cells AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS c1,
+        |               CAST(sum(b) AS BIGINT) AS c0,
+        |               CAST(count(*) AS BIGINT) AS m FROM cells),
+        |st AS (
+        |  SELECT brand, a, b, m,
+        |         CAST(CAST(CAST(c1 + c0 AS HUGEINT) *
+        |                   (CAST(a AS HUGEINT) * (c0 - b) -
+        |                    CAST(b AS HUGEINT) * (c1 - a)) *
+        |                   (CAST(a AS HUGEINT) * (c0 - b) -
+        |                    CAST(b AS HUGEINT) * (c1 - a)) AS VARCHAR)
+        |              AS DOUBLE) /
+        |         CAST(CAST(CAST(a + b AS HUGEINT) *
+        |                   (c1 - a + c0 - b) * c1 * c0 AS VARCHAR)
+        |              AS DOUBLE) AS chi2
+        |  FROM cells CROSS JOIN tot),
+        |p AS (
+        |  SELECT brand, a, b, m, chi2,
+        |         CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + chi2) AS p
+        |  FROM st),
+        |r AS (
+        |  SELECT brand, a, b, chi2, p,
+        |         CAST(row_number() OVER (ORDER BY p ASC, brand ASC)
+        |              AS BIGINT) AS i,
+        |         p * CAST(m AS DOUBLE) / CAST(row_number()
+        |           OVER (ORDER BY p ASC, brand ASC) AS DOUBLE) AS padj_raw
+        |  FROM p)
+        |SELECT brand, a, b, chi2, p, i,
+        |       min(padj_raw) OVER (ORDER BY i DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj,
+        |       min(padj_raw) OVER (ORDER BY i DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         <= CAST(0.1 AS DOUBLE) AS reject
+        |FROM r ORDER BY i""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -1054,4 +1054,62 @@ object Distribution {
           (lit(2).cast(d38) * col("ta").cast(d38) * col("tb").cast(d38))
             .cast("double")).as("tv"))
   }
+
+  /** Benjamini–Hochberg FDR control over the per-brand return-rate tests
+    * (q_bh_fdr): 25 simultaneous "does this brand's return rate differ
+    * from the rest?" 2×2 χ² statistics, converted to a monotone p-proxy
+    * and step-up adjusted — the multiple-testing discipline every
+    * scanning dashboard needs (test 25 brands at α = .1 uncorrected and
+    * ~2-3 false alarms are expected by construction).
+    *
+    * χ² = N·(ad − bc)²/(r₁·r₀·c₁·c₀) is exact decimal(38,0) integer
+    * arithmetic over counts from ONE map-side-combining pass (a/b =
+    * brand returned/kept, c/d = rest), emitted through the string-routed
+    * decimal→double cast (the q_trend device). The p-proxy 1/(1 + χ²)
+    * preserves the p-value ORDER exactly (χ² is monotone in evidence),
+    * which is all BH consumes; padj = suffix-min of p·m/i runs over the
+    * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
+    * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  def bhFdrQuery(spark: SparkSession, dir: String,
+                 q: Double = 0.10): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("b"))
+    val tot = cells.agg(sum(col("a")).as("c1"), sum(col("b")).as("c0"),
+      count(lit(1)).as("m"))
+    val stats = cells.crossJoin(broadcast(tot))
+      .select(col("brand"), col("a"), col("b"), col("m"),
+        (col("c1") - col("a")).as("c"), (col("c0") - col("b")).as("d"),
+        col("c1"), col("c0"))
+      .select(col("brand"), col("a"), col("b"), col("m"),
+        // chi2 = N*(ad-bc)^2 / (r1*r0*c1*c0), exact integers until ONE division
+        (((col("a") + col("b") + col("c") + col("d")).cast(d38) *
+            (col("a").cast(d38) * col("d").cast(d38) -
+             col("b").cast(d38) * col("c").cast(d38)) *
+            (col("a").cast(d38) * col("d").cast(d38) -
+             col("b").cast(d38) * col("c").cast(d38)))
+          .cast("string").cast("double") /
+         ((col("a") + col("b")).cast(d38) * (col("c") + col("d")).cast(d38) *
+           col("c1").cast(d38) * col("c0").cast(d38))
+          .cast("string").cast("double")).as("chi2"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + col("chi2")))
+    // From here every frame is |brands|-sized (25 rows): the rank and
+    // suffix-min windows are dimension-bounded by construction.
+    val ranked = stats.withColumn("i",
+      row_number().over(Window.orderBy(col("p").asc, col("brand").asc))
+        .cast("long"))
+      .withColumn("padj_raw",
+        col("p") * col("m").cast("double") / col("i").cast("double"))
+    ranked.withColumn("padj",
+        min(col("padj_raw")).over(Window.orderBy(col("i").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("brand"), col("a"), col("b"), col("chi2"), col("p"),
+        col("i"), col("padj"), (col("padj") <= q).as("reject"))
+      .orderBy("i")
+  }
 }

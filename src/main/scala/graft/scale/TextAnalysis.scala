@@ -883,4 +883,42 @@ object TextAnalysis {
         col("n_tokens").cast("double") / col("n_chunks").cast("double"))
       .orderBy("source")
   }
+
+  /** Quantile normalization of document length across sources
+    * (q_quantile_norm): each source's length distribution is mapped onto
+    * the cross-source mean distribution at every rank — the batch-effect
+    * remover (classic microarray device) applied to corpus curation: it
+    * answers "what would this source's docs look like if every source
+    * shared one length distribution?", the preprocessing step before
+    * source-mix decisions compare quality metrics that correlate with
+    * length.
+    *
+    * Within-source ranks come from ONE distributed global rank over the
+    * composite (source, n_chars, doc_id) order minus each source's
+    * broadcast min-rank offset (the [[graft.operators.Analytics
+    * .giniBySegment]] device — no corpus-proportional window partition).
+    * The per-rank reference value is Σlen/cnt across sources — exact
+    * longs, one division. */
+  def quantileNormQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.operators.Ranking.distributedGlobalRank(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Seq(col("source").asc, col("n_chars").asc, col("doc_id").asc),
+      rankCol = "__g", nCol = "__n")
+    val offsets = ranked.groupBy(col("source").as("__src"))
+      .agg(min(col("__g")).as("__g0"))
+    val within = Silver.scratch(
+      ranked.join(broadcast(offsets), col("source") === col("__src"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("__g") - col("__g0") + 1L).as("r")),
+      "qnorm_ranked") // feeds the per-rank reference AND the final join
+    val ref = within.groupBy("r")
+      .agg(sum(col("n_chars")).as("s"), count(lit(1)).as("c"))
+      .select(col("r"),
+        (col("s").cast("double") / col("c").cast("double")).as("norm_len"))
+    within.join(ref, "r")
+      .select(col("source"), col("r"), col("doc_id"), col("n_chars"),
+        col("norm_len"))
+      .orderBy("source", "r")
+  }
 }

@@ -774,4 +774,46 @@ object TrainingData {
           col("n_overlap").cast("double")).as("conflict_rate"))
     pairs.reduce(_ unionAll _).orderBy("lf_a", "lf_b")
   }
+
+  /** Padding-waste audit of fixed-size batching (q_padding_waste): the
+    * token cost of padding every batch to its longest member, under the
+    * two classic batching orders — arrival (doc_id) vs length-sorted —
+    * quantifying what length-bucketed batching saves before anyone
+    * builds the dataloader (sorted batching routinely reclaims 10-30%
+    * of step FLOPs on mixed-length corpora).
+    *
+    * Per strategy: documents get the distributed two-pass global rank
+    * under the strategy's unique order, batch = (rank−1) div 16, and
+    * each batch's waste is cnt·max − sum over exact token counts —
+    * a batch-keyed map-side-combining aggregate, so the shuffle moves
+    * one row per batch. Efficiency = Σtokens / Σpadded is the single
+    * terminal division. Two corpus passes (one per strategy), zero
+    * windows over raw docs. */
+  def paddingWasteQuery(spark: SparkSession, dir: String,
+                        batchSize: Int = 16): DataFrame = {
+    val docs = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+      "pad_docs") // feeds both strategy rankings
+    def strategy(name: String, order: Seq[Column]): DataFrame =
+      graft.operators.Ranking.distributedGlobalRank(
+          docs, order, rankCol = "r", nCol = "__n")
+        .withColumn("batch", expr(s"(r - 1) div $batchSize"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("mx"),
+          sum(col("n_tok")).as("toks"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("cnt") * col("mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          (col("padded_tokens") - col("total_tokens")).as("waste_tokens"),
+          (col("total_tokens").cast("double") /
+            col("padded_tokens").cast("double")).as("efficiency"))
+    strategy("arrival", Seq(col("doc_id").asc))
+      .unionAll(strategy("sorted",
+        Seq(col("n_tok").asc, col("doc_id").asc)))
+      .orderBy("strategy")
+  }
 }
