@@ -343,7 +343,10 @@ object SparkEntry {
     "q_effective_dim"   -> ((s, d) => graft.scale.EmbedStats.effectiveDimQuery(s, d)),
     "q_padding_waste"   -> ((s, d) => TrainingData.paddingWasteQuery(s, d)),
     "q_quantile_norm"   -> ((s, d) => TextAnalysis.quantileNormQuery(s, d)),
-    "q_bh_fdr"          -> ((s, d) => graft.operators.Distribution.bhFdrQuery(s, d))
+    "q_bh_fdr"          -> ((s, d) => graft.operators.Distribution.bhFdrQuery(s, d)),
+    "q_degree_central"  -> ((s, d) => graft.operators.KCore.degreeCentralizationQuery(s, d)),
+    "q_blocking_eval"   -> ((s, d) => graft.scale.Dedup.blockingEvalQuery(s, d)),
+    "q_hurst_rs"        -> ((s, d) => graft.operators.TimeSeries.hurstRsQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7380,7 +7383,129 @@ object SparkEntry {
         |       min(padj_raw) OVER (ORDER BY i DESC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         <= CAST(0.1 AS DOUBLE) AS reject
-        |FROM r ORDER BY i""".stripMargin
+        |FROM r ORDER BY i""".stripMargin,
+
+    // Freeman degree centralization: n*dmax - sum(deg) over (n-1)(n-2),
+    // exact longs until one division.
+    "q_degree_central" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS a, -(o_custkey + 1) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM pairs
+        |        UNION ALL SELECT b FROM pairs)
+        |  GROUP BY node),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(deg) AS BIGINT) AS sum_deg,
+        |         CAST(max(deg) AS BIGINT) AS max_deg
+        |  FROM deg)
+        |SELECT n_nodes, sum_deg // 2 AS n_edges, max_deg,
+        |       CAST(n_nodes * max_deg - sum_deg AS DOUBLE) /
+        |         CAST((n_nodes - 1) * (n_nodes - 2) AS DOUBLE)
+        |         AS centralization
+        |FROM agg""".stripMargin,
+
+    // LSH-banding blocking quality: candidates = raw band-bucket
+    // collisions; truth = exact shingle Jaccard >= 1/2 (all-pairs
+    // shingle join in the oracle; the Spark side uses the lossless
+    // prefix filter). PC and RR one division each.
+    "q_blocking_eval" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)]))
+        |               AS sh
+        |      FROM t),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+        |               min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+        |               min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+        |               min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+        |        FROM s GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+        |          UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+        |          UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+        |          UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |         FROM bands x JOIN bands y
+        |           ON x.bucket = y.bucket AND x.band = y.band
+        |              AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM s GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |                 CAST(count(*) AS BIGINT) AS i
+        |          FROM s a JOIN s b
+        |            ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT d1, d2
+        |          FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |                     JOIN sizes s2 ON d2 = s2.doc_id
+        |          WHERE 2 * i >= 1 * (s1.n + s2.n - i)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs FROM cand),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |      FROM cand JOIN truth USING (d1, d2)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT n_docs, (n_docs * (n_docs - 1)) // 2 AS total_pairs,
+        |       n_cand_pairs, n_true_pairs, n_hit,
+        |       CAST(n_hit AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+        |         AS pair_completeness,
+        |       CAST((n_docs * (n_docs - 1)) // 2 - n_cand_pairs AS DOUBLE) /
+        |         CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE)
+        |         AS reduction_ratio
+        |FROM nd CROSS JOIN c CROSS JOIN tr CROSS JOIN h""".stripMargin,
+
+    // R/S table: integer running deviations devn = n*cum - i*S, R and
+    // sigma one division (+ portable sqrt) each, floor-witnessed mean.
+    "q_hurst_rs" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000
+        |              AS BIGINT) AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, v,
+        |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r
+        |      FROM daily),
+        |ws AS (SELECT unnest([8, 16, 32, 64]) AS w),
+        |g AS (SELECT w, (r - 1) // w AS win, v,
+        |             CAST(row_number() OVER (PARTITION BY w, ((r - 1) // w)
+        |                                     ORDER BY r) AS BIGINT) AS i,
+        |             CAST(sum(v) OVER (PARTITION BY w, ((r - 1) // w)
+        |                               ORDER BY r
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND CURRENT ROW) AS BIGINT) AS cv
+        |      FROM r CROSS JOIN ws),
+        |tot AS (SELECT w, win, CAST(count(*) AS BIGINT) AS cnt,
+        |               CAST(sum(v) AS BIGINT) AS s,
+        |               sum(CAST(v AS HUGEINT) * v) AS ss
+        |        FROM g GROUP BY 1, 2),
+        |dev AS (SELECT g.w, g.win,
+        |               CAST(cnt AS HUGEINT) * cv - CAST(i AS HUGEINT) * s
+        |                 AS devn
+        |        FROM g JOIN tot USING (w, win) WHERE cnt = w),
+        |rs AS (SELECT d.w, d.win, max(d.devn) AS mx, min(d.devn) AS mn,
+        |              any_value(t.cnt) AS cnt, any_value(t.s) AS s,
+        |              any_value(t.ss) AS ss
+        |       FROM dev d JOIN tot t USING (w, win) GROUP BY 1, 2),
+        |f AS (SELECT w, win,
+        |             CAST(CAST(mx - mn AS VARCHAR) AS DOUBLE) /
+        |               CAST(cnt AS DOUBLE) AS rng,
+        |             sqrt(CAST(CAST(CAST(cnt AS HUGEINT) * ss -
+        |                            CAST(s AS HUGEINT) * s AS VARCHAR)
+        |                       AS DOUBLE) /
+        |                  CAST(cnt * (cnt - 1) AS DOUBLE)) AS std
+        |      FROM rs
+        |      WHERE CAST(cnt AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0)
+        |SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CAST(floor((rng / std) * 1000) AS BIGINT)) AS BIGINT)
+        |         AS rs_witness,
+        |       CAST(sum(CAST(floor((rng / std) * 1000) AS BIGINT)) AS DOUBLE) /
+        |         (CAST(1000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS mean_rs
+        |FROM f GROUP BY w ORDER BY w""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

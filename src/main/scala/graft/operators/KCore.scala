@@ -258,4 +258,28 @@ object KCore {
         max(col("deg")).as("max_deg"))
       .orderBy("bucket")
   }
+
+  /** Freeman degree centralization of the co-trading graph
+    * (q_degree_central): Σ(d_max − d_i) / ((n−1)(n−2)) — how star-like
+    * the graph is (1 = perfect star, 0 = degree-regular), the one-number
+    * companion to [[degreeDistQuery]]'s histogram and the standard
+    * "is this network dominated by hubs?" report.
+    *
+    * Shape: one map-side-combining degree count over the edge list, then
+    * a one-row reduction (n, Σd, d_max) — Σ(d_max − d) = n·d_max − Σd,
+    * so the numerator never needs a second pass. Exact longs until the
+    * single terminal division. */
+  def degreeCentralizationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = coTradingPairs(spark, dir)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("sum_deg"),
+        max(col("deg")).as("max_deg"))
+      .select(col("n_nodes"), expr("sum_deg div 2").as("n_edges"),
+        col("max_deg"),
+        ((col("n_nodes") * col("max_deg") - col("sum_deg")).cast("double") /
+          ((col("n_nodes") - 1L) * (col("n_nodes") - 2L)).cast("double"))
+          .as("centralization"))
+  }
 }

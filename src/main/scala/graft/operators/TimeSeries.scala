@@ -476,4 +476,70 @@ object TimeSeries {
             sqrt(col("var18").cast("double") / lit(18.0)))
           .otherwise(lit(0.0)).as("z"))
   }
+
+  /** Rescaled-range (R/S) table of the daily revenue series
+    * (q_hurst_rs): for each window length w ∈ {8,16,32,64} days, the
+    * mean R/S over all complete w-day windows — the raw ingredients of
+    * the Hurst exponent (persistent series: R/S grows like w^H with
+    * H > 0.5; the log-log slope is left to the caller because log is
+    * not engine-portable, the classic device of this repo).
+    *
+    * Exactness: per window, the running deviation is kept as the
+    * INTEGER devnᵢ = n·cumᵢ − i·S (cents · window length — zero at
+    * i = n by construction, so the 0 anchor is in the max/min set);
+    * R = (max devn − min devn)/n and σ = √(var_num/(n(n−1))) are one
+    * division (+ one portable sqrt) each, and the cross-engine mean is
+    * the Σ⌊(R/σ)·10³⌋ integer witness (the silhouette device). Windows
+    * with zero variance are excluded (R/S undefined).
+    *
+    * Scale shape: the fact stream collapses once to the calendar-
+    * bounded daily grid; ranks come from the two-pass distributed rank;
+    * the only windows are partitioned by (w-day window id) — ≤ 64 rows
+    * per partition at any corpus size. */
+  def hurstRsQuery(spark: SparkSession, dir: String,
+                   windows: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val ranked = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc),
+        rankCol = "r", nCol = "__n"),
+      "hurst_days") // feeds one branch per window length
+    val perW = windows.map { w =>
+      val byWin = Window.partitionBy(col("win")).orderBy(col("r"))
+      val g = ranked.withColumn("win", expr(s"(r - 1) div $w"))
+        .withColumn("i", row_number().over(byWin).cast("long"))
+        .withColumn("cv", sum(col("v")).over(
+          byWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = g.groupBy("win")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"),
+          sum(col("v").cast(d38) * col("v").cast(d38)).as("ss"))
+      g.join(tot, "win")
+        .filter(col("cnt") === w) // complete windows only
+        .withColumn("devn", col("cnt").cast(d38) * col("cv").cast(d38) -
+          col("i").cast(d38) * col("s").cast(d38))
+        .groupBy("win")
+        .agg(max(col("devn")).as("mx"), min(col("devn")).as("mn"),
+          first(col("cnt")).as("cnt"), first(col("s")).as("s"),
+          first(col("ss")).as("ss"))
+        .withColumn("var_num", col("cnt").cast(d38) * col("ss") -
+          col("s").cast(d38) * col("s").cast(d38))
+        .filter(col("var_num") > 0)
+        .withColumn("rng",
+          (col("mx") - col("mn")).cast("double") / col("cnt").cast("double"))
+        .withColumn("std", sqrt(col("var_num").cast("double") /
+          (col("cnt") * (col("cnt") - 1L)).cast("double")))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(floor((col("rng") / col("std")) * 1000d).cast("long"))
+            .as("rs_witness"))
+        .select(lit(w.toLong).as("w"), col("n_windows"), col("rs_witness"),
+          (col("rs_witness").cast("double") /
+            (lit(1000d) * col("n_windows").cast("double"))).as("mean_rs"))
+    }
+    perW.reduce(_ unionAll _).orderBy("w")
+  }
 }

@@ -219,6 +219,15 @@ object Dedup {
     val toks = Silver.scratch(docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok")),
       "prefix_toks")
+    prefixPairsOver(toks, tauNum, tauDen)
+  }
+
+  /** PPJoin core over an arbitrary (doc_id, tok) item-set frame — the
+    * machinery of [[prefixFilteredPairs]] factored out so
+    * [[blockingEvalQuery]] can run the same lossless join over SHINGLE
+    * sets (`toks` must be materialized by the caller: it feeds the df
+    * count and the per-doc sort). */
+  private def prefixPairsOver(toks: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // Per-doc token list, rarest-first: (df, tok) struct sort is portable
     // (integer then lexicographic), so the prefix is deterministic.
@@ -629,4 +638,54 @@ object Dedup {
     docs.join(
       clusters.filter(!col("is_canonical")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Blocking-quality report for the MinHash LSH bands (q_blocking_eval):
+    * pair completeness (recall of the banding stage against EXACT
+    * shingle-Jaccard ≥ 1/2 ground truth) and reduction ratio (the share
+    * of the n·(n−1)/2 pair space the blocking never considers) — the two
+    * numbers that justify a blocking scheme before it gates a 100 TB
+    * dedup (ER-evaluation standard: high RR is trivial, high RR at high
+    * PC is the actual engineering).
+    *
+    * Ground truth comes from the LOSSLESS [[prefixPairsOver]] PPJoin run
+    * over the same shingle sets the signatures hash (never an all-pairs
+    * join); candidates are the raw band-bucket collisions of
+    * [[minhashPairs]] BEFORE its signature-verify filter — blocking is
+    * exactly the band stage. Both pair sets and the hit intersection are
+    * exact counts; PC and RR are one division each. Expected PC < 1 by
+    * design: 4 bands of width 2 over 8 hashes recall ≈ 1−(1−J²)⁴ ≈ 0.68
+    * at J = 0.5 — the report EXISTS to make that loss visible. */
+  def blockingEvalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = Silver.materialize(minhashSignatures(spark, dir), "minhash_sig")
+    val bands = (0 until NumHashes / BandWidth).map { b =>
+      val cols = (b * BandWidth until (b + 1) * BandWidth).map(i => col(s"m$i"))
+      sig.select(col("doc_id"), md5(concat(cols: _*)).as("bucket"), lit(b).as("band"))
+    }.reduce(_ unionByName _)
+    val cand = Silver.scratch(bands
+      .as("x").join(bands.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct(), "blk_cand")
+    val sh = Silver.scratch(docs
+      .select(col("doc_id"),
+        explode(shingles(split(col("text"), " "))).as("tok")),
+      "blk_sh")
+    val truth = Silver.scratch(
+      prefixPairsOver(sh, tauNum = 1, tauDen = 2).select("d1", "d2"),
+      "blk_truth")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
+    val nTruth = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nHit = cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    nDocs.crossJoin(nCand).crossJoin(nTruth).crossJoin(nHit)
+      .withColumn("total_pairs", expr("(n_docs * (n_docs - 1)) div 2"))
+      .select(col("n_docs"), col("total_pairs"), col("n_cand_pairs"),
+        col("n_true_pairs"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true_pairs").cast("double"))
+          .as("pair_completeness"),
+        ((col("total_pairs") - col("n_cand_pairs")).cast("double") /
+          col("total_pairs").cast("double")).as("reduction_ratio"))
+  }
 }
