@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark.Sf0001
+
+/** Invariant specs for the round-9 late-batch operators: ranking-curve
+  * eval, agreement statistics, batching/blocking audits, and the R/S
+  * long-range-dependence table. Each test pins a MATHEMATICAL property
+  * of the operator (monotonicity, bounds, conservation) — the DuckDB
+  * oracle already pins exact values, so these guard semantics under
+  * future refactors at a different level. */
+class CurationEvalSpec extends SparkSpec {
+
+  test("pr curve: tp/recall monotone, precision bounded, f1 consistent") {
+    val rows = graft.ml.Eval.prCurveQuery(spark, Sf0001).collect()
+    assert(rows.length == 50)
+    var lastTp = 0L
+    for (r <- rows) {
+      val (k, tp) = (r.getAs[Long]("k"), r.getAs[Long]("tp"))
+      val (p, rec, f1) = (r.getAs[Double]("precision"),
+        r.getAs[Double]("recall"), r.getAs[Double]("f1"))
+      assert(tp >= lastTp && tp <= k, s"tp not a cum count at k=$k")
+      assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+      // f1 = 2pr/(p+r) must agree with the 2tp/(k+P) algebraic form
+      if (p + rec > 0)
+        assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-12)
+      lastTp = tp
+    }
+  }
+
+  test("fleiss kappa: bounds and two-category floors") {
+    val r = graft.ml.Eval.fleissKappaQuery(spark, Sf0001).head()
+    val (pBar, pE, kappa) = (r.getAs[Double]("p_bar"),
+      r.getAs[Double]("p_e"), r.getAs[Double]("kappa"))
+    // 3 raters / 2 categories: per-item agreement >= 1/3, chance >= 1/2
+    assert(pBar >= 1.0 / 3 && pBar <= 1.0)
+    assert(pE >= 0.5 && pE <= 1.0)
+    assert(kappa <= 1.0 && kappa >= -1.0)
+  }
+
+  test("effective dim: participation ratio within [1, width]") {
+    val r = graft.scale.EmbedStats.effectiveDimQuery(spark, Sf0001).head()
+    val (width, pr, top) = (r.getAs[Long]("width"),
+      r.getAs[Double]("pr_dims"), r.getAs[Double]("top_share"))
+    assert(pr >= 1.0 && pr <= width.toDouble)
+    assert(top >= 1.0 / width && top <= 1.0)
+  }
+
+  test("padding waste: sorted batching never worse than arrival order") {
+    val rows = graft.scale.TrainingData.paddingWasteQuery(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("strategy") -> r).toMap
+    val (a, s) = (rows("arrival"), rows("sorted"))
+    assert(a.getAs[Long]("total_tokens") == s.getAs[Long]("total_tokens"),
+      "both strategies batch the same corpus")
+    assert(s.getAs[Long]("waste_tokens") <= a.getAs[Long]("waste_tokens"),
+      "length-sorted batching must not increase padding")
+    for (r <- Seq(a, s)) {
+      assert(r.getAs[Long]("padded_tokens") ==
+        r.getAs[Long]("total_tokens") + r.getAs[Long]("waste_tokens"))
+      val eff = r.getAs[Double]("efficiency")
+      assert(eff > 0.0 && eff <= 1.0)
+    }
+  }
+
+  test("quantile norm: reference distribution monotone in rank, counts conserved") {
+    val df = graft.scale.TextAnalysis.quantileNormQuery(spark, Sf0001)
+    val perSource = df.groupBy("source").count().collect()
+    val docCounts = graft.sources.Tables.documents(spark, Sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- perSource)
+      assert(r.getLong(1) == docCounts(r.getString(0)),
+        s"source ${r.getString(0)} lost rows")
+    val ref = df.select("r", "norm_len").distinct()
+      .orderBy("r").collect().map(_.getAs[Double]("norm_len"))
+    assert(ref.zip(ref.tail).forall { case (x, y) => x <= y },
+      "mean-of-order-statistics must be non-decreasing in rank")
+  }
+
+  test("BH FDR: padj monotone in rank, dominates p, rejections a prefix") {
+    val rows = graft.operators.Distribution.bhFdrQuery(spark, Sf0001)
+      .orderBy("i").collect()
+    assert(rows.length == 25)
+    var lastAdj = 0.0
+    var sawAccept = false
+    for (r <- rows) {
+      val (p, padj) = (r.getAs[Double]("p"), r.getAs[Double]("padj"))
+      assert(padj >= p - 1e-15, "step-up adjustment cannot shrink p")
+      assert(padj >= lastAdj - 1e-15, "padj must be monotone in rank")
+      val rej = r.getAs[Boolean]("reject")
+      if (!rej) sawAccept = true
+      assert(!(sawAccept && rej), "BH rejections must form a rank prefix")
+      lastAdj = padj
+    }
+  }
+
+  test("degree centralization within [0, 1]; edges match the pair count") {
+    val r = graft.operators.KCore.degreeCentralizationQuery(spark, Sf0001).head()
+    val c = r.getAs[Double]("centralization")
+    assert(c >= 0.0 && c <= 1.0)
+    assert(r.getAs[Long]("n_edges") > 0 &&
+      r.getAs[Long]("max_deg") <= r.getAs[Long]("n_nodes") - 1)
+  }
+
+  test("blocking eval: hit bounded by both pair sets, ratios in [0,1]") {
+    val r = graft.scale.Dedup.blockingEvalQuery(spark, Sf0001).head()
+    val (cand, truth, hit) = (r.getAs[Long]("n_cand_pairs"),
+      r.getAs[Long]("n_true_pairs"), r.getAs[Long]("n_hit"))
+    assert(hit <= math.min(cand, truth))
+    val (pc, rr) = (r.getAs[Double]("pair_completeness"),
+      r.getAs[Double]("reduction_ratio"))
+    assert(pc >= 0.0 && pc <= 1.0)
+    assert(rr >= 0.0 && rr <= 1.0)
+    assert(r.getAs[Long]("total_pairs") >= cand)
+  }
+
+  test("hurst R/S: positive and growing with window length") {
+    val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
+      .orderBy("w").collect()
+    assert(rows.length == 4)
+    val means = rows.map(_.getAs[Double]("mean_rs"))
+    assert(means.forall(_ > 0.0))
+    // R/S grows with w for ANY series (iid already gives ~ sqrt(w))
+    assert(means.zip(means.tail).forall { case (x, y) => x < y })
+    for (r <- rows)
+      assert(r.getAs[Long]("n_windows") > 0)
+  }
+}
