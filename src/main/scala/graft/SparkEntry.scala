@@ -346,7 +346,10 @@ object SparkEntry {
     "q_bh_fdr"          -> ((s, d) => graft.operators.Distribution.bhFdrQuery(s, d)),
     "q_degree_central"  -> ((s, d) => graft.operators.KCore.degreeCentralizationQuery(s, d)),
     "q_blocking_eval"   -> ((s, d) => graft.scale.Dedup.blockingEvalQuery(s, d)),
-    "q_hurst_rs"        -> ((s, d) => graft.operators.TimeSeries.hurstRsQuery(s, d))
+    "q_hurst_rs"        -> ((s, d) => graft.operators.TimeSeries.hurstRsQuery(s, d)),
+    "q_youden"          -> ((s, d) => graft.ml.Eval.youdenQuery(s, d)),
+    "q_vocab_coverage"  -> ((s, d) => graft.scale.Search.vocabCoverageQuery(s, d)),
+    "q_jl_distortion"   -> ((s, d) => graft.scale.EmbedStats.jlDistortionQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7505,7 +7508,107 @@ object SparkEntry {
         |         AS rs_witness,
         |       CAST(sum(CAST(floor((rng / std) * 1000) AS BIGINT)) AS DOUBLE) /
         |         (CAST(1000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS mean_rs
-        |FROM f GROUP BY w ORDER BY w""".stripMargin
+        |FROM f GROUP BY w ORDER BY w""".stripMargin,
+
+    // Youden's J argmax on the integer objective tp*N - fp*P; winner by
+    // (j_num desc, threshold desc), metrics one division each.
+    "q_youden" ->
+      """WITH lbl AS (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM orders o LEFT JOIN (
+        |    SELECT DISTINCT l_orderkey
+        |    FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o.o_orderkey = r.l_orderkey),
+        |per AS (
+        |  SELECT v, CAST(sum(y) AS BIGINT) AS a,
+        |         CAST(sum(1 - y) AS BIGINT) AS b
+        |  FROM lbl GROUP BY v),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+        |               CAST(sum(b) AS BIGINT) AS n_neg FROM per),
+        |cum AS (SELECT v, CAST(sum(a) OVER (ORDER BY v DESC) AS BIGINT)
+        |                 AS tp,
+        |               CAST(sum(b) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+        |        FROM per),
+        |best AS (
+        |  SELECT v AS threshold, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn,
+        |         n_pos, n_neg
+        |  FROM cum CROSS JOIN tot
+        |  ORDER BY CAST(tp AS HUGEINT) * n_neg - CAST(fp AS HUGEINT) * n_pos
+        |             DESC,
+        |           v DESC
+        |  LIMIT 1)
+        |SELECT threshold, tp, fp, fn, tn,
+        |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS tpr,
+        |       CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE) AS fpr,
+        |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) -
+        |         CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE) AS j
+        |FROM best""".stripMargin,
+
+    // Top-k type coverage at power-of-two vocabulary budgets; exact
+    // longs, one division per emitted row.
+    "q_vocab_coverage" ->
+      """WITH types AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT tok, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+        |              AS BIGINT) AS k,
+        |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC)
+        |              AS BIGINT) AS cum_cnt
+        |  FROM types),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_toks,
+        |               CAST(count(*) AS BIGINT) AS n_types FROM types)
+        |SELECT k, tok AS kth_type, cnt AS kth_cnt, cum_cnt, n_types,
+        |       total_toks,
+        |       CAST(cum_cnt AS DOUBLE) / CAST(total_toks AS DOUBLE)
+        |         AS coverage
+        |FROM ranked CROSS JOIN tot
+        |WHERE (k & (k - 1)) = 0 AND k > 0
+        |ORDER BY k""".stripMargin,
+
+    // JL distortion: deterministic md5-sign +-1 projection, exact
+    // integer distances, VARCHAR-routed ratio, floor-witnessed mean.
+    "q_jl_distortion" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |         CAST(sum(CASE WHEN substr(md5(CAST(j AS VARCHAR) || '|' ||
+        |                                    CAST(i AS VARCHAR)), 1, 1)
+        |                       IN ('0','1','2','3','4','5','6','7')
+        |                  THEN q ELSE -q END) AS BIGINT) AS p
+        |  FROM q CROSS JOIN js GROUP BY 1, 2),
+        |do2 AS (SELECT a.vec_id AS pid,
+        |               sum(CAST(a.q - b.q AS HUGEINT) * (a.q - b.q)) AS d2
+        |        FROM q a JOIN q b
+        |          ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        |        WHERE a.vec_id % 2 = 0 GROUP BY 1),
+        |dp2 AS (SELECT a.vec_id AS pid,
+        |               sum(CAST(a.p - b.p AS HUGEINT) * (a.p - b.p)) AS d2
+        |        FROM proj a JOIN proj b
+        |          ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+        |        WHERE a.vec_id % 2 = 0 GROUP BY 1),
+        |r AS (SELECT do2.pid,
+        |             CAST(CAST(dp2.d2 AS VARCHAR) AS DOUBLE) /
+        |               CAST(CAST(16 * do2.d2 AS VARCHAR) AS DOUBLE) AS ratio
+        |      FROM do2 JOIN dp2 USING (pid) WHERE do2.d2 > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+        |       CAST(sum(CAST(floor(ratio * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS ratio_witness,
+        |       CAST(sum(CAST(floor(ratio * 1000000) AS BIGINT)) AS DOUBLE) /
+        |         (CAST(1000000 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+        |         AS mean_ratio
+        |FROM r""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

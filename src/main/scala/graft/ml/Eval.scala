@@ -296,6 +296,42 @@ object Eval {
       .orderBy("k")
   }
 
+  /** Optimal operating point by Youden's J (q_youden): the score
+    * threshold t* maximizing TPR − FPR over [[scoredLabels]] — the
+    * companion the AUC report needs before anyone DEPLOYS the ranking
+    * (AUC says the scores order well; J says where to cut them).
+    *
+    * Flagging positive when score ≥ t, tp/fp at every distinct score
+    * come from ONE [[Ranking.distributedCumSum]] pass over the
+    * score-descending order; the argmax runs on the INTEGER objective
+    * J·P·N = tp·N − fp·P (exact decimals — no float comparison decides
+    * the winner), tiebroken to the highest threshold, via
+    * TakeOrderedAndProject top-1. TPR/FPR/J are emitted as three fixed
+    * IEEE ops over the exact winner counts. */
+  def youdenQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = scoredLabels(spark, dir)
+      .groupBy("v")
+      .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b"))
+    val cum = Ranking.distributedCumSum(per, Seq(col("v").desc), Seq("a", "b"))
+    val tot = per.agg(sum(col("a")).as("n_pos"), sum(col("b")).as("n_neg"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v").as("threshold"),
+        col("cum_a").as("tp"), col("cum_b").as("fp"),
+        (col("n_pos") - col("cum_a")).as("fn"),
+        (col("n_neg") - col("cum_b")).as("tn"),
+        col("n_pos"), col("n_neg"),
+        (col("cum_a").cast(d38) * col("n_neg").cast(d38) -
+          col("cum_b").cast(d38) * col("n_pos").cast(d38)).as("j_num"))
+      .orderBy(col("j_num").desc, col("threshold").desc)
+      .limit(1)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / col("n_pos").cast("double")).as("tpr"),
+        (col("fp").cast("double") / col("n_neg").cast("double")).as("fpr"),
+        (col("tp").cast("double") / col("n_pos").cast("double") -
+          col("fp").cast("double") / col("n_neg").cast("double")).as("j"))
+  }
+
   /** Fleiss' kappa across three deterministic rule labelers (q_fleiss):
     * chance-corrected inter-annotator agreement on a binary "keep this
     * document" vote — the dataset-curation QA statistic run before

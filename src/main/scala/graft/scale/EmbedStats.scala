@@ -491,4 +491,68 @@ object EmbedStats {
         (col("mx").cast("double") / col("sv").cast("double"))
           .as("top_share"))
   }
+
+  /** Johnson–Lindenstrauss distortion audit (q_jl_distortion): project
+    * every embedding through a DETERMINISTIC ±1 random matrix (sign =
+    * first md5 nibble of "j|i" — engine-portable, no RNG state) down to
+    * `outDims` components and measure, over consecutive-id vector pairs,
+    * the ratio ‖Pa − Pb‖² / (outDims·‖a − b‖²) — concentrated near 1
+    * when the projection preserves geometry. The go/no-go audit before
+    * replacing 64-dim distance work with a 16-dim sketch in a 100 TB
+    * ANN pipeline.
+    *
+    * Exactness end-to-end: inputs quantize once to the 10⁶ integer grid,
+    * the projection is a SIGNED INTEGER sum per (vector, component), and
+    * both squared distances are exact decimal sums — the ratio is the
+    * single IEEE division per pair, and the cross-engine mean is the
+    * Σ⌊ratio·10⁶⌋ witness. Zero-distance pairs are excluded (ratio
+    * undefined).
+    *
+    * Scale shape: the projection is an outDims-way fanout of the
+    * exploded vector frame collapsed by map-side sums keyed on
+    * (vec_id, j) — embarrassingly parallel; the pair joins key on
+    * vec_id, shuffling one row per (pair, dim). Nothing all-pairs. */
+  def jlDistortionQuery(spark: SparkSession, dir: String,
+                        outDims: Int = 16): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = Silver.scratch(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          floor(col("v").cast("double") * 1000000d).cast("long").as("q")),
+      "jl_q") // feeds the projection AND the original-distance pass
+    val js = spark.range(outDims).select(col("id").as("j"))
+    val proj = q.crossJoin(broadcast(js))
+      .select(col("vec_id"), col("j"),
+        when(substring(md5(concat(col("j").cast("string"), lit("|"),
+            col("i").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), col("q"))
+          .otherwise(-col("q")).as("sq"))
+      .groupBy("vec_id", "j").agg(sum(col("sq")).as("p"))
+    val do2 = q.as("a")
+      .join(q.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 1L && col("a.i") === col("b.i"))
+      .filter(col("a.vec_id") % 2 === 0)
+      .groupBy(col("a.vec_id").as("pid"))
+      .agg(sum((col("a.q") - col("b.q")).cast(d38) *
+        (col("a.q") - col("b.q")).cast(d38)).as("do2"))
+    val dp2 = proj.as("a")
+      .join(proj.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 1L && col("a.j") === col("b.j"))
+      .filter(col("a.vec_id") % 2 === 0)
+      .groupBy(col("a.vec_id").as("pid"))
+      .agg(sum((col("a.p") - col("b.p")).cast(d38) *
+        (col("a.p") - col("b.p")).cast(d38)).as("dp2"))
+    do2.join(dp2, "pid")
+      .filter(col("do2") > 0)
+      .withColumn("ratio", col("dp2").cast("double") /
+        (lit(outDims.toLong).cast(d38) * col("do2")).cast("double"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        sum(floor(col("ratio") * 1000000d).cast("long")).as("ratio_witness"))
+      .withColumn("mean_ratio",
+        col("ratio_witness").cast("double") /
+          (lit(1000000d) * col("n_pairs").cast("double")))
+  }
 }

@@ -664,4 +664,38 @@ object Search {
         col("witness_count"),
         (col("total_occurrences") === col("witness_count")).as("index_exact"))
   }
+
+  /** Vocabulary coverage curve (q_vocab_coverage): for each power-of-two
+    * vocabulary budget k, the share of corpus TOKEN MASS the top-k types
+    * cover — the table a tokenizer-size decision reads (Zipf corpora
+    * saturate fast: the elbow of this curve IS the economic vocab size,
+    * and the residual 1 − coverage is the OOV mass a k-type vocab eats
+    * as <unk>).
+    *
+    * Types are ranked by the unique (count desc, token asc) order via
+    * the distributed two-pass rank; cumulative mass by ONE
+    * [[graft.operators.Ranking.distributedCumSum]] over the same order
+    * (range exchange + broadcast offsets — no single-partition window
+    * over the type table, which is corpus-vocabulary-sized). The output
+    * filter keeps only ranks that are powers of two — ≤ 64 rows at any
+    * corpus size; coverage is one division of exact longs. */
+  def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val types = ngramCounts(Tables.documents(spark, dir), 1)
+      .select(col("ngram").as("tok"), col("cnt"))
+    val ranked = graft.operators.Ranking.distributedGlobalRank(
+      types, Seq(col("cnt").desc, col("tok").asc), rankCol = "k", nCol = "__n")
+    val cum = graft.operators.Ranking.distributedCumSum(
+      ranked, Seq(col("cnt").desc, col("tok").asc), Seq("cnt"))
+    val tot = types.agg(sum(col("cnt")).as("total_toks"),
+      count(lit(1)).as("n_types"))
+    cum
+      // k a power of two: exactly one bit set — portable bit arithmetic
+      .filter(expr("k & (k - 1)") === 0L && col("k") > 0L)
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("tok").as("kth_type"), col("cnt").as("kth_cnt"),
+        col("cum_cnt"), col("n_types"), col("total_toks"),
+        (col("cum_cnt").cast("double") / col("total_toks").cast("double"))
+          .as("coverage"))
+      .orderBy("k")
+  }
 }

@@ -115,6 +115,44 @@ class CurationEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("total_pairs") >= cand)
   }
 
+  test("youden: confusion cells conserve, J consistent with tpr - fpr") {
+    val r = graft.ml.Eval.youdenQuery(spark, Sf0001).head()
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    assert(tp >= 0 && fp >= 0 && fn >= 0 && tn >= 0)
+    val orders = graft.sources.Tables.orders(spark, Sf0001).count()
+    assert(tp + fp + fn + tn == orders, "cells must partition the orders")
+    val (tpr, fpr, j) = (r.getAs[Double]("tpr"), r.getAs[Double]("fpr"),
+      r.getAs[Double]("j"))
+    assert(math.abs(j - (tpr - fpr)) < 1e-12)
+    assert(j >= 0.0, "the argmax J can never be negative (t=+inf gives 0)")
+  }
+
+  test("vocab coverage: monotone, last power-of-two bounded by total") {
+    val rows = graft.scale.Search.vocabCoverageQuery(spark, Sf0001)
+      .orderBy("k").collect()
+    assert(rows.nonEmpty)
+    var (lastK, lastCov) = (0L, 0.0)
+    for (r <- rows) {
+      val (k, cov) = (r.getAs[Long]("k"), r.getAs[Double]("coverage"))
+      assert((k & (k - 1)) == 0L && k > lastK, "ranks must be powers of two")
+      assert(cov >= lastCov && cov <= 1.0, "coverage must be monotone")
+      assert(r.getAs[Long]("cum_cnt") <= r.getAs[Long]("total_toks"))
+      lastK = k; lastCov = cov
+    }
+  }
+
+  test("jl distortion: mean ratio concentrates near 1, bounds sane") {
+    val r = graft.scale.EmbedStats.jlDistortionQuery(spark, Sf0001).head()
+    assert(r.getAs[Long]("n_pairs") > 0)
+    val (mn, mx, mean) = (r.getAs[Double]("min_ratio"),
+      r.getAs[Double]("max_ratio"), r.getAs[Double]("mean_ratio"))
+    assert(mn > 0.0 && mn <= mean && mean <= mx)
+    // 16-dim +-1 projections of 64-dim vectors: the mean over 250 pairs
+    // concentrates hard around 1 (each ratio is a chi^2_16/16-like var)
+    assert(mean > 0.8 && mean < 1.2, s"JL estimator off: mean=$mean")
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
