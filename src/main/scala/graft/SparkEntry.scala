@@ -349,7 +349,10 @@ object SparkEntry {
     "q_hurst_rs"        -> ((s, d) => graft.operators.TimeSeries.hurstRsQuery(s, d)),
     "q_youden"          -> ((s, d) => graft.ml.Eval.youdenQuery(s, d)),
     "q_vocab_coverage"  -> ((s, d) => graft.scale.Search.vocabCoverageQuery(s, d)),
-    "q_jl_distortion"   -> ((s, d) => graft.scale.EmbedStats.jlDistortionQuery(s, d))
+    "q_jl_distortion"   -> ((s, d) => graft.scale.EmbedStats.jlDistortionQuery(s, d)),
+    "q_diameter"        -> ((s, d) => graft.operators.KCore.diameterQuery(s, d)),
+    "q_burstiness"      -> ((s, d) => graft.operators.EventOps.burstinessQuery(s, d)),
+    "q_neyman"          -> ((s, d) => graft.operators.Distribution.neymanQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7608,7 +7611,67 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(ratio * 1000000) AS BIGINT)) AS DOUBLE) /
         |         (CAST(1000000 AS DOUBLE) * CAST(count(*) AS DOUBLE))
         |         AS mean_ratio
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q_diameter" -> diameterOracleSql,
+
+    // Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) over
+    // per-(type, user) inter-arrival gaps; exact integer moments,
+    // VARCHAR-routed variance numerator, portable sqrt.
+    "q_burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |         ts_ms - lag(ts_ms) OVER (PARTITION BY event_type, user_id
+        |                                  ORDER BY ts_ms, event_id) AS g
+        |  FROM e),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(g) AS BIGINT) AS s,
+        |         sum(CAST(g AS HUGEINT) * g) AS ss
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n_gaps,
+        |         CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_ms,
+        |         sqrt(CAST(CAST(CAST(n_gaps AS HUGEINT) * ss -
+        |                        CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+        |              / CAST(n_gaps * (n_gaps - 1) AS DOUBLE)) AS sd_gap_ms
+        |  FROM agg WHERE n_gaps >= 2)
+        |SELECT event_type, n_gaps, mean_gap_ms, sd_gap_ms,
+        |       (sd_gap_ms - mean_gap_ms) / (sd_gap_ms + mean_gap_ms)
+        |         AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Neyman allocation: integer witness w = floor(N_h * sigma_h),
+    // shares by exact integer division of the witness sums.
+    "q_neyman" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS s,
+        |         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) AS HUGEINT) *
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS ss
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |sg AS (
+        |  SELECT segment, n,
+        |         sqrt(CAST(CAST(CAST(n AS HUGEINT) * ss -
+        |                        CAST(s AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
+        |              / CAST(n * (n - 1) AS DOUBLE)) AS sigma
+        |  FROM per),
+        |wv AS (SELECT segment, n, sigma,
+        |              CAST(floor(CAST(n AS DOUBLE) * sigma) AS BIGINT) AS w
+        |       FROM sg),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |               CAST(sum(n) AS BIGINT) AS tn FROM wv)
+        |SELECT segment, n, sigma, w,
+        |       (1000 * w) // tw AS n_neyman,
+        |       (1000 * n) // tn AS n_proportional
+        |FROM wv CROSS JOIN tot ORDER BY segment""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -8053,6 +8116,48 @@ object SparkEntry {
        |$relax
        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
        |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.diameterQuery`: both BFS sweeps unrolled
+    * (the bfsOracleSql device, twice), the farthest-node pick as the
+    * same (dist desc, node asc) top-1, eccentricity + reach counts as
+    * scalar subqueries. */
+  private def diameterOracleSql: String = {
+    val rounds = 4
+    def relax(p: String): String = (1 to rounds).map { i =>
+      s"""$p$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $p${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + 1 AS dist
+         |    FROM und e JOIN $p${i - 1} d ON e.a = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)),
+       |d0 AS MATERIALIZED (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier
+       |  WHERE s_suppkey = (SELECT min(s_suppkey) FROM supplier)),
+       |${relax("d")},
+       |far AS MATERIALIZED (
+       |  SELECT node, dist FROM d$rounds ORDER BY dist DESC, node ASC LIMIT 1),
+       |e0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM far),
+       |${relax("e")}
+       |SELECT CAST(far.node AS BIGINT) AS far_node,
+       |       CAST(far.dist AS BIGINT) AS far_dist,
+       |       (SELECT CAST(max(dist) AS BIGINT) FROM e$rounds)
+       |         AS est_diameter,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM d$rounds)
+       |         AS n_reached1,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM e$rounds)
+       |         AS n_reached2
+       |FROM far""".stripMargin
   }
 
   private def zorderOracleSql: String = {

@@ -1070,6 +1070,46 @@ object Distribution {
     * which is all BH consumes; padj = suffix-min of p·m/i runs over the
     * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
     * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  /** Neyman-optimal stratified sample allocation (q_neyman): how a fixed
+    * budget of 1000 sampled orders should split across market segments
+    * to minimize the variance of the estimated mean order price —
+    * n_h ∝ N_h·σ_h (big AND volatile strata get more), reported against
+    * proportional allocation n_h ∝ N_h. The survey-sampling planner for
+    * "audit 0.001% of a 100 TB fact table as cheaply as possible".
+    *
+    * σ_h comes from exact integer moments (Σcents, Σcents² in
+    * decimal(38,0)) per segment; the allocation weight is the INTEGER
+    * witness w = ⌊N_h·σ_h⌋, so the shares n_h = (budget·w) div Σw are
+    * exact integer arithmetic — no cross-engine float summation over
+    * strata decides the split. One map-side-combining pass over orders,
+    * then segment-dimension arithmetic. */
+  def neymanQuery(spark: SparkSession, dir: String,
+                  budget: Long = 1000L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("s"),
+        sum(cents(col("o_totalprice")).cast(d38) *
+          cents(col("o_totalprice")).cast(d38)).as("ss"))
+      .withColumn("sigma",
+        sqrt((col("n").cast(d38) * col("ss") -
+            col("s").cast(d38) * col("s").cast(d38)).cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double")))
+      .withColumn("w", floor(col("n").cast("double") * col("sigma"))
+        .cast("long"))
+    val tot = per.agg(sum(col("w")).as("tw"), sum(col("n")).as("tn"))
+    per.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n"), col("sigma"),
+        col("w"),
+        expr(s"($budget * w) div tw").as("n_neyman"),
+        expr(s"($budget * n) div tn").as("n_proportional"))
+      .orderBy("segment")
+  }
+
   def bhFdrQuery(spark: SparkSession, dir: String,
                  q: Double = 0.10): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -1052,4 +1052,42 @@ object EventOps {
         "linear_micro", "last_touch_wins")
       .orderBy("touch_type")
   }
+
+  /** Inter-arrival burstiness per event type (q_burstiness): Goh &
+    * Barabási's B = (σ − μ)/(σ + μ) over the per-user gaps between
+    * consecutive same-type events — the one-number answer to "is this
+    * event stream Poisson (B ≈ 0), clock-regular (B → −1) or bursty
+    * (B → 1)?", which decides watermark widths and session-gap
+    * thresholds before anyone tunes a streaming job.
+    *
+    * Gaps come from a lag window partitioned by (event_type, user) —
+    * bounded by per-user activity, never corpus-proportional — and pool
+    * into exact integer sufficient statistics (Σg as long, Σg² in
+    * decimal(38,0)) per type; μ, σ (portable sqrt) and B are a fixed
+    * IEEE tree over those exact values. Types with fewer than two gaps
+    * are dropped (σ undefined). */
+  def burstinessQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ts_ms") - col("prev")).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),
+        sum(col("g").cast(d38) * col("g").cast(d38)).as("ss"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mu", col("s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("sigma",
+        sqrt((col("n_gaps").cast(d38) * col("ss") -
+            col("s").cast(d38) * col("s").cast(d38)).cast("double") /
+          (col("n_gaps") * (col("n_gaps") - 1L)).cast("double")))
+      .select(col("event_type"), col("n_gaps"),
+        col("mu").as("mean_gap_ms"), col("sigma").as("sd_gap_ms"),
+        ((col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
 }

@@ -269,6 +269,35 @@ object KCore {
     * a one-row reduction (n, Σd, d_max) — Σ(d_max − d) = n·d_max − Σd,
     * so the numerator never needs a second pass. Exact longs until the
     * single terminal division. */
+  /** Double-sweep diameter estimate (q_diameter): BFS from a pinned
+    * seed, re-BFS from the farthest node found, report its eccentricity
+    * — the standard two-pass lower bound on graph diameter (exact on
+    * trees, empirically tight on real graphs), at the cost of exactly
+    * two [[bfs]] runs instead of all-pairs. Distances are bounded-round
+    * BFS (exact up to `rounds` hops — the co-trading graph is
+    * small-world, diameter ≪ rounds); the farthest-node argmax is the
+    * (dist desc, node asc) top-1, a TakeOrderedAndProject. */
+  def diameterQuery(spark: SparkSession, dir: String,
+                    rounds: Int = 4): DataFrame = {
+    val edges = coTradingPairs(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val minSup = sup.agg(min(col("s_suppkey")).as("mk"))
+    val seed1 = sup.join(broadcast(minSup), col("s_suppkey") === col("mk"))
+      .select(col("s_suppkey").cast("long").as("node"))
+    val d1 = bfs(edges, seed1, rounds)
+    // far feeds the output row AND the second sweep's seed — materialize
+    val far = graft.scale.Silver.scratch(
+      d1.orderBy(col("dist").desc, col("node").asc).limit(1), "diam_far")
+    val d2 = bfs(edges, far.select("node"), rounds)
+    val s1 = d1.agg(count(lit(1)).as("n_reached1"))
+    val s2 = d2.agg(max(col("dist")).as("est_diameter"),
+      count(lit(1)).as("n_reached2"))
+    far.select(col("node").as("far_node"), col("dist").as("far_dist"))
+      .crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .select(col("far_node"), col("far_dist"), col("est_diameter"),
+        col("n_reached1"), col("n_reached2"))
+  }
+
   def degreeCentralizationQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = coTradingPairs(spark, dir)
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))

@@ -153,6 +153,36 @@ class CurationEvalSpec extends SparkSpec {
     assert(mean > 0.8 && mean < 1.2, s"JL estimator off: mean=$mean")
   }
 
+  test("diameter: double sweep never shrinks the first-sweep radius") {
+    val r = graft.operators.KCore.diameterQuery(spark, Sf0001).head()
+    val (farDist, ecc) = (r.getAs[Long]("far_dist"),
+      r.getAs[Long]("est_diameter"))
+    assert(ecc >= farDist,
+      "eccentricity of the farthest node bounds the first sweep's radius")
+    assert(r.getAs[Long]("n_reached1") > 0 && r.getAs[Long]("n_reached2") > 0)
+  }
+
+  test("burstiness: bounded in (-1, 1), gaps non-negative on ordered input") {
+    val rows = graft.operators.EventOps.burstinessQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0)
+      assert(r.getAs[Double]("mean_gap_ms") > 0.0)
+      assert(r.getAs[Double]("sd_gap_ms") >= 0.0)
+    }
+  }
+
+  test("neyman: allocations bounded by budget, variance-tilted vs proportional") {
+    val rows = graft.operators.Distribution.neymanQuery(spark, Sf0001).collect()
+    val (ney, prop) = (rows.map(_.getAs[Long]("n_neyman")).sum,
+      rows.map(_.getAs[Long]("n_proportional")).sum)
+    // floor-division shares can undershoot by at most |strata| - 1
+    assert(ney <= 1000 && ney > 1000 - rows.length)
+    assert(prop <= 1000 && prop > 1000 - rows.length)
+    for (r <- rows) assert(r.getAs[Double]("sigma") > 0.0)
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
