@@ -352,7 +352,10 @@ object SparkEntry {
     "q_jl_distortion"   -> ((s, d) => graft.scale.EmbedStats.jlDistortionQuery(s, d)),
     "q_diameter"        -> ((s, d) => graft.operators.KCore.diameterQuery(s, d)),
     "q_burstiness"      -> ((s, d) => graft.operators.EventOps.burstinessQuery(s, d)),
-    "q_neyman"          -> ((s, d) => graft.operators.Distribution.neymanQuery(s, d))
+    "q_neyman"          -> ((s, d) => graft.operators.Distribution.neymanQuery(s, d)),
+    "q_fisher"          -> ((s, d) => graft.scale.EmbedStats.fisherQuery(s, d)),
+    "q_dim_corr"        -> ((s, d) => graft.scale.EmbedStats.dimCorrQuery(s, d)),
+    "q_compaction"      -> ((s, d) => graft.scale.Layout.compactionPlanQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7671,7 +7674,58 @@ object SparkEntry {
         |SELECT segment, n, sigma, w,
         |       (1000 * w) // tw AS n_neyman,
         |       (1000 * n) // tn AS n_proportional
-        |FROM wv CROSS JOIN tot ORDER BY segment""".stripMargin
+        |FROM wv CROSS JOIN tot ORDER BY segment""".stripMargin,
+
+    "q_fisher" -> fisherOracleSql,
+
+    // Pearson correlation between embedding axes on the integer grid;
+    // two-sqrt overflow-proof tree, VARCHAR-routed HUGEINT casts.
+    "q_dim_corr" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS x
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT CAST(i AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x) -
+        |           CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS BIGINT) AS vn
+        |  FROM q GROUP BY 1),
+        |pairs AS (
+        |  SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |         sum(CAST(a.x AS HUGEINT) * b.x) AS sxy
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT p.i, p.j,
+        |         CAST(CAST(CAST(pi.n AS HUGEINT) * p.sxy -
+        |                   CAST(pi.sx AS HUGEINT) * pj.sx AS VARCHAR)
+        |              AS DOUBLE) /
+        |           sqrt(CAST(CAST(pi.vn AS VARCHAR) AS DOUBLE)) /
+        |           sqrt(CAST(CAST(pj.vn AS VARCHAR) AS DOUBLE)) AS corr
+        |  FROM pairs p JOIN per pi ON p.i = pi.d JOIN per pj ON p.j = pj.d)
+        |SELECT i, j, corr FROM c
+        |ORDER BY abs(corr) DESC, i ASC, j ASC LIMIT 20""".stripMargin,
+
+    // Greedy first-fit compaction groups: grp = cum-before div target,
+    // exact longs end to end.
+    "q_compaction" ->
+      """WITH parts AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 // 30 AS part_id,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT part_id, n_rows,
+        |             CAST(sum(n_rows) OVER (ORDER BY part_id) AS BIGINT)
+        |               AS cum
+        |      FROM parts)
+        |SELECT (cum - n_rows) // 5000 AS grp,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(min(part_id) AS BIGINT) AS from_part,
+        |       CAST(max(part_id) AS BIGINT) AS to_part,
+        |       CAST(sum(n_rows) AS BIGINT) AS rows_out,
+        |       CAST(sum(n_rows) AS BIGINT) > 5000 AS over_target
+        |FROM c GROUP BY 1 ORDER BY grp""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -8116,6 +8170,47 @@ object SparkEntry {
        |$relax
        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
        |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `EmbedStats.fisherQuery`: the q_anova pivoted
+    * fixed-domain device per embedding dimension — per-class sums as 10
+    * conditional aggregates, the Σ S_c²/n_c term a left-associated
+    * 10-term tree of VARCHAR-routed single divisions. */
+  private def fisherOracleSql: String = {
+    val ns = (0 until 10).map(c =>
+      s"sum(CASE WHEN label = $c THEN 1 ELSE 0 END) AS n$c").mkString(",\n|         ")
+    val ss = (0 until 10).map(c =>
+      s"sum(CASE WHEN label = $c THEN CAST(x AS HUGEINT) ELSE 0 END) AS s$c")
+      .mkString(",\n|         ")
+    val inner = (0 until 10).map(c =>
+      s"""CASE WHEN n$c > 0 THEN
+         |             CAST(CAST(s$c * s$c AS VARCHAR) AS DOUBLE) /
+         |               CAST(n$c AS DOUBLE)
+         |           ELSE CAST(0 AS DOUBLE) END""".stripMargin)
+      .mkString("\n|         + ")
+    s"""WITH q AS (
+       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+       |              AS BIGINT) AS x
+       |  FROM embeddings),
+       |w AS (
+       |  SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(x AS HUGEINT)) AS s,
+       |         sum(CAST(x AS HUGEINT) * x) AS q2,
+       |         $ns,
+       |         $ss
+       |  FROM q GROUP BY 1),
+       |t AS (
+       |  SELECT dim, n,
+       |         CAST(n AS DOUBLE) * CAST(CAST(q2 AS VARCHAR) AS DOUBLE) -
+       |           CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS sst_n,
+       |         CAST(n AS DOUBLE) *
+       |           ($inner)
+       |           - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS ssb_n
+       |  FROM w)
+       |SELECT dim, n, ssb_n / sst_n AS eta_sq,
+       |       ssb_n / (sst_n - ssb_n) AS fisher
+       |FROM t ORDER BY dim""".stripMargin
   }
 
   /** DuckDB replay of `KCore.diameterQuery`: both BFS sweeps unrolled

@@ -512,6 +512,99 @@ object EmbedStats {
     * exploded vector frame collapsed by map-side sums keyed on
     * (vec_id, j) — embarrassingly parallel; the pair joins key on
     * vec_id, shuffling one row per (pair, dim). Nothing all-pairs. */
+  /** Fisher class-separation score per embedding dimension (q_fisher):
+    * one-way ANOVA of the 10-class label against each of the 64 axes —
+    * SSB/SSW per dimension, the filter-method feature ranking that says
+    * WHICH axes carry label signal before anyone trains on them (the
+    * per-dimension companion to the projection-level q_pca_project).
+    *
+    * The label domain is FIXED (0..9), so the Σ_c S_c²/n_c term is a
+    * pivoted fixed-order 10-term expression tree over exact per-class
+    * integer sums (the q_anova device — never an order-dependent float
+    * aggregation across classes), computed per dimension in ONE
+    * map-side-combining groupBy over the exploded 10⁶-grid frame.
+    * Empty classes contribute 0 (guarded division). */
+  def fisherQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("label"),
+        floor(col("v").cast("double") * 1000000d).cast("long").as("x"))
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("s"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("q2")) ++
+      (0 until 10).flatMap { c =>
+        Seq(sum(when(col("label") === c, 1L).otherwise(0L)).as(s"n$c"),
+          sum(when(col("label") === c, col("x").cast(d38))
+            .otherwise(lit(0).cast(d38))).as(s"s$c"))
+      }
+    val wide = q.groupBy("dim").agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val inner = (0 until 10).map { c =>
+      when(col(s"n$c") > 0L,
+        (col(s"s$c") * col(s"s$c")).cast("double") / col(s"n$c").cast("double"))
+        .otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    wide
+      .withColumn("sst_n",
+        nD * col("q2").cast("double") - (col("s") * col("s")).cast("double"))
+      .withColumn("ssb_n", nD * inner - (col("s") * col("s")).cast("double"))
+      .select(col("dim"), col("n"),
+        (col("ssb_n") / col("sst_n")).as("eta_sq"),
+        (col("ssb_n") / (col("sst_n") - col("ssb_n"))).as("fisher"))
+      .orderBy("dim")
+  }
+
+  /** Top correlated embedding dimension pairs (q_dim_corr): Pearson
+    * correlation between axes on the 10⁶ integer grid, ranked by |r| —
+    * the redundancy report behind a whitening/PCA decision
+    * ([[dimVarianceQuery]] finds dominant axes; this finds axes that
+    * duplicate each other).
+    *
+    * Scale shape: the cross-moment Σxy comes from a per-VECTOR self-join
+    * of the exploded frame (width²/2 ≈ 2k rows per vector — a fixed
+    * fanout independent of corpus size) collapsed map-side by (i, j);
+    * per-dimension moments join in from the width-sized [[perDimension]]
+    * frame (broadcast). r = cov_num/√(var_i·var_j) is exact decimal
+    * integers until one portable sqrt and one division; the |r| ranking
+    * is a TakeOrderedAndProject top-k with a (i, j) tiebreak. */
+  def dimCorrQuery(spark: SparkSession, dir: String,
+                   topK: Int = 20): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = Silver.scratch(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          floor(col("v").cast("double") * 1000000d).cast("long").as("x")),
+      "corr_q") // feeds the pair pass AND the per-dim moment pass
+    val perDim = q.groupBy(col("i").as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+      .withColumn("var_num", col("n").cast(d38) * col("sxx") -
+        col("sx").cast(d38) * col("sx").cast(d38))
+    val pairs = q.as("a")
+      .join(q.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x").cast(d38) * col("b.x").cast(d38)).as("sxy"))
+    pairs
+      .join(broadcast(perDim.select(col("d").as("i"), col("n"),
+        col("sx").as("sx_i"), col("var_num").as("vn_i"))), "i")
+      .join(broadcast(perDim.select(col("d").as("j"),
+        col("sx").as("sx_j"), col("var_num").as("vn_j"))), "j")
+      .withColumn("cov_num", col("n").cast(d38) * col("sxy") -
+        col("sx_i").cast(d38) * col("sx_j").cast(d38))
+      // two-sqrt form: the vn_i·vn_j decimal product would overflow
+      // decimal(38,0) at ~100× this corpus; √a·√b = √(ab) with each
+      // factor correctly rounded is the overflow-proof identical tree
+      .withColumn("corr", col("cov_num").cast("double") /
+        sqrt(col("vn_i").cast("double")) / sqrt(col("vn_j").cast("double")))
+      .select(col("i"), col("j"), col("corr"))
+      .orderBy(abs(col("corr")).desc, col("i").asc, col("j").asc)
+      .limit(topK)
+  }
+
   def jlDistortionQuery(spark: SparkSession, dir: String,
                         outDims: Int = 16): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -252,4 +252,37 @@ object Layout {
       .withColumn("raw_bytes", col("n_deltas") * 8L)
       .orderBy("bits")
   }
+
+  /** Compaction plan over time-partitioned fact data (q_compaction):
+    * lineitem's 30-day ship-date partitions greedily packed, in
+    * partition order, into output files of ~`targetRows` — the
+    * small-file maintenance job every parquet lake schedules (thousands
+    * of daily partitions → bounded-size compacted files, neighbors
+    * merged so partition pruning still works on the result).
+    *
+    * The greedy first-fit-in-order assignment IS integer arithmetic:
+    * group = (running-total-before) div target, off ONE
+    * [[graft.operators.Ranking.distributedCumSum]] over the
+    * calendar-bounded partition frame (a group overruns the target by
+    * at most one input partition — exactly greedy semantics). Everything
+    * is exact longs; `over_target` flags groups that a follow-up split
+    * would rewrite. */
+  def compactionPlanQuery(spark: SparkSession, dir: String,
+                          targetRows: Long = 5000L): DataFrame = {
+    val parts = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy(expr(
+        "unix_millis(cast(l_shipdate as timestamp)) div 86400000 div 30")
+        .as("part_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val cum = graft.operators.Ranking.distributedCumSum(
+      parts, Seq(col("part_id").asc), Seq("n_rows"))
+    cum.withColumn("grp", expr(s"(cum_n_rows - n_rows) div $targetRows"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("part_id")).as("from_part"),
+        max(col("part_id")).as("to_part"),
+        sum(col("n_rows")).as("rows_out"))
+      .withColumn("over_target", col("rows_out") > targetRows)
+      .orderBy("grp")
+  }
 }

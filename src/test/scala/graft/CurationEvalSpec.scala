@@ -183,6 +183,43 @@ class CurationEvalSpec extends SparkSpec {
     for (r <- rows) assert(r.getAs[Double]("sigma") > 0.0)
   }
 
+  test("fisher: eta^2 in [0,1], fisher consistent with eta/(1-eta)") {
+    val rows = graft.scale.EmbedStats.fisherQuery(spark, Sf0001).collect()
+    assert(rows.length == 64)
+    for (r <- rows) {
+      val (eta, f) = (r.getAs[Double]("eta_sq"), r.getAs[Double]("fisher"))
+      assert(eta >= 0.0 && eta <= 1.0, s"eta out of range at dim ${r.get(0)}")
+      assert(math.abs(f - eta / (1 - eta)) < 1e-9 * (1 + math.abs(f)))
+    }
+  }
+
+  test("dim corr: |r| <= 1, ranked non-increasing, i < j") {
+    val rows = graft.scale.EmbedStats.dimCorrQuery(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    var last = Double.MaxValue
+    for (r <- rows) {
+      val c = math.abs(r.getAs[Double]("corr"))
+      assert(c <= 1.0 + 1e-12)
+      assert(c <= last + 1e-15, "must be ranked by |corr| descending")
+      assert(r.getAs[Long]("i") < r.getAs[Long]("j"))
+      last = c
+    }
+  }
+
+  test("compaction: groups conserve rows, contiguous, greedy-bounded") {
+    val rows = graft.scale.Layout.compactionPlanQuery(spark, Sf0001)
+      .orderBy("grp").collect()
+    val total = graft.sources.Tables.lineitem(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("rows_out")).sum == total,
+      "compaction groups must conserve every input row")
+    for (w <- rows.sliding(2) if w.length == 2)
+      assert(w(0).getAs[Long]("to_part") < w(1).getAs[Long]("from_part"),
+        "groups must span disjoint, ordered partition ranges")
+    // greedy bound: a group exceeds target only via its LAST partition
+    for (r <- rows if r.getAs[Long]("n_parts") > 1)
+      assert(r.getAs[Long]("rows_out") - r.getAs[Long]("n_parts") >= 0)
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
