@@ -355,7 +355,8 @@ object SparkEntry {
     "q_neyman"          -> ((s, d) => graft.operators.Distribution.neymanQuery(s, d)),
     "q_fisher"          -> ((s, d) => graft.scale.EmbedStats.fisherQuery(s, d)),
     "q_dim_corr"        -> ((s, d) => graft.scale.EmbedStats.dimCorrQuery(s, d)),
-    "q_compaction"      -> ((s, d) => graft.scale.Layout.compactionPlanQuery(s, d))
+    "q_compaction"      -> ((s, d) => graft.scale.Layout.compactionPlanQuery(s, d)),
+    "q_perm_test"       -> ((s, d) => graft.operators.Distribution.permTestQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7725,7 +7726,9 @@ object SparkEntry {
         |       CAST(max(part_id) AS BIGINT) AS to_part,
         |       CAST(sum(n_rows) AS BIGINT) AS rows_out,
         |       CAST(sum(n_rows) AS BIGINT) > 5000 AS over_target
-        |FROM c GROUP BY 1 ORDER BY grp""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "q_perm_test" -> permTestOracleSql
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -8170,6 +8173,53 @@ object SparkEntry {
        |$relax
        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
        |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `Distribution.permTestQuery`: all 32 md5-coin
+    * relabelings as pivoted conditional HUGEINT sums in one pass, the
+    * vote count as a left-associated 32-term tree of exact
+    * cross-multiplied comparisons. */
+  private def permTestOracleSql: String = {
+    val perms = 32
+    val hexA = "('0','1','2','3','4','5','6','7')"
+    val piv = (0 until perms).map { k =>
+      s"""sum(CASE WHEN substr(md5('$k|' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+         |              IN $hexA THEN 1 ELSE 0 END) AS n$k,
+         |         sum(CASE WHEN substr(md5('$k|' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+         |              IN $hexA THEN CAST(v AS HUGEINT) ELSE 0 END) AS s$k""".stripMargin
+    }.mkString(",\n|         ")
+    def a(sc: String, nc: String) = s"abs($sc * CAST(n AS HUGEINT) - CAST($nc AS HUGEINT) * s)"
+    def b(nc: String) = s"(CAST($nc AS HUGEINT) * (n - $nc))"
+    val votes = (0 until perms).map { k =>
+      s"""CASE WHEN ${a(s"s$k", s"n$k")} * ${b("n_obs")} >=
+         |               ${a("s_obs", "n_obs")} * ${b(s"n$k")}
+         |          THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("\n|         + ")
+    s"""WITH rows_ AS (
+       |  SELECT o_orderkey,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |         c_mktsegment = 'BUILDING' AS in_a
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       |w AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(v AS HUGEINT)) AS s,
+       |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+       |         sum(CASE WHEN in_a THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_obs,
+       |         $piv
+       |  FROM rows_),
+       |v AS (
+       |  SELECT n, n_obs,
+       |         ${a("s_obs", "n_obs")} AS a0, ${b("n_obs")} AS b0,
+       |         CAST($votes AS BIGINT) AS n_ge
+       |  FROM w)
+       |SELECT n, n_obs AS n_a, n - n_obs AS n_b,
+       |       CAST(CAST(a0 AS VARCHAR) AS DOUBLE) /
+       |         CAST(CAST(b0 AS VARCHAR) AS DOUBLE) AS obs_gap_cents,
+       |       CAST($perms AS BIGINT) AS n_perms, n_ge,
+       |       CAST(n_ge + 1 AS DOUBLE) / CAST(${perms + 1} AS DOUBLE)
+       |         AS p_value
+       |FROM v""".stripMargin
   }
 
   /** DuckDB replay of `EmbedStats.fisherQuery`: the q_anova pivoted

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1070,6 +1070,70 @@ object Distribution {
     * which is all BH consumes; padj = suffix-min of p·m/i runs over the
     * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
     * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  /** Exact permutation test for a two-group mean difference
+    * (q_perm_test): is the BUILDING vs MACHINERY order-price gap larger
+    * than chance relabeling would produce? The nonparametric inference
+    * every A/B readout should get when normality is in doubt — made
+    * 100 TB-shaped by two tricks:
+    *
+    *  1. Permutations are DETERMINISTIC md5 coin flips (perm k assigns a
+    *     row to group A iff the first hex nibble of md5("k|orderkey") is
+    *     0-7) — no RNG state, engine-portable, and all K relabelings
+    *     accumulate in ONE fact pass as pivoted conditional sums (the
+    *     q_anova fixed-domain device, K = 32 wide).
+    *  2. The mean-difference comparison is EXACT integer arithmetic:
+    *     |mean_A − mean_B| = |S_A·n − n_A·S| / (n_A·n_B) for every
+    *     relabeling, so "perm stat ≥ observed stat" is the cross-
+    *     multiplied decimal comparison a_k·b₀ ≥ a₀·b_k — no float
+    *     decides a vote. p = (1 + #votes)/(K + 1), the standard
+    *     add-one-permutation estimate (the identity relabeling counts). */
+  def permTestQuery(spark: SparkSession, dir: String,
+                    segA: String = "BUILDING", segB: String = "MACHINERY",
+                    perms: Int = 32): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"),
+        (col("c_mktsegment") === segA).as("in_a"))
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("v").cast(d38)).as("s"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_obs"),
+        sum(when(col("in_a"), col("v").cast(d38)).otherwise(lit(0).cast(d38)))
+          .as("s_obs")) ++
+      (0 until perms).flatMap { k =>
+        val coin = substring(
+          md5(concat(lit(s"$k|"), col("o_orderkey").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7")
+        Seq(sum(when(coin, 1L).otherwise(0L)).as(s"n$k"),
+          sum(when(coin, col("v").cast(d38)).otherwise(lit(0).cast(d38)))
+            .as(s"s$k"))
+      }
+    val wide = rows.agg(aggs.head, aggs.tail: _*)
+    // a = |S_A·n − n_A·S| (numerator of the mean gap, cleared of its
+    // denominator), b = n_A·(n − n_A); vote k: a_k·b0 >= a0·b_k, exact.
+    def aOf(sCol: Column, nCol: Column) =
+      abs(sCol * col("n").cast(d38) - nCol.cast(d38) * col("s"))
+    def bOf(nCol: Column) =
+      nCol.cast(d38) * (col("n") - nCol).cast(d38)
+    val votes = (0 until perms).map { k =>
+      when(aOf(col(s"s$k"), col(s"n$k")) * bOf(col("n_obs")) >=
+        aOf(col("s_obs"), col("n_obs")) * bOf(col(s"n$k")), 1L).otherwise(0L)
+    }.reduceLeft(_ + _)
+    wide
+      .withColumn("n_ge", votes)
+      .select(col("n"), col("n_obs").as("n_a"),
+        (col("n") - col("n_obs")).as("n_b"),
+        (aOf(col("s_obs"), col("n_obs")).cast("double") /
+          bOf(col("n_obs")).cast("double")).as("obs_gap_cents"),
+        lit(perms.toLong).as("n_perms"), col("n_ge"),
+        ((col("n_ge") + 1L).cast("double") /
+          lit((perms + 1).toDouble)).as("p_value"))
+  }
+
   /** Neyman-optimal stratified sample allocation (q_neyman): how a fixed
     * budget of 1000 sampled orders should split across market segments
     * to minimize the variance of the estimated mean order price —

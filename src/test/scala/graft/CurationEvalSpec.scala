@@ -220,6 +220,24 @@ class CurationEvalSpec extends SparkSpec {
       assert(r.getAs[Long]("rows_out") - r.getAs[Long]("n_parts") >= 0)
   }
 
+  test("perm test: p in (0,1], cells conserve, null data gives high p") {
+    val r = graft.operators.Distribution.permTestQuery(spark, Sf0001).head()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == r.getAs[Long]("n"))
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+    assert(r.getAs[Long]("n_ge") <= r.getAs[Long]("n_perms"))
+    // label-swap symmetry: the test statistic |mean gap| is symmetric in
+    // the two groups, so swapping segA/segB must reproduce the report
+    // exactly (modulo the group-size columns swapping)
+    val swapped = graft.operators.Distribution
+      .permTestQuery(spark, Sf0001, segA = "MACHINERY", segB = "BUILDING")
+      .head()
+    assert(swapped.getAs[Double]("p_value") == p)
+    assert(swapped.getAs[Double]("obs_gap_cents") ==
+      r.getAs[Double]("obs_gap_cents"))
+    assert(swapped.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
