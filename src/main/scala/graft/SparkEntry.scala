@@ -356,7 +356,8 @@ object SparkEntry {
     "q_fisher"          -> ((s, d) => graft.scale.EmbedStats.fisherQuery(s, d)),
     "q_dim_corr"        -> ((s, d) => graft.scale.EmbedStats.dimCorrQuery(s, d)),
     "q_compaction"      -> ((s, d) => graft.scale.Layout.compactionPlanQuery(s, d)),
-    "q_perm_test"       -> ((s, d) => graft.operators.Distribution.permTestQuery(s, d))
+    "q_perm_test"       -> ((s, d) => graft.operators.Distribution.permTestQuery(s, d)),
+    "q_mattr"           -> ((s, d) => TextAnalysis.mattrQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7728,7 +7729,48 @@ object SparkEntry {
         |       CAST(sum(n_rows) AS BIGINT) > 5000 AS over_target
         |FROM c GROUP BY 1 ORDER BY grp""".stripMargin,
 
-    "q_perm_test" -> permTestOracleSql
+    "q_perm_test" -> permTestOracleSql,
+
+    // MATTR via the O(n) difference-array form: a repeated token is a
+    // within-window duplicate for windows ending in [p, prev+W-1] ->
+    // +1 at p, -1 at prev+W, one running sum gives every window's
+    // duplicate count. W = 25.
+    "q_mattr" ->
+      """WITH tp AS (
+        |  SELECT doc_id, source,
+        |         unnest(string_split(text, ' ')) AS term,
+        |         CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+        |              AS BIGINT) AS p
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, p,
+        |         lag(p) OVER (PARTITION BY doc_id, term ORDER BY p) AS prev
+        |  FROM tp),
+        |gf AS (SELECT doc_id, p, prev FROM g
+        |       WHERE prev IS NOT NULL AND p - prev <= 24),
+        |deltas AS (
+        |  SELECT doc_id, p AS pos, 1 AS d FROM gf
+        |  UNION ALL
+        |  SELECT doc_id, prev + 25, -1 FROM gf),
+        |dag AS (SELECT doc_id, pos, CAST(sum(d) AS BIGINT) AS d
+        |        FROM deltas GROUP BY 1, 2),
+        |du AS (
+        |  SELECT tp.source, tp.doc_id, tp.p AS pos,
+        |         CAST(sum(COALESCE(dag.d, 0)) OVER (
+        |           PARTITION BY tp.doc_id ORDER BY tp.p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS dup
+        |  FROM tp LEFT JOIN dag
+        |    ON tp.doc_id = dag.doc_id AND tp.p = dag.pos),
+        |agg AS (
+        |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_windows,
+        |         CAST(sum(25 - dup) AS BIGINT) AS sum_distinct
+        |  FROM du WHERE pos >= 24 GROUP BY 1)
+        |SELECT source, n_docs, n_windows, sum_distinct,
+        |       CAST(sum_distinct AS DOUBLE) /
+        |         CAST(25 * n_windows AS DOUBLE) AS mattr
+        |FROM agg ORDER BY source""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -899,6 +899,59 @@ object TextAnalysis {
     * .giniBySegment]] device — no corpus-proportional window partition).
     * The per-rank reference value is Σlen/cnt across sources — exact
     * longs, one division. */
+  /** Moving-average type-token ratio per source (q_mattr): lexical
+    * diversity measured as the mean share of DISTINCT tokens in every
+    * sliding 25-token window — the length-robust diversity metric
+    * (plain TTR shrinks with document length by Heaps' law; MATTR
+    * doesn't), a standard axis on a corpus quality card.
+    *
+    * The naive form scans W tokens per window (O(n·W)); this is the
+    * O(n) difference-array form: a token at position p with previous
+    * same-type occurrence at prev is a within-window duplicate exactly
+    * for windows ending in [p, prev+W−1], so it contributes +1 at p and
+    * −1 at prev+W to a per-document delta array, and ONE running sum
+    * over positions yields every window's duplicate count. Windows
+    * never materialize; counts are exact integers end-to-end and the
+    * per-source MATTR is one division (Σ distinct)/(W·Σ windows).
+    *
+    * Scale shape: the lag window partitions by (doc, term) and the
+    * running sum by doc — both bounded by DOCUMENT length, the one
+    * window family this repo allows. Everything else is map-side
+    * aggregation. */
+  def mattrQuery(spark: SparkSession, dir: String, w: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksP = Silver.scratch(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+        .select(col("doc_id"), col("source"), col("p").cast("long").as("p"),
+          col("term")),
+      "mattr_toks") // feeds the gap pass AND the position spine
+    val byTok = Window.partitionBy(col("doc_id"), col("term"))
+      .orderBy(col("p"))
+    val gaps = toksP
+      .withColumn("prev", lag(col("p"), 1).over(byTok))
+      .filter(col("prev").isNotNull && col("p") - col("prev") <= (w - 1).toLong)
+    val deltas = gaps.select(col("doc_id"), col("p").as("pos"), lit(1L).as("d"))
+      .unionAll(gaps.select(col("doc_id"), (col("prev") + w.toLong).as("pos"),
+        lit(-1L).as("d")))
+      .groupBy("doc_id", "pos").agg(sum(col("d")).as("d"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toksP.select(col("doc_id"), col("source"), col("p").as("pos"))
+      .join(deltas, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("d"))
+      .withColumn("dup", sum(col("d")).over(byPos))
+      .filter(col("pos") >= (w - 1).toLong) // complete windows only
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_windows"),
+        sum(lit(w.toLong) - col("dup")).as("sum_distinct"))
+      .withColumn("mattr", col("sum_distinct").cast("double") /
+        (lit(w.toLong) * col("n_windows")).cast("double"))
+      .orderBy("source")
+  }
+
   def quantileNormQuery(spark: SparkSession, dir: String): DataFrame = {
     val ranked = graft.operators.Ranking.distributedGlobalRank(
       Tables.documents(spark, dir)

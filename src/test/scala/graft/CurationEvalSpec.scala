@@ -238,6 +238,31 @@ class CurationEvalSpec extends SparkSpec {
     assert(swapped.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
   }
 
+  test("mattr: bounded, and the O(n) form matches a brute-force recount") {
+    val rows = graft.scale.TextAnalysis.mattrQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val m = r.getAs[Double]("mattr")
+      assert(m > 0.0 && m <= 1.0)
+    }
+    // brute-force witness: recompute sum-of-window-distincts for one
+    // source directly from the text and compare to the operator's total
+    val src = rows.head.getAs[String]("source")
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .filter(col("source") === src)
+      .select("text").collect().map(_.getString(0))
+    val w = 25
+    var (sumDistinct, nWindows) = (0L, 0L)
+    for (t <- docs; toks = t.split(" "); if toks.length >= w;
+         i <- (w - 1) until toks.length) {
+      sumDistinct += toks.slice(i - w + 1, i + 1).distinct.length
+      nWindows += 1
+    }
+    assert(rows.head.getAs[Long]("sum_distinct") == sumDistinct &&
+      rows.head.getAs[Long]("n_windows") == nWindows,
+      s"difference-array form diverged from brute force on $src")
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
