@@ -357,7 +357,10 @@ object SparkEntry {
     "q_dim_corr"        -> ((s, d) => graft.scale.EmbedStats.dimCorrQuery(s, d)),
     "q_compaction"      -> ((s, d) => graft.scale.Layout.compactionPlanQuery(s, d)),
     "q_perm_test"       -> ((s, d) => graft.operators.Distribution.permTestQuery(s, d)),
-    "q_mattr"           -> ((s, d) => TextAnalysis.mattrQuery(s, d))
+    "q_mattr"           -> ((s, d) => TextAnalysis.mattrQuery(s, d)),
+    "q_wilson"          -> ((s, d) => graft.operators.Distribution.wilsonQuery(s, d)),
+    "q_jackknife"       -> ((s, d) => graft.operators.Distribution.jackknifeQuery(s, d)),
+    "q_seq3"            -> ((s, d) => graft.operators.EventOps.seq3Query(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7770,7 +7773,79 @@ object SparkEntry {
         |SELECT source, n_docs, n_windows, sum_distinct,
         |       CAST(sum_distinct AS DOUBLE) /
         |         CAST(25 * n_windows AS DOUBLE) AS mattr
-        |FROM agg ORDER BY source""".stripMargin
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // Wilson interval with pinned z = 1.96 / z^2 = 3.8416 literals; the
+    // identical fixed IEEE tree in both engines.
+    "q_wilson" ->
+      """WITH cells AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS k,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT brand, k, n,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(1 AS DOUBLE) + 3.8416 / CAST(n AS DOUBLE) AS denom,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) +
+        |           3.8416 / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+        |           AS center,
+        |         1.96 * sqrt(
+        |           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) *
+        |             (CAST(1 AS DOUBLE) -
+        |              CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |             CAST(n AS DOUBLE) +
+        |           3.8416 / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) *
+        |                     CAST(n AS DOUBLE))) AS half
+        |  FROM cells)
+        |SELECT brand, k, n, p AS rate,
+        |       (center - half) / denom AS lo,
+        |       (center + half) / denom AS hi
+        |FROM t ORDER BY brand""".stripMargin,
+
+    // Leave-one-source-out means: complement sums are total minus own,
+    // one exact division per emitted mean.
+    "q_jackknife" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+        |               CAST(sum(s) AS BIGINT) AS ts FROM per)
+        |SELECT source, n_docs,
+        |       CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE) AS own_mean,
+        |       CAST(ts - s AS DOUBLE) / CAST(tn - n_docs AS DOUBLE)
+        |         AS loo_mean,
+        |       CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS full_mean,
+        |       CAST(ts - s AS DOUBLE) / CAST(tn - n_docs AS DOUBLE) -
+        |         CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS influence
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // Consecutive event-type triples per user via two leads; support
+    // one division against the broadcast triple total.
+    "q_seq3" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |tri AS (
+        |  SELECT user_id, event_type AS e1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_ms, event_id) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_ms, event_id) AS e3
+        |  FROM e),
+        |c AS (
+        |  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT e1, e2, e3, cnt, n_users,
+        |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS support
+        |FROM c CROSS JOIN tot
+        |ORDER BY cnt DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -1070,6 +1070,62 @@ object Distribution {
     * which is all BH consumes; padj = suffix-min of p·m/i runs over the
     * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
     * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  /** Wilson 95% confidence interval per brand return rate (q_wilson):
+    * the ranking-safe proportion interval (unlike the Wald interval it
+    * never leaves [0,1] and behaves at small n) — what a dashboard
+    * should draw instead of bare rates when brands have very different
+    * volumes. z = 1.96 is a pinned literal (the NDCG-constants device);
+    * counts are exact from one map-side pass; the bounds are a fixed
+    * IEEE tree ending in the correctly-rounded sqrt. center ±
+    * half-width over denom with p̂ = k/n, z² precomputed as 3.8416. */
+  def wilsonQuery(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = lit(3.8416) // 1.96^2, pinned literal in both engines
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    cells.select(col("brand"), col("k"), col("n"), p.as("rate"),
+        ((center - half) / denom).as("lo"),
+        ((center + half) / denom).as("hi"))
+      .orderBy("brand")
+  }
+
+  /** Leave-one-source-out influence table (q_jackknife): for each
+    * document source, the corpus mean length WITHOUT that source and
+    * its delta against the full-corpus mean — the jackknife influence
+    * diagnostic that names which ingest feed is dragging a corpus
+    * metric (the per-source view behind any "why did mean quality
+    * move?" investigation).
+    *
+    * One map-side pass to per-source exact (n, Σ); the complement sums
+    * are broadcast-total minus own — every emitted mean is ONE division
+    * of exact longs, the delta one further subtraction. */
+  def jackknifeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s"))
+    val tot = per.agg(sum(col("n_docs")).as("tn"), sum(col("s")).as("ts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("s").cast("double") / col("n_docs").cast("double"))
+          .as("own_mean"),
+        ((col("ts") - col("s")).cast("double") /
+          (col("tn") - col("n_docs")).cast("double")).as("loo_mean"),
+        (col("ts").cast("double") / col("tn").cast("double")).as("full_mean"),
+        (((col("ts") - col("s")).cast("double") /
+          (col("tn") - col("n_docs")).cast("double")) -
+          col("ts").cast("double") / col("tn").cast("double")).as("influence"))
+      .orderBy("source")
+  }
+
   /** Exact permutation test for a two-group mean difference
     * (q_perm_test): is the BUILDING vs MACHINERY order-price gap larger
     * than chance relabeling would produce? The nonparametric inference

@@ -1066,6 +1066,37 @@ object EventOps {
     * decimal(38,0)) per type; μ, σ (portable sqrt) and B are a fixed
     * IEEE tree over those exact values. Types with fewer than two gaps
     * are dropped (σ undefined). */
+  /** Frequent length-3 event sequences (q_seq3): the top consecutive
+    * (e1 → e2 → e3) behavior patterns across users, with occurrence
+    * count, distinct-user reach, and support — the sequential-pattern
+    * companion to the unordered q_basket3 and the bigram q_transitions
+    * (funnels hide in the triples a bigram view can't see).
+    *
+    * Triples come from two lead() steps over the (user, time, event_id)
+    * order — user-activity-bounded windows — then ONE map-side-combining
+    * count on the |types|³-bounded key; support is a single division
+    * against the broadcast triple total; top-k is
+    * TakeOrderedAndProject. */
+  def seq3Query(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val tri = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+    val counts = tri.groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("e1"), col("e2"), col("e3"), col("cnt"), col("n_users"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("support"))
+      .orderBy(col("cnt").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(topK)
+  }
+
   def burstinessQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val w = Window.partitionBy(col("event_type"), col("user_id"))

@@ -246,8 +246,18 @@ object Dedup {
       .select(col("doc_id"), col("toks"), col("n"),
         slice(col("toks"), lit(1), greatest(col("plen"), lit(1))).as("prefix")),
       "prefix_docs")
-    val pa = pre.select(col("doc_id").as("d1"), explode(col("prefix")).as("tok"))
-    val pb = pre.select(col("doc_id").as("d2"), explode(col("prefix")).as("tok"))
+    // Lossless prefix thinning: a candidate pair needs a SHARED prefix
+    // token, and a token with global df = 1 occurs in exactly one
+    // document — it can never be shared. Dropping df = 1 rows before the
+    // self-join leaves the join output identical and removes the bulk of
+    // the exploded prefix volume (most rare-first prefix tokens are
+    // hapaxes). Materialized once: the frame feeds both join sides.
+    val preTok = Silver.scratch(
+      pre.select(col("doc_id"), explode(col("prefix")).as("tok"))
+        .join(df.filter(col("df") >= 2).select("tok"), "tok"),
+      "prefix_ptok")
+    val pa = preTok.select(col("doc_id").as("d1"), col("tok"))
+    val pb = preTok.select(col("doc_id").as("d2"), col("tok"))
     val cand = pa.join(pb, Seq("tok")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
     val byId = pre.select(col("doc_id"), col("toks"), col("n"))

@@ -263,6 +263,42 @@ class CurationEvalSpec extends SparkSpec {
       s"difference-array form diverged from brute force on $src")
   }
 
+  test("wilson: interval brackets the rate and stays inside [0, 1]") {
+    val rows = graft.operators.Distribution.wilsonQuery(spark, Sf0001).collect()
+    assert(rows.length == 25)
+    for (r <- rows) {
+      val (rate, lo, hi) = (r.getAs[Double]("rate"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo >= 0.0 && hi <= 1.0, "Wilson never leaves the unit interval")
+      assert(lo <= rate && rate <= hi)
+    }
+  }
+
+  test("jackknife: influences cancel against source weights") {
+    val rows = graft.operators.Distribution.jackknifeQuery(spark, Sf0001)
+      .collect()
+    val full = rows.head.getAs[Double]("full_mean")
+    for (r <- rows) {
+      // leaving out a below-average source must RAISE the mean, and
+      // vice versa (sign identity of the jackknife influence)
+      val sign = math.signum(full - r.getAs[Double]("own_mean"))
+      val infl = r.getAs[Double]("influence")
+      assert(infl == 0.0 || math.signum(infl) == sign,
+        s"influence sign inverted for ${r.getString(0)}")
+    }
+  }
+
+  test("seq3: support sums over top-k <= 1, counts bound users") {
+    val rows = graft.operators.EventOps.seq3Query(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Double]("support")).sum <= 1.0 + 1e-12)
+    var last = Long.MaxValue
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("cnt"))
+      assert(r.getAs[Long]("cnt") <= last); last = r.getAs[Long]("cnt")
+    }
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
