@@ -360,7 +360,10 @@ object SparkEntry {
     "q_mattr"           -> ((s, d) => TextAnalysis.mattrQuery(s, d)),
     "q_wilson"          -> ((s, d) => graft.operators.Distribution.wilsonQuery(s, d)),
     "q_jackknife"       -> ((s, d) => graft.operators.Distribution.jackknifeQuery(s, d)),
-    "q_seq3"            -> ((s, d) => graft.operators.EventOps.seq3Query(s, d))
+    "q_seq3"            -> ((s, d) => graft.operators.EventOps.seq3Query(s, d)),
+    "q_dedup_sweep"     -> ((s, d) => graft.scale.Dedup.dedupSweepQuery(s, d)),
+    "q_qq"              -> ((s, d) => graft.operators.Distribution.qqQuery(s, d)),
+    "q_smd"             -> ((s, d) => graft.operators.Distribution.smdQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7845,7 +7848,65 @@ object SparkEntry {
         |SELECT e1, e2, e3, cnt, n_users,
         |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS support
         |FROM c CROSS JOIN tot
-        |ORDER BY cnt DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin,
+
+    // Threshold sweep over ONE exact pair set (tau >= 0.3, unfiltered
+    // all-pairs replay); per-threshold rows by LEFT JOIN so empty
+    // thresholds still emit zero counts (matching Spark's agg-on-empty).
+    "q_dedup_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id,
+        |                unnest(list_distinct(string_split(text, ' '))) AS tok
+        |         FROM base),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM toks GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |                 CAST(count(*) AS BIGINT) AS i
+        |          FROM toks a JOIN toks b
+        |            ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2, i, s1.n + s2.n - i AS u
+        |          FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |                     JOIN sizes s2 ON d2 = s2.doc_id
+        |          WHERE 10 * i >= 3 * (s1.n + s2.n - i)),
+        |ts AS (SELECT unnest([3, 4, 5, 6, 7, 8, 9]) AS t10)
+        |SELECT CAST(t10 AS DOUBLE) / CAST(10 AS DOUBLE) AS tau,
+        |       CAST(count(d1) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT d2) AS BIGINT) AS n_victims
+        |FROM ts LEFT JOIN pairs ON 10 * i >= t10 * u
+        |GROUP BY t10 ORDER BY tau""".stripMargin,
+
+    // Decile Q-Q table: percentile_disc by integer rank arithmetic per
+    // segment, one ratio per row.
+    "q_qq" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT segment, v, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM o GROUP BY 1, 2),
+        |cum AS (SELECT segment, v,
+        |               CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY v)
+        |                    AS BIGINT) AS cum
+        |        FROM per),
+        |tot AS (SELECT segment, CAST(count(*) AS BIGINT) AS n
+        |        FROM o GROUP BY 1),
+        |pcts AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
+        |q AS (SELECT c.segment, p.p,
+        |             min(CASE WHEN c.cum >= (p.p * t.n + 99) // 100
+        |                      THEN c.v END) AS qv
+        |      FROM cum c JOIN tot t USING (segment) CROSS JOIN pcts p
+        |      GROUP BY 1, 2)
+        |SELECT CAST(a.p AS BIGINT) AS pct, a.qv AS v_a, b.qv AS v_b,
+        |       CAST(a.qv AS DOUBLE) / CAST(b.qv AS DOUBLE) AS ratio
+        |FROM q a JOIN q b ON a.p = b.p
+        |WHERE a.segment = 'BUILDING' AND b.segment = 'MACHINERY'
+        |ORDER BY pct""".stripMargin,
+
+    "q_smd" -> smdOracleSql
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
@@ -8290,6 +8351,54 @@ object SparkEntry {
        |$relax
        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
        |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of `Distribution.smdQuery`: one covariate block per
+    * measure, each the exact-moment pattern (VARCHAR-routed variance
+    * numerator, fixed SMD tree). */
+  private def smdOracleSql: String = {
+    def block(name: String, x: String): String =
+      s"""SELECT '$name' AS covariate, a.n AS n_a, b.n AS n_b,
+         |       a.mean AS mean_a, b.mean AS mean_b,
+         |       (a.mean - b.mean) / sqrt((a.var + b.var) / CAST(2 AS DOUBLE))
+         |         AS smd
+         |FROM (SELECT * FROM g_$x WHERE in_a) a
+         |CROSS JOIN (SELECT * FROM g_$x WHERE NOT in_a) b""".stripMargin
+    def g(x: String): String =
+      s"""g_$x AS (
+         |  SELECT in_a, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(CAST(sum($x) AS BIGINT) AS DOUBLE) /
+         |           CAST(count(*) AS DOUBLE) AS mean,
+         |         CAST(CAST(CAST(count(*) AS HUGEINT) *
+         |                   sum(CAST($x AS HUGEINT) * $x) -
+         |                   CAST(sum($x) AS HUGEINT) * CAST(sum($x) AS BIGINT)
+         |                   AS VARCHAR) AS DOUBLE) /
+         |           CAST(count(*) * (count(*) - 1) AS DOUBLE) AS var
+         |  FROM base GROUP BY 1)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+       |  FROM lineitem GROUP BY 1),
+       |base AS (
+       |  SELECT c_mktsegment = 'BUILDING' AS in_a,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           AS price_cents,
+       |         COALESCE(li.n_items, 0) AS basket_size,
+       |         CASE WHEN o_orderpriority LIKE '1-%'
+       |                OR o_orderpriority LIKE '2-%'
+       |              THEN 1 ELSE 0 END AS urgent
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  LEFT JOIN li ON o_orderkey = li.l_orderkey
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       |${g("price_cents")},
+       |${g("basket_size")},
+       |${g("urgent")}
+       |SELECT * FROM (
+       |  ${block("price_cents", "price_cents")}
+       |  UNION ALL
+       |  ${block("basket_size", "basket_size")}
+       |  UNION ALL
+       |  ${block("urgent", "urgent")})
+       |ORDER BY covariate""".stripMargin
   }
 
   /** DuckDB replay of `Distribution.permTestQuery`: all 32 md5-coin

@@ -1070,6 +1070,103 @@ object Distribution {
     * which is all BH consumes; padj = suffix-min of p·m/i runs over the
     * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
     * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  /** Quantile–quantile table between two segments' order prices (q_qq):
+    * the decile-by-decile comparison behind a Q-Q plot — if BUILDING and
+    * MACHINERY prices differ only in scale, the ratio column is flat;
+    * a drifting ratio localizes WHERE the distributions diverge (tails
+    * vs body), which a single KS statistic can't say.
+    *
+    * Deciles are percentile_disc by explicit integer rank arithmetic
+    * (the [[percentileBands]] device: smallest value whose cumulative
+    * count reaches ⌈p·n/100⌉) over value-domain-bounded per-segment
+    * frames; the ratio is the only IEEE op. */
+  def qqQuery(spark: SparkSession, dir: String,
+              segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val pcts = 10 to 90 by 10
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .groupBy(col("c_mktsegment").as("segment"),
+        cents(col("o_totalprice")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = per.groupBy("segment").agg(sum(col("cnt")).as("n"))
+    // materialized once: the 2-row band frame feeds 9 union branches
+    // (2 consumers each) — without the cut the cum window re-executes
+    // per branch
+    val bands = graft.scale.Silver.scratch(
+      cum.join(broadcast(tot), "segment")
+        .groupBy("segment")
+        .agg(first(col("n")).as("n"),
+          pcts.map { p =>
+            min(when(col("cum") >= expr(s"($p * n + 99) div 100"), col("v")))
+              .as(s"p$p")
+          }: _*),
+      "qq_bands")
+    val a = bands.filter(col("segment") === segA)
+    val b = bands.filter(col("segment") === segB)
+    pcts.map { p =>
+      a.select(lit(p.toLong).as("pct"), col(s"p$p").as("v_a"))
+        .crossJoin(broadcast(b.select(col(s"p$p").as("v_b"))))
+        .select(col("pct"), col("v_a"), col("v_b"),
+          (col("v_a").cast("double") / col("v_b").cast("double")).as("ratio"))
+    }.reduce(_ unionAll _).orderBy("pct")
+  }
+
+  /** Standardized mean difference of pre-treatment covariates between
+    * two segments (q_smd): |SMD| < 0.1 is the standard "groups are
+    * comparable" gate before any observational A-vs-B readout — run it
+    * on order value, basket size, and urgency share before believing a
+    * segment comparison. SMD = (μ_A − μ_B)/√((σ²_A + σ²_B)/2), exact
+    * integer moments per covariate per group (one fact pass each
+    * grain), a fixed IEEE tree per emitted row. */
+  def smdQuery(spark: SparkSession, dir: String,
+               segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select((col("c_mktsegment") === segA).as("in_a"),
+        cents(col("o_totalprice")).as("price_cents"),
+        coalesce(col("n_items"), lit(0L)).as("basket_size"),
+        when(col("o_orderpriority").startsWith("1-") ||
+          col("o_orderpriority").startsWith("2-"), 1L).otherwise(0L)
+          .as("urgent"))
+    def covariate(name: String, x: Column): DataFrame = {
+      val g = base.select(col("in_a"), x.as("x"))
+        .groupBy("in_a")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("ss"))
+        .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+        .withColumn("var",
+          (col("n").cast(d38) * col("ss") -
+            col("s").cast(d38) * col("s").cast(d38)).cast("double") /
+            (col("n") * (col("n") - 1L)).cast("double"))
+      val a = g.filter(col("in_a")).select(col("n").as("n_a"),
+        col("mean").as("mean_a"), col("var").as("var_a"))
+      val b = g.filter(!col("in_a")).select(col("n").as("n_b"),
+        col("mean").as("mean_b"), col("var").as("var_b"))
+      a.crossJoin(broadcast(b))
+        .select(lit(name).as("covariate"), col("n_a"), col("n_b"),
+          col("mean_a"), col("mean_b"),
+          ((col("mean_a") - col("mean_b")) /
+            sqrt((col("var_a") + col("var_b")) / lit(2.0))).as("smd"))
+    }
+    covariate("price_cents", col("price_cents"))
+      .unionAll(covariate("basket_size", col("basket_size")))
+      .unionAll(covariate("urgent", col("urgent")))
+      .orderBy("covariate")
+  }
+
   /** Wilson 95% confidence interval per brand return rate (q_wilson):
     * the ranking-safe proportion interval (unlike the Wald interval it
     * never leaves [0,1] and behaves at small n) — what a dashboard

@@ -220,6 +220,7 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok")),
       "prefix_toks")
     prefixPairsOver(toks, tauNum, tauDen)
+      .select("d1", "d2", "inter_cnt", "jac")
   }
 
   /** PPJoin core over an arbitrary (doc_id, tok) item-set frame — the
@@ -269,7 +270,9 @@ object Dedup {
         lit(tauNum) * (col("n1") + col("n2") - col("inter_cnt")))
       .withColumn("jac", col("inter_cnt").cast("double") /
         (col("n1") + col("n2") - col("inter_cnt")))
-      .select(col("d1"), col("d2"), col("inter_cnt"), col("jac"))
+      .select(col("d1"), col("d2"), col("inter_cnt"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("jac"))
   }
 
   /** q_prefix_join: [[prefixFilteredPairs]] at τ = 3/5 over a 1-in-10
@@ -648,6 +651,44 @@ object Dedup {
     docs.join(
       clusters.filter(!col("is_canonical")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Dedup-threshold operating curve (q_dedup_sweep): for each candidate
+    * Jaccard threshold τ ∈ {0.3 … 0.9}, how many near-dup pairs and how
+    * many distinct victim documents a τ-level dedup would touch — the
+    * table an operator reads to PICK τ before deduplicating 100 TB
+    * (too low: the corpus bleeds; too high: boilerplate survives).
+    *
+    * ONE lossless [[prefixPairsOver]] run at the LOWEST τ (3/10) yields
+    * every pair with J ≥ 0.3 with its exact Jaccard; the per-threshold
+    * rows are then integer predicates over that pair set (10·J ≥ 10·τ
+    * compared as 10·inter ≥ τ₁₀·union — no float thresholding), so the
+    * whole sweep costs one similarity join regardless of how many
+    * thresholds it reports. Victims counted keep-first (the larger
+    * doc_id of a pair is the victim, the q_dedup_firstwins convention). */
+  def dedupSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    val toks = Silver.scratch(base
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok")),
+      "sweep_toks")
+    val pairs = Silver.scratch(
+      prefixPairsOver(toks, tauNum = 3, tauDen = 10)
+        .select(col("d1"), col("d2"), col("inter_cnt"),
+          // exact union size rides along so each threshold row is an
+          // exact integer predicate over the materialized pair set
+          (col("n1") + col("n2") - col("inter_cnt")).as("union_cnt")),
+      "sweep_pairs")
+    val thresholds = (3 to 9).map { t10 =>
+      pairs
+        .filter(lit(10L) * col("inter_cnt") >= lit(t10.toLong) * col("union_cnt"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("d2")).as("n_victims"))
+        .select(lit(t10 / 10.0).as("tau"), col("n_pairs"), col("n_victims"))
+    }
+    thresholds.reduce(_ unionAll _).orderBy("tau")
+  }
 
   /** Blocking-quality report for the MinHash LSH bands (q_blocking_eval):
     * pair completeness (recall of the banding stage against EXACT

@@ -299,6 +299,42 @@ class CurationEvalSpec extends SparkSpec {
     }
   }
 
+  test("dedup sweep: pair and victim counts anti-monotone in tau") {
+    val rows = graft.scale.Dedup.dedupSweepQuery(spark, Sf0001)
+      .orderBy("tau").collect()
+    assert(rows.length == 7)
+    for (w <- rows.sliding(2) if w.length == 2) {
+      assert(w(0).getAs[Long]("n_pairs") >= w(1).getAs[Long]("n_pairs"))
+      assert(w(0).getAs[Long]("n_victims") >= w(1).getAs[Long]("n_victims"))
+    }
+    for (r <- rows)
+      assert(r.getAs[Long]("n_victims") <= r.getAs[Long]("n_pairs") ||
+        r.getAs[Long]("n_pairs") == 0)
+  }
+
+  test("qq: quantiles monotone within each side") {
+    val rows = graft.operators.Distribution.qqQuery(spark, Sf0001)
+      .orderBy("pct").collect()
+    assert(rows.length == 9)
+    for (w <- rows.sliding(2) if w.length == 2) {
+      assert(w(0).getAs[Long]("v_a") <= w(1).getAs[Long]("v_a"))
+      assert(w(0).getAs[Long]("v_b") <= w(1).getAs[Long]("v_b"))
+    }
+    for (r <- rows) assert(r.getAs[Double]("ratio") > 0.0)
+  }
+
+  test("smd: sign matches the mean gap; synthetic segments are balanced") {
+    val rows = graft.operators.Distribution.smdQuery(spark, Sf0001).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val (ma, mb, smd) = (r.getAs[Double]("mean_a"),
+        r.getAs[Double]("mean_b"), r.getAs[Double]("smd"))
+      assert(smd == 0.0 || math.signum(smd) == math.signum(ma - mb))
+      // segments are iid draws in this corpus: imbalance should be tiny
+      assert(math.abs(smd) < 0.25, s"unexpected imbalance: $smd")
+    }
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
