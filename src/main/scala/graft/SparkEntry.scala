@@ -363,7 +363,8 @@ object SparkEntry {
     "q_seq3"            -> ((s, d) => graft.operators.EventOps.seq3Query(s, d)),
     "q_dedup_sweep"     -> ((s, d) => graft.scale.Dedup.dedupSweepQuery(s, d)),
     "q_qq"              -> ((s, d) => graft.operators.Distribution.qqQuery(s, d)),
-    "q_smd"             -> ((s, d) => graft.operators.Distribution.smdQuery(s, d))
+    "q_smd"             -> ((s, d) => graft.operators.Distribution.smdQuery(s, d)),
+    "q_vad_spans"       -> ((s, d) => graft.scale.Multimodal.vadSpansQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7906,7 +7907,38 @@ object SparkEntry {
         |WHERE a.segment = 'BUILDING' AND b.segment = 'MACHINERY'
         |ORDER BY pct""".stripMargin,
 
-    "q_smd" -> smdOracleSql
+    "q_smd" -> smdOracleSql,
+
+    // VAD span merge over 100 ms frames with a deterministic md5 energy
+    // gate; gaps-and-islands per media item, exact integer voiced-ms.
+    "q_vad_spans" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 1 AND n_chars * 10 > 0),
+        |fr AS (
+        |  SELECT media_id, duration_ms,
+        |         unnest(range(0, duration_ms, 100)) AS ts
+        |  FROM m),
+        |v AS (
+        |  SELECT media_id, duration_ms, ts
+        |  FROM fr
+        |  WHERE CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' ||
+        |             CAST(ts AS VARCHAR)), 1, 15) AS BIGINT) % 100 >= 55),
+        |isl AS (
+        |  SELECT media_id, duration_ms, ts,
+        |         ts // 100 - row_number() OVER (PARTITION BY media_id
+        |                                        ORDER BY ts) AS island
+        |  FROM v),
+        |sp AS (SELECT media_id, duration_ms, island,
+        |              CAST(count(*) AS BIGINT) AS frames
+        |       FROM isl GROUP BY 1, 2, 3)
+        |SELECT media_id, duration_ms,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(frames) * 100 AS BIGINT) AS voiced_ms,
+        |       CAST(max(frames) * 100 AS BIGINT) AS longest_span_ms,
+        |       CAST(CAST(sum(frames) * 100 AS BIGINT) AS DOUBLE) /
+        |         CAST(duration_ms AS DOUBLE) AS voiced_share
+        |FROM sp GROUP BY 1, 2 ORDER BY media_id""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -167,4 +167,51 @@ object Multimodal {
         min(col("media_id")).as("first_media"))
       .filter(col("media_cnt") > 1)
   }
+
+  /** Voice-activity spans per audio item (q_vad_spans): 100 ms frames
+    * gated by an energy score, consecutive voiced frames merged into
+    * spans (gaps-and-islands), per item the span count, voiced share,
+    * and longest span — the segmentation pass an ASR/captioning
+    * pipeline runs BEFORE the expensive model, which at 100 TB is what
+    * decides how much audio ever reaches a GPU.
+    *
+    * The energy itself would come from the decoded waveform; as with
+    * [[StubCodec]], this container has no audio codec, so the energy is
+    * a DETERMINISTIC md5 score per (media, frame) — honestly fake, but
+    * it exercises the REAL plumbing (frame explosion, threshold gate,
+    * island merge, per-item rollup) and replays exactly in the oracle.
+    *
+    * Scale shape: frame fanout is duration-bounded; the island window
+    * partitions by media item (duration-bounded — the allowed family);
+    * everything else is map-side aggregation. Voiced-ms arithmetic is
+    * exact integers; the share is one division. */
+  def vadSpansQuery(spark: SparkSession, dir: String,
+                    frameMs: Long = 100L, threshold: Int = 55): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val voiced = mediaFromDocuments(spark, dir)
+      .filter(col("kind") === "audio" && col("meta.duration_ms") > 0)
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(frameMs)))
+          .as("ts"))
+      .withColumn("energy",
+        pmod(conv(substring(md5(concat(col("media_id").cast("string"),
+          lit(":"), col("ts").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(100L)))
+      .filter(col("energy") >= threshold)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("ts"))
+    val spans = voiced
+      .withColumn("island",
+        expr(s"ts div $frameMs") - row_number().over(w).cast("long"))
+      .groupBy(col("media_id"), col("duration_ms"), col("island"))
+      .agg(count(lit(1)).as("frames"), min(col("ts")).as("span_start"))
+    spans.groupBy(col("media_id"), col("duration_ms"))
+      .agg(count(lit(1)).as("n_spans"),
+        (sum(col("frames")) * frameMs).as("voiced_ms"),
+        (max(col("frames")) * frameMs).as("longest_span_ms"))
+      .select(col("media_id"), col("duration_ms"), col("n_spans"),
+        col("voiced_ms"), col("longest_span_ms"),
+        (col("voiced_ms").cast("double") / col("duration_ms").cast("double"))
+          .as("voiced_share"))
+      .orderBy("media_id")
+  }
 }

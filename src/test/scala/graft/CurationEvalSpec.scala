@@ -335,6 +335,21 @@ class CurationEvalSpec extends SparkSpec {
     }
   }
 
+  test("vad spans: voiced time bounded by duration, spans bounded by frames") {
+    val rows = graft.scale.Multimodal.vadSpansQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (dur, voiced, longest) = (r.getAs[Long]("duration_ms"),
+        r.getAs[Long]("voiced_ms"), r.getAs[Long]("longest_span_ms"))
+      assert(voiced <= dur + 99, "voiced time cannot exceed the item")
+      assert(longest <= voiced)
+      assert(r.getAs[Long]("n_spans") * 100 <= voiced,
+        "every span holds at least one 100ms frame")
+      val share = r.getAs[Double]("voiced_share")
+      assert(share > 0.0 && share <= 1.1)
+    }
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
