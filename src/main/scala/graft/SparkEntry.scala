@@ -364,7 +364,11 @@ object SparkEntry {
     "q_dedup_sweep"     -> ((s, d) => graft.scale.Dedup.dedupSweepQuery(s, d)),
     "q_qq"              -> ((s, d) => graft.operators.Distribution.qqQuery(s, d)),
     "q_smd"             -> ((s, d) => graft.operators.Distribution.smdQuery(s, d)),
-    "q_vad_spans"       -> ((s, d) => graft.scale.Multimodal.vadSpansQuery(s, d))
+    "q_vad_spans"       -> ((s, d) => graft.scale.Multimodal.vadSpansQuery(s, d)),
+    "q_icc"             -> ((s, d) => graft.operators.Distribution.iccQuery(s, d)),
+    "q_mark_recapture"  -> ((s, d) => graft.operators.Approx.markRecaptureQuery(s, d)),
+    "q_chao1"           -> ((s, d) => graft.scale.Search.chao1Query(s, d)),
+    "q_good_turing"     -> ((s, d) => graft.scale.Search.goodTuringQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7938,7 +7942,114 @@ object SparkEntry {
         |       CAST(max(frames) * 100 AS BIGINT) AS longest_span_ms,
         |       CAST(CAST(sum(frames) * 100 AS BIGINT) AS DOUBLE) /
         |         CAST(duration_ms AS DOUBLE) AS voiced_share
-        |FROM sp GROUP BY 1, 2 ORDER BY media_id""".stripMargin
+        |FROM sp GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
+
+    // ICC(1) with the exact integer-division between-group witness
+    // Sum_c (S_c^2 div n_c); k0 unequal-size correction.
+    "q_icc" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_c,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS s_c,
+        |         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) AS HUGEINT) *
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS q_c
+        |  FROM orders GROUP BY 1 HAVING count(*) >= 2),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS g,
+        |         CAST(sum(n_c) AS BIGINT) AS n,
+        |         CAST(sum(n_c * n_c) AS BIGINT) AS nn2,
+        |         sum(CAST(s_c AS HUGEINT)) AS s,
+        |         sum(q_c) AS q2,
+        |         sum(CAST(s_c AS HUGEINT) * s_c // n_c) AS bw
+        |  FROM per),
+        |t AS (
+        |  SELECT g, n,
+        |         CAST(CAST(bw AS VARCHAR) AS DOUBLE) -
+        |           CAST(CAST(s * s AS VARCHAR) AS DOUBLE) /
+        |             CAST(n AS DOUBLE) AS ssb,
+        |         CAST(CAST(q2 AS VARCHAR) AS DOUBLE) -
+        |           CAST(CAST(bw AS VARCHAR) AS DOUBLE) AS ssw,
+        |         (CAST(n AS DOUBLE) -
+        |            CAST(nn2 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |           (CAST(g AS DOUBLE) - CAST(1 AS DOUBLE)) AS k0
+        |  FROM agg)
+        |SELECT g AS n_groups, n AS n_orders, ssb, ssw, k0,
+        |       (ssb / (CAST(g AS DOUBLE) - CAST(1 AS DOUBLE)) -
+        |        ssw / (CAST(n AS DOUBLE) - CAST(g AS DOUBLE))) /
+        |       (ssb / (CAST(g AS DOUBLE) - CAST(1 AS DOUBLE)) +
+        |        (k0 - CAST(1 AS DOUBLE)) *
+        |          (ssw / (CAST(n AS DOUBLE) - CAST(g AS DOUBLE)))) AS icc
+        |FROM t""".stripMargin,
+
+    // Chapman mark-recapture over the pre/post-1998 capture occasions.
+    "q_mark_recapture" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(max(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+        |         CAST(max(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS in2
+        |  FROM orders GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(sum(in1) AS BIGINT) AS n1,
+        |         CAST(sum(in2) AS BIGINT) AS n2,
+        |         CAST(sum(in1 * in2) AS BIGINT) AS m,
+        |         CAST(count(*) AS BIGINT) AS true_n
+        |  FROM per)
+        |SELECT n1, n2, m, true_n,
+        |       CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+        |         - CAST(1 AS DOUBLE) AS chapman_est,
+        |       (CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+        |         - CAST(1 AS DOUBLE) - CAST(true_n AS DOUBLE)) /
+        |         CAST(true_n AS DOUBLE) AS rel_err
+        |FROM agg""".stripMargin,
+
+    // Bias-corrected Chao1 + Good coverage over bigram types.
+    "q_chao1" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS g,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks, unnest(range(1, len(t))) AS r(i) GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS s_obs,
+        |         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f1,
+        |         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS f2
+        |  FROM bi)
+        |SELECT s_obs, n_tokens, f1, f2,
+        |       CAST(s_obs AS DOUBLE) +
+        |         CAST(f1 * (f1 - 1) AS DOUBLE) /
+        |           CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+        |       CAST(1 AS DOUBLE) -
+        |         CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |         AS coverage_hat
+        |FROM agg""".stripMargin,
+
+    // Good-Turing adjusted counts over the bigram frequency-of-
+    // frequencies; r* one exact division per row.
+    "q_good_turing" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS g,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks, unnest(range(1, len(t))) AS r(i) GROUP BY 1),
+        |fof AS (
+        |  SELECT cnt AS r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM bi WHERE cnt <= 11 GROUP BY 1)
+        |SELECT a.r, a.n_r,
+        |       CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+        |       CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE) /
+        |         CAST(a.n_r AS DOUBLE) AS r_star,
+        |       CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE) /
+        |         CAST(a.n_r AS DOUBLE) / CAST(a.r AS DOUBLE) AS discount
+        |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+        |WHERE a.r <= 10
+        |ORDER BY a.r""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -372,4 +372,36 @@ object Approx {
         (expr(s"((exact_median - lo) * $bins) div (hi - lo + 1)") ===
           col("med_bin")).as("in_bin"))
   }
+
+  /** Chapman mark–recapture estimate of the active-customer population
+    * (q_mark_recapture): treat the pre/post-1998 order-date halves as
+    * two capture occasions; customers seen in both are the "marked
+    * recaptures", and N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the TOTAL
+    * population — witnessed here against the directly countable truth,
+    * which is exactly how the estimator is validated before using it
+    * where the truth ISN'T countable (dedup-victim populations, hidden
+    * id spaces across partial snapshots).
+    *
+    * Three distinct-count aggregates over one fact projection (the two
+    * halves and their overlap, all map-side-combining), exact longs
+    * until the single estimator division. */
+  def markRecaptureQuery(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (col("o_orderdate") < to_date(lit("1998-01-01"))).as("early"))
+    val per = o.groupBy("o_custkey")
+      .agg(max(when(col("early"), 1L).otherwise(0L)).as("in1"),
+        max(when(!col("early"), 1L).otherwise(0L)).as("in2"))
+    per.agg(
+        sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"),
+        count(lit(1)).as("true_n"))
+      .select(col("n1"), col("n2"), col("m"), col("true_n"),
+        (((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+          (col("m") + 1L).cast("double") - lit(1.0)).as("chapman_est"))
+      .withColumn("rel_err",
+        (col("chapman_est") - col("true_n").cast("double")) /
+          col("true_n").cast("double"))
+  }
 }

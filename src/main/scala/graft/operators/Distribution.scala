@@ -1070,6 +1070,50 @@ object Distribution {
     * which is all BH consumes; padj = suffix-min of p·m/i runs over the
     * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
     * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  /** Intraclass correlation of order price within customers (q_icc):
+    * how much of price variance is BETWEEN customers vs within one
+    * customer's own orders — ICC(1) = (MSB − MSW)/(MSB + (k̄−1)·MSW),
+    * the repeatability statistic (high ICC: customers have stable
+    * personal price levels; near 0: every order is a fresh draw).
+    *
+    * The grouping key (customer) is corpus-proportional, so the q_anova
+    * pivoted-domain device cannot apply; instead the between-group term
+    * uses the INTEGER-DIVISION witness Σ_c (S_c² div n_c) — exact
+    * integer arithmetic per group (error < 1 cent² per customer,
+    * noise at the 1e-17 relative scale), associative, and therefore
+    * bit-stable under any partitioning in both engines. One
+    * customer-keyed pass, then one-row arithmetic. */
+  def iccQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_c"),
+        sum(cents(col("o_totalprice"))).as("s_c"),
+        sum(cents(col("o_totalprice")).cast(d38) *
+          cents(col("o_totalprice")).cast(d38)).as("q_c"))
+      .filter(col("n_c") >= 2) // singleton groups carry no within info
+    val agg = per.agg(
+      count(lit(1)).as("g"), sum(col("n_c")).as("n"),
+      sum(col("n_c") * col("n_c")).as("nn2"),
+      sum(col("s_c").cast(d38)).as("s"), sum(col("q_c")).as("q2"),
+      // exact integer witness: S_c^2 div n_c per group, summed
+      sum(expr("cast(cast(s_c as decimal(38,0)) * s_c div n_c as decimal(38,0))"))
+        .as("bw"))
+    val nD = col("n").cast("double")
+    val gD = col("g").cast("double")
+    // SSB = Σ S_c²/n_c − S²/n ; SSW = ΣQ − Σ S_c²/n_c (exact witness)
+    val ssb = col("bw").cast("double") -
+      (col("s") * col("s")).cast("double") / nD
+    val ssw = col("q2").cast("double") - col("bw").cast("double")
+    val msb = ssb / (gD - lit(1.0))
+    val msw = ssw / (nD - gD)
+    // k0: the unequal-group-size correction of one-way random ICC
+    val k0 = (nD - col("nn2").cast("double") / nD) / (gD - lit(1.0))
+    agg.select(col("g").as("n_groups"), col("n").as("n_orders"),
+      ssb.as("ssb"), ssw.as("ssw"), k0.as("k0"),
+      ((msb - msw) / (msb + (k0 - lit(1.0)) * msw)).as("icc"))
+  }
+
   /** Quantile–quantile table between two segments' order prices (q_qq):
     * the decile-by-decile comparison behind a Q-Q plot — if BUILDING and
     * MACHINERY prices differ only in scale, the ratio column is flat;

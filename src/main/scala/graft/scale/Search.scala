@@ -679,6 +679,64 @@ object Search {
     * over the type table, which is corpus-vocabulary-sized). The output
     * filter keeps only ranks that are powers of two — ≤ 64 rows at any
     * corpus size; coverage is one division of exact longs. */
+  /** Chao1 unseen-vocabulary estimate (q_chao1): from the singleton and
+    * doubleton type counts, the estimated TRUE vocabulary size
+    * Ŝ = S_obs + f₁²/(2f₂) and Good's sample coverage Ĉ = 1 − f₁/N —
+    * the "how much vocabulary have we NOT seen yet" answer that decides
+    * whether another crawl epoch is worth running (the species-richness
+    * estimator applied to token types).
+    *
+    * Two map-side aggregates (type counts, then frequency-of-frequency
+    * counts on the vocab-sized frame); each estimate is one division of
+    * exact longs. */
+  def chao1Query(spark: SparkSession, dir: String): DataFrame = {
+    // Bigram types: the unigram vocab of this corpus is closed (31
+    // types, no singletons — Chao1 degenerates); the open bigram space
+    // is where unseen-mass estimation is meaningful.
+    val types = ngramCounts(Tables.documents(spark, dir), 2)
+    types.agg(
+        count(lit(1)).as("s_obs"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("s_obs"), col("n_tokens"), col("f1"), col("f2"),
+        // bias-corrected form: defined even at f2 = 0
+        (col("s_obs").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"),
+        (lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage_hat"))
+  }
+
+  /** Good–Turing discount table (q_good_turing): for raw frequencies
+    * r = 1..10, the frequency-of-frequencies N_r and the adjusted count
+    * r∗ = (r+1)·N_{r+1}/N_r — the smoothing table under every classic
+    * LM estimator (and the direct companion to the Kneser–Ney
+    * continuation counts, q_kn_counts). The discount ratio r∗ over r
+    * (< 1 in the Zipf head) quantifies how much probability mass the
+    * raw counts steal from unseen events.
+    *
+    * Frequency-of-frequencies is one vocab-sized aggregate; the r/r+1
+    * pairing is a self-join on the ≤10-row table (no window needed);
+    * r* is one division of exact longs per row. */
+  def goodTuringQuery(spark: SparkSession, dir: String,
+                      maxR: Int = 10): DataFrame = {
+    val freqOfFreq = Silver.scratch(
+      ngramCounts(Tables.documents(spark, dir), 2)
+        .filter(col("cnt") <= maxR + 1)
+        .groupBy(col("cnt").as("r"))
+        .agg(count(lit(1)).as("n_r")),
+      "gt_fof") // feeds both sides of the r -> r+1 pairing
+    freqOfFreq.filter(col("r") <= maxR)
+      .join(freqOfFreq.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"), coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+        (((col("r") + 1L) * coalesce(col("n_r1"), lit(0L))).cast("double") /
+          col("n_r").cast("double")).as("r_star"))
+      .withColumn("discount", col("r_star") / col("r").cast("double"))
+      .orderBy("r")
+  }
+
   def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame = {
     val types = ngramCounts(Tables.documents(spark, dir), 1)
       .select(col("ngram").as("tok"), col("cnt"))

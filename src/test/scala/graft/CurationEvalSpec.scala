@@ -350,6 +350,45 @@ class CurationEvalSpec extends SparkSpec {
     }
   }
 
+  test("mark-recapture: Chapman estimate within 1% of the countable truth") {
+    val r = graft.operators.Approx.markRecaptureQuery(spark, Sf0001).head()
+    val (m, n1, n2) = (r.getAs[Long]("m"), r.getAs[Long]("n1"),
+      r.getAs[Long]("n2"))
+    assert(m <= math.min(n1, n2))
+    // near-complete capture occasions: the estimator must land on the
+    // truth it is validated against
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.01,
+      s"Chapman way off: ${r.getAs[Double]("chapman_est")}")
+  }
+
+  test("icc: bounded, near zero on iid synthetic orders") {
+    val r = graft.operators.Distribution.iccQuery(spark, Sf0001).head()
+    val icc = r.getAs[Double]("icc")
+    assert(icc > -0.5 && icc < 1.0)
+    assert(math.abs(icc) < 0.05,
+      s"iid orders should show no customer-level price clustering: $icc")
+    assert(r.getAs[Double]("ssb") >= 0.0 && r.getAs[Double]("ssw") >= 0.0)
+  }
+
+  test("chao1: estimate at least the observed richness, coverage in (0,1]") {
+    val r = graft.scale.Search.chao1Query(spark, Sf0001).head()
+    assert(r.getAs[Double]("chao1") >= r.getAs[Long]("s_obs").toDouble)
+    val c = r.getAs[Double]("coverage_hat")
+    assert(c > 0.0 && c <= 1.0)
+  }
+
+  test("good-turing: mass conservation r*·N_r = (r+1)·N_{r+1} exactly") {
+    val rows = graft.scale.Search.goodTuringQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (rr, nr, nr1) = (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+        r.getAs[Long]("n_r1"))
+      val rStar = r.getAs[Double]("r_star")
+      assert(math.abs(rStar * nr - (rr + 1) * nr1) < 1e-6,
+        "adjusted mass must equal the next bucket's raw mass")
+    }
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()

@@ -152,4 +152,20 @@ class PlanGateSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"expected the two-pass distributed rank, found a window:\n$plan")
   }
+
+  test("late-batch top-k argmax queries stay TakeOrderedAndProject") {
+    // youden's threshold argmax, seq3's pattern top-k and dim_corr's
+    // |corr| ranking must never degenerate into full global sorts
+    for (q <- Seq("q_youden", "q_seq3", "q_dim_corr"))
+      assert(plans(q).contains("TakeOrderedAndProject"),
+        s"$q top-k degenerated to a full sort:\n${plans(q)}")
+  }
+
+  test("late-batch one-row stat frames broadcast back, never shuffle-join") {
+    // the perm-test/fleiss/neyman style: a one-row (or dimension-sized)
+    // totals frame must come back as a broadcast, not re-shuffle facts
+    for (q <- Seq("q_neyman", "q_vocab_coverage", "q_pr_curve"))
+      assert(plans(q).contains("Broadcast"),
+        s"$q lost its broadcast totals join:\n${plans(q)}")
+  }
 }
