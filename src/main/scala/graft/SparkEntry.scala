@@ -368,7 +368,8 @@ object SparkEntry {
     "q_icc"             -> ((s, d) => graft.operators.Distribution.iccQuery(s, d)),
     "q_mark_recapture"  -> ((s, d) => graft.operators.Approx.markRecaptureQuery(s, d)),
     "q_chao1"           -> ((s, d) => graft.scale.Search.chao1Query(s, d)),
-    "q_good_turing"     -> ((s, d) => graft.scale.Search.goodTuringQuery(s, d))
+    "q_good_turing"     -> ((s, d) => graft.scale.Search.goodTuringQuery(s, d)),
+    "q_ca_trend"        -> ((s, d) => graft.operators.Distribution.caTrendQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8049,7 +8050,31 @@ object SparkEntry {
         |         CAST(a.n_r AS DOUBLE) / CAST(a.r AS DOUBLE) AS discount
         |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
         |WHERE a.r <= 10
-        |ORDER BY a.r""".stripMargin
+        |ORDER BY a.r""".stripMargin,
+
+    // Cochran-Armitage trend z^2 with cleared denominators: exact
+    // HUGEINT arithmetic until one VARCHAR-routed division.
+    "q_ca_trend" ->
+      """WITH rows_ AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS a,
+        |         CAST(sum(s) AS BIGINT) AS sn,
+        |         CAST(sum(s * s) AS BIGINT) AS s2n,
+        |         CAST(sum(s * y) AS BIGINT) AS sa
+        |  FROM rows_)
+        |SELECT n, a, sn, sa,
+        |       CAST(CAST(CAST(n AS HUGEINT) *
+        |                 (CAST(n AS HUGEINT) * sa - CAST(a AS HUGEINT) * sn) *
+        |                 (CAST(n AS HUGEINT) * sa - CAST(a AS HUGEINT) * sn)
+        |                 AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(a AS HUGEINT) * (n - a) *
+        |                 (CAST(n AS HUGEINT) * s2n -
+        |                  CAST(sn AS HUGEINT) * sn) AS VARCHAR) AS DOUBLE)
+        |         AS z2
+        |FROM w""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

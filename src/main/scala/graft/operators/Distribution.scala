@@ -1070,6 +1070,44 @@ object Distribution {
     * which is all BH consumes; padj = suffix-min of p·m/i runs over the
     * BRAND-DIMENSION frame (25 rows — windows here are dimension-bounded,
     * never corpus-proportional). Rejections at q = 0.10 are flagged. */
+  /** Cochran–Armitage trend test (q_ca_trend): is the return rate
+    * MONOTONE in order priority? The χ²-family test that uses the
+    * ordinal structure ('1-URGENT' … '5-LOW' scored by their leading
+    * digit) instead of treating priority as nominal — one degree of
+    * freedom aimed exactly at the trend alternative, which the plain
+    * q_chi2 contingency test dilutes over 4 df.
+    *
+    * Everything reduces to five exact sums in ONE map-side pass
+    * (N, A = positives, Σs, Σs², Σs·y — the score s is a data-derived
+    * small integer, so no pivot is needed); the cleared-denominator
+    * statistic z² = N·(N·Σsy − A·Σs)² / (A·(N−A)·(N·Σs² − (Σs)²)) is
+    * exact decimal(38,0) until the single string-routed division. */
+  def caTrendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("s"))
+    rows.agg(count(lit(1)).as("n"), sum(col("y")).as("a"),
+        sum(col("s")).as("sn"),
+        sum(col("s") * col("s")).as("s2n"),
+        sum(col("s") * col("y")).as("sa"))
+      .select(col("n"), col("a"), col("sn"), col("sa"),
+        ((col("n").cast(d38) *
+            (col("n").cast(d38) * col("sa").cast(d38) -
+             col("a").cast(d38) * col("sn").cast(d38)) *
+            (col("n").cast(d38) * col("sa").cast(d38) -
+             col("a").cast(d38) * col("sn").cast(d38)))
+          .cast("string").cast("double") /
+         (col("a").cast(d38) * (col("n") - col("a")).cast(d38) *
+            (col("n").cast(d38) * col("s2n").cast(d38) -
+             col("sn").cast(d38) * col("sn").cast(d38)))
+          .cast("string").cast("double")).as("z2"))
+  }
+
   /** Intraclass correlation of order price within customers (q_icc):
     * how much of price variance is BETWEEN customers vs within one
     * customer's own orders — ICC(1) = (MSB − MSW)/(MSB + (k̄−1)·MSW),

@@ -389,6 +389,15 @@ class CurationEvalSpec extends SparkSpec {
     }
   }
 
+  test("ca trend: z^2 non-negative and tiny on trendless synthetic data") {
+    val r = graft.operators.Distribution.caTrendQuery(spark, Sf0001).head()
+    val z2 = r.getAs[Double]("z2")
+    assert(z2 >= 0.0)
+    // priority doesn't drive returns in this corpus: z^2 stays modest
+    assert(z2 < 15.0, s"unexpected priority trend in returns: $z2")
+    assert(r.getAs[Long]("a") <= r.getAs[Long]("n"))
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
