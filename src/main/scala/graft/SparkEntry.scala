@@ -369,7 +369,8 @@ object SparkEntry {
     "q_mark_recapture"  -> ((s, d) => graft.operators.Approx.markRecaptureQuery(s, d)),
     "q_chao1"           -> ((s, d) => graft.scale.Search.chao1Query(s, d)),
     "q_good_turing"     -> ((s, d) => graft.scale.Search.goodTuringQuery(s, d)),
-    "q_ca_trend"        -> ((s, d) => graft.operators.Distribution.caTrendQuery(s, d))
+    "q_ca_trend"        -> ((s, d) => graft.operators.Distribution.caTrendQuery(s, d)),
+    "q_band_sweep"      -> ((s, d) => graft.scale.Dedup.bandSweepQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8074,7 +8075,75 @@ object SparkEntry {
         |                 (CAST(n AS HUGEINT) * s2n -
         |                  CAST(sn AS HUGEINT) * sn) AS VARCHAR) AS DOUBLE)
         |         AS z2
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // Three bandings of the same 8-hash signatures vs exact shingle
+    // truth; recall per config, candidates per config.
+    "q_band_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                   for i in generate_series(1, len(toks)-2)]))
+        |               AS sh
+        |      FROM t),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+        |               min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+        |               min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+        |               min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+        |        FROM s GROUP BY doc_id),
+        |b2 AS (SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+        |       UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+        |       UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+        |       UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+        |b4 AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bucket
+        |       FROM sig
+        |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+        |b8 AS (SELECT doc_id, 0 AS band,
+        |              md5(m0 || m1 || m2 || m3 || m4 || m5 || m6 || m7)
+        |                AS bucket
+        |       FROM sig),
+        |c2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM b2 x
+        |       JOIN b2 y ON x.bucket = y.bucket AND x.band = y.band
+        |                AND x.doc_id < y.doc_id),
+        |c4 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM b4 x
+        |       JOIN b4 y ON x.bucket = y.bucket AND x.band = y.band
+        |                AND x.doc_id < y.doc_id),
+        |c8 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM b8 x
+        |       JOIN b8 y ON x.bucket = y.bucket AND x.band = y.band
+        |                AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM s GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |                 CAST(count(*) AS BIGINT) AS i
+        |          FROM s a JOIN s b
+        |            ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT d1, d2
+        |          FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |                     JOIN sizes s2 ON d2 = s2.doc_id
+        |          WHERE 2 * i >= 1 * (s1.n + s2.n - i)),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+        |u AS (
+        |  SELECT CAST(2 AS BIGINT) AS row_width, CAST(4 AS BIGINT) AS n_bands,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n_cand_pairs,
+        |         (SELECT CAST(count(*) AS BIGINT)
+        |          FROM c2 JOIN truth USING (d1, d2)) AS n_hit
+        |  UNION ALL
+        |  SELECT 4, 2,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM c4),
+        |         (SELECT CAST(count(*) AS BIGINT)
+        |          FROM c4 JOIN truth USING (d1, d2))
+        |  UNION ALL
+        |  SELECT 8, 1,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM c8),
+        |         (SELECT CAST(count(*) AS BIGINT)
+        |          FROM c8 JOIN truth USING (d1, d2)))
+        |SELECT row_width, n_bands, n_cand_pairs, n_true_pairs, n_hit,
+        |       CAST(n_hit AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+        |         AS pair_completeness
+        |FROM u CROSS JOIN tr ORDER BY row_width""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

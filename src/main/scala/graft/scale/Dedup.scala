@@ -706,26 +706,38 @@ object Dedup {
     * exact counts; PC and RR are one division each. Expected PC < 1 by
     * design: 4 bands of width 2 over 8 hashes recall ≈ 1−(1−J²)⁴ ≈ 0.68
     * at J = 0.5 — the report EXISTS to make that loss visible. */
-  def blockingEvalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sig = Silver.materialize(minhashSignatures(spark, dir), "minhash_sig")
-    val bands = (0 until NumHashes / BandWidth).map { b =>
-      val cols = (b * BandWidth until (b + 1) * BandWidth).map(i => col(s"m$i"))
+  /** Band-bucket collision pairs for one (width, count) banding of the
+    * 8-hash signature table — the raw blocking stage shared by
+    * [[blockingEvalQuery]] and [[bandSweepQuery]]. */
+  private def bandCandidates(sig: DataFrame, width: Int): DataFrame = {
+    val bands = (0 until NumHashes / width).map { b =>
+      val cols = (b * width until (b + 1) * width).map(i => col(s"m$i"))
       sig.select(col("doc_id"), md5(concat(cols: _*)).as("bucket"), lit(b).as("band"))
     }.reduce(_ unionByName _)
-    val cand = Silver.scratch(bands
-      .as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct(), "blk_cand")
-    val sh = Silver.scratch(docs
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard ≥ 1/2 ground-truth pairs via the lossless
+    * PPJoin — the truth side shared by the two blocking audits. */
+  private def shingleTruthPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Silver.scratch(Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(shingles(split(col("text"), " "))).as("tok")),
       "blk_sh")
-    val truth = Silver.scratch(
+    Silver.scratch(
       prefixPairsOver(sh, tauNum = 1, tauDen = 2).select("d1", "d2"),
       "blk_truth")
+  }
+
+  def blockingEvalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = Silver.materialize(minhashSignatures(spark, dir), "minhash_sig")
+    val cand = Silver.scratch(bandCandidates(sig, BandWidth), "blk_cand")
+    val truth = shingleTruthPairs(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
     val nTruth = truth.agg(count(lit(1)).as("n_true_pairs"))
@@ -738,5 +750,31 @@ object Dedup {
           .as("pair_completeness"),
         ((col("total_pairs") - col("n_cand_pairs")).cast("double") /
           col("total_pairs").cast("double")).as("reduction_ratio"))
+  }
+
+  /** LSH banding tuning table (q_band_sweep): the SAME 8-hash signature
+    * table banded three ways — 4 bands × width 2 (recall-leaning),
+    * 2 × 4 (balanced), 1 × 8 (precision-leaning) — each measured for
+    * candidate volume and recall against the exact shingle-Jaccard ≥ 1/2
+    * truth. The empirical version of the 1−(1−Jʳ)ᵇ S-curve every LSH
+    * deployment is tuned by: signatures are computed ONCE, each config
+    * costs one band self-join, and the recall loss of longer bands is
+    * measured, not assumed. */
+  def bandSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Silver.materialize(minhashSignatures(spark, dir), "minhash_sig")
+    val truth = shingleTruthPairs(spark, dir)
+    val nTruth = truth.agg(count(lit(1)).as("n_true_pairs"))
+    Seq(2, 4, 8).map { width =>
+      val cand = Silver.scratch(bandCandidates(sig, width), s"bsw_$width")
+      val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
+      val nHit = cand.join(truth, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_hit"))
+      nCand.crossJoin(broadcast(nTruth)).crossJoin(broadcast(nHit))
+        .select(lit(width.toLong).as("row_width"),
+          lit((NumHashes / width).toLong).as("n_bands"),
+          col("n_cand_pairs"), col("n_true_pairs"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true_pairs").cast("double"))
+            .as("pair_completeness"))
+    }.reduce(_ unionAll _).orderBy("row_width")
   }
 }

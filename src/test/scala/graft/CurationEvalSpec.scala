@@ -398,6 +398,22 @@ class CurationEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("a") <= r.getAs[Long]("n"))
   }
 
+  test("band sweep: recall anti-monotone in band width, same truth") {
+    val rows = graft.scale.Dedup.bandSweepQuery(spark, Sf0001)
+      .orderBy("row_width").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_true_pairs")).distinct.length == 1,
+      "all configs must measure against one truth set")
+    for (w <- rows.sliding(2) if w.length == 2) {
+      // longer bands = stricter collisions: candidates and recall shrink
+      assert(w(0).getAs[Long]("n_cand_pairs") >= w(1).getAs[Long]("n_cand_pairs"))
+      assert(w(0).getAs[Double]("pair_completeness") >=
+        w(1).getAs[Double]("pair_completeness"))
+    }
+    for (r <- rows)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand_pairs"))
+  }
+
   test("hurst R/S: positive and growing with window length") {
     val rows = graft.operators.TimeSeries.hurstRsQuery(spark, Sf0001)
       .orderBy("w").collect()
