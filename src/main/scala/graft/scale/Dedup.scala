@@ -764,8 +764,26 @@ object Dedup {
     val sig = Silver.materialize(minhashSignatures(spark, dir), "minhash_sig")
     val truth = shingleTruthPairs(spark, dir)
     val nTruth = truth.agg(count(lit(1)).as("n_true_pairs"))
-    Seq(2, 4, 8).map { width =>
-      val cand = Silver.scratch(bandCandidates(sig, width), s"bsw_$width")
+    // Wider bands only REMOVE candidates (a width-2w collision implies
+    // both width-w halves collide), so the width-4 and width-8 sets are
+    // verified over the materialized width-2 pair set with the raw
+    // signatures — one band self-join total, not three.
+    val cand2 = Silver.scratch(bandCandidates(sig, 2), "bsw_c2")
+    def sigSide(p: String) = sig.columns.filter(_ != "doc_id")
+      .foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+      .withColumnRenamed("doc_id", s"${p}id")
+    val withSigs = Silver.scratch(
+      cand2.join(sigSide("a"), col("d1") === col("aid"))
+        .join(sigSide("b"), col("d2") === col("bid")),
+      "bsw_sigs") // feeds all three config verdicts
+    def bandEq(lo: Int, hi: Int): Column =
+      (lo to hi).map(i => col(s"am$i") === col(s"bm$i")).reduce(_ && _)
+    val configs = Seq(
+      (2, withSigs.select(col("d1"), col("d2"))),
+      (4, withSigs.filter(bandEq(0, 3) || bandEq(4, 7))
+        .select(col("d1"), col("d2"))),
+      (8, withSigs.filter(bandEq(0, 7)).select(col("d1"), col("d2"))))
+    configs.map { case (width, cand) =>
       val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
       val nHit = cand.join(truth, Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_hit"))
