@@ -370,7 +370,14 @@ object SparkEntry {
     "q_chao1"           -> ((s, d) => graft.scale.Search.chao1Query(s, d)),
     "q_good_turing"     -> ((s, d) => graft.scale.Search.goodTuringQuery(s, d)),
     "q_ca_trend"        -> ((s, d) => graft.operators.Distribution.caTrendQuery(s, d)),
-    "q_band_sweep"      -> ((s, d) => graft.scale.Dedup.bandSweepQuery(s, d))
+    "q_band_sweep"      -> ((s, d) => graft.scale.Dedup.bandSweepQuery(s, d)),
+    "q_cvm"             -> ((s, d) => graft.operators.Distribution.cvmTest(s, d)),
+    "q_paired_t"        -> ((s, d) => graft.operators.Distribution.pairedTQuery(s, d)),
+    "q_gk_lambda"       -> ((s, d) => graft.operators.Distribution.gkLambdaQuery(s, d)),
+    "q_changepoint"     -> ((s, d) => graft.operators.TimeSeries.changepointQuery(s, d)),
+    "q_drawdown"        -> ((s, d) => graft.operators.TimeSeries.drawdownQuery(s, d)),
+    "q_l_diversity"     -> ((s, d) => graft.operators.Profile.lDiversity(s, d)),
+    "q_t_closeness"     -> ((s, d) => graft.operators.Profile.tCloseness(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8143,7 +8150,216 @@ object SparkEntry {
         |SELECT row_width, n_bands, n_cand_pairs, n_true_pairs, n_hit,
         |       CAST(n_hit AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
         |         AS pair_completeness
-        |FROM u CROSS JOIN tr ORDER BY row_width""".stripMargin
+        |FROM u CROSS JOIN tr ORDER BY row_width""".stripMargin,
+
+    // Two-sample Cramér–von Mises: exact integer numerator (sum of
+    // squared ECDF gaps over pooled points), one division.
+    "q_cvm" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS ib
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |               CAST(sum(ib) AS BIGINT) AS b
+        |        FROM o GROUP BY v),
+        |cum AS (SELECT a, b,
+        |               CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |               CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+        |        FROM per),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |               CAST(sum(b) AS BIGINT) AS n_b FROM per),
+        |s AS (SELECT n_a, n_b,
+        |             sum(CAST(a + b AS HUGEINT) *
+        |                 (CAST(ca AS HUGEINT) * n_b -
+        |                  CAST(cb AS HUGEINT) * n_a) *
+        |                 (CAST(ca AS HUGEINT) * n_b -
+        |                  CAST(cb AS HUGEINT) * n_a)) AS tn
+        |      FROM cum CROSS JOIN tot GROUP BY n_a, n_b)
+        |SELECT n_a, n_b, CAST(CAST(tn AS VARCHAR) AS DOUBLE) AS t_num,
+        |       CAST(CAST(tn AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) *
+        |                 (n_a + n_b) AS VARCHAR) AS DOUBLE) AS cvm
+        |FROM s""".stripMargin,
+
+    // Paired t² over per-customer year-over-year spend differences:
+    // exact cents sufficient statistics, one VARCHAR-routed division.
+    "q_paired_t" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        |         sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+        |           AS na,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+        |         sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+        |           AS nb
+        |  FROM orders
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey),
+        |d AS (SELECT sa - sb AS d FROM per WHERE na > 0 AND nb > 0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(d) AS BIGINT) AS sum_d,
+        |             sum(CAST(d AS HUGEINT) * d) AS sd2
+        |      FROM d)
+        |SELECT n, sum_d,
+        |       CAST(CAST(CAST(n - 1 AS HUGEINT) * sum_d * sum_d
+        |            AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(n AS HUGEINT) * sd2 -
+        |                 CAST(sum_d AS HUGEINT) * sum_d
+        |            AS VARCHAR) AS DOUBLE) AS t2
+        |FROM s""".stripMargin,
+
+    // Goodman–Kruskal lambda both directions: all-integer PRE measure,
+    // two single divisions (log-free association).
+    "q_gk_lambda" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS rf, CAST(month(l_shipdate) AS BIGINT) AS md,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |bm AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_max_per_mode
+        |       FROM (SELECT max(c) AS mx FROM cells GROUP BY md)),
+        |br AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_max_per_rf
+        |       FROM (SELECT max(c) AS mx FROM cells GROUP BY rf)),
+        |rt AS (SELECT CAST(max(t) AS BIGINT) AS max_rf_tot,
+        |              CAST(sum(t) AS BIGINT) AS n
+        |       FROM (SELECT sum(c) AS t FROM cells GROUP BY rf)),
+        |ct AS (SELECT CAST(max(t) AS BIGINT) AS max_mode_tot
+        |       FROM (SELECT sum(c) AS t FROM cells GROUP BY md))
+        |SELECT n, sum_max_per_mode, sum_max_per_rf, max_rf_tot, max_mode_tot,
+        |       CAST(sum_max_per_mode - max_rf_tot AS DOUBLE) /
+        |         CAST(n - max_rf_tot AS DOUBLE) AS lambda_rf,
+        |       CAST(sum_max_per_rf - max_mode_tot AS DOUBLE) /
+        |         CAST(n - max_mode_tot AS DOUBLE) AS lambda_mode
+        |FROM bm CROSS JOIN br CROSS JOIN rt CROSS JOIN ct""".stripMargin,
+
+    // Binary-segmentation change point: between-segment SS maximized
+    // with exact prefix sums; score is one division, argmax is top-1.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT day,
+        |               CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS cv,
+        |               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM daily),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |sc AS (
+        |  SELECT day, t AS n_left, nd - t AS n_right, cv, s,
+        |         CAST(CAST((CAST(cv AS HUGEINT) * nd - CAST(t AS HUGEINT) * s) *
+        |                   (CAST(cv AS HUGEINT) * nd - CAST(t AS HUGEINT) * s)
+        |              AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(CAST(t AS HUGEINT) * (nd - t) AS VARCHAR) AS DOUBLE)
+        |           AS score
+        |  FROM cum CROSS JOIN tot WHERE t < nd)
+        |SELECT day AS split_day, n_left, n_right,
+        |       CAST(cv AS DOUBLE) / CAST(n_left AS DOUBLE) AS mean_left_cents,
+        |       CAST(s - cv AS DOUBLE) / CAST(n_right AS DOUBLE)
+        |         AS mean_right_cents,
+        |       score
+        |FROM sc ORDER BY score DESC, day LIMIT 1""".stripMargin,
+
+    // Max drawdown of the mean-adjusted cumulative-revenue walk: exact
+    // integer path P_t·N, integer argmax, two emitted divisions.
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT day,
+        |               CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS cv,
+        |               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM daily),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |path AS (SELECT day,
+        |                CAST(cv AS HUGEINT) * nd - CAST(t AS HUGEINT) * s
+        |                  AS pn, nd
+        |         FROM cum CROSS JOIN tot),
+        |dd AS (SELECT day, pn, nd,
+        |              max(pn) OVER (ORDER BY day) AS peak_pn
+        |       FROM path),
+        |worst AS (SELECT day AS trough_day, peak_pn, peak_pn - pn AS dd_num,
+        |                 nd
+        |          FROM dd ORDER BY peak_pn - pn DESC, day LIMIT 1)
+        |SELECT (SELECT min(p.day) FROM path p
+        |        WHERE p.pn = w.peak_pn AND p.day <= w.trough_day) AS peak_day,
+        |       trough_day,
+        |       CAST(CAST(dd_num AS VARCHAR) AS DOUBLE) AS dd_num,
+        |       CAST(CAST(dd_num AS VARCHAR) AS DOUBLE) / CAST(nd AS DOUBLE)
+        |         AS dd_cents
+        |FROM worst w""".stripMargin,
+
+    // l-diversity rollup over (segment, nation) QI groups with
+    // account-balance bands as the sensitive attribute.
+    "q_l_diversity" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |                    AS BIGINT) AS DOUBLE) / 200000.0) AS BIGINT)
+        |           AS band
+        |  FROM customer),
+        |pb AS (SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt
+        |       FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT c_mktsegment, c_nationkey,
+        |             CAST(sum(cnt) AS BIGINT) AS k,
+        |             CAST(count(*) AS BIGINT) AS l
+        |      FROM pb GROUP BY 1, 2)
+        |SELECT CAST(3 AS BIGINT) AS l_req,
+        |       CAST(sum(k) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       min(l) AS min_l,
+        |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_weak_groups,
+        |       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+        |         AS n_rows_at_risk,
+        |       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(k) AS DOUBLE) AS risk_share
+        |FROM g""".stripMargin,
+
+    // t-closeness: per-QI-group ordered EMD against the global
+    // balance-band histogram, exact integers until one division.
+    "q_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |         CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |                    AS BIGINT) AS DOUBLE) / 200000.0) AS BIGINT)
+        |           AS band
+        |  FROM customer),
+        |cells AS (SELECT seg, nat, band, CAST(count(*) AS BIGINT) AS c
+        |          FROM b GROUP BY 1, 2, 3),
+        |groups AS (SELECT seg, nat, CAST(sum(c) AS BIGINT) AS n_g
+        |           FROM cells GROUP BY 1, 2),
+        |gb AS (SELECT band, CAST(sum(c) AS BIGINT) AS g
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS m,
+        |               CAST(count(*) AS BIGINT) AS n_bands FROM gb),
+        |grid AS (SELECT gr.seg, gr.nat, gr.n_g, gl.band, gl.g,
+        |                coalesce(c.c, 0) AS c
+        |         FROM groups gr CROSS JOIN gb gl
+        |         LEFT JOIN cells c
+        |           ON c.seg = gr.seg AND c.nat = gr.nat AND c.band = gl.band),
+        |cd AS (SELECT seg, nat, n_g, band, m, n_bands,
+        |              sum(CAST(c AS HUGEINT) * m - CAST(g AS HUGEINT) * n_g)
+        |                OVER (PARTITION BY seg, nat ORDER BY band) AS cum_diff
+        |       FROM grid CROSS JOIN tot),
+        |e AS (SELECT seg, nat, n_g, m, n_bands,
+        |             sum(abs(cum_diff)) AS emd_num
+        |      FROM cd GROUP BY 1, 2, 3, 4, 5)
+        |SELECT seg, nat, n_g,
+        |       CAST(CAST(emd_num AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(n_g AS HUGEINT) * m * (n_bands - 1)
+        |            AS VARCHAR) AS DOUBLE) AS emd
+        |FROM e ORDER BY seg, nat""".stripMargin
   )
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same

@@ -1451,4 +1451,115 @@ object Distribution {
         col("i"), col("padj"), (col("padj") <= q).as("reject"))
       .orderBy("i")
   }
+
+  /** Two-sample Cramér–von Mises statistic between the order-price
+    * distributions of two market segments (q_cvm) — the whole-curve
+    * companion to [[ksTest]]'s max-gap: T sums the SQUARED ECDF gap over
+    * every pooled observation, so it flags distributions that differ
+    * broadly but never by a large single gap (which KS misses).
+    *
+    * Exactness: per distinct cents value the two counts, cumulative
+    * counts via [[Ranking.distributedCumSum]], then the integer
+    * numerator Σ_v (a+b)·(ca·m − cb·n)² in decimal(38,0);
+    * T = num / (n·m·(n+m)²) is the single float division. Same scale
+    * shape as ksTest: one fact shuffle to the value-domain frame. */
+  def cvmTest(spark: SparkSession, dir: String,
+              segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(cents(col("o_totalprice")).as("v"),
+        when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("ia"),
+        when(col("c_mktsegment") === segB, 1L).otherwise(0L).as("ib"))
+    val per = o.groupBy("v").agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
+    val cum = Ranking.distributedCumSum(per, Seq(col("v").asc), Seq("a", "b"))
+    val tot = per.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (col("a") + col("b")).cast(d38).as("w"),
+        (col("cum_a").cast(d38) * col("n_b").cast(d38) -
+         col("cum_b").cast(d38) * col("n_a").cast(d38)).as("diff"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("w") * col("diff") * col("diff")).as("tn"))
+      .select(col("n_a"), col("n_b"),
+        col("tn").cast("string").cast("double").as("t_num"),
+        (col("tn").cast("string").cast("double") /
+          (col("n_a").cast(d38) * col("n_b").cast(d38) *
+           (col("n_a") + col("n_b")).cast(d38) *
+           (col("n_a") + col("n_b")).cast(d38))
+            .cast("string").cast("double")).as("cvm"))
+  }
+
+  /** Paired t statistic (squared) for per-customer spend drift between
+    * two adjacent years (q_paired_t): each customer active in BOTH
+    * years contributes one difference d = spendA − spendB, removing
+    * the huge between-customer variance that drowns an unpaired test.
+    * The reference's season-over-season player comparisons are this
+    * shape (same entity, two periods).
+    *
+    * t² = (n−1)·(Σd)² / (n·Σd² − (Σd)²): all sufficient statistics are
+    * exact cents integers (Σd² accumulates in decimal(38,0)); the
+    * statistic is one VARCHAR-routed division. One customer-keyed
+    * shuffle with map-side combine, then one-row arithmetic. */
+  def pairedTQuery(spark: SparkSession, dir: String,
+                   yearA: Int = 1996, yearB: Int = 1997): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        cents(col("o_totalprice")).as("v"))
+      .filter(col("y").isin(yearA, yearB))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("y") === yearA, col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("y") === yearA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("y") === yearB, col("v")).otherwise(0L)).as("sb"),
+        sum(when(col("y") === yearB, 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select((col("sa") - col("sb")).as("d"))
+    per.agg(count(lit(1)).as("n"), sum(col("d")).as("sum_d"),
+        sum(col("d").cast(d38) * col("d").cast(d38)).as("sd2"))
+      .select(col("n"), col("sum_d"),
+        (((col("n") - 1).cast(d38) *
+            col("sum_d").cast(d38) * col("sum_d").cast(d38))
+          .cast("string").cast("double") /
+         (col("n").cast(d38) * col("sd2") -
+            col("sum_d").cast(d38) * col("sum_d").cast(d38))
+          .cast("string").cast("double")).as("t2"))
+  }
+
+  /** Goodman–Kruskal lambda for return flag × ship month (q_gk_lambda):
+    * the proportional-reduction-in-error association measure — "how much
+    * better do I guess the return flag knowing the ship month (and vice
+    * versa) than guessing the modal value blind?" Unlike chi-square it
+    * reads directly as a usefulness-of-feature score, and unlike mutual
+    * information it needs NO logarithms, so it stays inside the repo's
+    * exact-integer discipline (log is not IEEE-portable across engines).
+    *
+    * λ_{row|col} = (Σ_col max_row c − max_row rowTot) / (n − max_row
+    * rowTot), symmetrically for columns. One fact shuffle to the
+    * |flags|×|months| cell frame; everything after is cell-bounded. */
+  def gkLambdaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("rf"),
+        month(col("l_shipdate")).cast("long").as("mode"))
+      .agg(count(lit(1)).as("c"))
+    // every frame below is |rf|·|mode|-bounded (~35 rows)
+    val byMode = cells.groupBy("mode").agg(max(col("c")).as("mx"))
+      .agg(sum(col("mx")).as("sum_max_per_mode"))
+    val byRf = cells.groupBy("rf").agg(max(col("c")).as("mx"))
+      .agg(sum(col("mx")).as("sum_max_per_rf"))
+    val rowTot = cells.groupBy("rf").agg(sum(col("c")).as("t"))
+      .agg(max(col("t")).as("max_rf_tot"), sum(col("t")).as("n"))
+    val colTot = cells.groupBy("mode").agg(sum(col("c")).as("t"))
+      .agg(max(col("t")).as("max_mode_tot"))
+    byMode.crossJoin(byRf).crossJoin(rowTot).crossJoin(colTot)
+      .select(col("n"), col("sum_max_per_mode"), col("sum_max_per_rf"),
+        col("max_rf_tot"), col("max_mode_tot"),
+        ((col("sum_max_per_mode") - col("max_rf_tot")).cast("double") /
+          (col("n") - col("max_rf_tot")).cast("double")).as("lambda_rf"),
+        ((col("sum_max_per_rf") - col("max_mode_tot")).cast("double") /
+          (col("n") - col("max_mode_tot")).cast("double")).as("lambda_mode"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -161,5 +162,80 @@ object Profile {
         col("est_full").cast("string").as("est_full"),
         col("est_sub").cast("long").as("est_sub"), col("actual_sub"),
         (col("est_sub").cast("long") === col("actual_sub")).as("est_exact"))
+  }
+
+  /** l-diversity audit (q_l_diversity): [[kAnonymity]]'s companion —
+    * group size alone doesn't protect a quasi-identifier group whose
+    * SENSITIVE attribute is homogeneous (everyone in the group shares
+    * the same account-balance band, so membership leaks the value).
+    * Per (segment, nation) QI group: size k and the number of distinct
+    * sensitive bands l; the rollup counts groups and rows failing
+    * l ≥ 3. Two map-side-combining aggregates — the first shuffles on
+    * (QI, band) so the distinct count needs no Expand, the second is
+    * QI-domain-bounded. All integers, one final share division. */
+  def lDiversity(spark: SparkSession, dir: String, l: Long = 3L): DataFrame = {
+    val perBand = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double") / lit(200000.0)).cast("long").as("band"))
+      .groupBy("c_mktsegment", "c_nationkey", "band")
+      .agg(count(lit(1)).as("cnt"))
+    perBand.groupBy("c_mktsegment", "c_nationkey")
+      .agg(sum(col("cnt")).as("k"), count(lit(1)).as("l"))
+      .agg(lit(l).as("l_req"),
+        sum(col("k")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < l, 1L).otherwise(0L)).as("n_weak_groups"),
+        sum(when(col("l") < l, col("k")).otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
+  }
+
+  /** t-closeness audit (q_t_closeness): the third rung of the privacy
+    * ladder — a group can be large (k-anon) and varied (l-diverse) yet
+    * still leak if its sensitive DISTRIBUTION deviates from the table's
+    * (e.g. a group skewed to the top balance band). Per QI group, the
+    * earth-mover's distance between the group's balance-band histogram
+    * and the global one over the ORDERED bands:
+    * EMD = Σ_b |cum(c_b·M − g_b·N_g)| / (N_g·M·(B−1)).
+    *
+    * Exactness: the cumulative numerator is integer arithmetic on the
+    * dense (QI × band) grid — built by a domain-bounded cross join
+    * (|QI groups|·|bands| rows, both dimension-bounded) so absent bands
+    * contribute their zeros; ONE division emits the distance. Shape:
+    * one fact aggregate to (QI, band), everything after is grid-sized. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double") / lit(200000.0)).cast("long").as("band"))
+    val cells = banded.groupBy("seg", "nat", "band")
+      .agg(count(lit(1)).as("c"))
+    // every frame below is (|QI| × |bands|)-bounded
+    val groups = cells.groupBy("seg", "nat").agg(sum(col("c")).as("n_g"))
+    val global = cells.groupBy("band").agg(sum(col("c")).as("g"))
+    val tot = global.agg(sum(col("g")).as("m"),
+      count(lit(1)).as("n_bands"))
+    val grid = groups.crossJoin(global)
+      .join(cells, Seq("seg", "nat", "band"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(col("seg"), col("nat")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_diff",
+        sum(col("c").cast(d38) * col("m").cast(d38) -
+            col("g").cast(d38) * col("n_g").cast(d38)).over(w))
+      .groupBy(col("seg"), col("nat"), col("n_g"), col("m"),
+        col("n_bands"))
+      .agg(sum(abs(col("cum_diff"))).as("emd_num"))
+      .select(col("seg"), col("nat"), col("n_g"),
+        (col("emd_num").cast("string").cast("double") /
+          (col("n_g").cast(d38) * col("m").cast(d38) *
+           (col("n_bands") - 1).cast(d38)).cast("string").cast("double"))
+          .as("emd"))
+      .orderBy("seg", "nat")
   }
 }

@@ -21,6 +21,9 @@ import graft.sources.Tables
   * keeps off the oracle board). */
 object TimeSeries {
 
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
   /** Cumulative distinct customers by first-order day (q_cum_distinct):
     * the adoption curve. Distinct-so-far is NOT computed by re-counting a
     * growing set per day (quadratic) — each customer collapses to their
@@ -541,5 +544,96 @@ object TimeSeries {
             (lit(1000d) * col("n_windows").cast("double"))).as("mean_rs"))
     }
     perW.reduce(_ unionAll _).orderBy("w")
+  }
+
+  /** Single change-point detection on the daily-revenue series
+    * (q_changepoint): the split day t that maximizes the between-segment
+    * sum of squares — binary segmentation's first step, the batch
+    * analogue of [[cusumChangepoint]]'s sequential alarm (CUSUM answers
+    * "has it drifted as of now?", this answers "where did the level
+    * shift?").
+    *
+    * score(t) ∝ (S_t·N − t·S)² / (t·(N−t)): prefix sums S_t are exact
+    * cents via [[Ranking.distributedCumSum]]; the numerator is exact
+    * decimal(38,0) routed to double through VARCHAR, the denominator is
+    * an exact integer, so score is ONE division and the argmax is a
+    * deterministic (score, day) top-1. One fact shuffle to the calendar-
+    * bounded daily frame; the argmax is TakeOrderedAndProject. */
+  def changepointQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+      .withColumn("one", lit(1L))
+    val cum = Ranking.distributedCumSum(daily, Seq(col("day").asc),
+      Seq("v", "one"))
+    val tot = daily.agg(sum(col("v")).as("s"), count(lit(1)).as("nd"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum_one") < col("nd")) // a split needs a right segment
+      .select(col("day"), col("cum_one").as("n_left"),
+        (col("nd") - col("cum_one")).as("n_right"), col("nd"),
+        col("cum_v"), col("s"),
+        (((col("cum_v").cast(d38) * col("nd").cast(d38) -
+            col("cum_one").cast(d38) * col("s").cast(d38)) *
+          (col("cum_v").cast(d38) * col("nd").cast(d38) -
+            col("cum_one").cast(d38) * col("s").cast(d38)))
+          .cast("string").cast("double") /
+         (col("cum_one").cast(d38) * (col("nd") - col("cum_one")).cast(d38))
+          .cast("string").cast("double")).as("score"))
+      .orderBy(col("score").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("split_day"), col("n_left"), col("n_right"),
+        (col("cum_v").cast("double") / col("n_left").cast("double"))
+          .as("mean_left_cents"),
+        ((col("s") - col("cum_v")).cast("double") /
+          col("n_right").cast("double")).as("mean_right_cents"),
+        col("score"))
+  }
+
+  /** Maximum drawdown of the mean-adjusted daily-revenue walk
+    * (q_drawdown): P_t = Σ_{s≤t}(v_s − v̄) is the classic "cumulative
+    * deviation from run-rate" path; the deepest peak-to-trough drop and
+    * its dates are the monitoring chart's "worst slump" annotation.
+    *
+    * All path arithmetic is exact: P_t·N = N·C_t − t·S over cents
+    * (decimal(38,0)), the running peak is a cummax on the calendar-
+    * bounded daily frame (the allowed window family — its size is set by
+    * the date domain, not the corpus), and the drawdown argmax is a
+    * deterministic integer comparison. Emitted cents values are single
+    * divisions by N. */
+  def drawdownQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+      .withColumn("one", lit(1L))
+    val cum = Ranking.distributedCumSum(daily, Seq(col("day").asc),
+      Seq("v", "one"))
+    val tot = daily.agg(sum(col("v")).as("s"), count(lit(1)).as("nd"))
+    val path = cum.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("cum_v").cast(d38) * col("nd").cast(d38) -
+         col("cum_one").cast(d38) * col("s").cast(d38)).as("pn"),
+        col("nd"))
+    // calendar-bounded frame: cummax + argmax run on |days| rows
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = path
+      .withColumn("peak_pn", max(col("pn")).over(w))
+      .withColumn("dd_num", col("peak_pn") - col("pn"))
+    val worst = dd.orderBy(col("dd_num").desc, col("day").asc).limit(1)
+      .select(col("day").as("trough_day"), col("peak_pn"),
+        col("dd_num"), col("nd"))
+    val pathSlim = path.select(col("day").as("p_day"), col("pn").as("p_pn"))
+    worst.join(pathSlim, col("p_pn") === col("peak_pn"))
+      .filter(col("p_day") <= col("trough_day"))
+      .groupBy(col("trough_day"), col("dd_num"), col("nd"))
+      .agg(min(col("p_day")).as("peak_day"))
+      .select(col("peak_day"), col("trough_day"),
+        col("dd_num").cast("string").cast("double").as("dd_num"),
+        (col("dd_num").cast("string").cast("double") /
+          col("nd").cast("double")).as("dd_cents"))
   }
 }
