@@ -377,7 +377,14 @@ object SparkEntry {
     "q_changepoint"     -> ((s, d) => graft.operators.TimeSeries.changepointQuery(s, d)),
     "q_drawdown"        -> ((s, d) => graft.operators.TimeSeries.drawdownQuery(s, d)),
     "q_l_diversity"     -> ((s, d) => graft.operators.Profile.lDiversity(s, d)),
-    "q_t_closeness"     -> ((s, d) => graft.operators.Profile.tCloseness(s, d))
+    "q_t_closeness"     -> ((s, d) => graft.operators.Profile.tCloseness(s, d)),
+    "q_pacf"            -> ((s, d) => graft.operators.Regression.pacfQuery(s, d)),
+    "q_mahalanobis"     -> ((s, d) => graft.operators.Distribution.mahalanobisQuery(s, d)),
+    "q_readability"     -> ((s, d) => graft.scale.TextAnalysis.readabilityQuery(s, d)),
+    "q_zipf"            -> ((s, d) => graft.scale.TextAnalysis.zipfQuery(s, d)),
+    "q_zonemap"         -> ((s, d) => graft.scale.Layout.zonemapQuery(s, d)),
+    "q_scene_cuts"      -> ((s, d) => graft.scale.Multimodal.sceneCutsQuery(s, d)),
+    "q_dbscan_core"     -> ((s, d) => graft.scale.EmbedStats.dbscanCoreQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8359,8 +8366,277 @@ object SparkEntry {
         |       CAST(CAST(emd_num AS VARCHAR) AS DOUBLE) /
         |       CAST(CAST(CAST(n_g AS HUGEINT) * m * (n_bands - 1)
         |            AS VARCHAR) AS DOUBLE) AS emd
-        |FROM e ORDER BY seg, nat""".stripMargin
+        |FROM e ORDER BY seg, nat""".stripMargin,
+
+    // PACF lags 1-3 via Durbin–Levinson over three exact lag-k Pearson
+    // correlations (cleared denominators, VARCHAR-routed, one sqrt each).
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(a.v) AS BIGINT) AS sx,
+        |              CAST(sum(b.v) AS BIGINT) AS sy,
+        |              sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+        |              sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |              sum(CAST(b.v AS HUGEINT) * b.v) AS syy
+        |       FROM daily a JOIN daily b ON b.day = a.day + 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(a.v) AS BIGINT) AS sx,
+        |              CAST(sum(b.v) AS BIGINT) AS sy,
+        |              sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+        |              sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |              sum(CAST(b.v AS HUGEINT) * b.v) AS syy
+        |       FROM daily a JOIN daily b ON b.day = a.day + 2),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(a.v) AS BIGINT) AS sx,
+        |              CAST(sum(b.v) AS BIGINT) AS sy,
+        |              sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+        |              sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |              sum(CAST(b.v AS HUGEINT) * b.v) AS syy
+        |       FROM daily a JOIN daily b ON b.day = a.day + 3),
+        |r AS (SELECT
+        |  (SELECT n FROM s1) AS n1,
+        |  (SELECT CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS VARCHAR) AS DOUBLE) /
+        |          sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(CAST(n AS HUGEINT) * syy -
+        |                         CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |   FROM s1) AS r1,
+        |  (SELECT CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS VARCHAR) AS DOUBLE) /
+        |          sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(CAST(n AS HUGEINT) * syy -
+        |                         CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |   FROM s2) AS r2,
+        |  (SELECT CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS VARCHAR) AS DOUBLE) /
+        |          sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(CAST(n AS HUGEINT) * syy -
+        |                         CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |   FROM s3) AS r3),
+        |c1 AS (SELECT n1, r1, r2, r3,
+        |              (r2 - r1 * r1) / (1.0 - r1 * r1) AS pacf2
+        |       FROM r),
+        |c2 AS (SELECT n1, r1, r2, r3, pacf2,
+        |              r1 * (1.0 - pacf2) AS phi21
+        |       FROM c1)
+        |SELECT n1, r1, r2, r3, r1 AS pacf1, pacf2,
+        |       (r3 - phi21 * r2 - pacf2 * r1) /
+        |         (1.0 - phi21 * r1 - pacf2 * r2) AS pacf3
+        |FROM c2""".stripMargin,
+
+    // Mahalanobis outliers: exact integer moments, cleared-denominator
+    // deviations, fixed IEEE score tree, deterministic top-k.
+    "q_mahalanobis" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM per),
+        |c AS (SELECT n, sx, sy,
+        |             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |               AS cxx,
+        |             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS cxy,
+        |             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |               AS cyy
+        |      FROM m),
+        |sc AS (
+        |  SELECT l_orderkey, x AS x_cents, y AS n_lines,
+        |         CAST(CAST(CAST(n AS HUGEINT) * x - sx AS VARCHAR) AS DOUBLE)
+        |           AS dx,
+        |         CAST(CAST(CAST(n AS HUGEINT) * y - sy AS VARCHAR) AS DOUBLE)
+        |           AS dy,
+        |         CAST(CAST(cxx AS VARCHAR) AS DOUBLE) AS cxx_d,
+        |         CAST(CAST(cxy AS VARCHAR) AS DOUBLE) AS cxy_d,
+        |         CAST(CAST(cyy AS VARCHAR) AS DOUBLE) AS cyy_d
+        |  FROM per CROSS JOIN c),
+        |s2 AS (
+        |  SELECT l_orderkey, x_cents, n_lines,
+        |         cyy_d * dx * dx - 2.0 * cxy_d * dx * dy + cxx_d * dy * dy
+        |           AS score,
+        |         cxx_d * cyy_d - cxy_d * cxy_d AS det
+        |  FROM sc)
+        |SELECT l_orderkey, x_cents, n_lines, score, score / det AS md2
+        |FROM s2 ORDER BY score DESC, l_orderkey LIMIT 15""".stripMargin,
+
+    // Flesch–Kincaid buckets: exact word/syllable/sentence counts, a
+    // fixed per-doc IEEE formula, bucket floor, integer rollup.
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              t -> t <> '')) AS BIGINT) AS w,
+        |         CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |           AS syl,
+        |         greatest(CAST(1 AS BIGINT),
+        |           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |           AS s
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, syl,
+        |             0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) +
+        |               11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) -
+        |               15.59 AS fk
+        |      FROM d WHERE w > 0),
+        |b AS (SELECT CAST(floor(fk / 5.0) AS BIGINT) AS bucket, w, syl
+        |      FROM f),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w) AS BIGINT) AS sum_words,
+        |       CAST(sum(syl) AS BIGINT) AS sum_syllables,
+        |       CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM b CROSS JOIN t GROUP BY bucket, n_total
+        |ORDER BY bucket""".stripMargin,
+
+    // Zipf head table: exact rank/freq integers, rank·freq constancy
+    // witness, consecutive-rank decay ratio (no logs on the board).
+    "q_zipf" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1),
+        |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 30),
+        |r AS (SELECT token, cnt,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, token)
+        |                  AS BIGINT) AS rank,
+        |             lag(cnt) OVER (ORDER BY cnt DESC, token) AS prev_cnt
+        |      FROM top)
+        |SELECT rank, token, cnt, rank * cnt AS zipf_c,
+        |       CAST(cnt AS DOUBLE) / CAST(prev_cnt AS DOUBLE) AS decay
+        |FROM r ORDER BY rank""".stripMargin,
+
+    "q_zonemap" -> zonemapOracleSql,
+
+    // Scene cuts: lag-delta gate on the deterministic md5 frame score,
+    // cut-count islands, per-item rollup (the video sibling of VAD).
+    "q_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2 AND n_chars * 10 > 0),
+        |fr AS (
+        |  SELECT media_id, duration_ms,
+        |         unnest(range(0, duration_ms, 1000)) AS ts
+        |  FROM m),
+        |e AS (
+        |  SELECT media_id, duration_ms, ts,
+        |         CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' ||
+        |              CAST(ts AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS energy
+        |  FROM fr),
+        |c AS (SELECT media_id, duration_ms, ts, energy,
+        |             lag(energy) OVER (PARTITION BY media_id ORDER BY ts)
+        |               AS prev
+        |      FROM e),
+        |f AS (SELECT media_id, duration_ms, ts,
+        |             CASE WHEN prev IS NOT NULL AND abs(energy - prev) >= 40
+        |                  THEN 1 ELSE 0 END AS cut
+        |      FROM c),
+        |sc AS (SELECT media_id, duration_ms, ts,
+        |              sum(cut) OVER (PARTITION BY media_id ORDER BY ts)
+        |                AS scene
+        |       FROM f),
+        |g AS (SELECT media_id, duration_ms, scene,
+        |             CAST(count(*) AS BIGINT) AS frames
+        |      FROM sc GROUP BY 1, 2, 3)
+        |SELECT media_id, duration_ms, CAST(count(*) AS BIGINT) AS n_scenes,
+        |       CAST(sum(frames) AS BIGINT) AS n_frames,
+        |       CAST(max(frames) * 1000 AS BIGINT) AS longest_scene_ms,
+        |       CAST(duration_ms AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS mean_scene_ms
+        |FROM g GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
+
+    // DBSCAN density triage: the oracle brute-forces the SAME exact
+    // distance filter the engine grid-bounds (double literals pinned).
+    "q_dbscan_core" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |         CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |nb AS (SELECT a.vec_id AS a, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM p a JOIN p b
+        |         ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |            <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+        |       GROUP BY 1),
+        |core AS (SELECT a FROM nb WHERE cnt >= 5),
+        |brd AS (SELECT CAST(count(*) AS BIGINT) AS n_border FROM (
+        |  SELECT DISTINCT a.vec_id AS av
+        |  FROM p a JOIN p b
+        |    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |       <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+        |   AND a.vec_id <> b.vec_id
+        |  JOIN core c ON c.a = b.vec_id
+        |  WHERE a.vec_id NOT IN (SELECT a FROM core)))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nb) AS n_points,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM core) AS n_core,
+        |       n_border,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM nb) -
+        |         (SELECT CAST(count(*) AS BIGINT) FROM core) - n_border
+        |         AS n_noise
+        |FROM brd""".stripMargin
   )
+
+  /** DuckDB replay of [[graft.scale.Layout.zonemapQuery]]: identical
+    * shard assignment (row_number under the same unique orders, the
+    * same (rn−1)·S div n bucketing) and the same probe-month epoch-day
+    * literals, interpolated from the ONE shared constant table. */
+  private def zonemapOracleSql: String = {
+    val probes = graft.scale.Layout.ZonemapProbes
+      .map { case (m, lo, hi) => s"($m, $lo, $hi)" }
+      .mkString(",\n        ")
+    s"""WITH rows_ AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         epoch_ms(l_shipdate) // 86400000 AS d
+       |  FROM lineitem),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM rows_),
+       |znat AS (
+       |  SELECT shard, min(d) AS min_d, max(d) AS max_d FROM (
+       |    SELECT ((rn - 1) * 64) // nr AS shard, d FROM (
+       |      SELECT d, row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+       |               AS rn
+       |      FROM rows_) CROSS JOIN nc)
+       |  GROUP BY 1),
+       |zsort AS (
+       |  SELECT shard, min(d) AS min_d, max(d) AS max_d FROM (
+       |    SELECT ((rn - 1) * 64) // nr AS shard, d FROM (
+       |      SELECT d, row_number() OVER (ORDER BY d, l_orderkey,
+       |                                   l_linenumber) AS rn
+       |      FROM rows_) CROSS JOIN nc)
+       |  GROUP BY 1),
+       |probes(m, lo, hi) AS (VALUES
+       |        $probes),
+       |rm AS (SELECT m, CAST(count(*) AS BIGINT) AS c
+       |       FROM probes JOIN rows_ ON d >= lo AND d < hi GROUP BY 1),
+       |sn AS (SELECT m, CAST(count(*) AS BIGINT) AS c
+       |       FROM probes JOIN znat ON min_d < hi AND max_d >= lo
+       |       GROUP BY 1),
+       |ss AS (SELECT m, CAST(count(*) AS BIGINT) AS c
+       |       FROM probes JOIN zsort ON min_d < hi AND max_d >= lo
+       |       GROUP BY 1)
+       |SELECT CAST(p.m AS BIGINT) AS probe_month,
+       |       CAST(coalesce(rm.c, 0) AS BIGINT) AS rows_matched,
+       |       CAST(coalesce(sn.c, 0) AS BIGINT) AS shards_natural,
+       |       CAST(coalesce(ss.c, 0) AS BIGINT) AS shards_sorted,
+       |       CAST(64 AS BIGINT) AS n_shards
+       |FROM probes p
+       |LEFT JOIN rm ON rm.m = p.m
+       |LEFT JOIN sn ON sn.m = p.m
+       |LEFT JOIN ss ON ss.m = p.m
+       |ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB replay of `Layout.zvalue` over lineitem: the same
     * floor-then-clamp bucketization in the same IEEE operation order

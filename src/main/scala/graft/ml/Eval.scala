@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Ranking
@@ -277,8 +278,7 @@ object Eval {
     * CONSTANT-BOUNDED (50 rows whatever the corpus size), so its window
     * is not a scale hazard. */
   def prCurveQuery(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = Ranking.distributedGlobalRank(
+        val ranked = Ranking.distributedGlobalRank(
       scoredLabels(spark, dir),
       Seq(col("v").desc, col("o_orderkey").asc), rankCol = "k", nCol = "__n")
     val tot = ranked.agg(sum(col("y")).as("n_pos"))
@@ -376,4 +376,5 @@ object Eval {
         ((col("a") * col("e") - col("c") * col("b")).cast("double") /
           (col("b") * (col("e") - col("c"))).cast("double")).as("kappa"))
   }
+
 }

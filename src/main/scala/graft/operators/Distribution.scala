@@ -1529,6 +1529,67 @@ object Distribution {
           .cast("string").cast("double")).as("t2"))
   }
 
+  /** Multivariate outliers by Mahalanobis distance (q_mahalanobis):
+    * orders ranked by how far their (total price, line count) pair sits
+    * from the joint distribution — the covariance-aware upgrade of the
+    * per-column z-score outliers (q_outliers): a 30-line order at an
+    * average total is invisible marginally but extreme jointly.
+    *
+    * Determinism: moments (n, Σx, Σy, Σx², Σxy, Σy²) are exact integer
+    * cents/counts; the cleared-denominator deviations dx = n·x − Σx and
+    * scatter terms Sxx = n·Σx² − (Σx)² are exact decimal(38,0) routed to
+    * double through VARCHAR; the score Syy·dx² − 2·Sxy·dx·dy + Sxx·dy²
+    * (∝ squared Mahalanobis distance — the det(S) normalizer is emitted
+    * as one extra division) is a fixed IEEE tree over those doubles, so
+    * the top-k ranking replays bit-identically in the oracle.
+    *
+    * Scale shape: one lineitem shuffle to per-order sufficient stats
+    * (materialized once — feeds the one-row moments AND the scoring
+    * pass), broadcast moments, TakeOrderedAndProject top-k. */
+  def mahalanobisQuery(spark: SparkSession, dir: String,
+                       k: Int = 15): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("x"),
+          count(lit(1)).as("y")),
+      "mahal_orders") // feeds moments and scoring
+    val m = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+      sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+      sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+      .select(col("n"),
+        (col("n").cast(d38) * col("sxx") -
+          col("sx").cast(d38) * col("sx").cast(d38)).as("cxx"),
+        (col("n").cast(d38) * col("sxy") -
+          col("sx").cast(d38) * col("sy").cast(d38)).as("cxy"),
+        (col("n").cast(d38) * col("syy") -
+          col("sy").cast(d38) * col("sy").cast(d38)).as("cyy"),
+        col("sx"), col("sy"))
+    per.crossJoin(broadcast(m))
+      .select(col("l_orderkey"), col("x").as("x_cents"),
+        col("y").as("n_lines"),
+        (col("n").cast(d38) * col("x").cast(d38) - col("sx").cast(d38))
+          .cast("string").cast("double").as("dx"),
+        (col("n").cast(d38) * col("y").cast(d38) - col("sy").cast(d38))
+          .cast("string").cast("double").as("dy"),
+        col("cxx").cast("string").cast("double").as("cxx_d"),
+        col("cxy").cast("string").cast("double").as("cxy_d"),
+        col("cyy").cast("string").cast("double").as("cyy_d"))
+      .select(col("l_orderkey"), col("x_cents"), col("n_lines"),
+        (col("cyy_d") * col("dx") * col("dx") -
+          lit(2.0) * col("cxy_d") * col("dx") * col("dy") +
+          col("cxx_d") * col("dy") * col("dy")).as("score"),
+        (col("cxx_d") * col("cyy_d") - col("cxy_d") * col("cxy_d"))
+          .as("det"))
+      .select(col("l_orderkey"), col("x_cents"), col("n_lines"),
+        col("score"), (col("score") / col("det")).as("md2"))
+      .orderBy(col("score").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
   /** Goodman–Kruskal lambda for return flag × ship month (q_gk_lambda):
     * the proportional-reduction-in-error association measure — "how much
     * better do I guess the return flag knowing the ship month (and vice

@@ -342,4 +342,64 @@ object Regression {
           sqrt((lit(1.0) - col("r13") * col("r13")) *
             (lit(1.0) - col("r23") * col("r23")))).as("partial_r"))
   }
+
+  /** Partial autocorrelation of the daily-revenue series at lags 1–3
+    * (q_pacf) via Durbin–Levinson: the ACF answers "is today related to
+    * k days ago?", the PACF answers it with the intermediate days
+    * regressed out — the AR-order fingerprint (an AR(p) series has PACF
+    * ≈ 0 beyond lag p), the identification step before fitting any
+    * autoregressive forecast.
+    *
+    * Each r_k is a lag-k Pearson over the calendar-bounded daily frame
+    * with EXACT integer sufficient statistics (the [[autocorrQuery]]
+    * device: cleared-denominator numerators routed to double through
+    * VARCHAR, one division + one IEEE sqrt — both correctly rounded,
+    * hence engine-portable). The φ recursion is then a fixed scalar
+    * tree over the three deterministic r's. One fact shuffle builds the
+    * daily frame (materialized once — it feeds all three lag joins). */
+  def pacfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("day")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "pacf_daily") // feeds the three lag joins
+    def rOf(k: Int): DataFrame = {
+      val pairs = daily
+        .join(daily.select((col("day") - k).as("day"), col("v").as("y")),
+          Seq("day"))
+      pairs.agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("v").cast(d38) * col("v").cast(d38)).as("sxx"),
+          sum(col("v").cast(d38) * col("y").cast(d38)).as("sxy"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+        .select(col("n"),
+          ((col("n").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy").cast(d38))
+            .cast("string").cast("double") /
+           sqrt((col("n").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx").cast(d38))
+              .cast("string").cast("double") *
+             (col("n").cast(d38) * col("syy") -
+              col("sy").cast(d38) * col("sy").cast(d38))
+              .cast("string").cast("double"))).as(s"r$k"))
+    }
+    val r = rOf(1).select(col("n").as("n1"), col("r1"))
+      .crossJoin(rOf(2).select(col("r2")))
+      .crossJoin(rOf(3).select(col("r3")))
+    // Durbin–Levinson: φ22, then the order-2 head coefficient φ21,
+    // then φ33 — a fixed tree of IEEE ops over deterministic doubles.
+    r.withColumn("pacf2",
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("phi21", col("r1") * (lit(1.0) - col("pacf2")))
+      .select(col("n1"), col("r1"), col("r2"), col("r3"),
+        col("r1").as("pacf1"), col("pacf2"),
+        ((col("r3") - col("phi21") * col("r2") - col("pacf2") * col("r1")) /
+          (lit(1.0) - col("phi21") * col("r1") - col("pacf2") * col("r2")))
+          .as("pacf3"))
+  }
 }

@@ -648,4 +648,57 @@ object EmbedStats {
         col("ratio_witness").cast("double") /
           (lit(1000000d) * col("n_pairs").cast("double")))
   }
+
+  /** Point-level DBSCAN density classification over the 2-D embedding
+    * projection (q_dbscan_core): every vector labeled core (≥ minPts
+    * neighbors within eps, itself included), border (non-core but
+    * within eps of a core), or noise — the density triage that
+    * complements [[gridClusterQuery]]'s cell-level modes with DBSCAN's
+    * actual point semantics, and the standard "how much of this corpus
+    * is isolated junk?" curation read.
+    *
+    * Scale shape: the eps-wide grid bounds the candidate join — each
+    * point joins only the 3×3 neighboring cells (cell width = eps, so
+    * no true neighbor is missed), an EQUI-join on cell ids, never an
+    * inequality join; the exact distance filter then runs on the
+    * bounded candidate set. Distances are fixed IEEE trees over
+    * float→double casts, so the oracle (which brute-forces the same
+    * filter without the grid) agrees exactly. The point frame
+    * materializes once — it feeds both sides of the join twice. */
+  def dbscanCoreQuery(spark: SparkSession, dir: String,
+                      eps: Double = 0.02, minPts: Long = 5L): DataFrame = {
+    val p = Silver.scratch(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+        .withColumn("cx", floor(col("x") / eps).cast("long"))
+        .withColumn("cy", floor(col("y") / eps).cast("long")),
+      "dbscan_pts") // feeds all four join sides
+    val off = spark.range(-1, 2).select(col("id").as("dx"))
+      .crossJoin(spark.range(-1, 2).select(col("id").as("dy")))
+    val cand = p.crossJoin(broadcast(off))
+      .select(col("vec_id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("ncx"), (col("cy") + col("dy")).as("ncy"))
+      .join(p.select(col("vec_id").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("ncx"), col("cy").as("ncy")),
+        Seq("ncx", "ncy"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= eps * eps)
+      .select(col("a"), col("b"))
+    val withCnt = Silver.scratch(
+      cand.groupBy("a").agg(count(lit(1)).as("cnt")),
+      "dbscan_cnt") // feeds the core set and the rollup
+    val core = withCnt.filter(col("cnt") >= minPts).select(col("a").as("b"))
+    val border = cand.filter(col("a") =!= col("b"))
+      .join(core, Seq("b"))
+      .select(col("a")).distinct()
+      .join(withCnt.filter(col("cnt") < minPts).select(col("a")), Seq("a"))
+      .agg(count(lit(1)).as("n_border"))
+    withCnt.agg(count(lit(1)).as("n_points"),
+        sum(when(col("cnt") >= minPts, 1L).otherwise(0L)).as("n_core"))
+      .crossJoin(broadcast(border))
+      .select(col("n_points"), col("n_core"), col("n_border"),
+        (col("n_points") - col("n_core") - col("n_border")).as("n_noise"))
+  }
 }

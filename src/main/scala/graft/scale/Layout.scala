@@ -285,4 +285,72 @@ object Layout {
       .withColumn("over_target", col("rows_out") > targetRows)
       .orderBy("grp")
   }
+
+  /** Probe months shared by [[zonemapQuery]] and its DuckDB oracle:
+    * (month, loDay, hiDay) epoch-day bounds for each month of 1997,
+    * computed ONCE in calendar arithmetic so both engines compare the
+    * same integer literals. */
+  val ZonemapProbes: Seq[(Int, Long, Long)] = (1 to 12).map { m =>
+    val lo = java.time.LocalDate.of(1997, m, 1)
+    (m, lo.toEpochDay, lo.plusMonths(1).toEpochDay)
+  }
+
+  /** Zone-map pruning audit (q_zonemap): per-shard min/max ship-day
+    * under the NATURAL layout (arrival order ≈ orderkey) vs the
+    * SORTED-by-ship-date layout, probed with twelve one-month range
+    * predicates — the number a lakehouse layout decision actually
+    * reads: "this sort order turns a 64-shard scan into a 2-shard
+    * scan". Companions q_zorder / q_hilbert answer the multi-column
+    * version; this is the single-column foundation with the pruning
+    * arithmetic made explicit.
+    *
+    * Shards are rank-ranges from [[graft.operators.Ranking
+    * .distributedGlobalRank]] (range exchange + broadcast offsets, no
+    * single-partition window) — 64 equal-width buckets of the total
+    * order, i.e. ideal equal-size files. Zone maps are exact integer
+    * min/max per shard; a shard is scanned iff [min,max] overlaps the
+    * probe ([lo,hi) in epoch days). Everything downstream of the two
+    * rank passes is shard-bounded (64×12 rows). */
+  def zonemapQuery(spark: SparkSession, dir: String,
+                   numShards: Int = 64): DataFrame = {
+    import graft.operators.Ranking
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("d"))
+    def zones(order: Seq[Column], layout: String): DataFrame =
+      Ranking.distributedGlobalRank(rows, order)
+        .select(expr(s"((rank - 1) * $numShards) div n").as("shard"),
+          col("d"))
+        .groupBy("shard")
+        .agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .withColumn("layout", lit(layout))
+    val z = zones(Seq(col("l_orderkey").asc, col("l_linenumber").asc),
+        "natural")
+      .unionByName(zones(
+        Seq(col("d").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        "shipdate"))
+    val probes = {
+      import spark.implicits._
+      ZonemapProbes.map { case (m, lo, hi) => (m.toLong, lo, hi) }
+        .toDF("m", "lo", "hi")
+    }
+    val scanned = z.join(broadcast(probes),
+        col("min_d") < col("hi") && col("max_d") >= col("lo"))
+      .groupBy("m", "lo", "hi")
+      .pivot("layout", Seq("natural", "shipdate"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("natural", "shards_natural")
+      .withColumnRenamed("shipdate", "shards_sorted")
+    val matched = rows.crossJoin(broadcast(probes))
+      .filter(col("d") >= col("lo") && col("d") < col("hi"))
+      .groupBy("m").agg(count(lit(1)).as("rows_matched"))
+    scanned.join(matched, Seq("m"), "left")
+      .na.fill(0L, Seq("rows_matched", "shards_natural", "shards_sorted"))
+      .select(col("m").as("probe_month"), col("rows_matched"),
+        coalesce(col("shards_natural"), lit(0L)).as("shards_natural"),
+        coalesce(col("shards_sorted"), lit(0L)).as("shards_sorted"),
+        lit(numShards.toLong).as("n_shards"))
+      .orderBy("probe_month")
+  }
 }

@@ -214,4 +214,55 @@ object Multimodal {
           .as("voiced_share"))
       .orderBy("media_id")
   }
+
+  /** Shot-boundary (scene-cut) segmentation per video item
+    * (q_scene_cuts): 1 s frames, a cut wherever the frame feature jumps
+    * by ≥ `threshold` against the previous frame, consecutive frames
+    * between cuts merged into scenes — the video-side sibling of
+    * [[vadSpansQuery]] (there: an absolute gate; here: a DELTA gate,
+    * which is what real shot detection thresholds). A captioning
+    * pipeline runs exactly this before sampling one keyframe per scene,
+    * which at 100 TB decides how many frames reach the vision model.
+    *
+    * The frame feature is the same honestly-fake deterministic md5
+    * score as VAD's (no codecs in this container); the plumbing —
+    * frame explosion, lag delta, cut-count islands, per-item rollup —
+    * is the real thing and replays exactly in the oracle. Windows
+    * partition by media item (duration-bounded, the allowed family);
+    * scene arithmetic is exact integers, the mean scene length is the
+    * single division. */
+  def sceneCutsQuery(spark: SparkSession, dir: String,
+                     stepMs: Long = 1000L, threshold: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = mediaFromDocuments(spark, dir)
+      .filter(col("kind") === "video" && col("meta.duration_ms") > 0)
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs)))
+          .as("ts"))
+      .withColumn("energy",
+        pmod(conv(substring(md5(concat(col("media_id").cast("string"),
+          lit(":"), col("ts").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(100L)))
+    val byItem = Window.partitionBy(col("media_id")).orderBy(col("ts"))
+    val cuts = frames
+      .withColumn("prev", lag(col("energy"), 1).over(byItem))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("energy") - col("prev")) >= threshold, 1L).otherwise(0L))
+      .withColumn("scene",
+        sum(col("cut")).over(byItem
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val scenes = cuts.groupBy(col("media_id"), col("duration_ms"),
+        col("scene"))
+      .agg(count(lit(1)).as("frames"))
+    scenes.groupBy(col("media_id"), col("duration_ms"))
+      .agg(count(lit(1)).as("n_scenes"),
+        sum(col("frames")).as("n_frames"),
+        (max(col("frames")) * stepMs).as("longest_scene_ms"))
+      .select(col("media_id"), col("duration_ms"), col("n_scenes"),
+        col("n_frames"), col("longest_scene_ms"),
+        (col("duration_ms").cast("double") / col("n_scenes").cast("double"))
+          .as("mean_scene_ms"))
+      .orderBy("media_id")
+  }
 }

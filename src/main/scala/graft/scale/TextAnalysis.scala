@@ -974,4 +974,76 @@ object TextAnalysis {
         col("norm_len"))
       .orderBy("source", "r")
   }
+
+  /** Flesch–Kincaid readability histogram over the corpus
+    * (q_readability): per document the word count, a syllable proxy
+    * (vowel-group runs — the standard codeless approximation), and the
+    * sentence count (punctuation runs, floored at 1 — the synthetic
+    * corpus has no sentence punctuation, so S=1 throughout, which the
+    * formula tolerates); FK grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59,
+    * bucketed into 5-grade bands. The curation gate that complements
+    * [[qualityScore]]'s ratio heuristics with the classic readability
+    * scale.
+    *
+    * Exact counts throughout; FK is a fixed tree of IEEE ops per doc and
+    * the bucket floor is deterministic; the rollup is one map-side-
+    * combining aggregate keyed by the (bounded) bucket id. */
+  def readabilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+          .cast("long").as("syl"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("s"))
+      .filter(col("w") > 0)
+      .withColumn("fk",
+        lit(0.39) * (col("w").cast("double") / col("s").cast("double")) +
+          lit(11.8) * (col("syl").cast("double") / col("w").cast("double")) -
+          lit(15.59))
+      .withColumn("bucket", floor(col("fk") / lit(5.0)).cast("long"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_words"),
+        sum(col("syl")).as("sum_syllables"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("sum_words"),
+        col("sum_syllables"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy("bucket")
+  }
+
+  /** Zipf's-law check over the unigram frequency table (q_zipf): the
+    * top-30 tokens with their rank, the Zipf constancy witness
+    * rank·freq (near-constant for a Zipfian corpus — all exact
+    * integers, no logs, which this repo keeps off the oracle board),
+    * and the consecutive-rank frequency ratio. The vocabulary-shape
+    * diagnostic a tokenizer-budget decision reads next to q_heaps'
+    * growth curve.
+    *
+    * Scale shape: one token-keyed map-side-combining count, global
+    * top-30 via TakeOrderedAndProject; the rank/lag windows run on the
+    * 30-row result frame only. */
+  def zipfQuery(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+    // k-row frame: rank + lag windows are bounded by construction
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("rank") * col("cnt")).as("zipf_c"),
+        (col("cnt").cast("double") / col("prev_cnt").cast("double"))
+          .as("decay"))
+      .orderBy("rank")
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark.Sf0001
+
+/** Invariant specs for the round-9 third batch: PACF, Mahalanobis
+  * outliers, readability and Zipf text profiles, zone-map pruning,
+  * scene cuts, and DBSCAN density triage. The DuckDB oracle pins exact
+  * values; these pin structure (bounds, conservation, monotonicity —
+  * and for zone maps the actual pruning claim: sorting helps). */
+class StatsLayoutSpec extends SparkSpec {
+
+  test("pacf: lag-1 pacf equals r1, all coefficients in [-1,1]") {
+    val r = graft.operators.Regression.pacfQuery(spark, Sf0001).head()
+    assert(r.getAs[Double]("pacf1") == r.getAs[Double]("r1"))
+    for (c <- Seq("r1", "r2", "r3", "pacf1", "pacf2", "pacf3")) {
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 && v <= 1.0, s"$c out of [-1,1]: $v")
+    }
+  }
+
+  test("mahalanobis: k rows, nonnegative md2, nonincreasing score") {
+    val rows = graft.operators.Distribution
+      .mahalanobisQuery(spark, Sf0001).collect()
+    assert(rows.length == 15)
+    var last = Double.MaxValue
+    for (r <- rows) {
+      val s = r.getAs[Double]("score")
+      assert(s <= last, "scores not sorted descending")
+      // positive-definite scatter: quadratic form and det both positive
+      assert(r.getAs[Double]("md2") >= 0.0)
+      last = s
+    }
+  }
+
+  test("readability: bucket rollup conserves docs and shares sum to 1") {
+    val rows = graft.scale.TextAnalysis
+      .readabilityQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9, s"shares sum $shares")
+    assert(rows.forall(r => r.getAs[Long]("n_docs") > 0))
+    assert(rows.forall(r =>
+      r.getAs[Long]("sum_syllables") <= r.getAs[Long]("sum_words") * 20))
+  }
+
+  test("zipf: ranked head with exact constancy witness and decay <= 1") {
+    val rows = graft.scale.TextAnalysis.zipfQuery(spark, Sf0001).collect()
+    assert(rows.length == 30)
+    var lastCnt = Long.MaxValue
+    for ((r, i) <- rows.zipWithIndex) {
+      assert(r.getAs[Long]("rank") == i + 1L)
+      val cnt = r.getAs[Long]("cnt")
+      assert(cnt <= lastCnt, "freqs not non-increasing")
+      assert(r.getAs[Long]("zipf_c") == (i + 1L) * cnt)
+      if (i > 0) assert(r.getAs[Double]("decay") <= 1.0)
+      lastCnt = cnt
+    }
+  }
+
+  test("zonemap: sorting prunes — sorted layout never scans more shards") {
+    val rows = graft.scale.Layout.zonemapQuery(spark, Sf0001).collect()
+    assert(rows.length == 12)
+    for (r <- rows) {
+      val (nat, srt) = (r.getAs[Long]("shards_natural"),
+        r.getAs[Long]("shards_sorted"))
+      val ns = r.getAs[Long]("n_shards")
+      assert(nat <= ns && srt <= ns)
+      assert(srt <= nat,
+        s"month ${r.getAs[Long]("probe_month")}: sorted $srt > natural $nat")
+      if (r.getAs[Long]("rows_matched") > 0) assert(srt >= 1)
+    }
+    // the whole point: across the year the sorted layout scans fewer
+    val totNat = rows.map(_.getAs[Long]("shards_natural")).sum
+    val totSrt = rows.map(_.getAs[Long]("shards_sorted")).sum
+    assert(totSrt < totNat, s"no pruning win: sorted $totSrt vs $totNat")
+  }
+
+  test("scene cuts: frame accounting exact, scene bounds hold") {
+    val rows = graft.scale.Multimodal.sceneCutsQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val dur = r.getAs[Long]("duration_ms")
+      val frames = r.getAs[Long]("n_frames")
+      assert(frames == (dur + 999L) / 1000L, "frame count drifted")
+      val scenes = r.getAs[Long]("n_scenes")
+      assert(scenes >= 1L && scenes <= frames)
+      assert(r.getAs[Long]("longest_scene_ms") <= frames * 1000L)
+    }
+  }
+
+  test("dbscan: triage partitions the corpus") {
+    val r = graft.scale.EmbedStats.dbscanCoreQuery(spark, Sf0001).head()
+    val (n, c, b, o) = (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
+      r.getAs[Long]("n_border"), r.getAs[Long]("n_noise"))
+    assert(c >= 0 && b >= 0 && o >= 0)
+    assert(c + b + o == n, s"triage leaks: $c+$b+$o != $n")
+    assert(n == graft.sources.Tables.embeddings(spark, Sf0001).count())
+  }
+}
