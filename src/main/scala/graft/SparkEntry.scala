@@ -384,7 +384,12 @@ object SparkEntry {
     "q_zipf"            -> ((s, d) => graft.scale.TextAnalysis.zipfQuery(s, d)),
     "q_zonemap"         -> ((s, d) => graft.scale.Layout.zonemapQuery(s, d)),
     "q_scene_cuts"      -> ((s, d) => graft.scale.Multimodal.sceneCutsQuery(s, d)),
-    "q_dbscan_core"     -> ((s, d) => graft.scale.EmbedStats.dbscanCoreQuery(s, d))
+    "q_dbscan_core"     -> ((s, d) => graft.scale.EmbedStats.dbscanCoreQuery(s, d)),
+    "q_rrf"             -> ((s, d) => graft.scale.Search.rrfQuery(s, d)),
+    "q_kruskal"         -> ((s, d) => graft.operators.Distribution.kruskalQuery(s, d)),
+    "q_cronbach"        -> ((s, d) => graft.operators.Distribution.cronbachQuery(s, d)),
+    "q_dispersion"      -> ((s, d) => graft.operators.TimeSeries.dispersionQuery(s, d)),
+    "q_pps_sample"      -> ((s, d) => graft.scale.TrainingData.ppsSampleQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8586,7 +8591,235 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM nb) -
         |         (SELECT CAST(count(*) AS BIGINT) FROM core) - n_border
         |         AS n_noise
-        |FROM brd""".stripMargin
+        |FROM brd""".stripMargin,
+
+    // Reciprocal-rank fusion of the BM25 top-50 and the cosine top-50:
+    // rank-based merge, two single divisions per fused doc.
+    "q_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf_1,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS BIGINT) AS tf_2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS sum_dl,
+        |         sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |  FROM base),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    (CASE WHEN b.tf_0 > 0 THEN
+        |      ((CAST(s.n AS DOUBLE) - CAST(s.df_0 AS DOUBLE) + 0.5) / (CAST(s.df_0 AS DOUBLE) + 0.5))
+        |      * (CAST(b.tf_0 AS DOUBLE) * 2.2)
+        |      / (CAST(b.tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |     ELSE 0.0 END
+        |    +
+        |     CASE WHEN b.tf_1 > 0 THEN
+        |      ((CAST(s.n AS DOUBLE) - CAST(s.df_1 AS DOUBLE) + 0.5) / (CAST(s.df_1 AS DOUBLE) + 0.5))
+        |      * (CAST(b.tf_1 AS DOUBLE) * 2.2)
+        |      / (CAST(b.tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |     ELSE 0.0 END)
+        |    +
+        |     CASE WHEN b.tf_2 > 0 THEN
+        |      ((CAST(s.n AS DOUBLE) - CAST(s.df_2 AS DOUBLE) + 0.5) / (CAST(s.df_2 AS DOUBLE) + 0.5))
+        |      * (CAST(b.tf_2 AS DOUBLE) * 2.2)
+        |      / (CAST(b.tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(b.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |     ELSE 0.0 END AS raw_score,
+        |    b.tf_0, b.tf_1, b.tf_2
+        |  FROM base b CROSS JOIN stats s),
+        |lex AS (SELECT doc_id, round(raw_score, 6) AS score
+        |        FROM scored WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+        |        ORDER BY score DESC, doc_id LIMIT 50),
+        |lexr AS (SELECT doc_id,
+        |                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |                     AS BIGINT) AS r_lex
+        |         FROM lex),
+        |e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sem AS (SELECT e.vec_id AS doc_id,
+        |               round(list_cosine_similarity(e.v, q.qv), 6) AS cs
+        |        FROM e, q WHERE e.vec_id <> 0
+        |        ORDER BY cs DESC, e.vec_id LIMIT 50),
+        |semr AS (SELECT doc_id,
+        |                CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+        |                     AS BIGINT) AS r_sem
+        |         FROM sem),
+        |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |             l.r_lex, s.r_sem
+        |      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+        |SELECT doc_id, r_lex, r_sem,
+        |       coalesce(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0) +
+        |         coalesce(1.0 / (60.0 + CAST(r_sem AS DOUBLE)), 0.0) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Kruskal–Wallis with doubled midranks (exact under ties) and the
+    // tie-corrected H; five fixed-order divisions, two scalar ones.
+    "q_kruskal" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g
+        |  FROM orders),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |               CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |               CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |               CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |               CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |        FROM rows_ GROUP BY v),
+        |cum AS (SELECT t, c1, c2, c3, c4, c5,
+        |               CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum_t
+        |        FROM per),
+        |m AS (SELECT t, c1, c2, c3, c4, c5, 2 * cum_t - t + 1 AS m2
+        |      FROM cum),
+        |a AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |             sum(CAST(t AS HUGEINT) * t * t - t) AS ties,
+        |             CAST(sum(c1) AS BIGINT) AS n1,
+        |             sum(CAST(m2 AS HUGEINT) * c1) AS r2_1,
+        |             CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(CAST(m2 AS HUGEINT) * c2) AS r2_2,
+        |             CAST(sum(c3) AS BIGINT) AS n3,
+        |             sum(CAST(m2 AS HUGEINT) * c3) AS r2_3,
+        |             CAST(sum(c4) AS BIGINT) AS n4,
+        |             sum(CAST(m2 AS HUGEINT) * c4) AS r2_4,
+        |             CAST(sum(c5) AS BIGINT) AS n5,
+        |             sum(CAST(m2 AS HUGEINT) * c5) AS r2_5
+        |      FROM m),
+        |h0 AS (
+        |  SELECT n, CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS tie_term,
+        |         12.0 * (CAST(CAST(r2_1 * r2_1 AS VARCHAR) AS DOUBLE) /
+        |                   CAST(CAST(4 * CAST(n1 AS HUGEINT) AS VARCHAR) AS DOUBLE) +
+        |                 CAST(CAST(r2_2 * r2_2 AS VARCHAR) AS DOUBLE) /
+        |                   CAST(CAST(4 * CAST(n2 AS HUGEINT) AS VARCHAR) AS DOUBLE) +
+        |                 CAST(CAST(r2_3 * r2_3 AS VARCHAR) AS DOUBLE) /
+        |                   CAST(CAST(4 * CAST(n3 AS HUGEINT) AS VARCHAR) AS DOUBLE) +
+        |                 CAST(CAST(r2_4 * r2_4 AS VARCHAR) AS DOUBLE) /
+        |                   CAST(CAST(4 * CAST(n4 AS HUGEINT) AS VARCHAR) AS DOUBLE) +
+        |                 CAST(CAST(r2_5 * r2_5 AS VARCHAR) AS DOUBLE) /
+        |                   CAST(CAST(4 * CAST(n5 AS HUGEINT) AS VARCHAR) AS DOUBLE)) /
+        |           CAST(CAST(CAST(n AS HUGEINT) * (n + 1) AS VARCHAR) AS DOUBLE) -
+        |           3.0 * CAST(n + 1 AS DOUBLE) AS h,
+        |         1.0 - CAST(CAST(ties AS VARCHAR) AS DOUBLE) /
+        |           CAST(CAST(CAST(n AS HUGEINT) * n * n - CAST(n AS HUGEINT)
+        |                AS VARCHAR) AS DOUBLE) AS c_ties
+        |  FROM a)
+        |SELECT n, tie_term, h, c_ties, h / c_ties AS h_adj
+        |FROM h0""".stripMargin,
+
+    // Cronbach alpha over the day x priority revenue grid: exact
+    // cleared-denominator variances, one division inside a fixed tree.
+    "q_cronbach" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) = 1
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(sum(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) = 2
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS v2,
+        |         CAST(sum(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) = 3
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS v3,
+        |         CAST(sum(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) = 4
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS v4,
+        |         CAST(sum(CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT) = 5
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS v5
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT v1, v2, v3, v4, v5,
+        |             v1 + v2 + v3 + v4 + v5 AS tot
+        |      FROM daily),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(tot) AS BIGINT) AS st,
+        |             sum(CAST(tot AS HUGEINT) * tot) AS qt,
+        |             CAST(sum(v1) AS BIGINT) AS s1,
+        |             sum(CAST(v1 AS HUGEINT) * v1) AS q1,
+        |             CAST(sum(v2) AS BIGINT) AS s2,
+        |             sum(CAST(v2 AS HUGEINT) * v2) AS q2,
+        |             CAST(sum(v3) AS BIGINT) AS s3,
+        |             sum(CAST(v3 AS HUGEINT) * v3) AS q3,
+        |             CAST(sum(v4) AS BIGINT) AS s4,
+        |             sum(CAST(v4 AS HUGEINT) * v4) AS q4,
+        |             CAST(sum(v5) AS BIGINT) AS s5,
+        |             sum(CAST(v5 AS HUGEINT) * v5) AS q5
+        |      FROM g)
+        |SELECT n AS n_days, CAST(5 AS BIGINT) AS k,
+        |       1.25 * (1.0 -
+        |         (CAST(CAST(CAST(n AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS VARCHAR) AS DOUBLE) +
+        |          CAST(CAST(CAST(n AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS VARCHAR) AS DOUBLE) +
+        |          CAST(CAST(CAST(n AS HUGEINT) * q3 - CAST(s3 AS HUGEINT) * s3 AS VARCHAR) AS DOUBLE) +
+        |          CAST(CAST(CAST(n AS HUGEINT) * q4 - CAST(s4 AS HUGEINT) * s4 AS VARCHAR) AS DOUBLE) +
+        |          CAST(CAST(CAST(n AS HUGEINT) * q5 - CAST(s5 AS HUGEINT) * s5 AS VARCHAR) AS DOUBLE)) /
+        |         CAST(CAST(CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st
+        |              AS VARCHAR) AS DOUBLE)) AS alpha
+        |FROM a""".stripMargin,
+
+    // Poisson dispersion index of daily arrival counts: one division,
+    // one further multiply for the chi-square form.
+    "q_dispersion" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(c) AS BIGINT) AS sum_c,
+        |             sum(CAST(c AS HUGEINT) * c) AS sum_c2
+        |      FROM d),
+        |t AS (SELECT n_days, sum_c,
+        |             CAST(CAST(CAST(n_days AS HUGEINT) * sum_c2 -
+        |                       CAST(sum_c AS HUGEINT) * sum_c
+        |                  AS VARCHAR) AS DOUBLE) /
+        |             CAST(CAST(CAST(n_days - 1 AS HUGEINT) * sum_c
+        |                  AS VARCHAR) AS DOUBLE) AS dispersion
+        |      FROM a)
+        |SELECT n_days, sum_c, dispersion,
+        |       CAST(n_days - 1 AS DOUBLE) * dispersion AS chi2
+        |FROM t""".stripMargin,
+
+    // Poisson-PPS sampling audit: deterministic hash coin against the
+    // exact inclusion probability; HT estimate is an integer identity.
+    "q_pps_sample" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS big_v,
+        |               CAST(count(*) AS BIGINT) AS n FROM per),
+        |s AS (SELECT v, big_v, n,
+        |             CASE WHEN CAST(100 AS HUGEINT) * v >= CAST(big_v AS HUGEINT)
+        |                  THEN 'cert'
+        |                  WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+        |                       AS BIGINT) / 4503599627370496.0 <
+        |                       CAST(CAST(CAST(100 AS HUGEINT) * v AS VARCHAR) AS DOUBLE) /
+        |                       CAST(CAST(CAST(big_v AS HUGEINT) AS VARCHAR) AS DOUBLE)
+        |                  THEN 'sampled' ELSE 'out' END AS status
+        |      FROM per CROSS JOIN tot),
+        |r AS (SELECT big_v, n,
+        |             CAST(sum(CASE WHEN status = 'cert' THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_cert,
+        |             CAST(sum(CASE WHEN status = 'cert' THEN v ELSE 0 END)
+        |                  AS BIGINT) AS cert_v,
+        |             CAST(sum(CASE WHEN status = 'sampled' THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_sampled
+        |      FROM s GROUP BY 1, 2)
+        |SELECT n, n_cert, n_sampled, big_v AS true_total_cents,
+        |       CAST(CAST(CAST(100 AS HUGEINT) * cert_v +
+        |                 CAST(n_sampled AS HUGEINT) * big_v
+        |            AS VARCHAR) AS DOUBLE) / 100.0 AS est_cents,
+        |       CAST(CAST(CAST(100 AS HUGEINT) * cert_v +
+        |                 CAST(n_sampled AS HUGEINT) * big_v -
+        |                 CAST(100 AS HUGEINT) * big_v
+        |            AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(100 AS HUGEINT) * big_v AS VARCHAR) AS DOUBLE)
+        |         AS rel_err
+        |FROM r""".stripMargin
   )
 
   /** DuckDB replay of [[graft.scale.Layout.zonemapQuery]]: identical

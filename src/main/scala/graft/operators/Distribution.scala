@@ -1529,6 +1529,106 @@ object Distribution {
           .cast("string").cast("double")).as("t2"))
   }
 
+  /** Kruskal–Wallis H across the five order priorities (q_kruskal):
+    * the rank-based one-way ANOVA — "do the five priority classes draw
+    * from the same price distribution?" without q_anova's normality
+    * assumption, robust to the heavy order-value tail. The k-group
+    * generalization of [[mannWhitney]], built from the same doubled-
+    * midrank device: per distinct cents value the per-group counts, the
+    * global cumulative count via [[Ranking.distributedCumSum]], then
+    * 2·midrank = 2·cum − t + 1 keeps every rank-sum an exact integer
+    * under ties.
+    *
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N): the rank sums R_g (as 2R_g), group sizes,
+    * and tie counts are exact decimal(38,0); H is a FIXED tree — five
+    * VARCHAR-routed divisions summed in written order, two scalar
+    * divisions — so the oracle replays it bit-identically. One fact
+    * shuffle to the value-domain frame (pivoted-domain device: the five
+    * group counts ride as columns, so ranking costs ONE cumsum). */
+  def kruskalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("v"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("g"))
+    val per = rows.groupBy("v")
+      .agg((count(lit(1))).as("t"),
+        (1L to 5L).map(g =>
+          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g")): _*)
+    val cum = Ranking.distributedCumSum(per, Seq(col("v").asc), Seq("t"))
+    val m2 = cum.withColumn("m2",
+      lit(2L) * col("cum_t") - col("t") + 1L)
+    val aggs = sum(col("t")).as("n") +:
+      sum((col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+        col("t").cast(d38))).as("ties") +:
+      (1L to 5L).flatMap(g => Seq(
+        sum(col(s"c$g")).as(s"n$g"),
+        sum(col("m2").cast(d38) * col(s"c$g").cast(d38)).as(s"r2_$g")))
+    val agg = m2.agg(aggs.head, aggs.tail: _*)
+    val sumTerm = (1L to 5L).map { g =>
+      (col(s"r2_$g") * col(s"r2_$g")).cast("string").cast("double") /
+        (lit(4L).cast(d38) * col(s"n$g").cast(d38)).cast("string").cast("double")
+    }.reduce(_ + _)
+    agg.select(
+        col("n"), col("ties").cast("string").cast("double").as("tie_term"),
+        (lit(12.0) * sumTerm /
+          (col("n").cast(d38) * (col("n") + 1L).cast(d38))
+            .cast("string").cast("double") -
+          lit(3.0) * (col("n") + 1L).cast("double")).as("h"),
+        (lit(1.0) - col("ties").cast("string").cast("double") /
+          (col("n").cast(d38) * col("n").cast(d38) * col("n").cast(d38) -
+            col("n").cast(d38)).cast("string").cast("double")).as("c_ties"))
+      .select(col("n"), col("tie_term"), col("h"), col("c_ties"),
+        (col("h") / col("c_ties")).as("h_adj"))
+  }
+
+  /** Cronbach's alpha over the five priority revenue streams
+    * (q_cronbach): treating each day as a respondent and each
+    * priority's daily revenue as an item, α measures whether the five
+    * streams move together (internal consistency) — the reliability
+    * statistic behind "is total daily revenue a coherent scale or five
+    * unrelated series?" (reference: the analytics engine's cross-metric
+    * consistency reads).
+    *
+    * α = k/(k−1) · (1 − Σ_g Var_g / Var_total), computed on the dense
+    * day × priority grid (absent cells are true zeros); every variance
+    * numerator is the cleared-denominator exact integer n·Σv² − (Σv)²,
+    * so α is a fixed tree over VARCHAR-routed exact values with ONE
+    * division. One fact shuffle to the calendar-bounded daily grid
+    * (pivoted-domain: items ride as columns). */
+  def cronbachQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+        cents(col("o_totalprice")).as("v"))
+      .groupBy("day")
+      .agg((1L to 5L).map(g =>
+        sum(when(col("g") === g, col("v")).otherwise(0L)).as(s"v$g")).head,
+        (2L to 5L).map(g =>
+          sum(when(col("g") === g, col("v")).otherwise(0L)).as(s"v$g")): _*)
+      .withColumn("tot",
+        (1L to 5L).map(g => col(s"v$g")).reduce(_ + _))
+    val aggs = count(lit(1)).as("n") +:
+      sum(col("tot")).as("st") +:
+      sum(col("tot").cast(d38) * col("tot").cast(d38)).as("qt") +:
+      (1L to 5L).flatMap(g => Seq(
+        sum(col(s"v$g")).as(s"s$g"),
+        sum(col(s"v$g").cast(d38) * col(s"v$g").cast(d38)).as(s"q$g")))
+    val agg = daily.agg(aggs.head, aggs.tail: _*)
+    val itemVarNum = (1L to 5L).map { g =>
+      (col("n").cast(d38) * col(s"q$g") -
+        col(s"s$g").cast(d38) * col(s"s$g").cast(d38))
+        .cast("string").cast("double")
+    }.reduce(_ + _)
+    agg.select(col("n").as("n_days"), lit(5L).as("k"),
+        (lit(1.25) * (lit(1.0) - itemVarNum /
+          (col("n").cast(d38) * col("qt") -
+            col("st").cast(d38) * col("st").cast(d38))
+            .cast("string").cast("double"))).as("alpha"))
+  }
+
   /** Multivariate outliers by Mahalanobis distance (q_mahalanobis):
     * orders ranked by how far their (total price, line count) pair sits
     * from the joint distribution — the covariance-aware upgrade of the

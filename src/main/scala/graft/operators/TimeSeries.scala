@@ -546,6 +546,35 @@ object TimeSeries {
     perW.reduce(_ unionAll _).orderBy("w")
   }
 
+  /** Poisson dispersion index of the daily order-arrival counts
+    * (q_dispersion): D = variance/mean of per-day order counts — the
+    * one-number answer to "do orders arrive like a Poisson process
+    * (D≈1) or in bursts (D≫1)?", the arrival-process companion to
+    * [[q_burstiness]]-style inter-event reads and the capacity-planning
+    * assumption check. χ² = (n−1)·D against n−1 df is the classic test.
+    *
+    * Counts are integers, so BOTH sufficient statistics are exact:
+    * D = (n·Σc² − (Σc)²) / ((n−1)·Σc) is one VARCHAR-routed division
+    * and χ² one further multiply. One map-side-combining fact aggregate
+    * to the calendar-bounded daily frame, then one-row arithmetic. */
+  def dispersionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sum_c"),
+        sum(col("c").cast(d38) * col("c").cast(d38)).as("sum_c2"))
+      .select(col("n_days"), col("sum_c"),
+        ((col("n_days").cast(d38) * col("sum_c2") -
+            col("sum_c").cast(d38) * col("sum_c").cast(d38))
+          .cast("string").cast("double") /
+         ((col("n_days") - 1L).cast(d38) * col("sum_c").cast(d38))
+          .cast("string").cast("double")).as("dispersion"))
+      .withColumn("chi2",
+        (col("n_days") - 1L).cast("double") * col("dispersion"))
+  }
+
   /** Single change-point detection on the daily-revenue series
     * (q_changepoint): the split day t that maximizes the between-segment
     * sum of squares — binary segmentation's first step, the batch

@@ -154,6 +154,42 @@ object Search {
   def bm25Query(spark: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(spark, dir), DefaultTerms)
 
+  /** Reciprocal-rank fusion of the lexical and semantic rankings
+    * (q_rrf): BM25 top-50 for [[DefaultTerms]] fused with the
+    * cosine top-50 around query vector 0 by RRF(d) = Σ 1/(60 + rank) —
+    * the standard hybrid-retrieval merge (rank-based, so the two
+    * incomparable score scales never touch). A RAG stack runs exactly
+    * this between its keyword index and its vector index.
+    *
+    * Both input rankings are already engine-deterministic (rounded
+    * scores, id tiebreaks); ranks are row_numbers over the two 50-row
+    * frames (bounded); each RRF term is one division and the sum is a
+    * fixed two-term tree, so the fused ordering replays exactly. Scale
+    * shape: the two top-50s are TakeOrderedAndProject over one corpus
+    * scan each; the fusion join touches ≤ 100 rows. */
+  def rrfQuery(spark: SparkSession, dir: String,
+               kRrf: Int = 60, topIn: Int = 50, topOut: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(Tables.documents(spark, dir), DefaultTerms, topIn)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc,
+          col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = Similarity.knnBruteForce(spark, dir, 0L, topIn)
+      .withColumn("r_sem",
+        row_number().over(Window.orderBy(col("cos_sim").desc,
+          col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        (coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_lex").cast("double")),
+          lit(0.0)) +
+         coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_sem").cast("double")),
+          lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topOut)
+  }
+
   // ---------------------------------------------------------------------
   // N-gram frequency
   // ---------------------------------------------------------------------

@@ -246,6 +246,61 @@ object TrainingData {
       .orderBy("lang")
   }
 
+  /** PPS (probability-proportional-to-size) sampling audit
+    * (q_pps_sample): Poisson-PPS over customers with inclusion
+    * probability p_i = min(1, k·v_i/V) on spend v_i, realized by the
+    * deterministic [[hashUniform]] coin — then the Horvitz–Thompson
+    * total recovered from the sample and compared to the truth. The
+    * estimator audit a sampling-based profiler runs before trusting
+    * sampled dashboards at 100 TB (where exact totals are a luxury).
+    *
+    * The HT arithmetic is EXACT: certainty units (k·v_i ≥ V) enter at
+    * face value; each sampled non-certainty unit contributes v_i/p_i =
+    * V/k, so k·estimate = k·Σ_cert v + m·V is an integer identity —
+    * emitted via two single divisions (estimate, relative error). One
+    * customer-grain aggregate (materialized once — it feeds the total
+    * and the sample pass), then one-row arithmetic. */
+  def ppsSampleQuery(spark: SparkSession, dir: String,
+                     k: Long = 100L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("v")),
+      "pps_per") // feeds the universe total and the sampling pass
+    val tot = per.agg(sum(col("v")).as("big_v"), count(lit(1)).as("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("o_custkey"), col("v"), col("big_v"), col("n"),
+        (lit(k).cast(d38) * col("v").cast(d38)).as("kv"),
+        hashUniform(col("o_custkey")).as("u"))
+      .select(col("v"), col("big_v"), col("n"),
+        when(col("kv") >= col("big_v").cast(d38), lit("cert"))
+          .when(col("u") <
+            col("kv").cast("string").cast("double") /
+              col("big_v").cast(d38).cast("string").cast("double"),
+            lit("sampled"))
+          .otherwise(lit("out")).as("status"))
+      .groupBy("big_v", "n")
+      .agg(
+        sum(when(col("status") === "cert", 1L).otherwise(0L)).as("n_cert"),
+        sum(when(col("status") === "cert", col("v")).otherwise(0L))
+          .as("cert_v"),
+        sum(when(col("status") === "sampled", 1L).otherwise(0L))
+          .as("n_sampled"))
+      .select(col("n"), col("n_cert"), col("n_sampled"),
+        col("big_v").as("true_total_cents"),
+        ((lit(k).cast(d38) * col("cert_v").cast(d38) +
+            col("n_sampled").cast(d38) * col("big_v").cast(d38))
+          .cast("string").cast("double") / lit(k.toDouble)).as("est_cents"),
+        (((lit(k).cast(d38) * col("cert_v").cast(d38) +
+            col("n_sampled").cast(d38) * col("big_v").cast(d38)) -
+           lit(k).cast(d38) * col("big_v").cast(d38))
+          .cast("string").cast("double") /
+         (lit(k).cast(d38) * col("big_v").cast(d38))
+          .cast("string").cast("double")).as("rel_err"))
+  }
+
   /** Deterministic per-stratum subsample: the k docs with the smallest
     * md5 hash within each stratum. Hash order is corpus-growth-stable
     * (a doc's rank only moves when NEW docs hash below it — unlike

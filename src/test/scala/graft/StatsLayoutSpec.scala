@@ -90,6 +90,54 @@ class StatsLayoutSpec extends SparkSpec {
     }
   }
 
+  test("rrf: fused scores bounded and sorted, ranks from both lists") {
+    val rows = graft.scale.Search.rrfQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    var last = Double.MaxValue
+    for (r <- rows) {
+      val s = r.getAs[Double]("rrf")
+      assert(s > 0.0 && s <= 2.0 / 61.0 + 1e-12)
+      assert(s <= last)
+      assert(!(r.isNullAt(r.fieldIndex("r_lex")) &&
+        r.isNullAt(r.fieldIndex("r_sem"))))
+      last = s
+    }
+  }
+
+  test("kruskal: H nonnegative, tie correction in (0,1]") {
+    val r = graft.operators.Distribution.kruskalQuery(spark, Sf0001).head()
+    assert(r.getAs[Double]("h") >= -1e-9)
+    val c = r.getAs[Double]("c_ties")
+    assert(c > 0.0 && c <= 1.0)
+    assert(r.getAs[Double]("h_adj") >= r.getAs[Double]("h") - 1e-9)
+  }
+
+  test("cronbach: alpha bounded above by k/(k-1)") {
+    val r = graft.operators.Distribution.cronbachQuery(spark, Sf0001).head()
+    assert(r.getAs[Long]("n_days") > 0)
+    assert(r.getAs[Double]("alpha") <= 1.25 + 1e-12)
+  }
+
+  test("dispersion: chi2 consistent with (n-1)*D") {
+    val r = graft.operators.TimeSeries.dispersionQuery(spark, Sf0001).head()
+    val (n, d, chi2) = (r.getAs[Long]("n_days"),
+      r.getAs[Double]("dispersion"), r.getAs[Double]("chi2"))
+    assert(d > 0.0)
+    assert(math.abs(chi2 - (n - 1).toDouble * d) < 1e-9 * chi2.abs)
+  }
+
+  test("pps sample: HT estimate lands near truth, counts partition") {
+    val r = graft.scale.TrainingData.ppsSampleQuery(spark, Sf0001).head()
+    val n = r.getAs[Long]("n")
+    assert(r.getAs[Long]("n_cert") + r.getAs[Long]("n_sampled") <= n)
+    val est = r.getAs[Double]("est_cents")
+    val truth = r.getAs[Long]("true_total_cents").toDouble
+    assert(est > 0.0)
+    val rel = r.getAs[Double]("rel_err")
+    assert(math.abs(est / truth - 1.0 - rel) < 1e-9, "rel_err inconsistent")
+    assert(math.abs(rel) < 0.5, s"PPS estimate wildly off: $rel")
+  }
+
   test("dbscan: triage partitions the corpus") {
     val r = graft.scale.EmbedStats.dbscanCoreQuery(spark, Sf0001).head()
     val (n, c, b, o) = (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
