@@ -389,7 +389,12 @@ object SparkEntry {
     "q_kruskal"         -> ((s, d) => graft.operators.Distribution.kruskalQuery(s, d)),
     "q_cronbach"        -> ((s, d) => graft.operators.Distribution.cronbachQuery(s, d)),
     "q_dispersion"      -> ((s, d) => graft.operators.TimeSeries.dispersionQuery(s, d)),
-    "q_pps_sample"      -> ((s, d) => graft.scale.TrainingData.ppsSampleQuery(s, d))
+    "q_pps_sample"      -> ((s, d) => graft.scale.TrainingData.ppsSampleQuery(s, d)),
+    "q_levene"          -> ((s, d) => graft.operators.Distribution.leveneQuery(s, d)),
+    "q_tukey"           -> ((s, d) => graft.operators.Distribution.tukeyQuery(s, d)),
+    "q_pettitt"         -> ((s, d) => graft.operators.Distribution.pettittQuery(s, d)),
+    "q_rich_club"       -> ((s, d) => graft.operators.KCore.richClubQuery(s, d)),
+    "q_peaks"           -> ((s, d) => graft.operators.TimeSeries.peaksQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8819,7 +8824,205 @@ object SparkEntry {
         |            AS VARCHAR) AS DOUBLE) /
         |       CAST(CAST(CAST(100 AS HUGEINT) * big_v AS VARCHAR) AS DOUBLE)
         |         AS rel_err
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // Brown–Forsythe: exact lower medians from one cumulative pass over
+    // the value domain, then cleared-denominator ANOVA on |v - med|.
+    "q_levene" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g
+        |  FROM orders),
+        |per AS (SELECT v,
+        |               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |               CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |               CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |               CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |               CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |        FROM rows_ GROUP BY v),
+        |cum AS (SELECT v,
+        |               CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum_c1,
+        |               CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum_c2,
+        |               CAST(sum(c3) OVER (ORDER BY v) AS BIGINT) AS cum_c3,
+        |               CAST(sum(c4) OVER (ORDER BY v) AS BIGINT) AS cum_c4,
+        |               CAST(sum(c5) OVER (ORDER BY v) AS BIGINT) AS cum_c5
+        |        FROM per),
+        |tots AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |                CAST(sum(c2) AS BIGINT) AS n2,
+        |                CAST(sum(c3) AS BIGINT) AS n3,
+        |                CAST(sum(c4) AS BIGINT) AS n4,
+        |                CAST(sum(c5) AS BIGINT) AS n5
+        |         FROM per),
+        |med AS (SELECT min(CASE WHEN 2 * cum_c1 >= n1 THEN v END) AS med1,
+        |               min(CASE WHEN 2 * cum_c2 >= n2 THEN v END) AS med2,
+        |               min(CASE WHEN 2 * cum_c3 >= n3 THEN v END) AS med3,
+        |               min(CASE WHEN 2 * cum_c4 >= n4 THEN v END) AS med4,
+        |               min(CASE WHEN 2 * cum_c5 >= n5 THEN v END) AS med5
+        |        FROM cum CROSS JOIN tots),
+        |z AS (SELECT g,
+        |             abs(v - CASE g WHEN 1 THEN med1 WHEN 2 THEN med2
+        |                            WHEN 3 THEN med3 WHEN 4 THEN med4
+        |                            WHEN 5 THEN med5 END) AS z
+        |      FROM rows_ CROSS JOIN med),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(z AS HUGEINT)) AS s,
+        |             sum(CAST(z AS HUGEINT) * z) AS q,
+        |             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS zn1,
+        |             sum(CASE WHEN g = 1 THEN CAST(z AS HUGEINT) ELSE 0 END) AS zs1,
+        |             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS zn2,
+        |             sum(CASE WHEN g = 2 THEN CAST(z AS HUGEINT) ELSE 0 END) AS zs2,
+        |             CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS zn3,
+        |             sum(CASE WHEN g = 3 THEN CAST(z AS HUGEINT) ELSE 0 END) AS zs3,
+        |             CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS zn4,
+        |             sum(CASE WHEN g = 4 THEN CAST(z AS HUGEINT) ELSE 0 END) AS zs4,
+        |             CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS zn5,
+        |             sum(CASE WHEN g = 5 THEN CAST(z AS HUGEINT) ELSE 0 END) AS zs5
+        |      FROM z),
+        |t AS (SELECT n,
+        |             CAST(CAST(zs1 * zs1 AS VARCHAR) AS DOUBLE) / CAST(zn1 AS DOUBLE) +
+        |             CAST(CAST(zs2 * zs2 AS VARCHAR) AS DOUBLE) / CAST(zn2 AS DOUBLE) +
+        |             CAST(CAST(zs3 * zs3 AS VARCHAR) AS DOUBLE) / CAST(zn3 AS DOUBLE) +
+        |             CAST(CAST(zs4 * zs4 AS VARCHAR) AS DOUBLE) / CAST(zn4 AS DOUBLE) +
+        |             CAST(CAST(zs5 * zs5 AS VARCHAR) AS DOUBLE) / CAST(zn5 AS DOUBLE)
+        |               AS inner_,
+        |             CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS ss_d,
+        |             CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q_d
+        |      FROM a),
+        |f AS (SELECT n,
+        |             inner_ - ss_d / CAST(n AS DOUBLE) AS ssb,
+        |             q_d - inner_ AS ssw
+        |      FROM t)
+        |SELECT n, med1, med2, med3, med4, med5,
+        |       ssb / 4.0 / (ssw / CAST(n - 5 AS DOUBLE)) AS w
+        |FROM f CROSS JOIN med""".stripMargin,
+
+    // Tukey–Kramer: ten pair rows from the 5-row group frame; pinned
+    // studentized-range critical value; floor-witnessed MSW inner sum.
+    "q_tukey" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g
+        |  FROM orders),
+        |groups_ AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |                   sum(CAST(v AS HUGEINT)) AS sg,
+        |                   sum(CAST(v AS HUGEINT) * v) AS qg
+        |            FROM o GROUP BY g),
+        |w AS (SELECT
+        |  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+        |  sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+        |  CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  sum(CASE WHEN g = 2 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s2,
+        |  sum(CASE WHEN g = 2 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q2,
+        |  CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  sum(CASE WHEN g = 3 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s3,
+        |  sum(CASE WHEN g = 3 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q3,
+        |  CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |  sum(CASE WHEN g = 4 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s4,
+        |  sum(CASE WHEN g = 4 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q4,
+        |  CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |  sum(CASE WHEN g = 5 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s5,
+        |  sum(CASE WHEN g = 5 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q5
+        | FROM o),
+        |msw AS (SELECT
+        |  (CAST(CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) +
+        |   CAST(CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE) +
+        |   CAST(CAST(CAST(n3 AS HUGEINT) * q3 - s3 * s3 AS VARCHAR) AS DOUBLE) / CAST(n3 AS DOUBLE) +
+        |   CAST(CAST(CAST(n4 AS HUGEINT) * q4 - s4 * s4 AS VARCHAR) AS DOUBLE) / CAST(n4 AS DOUBLE) +
+        |   CAST(CAST(CAST(n5 AS HUGEINT) * q5 - s5 * s5 AS VARCHAR) AS DOUBLE) / CAST(n5 AS DOUBLE)) /
+        |  CAST(n1 + n2 + n3 + n4 + n5 - 5 AS DOUBLE) AS msw
+        | FROM w)
+        |SELECT a.g AS g1, b.g AS g2,
+        |       CAST(CAST(a.sg * CAST(b.ng AS HUGEINT) -
+        |                 b.sg * CAST(a.ng AS HUGEINT) AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(a.ng AS HUGEINT) * b.ng AS VARCHAR) AS DOUBLE)
+        |         AS diff_cents,
+        |       sqrt(m.msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE) +
+        |                           1.0 / CAST(b.ng AS DOUBLE))) AS se,
+        |       abs(CAST(CAST(a.sg * CAST(b.ng AS HUGEINT) -
+        |                 b.sg * CAST(a.ng AS HUGEINT) AS VARCHAR) AS DOUBLE) /
+        |           CAST(CAST(CAST(a.ng AS HUGEINT) * b.ng AS VARCHAR) AS DOUBLE))
+        |         > 3.858 * sqrt(m.msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE) +
+        |                                       1.0 / CAST(b.ng AS DOUBLE)))
+        |         AS significant
+        |FROM groups_ a JOIN groups_ b ON a.g < b.g CROSS JOIN msw m
+        |ORDER BY g1, g2""".stripMargin,
+
+    // Pettitt: rank-based change point, exact integer K_t and argmax.
+    "q_pettitt" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day,
+        |             CAST(row_number() OVER (ORDER BY v, day) AS BIGINT)
+        |               AS rank,
+        |             CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM daily),
+        |cum AS (SELECT day, n,
+        |               CAST(sum(rank) OVER (ORDER BY day) AS BIGINT)
+        |                 AS cum_rank,
+        |               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |        FROM r),
+        |k AS (SELECT day,
+        |             abs(CAST(2 AS HUGEINT) * cum_rank -
+        |                 CAST(t AS HUGEINT) * (n + 1)) AS k2, n
+        |      FROM cum WHERE t < n)
+        |SELECT day AS split_day, CAST(k2 AS BIGINT) AS k_stat,
+        |       n AS n_days,
+        |       CAST(CAST(k2 AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(n AS HUGEINT) * (n + 1) AS VARCHAR) AS DOUBLE)
+        |         * 2.0 AS k_norm
+        |FROM k ORDER BY k2 DESC, day LIMIT 1""".stripMargin,
+
+    // Rich-club ladder: one annotated edge pass serves all four
+    // cutoffs; one division per rung.
+    "q_rich_club" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS node FROM pairs
+        |        UNION ALL SELECT b AS node FROM pairs)
+        |  GROUP BY node),
+        |ann AS (SELECT da.deg AS da, db.deg AS db
+        |        FROM pairs JOIN deg da ON pairs.a = da.node
+        |                   JOIN deg db ON pairs.b = db.node),
+        |ks(k) AS (VALUES (2), (4), (8), (16)),
+        |nr AS (SELECT k, CAST(count(*) AS BIGINT) AS c
+        |       FROM ks JOIN deg ON deg > k GROUP BY k),
+        |er AS (SELECT k, CAST(count(*) AS BIGINT) AS c
+        |       FROM ks JOIN ann ON da > k AND db > k GROUP BY k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |       CAST(coalesce(nr.c, 0) AS BIGINT) AS n_rich,
+        |       CAST(coalesce(er.c, 0) AS BIGINT) AS e_rich,
+        |       CAST(2 * coalesce(er.c, 0) AS DOUBLE) /
+        |         CAST(coalesce(nr.c, 0) * (coalesce(nr.c, 0) - 1) AS DOUBLE)
+        |         AS phi
+        |FROM ks LEFT JOIN nr ON nr.k = ks.k LEFT JOIN er ON er.k = ks.k
+        |ORDER BY 1""".stripMargin,
+
+    // Daily-revenue local peaks by prominence: lag/lead on the
+    // calendar frame, exact integer ordering.
+    "q_peaks" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT day, v,
+        |             lag(v) OVER (ORDER BY day) AS prev,
+        |             lead(v) OVER (ORDER BY day) AS next
+        |      FROM daily)
+        |SELECT day, v AS v_cents, v - greatest(prev, next) AS prominence
+        |FROM x
+        |WHERE prev IS NOT NULL AND next IS NOT NULL
+        |  AND v > prev AND v >= next
+        |ORDER BY prominence DESC, day LIMIT 10""".stripMargin
   )
 
   /** DuckDB replay of [[graft.scale.Layout.zonemapQuery]]: identical

@@ -1529,6 +1529,159 @@ object Distribution {
           .cast("string").cast("double")).as("t2"))
   }
 
+  /** Brown–Forsythe (median-based Levene) test across the five order
+    * priorities (q_levene): are the price SPREADS equal, not the means —
+    * the homoscedasticity gate before trusting q_anova's pooled
+    * variance, robust because deviations are taken from group MEDIANS.
+    *
+    * Medians are exact: per distinct cents value the five group counts
+    * (pivoted-domain), ONE [[Ranking.distributedCumSum]] over the value
+    * domain carries all five cumulative counts, and med_g is the
+    * smallest v with 2·cum_g ≥ n_g (lower median — integer argmin, no
+    * interpolation). The deviations |v − med_g| are exact integers, so
+    * the one-way ANOVA on them reuses the cleared-denominator device:
+    * W = ((N−k)/(k−1)) · SSB/SSW over VARCHAR-routed exact sums. Two
+    * fact shuffles total (value domain, then the deviation aggregate). */
+  def leveneQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(cents(col("o_totalprice")).as("v"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("g")),
+      "levene_rows") // feeds the median pass and the deviation pass
+    val per = rows.groupBy("v")
+      .agg((1L to 5L).map(g =>
+        sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g")).head,
+        (2L to 5L).map(g =>
+          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g")): _*)
+    val cum = Ranking.distributedCumSum(per, Seq(col("v").asc),
+      (1L to 5L).map(g => s"c$g"))
+    val tots = per.agg((1L to 5L).map(g => sum(col(s"c$g")).as(s"n$g")).head,
+      (2L to 5L).map(g => sum(col(s"c$g")).as(s"n$g")): _*)
+    val medAggs = (1L to 5L).map(g =>
+      min(when(lit(2L) * col(s"cum_c$g") >= col(s"n$g"), col("v")))
+        .as(s"med$g"))
+    val med = cum.crossJoin(broadcast(tots))
+      .agg(medAggs.head, medAggs.tail: _*)
+    val medOf = (2L to 5L).foldLeft(when(col("g") === 1L, col("med1"))) {
+      case (acc, g) => acc.when(col("g") === g, col(s"med$g"))
+    }
+    val z = rows.crossJoin(broadcast(med))
+      .select(col("g"), abs(col("v") - medOf).as("z"))
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("z").cast(d38)).as("s"),
+      sum(col("z").cast(d38) * col("z").cast(d38)).as("q")) ++
+      (1L to 5L).flatMap(g => Seq(
+        sum(when(col("g") === g, 1L).otherwise(0L)).as(s"zn$g"),
+        sum(when(col("g") === g, col("z").cast(d38))
+          .otherwise(lit(0).cast(d38))).as(s"zs$g")))
+    val wide = z.agg(aggs.head, aggs.tail: _*).crossJoin(broadcast(med))
+    val inner = (1L to 5L).map { g =>
+      (col(s"zs$g") * col(s"zs$g")).cast("string").cast("double") /
+        col(s"zn$g").cast("double")
+    }.reduceLeft(_ + _)
+    wide
+      .withColumn("ssb",
+        inner - (col("s") * col("s")).cast("string").cast("double") /
+          col("n").cast("double"))
+      .withColumn("ssw", col("q").cast("string").cast("double") - inner)
+      .select(col("n") +: (1L to 5L).map(g => col(s"med$g")) :+
+        (col("ssb") / lit(4.0) /
+          (col("ssw") / (col("n") - 5L).cast("double"))).as("w"): _*)
+  }
+
+  /** Tukey–Kramer post-hoc pairwise comparison of the five priority
+    * means (q_tukey): AFTER q_anova says "some priority differs", this
+    * says WHICH pairs do — all ten mean differences against the
+    * studentized-range honest-significant-difference threshold
+    * (q_crit(α=.05, k=5, df→∞) = 3.858 pinned as a literal — the
+    * Benford/NDCG constants device; critical values are table lookups,
+    * not portable math).
+    *
+    * Exactness: per-group (n_g, S_g) are exact; each mean difference is
+    * ONE division of the cross-multiplied exact integers; MSW sums the
+    * per-group within-SS terms (n_g·Q_g − S_g²)/n_g — each exact until
+    * its own single division — in a FIXED pivoted-column tree (never an
+    * aggregate over doubles); the SE is a fixed tree ending in the
+    * correctly-rounded sqrt. One fact shuffle to the 5-row group frame,
+    * self-joined into the 10 dimension-bounded pairs. */
+  def tukeyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val qCrit = 3.858
+    val o = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("v"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("g"))
+    val groups = graft.scale.Silver.scratch(
+      o.groupBy("g")
+        .agg(count(lit(1)).as("ng"), sum(col("v").cast(d38)).as("sg"),
+          sum(col("v").cast(d38) * col("v").cast(d38)).as("qg")),
+      "tukey_groups") // feeds the wide MSW row and both pair sides
+    val wideAggs = (1L to 5L).flatMap(g => Seq(
+      sum(when(col("g") === g, col("ng")).otherwise(0L)).as(s"n$g"),
+      max(when(col("g") === g, col("sg"))).as(s"s$g"),
+      max(when(col("g") === g, col("qg"))).as(s"q$g")))
+    val wide = groups.agg(wideAggs.head, wideAggs.tail: _*)
+    // Σ_g (n_g·Q_g − S_g²)/n_g as a fixed left-assoc 5-term tree
+    val sswTree = (1L to 5L).map { g =>
+      (col(s"n$g").cast(d38) * col(s"q$g") - col(s"s$g") * col(s"s$g"))
+        .cast("string").cast("double") / col(s"n$g").cast("double")
+    }.reduceLeft(_ + _)
+    val msw = wide
+      .select(((1L to 5L).map(g => col(s"n$g")).reduce(_ + _)).as("n"),
+        sswTree.as("ssw"))
+      .select((col("ssw") / (col("n") - 5L).cast("double")).as("msw"))
+    val a = groups.select(col("g").as("g1"), col("ng").as("n1"),
+      col("sg").as("s1"))
+    val b = groups.select(col("g").as("g2"), col("ng").as("n2"),
+      col("sg").as("s2"))
+    a.join(b, col("g1") < col("g2")).crossJoin(broadcast(msw))
+      .select(col("g1"), col("g2"),
+        ((col("s1") * col("n2").cast(d38) - col("s2") * col("n1").cast(d38))
+          .cast("string").cast("double") /
+         (col("n1").cast(d38) * col("n2").cast(d38))
+          .cast("string").cast("double")).as("diff_cents"),
+        sqrt(col("msw") / lit(2.0) *
+          (lit(1.0) / col("n1").cast("double") +
+           lit(1.0) / col("n2").cast("double"))).as("se"))
+      .select(col("g1"), col("g2"), col("diff_cents"), col("se"),
+        (abs(col("diff_cents")) > lit(qCrit) * col("se")).as("significant"))
+      .orderBy("g1", "g2")
+  }
+
+  /** Pettitt change-point test on the daily-revenue series (q_pettitt):
+    * the rank-based (distribution-free) sibling of
+    * [[TimeSeries.changepointQuery]] — K_t = |2·Σ_{i≤t} r_i − t(n+1)|
+    * maximized over t finds the shift WITHOUT assuming the level is a
+    * mean (robust to the revenue tail). Ranks come from
+    * [[Ranking.distributedGlobalRank]] under the unique (value, day)
+    * order; the day-ordered prefix sums from [[Ranking
+    * .distributedCumSum]]; K_t and its argmax are exact integers. The
+    * emitted k_norm = K/(n(n+1)/2) is the single division. */
+  def pettittQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+    val ranked = Ranking.distributedGlobalRank(daily,
+      Seq(col("v").asc, col("day").asc))
+    val cum = Ranking.distributedCumSum(
+      ranked.select(col("day"), col("rank"), col("n"), lit(1L).as("one")),
+      Seq(col("day").asc), Seq("rank", "one"))
+    cum.filter(col("cum_one") < col("n"))
+      .select(col("day"),
+        abs(lit(2L).cast(d38) * col("cum_rank").cast(d38) -
+          col("cum_one").cast(d38) * (col("n") + 1L).cast(d38)).as("k2"),
+        col("n"))
+      .orderBy(col("k2").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("split_day"), col("k2").cast("long").as("k_stat"),
+        col("n").as("n_days"),
+        (col("k2").cast("string").cast("double") /
+          (col("n").cast(d38) * (col("n") + 1L).cast(d38))
+            .cast("string").cast("double") * lit(2.0)).as("k_norm"))
+  }
+
   /** Kruskal–Wallis H across the five order priorities (q_kruskal):
     * the rank-based one-way ANOVA — "do the five priority classes draw
     * from the same price distribution?" without q_anova's normality

@@ -311,4 +311,44 @@ object KCore {
           ((col("n_nodes") - 1L) * (col("n_nodes") - 2L)).cast("double"))
           .as("centralization"))
   }
+
+  /** Rich-club coefficient ladder of the co-trading graph
+    * (q_rich_club): for degree cutoffs k ∈ {2,4,8,16}, the density of
+    * the subgraph induced by nodes of degree > k — do the hubs trade
+    * with EACH OTHER (φ rising with k) or only fan out to the
+    * periphery? The hub-structure read on top of [[degreeDistQuery]]'s
+    * tail histogram (φ uses the n(n−1)/2 potential-edge convention;
+    * this graph is bipartite, so φ's ceiling is below 1 — the LADDER
+    * shape, not the absolute level, is the signal).
+    *
+    * Shape: one degree aggregate, one edge–degree join per side (key
+    * shuffle, no broadcast of the corpus-sized degree table), then ALL
+    * four cutoffs from the same annotated edge pass as conditional
+    * sums — the pivoted-domain device, so the ladder costs one pass,
+    * not four. Exact integers until one division per rung. */
+  def richClubQuery(spark: SparkSession, dir: String,
+                    cutoffs: Seq[Long] = Seq(2L, 4L, 8L, 16L)): DataFrame = {
+    val e = coTradingPairs(spark, dir)
+    val deg = graft.scale.Silver.scratch(
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")),
+      "richclub_deg") // feeds the node counts and both edge joins
+    val nodeAggs = cutoffs.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+    val nodes = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+    val annotated = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val edgeAggs = cutoffs.map(k =>
+      sum(when(col("da") > k && col("db") > k, 1L).otherwise(0L)).as(s"e_$k"))
+    val edges = annotated.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val wide = nodes.crossJoin(broadcast(edges))
+    val rungs = cutoffs.map { k =>
+      wide.select(lit(k).as("k"), col(s"n_$k").as("n_rich"),
+        col(s"e_$k").as("e_rich"),
+        ((lit(2L) * col(s"e_$k")).cast("double") /
+          (col(s"n_$k") * (col(s"n_$k") - 1L)).cast("double")).as("phi"))
+    }
+    rungs.reduce(_ unionAll _).orderBy("k")
+  }
 }

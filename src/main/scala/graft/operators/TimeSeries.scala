@@ -546,6 +546,32 @@ object TimeSeries {
     perW.reduce(_ unionAll _).orderBy("w")
   }
 
+  /** Local peaks of the daily-revenue series (q_peaks): days strictly
+    * above the previous day and at least the next, ranked by prominence
+    * v − max(neighbors) — the "what days spiked?" annotation a
+    * monitoring chart draws, and the trigger list an alerting rule
+    * would have fired on. Lag/lead run on the calendar-bounded daily
+    * frame (the allowed window family); heights and prominences are
+    * exact cents; the top-10 is a deterministic integer ordering. */
+  def peaksQuery(spark: SparkSession, dir: String,
+                 topK: Int = 10): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+    // calendar-bounded frame: lag/lead windows allowed
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("next", lead(col("v"), 1).over(w))
+      .filter(col("prev").isNotNull && col("next").isNotNull &&
+        col("v") > col("prev") && col("v") >= col("next"))
+      .select(col("day"), col("v").as("v_cents"),
+        (col("v") - greatest(col("prev"), col("next"))).as("prominence"))
+      .orderBy(col("prominence").desc, col("day").asc)
+      .limit(topK)
+  }
+
   /** Poisson dispersion index of the daily order-arrival counts
     * (q_dispersion): D = variance/mean of per-day order counts — the
     * one-number answer to "do orders arrive like a Poisson process

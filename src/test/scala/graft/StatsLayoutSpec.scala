@@ -138,6 +138,66 @@ class StatsLayoutSpec extends SparkSpec {
     assert(math.abs(rel) < 0.5, s"PPS estimate wildly off: $rel")
   }
 
+  test("levene: W nonnegative, medians inside each group's value range") {
+    val r = graft.operators.Distribution.leveneQuery(spark, Sf0001).head()
+    assert(r.getAs[Double]("w") >= 0.0)
+    val mn = graft.sources.Tables.orders(spark, Sf0001)
+      .agg(min((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")), max((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))).head()
+    for (g <- 1 to 5) {
+      val m = r.getAs[Long](s"med$g")
+      assert(m >= mn.getLong(0) && m <= mn.getLong(1))
+    }
+  }
+
+  test("tukey: ten antisymmetric pairs, positive SE") {
+    val rows = graft.operators.Distribution.tukeyQuery(spark, Sf0001).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      assert(r.getAs[Long]("g1") < r.getAs[Long]("g2"))
+      assert(r.getAs[Double]("se") > 0.0)
+      // significance is exactly |diff| > q * se
+      val sig = math.abs(r.getAs[Double]("diff_cents")) >
+        3.858 * r.getAs[Double]("se")
+      assert(r.getAs[Boolean]("significant") == sig)
+    }
+  }
+
+  test("pettitt: statistic bounded by the exact K maximum") {
+    val r = graft.operators.Distribution.pettittQuery(spark, Sf0001).head()
+    val n = r.getAs[Long]("n_days")
+    // |K_t| <= t(n-t) + small: the absolute ceiling is n^2/2
+    assert(r.getAs[Long]("k_stat") >= 0 &&
+      r.getAs[Long]("k_stat") <= n * n)
+    val kn = r.getAs[Double]("k_norm")
+    assert(kn >= 0.0 && kn <= 1.0)
+  }
+
+  test("rich club: ladder internally consistent") {
+    val rows = graft.operators.KCore.richClubQuery(spark, Sf0001).collect()
+    assert(rows.length == 4)
+    var lastN = Long.MaxValue
+    for (r <- rows) {
+      val (n, e) = (r.getAs[Long]("n_rich"), r.getAs[Long]("e_rich"))
+      assert(n <= lastN, "rich-node count must shrink with k")
+      assert(e <= n * (n - 1) / 2 + n, "edge count exceeds potential")
+      lastN = n
+    }
+  }
+
+  test("peaks: every peak beats its neighbors, prominence positive") {
+    val rows = graft.operators.TimeSeries.peaksQuery(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    var last = Long.MaxValue
+    for (r <- rows) {
+      val p = r.getAs[Long]("prominence")
+      assert(p > 0L)
+      assert(p <= last)
+      last = p
+    }
+  }
+
   test("dbscan: triage partitions the corpus") {
     val r = graft.scale.EmbedStats.dbscanCoreQuery(spark, Sf0001).head()
     val (n, c, b, o) = (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
