@@ -394,7 +394,10 @@ object SparkEntry {
     "q_tukey"           -> ((s, d) => graft.operators.Distribution.tukeyQuery(s, d)),
     "q_pettitt"         -> ((s, d) => graft.operators.Distribution.pettittQuery(s, d)),
     "q_rich_club"       -> ((s, d) => graft.operators.KCore.richClubQuery(s, d)),
-    "q_peaks"           -> ((s, d) => graft.operators.TimeSeries.peaksQuery(s, d))
+    "q_peaks"           -> ((s, d) => graft.operators.TimeSeries.peaksQuery(s, d)),
+    "q_cmh"             -> ((s, d) => graft.operators.Distribution.cmhQuery(s, d)),
+    "q_tail_dep"        -> ((s, d) => graft.operators.Distribution.tailDepQuery(s, d)),
+    "q_mutual_knn"      -> ((s, d) => graft.scale.Similarity.mutualKnnQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9022,8 +9025,123 @@ object SparkEntry {
         |FROM x
         |WHERE prev IS NOT NULL AND next IS NOT NULL
         |  AND v > prev AND v >= next
-        |ORDER BY prominence DESC, day LIMIT 10""".stripMargin
+        |ORDER BY prominence DESC, day LIMIT 10""".stripMargin,
+
+    "q_cmh" -> cmhOracleSql,
+
+    // Upper/lower tail dependence from decile ranks: exact counts,
+    // one division per lambda.
+    "q_tail_dep" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey,
+        |             CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |                  AS BIGINT) AS rx,
+        |             CAST(row_number() OVER (ORDER BY y, o_custkey)
+        |                  AS BIGINT) AS ry,
+        |             CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM per),
+        |f AS (SELECT n, rx > (9 * n) // 10 AS hx, ry > (9 * n) // 10 AS hy,
+        |             rx <= n // 10 AS lx, ry <= n // 10 AS ly
+        |      FROM r)
+        |SELECT n,
+        |       CAST(sum(CASE WHEN hx THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_x,
+        |       CAST(sum(CASE WHEN hx AND hy THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS both_hi,
+        |       CAST(sum(CASE WHEN hx AND hy THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(CASE WHEN hx THEN 1 ELSE 0 END) AS DOUBLE)
+        |         AS lambda_u,
+        |       CAST(sum(CASE WHEN lx THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_x,
+        |       CAST(sum(CASE WHEN lx AND ly THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS both_lo,
+        |       CAST(sum(CASE WHEN lx AND ly THEN 1 ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(CASE WHEN lx THEN 1 ELSE 0 END) AS DOUBLE)
+        |         AS lambda_l
+        |FROM f GROUP BY n""".stripMargin,
+
+    // Mutual-kNN fraction: brute-force k=5 edges per point, exact
+    // mutuality self-join, one division.
+    "q_mutual_knn" ->
+      """WITH e AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |                    AS v
+        |           FROM embeddings),
+        |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |t AS (SELECT src, dst FROM (
+        |        SELECT src, dst,
+        |               row_number() OVER (PARTITION BY src
+        |                                  ORDER BY sim DESC, dst) AS rn
+        |        FROM s) WHERE rn <= 5),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
+        |      FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM t),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM e)
+        |SELECT n_points, CAST(5 AS BIGINT) AS k, n_edges, n_mutual,
+        |       CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        |         AS mutual_frac
+        |FROM p CROSS JOIN c CROSS JOIN m""".stripMargin
   )
+
+  /** DuckDB replay of [[graft.operators.Distribution.cmhQuery]]: the 28
+    * stratum cells as one conditional-aggregate row, then the same
+    * fixed-order Σ_k trees — generated from the one shared year range
+    * so the term order is identical by construction. */
+  private def cmhOracleSql: String = {
+    val years = (1995 to 2001).toSeq
+    val cells = years.flatMap { y => Seq(
+      s"CAST(sum(CASE WHEN y = $y AND e AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a$y",
+      s"CAST(sum(CASE WHEN y = $y AND e AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b$y",
+      s"CAST(sum(CASE WHEN y = $y AND NOT e AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c$y",
+      s"CAST(sum(CASE WHEN y = $y AND NOT e AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d$y")
+    }.mkString(",\n  ")
+    def n(y: Int) = s"(a$y + b$y + c$y + d$y)"
+    val num = years.map { y =>
+      s"(CAST(a$y AS DOUBLE) - CAST(CAST(CAST(a$y + b$y AS HUGEINT) * " +
+        s"(a$y + c$y) AS VARCHAR) AS DOUBLE) / CAST(${n(y)} AS DOUBLE))"
+    }.mkString(" +\n   ")
+    val vr = years.map { y =>
+      s"(CAST(CAST(CAST(a$y + b$y AS HUGEINT) * (c$y + d$y) * (a$y + c$y) * " +
+        s"(b$y + d$y) AS VARCHAR) AS DOUBLE) / " +
+        s"CAST(CAST(CAST(${n(y)} AS HUGEINT) * ${n(y)} * (${n(y)} - 1) " +
+        s"AS VARCHAR) AS DOUBLE))"
+    }.mkString(" +\n   ")
+    val ad = years.map { y =>
+      s"(CAST(CAST(CAST(a$y AS HUGEINT) * d$y AS VARCHAR) AS DOUBLE) / " +
+        s"CAST(${n(y)} AS DOUBLE))"
+    }.mkString(" +\n   ")
+    val bc = years.map { y =>
+      s"(CAST(CAST(CAST(b$y AS HUGEINT) * c$y AS VARCHAR) AS DOUBLE) / " +
+        s"CAST(${n(y)} AS DOUBLE))"
+    }.mkString(" +\n   ")
+    s"""WITH ret AS (SELECT DISTINCT l_orderkey AS o_orderkey, 1 AS r
+       |             FROM lineitem WHERE l_returnflag = 'R'),
+       |rows_ AS (
+       |  SELECT year(o_orderdate) AS y,
+       |         c_mktsegment = 'BUILDING' AS e,
+       |         CAST(coalesce(r, 0) AS BIGINT) AS o
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  LEFT JOIN ret USING (o_orderkey)
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       |wide AS (SELECT
+       |  $cells
+       | FROM rows_),
+       |t AS (SELECT
+       |  ($num) AS num,
+       |  ($vr) AS var_,
+       |  ($ad) AS ad,
+       |  ($bc) AS bc
+       | FROM wide)
+       |SELECT CAST(${years.length} AS BIGINT) AS n_strata,
+       |       num * num / var_ AS cmh,
+       |       ad / bc AS or_mh
+       |FROM t""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.scale.Layout.zonemapQuery]]: identical
     * shard assignment (row_number under the same unique orders, the

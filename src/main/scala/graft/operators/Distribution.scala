@@ -1529,6 +1529,124 @@ object Distribution {
           .cast("string").cast("double")).as("t2"))
   }
 
+  /** Cochran–Mantel–Haenszel test across year strata (q_cmh): does the
+    * BUILDING-vs-MACHINERY return-rate difference hold up once the
+    * order YEAR is controlled for, or is it a Simpson's-paradox
+    * artifact of year mix? (q_simpson shows the paradox; this is the
+    * statistic that adjusts for it.) One 2×2 table per year, CMH
+    * χ² = (Σ_k (a_k − E_k))² / Σ_k Var_k plus the Mantel–Haenszel
+    * pooled odds ratio.
+    *
+    * The seven strata are a FIXED calendar domain, so all 28 cell
+    * counts ride one conditional-aggregate row (pivoted-domain device)
+    * and every Σ_k is a fixed-order expression tree — each stratum term
+    * is exact integers until its own single division. Two fact joins
+    * (returned-orders semi-aggregate, customer segment), one shuffle. */
+  def cmhQuery(spark: SparkSession, dir: String,
+               segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val years = 1995 to 2001
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey")).distinct()
+      .withColumn("__ret", lit(1L))
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .join(returned, Seq("o_orderkey"), "left")
+      .select(year(col("o_orderdate")).as("y"),
+        (col("c_mktsegment") === segA).as("e"),
+        coalesce(col("__ret"), lit(0L)).as("o"))
+    val cellAggs = years.flatMap { y =>
+      Seq(
+        sum(when(col("y") === y && col("e") && col("o") === 1L, 1L)
+          .otherwise(0L)).as(s"a$y"),
+        sum(when(col("y") === y && col("e") && col("o") === 0L, 1L)
+          .otherwise(0L)).as(s"b$y"),
+        sum(when(col("y") === y && !col("e") && col("o") === 1L, 1L)
+          .otherwise(0L)).as(s"c$y"),
+        sum(when(col("y") === y && !col("e") && col("o") === 0L, 1L)
+          .otherwise(0L)).as(s"d$y"))
+    }
+    val wide = rows.agg(cellAggs.head, cellAggs.tail: _*)
+    def nOf(y: Int) =
+      col(s"a$y") + col(s"b$y") + col(s"c$y") + col(s"d$y")
+    // Σ_k (a − (a+b)(a+c)/n): each term exact ints until ONE division
+    val numTree = years.map { y =>
+      col(s"a$y").cast("double") -
+        ((col(s"a$y") + col(s"b$y")).cast(d38) *
+          (col(s"a$y") + col(s"c$y")).cast(d38))
+          .cast("string").cast("double") / nOf(y).cast("double")
+    }.reduceLeft(_ + _)
+    // Σ_k (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+    val varTree = years.map { y =>
+      ((col(s"a$y") + col(s"b$y")).cast(d38) *
+        (col(s"c$y") + col(s"d$y")).cast(d38) *
+        (col(s"a$y") + col(s"c$y")).cast(d38) *
+        (col(s"b$y") + col(s"d$y")).cast(d38))
+        .cast("string").cast("double") /
+        (nOf(y).cast(d38) * nOf(y).cast(d38) * (nOf(y) - 1L).cast(d38))
+          .cast("string").cast("double")
+    }.reduceLeft(_ + _)
+    val adTree = years.map { y =>
+      (col(s"a$y").cast(d38) * col(s"d$y").cast(d38))
+        .cast("string").cast("double") / nOf(y).cast("double")
+    }.reduceLeft(_ + _)
+    val bcTree = years.map { y =>
+      (col(s"b$y").cast(d38) * col(s"c$y").cast(d38))
+        .cast("string").cast("double") / nOf(y).cast("double")
+    }.reduceLeft(_ + _)
+    wide.select(lit(years.length.toLong).as("n_strata"),
+      (numTree * numTree / varTree).as("cmh"),
+      (adTree / bcTree).as("or_mh"))
+  }
+
+  /** Empirical tail-dependence of customer spend vs order count
+    * (q_tail_dep): λ_U = P(top-decile order count | top-decile spend)
+    * and the lower-tail mirror — do the extremes move together even if
+    * the bulk correlation is mild? The copula-level read that Pearson
+    * (q_regression) and Spearman (q_spearman) both miss, and the risk
+    * question behind "are the biggest spenders also the most active?".
+    *
+    * Both margins are ranked by [[Ranking.distributedGlobalRank]] under
+    * unique orders (no single-partition window); decile membership is
+    * integer arithmetic on ranks; each λ is one division of exact
+    * counts. Shape: one customer-grain aggregate, two rank passes, one
+    * key join, a one-row rollup. */
+  def tailDepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"),
+          count(lit(1)).as("y")),
+      "taildep_per") // feeds both rank passes
+    val rx = Ranking.distributedGlobalRank(per,
+        Seq(col("x").asc, col("o_custkey").asc), rankCol = "rx")
+      .select(col("o_custkey"), col("rx"), col("n"))
+    val ry = Ranking.distributedGlobalRank(per,
+        Seq(col("y").asc, col("o_custkey").asc), rankCol = "ry")
+      .select(col("o_custkey").as("ck"), col("ry"))
+    rx.join(ry, col("o_custkey") === col("ck"))
+      .select(col("n"),
+        (col("rx") > expr("(9 * n) div 10")).as("hx"),
+        (col("ry") > expr("(9 * n) div 10")).as("hy"),
+        (col("rx") <= expr("n div 10")).as("lx"),
+        (col("ry") <= expr("n div 10")).as("ly"))
+      .groupBy("n")
+      .agg(sum(when(col("hx"), 1L).otherwise(0L)).as("n_hi_x"),
+        sum(when(col("hx") && col("hy"), 1L).otherwise(0L)).as("both_hi"),
+        sum(when(col("lx"), 1L).otherwise(0L)).as("n_lo_x"),
+        sum(when(col("lx") && col("ly"), 1L).otherwise(0L)).as("both_lo"))
+      .select(col("n"), col("n_hi_x"), col("both_hi"),
+        (col("both_hi").cast("double") / col("n_hi_x").cast("double"))
+          .as("lambda_u"),
+        col("n_lo_x"), col("both_lo"),
+        (col("both_lo").cast("double") / col("n_lo_x").cast("double"))
+          .as("lambda_l"))
+  }
+
   /** Brown–Forsythe (median-based Levene) test across the five order
     * priorities (q_levene): are the price SPREADS equal, not the means —
     * the homoscedasticity gate before trusting q_anova's pooled

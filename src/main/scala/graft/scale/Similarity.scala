@@ -80,6 +80,50 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Mutual-kNN consistency of the embedding space (q_mutual_knn): the
+    * fraction of directed k-nearest-neighbor edges whose reverse edge
+    * also exists. A hubby or anisotropic embedding space scores low
+    * (many points claim the same neighbor that never claims them back)
+    * — the standard pre-index QA read before trusting ANN recall, next
+    * to [[graft.scale.EmbedStats]]'s dimension audits.
+    *
+    * Per-point top-k runs through the custom [[graft.plans.TopKPerKey]]
+    * operator (per-partition bounded heaps below the exchange — the
+    * scored stream never shuffles at full width). Scoring is the exact
+    * all-pairs broadcast pass (the audit-scale baseline, same shape as
+    * [[knnBruteForce]]); at corpus scale the SAME downstream mutuality
+    * join runs over [[cosineNearDupPairs]]' banded candidates instead.
+    * Mutuality is an exact self-join count; the fraction is ONE
+    * division. */
+  def mutualKnnQuery(spark: SparkSession, dir: String,
+                     k: Int = 5): DataFrame = {
+    val emb = graft.scale.Silver.scratch(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "mknn_emb") // feeds both sides of the scoring pass
+    val scored = emb.select(col("vec_id").as("src"), col("v"))
+      .join(broadcast(emb.select(col("vec_id").as("dst"),
+        col("v").as("vd"))), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("v"), col("vd")), 6).as("sim"))
+    val edges = graft.scale.Silver.scratch(
+      graft.plans.TopKPerKey(scored, k, keys = Seq(col("src")),
+          order = Seq(col("sim").desc, col("dst").asc))
+        .select(col("src"), col("dst")),
+      "mknn_edges") // feeds both sides of the mutuality join
+    val mutual = edges
+      .join(edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_mutual"))
+    val tot = edges.agg(count(lit(1)).as("n_edges"))
+    val pts = emb.agg(count(lit(1)).as("n_points"))
+    pts.crossJoin(broadcast(tot)).crossJoin(broadcast(mutual))
+      .select(col("n_points"), lit(k.toLong).as("k"), col("n_edges"),
+        col("n_mutual"),
+        (col("n_mutual").cast("double") / col("n_edges").cast("double"))
+          .as("mutual_frac"))
+  }
+
   /** IVF-style ANN: k-means coarse quantizer (spark.ml KMeans, seeded),
     * corpus partitioned by nearest centroid; a query probes only the
     * `nProbe` closest cells and scores exactly within them. The scale path

@@ -198,6 +198,35 @@ class StatsLayoutSpec extends SparkSpec {
     }
   }
 
+  test("cmh: statistic nonnegative, pooled OR positive") {
+    val r = graft.operators.Distribution.cmhQuery(spark, Sf0001).head()
+    assert(r.getAs[Long]("n_strata") == 7L)
+    assert(r.getAs[Double]("cmh") >= 0.0)
+    assert(r.getAs[Double]("or_mh") > 0.0)
+  }
+
+  test("tail dep: lambdas in [0,1], decile counts near n/10") {
+    val r = graft.operators.Distribution.tailDepQuery(spark, Sf0001).head()
+    val n = r.getAs[Long]("n")
+    for (c <- Seq("lambda_u", "lambda_l")) {
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c out of [0,1]: $v")
+    }
+    assert(r.getAs[Long]("n_hi_x") == n - (9 * n) / 10)
+    assert(r.getAs[Long]("n_lo_x") == n / 10)
+    assert(r.getAs[Long]("both_hi") <= r.getAs[Long]("n_hi_x"))
+  }
+
+  test("mutual knn: edge accounting exact, fraction bounded") {
+    val r = graft.scale.Similarity.mutualKnnQuery(spark, Sf0001).head()
+    val (np, k, ne, nm) = (r.getAs[Long]("n_points"), r.getAs[Long]("k"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_mutual"))
+    assert(ne == np * k, "every point must emit exactly k edges")
+    assert(nm % 2 == 0, "mutual edges come in pairs")
+    val f = r.getAs[Double]("mutual_frac")
+    assert(f >= 0.0 && f <= 1.0)
+  }
+
   test("dbscan: triage partitions the corpus") {
     val r = graft.scale.EmbedStats.dbscanCoreQuery(spark, Sf0001).head()
     val (n, c, b, o) = (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
