@@ -397,7 +397,10 @@ object SparkEntry {
     "q_peaks"           -> ((s, d) => graft.operators.TimeSeries.peaksQuery(s, d)),
     "q_cmh"             -> ((s, d) => graft.operators.Distribution.cmhQuery(s, d)),
     "q_tail_dep"        -> ((s, d) => graft.operators.Distribution.tailDepQuery(s, d)),
-    "q_mutual_knn"      -> ((s, d) => graft.scale.Similarity.mutualKnnQuery(s, d))
+    "q_mutual_knn"      -> ((s, d) => graft.scale.Similarity.mutualKnnQuery(s, d)),
+    "q_mmd"             -> ((s, d) => graft.scale.EmbedStats.mmdQuery(s, d)),
+    "q_calinski"        -> ((s, d) => graft.scale.EmbedStats.calinskiQuery(s, d)),
+    "q_xcorr"           -> ((s, d) => graft.operators.Regression.xcorrQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9085,8 +9088,118 @@ object SparkEntry {
         |SELECT n_points, CAST(5 AS BIGINT) AS k, n_edges, n_mutual,
         |       CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
         |         AS mutual_frac
-        |FROM p CROSS JOIN c CROSS JOIN m""".stripMargin
+        |FROM p CROSS JOIN c CROSS JOIN m""".stripMargin,
+
+    // Linear-kernel MMD between label populations: per-dim scaled-int
+    // sums, cross-multiplied gap, second integer witness for the
+    // 64-dim square sum.
+    "q_mmd" ->
+      """WITH ex AS (
+        |  SELECT label, i AS dim, embedding[i] AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS g(i)
+        |  WHERE label IN (0, 1)),
+        |per AS (
+        |  SELECT dim,
+        |         CAST(sum(CASE WHEN label = 0
+        |                  THEN CAST(floor(CAST(v AS DOUBLE) * 1000000)
+        |                       AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        |         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS na,
+        |         CAST(sum(CASE WHEN label = 1
+        |                  THEN CAST(floor(CAST(v AS DOUBLE) * 1000000)
+        |                       AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nb
+        |  FROM ex GROUP BY dim),
+        |g AS (SELECT na, nb,
+        |             CAST(CAST(CAST(sa AS HUGEINT) * nb -
+        |                       CAST(sb AS HUGEINT) * na AS VARCHAR) AS DOUBLE) /
+        |             CAST(CAST(CAST(na AS HUGEINT) * nb AS VARCHAR) AS DOUBLE)
+        |               AS gap
+        |      FROM per),
+        |h AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS n_dims,
+        |             CAST(sum(CAST(floor(gap * gap * 1000000.0) AS BIGINT))
+        |                  AS BIGINT) AS mmd2_w
+        |      FROM g GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, n_dims, mmd2_w,
+        |       CAST(mmd2_w AS DOUBLE) / 1000000.0 AS mmd2
+        |FROM h""".stripMargin,
+
+    // Calinski–Harabasz: fully exact scatter sums on scaled ints, one
+    // per-label division witnessed to integers, final fixed tree.
+    "q_calinski" ->
+      """WITH pts AS (
+        |  SELECT label, i AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS u
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS g(i)),
+        |cells AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS nc,
+        |                 CAST(sum(u) AS BIGINT) AS su,
+        |                 sum(CAST(u AS HUGEINT) * u) AS qu
+        |          FROM pts GROUP BY 1, 2),
+        |perLabel AS (SELECT label, min(nc) AS nc,
+        |                    sum(CAST(nc AS HUGEINT) * qu -
+        |                        CAST(su AS HUGEINT) * su) AS wnum
+        |             FROM cells GROUP BY 1),
+        |gcells AS (SELECT dim, CAST(count(*) AS BIGINT) AS ng,
+        |                  CAST(sum(u) AS BIGINT) AS sg,
+        |                  sum(CAST(u AS HUGEINT) * u) AS qg
+        |           FROM pts GROUP BY 1),
+        |tss AS (SELECT ng, sum(CAST(ng AS HUGEINT) * qg -
+        |                       CAST(sg AS HUGEINT) * sg) AS tnum
+        |        FROM gcells GROUP BY 1),
+        |wss AS (SELECT CAST(sum(CAST(floor(
+        |                 CAST(CAST(wnum AS VARCHAR) AS DOUBLE) /
+        |                   CAST(nc AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |                 AS wss_w,
+        |               CAST(count(*) AS BIGINT) AS k,
+        |               CAST(sum(nc) AS BIGINT) AS n
+        |        FROM perLabel)
+        |SELECT k, n,
+        |       CAST(CAST(tnum AS VARCHAR) AS DOUBLE) / CAST(ng AS DOUBLE)
+        |         AS tss,
+        |       CAST(wss_w AS DOUBLE) AS wss,
+        |       ((CAST(CAST(tnum AS VARCHAR) AS DOUBLE) / CAST(ng AS DOUBLE) -
+        |         CAST(wss_w AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+        |       (CAST(wss_w AS DOUBLE) / CAST(n - k AS DOUBLE)) AS ch
+        |FROM wss CROSS JOIN tss""".stripMargin,
+
+    "q_xcorr" -> xcorrOracleSql
   )
+
+  /** DuckDB replay of [[graft.operators.Regression.xcorrQuery]]: one
+    * union arm per fixed lag, each the same cleared-denominator
+    * Pearson — generated from the shared lag range. */
+  private def xcorrOracleSql: String = {
+    val arms = (-3 to 3).map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS lag, n,
+         |       CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+         |            AS VARCHAR) AS DOUBLE) /
+         |       sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+         |                      CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+         |            CAST(CAST(CAST(n AS HUGEINT) * syy -
+         |                      CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+         |         AS r
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy,
+         |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |             sum(CAST(y AS HUGEINT) * y) AS syy
+         |      FROM (SELECT a.c AS x, b.v AS y
+         |            FROM daily a JOIN daily b ON b.day = a.day + $l))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+       |         CAST(count(*) AS BIGINT) AS c,
+       |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+       |              AS BIGINT) AS v
+       |  FROM orders GROUP BY 1)
+       |$arms
+       |ORDER BY lag""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Distribution.cmhQuery]]: the 28
     * stratum cells as one conditional-aggregate row, then the same

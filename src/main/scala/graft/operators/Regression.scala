@@ -357,6 +357,50 @@ object Regression {
     * hence engine-portable). The φ recursion is then a fixed scalar
     * tree over the three deterministic r's. One fact shuffle builds the
     * daily frame (materialized once — it feeds all three lag joins). */
+  /** Lead–lag cross-correlation between daily order COUNT and daily
+    * revenue (q_xcorr): r at lags −3…+3 — does volume lead value (big
+    * days follow busy days) or coincide? The bivariate companion of
+    * [[pacfQuery]]'s univariate view, and the standard pre-whitening
+    * read before any transfer-function forecast.
+    *
+    * Each lag is one join on the materialized calendar-bounded daily
+    * frame and one exact-sufficient-statistics Pearson (cleared
+    * denominators, VARCHAR-routed, division + correctly-rounded sqrt).
+    * Seven fixed lags → seven one-row frames unioned — never an
+    * aggregate over doubles. */
+  def xcorrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+        .agg(count(lit(1)).as("c"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("v")),
+      "xcorr_daily") // feeds all seven lag joins
+    def rOf(lag: Int): DataFrame = {
+      val pairs = daily.select(col("day"), col("c").as("x"))
+        .join(daily.select((col("day") - lag).as("day"), col("v").as("y")),
+          Seq("day"))
+      pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+        .select(lit(lag.toLong).as("lag"), col("n"),
+          ((col("n").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy").cast(d38))
+            .cast("string").cast("double") /
+           sqrt((col("n").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx").cast(d38))
+              .cast("string").cast("double") *
+             (col("n").cast(d38) * col("syy") -
+              col("sy").cast(d38) * col("sy").cast(d38))
+              .cast("string").cast("double"))).as("r"))
+    }
+    (-3 to 3).map(rOf).reduce(_ unionAll _).orderBy("lag")
+  }
+
   def pacfQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = graft.scale.Silver.scratch(

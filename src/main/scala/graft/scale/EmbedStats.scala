@@ -44,6 +44,109 @@ object EmbedStats {
     perDimension(graft.sources.Tables.embeddings(spark, dir))
       .orderBy("dim")
 
+  /** Linear-kernel maximum mean discrepancy between two label
+    * populations of the embedding space (q_mmd): ‖mean(A) − mean(B)‖²
+    * — the one-number "did the distribution move?" test for embedding
+    * stores (label 0 vs label 1 here standing in for
+    * yesterday's-batch-vs-today's), the multivariate companion of the
+    * scalar drift reads (q_psi_drift, q_tv_drift).
+    *
+    * Determinism: per (label, dim) the scaled-integer sums
+    * (Σ floor(v·10⁶) — the module's witness device) and counts are
+    * exact; the per-dim mean gap is the cross-multiplied exact integer
+    * (s_a·n_b − s_b·n_a) over n_a·n_b — ONE division per dim; and the
+    * 64-dim square sum collapses through a SECOND integer witness
+    * Σ_d floor(gap²·10⁶) so no float accumulation ever crosses an
+    * aggregate. One fan-out pass to (label, dim), dimension-bounded
+    * arithmetic after. */
+  def mmdQuery(spark: SparkSession, dir: String,
+               labelA: Int = 0, labelB: Int = 1): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val per = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("label").isin(labelA, labelB))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("label") === labelA,
+          floor(col("v").cast("double") * 1000000d).cast("long"))
+          .otherwise(0L)).as("sa"),
+        sum(when(col("label") === labelA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("label") === labelB,
+          floor(col("v").cast("double") * 1000000d).cast("long"))
+          .otherwise(0L)).as("sb"),
+        sum(when(col("label") === labelB, 1L).otherwise(0L)).as("nb"))
+    per
+      .select(col("na"), col("nb"),
+        ((col("sa").cast(d38) * col("nb").cast(d38) -
+          col("sb").cast(d38) * col("na").cast(d38))
+          .cast("string").cast("double") /
+         (col("na").cast(d38) * col("nb").cast(d38))
+          .cast("string").cast("double")).as("gap"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(floor(col("gap") * col("gap") * lit(1000000.0)).cast("long"))
+          .as("mmd2_w"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("n_dims"),
+        col("mmd2_w"),
+        (col("mmd2_w").cast("double") / lit(1000000.0)).as("mmd2"))
+  }
+
+  /** Calinski–Harabasz clustering-validity index of the labeled
+    * embedding space (q_calinski): between-cluster over within-cluster
+    * scatter — "how separable are the ground-truth labels in this
+    * space?", the FULLY-EXACT companion to q_silhouette (no sqrt, no
+    * pairwise distances: every scatter term is cleared-denominator
+    * integer arithmetic on the scaled embedding values).
+    *
+    * Per (label, dim): exact Σu and Σu² of the scaled ints u =
+    * floor(v·10⁶); WSS·Π-free form per cell = (n_c·Σu² − (Σu)²)/n_c —
+    * each cell ONE division, summed over the FIXED 64·|labels| domain
+    * via an integer witness on the numerators... in fact both WSS and
+    * TSS reduce to Σ_cells (integer)/n witnesses with the SAME shape,
+    * so CH is a fixed tree over two VARCHAR-routed exact sums and the
+    * final division. One fan-out pass, cell-bounded arithmetic. */
+  def calinskiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pts = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * 1000000d).cast("long").as("u"))
+    val cells = pts.groupBy("label", "dim")
+      .agg(count(lit(1)).as("nc"), sum(col("u")).as("su"),
+        sum(col("u").cast(d38) * col("u").cast(d38)).as("qu"))
+    // WSS numerator witness: Σ_cells (n_c·Σu² − (Σu)²) is exact, and
+    // every cell in one label shares n_c, so the division is per-label.
+    val perLabel = cells.groupBy("label")
+      .agg(first(col("nc")).as("nc"),
+        sum(col("nc").cast(d38) * col("qu") -
+          col("su").cast(d38) * col("su").cast(d38)).as("wnum"),
+        sum(col("qu")).as("q_l"), count(lit(1)).as("n_dims"))
+      .select(col("label"), col("nc"), col("wnum"), col("q_l"))
+    // TSS from the global cells (same device, one global n)
+    val globalCells = pts.groupBy("dim")
+      .agg(count(lit(1)).as("ng"), sum(col("u")).as("sg"),
+        sum(col("u").cast(d38) * col("u").cast(d38)).as("qg"))
+    val tss = globalCells.groupBy("ng")
+      .agg(sum(col("ng").cast(d38) * col("qg") -
+        col("sg").cast(d38) * col("sg").cast(d38)).as("tnum"))
+    // label frame is |labels|-bounded: the double sum below is over a
+    // fixed 3-term... domain via an integer floor witness (no float agg)
+    val wss = perLabel
+      .select((col("wnum").cast("string").cast("double") /
+        col("nc").cast("double")).as("w_l"), col("nc"))
+      .agg(sum(floor(col("w_l")).cast("long")).as("wss_w"),
+        count(lit(1)).as("k"), sum(col("nc")).as("n"))
+    wss.crossJoin(broadcast(tss))
+      .select(col("k"), col("n"),
+        (col("tnum").cast("string").cast("double") /
+          col("ng").cast("double")).as("tss"),
+        col("wss_w").cast("double").as("wss"))
+      .select(col("k"), col("n"), col("tss"), col("wss"),
+        (((col("tss") - col("wss")) / (col("k") - 1L).cast("double")) /
+          (col("wss") / (col("n") - col("k")).cast("double"))).as("ch"))
+  }
+
   /** Label balance (q_label_balance): class distribution of the
     * embeddings' ground-truth labels + the majority-class flag — the
     * first table of any classification-dataset card (the majority share

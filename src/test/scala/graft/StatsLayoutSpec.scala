@@ -227,6 +227,34 @@ class StatsLayoutSpec extends SparkSpec {
     assert(f >= 0.0 && f <= 1.0)
   }
 
+  test("mmd: nonnegative, zero against itself") {
+    val r = graft.scale.EmbedStats.mmdQuery(spark, Sf0001).head()
+    assert(r.getAs[Long]("n_dims") == 64L)
+    assert(r.getAs[Double]("mmd2") >= 0.0)
+    // same-population MMD must be exactly zero by construction
+    val same = graft.scale.EmbedStats.mmdQuery(spark, Sf0001, 0, 0).head()
+    assert(same.getAs[Long]("mmd2_w") == 0L)
+  }
+
+  test("calinski: scatter decomposition holds (wss <= tss)") {
+    val r = graft.scale.EmbedStats.calinskiQuery(spark, Sf0001).head()
+    assert(r.getAs[Long]("k") == 10L)
+    val (tss, wss) = (r.getAs[Double]("tss"), r.getAs[Double]("wss"))
+    assert(wss >= 0.0 && wss <= tss, s"wss $wss > tss $tss")
+    assert(r.getAs[Double]("ch") >= 0.0)
+  }
+
+  test("xcorr: seven lags, r bounded, lag 0 strongest magnitude") {
+    val rows = graft.operators.Regression.xcorrQuery(spark, Sf0001).collect()
+    assert(rows.length == 7)
+    val byLag = rows.map(r =>
+      r.getAs[Long]("lag") -> r.getAs[Double]("r")).toMap
+    for ((_, r) <- byLag) assert(r >= -1.0 && r <= 1.0)
+    // volume and value on the SAME day are mechanically coupled:
+    // the contemporaneous correlation should dominate the lags
+    assert(byLag.values.map(math.abs).max == math.abs(byLag(0L)))
+  }
+
   test("dbscan: triage partitions the corpus") {
     val r = graft.scale.EmbedStats.dbscanCoreQuery(spark, Sf0001).head()
     val (n, c, b, o) = (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
