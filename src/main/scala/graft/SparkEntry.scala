@@ -344,6 +344,7 @@ object SparkEntry {
     "q_padding_waste"   -> ((s, d) => TrainingData.paddingWasteQuery(s, d)),
     "q_quantile_norm"   -> ((s, d) => TextAnalysis.quantileNormQuery(s, d)),
     "q_bh_fdr"          -> ((s, d) => graft.operators.Distribution.bhFdrQuery(s, d)),
+    "q_holm"            -> ((s, d) => graft.operators.Distribution.holmQuery(s, d)),
     "q_degree_central"  -> ((s, d) => graft.operators.KCore.degreeCentralizationQuery(s, d)),
     "q_blocking_eval"   -> ((s, d) => graft.scale.Dedup.blockingEvalQuery(s, d)),
     "q_hurst_rs"        -> ((s, d) => graft.operators.TimeSeries.hurstRsQuery(s, d)),
@@ -7437,6 +7438,54 @@ object SparkEntry {
         |       min(padj_raw) OVER (ORDER BY i DESC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         <= CAST(0.1 AS DOUBLE) AS reject
+        |FROM r ORDER BY i""".stripMargin,
+
+    // Holm-Bonferroni step-down over the same per-brand chi^2
+    // p-proxies: padj = running max of min(1, (m-i+1)*p), FWER alpha
+    // 0.05; shares the exact-integer chi^2 CTEs with q_bh_fdr.
+    "q_holm" ->
+      """WITH cells AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS c1,
+        |               CAST(sum(b) AS BIGINT) AS c0,
+        |               CAST(count(*) AS BIGINT) AS m FROM cells),
+        |st AS (
+        |  SELECT brand, a, b, m,
+        |         CAST(CAST(CAST(c1 + c0 AS HUGEINT) *
+        |                   (CAST(a AS HUGEINT) * (c0 - b) -
+        |                    CAST(b AS HUGEINT) * (c1 - a)) *
+        |                   (CAST(a AS HUGEINT) * (c0 - b) -
+        |                    CAST(b AS HUGEINT) * (c1 - a)) AS VARCHAR)
+        |              AS DOUBLE) /
+        |         CAST(CAST(CAST(a + b AS HUGEINT) *
+        |                   (c1 - a + c0 - b) * c1 * c0 AS VARCHAR)
+        |              AS DOUBLE) AS chi2
+        |  FROM cells CROSS JOIN tot),
+        |p AS (
+        |  SELECT brand, a, b, m, chi2,
+        |         CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + chi2) AS p
+        |  FROM st),
+        |r AS (
+        |  SELECT brand, a, b, chi2, p,
+        |         CAST(row_number() OVER (ORDER BY p ASC, brand ASC)
+        |              AS BIGINT) AS i,
+        |         least(CAST(1 AS DOUBLE),
+        |               p * CAST(m - row_number()
+        |                 OVER (ORDER BY p ASC, brand ASC) + 1
+        |                 AS DOUBLE)) AS padj_raw
+        |  FROM p)
+        |SELECT brand, a, b, chi2, p, i,
+        |       max(padj_raw) OVER (ORDER BY i ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj,
+        |       max(padj_raw) OVER (ORDER BY i ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         <= CAST(0.05 AS DOUBLE) AS reject
         |FROM r ORDER BY i""".stripMargin,
 
     // Freeman degree centralization: n*dmax - sum(deg) over (n-1)(n-2),

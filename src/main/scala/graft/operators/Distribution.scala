@@ -1411,6 +1411,40 @@ object Distribution {
 
   def bhFdrQuery(spark: SparkSession, dir: String,
                  q: Double = 0.10): DataFrame = {
+    val ranked = brandPValues(spark, dir)
+    ranked.withColumn("padj_raw",
+        col("p") * col("m").cast("double") / col("i").cast("double"))
+      .withColumn("padj",
+        min(col("padj_raw")).over(Window.orderBy(col("i").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("brand"), col("a"), col("b"), col("chi2"), col("p"),
+        col("i"), col("padj"), (col("padj") <= q).as("reject"))
+      .orderBy("i")
+  }
+
+  /** Holm–Bonferroni step-down over the same per-brand p-values
+    * (q_holm): the FWER-controlling sibling of [[bhFdrQuery]]'s FDR —
+    * reject while p_(i) ≤ α/(m−i+1), reported as the monotone adjusted
+    * p = running max of min(1, (m−i+1)·p). Same brand-bounded frame,
+    * same exact chi-square inputs; only the step direction differs. */
+  def holmQuery(spark: SparkSession, dir: String,
+                alpha: Double = 0.05): DataFrame = {
+    val ranked = brandPValues(spark, dir)
+    ranked.withColumn("padj_raw",
+        least(lit(1.0), col("p") * (col("m") - col("i") + 1L).cast("double")))
+      .withColumn("padj",
+        max(col("padj_raw")).over(Window.orderBy(col("i").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("brand"), col("a"), col("b"), col("chi2"), col("p"),
+        col("i"), col("padj"), (col("padj") <= alpha).as("reject"))
+      .orderBy("i")
+  }
+
+  /** Shared by [[bhFdrQuery]] and [[holmQuery]]: per-brand return-rate
+    * 2x2 chi-squares (exact integers until one division), the
+    * monotone p surrogate 1/(1+chi2), and the p-ascending rank i over
+    * the |brands|-bounded frame. */
+  private def brandPValues(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val cells = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
@@ -1438,18 +1472,10 @@ object Distribution {
           .cast("string").cast("double")).as("chi2"))
       .withColumn("p", lit(1.0) / (lit(1.0) + col("chi2")))
     // From here every frame is |brands|-sized (25 rows): the rank and
-    // suffix-min windows are dimension-bounded by construction.
-    val ranked = stats.withColumn("i",
+    // step windows in the callers are dimension-bounded by construction.
+    stats.withColumn("i",
       row_number().over(Window.orderBy(col("p").asc, col("brand").asc))
         .cast("long"))
-      .withColumn("padj_raw",
-        col("p") * col("m").cast("double") / col("i").cast("double"))
-    ranked.withColumn("padj",
-        min(col("padj_raw")).over(Window.orderBy(col("i").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("brand"), col("a"), col("b"), col("chi2"), col("p"),
-        col("i"), col("padj"), (col("padj") <= q).as("reject"))
-      .orderBy("i")
   }
 
   /** Two-sample Cramér–von Mises statistic between the order-price
