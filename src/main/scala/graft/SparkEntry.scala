@@ -401,7 +401,22 @@ object SparkEntry {
     "q_mutual_knn"      -> ((s, d) => graft.scale.Similarity.mutualKnnQuery(s, d)),
     "q_mmd"             -> ((s, d) => graft.scale.EmbedStats.mmdQuery(s, d)),
     "q_calinski"        -> ((s, d) => graft.scale.EmbedStats.calinskiQuery(s, d)),
-    "q_xcorr"           -> ((s, d) => graft.operators.Regression.xcorrQuery(s, d))
+    "q_xcorr"           -> ((s, d) => graft.operators.Regression.xcorrQuery(s, d)),
+    "q_jarque_bera"     -> ((s, d) => graft.operators.Distribution.jarqueBera(s, d)),
+    "q_eb_shrinkage"    -> ((s, d) => graft.operators.Distribution.ebShrinkage(s, d)),
+    "q_durbin_watson"   -> ((s, d) => graft.operators.TimeSeries.durbinWatson(s, d)),
+    "q_rsi"             -> ((s, d) => graft.operators.TimeSeries.rsi(s, d)),
+    "q_closeness"       -> ((s, d) => graft.operators.KCore.closenessQuery(s, d)),
+    "q_harmonic"        -> ((s, d) => graft.operators.KCore.harmonicQuery(s, d)),
+    "q_lof"             -> ((s, d) => graft.scale.Similarity.lofQuery(s, d)),
+    "q_moran"           -> ((s, d) => graft.operators.KCore.moranQuery(s, d)),
+    "q_geary"           -> ((s, d) => graft.operators.KCore.gearyQuery(s, d)),
+    "q_katz"            -> ((s, d) => graft.operators.KCore.katzQuery(s, d)),
+    "q_cliffs_delta"    -> ((s, d) => graft.operators.Distribution.cliffsDelta(s, d)),
+    "q_hodges_lehmann"  -> ((s, d) => graft.operators.Distribution.hodgesLehmann(s, d)),
+    "q_strat_ate"       -> ((s, d) => graft.operators.Distribution.stratAte(s, d)),
+    "q_granger"         -> ((s, d) => graft.operators.Regression.grangerQuery(s, d)),
+    "q_var_es"          -> ((s, d) => graft.operators.TimeSeries.varEs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9215,8 +9230,450 @@ object SparkEntry {
         |       (CAST(wss_w AS DOUBLE) / CAST(n - k AS DOUBLE)) AS ch
         |FROM wss CROSS JOIN tss""".stripMargin,
 
-    "q_xcorr" -> xcorrOracleSql
+    "q_xcorr" -> xcorrOracleSql,
+
+    // Jarque–Bera: exact long power sums Σq..Σq⁴, then the central
+    // moments and JB as one fixed IEEE tree (m2^1.5 written m2·√m2 —
+    // sqrt is correctly rounded, pow is not portable).
+    "q_jarque_bera" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s1,
+        |         CAST(sum(q * q) AS BIGINT) AS s2,
+        |         CAST(sum(q * q * q) AS BIGINT) AS s3,
+        |         CAST(sum(q * q * q * q) AS BIGINT) AS s4
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem)),
+        |m AS (
+        |  SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM s),
+        |c AS (
+        |  SELECT n, e2 - mu * mu AS m2,
+        |         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        |         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 -
+        |           3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |k AS (
+        |  SELECT n, m3 / (m2 * sqrt(m2)) AS skewness,
+        |         m4 / (m2 * m2) AS kurtosis
+        |  FROM c)
+        |SELECT n, skewness, kurtosis,
+        |       CAST(n AS DOUBLE) / 6.0 *
+        |         (skewness * skewness +
+        |          (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0) AS jb
+        |FROM k""".stripMargin,
+
+    // Empirical-Bayes shrinkage: per-supplier (n, x) exact, scaled-int
+    // rate witnesses u = (10⁶x) div n, method-of-moments Beta prior as
+    // one fixed tree, per-row posterior mean.
+    "q_eb_shrinkage" ->
+      """WITH per AS (
+        |  SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |per2 AS (SELECT *, (1000000 * x) // n AS u FROM per),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |               CAST(sum(u) AS BIGINT) AS su,
+        |               CAST(sum(u * u) AS BIGINT) AS qu
+        |        FROM per2),
+        |pr AS (SELECT g,
+        |              CAST(su AS DOUBLE) / CAST(g AS DOUBLE) / 1000000.0
+        |                AS m,
+        |              (CAST(g AS DOUBLE) * CAST(qu AS DOUBLE) -
+        |               CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) /
+        |                (CAST(g AS DOUBLE) * (CAST(g AS DOUBLE) - 1.0)) /
+        |                1000000000000.0 AS v
+        |       FROM mom),
+        |pr2 AS (SELECT g, m, v, m * (1.0 - m) / v - 1.0 AS c FROM pr),
+        |pr3 AS (SELECT g AS n_groups, m * c AS alpha, (1.0 - m) * c AS beta
+        |        FROM pr2)
+        |SELECT p.s_suppkey, p.n, p.x, pr3.n_groups, pr3.alpha, pr3.beta,
+        |       CAST(p.x AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_rate,
+        |       (CAST(p.x AS DOUBLE) + pr3.alpha) /
+        |         (CAST(p.n AS DOUBLE) + pr3.alpha + pr3.beta) AS shrunk_rate
+        |FROM per2 p CROSS JOIN pr3
+        |ORDER BY p.s_suppkey""".stripMargin,
+
+    // Durbin–Watson per priority: n-scaled residuals r = n·v − S keep
+    // num/den exact (HUGEINT ↔ decimal(38,0)); VARCHAR-routed terminal
+    // division.
+    "q_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT prio, CAST(sum(v) AS HUGEINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS nd
+        |        FROM daily GROUP BY 1),
+        |r AS (SELECT d.prio, d.day, t.nd,
+        |             CAST(t.nd AS HUGEINT) * CAST(d.v AS HUGEINT) - t.s AS r
+        |      FROM daily d JOIN tot t ON d.prio = t.prio),
+        |rr AS (SELECT prio, nd, r,
+        |              lag(r) OVER (PARTITION BY prio ORDER BY day) AS r_prev
+        |       FROM r),
+        |agg AS (SELECT prio, max(nd) AS n_days,
+        |               sum(CASE WHEN r_prev IS NOT NULL
+        |                   THEN (r - r_prev) * (r - r_prev)
+        |                   ELSE CAST(0 AS HUGEINT) END) AS num,
+        |               sum(r * r) AS den
+        |        FROM rr GROUP BY 1)
+        |SELECT prio, n_days,
+        |       CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dw
+        |FROM agg ORDER BY prio""".stripMargin,
+
+    // Cutler RSI-14 per priority: exact long deltas and trailing sums,
+    // full windows only, one terminal division (0/0 → neutral 50).
+    "q_rsi" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |d2 AS (SELECT prio, day, v,
+        |              v - lag(v) OVER (PARTITION BY prio ORDER BY day)
+        |                AS delta
+        |       FROM daily),
+        |d3 AS (SELECT * FROM d2 WHERE delta IS NOT NULL),
+        |d4 AS (SELECT prio, day, v,
+        |              count(*) OVER w AS n_w,
+        |              CAST(sum(greatest(delta, 0)) OVER w AS BIGINT)
+        |                AS sum_gain,
+        |              CAST(sum(greatest(-delta, 0)) OVER w AS BIGINT)
+        |                AS sum_loss
+        |       FROM d3
+        |       WINDOW w AS (PARTITION BY prio ORDER BY day
+        |                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT prio, day, v AS day_cents, sum_gain, sum_loss,
+        |       CASE WHEN sum_gain + sum_loss = 0 THEN 50.0
+        |            ELSE 100.0 * CAST(sum_gain AS DOUBLE) /
+        |                 CAST(sum_gain + sum_loss AS DOUBLE) END AS rsi
+        |FROM d4 WHERE n_w = 14
+        |ORDER BY prio, day""".stripMargin,
+
+    "q_closeness" -> closenessOracleSql,
+    "q_harmonic" -> harmonicOracleSql,
+    "q_moran" -> moranOracleSql("moran"),
+    "q_geary" -> moranOracleSql("geary"),
+    "q_katz" -> katzOracleSql,
+
+    // Cliff's delta: bounded-domain pair counting (≤50×50), exact longs,
+    // one terminal division.
+    "q_cliffs_delta" ->
+      """WITH counts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cr,
+        |         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |g AS (SELECT CAST(sum(CASE WHEN a.q > b.q THEN a.cr * b.cn
+        |                   ELSE 0 END) AS BIGINT) AS n_gt,
+        |             CAST(sum(CASE WHEN a.q < b.q THEN a.cr * b.cn
+        |                   ELSE 0 END) AS BIGINT) AS n_lt
+        |      FROM counts a CROSS JOIN counts b),
+        |ns AS (SELECT CAST(sum(cr) AS BIGINT) AS n_r,
+        |              CAST(sum(cn) AS BIGINT) AS n_n FROM counts)
+        |SELECT n_r, n_n, n_gt, n_lt,
+        |       CAST(n_gt - n_lt AS DOUBLE) / CAST(n_r * n_n AS DOUBLE)
+        |         AS cliffs_delta
+        |FROM ns CROSS JOIN g""".stripMargin,
+
+    // Hodges–Lehmann: counts convolution over the ±49 difference
+    // domain, exact cumulative selection, midpoint is the one IEEE op.
+    "q_hodges_lehmann" ->
+      """WITH counts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cr,
+        |         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |diffs AS (SELECT a.q - b.q AS d,
+        |                 CAST(sum(a.cr * b.cn) AS BIGINT) AS w
+        |          FROM counts a CROSS JOIN counts b GROUP BY 1
+        |          HAVING sum(a.cr * b.cn) > 0),
+        |cum AS (SELECT d, CAST(sum(w) OVER (ORDER BY d
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS BIGINT) AS cum
+        |        FROM diffs),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t_pairs FROM diffs),
+        |lo AS (SELECT min(d) AS hl_lo FROM cum, tot
+        |       WHERE cum >= (t_pairs + 1) // 2),
+        |hi AS (SELECT min(d) AS hl_hi FROM cum, tot
+        |       WHERE cum >= t_pairs // 2 + 1)
+        |SELECT t_pairs, hl_lo, hl_hi,
+        |       CAST(hl_lo + hl_hi AS DOUBLE) / 2.0 AS hl_shift
+        |FROM tot CROSS JOIN lo CROSS JOIN hi""".stripMargin,
+
+    // Stratified ATE: per-segment exact (n, n_t, Σy) — per-stratum
+    // means are the only divisions, no cross-stratum accumulation.
+    "q_strat_ate" ->
+      """SELECT c.c_mktsegment AS segment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |                 AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |              THEN 1 ELSE 0 END) AS DOUBLE) AS mean_t_cents,
+        |       CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+        |            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |                 AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |         CAST(count(*) - sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |              THEN 1 ELSE 0 END) AS DOUBLE) AS mean_c_cents,
+        |       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |                 AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |              THEN 1 ELSE 0 END) AS DOUBLE) -
+        |       CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+        |            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |                 AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |         CAST(count(*) - sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |              THEN 1 ELSE 0 END) AS DOUBLE) AS ate_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Granger F: cleared-denominator centered moments (HUGEINT ↔
+    // decimal(38,0), VARCHAR-routed), Cramer 2×2 fixed tree.
+    "q_granger" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS y,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT a.y AS y, b.y AS y1, b.x AS x1
+        |      FROM daily a JOIN daily b ON a.day = b.day + 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(y1) AS HUGEINT) AS sy1,
+        |             CAST(sum(x1) AS HUGEINT) AS sx1,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy,
+        |             sum(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+        |             sum(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+        |             sum(CAST(y AS HUGEINT) * y1) AS syy1,
+        |             sum(CAST(y AS HUGEINT) * x1) AS syx1,
+        |             sum(CAST(y1 AS HUGEINT) * x1) AS sy1x1
+        |      FROM t),
+        |c AS (SELECT n,
+        |  CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS cyy,
+        |  CAST(CAST(n * sy1y1 - sy1 * sy1 AS VARCHAR) AS DOUBLE) AS c11,
+        |  CAST(CAST(n * sx1x1 - sx1 * sx1 AS VARCHAR) AS DOUBLE) AS c22,
+        |  CAST(CAST(n * syy1 - sy * sy1 AS VARCHAR) AS DOUBLE) AS cy1,
+        |  CAST(CAST(n * syx1 - sy * sx1 AS VARCHAR) AS DOUBLE) AS cy2,
+        |  CAST(CAST(n * sy1x1 - sy1 * sx1 AS VARCHAR) AS DOUBLE) AS c12
+        |  FROM s),
+        |f AS (SELECT n, cyy - cy1 * cy1 / c11 AS rss_r,
+        |             c11 * c22 - c12 * c12 AS det, cyy, cy1, cy2, c11,
+        |             c12, c22
+        |      FROM c),
+        |b AS (SELECT n, rss_r,
+        |             (c22 * cy1 - c12 * cy2) / det AS b1,
+        |             (c11 * cy2 - c12 * cy1) / det AS b2,
+        |             cyy, cy1, cy2
+        |      FROM f),
+        |u AS (SELECT n, b1, b2, rss_r,
+        |             cyy - (b1 * cy1 + b2 * cy2) AS rss_u
+        |      FROM b)
+        |SELECT n, b1, b2,
+        |       (rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE))
+        |         AS f_granger
+        |FROM u""".stripMargin,
+
+    // Historical VaR/ES: k-th order statistic (k = ⌈n/20⌉) and exact
+    // tail sum over rank-selected deltas; one terminal division.
+    "q_var_es" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, v, row_number() OVER (ORDER BY day) AS i
+        |      FROM daily),
+        |d AS (SELECT b.day AS day, b.v - a.v AS delta
+        |      FROM r a JOIN r b ON b.i = a.i + 1),
+        |rk AS (SELECT day, delta,
+        |              row_number() OVER (ORDER BY delta, day) AS r
+        |       FROM d),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS n_deltas,
+        |             CAST((count(*) + 19) // 20 AS BIGINT) AS k
+        |      FROM rk)
+        |SELECT k.n_deltas, k.k, CAST(max(delta) AS BIGINT) AS var_cents,
+        |       CAST(CAST(sum(delta) AS BIGINT) AS DOUBLE) /
+        |         CAST(k.k AS DOUBLE) AS es_cents
+        |FROM rk, k WHERE rk.r <= k.k GROUP BY k.n_deltas, k.k""".stripMargin,
+
+    // LOF k=5: µ-scaled integer coordinates → exact pairwise d², exact
+    // reach-dist floors, integer-division lrd, ONE terminal division.
+    "q_lof" ->
+      """WITH u AS (
+        |  SELECT vec_id, i AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) AS u
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS g(i)),
+        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |             CAST(sum((a.u - b.u) * (a.u - b.u)) AS BIGINT) AS d2
+        |      FROM u a JOIN u b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2),
+        |e AS (SELECT src, dst, d2 FROM (
+        |        SELECT src, dst, d2,
+        |               row_number() OVER (PARTITION BY src
+        |                                  ORDER BY d2, dst) AS rn
+        |        FROM d) WHERE rn <= 5),
+        |kd AS (SELECT src AS o, CAST(max(d2) AS BIGINT) AS kd2
+        |       FROM e GROUP BY 1),
+        |sw AS (SELECT e.src,
+        |              CAST(sum(CAST(floor(sqrt(CAST(greatest(kd.kd2, e.d2)
+        |                   AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sum_w
+        |       FROM e JOIN kd ON e.dst = kd.o GROUP BY 1),
+        |l AS (SELECT src, sum_w, 5000000000000000 // sum_w AS lrdu
+        |      FROM sw),
+        |s AS (SELECT e.src, CAST(sum(lo.lrdu) AS BIGINT) AS sum_lrdu
+        |      FROM e JOIN l lo ON e.dst = lo.src GROUP BY 1)
+        |SELECT s.src AS vec_id, lp.sum_w, lp.lrdu,
+        |       CAST(s.sum_lrdu AS DOUBLE) / CAST(5 * lp.lrdu AS DOUBLE)
+        |         AS lof
+        |FROM s JOIN l lp ON s.src = lp.src
+        |ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin
   )
+
+  /** Shared CTE prefix for the labeled-BFS centrality oracles: 4 min-plus
+    * relaxation rounds over (seed, node) state, seeds = the 4 lowest
+    * supplier keys — the DuckDB replay of `KCore.labeledBfs`. */
+  private def labeledBfsCtes(rounds: Int): String = {
+    val relax = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, node, min(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.b AS node, d.dist + 1 AS dist
+         |    FROM und e JOIN d${i - 1} d ON e.a = d.node)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)),
+       |d0 AS MATERIALIZED (
+       |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM (
+       |    SELECT CAST(s_suppkey AS BIGINT) AS seed FROM supplier
+       |    ORDER BY s_suppkey LIMIT 4)),
+       |$relax""".stripMargin
+  }
+
+  /** DuckDB replay of the supplier co-supply network-autocorrelation
+    * frame shared by q_moran / q_geary: n-scaled residuals (HUGEINT),
+    * edge sums, VARCHAR-routed terminal tree. */
+  private def moranOracleSql(which: String): String = {
+    val tail =
+      if (which == "moran")
+        """SELECT den.n AS n_nodes, es.e AS n_edges,
+          |       -1.0 / CAST(den.n - 1 AS DOUBLE) AS expected_i,
+          |       (CAST(den.n AS DOUBLE) *
+          |          CAST(CAST(es.num2 AS VARCHAR) AS DOUBLE)) /
+          |       (CAST(es.e AS DOUBLE) *
+          |          CAST(CAST(den.den AS VARCHAR) AS DOUBLE)) AS moran_i
+          |FROM den CROSS JOIN es""".stripMargin
+      else
+        """SELECT den.n AS n_nodes, es.e AS n_edges,
+          |       (CAST(den.n - 1 AS DOUBLE) *
+          |          CAST(CAST(es.gnum AS VARCHAR) AS DOUBLE)) /
+          |       ((2.0 * CAST(es.e AS DOUBLE)) *
+          |          CAST(CAST(den.den AS VARCHAR) AS DOUBLE)) AS geary_c
+          |FROM den CROSS JOIN es""".stripMargin
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_suppkey,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |              AS BIGINT) AS cents
+       |  FROM lineitem),
+       |vals AS (SELECT l_suppkey AS node, CAST(sum(cents) AS BIGINT) AS v
+       |         FROM li GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(v) AS HUGEINT) AS s FROM vals),
+       |z AS MATERIALIZED (
+       |  SELECT node, CAST(t.n AS HUGEINT) * CAST(v AS HUGEINT) - t.s AS z,
+       |         t.n
+       |  FROM vals, tot t),
+       |edges AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |          FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |            AND x.l_suppkey < y.l_suppkey),
+       |es AS (SELECT CAST(count(*) AS BIGINT) AS e,
+       |              sum(za.z * zb.z) AS num2,
+       |              sum((za.z - zb.z) * (za.z - zb.z)) AS gnum
+       |       FROM edges JOIN z za ON edges.a = za.node
+       |                  JOIN z zb ON edges.b = zb.node),
+       |den AS (SELECT max(n) AS n, sum(z * z) AS den FROM z)
+       |$tail""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.katzQuery`: 4 unrolled walk-count rounds,
+    * exact 4⁴-scaled attenuation weights, no division anywhere. */
+  private def katzOracleSql: String = {
+    val rounds = 4
+    val walks = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT e.a AS node, CAST(sum(w.w) AS BIGINT) AS w
+         |  FROM und e JOIN w${i - 1} w ON e.b = w.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (2 to rounds)
+      .map(i => s"JOIN w$i ON w1.node = w$i.node").mkString(" ")
+    val weighted = (1 to rounds)
+      .map(l => s"w$l.w * ${1L << (2 * (rounds - l))}").mkString(" + ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS a, -(o.o_custkey + 1) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)),
+       |w0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node, CAST(1 AS BIGINT) AS w FROM und),
+       |$walks
+       |SELECT CAST(w1.node AS BIGINT) AS node,
+       |       w1.w AS w1, w2.w AS w2, w3.w AS w3, w4.w AS w4,
+       |       CAST($weighted AS BIGINT) AS katz_w
+       |FROM w1 $joins
+       |ORDER BY katz_w DESC, node LIMIT 20""".stripMargin
+  }
+
+  private def closenessOracleSql: String =
+    s"""${labeledBfsCtes(4)}
+       |SELECT seed, n_reached, sum_dist,
+       |       CAST(n_reached - 1 AS DOUBLE) / CAST(sum_dist AS DOUBLE)
+       |         AS closeness
+       |FROM (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       |             CAST(sum(dist) AS BIGINT) AS sum_dist
+       |      FROM d4 GROUP BY seed)
+       |ORDER BY seed""".stripMargin
+
+  private def harmonicOracleSql: String =
+    s"""${labeledBfsCtes(4)}
+       |SELECT seed, n1, n2, n3, n4,
+       |       CAST(n1 AS DOUBLE) / 1.0 + CAST(n2 AS DOUBLE) / 2.0 +
+       |         CAST(n3 AS DOUBLE) / 3.0 + CAST(n4 AS DOUBLE) / 4.0
+       |         AS harmonic
+       |FROM (SELECT seed,
+       |             CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n1,
+       |             CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n2,
+       |             CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n3,
+       |             CAST(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n4
+       |      FROM d4 GROUP BY seed)
+       |ORDER BY seed""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Regression.xcorrQuery]]: one
     * union arm per fixed lag, each the same cleared-denominator

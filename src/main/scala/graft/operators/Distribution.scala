@@ -2020,4 +2020,192 @@ object Distribution {
         ((col("sum_max_per_rf") - col("max_mode_tot")).cast("double") /
           (col("n") - col("max_mode_tot")).cast("double")).as("lambda_mode"))
   }
+
+  /** Per-value counts of l_quantity for the returned-vs-kept populations
+    * — the shared sufficient frame of [[cliffsDelta]] and
+    * [[hodgesLehmann]]. Quantity is a BOUNDED integer domain (≤50
+    * distinct values at any corpus size), so every pairwise-comparison
+    * statistic collapses to arithmetic over this ≤50-row frame: the
+    * corpus is touched by ONE map-side-combining aggregate, and the
+    * quadratic pair space is never materialized. */
+  private def quantityCountsRN(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cn"))
+
+  /** Cliff's delta between returned and kept line quantities
+    * (q_cliffs_delta): δ = (#(x>y) − #(x<y))/(n_x·n_y) — the
+    * distribution-free EFFECT SIZE companion to [[mannWhitney]]'s
+    * p-value (δ = 2·AUC − 1): a significant U on 60 k rows can be a
+    * trivial δ; this reports how big the dominance actually is.
+    * Pair counts come from the bounded-domain counts self-join
+    * (≤50×50 rows) — exact longs, one terminal division. */
+  def cliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.scale.Silver.scratch(
+      quantityCountsRN(spark, dir), "cliffs_counts")
+    val pairs = counts.as("a").crossJoin(counts.as("b"))
+      .select(col("a.q").as("qa"), col("b.q").as("qb"),
+        (col("a.cr") * col("b.cn")).as("w"))
+    val gtlt = pairs.agg(
+      sum(when(col("qa") > col("qb"), col("w")).otherwise(0L)).as("n_gt"),
+      sum(when(col("qa") < col("qb"), col("w")).otherwise(0L)).as("n_lt"))
+    val ns = counts.agg(sum(col("cr")).as("n_r"), sum(col("cn")).as("n_n"))
+    ns.crossJoin(broadcast(gtlt))
+      .select(col("n_r"), col("n_n"), col("n_gt"), col("n_lt"),
+        ((col("n_gt") - col("n_lt")).cast("double") /
+          (col("n_r") * col("n_n")).cast("double")).as("cliffs_delta"))
+  }
+
+  /** Hodges–Lehmann shift estimator between the same populations
+    * (q_hodges_lehmann): the median of ALL n_x·n_y pairwise differences
+    * x−y — the robust "how much bigger are returned quantities?"
+    * location shift (the estimator behind the Mann–Whitney CI, immune
+    * to the outliers that move a difference of means). The ~10⁹-pair
+    * median is EXACT: differences live on the bounded ±49 domain, so
+    * per-difference weights come from the counts convolution (≤2500
+    * rows) and the median is the cumulative-count selection over ≤99
+    * rows — lower/upper medians exact, midpoint the one IEEE op. */
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.scale.Silver.scratch(
+      quantityCountsRN(spark, dir), "hl_counts")
+    val diffs = counts.as("a").crossJoin(counts.as("b"))
+      .select((col("a.q") - col("b.q")).as("d"),
+        (col("a.cr") * col("b.cn")).as("w"))
+      .groupBy("d").agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0L)
+    // bounded-domain cumulative (≤99 rows) — a corpus-independent window
+    val wd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = diffs.withColumn("cum", sum(col("w")).over(wd))
+    val tot = diffs.agg(sum(col("w")).as("t_pairs"))
+    val ranked = cum.crossJoin(broadcast(tot))
+    val lo = ranked.filter(col("cum") >= expr("(t_pairs + 1) div 2"))
+      .agg(min(col("d")).as("hl_lo"))
+    val hi = ranked.filter(col("cum") >= expr("t_pairs div 2 + 1"))
+      .agg(min(col("d")).as("hl_hi"))
+    tot.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("t_pairs"), col("hl_lo"), col("hl_hi"),
+        ((col("hl_lo") + col("hl_hi")).cast("double") / lit(2.0))
+          .as("hl_shift"))
+  }
+
+  /** Stratified treatment-effect table (q_strat_ate): mean order value
+    * of urgent vs non-urgent orders WITHIN each market segment — the
+    * direct-standardization layer between [[diffInDiff]] and
+    * [[cupedQuery]]: if segment mix differs across arms, the pooled
+    * contrast is confounded ([[simpsonsParadox]] is the failure mode;
+    * this is the fix). One joined aggregate; per-stratum means are the
+    * only divisions; no cross-stratum float accumulation — the
+    * per-stratum rows ARE the deliverable. */
+  def stratAte(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").as("treated"),
+        cents(col("o_totalprice")).as("y"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated"), col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(!col("treated"), col("y")).otherwise(0L)).as("sy_c"))
+      .select(col("segment"), col("n"), col("n_t"),
+        (col("sy_t").cast("double") / col("n_t").cast("double"))
+          .as("mean_t_cents"),
+        (col("sy_c").cast("double") / (col("n") - col("n_t")).cast("double"))
+          .as("mean_c_cents"),
+        (col("sy_t").cast("double") / col("n_t").cast("double") -
+          col("sy_c").cast("double") / (col("n") - col("n_t")).cast("double"))
+          .as("ate_cents"))
+      .orderBy("segment")
+  }
+
+  /** Jarque–Bera normality test on order-line quantities
+    * (q_jarque_bera): JB = n/6·(S² + (K−3)²/4) from sample skewness
+    * S = m₃/(m₂·√m₂) and kurtosis K = m₄/m₂² — the moment-based "is
+    * this column Gaussian?" gate run before any z-score/σ-band rule
+    * (this repo's [[grubbsTest]], [[TimeSeries.bollingerBands]]) is
+    * trusted.
+    *
+    * Scale shape: ONE map-side-combining aggregate produces the four
+    * raw power sums Σq..Σq⁴ as exact longs (quantities are integers
+    * 1..50, so Σq⁴ ≤ 6.25e6·rows — linear in the corpus, no overflow
+    * cliff at any realistic scale); the central moments and JB are a
+    * fixed IEEE tree over those five exact values. m₂^1.5 is written
+    * m₂·√m₂ (sqrt is IEEE-correctly-rounded; pow is NOT portable). */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val sums = Tables.lineitem(spark, dir)
+      .select(q.as("q"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mu * (col("s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mu * (col("s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    sums
+      .withColumn("skewness", m3 / (m2 * sqrt(m2)))
+      .withColumn("kurtosis", m4 / (m2 * m2))
+      .select(col("n"),
+        col("skewness"), col("kurtosis"),
+        (col("n").cast("double") / lit(6.0) *
+          (col("skewness") * col("skewness") +
+            (col("kurtosis") - lit(3.0)) * (col("kurtosis") - lit(3.0)) /
+              lit(4.0))).as("jb"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-supplier return rates
+    * (q_eb_shrinkage): fit a Beta(α,β) prior to the population of
+    * supplier return rates by method of moments, then report each
+    * supplier's posterior-mean rate (x+α)/(n+α+β) next to the raw x/n —
+    * the standard small-sample ranking fix (a 2/3 supplier no longer
+    * outranks a 300/1000 one). The league-table device under every
+    * "top sellers by rate" report.
+    *
+    * Exactness: each supplier's rate is witnessed by the exact scaled
+    * integer u = (10⁶·x) div n, so the prior's moment sums Σu, Σu² are
+    * exact longs and m, v, α, β form one fixed IEEE tree computed ONCE
+    * (broadcast single row); each output row adds only per-row fixed
+    * arithmetic on its exact (x, n). One map-side-combining aggregate
+    * over lineitem; the supplier frame never shuffles wide. */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .withColumn("u", expr("(1000000 * x) div n"))
+    val perM = graft.scale.Silver.scratch(per, "eb_per")
+    val mom = perM.agg(count(lit(1)).as("g"),
+      sum(col("u")).as("su"), sum(col("u") * col("u")).as("qu"))
+    val gD = col("g").cast("double")
+    val m = col("su").cast("double") / gD / lit(1e6)
+    val v = (gD * col("qu").cast("double") -
+      col("su").cast("double") * col("su").cast("double")) /
+      (gD * (gD - lit(1.0))) / lit(1e12)
+    val prior = mom
+      .withColumn("m", m).withColumn("v", v)
+      .withColumn("c", col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+      .select(col("g").as("n_groups"), col("m"), col("v"),
+        (col("m") * col("c")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("c")).as("beta"))
+    perM.crossJoin(broadcast(prior))
+      .select(col("s_suppkey"), col("n"), col("x"),
+        col("n_groups"), col("alpha"), col("beta"),
+        (col("x").cast("double") / col("n").cast("double")).as("raw_rate"),
+        ((col("x").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta")))
+          .as("shrunk_rate"))
+      .orderBy("s_suppkey")
+  }
 }

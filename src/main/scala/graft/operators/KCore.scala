@@ -298,6 +298,186 @@ object KCore {
         col("n_reached1"), col("n_reached2"))
   }
 
+  /** Seed-labeled multi-source BFS: like [[bfs]] but distances are kept
+    * PER SEED — state (seed, node, dist), relaxed min-plus per round, so
+    * one iterated job computes every seed's full distance vector
+    * simultaneously (|seeds|× the node state instead of |seeds|×
+    * separate jobs — the standard batched-centrality trick). Same
+    * lineage-cut discipline as [[bfs]]. */
+  def labeledBfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val und = graft.scale.Silver.scratch(
+      edges.select(col("a"), col("b")).unionAll(
+        edges.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "lbfs_edges")
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = graft.scale.Silver.scratch(
+        dist.unionAll(
+            und.join(dist.withColumnRenamed("node", "a"), "a")
+              .select(col("seed"), col("b").as("node"),
+                (col("dist") + 1L).as("dist")))
+          .groupBy("seed", "node").agg(min(col("dist")).as("dist")),
+        "lbfs_round")
+    }
+    dist
+  }
+
+  /** The 4 lowest-key suppliers as labeled-BFS seeds, with per-(seed,
+    * dist) reach counts after `rounds` relaxations — the shared input of
+    * [[closenessQuery]] and [[harmonicQuery]]. Distances are bounded by
+    * `rounds`, so the count frame is ≤ |seeds|·(rounds+1) rows and both
+    * centralities are fixed trees over it. */
+  private def seedDistCounts(spark: SparkSession, dir: String,
+                             nSeeds: Int, rounds: Int): DataFrame = {
+    val seeds = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("long").as("seed"))
+      .orderBy("seed").limit(nSeeds)
+    labeledBfs(coTradingPairs(spark, dir), seeds, rounds)
+      .groupBy("seed", "dist").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Bounded-horizon closeness centrality of the 4 lowest suppliers
+    * (q_closeness): (reached−1)/Σdist over the ≤4-hop ball — "which
+    * anchor supplier sits closest to the trading network's mass?". On a
+    * small-world graph the 4-hop ball is effectively the component, so
+    * this is the practical closeness ranking at a fixed, oracle-
+    * replayable cost (true closeness needs diameter rounds). Exact
+    * integers until the one division per seed. */
+  def closenessQuery(spark: SparkSession, dir: String,
+                     rounds: Int = 4): DataFrame =
+    seedDistCounts(spark, dir, nSeeds = 4, rounds = rounds)
+      .groupBy("seed")
+      .agg(sum(col("cnt")).as("n_reached"),
+        sum(col("dist") * col("cnt")).as("sum_dist"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        ((col("n_reached") - 1L).cast("double") /
+          col("sum_dist").cast("double")).as("closeness"))
+      .orderBy("seed")
+
+  /** Bounded-horizon harmonic centrality of the same seed cohort
+    * (q_harmonic): Σ_{d>0} reached_d/d — closeness's robust sibling
+    * (defined on disconnected graphs, hop-discounted instead of
+    * hop-averaged). dist ∈ {1..4} after 4 rounds, so the sum is a
+    * FIXED four-term tree over exact per-distance counts — no float
+    * accumulation ordering anywhere. */
+  def harmonicQuery(spark: SparkSession, dir: String,
+                    rounds: Int = 4): DataFrame = {
+    val counts = seedDistCounts(spark, dir, nSeeds = 4, rounds = rounds)
+    val perDist = (1 to rounds).map(d =>
+      sum(when(col("dist") === d.toLong, col("cnt")).otherwise(0L))
+        .as(s"n$d"))
+    val harmonic = (1 to rounds).map(d =>
+      col(s"n$d").cast("double") / lit(d.toDouble)).reduceLeft(_ + _)
+    counts.groupBy("seed")
+      .agg(perDist.head, perDist.tail: _*)
+      .select(col("seed") +: (1 to rounds).map(d => col(s"n$d")) :+
+        harmonic.as("harmonic"): _*)
+      .orderBy("seed")
+  }
+
+  /** The supplier co-supply graph (suppliers sharing ≥1 order) with each
+    * node's revenue residual — the shared frame of [[moranQuery]] and
+    * [[gearyQuery]]. Residuals are n-SCALED (z = n·v − S, exact
+    * decimal(38,0)) so mean-centering never touches a float; the n²
+    * factor cancels in both statistics' ratios. Returns the one-row
+    * sufficient frame (n, e, Σ_E z_a·z_b, Σ_E (z_a−z_b)², Σ z²). */
+  private def networkAutocorrFrame(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val values = graft.scale.Silver.scratch(
+      li.groupBy(col("l_suppkey").as("node"))
+        .agg(sum(col("cents")).as("v")),
+      "net_values") // feeds the totals row and both edge-endpoint joins
+    val tot = values.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val z = values.crossJoin(broadcast(tot))
+      .select(col("node"),
+        (col("n").cast(d38) * col("v").cast(d38) - col("s").cast(d38))
+          .as("z"),
+        col("n"))
+    val zM = graft.scale.Silver.scratch(z, "net_z")
+    val edges = li.select(col("l_orderkey"), col("l_suppkey")).as("x")
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
+        Seq("l_orderkey"))
+      .filter(col("l_suppkey") < col("s2"))
+      .select(col("l_suppkey").as("a"), col("s2").as("b"))
+      .distinct()
+    val edgeSums = edges
+      .join(zM.select(col("node").as("a"), col("z").as("za")), Seq("a"))
+      .join(zM.select(col("node").as("b"), col("z").as("zb")), Seq("b"))
+      .agg(count(lit(1)).as("e"),
+        sum(col("za") * col("zb")).as("num2"),
+        sum((col("za") - col("zb")) * (col("za") - col("zb"))).as("gnum"))
+    val den = zM.agg(max(col("n")).as("n"),
+      sum(col("z") * col("z")).as("den"))
+    den.crossJoin(broadcast(edgeSums))
+  }
+
+  /** Moran's I over the supplier co-supply graph (q_moran): is revenue
+    * spatially autocorrelated along shared-order adjacency — do
+    * high-revenue suppliers co-supply with other high-revenue suppliers?
+    * The network analogue of [[TimeSeries.durbinWatson]]'s serial test.
+    * I = (n·Σ_E z_a z_b)/(E·Σz²) with binary symmetric weights (the
+    * directed-edge and n² factors cancel); E[I] = −1/(n−1) under the
+    * null. Exact integer sums, two terminal IEEE ops. */
+  def moranQuery(spark: SparkSession, dir: String): DataFrame =
+    networkAutocorrFrame(spark, dir)
+      .select(col("n").as("n_nodes"), col("e").as("n_edges"),
+        (lit(-1.0) / (col("n") - 1L).cast("double")).as("expected_i"),
+        ((col("n").cast("double") * col("num2").cast("string").cast("double")) /
+          (col("e").cast("double") * col("den").cast("string").cast("double")))
+          .as("moran_i"))
+
+  /** Geary's C over the same frame (q_geary): the local-contrast
+    * companion of [[moranQuery]] (C < 1 ⇔ positive autocorrelation;
+    * Geary weights neighbor DIFFERENCES, so it is the more
+    * outlier-sensitive read). C = ((n−1)·Σ_E (z_a−z_b)²)/(2E·Σz²). */
+  def gearyQuery(spark: SparkSession, dir: String): DataFrame =
+    networkAutocorrFrame(spark, dir)
+      .select(col("n").as("n_nodes"), col("e").as("n_edges"),
+        (((col("n") - 1L).cast("double") *
+            col("gnum").cast("string").cast("double")) /
+          ((lit(2.0) * col("e").cast("double")) *
+            col("den").cast("string").cast("double"))).as("geary_c"))
+
+  /** Katz centrality with attenuation β = 1/4 truncated at 4 hops
+    * (q_katz): katz(i) = Σ_l β^l·walks_l(i), reported in exact
+    * 4⁴-scaled integer units (katz_w = 64·w₁ + 16·w₂ + 4·w₃ + w₄) — the
+    * walk-counting centrality between [[PageRank]] (normalized flow)
+    * and plain degree. Walk counts come from 4 rounds of the min-plus
+    * shape's additive sibling: w_l(i) = Σ_{j∈N(i)} w_{l−1}(j), one keyed
+    * join + map-side-combining sum per round, lineage cut per round.
+    * NO division anywhere — fully exact, deterministic at any scale. */
+  def katzQuery(spark: SparkSession, dir: String,
+                rounds: Int = 4, topK: Int = 20): DataFrame = {
+    val p = coTradingPairs(spark, dir)
+    val und = graft.scale.Silver.scratch(
+      p.select(col("a"), col("b")).unionAll(
+        p.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "katz_edges")
+    var w = und.select(col("a").as("node")).distinct()
+      .withColumn("w", lit(1L))
+    val perRound = (1 to rounds).map { l =>
+      w = graft.scale.Silver.scratch(
+        und.join(w.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node")).agg(sum(col("w")).as("w")),
+        s"katz_w$l")
+      w.select(col("node"), col("w").as(s"w$l"))
+    }
+    val weights = (1 to rounds).map(l => 1L << (2 * (rounds - l)))
+    val katz = perRound.reduce((x, y) => x.join(y, Seq("node")))
+      .withColumn("katz_w",
+        (1 to rounds).map(l => col(s"w$l") * lit(weights(l - 1)))
+          .reduceLeft(_ + _))
+    katz.orderBy(col("katz_w").desc, col("node").asc).limit(topK)
+      .select(col("node").cast("long").as("node"),
+        col("w1"), col("w2"), col("w3"), col("w4"), col("katz_w"))
+  }
+
   def degreeCentralizationQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = coTradingPairs(spark, dir)
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))

@@ -401,6 +401,63 @@ object Regression {
     (-3 to 3).map(rOf).reduce(_ unionAll _).orderBy("lag")
   }
 
+  /** Granger causality (q_granger): does yesterday's ORDER VOLUME carry
+    * information about today's REVENUE beyond yesterday's revenue? F-test
+    * of the lagged-x coefficient: restricted y_t ~ y_{t−1} vs
+    * unrestricted y_t ~ y_{t−1} + x_{t−1}, F = (RSS_r − RSS_u)/(RSS_u/
+    * (n−3)) — the standard lead-lag screen on top of [[xcorrQuery]]'s
+    * symmetric correlations (xcorr says "related at lag 1"; Granger says
+    * "x adds predictive value beyond y's own memory").
+    *
+    * Both OLS fits are CLOSED-FORM over centered second moments, each
+    * computed cleared-denominator (n·Σab − Σa·Σb, exact decimal(38,0) —
+    * the [[xcorrQuery]] device, so the shared n² scale cancels in every
+    * reported ratio): one lag self-join on the calendar-bounded daily
+    * frame, one aggregate, then a fixed IEEE tree (2×2 inverse by
+    * Cramer's rule). Reported b1/b2 are the true unscaled coefficients. */
+  def grangerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"),
+          count(lit(1)).as("x")),
+      "granger_daily") // feeds both sides of the lag join
+    val t = daily.select(col("day"), col("y"))
+      .join(daily.select((col("day") + 1).as("day"), col("y").as("y1"),
+        col("x").as("x1")), Seq("day"))
+    def p(a: String, b: String) = sum(col(a).cast(d38) * col(b).cast(d38))
+    val sums = t.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y1")).as("sy1"),
+      sum(col("x1")).as("sx1"),
+      p("y", "y").as("syy"), p("y1", "y1").as("sy1y1"),
+      p("x1", "x1").as("sx1x1"), p("y", "y1").as("syy1"),
+      p("y", "x1").as("syx1"), p("y1", "x1").as("sy1x1"))
+    def c(sab: String, sa: String, sb: String) =
+      (col("n").cast(d38) * col(sab) -
+        col(sa).cast(d38) * col(sb).cast(d38)).cast("string").cast("double")
+    sums
+      .withColumn("cyy", c("syy", "sy", "sy"))
+      .withColumn("c11", c("sy1y1", "sy1", "sy1"))
+      .withColumn("c22", c("sx1x1", "sx1", "sx1"))
+      .withColumn("cy1", c("syy1", "sy", "sy1"))
+      .withColumn("cy2", c("syx1", "sy", "sx1"))
+      .withColumn("c12", c("sy1x1", "sy1", "sx1"))
+      .withColumn("rss_r", col("cyy") - col("cy1") * col("cy1") / col("c11"))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b1",
+        (col("c22") * col("cy1") - col("c12") * col("cy2")) / col("det"))
+      .withColumn("b2",
+        (col("c11") * col("cy2") - col("c12") * col("cy1")) / col("det"))
+      .withColumn("rss_u",
+        col("cyy") - (col("b1") * col("cy1") + col("b2") * col("cy2")))
+      .select(col("n"), col("b1"), col("b2"),
+        ((col("rss_r") - col("rss_u")) /
+          (col("rss_u") / (col("n") - 3L).cast("double"))).as("f_granger"))
+  }
+
   def pacfQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = graft.scale.Silver.scratch(

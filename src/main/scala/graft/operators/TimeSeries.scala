@@ -691,4 +691,127 @@ object TimeSeries {
         (col("dd_num").cast("string").cast("double") /
           col("nd").cast("double")).as("dd_cents"))
   }
+
+  /** Historical VaR and expected shortfall of day-over-day revenue
+    * changes (q_var_es): the 5% left-tail cutoff (VaR) and the exact
+    * mean of the tail beyond it (ES/CVaR) — the downside-risk pair under
+    * [[TimeSeries]]'s drawdown/bollinger monitoring ("how bad is a bad
+    * day, and how bad are the bad days on average?").
+    *
+    * Deltas come from the rank-equi-join lag ([[runsTest]] idiom, no
+    * global window); the k-th smallest delta (k = ⌈n/20⌉, exact integer
+    * ceil) is selected by a second [[Ranking.distributedGlobalRank]]
+    * pass with (delta, day) tiebreak — selection and tail sum are exact
+    * longs; the tail mean is the one division. */
+  def varEs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val ranked = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i",
+        numParts = 8),
+      "var_ranked")
+    val deltas = ranked.as("a")
+      .join(ranked.as("b"), col("b.i") === col("a.i") + 1)
+      .select(col("b.day").as("day"), (col("b.v") - col("a.v")).as("delta"))
+    val byDelta = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(deltas,
+        Seq(col("delta").asc, col("day").asc), rankCol = "r", numParts = 8),
+      "var_bydelta")
+    val k = byDelta.agg(count(lit(1)).as("n_deltas"))
+      .withColumn("k", expr("(n_deltas + 19) div 20"))
+    byDelta.crossJoin(broadcast(k))
+      .filter(col("r") <= col("k"))
+      .groupBy(col("n_deltas"), col("k"))
+      .agg(max(col("delta")).as("var_cents"),
+        sum(col("delta")).as("tail_sum"))
+      .select(col("n_deltas"), col("k"), col("var_cents"),
+        (col("tail_sum").cast("double") / col("k").cast("double"))
+          .as("es_cents"))
+  }
+
+  /** Durbin–Watson autocorrelation statistic of the daily revenue
+    * residual series, per order priority (q_durbin_watson): DW =
+    * Σ(e_t − e_{t−1})² / Σe_t² ≈ 2(1 − ρ₁) — the classic "are the
+    * residuals serially correlated?" diagnostic under every trend
+    * report (reference analogue: src/analytics/reports.py streak/trend
+    * summaries assume independent daily noise; DW is the check).
+    *
+    * Exactness: residuals are mean-centered daily cents; the float mean
+    * would poison every term, so e_t is SCALED by n — r_t = n·v_t − S
+    * (exact decimal(38,0) from exact long aggregates) — and the n²
+    * factors cancel in the ratio, so num and den stay exact integers
+    * until the ONE terminal division (decimal→string→double on both
+    * engines). Lag-1 runs inside a per-priority window over the
+    * calendar-bounded daily frame (5 partitions × |days| rows — the
+    * [[ewmaRevenue]] shape, no global window). */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("prio", "day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val tot = daily.groupBy("prio")
+      .agg(sum(col("v")).cast(d38).as("s"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+    daily.join(broadcast(tot), "prio")
+      .withColumn("r", col("nd").cast(d38) * col("v").cast(d38) - col("s"))
+      .withColumn("r_prev", lag(col("r"), 1).over(w))
+      .groupBy("prio")
+      .agg(max(col("nd")).as("n_days"),
+        sum(when(col("r_prev").isNotNull,
+          (col("r") - col("r_prev")) * (col("r") - col("r_prev")))
+          .otherwise(lit(0).cast(d38))).as("num"),
+        sum(col("r") * col("r")).as("den"))
+      .select(col("prio"), col("n_days"),
+        (col("num").cast("string").cast("double") /
+          col("den").cast("string").cast("double")).as("dw"))
+      .orderBy("prio")
+  }
+
+  /** 14-observation RSI of daily revenue per order priority (q_rsi):
+    * RSI = 100·ΣG/(ΣG+ΣL) over the trailing 14 day-over-day changes,
+    * where G/L are the positive/negative parts of Δv — the standard
+    * momentum oscillator (the Cutler simple-average form; Wilder's
+    * smoothed form is an infinite float recurrence and NOT oracle-
+    * pinnable — same determinism argument as [[ewmaRevenue]]).
+    *
+    * Deltas, gains, and losses are exact longs; the trailing sums are
+    * exact rolling-window longs ([[bollingerBands]] shape: per-priority
+    * calendar-bounded frame, full windows only); RSI is the single
+    * terminal division. ΣG+ΣL = 0 (14 flat days) would be 0/0 — emitted
+    * as the neutral 50 by convention. */
+  def rsi(spark: SparkSession, dir: String, period: Int = 14): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("prio", "day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val wl = Window.partitionBy(col("prio")).orderBy(col("day"))
+    val wr = Window.partitionBy(col("prio")).orderBy(col("day"))
+      .rowsBetween(-(period - 1), 0)
+    daily
+      .withColumn("delta", col("v") - lag(col("v"), 1).over(wl))
+      .filter(col("delta").isNotNull)
+      .withColumn("n_w", count(lit(1)).over(wr))
+      .withColumn("sum_gain",
+        sum(greatest(col("delta"), lit(0L))).over(wr))
+      .withColumn("sum_loss",
+        sum(greatest(-col("delta"), lit(0L))).over(wr))
+      .filter(col("n_w") === period.toLong)
+      .select(col("prio"), col("day"), col("v").as("day_cents"),
+        col("sum_gain"), col("sum_loss"),
+        when(col("sum_gain") + col("sum_loss") === 0L, lit(50.0))
+          .otherwise(lit(100.0) * col("sum_gain").cast("double") /
+            (col("sum_gain") + col("sum_loss")).cast("double")).as("rsi"))
+      .orderBy("prio", "day")
+  }
 }

@@ -505,4 +505,68 @@ object Similarity {
       .select(col("n_candidates"), lit(k.toLong).as("k"), col("n_hits"),
         (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
   }
+
+  /** Local Outlier Factor over the embedding corpus (q_lof): the
+    * density-RELATIVE outlier score (Breunig et al., SIGMOD 2000) —
+    * LOF(p) = mean(lrd(o) for o ∈ kNN(p)) / lrd(p), where lrd is the
+    * inverse mean reachability distance. Unlike the global distance
+    * cutoffs ([[EmbedStats.dbscanCoreQuery]]'s ε, z-scores), LOF flags
+    * points sparse RELATIVE TO THEIR OWN NEIGHBORHOOD — the embedding-QA
+    * read for "which vectors sit in no cluster at all?".
+    *
+    * Determinism is the hard part (LOF chains three levels of float
+    * averaging): every level is pinned to exact integers —
+    *   1. coordinates floor-scale to ints (µ-units), so pairwise
+    *      distance² is an exact long per pair;
+    *   2. reachability dist floor-scales to long after the ONE
+    *      correctly-rounded sqrt: w = ⌊√(max(kdist²(o), d²(p,o)))⌋;
+    *   3. lrd inverts via exact integer division lrdu = 5·10¹⁵ div Σw,
+    * so both Σ-levels are exact long sums and the final LOF is ONE
+    * division: Σlrdu(o) / (k·lrdu(p)).
+    *
+    * Scoring here is the exact all-pairs broadcast pass (the audit-scale
+    * baseline, the [[mutualKnnQuery]] shape — per-point top-k through
+    * the bounded-heap [[graft.plans.TopKPerKey]], never a full-width
+    * shuffle); at corpus scale the identical kd/rd/lrd ladder runs over
+    * [[cosineNearDupPairs]]'s banded LSH candidates instead. */
+  def lofQuery(spark: SparkSession, dir: String,
+               k: Int = 5, topN: Int = 20): DataFrame = {
+    val pts = graft.scale.Silver.scratch(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0))).as("u")),
+      "lof_pts") // feeds both sides of the scoring pass
+    val scored = pts.select(col("vec_id").as("src"), col("u"))
+      .join(broadcast(pts.select(col("vec_id").as("dst"),
+        col("u").as("ud"))), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        aggregate(zip_with(col("u"), col("ud"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    val edges = graft.scale.Silver.scratch(
+      graft.plans.TopKPerKey(scored, k, keys = Seq(col("src")),
+        order = Seq(col("d2").asc, col("dst").asc)),
+      "lof_edges") // feeds kdist, reach-dist, and the lrd-sum join
+    val kdist = edges.groupBy(col("src").as("o"))
+      .agg(max(col("d2")).as("kd2"))
+    val sumW = edges
+      .join(kdist, col("dst") === col("o"))
+      .select(col("src"),
+        floor(sqrt(greatest(col("kd2"), col("d2")).cast("double")))
+          .as("w"))
+      .groupBy("src").agg(sum(col("w")).as("sum_w"))
+    val lrd = graft.scale.Silver.scratch(
+      sumW.withColumn("lrdu", expr("5000000000000000 div sum_w")),
+      "lof_lrd") // feeds the neighbor-sum join and the final per-point row
+    edges.select(col("src"), col("dst"))
+      .join(lrd.select(col("src").as("dst"), col("lrdu").as("lrdu_o")),
+        "dst")
+      .groupBy("src").agg(sum(col("lrdu_o")).as("sum_lrdu"))
+      .join(lrd, "src")
+      .select(col("src").as("vec_id"), col("sum_w"), col("lrdu"),
+        (col("sum_lrdu").cast("double") /
+          (lit(k.toLong) * col("lrdu")).cast("double")).as("lof"))
+      .orderBy(col("lof").desc, col("vec_id").asc)
+      .limit(topN)
+  }
 }
