@@ -416,7 +416,12 @@ object SparkEntry {
     "q_hodges_lehmann"  -> ((s, d) => graft.operators.Distribution.hodgesLehmann(s, d)),
     "q_strat_ate"       -> ((s, d) => graft.operators.Distribution.stratAte(s, d)),
     "q_granger"         -> ((s, d) => graft.operators.Regression.grangerQuery(s, d)),
-    "q_var_es"          -> ((s, d) => graft.operators.TimeSeries.varEs(s, d))
+    "q_var_es"          -> ((s, d) => graft.operators.TimeSeries.varEs(s, d)),
+    "q_mcc"             -> ((s, d) => graft.ml.Eval.mccQuery(s, d)),
+    "q_cooks"           -> ((s, d) => graft.operators.Regression.cooksQuery(s, d)),
+    "q_oaxaca"          -> ((s, d) => graft.operators.Regression.oaxacaQuery(s, d)),
+    "q_atkinson"        -> ((s, d) => graft.operators.Distribution.atkinsonQuery(s, d)),
+    "q_constraint"      -> ((s, d) => graft.operators.KCore.constraintQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9488,6 +9493,189 @@ object SparkEntry {
         |       (rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE))
         |         AS f_granger
         |FROM u""".stripMargin,
+
+    // MCC at the exact-mean threshold: integer threshold compare,
+    // one conditional aggregate, HUGEINT four-factor denominator.
+    "q_mcc" ->
+      """WITH lbl AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM orders o LEFT JOIN (
+        |    SELECT DISTINCT l_orderkey
+        |    FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o.o_orderkey = r.l_orderkey),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(v) AS BIGINT) AS s FROM lbl),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * v >= t.s AND y = 1
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * v >= t.s AND y = 0
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * v < t.s AND y = 0
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * v < t.s AND y = 1
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM lbl, tot t)
+        |SELECT tp, fp, tn, fn,
+        |       CAST(CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+        |            AS VARCHAR) AS DOUBLE) /
+        |       sqrt(CAST(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) *
+        |            (tn + fp) * (tn + fn) AS VARCHAR) AS DOUBLE)) AS mcc
+        |FROM cells""".stripMargin,
+
+    // Cook's distance: cleared-denominator moments, exact scaled
+    // residual R = Cxx·v − Cxy·u, closed-form RSS — per-row fixed tree.
+    "q_cooks" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS y,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM daily),
+        |c AS (SELECT n, sx, sy,
+        |             n * sxx - sx * sx AS cxx,
+        |             n * sxy - sx * sy AS cxy,
+        |             n * syy - sy * sy AS cyy
+        |      FROM s),
+        |c2 AS (SELECT n, sx, sy, cxx, cxy,
+        |              CAST(n AS DOUBLE) AS nd,
+        |              CAST(CAST(cxx AS VARCHAR) AS DOUBLE) AS cxxd,
+        |              (CAST(CAST(cyy AS VARCHAR) AS DOUBLE) -
+        |               CAST(CAST(cxy AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(cxy AS VARCHAR) AS DOUBLE) /
+        |               CAST(CAST(cxx AS VARCHAR) AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS rss
+        |       FROM c),
+        |c3 AS (SELECT *, rss / (nd - 2.0) AS s2 FROM c2),
+        |rows_ AS (
+        |  SELECT d.day, d.x, d.y, c3.nd, c3.cxxd, c3.s2,
+        |         CAST(c3.n AS HUGEINT) * d.x - c3.sx AS u,
+        |         c3.cxx * (CAST(c3.n AS HUGEINT) * d.y - c3.sy) -
+        |           c3.cxy * (CAST(c3.n AS HUGEINT) * d.x - c3.sx) AS r
+        |  FROM daily d, c3),
+        |eh AS (SELECT day, x, y, s2,
+        |              CAST(CAST(r AS VARCHAR) AS DOUBLE) / (nd * cxxd) AS e,
+        |              1.0 / nd +
+        |                CAST(CAST(u AS VARCHAR) AS DOUBLE) *
+        |                CAST(CAST(u AS VARCHAR) AS DOUBLE) / (nd * cxxd)
+        |                AS h
+        |       FROM rows_)
+        |SELECT day, x, y, h AS leverage,
+        |       (e * e * h) / ((2.0 * s2) * ((1.0 - h) * (1.0 - h)))
+        |         AS cooks_d
+        |FROM eh
+        |ORDER BY cooks_d DESC, day LIMIT 20""".stripMargin,
+
+    // Blinder–Oaxaca: one conditional aggregate for both groups' exact
+    // moments, per-group closed-form slope, fixed decomposition tree.
+    "q_oaxaca" ->
+      """WITH li AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        |            FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment = 'BUILDING' AS in_a, li.x,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS y
+        |  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        |       JOIN customer c ON o.o_custkey = c.c_custkey),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |  CAST(sum(CASE WHEN in_a THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |  sum(CASE WHEN in_a THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+        |  sum(CASE WHEN in_a THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_a,
+        |  CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT in_a THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |  CAST(sum(CASE WHEN NOT in_a THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+        |  sum(CASE WHEN NOT in_a THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |    AS sxx_b,
+        |  sum(CASE WHEN NOT in_a THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |    AS sxy_b
+        |  FROM base),
+        |g AS (SELECT n_a, n_b,
+        |  CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mxa,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mya,
+        |  CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mxb,
+        |  CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS myb,
+        |  CAST(CAST(CAST(n_a AS HUGEINT) * sxy_a -
+        |       CAST(sx_a AS HUGEINT) * sy_a AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(n_a AS HUGEINT) * sxx_a -
+        |       CAST(sx_a AS HUGEINT) * sx_a AS VARCHAR) AS DOUBLE) AS ba,
+        |  CAST(CAST(CAST(n_b AS HUGEINT) * sxy_b -
+        |       CAST(sx_b AS HUGEINT) * sy_b AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(n_b AS HUGEINT) * sxx_b -
+        |       CAST(sx_b AS HUGEINT) * sx_b AS VARCHAR) AS DOUBLE) AS bb
+        |  FROM s)
+        |SELECT n_a, n_b, mya - myb AS gap_cents,
+        |       bb * (mxa - mxb) AS explained_cents,
+        |       (mya - myb) - bb * (mxa - mxb) AS unexplained_cents,
+        |       ba AS b_a, bb AS b_b
+        |FROM g""".stripMargin,
+
+    // Atkinson(ε=0.5): floor-scaled √spend accumulates exactly; EDE/μ
+    // close as a fixed tree.
+    "q_atkinson" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS sy,
+        |               CAST(sum(CAST(floor(sqrt(CAST(y AS DOUBLE)) * 1000.0)
+        |                    AS BIGINT)) AS BIGINT) AS sr
+        |        FROM spend)
+        |SELECT n,
+        |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+        |       (CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) *
+        |         (CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0))
+        |         AS ede_cents,
+        |       1.0 - (CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) *
+        |             (CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)) /
+        |             (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS atkinson
+        |FROM agg""".stripMargin,
+
+    // Burt's constraint: floor-scaled integer weights, wedge join over
+    // the co-supply graph, exact squared-term sums, one division.
+    "q_constraint" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_suppkey < y.l_suppkey),
+        |und AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS MATERIALIZED (
+        |  SELECT a AS node, CAST(count(*) AS BIGINT) AS deg,
+        |         1000000 // count(*) AS p
+        |  FROM und GROUP BY 1),
+        |wedges AS (
+        |  SELECT w1.a AS i, w2.b AS j, CAST(sum(dq.p) AS BIGINT) AS cn
+        |  FROM und w1 JOIN und w2 ON w1.b = w2.a AND w1.a <> w2.b
+        |       JOIN deg dq ON w1.b = dq.node
+        |  GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT u.a AS i, d.deg,
+        |         1000000000000 // d.deg +
+        |           (1000000 * coalesce(w.cn, 0)) // d.deg AS term12
+        |  FROM und u LEFT JOIN wedges w ON u.a = w.i AND u.b = w.j
+        |       JOIN deg d ON u.a = d.node),
+        |cw AS (SELECT i AS node, deg,
+        |              sum(CAST(term12 AS HUGEINT) * term12) AS c_w
+        |       FROM terms GROUP BY 1, 2)
+        |SELECT node, deg,
+        |       CAST(CAST(c_w AS VARCHAR) AS DOUBLE) / 1e24 AS burt_constraint
+        |FROM cw
+        |ORDER BY burt_constraint DESC, node LIMIT 20""".stripMargin,
 
     // Historical VaR/ES: k-th order statistic (k = ⌈n/20⌉) and exact
     // tail sum over rank-selected deltas; one terminal division.

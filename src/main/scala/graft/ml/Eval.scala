@@ -377,4 +377,42 @@ object Eval {
           (col("b") * (col("e") - col("c"))).cast("double")).as("kappa"))
   }
 
+  /** Matthews correlation coefficient (q_mcc) of the mean-threshold
+    * classifier "order price above the mean predicts a returned line" —
+    * the single-number confusion summary that stays honest under class
+    * imbalance, where accuracy and even [[graft.scale.TextAnalysis]]'s
+    * F1 inflate ([[youdenQuery]] picks a threshold; this scores a
+    * PINNED one). The threshold compare is exact integers (n·v ≥ Σv —
+    * no float mean), the confusion cells are one conditional aggregate,
+    * and MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is a
+    * fixed tree over them (products through decimal(38,0) — the
+    * four-factor denominator overflows a long at cluster scale). */
+  def mccQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val scored = scoredLabels(spark, dir)
+    val tot = scored.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val cells = scored.crossJoin(broadcast(tot))
+      .withColumn("pred",
+        when(col("n").cast(d38) * col("v").cast(d38) >= col("s").cast(d38),
+          1L).otherwise(0L))
+      .agg(
+        sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("pred") === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("pred") === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .as("fn"))
+    cells.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      ((col("tp").cast(d38) * col("tn").cast(d38) -
+          col("fp").cast(d38) * col("fn").cast(d38))
+        .cast("string").cast("double") /
+        sqrt(((col("tp") + col("fp")).cast(d38) *
+            (col("tp") + col("fn")).cast(d38) *
+            (col("tn") + col("fp")).cast(d38) *
+            (col("tn") + col("fn")).cast(d38))
+          .cast("string").cast("double"))).as("mcc"))
+  }
+
 }

@@ -2123,6 +2123,34 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Atkinson inequality index (ε = 1/2) of customer spend
+    * (q_atkinson): 1 − EDE/μ, where EDE = (Σ√yᵢ/n)² is the
+    * equally-distributed-equivalent spend — the welfare-weighted
+    * inequality read next to the purely ordinal Gini/Lorenz pair
+    * (Atkinson says how much TOTAL spend society could give up and be
+    * as well off if spend were equal; ε picks the inequality
+    * aversion).
+    *
+    * √y is the one non-arithmetic op and IEEE requires it correctly
+    * rounded; its FLOOR-SCALED image sᵢ = ⌊√yᵢ·10³⌋ is an exact long,
+    * so Σs accumulates exactly in any order (the float Σ√y would be
+    * partitioning-dependent) and EDE/μ close as a fixed tree. ONE
+    * map-side-combining pass over the per-customer aggregate. */
+  def atkinsonQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("y"))
+    val agg = spend.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(floor(sqrt(col("y").cast("double")) * lit(1000.0)).cast("long"))
+        .as("sr"))
+    val nD = col("n").cast("double")
+    val ede = (col("sr").cast("double") / (nD * lit(1000.0))) *
+      (col("sr").cast("double") / (nD * lit(1000.0)))
+    val mean = col("sy").cast("double") / nD
+    agg.select(col("n"), mean.as("mean_cents"), ede.as("ede_cents"),
+      (lit(1.0) - ede / mean).as("atkinson"))
+  }
+
   /** Jarque–Bera normality test on order-line quantities
     * (q_jarque_bera): JB = n/6·(S² + (K−3)²/4) from sample skewness
     * S = m₃/(m₂·√m₂) and kurtosis K = m₄/m₂² — the moment-based "is

@@ -478,6 +478,61 @@ object KCore {
         col("w1"), col("w2"), col("w3"), col("w4"), col("katz_w"))
   }
 
+  /** Burt's network constraint over the supplier co-supply graph
+    * (q_constraint): cᵢ = Σ_j (p_ij + Σ_q p_iq·p_qj)², binary-weight
+    * form p_ij = 1/deg(i) — the STRUCTURAL-HOLES read the centrality
+    * family can't give: a supplier whose partners all co-supply with
+    * each other is constrained (redundant ego network); a broker
+    * bridging disconnected partners is not. Reported most-constrained
+    * first — the "who has no independent leverage?" list.
+    *
+    * Exactness: all weights are floor-scaled integer divisions
+    * (Pᵢ = 10⁶ div degᵢ; the indirect term (10⁶·cn) div degᵢ at scale
+    * 10¹², cn = Σ_q P_q), so cᵢ's sum of squared terms is an exact
+    * decimal(38,0) in any accumulation order; the single division by
+    * 10²⁴ is the one IEEE op. Scale shape: the wedge join costs
+    * Σ_q deg²_q like [[Triangles]] — bounded here by the
+    * dimension-sized supplier graph; at corpus scale the same degCap
+    * device as [[linkPredQuery]] bounds hub wedges. */
+  def constraintQuery(spark: SparkSession, dir: String,
+                      topK: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e = li.as("x")
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
+        Seq("l_orderkey"))
+      .filter(col("l_suppkey") < col("s2"))
+      .select(col("l_suppkey").as("a"), col("s2").as("b"))
+      .distinct()
+    val und = graft.scale.Silver.scratch(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"))),
+      "constraint_und") // feeds degrees, wedges, and the adjacency filter
+    val deg = graft.scale.Silver.scratch(
+      und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .withColumn("p", expr("1000000 div deg")),
+      "constraint_deg") // feeds P_i, P_q, and the output degree column
+    val wedges = und.select(col("a").as("i"), col("b").as("q"))
+      .join(und.select(col("a").as("q"), col("b").as("j")), Seq("q"))
+      .filter(col("i") =!= col("j"))
+      .join(deg.select(col("node").as("q"), col("p").as("pq")), Seq("q"))
+      .groupBy("i", "j").agg(sum(col("pq")).as("cn"))
+    val terms = und.select(col("a").as("i"), col("b").as("j"))
+      .join(wedges, Seq("i", "j"), "left")
+      .join(deg.select(col("node").as("i"), col("deg"), col("p")), Seq("i"))
+      .withColumn("term12",
+        expr("1000000000000 div deg") +
+          expr("(1000000 * coalesce(cn, 0)) div deg"))
+    terms
+      .groupBy(col("i").as("node"), col("deg"))
+      .agg(sum(col("term12").cast("decimal(38,0)") *
+        col("term12").cast("decimal(38,0)")).as("c_w"))
+      .select(col("node"), col("deg"),
+        (col("c_w").cast("string").cast("double") / lit(1e24))
+          .as("burt_constraint"))
+      .orderBy(col("burt_constraint").desc, col("node").asc)
+      .limit(topK)
+  }
+
   def degreeCentralizationQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = coTradingPairs(spark, dir)
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))

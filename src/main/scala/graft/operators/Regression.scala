@@ -458,6 +458,124 @@ object Regression {
           (col("rss_u") / (col("n") - 3L).cast("double"))).as("f_granger"))
   }
 
+  /** Cook's distance of the daily revenue-on-volume regression
+    * (q_cooks): which single days most distort the fitted line? For the
+    * OLS fit y (daily cents) ~ x (daily order count), D_i =
+    * e_i²·h_i/(p·s²·(1−h_i)²) with leverage h_i = 1/n + (x_i−x̄)²/Sxx —
+    * the influence diagnostic that separates "big residual" from "big
+    * residual AT a leverage point" ([[graft.operators.Distribution
+    * .grubbsTest]] flags the former; this flags the days that actually
+    * move b).
+    *
+    * The residual is held exact until one division: with the n-scaled
+    * deviations u = n·x − Σx, v = n·y − Σy (exact decimal(38,0)),
+    * R_i = Cxx·v_i − Cxy·u_i is exact and e_i = R_i/(n·Cxx); RSS comes
+    * closed-form ((Cyy − Cxy²/Cxx)/n²), so NO float is ever accumulated
+    * — every per-row D_i is a fixed IEEE tree over exact integers,
+    * identical on both engines, making the top-20 selection stable. */
+  def cooksQuery(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"),
+          count(lit(1)).as("x")),
+      "cooks_daily") // feeds the sums row and the per-row pass
+    val sums = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+      sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+      sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+    def c(sab: String, sa: String, sb: String) =
+      (col("n").cast(d38) * col(sab) -
+        col(sa).cast(d38) * col(sb).cast(d38))
+    val base = sums
+      .withColumn("cxx", c("sxx", "sx", "sx"))
+      .withColumn("cxy", c("sxy", "sx", "sy"))
+      .withColumn("cyy", c("syy", "sy", "sy"))
+    val nD = col("n").cast("double")
+    val cxxD = col("cxx").cast("string").cast("double")
+    val rss = (col("cyy").cast("string").cast("double") -
+      col("cxy").cast("string").cast("double") *
+        col("cxy").cast("string").cast("double") / cxxD) / (nD * nD)
+    val withS2 = base.withColumn("s2", rss / (nD - lit(2.0)))
+    daily.crossJoin(broadcast(withS2))
+      .withColumn("u", col("n").cast(d38) * col("x").cast(d38) -
+        col("sx").cast(d38))
+      .withColumn("r", col("cxx") * (col("n").cast(d38) *
+        col("y").cast(d38) - col("sy").cast(d38)) - col("cxy") * col("u"))
+      .withColumn("e",
+        col("r").cast("string").cast("double") / (nD * cxxD))
+      .withColumn("h", lit(1.0) / nD +
+        col("u").cast("string").cast("double") *
+          col("u").cast("string").cast("double") / (nD * cxxD))
+      .withColumn("cooks_d",
+        (col("e") * col("e") * col("h")) /
+          ((lit(2.0) * col("s2")) *
+            ((lit(1.0) - col("h")) * (lit(1.0) - col("h")))))
+      .orderBy(col("cooks_d").desc, col("day").asc)
+      .limit(topK)
+      .select(col("day"), col("x"), col("y"), col("h").as("leverage"),
+        col("cooks_d"))
+  }
+
+  /** Blinder–Oaxaca decomposition (q_oaxaca): how much of the mean
+    * order-value gap between BUILDING-segment customers and the rest is
+    * EXPLAINED by basket size (they order more lineitems) vs
+    * UNEXPLAINED (they pay more at the same basket size)? The
+    * two-group counterpart of [[grangerQuery]]'s nested models and the
+    * standard wage-gap machinery: gap = ȳ_A − ȳ_B =
+    * b_B·(x̄_A − x̄_B) + [(a_A − a_B) + x̄_A·(b_A − b_B)], with each
+    * group's OLS closed-form over cleared-denominator moments.
+    *
+    * One joined conditional aggregate produces both groups' exact sums
+    * (the [[graft.operators.Distribution.smdQuery]] shape); everything
+    * after is a fixed IEEE tree. */
+  def oaxacaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("y"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("in_a"))
+    val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+    def side(flag: Boolean, tag: String) = Seq(
+      sum(when(col("in_a") === flag, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("in_a") === flag, col("x")).otherwise(0L)).as(s"sx_$tag"),
+      sum(when(col("in_a") === flag, col("y")).otherwise(0L)).as(s"sy_$tag"),
+      sum(when(col("in_a") === flag, col("x").cast(d38) * col("x").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"sxx_$tag"),
+      sum(when(col("in_a") === flag, col("x").cast(d38) * col("y").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"sxy_$tag"))
+    val aggs = side(true, "a") ++ side(false, "b")
+    val sums = base.agg(aggs.head, aggs.tail: _*)
+    def grp(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      val mx = col(s"sx_$tag").cast("double") / n
+      val my = col(s"sy_$tag").cast("double") / n
+      val b = (col(s"n_$tag").cast(d38) * col(s"sxy_$tag") -
+          col(s"sx_$tag").cast(d38) * col(s"sy_$tag").cast(d38))
+        .cast("string").cast("double") /
+        (col(s"n_$tag").cast(d38) * col(s"sxx_$tag") -
+          col(s"sx_$tag").cast(d38) * col(s"sx_$tag").cast(d38))
+        .cast("string").cast("double")
+      (mx, my, b)
+    }
+    val (mxa, mya, ba) = grp("a")
+    val (mxb, myb, bb) = grp("b")
+    sums.select(col("n_a"), col("n_b"),
+      (mya - myb).as("gap_cents"),
+      (bb * (mxa - mxb)).as("explained_cents"),
+      ((mya - myb) - bb * (mxa - mxb)).as("unexplained_cents"),
+      ba.as("b_a"), bb.as("b_b"))
+  }
+
   def pacfQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = graft.scale.Silver.scratch(
