@@ -421,7 +421,12 @@ object SparkEntry {
     "q_cooks"           -> ((s, d) => graft.operators.Regression.cooksQuery(s, d)),
     "q_oaxaca"          -> ((s, d) => graft.operators.Regression.oaxacaQuery(s, d)),
     "q_atkinson"        -> ((s, d) => graft.operators.Distribution.atkinsonQuery(s, d)),
-    "q_constraint"      -> ((s, d) => graft.operators.KCore.constraintQuery(s, d))
+    "q_constraint"      -> ((s, d) => graft.operators.KCore.constraintQuery(s, d)),
+    "q_ljung_box"       -> ((s, d) => graft.operators.Regression.ljungBoxQuery(s, d)),
+    "q_elasticity"      -> ((s, d) => graft.operators.Analytics.elasticityQuery(s, d)),
+    "q_pvm"             -> ((s, d) => graft.operators.Analytics.pvmQuery(s, d)),
+    "q_hellinger"       -> ((s, d) => graft.operators.Distribution.hellingerQuery(s, d)),
+    "q_spectrum"        -> ((s, d) => graft.operators.TimeSeries.spectrumQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9676,6 +9681,183 @@ object SparkEntry {
         |       CAST(CAST(c_w AS VARCHAR) AS DOUBLE) / 1e24 AS burt_constraint
         |FROM cw
         |ORDER BY burt_constraint DESC, node LIMIT 20""".stripMargin,
+
+    // Ljung–Box Q over the first three lag-join cleared-denominator
+    // autocorrelations; fixed tree over (n, r1, r2, r3).
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(a.v) AS BIGINT) AS sx,
+        |              CAST(sum(b.v) AS BIGINT) AS sy,
+        |              sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+        |              sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |              sum(CAST(b.v AS HUGEINT) * b.v) AS syy
+        |       FROM daily a JOIN daily b ON b.day = a.day + 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(a.v) AS BIGINT) AS sx,
+        |              CAST(sum(b.v) AS BIGINT) AS sy,
+        |              sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+        |              sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |              sum(CAST(b.v AS HUGEINT) * b.v) AS syy
+        |       FROM daily a JOIN daily b ON b.day = a.day + 2),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(a.v) AS BIGINT) AS sx,
+        |              CAST(sum(b.v) AS BIGINT) AS sy,
+        |              sum(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+        |              sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+        |              sum(CAST(b.v AS HUGEINT) * b.v) AS syy
+        |       FROM daily a JOIN daily b ON b.day = a.day + 3),
+        |r AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+        |  (SELECT CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS VARCHAR) AS DOUBLE) /
+        |          sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(CAST(n AS HUGEINT) * syy -
+        |                         CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |   FROM s1) AS r1,
+        |  (SELECT CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS VARCHAR) AS DOUBLE) /
+        |          sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(CAST(n AS HUGEINT) * syy -
+        |                         CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |   FROM s2) AS r2,
+        |  (SELECT CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS VARCHAR) AS DOUBLE) /
+        |          sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |               CAST(CAST(CAST(n AS HUGEINT) * syy -
+        |                         CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |   FROM s3) AS r3)
+        |SELECT n_days, r1, r2, r3,
+        |       CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) *
+        |         (r1 * r1 / (CAST(n_days AS DOUBLE) - 1.0) +
+        |          r2 * r2 / (CAST(n_days AS DOUBLE) - 2.0) +
+        |          r3 * r3 / (CAST(n_days AS DOUBLE) - 3.0)) AS q_lb
+        |FROM r""".stripMargin,
+
+    // Arc elasticity per brand: unit-price denominators cancel, exact
+    // HUGEINT products, one terminal division per brand.
+    "q_elasticity" ->
+      """WITH be AS (
+        |  SELECT p.p_brand AS brand,
+        |    CAST(sum(CASE WHEN l.l_shipdate < TIMESTAMP '1998-01-01'
+        |         THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS q1,
+        |    CAST(sum(CASE WHEN l.l_shipdate < TIMESTAMP '1998-01-01'
+        |         THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+        |         THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS q2,
+        |    CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+        |         THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1
+        |  HAVING q1 > 0 AND q2 > 0)
+        |SELECT brand, q1, q2,
+        |       CAST(CAST(CAST(q2 - q1 AS HUGEINT) *
+        |            (CAST(s2 AS HUGEINT) * q1 + CAST(s1 AS HUGEINT) * q2)
+        |            AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(q2 + q1 AS HUGEINT) *
+        |            (CAST(s2 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * q2)
+        |            AS VARCHAR) AS DOUBLE) AS elasticity
+        |FROM be ORDER BY brand""".stripMargin,
+
+    // Price-volume-mix bridge per brand: exact cleared-fraction volume
+    // effect, price effect closes the bridge to Δrev exactly.
+    "q_pvm" ->
+      """WITH be AS (
+        |  SELECT p.p_brand AS brand,
+        |    CAST(sum(CASE WHEN l.l_shipdate < TIMESTAMP '1998-01-01'
+        |         THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS q1,
+        |    CAST(sum(CASE WHEN l.l_shipdate < TIMESTAMP '1998-01-01'
+        |         THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+        |         THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS q2,
+        |    CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01'
+        |         THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1
+        |  HAVING q1 > 0 AND q2 > 0)
+        |SELECT brand, s1 AS rev1_cents, s2 AS rev2_cents,
+        |       CAST(s2 - s1 AS BIGINT) AS delta_cents,
+        |       CAST(CAST(CAST(q2 - q1 AS HUGEINT) * s1 AS VARCHAR) AS DOUBLE)
+        |         / CAST(q1 AS DOUBLE) AS volume_effect,
+        |       CAST(s2 - s1 AS DOUBLE) -
+        |         CAST(CAST(CAST(q2 - q1 AS HUGEINT) * s1 AS VARCHAR) AS DOUBLE)
+        |           / CAST(q1 AS DOUBLE) AS price_effect
+        |FROM be ORDER BY brand""".stripMargin,
+
+    // Bhattacharyya/Hellinger: floor-scaled per-bin √(cr·cn) over the
+    // bounded quantity domain, fixed closing tree.
+    "q_hellinger" ->
+      """WITH counts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cr,
+        |         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |agg AS (SELECT CAST(sum(cr) AS BIGINT) AS n_r,
+        |               CAST(sum(cn) AS BIGINT) AS n_n,
+        |               CAST(sum(CAST(floor(sqrt(CAST(cr * cn AS DOUBLE)) *
+        |                    1000.0) AS BIGINT)) AS BIGINT) AS sb
+        |        FROM counts)
+        |SELECT n_r, n_n,
+        |       CAST(sb AS DOUBLE) /
+        |         (1000.0 * sqrt(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)))
+        |         AS bhattacharyya,
+        |       sqrt(1.0 - CAST(sb AS DOUBLE) /
+        |         (1000.0 * sqrt(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))))
+        |         AS hellinger
+        |FROM agg""".stripMargin,
+
+    // Weekly DFT bin: pinned floor-scaled twiddle integers, n-scaled
+    // exact residuals, Parseval-normalized share.
+    "q_spectrum" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(v) AS HUGEINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS n FROM daily),
+        |tw AS (SELECT * FROM (VALUES
+        |  (0, CAST(1000000 AS HUGEINT), CAST(0 AS HUGEINT)),
+        |  (1, CAST(623489 AS HUGEINT), CAST(781831 AS HUGEINT)),
+        |  (2, CAST(-222521 AS HUGEINT), CAST(974927 AS HUGEINT)),
+        |  (3, CAST(-900969 AS HUGEINT), CAST(433883 AS HUGEINT)),
+        |  (4, CAST(-900969 AS HUGEINT), CAST(-433884 AS HUGEINT)),
+        |  (5, CAST(-222521 AS HUGEINT), CAST(-974928 AS HUGEINT)),
+        |  (6, CAST(623489 AS HUGEINT), CAST(-781832 AS HUGEINT)))
+        |  t(k, c, si)),
+        |sums AS (
+        |  SELECT max(t.n) AS n_days,
+        |         sum((CAST(t.n AS HUGEINT) * d.v - t.s) * tw.c) AS a,
+        |         sum((CAST(t.n AS HUGEINT) * d.v - t.s) * tw.si) AS b,
+        |         sum((CAST(t.n AS HUGEINT) * d.v - t.s) *
+        |             (CAST(t.n AS HUGEINT) * d.v - t.s)) AS rr
+        |  FROM daily d, tot t, tw
+        |  WHERE tw.k = d.day % 7)
+        |SELECT n_days,
+        |       (CAST(CAST(a AS VARCHAR) AS DOUBLE) *
+        |          CAST(CAST(a AS VARCHAR) AS DOUBLE) +
+        |        CAST(CAST(b AS VARCHAR) AS DOUBLE) *
+        |          CAST(CAST(b AS VARCHAR) AS DOUBLE)) /
+        |       (1e12 * CAST(n_days AS DOUBLE) *
+        |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
+        |FROM sums""".stripMargin,
 
     // Historical VaR/ES: k-th order statistic (k = ⌈n/20⌉) and exact
     // tail sum over rank-selected deltas; one terminal division.

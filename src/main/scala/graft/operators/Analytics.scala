@@ -1262,4 +1262,72 @@ object Analytics {
           .as("top_share"))
       .orderBy("region")
   }
+
+  /** Per-brand era frame shared by [[elasticityQuery]] and [[pvmQuery]]:
+    * units and revenue cents per (brand, era) with era split at the
+    * pinned corpus midpoint 1998-01-01 — one fact-side aggregate after
+    * the brand dimension join (lineitem pre-projected; part broadcast-
+    * joined on partkey). Wide row per brand via conditional sums, so
+    * both downstream trees are per-row fixed arithmetic. */
+  private def brandEraFrame(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_shipdate") < lit("1998-01-01").cast("timestamp")).as("era1"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("s"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum(when(col("era1"), col("q")).otherwise(0L)).as("q1"),
+        sum(when(col("era1"), col("s")).otherwise(0L)).as("s1"),
+        sum(when(!col("era1"), col("q")).otherwise(0L)).as("q2"),
+        sum(when(!col("era1"), col("s")).otherwise(0L)).as("s2"))
+      .filter(col("q1") > 0L && col("q2") > 0L)
+  }
+
+  /** Arc price elasticity of demand per brand (q_elasticity):
+    * ((q₂−q₁)/(q₂+q₁)) / ((P₂−P₁)/(P₂+P₁)) with P = revenue/units —
+    * the midpoint-formula elasticity between the two corpus eras, the
+    * pricing read behind every "can we raise prices?" call. The unit
+    * prices are rationals; their shared q₁q₂ denominators CANCEL, so
+    * the whole statistic is the integer fraction
+    * ((q₂−q₁)(s₂q₁+s₁q₂)) / ((q₂+q₁)(s₂q₁−s₁q₂)) — exact
+    * decimal(38,0) products, ONE terminal division per brand. */
+  def elasticityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    brandEraFrame(spark, dir)
+      .select(col("brand"), col("q1"), col("q2"),
+        (((col("q2") - col("q1")).cast(d38) *
+            (col("s2").cast(d38) * col("q1").cast(d38) +
+              col("s1").cast(d38) * col("q2").cast(d38)))
+          .cast("string").cast("double") /
+          ((col("q2") + col("q1")).cast(d38) *
+            (col("s2").cast(d38) * col("q1").cast(d38) -
+              col("s1").cast(d38) * col("q2").cast(d38)))
+          .cast("string").cast("double")).as("elasticity"))
+      .orderBy("brand")
+  }
+
+  /** Price-volume-mix revenue bridge per brand (q_pvm): decompose each
+    * brand's era-over-era revenue change into volume effect
+    * (q₂−q₁)·P₁ and price effect q₂·(P₂−P₁) — the FP&A waterfall that
+    * explains WHY revenue moved (the two effects sum exactly to Δrev
+    * per brand). P₁ = s₁/q₁ enters as the cleared fraction
+    * ((q₂−q₁)·s₁)/q₁ — exact product, one division; the price effect
+    * closes the bridge as Δrev − volume, keeping additivity EXACT in
+    * the emitted doubles. */
+  def pvmQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val vol = ((col("q2") - col("q1")).cast(d38) * col("s1").cast(d38))
+      .cast("string").cast("double") / col("q1").cast("double")
+    brandEraFrame(spark, dir)
+      .select(col("brand"), col("s1").as("rev1_cents"),
+        col("s2").as("rev2_cents"),
+        (col("s2") - col("s1")).as("delta_cents"),
+        vol.as("volume_effect"),
+        ((col("s2") - col("s1")).cast("double") - vol).as("price_effect"))
+      .orderBy("brand")
+  }
 }

@@ -2123,6 +2123,31 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Bhattacharyya coefficient and Hellinger distance between the
+    * returned and kept quantity distributions (q_hellinger):
+    * BC = Σ√(pᵢqᵢ), H = √(1−BC) — the bounded, symmetric
+    * distribution-distance next to [[wassersteinDistance]] (mass
+    * transport) and [[tvDriftQuery]] (sup-norm): Hellinger is the one
+    * with the √ geometry that dominates Bayes error bounds.
+    *
+    * √(pᵢqᵢ) = √(crᵢ·cnᵢ)/√(n_r·n_n): the per-bin √ images are
+    * floor-scaled exact longs (⌊√(cr·cn)·10³⌋ — the [[atkinsonQuery]]
+    * device) over the ≤50-value bounded domain, so Σ accumulates
+    * exactly; BC and H close as a fixed tree (floor keeps BC ≤ 1, so
+    * the √(1−BC) argument never goes negative). */
+  def hellingerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.scale.Silver.scratch(
+      quantityCountsRN(spark, dir), "hell_counts")
+    val agg = counts.agg(
+      sum(col("cr")).as("n_r"), sum(col("cn")).as("n_n"),
+      sum(floor(sqrt((col("cr") * col("cn")).cast("double")) * lit(1000.0))
+        .cast("long")).as("sb"))
+    val bc = col("sb").cast("double") /
+      (lit(1000.0) * sqrt(col("n_r").cast("double") * col("n_n").cast("double")))
+    agg.select(col("n_r"), col("n_n"), bc.as("bhattacharyya"),
+      sqrt(lit(1.0) - bc).as("hellinger"))
+  }
+
   /** Atkinson inequality index (ε = 1/2) of customer spend
     * (q_atkinson): 1 − EDE/μ, where EDE = (Σ√yᵢ/n)² is the
     * equally-distributed-equivalent spend — the welfare-weighted

@@ -576,6 +576,54 @@ object Regression {
       ba.as("b_a"), bb.as("b_b"))
   }
 
+  /** Ljung–Box portmanteau test (q_ljung_box): are the first three
+    * autocorrelations of daily revenue JOINTLY zero? Q = n(n+2)·Σ_{k≤3}
+    * r_k²/(n−k) — the one-number "is this series white noise?" gate that
+    * [[autocorrQuery]]/[[pacfQuery]]'s per-lag reads don't give (three
+    * individually-insignificant r's can be jointly damning). Each r_k is
+    * the lag-join cleared-denominator Pearson (the [[pacfQuery]]
+    * machinery, exact integer sums); Q is a fixed IEEE tree over
+    * (n, r₁, r₂, r₃). */
+  def ljungBoxQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("day")
+        .agg((sum(col("p")) * 100).cast("long").as("v")),
+      "lb_daily") // feeds the three lag joins and the length count
+    def rOf(k: Int): DataFrame = {
+      val pairs = daily
+        .join(daily.select((col("day") - k).as("day"), col("v").as("y")),
+          Seq("day"))
+      pairs.agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("v").cast(d38) * col("v").cast(d38)).as("sxx"),
+          sum(col("v").cast(d38) * col("y").cast(d38)).as("sxy"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+        .select(((col("n").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy").cast(d38))
+          .cast("string").cast("double") /
+          sqrt((col("n").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx").cast(d38))
+            .cast("string").cast("double") *
+            (col("n").cast(d38) * col("syy") -
+              col("sy").cast(d38) * col("sy").cast(d38))
+            .cast("string").cast("double"))).as(s"r$k"))
+    }
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val nD = col("n_days").cast("double")
+    n.crossJoin(broadcast(rOf(1))).crossJoin(broadcast(rOf(2)))
+      .crossJoin(broadcast(rOf(3)))
+      .select(col("n_days"), col("r1"), col("r2"), col("r3"),
+        (nD * (nD + lit(2.0)) *
+          (col("r1") * col("r1") / (nD - lit(1.0)) +
+            col("r2") * col("r2") / (nD - lit(2.0)) +
+            col("r3") * col("r3") / (nD - lit(3.0)))).as("q_lb"))
+  }
+
   def pacfQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = graft.scale.Silver.scratch(

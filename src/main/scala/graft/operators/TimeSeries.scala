@@ -692,6 +692,50 @@ object TimeSeries {
           col("nd").cast("double")).as("dd_cents"))
   }
 
+  /** Weekly-frequency spectral power of daily revenue (q_spectrum):
+    * the single-bin DFT at period 7 — what SHARE of the series'
+    * variance beats at the weekly cycle? The frequency-domain
+    * companion to [[weekdayDecomposition]] (which shows the shape;
+    * this scores its strength): share = (|Σr_t·e^{−2πit/7}|²/10¹²) /
+    * (n·Σr²), Parseval-normalized to [0,1].
+    *
+    * Portability: cos/sin are NOT correctly-rounded-guaranteed across
+    * engines, so the 7 twiddle factors enter as PINNED floor-scaled
+    * integer literals (⌊cos(2πk/7)·10⁶⌋ — the NDCG log₂-table device),
+    * residuals are the n-scaled exact r_t = n·v_t − S, and both DFT
+    * sums accumulate as exact decimal(38,0) in ANY partition order.
+    * Three divisions close the tree. One aggregate over the
+    * calendar-bounded daily frame. */
+  def spectrumQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cosW = Seq(1000000L, 623489L, -222521L, -900969L, -900969L,
+      -222521L, 623489L)
+    val sinW = Seq(0L, 781831L, 974927L, 433883L, -433884L, -974928L,
+      -781832L)
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val tot = daily.agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    def tw(w: Seq[Long]) = element_at(
+      array(w.map(lit): _*), (col("day") % 7).cast("int") + 1).cast(d38)
+    val sums = daily.crossJoin(broadcast(tot))
+      .withColumn("r", col("n").cast(d38) * col("v").cast(d38) -
+        col("s").cast(d38))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("r") * tw(cosW)).as("a"),
+        sum(col("r") * tw(sinW)).as("b"),
+        sum(col("r") * col("r")).as("rr"))
+    val aD = col("a").cast("string").cast("double")
+    val bD = col("b").cast("string").cast("double")
+    sums.select(col("n_days"),
+      ((aD * aD + bD * bD) /
+        (lit(1e12) * col("n_days").cast("double") *
+          col("rr").cast("string").cast("double"))).as("weekly_share"))
+  }
+
   /** Historical VaR and expected shortfall of day-over-day revenue
     * changes (q_var_es): the 5% left-tail cutoff (VaR) and the exact
     * mean of the tail beyond it (ES/CVaR) — the downside-risk pair under
