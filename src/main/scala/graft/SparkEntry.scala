@@ -426,7 +426,12 @@ object SparkEntry {
     "q_elasticity"      -> ((s, d) => graft.operators.Analytics.elasticityQuery(s, d)),
     "q_pvm"             -> ((s, d) => graft.operators.Analytics.pvmQuery(s, d)),
     "q_hellinger"       -> ((s, d) => graft.operators.Distribution.hellingerQuery(s, d)),
-    "q_spectrum"        -> ((s, d) => graft.operators.TimeSeries.spectrumQuery(s, d))
+    "q_spectrum"        -> ((s, d) => graft.operators.TimeSeries.spectrumQuery(s, d)),
+    "q_graph_churn"     -> ((s, d) => graft.operators.KCore.graphChurnQuery(s, d)),
+    "q_pref_attach"     -> ((s, d) => graft.operators.KCore.prefAttachQuery(s, d)),
+    "q_nelson_aalen"    -> ((s, d) => graft.operators.TimeSeries.nelsonAalen(s, d)),
+    "q_huber"           -> ((s, d) => graft.operators.Distribution.huberQuery(s, d)),
+    "q_iv_wald"         -> ((s, d) => graft.operators.Regression.ivWaldQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9858,6 +9863,160 @@ object SparkEntry {
         |       (1e12 * CAST(n_days AS DOUBLE) *
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
+
+    // Temporal graph churn: era-split distinct edge sets, exact
+    // intersection count, fixed tree.
+    "q_graph_churn" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT l.l_suppkey AS a, -(o.o_custkey + 1) AS b,
+        |         o.o_orderdate < TIMESTAMP '1998-01-01' AS era1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e1 AS MATERIALIZED (SELECT DISTINCT a, b FROM pairs WHERE era1),
+        |e2 AS MATERIALIZED (SELECT DISTINCT a, b FROM pairs WHERE NOT era1),
+        |c1 AS (SELECT CAST(count(*) AS BIGINT) AS e1 FROM e1),
+        |c2 AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM e2),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS common
+        |       FROM e1 JOIN e2 ON e1.a = e2.a AND e1.b = e2.b)
+        |SELECT e1, e2, common,
+        |       CAST(common AS DOUBLE) / CAST(e1 + e2 - common AS DOUBLE)
+        |         AS jaccard,
+        |       CAST(e2 - common AS DOUBLE) / CAST(e2 AS DOUBLE) AS new_frac
+        |FROM c1 CROSS JOIN c2 CROSS JOIN cc""".stripMargin,
+
+    // Preferential attachment: old-degree vs new-edge-count Pearson,
+    // cleared-denominator exact; zero-padded left join.
+    "q_pref_attach" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT l.l_suppkey AS a, -(o.o_custkey + 1) AS b,
+        |         o.o_orderdate < TIMESTAMP '1998-01-01' AS era1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e1 AS MATERIALIZED (SELECT DISTINCT a, b FROM pairs WHERE era1),
+        |e2 AS MATERIALIZED (SELECT DISTINCT a, b FROM pairs WHERE NOT era1),
+        |ne AS MATERIALIZED (
+        |  SELECT e2.a, e2.b FROM e2 ANTI JOIN e1
+        |    ON e2.a = e1.a AND e2.b = e1.b),
+        |deg1 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |           SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+        |         GROUP BY 1),
+        |nc AS (SELECT node, CAST(count(*) AS BIGINT) AS nc FROM (
+        |         SELECT a AS node FROM ne UNION ALL SELECT b FROM ne)
+        |       GROUP BY 1),
+        |base AS (SELECT d.deg AS x, coalesce(n.nc, 0) AS y
+        |         FROM deg1 d LEFT JOIN nc n ON d.node = n.node),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_new_edges FROM ne),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM base)
+        |SELECT s.n AS n_nodes, tot.n_new_edges,
+        |       CAST(CAST(CAST(s.n AS HUGEINT) * sxy -
+        |            CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) /
+        |       sqrt(CAST(CAST(CAST(s.n AS HUGEINT) * sxx -
+        |                 CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) *
+        |            CAST(CAST(CAST(s.n AS HUGEINT) * syy -
+        |                 CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |         AS r_pref
+        |FROM s CROSS JOIN tot""".stripMargin,
+
+    // Nelson–Aalen: exact floor-scaled hazard terms (10⁹·d) div n,
+    // risk sets and the cumulative hazard from window cumsums.
+    "q_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         min(epoch_ms(o_orderdate) // 86400000) AS first_day,
+        |         max(epoch_ms(o_orderdate) // 86400000) AS last_day
+        |  FROM orders GROUP BY 1),
+        |life AS (
+        |  SELECT last_day - first_day AS t,
+        |         CASE WHEN last_day <
+        |           (SELECT max(last_day) FROM per) - 90 THEN 1 ELSE 0 END
+        |           AS event
+        |  FROM per),
+        |grid AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+        |                CAST(sum(event) AS BIGINT) AS d
+        |         FROM life GROUP BY 1),
+        |risk AS (
+        |  SELECT t, cnt, d,
+        |         (SELECT CAST(sum(cnt) AS BIGINT) FROM grid) -
+        |           (CAST(sum(cnt) OVER (ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) - cnt) AS n_risk
+        |  FROM grid),
+        |haz AS (SELECT t, n_risk, d,
+        |               (1000000000 * d) // n_risk AS h
+        |        FROM risk),
+        |cum AS (SELECT t, n_risk, d,
+        |               CAST(sum(h) OVER (ORDER BY t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS BIGINT) AS cum_h
+        |        FROM haz)
+        |SELECT t, n_risk, d,
+        |       CAST(cum_h AS DOUBLE) / 1e9 AS na_cum_hazard
+        |FROM cum WHERE d > 0 ORDER BY t""".stripMargin,
+
+    // One-step Huber: exact rank-selected median/MAD anchors, integer
+    // clip bounds, exact clipped sum, one division.
+    "q_huber" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT y AS m FROM (
+        |          SELECT y, row_number() OVER (ORDER BY y) AS r,
+        |                 count(*) OVER () AS nn
+        |          FROM spend) WHERE r = (nn + 1) // 2),
+        |mad AS (SELECT ad AS mad FROM (
+        |          SELECT abs(y - m) AS ad,
+        |                 row_number() OVER (ORDER BY abs(y - m)) AS r,
+        |                 count(*) OVER () AS nn
+        |          FROM spend, med) WHERE r = (nn + 1) // 2),
+        |clipped AS (
+        |  SELECT m, mad,
+        |         greatest(m - (3 * mad) // 2,
+        |                  least(m + (3 * mad) // 2, y)) AS cy
+        |  FROM spend, med, mad)
+        |SELECT CAST(count(*) AS BIGINT) AS n, m AS median_cents,
+        |       mad AS mad_cents,
+        |       CAST(CAST(sum(cy) AS BIGINT) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS huber_cents
+        |FROM clipped GROUP BY m, mad""".stripMargin,
+
+    // Wald IV vs OLS: cancelled-denominator arm contrast and
+    // cleared-denominator moment slope off one conditional aggregate.
+    "q_iv_wald" ->
+      """WITH f AS (
+        |  SELECT CAST(l.l_quantity AS BIGINT) AS x,
+        |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS y,
+        |         o.o_orderpriority = '1-URGENT' AS z
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN z THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |  CAST(sum(CASE WHEN NOT z THEN x ELSE 0 END) AS BIGINT) AS sx0,
+        |  CAST(sum(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        |  CAST(sum(CASE WHEN NOT z THEN y ELSE 0 END) AS BIGINT) AS sy0,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM f)
+        |SELECT n1, n0,
+        |       CAST(CAST(CAST(n AS HUGEINT) * sxy -
+        |            CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |            CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS b_ols,
+        |       CAST(CAST(CAST(sy1 AS HUGEINT) * n0 -
+        |            CAST(sy0 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(sx1 AS HUGEINT) * n0 -
+        |            CAST(sx0 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE)
+        |         AS b_wald
+        |FROM s""".stripMargin,
 
     // Historical VaR/ES: k-th order statistic (k = ⌈n/20⌉) and exact
     // tail sum over rank-selected deltas; one terminal division.

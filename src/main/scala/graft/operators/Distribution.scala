@@ -2123,6 +2123,48 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** One-step Huber M-estimate of customer spend location (q_huber):
+    * start at the exact median, clip every observation into
+    * [med − 1.5·MAD, med + 1.5·MAD], average the clipped values — the
+    * robust "typical customer value" that neither the mean (outlier-
+    * dragged) nor the bare median (throws away 98% of the data's
+    * information) gives. The classic one-step M-estimator with Huber's
+    * ψ; fully deterministic because the anchor quantities are exact
+    * integer ORDER STATISTICS, not float iterates.
+    *
+    * Median and MAD are rank selections via
+    * [[graft.operators.Ranking.distributedGlobalRank]] (lower median,
+    * rank (n+1) div 2); the clip bounds stay integers (1.5·MAD as
+    * (3·MAD) div 2); the clipped sum is an exact long; ONE terminal
+    * division. */
+  def huberQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spend = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("y")),
+      "huber_spend") // feeds both rank passes and the clipped mean
+    def lowerMedian(df: DataFrame, v: String): DataFrame =
+      Ranking.distributedGlobalRank(df, Seq(col(v).asc), rankCol = "r",
+          nCol = "nn", numParts = 8)
+        .filter(col("r") === expr("(nn + 1) div 2"))
+        .select(col(v).as("m"))
+    val med = lowerMedian(spend, "y")
+    val dev = spend.crossJoin(broadcast(med))
+      .select(abs(col("y") - col("m")).as("ad"))
+    val mad = lowerMedian(dev, "ad").select(col("m").as("mad"))
+    spend.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("y"), col("m"),
+        col("mad"), (col("m") - expr("(3 * mad) div 2")).as("lo"),
+        (col("m") + expr("(3 * mad) div 2")).as("hi"))
+      .select(col("m"), col("mad"),
+        greatest(col("lo"), least(col("hi"), col("y"))).as("cy"))
+      .groupBy(col("m").as("median_cents"), col("mad").as("mad_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("cy")).as("sc"))
+      .select(col("n"), col("median_cents"), col("mad_cents"),
+        (col("sc").cast("double") / col("n").cast("double"))
+          .as("huber_cents"))
+  }
+
   /** Bhattacharyya coefficient and Hellinger distance between the
     * returned and kept quantity distributions (q_hellinger):
     * BC = Σ√(pᵢqᵢ), H = √(1−BC) — the bounded, symmetric

@@ -478,6 +478,85 @@ object KCore {
         col("w1"), col("w2"), col("w3"), col("w4"), col("katz_w"))
   }
 
+  /** Era-split co-trading edge sets (orders before/after the pinned
+    * corpus midpoint 1998-01-01) — the shared frame of the temporal-
+    * graph queries [[graphChurnQuery]] and [[prefAttachQuery]]. One
+    * fact join, conditional-distinct per era. */
+  private def eraPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("era1"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("a"), (-(col("o_custkey") + 1)).as("b"),
+        col("era1"))
+    (pairs.filter(col("era1")).select("a", "b").distinct(),
+      pairs.filter(!col("era1")).select("a", "b").distinct())
+  }
+
+  /** Temporal graph churn (q_graph_churn): Jaccard overlap of the
+    * co-trading edge sets before and after the corpus midpoint — how
+    * much of the trading network is STABLE relationships vs turnover?
+    * The one-number network-drift read before trusting any model
+    * trained on last era's graph. Exact set counting: two distinct
+    * edge frames, one equi-join for the intersection, fixed tree. */
+  def graphChurnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (e1, e2) = eraPairs(spark, dir)
+    val m1 = graft.scale.Silver.scratch(e1, "churn_e1")
+    val m2 = graft.scale.Silver.scratch(e2, "churn_e2")
+    val c1 = m1.agg(count(lit(1)).as("e1"))
+    val c2 = m2.agg(count(lit(1)).as("e2"))
+    val common = m1.join(m2, Seq("a", "b")).agg(count(lit(1)).as("common"))
+    c1.crossJoin(broadcast(c2)).crossJoin(broadcast(common))
+      .select(col("e1"), col("e2"), col("common"),
+        (col("common").cast("double") /
+          (col("e1") + col("e2") - col("common")).cast("double"))
+          .as("jaccard"),
+        ((col("e2") - col("common")).cast("double") /
+          col("e2").cast("double")).as("new_frac"))
+  }
+
+  /** Preferential-attachment test (q_pref_attach): do NEW second-era
+    * trading edges attach to nodes in proportion to their first-era
+    * degree (the Barabási rich-get-richer mechanism), or uniformly?
+    * Pearson r between old degree and new-edge count across first-era
+    * nodes, cleared-denominator exact ([[graft.operators.Regression]]
+    * device) — r near the degree distribution's self-prediction means
+    * the hub structure is self-reinforcing and degree-based features
+    * will stay predictive. New edges = era2 ∖ era1 (one anti-join);
+    * nodes without new edges enter as exact zeros. */
+  def prefAttachQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val (e1, e2) = eraPairs(spark, dir)
+    val m1 = graft.scale.Silver.scratch(e1, "pa_e1")
+    val deg1 = m1.select(col("a").as("node"))
+      .unionAll(m1.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val newEdges = e2.join(m1, Seq("a", "b"), "left_anti")
+    val newCnt = newEdges.select(col("a").as("node"))
+      .unionAll(newEdges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("nc"))
+    val base = deg1.join(newCnt, Seq("node"), "left")
+      .select(col("deg").as("x"), coalesce(col("nc"), lit(0L)).as("y"))
+    val tot = newEdges.agg(count(lit(1)).as("n_new_edges"))
+    base.agg(count(lit(1)).as("n_nodes"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_nodes"), col("n_new_edges"),
+        ((col("n_nodes").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy").cast(d38))
+          .cast("string").cast("double") /
+          sqrt((col("n_nodes").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx").cast(d38))
+            .cast("string").cast("double") *
+            (col("n_nodes").cast(d38) * col("syy") -
+              col("sy").cast(d38) * col("sy").cast(d38))
+            .cast("string").cast("double"))).as("r_pref"))
+  }
+
   /** Burt's network constraint over the supplier co-supply graph
     * (q_constraint): cᵢ = Σ_j (p_ij + Σ_q p_iq·p_qj)², binary-weight
     * form p_ij = 1/deg(i) — the STRUCTURAL-HOLES read the centrality

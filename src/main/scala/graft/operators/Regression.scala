@@ -576,6 +576,55 @@ object Regression {
       ba.as("b_a"), bb.as("b_b"))
   }
 
+  /** Wald instrumental-variable estimate (q_iv_wald): the effect of
+    * line quantity on line revenue, instrumented by the ORDER being
+    * urgent-priority — the IV companion to the OLS slope
+    * ([[regressionQuery]]): when x is endogenous, OLS b is biased and
+    * the Wald ratio β = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) across instrument arms
+    * recovers the causal slope (under instrument validity). Reporting
+    * BOTH slopes is the standard endogeneity read: they diverge ⇒ x is
+    * confounded.
+    *
+    * The Wald ratio's n₁n₀ denominators cancel:
+    * β = (sy₁·n₀ − sy₀·n₁)/(sx₁·n₀ − sx₀·n₁) — exact decimal(38,0)
+    * products, one division; OLS b is the cleared-denominator moment
+    * ratio. ONE conditional aggregate over the joined fact stream. */
+  def ivWaldQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("x"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("y"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").as("z"))
+    val sums = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("z"), col("x")).otherwise(0L)).as("sx1"),
+        sum(when(!col("z"), col("x")).otherwise(0L)).as("sx0"),
+        sum(when(col("z"), col("y")).otherwise(0L)).as("sy1"),
+        sum(when(!col("z"), col("y")).otherwise(0L)).as("sy0"),
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+    sums.select(col("n1"), col("n0"),
+      ((col("n").cast(d38) * col("sxy") -
+          col("sx").cast(d38) * col("sy").cast(d38))
+        .cast("string").cast("double") /
+        (col("n").cast(d38) * col("sxx") -
+          col("sx").cast(d38) * col("sx").cast(d38))
+        .cast("string").cast("double")).as("b_ols"),
+      ((col("sy1").cast(d38) * col("n0").cast(d38) -
+          col("sy0").cast(d38) * col("n1").cast(d38))
+        .cast("string").cast("double") /
+        (col("sx1").cast(d38) * col("n0").cast(d38) -
+          col("sx0").cast(d38) * col("n1").cast(d38))
+        .cast("string").cast("double")).as("b_wald"))
+  }
+
   /** Ljung–Box portmanteau test (q_ljung_box): are the first three
     * autocorrelations of daily revenue JOINTLY zero? Q = n(n+2)·Σ_{k≤3}
     * r_k²/(n−k) — the one-number "is this series white noise?" gate that

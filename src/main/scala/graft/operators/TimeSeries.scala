@@ -692,6 +692,48 @@ object TimeSeries {
           col("nd").cast("double")).as("dd_cents"))
   }
 
+  /** Nelson–Aalen cumulative hazard of customer lifetime
+    * (q_nelson_aalen): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over observed churn
+    * durations (first→last order span; customers still active in the
+    * final 90 corpus days are right-CENSORED — they leave risk sets but
+    * never count as deaths). The survival-analysis entry point: unlike
+    * the raw churn-rate tables, NA handles censoring correctly, and
+    * unlike Kaplan–Meier it is a SUM, not a product — each hazard term
+    * floor-scales to the exact long (10⁹·d) div n, so the cumulative
+    * sum accumulates exactly in any order (a float KM product would be
+    * partition-order-dependent AND not oracle-pinnable).
+    *
+    * Shape: one per-customer aggregate, one per-duration count grid
+    * (calendar-bounded), risk sets and the hazard cumsum via TWO
+    * [[Ranking.distributedCumSum]] passes — no corpus-wide window. */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+        .as("first_day"),
+        max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+          .as("last_day"))
+    val end = per.agg(max(col("last_day")).as("corpus_end"))
+    val life = per.crossJoin(broadcast(end))
+      .select((col("last_day") - col("first_day")).as("t"),
+        when(col("last_day") < col("corpus_end") - 90L, 1L).otherwise(0L)
+          .as("event"))
+    val grid = life.groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum(col("event")).as("d"))
+    val tot = grid.agg(sum(col("cnt")).as("n_total"))
+    val cum1 = Ranking.distributedCumSum(grid, Seq(col("t").asc), Seq("cnt"))
+    val withRisk = graft.scale.Silver.scratch(
+      cum1.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n_total") - (col("cum_cnt") - col("cnt")))
+        .withColumn("h", expr("(1000000000 * d) div n_risk")),
+      "na_grid") // feeds the second cumsum and the output filter
+    Ranking.distributedCumSum(withRisk, Seq(col("t").asc), Seq("h"))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d"),
+        (col("cum_h").cast("double") / lit(1e9)).as("na_cum_hazard"))
+      .orderBy("t")
+  }
+
   /** Weekly-frequency spectral power of daily revenue (q_spectrum):
     * the single-bin DFT at period 7 — what SHARE of the series'
     * variance beats at the weekly cycle? The frequency-domain
