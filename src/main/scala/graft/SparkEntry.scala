@@ -431,7 +431,11 @@ object SparkEntry {
     "q_pref_attach"     -> ((s, d) => graft.operators.KCore.prefAttachQuery(s, d)),
     "q_nelson_aalen"    -> ((s, d) => graft.operators.TimeSeries.nelsonAalen(s, d)),
     "q_huber"           -> ((s, d) => graft.operators.Distribution.huberQuery(s, d)),
-    "q_iv_wald"         -> ((s, d) => graft.operators.Regression.ivWaldQuery(s, d))
+    "q_iv_wald"         -> ((s, d) => graft.operators.Regression.ivWaldQuery(s, d)),
+    "q_knn_acc"         -> ((s, d) => graft.scale.Similarity.knnAccQuery(s, d)),
+    "q_dunn"            -> ((s, d) => graft.scale.EmbedStats.dunnQuery(s, d)),
+    "q_davies_bouldin"  -> ((s, d) => graft.scale.EmbedStats.daviesBouldinQuery(s, d)),
+    "q_ari"             -> ((s, d) => graft.scale.EmbedStats.ariQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9863,6 +9867,132 @@ object SparkEntry {
         |       (1e12 * CAST(n_days AS DOUBLE) *
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
+
+    // Leave-one-out 5-NN accuracy: exact integer distances, majority
+    // with min-label tiebreak, one terminal division.
+    "q_knn_acc" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) AS u
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS g(i)),
+        |d AS (SELECT a.vec_id AS src, a.label AS src_label,
+        |             b.vec_id AS dst, b.label AS dst_label,
+        |             CAST(sum((a.u - b.u) * (a.u - b.u)) AS BIGINT) AS d2
+        |      FROM u a JOIN u b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2, 3, 4),
+        |e AS (SELECT src, src_label, dst_label FROM (
+        |        SELECT src, src_label, dst_label,
+        |               row_number() OVER (PARTITION BY src
+        |                                  ORDER BY d2, dst) AS rn
+        |        FROM d) WHERE rn <= 5),
+        |v AS (SELECT src, src_label, dst_label,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2, 3),
+        |p AS (SELECT src_label, dst_label AS pred FROM (
+        |        SELECT src_label, dst_label,
+        |               row_number() OVER (PARTITION BY src
+        |                 ORDER BY cnt DESC, dst_label) AS rn
+        |        FROM v) WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN src_label = pred THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_correct,
+        |       CAST(sum(CASE WHEN src_label = pred THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM p""".stripMargin,
+
+    // Dunn index: exact integer pair distances, min/max selections,
+    // two correctly-rounded √ and one division.
+    "q_dunn" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) + 1000000 AS u
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS g(i)),
+        |d AS (SELECT a.label AS li, b.label AS lj,
+        |             CAST(sum((a.u - b.u) * (a.u - b.u)) AS BIGINT) AS d2
+        |      FROM u a JOIN u b ON a.dim = b.dim AND a.vec_id < b.vec_id
+        |      GROUP BY a.vec_id, b.vec_id, a.label, b.label)
+        |SELECT CAST(min(CASE WHEN li <> lj THEN d2 END) AS BIGINT)
+        |         AS min_inter_d2,
+        |       CAST(max(CASE WHEN li = lj THEN d2 END) AS BIGINT)
+        |         AS max_intra_d2,
+        |       sqrt(CAST(min(CASE WHEN li <> lj THEN d2 END) AS DOUBLE)) /
+        |       sqrt(CAST(max(CASE WHEN li = lj THEN d2 END) AS DOUBLE))
+        |         AS dunn
+        |FROM d""".stripMargin,
+
+    // Davies–Bouldin: floor-mean integer centroids (offset keeps sums
+    // non-negative — // vs div parity), floored scatter sums, max-by
+    // ratio with greatest-label tiebreak.
+    "q_davies_bouldin" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) + 1000000 AS u
+        |  FROM embeddings, unnest(generate_series(1, len(embedding)))
+        |    AS g(i)),
+        |cent AS (SELECT label, dim, CAST(sum(u) AS BIGINT) //
+        |                CAST(count(*) AS BIGINT) AS c
+        |         FROM u GROUP BY 1, 2),
+        |scat AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(w) AS BIGINT) AS sw
+        |  FROM (SELECT u.vec_id, u.label,
+        |               CAST(floor(sqrt(CAST(sum((u.u - c.c) * (u.u - c.c))
+        |                    AS DOUBLE))) AS BIGINT) AS w
+        |        FROM u JOIN cent c ON u.label = c.label AND u.dim = c.dim
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |s AS (SELECT label, n, CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) AS s
+        |      FROM scat),
+        |cd AS (SELECT a.label AS li, b.label AS lj,
+        |              CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS cd2
+        |       FROM cent a JOIN cent b ON a.dim = b.dim
+        |         AND a.label <> b.label
+        |       GROUP BY 1, 2),
+        |r AS (SELECT cd.li, cd.lj, si.n AS n_i, si.s AS s_i,
+        |             (si.s + sj.s) / sqrt(CAST(cd.cd2 AS DOUBLE)) AS ratio
+        |      FROM cd JOIN s si ON cd.li = si.label
+        |           JOIN s sj ON cd.lj = sj.label)
+        |SELECT li AS label, n_i AS n, s_i, lj AS nearest_label,
+        |       ratio AS db_i
+        |FROM (SELECT *, row_number() OVER (PARTITION BY li
+        |        ORDER BY ratio DESC, lj DESC) AS rn FROM r)
+        |WHERE rn = 1 ORDER BY label""".stripMargin,
+
+    // ARI vs the 2-D grid clustering: exact contingency pair counts,
+    // cleared-fraction adjustment, one division.
+    "q_ari" ->
+      """WITH pts AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         CAST(floor((CAST(embedding[1] AS DOUBLE) + 1) * 5)
+        |              AS BIGINT) * 100 +
+        |         CAST(floor((CAST(embedding[2] AS DOUBLE) + 1) * 5)
+        |              AS BIGINT) AS cell
+        |  FROM embeddings),
+        |cells AS (SELECT label, cell, CAST(count(*) AS BIGINT) AS nij
+        |          FROM pts GROUP BY 1, 2),
+        |sij AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sc
+        |        FROM cells),
+        |sa AS (SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS a,
+        |              CAST(sum(ai) AS BIGINT) AS n
+        |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai
+        |             FROM cells GROUP BY label)),
+        |sb AS (SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS b
+        |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj
+        |             FROM cells GROUP BY cell)),
+        |f AS (SELECT n, sc, a, b, (n * (n - 1)) // 2 AS t
+        |      FROM sa CROSS JOIN sb CROSS JOIN sij)
+        |SELECT n, sc, a, b, CAST(t AS BIGINT) AS t,
+        |       CAST(CAST(2 * CAST(t AS HUGEINT) * sc -
+        |            2 * CAST(a AS HUGEINT) * b AS VARCHAR) AS DOUBLE) /
+        |       CAST(CAST(CAST(t AS HUGEINT) * (a + b) -
+        |            2 * CAST(a AS HUGEINT) * b AS VARCHAR) AS DOUBLE)
+        |         AS ari
+        |FROM f""".stripMargin,
 
     // Temporal graph churn: era-split distinct edge sets, exact
     // intersection count, fixed tree.

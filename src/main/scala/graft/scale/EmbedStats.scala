@@ -804,4 +804,135 @@ object EmbedStats {
       .select(col("n_points"), col("n_core"), col("n_border"),
         (col("n_points") - col("n_core") - col("n_border")).as("n_noise"))
   }
+
+  /** µ-scaled integer coordinate rows (vec_id, label, dim, u) — the
+    * exact-arithmetic spine of the cluster-validity queries
+    * ([[dunnQuery]], [[daviesBouldinQuery]]): all distances reduce to
+    * integer Σ(Δu)² so min/max/sum witnesses are partition-order-free.
+    * Coordinates are OFFSET by +10⁶ to stay non-negative (corpus
+    * values are unit-bounded): Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so centroid integer means are only
+    * cross-engine-identical on non-negative sums; the constant offset
+    * cancels in every distance. */
+  private def scaledDims(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        (floor(col("v").cast("double") * lit(1000000.0)).cast("long") +
+          lit(1000000L)).as("u"))
+
+  /** Dunn index of the label partition (q_dunn): min inter-cluster
+    * pair distance over max intra-cluster diameter — the worst-case
+    * separation/compactness ratio ([[calinskiQuery]] scores the
+    * AVERAGE case; Dunn is the adversarial one: a single boundary
+    * point tanks it). Exact to the end: pairwise d² are integer sums
+    * of scaled coords, min/max are selections, the two √ and one
+    * division close the tree. The all-pairs pass is the audit-scale
+    * baseline (the [[Similarity.mutualKnnQuery]] argument). */
+  def dunnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pts = graft.scale.Silver.scratch(
+      scaledDims(spark, dir), "dunn_pts") // both sides of the pair join
+    val pairs = pts.select(col("vec_id").as("i"), col("label").as("li"),
+        col("dim"), col("u").as("ui"))
+      .join(pts.select(col("vec_id").as("j"), col("label").as("lj"),
+        col("dim"), col("u").as("uj")), Seq("dim"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j", "li", "lj")
+      .agg(sum((col("ui") - col("uj")) * (col("ui") - col("uj"))).as("d2"))
+    pairs.agg(
+        min(when(col("li") =!= col("lj"), col("d2"))).as("min_inter_d2"),
+        max(when(col("li") === col("lj"), col("d2"))).as("max_intra_d2"))
+      .select(col("min_inter_d2"), col("max_intra_d2"),
+        (sqrt(col("min_inter_d2").cast("double")) /
+          sqrt(col("max_intra_d2").cast("double"))).as("dunn"))
+  }
+
+  /** Davies–Bouldin table (q_davies_bouldin): per label its scatter
+    * sᵢ (mean distance to the cluster centroid) and DBᵢ =
+    * max_{j≠i} (sᵢ+sⱼ)/d(cᵢ,cⱼ) — "which cluster is most confusable,
+    * and with whom?" The per-cluster diagnostic under the one-number
+    * indices ([[calinskiQuery]], [[dunnQuery]]).
+    *
+    * Centroids are floor-mean integer vectors ((Σu) div n per dim —
+    * exact); per-point centroid distances floor-scale before summing
+    * (the LOF ladder), so every sᵢ is a ratio of exact longs; the
+    * ≤k² ratio matrix then reduces by max. Per-label rows avoid any
+    * cross-cluster float accumulation. */
+  def daviesBouldinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pts = graft.scale.Silver.scratch(
+      scaledDims(spark, dir), "db_pts") // feeds centroids and distances
+    val cent = graft.scale.Silver.scratch(
+      pts.groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
+        .withColumn("c", expr("su div n")),
+      "db_cent") // feeds the scatter join and the centroid-pair join
+    val scatter = pts
+      .join(cent.select(col("label"), col("dim"), col("c")),
+        Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("u") - col("c")) * (col("u") - col("c"))).as("d2"))
+      .select(col("label"), floor(sqrt(col("d2").cast("double"))).cast("long")
+        .as("w"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      .withColumn("s", col("sw").cast("double") / col("n").cast("double"))
+    val sM = graft.scale.Silver.scratch(scatter, "db_scatter")
+    val cd = cent.select(col("label").as("li"), col("dim"), col("c").as("ci"))
+      .join(cent.select(col("label").as("lj"), col("dim"),
+        col("c").as("cj")), Seq("dim"))
+      .filter(col("li") =!= col("lj"))
+      .groupBy("li", "lj")
+      .agg(sum((col("ci") - col("cj")) * (col("ci") - col("cj"))).as("cd2"))
+    val ratios = cd
+      .join(sM.select(col("label").as("li"), col("s").as("si"),
+        col("n").as("n_i")), Seq("li"))
+      .join(sM.select(col("label").as("lj"), col("s").as("sj")), Seq("lj"))
+      .select(col("li"), col("lj"), col("n_i"), col("si"),
+        ((col("si") + col("sj")) / sqrt(col("cd2").cast("double")))
+          .as("ratio"))
+    ratios
+      .groupBy(col("li").as("label"), col("n_i").as("n"), col("si").as("s_i"))
+      .agg(max(struct(col("ratio"), col("lj"))).as("m"))
+      .select(col("label"), col("n"), col("s_i"),
+        col("m.lj").as("nearest_label"), col("m.ratio").as("db_i"))
+      .orderBy("label")
+  }
+
+  /** Adjusted Rand index between the label partition and the 2-D grid
+    * clustering (q_ari): does the coarse spatial grid over dims 1–2
+    * recover the labels? The clustering-AGREEMENT metric the validity
+    * indices can't give (they score one partition; ARI compares two).
+    * All pair counts are exact integers off the (label, cell)
+    * contingency — Σ C(nᵢⱼ,2), marginals A and B, T = C(n,2) — and the
+    * adjustment closes as the cleared fraction
+    * (2T·ΣC − 2AB)/(T(A+B) − 2AB): decimal(38,0) products, ONE
+    * division. */
+  def ariQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pts = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        (floor((element_at(col("embedding"), 1).cast("double") + 1d) * 5d)
+          .cast("long") * 100L +
+          floor((element_at(col("embedding"), 2).cast("double") + 1d) * 5d)
+            .cast("long")).as("cell"))
+    val cells = graft.scale.Silver.scratch(
+      pts.groupBy("label", "cell").agg(count(lit(1)).as("nij")),
+      "ari_cells") // feeds the pair sum and both marginals
+    val sij = cells.agg(sum(expr("(nij * (nij - 1)) div 2")).as("sc"))
+    val sa = cells.groupBy("label").agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2")).as("a"),
+        sum(col("ai")).as("n"))
+    val sb = cells.groupBy("cell").agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2")).as("b"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(sij))
+      .withColumn("t", expr("(n * (n - 1)) div 2"))
+      .select(col("n"), col("sc"), col("a"), col("b"), col("t"),
+        ((lit(2).cast(d38) * col("t").cast(d38) * col("sc").cast(d38) -
+            lit(2).cast(d38) * col("a").cast(d38) * col("b").cast(d38))
+          .cast("string").cast("double") /
+          (col("t").cast(d38) * (col("a") + col("b")).cast(d38) -
+            lit(2).cast(d38) * col("a").cast(d38) * col("b").cast(d38))
+          .cast("string").cast("double")).as("ari"))
+  }
 }

@@ -529,6 +529,48 @@ object Similarity {
     * the bounded-heap [[graft.plans.TopKPerKey]], never a full-width
     * shuffle); at corpus scale the identical kd/rd/lrd ladder runs over
     * [[cosineNearDupPairs]]'s banded LSH candidates instead. */
+  /** Leave-one-out 5-NN classification accuracy of the embedding space
+    * (q_knn_acc): predict each point's label by the majority label of
+    * its 5 nearest neighbors (exact µ-scaled integer distances, the
+    * [[lofQuery]] spine), score against its own label — the standard
+    * "are the labels linearly recoverable from geometry?" probe run
+    * before training anything on the embeddings ([[mutualKnnQuery]]
+    * audits the graph's symmetry; this audits its SEMANTICS).
+    *
+    * Majority = argmax over the ≤5-row per-point label counts, ties
+    * broken by smaller label (exact struct max); accuracy is one
+    * division of exact counts. */
+  def knnAccQuery(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val pts = graft.scale.Silver.scratch(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0))).as("u")),
+      "knnacc_pts") // feeds both sides of the scoring pass
+    val scored = pts.select(col("vec_id").as("src"),
+        col("label").as("src_label"), col("u"))
+      .join(broadcast(pts.select(col("vec_id").as("dst"),
+        col("label").as("dst_label"), col("u").as("ud"))),
+        col("src") =!= col("dst"))
+      .select(col("src"), col("src_label"), col("dst"), col("dst_label"),
+        aggregate(zip_with(col("u"), col("ud"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    val edges = graft.plans.TopKPerKey(scored, k,
+      keys = Seq(col("src")), order = Seq(col("d2").asc, col("dst").asc))
+    val votes = edges
+      .groupBy(col("src"), col("src_label"), col("dst_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("src"), col("src_label"))
+      .agg(max(struct(col("cnt"), (-col("dst_label")).as("nl"))).as("m"))
+      .select(col("src_label"), (-col("m.nl")).as("pred"))
+    votes.agg(count(lit(1)).as("n"),
+        sum(when(col("src_label") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+  }
+
   def lofQuery(spark: SparkSession, dir: String,
                k: Int = 5, topN: Int = 20): DataFrame = {
     val pts = graft.scale.Silver.scratch(
