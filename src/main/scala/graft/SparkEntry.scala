@@ -435,7 +435,9 @@ object SparkEntry {
     "q_knn_acc"         -> ((s, d) => graft.scale.Similarity.knnAccQuery(s, d)),
     "q_dunn"            -> ((s, d) => graft.scale.EmbedStats.dunnQuery(s, d)),
     "q_davies_bouldin"  -> ((s, d) => graft.scale.EmbedStats.daviesBouldinQuery(s, d)),
-    "q_ari"             -> ((s, d) => graft.scale.EmbedStats.ariQuery(s, d))
+    "q_ari"             -> ((s, d) => graft.scale.EmbedStats.ariQuery(s, d)),
+    "q_chow"            -> ((s, d) => graft.operators.Regression.chowQuery(s, d)),
+    "q_median_polish"   -> ((s, d) => graft.operators.TimeSeries.medianPolish(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9867,6 +9869,103 @@ object SparkEntry {
         |       (1e12 * CAST(n_days AS DOUBLE) *
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
+
+    // Chow break test: three closed-form RSS off one conditional
+    // aggregate; fixed F tree.
+    "q_chow" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         o_orderdate < TIMESTAMP '1998-01-01' AS era1,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS y,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_p,
+        |  CAST(sum(x) AS HUGEINT) AS sx_p, CAST(sum(y) AS HUGEINT) AS sy_p,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx_p,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy_p,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy_p,
+        |  CAST(sum(CASE WHEN era1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN era1 THEN x ELSE 0 END) AS HUGEINT) AS sx_a,
+        |  CAST(sum(CASE WHEN era1 THEN y ELSE 0 END) AS HUGEINT) AS sy_a,
+        |  sum(CASE WHEN era1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+        |  sum(CASE WHEN era1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_a,
+        |  sum(CASE WHEN era1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_a,
+        |  CAST(sum(CASE WHEN NOT era1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT era1 THEN x ELSE 0 END) AS HUGEINT) AS sx_b,
+        |  CAST(sum(CASE WHEN NOT era1 THEN y ELSE 0 END) AS HUGEINT) AS sy_b,
+        |  sum(CASE WHEN NOT era1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |    AS sxx_b,
+        |  sum(CASE WHEN NOT era1 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |    AS sxy_b,
+        |  sum(CASE WHEN NOT era1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |    AS syy_b
+        |  FROM daily),
+        |r AS (SELECT n_p, n_a, n_b,
+        |  (CAST(CAST(CAST(n_p AS HUGEINT) * syy_p - sy_p * sy_p AS VARCHAR)
+        |        AS DOUBLE) -
+        |   CAST(CAST(CAST(n_p AS HUGEINT) * sxy_p - sx_p * sy_p AS VARCHAR)
+        |        AS DOUBLE) *
+        |   CAST(CAST(CAST(n_p AS HUGEINT) * sxy_p - sx_p * sy_p AS VARCHAR)
+        |        AS DOUBLE) /
+        |   CAST(CAST(CAST(n_p AS HUGEINT) * sxx_p - sx_p * sx_p AS VARCHAR)
+        |        AS DOUBLE)) /
+        |  (CAST(n_p AS DOUBLE) * CAST(n_p AS DOUBLE)) AS rss_p,
+        |  (CAST(CAST(CAST(n_a AS HUGEINT) * syy_a - sy_a * sy_a AS VARCHAR)
+        |        AS DOUBLE) -
+        |   CAST(CAST(CAST(n_a AS HUGEINT) * sxy_a - sx_a * sy_a AS VARCHAR)
+        |        AS DOUBLE) *
+        |   CAST(CAST(CAST(n_a AS HUGEINT) * sxy_a - sx_a * sy_a AS VARCHAR)
+        |        AS DOUBLE) /
+        |   CAST(CAST(CAST(n_a AS HUGEINT) * sxx_a - sx_a * sx_a AS VARCHAR)
+        |        AS DOUBLE)) /
+        |  (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)) AS rss_a,
+        |  (CAST(CAST(CAST(n_b AS HUGEINT) * syy_b - sy_b * sy_b AS VARCHAR)
+        |        AS DOUBLE) -
+        |   CAST(CAST(CAST(n_b AS HUGEINT) * sxy_b - sx_b * sy_b AS VARCHAR)
+        |        AS DOUBLE) *
+        |   CAST(CAST(CAST(n_b AS HUGEINT) * sxy_b - sx_b * sy_b AS VARCHAR)
+        |        AS DOUBLE) /
+        |   CAST(CAST(CAST(n_b AS HUGEINT) * sxx_b - sx_b * sx_b AS VARCHAR)
+        |        AS DOUBLE)) /
+        |  (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)) AS rss_b
+        |  FROM s)
+        |SELECT n_p AS n, n_a, n_b, rss_p, rss_a, rss_b,
+        |       ((rss_p - (rss_a + rss_b)) / 2.0) /
+        |       ((rss_a + rss_b) / CAST(n_p - 4 AS DOUBLE)) AS f_chow
+        |FROM r""".stripMargin,
+
+    // One-sweep median polish: exact rank-selected cell medians,
+    // sorted-array element selections for row/column effects.
+    "q_median_polish" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |wd AS (SELECT prio, day % 7 AS weekday, day, v FROM daily),
+        |cells AS (
+        |  SELECT weekday, prio, v AS cell_median FROM (
+        |    SELECT weekday, prio, v,
+        |           row_number() OVER (PARTITION BY weekday, prio
+        |                              ORDER BY v, day) AS r,
+        |           count(*) OVER (PARTITION BY weekday, prio) AS nn
+        |    FROM wd) WHERE r = (nn + 1) // 2),
+        |re AS (SELECT weekday,
+        |              list_sort(list(cell_median))[3] AS row_effect
+        |       FROM cells GROUP BY 1),
+        |cen AS (SELECT c.prio, c.weekday, c.cell_median, re.row_effect,
+        |               c.cell_median - re.row_effect AS c2
+        |        FROM cells c JOIN re ON c.weekday = re.weekday),
+        |ce AS (SELECT prio, list_sort(list(c2))[4] AS col_effect
+        |       FROM cen GROUP BY 1)
+        |SELECT cen.weekday, cen.prio, cen.cell_median, cen.row_effect,
+        |       ce.col_effect,
+        |       CAST(cen.c2 - ce.col_effect AS BIGINT) AS residual
+        |FROM cen JOIN ce ON cen.prio = ce.prio
+        |ORDER BY cen.weekday, cen.prio""".stripMargin,
 
     // Leave-one-out 5-NN accuracy: exact integer distances, majority
     // with min-label tiebreak, one terminal division.

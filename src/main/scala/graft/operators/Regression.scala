@@ -576,6 +576,61 @@ object Regression {
       ba.as("b_a"), bb.as("b_b"))
   }
 
+  /** Chow structural-break test (q_chow): did the revenue~volume
+    * relationship CHANGE at the corpus midpoint? F = ((RSS_p − RSS₁ −
+    * RSS₂)/k)/((RSS₁+RSS₂)/(n−2k)), k = 2 — the regime-shift companion
+    * to [[cooksQuery]] (one influential day) and
+    * [[graft.operators.TimeSeries.cusumChangepoint]] (level shift):
+    * Chow detects a SLOPE/INTERCEPT break at a known date.
+    *
+    * All three RSS are closed-form over cleared-denominator moments
+    * ((Cyy − Cxy²/Cxx)/n² per segment — no residual materialization,
+    * no float accumulation); ONE conditional aggregate produces pooled
+    * and per-era sums together. */
+  def chowQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("era1"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("y"),
+        count(lit(1)).as("x"))
+    def side(tag: String, cond: org.apache.spark.sql.Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col("x")).otherwise(0L)).as(s"sx_$tag"),
+      sum(when(cond, col("y")).otherwise(0L)).as(s"sy_$tag"),
+      sum(when(cond, col("x").cast(d38) * col("x").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"sxx_$tag"),
+      sum(when(cond, col("x").cast(d38) * col("y").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"sxy_$tag"),
+      sum(when(cond, col("y").cast(d38) * col("y").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"syy_$tag"))
+    val aggs = side("p", lit(true)) ++ side("a", col("era1")) ++
+      side("b", !col("era1"))
+    val sums = daily.agg(aggs.head, aggs.tail: _*)
+    def rss(tag: String) = {
+      val n = col(s"n_$tag").cast(d38)
+      def c(sab: String, sa: String, sb: String) =
+        (n * col(s"${sab}_$tag") -
+          col(s"${sa}_$tag").cast(d38) * col(s"${sb}_$tag").cast(d38))
+          .cast("string").cast("double")
+      val nD = col(s"n_$tag").cast("double")
+      (c("syy", "sy", "sy") -
+        c("sxy", "sx", "sy") * c("sxy", "sx", "sy") / c("sxx", "sx", "sx")) /
+        (nD * nD)
+    }
+    sums
+      .withColumn("rss_p", rss("p"))
+      .withColumn("rss_a", rss("a"))
+      .withColumn("rss_b", rss("b"))
+      .select(col("n_p").as("n"), col("n_a"), col("n_b"),
+        col("rss_p"), col("rss_a"), col("rss_b"),
+        (((col("rss_p") - (col("rss_a") + col("rss_b"))) / lit(2.0)) /
+          ((col("rss_a") + col("rss_b")) /
+            (col("n_p") - 4L).cast("double"))).as("f_chow"))
+  }
+
   /** Wald instrumental-variable estimate (q_iv_wald): the effect of
     * line quantity on line revenue, instrumented by the ORDER being
     * urgent-priority — the IV companion to the OLS slope

@@ -692,6 +692,51 @@ object TimeSeries {
           col("nd").cast("double")).as("dd_cents"))
   }
 
+  /** One-sweep Tukey median polish of the weekday × priority revenue
+    * grid (q_median_polish): cell = median daily revenue per
+    * (weekday, priority); subtract row (weekday) medians, then column
+    * (priority) medians; report effects + residuals — the ROBUST
+    * two-way decomposition ([[weekdayDecomposition]] is the mean
+    * version; one outlier day drags its weekday mean, medians shrug).
+    * A single sweep (not iterated to convergence) keeps the result a
+    * deterministic closed form of the grid.
+    *
+    * Exactness: cell medians are rank selections (lower median,
+    * (n+1) div 2 under the unique (v, day) order) inside 35
+    * calendar-bounded partitions; row/column medians are exact
+    * element selections from sorted ≤7-element arrays; every value
+    * stays a long — no division anywhere. */
+  def medianPolish(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+      .withColumn("weekday", col("day") % 7L)
+    val w = Window.partitionBy(col("weekday"), col("prio"))
+    val cells = daily
+      .withColumn("r", row_number().over(
+        w.orderBy(col("v").asc, col("day").asc)))
+      .withColumn("nn", count(lit(1)).over(w))
+      .filter(col("r") === expr("(nn + 1) div 2"))
+      .select(col("weekday"), col("prio"), col("v").as("cell_median"))
+    val cellsM = graft.scale.Silver.scratch(cells, "polish_cells")
+    val rowEff = cellsM.groupBy("weekday")
+      .agg(element_at(array_sort(collect_list(col("cell_median"))), 3)
+        .as("row_effect"))
+    val centered = cellsM.join(broadcast(rowEff), Seq("weekday"))
+      .withColumn("c2", col("cell_median") - col("row_effect"))
+    val colEff = centered.groupBy("prio")
+      .agg(element_at(array_sort(collect_list(col("c2"))), 4)
+        .as("col_effect"))
+    centered.join(broadcast(colEff), Seq("prio"))
+      .select(col("weekday"), col("prio"), col("cell_median"),
+        col("row_effect"), col("col_effect"),
+        (col("c2") - col("col_effect")).as("residual"))
+      .orderBy("weekday", "prio")
+  }
+
   /** Nelson–Aalen cumulative hazard of customer lifetime
     * (q_nelson_aalen): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over observed churn
     * durations (first→last order span; customers still active in the
