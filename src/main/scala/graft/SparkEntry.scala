@@ -9660,14 +9660,16 @@ object SparkEntry {
         |FROM agg""".stripMargin,
 
     // Burt's constraint: floor-scaled integer weights, wedge join over
-    // the co-supply graph, exact squared-term sums, one division.
+    // the robust-tie (support ≥ 3) co-supply graph, exact squared-term
+    // sums, one division.
     "q_constraint" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS MATERIALIZED (
-        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-        |    AND x.l_suppkey < y.l_suppkey),
+        |    AND x.l_suppkey < y.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |und AS MATERIALIZED (
         |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |deg AS MATERIALIZED (

@@ -572,17 +572,29 @@ object KCore {
     * 10²⁴ is the one IEEE op. Scale shape: the wedge join costs
     * Σ_q deg²_q like [[Triangles]] — bounded here by the
     * dimension-sized supplier graph; at corpus scale the same degCap
-    * device as [[linkPredQuery]] bounds hub wedges. */
+    * device as [[linkPredQuery]] bounds hub wedges.
+    *
+    * Edges are ROBUST ties only — suppliers sharing ≥ `minSupport`
+    * orders. Constraint is an ego-REDUNDANCY read; one coincidental
+    * co-supply is noise, and on a mixing corpus the unthresholded
+    * graph densifies toward complete (Σdeg² wedge work then grows
+    * quadratically in corpus size for reasons that are corpus
+    * artifacts, not operator semantics — the [[Triangles]]
+    * orientation argument). The support filter pins wedge work to
+    * the persistent-relationship subgraph. */
   def constraintQuery(spark: SparkSession, dir: String,
-                      topK: Int = 20): DataFrame = {
+                      topK: Int = 20, minSupport: Long = 3L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
     val e = li.as("x")
       .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
         Seq("l_orderkey"))
       .filter(col("l_suppkey") < col("s2"))
-      .select(col("l_suppkey").as("a"), col("s2").as("b"))
-      .distinct()
+      .groupBy(col("l_suppkey").as("a"), col("s2").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("a", "b")
     val und = graft.scale.Silver.scratch(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))),
       "constraint_und") // feeds degrees, wedges, and the adjacency filter
