@@ -437,7 +437,9 @@ object SparkEntry {
     "q_davies_bouldin"  -> ((s, d) => graft.scale.EmbedStats.daviesBouldinQuery(s, d)),
     "q_ari"             -> ((s, d) => graft.scale.EmbedStats.ariQuery(s, d)),
     "q_chow"            -> ((s, d) => graft.operators.Regression.chowQuery(s, d)),
-    "q_median_polish"   -> ((s, d) => graft.operators.TimeSeries.medianPolish(s, d))
+    "q_median_polish"   -> ((s, d) => graft.operators.TimeSeries.medianPolish(s, d)),
+    "q_dtw"             -> ((s, d) => graft.operators.TimeSeries.dtwQuery(s, d)),
+    "q_matrix_profile"  -> ((s, d) => graft.operators.TimeSeries.matrixProfile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9872,6 +9874,9 @@ object SparkEntry {
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
 
+    "q_dtw" -> dtwOracleSql,
+    "q_matrix_profile" -> matrixProfileOracleSql,
+
     // Chow break test: three closed-form RSS off one conditional
     // aggregate; fixed F tree.
     "q_chow" ->
@@ -10405,6 +10410,75 @@ object SparkEntry {
        |       CAST($weighted AS BIGINT) AS katz_w
        |FROM w1 $joins
        |ORDER BY katz_w DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB replay of `TimeSeries.dtwQuery`: the 7×7 DP unrolled as 49
+    * chained CTE columns in row-major order — exact long min-plus. */
+  private def dtwOracleSql: String = {
+    def cell(k: Int) =
+      s"""CAST(sum(CASE WHEN wd = $k AND prio = '1-URGENT' THEN p
+         |     ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS a$k,
+         |CAST(sum(CASE WHEN wd = $k AND prio = '5-LOW' THEN p
+         |     ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS b$k"""
+        .stripMargin
+    val pivot = (0 to 6).map(cell).mkString(",\n")
+    val steps = new StringBuilder
+    var prev = "w0"
+    for (i <- 0 to 6; j <- 0 to 6) {
+      val c = s"abs(a$i - b$j)"
+      val d =
+        if (i == 0 && j == 0) c
+        else if (i == 0) s"$c + d0_${j - 1}"
+        else if (j == 0) s"$c + d${i - 1}_0"
+        else s"$c + least(d${i - 1}_$j, d${i}_${j - 1}, d${i - 1}_${j - 1})"
+      val name = s"s${i}_$j"
+      steps.append(s",\n$name AS (SELECT *, $d AS d${i}_$j FROM $prev)")
+      prev = name
+    }
+    val l1 = (0 to 6).map(k => s"abs(a$k - b$k)").mkString(" + ")
+    s"""WITH prof AS (
+       |  SELECT epoch_ms(o_orderdate) // 86400000 % 7 AS wd,
+       |         o_orderpriority AS prio,
+       |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+       |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       |w0 AS (SELECT
+       |$pivot
+       |FROM prof)$steps
+       |SELECT CAST(d6_6 AS BIGINT) AS dtw_cents,
+       |       CAST($l1 AS BIGINT) AS l1_cents
+       |FROM $prev""".stripMargin
+  }
+
+  /** DuckDB replay of `TimeSeries.matrixProfile`: rank-join windows,
+    * exact HUGEINT pair distances, per-window nearest by (d², rank). */
+  private def matrixProfileOracleSql: String = {
+    val m = 7
+    val joins = (1 until m)
+      .map(k => s"JOIN r r$k ON r$k.i = r0.i + $k").mkString(" ")
+    val xs = (0 until m).map(k => s"r$k.v AS x$k").mkString(", ")
+    val d2 = (0 until m)
+      .map(k => s"CAST(a.x$k - b.x$k AS HUGEINT) * (a.x$k - b.x$k)")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+       |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+       |              AS BIGINT) AS v
+       |  FROM orders GROUP BY 1),
+       |r AS (SELECT day, v, row_number() OVER (ORDER BY day) AS i
+       |      FROM daily),
+       |w AS MATERIALIZED (
+       |  SELECT r0.i AS ti, r0.day, $xs
+       |  FROM r r0 $joins),
+       |p AS (SELECT a.ti, a.day, b.ti AS tj, $d2 AS d2
+       |      FROM w a JOIN w b ON abs(a.ti - b.ti) >= ${m / 2}),
+       |nn AS (SELECT ti, day, tj, d2,
+       |              row_number() OVER (PARTITION BY ti
+       |                                 ORDER BY d2, tj) AS rn
+       |       FROM p)
+       |SELECT day, CAST(CAST(d2 AS VARCHAR) AS DOUBLE) AS mp_d2,
+       |       CAST(tj AS BIGINT) AS nn_rank
+       |FROM nn WHERE rn = 1
+       |ORDER BY mp_d2 DESC, day LIMIT 10""".stripMargin
   }
 
   private def closenessOracleSql: String =

@@ -692,6 +692,99 @@ object TimeSeries {
           col("nd").cast("double")).as("dd_cents"))
   }
 
+  /** Matrix profile of the daily revenue series (q_matrix_profile):
+    * for each 7-day window, the distance to its NEAREST non-trivial
+    * neighbor window (exclusion zone |Δt| ≥ m/2) — the STAMP primitive
+    * behind modern motif/discord mining: the top-10 HIGHEST profile
+    * values reported here are the series' strongest discords (weeks
+    * unlike any other week), the complement of [[bollingerBands]]'
+    * pointwise outliers.
+    *
+    * The series is calendar-bounded, so the all-window pair space is
+    * |days|² regardless of corpus size — bounded compute at ANY SF.
+    * Windows come from rank-equi-joins (consecutive ranks k = 0..6,
+    * the [[runsTest]] lag idiom); pair distances are exact
+    * decimal(38,0) Σ(Δv)² over the 7 fixed column pairs; per-window
+    * min carries a (d², other-day) struct for a deterministic
+    * nearest-neighbor tiebreak. */
+  def matrixProfile(spark: SparkSession, dir: String,
+                    m: Int = 7, topK: Int = 10): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val ranked = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i",
+        numParts = 8),
+      "mp_ranked") // feeds all m window-building joins
+    var win = ranked.select(col("i"), col("day"), col("v").as("v0"))
+    for (k <- 1 until m)
+      win = win.join(ranked.select((col("i") - k).as("i"),
+        col("v").as(s"v$k")), Seq("i"))
+    val winM = graft.scale.Silver.scratch(win, "mp_windows")
+    val left = winM.select(col("i").as("ti") +: col("day").as("day") +:
+      (0 until m).map(k => col(s"v$k").as(s"x$k")): _*)
+    val right = winM.select(col("i").as("tj") +:
+      (0 until m).map(k => col(s"v$k").as(s"y$k")): _*)
+    val d2 = (0 until m).map(k =>
+      (col(s"x$k") - col(s"y$k")).cast(d38) *
+        (col(s"x$k") - col(s"y$k")).cast(d38)).reduceLeft(_ + _)
+    val pairs = left.crossJoin(right)
+      .filter(abs(col("ti") - col("tj")) >= (m / 2).toLong)
+      .select(col("ti"), col("day"), col("tj"), d2.as("d2"))
+    pairs.groupBy(col("ti"), col("day"))
+      .agg(min(struct(col("d2"), col("tj"))).as("nn"))
+      .select(col("day"),
+        col("nn.d2").cast("string").cast("double").as("mp_d2"),
+        col("nn.tj").as("nn_rank"))
+      .orderBy(col("mp_d2").desc, col("day").asc)
+      .limit(topK)
+  }
+
+  /** Dynamic time warping between the URGENT and LOW weekday revenue
+    * profiles (q_dtw): the elastic-alignment distance over the two
+    * 7-point shapes — "do the priorities follow the same weekly
+    * rhythm, possibly phase-shifted?" — next to the rigid L1 the same
+    * row reports (DTW ≤ L1 always; a large gap means the shapes match
+    * under shift). Because the profiles are FIXED 7-vectors, the full
+    * 7×7 DP unrolls into 49 exact min-plus columns — a closed form
+    * both engines replay bit-identically (a data-length DP would not
+    * be declarative). Costs, mins and sums are all exact longs; no
+    * division anywhere. One conditional aggregate over orders. */
+  def dtwQuery(spark: SparkSession, dir: String): DataFrame = {
+    val prof = Tables.orders(spark, dir)
+      .select((expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        % 7L).as("wd"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .filter(col("prio").isin("1-URGENT", "5-LOW"))
+    val aggs = (0 to 6).flatMap { k =>
+      Seq(
+        (sum(when(col("wd") === k.toLong && col("prio") === "1-URGENT",
+          col("p")).otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+          .cast("long").as(s"a$k"),
+        (sum(when(col("wd") === k.toLong && col("prio") === "5-LOW",
+          col("p")).otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+          .cast("long").as(s"b$k"))
+    }
+    var df = prof.agg(aggs.head, aggs.tail: _*)
+    for (i <- 0 to 6; j <- 0 to 6) {
+      val c = abs(col(s"a$i") - col(s"b$j"))
+      val d =
+        if (i == 0 && j == 0) c
+        else if (i == 0) c + col(s"d0_${j - 1}")
+        else if (j == 0) c + col(s"d${i - 1}_0")
+        else c + least(col(s"d${i - 1}_$j"), col(s"d${i}_${j - 1}"),
+          col(s"d${i - 1}_${j - 1}"))
+      df = df.withColumn(s"d${i}_$j", d)
+    }
+    val l1 = (0 to 6).map(k => abs(col(s"a$k") - col(s"b$k")))
+      .reduceLeft(_ + _)
+    df.select(col("d6_6").as("dtw_cents"), l1.as("l1_cents"))
+  }
+
   /** One-sweep Tukey median polish of the weekday × priority revenue
     * grid (q_median_polish): cell = median daily revenue per
     * (weekday, priority); subtract row (weekday) medians, then column
