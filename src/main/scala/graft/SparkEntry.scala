@@ -439,7 +439,10 @@ object SparkEntry {
     "q_chow"            -> ((s, d) => graft.operators.Regression.chowQuery(s, d)),
     "q_median_polish"   -> ((s, d) => graft.operators.TimeSeries.medianPolish(s, d)),
     "q_dtw"             -> ((s, d) => graft.operators.TimeSeries.dtwQuery(s, d)),
-    "q_matrix_profile"  -> ((s, d) => graft.operators.TimeSeries.matrixProfile(s, d))
+    "q_matrix_profile"  -> ((s, d) => graft.operators.TimeSeries.matrixProfile(s, d)),
+    "q_haar"            -> ((s, d) => graft.operators.TimeSeries.haarQuery(s, d)),
+    "q_rdd"             -> ((s, d) => graft.operators.Regression.rddQuery(s, d)),
+    "q_gini_between"    -> ((s, d) => graft.operators.Distribution.giniBetweenQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9876,6 +9879,73 @@ object SparkEntry {
 
     "q_dtw" -> dtwOracleSql,
     "q_matrix_profile" -> matrixProfileOracleSql,
+    "q_haar" -> haarOracleSql,
+
+    // Sharp RDD at the corpus midpoint: per-side closed-form OLS over
+    // cleared-denominator moments, intercept gap at the cutoff.
+    "q_rdd" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 -
+        |           epoch_ms(TIMESTAMP '1998-01-01') // 86400000 AS x,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT x, y, x >= 0 AS r FROM daily
+        |      WHERE x >= -180 AND x < 180),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+        |  CAST(sum(CASE WHEN NOT r THEN x ELSE 0 END) AS BIGINT) AS sx_l,
+        |  CAST(sum(CASE WHEN NOT r THEN y ELSE 0 END) AS BIGINT) AS sy_l,
+        |  sum(CASE WHEN NOT r THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |    AS sxx_l,
+        |  sum(CASE WHEN NOT r THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |    AS sxy_l,
+        |  CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        |  CAST(sum(CASE WHEN r THEN x ELSE 0 END) AS BIGINT) AS sx_r,
+        |  CAST(sum(CASE WHEN r THEN y ELSE 0 END) AS BIGINT) AS sy_r,
+        |  sum(CASE WHEN r THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_r,
+        |  sum(CASE WHEN r THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_r
+        |  FROM f),
+        |b AS (SELECT n_l, n_r, sx_l, sy_l, sx_r, sy_r,
+        |  CAST(CAST(CAST(n_l AS HUGEINT) * sxy_l -
+        |       CAST(sx_l AS HUGEINT) * sy_l AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(n_l AS HUGEINT) * sxx_l -
+        |       CAST(sx_l AS HUGEINT) * sx_l AS VARCHAR) AS DOUBLE) AS b_left,
+        |  CAST(CAST(CAST(n_r AS HUGEINT) * sxy_r -
+        |       CAST(sx_r AS HUGEINT) * sy_r AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(n_r AS HUGEINT) * sxx_r -
+        |       CAST(sx_r AS HUGEINT) * sx_r AS VARCHAR) AS DOUBLE) AS b_right
+        |  FROM s),
+        |a AS (SELECT n_l, n_r, b_left, b_right,
+        |  CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE) -
+        |    b_left * (CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE)) AS a_left,
+        |  CAST(sy_r AS DOUBLE) / CAST(n_r AS DOUBLE) -
+        |    b_right * (CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE)) AS a_right
+        |  FROM b)
+        |SELECT n_l, n_r, a_left, a_right, b_left, b_right,
+        |       a_right - a_left AS rdd_effect_cents
+        |FROM a""".stripMargin,
+
+    // Between-group Gini: cleared rational means make the pair sum an
+    // exact integer; one terminal division.
+    "q_gini_between" ->
+      """WITH seg AS (
+        |  SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |               CAST(sum(s) AS BIGINT) AS st,
+        |               CAST(count(*) AS BIGINT) AS n_segments FROM seg),
+        |ps AS (SELECT sum(abs(CAST(a.s AS HUGEINT) * b.n -
+        |                     CAST(b.s AS HUGEINT) * a.n)) AS psum
+        |       FROM seg a CROSS JOIN seg b)
+        |SELECT n_segments, nt AS n,
+        |       CAST(CAST(psum AS VARCHAR) AS DOUBLE) /
+        |         (2.0 * CAST(nt AS DOUBLE) * CAST(st AS DOUBLE))
+        |         AS gini_between
+        |FROM tot CROSS JOIN ps""".stripMargin,
 
     // Chow break test: three closed-form RSS off one conditional
     // aggregate; fixed F tree.
@@ -10447,6 +10517,38 @@ object SparkEntry {
        |SELECT CAST(d6_6 AS BIGINT) AS dtw_cents,
        |       CAST($l1 AS BIGINT) AS l1_cents
        |FROM $prev""".stripMargin
+  }
+
+  /** DuckDB replay of `TimeSeries.haarQuery`: 5 unrolled halving
+    * levels, exact integer sums/details, HUGEINT energies. */
+  private def haarOracleSql: String = {
+    val levels = 5
+    val steps = (1 to levels).map { l =>
+      s"""p$l AS MATERIALIZED (
+         |  SELECT k // 2 AS k2, count(*) AS cnt,
+         |         CAST(sum(CASE WHEN k % 2 = 0 THEN v ELSE 0 END)
+         |              AS BIGINT) AS ev,
+         |         CAST(sum(CASE WHEN k % 2 = 1 THEN v ELSE 0 END)
+         |              AS BIGINT) AS ov
+         |  FROM l${l - 1} GROUP BY 1 HAVING count(*) = 2),
+         |e$l AS (SELECT CAST($l AS BIGINT) AS level,
+         |               CAST(count(*) AS BIGINT) AS n_pairs,
+         |               CAST(CAST(sum(CAST(ev - ov AS HUGEINT) * (ev - ov))
+         |                    AS VARCHAR) AS DOUBLE) AS detail_energy
+         |        FROM p$l),
+         |l$l AS (SELECT k2 AS k, ev + ov AS v FROM p$l)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to levels).map(l => s"SELECT * FROM e$l")
+      .mkString(" UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+       |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+       |              AS BIGINT) AS v
+       |  FROM orders GROUP BY 1),
+       |l0 AS (SELECT row_number() OVER (ORDER BY day) - 1 AS k, v
+       |       FROM daily),
+       |$steps
+       |$union ORDER BY level""".stripMargin
   }
 
   /** DuckDB replay of `TimeSeries.matrixProfile`: rank-join windows,

@@ -2123,6 +2123,39 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Between-group Gini decomposition over market segments
+    * (q_gini_between): G_between = Σᵢⱼ nᵢnⱼ|μᵢ−μⱼ| / (2n²μ) — how much
+    * of spend inequality is BETWEEN segments (vs within them)?
+    * The decomposition layer under the overall Gini (q_gini): a
+    * near-zero between-share means segment membership explains
+    * nothing about spend.
+    *
+    * The rational means clear exactly: nᵢnⱼ|μᵢ−μⱼ| = |sᵢnⱼ − sⱼnᵢ|,
+    * so the pair sum over the ≤k² segment grid is an EXACT long/
+    * decimal sum and G_between = Σ|sᵢnⱼ−sⱼnᵢ| / (2nS) is ONE
+    * division. One fact aggregate; the pair join is dimension-sized. */
+  def giniBetweenQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val seg = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("s")),
+      "ginib_seg") // feeds totals and both sides of the pair join
+    val tot = seg.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+      count(lit(1)).as("n_segments"))
+    val pairSum = seg.as("a").crossJoin(seg.as("b"))
+      .agg(sum(abs(col("a.s").cast(d38) * col("b.n").cast(d38) -
+        col("b.s").cast(d38) * col("a.n").cast(d38))).as("psum"))
+    tot.crossJoin(broadcast(pairSum))
+      .select(col("n_segments"), col("nt").as("n"),
+        (col("psum").cast("string").cast("double") /
+          (lit(2.0) * col("nt").cast("double") *
+            col("st").cast("double"))).as("gini_between"))
+  }
+
   /** One-step Huber M-estimate of customer spend location (q_huber):
     * start at the exact median, clip every observation into
     * [med − 1.5·MAD, med + 1.5·MAD], average the clipped values — the

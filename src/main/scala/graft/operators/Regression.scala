@@ -576,6 +576,59 @@ object Regression {
       ba.as("b_a"), bb.as("b_b"))
   }
 
+  /** Sharp regression discontinuity (q_rdd): the revenue JUMP at the
+    * corpus midpoint — fit y = a + b·(day − c) separately on a
+    * ±`bandwidth`-day window each side of the cutoff and report
+    * a_right − a_left, the discontinuity the global trend line would
+    * smear away ([[chowQuery]] asks "did the SLOPE change?"; RDD asks
+    * "did the LEVEL jump AT the threshold?"). Completes the causal
+    * toolkit next to did/cuped/strat_ate/iv_wald/oaxaca.
+    *
+    * Each side's intercept-at-cutoff is closed-form over cleared-
+    * denominator moments of (x = day − c, y): a = ȳ − b·x̄ with
+    * b = Cxy/Cxx — one conditional aggregate, fixed IEEE trees, no
+    * residual pass. */
+  def rddQuery(spark: SparkSession, dir: String,
+               bandwidth: Int = 180): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("y"))
+      .withColumn("c",
+        expr(s"unix_millis(cast('1998-01-01' as timestamp)) div 86400000"))
+      .withColumn("x", col("day") - col("c"))
+      .filter(col("x") >= -bandwidth.toLong && col("x") < bandwidth.toLong)
+      .withColumn("right", col("x") >= 0L)
+    def side(tag: String, cond: org.apache.spark.sql.Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col("x")).otherwise(0L)).as(s"sx_$tag"),
+      sum(when(cond, col("y")).otherwise(0L)).as(s"sy_$tag"),
+      sum(when(cond, col("x").cast(d38) * col("x").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"sxx_$tag"),
+      sum(when(cond, col("x").cast(d38) * col("y").cast(d38))
+        .otherwise(lit(0).cast(d38))).as(s"sxy_$tag"))
+    val aggs = side("l", !col("right")) ++ side("r", col("right"))
+    val sums = daily.agg(aggs.head, aggs.tail: _*)
+    def intercept(tag: String) = {
+      val nD = col(s"n_$tag").cast("double")
+      val b = (col(s"n_$tag").cast(d38) * col(s"sxy_$tag") -
+          col(s"sx_$tag").cast(d38) * col(s"sy_$tag").cast(d38))
+        .cast("string").cast("double") /
+        (col(s"n_$tag").cast(d38) * col(s"sxx_$tag") -
+          col(s"sx_$tag").cast(d38) * col(s"sx_$tag").cast(d38))
+        .cast("string").cast("double")
+      (col(s"sy_$tag").cast("double") / nD -
+        b * (col(s"sx_$tag").cast("double") / nD), b)
+    }
+    val (aL, bL) = intercept("l")
+    val (aR, bR) = intercept("r")
+    sums.select(col("n_l"), col("n_r"),
+      aL.as("a_left"), aR.as("a_right"), bL.as("b_left"), bR.as("b_right"),
+      (aR - aL).as("rdd_effect_cents"))
+  }
+
   /** Chow structural-break test (q_chow): did the revenue~volume
     * relationship CHANGE at the corpus midpoint? F = ((RSS_p − RSS₁ −
     * RSS₂)/k)/((RSS₁+RSS₂)/(n−2k)), k = 2 — the regime-shift companion

@@ -692,6 +692,48 @@ object TimeSeries {
           col("nd").cast("double")).as("dd_cents"))
   }
 
+  /** Haar wavelet energy ladder of daily revenue (q_haar): unnormalized
+    * integer Haar transform — per level, pairs (v₂ₖ, v₂ₖ₊₁) become sum
+    * aₖ = v₂ₖ+v₂ₖ₊₁ and detail dₖ = v₂ₖ−v₂ₖ₊₁; detail ENERGY Σd² per
+    * level localizes the series' variance by timescale (level 1 ≈
+    * 2-day noise, level 5 ≈ monthly swings) — the multiresolution
+    * companion to [[spectrumQuery]]'s single frequency bin, and fully
+    * exact: sums/details stay longs, energies exact decimal(38,0),
+    * one VARCHAR-routed cast per emitted row. Each level is one
+    * map-side-combining groupBy on k div 2 over the rank-indexed
+    * calendar-bounded frame (odd tails drop — documented truncation). */
+  def haarQuery(spark: SparkSession, dir: String,
+                levels: Int = 5): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    var cur = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i",
+          numParts = 8)
+        .select((col("i") - 1L).as("k"), col("v")),
+      "haar_l0")
+    val out = (1 to levels).map { l =>
+      val paired = cur
+        .groupBy(expr("k div 2").as("k2"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("k") % 2L === 0L, col("v")).otherwise(0L)).as("ev"),
+          sum(when(col("k") % 2L === 1L, col("v")).otherwise(0L)).as("ov"))
+        .filter(col("cnt") === 2L)
+      val pairedM = graft.scale.Silver.scratch(
+        paired, s"haar_l$l") // feeds the energy row and the next level
+      cur = pairedM.select(col("k2").as("k"), (col("ev") + col("ov")).as("v"))
+      pairedM.agg(count(lit(1)).as("n_pairs"),
+          sum((col("ev") - col("ov")).cast(d38) *
+            (col("ev") - col("ov")).cast(d38)).as("e"))
+        .select(lit(l.toLong).as("level"), col("n_pairs"),
+          col("e").cast("string").cast("double").as("detail_energy"))
+    }
+    out.reduce(_ unionAll _).orderBy("level")
+  }
+
   /** Matrix profile of the daily revenue series (q_matrix_profile):
     * for each 7-day window, the distance to its NEAREST non-trivial
     * neighbor window (exclusion zone |Δt| ≥ m/2) — the STAMP primitive
