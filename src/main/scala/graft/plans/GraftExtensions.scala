@@ -241,6 +241,73 @@ object CosineSim {
   }
 }
 
+/** Exact integer squared-L2 distance between two array<long> vectors —
+  * the fused single-pass codegen expression behind the embedding
+  * cluster/outlier queries (q_lof, q_knn_acc, q_dunn). Replaces the
+  * interpreted `aggregate(zip_with(...))` HOF chain (CodegenFallback —
+  * observed as the single-thread hot loop on the 25M-pair scoring pass)
+  * with a whole-stage-codegen long loop; arithmetic is exact, so the
+  * result is bit-identical to the HOF form. NULL on length mismatch or
+  * null elements, like [[CosineSim]]. */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist_long"
+
+  private def arrayOfLong(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => true
+    case org.apache.spark.sql.types.NullType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (arrayOfLong(left.dataType) && arrayOfLong(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SqDistLong.d2(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("sqdRes")
+      s"""
+      java.lang.Long $tmp = graft.plans.SqDistLong.d2($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistLong {
+  /** Static so generated code can call it without capturing the tree. */
+  def d2(a: org.apache.spark.sql.catalyst.util.ArrayData,
+         b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
 object SimHash60 {
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -831,15 +831,23 @@ object EmbedStats {
     * division close the tree. The all-pairs pass is the audit-scale
     * baseline (the [[Similarity.mutualKnnQuery]] argument). */
   def dunnQuery(spark: SparkSession, dir: String): DataFrame = {
+    // array form + the fused SqDistLong codegen expression: the per-dim
+    // row join would shuffle |pairs|·width rows; this scores each pair
+    // in one codegen loop over a broadcast side, spread across cores
     val pts = graft.scale.Silver.scratch(
-      scaledDims(spark, dir), "dunn_pts") // both sides of the pair join
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0)).cast("long") +
+              lit(1000000L)).as("u"))
+        .repartition(col("vec_id")),
+      "dunn_pts") // both sides of the pair scoring
     val pairs = pts.select(col("vec_id").as("i"), col("label").as("li"),
-        col("dim"), col("u").as("ui"))
-      .join(pts.select(col("vec_id").as("j"), col("label").as("lj"),
-        col("dim"), col("u").as("uj")), Seq("dim"))
-      .filter(col("i") < col("j"))
-      .groupBy("i", "j", "li", "lj")
-      .agg(sum((col("ui") - col("uj")) * (col("ui") - col("uj"))).as("d2"))
+        col("u"))
+      .join(broadcast(pts.select(col("vec_id").as("j"),
+        col("label").as("lj"), col("u").as("uj"))), col("i") < col("j"))
+      .select(col("li"), col("lj"),
+        graft.scale.Similarity.sqDistLong(col("u"), col("uj")).as("d2"))
     pairs.agg(
         min(when(col("li") =!= col("lj"), col("d2"))).as("min_inter_d2"),
         max(when(col("li") === col("lj"), col("d2"))).as("max_intra_d2"))

@@ -39,6 +39,15 @@ object Similarity {
         org.apache.spark.sql.graft.Shims.expression(a),
         org.apache.spark.sql.graft.Shims.expression(b)))
 
+  /** Exact integer squared-L2 over array<long> — the fused codegen
+    * [[graft.plans.SqDistLong]] (bit-identical to the HOF
+    * aggregate/zip_with form, but inside whole-stage codegen). */
+  def sqDistLong(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.plans.SqDistLong(
+        org.apache.spark.sql.graft.Shims.expression(a),
+        org.apache.spark.sql.graft.Shims.expression(b)))
+
   /** Exact brute-force top-k neighbors of one query vector: broadcast the
     * query row, score every vector, TakeOrderedAndProject. One scan, no
     * shuffle beyond the k-row driver merge — the right baseline shape even
@@ -99,7 +108,8 @@ object Similarity {
                      k: Int = 5): DataFrame = {
     val emb = graft.scale.Silver.scratch(
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .repartition(col("vec_id")), // spread the one-split snapshot
       "mknn_emb") // feeds both sides of the scoring pass
     val scored = emb.select(col("vec_id").as("src"), col("v"))
       .join(broadcast(emb.select(col("vec_id").as("dst"),
@@ -545,7 +555,8 @@ object Similarity {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label").cast("long").as("label"),
           transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1000000.0))).as("u")),
+            x => floor(x.cast("double") * lit(1000000.0))).as("u"))
+        .repartition(col("vec_id")), // spread the one-split snapshot
       "knnacc_pts") // feeds both sides of the scoring pass
     val scored = pts.select(col("vec_id").as("src"),
         col("label").as("src_label"), col("u"))
@@ -553,8 +564,7 @@ object Similarity {
         col("label").as("dst_label"), col("u").as("ud"))),
         col("src") =!= col("dst"))
       .select(col("src"), col("src_label"), col("dst"), col("dst_label"),
-        aggregate(zip_with(col("u"), col("ud"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("d2"))
+        sqDistLong(col("u"), col("ud")).as("d2"))
     val edges = graft.plans.TopKPerKey(scored, k,
       keys = Seq(col("src")), order = Seq(col("d2").asc, col("dst").asc))
     val votes = edges
@@ -573,18 +583,19 @@ object Similarity {
 
   def lofQuery(spark: SparkSession, dir: String,
                k: Int = 5, topN: Int = 20): DataFrame = {
+    // repartition: the snapshot is one input split; without the spread
+    // the 25M-pair scoring loop runs on a single core (observed)
     val pts = graft.scale.Silver.scratch(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1000000.0))).as("u")),
+            x => floor(x.cast("double") * lit(1000000.0))).as("u"))
+        .repartition(col("vec_id")),
       "lof_pts") // feeds both sides of the scoring pass
     val scored = pts.select(col("vec_id").as("src"), col("u"))
       .join(broadcast(pts.select(col("vec_id").as("dst"),
         col("u").as("ud"))), col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        aggregate(zip_with(col("u"), col("ud"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("d2"))
+      .select(col("src"), col("dst"), sqDistLong(col("u"), col("ud")).as("d2"))
     val edges = graft.scale.Silver.scratch(
       graft.plans.TopKPerKey(scored, k, keys = Seq(col("src")),
         order = Seq(col("d2").asc, col("dst").asc)),

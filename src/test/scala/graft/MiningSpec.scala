@@ -458,6 +458,32 @@ class MiningSpec extends SparkSpec {
     assert(!df(2).isNullAt(0) && df(2).getDouble(0) == df(2).getDouble(1))
   }
 
+  test("fused graft_sqdist_long matches the HOF zip_with/aggregate chain exactly") {
+    val pts = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0))).as("u"))
+    val q = pts.filter(col("vec_id") === 0L).select(col("u").as("qu"))
+    val both = pts.crossJoin(broadcast(q))
+      .select(
+        graft.scale.Similarity.sqDistLong(col("u"), col("qu")).as("fused"),
+        aggregate(zip_with(col("u"), col("qu"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() == 0)
+    assert(both.filter(col("fused") < 0L).count() == 0)
+    // null contract: length mismatch and null elements null out
+    import spark.implicits._
+    val edge = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](3L, 4L), Seq[java.lang.Long](4L, 3L))
+    ).toDF("a", "b")
+      .select(graft.scale.Similarity.sqDistLong(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(2).getLong(0) == 2L)
+  }
+
   test("KS statistic is in [0,1] and zero for a segment against itself") {
     val ks = graft.operators.Distribution.ksTest(spark, TestSpark.Sf0001).head()
     assert(ks.getLong(0) > 0 && ks.getLong(1) > 0)
