@@ -442,7 +442,10 @@ object SparkEntry {
     "q_matrix_profile"  -> ((s, d) => graft.operators.TimeSeries.matrixProfile(s, d)),
     "q_haar"            -> ((s, d) => graft.operators.TimeSeries.haarQuery(s, d)),
     "q_rdd"             -> ((s, d) => graft.operators.Regression.rddQuery(s, d)),
-    "q_gini_between"    -> ((s, d) => graft.operators.Distribution.giniBetweenQuery(s, d))
+    "q_gini_between"    -> ((s, d) => graft.operators.Distribution.giniBetweenQuery(s, d)),
+    "q_xyz"             -> ((s, d) => graft.operators.Analytics.xyzQuery(s, d)),
+    "q_safety_stock"    -> ((s, d) => graft.operators.Analytics.safetyStockQuery(s, d)),
+    "q_dq_scorecard"    -> ((s, d) => graft.operators.Profile.dqScorecard(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9876,6 +9879,127 @@ object SparkEntry {
         |       (1e12 * CAST(n_days AS DOUBLE) *
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
+
+    // XYZ classification: exact-integer CV threshold compares, 3-row
+    // class table.
+    "q_xyz" ->
+      """WITH weekly AS (
+        |  SELECT l_partkey,
+        |         epoch_ms(l_shipdate) // 604800000 AS week,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |per AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sq,
+        |         CAST(sum(q * q) AS BIGINT) AS sqq
+        |  FROM weekly GROUP BY 1),
+        |cls AS (
+        |  SELECT *,
+        |         CASE WHEN 4 * (n * sqq - sq * sq) <= sq * sq THEN 'X'
+        |              WHEN n * sqq - sq * sq <= sq * sq THEN 'Y'
+        |              ELSE 'Z' END AS cls
+        |  FROM per),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_parts_total FROM per)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(sq) AS BIGINT) AS total_units,
+        |       CAST(sum(n) AS BIGINT) AS total_weeks,
+        |       CAST(count(*) AS DOUBLE) / CAST(t.n_parts_total AS DOUBLE)
+        |         AS part_share
+        |FROM cls, tot t GROUP BY cls, t.n_parts_total
+        |ORDER BY cls""".stripMargin,
+
+    // Safety stock: cleared-denominator σ, pinned z and √7, stable
+    // top-20 ranking.
+    "q_safety_stock" ->
+      """WITH dd AS (
+        |  SELECT l_partkey,
+        |         epoch_ms(l_shipdate) // 86400000 AS day,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |per AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(q) AS BIGINT) AS sq,
+        |         sum(CAST(q AS HUGEINT) * q) AS sqq
+        |  FROM dd GROUP BY 1 HAVING count(*) >= 2),
+        |s AS (
+        |  SELECT l_partkey AS p_partkey, n_days,
+        |         CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |           AS mean_daily_units,
+        |         1.645 * sqrt(
+        |           CAST(CAST(CAST(n_days AS HUGEINT) * sqq -
+        |                CAST(sq AS HUGEINT) * sq AS VARCHAR) AS DOUBLE) /
+        |           CAST(n_days * (n_days - 1) AS DOUBLE)) * sqrt(7.0)
+        |           AS safety_stock
+        |  FROM per)
+        |SELECT p_partkey, n_days, mean_daily_units, safety_stock
+        |FROM s ORDER BY safety_stock DESC, p_partkey LIMIT 20""".stripMargin,
+
+    // DQ scorecard: pure-comparison conditional counts per value rule.
+    "q_dq_scorecard" ->
+      """WITH sj AS (
+        |  SELECT l.l_shipdate, o.o_orderdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'lineitem.quantity_positive' AS rule,
+        |         CAST(count(*) AS BIGINT) AS n_total,
+        |         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations,
+        |         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS violation_rate
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.discount_in_0_0.5', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+        |              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.tax_in_0_0.5', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 0.5
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 0.5
+        |              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.returnflag_domain', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.ship_not_before_order', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_shipdate < o_orderdate
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_shipdate < o_orderdate
+        |              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM sj
+        |  UNION ALL
+        |  SELECT 'orders.totalprice_positive', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.priority_domain', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |              '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |              '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer.acctbal_not_null', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM customer)
+        |ORDER BY rule""".stripMargin,
 
     "q_dtw" -> dtwOracleSql,
     "q_matrix_profile" -> matrixProfileOracleSql,

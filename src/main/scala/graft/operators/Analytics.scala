@@ -1310,6 +1310,76 @@ object Analytics {
       .orderBy("brand")
   }
 
+  /** XYZ demand-variability classification (q_xyz): every part lands in
+    * X (steady, CV ≤ 0.5), Y (variable, CV ≤ 1) or Z (erratic) by the
+    * coefficient of variation of its weekly shipped quantity — the
+    * inventory-planning partner of ABC value analysis (q_abc): X parts
+    * forecast well, Z parts need buffer stock. The CV threshold
+    * compares EXACTLY in integers: CV² = (n·Σq²−(Σq)²)/(Σq)², so
+    * X ⇔ 4·(n·Σq²−(Σq)²) ≤ (Σq)² — no float ever enters the
+    * classification. Two map-side-combining aggregates; output is the
+    * 3-row class table. CV is over a part's ACTIVE weeks (zero-demand
+    * weeks are not observed rows — documented denominator). */
+  def xyzQuery(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 604800000")
+          .as("week"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val per = weekly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .withColumn("varnum", col("n") * col("sqq") - col("sq") * col("sq"))
+      .withColumn("cls",
+        when(lit(4L) * col("varnum") <= col("sq") * col("sq"), "X")
+          .when(col("varnum") <= col("sq") * col("sq"), "Y")
+          .otherwise("Z"))
+    val tot = per.agg(count(lit(1)).as("n_parts_total"))
+    per.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("sq")).as("total_units"),
+        sum(col("n")).as("total_weeks"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"), col("total_units"),
+        col("total_weeks"),
+        (col("n_parts").cast("double") / col("n_parts_total").cast("double"))
+          .as("part_share"))
+      .orderBy("cls")
+  }
+
+  /** Safety stock per part (q_safety_stock): z·σ_daily·√L with pinned
+    * z = 1.645 (95% service) and L = 7-day lead time — the textbook
+    * buffer formula over each part's observed daily-demand variance,
+    * reported for the 20 highest-buffer parts ("where is volatility
+    * most expensive?"). σ comes from the cleared-denominator exact
+    * variance ((n·Σq²−(Σq)²)/(n(n−1)), VARCHAR-routed); z and √7 are
+    * fixed literals/correctly-rounded ops, so the ranking doubles are
+    * engine-identical and the top-20 selection is stable. */
+  def safetyStockQuery(spark: SparkSession, dir: String,
+                       topK: Int = 20): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val dailyD = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("day"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    dailyD.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_days"), sum(col("q")).as("sq"),
+        sum(col("q").cast(d38) * col("q").cast(d38)).as("sqq"))
+      .filter(col("n_days") >= 2L)
+      .withColumn("sigma",
+        sqrt((col("n_days").cast(d38) * col("sqq") -
+            col("sq").cast(d38) * col("sq").cast(d38))
+          .cast("string").cast("double") /
+          (col("n_days") * (col("n_days") - 1L)).cast("double")))
+      .select(col("l_partkey").as("p_partkey"), col("n_days"),
+        (col("sq").cast("double") / col("n_days").cast("double"))
+          .as("mean_daily_units"),
+        (lit(1.645) * col("sigma") * sqrt(lit(7.0))).as("safety_stock"))
+      .orderBy(col("safety_stock").desc, col("p_partkey").asc)
+      .limit(topK)
+  }
+
   /** Price-volume-mix revenue bridge per brand (q_pvm): decompose each
     * brand's era-over-era revenue change into volume effect
     * (q₂−q₁)·P₁ and price effect q₂·(P₂−P₁) — the FP&A waterfall that

@@ -238,4 +238,46 @@ object Profile {
           .as("emd"))
       .orderBy("seg", "nat")
   }
+
+  /** Cross-table data-quality scorecard (q_dq_scorecard): one row per
+    * VALUE rule — domain membership, sign/range sanity, temporal
+    * ordering — with exact violation counts and rates. The landing-page
+    * DQ read that complements [[fkAudit]] (referential rules) and the
+    * per-column [[profile]] stats: "which invariants does this corpus
+    * break, and how often?" Each rule is one conditional aggregate
+    * (comparisons only — no float arithmetic, so the counts are exact
+    * under any partitioning); the temporal rule joins the fact pair
+    * once. Zero-violation rows are emitted too — a scorecard proves
+    * checks RAN, not just that failures exist. */
+  def dqScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def rule(name: String, df: DataFrame,
+             bad: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_total"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_total"), col("n_violations"),
+          (col("n_violations").cast("double") / col("n_total").cast("double"))
+            .as("violation_rate"))
+    val shipJoin = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    Seq(
+      rule("lineitem.quantity_positive", li, col("l_quantity") <= 0.0),
+      rule("lineitem.discount_in_0_0.5", li,
+        col("l_discount") < 0.0 || col("l_discount") > 0.5),
+      rule("lineitem.tax_in_0_0.5", li,
+        col("l_tax") < 0.0 || col("l_tax") > 0.5),
+      rule("lineitem.returnflag_domain", li,
+        !col("l_returnflag").isin("A", "N", "R")),
+      rule("lineitem.ship_not_before_order", shipJoin,
+        col("l_shipdate") < col("o_orderdate")),
+      rule("orders.totalprice_positive", o, col("o_totalprice") <= 0.0),
+      rule("orders.priority_domain", o,
+        !col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")),
+      rule("customer.acctbal_not_null", Tables.customer(spark, dir),
+        col("c_acctbal").isNull)
+    ).reduce(_ unionByName _).orderBy("rule")
+  }
 }
