@@ -445,7 +445,10 @@ object SparkEntry {
     "q_gini_between"    -> ((s, d) => graft.operators.Distribution.giniBetweenQuery(s, d)),
     "q_xyz"             -> ((s, d) => graft.operators.Analytics.xyzQuery(s, d)),
     "q_safety_stock"    -> ((s, d) => graft.operators.Analytics.safetyStockQuery(s, d)),
-    "q_dq_scorecard"    -> ((s, d) => graft.operators.Profile.dqScorecard(s, d))
+    "q_dq_scorecard"    -> ((s, d) => graft.operators.Profile.dqScorecard(s, d)),
+    "q_p_chart"         -> ((s, d) => graft.operators.TimeSeries.pChartQuery(s, d)),
+    "q_cpk"             -> ((s, d) => graft.operators.Distribution.cpkQuery(s, d)),
+    "q_risk_metrics"    -> ((s, d) => graft.operators.TimeSeries.riskMetrics(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9879,6 +9882,85 @@ object SparkEntry {
         |       (1e12 * CAST(n_days AS DOUBLE) *
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
+
+    // p-chart: exact weekly (x, n) + exact totals, fixed 3σ limit
+    // tree, out-of-control weeks only.
+    "q_p_chart" ->
+      """WITH weekly AS (
+        |  SELECT epoch_ms(l_shipdate) // 604800000 AS week,
+        |         CAST(count(*) AS BIGINT) AS n_w,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x_w
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS nn,
+        |               CAST(sum(x_w) AS BIGINT) AS xx FROM weekly),
+        |f AS (SELECT week, n_w, x_w,
+        |             CAST(x_w AS DOUBLE) / CAST(n_w AS DOUBLE) AS p_week,
+        |             CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) AS p_bar,
+        |             CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) -
+        |               3.0 * sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |                 (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)) /
+        |                 CAST(n_w AS DOUBLE)) AS lcl,
+        |             CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) +
+        |               3.0 * sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |                 (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)) /
+        |                 CAST(n_w AS DOUBLE)) AS ucl
+        |      FROM weekly, tot)
+        |SELECT week, n_w, x_w, p_week, p_bar, lcl, ucl,
+        |       p_week < lcl OR p_week > ucl AS out_of_control
+        |FROM f
+        |ORDER BY week""".stripMargin,
+
+    // Cpk: exact power sums, pinned spec limits, fixed capability tree.
+    "q_cpk" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s1,
+        |         CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem)),
+        |m AS (SELECT n,
+        |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |             sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |               AS sd
+        |      FROM s)
+        |SELECT n, mu AS mean_q, sd AS sd_q,
+        |       (50.0 - 1.0) / (6.0 * sd) AS cp,
+        |       least(50.0 - mu, mu - 1.0) / (3.0 * sd) AS cpk
+        |FROM m""".stripMargin,
+
+    // Sharpe/Sortino/Kelly: rank-join deltas, exact moment sums,
+    // three fixed ratio trees.
+    "q_risk_metrics" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, v, row_number() OVER (ORDER BY day) AS i
+        |      FROM daily),
+        |d AS (SELECT b.v - a.v AS d FROM r a JOIN r b ON b.i = a.i + 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(d) AS BIGINT) AS sd,
+        |             sum(CAST(d AS HUGEINT) * d) AS sdd,
+        |             sum(CASE WHEN d < 0 THEN CAST(d AS HUGEINT) * d
+        |                 ELSE CAST(0 AS HUGEINT) END) AS sdn
+        |      FROM d),
+        |m AS (SELECT n,
+        |             CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |             CAST(CAST(sdd AS VARCHAR) AS DOUBLE) /
+        |               CAST(n AS DOUBLE) -
+        |               (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |               (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS varp,
+        |             sqrt(CAST(CAST(sdn AS VARCHAR) AS DOUBLE) /
+        |               CAST(n AS DOUBLE)) AS ddev
+        |      FROM s)
+        |SELECT n AS n_deltas, mu AS mean_delta_cents,
+        |       mu / sqrt(varp) AS sharpe,
+        |       mu / ddev AS sortino,
+        |       mu / varp AS kelly
+        |FROM m""".stripMargin,
 
     // XYZ classification: exact-integer CV threshold compares, 3-row
     // class table.

@@ -2123,6 +2123,30 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Process capability of order-line quantity (q_cpk): Cp =
+    * (USL−LSL)/6σ and Cpk = min(USL−μ, μ−LSL)/3σ against the domain
+    * spec limits [1, 50] — the SPC summary "does the process fit its
+    * tolerance band, and is it centered?" (Cp ignores centering; the
+    * Cp−Cpk gap IS the off-center diagnosis). Mean and σ come from the
+    * exact long power sums ([[jarqueBera]]'s machinery); the capability
+    * indices close as fixed trees with the spec limits as pinned
+    * literals. */
+  def cpkQuery(spark: SparkSession, dir: String,
+               lsl: Double = 1.0, usl: Double = 50.0): DataFrame = {
+    val sums = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val sd = sqrt((nD * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (nD * (nD - lit(1.0))))
+    sums.select(col("n"), mu.as("mean_q"), sd.as("sd_q"),
+      ((lit(usl) - lit(lsl)) / (lit(6.0) * sd)).as("cp"),
+      (least(lit(usl) - mu, mu - lit(lsl)) / (lit(3.0) * sd)).as("cpk"))
+  }
+
   /** Between-group Gini decomposition over market segments
     * (q_gini_between): G_between = Σᵢⱼ nᵢnⱼ|μᵢ−μⱼ| / (2n²μ) — how much
     * of spend inequality is BETWEEN segments (vs within them)?

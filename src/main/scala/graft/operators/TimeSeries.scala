@@ -692,6 +692,77 @@ object TimeSeries {
           col("nd").cast("double")).as("dd_cents"))
   }
 
+  /** Risk-metric row over day-over-day revenue changes
+    * (q_risk_metrics): Sharpe (μ/σ), Sortino (μ/downside-σ) and the
+    * Kelly fraction (μ/σ²) of the daily delta series — the
+    * distribution-shape summary that [[varEs]]'s tail quantiles don't
+    * give (a series can have mild VaR but terrible Sortino).
+    * Deltas come from the rank-equi-join lag ([[varEs]] spine); the
+    * three ratios are fixed trees over the exact sums (n, Σd, Σd²,
+    * Σmin(d,0)²) — Σd² through decimal(38,0), downside square sum
+    * likewise; population σ (divide by n) keeps the tree shallow. */
+  def riskMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg((sum(col("p")) * 100).cast("long").as("v"))
+    val ranked = graft.scale.Silver.scratch(
+      Ranking.distributedGlobalRank(daily, Seq(col("day").asc), rankCol = "i",
+        numParts = 8),
+      "risk_ranked")
+    val deltas = ranked.as("a")
+      .join(ranked.as("b"), col("b.i") === col("a.i") + 1)
+      .select((col("b.v") - col("a.v")).as("d"))
+    val sums = deltas.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+      sum(col("d").cast(d38) * col("d").cast(d38)).as("sdd"),
+      sum(when(col("d") < 0L, col("d").cast(d38) * col("d").cast(d38))
+        .otherwise(lit(0).cast(d38))).as("sdn"))
+    val nD = col("n").cast("double")
+    val mu = col("sd").cast("double") / nD
+    val varP = col("sdd").cast("string").cast("double") / nD - mu * mu
+    val downDev = sqrt(col("sdn").cast("string").cast("double") / nD)
+    sums.select(col("n").as("n_deltas"), mu.as("mean_delta_cents"),
+      (mu / sqrt(varP)).as("sharpe"),
+      (mu / downDev).as("sortino"),
+      (mu / varP).as("kelly"))
+  }
+
+  /** p-chart over weekly return proportions (q_p_chart): each week's
+    * returned-lineitem fraction against the Shewhart 3σ binomial
+    * control limits p̄ ± 3·√(p̄(1−p̄)/n_w) — the SPC companion to
+    * [[cusumChangepoint]] (CUSUM finds one sustained shift; the
+    * p-chart flags every individually-out-of-control week). Emits the
+    * full chart (every week with its limits and flag) — a chart whose
+    * every point is in control is itself the finding.
+    *
+    * p̄ enters as exact totals (X/N), each week's limit is a fixed IEEE
+    * tree over (x_w, n_w, X, N), and the flag compares n_w-scaled
+    * values so no division feeds a comparison:
+    * |x_w·N − n_w·X| > 3·N·√(n_w·p̄(1−p̄)) is evaluated in doubles from
+    * exact integers on both engines identically. */
+  def pChartQuery(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, dir)
+      .groupBy(expr("unix_millis(cast(l_shipdate as timestamp)) div 604800000")
+        .as("week"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x_w"))
+    val tot = weekly.agg(sum(col("n_w")).as("nn"), sum(col("x_w")).as("xx"))
+    val pbar = col("xx").cast("double") / col("nn").cast("double")
+    val rate = col("x_w").cast("double") / col("n_w").cast("double")
+    val sigma = sqrt(pbar * (lit(1.0) - pbar) / col("n_w").cast("double"))
+    weekly.crossJoin(broadcast(tot))
+      .select(col("week"), col("n_w"), col("x_w"), rate.as("p_week"),
+        pbar.as("p_bar"),
+        (pbar - lit(3.0) * sigma).as("lcl"),
+        (pbar + lit(3.0) * sigma).as("ucl"))
+      .withColumn("out_of_control",
+        col("p_week") < col("lcl") || col("p_week") > col("ucl"))
+      .orderBy("week")
+  }
+
   /** Haar wavelet energy ladder of daily revenue (q_haar): unnormalized
     * integer Haar transform — per level, pairs (v₂ₖ, v₂ₖ₊₁) become sum
     * aₖ = v₂ₖ+v₂ₖ₊₁ and detail dₖ = v₂ₖ−v₂ₖ₊₁; detail ENERGY Σd² per
