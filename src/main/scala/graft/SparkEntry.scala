@@ -9671,7 +9671,7 @@ object SparkEntry {
         |FROM agg""".stripMargin,
 
     // Burt's constraint: floor-scaled integer weights, wedge join over
-    // the robust-tie (support ≥ 3) co-supply graph, exact squared-term
+    // the robust-tie (support ≥ 5) co-supply graph, exact squared-term
     // sums, one division.
     "q_constraint" ->
       """WITH li AS MATERIALIZED (
@@ -9680,7 +9680,7 @@ object SparkEntry {
         |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_suppkey < y.l_suppkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
         |und AS MATERIALIZED (
         |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |deg AS MATERIALIZED (

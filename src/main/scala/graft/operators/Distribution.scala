@@ -2170,7 +2170,7 @@ object Distribution {
       "ginib_seg") // feeds totals and both sides of the pair join
     val tot = seg.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
       count(lit(1)).as("n_segments"))
-    val pairSum = seg.as("a").crossJoin(seg.as("b"))
+    val pairSum = seg.as("a").crossJoin(broadcast(seg.as("b")))
       .agg(sum(abs(col("a.s").cast(d38) * col("b.n").cast(d38) -
         col("b.s").cast(d38) * col("a.n").cast(d38))).as("psum"))
     tot.crossJoin(broadcast(pairSum))

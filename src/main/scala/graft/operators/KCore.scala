@@ -575,7 +575,8 @@ object KCore {
     * device as [[linkPredQuery]] bounds hub wedges.
     *
     * Edges are ROBUST ties only — suppliers sharing ≥ `minSupport`
-    * orders. Constraint is an ego-REDUNDANCY read; one coincidental
+    * orders (5: at sf0.1 the support-3 graph still held ~27% of the
+    * near-complete pair space and its wedge pass measured 30 s). Constraint is an ego-REDUNDANCY read; one coincidental
     * co-supply is noise, and on a mixing corpus the unthresholded
     * graph densifies toward complete (Σdeg² wedge work then grows
     * quadratically in corpus size for reasons that are corpus
@@ -583,7 +584,7 @@ object KCore {
     * orientation argument). The support filter pins wedge work to
     * the persistent-relationship subgraph. */
   def constraintQuery(spark: SparkSession, dir: String,
-                      topK: Int = 20, minSupport: Long = 3L): DataFrame = {
+                      topK: Int = 20, minSupport: Long = 5L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .distinct()

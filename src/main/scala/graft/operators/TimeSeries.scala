@@ -844,8 +844,8 @@ object TimeSeries {
     val d2 = (0 until m).map(k =>
       (col(s"x$k") - col(s"y$k")).cast(d38) *
         (col(s"x$k") - col(s"y$k")).cast(d38)).reduceLeft(_ + _)
-    val pairs = left.crossJoin(right)
-      .filter(abs(col("ti") - col("tj")) >= (m / 2).toLong)
+    val pairs = left.join(broadcast(right),
+        abs(col("ti") - col("tj")) >= (m / 2).toLong)
       .select(col("ti"), col("day"), col("tj"), d2.as("d2"))
     pairs.groupBy(col("ti"), col("day"))
       .agg(min(struct(col("d2"), col("tj"))).as("nn"))
