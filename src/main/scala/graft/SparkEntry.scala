@@ -448,7 +448,9 @@ object SparkEntry {
     "q_dq_scorecard"    -> ((s, d) => graft.operators.Profile.dqScorecard(s, d)),
     "q_p_chart"         -> ((s, d) => graft.operators.TimeSeries.pChartQuery(s, d)),
     "q_cpk"             -> ((s, d) => graft.operators.Distribution.cpkQuery(s, d)),
-    "q_risk_metrics"    -> ((s, d) => graft.operators.TimeSeries.riskMetrics(s, d))
+    "q_risk_metrics"    -> ((s, d) => graft.operators.TimeSeries.riskMetrics(s, d)),
+    "q_segment_migration" -> ((s, d) => graft.operators.Analytics.segmentMigrationQuery(s, d)),
+    "q_nrr"             -> ((s, d) => graft.operators.Analytics.nrrQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9882,6 +9884,69 @@ object SparkEntry {
         |       (1e12 * CAST(n_days AS DOUBLE) *
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
+
+    // Spend-class migration: exact lower-median splits per era, full
+    // outer join, 3×3 transition counts.
+    "q_segment_migration" ->
+      """WITH e1 AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |e2 AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |m1 AS (SELECT y AS m FROM (
+        |         SELECT y, row_number() OVER (ORDER BY y) AS r,
+        |                count(*) OVER () AS nn FROM e1)
+        |       WHERE r = (nn + 1) // 2),
+        |m2 AS (SELECT y AS m FROM (
+        |         SELECT y, row_number() OVER (ORDER BY y) AS r,
+        |                count(*) OVER () AS nn FROM e2)
+        |       WHERE r = (nn + 1) // 2),
+        |c1 AS (SELECT o_custkey,
+        |              CASE WHEN y > m THEN 'HIGH' ELSE 'LOW' END AS cls_e1
+        |       FROM e1, m1),
+        |c2 AS (SELECT o_custkey,
+        |              CASE WHEN y > m THEN 'HIGH' ELSE 'LOW' END AS cls_e2
+        |       FROM e2, m2)
+        |SELECT coalesce(c1.cls_e1, 'NONE') AS from_class,
+        |       coalesce(c2.cls_e2, 'NONE') AS to_class,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // NRR: per-customer era revenue pair, exact sums, two divisions.
+    "q_nrr" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1,
+        |         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) ELSE 0 END) AS BIGINT) AS rev2
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(sum(rev1) AS BIGINT) AS base_rev,
+        |             CAST(sum(CASE WHEN rev1 > 0 THEN rev2 ELSE 0 END)
+        |                  AS BIGINT) AS retained_rev,
+        |             CAST(sum(CASE WHEN rev1 = 0 THEN rev2 ELSE 0 END)
+        |                  AS BIGINT) AS new_rev,
+        |             CAST(sum(CASE WHEN rev1 > 0 AND rev2 > 0 THEN 1
+        |                  ELSE 0 END) AS BIGINT) AS n_retained,
+        |             CAST(sum(CASE WHEN rev1 > 0 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_base
+        |      FROM per)
+        |SELECT base_rev, retained_rev, new_rev, n_base, n_retained,
+        |       CAST(retained_rev AS DOUBLE) / CAST(base_rev AS DOUBLE)
+        |         AS nrr,
+        |       CAST(n_retained AS DOUBLE) / CAST(n_base AS DOUBLE)
+        |         AS logo_retention
+        |FROM s""".stripMargin,
 
     // p-chart: exact weekly (x, n) + exact totals, fixed 3σ limit
     // tree, out-of-control weeks only.

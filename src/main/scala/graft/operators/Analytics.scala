@@ -1310,6 +1310,75 @@ object Analytics {
       .orderBy("brand")
   }
 
+  /** Customer spend-class migration matrix (q_segment_migration):
+    * classify every customer LOW/HIGH per era (above/below the era's
+    * exact lower-median spend among active customers; absent = NONE)
+    * and count the 3×3 era-over-era transitions — the lifecycle flow
+    * chart behind retention dashboards ("are HIGHs churning? are news
+    * arriving LOW and staying LOW?"), the matrix q_rfm's static
+    * snapshot can't show. Both class anchors are exact rank-selected
+    * medians ([[graft.operators.Ranking.distributedGlobalRank]]); the
+    * matrix is one full-outer join + count. */
+  def segmentMigrationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: Column) => (c.cast("decimal(18,2)") * 100).cast("long")
+    def eraSpend(era1: Boolean): DataFrame = {
+      val f = if (era1) col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+        else col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+      Tables.orders(spark, dir).filter(f)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+    }
+    def classed(df: DataFrame, tag: String): DataFrame = {
+      val s = graft.scale.Silver.scratch(df, s"mig_$tag")
+      val med = Ranking.distributedGlobalRank(s, Seq(col("y").asc),
+          rankCol = "r", nCol = "nn", numParts = 8)
+        .filter(col("r") === expr("(nn + 1) div 2"))
+        .select(col("y").as("m"))
+      s.crossJoin(broadcast(med))
+        .select(col("o_custkey"),
+          when(col("y") > col("m"), "HIGH").otherwise("LOW").as(s"cls_$tag"))
+    }
+    classed(eraSpend(era1 = true), "e1")
+      .join(classed(eraSpend(era1 = false), "e2"), Seq("o_custkey"), "full")
+      .groupBy(coalesce(col("cls_e1"), lit("NONE")).as("from_class"),
+        coalesce(col("cls_e2"), lit("NONE")).as("to_class"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_class", "to_class")
+  }
+
+  /** Net revenue retention across the corpus midpoint (q_nrr): second-
+    * era revenue from FIRST-era customers over first-era revenue — the
+    * SaaS headline metric separating growth from acquisition, with the
+    * new-customer revenue reported beside it (NRR > 1 means the
+    * existing base expands on its own). Exact cent sums off one
+    * conditional aggregate per era + one join; two terminal
+    * divisions. */
+  def nrrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: Column) => (c.cast("decimal(18,2)") * 100).cast("long")
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+          cents(col("o_totalprice"))).otherwise(0L)).as("rev1"),
+        sum(when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+          cents(col("o_totalprice"))).otherwise(0L)).as("rev2"))
+    per.agg(
+        sum(col("rev1")).as("base_rev"),
+        sum(when(col("rev1") > 0L, col("rev2")).otherwise(0L))
+          .as("retained_rev"),
+        sum(when(col("rev1") === 0L, col("rev2")).otherwise(0L))
+          .as("new_rev"),
+        sum(when(col("rev1") > 0L && col("rev2") > 0L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("rev1") > 0L, 1L).otherwise(0L)).as("n_base"))
+      .select(col("base_rev"), col("retained_rev"), col("new_rev"),
+        col("n_base"), col("n_retained"),
+        (col("retained_rev").cast("double") / col("base_rev").cast("double"))
+          .as("nrr"),
+        (col("n_retained").cast("double") / col("n_base").cast("double"))
+          .as("logo_retention"))
+  }
+
   /** XYZ demand-variability classification (q_xyz): every part lands in
     * X (steady, CV ≤ 0.5), Y (variable, CV ≤ 1) or Z (erratic) by the
     * coefficient of variation of its weekly shipped quantity — the
