@@ -450,7 +450,9 @@ object SparkEntry {
     "q_cpk"             -> ((s, d) => graft.operators.Distribution.cpkQuery(s, d)),
     "q_risk_metrics"    -> ((s, d) => graft.operators.TimeSeries.riskMetrics(s, d)),
     "q_segment_migration" -> ((s, d) => graft.operators.Analytics.segmentMigrationQuery(s, d)),
-    "q_nrr"             -> ((s, d) => graft.operators.Analytics.nrrQuery(s, d))
+    "q_nrr"             -> ((s, d) => graft.operators.Analytics.nrrQuery(s, d)),
+    "q_abc_xyz"         -> ((s, d) => graft.operators.Analytics.abcXyzQuery(s, d)),
+    "q_ktruss"          -> ((s, d) => graft.operators.KCore.ktrussQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9885,6 +9887,52 @@ object SparkEntry {
         |        CAST(CAST(rr AS VARCHAR) AS DOUBLE)) AS weekly_share
         |FROM sums""".stripMargin,
 
+    "q_ktruss" -> ktrussOracleSql,
+
+    // ABC × XYZ: exact cumulative-share and CV classifications joined
+    // into the 9-cell grid.
+    "q_abc_xyz" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS cents,
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         epoch_ms(l_shipdate) // 604800000 AS week
+        |  FROM lineitem),
+        |rev AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS v
+        |        FROM li GROUP BY 1),
+        |cum AS (SELECT l_partkey, v,
+        |               CAST(sum(v) OVER (ORDER BY v DESC, l_partkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS BIGINT) AS cum_v
+        |        FROM rev),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_parts_total FROM rev),
+        |abc AS (SELECT l_partkey,
+        |               CASE WHEN CAST(cum_v AS HUGEINT) * 100 <=
+        |                         CAST(total AS HUGEINT) * 80 THEN 'A'
+        |                    WHEN CAST(cum_v AS HUGEINT) * 100 <=
+        |                         CAST(total AS HUGEINT) * 95 THEN 'B'
+        |                    ELSE 'C' END AS abc
+        |        FROM cum, tot),
+        |weekly AS (SELECT l_partkey, week, CAST(sum(q) AS BIGINT) AS q
+        |           FROM li GROUP BY 1, 2),
+        |per AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(q) AS BIGINT) AS sq,
+        |               CAST(sum(q * q) AS BIGINT) AS sqq
+        |        FROM weekly GROUP BY 1),
+        |xyz AS (SELECT l_partkey,
+        |               CASE WHEN 4 * (n * sqq - sq * sq) <= sq * sq THEN 'X'
+        |                    WHEN n * sqq - sq * sq <= sq * sq THEN 'Y'
+        |                    ELSE 'Z' END AS xyz
+        |        FROM per)
+        |SELECT a.abc, x.xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(count(*) AS DOUBLE) / CAST(t.n_parts_total AS DOUBLE)
+        |         AS part_share
+        |FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey, tot t
+        |GROUP BY a.abc, x.xyz, t.n_parts_total
+        |ORDER BY 1, 2""".stripMargin,
+
     // Spend-class migration: exact lower-median splits per era, full
     // outer join, 3×3 transition counts.
     "q_segment_migration" ->
@@ -10788,6 +10836,35 @@ object SparkEntry {
        |SELECT CAST(d6_6 AS BIGINT) AS dtw_cents,
        |       CAST($l1 AS BIGINT) AS l1_cents
        |FROM $prev""".stripMargin
+  }
+
+  /** DuckDB replay of `KCore.ktrussQuery`: 3 unrolled wedge-count +
+    * filter rounds over the support-≥5 robust-tie co-supply graph. */
+  private def ktrussOracleSql: String = {
+    val rounds = 3
+    val k = 4
+    val steps = (1 to rounds).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT a, b FROM e${r - 1}
+         |  UNION ALL SELECT b AS a, a AS b FROM e${r - 1}),
+         |s$r AS (SELECT w1.b AS a, w2.b AS b,
+         |               CAST(count(*) AS BIGINT) AS n_wedges
+         |        FROM u$r w1 JOIN u$r w2 ON w1.a = w2.a AND w1.b < w2.b
+         |        GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b, s.n_wedges AS support
+         |  FROM e${r - 1} e JOIN s$r s ON e.a = s.a AND e.b = s.b
+         |  WHERE s.n_wedges >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |$steps
+       |SELECT a, b, support FROM e$rounds ORDER BY a, b""".stripMargin
   }
 
   /** DuckDB replay of `TimeSeries.haarQuery`: 5 unrolled halving

@@ -1310,6 +1310,54 @@ object Analytics {
       .orderBy("brand")
   }
 
+  /** ABC × XYZ inventory policy matrix (q_abc_xyz): cross the revenue
+    * concentration classes ([[abcAnalysis]]'s 80/95 cumulative-share
+    * cuts) with the demand-variability classes ([[xyzQuery]]'s exact
+    * CV thresholds) into the 9-cell planning grid — the standard
+    * stocking-policy map (AX = automate, CZ = make-to-order). Both
+    * classifications are exact (integer cumulative-share compares;
+    * integer CV compares); the grid is one join + count. */
+  def abcXyzQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("l_quantity").cast("long").as("q"),
+          expr("unix_millis(cast(l_shipdate as timestamp)) div 604800000")
+            .as("week")),
+      "abcxyz_li") // feeds both classification passes
+    val rev = li.groupBy(col("l_partkey")).agg(sum(col("cents")).as("v"))
+    val cum = Ranking.distributedCumSum(rev,
+      Seq(col("v").desc, col("l_partkey").asc), Seq("v"))
+    val tot = rev.agg(sum(col("v")).as("total"))
+    val abc = cum.crossJoin(broadcast(tot))
+      .select(col("l_partkey"),
+        when(col("cum_v").cast(d38) * 100 <= col("total").cast(d38) * 80, "A")
+          .when(col("cum_v").cast(d38) * 100 <= col("total").cast(d38) * 95,
+            "B")
+          .otherwise(lit("C")).as("abc"))
+    val xyz = li.groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("q")).as("q"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .withColumn("varnum", col("n") * col("sqq") - col("sq") * col("sq"))
+      .select(col("l_partkey"),
+        when(lit(4L) * col("varnum") <= col("sq") * col("sq"), "X")
+          .when(col("varnum") <= col("sq") * col("sq"), "Y")
+          .otherwise("Z").as("xyz"))
+    val totParts = rev.agg(count(lit(1)).as("n_parts_total"))
+    abc.join(xyz, Seq("l_partkey"))
+      .groupBy("abc", "xyz").agg(count(lit(1)).as("n_parts"))
+      .crossJoin(broadcast(totParts))
+      .select(col("abc"), col("xyz"), col("n_parts"),
+        (col("n_parts").cast("double") / col("n_parts_total").cast("double"))
+          .as("part_share"))
+      .orderBy("abc", "xyz")
+  }
+
   /** Customer spend-class migration matrix (q_segment_migration):
     * classify every customer LOW/HIGH per era (above/below the era's
     * exact lower-median spend among active customers; absent = NONE)

@@ -557,6 +557,52 @@ object KCore {
             .cast("string").cast("double"))).as("r_pref"))
   }
 
+  /** k-truss peel of the robust co-supply graph (q_ktruss): keep only
+    * edges participating in ≥ k−2 triangles among surviving edges,
+    * iterated a fixed number of rounds — the EDGE-level cohesion
+    * extraction next to [[kcore]]'s node-level one (a k-core can be a
+    * star; every k-truss edge sits in overlapping triangles, the
+    * community-detection gold standard for "strong ties only").
+    * Emits the surviving edge list with final support.
+    *
+    * Per round: one wedge join (support counting — the Σdeg² shape,
+    * bounded here by the support-≥5 robust-tie graph, the
+    * [[constraintQuery]] argument) and one semi-join filter; lineage
+    * cut per round. Fixed rounds keep it oracle-unrollable (converged
+    * on this corpus well inside the default). */
+  def ktrussQuery(spark: SparkSession, dir: String,
+                  k: Int = 4, rounds: Int = 3,
+                  minSupport: Long = 5L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    var e = graft.scale.Silver.scratch(
+      li.as("x")
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
+          Seq("l_orderkey"))
+        .filter(col("l_suppkey") < col("s2"))
+        .groupBy(col("l_suppkey").as("a"), col("s2").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minSupport)
+        .select("a", "b"),
+      "truss_edges")
+    var last: DataFrame = e.withColumn("support", lit(0L))
+    for (r <- 1 to rounds) {
+      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val sup = und.select(col("a").as("q"), col("b").as("i"))
+        .join(und.select(col("a").as("q"), col("b").as("j")), Seq("q"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i").as("a"), col("j").as("b"))
+        .agg(count(lit(1)).as("n_wedges"))
+      last = graft.scale.Silver.scratch(
+        e.join(sup, Seq("a", "b"))
+          .filter(col("n_wedges") >= (k - 2).toLong)
+          .select(col("a"), col("b"), col("n_wedges").as("support")),
+        s"truss_r$r")
+      e = last.select("a", "b")
+    }
+    last.orderBy("a", "b")
+  }
+
   /** Burt's network constraint over the supplier co-supply graph
     * (q_constraint): cᵢ = Σ_j (p_ij + Σ_q p_iq·p_qj)², binary-weight
     * form p_ij = 1/deg(i) — the STRUCTURAL-HOLES read the centrality
