@@ -452,7 +452,9 @@ object SparkEntry {
     "q_segment_migration" -> ((s, d) => graft.operators.Analytics.segmentMigrationQuery(s, d)),
     "q_nrr"             -> ((s, d) => graft.operators.Analytics.nrrQuery(s, d)),
     "q_abc_xyz"         -> ((s, d) => graft.operators.Analytics.abcXyzQuery(s, d)),
-    "q_ktruss"          -> ((s, d) => graft.operators.KCore.ktrussQuery(s, d))
+    "q_ktruss"          -> ((s, d) => graft.operators.KCore.ktrussQuery(s, d)),
+    "q_gk_gamma"        -> ((s, d) => graft.operators.Distribution.gkGammaQuery(s, d)),
+    "q_logrank"         -> ((s, d) => graft.operators.TimeSeries.logrankQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9888,6 +9890,79 @@ object SparkEntry {
         |FROM sums""".stripMargin,
 
     "q_ktruss" -> ktrussOracleSql,
+
+    // GK gamma / Somers' D: bounded 5×50 contingency, exact pair sums
+    // over strictly-greater cell pairs, per-column tie squares.
+    "q_gk_gamma" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS x,
+        |         CAST(l.l_quantity AS BIGINT) AS y,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |cd AS (SELECT
+        |  CAST(sum(CASE WHEN p.y < q.y THEN p.n * q.n ELSE 0 END)
+        |       AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN p.y > q.y THEN p.n * q.n ELSE 0 END)
+        |       AS BIGINT) AS d
+        |  FROM cells p JOIN cells q ON p.x < q.x),
+        |ty AS (SELECT CAST(sum((ty * ty - tyy) // 2) AS BIGINT) AS t_y
+        |       FROM (SELECT CAST(sum(n) AS BIGINT) AS ty,
+        |                    CAST(sum(n * n) AS BIGINT) AS tyy
+        |             FROM cells GROUP BY y))
+        |SELECT c AS n_concordant, d AS n_discordant, t_y AS n_tied_y,
+        |       CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE) AS gamma,
+        |       CAST(c - d AS DOUBLE) / CAST(c + d + t_y AS DOUBLE)
+        |         AS somers_d
+        |FROM cd CROSS JOIN ty""".stripMargin,
+
+    // Log-rank: floor-scaled exact O−E and hypergeometric-variance
+    // terms summed over event times, one fixed χ² tree.
+    "q_logrank" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         min(epoch_ms(o_orderdate) // 86400000) AS first_day,
+        |         max(epoch_ms(o_orderdate) // 86400000) AS last_day
+        |  FROM orders GROUP BY 1),
+        |life AS (
+        |  SELECT p.last_day - p.first_day AS t,
+        |         c.c_mktsegment = 'BUILDING' AS g1,
+        |         CASE WHEN p.last_day <
+        |           (SELECT max(last_day) FROM per) - 90 THEN 1 ELSE 0 END
+        |           AS event
+        |  FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+        |grid AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+        |                CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |                  AS cnt1,
+        |                CAST(sum(event) AS BIGINT) AS d,
+        |                CAST(sum(CASE WHEN g1 THEN event ELSE 0 END)
+        |                     AS BIGINT) AS d1
+        |         FROM life GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |               CAST(sum(cnt1) AS BIGINT) AS n1_total FROM grid),
+        |risk AS (
+        |  SELECT t, cnt, cnt1, d, d1,
+        |         (SELECT n_total FROM tot) -
+        |           (CAST(sum(cnt) OVER w AS BIGINT) - cnt) AS n_t,
+        |         (SELECT n1_total FROM tot) -
+        |           (CAST(sum(cnt1) OVER w AS BIGINT) - cnt1) AS n1_t
+        |  FROM grid
+        |  WINDOW w AS (ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (
+        |  SELECT 1000000 * d1 - (1000000 * d * n1_t) // n_t AS oe_w,
+        |         CAST(CAST(1000000000000 AS HUGEINT) * d * n1_t *
+        |              (n_t - n1_t) * (n_t - d) AS HUGEINT) //
+        |           (n_t * n_t * (n_t - 1)) AS v_w
+        |  FROM risk WHERE d > 0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+        |             CAST(sum(oe_w) AS BIGINT) AS u_w,
+        |             CAST(sum(v_w) AS BIGINT) AS v_sum
+        |      FROM terms)
+        |SELECT t.n_total, t.n1_total, s.n_event_times,
+        |       (CAST(u_w AS DOUBLE) / 1e6) * (CAST(u_w AS DOUBLE) / 1e6) /
+        |         (CAST(v_sum AS DOUBLE) / 1e12) AS chi2_logrank
+        |FROM s, tot t""".stripMargin,
 
     // ABC × XYZ: exact cumulative-share and CV classifications joined
     // into the 9-cell grid.

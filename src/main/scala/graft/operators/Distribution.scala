@@ -2123,6 +2123,45 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Goodman–Kruskal γ and Somers' D between order priority (ordinal)
+    * and line quantity (q_gk_gamma): concordant-vs-discordant pair
+    * association for ORDINAL data, where Pearson assumes intervals and
+    * [[spearman]] discards ties ([[Distribution]]'s gk_lambda covers
+    * the nominal case). γ = (C−D)/(C+D); Somers' D_yx adds the
+    * y-tied pairs to the denominator — the directional version.
+    *
+    * The ~10⁹ pair space collapses onto the bounded 5×50 contingency
+    * grid ([[cliffsDelta]] device): C and D are Σ nᵢⱼ·nᵢ'ⱼ' over the
+    * ≤250² strictly-greater cell pairs, Tᵧ comes from per-column
+    * squares — all exact longs, two terminal divisions. */
+  def gkGammaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.scale.Silver.scratch(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(substring(col("o_orderpriority"), 1, 1).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .agg(count(lit(1)).as("n")),
+      "gamma_cells") // feeds C/D pair join and the tie sums
+    val pairs = cells.as("p").join(broadcast(cells.as("q")),
+      col("p.x") < col("q.x"))
+    val cd = pairs.agg(
+      sum(when(col("p.y") < col("q.y"), col("p.n") * col("q.n"))
+        .otherwise(0L)).as("c"),
+      sum(when(col("p.y") > col("q.y"), col("p.n") * col("q.n"))
+        .otherwise(0L)).as("d"))
+    val ty = cells.groupBy("y")
+      .agg(sum(col("n")).as("ty"), sum(col("n") * col("n")).as("tyy"))
+      .agg(sum(expr("(ty * ty - tyy) div 2")).as("t_y"))
+    cd.crossJoin(broadcast(ty))
+      .select(col("c").as("n_concordant"), col("d").as("n_discordant"),
+        col("t_y").as("n_tied_y"),
+        ((col("c") - col("d")).cast("double") /
+          (col("c") + col("d")).cast("double")).as("gamma"),
+        ((col("c") - col("d")).cast("double") /
+          (col("c") + col("d") + col("t_y")).cast("double")).as("somers_d"))
+  }
+
   /** Process capability of order-line quantity (q_cpk): Cp =
     * (USL−LSL)/6σ and Cpk = min(USL−μ, μ−LSL)/3σ against the domain
     * spec limits [1, 50] — the SPC summary "does the process fit its

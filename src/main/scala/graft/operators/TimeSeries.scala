@@ -730,6 +730,61 @@ object TimeSeries {
       (mu / varP).as("kelly"))
   }
 
+  /** Log-rank test between BUILDING-segment and other customers'
+    * lifetimes (q_logrank): does segment membership shift time-to-churn
+    * — the hypothesis test on top of [[nelsonAalen]]'s descriptive
+    * curve, censoring-correct where a naive mean-lifetime t-test is
+    * biased. χ² = U²/V with U = Σ_t (d₁ₜ − dₜ·n₁ₜ/nₜ) and V the
+    * hypergeometric variance sum.
+    *
+    * Both per-time terms are RATIONALS; each floor-scales to an exact
+    * long ((10⁶·…) div nₜ for O−E; (10¹²·…) div (nₜ²(nₜ−1)) for V,
+    * numerator through decimal(38,0)) so the event-time sums accumulate
+    * exactly — no float ever crosses rows. Risk sets come from one
+    * two-column [[Ranking.distributedCumSum]] over the duration grid. */
+  def logrankQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val day = expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(day).as("first_day"), max(day).as("last_day"))
+    val grp = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("g1"))
+    val end = per.agg(max(col("last_day")).as("corpus_end"))
+    val life = per.join(grp, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(end))
+      .select((col("last_day") - col("first_day")).as("t"), col("g1"),
+        when(col("last_day") < col("corpus_end") - 90L, 1L).otherwise(0L)
+          .as("event"))
+    val grid = life.groupBy("t")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("cnt1"),
+        sum(col("event")).as("d"),
+        sum(when(col("g1"), col("event")).otherwise(0L)).as("d1"))
+    val tot = grid.agg(sum(col("cnt")).as("n_total"),
+      sum(col("cnt1")).as("n1_total"))
+    val cum = Ranking.distributedCumSum(grid, Seq(col("t").asc),
+      Seq("cnt", "cnt1"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_t", col("n_total") - (col("cum_cnt") - col("cnt")))
+      .withColumn("n1_t", col("n1_total") - (col("cum_cnt1") - col("cnt1")))
+      .filter(col("d") > 0L)
+      .withColumn("oe_w",
+        lit(1000000L) * col("d1") - expr("(1000000 * d * n1_t) div n_t"))
+      .withColumn("v_w",
+        org.apache.spark.sql.functions.expr(
+          "cast(cast(1000000000000 as decimal(38,0)) * d * n1_t * " +
+            "(n_t - n1_t) * (n_t - d) as decimal(38,0)) div " +
+            "(n_t * n_t * (n_t - 1))"))
+    val sums = risk.agg(count(lit(1)).as("n_event_times"),
+      sum(col("oe_w")).as("u_w"), sum(col("v_w")).as("v_sum"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("n_total"), col("n1_total"), col("n_event_times"),
+        ((col("u_w").cast("double") / lit(1e6)) *
+          (col("u_w").cast("double") / lit(1e6)) /
+          (col("v_sum").cast("double") / lit(1e12))).as("chi2_logrank"))
+  }
+
   /** p-chart over weekly return proportions (q_p_chart): each week's
     * returned-lineitem fraction against the Shewhart 3σ binomial
     * control limits p̄ ± 3·√(p̄(1−p̄)/n_w) — the SPC companion to
