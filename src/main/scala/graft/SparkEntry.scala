@@ -454,7 +454,8 @@ object SparkEntry {
     "q_abc_xyz"         -> ((s, d) => graft.operators.Analytics.abcXyzQuery(s, d)),
     "q_ktruss"          -> ((s, d) => graft.operators.KCore.ktrussQuery(s, d)),
     "q_gk_gamma"        -> ((s, d) => graft.operators.Distribution.gkGammaQuery(s, d)),
-    "q_logrank"         -> ((s, d) => graft.operators.TimeSeries.logrankQuery(s, d))
+    "q_logrank"         -> ((s, d) => graft.operators.TimeSeries.logrankQuery(s, d)),
+    "q_breslow_day"     -> ((s, d) => graft.operators.Distribution.breslowDayQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9890,6 +9891,55 @@ object SparkEntry {
         |FROM sums""".stripMargin,
 
     "q_ktruss" -> ktrussOracleSql,
+
+    // Breslow–Day: floor-scaled MH odds ratio, per-stratum quadratic
+    // root + χ² contribution as fixed trees.
+    "q_breslow_day" ->
+      """WITH returned AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |base AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         o.o_orderpriority = '1-URGENT' AS z,
+        |         r.l_orderkey IS NOT NULL AS y
+        |  FROM orders o
+        |       LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+        |       JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (
+        |  SELECT segment,
+        |         CAST(sum(CASE WHEN z AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS a,
+        |         CAST(sum(CASE WHEN z AND NOT y THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT z AND y THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN NOT z AND NOT y THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS d
+        |  FROM base GROUP BY 1),
+        |cells2 AS (SELECT *, a + b + c + d AS n FROM cells),
+        |orr AS (SELECT CAST(sum((1000000 * a * d) // n) AS DOUBLE) /
+        |               CAST(sum((1000000 * b * c) // n) AS DOUBLE)
+        |                 AS or_mh
+        |        FROM cells2),
+        |t AS (SELECT segment, a, b, c, d, or_mh,
+        |             CAST(a + b AS DOUBLE) AS m1,
+        |             CAST(a + c AS DOUBLE) AS n1,
+        |             CAST(n AS DOUBLE) AS nd
+        |      FROM cells2, orr),
+        |q AS (SELECT segment, a, b, c, d, or_mh, m1, n1, nd,
+        |             or_mh - 1.0 AS qa,
+        |             0.0 - (or_mh * (m1 + n1) + (nd - m1 - n1)) AS qb,
+        |             or_mh * m1 * n1 AS qc
+        |      FROM t),
+        |e AS (SELECT segment, a, b, c, d, or_mh, m1, n1, nd,
+        |             (0.0 - qb - sqrt(qb * qb - 4.0 * qa * qc)) /
+        |               (2.0 * qa) AS e_a
+        |      FROM q)
+        |SELECT segment, a, b, c, d, or_mh, e_a,
+        |       (CAST(a AS DOUBLE) - e_a) * (CAST(a AS DOUBLE) - e_a) *
+        |         (1.0 / e_a + 1.0 / (m1 - e_a) + 1.0 / (n1 - e_a) +
+        |          1.0 / (nd - m1 - n1 + e_a)) AS bd_chi2
+        |FROM e ORDER BY segment""".stripMargin,
 
     // GK gamma / Somers' D: bounded 5×50 contingency, exact pair sums
     // over strictly-greater cell pairs, per-column tie squares.

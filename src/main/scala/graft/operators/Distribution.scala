@@ -2123,6 +2123,65 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Breslow–Day homogeneity of odds ratios (q_breslow_day): does the
+    * urgent-priority → returned-line association have the SAME strength
+    * in every market segment? The prerequisite check for pooling that
+    * [[cmhQuery]] silently assumes (CMH tests the common OR ≠ 1;
+    * Breslow–Day tests whether "common" is even legitimate). Emits the
+    * per-stratum table: observed a, Mantel–Haenszel-expected ã (the
+    * valid root of the OR quadratic), and each stratum's χ²
+    * contribution.
+    *
+    * OR_MH's rational terms floor-scale to exact longs
+    * ((10⁶·aᵢdᵢ) div nᵢ — exact sums in any order); everything after
+    * is a per-stratum FIXED tree over that one deterministic double
+    * and the exact cells (quadratic root via the correctly-rounded
+    * sqrt). One conditional aggregate over the joined fact stream;
+    * stratum count is dimension-sized. */
+  def breslowDayQuery(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+      .withColumn("__pos", lit(1L))
+    val base = Tables.orders(spark, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("o_orderpriority") === "1-URGENT").as("z"),
+        (coalesce(col("__pos"), lit(0L)) === 1L).as("y"))
+    val cells = graft.scale.Silver.scratch(
+      base.groupBy("segment")
+        .agg(sum(when(col("z") && col("y"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("z") && !col("y"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("z") && col("y"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("z") && !col("y"), 1L).otherwise(0L)).as("d"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d")),
+      "bd_cells") // feeds the OR sums and the per-stratum trees
+    val or = cells.agg(
+        sum(expr("(1000000 * a * d) div n")).as("rw"),
+        sum(expr("(1000000 * b * c) div n")).as("sw"))
+      .select((col("rw").cast("double") / col("sw").cast("double"))
+        .as("or_mh"))
+    val m1 = (col("a") + col("b")).cast("double")
+    val n1 = (col("a") + col("c")).cast("double")
+    val nD = col("n").cast("double")
+    val qa = col("or_mh") - lit(1.0)
+    val qb = lit(0.0) - (col("or_mh") * (m1 + n1) + (nD - m1 - n1))
+    val qc = col("or_mh") * m1 * n1
+    val eA = (lit(0.0) - qb - sqrt(qb * qb - lit(4.0) * qa * qc)) /
+      (lit(2.0) * qa)
+    val vInv = lit(1.0) / eA + lit(1.0) / (m1 - eA) +
+      lit(1.0) / (n1 - eA) + lit(1.0) / (nD - m1 - n1 + eA)
+    cells.crossJoin(broadcast(or))
+      .select(col("segment"), col("a"), col("b"), col("c"), col("d"),
+        col("or_mh"), eA.as("e_a"),
+        ((col("a").cast("double") - eA) * (col("a").cast("double") - eA) *
+          vInv).as("bd_chi2"))
+      .orderBy("segment")
+  }
+
   /** Goodman–Kruskal γ and Somers' D between order priority (ordinal)
     * and line quantity (q_gk_gamma): concordant-vs-discordant pair
     * association for ORDINAL data, where Pearson assumes intervals and
