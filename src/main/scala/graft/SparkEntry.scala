@@ -455,7 +455,9 @@ object SparkEntry {
     "q_ktruss"          -> ((s, d) => graft.operators.KCore.ktrussQuery(s, d)),
     "q_gk_gamma"        -> ((s, d) => graft.operators.Distribution.gkGammaQuery(s, d)),
     "q_logrank"         -> ((s, d) => graft.operators.TimeSeries.logrankQuery(s, d)),
-    "q_breslow_day"     -> ((s, d) => graft.operators.Distribution.breslowDayQuery(s, d))
+    "q_breslow_day"     -> ((s, d) => graft.operators.Distribution.breslowDayQuery(s, d)),
+    "q_xbar_r"          -> ((s, d) => graft.operators.TimeSeries.xbarRQuery(s, d)),
+    "q_meta_fixed"      -> ((s, d) => graft.operators.Distribution.metaFixedQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9891,6 +9893,89 @@ object SparkEntry {
         |FROM sums""".stripMargin,
 
     "q_ktruss" -> ktrussOracleSql,
+
+    // X̄–R chart: exact weekly sums/ranges, pinned n=7 constants,
+    // fixed limit trees, full chart emitted.
+    "q_xbar_r" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |weeks AS (
+        |  SELECT day // 7 AS week, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(v) AS BIGINT) AS s,
+        |         CAST(max(v) - min(v) AS BIGINT) AS r
+        |  FROM daily GROUP BY 1 HAVING count(*) = 7),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+        |             CAST(sum(s) AS BIGINT) AS ss,
+        |             CAST(sum(r) AS BIGINT) AS sr FROM weeks),
+        |f AS (SELECT w.week,
+        |             CAST(w.s AS DOUBLE) / 7.0 AS xbar,
+        |             CAST(w.r AS DOUBLE) AS r,
+        |             CAST(c.ss AS DOUBLE) / CAST(c.n_weeks * 7 AS DOUBLE)
+        |               AS x_center,
+        |             CAST(c.sr AS DOUBLE) / CAST(c.n_weeks AS DOUBLE)
+        |               AS r_center
+        |      FROM weeks w, c)
+        |SELECT week, xbar, r, x_center, r_center,
+        |       x_center - 0.419 * r_center AS x_lcl,
+        |       x_center + 0.419 * r_center AS x_ucl,
+        |       0.076 * r_center AS r_lcl,
+        |       1.924 * r_center AS r_ucl,
+        |       xbar < x_center - 0.419 * r_center OR
+        |       xbar > x_center + 0.419 * r_center OR
+        |       r < 0.076 * r_center OR r > 1.924 * r_center
+        |         AS out_of_control
+        |FROM f ORDER BY week""".stripMargin,
+
+    // Fixed-effect meta-analysis: exact per-stratum moments,
+    // floor-scaled weights/effects for the exact pooled sums.
+    "q_meta_fixed" ->
+      """WITH base AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         o.o_orderpriority = '1-URGENT' AS z,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |per AS (
+        |  SELECT segment,
+        |         CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |         CAST(sum(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS st,
+        |         sum(CASE WHEN z THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |           AS qt,
+        |         CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nc,
+        |         CAST(sum(CASE WHEN NOT z THEN y ELSE 0 END) AS BIGINT)
+        |           AS sc,
+        |         sum(CASE WHEN NOT z THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |           AS qc
+        |  FROM base GROUP BY 1),
+        |eff AS (
+        |  SELECT segment, nt, nc,
+        |         CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |           CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS effect_cents,
+        |         CAST(CAST(CAST(nt AS HUGEINT) * qt -
+        |              CAST(st AS HUGEINT) * st AS VARCHAR) AS DOUBLE) /
+        |           CAST(nt * (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE) +
+        |         CAST(CAST(CAST(nc AS HUGEINT) * qc -
+        |              CAST(sc AS HUGEINT) * sc AS VARCHAR) AS DOUBLE) /
+        |           CAST(nc * (nc - 1) AS DOUBLE) / CAST(nc AS DOUBLE)
+        |           AS var_effect
+        |  FROM per),
+        |scaled AS (
+        |  SELECT *, CAST(floor(1e15 / var_effect) AS BIGINT) AS w_w,
+        |         CAST(floor(effect_cents) AS BIGINT) AS e_w
+        |  FROM eff),
+        |pooled AS (SELECT CAST(sum(w_w * e_w) AS DOUBLE) /
+        |                  CAST(sum(w_w) AS DOUBLE) AS pooled_effect_cents
+        |           FROM scaled)
+        |SELECT s.segment, s.nt AS n_t, s.nc AS n_c, s.effect_cents,
+        |       s.var_effect, p.pooled_effect_cents,
+        |       CAST(s.w_w AS DOUBLE) / 1e15 *
+        |         (s.effect_cents - p.pooled_effect_cents) *
+        |         (s.effect_cents - p.pooled_effect_cents) AS q_contrib
+        |FROM scaled s, pooled p ORDER BY s.segment""".stripMargin,
 
     // Breslow–Day: floor-scaled MH odds ratio, per-stratum quadratic
     // root + χ² contribution as fixed trees.

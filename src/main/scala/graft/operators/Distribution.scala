@@ -2123,6 +2123,65 @@ object Distribution {
       .orderBy("segment")
   }
 
+  /** Fixed-effect meta-analysis of the urgent-priority order-value
+    * effect across market segments (q_meta_fixed): per-segment mean
+    * difference and variance, inverse-variance weights, the pooled
+    * effect, and each segment's Cochran-Q heterogeneity contribution —
+    * the "do the strata agree, and what do they say TOGETHER?" synth
+    * layer over [[stratAte]]'s raw table (and the continuous-outcome
+    * sibling of [[breslowDayQuery]]).
+    *
+    * Cross-stratum float sums are forbidden, so weights and effects
+    * enter the pooled sums as FLOOR-SCALED exact longs
+    * (w = ⌊10¹⁵/var⌋, e = ⌊effect⌋ cents): Σw·e and Σw accumulate
+    * exactly, and pooled/Q close as per-row fixed trees. Per-segment
+    * moments are exact cleared-denominator sums. */
+  def metaFixedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("o_orderpriority") === "1-URGENT").as("z"),
+        cents(col("o_totalprice")).as("y"))
+    val per = graft.scale.Silver.scratch(
+      base.groupBy("segment")
+        .agg(sum(when(col("z"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("z"), col("y")).otherwise(0L)).as("st"),
+          sum(when(col("z"), col("y").cast(d38) * col("y").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("qt"),
+          sum(when(!col("z"), 1L).otherwise(0L)).as("nc"),
+          sum(when(!col("z"), col("y")).otherwise(0L)).as("sc"),
+          sum(when(!col("z"), col("y").cast(d38) * col("y").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("qc")),
+      "meta_per") // feeds the pooled sums and the per-stratum rows
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    def v(q: String, s: String, n: String) =
+      (col(n).cast(d38) * col(q) - col(s).cast(d38) * col(s).cast(d38))
+        .cast("string").cast("double") /
+        (col(n) * (col(n) - 1L)).cast("double") / col(n).cast("double")
+    val eff = m("st", "nt") - m("sc", "nc")
+    val varE = v("qt", "st", "nt") + v("qc", "sc", "nc")
+    val scaled = per
+      .withColumn("effect_cents", eff)
+      .withColumn("var_effect", varE)
+      .withColumn("w_w", floor(lit(1e15) / col("var_effect")).cast("long"))
+      .withColumn("e_w", floor(col("effect_cents")).cast("long"))
+    val pooled = scaled.agg(sum(col("w_w")).as("sw"),
+      sum(col("w_w") * col("e_w")).as("swe"))
+      .select((col("swe").cast("double") / col("sw").cast("double"))
+        .as("pooled_effect_cents"))
+    scaled.crossJoin(broadcast(pooled))
+      .select(col("segment"), col("nt").as("n_t"), col("nc").as("n_c"),
+        col("effect_cents"), col("var_effect"), col("pooled_effect_cents"),
+        (col("w_w").cast("double") / lit(1e15) *
+          (col("effect_cents") - col("pooled_effect_cents")) *
+          (col("effect_cents") - col("pooled_effect_cents")))
+          .as("q_contrib"))
+      .orderBy("segment")
+  }
+
   /** Breslow–Day homogeneity of odds ratios (q_breslow_day): does the
     * urgent-priority → returned-line association have the SAME strength
     * in every market segment? The prerequisite check for pooling that

@@ -730,6 +730,47 @@ object TimeSeries {
       (mu / varP).as("kelly"))
   }
 
+  /** X̄–R control chart over full weeks of daily revenue (q_xbar_r):
+    * weekly subgroup means and ranges against the Shewhart limits
+    * X̄̄ ± A₂·R̄ and [D₃·R̄, D₄·R̄], with the n=7 chart constants
+    * (A₂ = 0.419, D₃ = 0.076, D₄ = 1.924) as pinned literals — the
+    * variables-chart companion to [[pChartQuery]]'s attributes chart:
+    * the R row catches dispersion blowups the mean row hides. Only
+    * complete 7-day weeks qualify (fixed subgroup size is what makes
+    * the constants valid). Subgroup sums/ranges are exact longs; the
+    * center lines are single divisions of exact totals; every limit
+    * is a fixed tree. */
+  def xbarRQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val weeks = graft.scale.Silver.scratch(
+      daily.groupBy(expr("day div 7").as("week"))
+        .agg(count(lit(1)).as("n_days"), sum(col("v")).as("s"),
+          (max(col("v")) - min(col("v"))).as("r"))
+        .filter(col("n_days") === 7L),
+      "xbar_weeks") // feeds the center-line totals and the chart rows
+    val centers = weeks.agg(count(lit(1)).as("n_weeks"),
+      sum(col("s")).as("ss"), sum(col("r")).as("sr"))
+    val xbb = col("ss").cast("double") / (col("n_weeks") * 7L).cast("double")
+    val rbar = col("sr").cast("double") / col("n_weeks").cast("double")
+    weeks.crossJoin(broadcast(centers))
+      .select(col("week"),
+        (col("s").cast("double") / lit(7.0)).as("xbar"),
+        col("r").cast("double").as("r"),
+        xbb.as("x_center"), rbar.as("r_center"),
+        (xbb - lit(0.419) * rbar).as("x_lcl"),
+        (xbb + lit(0.419) * rbar).as("x_ucl"),
+        (lit(0.076) * rbar).as("r_lcl"),
+        (lit(1.924) * rbar).as("r_ucl"))
+      .withColumn("out_of_control",
+        col("xbar") < col("x_lcl") || col("xbar") > col("x_ucl") ||
+          col("r") < col("r_lcl") || col("r") > col("r_ucl"))
+      .orderBy("week")
+  }
+
   /** Log-rank test between BUILDING-segment and other customers'
     * lifetimes (q_logrank): does segment membership shift time-to-churn
     * — the hypothesis test on top of [[nelsonAalen]]'s descriptive
