@@ -457,7 +457,8 @@ object SparkEntry {
     "q_logrank"         -> ((s, d) => graft.operators.TimeSeries.logrankQuery(s, d)),
     "q_breslow_day"     -> ((s, d) => graft.operators.Distribution.breslowDayQuery(s, d)),
     "q_xbar_r"          -> ((s, d) => graft.operators.TimeSeries.xbarRQuery(s, d)),
-    "q_meta_fixed"      -> ((s, d) => graft.operators.Distribution.metaFixedQuery(s, d))
+    "q_meta_fixed"      -> ((s, d) => graft.operators.Distribution.metaFixedQuery(s, d)),
+    "q_seasonal_anomaly" -> ((s, d) => graft.operators.TimeSeries.seasonalAnomaly(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9893,6 +9894,31 @@ object SparkEntry {
         |FROM sums""".stripMargin,
 
     "q_ktruss" -> ktrussOracleSql,
+
+    // Weekday-adjusted anomalies: n_w-scaled residual z per weekday,
+    // exact moments, stable top-10 by |z|.
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         epoch_ms(o_orderdate) // 86400000 % 7 AS weekday,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT weekday, CAST(count(*) AS BIGINT) AS nw,
+        |             CAST(sum(v) AS BIGINT) AS sw,
+        |             sum(CAST(v AS HUGEINT) * v) AS qw
+        |      FROM daily GROUP BY 1),
+        |z AS (SELECT d.day, d.weekday, d.v AS day_cents,
+        |             CAST(CAST(CAST(m.nw AS HUGEINT) * d.v - m.sw
+        |                  AS VARCHAR) AS DOUBLE) /
+        |             sqrt(CAST(m.nw AS DOUBLE) *
+        |                  CAST(CAST(CAST(m.nw AS HUGEINT) * m.qw -
+        |                       CAST(m.sw AS HUGEINT) * m.sw AS VARCHAR)
+        |                       AS DOUBLE) /
+        |                  CAST(m.nw - 1 AS DOUBLE)) AS z
+        |      FROM daily d JOIN m ON d.weekday = m.weekday)
+        |SELECT day, weekday, day_cents, z
+        |FROM z ORDER BY abs(z) DESC, day LIMIT 10""".stripMargin,
 
     // X̄–R chart: exact weekly sums/ranges, pinned n=7 constants,
     // fixed limit trees, full chart emitted.

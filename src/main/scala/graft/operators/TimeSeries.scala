@@ -730,6 +730,43 @@ object TimeSeries {
       (mu / varP).as("kelly"))
   }
 
+  /** Weekday-adjusted revenue anomalies (q_seasonal_anomaly): z-score
+    * each day against ITS WEEKDAY's mean and σ and report the top-10
+    * |z| — the seasonal-hybrid anomaly read: a quiet Sunday is normal
+    * for Sundays, which a global z-score ([[graft.operators
+    * .Distribution.grubbsTest]]) gets wrong on any weekly-cyclic
+    * series. Per-weekday moments are exact (n-scaled residual
+    * r = n_w·v − S_w, cleared variance); each day's z² is a fixed
+    * IEEE tree over exact integers, so the top-10 selection (|z| desc,
+    * day) is engine-stable. One aggregate + one broadcast-back join. */
+  def seasonalAnomaly(spark: SparkSession, dir: String,
+                      topK: Int = 10): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("v"))
+        .withColumn("weekday", col("day") % 7L),
+      "sanom_daily") // feeds the weekday moments and the per-day pass
+    val moments = daily.groupBy("weekday")
+      .agg(count(lit(1)).as("nw"), sum(col("v")).as("sw"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("qw"))
+    val r = col("nw").cast(d38) * col("v").cast(d38) - col("sw").cast(d38)
+    val varNum = (col("nw").cast(d38) * col("qw") -
+      col("sw").cast(d38) * col("sw").cast(d38)).cast("string").cast("double")
+    // z = (v − μ_w)/σ_w = r / √(n_w · varnum/(n_w−1)) with r n_w-scaled
+    val z = r.cast("string").cast("double") /
+      sqrt(col("nw").cast("double") * varNum /
+        (col("nw") - 1L).cast("double"))
+    daily.join(broadcast(moments), Seq("weekday"))
+      .select(col("day"), col("weekday"), col("v").as("day_cents"),
+        z.as("z"))
+      .orderBy(abs(col("z")).desc, col("day").asc)
+      .limit(topK)
+  }
+
   /** X̄–R control chart over full weeks of daily revenue (q_xbar_r):
     * weekly subgroup means and ranges against the Shewhart limits
     * X̄̄ ± A₂·R̄ and [D₃·R̄, D₄·R̄], with the n=7 chart constants
