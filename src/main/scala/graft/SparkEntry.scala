@@ -458,7 +458,10 @@ object SparkEntry {
     "q_breslow_day"     -> ((s, d) => graft.operators.Distribution.breslowDayQuery(s, d)),
     "q_xbar_r"          -> ((s, d) => graft.operators.TimeSeries.xbarRQuery(s, d)),
     "q_meta_fixed"      -> ((s, d) => graft.operators.Distribution.metaFixedQuery(s, d)),
-    "q_seasonal_anomaly" -> ((s, d) => graft.operators.TimeSeries.seasonalAnomaly(s, d))
+    "q_seasonal_anomaly" -> ((s, d) => graft.operators.TimeSeries.seasonalAnomaly(s, d)),
+    "q_hoover"          -> ((s, d) => graft.operators.Distribution.hooverQuery(s, d)),
+    "q_palma"           -> ((s, d) => graft.operators.Distribution.palmaQuery(s, d)),
+    "q_lorenz_asym"     -> ((s, d) => graft.operators.Distribution.lorenzAsymQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9894,6 +9897,64 @@ object SparkEntry {
         |FROM sums""".stripMargin,
 
     "q_ktruss" -> ktrussOracleSql,
+
+    // Hoover index: exact Σ|n·y − S|, one division.
+    "q_hoover" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS s FROM spend)
+        |SELECT t.n, t.s AS total_cents,
+        |       CAST(CAST(sum(abs(CAST(t.n AS HUGEINT) * y - t.s))
+        |            AS VARCHAR) AS DOUBLE) /
+        |         (2.0 * CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE))
+        |         AS hoover
+        |FROM spend, tot t GROUP BY t.n, t.s""".stripMargin,
+
+    // Palma ratio: exact rank-cut tail sums, one division.
+    "q_palma" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT y, row_number() OVER (ORDER BY y, o_custkey) AS r,
+        |             count(*) OVER () AS nn
+        |      FROM spend)
+        |SELECT CAST(max(nn) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN r > nn - (nn + 9) // 10 THEN y ELSE 0 END)
+        |            AS BIGINT) AS top10_cents,
+        |       CAST(sum(CASE WHEN r <= (4 * nn) // 10 THEN y ELSE 0 END)
+        |            AS BIGINT) AS bottom40_cents,
+        |       CAST(sum(CASE WHEN r > nn - (nn + 9) // 10 THEN y ELSE 0 END)
+        |            AS DOUBLE) /
+        |       CAST(sum(CASE WHEN r <= (4 * nn) // 10 THEN y ELSE 0 END)
+        |            AS DOUBLE) AS palma
+        |FROM r""".stripMargin,
+
+    // Lorenz asymmetry: exact integer mean compares, fixed tree.
+    "q_lorenz_asym" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS s FROM spend)
+        |SELECT t.n,
+        |       CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * y < t.s
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |       CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * y < t.s
+        |            THEN y ELSE 0 END) AS BIGINT) AS s_below,
+        |       CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * y < t.s
+        |            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(t.n AS DOUBLE) +
+        |       CAST(sum(CASE WHEN CAST(t.n AS HUGEINT) * y < t.s
+        |            THEN y ELSE 0 END) AS DOUBLE) / CAST(t.s AS DOUBLE)
+        |         AS lorenz_asymmetry
+        |FROM spend, tot t GROUP BY t.n, t.s""".stripMargin,
 
     // Weekday-adjusted anomalies: n_w-scaled residual z per weekday,
     // exact moments, stable top-10 by |z|.

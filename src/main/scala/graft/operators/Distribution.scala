@@ -2404,6 +2404,81 @@ object Distribution {
       sqrt(lit(1.0) - bc).as("hellinger"))
   }
 
+  /** Hoover (Robin Hood) index of customer spend (q_hoover):
+    * ½·Σ|yᵢ/S − 1/n| — the share of total spend that would have to move
+    * between customers to equalize everyone, the most literally
+    * interpretable member of the inequality family (Gini/Lorenz/
+    * Atkinson siblings in this repo). Clears to the exact integer sum
+    * Σ|n·yᵢ − S| (decimal(38,0)) over ONE aggregate; the ÷(2nS) is the
+    * single IEEE step. */
+  def hooverQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val spend = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("y")),
+      "hoover_spend") // feeds the totals row and the deviation pass
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    spend.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(abs(col("n").cast(d38) * col("y").cast(d38) -
+          col("s").cast(d38))).as("dev"))
+      .select(col("n"), col("s").as("total_cents"),
+        (col("dev").cast("string").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("s").cast("double")))
+          .as("hoover"))
+  }
+
+  /** Palma ratio of customer spend (q_palma): top-10% share over
+    * bottom-40% share — the inequality headline that moves when the
+    * tails move (the Gini is most sensitive to the middle, where
+    * little usually changes). Tail membership is an exact rank
+    * selection under the unique (y, custkey) order
+    * ([[graft.operators.Ranking.distributedGlobalRank]]); k₁₀ = ⌈n/10⌉
+    * and k₄₀ = (4n) div 10 are exact integer cuts; one division. */
+  def palmaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("y"))
+    val ranked = Ranking.distributedGlobalRank(spend,
+      Seq(col("y").asc, col("o_custkey").asc), rankCol = "r", nCol = "nn",
+      numParts = 8)
+    ranked
+      .agg(max(col("nn")).as("n"),
+        sum(when(col("r") > col("nn") - expr("(nn + 9) div 10"), col("y"))
+          .otherwise(0L)).as("top10_cents"),
+        sum(when(col("r") <= expr("(4 * nn) div 10"), col("y"))
+          .otherwise(0L)).as("bottom40_cents"))
+      .select(col("n"), col("top10_cents"), col("bottom40_cents"),
+        (col("top10_cents").cast("double") /
+          col("bottom40_cents").cast("double")).as("palma"))
+  }
+
+  /** Lorenz asymmetry coefficient of customer spend (q_lorenz_asym):
+    * S = F(μ) + L(μ) — where the Lorenz curve is parallel to the line
+    * of equality. S < 1 means inequality is driven by many SMALL
+    * customers, S > 1 by few LARGE ones — the same Gini can hide
+    * either regime; this disambiguates (the shape read the q_gini /
+    * q_lorenz pair can't give). F and L use exact integer mean
+    * compares (n·y < S — no float mean) off one aggregate; two
+    * divisions and one add close the tree. */
+  def lorenzAsymQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val spend = graft.scale.Silver.scratch(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("y")),
+      "lasym_spend") // feeds totals and the threshold pass
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    spend.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(when(col("n").cast(d38) * col("y").cast(d38) <
+          col("s").cast(d38), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("n").cast(d38) * col("y").cast(d38) <
+          col("s").cast(d38), col("y")).otherwise(0L)).as("s_below"))
+      .select(col("n"), col("n_below"), col("s_below"),
+        (col("n_below").cast("double") / col("n").cast("double") +
+          col("s_below").cast("double") / col("s").cast("double"))
+          .as("lorenz_asymmetry"))
+  }
+
   /** Atkinson inequality index (ε = 1/2) of customer spend
     * (q_atkinson): 1 − EDE/μ, where EDE = (Σ√yᵢ/n)² is the
     * equally-distributed-equivalent spend — the welfare-weighted
