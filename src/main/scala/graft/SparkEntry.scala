@@ -461,7 +461,8 @@ object SparkEntry {
     "q_seasonal_anomaly" -> ((s, d) => graft.operators.TimeSeries.seasonalAnomaly(s, d)),
     "q_hoover"          -> ((s, d) => graft.operators.Distribution.hooverQuery(s, d)),
     "q_palma"           -> ((s, d) => graft.operators.Distribution.palmaQuery(s, d)),
-    "q_lorenz_asym"     -> ((s, d) => graft.operators.Distribution.lorenzAsymQuery(s, d))
+    "q_lorenz_asym"     -> ((s, d) => graft.operators.Distribution.lorenzAsymQuery(s, d)),
+    "q_group_sequential" -> ((s, d) => graft.operators.Distribution.groupSequentialQuery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9897,6 +9898,61 @@ object SparkEntry {
         |FROM sums""".stripMargin,
 
     "q_ktruss" -> ktrussOracleSql,
+
+    // Group-sequential: exact day-fifth cuts, cumulative Welch z per
+    // look, pinned O'Brien–Fleming boundary literals.
+    "q_group_sequential" ->
+      """WITH base AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         o_orderpriority = '1-URGENT' AS z,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v
+        |  FROM orders),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM base),
+        |slices AS (
+        |  SELECT least(5, ((day - s.d0) * 5) // (s.d1 - s.d0 + 1) + 1)
+        |           AS slice,
+        |         CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |         CAST(sum(CASE WHEN z THEN v ELSE 0 END) AS BIGINT) AS st,
+        |         sum(CASE WHEN z THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+        |           AS qt,
+        |         CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nc,
+        |         CAST(sum(CASE WHEN NOT z THEN v ELSE 0 END) AS BIGINT)
+        |           AS sc,
+        |         sum(CASE WHEN NOT z THEN CAST(v AS HUGEINT) * v
+        |             ELSE 0 END) AS qc
+        |  FROM base, span s GROUP BY 1),
+        |cum AS (
+        |  SELECT l.look,
+        |         CAST(sum(nt) AS BIGINT) AS nt,
+        |         CAST(sum(st) AS BIGINT) AS st,
+        |         sum(qt) AS qt,
+        |         CAST(sum(nc) AS BIGINT) AS nc,
+        |         CAST(sum(sc) AS BIGINT) AS sc,
+        |         sum(qc) AS qc
+        |  FROM slices JOIN (SELECT unnest(generate_series(1, 5)) AS look) l
+        |    ON slices.slice <= l.look
+        |  GROUP BY 1),
+        |zc AS (
+        |  SELECT look, nt AS n_t, nc AS n_c,
+        |         (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |          CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) /
+        |         sqrt(((CAST(CAST(qt AS VARCHAR) AS DOUBLE) -
+        |                CAST(st AS DOUBLE) * CAST(st AS DOUBLE) /
+        |                CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0)) /
+        |              CAST(nt AS DOUBLE) +
+        |              ((CAST(CAST(qc AS VARCHAR) AS DOUBLE) -
+        |                CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) /
+        |                CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)) /
+        |              CAST(nc AS DOUBLE)) AS z,
+        |         CAST(CASE look WHEN 1 THEN 4.8769 WHEN 2 THEN 3.3569
+        |              WHEN 3 THEN 2.6803 WHEN 4 THEN 2.2898
+        |              ELSE 2.0310 END AS DOUBLE) AS of_boundary
+        |  FROM cum)
+        |SELECT look, n_t, n_c, z, of_boundary,
+        |       abs(z) > of_boundary AS crossed
+        |FROM zc ORDER BY look""".stripMargin,
 
     // Hoover index: exact Σ|n·y − S|, one division.
     "q_hoover" ->

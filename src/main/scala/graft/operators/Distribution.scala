@@ -2404,6 +2404,66 @@ object Distribution {
       sqrt(lit(1.0) - bc).as("hellinger"))
   }
 
+  /** Group-sequential monitoring with O'Brien–Fleming boundaries
+    * (q_group_sequential): the urgent-vs-other order-value Welch z at
+    * five equally spaced calendar looks, each against the published
+    * two-sided α=0.05 O'F critical values (4.8769, 3.3569, 2.6803,
+    * 2.2898, 2.0310 — pinned literals, the NDCG-table device) — the
+    * "peek early without p-hacking" harness every experimentation
+    * platform ships, and the SEQUENTIAL layer missing from the one-shot
+    * tests ([[welchTTest]], [[mdeQuery]], srm).
+    *
+    * Look cuts are exact integer day fifths; each look's z is a fixed
+    * tree over exact cumulative sums (one slice-grained aggregate,
+    * then a 5×5 slice≤look fan-out — dimension-sized). */
+  def groupSequentialQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val boundaries = Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+    val day = expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+    val base = Tables.orders(spark, dir)
+      .select(day.as("day"),
+        (col("o_orderpriority") === "1-URGENT").as("z"),
+        cents(col("o_totalprice")).as("v"))
+    val span = base.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val slices = base.crossJoin(broadcast(span))
+      .withColumn("slice",
+        least(lit(5L), expr("((day - d0) * 5) div (d1 - d0 + 1) + 1")))
+      .groupBy("slice")
+      .agg(sum(when(col("z"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("z"), col("v")).otherwise(0L)).as("st"),
+        sum(when(col("z"), col("v").cast(d38) * col("v").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("qt"),
+        sum(when(!col("z"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("z"), col("v")).otherwise(0L)).as("sc"),
+        sum(when(!col("z"), col("v").cast(d38) * col("v").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("qc"))
+    val looks = spark.range(1, 6).select(col("id").as("look"))
+    val cum = graft.scale.Silver.scratch(slices, "gs_slices")
+      .join(broadcast(looks), col("slice") <= col("look"))
+      .groupBy("look")
+      .agg(sum(col("nt")).as("nt"), sum(col("st")).as("st"),
+        sum(col("qt")).as("qt"), sum(col("nc")).as("nc"),
+        sum(col("sc")).as("sc"), sum(col("qc")).as("qc"))
+    val ntD = col("nt").cast("double"); val ncD = col("nc").cast("double")
+    val mt = col("st").cast("double") / ntD
+    val mc = col("sc").cast("double") / ncD
+    val vt = (col("qt").cast("string").cast("double") -
+      col("st").cast("double") * col("st").cast("double") / ntD) /
+      (ntD - lit(1.0))
+    val vc = (col("qc").cast("string").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / ncD) /
+      (ncD - lit(1.0))
+    val zStat = (mt - mc) / sqrt(vt / ntD + vc / ncD)
+    val bCol = boundaries.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (b, i)) => when(col("look") === (i + 1).toLong, b)
+        .otherwise(acc)
+    }
+    cum.select(col("look"), col("nt").as("n_t"), col("nc").as("n_c"),
+        zStat.as("z"), bCol.as("of_boundary"),
+        (abs(zStat) > bCol).as("crossed"))
+      .orderBy("look")
+  }
+
   /** Hoover (Robin Hood) index of customer spend (q_hoover):
     * ½·Σ|yᵢ/S − 1/n| — the share of total spend that would have to move
     * between customers to equalize everyone, the most literally
