@@ -4,40 +4,74 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
-  * A first untimed warmup pass per query absorbs one-time costs that a real
-  * cluster amortizes across jobs (JIT, codegen compilation, parquet footer
-  * caching, shuffle service init) — without it the first query's number is
-  * ~50 s of JVM warmup, not query time.
+  * DESIGNED TO SURVIVE THE HARNESS WINDOW (round-9 lesson). The driver
+  * runs this under a wall-clock timeout and parses only the LAST ~2000
+  * characters of output. Two past rounds produced no machine-readable
+  * evidence: r9 timed out with all results held in memory until the
+  * end; r8 finished but printed one 55 KB JSON line whose tail
+  * truncation defeated the parser. Therefore:
   *
-  * Timed protocol: per-query MEDIAN of 3 runs, with min/max/raw reported
-  * alongside (the `runs` object). The host exhibits multi-second CPU-steal
-  * spikes; a single-run number can't distinguish a plan regression from one
-  * spike landing on one query (round 4 showed 8× apparent swings on
-  * untouched code). The median filters a single spiked rep; the reported
-  * spread makes any residual contamination visible instead of silently
-  * shipping as "the" number. `queries` stays a flat name→seconds map (the
-  * median) so downstream tooling and round-over-round comparisons keep
-  * working unchanged.
+  *  - BENCH.json is rewritten (atomic tmp+move) after EVERY query's
+  *    timed reps — a timeout still leaves a parseable partial artifact
+  *    with per-query numbers and `"partial":true`.
+  *  - stdout gets a COMPACT one-line summary after every query (total
+  *    so far, progress counters, a bounded headline-query map — never
+  *    the full 432-entry map or the raw-runs spread, which live in the
+  *    file only). The final line is identical in shape with
+  *    `"partial":false`. Every line fits a 2000-char tail capture.
+  *  - log level ERROR: the r9 tail was 100% checkpoint-unpersist WARN
+  *    noise printed after the last query line.
+  *  - Reps are env-tunable (`SPARK_GRAFT_BENCH_REPS`, default 2) and
+  *    warmup is `SPARK_GRAFT_BENCH_WARMUP=light` by default (count()
+  *    each table + one untimed pass over the headline queries) so the
+  *    432-query suite fits the window with margin. `full` restores the
+  *    old everything-once warmup for local protocol comparisons.
+  *
+  * Timed protocol: with reps >= 3, per-query MEDIAN (the host exhibits
+  * multi-second CPU-steal spikes; the median filters one spiked rep).
+  * With reps <= 2, per-query MIN: under light warmup the first rep
+  * carries that query's whole-stage-codegen compilation, so the min —
+  * not the mean — approximates the warmed steady state a cluster job
+  * sees; a spike contaminating EVERY rep is caught by the post-suite
+  * outlier re-run (sustained outliers re-run once, better run set
+  * kept), same as before. min/max/raw are reported in the file's
+  * `runs` object so spread contamination stays visible.
   */
 object Bench {
+
+  /** Fixed flagship subset for the compact stdout line: one per major
+    * family (agg/join/window/dedup/LSH/ANN/text/graph/layout/stream
+    * replay), chosen for round-over-round comparability. The full
+    * per-query map is in BENCH.json. */
+  private val Headline = Seq(
+    "q_top_spenders", "q_standings", "q_latest_event", "q_scd2",
+    "q_sessions", "q_funnel", "q_exact_dups", "q_jaccard_pairs",
+    "q_minhash_pairs", "q_dup_clusters", "q_knn_cosine",
+    "q_quality_filter", "q_lang_id", "q_bm25", "q_vocab",
+    "q_pagerank", "q_triangles", "q_ktruss", "q_zorder", "q_curation",
+    "q_band_sweep", "q_embed_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "light")
     val spark = GraftSession.builder(cpus)
       .master(s"local[$cpus]")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the checkpoint-unpersist WARNs land AFTER the
+    // summary lines and would push them out of the driver's tail window
+    spark.sparkContext.setLogLevel("ERROR")
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     // Dedup/similarity queries localCheckpoint intermediates; drop them
-    // between queries so ~300 runs don't accumulate block-manager pressure.
-    // Blocking unpersist: async removal would overlap the next timed query
-    // (observed as multi-second phantom slowness on whatever queries run
-    // right after the warmup phase).
+    // between queries so ~400 runs don't accumulate block-manager
+    // pressure. Blocking unpersist: async removal would overlap the
+    // next timed query.
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
@@ -46,70 +80,119 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // Warmup: run everything once, untimed.
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      dropCheckpoints()
+
+    val protocol = (if (reps <= 2) s"per-query min of $reps timed runs"
+      else s"per-query median of $reps timed runs") +
+      s" after $warmupMode warmup; sustained outliers re-run, better run set kept"
+
+    def stat(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (xs.size <= 2) s.head
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // ---- incremental artifact -------------------------------------
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    // Filtered profiling runs must not clobber the full-suite artifact —
+    // unless the caller pointed the output somewhere else explicitly.
+    val mayWrite = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    def writeArtifact(done: Seq[(String, Seq[Double])], partial: Boolean): Unit =
+      if (mayWrite) try {
+        val qs = done.map { case (k, rs) =>
+          "\"" + k + "\":" + (if (rs.isEmpty) "-1.0" else fmt(stat(rs)))
+        }.mkString("{", ",", "}")
+        val spread = done.map { case (k, rs) =>
+          val body = if (rs.isEmpty) "\"n\":0"
+            else s""""stat":${fmt(stat(rs))},"min":${fmt(rs.min)},"max":${fmt(rs.max)},"n":${rs.size},"raw":[${rs.map(fmt).mkString(",")}]"""
+          "\"" + k + "\":{" + body + "}"
+        }.mkString("{", ",", "}")
+        val total = done.collect { case (_, rs) if rs.nonEmpty => stat(rs) }.sum
+        val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$qs,"runs":$spread,"sf":"$sfDir"}"""
+        val tmp = java.nio.file.Paths.get(benchOut + ".tmp")
+        java.nio.file.Files.writeString(tmp, json + "\n")
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(benchOut),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] write $benchOut failed: ${e.getMessage}")
+      }
+
+    // Compact stdout line: bounded size regardless of board size, so the
+    // LAST one printed always parses from a 2000-char tail. Headline
+    // queries only; full map in BENCH.json.
+    def printCompact(done: Seq[(String, Seq[Double])], partial: Boolean): Unit = {
+      val m = done.collect { case (k, rs) if rs.nonEmpty => k -> stat(rs) }.toMap
+      val hq = Headline.filter(m.contains)
+        .map(k => "\"" + k + "\":" + fmt(m(k))).mkString("{", ",", "}")
+      val total = m.values.sum
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$hq,"queries_full":"$benchOut","sf":"$sfDir"}""")
+    }
+
+    // ---- warmup ---------------------------------------------------
+    warmupMode match {
+      case "none" =>
+      case "full" =>
+        names.foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          dropCheckpoints()
+        }
+      case _ => // light: table footers/scan paths + one pass over the
+        // headline family representatives (JIT, codegen infra, shuffle
+        // machinery, checkpoint machinery)
+        graft.sources.Tables.names.foreach { t =>
+          try graft.sources.Tables.load(spark, sfDir, t).count()
+          catch { case _: Throwable => () }
+        }
+        Headline.filter(names.contains).foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          dropCheckpoints()
+        }
     }
     // Settle between warmup and the timed phase: collect warmup garbage
     // now instead of during the first timed queries.
     System.gc()
     Thread.sleep(2000)
 
-    def runsOf(n: String, reps: Int): Seq[Double] = {
+    def runsOf(n: String, k: Int): Seq[Double] = {
       val fn = SparkEntry.queries(n)
-      (1 to reps).flatMap { _ =>
+      (1 to k).flatMap { _ =>
         val r = try Some(time(fn(spark, sfDir).count()))
                 catch { case _: Throwable => None }
         dropCheckpoints()
         r
       }
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+
+    // ---- timed phase: publish after every query -------------------
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+    names.foreach { n =>
+      acc += (n -> runsOf(n, reps))
+      writeArtifact(acc.toSeq, partial = true)
+      printCompact(acc.toSeq, partial = true)
     }
 
-    val firstPass = names.map(n => n -> runsOf(n, 3))
-    // A steal spike can persist across a whole query's three reps
-    // (observed: a 0.45 s aggregation printing 19 s because its window
-    // coincided with a sustained spike). Re-run such outliers — median
-    // over 4× the suite median and over 2 s — after the suite, when the
-    // spike has passed, and keep whichever RUN SET has the smaller
-    // median (pooling the two sets would leave the combined median
-    // spike-contaminated: [19,19,19,0.45,0.45,0.46] medians to ~9.7 s).
-    val medians0 = firstPass.collect { case (_, rs) if rs.nonEmpty => median(rs) }.sorted
-    val suiteMed = if (medians0.isEmpty) 0.0 else medians0(medians0.size / 2)
-    val results: Seq[(String, Seq[Double])] = firstPass.map { case (n, rs) =>
-      if (rs.nonEmpty && median(rs) > 2.0 && median(rs) > 4 * suiteMed) {
-        val retry = runsOf(n, 3)
-        if (retry.nonEmpty && median(retry) < median(rs)) n -> retry else n -> rs
+    // A steal spike can persist across a whole query's reps (observed:
+    // a 0.45 s aggregation printing 19 s because its window coincided
+    // with a sustained spike). Re-run such outliers — stat over 4× the
+    // suite median and over 2 s — after the suite, when the spike has
+    // passed, and keep whichever RUN SET has the smaller stat (pooling
+    // the two sets would leave the combined stat spike-contaminated).
+    val stats0 = acc.collect { case (_, rs) if rs.nonEmpty => stat(rs) }.sorted
+    val suiteMed = if (stats0.isEmpty) 0.0 else stats0(stats0.size / 2)
+    val results: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, rs) =>
+      if (rs.nonEmpty && stat(rs) > 2.0 && stat(rs) > 4 * suiteMed) {
+        val retry = runsOf(n, reps)
+        if (retry.nonEmpty && stat(retry) < stat(rs)) n -> retry else n -> rs
       } else n -> rs
     }
 
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, rs) =>
-      "\"" + k + "\":" + (if (rs.isEmpty) "-1.0" else fmt(median(rs)))
-    }.mkString("{", ",", "}")
-    val spread = results.map { case (k, rs) =>
-      val body = if (rs.isEmpty) "\"n\":0"
-        else s""""median":${fmt(median(rs))},"min":${fmt(rs.min)},"max":${fmt(rs.max)},"n":${rs.size},"raw":[${rs.map(fmt).mkString(",")}]"""
-      "\"" + k + "\":{" + body + "}"
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, rs) if rs.nonEmpty => median(rs) }.sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","protocol":"per-query median of 3 timed runs after an untimed warmup pass; sustained outliers re-run, better run set kept","queries":$qs,"runs":$spread,"sf":"$sfDir"}"""
-    println(json)
-    // Also write machine-readable output: the stdout line is interleaved
-    // with sbt [info] noise, so harnesses parse the file instead. Filtered
-    // profiling runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
-    // full-suite artifact.
-    if (only.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
-    }
+    writeArtifact(results, partial = false)
+    printCompact(results, partial = false)
     spark.stop()
   }
 }
