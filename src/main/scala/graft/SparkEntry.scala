@@ -9690,11 +9690,16 @@ object SparkEntry {
     "q_constraint" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |e AS MATERIALIZED (
-        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+        |sup AS MATERIALIZED (
+        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+        |         CAST(count(*) AS BIGINT) AS support
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_suppkey < y.l_suppkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |  GROUP BY 1, 2),
+        |thr AS (SELECT greatest(CAST(5 AS BIGINT),
+        |                        sum(support) // count(*)) AS t FROM sup),
+        |e AS MATERIALIZED (
+        |  SELECT a, b FROM sup, thr WHERE support >= t),
         |und AS MATERIALIZED (
         |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |deg AS MATERIALIZED (
@@ -9704,7 +9709,7 @@ object SparkEntry {
         |wedges AS (
         |  SELECT w1.a AS i, w2.b AS j, CAST(sum(dq.p) AS BIGINT) AS cn
         |  FROM und w1 JOIN und w2 ON w1.b = w2.a AND w1.a <> w2.b
-        |       JOIN deg dq ON w1.b = dq.node
+        |       JOIN deg dq ON w1.b = dq.node AND dq.deg <= 1024
         |  GROUP BY 1, 2),
         |terms AS (
         |  SELECT u.a AS i, d.deg,
@@ -11211,11 +11216,24 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e0 AS MATERIALIZED (
-       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |sup AS MATERIALIZED (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
        |    AND x.l_suppkey < y.l_suppkey
-       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |  GROUP BY 1, 2),
+       |thr AS (SELECT greatest(CAST(5 AS BIGINT),
+       |                        sum(cnt) // count(*)) AS t FROM sup),
+       |e00 AS MATERIALIZED (
+       |  SELECT a, b FROM sup, thr WHERE cnt >= t),
+       |und0 AS (SELECT a, b FROM e00 UNION ALL SELECT b AS a, a AS b FROM e00),
+       |deg0 AS MATERIALIZED (
+       |  SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und0 GROUP BY 1),
+       |e0 AS MATERIALIZED (
+       |  SELECT e.a, e.b FROM e00 e
+       |  JOIN deg0 da ON e.a = da.node AND da.deg <= 1024
+       |  JOIN deg0 db ON e.b = db.node AND db.deg <= 1024),
        |$steps
        |SELECT a, b, support FROM e$rounds ORDER BY a, b""".stripMargin
   }
