@@ -444,16 +444,14 @@ class ScaleSpec extends SparkSpec {
     // and land tokens_kept in the Bernoulli neighborhood of the target.
     val small = TrainingData.sourceMix(spark, TestSpark.Sf0001).collect()
     assert(small.nonEmpty && small.forall(_.getDouble(1) > 0.0))
-    val big = new java.io.File("/tmp/inflated_x10/documents.parquet")
-    if (big.exists()) {
-      val rows = TrainingData.sourceMix(spark, "/tmp/inflated_x10").collect()
-      assert(rows.nonEmpty, "inflated mix must not be empty")
-      rows.foreach { r =>
-        assert(r.getDouble(1) > 0.0, s"source ${r.getString(0)} rate quantized to 0")
-        val kept = r.getLong(3)
-        assert(kept > 100L && kept < 3200L,
-          s"source ${r.getString(0)} kept $kept tokens, target 800")
-      }
+    val dir = graft.tools.Inflate.ensureX10(spark)
+    val rows = TrainingData.sourceMix(spark, dir).collect()
+    assert(rows.nonEmpty, "inflated mix must not be empty")
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0, s"source ${r.getString(0)} rate quantized to 0")
+      val kept = r.getLong(3)
+      assert(kept > 100L && kept < 3200L,
+        s"source ${r.getString(0)} kept $kept tokens, target 800")
     }
   }
 
