@@ -124,6 +124,7 @@ object SparkEntry {
     "q_clubs_json"      -> ((s, d) => graft.sources.RoundTrip.clubsJsonFromNations(s, d)),
     "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d)),
     "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d)),
+    "q_stream_upsert"   -> ((s, d) => graft.streaming.StreamReplay.streamUpsertQuery(s, d)),
     "q_rest_teams"      -> ((s, d) => graft.sources.RoundTrip.restTeamsFromCustomers(s, d)),
     "q_rest_players"    -> ((s, d) => graft.sources.RoundTrip.restPlayersFromCustomers(s, d)),
     "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d)),
@@ -2055,6 +2056,20 @@ object SparkEntry {
         |                   ELSE 'sofascore' END) AS external_id
         |FROM customer
         |ORDER BY ck""".stripMargin,
+
+    // Batch replay of the streaming K1 upsert (StreamReplay): the final
+    // last-writer-wins state over micro-batched file drops equals the
+    // arg-max-per-user row — (ts_ms, event_id) is a total version order,
+    // so the merge is slicing-invariant and a batch window reproduces it.
+    "q_stream_upsert" ->
+      """SELECT event_id, user_id, event_type, value, ts_ms FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ms(ts) AS ts_ms,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // LM bigram/history count tables (integer face of the CCNet-style
     // scorer; the ln-based perplexity stays spec-gated): c12 per (w1,w2),

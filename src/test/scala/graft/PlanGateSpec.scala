@@ -13,8 +13,11 @@ class PlanGateSpec extends SparkSpec {
   // "plan" would execute full training for a LocalTableScan string the
   // gates can't meaningfully check — excluded to keep this suite
   // plans-only cheap. Their scale shapes are spec-gated in BpeSpec /
-  // LmScoreSpec instead.
-  private val eagerDriverQueries = Set("q_bpe_merges", "q_bpe_encode", "q_lm_counts")
+  // LmScoreSpec instead. q_stream_upsert likewise runs its whole
+  // streaming replay eagerly and returns a checkpointed-state scan;
+  // its per-batch plan shape is StreamingSpec's territory.
+  private val eagerDriverQueries =
+    Set("q_bpe_merges", "q_bpe_encode", "q_lm_counts", "q_stream_upsert")
 
   private lazy val plans: Map[String, String] =
     (SparkEntry.queries -- eagerDriverQueries).map { case (name, fn) =>

@@ -471,6 +471,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamReplay: micro-batched upsert state equals the batch arg-max") {
+    import graft.streaming.StreamReplay
+    val before = StreamReplay.batchesExecuted.get()
+    val res = StreamReplay.streamUpsertQuery(spark, TestSpark.Sf0001)
+    // the replay must really micro-batch (one per file drop), not drain
+    // everything in one batch — otherwise it proves nothing about the
+    // upsert LOOP
+    assert(StreamReplay.batchesExecuted.get() - before >= StreamReplay.Slices,
+      "replay collapsed into fewer micro-batches than file slices")
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"))
+    val expect = graft.operators.Ranking.latestPerKey(ev,
+      Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))
+    assert(res.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(res).count() == 0,
+      "streamed upsert state differs from batch last-writer-wins")
+  }
+
   test("upsertBatch is idempotent across replays (retry safety)") {
     val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
     val batch = LiveScores.normalize(Seq(
