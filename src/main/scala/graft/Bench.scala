@@ -21,21 +21,25 @@ import org.apache.spark.sql.SparkSession
   *    `"partial":false`. Every line fits a 2000-char tail capture.
   *  - log level ERROR: the r9 tail was 100% checkpoint-unpersist WARN
   *    noise printed after the last query line.
-  *  - Reps are env-tunable (`SPARK_GRAFT_BENCH_REPS`, default 2) and
-  *    warmup is `SPARK_GRAFT_BENCH_WARMUP=light` by default (count()
-  *    each table + one untimed pass over the headline queries) so the
-  *    432-query suite fits the window with margin. `full` restores the
-  *    old everything-once warmup for local protocol comparisons.
+  *  - The warmup pass is TIMED and pooled as a per-query sample
+  *    (`SPARK_GRAFT_BENCH_WARMUP=full`, the default), and only ONE
+  *    additional timed rep runs by default (`SPARK_GRAFT_BENCH_REPS`,
+  *    default 1). That yields two samples per query for the wall cost
+  *    of r9's warmup+one-rep — the measured r10 budget: a full
+  *    warmup+2-rep protocol burned ~55 min of wall on a steal-spiky
+  *    host, far past the driver window that killed r9.
   *
-  * Timed protocol: with reps >= 3, per-query MEDIAN (the host exhibits
-  * multi-second CPU-steal spikes; the median filters one spiked rep).
-  * With reps <= 2, per-query MIN: under light warmup the first rep
-  * carries that query's whole-stage-codegen compilation, so the min —
-  * not the mean — approximates the warmed steady state a cluster job
-  * sees; a spike contaminating EVERY rep is caught by the post-suite
-  * outlier re-run (sustained outliers re-run once, better run set
-  * kept), same as before. min/max/raw are reported in the file's
+  * Timed protocol: per-query MIN over {warmup sample} ∪ {reps} when
+  * ≤ 2 samples, MEDIAN beyond. The warmup sample carries that query's
+  * whole-stage-codegen compilation and cold scan caches, so it is an
+  * honest upper-bound sample: the min usually picks the warmed rep,
+  * and when a CPU-steal spike lands on the warmed rep the
+  * codegen-inflated warmup sample caps the damage. A spike sustained
+  * across BOTH samples is caught by the post-suite outlier re-run
+  * (better run set kept). min/max/raw are reported in the file's
   * `runs` object so spread contamination stays visible.
+  * `light` warmup (table scans + headline queries, no samples) and
+  * `none` remain for quick local profiling.
   */
 object Bench {
 
@@ -54,8 +58,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "light")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "full")
     val spark = GraftSession.builder(cpus)
       .master(s"local[$cpus]")
       .config("spark.sql.adaptive.enabled", "true")
@@ -81,9 +85,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    val protocol = (if (reps <= 2) s"per-query min of $reps timed runs"
-      else s"per-query median of $reps timed runs") +
-      s" after $warmupMode warmup; sustained outliers re-run, better run set kept"
+    val protocol = s"warmup=$warmupMode (full warmup is timed and pooled " +
+      s"as a sample) + $reps timed rep(s); stat=min for <=2 samples else " +
+      "median; sustained outliers re-run, better run set kept"
 
     def stat(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -99,6 +103,8 @@ object Bench {
     // Filtered profiling runs must not clobber the full-suite artifact —
     // unless the caller pointed the output somewhere else explicitly.
     val mayWrite = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    var phase = "warmup" // warmup -> timed -> final; published so a
+                         // timeout's partial artifact is interpretable
     def writeArtifact(done: Seq[(String, Seq[Double])], partial: Boolean): Unit =
       if (mayWrite) try {
         val qs = done.map { case (k, rs) =>
@@ -110,7 +116,7 @@ object Bench {
           "\"" + k + "\":{" + body + "}"
         }.mkString("{", ",", "}")
         val total = done.collect { case (_, rs) if rs.nonEmpty => stat(rs) }.sum
-        val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$qs,"runs":$spread,"sf":"$sfDir"}"""
+        val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$qs,"runs":$spread,"sf":"$sfDir"}"""
         val tmp = java.nio.file.Paths.get(benchOut + ".tmp")
         java.nio.file.Files.writeString(tmp, json + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(benchOut),
@@ -128,21 +134,19 @@ object Bench {
       val hq = Headline.filter(m.contains)
         .map(k => "\"" + k + "\":" + fmt(m(k))).mkString("{", ",", "}")
       val total = m.values.sum
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$hq,"queries_full":"$benchOut","sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$hq,"queries_full":"$benchOut","sf":"$sfDir"}""")
     }
 
     // ---- warmup ---------------------------------------------------
+    // full (default): every query once, TIMED — each run is pooled as
+    // that query's first sample below, so the warmup pass is not lost
+    // wall but half the evidence.
+    val warmSamples = scala.collection.mutable.Map[String, Double]()
     warmupMode match {
       case "none" =>
-      case "full" =>
-        names.foreach { n =>
-          try SparkEntry.queries(n)(spark, sfDir).count()
-          catch { case _: Throwable => () }
-          dropCheckpoints()
-        }
-      case _ => // light: table footers/scan paths + one pass over the
+      case "light" => // table footers/scan paths + one pass over the
         // headline family representatives (JIT, codegen infra, shuffle
-        // machinery, checkpoint machinery)
+        // machinery, checkpoint machinery); no samples recorded
         graft.sources.Tables.names.foreach { t =>
           try graft.sources.Tables.load(spark, sfDir, t).count()
           catch { case _: Throwable => () }
@@ -152,7 +156,21 @@ object Bench {
           catch { case _: Throwable => () }
           dropCheckpoints()
         }
+      case _ =>
+        // publish after every warmup run too: a driver window that
+        // expires INSIDE the warmup pass still leaves per-query
+        // warmup-sample evidence (phase:"warmup" marks it as such)
+        val seen = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+        names.foreach { n =>
+          try warmSamples(n) = time(SparkEntry.queries(n)(spark, sfDir).count())
+          catch { case _: Throwable => () }
+          dropCheckpoints()
+          seen += (n -> warmSamples.get(n).toSeq)
+          writeArtifact(seen.toSeq, partial = true)
+          printCompact(seen.toSeq, partial = true)
+        }
     }
+    phase = "timed"
     // Settle between warmup and the timed phase: collect warmup garbage
     // now instead of during the first timed queries.
     System.gc()
@@ -169,11 +187,16 @@ object Bench {
     }
 
     // ---- timed phase: publish after every query -------------------
+    // Each publish includes warmup-only entries for the not-yet-retimed
+    // remainder, so a window that expires mid-phase still leaves
+    // FULL-BOARD numbers (warmup-grade for the tail — phase:"timed"
+    // plus the runs' n flag which is which).
     val acc = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
-    names.foreach { n =>
-      acc += (n -> runsOf(n, reps))
-      writeArtifact(acc.toSeq, partial = true)
-      printCompact(acc.toSeq, partial = true)
+    names.zipWithIndex.foreach { case (n, i) =>
+      acc += (n -> (warmSamples.get(n).toSeq ++ runsOf(n, reps)))
+      val rest = names.drop(i + 1).map(m => m -> warmSamples.get(m).toSeq)
+      writeArtifact(acc.toSeq ++ rest, partial = true)
+      printCompact(acc.toSeq ++ rest, partial = true)
     }
 
     // A steal spike can persist across a whole query's reps (observed:
@@ -191,6 +214,7 @@ object Bench {
       } else n -> rs
     }
 
+    phase = "final"
     writeArtifact(results, partial = false)
     printCompact(results, partial = false)
     spark.stop()

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operational wall-clock gate over the committed BENCH.json artifact.
+  *
+  * The r9 failure mode was OPERATIONAL, not correctness: the board grew
+  * past the driver's bench window and the round shipped no parseable
+  * perf evidence. This gate turns "the suite got too slow" into a red
+  * test the moment it happens, naming the offending queries — the
+  * per-query budget is sized so a full board of budget-respecting
+  * queries fits the driver window with margin (432 × ≤ 12 s would not,
+  * but the budget binds the TAIL; the suite lives on its ~0.9 s/query
+  * average, and the total gate below catches average drift).
+  *
+  * Reads the artifact committed by the last full `graft.Bench` run (the
+  * file is version-controlled; a fresh checkout carries it). No Spark
+  * session needed — this is a pure artifact check.
+  */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  /** Per-query ceiling at sf0.1 on local[32]. The known heavyweights
+    * (q_band_sweep / q_blocking_eval, the honest price of empirical
+    * recall audits) sit at ~10 s; anything beyond 12 s is a new
+    * regression, not a known audit. */
+  private val PerQueryBudgetSec = 12.0
+
+  /** Whole-suite ceiling: sized to the driver bench window (r9's
+    * timeout) with headroom for host CPU-steal weather — identical
+    * code measured 414 → 503 s across one day's runs, so a tight
+    * ceiling would flap on climate, not code. 650 s still fires well
+    * before the suite outgrows the window the way r9 did (~1 600 s of
+    * query time). */
+  private val SuiteBudgetSec = 650.0
+
+  private lazy val queriesMap: Map[String, Double] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH.json"))
+    val start = txt.indexOf("\"queries\":{")
+    assert(start >= 0, "BENCH.json has no queries map")
+    val body = txt.substring(start + "\"queries\":{".length,
+      txt.indexOf('}', start))
+    """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  test("BENCH.json exists, parses, and covers a full-board run") {
+    assert(queriesMap.size > 400,
+      s"BENCH.json covers only ${queriesMap.size} queries — partial artifact committed?")
+    assert(queriesMap.valuesIterator.forall(_ >= 0.0),
+      "BENCH.json records failed queries (-1.0 sentinel)")
+  }
+
+  test("no benched query exceeds the per-query wall budget") {
+    val offenders = queriesMap.filter(_._2 > PerQueryBudgetSec)
+      .toSeq.sortBy(-_._2)
+    assert(offenders.isEmpty,
+      s"over ${PerQueryBudgetSec}s at sf0.1: " +
+        offenders.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
+  }
+
+  test("suite total fits the driver bench window") {
+    val total = queriesMap.values.sum
+    assert(total <= SuiteBudgetSec,
+      f"suite total $total%.0f s exceeds $SuiteBudgetSec%.0f s — the driver bench " +
+        "will time out; trim or speed up the tail (see BENCH.json runs)")
+  }
+}
