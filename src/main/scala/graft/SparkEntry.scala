@@ -6058,24 +6058,36 @@ object SparkEntry {
         |         sum(CAST(day - d0 AS HUGEINT) * y) AS t1,
         |         sum(CAST(day - d0 AS HUGEINT) * (day - d0) * y) AS t2
         |  FROM daily CROSS JOIN d0),
+        |mn AS (
+        |  -- exact x-side minors (calendar-bounded); y-moments stay exact;
+        |  -- numerators close through the SAME fixed double tree as Spark
+        |  -- (corpus-scaled products overflow 128-bit integers at 10x)
+        |  SELECT s0, t0, t1, t2,
+        |    s2*s4 - s3*s3 AS a1, s1*s4 - s2*s3 AS a2, s1*s3 - s2*s2 AS a3,
+        |    s0*s4 - s2*s2 AS a4, s0*s3 - s1*s2 AS a5, s0*s2 - s1*s1 AS a6,
+        |    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s2*s3) + s2*(s1*s3 - s2*s2)
+        |      AS den
+        |  FROM m),
         |d AS (
         |  SELECT s0,
-        |    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)
-        |      AS den,
-        |    s0*(s2*t2 - s3*t1) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)
+        |    CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dend,
+        |    CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a3 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a5 AS VARCHAR) AS DOUBLE)
+        |      + CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a6 AS VARCHAR) AS DOUBLE)
         |      AS num_a,
-        |    s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)
+        |    CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a4 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a2 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a5 AS VARCHAR) AS DOUBLE)
         |      AS num_b,
-        |    t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)
+        |    CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a1 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a2 AS VARCHAR) AS DOUBLE)
+        |      + CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a3 AS VARCHAR) AS DOUBLE)
         |      AS num_c
-        |  FROM m)
+        |  FROM mn)
         |SELECT CAST(s0 AS BIGINT) AS n_days,
-        |       CAST(CAST(num_a AS VARCHAR) AS DOUBLE) /
-        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS a_quad,
-        |       CAST(CAST(num_b AS VARCHAR) AS DOUBLE) /
-        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS b_lin,
-        |       CAST(CAST(num_c AS VARCHAR) AS DOUBLE) /
-        |         CAST(CAST(den AS VARCHAR) AS DOUBLE) AS c_const
+        |       num_a / dend AS a_quad,
+        |       num_b / dend AS b_lin,
+        |       num_c / dend AS c_const
         |FROM d""".stripMargin,
 
     // Theil–Sen: exact-operand slope doubles, rank-selected medians.
