@@ -3234,7 +3234,11 @@ object SparkEntry {
         |s AS (
         |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
         |         sum(x) AS sx, sum(y) AS sy,
-        |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |         -- HUGEINT-widened BEFORE the product: daily cents at the
+        |         -- 10x corpus put x*x past INT64
+        |         sum(CAST(x AS HUGEINT)*x) AS sxx,
+        |         sum(CAST(x AS HUGEINT)*y) AS sxy,
+        |         sum(CAST(y AS HUGEINT)*y) AS syy
         |  FROM p GROUP BY prio),
         |d AS (
         |  SELECT prio, n,
