@@ -6817,33 +6817,40 @@ object SparkEntry {
         |  FROM it a LEFT JOIN (SELECT rel AS bo, custkey AS bc FROM it) b
         |    ON b.bo > a.rel OR (b.bo = a.rel AND b.bc < a.custkey)
         |  GROUP BY 1, 2),
+        |-- integer-pinned discounts (scale 10^16): exact HUGEINT weighted
+        |-- sum, no float addition chain (FMA contraction diverged 1 ulp
+        |-- from Spark at the 10x corpus); only the closing divisions are IEEE
         |d AS (SELECT
-        |  CAST(COALESCE(max(CASE WHEN rk = 1 THEN rel END), 0) AS DOUBLE) * 1.0
-        |  + CAST(COALESCE(max(CASE WHEN rk = 2 THEN rel END), 0) AS DOUBLE) * 0.6309297535714575
-        |  + CAST(COALESCE(max(CASE WHEN rk = 3 THEN rel END), 0) AS DOUBLE) * 0.5
-        |  + CAST(COALESCE(max(CASE WHEN rk = 4 THEN rel END), 0) AS DOUBLE) * 0.43067655807339306
-        |  + CAST(COALESCE(max(CASE WHEN rk = 5 THEN rel END), 0) AS DOUBLE) * 0.38685280723454163
-        |  + CAST(COALESCE(max(CASE WHEN rk = 6 THEN rel END), 0) AS DOUBLE) * 0.3562071871080222
-        |  + CAST(COALESCE(max(CASE WHEN rk = 7 THEN rel END), 0) AS DOUBLE) * 0.3333333333333333
-        |  + CAST(COALESCE(max(CASE WHEN rk = 8 THEN rel END), 0) AS DOUBLE) * 0.31546487678572877
-        |  + CAST(COALESCE(max(CASE WHEN rk = 9 THEN rel END), 0) AS DOUBLE) * 0.3010299956639812
-        |  + CAST(COALESCE(max(CASE WHEN rk = 10 THEN rel END), 0) AS DOUBLE) * 0.2890648263178879
-        |  AS dcg FROM pr),
+        |  CAST(COALESCE(max(CASE WHEN rk = 1 THEN rel END), 0) AS HUGEINT) * 10000000000000000
+        |  + CAST(COALESCE(max(CASE WHEN rk = 2 THEN rel END), 0) AS HUGEINT) * 6309297535714575
+        |  + CAST(COALESCE(max(CASE WHEN rk = 3 THEN rel END), 0) AS HUGEINT) * 5000000000000000
+        |  + CAST(COALESCE(max(CASE WHEN rk = 4 THEN rel END), 0) AS HUGEINT) * 4306765580733931
+        |  + CAST(COALESCE(max(CASE WHEN rk = 5 THEN rel END), 0) AS HUGEINT) * 3868528072345416
+        |  + CAST(COALESCE(max(CASE WHEN rk = 6 THEN rel END), 0) AS HUGEINT) * 3562071871080222
+        |  + CAST(COALESCE(max(CASE WHEN rk = 7 THEN rel END), 0) AS HUGEINT) * 3333333333333333
+        |  + CAST(COALESCE(max(CASE WHEN rk = 8 THEN rel END), 0) AS HUGEINT) * 3154648767857288
+        |  + CAST(COALESCE(max(CASE WHEN rk = 9 THEN rel END), 0) AS HUGEINT) * 3010299956639812
+        |  + CAST(COALESCE(max(CASE WHEN rk = 10 THEN rel END), 0) AS HUGEINT) * 2890648263178879
+        |  AS dcg_w FROM pr),
         |i AS (SELECT
-        |  CAST(COALESCE(max(CASE WHEN rk = 1 THEN rel END), 0) AS DOUBLE) * 1.0
-        |  + CAST(COALESCE(max(CASE WHEN rk = 2 THEN rel END), 0) AS DOUBLE) * 0.6309297535714575
-        |  + CAST(COALESCE(max(CASE WHEN rk = 3 THEN rel END), 0) AS DOUBLE) * 0.5
-        |  + CAST(COALESCE(max(CASE WHEN rk = 4 THEN rel END), 0) AS DOUBLE) * 0.43067655807339306
-        |  + CAST(COALESCE(max(CASE WHEN rk = 5 THEN rel END), 0) AS DOUBLE) * 0.38685280723454163
-        |  + CAST(COALESCE(max(CASE WHEN rk = 6 THEN rel END), 0) AS DOUBLE) * 0.3562071871080222
-        |  + CAST(COALESCE(max(CASE WHEN rk = 7 THEN rel END), 0) AS DOUBLE) * 0.3333333333333333
-        |  + CAST(COALESCE(max(CASE WHEN rk = 8 THEN rel END), 0) AS DOUBLE) * 0.31546487678572877
-        |  + CAST(COALESCE(max(CASE WHEN rk = 9 THEN rel END), 0) AS DOUBLE) * 0.3010299956639812
-        |  + CAST(COALESCE(max(CASE WHEN rk = 10 THEN rel END), 0) AS DOUBLE) * 0.2890648263178879
-        |  AS idcg FROM ir),
+        |  CAST(COALESCE(max(CASE WHEN rk = 1 THEN rel END), 0) AS HUGEINT) * 10000000000000000
+        |  + CAST(COALESCE(max(CASE WHEN rk = 2 THEN rel END), 0) AS HUGEINT) * 6309297535714575
+        |  + CAST(COALESCE(max(CASE WHEN rk = 3 THEN rel END), 0) AS HUGEINT) * 5000000000000000
+        |  + CAST(COALESCE(max(CASE WHEN rk = 4 THEN rel END), 0) AS HUGEINT) * 4306765580733931
+        |  + CAST(COALESCE(max(CASE WHEN rk = 5 THEN rel END), 0) AS HUGEINT) * 3868528072345416
+        |  + CAST(COALESCE(max(CASE WHEN rk = 6 THEN rel END), 0) AS HUGEINT) * 3562071871080222
+        |  + CAST(COALESCE(max(CASE WHEN rk = 7 THEN rel END), 0) AS HUGEINT) * 3333333333333333
+        |  + CAST(COALESCE(max(CASE WHEN rk = 8 THEN rel END), 0) AS HUGEINT) * 3154648767857288
+        |  + CAST(COALESCE(max(CASE WHEN rk = 9 THEN rel END), 0) AS HUGEINT) * 3010299956639812
+        |  + CAST(COALESCE(max(CASE WHEN rk = 10 THEN rel END), 0) AS HUGEINT) * 2890648263178879
+        |  AS idcg_w FROM ir),
         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM pt
         |      WHERE custkey IN (SELECT custkey FROM it))
-        |SELECT d.dcg, i.idcg, d.dcg / i.idcg AS ndcg, h.n_hits
+        |SELECT CAST(CAST(d.dcg_w AS VARCHAR) AS DOUBLE) / 1e16 AS dcg,
+        |       CAST(CAST(i.idcg_w AS VARCHAR) AS DOUBLE) / 1e16 AS idcg,
+        |       CAST(CAST(d.dcg_w AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(i.idcg_w AS VARCHAR) AS DOUBLE) AS ndcg,
+        |       h.n_hits
         |FROM d CROSS JOIN i CROSS JOIN h""".stripMargin,
 
     // Split-conformal: train-fold segment means (VARCHAR-routed hugeint

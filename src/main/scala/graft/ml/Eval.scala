@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,13 +104,20 @@ object Eval {
       .orderBy("decile")
   }
 
-  /** 1/log₂(i+1) position discounts for NDCG@10, pinned as identical
-    * double literals in both engines (log2 itself is not a portable
-    * cross-engine function — the Benford-constants device). */
-  private val NdcgW: Seq[Double] = Seq(
-    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
-    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
-    0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+  /** Position discounts for NDCG@10 as PINNED INTEGERS at scale 10¹⁶
+    * (⌊10¹⁶/log₂(i+1)⌉ — log2 itself is not a portable cross-engine
+    * function, the Benford-constants device). Integers, not pinned
+    * doubles: the 10-term double multiply-add chain the doubles
+    * required is contracted with FMA by DuckDB — the round-10 10×
+    * sweep caught a 1-ulp dcg divergence from Spark's codegen. With
+    * integer weights the weighted sum is EXACT decimal arithmetic
+    * (order-free), and the only IEEE ops are the final scale /
+    * normalize divisions. */
+  private val NdcgWi: Seq[Long] = Seq(
+    10000000000000000L, 6309297535714575L, 5000000000000000L,
+    4306765580733931L, 3868528072345416L, 3562071871080222L,
+    3333333333333333L, 3154648767857288L, 3010299956639812L,
+    2890648263178879L)
 
   /** NDCG@10 of "past spend predicts future spend" (q_ndcg): rank
     * customers by first-era order value (o_orderdate < 1998-01-01, the corpus midpoint), score
@@ -150,19 +157,22 @@ object Eval {
         .groupBy(col("custkey"), col("rel"))
         .agg((count(col("bc")) + 1L).as("rk"))
     }
-    val dcgExpr = NdcgW.zipWithIndex.map { case (w, i) =>
+    val d38 = "decimal(38,0)"
+    val dcgExpr = NdcgWi.zipWithIndex.map { case (w, i) =>
       coalesce(max(when(col("rk") === (i + 1).toLong, col("rel"))), lit(0L))
-        .cast("double") * lit(w)
+        .cast(d38) * lit(w).cast(d38)
     }.reduceLeft(_ + _)
-    val dcg = rankedTop("pred").agg(dcgExpr.as("dcg"))
-    val idcg = rankedTop("rel").agg(dcgExpr.as("idcg"))
+    val dcg = rankedTop("pred").agg(dcgExpr.as("dcg_w"))
+    val idcg = rankedTop("rel").agg(dcgExpr.as("idcg_w"))
     val hits = per.orderBy(col("pred").desc, col("custkey").asc).limit(k)
       .join(per.orderBy(col("rel").desc, col("custkey").asc).limit(k)
         .select("custkey"), Seq("custkey"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
+    def dd(c: Column): Column = c.cast("string").cast("double")
     dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(hits))
-      .select(col("dcg"), col("idcg"),
-        (col("dcg") / col("idcg")).as("ndcg"), col("n_hits"))
+      .select((dd(col("dcg_w")) / lit(1e16)).as("dcg"),
+        (dd(col("idcg_w")) / lit(1e16)).as("idcg"),
+        (dd(col("dcg_w")) / dd(col("idcg_w"))).as("ndcg"), col("n_hits"))
   }
 
   /** Split-conformal prediction interval + empirical coverage
