@@ -596,12 +596,17 @@ object KCore {
                   minSupport: Long = 5L, degCap: Long = 1024L): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val sup = li.as("x")
-      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
-        Seq("l_orderkey"))
-      .filter(col("l_suppkey") < col("s2"))
-      .groupBy(col("l_suppkey").as("a"), col("s2").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+    // materialized ONCE: the pair-support frame feeds the threshold agg,
+    // the edge filter, AND (via e0) the degree cap — without the cut the
+    // lineitem self-join re-executes per consumer (measured 7.6 → 17.6 s)
+    val sup = graft.scale.Silver.scratch(
+      li.as("x")
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
+          Seq("l_orderkey"))
+        .filter(col("l_suppkey") < col("s2"))
+        .groupBy(col("l_suppkey").as("a"), col("s2").as("b"))
+        .agg(count(lit(1)).as("cnt")),
+      "truss_sup")
     // one-row threshold frame, broadcast into the filter — no collect
     val thr = sup.agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
       .select(greatest(lit(minSupport), expr("s div n")).as("eff_support"))
@@ -676,12 +681,17 @@ object KCore {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .distinct()
-    val sup = li.as("x")
-      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
-        Seq("l_orderkey"))
-      .filter(col("l_suppkey") < col("s2"))
-      .groupBy(col("l_suppkey").as("a"), col("s2").as("b"))
-      .agg(count(lit(1)).as("support"))
+    // materialized ONCE — feeds the threshold agg and the edge filter
+    // (the ktrussQuery lesson: without the cut the lineitem self-join
+    // re-executes per consumer)
+    val sup = graft.scale.Silver.scratch(
+      li.as("x")
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
+          Seq("l_orderkey"))
+        .filter(col("l_suppkey") < col("s2"))
+        .groupBy(col("l_suppkey").as("a"), col("s2").as("b"))
+        .agg(count(lit(1)).as("support")),
+      "constraint_sup")
     val thr = sup.agg(sum(col("support")).as("s"), count(lit(1)).as("n"))
       .select(greatest(lit(minSupport), expr("s div n")).as("eff_support"))
     val e = sup.crossJoin(broadcast(thr))
