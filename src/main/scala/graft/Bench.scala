@@ -53,13 +53,19 @@ object Bench {
     "q_minhash_pairs", "q_dup_clusters", "q_knn_cosine",
     "q_quality_filter", "q_lang_id", "q_bm25", "q_vocab",
     "q_pagerank", "q_triangles", "q_ktruss", "q_zorder", "q_curation",
-    "q_band_sweep", "q_embed_stats")
+    "q_band_sweep", "q_blocking_eval", "q_embed_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "full")
+    // Unknown values already fell through to the full-warmup branch;
+    // normalize here so the protocol string can never carry an
+    // arbitrary env payload into the JSON artifact.
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "full") match {
+      case m @ ("none" | "light" | "full") => m
+      case _ => "full"
+    }
     val spark = GraftSession.builder(cpus)
       .master(s"local[$cpus]")
       .config("spark.sql.adaptive.enabled", "true")
@@ -89,6 +95,17 @@ object Bench {
       s"as a sample) + $reps timed rep(s); stat=min for <=2 samples else " +
       "median; sustained outliers re-run, better run set kept"
 
+    // Env-derived strings (sfDir, benchOut, warmup mode via protocol)
+    // are interpolated into hand-built JSON; a quote or backslash in any
+    // of them would yield an unparseable artifact — defeating the whole
+    // guaranteed-parseable design. Escape, don't trust.
+    def jesc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
     def stat(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (xs.size <= 2) s.head
@@ -105,6 +122,12 @@ object Bench {
     val mayWrite = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     var phase = "warmup" // warmup -> timed -> final; published so a
                          // timeout's partial artifact is interpretable
+    // How many queries have a TIMED-phase rep so far. n_done spans the
+    // whole board during phase=timed (partials carry warmup-grade
+    // entries for the tail, deliberately), so without this a partial
+    // artifact looks board-complete; n_timed is the honest progress
+    // counter.
+    var nTimed = 0
     def writeArtifact(done: Seq[(String, Seq[Double])], partial: Boolean): Unit =
       if (mayWrite) try {
         val qs = done.map { case (k, rs) =>
@@ -116,7 +139,7 @@ object Bench {
           "\"" + k + "\":{" + body + "}"
         }.mkString("{", ",", "}")
         val total = done.collect { case (_, rs) if rs.nonEmpty => stat(rs) }.sum
-        val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$qs,"runs":$spread,"sf":"$sfDir"}"""
+        val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_timed":$nTimed,"n_total":${names.size},"protocol":"${jesc(protocol)}","queries":$qs,"runs":$spread,"sf":"${jesc(sfDir)}"}"""
         val tmp = java.nio.file.Paths.get(benchOut + ".tmp")
         java.nio.file.Files.writeString(tmp, json + "\n")
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(benchOut),
@@ -134,7 +157,7 @@ object Bench {
       val hq = Headline.filter(m.contains)
         .map(k => "\"" + k + "\":" + fmt(m(k))).mkString("{", ",", "}")
       val total = m.values.sum
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_total":${names.size},"protocol":"$protocol","queries":$hq,"queries_full":"$benchOut","sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_timed":$nTimed,"n_total":${names.size},"protocol":"${jesc(protocol)}","queries":$hq,"queries_full":"${jesc(benchOut)}","sf":"${jesc(sfDir)}"}""")
     }
 
     // ---- warmup ---------------------------------------------------
@@ -194,6 +217,7 @@ object Bench {
     val acc = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
     names.zipWithIndex.foreach { case (n, i) =>
       acc += (n -> (warmSamples.get(n).toSeq ++ runsOf(n, reps)))
+      nTimed = i + 1
       val rest = names.drop(i + 1).map(m => m -> warmSamples.get(m).toSeq)
       writeArtifact(acc.toSeq ++ rest, partial = true)
       printCompact(acc.toSeq ++ rest, partial = true)

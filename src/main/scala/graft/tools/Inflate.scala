@@ -47,17 +47,34 @@ object Inflate {
     * the completion marker is absent. Called by the scale-evidence
     * specs so `sbt test` proves the same thing on a clean machine as on
     * the dev box (the r9 judge found the 10× bijection test silently
-    * CANCELING wherever `/tmp/inflated_x10` didn't exist). Synchronized:
-    * suites run concurrently inside the one forked test JVM. */
+    * CANCELING wherever `/tmp/inflated_x10` didn't exist). Synchronized
+    * for suites inside the one forked test JVM, AND FileLock-guarded
+    * across JVMs: two concurrent sbt/test processes (or a manual
+    * Inflate racing a test run) could otherwise both see the marker
+    * absent and overwrite the corpus while the other reads it. The lock
+    * file lives NEXT TO outDir (not inside it — `run` overwrites the
+    * dir's contents); the marker re-check under the lock makes the
+    * build once-per-machine. */
   def ensureX10(spark: SparkSession,
                 inDir: String = "/root/testdata/sf0.1",
                 outDir: String = "/tmp/inflated_x10"): String = synchronized {
-    val marker = new java.io.File(outDir, CompleteMarker)
-    val want = s"$inDir x10"
-    val ok = marker.exists() &&
-      (try java.nio.file.Files.readString(marker.toPath).trim == want
-       catch { case _: Throwable => false })
-    if (!ok) run(spark, inDir, outDir, 10)
+    def markerOk: Boolean = {
+      val marker = new java.io.File(outDir, CompleteMarker)
+      marker.exists() &&
+        (try java.nio.file.Files.readString(marker.toPath).trim == s"$inDir x10"
+         catch { case _: Throwable => false })
+    }
+    if (!markerOk) {
+      val lockPath = java.nio.file.Paths.get(outDir + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any concurrent builder finishes
+        try { if (!markerOk) run(spark, inDir, outDir, 10) }
+        finally lock.release()
+      } finally ch.close()
+    }
     outDir
   }
 
