@@ -2447,7 +2447,8 @@ object SparkEntry {
         |  FROM s)
         |SELECT rf, ls, n,
         |       num / den_x AS slope,
-        |       (sy_d - (num / den_x) * sx_d) / CAST(n AS DOUBLE) AS intercept,
+        |       (sy_d - CAST(CAST((num / den_x) * sx_d AS VARCHAR) AS DOUBLE))
+        |         / CAST(n AS DOUBLE) AS intercept,
         |       num / sqrt(den_x * den_y) AS corr
         |FROM d ORDER BY rf, ls""".stripMargin,
 
@@ -3250,7 +3251,8 @@ object SparkEntry {
         |  FROM s)
         |SELECT prio, n,
         |       num / den_x AS slope,
-        |       (sy_d - (num / den_x) * sx_d) / CAST(n AS DOUBLE) AS intercept,
+        |       (sy_d - CAST(CAST((num / den_x) * sx_d AS VARCHAR) AS DOUBLE))
+        |         / CAST(n AS DOUBLE) AS intercept,
         |       num / sqrt(den_x * den_y) AS corr
         |FROM d ORDER BY prio""".stripMargin,
 
@@ -3728,7 +3730,8 @@ object SparkEntry {
         |  FROM s)
         |SELECT g, n,
         |       num / den_x AS slope,
-        |       (sy_d - (num / den_x) * sx_d) / CAST(n AS DOUBLE) AS intercept,
+        |       (sy_d - CAST(CAST((num / den_x) * sx_d AS VARCHAR) AS DOUBLE))
+        |         / CAST(n AS DOUBLE) AS intercept,
         |       num / sqrt(den_x * den_y) AS corr
         |FROM d""".stripMargin,
 
@@ -5255,7 +5258,9 @@ object SparkEntry {
         |  FROM o),
         |t AS (
         |  SELECT n,
-        |         CAST(n AS DOUBLE) *
+        |         -- n*X products pinned by VARCHAR round-trips before -S^2
+        |         -- (FMA-contraction barrier, the q_polyfit device)
+        |         CAST(CAST(CAST(n AS DOUBLE) *
         |           (CAST(CAST(s0 * s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE)
         |          + CAST(CAST(s1 * s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
         |          + CAST(CAST(s2 * s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE)
@@ -5263,8 +5268,10 @@ object SparkEntry {
         |          + CAST(CAST(s4 * s4 AS VARCHAR) AS DOUBLE) / CAST(n4 AS DOUBLE)
         |          + CAST(CAST(s5 * s5 AS VARCHAR) AS DOUBLE) / CAST(n5 AS DOUBLE)
         |          + CAST(CAST(s6 * s6 AS VARCHAR) AS DOUBLE) / CAST(n6 AS DOUBLE))
+        |           AS VARCHAR) AS DOUBLE)
         |          - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS ssb_n,
-        |         CAST(n AS DOUBLE) * CAST(CAST(q AS VARCHAR) AS DOUBLE)
+        |         CAST(CAST(CAST(n AS DOUBLE) * CAST(CAST(q AS VARCHAR) AS DOUBLE)
+        |           AS VARCHAR) AS DOUBLE)
         |          - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS sst_n
         |  FROM w),
         |e AS (SELECT n, ssb_n / sst_n AS eta_sq FROM t)
@@ -6072,22 +6079,28 @@ object SparkEntry {
         |    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s2*s3) + s2*(s1*s3 - s2*s2)
         |      AS den
         |  FROM m),
+        |p AS (
+        |  -- each t*a product pinned by its own VARCHAR round-trip BEFORE
+        |  -- the +- chain: bare p +- q*r invites FMA contraction (the
+        |  -- q_ndcg 1-ulp find); round-tripping an already-rounded double
+        |  -- is exact, so this only fixes the rounding points
+        |  SELECT s0, CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dend,
+        |    CAST(CAST(CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a1 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p01,
+        |    CAST(CAST(CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a2 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p12,
+        |    CAST(CAST(CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a3 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p23,
+        |    CAST(CAST(CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a4 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p14,
+        |    CAST(CAST(CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a2 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p02,
+        |    CAST(CAST(CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a5 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p25,
+        |    CAST(CAST(CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a3 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p03,
+        |    CAST(CAST(CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a5 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p15,
+        |    CAST(CAST(CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a6 AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS p26
+        |  FROM mn),
         |d AS (
-        |  SELECT s0,
-        |    CAST(CAST(den AS VARCHAR) AS DOUBLE) AS dend,
-        |    CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a3 AS VARCHAR) AS DOUBLE)
-        |      - CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a5 AS VARCHAR) AS DOUBLE)
-        |      + CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a6 AS VARCHAR) AS DOUBLE)
-        |      AS num_a,
-        |    CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a4 AS VARCHAR) AS DOUBLE)
-        |      - CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a2 AS VARCHAR) AS DOUBLE)
-        |      - CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a5 AS VARCHAR) AS DOUBLE)
-        |      AS num_b,
-        |    CAST(CAST(t0 AS VARCHAR) AS DOUBLE) * CAST(CAST(a1 AS VARCHAR) AS DOUBLE)
-        |      - CAST(CAST(t1 AS VARCHAR) AS DOUBLE) * CAST(CAST(a2 AS VARCHAR) AS DOUBLE)
-        |      + CAST(CAST(t2 AS VARCHAR) AS DOUBLE) * CAST(CAST(a3 AS VARCHAR) AS DOUBLE)
-        |      AS num_c
-        |  FROM mn)
+        |  SELECT s0, dend,
+        |    p03 - p15 + p26 AS num_a,
+        |    p14 - p02 - p25 AS num_b,
+        |    p01 - p12 + p23 AS num_c
+        |  FROM p)
         |SELECT CAST(s0 AS BIGINT) AS n_days,
         |       num_a / dend AS a_quad,
         |       num_b / dend AS b_lin,
@@ -10199,11 +10212,16 @@ object SparkEntry {
         |      FROM cells2, orr),
         |q AS (SELECT segment, a, b, c, d, or_mh, m1, n1, nd,
         |             or_mh - 1.0 AS qa,
-        |             0.0 - (or_mh * (m1 + n1) + (nd - m1 - n1)) AS qb,
+        |             -- OR*(m1+n1) pinned by a VARCHAR round-trip before
+        |             -- the + (FMA-contraction barrier)
+        |             0.0 - (CAST(CAST(or_mh * (m1 + n1) AS VARCHAR) AS DOUBLE)
+        |                    + (nd - m1 - n1)) AS qb,
         |             or_mh * m1 * n1 AS qc
         |      FROM t),
         |e AS (SELECT segment, a, b, c, d, or_mh, m1, n1, nd,
-        |             (0.0 - qb - sqrt(qb * qb - 4.0 * qa * qc)) /
+        |             (0.0 - qb - sqrt(
+        |                CAST(CAST(qb * qb AS VARCHAR) AS DOUBLE) -
+        |                CAST(CAST(4.0 * qa * qc AS VARCHAR) AS DOUBLE))) /
         |               (2.0 * qa) AS e_a
         |      FROM q)
         |SELECT segment, a, b, c, d, or_mh, e_a,
@@ -10429,8 +10447,12 @@ object SparkEntry {
         |  FROM (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem)),
         |m AS (SELECT n,
         |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-        |             sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
-        |                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |             -- products pinned by VARCHAR round-trips before the
+        |             -- subtraction (FMA-contraction barrier)
+        |             sqrt((CAST(CAST(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |                        AS VARCHAR) AS DOUBLE) -
+        |                   CAST(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                        AS VARCHAR) AS DOUBLE)) /
         |                  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
         |               AS sd
         |      FROM s)
@@ -12073,10 +12095,14 @@ object SparkEntry {
        |  FROM q GROUP BY 1),
        |t AS (
        |  SELECT dim, n,
-       |         CAST(n AS DOUBLE) * CAST(CAST(q2 AS VARCHAR) AS DOUBLE) -
+       |         -- n*X products pinned by VARCHAR round-trips before -S^2
+       |         -- (FMA-contraction barrier, the q_polyfit device)
+       |         CAST(CAST(CAST(n AS DOUBLE) * CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+       |           AS VARCHAR) AS DOUBLE) -
        |           CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS sst_n,
-       |         CAST(n AS DOUBLE) *
+       |         CAST(CAST(CAST(n AS DOUBLE) *
        |           ($inner)
+       |           AS VARCHAR) AS DOUBLE)
        |           - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) AS ssb_n
        |  FROM w)
        |SELECT dim, n, ssb_n / sst_n AS eta_sq,

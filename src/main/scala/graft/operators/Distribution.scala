@@ -206,10 +206,16 @@ object Distribution {
     val inner = (0 until 7).map { d =>
       (col(s"s$d") * col(s"s$d")).cast("double") / col(s"n$d").cast("double")
     }.reduceLeft(_ + _)
+    // n·Σx² and n·Σ_d(S_d²/n_d) round-trip through VARCHAR before the
+    // −S² subtraction: bare `a·b − c` is FMA-contractible on the C++
+    // oracle engine (q_ndcg/q_polyfit class); exact on rounded doubles.
     wide
       .withColumn("sst_n",
-        nD * (col("q")).cast("double") - (col("s") * col("s")).cast("double"))
-      .withColumn("ssb_n", nD * inner - (col("s") * col("s")).cast("double"))
+        (nD * (col("q")).cast("double")).cast("string").cast("double") -
+          (col("s") * col("s")).cast("double"))
+      .withColumn("ssb_n",
+        (nD * inner).cast("string").cast("double") -
+          (col("s") * col("s")).cast("double"))
       .withColumn("eta_sq", col("ssb_n") / col("sst_n"))
       .withColumn("f_stat",
         col("eta_sq") / (lit(1.0) - col("eta_sq")) *
@@ -2227,9 +2233,16 @@ object Distribution {
     val n1 = (col("a") + col("c")).cast("double")
     val nD = col("n").cast("double")
     val qa = col("or_mh") - lit(1.0)
-    val qb = lit(0.0) - (col("or_mh") * (m1 + n1) + (nD - m1 - n1))
+    // OR·(m1+n1) and the discriminant's two products round-trip through
+    // VARCHAR before their +/−: bare `a·b + c` / `a·b − c·d` are
+    // FMA-contractible on the C++ oracle engine (q_polyfit class)
+    val qb = lit(0.0) -
+      ((col("or_mh") * (m1 + n1)).cast("string").cast("double") +
+        (nD - m1 - n1))
     val qc = col("or_mh") * m1 * n1
-    val eA = (lit(0.0) - qb - sqrt(qb * qb - lit(4.0) * qa * qc)) /
+    val eA = (lit(0.0) - qb -
+      sqrt((qb * qb).cast("string").cast("double") -
+        (lit(4.0) * qa * qc).cast("string").cast("double"))) /
       (lit(2.0) * qa)
     val vInv = lit(1.0) / eA + lit(1.0) / (m1 - eA) +
       lit(1.0) / (n1 - eA) + lit(1.0) / (nD - m1 - n1 + eA)
@@ -2296,8 +2309,11 @@ object Distribution {
         sum(col("q") * col("q")).as("s2"))
     val nD = col("n").cast("double")
     val mu = col("s1").cast("double") / nD
-    val sd = sqrt((nD * col("s2").cast("double") -
-      col("s1").cast("double") * col("s1").cast("double")) /
+    // both products of n·Σx² − (Σx)² round-trip through VARCHAR before
+    // the subtraction (FMA-contraction barrier, the q_polyfit device)
+    val sd = sqrt(((nD * col("s2").cast("double")).cast("string").cast("double") -
+      (col("s1").cast("double") * col("s1").cast("double"))
+        .cast("string").cast("double")) /
       (nD * (nD - lit(1.0))))
     sums.select(col("n"), mu.as("mean_q"), sd.as("sd_q"),
       ((lit(usl) - lit(lsl)) / (lit(6.0) * sd)).as("cp"),

@@ -53,7 +53,12 @@ object Regression {
       keys.map(col) ++ Seq(
         col("n"),
         slope.as("slope"),
-        ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        // slope·Σx round-trips through VARCHAR before the subtraction:
+        // a bare `a − b·c` is FMA-contractible on the C++ oracle engine
+        // (the q_ndcg/q_polyfit 1-ulp class); the round-trip is exact on
+        // an already-rounded double, so it only pins the rounding point.
+        ((col("sy").cast("double") -
+          (slope * col("sx").cast("double")).cast("string").cast("double"))
           / col("n").cast("double")).as("intercept"),
         (num / sqrt(denX * denY)).as("corr")): _*)
   }
@@ -190,8 +195,17 @@ object Regression {
         sum(col("x") * col("x") * col("y")).as("t2"))
     // exact x-side 2x2 minors (calendar-bounded decimals) + exact
     // y-moments, closed by the FIXED double cofactor tree (identical
-    // expression shape in the DuckDB oracle)
+    // expression shape in the DuckDB oracle). Each t·a PRODUCT routes
+    // through its own VARCHAR round-trip before the ± chain: a bare
+    // `p ± q·r` invites the C++ engine's FMA contraction (one fused
+    // mul-add and the bits diverge — observed on q_ndcg's discount
+    // chain), and "the chain is short" is NOT a contraction-safety
+    // argument. The round-trip is exact on an already-rounded double
+    // (shortest-repr format on both engines), so it changes no value —
+    // it only pins the rounding point where both engines must agree.
     def dd(c: Column): Column = c.cast("string").cast("double")
+    def ddp(a: Column, b: Column): Column =
+      (dd(a) * dd(b)).cast("string").cast("double")
     val a1 = col("s2") * col("s4") - col("s3") * col("s3")
     val a2 = col("s1") * col("s4") - col("s2") * col("s3")
     val a3 = col("s1") * col("s3") - col("s2") * col("s2")
@@ -199,12 +213,9 @@ object Regression {
     val a5 = col("s0") * col("s3") - col("s1") * col("s2")
     val a6 = col("s0") * col("s2") - col("s1") * col("s1")
     val den = dd(col("s0") * a1 - col("s1") * a2 + col("s2") * a3)
-    val numC = dd(col("t0")) * dd(a1) - dd(col("t1")) * dd(a2) +
-      dd(col("t2")) * dd(a3)
-    val numB = dd(col("t1")) * dd(a4) - dd(col("t0")) * dd(a2) -
-      dd(col("t2")) * dd(a5)
-    val numA = dd(col("t0")) * dd(a3) - dd(col("t1")) * dd(a5) +
-      dd(col("t2")) * dd(a6)
+    val numC = ddp(col("t0"), a1) - ddp(col("t1"), a2) + ddp(col("t2"), a3)
+    val numB = ddp(col("t1"), a4) - ddp(col("t0"), a2) - ddp(col("t2"), a5)
+    val numA = ddp(col("t0"), a3) - ddp(col("t1"), a5) + ddp(col("t2"), a6)
     m.select(col("s0").cast("long").as("n_days"),
       (numA / den).as("a_quad"),
       (numB / den).as("b_lin"),

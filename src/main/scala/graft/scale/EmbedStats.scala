@@ -649,10 +649,15 @@ object EmbedStats {
         (col(s"s$c") * col(s"s$c")).cast("double") / col(s"n$c").cast("double"))
         .otherwise(lit(0.0))
     }.reduceLeft(_ + _)
+    // products round-trip through VARCHAR before the −S² subtraction
+    // (FMA-contraction barrier, the q_anova/q_polyfit device)
     wide
       .withColumn("sst_n",
-        nD * col("q2").cast("double") - (col("s") * col("s")).cast("double"))
-      .withColumn("ssb_n", nD * inner - (col("s") * col("s")).cast("double"))
+        (nD * col("q2").cast("double")).cast("string").cast("double") -
+          (col("s") * col("s")).cast("double"))
+      .withColumn("ssb_n",
+        (nD * inner).cast("string").cast("double") -
+          (col("s") * col("s")).cast("double"))
       .select(col("dim"), col("n"),
         (col("ssb_n") / col("sst_n")).as("eta_sq"),
         (col("ssb_n") / (col("sst_n") - col("ssb_n"))).as("fisher"))
