@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.BenchCompare
+
+/** The climate-vs-code separation the r10 verdict asked for, pinned on
+  * the exact artifact pair that motivated it: the r9-era committed
+  * BENCH.json (393.9 s) vs the r10 driver refresh (566.9 s). The 1.27×
+  * suite drift is host weather — identical code measured 414 → 503 s
+  * across one day — so the comparison must name the queries round 10
+  * actually sped up and NOTHING as a code regression. */
+class BenchCompareSpec extends AnyFunSuite {
+
+  private lazy val report = BenchCompare.compare(
+    BenchCompare.queriesMap("src/test/resources/bench_r9_committed.json"),
+    BenchCompare.queriesMap("src/test/resources/bench_r10_driver.json"))
+
+  test("r9->r10: climate factor is the known ~1.4-1.5x small-query drift") {
+    assert(report.nCommon > 250, s"only ${report.nCommon} common queries")
+    assert(report.climate > 1.2 && report.climate < 1.7,
+      s"climate ${report.climate} outside the measured drift band")
+  }
+
+  test("r9->r10: no query flags as a code regression (drift is climate)") {
+    assert(report.regressions.isEmpty,
+      "climate-only pair flagged: " +
+        report.regressions.map(d => f"${d.name} z=${d.z}%.1f").mkString(", "))
+  }
+
+  test("r9->r10: the queries round 10 touched flag as improvements") {
+    val names = report.improvements.map(_.name).toSet
+    assert(names.contains("q_embed_stats"), s"missing q_embed_stats in $names")
+    assert(names.contains("q_exact_dups"), s"missing q_exact_dups in $names")
+  }
+
+  test("a genuine order-of-magnitude regression would flag") {
+    val base = BenchCompare.queriesMap(
+      "src/test/resources/bench_r9_committed.json")
+    val poisoned = BenchCompare.queriesMap(
+      "src/test/resources/bench_r10_driver.json") + ("q_standings" -> 30.0)
+    val r = BenchCompare.compare(base, poisoned)
+    assert(r.regressions.exists(_.name == "q_standings"),
+      s"planted 30s regression not flagged: ${r.regressions.map(_.name)}")
+  }
+}
