@@ -125,6 +125,7 @@ object SparkEntry {
     "q_game_json"       -> ((s, d) => graft.sources.RoundTrip.gameJsonFromCustomers(s, d)),
     "q_live_norm"       -> ((s, d) => graft.sources.RoundTrip.liveNormFromCustomers(s, d)),
     "q_stream_upsert"   -> ((s, d) => graft.streaming.StreamReplay.streamUpsertQuery(s, d)),
+    "q_stream_window"   -> ((s, d) => graft.streaming.StreamReplay.streamWindowQuery(s, d)),
     "q_rest_teams"      -> ((s, d) => graft.sources.RoundTrip.restTeamsFromCustomers(s, d)),
     "q_rest_players"    -> ((s, d) => graft.sources.RoundTrip.restPlayersFromCustomers(s, d)),
     "q_rest_matches"    -> ((s, d) => graft.sources.RoundTrip.restMatchesFromCustomers(s, d)),
@@ -2070,6 +2071,26 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // Watermarked tumbling-window replay: append mode emits exactly the
+    // epoch-aligned 7-day windows whose end <= max event time - 1 day
+    // delay (the final watermark); no row is late under time-span
+    // slicing, so each emitted aggregate equals the batch GROUP BY.
+    "q_stream_window" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ts_ms, event_type,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |wm AS (SELECT max(ts_ms) - 86400000 AS wm FROM e),
+        |agg AS (
+        |  SELECT (ts_ms // 604800000) * 604800000 AS w_start, event_type,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(v) AS BIGINT) AS sum_v
+        |  FROM e GROUP BY 1, 2)
+        |SELECT w_start, event_type, n_events, sum_v
+        |FROM agg, wm
+        |WHERE w_start + 604800000 <= wm
+        |ORDER BY w_start, event_type""".stripMargin,
 
     // LM bigram/history count tables (integer face of the CCNet-style
     // scorer; the ln-based perplexity stays spec-gated): c12 per (w1,w2),

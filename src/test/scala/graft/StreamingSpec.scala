@@ -490,6 +490,36 @@ class StreamingSpec extends SparkSpec {
       "streamed upsert state differs from batch last-writer-wins")
   }
 
+  test("StreamReplay: watermarked window replay equals the batch rollup " +
+    "and spans multiple micro-batches") {
+    import graft.streaming.StreamReplay
+    val trigBefore = StreamReplay.windowTriggers.get()
+    val emitBefore = StreamReplay.windowEmissions.get()
+    val res = StreamReplay.streamWindowQuery(spark, TestSpark.Sf0001)
+    // one trigger per time-span file drop (plus possibly a final
+    // no-data flush batch) — the watermark must really advance across
+    // micro-batches, not close everything in one pass
+    assert(StreamReplay.windowTriggers.get() - trigBefore >= StreamReplay.Slices,
+      "window replay collapsed into fewer micro-batches than file slices")
+    assert(StreamReplay.windowEmissions.get() - emitBefore >= 2,
+      "append-mode emissions all landed in one batch — watermark never " +
+        "closed windows mid-stream")
+    // emitted rows == batch GROUP BY over the closed-window predicate
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("ts_ms"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("v"))
+    val wmRow = ev.agg(max(col("ts_ms"))).head()
+    val wm = wmRow.getLong(0) - 86400000L
+    val expect = ev
+      .groupBy(expr("(ts_ms div 604800000) * 604800000").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_v"))
+      .filter(col("w_start") + 604800000L <= wm)
+    assert(res.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(res).count() == 0,
+      "streamed window emissions differ from the batch rollup")
+  }
+
   test("upsertBatch is idempotent across replays (retry safety)") {
     val tableDir = Files.createTempDirectory("graft_replay").toString + "/state"
     val batch = LiveScores.normalize(Seq(
