@@ -25,7 +25,17 @@ package graft.tools
   * (q_embed_stats z = −9.3, q_exact_dups z = −4.3).
   *
   * Queries under `floorSec` on BOTH sides are excluded: a 0.1 s → 0.3 s
-  * drift is pure scheduler noise and would only pollute the median. */
+  * drift is pure scheduler noise and would only pollute the median.
+  *
+  * Interpreting a flag: it names a CANDIDATE, not a verdict. Same-day
+  * artifact pairs have tight sigmas (measured 0.16 vs 0.31 across
+  * rounds), so non-uniform climate — e.g. page-cache state inflating
+  * small scan-bound queries 2× while the suite median moves 1.1× —
+  * can flag untouched queries. The check that settles it (measured on
+  * six such flags, r11): re-time the flagged queries in isolation
+  * (`SPARK_GRAFT_BENCH_ONLY=...` with an explicit BENCH_OUT) and diff
+  * `git log` for their operators; isolated times reproducing the new
+  * numbers on untouched code = climate shape, not regression. */
 object BenchCompare {
 
   /** Extract the flat `"queries":{...}` map from a BENCH.json artifact
