@@ -728,9 +728,10 @@ object Dedup {
       .select(col("doc_id"),
         explode(shingles(split(col("text"), " "))).as("tok")),
       "blk_sh")
-    Silver.scratch(
-      prefixPairsOver(sh, tauNum = 1, tauDen = 2).select("d1", "d2"),
-      "blk_truth")
+    // Returned raw: the only caller is auditTruth, whose cachedAudit
+    // parquet write is the materialization — a scratch here would be a
+    // second, immediately-discarded copy of the whole pair set.
+    prefixPairsOver(sh, tauNum = 1, tauDen = 2).select("d1", "d2")
   }
 
   /** Session-scoped cache of the three blocking-audit inputs — the 8-hash
@@ -758,25 +759,43 @@ object Dedup {
   private lazy val auditTmpBase: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_audit_silver_")
 
+  /** Unique suffix per cached table: hashCode-keyed paths could collide
+    * across distinct corpus dirs (String hashes do collide), silently
+    * overwriting a LIVE silver table another cached frame still reads.
+    * A monotone counter makes every build's path fresh by construction;
+    * the sanitized dir tail rides along for debuggability only. */
+  private val auditPathSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def cachedAudit(spark: SparkSession, dir: String, what: String)
                          (build: => DataFrame): DataFrame =
     auditCache.getOrElseUpdate((spark, dir, what), {
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(32)
       val path = auditTmpBase.resolve(
-        s"${what}_${Integer.toHexString(dir.hashCode)}").toString
+        s"${what}_${auditPathSeq.incrementAndGet()}_$tag").toString
       build.repartition(16).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     })
 
+  // The builds are passed RAW: cachedAudit's own parquet write is the
+  // materialization, so an inner Silver.materialize/scratch wrapper
+  // would pay a second full write (or checkpoint copy) that is thrown
+  // away as soon as the cache's table exists.
   private def auditSignatures(spark: SparkSession, dir: String): DataFrame =
-    cachedAudit(spark, dir, "sig")(
-      Silver.materialize(minhashSignatures(spark, dir), "minhash_sig"))
+    cachedAudit(spark, dir, "sig")(minhashSignatures(spark, dir))
 
   private def auditTruth(spark: SparkSession, dir: String): DataFrame =
     cachedAudit(spark, dir, "truth")(shingleTruthPairs(spark, dir))
 
-  private def auditCand2(spark: SparkSession, dir: String): DataFrame =
-    cachedAudit(spark, dir, "cand2")(Silver.scratch(
-      bandCandidates(auditSignatures(spark, dir), 2), "blk_cand2"))
+  private def auditCand2(spark: SparkSession, dir: String): DataFrame = {
+    // Audit-vs-production coupling: this candidate table IS the band
+    // stage of minhashPairs only while BandWidth == 2. If the blocking
+    // scheme is retuned, this must fail loudly rather than keep grading
+    // the retired width (the DuckDB oracle SQL is width-2 verbatim).
+    require(BandWidth == 2,
+      s"blocking audits and their oracles assume BandWidth=2 (got $BandWidth)")
+    cachedAudit(spark, dir, "cand2")(
+      bandCandidates(auditSignatures(spark, dir), 2))
+  }
 
   def blockingEvalQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -95,6 +95,10 @@ object StreamReplay {
       }
       .start()
     q.awaitTermination()
+    // An empty events table means upsertBatch never created the state
+    // dir (every micro-batch is empty); the correct answer is the batch
+    // oracle's empty set, not PATH_NOT_FOUND.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state))
     val res = spark.read.schema(ev.schema).parquet(state)
       .localCheckpoint(true)
     deleteTree(base.toFile)
@@ -146,11 +150,21 @@ object StreamReplay {
   private val sliceCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
+  /** Cached slice dir for a corpus, if one was built in this JVM —
+    * lets StreamingSpec assert the mtime pinning the read-order
+    * argument rests on. */
+  private[graft] def sliceDirFor(spark: SparkSession, dir: String): Option[String] =
+    sliceCache.get((spark, dir))
+
   private def slicedInput(spark: SparkSession, dir: String,
                           ev: DataFrame): String =
     sliceCache.getOrElseUpdate((spark, dir), {
-      val Row(tmin: Long, tmax: Long) =
-        ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      // null min/max = empty events table: write the (empty) slices
+      // anyway so the stream runs and the query returns an empty
+      // result, matching the batch oracle, instead of MatchErroring.
+      val (tmin, tmax) =
+        if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
       val span = math.max(1L, (tmax - tmin) / Slices + 1)
       val in = java.nio.file.Files
         .createTempDirectory("graft_stream_window_in")
@@ -158,6 +172,18 @@ object StreamReplay {
         ev.filter(expr(s"(ts_ms - $tmin) div $span") === k)
           .coalesce(1)
           .write.parquet(in.resolve(s"slice_$k").toString)
+        // FileStreamSource orders new files by modification time; the
+        // watermark-monotonicity argument above needs slice_k to be
+        // READ k-th, and back-to-back writes can land on the same
+        // filesystem timestamp (1s granularity on some FS), leaving
+        // the tie to an unspecified sort order. Pin strictly
+        // increasing mtimes per slice so the read order is the slice
+        // order on any filesystem.
+        val t = java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + k * 60000L)
+        val ls = java.nio.file.Files.list(in.resolve(s"slice_$k"))
+        try ls.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+        finally ls.close()
       }
       in.toString
     })
@@ -170,6 +196,11 @@ object StreamReplay {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_window")
     val ckpt = base.resolve("ckpt")
     val results = base.resolve("results").toString
+    // Created eagerly: if no window ever closes (events span < one
+    // watermark delay + window), nothing is emitted and the read below
+    // must return an EMPTY frame — the batch oracle's answer — not
+    // throw path-does-not-exist.
+    java.nio.file.Files.createDirectories(base.resolve("results"))
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")

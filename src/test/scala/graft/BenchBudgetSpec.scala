@@ -39,15 +39,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     * query time). */
   private val SuiteBudgetSec = 650.0
 
-  private lazy val queriesMap: Map[String, Double] = {
-    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH.json"))
-    val start = txt.indexOf("\"queries\":{")
-    assert(start >= 0, "BENCH.json has no queries map")
-    val body = txt.substring(start + "\"queries\":{".length,
-      txt.indexOf('}', start))
-    """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  }
+  // One parser for the artifact format lives in main code
+  // (BenchCompare); keeping a private copy here would let the two
+  // drift and this gate mis-parse silently.
+  private lazy val queriesMap: Map[String, Double] =
+    graft.tools.BenchCompare.queriesMap("BENCH.json")
 
   test("BENCH.json exists, parses, and covers a full-board run") {
     assert(queriesMap.size > 400,

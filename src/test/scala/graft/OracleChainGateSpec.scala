@@ -32,11 +32,13 @@ class OracleChainGateSpec extends AnyFunSuite {
     }
 
   private def bannedFragments(sql: String): Seq[String] = {
+    // Every oracleSql entry is .stripMargin'd at definition, so a '|'
+    // here is real SQL (|| concat, regex alternation) and must be kept
+    // — truncating at it would let a banned chain earlier on the line
+    // escape the scan. Only a LEADING lone pipe (a margin pipe on a
+    // future entry someone forgot to stripMargin) is removed.
     var flat = sql.linesIterator
-      .map(l => l.indexOf('|') match {
-        case -1 => l
-        case i  => l.substring(i + 1)
-      })
+      .map(l => l.replaceFirst("""^\s*\|(?!\|)""", ""))
       .mkString(" ")
     // Collapse ±-free, comma-free paren groups (CAST(x AS DOUBLE),
     // (x * 0.63), function args) into their content so they don't

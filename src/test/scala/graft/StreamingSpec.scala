@@ -518,6 +518,36 @@ class StreamingSpec extends SparkSpec {
     assert(res.exceptAll(expect).count() == 0 &&
       expect.exceptAll(res).count() == 0,
       "streamed window emissions differ from the batch rollup")
+    // The watermark-monotonicity argument needs FileStreamSource to
+    // read slice_k k-th, and the source orders by file mtime — so the
+    // slice files must carry strictly increasing mtimes per slice
+    // (back-to-back writes can otherwise tie on coarse-granularity
+    // filesystems and replay out of order, silently dropping rows).
+    val sliceDir = StreamReplay.sliceDirFor(spark, TestSpark.Sf0001)
+      .getOrElse(fail("window replay left no cached slice dir"))
+    val mtimes = (0 until StreamReplay.Slices).map { k =>
+      val files = new java.io.File(s"$sliceDir/slice_$k").listFiles()
+      assert(files != null && files.nonEmpty, s"slice_$k missing")
+      files.map(_.lastModified()).max
+    }
+    assert(mtimes == mtimes.sorted && mtimes.distinct.size == mtimes.size,
+      s"slice mtimes not strictly increasing: ${mtimes.mkString(", ")}")
+  }
+
+  test("replay queries return empty frames, not crashes, on an empty events table") {
+    import graft.streaming.StreamReplay
+    // Raw-schema empty fixture (the replays derive ts_ms from ts
+    // themselves, so the fixture must carry the RAW events schema).
+    val corpus = Files.createTempDirectory("graft_empty_corpus").toString
+    spark.read.parquet(TestSpark.Sf0001 + "/events.parquet")
+      .limit(0).write.parquet(corpus + "/events.parquet")
+    // Zero rows → no state dir / no closed windows; both replays must
+    // return the batch oracle's empty set instead of PATH_NOT_FOUND
+    // (streamWindowQuery formerly also MatchErrored on null min/max).
+    assert(StreamReplay.streamUpsertQuery(spark, corpus).count() == 0,
+      "empty-corpus upsert replay should produce empty state")
+    assert(StreamReplay.streamWindowQuery(spark, corpus).count() == 0,
+      "empty-corpus window replay should emit nothing")
   }
 
   test("upsertBatch is idempotent across replays (retry safety)") {
