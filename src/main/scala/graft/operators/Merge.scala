@@ -31,6 +31,44 @@ object Merge {
       current.unionByName(staged),
       keys.map(col), version.map(col))
 
+  /** The micro-batch parquet-swap upsert shared by the streaming sinks
+    * (LiveScores, OddsStream, StreamReplay — previously three drifting
+    * copies): read current state, merge last-writer-wins on `version`,
+    * materialize, swap. Returns true iff the batch was non-empty and a
+    * write happened (callers count executed upserts off this).
+    *
+    * Two properties every sink needs and one copy had lost:
+    *  - The state read is EXISTENCE-gated, not try/catch-everything: a
+    *    missing dir is the legitimate first-batch case, but a transient
+    *    read failure on EXISTING state must propagate — swallowing it
+    *    made `current` empty and the overwrite silently wiped every key
+    *    not in the incoming batch.
+    *  - Version ties break on a whole-row content hash, so the winner is
+    *    a pure function of the row SET — invariant to partitioning,
+    *    batch boundaries, and arrival order (max is associative and
+    *    commutative). Without it `max_by` keeps an accumulation-order-
+    *    dependent row and the table can flip between runs when two
+    *    writers share a version value (1 s-granularity scrape timestamps
+    *    collide routinely).
+    *
+    * At 100 TB the swap target becomes a transactional table; the merge
+    * (one shuffle on the key) and both properties carry over unchanged. */
+  def parquetUpsert(spark: SparkSession, batch: DataFrame, tableDir: String,
+                    keys: Seq[String], version: Seq[String]): Boolean = {
+    if (batch.isEmpty) return false
+    val current =
+      if (new java.io.File(tableDir).exists())
+        spark.read.schema(batch.schema).parquet(tableDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val tiebreak = xxhash64(struct(batch.columns.map(col): _*))
+    Ranking.latestPerKey(current.unionByName(batch),
+        keys.map(col), version.map(col) :+ tiebreak)
+      .localCheckpoint(true) // materialize before overwriting our own input
+      .write.mode("overwrite").parquet(tableDir)
+    true
+  }
+
   /** Shared scaffold for key-matched full-outer merges: align the two
     * frames on `keys`, combine each value column with `combine(curCol,
     * stgCol)`. One shuffle on the key. */

@@ -58,21 +58,14 @@ object LiveScores {
       .dropDuplicatesWithinWatermark("external_id", "scraped_at")
 
   /** K1/K8 micro-batch upsert: merge the batch into the parquet state dir,
-    * latest `scraped_at` wins per external_id. Reads current state, merges,
-    * localCheckpoints (so the overwrite doesn't race its own scan), swaps. */
-  def upsertBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
-    if (batch.isEmpty) return
-    val deduped = graft.operators.Ranking.latestPerKey(batch,
-      Seq(col("external_id")), Seq(col("scraped_at")))
-    val current =
-      try spark.read.schema(batch.schema).parquet(tableDir)
-      catch { case _: Throwable => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-    val merged = Merge.upsertLatest(current, deduped,
+    * latest `scraped_at` wins per external_id (ties break on a content
+    * hash — scrape timestamps have 1 s granularity and DO collide). The
+    * shared sink ([[Merge.parquetUpsert]]) existence-gates the state read
+    * so a transient read failure propagates instead of silently wiping
+    * accumulated state via the overwrite. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit =
+    Merge.parquetUpsert(spark, batch, tableDir,
       keys = Seq("external_id"), version = Seq("scraped_at"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(tableDir)
-  }
 
   /** T1 — the full 30 s live-score pipeline over a snapshot-drop directory. */
   def run(spark: SparkSession, inputDir: String, tableDir: String,

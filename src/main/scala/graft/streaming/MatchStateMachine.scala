@@ -31,12 +31,26 @@ object MatchStateMachine {
 
   private val StatusRank = Map("scheduled" -> 0, "live" -> 1, "finished" -> 2)
 
-  private[graft] def applyUpdates(key: String, updates: Iterator[ScoreUpdate],
-                                  state: GroupState[MatchState]): MatchState = {
-    val sorted = updates.toSeq.sortBy(_.scraped_at.getTime)
-    val init = state.getOption.getOrElse(
-      MatchState(key, "scheduled", None, None, new Timestamp(0L), 0L))
-    val next = sorted.foldLeft(init) { (st, u) =>
+  /** The one lifecycle fold shared by both state APIs (mapGroupsWithState
+    * and the transformWithState processor — previously two verbatim
+    * copies that could drift independently).
+    *
+    * Ordering within a batch is a deterministic TOTAL order, not just
+    * scraped_at: scrape timestamps have 1 s granularity and two racing
+    * scrapers can deliver conflicting same-timestamp updates; sortBy is
+    * stable, so without a tiebreak the winner was whichever row the
+    * shuffle happened to deliver first. Among equal timestamps the most
+    * progressed update sorts FIRST (highest status rank, then highest
+    * scores) and is applied; the rest then fail the strict `fresh` check
+    * — the same rule the strict `>` already gives equal-timestamp
+    * updates arriving in a LATER batch (existing state wins, mirroring
+    * the reference's `excluded.updated_at > live_scores.updated_at`). */
+  private def foldUpdates(key: String, init: MatchState,
+                          updates: Seq[ScoreUpdate]): MatchState = {
+    val sorted = updates.sortBy(u => (u.scraped_at.getTime,
+      -StatusRank.getOrElse(u.status, -1),
+      -u.home_score.getOrElse(-1), -u.away_score.getOrElse(-1)))
+    sorted.foldLeft(init) { (st, u) =>
       val fresh = u.scraped_at.getTime > st.last_update.getTime
       val forward = StatusRank.getOrElse(u.status, -1) >= StatusRank(st.status)
       if (fresh && forward)
@@ -45,6 +59,15 @@ object MatchStateMachine {
           u.scraped_at, st.updates_seen + 1)
       else st.copy(updates_seen = st.updates_seen + 1)
     }
+  }
+
+  private def initState(key: String): MatchState =
+    MatchState(key, "scheduled", None, None, new Timestamp(0L), 0L)
+
+  private[graft] def applyUpdates(key: String, updates: Iterator[ScoreUpdate],
+                                  state: GroupState[MatchState]): MatchState = {
+    val next = foldUpdates(key, state.getOption.getOrElse(initState(key)),
+      updates.toSeq)
     state.update(next)
     next
   }
@@ -74,18 +97,8 @@ object MatchStateMachine {
 
     override def handleInputRows(key: String, rows: Iterator[ScoreUpdate],
                                  timerValues: TimerValues): Iterator[MatchState] = {
-      val sorted = rows.toSeq.sortBy(_.scraped_at.getTime)
-      val init = Option(state.get()).getOrElse(
-        MatchState(key, "scheduled", None, None, new Timestamp(0L), 0L))
-      val next = sorted.foldLeft(init) { (st, u) =>
-        val fresh = u.scraped_at.getTime > st.last_update.getTime
-        val forward = StatusRank.getOrElse(u.status, -1) >= StatusRank(st.status)
-        if (fresh && forward)
-          MatchState(key, u.status,
-            u.home_score.orElse(st.home_score), u.away_score.orElse(st.away_score),
-            u.scraped_at, st.updates_seen + 1)
-        else st.copy(updates_seen = st.updates_seen + 1)
-      }
+      val next = foldUpdates(key, Option(state.get()).getOrElse(initState(key)),
+        rows.toSeq)
       state.update(next)
       Iterator.single(next)
     }

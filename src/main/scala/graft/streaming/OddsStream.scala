@@ -71,20 +71,12 @@ object OddsStream {
 
   /** K4 micro-batch upsert: latest captured_at wins per
     * (match_id, bookmaker, market); selections array replaced whole, as
-    * the reference's odds service does. */
-  def upsertBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
-    if (batch.isEmpty) return
-    val deduped = graft.operators.Ranking.latestPerKey(batch,
-      Seq(col("match_id"), col("bookmaker"), col("market")), Seq(col("captured_at")))
-    val current =
-      try spark.read.schema(batch.schema).parquet(tableDir)
-      catch { case _: Throwable => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-    Merge.upsertLatest(current, deduped,
-        keys = Seq("match_id", "bookmaker", "market"), version = Seq("captured_at"))
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(tableDir)
-  }
+    * the reference's odds service does. Shared sink: see
+    * [[Merge.parquetUpsert]] for the existence-gated state read and the
+    * content-hash tiebreak on equal captured_at. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit =
+    Merge.parquetUpsert(spark, batch, tableDir,
+      keys = Seq("match_id", "bookmaker", "market"), version = Seq("captured_at"))
 
   /** One priced selection observation. `key` identifies the priced thing:
     * match|bookmaker|market|selection. */
@@ -107,8 +99,13 @@ object OddsStream {
     sorted.foreach { t =>
       last match {
         case Some(LastPrice(p, at)) if t.captured_at.getTime >= at =>
+          // p > 0 guards the division: decimal odds are >= 1 by
+          // construction, but a malformed scrape ("0", "-0") can parse
+          // to 0 or a non-finite price upstream — without the guard one
+          // bad tick in state makes every subsequent move Infinity/NaN
+          // and floods the alert stream.
           val move = math.abs(t.price - p) / p * 100.0
-          if (move >= thresholdPct)
+          if (p > 0 && move.isFinite && move >= thresholdPct)
             alerts += PriceAlert(key, p, t.price, move, t.captured_at)
           last = Some(LastPrice(t.price, t.captured_at.getTime))
         case Some(_) => // stale out-of-order tick: ignore
@@ -121,11 +118,15 @@ object OddsStream {
   }
 
   /** T-series stateful stage: price-drift alerts per selection key.
-    * State = last seen price; only moves ≥ `thresholdPct` emit. */
+    * State = last seen price; only moves ≥ `thresholdPct` emit. Ticks
+    * with an invalid price (decimal odds are ≥ 1 by definition; parse
+    * fallbacks can yield 0 or non-finite) are dropped BEFORE they can
+    * become state — see the division guard in [[detectMoves]]. */
   def movementAlerts(ticks: Dataset[OddsTick],
                      thresholdPct: Double = 10.0): Dataset[PriceAlert] = {
     import ticks.sparkSession.implicits._
     ticks
+      .filter(t => t.price >= 1.0 && !t.price.isInfinite && !t.price.isNaN)
       .groupByKey(_.key)
       .flatMapGroupsWithState[LastPrice, PriceAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
@@ -142,9 +143,12 @@ object OddsStream {
     * aggregation on both sides of the shuffle). Works identically on a
     * batch frame (windows all close immediately).
     *
-    * State at scale: open windows per key = windowDur/slideDur (2 at the
-    * defaults), so state size is O(live matches × bookmakers × markets ×
-    * 3 selections × 2) rows — independent of tick rate. */
+    * State at scale: a window stays in state until the WATERMARK passes
+    * its end, so open windows per key ≈ (watermark + windowDur)/slideDur
+    * (≈ 14 at the defaults, not windowDur/slideDur = 2 — the watermark
+    * horizon, not the window overlap, dominates). State size is O(live
+    * matches × bookmakers × markets × 3 selections × 14) rows —
+    * independent of tick rate, and tunable via the watermark. */
   def priceHistory(normalized: DataFrame,
                    windowDur: String = "10 minutes",
                    slideDur: String = "5 minutes",

@@ -49,8 +49,13 @@ object StreamDedup {
     val sh = Dedup.shingles(split(text, " "))
     val ms = (0 until Dedup.NumHashes).map(i =>
       array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))))
+    // Band over the BandWidth constant itself (not an unrolled width-2
+    // literal): retuning Dedup.BandWidth must retune this expression in
+    // lockstep, or stream buckets silently stop matching batch-built
+    // index rows — no error, just zero near-dup detections.
     array((0 until Dedup.NumHashes / Dedup.BandWidth).map(b =>
-      md5(concat(ms(b * Dedup.BandWidth), ms(b * Dedup.BandWidth + 1)))): _*)
+      md5(concat(
+        (b * Dedup.BandWidth until (b + 1) * Dedup.BandWidth).map(ms): _*))): _*)
   }
 
   /** Near-dup novelty gate for one micro-batch (run inside foreachBatch,
@@ -59,6 +64,16 @@ object StreamDedup {
     * (band, bucket) table — bucketed on `bucket` in production so the
     * semi-join never shuffles more than the batch. Survivors' band rows
     * are what the caller appends back to the index. */
+  def novelByMinhash(batch: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val bands = batch.select(col("doc_id"),
+      posexplode(minhashBandBuckets(col("text"))).as(Seq("band", "bucket")))
+    val collided = bands
+      .join(bandIndex.select(col("band").cast("int").as("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+    batch.join(collided, Seq("doc_id"), "left_anti")
+  }
+
   /** One event row for the stateful debounce gate. */
   case class DebEvent(userId: Long, eventType: String, eventId: Long,
                       tsMs: Long)
@@ -70,7 +85,13 @@ object StreamDedup {
     * the batch lag formulation, so batch and stream agree row-for-row
     * on ordered input (spec-pinned). State per key is ONE long (the last
     * event time) — ingest-rate-independent, and the within-batch sort is
-    * bounded by a key's per-trigger arrivals. */
+    * bounded by a key's per-trigger arrivals.
+    *
+    * Cross-batch lates: a late event (older than the stored last event
+    * time) is dropped WITHOUT regressing state — advancing state
+    * backwards would re-open the gate and pass bounce events that are
+    * within gapMs of the true latest event. On ordered input the guard
+    * never fires, so the batch equivalence is untouched. */
   def debounce(events: org.apache.spark.sql.Dataset[DebEvent],
                gapMs: Long): org.apache.spark.sql.Dataset[DebEvent] = {
     import events.sparkSession.implicits._
@@ -83,21 +104,12 @@ object StreamDedup {
           var last = state.getOption
           val out = sorted.filter { e =>
             val keep = last.forall(l => e.tsMs - l >= gapMs)
-            last = Some(e.tsMs) // raw gap: state advances on EVERY event
+            // raw gap: state advances on every event — but only FORWARD
+            if (last.forall(l => e.tsMs > l)) last = Some(e.tsMs)
             keep
           }
           last.foreach(state.update)
           out.iterator
       }
-  }
-
-  def novelByMinhash(batch: DataFrame, bandIndex: DataFrame): DataFrame = {
-    val bands = batch.select(col("doc_id"),
-      posexplode(minhashBandBuckets(col("text"))).as(Seq("band", "bucket")))
-    val collided = bands
-      .join(bandIndex.select(col("band").cast("int").as("band"), col("bucket")),
-        Seq("band", "bucket"), "left_semi")
-      .select("doc_id").distinct()
-    batch.join(collided, Seq("doc_id"), "left_anti")
   }
 }

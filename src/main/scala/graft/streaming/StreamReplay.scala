@@ -48,23 +48,13 @@ object StreamReplay {
   val batchesExecuted = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One micro-batch of the K1 upsert: merge into the parquet state dir,
-    * greatest (ts_ms, event_id) wins per user_id. */
-  def upsertBatch(spark: SparkSession, batch: DataFrame, stateDir: String): Unit = {
-    if (batch.isEmpty) return
-    batchesExecuted.incrementAndGet()
-    // existence-gated (not try/catch): the first batch has no state yet,
-    // and letting the analyzer throw would spew a benign-but-alarming
-    // stack trace into the driver's tail-captured log
-    val current =
-      if (new java.io.File(stateDir).exists())
-        spark.read.schema(batch.schema).parquet(stateDir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    val merged = Merge.upsertLatest(current, batch,
-      keys = Seq("user_id"), version = Seq("ts_ms", "event_id"))
-      .localCheckpoint(true) // materialize before overwriting our own input
-    merged.write.mode("overwrite").parquet(stateDir)
-  }
+    * greatest (ts_ms, event_id) wins per user_id — (ts_ms, event_id) is
+    * already a total order, so the shared sink's content-hash tiebreak
+    * is never reached here. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, stateDir: String): Unit =
+    if (Merge.parquetUpsert(spark, batch, stateDir,
+        keys = Seq("user_id"), version = Seq("ts_ms", "event_id")))
+      batchesExecuted.incrementAndGet()
 
   /** Run the replay end-to-end and return the final state. The streaming
     * job executes eagerly inside this call (AvailableNow, awaited); the
