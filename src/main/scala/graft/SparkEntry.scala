@@ -2296,9 +2296,10 @@ object SparkEntry {
     // F19 cross-engine replay: the substitution-cost-2 edit-distance DP
     // unrolled as a recursive CTE (one step per DP cell; `prev` is row
     // i−1, `curr` the growing prefix of row i — 1-based list indexing:
-    // dp[i−1][j] = prev[j+1]); ratio = round(100·(n+m−D₂)/(n+m)), both
-    // engines computing the same double expression and rounding half
-    // away from zero.
+    // dp[i−1][j] = prev[j+1]); ratio = round_even(100·(n+m−D₂)/(n+m)),
+    // both engines computing the same double expression and rounding
+    // HALF-TO-EVEN (DuckDB round_even ≡ JVM Math.rint ≡ Python round),
+    // matching thefuzz's int(round(x)) on exact-.5 scores.
     "q_fuzzy_ratio" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT c_custkey AS ck, c_name AS a,
@@ -2330,8 +2331,8 @@ object SparkEntry {
         |  FROM dp
         |  WHERE NOT (i = len(a) AND j = len(b)))
         |SELECT ck, a, b,
-        |       CAST(round(100.0 * (len(a) + len(b) - curr[len(b) + 1])
-        |                  / (len(a) + len(b))) AS INTEGER) AS ratio
+        |       CAST(round_even(100.0 * (len(a) + len(b) - curr[len(b) + 1])
+        |                  / (len(a) + len(b)), 0) AS INTEGER) AS ratio
         |FROM dp
         |WHERE i = len(a) AND j = len(b)
         |ORDER BY ck""".stripMargin,

@@ -33,7 +33,7 @@ object Normalize {
   /** F19 exact fuzzy ratio matching `thefuzz.fuzz.ratio` semantics
     * (entity_mapper.py:69-71): 100 * 2M/(|a|+|b|) where M = SequenceMatcher
     * matches = (|a|+|b| - D₂)/2 with substitution-cost-2 edit distance. */
-  private def ratio(a: String, b: String): Int = {
+  private[graft] def ratio(a: String, b: String): Int = {
     if (a == null || b == null) return 0
     if (a.isEmpty && b.isEmpty) return 100
     val (n, m) = (a.length, b.length)
@@ -51,7 +51,9 @@ object Normalize {
       val t = prev; prev = curr; curr = t
       i += 1
     }
-    math.round(100.0 * (n + m - prev(m)) / (n + m)).toInt
+    // half-to-even, matching thefuzz's int(round(x)) — see
+    // graft.plans.FuzzyRatio.ratio (the codegen twin of this UDF)
+    math.rint(100.0 * (n + m - prev(m)) / (n + m)).toInt
   }
 
   private lazy val ratioUdf = udf(ratio _)

@@ -30,27 +30,39 @@ object GraftExtensions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Arity gate for the function builders: without it, extra SQL
+    * arguments are silently DROPPED (children.head) — the query runs
+    * and returns wrong results — and missing ones surface as a raw
+    * IndexOutOfBoundsException with no function name. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n) throw new IllegalArgumentException(
+        s"$name takes exactly $n argument(s), got ${children.size}")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_fold_accents"),
       new ExpressionInfo(classOf[FoldAccents].getName, "graft_fold_accents"),
-      (children: Seq[Expression]) => FoldAccents(children.head)))
+      arity("graft_fold_accents", 1)(c => FoldAccents(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_fuzzy_ratio"),
       new ExpressionInfo(classOf[FuzzyRatio].getName, "graft_fuzzy_ratio"),
-      (children: Seq[Expression]) => FuzzyRatio(children.head, children(1))))
+      arity("graft_fuzzy_ratio", 2)(c => FuzzyRatio(c.head, c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
-      (children: Seq[Expression]) => SimHash60(children.head)))
+      arity("graft_simhash60", 1)(c => SimHash60(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
-      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
+      arity("graft_jaro_winkler", 2)(c => JaroWinkler(c.head, c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      arity("graft_cosine", 2)(c => CosineSim(c.head, c(1)))))
     ext.injectOptimizerRule(_ => FuzzyRatioFolding)
     // Whole-operator extension: plans TopKPerKeyNode as a partial/final
     // physical pair (see TopKPerKey.scala).
@@ -70,7 +82,12 @@ object FuzzyRatioFolding extends org.apache.spark.sql.catalyst.rules.Rule[
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case FuzzyRatio(a, b) if a.semanticEquals(b) && !a.nullable =>
+      // deterministic guard: two semantically-equal NONDETERMINISTIC
+      // children (same nondeterministic udf object, same args) still
+      // produce different values at runtime — folding them to 100 is
+      // wrong. Catalyst's own folding rules carry the same guard.
+      case FuzzyRatio(a, b) if a.semanticEquals(b) && !a.nullable &&
+          a.deterministic =>
         Literal(100, IntegerType)
       case r @ FuzzyRatio(a, b) if a.foldable && b.foldable &&
           a.eval() != null && b.eval() != null =>
@@ -101,16 +118,26 @@ case class FoldAccents(child: Expression)
 }
 
 object FoldAccents {
+  // Hoisted: String.replaceAll compiles its Pattern per CALL; three
+  // compiles per row on the scan this expression exists to accelerate
+  // would dwarf the UDF-boundary cost it removes.
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+  private val NonAlnum = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+  private val Spaces = java.util.regex.Pattern.compile("\\s+")
+
   /** Static so generated code can call it without capturing the tree. */
   def fold(s: UTF8String): UTF8String = {
-    val noMarks = java.text.Normalizer
-      .normalize(s.toString, java.text.Normalizer.Form.NFD)
-      .replaceAll("\\p{M}+", "")
+    val noMarks = Marks.matcher(java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFD)).replaceAll("")
+    // Locale.ROOT: the default-locale overload makes the normalized key
+    // depend on the JVM's locale (Turkish 'I' → dotless 'ı'), so the
+    // same data would block differently across driver/executor locales
+    // — and differently from the reference's locale-independent lower().
     UTF8String.fromString(
-      noMarks.toLowerCase
-        .replaceAll("[^\\p{L}\\p{N}]+", " ")
-        .trim
-        .replaceAll("\\s+", " "))
+      Spaces.matcher(
+        NonAlnum.matcher(noMarks.toLowerCase(java.util.Locale.ROOT))
+          .replaceAll(" ").trim)
+        .replaceAll(" "))
   }
 }
 
@@ -455,6 +482,10 @@ object FuzzyRatio {
       val t = prev; prev = curr; curr = t
       i += 1
     }
-    math.round(100.0 * (n + m - prev(m)) / (n + m)).toInt
+    // rint = round-half-to-even, matching thefuzz's int(round(x))
+    // (Python 3 banker's rounding): scores landing exactly on .5 with an
+    // even floor round DOWN — math.round (half-up) diverged from the
+    // reference there (e.g. 12.5 → 13 instead of thefuzz's 12).
+    math.rint(100.0 * (n + m - prev(m)) / (n + m)).toInt
   }
 }

@@ -52,8 +52,23 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+      // Post-analysis, so key dataTypes are resolved: reject map-typed
+      // keys the same way Spark rejects them as grouping keys — map
+      // equality is not byte-comparable (entry order varies), and both
+      // stages compare keys as raw UnsafeRow bytes.
+      keys.foreach { e =>
+        require(!TopKPerKey.hasMap(e.dataType),
+          s"top-k per key cannot group by a map-typed key (${e.dataType.sql})")
+      }
+      // Both stages group (and the exchange hash-partitions) by raw
+      // UnsafeRow bytes, and Catalyst's NormalizeFloatingNumbers rule
+      // only covers the operators it knows about — so float/double keys
+      // are canonicalized here (NaN bit patterns, -0.0) or distinct NaN
+      // encodings would split one logical key group into several,
+      // emitting up to k rows EACH where the window form emits k total.
+      val normKeys = keys.map(org.apache.spark.sql.graft.Shims.normalizeFloats)
+      TopKPerKeyExec(normKeys, order, k, partial = false,
+        TopKPerKeyExec(normKeys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -136,6 +151,16 @@ object TopKPerKey {
   /** DataFrame API over the custom node: top-k rows per key by `order`
     * (ascending unless the Column carries .desc). `order` must totally
     * order rows within a key for deterministic results. */
+  private[plans] def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+  }
+
   def apply(df: DataFrame, k: Int, keys: Seq[Column], order: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.graft.Shims
     val sortOrders = order.map(c => Shims.expression(c) match {

@@ -24,4 +24,13 @@ object Shims {
     * Column (for custom expressions used without SQL registration). */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Float/double key canonicalization (NaN bit patterns, -0.0) for
+    * custom operators that group or partition by raw UnsafeRow bytes.
+    * Catalyst applies `NormalizeFloatingNumbers` only to the operators
+    * it knows (Aggregate/Window/Join); a custom node must normalize its
+    * own keys or distinct NaN bit patterns split one logical key group.
+    * No-op on expressions without floating-point content. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -132,4 +132,64 @@ class PlansSpec extends SparkSpec {
     assert(uncapped == expected)
     assert(capped == expected, "pass-through partial must not change results")
   }
+
+  test("graft_fuzzy_ratio: exact-.5 scores round half-to-even like thefuzz") {
+    // LCS=1, D2=14, score = 100*2/16 = 12.5 exactly; thefuzz's
+    // int(round(12.5)) = 12 (Python banker's rounding). Math.round gave
+    // 13 — the cross-engine pair was consistent but diverged from the
+    // reference on every exact-.5 score with an even floor.
+    val r = spark.sql(
+      "SELECT graft_fuzzy_ratio('axxxxxxx', 'ayyyyyyy') AS a").head()
+    assert(r.getInt(0) == 12, s"expected banker's 12, got ${r.getInt(0)}")
+    assert(graft.functions.Normalize.ratio("axxxxxxx", "ayyyyyyy") == 12,
+      "UDF twin must share the half-to-even rounding")
+  }
+
+  test("graft function builders reject wrong arity with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_fold_accents('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("graft_fold_accents"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_fuzzy_ratio('a')").collect()
+    }
+    assert(e2.getMessage.contains("graft_fuzzy_ratio"), e2.getMessage)
+  }
+
+  test("TopKPerKey: NaN keys with distinct bit patterns form ONE key group") {
+    import graft.plans.TopKPerKey
+    import spark.implicits._
+    // Two different NaN encodings + a normal key. Spark 4's UnsafeWriter
+    // stores raw double bits (no NaN canonicalization — that lives in
+    // the NormalizeFloatingNumbers rule, which only rewrites operators
+    // it knows), so without key normalization in TopKPerKeyStrategy the
+    // two NaNs would land in different groups and BOTH emit.
+    val bitsOf = udf((which: Int) => which match {
+      case 0 => java.lang.Double.longBitsToDouble(0x7ff8000000000000L) // canonical NaN
+      case 1 => java.lang.Double.longBitsToDouble(0x7ff8000000000001L) // payload NaN
+      case _ => 1.0
+    })
+    val df = Seq((0, 10L), (1, 20L), (2, 30L)).toDF("which", "v")
+      .withColumn("key", bitsOf(col("which")))
+      .select("key", "v")
+    val out = TopKPerKey(df, 1, keys = Seq(col("key")),
+      order = Seq(col("v").asc)).collect()
+    // one NaN group (keeps v=10) + the 1.0 group (v=30)
+    assert(out.length == 2,
+      s"NaN bit patterns split the key group: ${out.mkString(", ")}")
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(10L, 30L))
+  }
+
+  test("TopKPerKey rejects map-typed keys") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+      .withColumn("m", map(col("a"), col("b")))
+    // the guard lives in the planner strategy (keys are resolved there),
+    // so it fires when the plan materializes
+    val e = intercept[Exception] {
+      graft.plans.TopKPerKey(df, 1, keys = Seq(col("m")), order = Seq(col("a")))
+        .collect()
+    }
+    assert(e.getMessage.contains("map"), e.getMessage)
+  }
 }
