@@ -45,17 +45,24 @@ object Parsing {
     when(t.rlike("^-?\\d+(\\.\\d+)?$"), t.cast("double"))
   }
 
+  /** The ONE engine-side `_to_number` (previously duplicated in
+    * FbrefStats with drifted semantics — the two had already diverged on
+    * multi-term stoppage time). Reference-exact shape:
+    * "90+2+1" → 93 (ANY number of +-terms, all-digits),
+    * "+5%"/"−5%" → signed percent, comma decimals, ""/"—"/"-" → null. */
   def toNumber(s: Column): Column = {
     val t = trim(s)
-    val dedashed = when(t.isin("—", "-", ""), lit(null).cast("string")).otherwise(t)
-    val pct = regexp_extract(dedashed, "^(-?[\\d.,]+)%$", 1)
-    val stoppage = when(dedashed.rlike("^\\d+\\+\\d+$"),
-      aggregate(transform(split(dedashed, "\\+"), x => x.cast("double")),
-        lit(0.0), (a, x) => a + x))
-    coalesce(
-      stoppage,
-      when(pct =!= "", numOrNull(pct)),
-      numOrNull(dedashed))
+    val dotted = regexp_replace(t, ",", ".")
+    val numRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)$"
+    val pctBody = regexp_replace(dotted, "%$", "")
+    when(t.isNull || t.isin("", "—", "-"), lit(null).cast("double"))
+      // stoppage time "90+2" / "90+2+1" → sum (reference: all parts digits)
+      .when(t.rlike("^\\d+(\\+\\d+)+$"),
+        aggregate(split(t, "\\+"), lit(0.0), (acc, x) => acc + x.cast("double")))
+      .when(t.rlike("%$"),
+        when(pctBody.rlike(numRe), pctBody.cast("double")))
+      .when(dotted.rlike(numRe), dotted.cast("double"))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** F6 `_parse_minute` (fbref_match_scraper.py:486-497): "45'+2" → 47. */

@@ -43,8 +43,11 @@ object Bronze {
     transform(rows, r =>
       transform(
         filter(split(r, "(?i)<t[dh][^>]*>"), c => c.rlike("\\S")),
+        // (?s) so the strip spans newlines: without DOTALL, content
+        // after </td> on a LATER line of a pretty-printed cell found no
+        // match at all and leaked into the cell value.
         c => trim(regexp_replace(
-          regexp_replace(c, "(?i)</t[dh]>.*$", ""),
+          regexp_replace(c, "(?is)</t[dh]>.*$", ""),
           "<[^>]*>", ""))))
   }
 

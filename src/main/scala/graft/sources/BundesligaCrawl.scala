@@ -376,8 +376,11 @@ object BundesligaCrawl {
       nullif(regexp_extract(bodyText, "(\\d{1,2})\\s*[-:–]\\s*(\\d{1,2})", 1), lit("")))
     val scoreA = coalesce(j("$.awayScore"),
       nullif(regexp_extract(bodyText, "(\\d{1,2})\\s*[-:–]\\s*(\\d{1,2})", 2), lit("")))
-    // officiatingCrew scan: first element whose role metadata names a referee
-    val crewRef = (0 until 4).map { i =>
+    // officiatingCrew scan: first element whose role metadata names a
+    // referee. Bound 8 covers a full modern crew (referee, 2 assistants,
+    // fourth official, VAR, AVAR + spares) — the previous bound of 4
+    // missed a referee listed after the assistants.
+    val crewRef = (0 until 8).map { i =>
       when(lower(concat_ws(" ",
         coalesce(j(s"$$.officiatingCrew[$i].roleName"), lit("")),
         coalesce(j(s"$$.officiatingCrew[$i].jobTitle"), lit("")),

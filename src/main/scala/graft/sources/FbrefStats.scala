@@ -36,23 +36,10 @@ import graft.sources.Tables
   */
 object FbrefStats {
 
-  /** `_to_number` as a codegen-friendly expression tree. Returns double or
-    * null (the reference returns float or None; int-typed core columns
-    * cast afterwards). */
-  def toNumber(v: Column): Column = {
-    val t = trim(v)
-    val dotted = regexp_replace(t, ",", ".")
-    val numRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)$"
-    val pctBody = regexp_replace(dotted, "%$", "")
-    when(t.isNull || t.isin("", "—", "-"), lit(null).cast("double"))
-      // stoppage time "90+2" → 92
-      .when(t.rlike("^\\d+(\\+\\d+)+$"),
-        aggregate(split(t, "\\+"), lit(0.0), (acc, x) => acc + x.cast("double")))
-      .when(t.rlike("%$"),
-        when(pctBody.rlike(numRe), pctBody.cast("double")))
-      .when(dotted.rlike(numRe), dotted.cast("double"))
-      .otherwise(lit(null).cast("double"))
-  }
+  /** `_to_number` — delegates to the single canonical implementation
+    * ([[graft.functions.Parsing.toNumber]]); this file previously
+    * carried its own copy and the two had drifted. */
+  def toNumber(v: Column): Column = graft.functions.Parsing.toNumber(v)
 
   /** All `<table id="stats_…">…</table>` fragments of a page (document
     * order), commented or not. */
@@ -86,9 +73,12 @@ object FbrefStats {
       "(?si)<th[^>]*data-append-csv=\"([^\"]+)\"[^>]*data-stat=\"player\"", 1), lit("")))
 
   /** FBref team id from the row-heading squad link
-    * (`/en/squads/<id>/…`, fbref_match_scraper.py:319-323). */
+    * (`/en/squads/<id>/…`, fbref_match_scraper.py:319-323). The scan is
+    * bounded to the th fragment — `((?!</th>).)*?` instead of `.*?`,
+    * which under (?s) would cross `</th>` and key a link-less heading
+    * row (e.g. a "Total" row) by the first squad link in a later td. */
   private def teamIdOf(row: Column): Column = nullif(regexp_extract(row,
-    "(?si)<th[^>]*>.*?<a[^>]+href=\"[^\"]*/en/squads/([^/\"]+)/[^\"]*\"", 1), lit(""))
+    "(?si)<th[^>]*>((?!</th>).)*?<a[^>]+href=\"[^\"]*/en/squads/([^/\"]+)/[^\"]*\"", 2), lit(""))
 
   /** `(key, value)` entries of a row's `<td data-stat>` cells, document
     * order; values tag-stripped + trimmed. */

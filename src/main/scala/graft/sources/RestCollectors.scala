@@ -96,7 +96,9 @@ object RestCollectors {
           .when(col("p.firstName").isNotNull && col("p.lastName").isNotNull,
             concat_ws(" ", col("p.firstName"), col("p.lastName")))
           .otherwise(lit("Unknown")).as("name"),
-        to_date(col("p.dateOfBirth")).as("birth_date"),
+        // try_to_date: "unknown"/malformed API strings degrade to null
+        // under ANSI mode instead of aborting the whole collect
+        try_to_date(col("p.dateOfBirth")).as("birth_date"),
         col("p.nationality").as("nationality"),
         nullif(col("p.position"), lit("")).as("position"))
 
@@ -139,7 +141,7 @@ object RestCollectors {
         col("m.homeTeam.id").cast("string").as("home_team_id"),
         col("m.awayTeam.id").cast("string").as("away_team_id"),
         date_format(
-          to_timestamp(regexp_replace(col("m.utcDate"), "Z$", "+00:00")),
+          try_to_timestamp(regexp_replace(col("m.utcDate"), "Z$", "+00:00")),
           "yyyy-MM-dd HH:mm:ss").as("utc_datetime"),
         mapStatus(col("m.status")).as("status"),
         col("competition"),

@@ -449,6 +449,13 @@ object RoundTrip {
     * per nation; the write is `partitionBy` (one file per key) so no
     * row ever crosses the driver, and the inner object goes through
     * `to_json` for correct escaping. */
+  /** Written JSON scaffolding cached per (session, corpus): the files
+    * are a pure function of the nation table, so each Verify/Bench call
+    * re-writing (and leaking) a fresh temp dir was waste — one dir per
+    * corpus per JVM, registered for exit cleanup. */
+  private val clubsJsonCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
   def clubsJsonFromNations(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
     val doc = concat(
@@ -461,9 +468,13 @@ object RoundTrip {
       lit(",\n  \"active\": "),
       (pmod(col("n_nationkey"), lit(2)) === 0).cast("string"),
       lit("\n}"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_clubs_json").toString
-    n.select(col("n_nationkey").as("k"), doc.as("value"))
-      .write.partitionBy("k").mode("overwrite").text(tmp)
+    val tmp = clubsJsonCache.getOrElseUpdate((spark, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft_clubs_json")
+      t.toFile.deleteOnExit()
+      n.select(col("n_nationkey").as("k"), doc.as("value"))
+        .write.partitionBy("k").mode("overwrite").text(t.toString)
+      t.toString
+    })
     Bronze.readJsonSnapshots(spark, tmp)
       .select(
         col("club.club_id").as("club_id"), col("club.name").as("name"),

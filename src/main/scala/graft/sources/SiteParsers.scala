@@ -172,7 +172,9 @@ object SiteParsers {
         nullif(regexp_extract(clubCell,
           "(?si)<a[^>]+href=\"([^\"]*/verein/[^\"]*)\"", 1), lit(""))
           .as("club_url"),
-        to_date(nullif(regexp_extract(
+        // try_to_date: a regex-shaped but invalid date ("31.02.2024")
+        // must yield null under ANSI mode, not kill the query
+        try_to_date(nullif(regexp_extract(
           firstWhere(cells, c => c.rlike("\\d{2}\\.\\d{2}\\.\\d{4}")),
           "(\\d{2}\\.\\d{2}\\.\\d{4})", 1), lit("")), "dd.MM.yyyy")
           .as("transfer_date"))
@@ -209,7 +211,7 @@ object SiteParsers {
           .as("match_url"),
         nullif(regexp_extract(row, "/en/matches/([^/\"]+)/", 1), lit(""))
           .as("match_id"),
-        to_date(firstWhere(cellTexts, t => t.rlike("^\\d{4}-\\d{2}-\\d{2}$")))
+        try_to_date(firstWhere(cellTexts, t => t.rlike("^\\d{4}-\\d{2}-\\d{2}$")))
           .as("match_date"),
         Parsing.parseScore(firstWhere(cellTexts, t => t.rlike("^\\d+-\\d+$")))
           .as("score"),
@@ -298,7 +300,7 @@ object SiteParsers {
       nullif(stripTags(regexp_extract(html,
         "(?si)<a[^>]+href=\"[^\"]*/beraterfirma/[^\"]*\"[^>]*>(.*?)</a>", 1)), lit(""))
         .as("agent_name"),
-      to_date(nullif(regexp_extract(text,
+      try_to_date(nullif(regexp_extract(text,
         "Letzte Änderung:\\s*(\\d{2}\\.\\d{2}\\.\\d{4})", 1), lit("")), "dd.MM.yyyy")
         .as("valuation_date"),
       valueEur.as("value_eur"),

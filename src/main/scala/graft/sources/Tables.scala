@@ -44,7 +44,13 @@ object Tables {
     * signature as 0 and key consistently by path). The probe costs a
     * plan analysis + file listing, and accessors run once per query
     * construction. */
-  private val fanDecision = new scala.collection.concurrent.TrieMap[(String, Long), Boolean]
+  // Keyed by (path, signature, floor): the decision compares the table's
+  // split count AGAINST the floor, so a session that changes
+  // spark.graft.scan.minPartitions (or defaultParallelism) must not
+  // reuse a verdict computed against a different floor — a stale `true`
+  // would re-shuffle an already-parallel corpus DOWN, a stale `false`
+  // would silently disable the fan after the floor is raised.
+  private val fanDecision = new scala.collection.concurrent.TrieMap[(String, Long, Int), Boolean]
 
   /** Rewrite-sensitive content signature of a local file or parquet
     * directory, folded over the whole tree (partitioned tables nest
@@ -112,7 +118,8 @@ object Tables {
             "use 1 to disable the small-scan parallelism floor")
       }
     }.getOrElse(spark.sparkContext.defaultParallelism)
-    val fan = floor > 1 && fanDecision.getOrElseUpdate((path, contentSignature(path)),
+    val fan = floor > 1 && fanDecision.getOrElseUpdate(
+      (path, contentSignature(path), floor),
       df.queryExecution.analyzed.stats.sizeInBytes < FanMaxBytes &&
         df.rdd.getNumPartitions < floor)
     if (fan) df.repartition(floor) else df
@@ -152,8 +159,14 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => // legacy NANOS corpus read as raw nanos
-        raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-          .withColumn("ts_ms", expr("ts div 1000000"))
+        // FLOOR division, not `div` (which truncates toward zero): for a
+        // pre-1970 ts like -1_500_000 ns, `ts div 1000000` = -1 while
+        // unix_millis/epoch_ms floor to -2 — ts_ms would disagree with
+        // ts_utc for the same row and with the oracle. pmod subtracts a
+        // non-negative remainder, making the division exact for any sign.
+        raw.withColumn("ts_utc",
+            expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+          .withColumn("ts_ms", expr("(ts - pmod(ts, 1000000)) div 1000000"))
       case TimestampNTZType | TimestampType =>
         val tsUtc = col("ts").cast(TimestampType)
         raw.withColumn("ts_utc", tsUtc).withColumn("ts_ms", unix_millis(tsUtc))
