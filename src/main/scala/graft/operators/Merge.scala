@@ -27,22 +27,45 @@ object Merge {
     * `version` columns must form a total order (include a unique tiebreak). */
   def upsertLatest(current: DataFrame, staged: DataFrame,
                    keys: Seq[String], version: Seq[String]): DataFrame =
-    Ranking.latestPerKey(
-      current.unionByName(staged),
-      keys.map(col), version.map(col))
+    upsertLatestBy(current, staged, keys.map(col), version.map(col))
+
+  /** Column-typed core of [[upsertLatest]] — one definition of the K1
+    * merge so the batch primitive and the streaming sink cannot drift. */
+  def upsertLatestBy(current: DataFrame, staged: DataFrame,
+                     keys: Seq[Column], version: Seq[Column]): DataFrame =
+    Ranking.latestPerKey(current.unionByName(staged), keys, version)
 
   /** The micro-batch parquet-swap upsert shared by the streaming sinks
     * (LiveScores, OddsStream, StreamReplay — previously three drifting
     * copies): read current state, merge last-writer-wins on `version`,
-    * materialize, swap. Returns true iff the batch was non-empty and a
-    * write happened (callers count executed upserts off this).
+    * write to a staging dir, swap. Returns true iff the batch was
+    * non-empty and a write happened (callers count executed upserts).
     *
-    * Two properties every sink needs and one copy had lost:
-    *  - The state read is EXISTENCE-gated, not try/catch-everything: a
-    *    missing dir is the legitimate first-batch case, but a transient
-    *    read failure on EXISTING state must propagate — swallowing it
-    *    made `current` empty and the overwrite silently wiped every key
-    *    not in the incoming batch.
+    * Properties every sink needs, several of which individual copies
+    * had lost:
+    *  - Filesystem access goes through Hadoop's FileSystem resolved
+    *    from the path (not java.io.File), so file:/, hdfs:// and
+    *    object-store state dirs behave identically; a missing dir is
+    *    the legitimate first-batch case, while a transient read failure
+    *    on EXISTING state propagates — swallowing it (the old try/catch
+    *    gate) made `current` empty and silently wiped every key not in
+    *    the incoming batch.
+    *  - CRASH-SAFE swap: the merged state is fully written to a `.next`
+    *    sibling while the live dir stays readable, then swapped in with
+    *    two renames (live → `.old`, `.next` → live). A crash before the
+    *    swap leaves the old state intact (the checkpoint replays the
+    *    batch; the merge is idempotent); a crash between the renames is
+    *    repaired at the next call (live missing + complete `.next`
+    *    present → finish the swap). In-place overwrite had a window
+    *    where a mid-write crash plus checkpoint retry lost ALL prior
+    *    state. (Directory rename is atomic on POSIX/HDFS; on object
+    *    stores the transactional-table production target applies.)
+    *  - The batch is materialized ONCE (eager localCheckpoint) and
+    *    reused for the emptiness probe and the merge — `batch.isEmpty`
+    *    on a raw foreachBatch frame re-scans the micro-batch source,
+    *    doubling source I/O per trigger. Writing to `.next` also means
+    *    the merge never overwrites its own input, so no second
+    *    materialization of the merged result is needed.
     *  - Version ties break on a whole-row content hash, so the winner is
     *    a pure function of the row SET — invariant to partitioning,
     *    batch boundaries, and arrival order (max is associative and
@@ -52,20 +75,31 @@ object Merge {
     *    collide routinely).
     *
     * At 100 TB the swap target becomes a transactional table; the merge
-    * (one shuffle on the key) and both properties carry over unchanged. */
+    * (one shuffle on the key) and every property carries over. */
   def parquetUpsert(spark: SparkSession, batch: DataFrame, tableDir: String,
                     keys: Seq[String], version: Seq[String]): Boolean = {
-    if (batch.isEmpty) return false
+    val live = new org.apache.hadoop.fs.Path(tableDir)
+    val next = new org.apache.hadoop.fs.Path(tableDir + ".next")
+    val old = new org.apache.hadoop.fs.Path(tableDir + ".old")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // Repair a swap that died between its two renames: the live dir is
+    // missing but a COMPLETE merged state sits in .next (it is only
+    // ever renamed after its write fully committed).
+    if (!fs.exists(live) && fs.exists(next)) fs.rename(next, live)
+    if (fs.exists(old)) fs.delete(old, true)
+
+    val b = batch.localCheckpoint(true)
+    if (b.isEmpty) return false
     val current =
-      if (new java.io.File(tableDir).exists())
-        spark.read.schema(batch.schema).parquet(tableDir)
+      if (fs.exists(live)) spark.read.schema(batch.schema).parquet(tableDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    val tiebreak = xxhash64(struct(batch.columns.map(col): _*))
-    Ranking.latestPerKey(current.unionByName(batch),
-        keys.map(col), version.map(col) :+ tiebreak)
-      .localCheckpoint(true) // materialize before overwriting our own input
-      .write.mode("overwrite").parquet(tableDir)
+    val tiebreak = xxhash64(struct(b.columns.map(col): _*))
+    upsertLatestBy(current, b, keys.map(col), version.map(col) :+ tiebreak)
+      .write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(next, live)
+    fs.delete(old, true)
     true
   }
 

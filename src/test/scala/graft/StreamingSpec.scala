@@ -561,4 +561,25 @@ class StreamingSpec extends SparkSpec {
     assert(state.count() == 1)
     assert(state.head().getAs[String]("status") == "finished")
   }
+
+  test("parquetUpsert repairs a swap that crashed between its two renames") {
+    val base = Files.createTempDirectory("graft_swapcrash").toString
+    val tableDir = base + "/state"
+    def batchOf(home: String) = LiveScores.normalize(Seq(
+      RawScore(home, "Y", "1-0", "FT", "90", "flash", ts("2024-01-02 20:00:00")))
+      .toDF())
+    LiveScores.upsertBatch(spark, batchOf("A"), tableDir)
+    // Simulate the crash window: live dir renamed away, the fully
+    // written merged state still sitting in .next — exactly what a kill
+    // between the two renames leaves behind.
+    val live = new java.io.File(tableDir)
+    assert(live.renameTo(new java.io.File(tableDir + ".next")),
+      "test setup: could not stage the crash state")
+    // Next batch must FIRST recover the .next state, then merge into it
+    // — the old in-place overwrite would have lost key A entirely here.
+    LiveScores.upsertBatch(spark, batchOf("B"), tableDir)
+    val keys = spark.read.parquet(tableDir)
+      .select("external_id").collect().map(_.getString(0)).sorted
+    assert(keys.length == 2, s"crash recovery lost state: ${keys.mkString(",")}")
+  }
 }
