@@ -1225,16 +1225,18 @@ object SparkEntry {
         |      FROM qf),
         |lt AS (SELECT doc_id,
         |              list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS ltoks,
-        |              regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |              regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') AS kana,
+        |              regexp_matches(text, '\p{Han}') AS han
         |       FROM t),
-        |lv AS (SELECT doc_id, cjk,
+        |lv AS (SELECT doc_id, kana, han,
         |              len(list_intersect(ltoks, ['the','and','of','is','with','for'])) AS he,
         |              len(list_intersect(ltoks, ['der','die','das','und','nicht','mit'])) AS hd,
         |              len(list_intersect(ltoks, ['le','la','les','et','est','dans'])) AS hf,
         |              len(list_intersect(ltoks, ['el','los','las','es','y','en'])) AS hs
         |       FROM lt),
         |l AS (SELECT doc_id,
-        |             (CASE WHEN cjk THEN 'zh'
+        |             (CASE WHEN kana THEN 'ja'
+        |              WHEN han THEN 'zh'
         |                   WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
         |                   WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |                   WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
@@ -2232,17 +2234,19 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
-        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |         regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') AS kana,
+        |         regexp_matches(text, '\p{Han}') AS han
         |  FROM documents),
         |v AS (
-        |  SELECT doc_id, cjk,
+        |  SELECT doc_id, kana, han,
         |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
         |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
         |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
         |         len(list_intersect(toks, ['el','los','las','es','y','en'])) AS hs
         |  FROM t)
         |SELECT doc_id,
-        |       CASE WHEN cjk THEN 'zh'
+        |       CASE WHEN kana THEN 'ja'
+        |              WHEN han THEN 'zh'
         |            WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
         |            WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |            WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
@@ -4382,10 +4386,11 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
-        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |         regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') AS kana,
+        |         regexp_matches(text, '\p{Han}') AS han
         |  FROM documents),
         |v AS (
-        |  SELECT doc_id, cjk,
+        |  SELECT doc_id, kana, han,
         |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
         |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
         |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
@@ -4393,7 +4398,8 @@ object SparkEntry {
         |  FROM t),
         |p AS (
         |  SELECT doc_id,
-        |         CASE WHEN cjk THEN 'zh'
+        |         CASE WHEN kana THEN 'ja'
+        |              WHEN han THEN 'zh'
         |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
         |              WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |              WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
@@ -6028,10 +6034,11 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
-        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |         regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') AS kana,
+        |         regexp_matches(text, '\p{Han}') AS han
         |  FROM documents),
         |v AS (
-        |  SELECT doc_id, cjk,
+        |  SELECT doc_id, kana, han,
         |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
         |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
         |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
@@ -6039,7 +6046,8 @@ object SparkEntry {
         |  FROM t),
         |p AS (
         |  SELECT doc_id,
-        |         CASE WHEN cjk THEN 'zh'
+        |         CASE WHEN kana THEN 'ja'
+        |              WHEN han THEN 'zh'
         |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
         |              WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |              WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
@@ -6313,10 +6321,11 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS toks,
-        |         regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') AS cjk
+        |         regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') AS kana,
+        |         regexp_matches(text, '\p{Han}') AS han
         |  FROM documents),
         |v AS (
-        |  SELECT doc_id, cjk,
+        |  SELECT doc_id, kana, han,
         |         len(list_intersect(toks, ['the','and','of','is','with','for'])) AS he,
         |         len(list_intersect(toks, ['der','die','das','und','nicht','mit'])) AS hd,
         |         len(list_intersect(toks, ['le','la','les','et','est','dans'])) AS hf,
@@ -6324,7 +6333,8 @@ object SparkEntry {
         |  FROM t),
         |p AS (
         |  SELECT doc_id,
-        |         CASE WHEN cjk THEN 'zh'
+        |         CASE WHEN kana THEN 'ja'
+        |              WHEN han THEN 'zh'
         |              WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
         |              WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |              WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
@@ -6523,7 +6533,7 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT lang,
         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-        |              AS BIGINT) % 100 % 5 AS fold,
+        |              AS BIGINT) % 5 AS fold,
         |         n_chars
         |  FROM documents),
         |g AS (
@@ -11130,7 +11140,7 @@ object SparkEntry {
         |              CAST(sum(CAST(floor(sqrt(CAST(greatest(kd.kd2, e.d2)
         |                   AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sum_w
         |       FROM e JOIN kd ON e.dst = kd.o GROUP BY 1),
-        |l AS (SELECT src, sum_w, 5000000000000000 // sum_w AS lrdu
+        |l AS (SELECT src, sum_w, 5000000000000000 // greatest(sum_w, 1) AS lrdu
         |      FROM sw),
         |s AS (SELECT e.src, CAST(sum(lo.lrdu) AS BIGINT) AS sum_lrdu
         |      FROM e JOIN l lo ON e.dst = lo.src GROUP BY 1)

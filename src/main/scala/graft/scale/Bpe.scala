@@ -229,7 +229,14 @@ object Bpe {
     val enc = udf { (t: String) =>
       if (t == null) null
       else t.split(" ").filter(_.nonEmpty).toSeq.map { w =>
-        var syms = w.map(_.toString).toVector :+ EndOfWord
+        // CODEPOINT split, matching symbolize's `(?s).` and the
+        // expression encoder: `w.map(_.toString)` splits UTF-16 code
+        // units, so a non-BMP char (emoji) became two lone surrogates
+        // no learned merge could ever match — the two encode paths then
+        // disagreed exactly on the large-vocab inputs where only this
+        // path runs.
+        var syms = w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))) :+ EndOfWord
         var done = false
         while (!done && syms.length > 1) {
           var bestIdx = -1

@@ -67,7 +67,11 @@ object Dedup {
     * the signature join). With `spark.graft.silver.dir` set this is a
     * real persisted silver table (the 100 TB path). */
   private def shingleRows(docs: DataFrame, block: String): DataFrame =
-    Silver.materialize(docs
+    // scratch (per-call unique name), NOT a fixed silver name: the content
+    // depends on the caller's docs frame AND block column, so two queries
+    // sharing one spark.graft.silver.dir would overwrite each other's
+    // parquet mid-read under a fixed name.
+    Silver.scratch(docs
       .select(col("doc_id"), col(block).as("block"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("block"), explode(shingles(col("toks"))).as("sh")),
@@ -98,7 +102,21 @@ object Dedup {
     * blocking column). */
   def jaccardPairsFrom(docs: DataFrame, threshold: Double = 0.5,
                        block: String = "lang",
-                       maxDf: Int = MaxShingleDf): DataFrame = {
+                       maxDf: Int = MaxShingleDf): DataFrame =
+    candidateOverlaps(docs, block, maxDf)
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / (col("n1") + col("n2") - col("inter_cnt")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter_cnt", "jaccard")
+      .orderBy("d1", "d2")
+
+  /** Shared candidate machinery of [[jaccardPairsFrom]] and
+    * [[containmentPairsFrom]] (ONE definition — the two were verbatim
+    * copies that had to be kept in sync by hand): df-capped shingle
+    * posting lists, blocked self-join, per-pair overlap + both set
+    * sizes. Callers apply their own similarity measure and threshold. */
+  private def candidateOverlaps(docs: DataFrame, block: String,
+                                maxDf: Int): DataFrame = {
     val s0 = shingleRows(docs, block)
     // Hot-shingle set is small by construction (only shingles appearing in
     // >maxDf docs) — broadcast the anti-join, no extra shuffle of s0.
@@ -115,11 +133,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jaccard",
-        col("inter_cnt").cast("double") / (col("n1") + col("n2") - col("inter_cnt")))
-      .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "inter_cnt", "jaccard")
-      .orderBy("d1", "d2")
   }
 
   /** Per-source duplication rate (q_dup_rate): the corpus-quality metric
@@ -177,27 +190,13 @@ object Dedup {
   /** [[containmentPairs]] over an explicit documents frame. */
   def containmentPairsFrom(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5,
                            block: String = "lang",
-                           maxDf: Int = MaxShingleDf): DataFrame = {
-    val s0 = shingleRows(docs, block)
-    val hot = s0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val s = s0.join(broadcast(hot), Seq("sh"), "left_anti")
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = s.as("a"); val b = s.as("b")
-    val inter = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.block") === col("b.block") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+                           maxDf: Int = MaxShingleDf): DataFrame =
+    candidateOverlaps(docs, block, maxDf)
       .filter(col("inter_cnt") * tauDen >= least(col("n1"), col("n2")) * tauNum)
       .withColumn("containment",
         col("inter_cnt").cast("double") / least(col("n1"), col("n2")))
       .select("d1", "d2", "inter_cnt", "n1", "n2", "containment")
       .orderBy("d1", "d2")
-  }
 
   /** PPJoin-style prefix-filtered set-similarity self-join — the LOSSLESS
     * alternative to the df-capped shingle blocking above: order every
@@ -555,9 +554,15 @@ object Dedup {
     val localMode =
       edges.sparkSession.conf.getOption("spark.graft.silver.dir").isEmpty
     val roundIds = scala.collection.mutable.ArrayBuffer[Set[Int]]()
+    // Per-INVOCATION uid in every round name: the round content depends on
+    // the edges argument (dupClusters, gridClusterQuery, semanticKeep all
+    // drive this with different edge sets), so fixed cc_iter_N names would
+    // let two CC runs sharing one spark.graft.silver.dir overwrite each
+    // other's rounds mid-loop.
+    val ccUid = java.util.UUID.randomUUID().toString.take(8)
     def materializeRound(df: DataFrame, name: String): DataFrame = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = Silver.materialize(df, name)
+      val out = Silver.materialize(df, s"cc_${ccUid}_$name")
       if (localMode) roundIds += (sc.getPersistentRDDs.keySet.toSet -- before)
       out
     }
@@ -567,7 +572,7 @@ object Dedup {
     val raw = materializeRound(
       edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
         .distinct(),
-      "cc_iter_0")
+      "iter_0")
     val nodes = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node"))).distinct()
     var cur = raw.filter(col("u") =!= col("v"))
@@ -583,7 +588,7 @@ object Dedup {
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
       cur = materializeRound(
         smallStar(largeStar(cur)).observe(obs, checksumAggs.head, checksumAggs.tail: _*),
-        s"cc_iter_$i")
+        s"iter_$i")
       val r = obs.get
       val cs = (r("c").asInstanceOf[Long],
         BigDecimal(r("h").asInstanceOf[java.math.BigDecimal]),
@@ -767,14 +772,20 @@ object Dedup {
   private val auditPathSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def cachedAudit(spark: SparkSession, dir: String, what: String)
-                         (build: => DataFrame): DataFrame =
-    auditCache.getOrElseUpdate((spark, dir, what), {
+                         (build: => DataFrame): DataFrame = {
+    // The content signature (file lengths + mtimes, the Tables fan-probe
+    // device) rides in the cache key so a corpus REWRITTEN in place at
+    // the same dir within one session re-builds instead of silently
+    // serving the previous corpus's signatures/truth/candidates.
+    val sig = graft.sources.Tables.contentSignature(s"$dir/documents.parquet")
+    auditCache.getOrElseUpdate((spark, s"$dir#$sig", what), {
       val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(32)
       val path = auditTmpBase.resolve(
         s"${what}_${auditPathSeq.incrementAndGet()}_$tag").toString
       build.repartition(16).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     })
+  }
 
   // The builds are passed RAW: cachedAudit's own parquet write is the
   // materialization, so an inner Silver.materialize/scratch wrapper

@@ -151,6 +151,12 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs))))
       .withColumn("frame_idx", (col("frame_ts_ms") / stepMs).cast("long"))
+      // Frame count comes from duration_ms, the payload from bytes — when
+      // the two disagree (long video, short payload) every overrun frame
+      // would hash an EMPTY slice, and md5("") collides across unrelated
+      // media: duplicateFrames would report distinct videos as shared
+      // content. Only frames with a non-empty byte window fingerprint.
+      .filter(col("frame_idx") * frameBytes < length(col("bytes")))
       .select(col("media_id"), col("frame_idx"),
         md5(expr(s"substring(bytes, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
           .as("frame_md5"))
@@ -185,18 +191,27 @@ object Multimodal {
     * partitions by media item (duration-bounded — the allowed family);
     * everything else is map-side aggregation. Voiced-ms arithmetic is
     * exact integers; the share is one division. */
-  def vadSpansQuery(spark: SparkSession, dir: String,
-                    frameMs: Long = 100L, threshold: Int = 55): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val voiced = mediaFromDocuments(spark, dir)
-      .filter(col("kind") === "audio" && col("meta.duration_ms") > 0)
+  /** Shared frame scaffold for the segmentation queries: one row per
+    * (media item of `kind`, `stepMs` frame), with the deterministic md5
+    * energy score in [0,100). ONE definition — vadSpans and sceneCuts
+    * both replay this expression verbatim in their oracles, so a tweak
+    * must change both queries (and both oracles) together, never one. */
+  private def energyFrames(spark: SparkSession, dir: String,
+                           kind: String, stepMs: Long): DataFrame =
+    mediaFromDocuments(spark, dir)
+      .filter(col("kind") === kind && col("meta.duration_ms") > 0)
       .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
-        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(frameMs)))
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs)))
           .as("ts"))
       .withColumn("energy",
         pmod(conv(substring(md5(concat(col("media_id").cast("string"),
           lit(":"), col("ts").cast("string"))), 1, 15), 16, 10).cast("long"),
           lit(100L)))
+
+  def vadSpansQuery(spark: SparkSession, dir: String,
+                    frameMs: Long = 100L, threshold: Int = 55): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val voiced = energyFrames(spark, dir, "audio", frameMs)
       .filter(col("energy") >= threshold)
     val w = Window.partitionBy(col("media_id")).orderBy(col("ts"))
     val spans = voiced
@@ -234,15 +249,7 @@ object Multimodal {
   def sceneCutsQuery(spark: SparkSession, dir: String,
                      stepMs: Long = 1000L, threshold: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val frames = mediaFromDocuments(spark, dir)
-      .filter(col("kind") === "video" && col("meta.duration_ms") > 0)
-      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
-        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs)))
-          .as("ts"))
-      .withColumn("energy",
-        pmod(conv(substring(md5(concat(col("media_id").cast("string"),
-          lit(":"), col("ts").cast("string"))), 1, 15), 16, 10).cast("long"),
-          lit(100L)))
+    val frames = energyFrames(spark, dir, "video", stepMs)
     val byItem = Window.partitionBy(col("media_id")).orderBy(col("ts"))
     val cuts = frames
       .withColumn("prev", lag(col("energy"), 1).over(byItem))

@@ -608,8 +608,13 @@ object Similarity {
         floor(sqrt(greatest(col("kd2"), col("d2")).cast("double")))
           .as("w"))
       .groupBy("src").agg(sum(col("w")).as("sum_w"))
+    // greatest(sum_w, 1): a point whose k-neighborhood is all EXACT
+    // duplicate vectors has every reach-dist 0 → sum_w = 0, and the bare
+    // integer div would throw under ANSI mode. The guard caps its lrd at
+    // the grid maximum (the textbook LOF's infinite density, saturated),
+    // mirrored verbatim in the DuckDB oracle.
     val lrd = graft.scale.Silver.scratch(
-      sumW.withColumn("lrdu", expr("5000000000000000 div sum_w")),
+      sumW.withColumn("lrdu", expr("5000000000000000 div greatest(sum_w, 1L)")),
       "lof_lrd") // feeds the neighbor-sum join and the final per-point row
     edges.select(col("src"), col("dst"))
       .join(lrd.select(col("src").as("dst"), col("lrdu").as("lrdu_o")),

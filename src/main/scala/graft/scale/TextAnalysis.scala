@@ -234,7 +234,12 @@ object TextAnalysis {
         lit(code).as("code"))
     }
     val best = array_max(array(votes: _*))
-    when(text.rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), lit("zh"))
+    // Kana before Han: Hiragana/Katakana are exclusively Japanese, so any
+    // kana → "ja" even when Han (shared by both languages) is also
+    // present; Han alone → "zh". The old single cjk→"zh" bucket misrouted
+    // every Japanese document into the Chinese stratum.
+    when(text.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), lit("ja"))
+      .when(text.rlike("\\p{IsHan}"), lit("zh"))
       .when(best.getField("hits") > 0, best.getField("code"))
       .otherwise(lit("und"))
   }

@@ -66,7 +66,7 @@ object Tables {
     * (listFiles order is unspecified) yet collision-resistant —
     * cancelling one entry's change requires a 64-bit hash collision,
     * not an arithmetic offset. 0 for anything unlistable. */
-  private def contentSignature(path: String): Long =
+  private[graft] def contentSignature(path: String): Long =
     try {
       // splitmix64 finalizer — full-avalanche mix so any field change
       // flips ~half the output bits

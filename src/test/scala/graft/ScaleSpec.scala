@@ -276,13 +276,19 @@ class ScaleSpec extends SparkSpec {
       TextAnalysis.langIdHeuristic(lit("le chat est dans la maison")),
       TextAnalysis.langIdHeuristic(lit("el perro es grande y los gatos")),
       TextAnalysis.langIdHeuristic(lit("这是一个中文句子")),
-      TextAnalysis.langIdHeuristic(lit("zzz qqq www")))
+      TextAnalysis.langIdHeuristic(lit("zzz qqq www")),
+      // kana is exclusively Japanese — must NOT land in the zh bucket,
+      // including mixed kanji+kana text (Han alone stays zh)
+      TextAnalysis.langIdHeuristic(lit("これはテストです")),
+      TextAnalysis.langIdHeuristic(lit("日本語のテスト")))
     assert(r.getString(0) == "en")
     assert(r.getString(1) == "de")
     assert(r.getString(2) == "fr")
     assert(r.getString(3) == "es")
     assert(r.getString(4) == "zh")
     assert(r.getString(5) == "und")
+    assert(r.getString(6) == "ja")
+    assert(r.getString(7) == "ja")
   }
 
   test("gopherQualityFlags: good doc passes, degenerate docs fail the right rule") {
