@@ -1788,8 +1788,10 @@ object SparkEntry {
         |  FROM u),
         |canon AS (
         |  SELECT doc_id, domain,
-        |         'https://' || domain || CASE WHEN p = '' THEN '/' ELSE p END
-        |           || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+        |         CASE WHEN domain = '' THEN NULL
+        |              ELSE 'https://' || domain
+        |                || CASE WHEN p = '' THEN '/' ELSE p END
+        |                || CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canon
         |  FROM parts)
         |SELECT domain, count(*) AS doc_cnt,
         |       count(DISTINCT canon) AS distinct_urls,
@@ -2630,8 +2632,10 @@ object SparkEntry {
         |               CAST(c_custkey % (length(c_name) - 2) AS INTEGER) + 2 AS p
         |        FROM customer))
         |SELECT ck, a, b,
-        |       CAST(round(100.0 * (1.0 - levenshtein(a, b)
-        |                  / greatest(length(a), length(b)))) AS INTEGER) AS approx_ratio
+        |       CASE WHEN greatest(length(a), length(b)) = 0 THEN 100
+        |            ELSE CAST(round(100.0 * (1.0 - levenshtein(a, b)
+        |                 / greatest(length(a), length(b)))) AS INTEGER)
+        |       END AS approx_ratio
         |FROM pairs
         |ORDER BY ck""".stripMargin,
 
@@ -6921,7 +6925,8 @@ object SparkEntry {
         |  FROM cal),
         |qh AS (
         |  SELECT r AS q_hat, CAST(n AS BIGINT) AS n_cal
-        |  FROM rk WHERE rk = (9 * (n + 1)) // 10),
+        |  -- ceiling quantile index (finite-sample-valid split conformal)
+        |  FROM rk WHERE rk = (9 * (n + 1) + 9) // 10),
         |tst AS (
         |  SELECT abs(CAST(b.v AS DOUBLE) - m.mu) AS r
         |  FROM base b JOIN mu m USING (segment) WHERE b.fold = 2)

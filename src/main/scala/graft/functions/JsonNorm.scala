@@ -42,9 +42,13 @@ object JsonNorm {
   /** Parse a raw JSON string column into the permissive node struct. */
   def parseGameNode(raw: Column): Column = from_json(raw, GameNodeSchema)
 
+  // get(arr, 0), not element_at(arr, 1): a node with a participants list
+  // but no entry for this side must yield null for the coalesce to try
+  // the next layout — element_at throws INVALID_ARRAY_INDEX under ANSI
+  // mode on the empty filter result, killing the batch on one bad row.
   private def participant(node: Column, side: String): Column =
-    element_at(filter(node.getField("participants"),
-      p => p.getField("side") === side), 1)
+    get(filter(node.getField("participants"),
+      p => p.getField("side") === side), lit(0))
 
   /** F26: flatten a parsed node to the canonical record. */
   def normalizeGameNode(node: Column): Column = {

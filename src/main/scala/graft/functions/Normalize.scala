@@ -61,19 +61,29 @@ object Normalize {
   def fuzzyRatio(a: Column, b: Column): Column = ratioUdf(a, b)
 
   /** Cheap codegen approximation of the ratio (SURVEY §4.2): Levenshtein-
-    * based, suitable for blocking/pre-filter before the exact UDF. */
+    * based, suitable for blocking/pre-filter before the exact UDF.
+    * Two empty strings are a perfect match (100) by definition — and the
+    * unguarded 0/0 produced NaN whose int cast THROWS under ANSI mode,
+    * where the exact ratio() it pre-filters for returns 100. */
   def fuzzyRatioApprox(a: Column, b: Column): Column =
-    round(lit(100.0) * (lit(1.0) -
-      levenshtein(a, b).cast("double") / greatest(length(a), length(b)))).cast("int")
+    when(greatest(length(a), length(b)) === 0,
+      when(a.isNotNull && b.isNotNull, lit(100)))
+      .otherwise(round(lit(100.0) * (lit(1.0) -
+        levenshtein(a, b).cast("double") /
+          greatest(length(a), length(b)))).cast("int"))
 
   /** F18 term lookup (term_mapper.py:96-121): synonym→canonical code as a
     * generated CASE ladder over a normalized column — broadcast-free,
     * codegen'd, rebuilt per batch from config. */
   def termLookup(c: Column, mapping: Map[String, String],
-                 default: Column = lit(null).cast("string")): Column = {
-    val n = normalizeForMatching(c)
-    mapping.foldRight(default) { case ((syn, canon), acc) =>
-      when(n === syn, canon).otherwise(acc)
+                 default: Column = lit(null).cast("string")): Column =
+    // Let-bound: inlining the normalize UDF into every CASE branch runs
+    // NFD + three regex replaces up to K times per row wherever codegen
+    // subexpression elimination doesn't apply (see graft.functions.Let's
+    // measured 5x note); bound, it evaluates once per row.
+    Let.bind(normalizeForMatching(c)) { n =>
+      mapping.foldRight(default) { case ((syn, canon), acc) =>
+        when(n === syn, canon).otherwise(acc)
+      }
     }
-  }
 }

@@ -183,9 +183,20 @@ object Parsing {
 
   /** F29 deterministic external id (flashscore_scraper.py:296 — semantic
     * key, NOT python hash()): sha2 over the natural key. */
-  def externalId(parts: Column*): Column = sha2(concat_ws("_", parts: _*), 256)
+  // Null parts get an explicit sentinel: concat_ws silently SKIPS nulls,
+  // so ("Arsenal", null, date) and ("Arsenal", date) would otherwise hash
+  // to the same id and upserts would overwrite the wrong row. Non-null
+  // inputs hash exactly as before.
+  def externalId(parts: Column*): Column =
+    sha2(concat_ws("_",
+      parts.map(p => coalesce(p.cast("string"), lit(" "))): _*), 256)
 
   /** Surrogate key for distributed get-or-create (SURVEY §7.3 hard part):
     * 64-bit hash of the natural key replaces SERIAL sequences. */
-  def surrogateId(parts: Column*): Column = xxhash64(concat_ws("", parts: _*))
+  // Parts are hashed as SEPARATE xxhash64 inputs (type-tagged, no
+  // concatenation), with a sentinel for nulls: concat_ws SKIPS null
+  // parts, so ("x", null) and ("x") hashed to the same surrogate and
+  // get-or-create silently merged distinct entities.
+  def surrogateId(parts: Column*): Column =
+    xxhash64(parts.map(p => coalesce(p.cast("string"), lit(" "))): _*)
 }

@@ -24,7 +24,12 @@ object TermConfig {
       .collect()
     rows.groupBy(_._1).map { case (cat, entries) =>
       cat -> entries.flatMap { case (_, code, syns) =>
-        (syns :+ code).map(s => normalizeKey(s) -> code)
+        // A config line may omit `synonyms` entirely (spark.read.json
+        // decodes it as null when other lines carry the column) or hold
+        // null elements — the code itself is then the sole synonym,
+        // never an NPE that aborts the vocabulary reload.
+        val safe = Option(syns).getOrElse(Seq.empty).filter(_ != null)
+        (safe :+ code).map(s => normalizeKey(s) -> code)
       }.toMap
     }
   }

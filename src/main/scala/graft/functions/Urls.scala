@@ -56,9 +56,15 @@ object Urls {
   def canonicalize(url: Column): Column = {
     val p = path(url)
     val q = cleanQuery(url)
-    concat(
-      lit("https://"), domain(url),
-      when(p === "", lit("/")).otherwise(p),
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    // Hostless input (relative URL, scheme-relative //host, garbage) must
+    // canonicalize to NULL, not to a shared "https:///" prefix — the old
+    // behavior dropped the real host of scheme-relative URLs and lumped
+    // every non-absolute input into one dedup bucket, silently discarding
+    // distinct pages as "duplicates" of each other.
+    when(domain(url) === "", lit(null).cast("string"))
+      .otherwise(concat(
+        lit("https://"), domain(url),
+        when(p === "", lit("/")).otherwise(p),
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 }

@@ -212,9 +212,13 @@ object Eval {
       .join(broadcast(mu), "segment")
       .select(col("o_orderkey"),
         abs(col("v").cast("double") - col("mu")).as("r"))
+    // CEILING index ⌈0.9·(n+1)⌉ — the finite-sample-valid split-conformal
+    // quantile; the floor picked one order statistic too small whenever
+    // 9·(n+1) ∤ 10, degrading the promised ≥90% coverage to ~⌊·⌋/(n+1)
+    // (e.g. 18/21 = 85.7% at n=20). Integer form: (a + 9) div 10 = ⌈a/10⌉.
     val qhat = Ranking.distributedGlobalRank(cal,
         Seq(col("r").asc, col("o_orderkey").asc), rankCol = "rk", nCol = "__n")
-      .filter(col("rk") === expr("(9 * (__n + 1)) div 10"))
+      .filter(col("rk") === expr("(9 * (__n + 1) + 9) div 10"))
       .select(col("r").as("q_hat"), col("__n").as("n_cal"))
     base.filter(col("fold") === 2L)
       .join(broadcast(mu), "segment")
@@ -320,9 +324,14 @@ object Eval {
     * IEEE ops over the exact winner counts. */
   def youdenQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val per = scoredLabels(spark, dir)
-      .groupBy("v")
-      .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b"))
+    // Materialized once: `per` feeds BOTH the cumsum and the totals —
+    // as sibling lazy branches the totals aggregate re-ran the whole
+    // scoredLabels scan (orders⋈lineitem) a second time per query.
+    val per = graft.scale.Silver.scratch(
+      scoredLabels(spark, dir)
+        .groupBy("v")
+        .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b")),
+      "youden_per")
     val cum = Ranking.distributedCumSum(per, Seq(col("v").desc), Seq("a", "b"))
     val tot = per.agg(sum(col("a")).as("n_pos"), sum(col("b")).as("n_neg"))
     cum.crossJoin(broadcast(tot))

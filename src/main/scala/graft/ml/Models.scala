@@ -107,7 +107,13 @@ object Models {
     val indexer = new StringIndexer()
       .setInputCol(labelCol).setOutputCol("label")
       .setStringOrderType("alphabetAsc")
-    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("toks")
+    // Null text (failed extraction — routine in curation data) NPEs
+    // inside Tokenizer's udf with no handleInvalid escape hatch; coalesce
+    // to "" ahead of it so one bad row cannot fail the whole transform.
+    val denull = new org.apache.spark.ml.feature.SQLTransformer()
+      .setStatement(
+        s"SELECT *, coalesce($textCol, '') AS __text_nn FROM __THIS__")
+    val tok = new Tokenizer().setInputCol("__text_nn").setOutputCol("toks")
     val tf = new HashingTF()
       .setInputCol("toks").setOutputCol("tf").setNumFeatures(numFeatures)
     val idf = new IDF().setInputCol("tf").setOutputCol("features")
@@ -115,6 +121,6 @@ object Models {
       .setLabelCol("label").setFeaturesCol("features")
       .setProbabilityCol("probability")
       .setMaxIter(40).setRegParam(1e-3)
-    new Pipeline().setStages(Array(indexer, tok, tf, idf, lr))
+    new Pipeline().setStages(Array(indexer, denull, tok, tf, idf, lr))
   }
 }

@@ -154,7 +154,10 @@ class ParsingSpec extends SparkSpec {
       Urls.canonicalize(lit("not a url")),
       Urls.domain(lit("https://site.org/x")))
     assert(bare.getString(0) == "https://site.org/")
-    assert(bare.getString(1) == "https:///")  // non-URL degrades, no throw
+    // non-URL input canonicalizes to NULL (no throw) — the old shared
+    // "https:///" prefix lumped every hostless input into one dedup
+    // bucket, silently dropping distinct pages as duplicates
+    assert(bare.isNullAt(1))
     assert(bare.getString(2) == "site.org")
     // tracking variants of one page share a canonical key (the dedup point)
     val pair = evalExpr(
