@@ -752,7 +752,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt,
         |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
         |       count(DISTINCT user_id) AS user_cnt,
-        |       CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS k_avg
+        |       CAST(CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / count(CAST(props->>'k' AS BIGINT)) AS k_avg
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -3419,7 +3420,7 @@ object SparkEntry {
         |     v AS (SELECT user_id, epoch_ms(ts) AS ts_ms
         |           FROM events WHERE event_type = 'view'),
         |j AS (
-        |  SELECT (p.ts_ms // 86400000 + 4) % 7 AS dow,
+        |  SELECT (p.ts_ms // 86400000 + 3) % 7 AS dow,
         |         p.ts_ms - v.ts_ms AS lag_ms
         |  FROM p ASOF JOIN v
         |    ON p.user_id = v.user_id AND v.ts_ms < p.ts_ms)
@@ -3433,7 +3434,7 @@ object SparkEntry {
     // Weekday seasonality: per-(type, dow) counts + share of type total.
     "q_seasonality" ->
       """WITH cells AS (
-        |  SELECT event_type, (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+        |  SELECT event_type, (epoch_ms(ts) // 86400000 + 3) % 7 AS dow,
         |         CAST(count(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, sum(cnt) AS total FROM cells GROUP BY 1)
@@ -3622,7 +3623,7 @@ object SparkEntry {
         |  FROM events GROUP BY user_id),
         |h AS (SELECT max(last_day) AS max_day FROM u)
         |SELECT user_id, last_day, n_events,
-        |       last_day < max_day - 30 AS churned
+        |       last_day <= max_day - 30 AS churned
         |FROM u, h
         |ORDER BY user_id""".stripMargin,
 
@@ -3891,13 +3892,16 @@ object SparkEntry {
         |       FROM cls GROUP BY w),
         |ch AS (SELECT sh.w, CAST(count(*) AS BIGINT) AS n_churned
         |       FROM sh LEFT JOIN uw ON sh.user_id = uw.user_id AND sh.w = uw.w
-        |       WHERE uw.user_id IS NULL GROUP BY sh.w)
+        |       WHERE uw.user_id IS NULL GROUP BY sh.w),
+        |b AS (SELECT max(w) AS wmax FROM uw)
         |SELECT COALESCE(c1.w, ch.w) AS w,
         |       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
         |       CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
         |       CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
         |       CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
-        |FROM c1 FULL OUTER JOIN ch ON c1.w = ch.w
+        |FROM c1 FULL OUTER JOIN ch ON c1.w = ch.w CROSS JOIN b
+        |-- clipped to the corpus horizon (no phantom churn week)
+        |WHERE COALESCE(c1.w, ch.w) <= b.wmax
         |ORDER BY w""".stripMargin,
 
     // Trailing-window stickiness: constant-factor window fan-out +
@@ -3916,9 +3920,10 @@ object SparkEntry {
         |  FROM (SELECT user_id, unnest(generate_series(day, day + 27)) AS anchor
         |        FROM ud)
         |  GROUP BY 1)
-        |SELECT w7.anchor AS day, wau, mau,
-        |       CAST(wau AS DOUBLE) / mau AS stickiness
-        |FROM w7 JOIN w28 USING (anchor) CROSS JOIN b
+        |-- w28 is the spine; a 7-day-silent anchor reports wau=0, not a hole
+        |SELECT w28.anchor AS day, COALESCE(wau, 0) AS wau, mau,
+        |       CAST(COALESCE(wau, 0) AS DOUBLE) / mau AS stickiness
+        |FROM w28 LEFT JOIN w7 USING (anchor) CROSS JOIN b
         |WHERE anchor >= b.d0 AND anchor <= b.d1
         |ORDER BY day""".stripMargin,
 
@@ -5739,7 +5744,7 @@ object SparkEntry {
         |    SELECT unnest(generate_series(-3, 3)) AS off) o
         |  GROUP BY 1 HAVING count(*) = 7),
         |r AS (
-        |  SELECT (day + 4) % 7 AS dow, v * 7 - s7 AS resid7
+        |  SELECT (day + 3) % 7 AS dow, v * 7 - s7 AS resid7
         |  FROM daily JOIN s7 ON day = center)
         |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
         |       CAST(sum(resid7) AS BIGINT) AS sum_resid7,
@@ -12496,7 +12501,12 @@ object SparkEntry {
       |p AS MATERIALIZED (
       |  SELECT c.src, c.dst, c.c, r.r
       |  FROM c JOIN (SELECT src, CAST(sum(c) AS BIGINT) AS r
-      |               FROM c GROUP BY 1) r USING (src)),
+      |               FROM c GROUP BY 1) r USING (src)
+      |  UNION ALL
+      |  -- sink states (dst-only): self-loop so their mass is retained
+      |  SELECT DISTINCT dst AS src, dst, CAST(1 AS BIGINT) AS c,
+      |         CAST(1 AS BIGINT) AS r
+      |  FROM c WHERE dst NOT IN (SELECT src FROM c)),
       |s AS MATERIALIZED (
       |  SELECT DISTINCT t
       |  FROM (SELECT src AS t FROM c UNION ALL SELECT dst FROM c)),

@@ -51,11 +51,18 @@ object AsOfJoin {
       lit(leftPrio).as("__prio"), lit(0L).as("__tie"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(payloadType).as("__r"))
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(rightPrio).as("__prio"), tieb.cast("long").as("__tie"),
-      lit(null).cast(l.schema("__l").dataType).as("__l"),
-      payloadStruct.as("__r"))
+    // Null-keyed RIGHT rows are dropped: Window.partitionBy groups all
+    // nulls into ONE partition, so without the filter a null-keyed left
+    // row would "match" any null-keyed right row — join semantics (and
+    // pandas merge_asof) say null never equals null. Null-keyed left
+    // rows stay and emit with null asof_* columns, as a left join would.
+    val r = right
+      .filter(col(rightKey).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(rightPrio).as("__prio"), tieb.cast("long").as("__tie"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        payloadStruct.as("__r"))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__prio").asc, col("__tie").asc)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,8 +64,12 @@ object EventOps {
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("k")).as("k_sum"),
-        countDistinct(col("user_id")).as("user_cnt"))
-      .withColumn("k_avg", col("k_sum").cast("double") / col("cnt"))
+        countDistinct(col("user_id")).as("user_cnt"),
+        // per-OBSERVATION average: dividing by all events treated every
+        // missing/unparsable $.k as 0, deflating the mean
+        count(col("k")).as("__k_cnt"))
+      .withColumn("k_avg", col("k_sum").cast("double") / col("__k_cnt"))
+      .drop("__k_cnt")
       .orderBy("event_type")
 
   /** K1+K10 — upsert with COALESCE column preservation: merge the
@@ -135,7 +139,7 @@ object EventOps {
     * the full log. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir).select("user_id", "event_type", "ts_ms")
-    def stage(df: DataFrame, typ: String, after: Option[DataFrame]): DataFrame = {
+    def stage(typ: String, after: Option[DataFrame]): DataFrame = {
       val base = e.filter(col("event_type") === typ)
       val gated = after match {
         case Some(prev) => base.join(prev, "user_id")
@@ -144,9 +148,9 @@ object EventOps {
       }
       gated.groupBy("user_id").agg(min(col("ts_ms")).as("stage_ms"))
     }
-    val views = stage(e, "view", None)
-    val clicks = stage(e, "click", Some(views))
-    val purchases = stage(e, "purchase", Some(clicks))
+    val views = stage("view", None)
+    val clicks = stage("click", Some(views))
+    val purchases = stage("purchase", Some(clicks))
     views.agg(count(lit(1)).as("viewed"))
       .crossJoin(clicks.agg(count(lit(1)).as("clicked")))
       .crossJoin(purchases.agg(count(lit(1)).as("purchased")))
@@ -303,9 +307,18 @@ object EventOps {
         .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
         .agg(count(lit(1)).as("c")),
       "stationary_counts") // feeds P (every round) and the state spine
+    // Sink states (event types appearing only as dst, never src) get a
+    // self-loop row (c=r=1): without one, `p.join(x, "src")` DROPPED
+    // their mass every round and renormalization redistributed it — the
+    // opposite of a chain with an absorbing state, whose stationary mass
+    // concentrates there. Mirrored in the DuckDB unrolled-CTE oracle.
+    val sinks = counts.select(col("dst")).distinct()
+      .join(counts.select(col("src").as("dst")).distinct(), Seq("dst"), "left_anti")
+      .select(col("dst").as("src"), col("dst"), lit(1L).as("c"), lit(1L).as("r"))
     val p = graft.scale.Silver.materialize(
       counts.join(
-        counts.groupBy("src").agg(sum(col("c")).as("r")), "src"),
+        counts.groupBy("src").agg(sum(col("c")).as("r")), "src")
+        .unionByName(sinks),
       "stationary_p")
     val spine = counts.select(col("src").as("t"))
       .unionAll(counts.select(col("dst").as("t"))).distinct()
@@ -426,7 +439,7 @@ object EventOps {
     * SAME as-of join as [[purchasesWithPriorView]] (one union-sort pass,
     * no row multiplication). Purchases with no prior view are excluded
     * (stated policy — they have no lag). Day-of-week is computed as
-    * ((epoch_day + 4) mod 7, 0 = Monday) in plain integer arithmetic:
+    * ((epoch_day + 3) mod 7, 0 = Monday; epoch day 0 is a THURSDAY, so +3 lands it on 3) in plain integer arithmetic:
     * calendar functions differ across engines/locales, epoch arithmetic
     * cannot. `mean_ms` is exact integer division; the exact interpolated
     * median matches DuckDB's quantile_cont. */
@@ -443,7 +456,7 @@ object EventOps {
         strict = true)
       .filter(col("asof_ts_ms").isNotNull)
       .select(
-        pmod(expr("ts_ms div 86400000") + 4, lit(7)).as("dow"),
+        pmod(expr("ts_ms div 86400000") + 3, lit(7)).as("dow"),
         (col("ts_ms") - col("asof_ts_ms")).as("lag_ms"))
       .groupBy("dow")
       .agg(count(lit(1)).as("n"),
@@ -461,7 +474,7 @@ object EventOps {
   def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
     val cells = events(spark, dir)
       .groupBy(col("event_type"),
-        pmod(expr("ts_ms div 86400000") + 4, lit(7)).as("dow"))
+        pmod(expr("ts_ms div 86400000") + 3, lit(7)).as("dow"))
       .agg(count(lit(1)).as("cnt"))
     val totals = cells.groupBy("event_type").agg(sum(col("cnt")).as("total"))
     cells.join(broadcast(totals), "event_type")
@@ -478,12 +491,19 @@ object EventOps {
     * longs (floor(value·100)); the three ratios are single IEEE
     * divisions. The single-row output is the experiment-dashboard
     * shape. */
+  /** The experiment arm assignment — ONE definition shared by the lift
+    * measurement and its SRM guardrail: if these ever diverged (salt,
+    * substring width, modulus), the guardrail would silently validate a
+    * different assignment than the one producing the lift number. */
+  private def abArm(userId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("ab:"), userId)), 1, 15),
+      16, 10).cast("long"), lit(2))
+
   def abLift(spark: SparkSession, dir: String): DataFrame = {
     val p = events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(
-        pmod(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 15),
-          16, 10).cast("long"), lit(2)).as("arm"),
+        abArm(col("user_id")).as("arm"),
         floor(col("value") * 100).cast("long").as("cents"))
     p.agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
@@ -508,8 +528,7 @@ object EventOps {
     val users = events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id")).distinct()
-      .select(pmod(conv(substring(md5(concat(lit("ab:"), col("user_id"))),
-        1, 15), 16, 10).cast("long"), lit(2)).as("arm"))
+      .select(abArm(col("user_id")).as("arm"))
     users.agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
@@ -619,7 +638,10 @@ object EventOps {
       "churn_users") // feeds the horizon and the flagging
     val h = u.agg(max(col("last_day")).as("max_day"))
     u.crossJoin(broadcast(h))
-      .withColumn("churned", col("last_day") < col("max_day") - horizonDays)
+      // <= : "no activity in the corpus's final horizonDays days" means a
+      // user last seen ON day max_day - horizonDays has been silent for
+      // exactly horizonDays days and IS churned; strict < required 31.
+      .withColumn("churned", col("last_day") <= col("max_day") - horizonDays)
       .select("user_id", "last_day", "n_events", "churned")
       .orderBy("user_id")
   }
@@ -709,7 +731,14 @@ object EventOps {
         sum(col("is_resurrected")).as("n_resurrected"))
     val churned = shifted.join(uw, Seq("user_id", "w"), "left_anti")
       .groupBy("w").agg(count(lit(1)).as("n_churned"))
+    // Clipped to the corpus horizon: `shifted` extends one week past the
+    // last observed week, where EVERY final-week active would count as
+    // churned — a phantom 100%-churn row with no observation window
+    // behind it (right-censoring). Weeks beyond max(w) are not emitted.
+    val bounds = uw.agg(max(col("w")).as("wmax"))
     classified.join(churned, Seq("w"), "full_outer")
+      .crossJoin(broadcast(bounds))
+      .filter(col("w") <= col("wmax"))
       .select(col("w"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(col("n_retained"), lit(0L)).as("n_retained"),
@@ -737,8 +766,13 @@ object EventOps {
       .groupBy("anchor")
       .agg(countDistinct(col("user_id")).as(name))
     val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    windowed(7, "wau")
-      .join(windowed(28, "mau"), Seq("anchor"))
+    // The 28-day frame is the spine and the 7-day side joins LEFT with a
+    // 0 fallback: an anchor with monthly-but-no-weekly activity (a 7-day
+    // ingestion gap) must report wau=0, stickiness=0.0 — the inner join
+    // silently dropped those days, leaving holes in the time series.
+    windowed(28, "mau")
+      .join(windowed(7, "wau"), Seq("anchor"), "left")
+      .withColumn("wau", coalesce(col("wau"), lit(0L)))
       .crossJoin(broadcast(bounds))
       .filter(col("anchor") >= col("d0") && col("anchor") <= col("d1"))
       .withColumn("stickiness", col("wau").cast("double") / col("mau"))

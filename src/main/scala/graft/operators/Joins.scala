@@ -48,6 +48,10 @@ object Joins {
     * ASCII keys used here) and cut at `maxDist`. */
   def sortedNeighborhood(records: DataFrame, id: Column, name: Column,
                          w: Int = 2, maxDist: Int = 2): DataFrame = {
+    // w=0 would NOT mean "no pairs": sequence(rnk+1, rnk+0) defaults to
+    // step -1 (descending), emitting [rnk+1, rnk] — a bogus self-pair
+    // (dist 0, always kept) plus w=1 behavior. Reject instead.
+    require(w >= 1, s"sortedNeighborhood window must be >= 1 (got $w)")
     val ranked = Ranking.distributedGlobalRank(
         records.select(id.as("id"), name.as("name")),
         Seq(col("name").asc, col("id").asc), rankCol = "rnk", nCol = "__n")
