@@ -189,14 +189,18 @@ object Parsing {
   // inputs hash exactly as before.
   def externalId(parts: Column*): Column =
     sha2(concat_ws("_",
-      parts.map(p => coalesce(p.cast("string"), lit(" "))): _*), 256)
+      parts.map(p => coalesce(p.cast("string"), lit("\u0000"))): _*), 256)
 
   /** Surrogate key for distributed get-or-create (SURVEY §7.3 hard part):
     * 64-bit hash of the natural key replaces SERIAL sequences. */
   // Parts are hashed as SEPARATE xxhash64 inputs (type-tagged, no
-  // concatenation), with a sentinel for nulls: concat_ws SKIPS null
-  // parts, so ("x", null) and ("x") hashed to the same surrogate and
-  // get-or-create silently merged distinct entities.
+  // concatenation), with the same NUL sentinel as externalId for nulls:
+  // a plain-space sentinel would make ("x", null) and ("x", " ") mint
+  // the same surrogate — the silent-merge bug this exists to prevent.
+  // KEY-FORMAT BREAK (round 11→12): surrogates minted before the
+  // separate-input + NUL-sentinel form differ from today's values;
+  // get-or-create tables persisted under the old format must be rebuilt
+  // (re-mint from natural keys) before mixing with new batches.
   def surrogateId(parts: Column*): Column =
-    xxhash64(parts.map(p => coalesce(p.cast("string"), lit(" "))): _*)
+    xxhash64(parts.map(p => coalesce(p.cast("string"), lit("\u0000"))): _*)
 }

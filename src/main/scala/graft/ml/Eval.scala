@@ -113,7 +113,7 @@ object Eval {
     * integer weights the weighted sum is EXACT decimal arithmetic
     * (order-free), and the only IEEE ops are the final scale /
     * normalize divisions. */
-  private val NdcgWi: Seq[Long] = Seq(
+  private[graft] val NdcgWi: Seq[Long] = Seq(
     10000000000000000L, 6309297535714575L, 5000000000000000L,
     4306765580733931L, 3868528072345416L, 3562071871080222L,
     3333333333333333L, 3154648767857288L, 3010299956639812L,

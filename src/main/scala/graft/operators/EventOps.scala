@@ -439,7 +439,8 @@ object EventOps {
     * SAME as-of join as [[purchasesWithPriorView]] (one union-sort pass,
     * no row multiplication). Purchases with no prior view are excluded
     * (stated policy — they have no lag). Day-of-week is computed as
-    * ((epoch_day + 3) mod 7, 0 = Monday; epoch day 0 is a THURSDAY, so +3 lands it on 3) in plain integer arithmetic:
+    * [[graft.functions.EpochCal.dowFromEpochDay]] ((epoch_day + 3) mod 7,
+    * 0 = Monday — java.time-gated in ThirdSourceSpec) in plain integer arithmetic:
     * calendar functions differ across engines/locales, epoch arithmetic
     * cannot. `mean_ms` is exact integer division; the exact interpolated
     * median matches DuckDB's quantile_cont. */
@@ -456,7 +457,8 @@ object EventOps {
         strict = true)
       .filter(col("asof_ts_ms").isNotNull)
       .select(
-        pmod(expr("ts_ms div 86400000") + 3, lit(7)).as("dow"),
+        graft.functions.EpochCal.dowFromEpochDay(
+          expr("ts_ms div 86400000")).as("dow"),
         (col("ts_ms") - col("asof_ts_ms")).as("lag_ms"))
       .groupBy("dow")
       .agg(count(lit(1)).as("n"),
@@ -474,7 +476,8 @@ object EventOps {
   def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
     val cells = events(spark, dir)
       .groupBy(col("event_type"),
-        pmod(expr("ts_ms div 86400000") + 3, lit(7)).as("dow"))
+        graft.functions.EpochCal.dowFromEpochDay(
+          expr("ts_ms div 86400000")).as("dow"))
       .agg(count(lit(1)).as("cnt"))
     val totals = cells.groupBy("event_type").agg(sum(col("cnt")).as("total"))
     cells.join(broadcast(totals), "event_type")

@@ -83,9 +83,18 @@ object Merge {
     val old = new org.apache.hadoop.fs.Path(tableDir + ".old")
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     // Repair a swap that died between its two renames: the live dir is
-    // missing but a COMPLETE merged state sits in .next (it is only
-    // ever renamed after its write fully committed).
-    if (!fs.exists(live) && fs.exists(next)) fs.rename(next, live)
+    // missing but a COMPLETE merged state sits in .next. Completeness is
+    // proven by the committer's _SUCCESS marker, not by .next existing:
+    // on a FIRST-EVER batch that crashed mid-write, live never existed
+    // and .next is partial — promoting it would resurrect a torn table.
+    // A markerless .next is garbage either way (complete-but-unswapped
+    // states always carry the marker), so delete it and let checkpoint
+    // replay rebuild the batch.
+    if (fs.exists(next)) {
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
+      if (!fs.exists(live) && committed) fs.rename(next, live)
+      else if (!committed) fs.delete(next, true)
+    }
     if (fs.exists(old)) fs.delete(old, true)
 
     val b = batch.localCheckpoint(true)

@@ -383,7 +383,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("w_n"), sum(col("v")).as("s7"))
       .filter(col("w_n") === 7L) // full windows only (trims 3 days each end)
     daily.join(s7, col("day") === col("center"))
-      .select(((col("day") + 3) % 7).as("dow"),
+      .select(graft.functions.EpochCal.dowFromEpochDay(col("day")).as("dow"),
         (col("v") * 7 - col("s7")).as("resid7"))
       .groupBy("dow")
       .agg(count(lit(1)).as("n_days"),

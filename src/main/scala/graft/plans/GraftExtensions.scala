@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: plans TopKPerKeyNode as a partial/final
     // physical pair (see TopKPerKey.scala).
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // Zero-cost codegen split point for expression-heavy pipelines that
+    // would otherwise blow Janino's 64 KB method limit and fall back to
+    // interpreted mode (see CodegenBarrier.scala).
+    ext.injectPlannerStrategy(_ => CodegenBarrierStrategy)
   }
 }
 

@@ -140,7 +140,21 @@ object BundesligaCrawl {
     // first cut benched 4.5 s at sf0.1 for exactly this reason).
     // CollapseProject keeps expensive multiply-referenced aliases in
     // their own Project, so each stage evaluates once per row.
-    pages.select(
+    // Codegen-size control (r11 verdict item 3): the 21-field season_stats
+    // assembly — each field a regexp-extract/replace chain plus try_cast,
+    // plus the presence-CASE guard re-testing all 21 — generates more
+    // than Janino's 64 KB per-method limit as ONE projection, and Spark
+    // then RETRIES THE WHOLE STAGE INTERPRETED (the r11 sweep's one
+    // fallback, under q_career_stats): a silent throughput cliff at
+    // scale. Fix: compute the typed per-field values as named columns in
+    // TWO half-projections separated by [[graft.plans.CodegenBarrier]]s
+    // (each half ≈ 11 regex chains compiles fine), then assemble the
+    // struct + guard from cheap column refs. Values and semantics are
+    // bit-identical to the single-projection form — same expressions,
+    // same order, only the codegen unit boundaries move. The foldSlots
+    // stages need no barrier: higher-order `aggregate` is
+    // CodegenFallback, a natural codegen boundary already.
+    val tagged = pages.select(
         col(urlCol).as("player_url"),
         get(nameParts, lit(0)).as("first_name"),
         coalesce(trim(get(nameParts, lit(1))), lit("")).as("last_name"),
@@ -154,8 +168,23 @@ object BundesligaCrawl {
         careerStats(html).as("senior_career"))
       .withColumn("__ss_rowvals", foldSlots(col("__ss_rows"), lastWins = true))
       .withColumn("__ss_boxvals", foldSlots(col("__ss_boxes"), lastWins = false))
-      .withColumn("season_stats",
-        seasonStatsFromSlots(col("__ss_rowvals"), col("__ss_boxvals")))
+    val typedCols = SeasonStatMapping.zipWithIndex.map {
+      case ((_, name, isFloat), i) =>
+        val v = coalesce(get(col("__ss_rowvals"), lit(i)),
+          get(col("__ss_boxvals"), lit(i)))
+        (if (isFloat) statFloat(v) else statInt(v)).as(s"__sv_$name")
+    }
+    val (firstHalf, secondHalf) = typedCols.splitAt(SeasonStatMapping.length / 2)
+    val svNames = SeasonStatMapping.map { case (_, name, _) => s"__sv_$name" }
+    val withTyped = graft.plans.CodegenBarrier(
+        graft.plans.CodegenBarrier(tagged.select(col("*") +: firstHalf: _*))
+          .select(col("*") +: secondHalf: _*))
+    val seasonStruct = when(
+      svNames.map(c => col(c).isNotNull).reduce(_ || _),
+      struct(SeasonStatMapping.map { case (_, name, _) =>
+        col(s"__sv_$name").as(name) }: _*))
+    withTyped
+      .withColumn("season_stats", seasonStruct)
       .select("player_url", "first_name", "last_name", "position",
         "shirt_number", "nationality", "season_stats", "senior_career")
       .filter(col("first_name").isNotNull && col("first_name") =!= "")

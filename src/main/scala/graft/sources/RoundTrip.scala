@@ -449,12 +449,27 @@ object RoundTrip {
     * per nation; the write is `partitionBy` (one file per key) so no
     * row ever crosses the driver, and the inner object goes through
     * `to_json` for correct escaping. */
-  /** Written JSON scaffolding cached per (session, corpus): the files
-    * are a pure function of the nation table, so each Verify/Bench call
-    * re-writing (and leaking) a fresh temp dir was waste — one dir per
-    * corpus per JVM, registered for exit cleanup. */
+  /** Written JSON scaffolding cached per (session, corpus, content):
+    * the files are a pure function of the nation table, so each
+    * Verify/Bench call re-writing (and leaking) a fresh temp dir was
+    * waste — one dir per corpus content per JVM. The key folds in the
+    * nation table's content signature so an in-place rewrite of the
+    * corpus within one JVM misses the cache (same staleness guard as
+    * Dedup.cachedAudit). Cleanup is a real recursive delete in a
+    * shutdown hook — File.deleteOnExit on a non-empty directory is a
+    * no-op. */
   private val clubsJsonCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+    .empty[(SparkSession, String, Long), String]
+
+  private def deleteRecursivelyOnExit(root: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }))
 
   def clubsJsonFromNations(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
@@ -468,9 +483,11 @@ object RoundTrip {
       lit(",\n  \"active\": "),
       (pmod(col("n_nationkey"), lit(2)) === 0).cast("string"),
       lit("\n}"))
-    val tmp = clubsJsonCache.getOrElseUpdate((spark, dir), {
+    val sig = Tables.contentSignature(
+      java.nio.file.Paths.get(dir, "nation.parquet").toString)
+    val tmp = clubsJsonCache.getOrElseUpdate((spark, dir, sig), {
       val t = java.nio.file.Files.createTempDirectory("graft_clubs_json")
-      t.toFile.deleteOnExit()
+      deleteRecursivelyOnExit(t.toFile)
       n.select(col("n_nationkey").as("k"), doc.as("value"))
         .write.partitionBy("k").mode("overwrite").text(t.toString)
       t.toString

@@ -47,8 +47,32 @@ object BenchCompare {
     require(start >= 0, s"$path has no queries map")
     val body = txt.substring(start + "\"queries\":{".length,
       txt.indexOf('}', start))
-    """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+    // Mis-parse guards (r11 verdict): the substring-to-first-`}` device
+    // is only correct for a FLAT map. If the driver ever nests an
+    // object inside `queries`, the body truncates at the nested brace —
+    // fail loudly instead of silently comparing a prefix.
+    require(!body.contains('{'),
+      s"$path: queries map is not flat — substring parse would truncate")
+    val m = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // Cross-checks against the artifact's own bookkeeping where present:
+    // parsed count must equal n_timed, and the per-query sum must
+    // reproduce the headline total within rounding.
+    """"n_timed":(\d+)""".r.findFirstMatchIn(txt).foreach { nm =>
+      val n = nm.group(1).toInt
+      require(m.size == n,
+        s"$path: parsed ${m.size} queries but artifact says n_timed=$n")
+    }
+    for {
+      _ <- """"metric":"total"""".r.findFirstIn(txt)
+      vm <- """"value":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
+    } {
+      val v = vm.group(1).toDouble
+      val tol = math.max(0.5, 0.005 * v)
+      require(math.abs(m.values.sum - v) <= tol,
+        s"$path: queries sum ${m.values.sum} != headline value $v (tol $tol)")
+    }
+    m
   }
 
   final case class Delta(name: String, oldSec: Double, newSec: Double,

@@ -33,6 +33,40 @@ class BenchCompareSpec extends AnyFunSuite {
     assert(names.contains("q_exact_dups"), s"missing q_exact_dups in $names")
   }
 
+  private def artifact(body: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft_bench_artifact", ".json")
+    f.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(f, body)
+    f.toString
+  }
+
+  test("queriesMap fails loudly on a nested object inside queries") {
+    val p = artifact("""{"metric":"total","value":1.5,"unit":"sec",""" +
+      """"queries":{"q_a":{"stat":1.0},"q_b":0.5}}""")
+    val e = intercept[IllegalArgumentException](BenchCompare.queriesMap(p))
+    assert(e.getMessage.contains("not flat"), e.getMessage)
+  }
+
+  test("queriesMap fails loudly when parsed count disagrees with n_timed") {
+    val p = artifact("""{"metric":"total","value":1.5,"n_timed":3,""" +
+      """"queries":{"q_a":1.0,"q_b":0.5}}""")
+    val e = intercept[IllegalArgumentException](BenchCompare.queriesMap(p))
+    assert(e.getMessage.contains("n_timed"), e.getMessage)
+  }
+
+  test("queriesMap fails loudly when the per-query sum misses the headline") {
+    val p = artifact("""{"metric":"total","value":99.9,"n_timed":2,""" +
+      """"queries":{"q_a":1.0,"q_b":0.5}}""")
+    val e = intercept[IllegalArgumentException](BenchCompare.queriesMap(p))
+    assert(e.getMessage.contains("headline"), e.getMessage)
+  }
+
+  test("queriesMap accepts the real driver artifacts (guards are calibrated)") {
+    assert(BenchCompare.queriesMap("BENCH.json").nonEmpty)
+    assert(BenchCompare.queriesMap(
+      "src/test/resources/bench_r10_driver.json").size == 433)
+  }
+
   test("a genuine order-of-magnitude regression would flag") {
     val base = BenchCompare.queriesMap(
       "src/test/resources/bench_r9_committed.json")

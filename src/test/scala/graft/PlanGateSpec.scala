@@ -164,6 +164,56 @@ class PlanGateSpec extends SparkSpec {
         s"$q top-k degenerated to a full sort:\n${plans(q)}")
   }
 
+  test("unpartitioned windows only over provably bounded frames") {
+    // A WindowExec with no partition spec moves ALL input rows to one
+    // reducer — correct only when the input is bounded by construction
+    // (a sufficient-statistics frame whose row count is domain-sized,
+    // not corpus-sized). Every such window must be whitelisted here WITH
+    // its bound; a new global-ordered window over corpus-sized data
+    // fails this gate. Detection: WindowExec renders as
+    //   Window [exprs], [partitionSpec], [orderSpec]   (partitioned)
+    //   Window [exprs], [orderSpec]                    (unpartitioned)
+    // so an unpartitioned window line has exactly one top-level "], ["
+    // separator (the separator string cannot occur inside an expression
+    // list — expressions join with ", ").
+    val boundedByConstruction = Map(
+      // stated bound = the largest input the window can ever see
+      // (verified in source at the cited sites; corpus-size-invariant)
+      "q_bh_fdr" -> "per-brand p-value frame, |brands| = 25 (Distribution.brandPValues)",
+      "q_holm" -> "same 25-row per-brand p-value frame as q_bh_fdr",
+      "q_drawdown" -> "calendar-bounded daily frame (cummax over |days|, TimeSeries.drawdownQuery)",
+      "q_peaks" -> "calendar-bounded daily frame (lag/lead over |days|, TimeSeries.peaksQuery)",
+      "q_hodges_lehmann" -> "bounded +/-49 difference domain, <=99 rows (Distribution.hodgesLehmann)",
+      "q_rrf" -> "two top-50 retrieval frames, <=50 rows each (Search.rrfQuery)",
+      "q_zipf" -> "top-30 token frame (TextAnalysis.zipfQuery)",
+      "q_pr_curve" -> "rank-filtered k<=50 frame below the running-tp window (Eval.prCurveQuery)")
+    val winLine = "(?m)^.*\\bWindow \\[.*$".r
+    val offenders = staticPlans.flatMap { case (name, plan) =>
+      val unpartitioned = winLine.findAllIn(plan).exists { line =>
+        // count top-level "], [" separators on this operator line
+        "\\], \\[".r.findAllIn(line).size <= 1
+      }
+      if (unpartitioned && !boundedByConstruction.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unproven input in: ${offenders.toList.sorted}")
+  }
+
+  test("q_career_stats executes end-to-end with codegen fallback disabled") {
+    // The S14 HTML-parse pipeline was the r11 sweep's one Janino
+    // "code grows beyond 64 KB" whole-stage fallback: results were
+    // right but the stage silently ran interpreted — a real throughput
+    // tax at scale. After the CodegenBarrier split (BundesligaCrawl
+    // .playersFromPages), every unit compiles; this gate executes the
+    // query with fallback DISABLED so any future >64 KB codegen unit
+    // throws here instead of degrading silently in production.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.codegen.fallback", "false")
+    val n = SparkEntry.queries("q_career_stats")(iso, TestSpark.Sf0001).count()
+    assert(n > 0, "q_career_stats returned no rows under codegen-strict mode")
+  }
+
   test("late-batch one-row stat frames broadcast back, never shuffle-join") {
     // the perm-test/fleiss/neyman style: a one-row (or dimension-sized)
     // totals frame must come back as a broadcast, not re-shuffle facts

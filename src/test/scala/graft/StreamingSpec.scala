@@ -582,4 +582,25 @@ class StreamingSpec extends SparkSpec {
       .select("external_id").collect().map(_.getString(0)).sorted
     assert(keys.length == 2, s"crash recovery lost state: ${keys.mkString(",")}")
   }
+
+  test("parquetUpsert discards a torn .next (no _SUCCESS) instead of promoting it") {
+    val base = Files.createTempDirectory("graft_torncrash").toString
+    val tableDir = base + "/state"
+    def batchOf(home: String) = LiveScores.normalize(Seq(
+      RawScore(home, "Y", "1-0", "FT", "90", "flash", ts("2024-01-02 20:00:00")))
+      .toDF())
+    // Simulate a FIRST-EVER batch that died mid-write: live never
+    // existed, .next holds a torn parquet write with no _SUCCESS marker.
+    // Promoting it would resurrect a corrupt table; the repair must
+    // delete it and let the incoming batch rebuild from empty.
+    val next = new java.io.File(tableDir + ".next")
+    assert(next.mkdirs(), "test setup: could not create torn .next")
+    java.nio.file.Files.write(next.toPath.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // truncated magic, unreadable
+    LiveScores.upsertBatch(spark, batchOf("A"), tableDir)
+    val keys = spark.read.parquet(tableDir)
+      .select("external_id").collect().map(_.getString(0))
+    assert(keys.length == 1, s"torn .next leaked into live: ${keys.mkString(",")}")
+    assert(!next.exists(), "torn .next should have been deleted")
+  }
 }

@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Third-source invariant checks for the shared engine+oracle formula
+  * surface (r11 verdict, "What's wrong" #1 → "Next" #2).
+  *
+  * The blind spot these tests close: any constant or formula authored
+  * once and MIRRORED into the DuckDB oracle SQL is invisible to the
+  * hash-compare correctness gate — engine and oracle agree on every row
+  * while both are wrong. The historical instance: the day-of-week
+  * encoding shipped as `(epoch_day + 4) mod 7` on BOTH sides for ten
+  * rounds; every dow label was one day off and 434/434 stayed green. It
+  * was found by code review, not by the gate.
+  *
+  * The defense is an INDEPENDENT implementation nobody mirrored:
+  *  - calendar facts against `java.time` (dow, epoch-day arithmetic,
+  *    leap days, week buckets, age anniversaries);
+  *  - published test vectors where they exist (Winkler's 1990 name
+  *    pairs for Jaro-Winkler, archival Soundex codes, the classic
+  *    4×4 Morton/Hilbert curve tables);
+  *  - spec-local recomputation in plain Scala for formula families
+  *    (BM25, NDCG discounts) — same published formula, separately
+  *    authored arithmetic, so a transcription error on the engine side
+  *    no longer has an identically-transcribed oracle to hide behind.
+  *
+  * Reverting the dow fix (+3 → +4 in EpochCal.dowFromEpochDay) makes
+  * this suite fail — measured, see SCALE.md round-12 ledger — which is
+  * exactly the catch CORRECTNESS_r*.json could never make.
+  */
+class ThirdSourceSpec extends SparkSpec {
+
+  import java.time.{Duration, LocalDate}
+
+  // ---- calendar facts vs java.time ---------------------------------
+
+  test("epoch day 0 is a Thursday and the dow encoding lands it on 3") {
+    // the premise behind the +3 in (epoch_day + 3) mod 7, 0 = Monday
+    assert(LocalDate.ofEpochDay(0).getDayOfWeek == java.time.DayOfWeek.THURSDAY)
+    val r = evalExpr(graft.functions.EpochCal.dowFromEpochDay(lit(0L)))
+    assert(r.getLong(0) == 3L, s"dow(epoch day 0) = ${r.getLong(0)}, want 3 (Thursday)")
+  }
+
+  test("dow encoding matches java.time over a 60-year day sample (incl. pre-epoch)") {
+    import spark.implicits._
+    // every residue class × many weeks, plus negative (pre-epoch) days
+    // where a naive % would differ from pmod
+    val days = ((-1000L to 24000L by 97L) ++ Seq(-1L, 0L, 1L, 6L, 7L)).toSeq
+    val got = days.toDF("day")
+      .select(col("day"),
+        graft.functions.EpochCal.dowFromEpochDay(col("day")).as("dow"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    days.foreach { d =>
+      // java.time: MONDAY=1 … SUNDAY=7; engine encodes MONDAY=0 … SUNDAY=6
+      val want = LocalDate.ofEpochDay(d).getDayOfWeek.getValue - 1L
+      assert(got(d) == want,
+        s"dow(epoch day $d = ${LocalDate.ofEpochDay(d)}): engine ${got(d)}, java.time $want")
+    }
+  }
+
+  test("the inline epoch-day formula matches LocalDate.toEpochDay (incl. leap days)") {
+    // `unix_millis(cast(d as timestamp)) div 86400000` — the bucket
+    // formula written verbatim at dozens of engine sites AND in the
+    // oracle SQL (epoch_ms(ts) // 86400000). Third source: java.time's
+    // proleptic-Gregorian day count, which also pins month lengths and
+    // the leap-year rule. Valid because the session timezone is UTC
+    // (GraftSession) — a timezone drift would shift every bucket and
+    // fail here.
+    val dates = Seq("1970-01-01", "1970-01-02", "1969-12-31", "1992-02-29",
+      "1996-02-29", "2000-02-29", "1900-03-01", "1998-08-17", "1995-06-15",
+      "1992-01-31", "1992-03-01", "1997-12-31", "2024-02-29", "2030-11-05")
+    dates.foreach { d =>
+      val got = evalExpr(
+        expr(s"unix_millis(cast(date'$d' as timestamp)) div 86400000")).getLong(0)
+      val want = LocalDate.parse(d).toEpochDay
+      assert(got == want, s"epoch day of $d: engine $got, java.time $want")
+    }
+  }
+
+  test("ms-per-day and ms-per-week constants match java.time durations") {
+    assert(graft.functions.EpochCal.DayMs == Duration.ofDays(1).toMillis)
+    assert(graft.functions.EpochCal.WeekMs == Duration.ofDays(7).toMillis)
+  }
+
+  test("the week-bucket formula is floorDiv(epochDay, 7) with Thursday-epoch weeks") {
+    // `epoch_ms // 604800000` (oracle) / `div 604800000` (engine):
+    // weeks are epoch-aligned, so week 0 starts Thursday 1970-01-01 and
+    // week boundaries fall every 7 epoch days — NOT ISO weeks. Third
+    // source: java.time day count + Math.floorDiv.
+    val dates = Seq("1970-01-01", "1970-01-07", "1970-01-08", "1969-12-25",
+      "1992-02-29", "1998-08-17", "2024-02-29")
+    dates.foreach { d =>
+      val got = evalExpr(
+        expr(s"unix_millis(cast(date'$d' as timestamp)) div 604800000")).getLong(0)
+      val want = Math.floorDiv(LocalDate.parse(d).toEpochDay, 7L)
+      assert(got == want, s"week bucket of $d: engine $got, java.time $want")
+    }
+  }
+
+  test("ageYears matches java.time Period on ordinary anniversaries") {
+    // F16's SQL semantics (months_between/12, floored) and java.time's
+    // Period.between agree everywhere except the Feb-29-birthday
+    // month-end corner (SQL's both-month-ends rule counts 2000-02-29 →
+    // 2023-02-28 as a full 23 years, Period as 22y11m30d) — that corner
+    // is the reference's documented behavior, so it is excluded here
+    // and the agreement surface is everything else.
+    val cases = Seq(
+      ("2000-06-15", "2024-06-14"), ("2000-06-15", "2024-06-15"),
+      ("2000-06-15", "2024-06-16"), ("1987-01-02", "2024-01-01"),
+      ("1987-01-02", "2024-01-02"), ("1999-12-31", "2024-12-30"),
+      ("2004-02-28", "2024-02-27"), ("2004-02-28", "2024-02-28"),
+      ("2004-03-01", "2024-02-29"), ("1970-01-01", "2024-08-16"))
+    cases.foreach { case (birth, asOf) =>
+      val got = evalExpr(graft.functions.Parsing.ageYears(
+        to_date(lit(birth)), to_date(lit(asOf)))).getInt(0)
+      val want = java.time.Period.between(
+        LocalDate.parse(birth), LocalDate.parse(asOf)).getYears
+      assert(got == want, s"age($birth, $asOf): engine $got, java.time $want")
+    }
+  }
+
+  // ---- Jaro-Winkler: Winkler's published name pairs -----------------
+
+  private def jw(a: String, b: String): Double =
+    evalExpr(expr(s"graft_jaro_winkler('$a', '$b')")).getDouble(0)
+
+  test("Jaro-Winkler reproduces Winkler's published name-pair values") {
+    // the canonical vectors from Winkler (1990) / the string-matching
+    // literature, to 4 decimals
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611) < 5e-4,
+      s"MARTHA/MARHTA = ${jw("MARTHA", "MARHTA")}, published 0.9611")
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133) < 5e-4,
+      s"DIXON/DICKSONX = ${jw("DIXON", "DICKSONX")}, published 0.8133")
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400) < 5e-4,
+      s"DWAYNE/DUANE = ${jw("DWAYNE", "DUANE")}, published 0.8400")
+    assert(jw("IDENTICAL", "IDENTICAL") == 1.0)
+    assert(jw("ABC", "XYZ") == 0.0, "zero-match pair must score 0")
+  }
+
+  // ---- Soundex: archival known-answer codes --------------------------
+
+  test("phoneticKey reproduces archival Soundex codes (H/W-free names)") {
+    // classic published vectors that do not exercise the H/W
+    // transparency rule (phoneticKey documents that ONE deliberate
+    // divergence; everything else must match the archival algorithm,
+    // including first-letter run collapse: PF → one code in Pfister)
+    val want = Map("Robert" -> "R163", "Rupert" -> "R163",
+      "Pfister" -> "P236", "Jackson" -> "J250", "Honeyman" -> "H555")
+    want.foreach { case (name, code) =>
+      val got = evalExpr(
+        graft.operators.EntityResolution.phoneticKey(lit(name))).getString(0)
+      assert(got == code, s"soundex($name): engine $got, archival $code")
+    }
+  }
+
+  // ---- NDCG: discount weights vs an independent log2 ----------------
+
+  test("NDCG discount integers equal round(1e16 / log2(rank+1))") {
+    // Eval.NdcgWi pins ⌊10^16/log₂(i+1)⌉ as integers (the
+    // FMA-divergence device). Recompute each from java.lang.Math.log —
+    // a separate log implementation — allowing ±4 ulp-of-the-16th-digit
+    // for the recomputation's own rounding. A wrong rank offset or
+    // log base lands ~10^15 away, far outside the tolerance.
+    graft.ml.Eval.NdcgWi.zipWithIndex.foreach { case (w, i) =>
+      val log2 = Math.log(i + 2.0) / Math.log(2.0)
+      val want = (BigDecimal(10).pow(16) / BigDecimal(log2))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(math.abs(w - want) <= 4L,
+        s"NdcgWi($i) = $w, independent recompute $want")
+    }
+  }
+
+  test("the pinned weights reproduce a hand-computed 3-document DCG") {
+    // rels (3, 2, 1) at ranks 1..3: DCG = 3/1 + 2/log2(3) + 1/2
+    val wi = graft.ml.Eval.NdcgWi
+    val viaWeights = (3.0 * wi(0) + 2.0 * wi(1) + 1.0 * wi(2)) / 1e16
+    val byHand = 3.0 + 2.0 / (Math.log(3.0) / Math.log(2.0)) + 0.5
+    assert(math.abs(viaWeights - byHand) < 1e-9,
+      s"3-doc DCG via weights $viaWeights, by hand $byHand")
+  }
+
+  // ---- BM25: textbook toy corpus, spec-local recomputation ----------
+
+  test("BM25 matches an independently computed toy-corpus ranking") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "spark makes window functions fast",
+      2L -> "hash join hash agg",
+      3L -> "window window window")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = graft.scale.Search.bm25(docs, Seq("spark", "window", "hash"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent arithmetic: Robertson BM25 with the engine's
+    // documented log-free rational idf, K1 = 1.2, B = 0.75
+    val dl = texts.view.mapValues(_.split(" ").length.toDouble).toMap
+    val n = texts.size.toDouble
+    val avgdl = dl.values.sum / n
+    def tf(d: Long, t: String) = texts(d).split(" ").count(_ == t).toDouble
+    def df(t: String) = texts.keys.count(d => tf(d, t) > 0).toDouble
+    def score(d: Long): Double = {
+      val s = Seq("spark", "window", "hash").map { t =>
+        val f = tf(d, t)
+        if (f == 0) 0.0
+        else {
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+          idf * (f * (graft.scale.Search.K1 + 1.0)) /
+            (f + graft.scale.Search.K1 *
+              (1.0 - graft.scale.Search.B + graft.scale.Search.B * dl(d) / avgdl))
+        }
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    texts.keys.foreach { d =>
+      assert(math.abs(got(d) - score(d)) < 2e-6,
+        s"bm25(doc $d): engine ${got(d)}, independent ${score(d)}")
+    }
+    // and the ranking the rational idf must preserve (ln is monotone)
+    assert(got.toSeq.sortBy(-_._2).map(_._1) ==
+      texts.keys.toSeq.sortBy(d => -score(d)),
+      "rank order diverged from the independent computation")
+  }
+
+  // ---- Morton & Hilbert: classic 4×4 curve tables --------------------
+
+  // bucket-exact inputs: with range [0, 4] and 2 bits, v/4*3 is exact
+  // IEEE for v ∈ {0, 1.5, 3, 4} → buckets {0, 1, 2, 3}
+  private val BucketVal = Map(0 -> 0.0, 1 -> 1.5, 2 -> 3.0, 3 -> 4.0)
+
+  test("Morton z-value reproduces the classic 4x4 interleave table") {
+    import spark.implicits._
+    // published z-curve order for a 4×4 grid, x in the even (least
+    // significant) bit positions — the standard bit-interleave table
+    val want = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (0, 1) -> 2L, (1, 1) -> 3L,
+      (2, 0) -> 4L, (3, 0) -> 5L, (2, 1) -> 6L, (3, 1) -> 7L,
+      (0, 2) -> 8L, (1, 2) -> 9L, (0, 3) -> 10L, (1, 3) -> 11L,
+      (2, 2) -> 12L, (3, 2) -> 13L, (2, 3) -> 14L, (3, 3) -> 15L)
+    val cells = want.keys.toSeq.map { case (x, y) =>
+      (x, y, BucketVal(x), BucketVal(y)) }
+    val got = cells.toDF("x", "y", "xv", "yv")
+      .select(col("x"), col("y"),
+        graft.scale.Layout.zvalue(Seq(col("xv"), col("yv")),
+          Seq((0.0, 4.0), (0.0, 4.0)), bits = 2).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    want.foreach { case (cell, z) =>
+      assert(got(cell) == z, s"morton$cell: engine ${got(cell)}, table $z")
+    }
+  }
+
+  test("Hilbert index matches an independent xy2d transliteration on the 4x4 grid") {
+    import spark.implicits._
+    // third source: the textbook iterative xy2d (Wikipedia's C version,
+    // transliterated here independently of the engine's staged-CASE form)
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var x = x0; var y = y0; var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) { // rotate: reflect over the FULL grid (n-1), then swap
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val cells = for (x <- 0 to 3; y <- 0 to 3) yield (x, y, BucketVal(x), BucketVal(y))
+    val got = graft.scale.Layout.hilbertIndex(
+        cells.toDF("x", "y", "xv", "yv"),
+        col("xv"), col("yv"), Seq((0.0, 4.0), (0.0, 4.0)), bits = 2)
+      .select("x", "y", "h")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (x <- 0 to 3; y <- 0 to 3) {
+      val want = xy2d(4, x, y)
+      assert(got((x, y)) == want,
+        s"hilbert($x,$y): engine ${got((x, y))}, xy2d $want")
+    }
+    // sanity on the third source itself: a Hilbert index visits every
+    // cell exactly once
+    assert((0 to 3).flatMap(x => (0 to 3).map(y => xy2d(4, x, y))).sorted
+      == (0L to 15L), "transliterated xy2d is not a permutation")
+  }
+}
