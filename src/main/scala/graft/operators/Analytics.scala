@@ -21,6 +21,19 @@ import graft.sources.Tables
   */
 object Analytics {
 
+  /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+    * shortest-round-trip doubles — the IDENTICAL literal strings appear
+    * in the q_benford_gof oracle SQL, so both parsers round them to the
+    * same double. Exposed private[graft] so ThirdSourceSpec can check
+    * each value against an independent Math.log10 (the shared-formula
+    * third-source defense). */
+  private[graft] val BenfordP: Seq[(String, Double)] = Seq(
+    ("1", 0.3010299956639812), ("2", 0.17609125905568124),
+    ("3", 0.12493873660829992), ("4", 0.09691001300805642),
+    ("5", 0.07918124604762482), ("6", 0.06694678963061322),
+    ("7", 0.05799194697768673), ("8", 0.05115252244738129),
+    ("9", 0.04575749056067514))
+
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
   private def dec4(c: Column): Column = c.cast("decimal(18,4)")
 
@@ -1082,15 +1095,7 @@ object Analytics {
   def benfordGof(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    // log10(1 + 1/d), d = 1..9, shortest round-trip representations —
-    // the IDENTICAL literal strings appear in the oracle SQL, and both
-    // parsers round them to the same double.
-    val benford = Seq(
-      ("1", 0.3010299956639812), ("2", 0.17609125905568124),
-      ("3", 0.12493873660829992), ("4", 0.09691001300805642),
-      ("5", 0.07918124604762482), ("6", 0.06694678963061322),
-      ("7", 0.05799194697768673), ("8", 0.05115252244738129),
-      ("9", 0.04575749056067514)).toDF("digit", "p")
+    val benford = Analytics.BenfordP.toSeq.toDF("digit", "p")
     val digits = Tables.orders(spark, dir)
       .select(substring(floor(col("o_totalprice")).cast("long")
         .cast("string"), 1, 1).as("digit"))

@@ -21,6 +21,15 @@ object Distribution {
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,2)") * 100).cast("long")
 
+  /** Pinned z-quantile constants shared verbatim with the oracle SQL
+    * (z-quantiles are not portable cross-engine functions). Exposed
+    * private[graft] so ThirdSourceSpec can check each against an
+    * independent inverse-normal / studentized-range computation. */
+  private[graft] val WilsonZ: Double = 1.96      // z_{0.975}, 2 dp
+  private[graft] val WilsonZ2: Double = 3.8416   // the decimal square of 1.96
+  private[graft] val MdeZSum: Double = 2.8       // z_{0.975} + z_{0.80}, 1 dp
+  private[graft] val TukeyQCrit: Double = 3.858  // q(alpha=.05, k=5, df=inf)
+
   /** Two-sample Kolmogorov–Smirnov distance between the order-price
     * distributions of two market segments (q_ks).
     *
@@ -856,7 +865,7 @@ object Distribution {
             col("n").cast("double")) /
           (col("n").cast("double") - lit(1.0))))
       .withColumn("mde_cents",
-        lit(2.8) * col("sd") * sqrt(lit(2.0) / col("n").cast("double")))
+        lit(MdeZSum) * col("sd") * sqrt(lit(2.0) / col("n").cast("double")))
       .select(col("segment"), col("n"),
         (col("mu") / lit(100.0)).as("mean_price"),
         (col("sd") / lit(100.0)).as("sd_price"),
@@ -1264,7 +1273,7 @@ object Distribution {
     * IEEE tree ending in the correctly-rounded sqrt. center ±
     * half-width over denom with p̂ = k/n, z² precomputed as 3.8416. */
   def wilsonQuery(spark: SparkSession, dir: String): DataFrame = {
-    val z2 = lit(3.8416) // 1.96^2, pinned literal in both engines
+    val z2 = lit(WilsonZ2) // 1.96^2, pinned literal in both engines
     val cells = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -1275,7 +1284,7 @@ object Distribution {
     val p = col("k").cast("double") / nD
     val denom = lit(1.0) + z2 / nD
     val center = p + z2 / (lit(2.0) * nD)
-    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+    val half = lit(WilsonZ) * sqrt(p * (lit(1.0) - p) / nD +
       z2 / (lit(4.0) * nD * nD))
     cells.select(col("brand"), col("k"), col("n"), p.as("rate"),
         ((center - half) / denom).as("lo"),
@@ -1757,7 +1766,7 @@ object Distribution {
     * self-joined into the 10 dimension-bounded pairs. */
   def tukeyQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val qCrit = 3.858
+    val qCrit = TukeyQCrit
     val o = Tables.orders(spark, dir)
       .select(cents(col("o_totalprice")).as("v"),
         substring(col("o_orderpriority"), 1, 1).cast("long").as("g"))

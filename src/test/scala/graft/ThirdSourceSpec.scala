@@ -222,6 +222,104 @@ class ThirdSourceSpec extends SparkSpec {
       "rank order diverged from the independent computation")
   }
 
+  // ---- pinned statistical constants vs independent computation ------
+
+  /** Acklam's rational approximation to the standard normal quantile
+    * (|relative error| < 1.15e-9) — an independent inverse-normal, no
+    * shared ancestry with any engine constant. */
+  private def invNorm(p: Double): Double = {
+    require(p > 0 && p < 1)
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -invNorm(1 - p)
+  }
+
+  /** Standard normal CDF via Abramowitz & Stegun 7.1.26 erf
+    * (|error| < 1.5e-7) — again independent of everything engine-side. */
+  private def phi(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x) / math.sqrt(2.0))
+    val y = 1 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t -
+      0.284496736) * t + 0.254829592) * t *
+      math.exp(-x * x / 2.0)
+    if (x >= 0) 0.5 * (1 + y) else 0.5 * (1 - y)
+  }
+
+  test("Benford probabilities equal log10(1 + 1/d) (independent Math.log10)") {
+    graft.operators.Analytics.BenfordP.foreach { case (digit, p) =>
+      val want = math.log10(1.0 + 1.0 / digit.toInt)
+      assert(math.abs(p - want) <= 2 * math.ulp(want),
+        s"Benford P($digit) = $p, Math.log10 gives $want")
+    }
+  }
+
+  test("Wilson interval constants: z = 1.96 is z_{0.975}; 3.8416 is its square") {
+    import graft.operators.Distribution.{WilsonZ, WilsonZ2}
+    assert(math.abs(WilsonZ - invNorm(0.975)) < 6e-4,
+      s"WilsonZ $WilsonZ vs independent z_{0.975} ${invNorm(0.975)}")
+    assert(math.abs(WilsonZ2 - WilsonZ * WilsonZ) < 1e-10,
+      s"WilsonZ2 $WilsonZ2 is not the square of $WilsonZ")
+  }
+
+  test("the MDE 2.8 constant is z_{0.975} + z_{0.80} to its pinned precision") {
+    val want = invNorm(0.975) + invNorm(0.80) // 2.8016 to 4 dp
+    assert(math.abs(graft.operators.Distribution.MdeZSum - want) < 5e-3,
+      s"MdeZSum 2.8 vs independent $want")
+  }
+
+  test("Tukey q-critical 3.858 puts 95% mass under the range of 5 standard normals") {
+    // df = infinity, k = 5: the studentized range reduces to the plain
+    // range of 5 iid N(0,1); P(R <= q) = 5 ∫ φ(z) [Φ(z+q) − Φ(z)]^4 dz.
+    // Simpson integration with the independent A&S normal above — a
+    // wrong table row (k or alpha) lands percent-level away, far outside
+    // the tolerance.
+    val q = graft.operators.Distribution.TukeyQCrit
+    def dens(z: Double): Double = {
+      val f = math.exp(-z * z / 2.0) / math.sqrt(2 * math.Pi)
+      5.0 * f * math.pow(phi(z + q) - phi(z), 4)
+    }
+    val (lo, hi, n) = (-9.0, 9.0, 3600)
+    val h = (hi - lo) / n
+    val pRange = (h / 3.0) * (dens(lo) + dens(hi) +
+      (1 until n).map(i => (if (i % 2 == 1) 4.0 else 2.0) * dens(lo + i * h)).sum)
+    assert(math.abs(pRange - 0.95) < 2e-3,
+      s"P(range of 5 normals <= $q) = $pRange, table says 0.95")
+  }
+
+  // ---- BPE: Sennrich's published toy corpus --------------------------
+
+  test("BPE training reproduces Sennrich's toy-corpus merge sequence") {
+    import spark.implicits._
+    // the corpus from Sennrich, Haddow & Birch (2016), §3.2:
+    // {'low':5, 'lower':2, 'newest':6, 'widest':3}. Expected first five
+    // merges with the </w> marker, recomputed by hand here: (e,s) 9,
+    // (es,t) 9, (est,</w>) 9, (l,o) 7, (lo,w) 7.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = graft.scale.Bpe.train(docs, numMerges = 5)
+    val got = merges.map(m => (m.left, m.right, m.pairCount))
+    val want = Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L))
+    assert(got == want, s"BPE merges: engine $got, Sennrich $want")
+  }
+
   // ---- Morton & Hilbert: classic 4×4 curve tables --------------------
 
   // bucket-exact inputs: with range [0, 4] and 2 bits, v/4*3 is exact
