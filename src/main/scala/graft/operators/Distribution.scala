@@ -30,6 +30,14 @@ object Distribution {
   private[graft] val MdeZSum: Double = 2.8       // z_{0.975} + z_{0.80}, 1 dp
   private[graft] val TukeyQCrit: Double = 3.858  // q(alpha=.05, k=5, df=inf)
 
+  /** Lan–DeMets O'Brien–Fleming spending boundaries for K = 5 equally
+    * spaced looks, two-sided alpha = 0.05 — the published group-
+    * sequential table (spending alpha*(t) = 4 − 4Φ(z_{alpha/4}/√t)).
+    * ThirdSourceSpec re-derives all five from first principles via the
+    * Armitage sub-density recursion. */
+  private[graft] val ObfBoundaries: Seq[Double] =
+    Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+
   /** Two-sample Kolmogorov–Smirnov distance between the order-price
     * distributions of two market segments (q_ks).
     *
@@ -2443,7 +2451,7 @@ object Distribution {
     * then a 5×5 slice≤look fan-out — dimension-sized). */
   def groupSequentialQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val boundaries = Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+    val boundaries = ObfBoundaries
     val day = expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
     val base = Tables.orders(spark, dir)
       .select(day.as("day"),

@@ -302,6 +302,82 @@ class ThirdSourceSpec extends SparkSpec {
       s"P(range of 5 normals <= $q) = $pRange, table says 0.95")
   }
 
+  test("O'Brien-Fleming boundaries re-derived from the Armitage recursion") {
+    // The five pinned group-sequential criticals (K = 5 equal looks,
+    // two-sided alpha = 0.05, Lan-DeMets OBF spending
+    // alpha*(t) = 4 - 4*Phi(z_{alpha/4}/sqrt(t))) are a published table.
+    // Re-derive every one from first principles: maintain the
+    // sub-density of the un-stopped sum process S_k on a grid
+    // (Armitage-McPherson-Rowe recursion), at each look solve the
+    // boundary b_k whose tail mass spends exactly alpha*(t_k) minus what
+    // earlier looks spent, and compare z_k = b_k/sqrt(k) to the pinned
+    // values. High-accuracy tail CDF via the Numerical-Recipes erfc
+    // rational (relative error < 1.2e-7 — the A&S absolute bound is too
+    // coarse for the 1e-6 first-look spend).
+    def erfcc(x: Double): Double = {
+      val z = math.abs(x); val t = 1.0 / (1.0 + 0.5 * z)
+      val ans = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 +
+        t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
+        t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
+        t * (-0.82215223 + t * 0.17087277)))))))))
+      if (x >= 0) ans else 2.0 - ans
+    }
+    def phiHi(x: Double): Double = 0.5 * erfcc(x / math.sqrt(2.0)) // 1 - Phi(x)
+    val alpha = 0.05; val k5 = 5
+    val zq = invNorm(1 - alpha / 4)
+    def spend(t: Double): Double = 4.0 * phiHi(zq / math.sqrt(t))
+
+    // grid over the sum-process domain
+    val h = 0.01; val lim = 14.0; val n = (2 * lim / h).toInt
+    val grid = Array.tabulate(n + 1)(i => -lim + i * h)
+    def gauss(x: Double): Double =
+      math.exp(-x * x / 2.0) / math.sqrt(2 * math.Pi)
+    // f = sub-density of S_k over the grid (starts as N(0,1))
+    var f = grid.map(gauss)
+    var spent = 0.0
+    val derived = (1 to k5).map { k =>
+      val target = spend(k.toDouble / k5) - spent
+      // tail mass of f outside +/-b — midpoint cells with FRACTIONAL
+      // coverage of the straddling cell, so the mass is continuous in b
+      // and bisection resolves the boundary below the grid step
+      val total = f.sum * h
+      def outside(b: Double): Double = {
+        val inside = grid.indices.map { i =>
+          val cellLo = grid(i) - h / 2; val cellHi = grid(i) + h / 2
+          val ovl = math.min(cellHi, b) - math.max(cellLo, -b)
+          if (ovl <= 0) 0.0 else f(i) * math.min(ovl, h)
+        }.sum
+        total - inside
+      }
+      // bisect b in [0, lim]
+      var loB = 0.0; var hiB = lim
+      (0 until 60).foreach { _ =>
+        val mid = (loB + hiB) / 2
+        if (outside(mid) > target) loB = mid else hiB = mid
+      }
+      val b = (loB + hiB) / 2
+      spent += outside(b)
+      // truncate at +/-b, then convolve with a standard normal increment
+      val trunc = grid.indices.map(i =>
+        if (math.abs(grid(i)) <= b) f(i) else 0.0).toArray
+      f = Array.tabulate(n + 1) { j =>
+        var acc = 0.0; var i = 0
+        while (i <= n) {
+          val d = grid(j) - grid(i)
+          if (math.abs(d) < 8.0) acc += trunc(i) * gauss(d)
+          i += 1
+        }
+        acc * h
+      }
+      b / math.sqrt(k.toDouble)
+    }
+    graft.operators.Distribution.ObfBoundaries.zip(derived).zipWithIndex
+      .foreach { case ((pinned, got), i) =>
+        assert(math.abs(pinned - got) < 3e-3,
+          s"OBF boundary ${i + 1}: pinned $pinned, derived $got")
+      }
+  }
+
   // ---- BPE: Sennrich's published toy corpus --------------------------
 
   test("BPE training reproduces Sennrich's toy-corpus merge sequence") {
