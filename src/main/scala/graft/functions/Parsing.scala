@@ -187,6 +187,14 @@ object Parsing {
   // so ("Arsenal", null, date) and ("Arsenal", date) would otherwise hash
   // to the same id and upserts would overwrite the wrong row. Non-null
   // inputs hash exactly as before.
+  // KEY-FORMAT BREAK (round 11→12): the sentinel changed from a space to NUL ("\u0000"),
+  // so externalId values for any key tuple CONTAINING A NULL part differ
+  // from pre-round-12 values. Persisted external_id-keyed upsert state
+  // (e.g. live_scores / odds tables built by the streaming sinks) whose
+  // natural keys can be null must be rebuilt (re-mint ids from natural
+  // keys) before mixing with new batches — otherwise the same logical
+  // row upserts under two ids and silently duplicates. All-non-null key
+  // tuples are unaffected. Same migration as surrogateId below.
   def externalId(parts: Column*): Column =
     sha2(concat_ws("_",
       parts.map(p => coalesce(p.cast("string"), lit("\u0000"))): _*), 256)

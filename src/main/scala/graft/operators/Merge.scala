@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Engine-owned commit marker inside a `.next` staging dir: proves the
+    * parquet write completed without depending on
+    * mapreduce.fileoutputcommitter.marksuccessfuljobs (off by default on
+    * many object-store deployments). Underscore prefix keeps it
+    * invisible to parquet directory scans. */
+  private[graft] val CommitMarker = "_GRAFT_COMMIT"
+
   /** K1: union current+staged, keep the highest-version row per key.
     * `version` columns must form a total order (include a unique tiebreak). */
   def upsertLatest(current: DataFrame, staged: DataFrame,
@@ -84,16 +91,35 @@ object Merge {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     // Repair a swap that died between its two renames: the live dir is
     // missing but a COMPLETE merged state sits in .next. Completeness is
-    // proven by the committer's _SUCCESS marker, not by .next existing:
-    // on a FIRST-EVER batch that crashed mid-write, live never existed
-    // and .next is partial — promoting it would resurrect a torn table.
-    // A markerless .next is garbage either way (complete-but-unswapped
-    // states always carry the marker), so delete it and let checkpoint
-    // replay rebuild the batch.
+    // proven by an ENGINE-OWNED marker this code writes itself after the
+    // parquet write (CommitMarker), not by the committer's _SUCCESS —
+    // deployments set mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    // false on object stores, and under that config a complete .next is
+    // markerless and the repair would have deleted the only surviving
+    // copy of the table. _SUCCESS is still HONOURED when present (its
+    // presence proves completeness regardless of config; only its
+    // absence is ambiguous) so .next dirs written by earlier builds
+    // still promote. On a FIRST-EVER batch that crashed mid-write, live
+    // never existed and .next is partial — promoting it would resurrect
+    // a torn table, so an unmarked .next is deleted; but before deleting
+    // ANYTHING while live is missing, a surviving .old (a crash exactly
+    // between rename(live,old) and a markerless-.next write can leave
+    // this shape) is restored to live first, so prior table state is
+    // never lost no matter which rename the crash interrupted.
     if (fs.exists(next)) {
-      val committed = fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
+      val committed =
+        fs.exists(new org.apache.hadoop.fs.Path(next, CommitMarker)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
       if (!fs.exists(live) && committed) fs.rename(next, live)
-      else if (!committed) fs.delete(next, true)
+      else if (!committed) {
+        if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+        fs.delete(next, true)
+      }
+    } else if (!fs.exists(live) && fs.exists(old)) {
+      // live and .next both gone but .old survives: a crash after
+      // rename(live, old) whose .next was already repaired away (or a
+      // torn delete). The old state is the freshest full copy — restore.
+      fs.rename(old, live)
     }
     if (fs.exists(old)) fs.delete(old, true)
 
@@ -106,6 +132,11 @@ object Merge {
     val tiebreak = xxhash64(struct(b.columns.map(col): _*))
     upsertLatestBy(current, b, keys.map(col), version.map(col) :+ tiebreak)
       .write.mode("overwrite").parquet(next.toString)
+    // Engine-owned completeness marker: written AFTER the parquet job
+    // returns (so its presence proves the write finished), independent
+    // of committer config. Underscore-prefixed files are invisible to
+    // parquet readers, so it rides along through the rename into live.
+    fs.create(new org.apache.hadoop.fs.Path(next, CommitMarker), true).close()
     if (fs.exists(live)) fs.rename(live, old)
     fs.rename(next, live)
     fs.delete(old, true)

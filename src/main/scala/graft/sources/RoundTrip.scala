@@ -458,18 +458,32 @@ object RoundTrip {
     * Dedup.cachedAudit). Cleanup is a real recursive delete in a
     * shutdown hook — File.deleteOnExit on a non-empty directory is a
     * no-op. */
+  // One live scaffold per (session, corpus dir): a superseding content
+  // signature deletes the previous dir EAGERLY (r12 ADVICE: keying by
+  // content leaked one temp dir + one shutdown hook per distinct corpus
+  // content in a long-lived session that rewrites the corpus). Exit
+  // cleanup is ONE JVM-wide hook draining whatever is still live.
   private val clubsJsonCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long), String]
+    .empty[(SparkSession, String), (Long, String)]
 
-  private def deleteRecursivelyOnExit(root: java.io.File): Unit =
+  private val pendingCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  // lazy val: the hook registers exactly once, on first scaffold write.
+  // (File.deleteOnExit on a non-empty directory is a no-op, hence the
+  // real recursive delete.)
+  private lazy val cleanupHookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
+      pendingCleanup.forEach(d => rmTree(new java.io.File(d)))
     }))
+    true
+  }
 
   def clubsJsonFromNations(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
@@ -485,13 +499,24 @@ object RoundTrip {
       lit("\n}"))
     val sig = Tables.contentSignature(
       java.nio.file.Paths.get(dir, "nation.parquet").toString)
-    val tmp = clubsJsonCache.getOrElseUpdate((spark, dir, sig), {
-      val t = java.nio.file.Files.createTempDirectory("graft_clubs_json")
-      deleteRecursivelyOnExit(t.toFile)
-      n.select(col("n_nationkey").as("k"), doc.as("value"))
-        .write.partitionBy("k").mode("overwrite").text(t.toString)
-      t.toString
-    })
+    val tmp = clubsJsonCache.synchronized {
+      clubsJsonCache.get((spark, dir)) match {
+        case Some((s, path)) if s == sig => path
+        case prev =>
+          // stale content: drop the superseded dir now, not at exit
+          prev.foreach { case (_, oldPath) =>
+            pendingCleanup.remove(oldPath)
+            rmTree(new java.io.File(oldPath))
+          }
+          require(cleanupHookInstalled)
+          val t = java.nio.file.Files.createTempDirectory("graft_clubs_json")
+          pendingCleanup.add(t.toString)
+          n.select(col("n_nationkey").as("k"), doc.as("value"))
+            .write.partitionBy("k").mode("overwrite").text(t.toString)
+          clubsJsonCache.put((spark, dir), (sig, t.toString))
+          t.toString
+      }
+    }
     Bronze.readJsonSnapshots(spark, tmp)
       .select(
         col("club.club_id").as("club_id"), col("club.name").as("name"),

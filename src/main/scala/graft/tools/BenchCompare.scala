@@ -63,10 +63,21 @@ object BenchCompare {
       require(m.size == n,
         s"$path: parsed ${m.size} queries but artifact says n_timed=$n")
     }
-    for {
-      _ <- """"metric":"total"""".r.findFirstIn(txt)
-      vm <- """"value":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
-    } {
+    // The headline value is anchored to the SAME JSON object as the
+    // matched "metric":"total" ([^{}]* forbids crossing an object
+    // boundary; both key orders accepted) — a free-floating "value":N
+    // grab could pair the queries sum with an unrelated number on a
+    // multi-object driver log. A present-but-unpairable headline aborts
+    // rather than silently skipping the cross-check.
+    val headline =
+      """"metric":"total"[^{}]*?"value":(-?\d+(?:\.\d+)?)""".r
+        .findFirstMatchIn(txt)
+        .orElse(""""value":(-?\d+(?:\.\d+)?)[^{}]*?"metric":"total"""".r
+          .findFirstMatchIn(txt))
+    require(""""metric":"total"""".r.findFirstIn(txt).isEmpty ||
+      headline.isDefined,
+      s"""$path: found "metric":"total" but no "value" in the same object""")
+    headline.foreach { vm =>
       val v = vm.group(1).toDouble
       val tol = math.max(0.5, 0.005 * v)
       require(math.abs(m.values.sum - v) <= tol,

@@ -67,6 +67,27 @@ class BenchCompareSpec extends AnyFunSuite {
       "src/test/resources/bench_r10_driver.json").size == 433)
   }
 
+  test("headline cross-check is anchored to the metric:total object") {
+    // r12 ADVICE: an unrelated "value" in an EARLIER object (multi-line
+    // driver log) must not be paired with the queries sum — the old
+    // first-"value"-anywhere grab would compare 1.5 against 7.0 here
+    // and wrongly abort.
+    val p = artifact("""{"log":{"metric":"startup","value":7.0}}""" + "\n" +
+      """{"metric":"total","value":1.5,"n_timed":2,""" +
+      """"queries":{"q_a":1.0,"q_b":0.5}}""")
+    assert(BenchCompare.queriesMap(p) == Map("q_a" -> 1.0, "q_b" -> 0.5))
+  }
+
+  test("a present-but-unpairable headline aborts instead of skipping") {
+    // metric:total exists but its object carries no value; a value in a
+    // DIFFERENT object must not satisfy the pairing.
+    val p = artifact("""{"metric":"total","unit":"sec"}""" + "\n" +
+      """{"value":3.0}""" + "\n" +
+      """{"n_timed":1,"queries":{"q_a":1.0}}""")
+    val e = intercept[IllegalArgumentException](BenchCompare.queriesMap(p))
+    assert(e.getMessage.contains("same object"), e.getMessage)
+  }
+
   test("a genuine order-of-magnitude regression would flag") {
     val base = BenchCompare.queriesMap(
       "src/test/resources/bench_r9_committed.json")

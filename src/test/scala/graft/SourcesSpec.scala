@@ -531,4 +531,47 @@ class SourcesSpec extends SparkSpec {
       .collect()
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
+
+  test("clubs-JSON scaffold cache: hit on same content, eager delete on supersede") {
+    // r12 ADVICE: a corpus rewrite within one JVM must not leak the
+    // superseded scaffold dir until exit — the stale dir is deleted the
+    // moment a new content signature replaces it for the same
+    // (session, corpus dir).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val corpus = Files.createTempDirectory("graft_cachetest")
+    val srcNation = Paths.get(TestSpark.Sf0001, "nation.parquet")
+    def copyNation(): Unit = {
+      val dst = corpus.resolve("nation.parquet")
+      if (Files.exists(dst)) {
+        Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.delete(p); () })
+      }
+      Files.walk(srcNation).forEach { p =>
+        val rel = srcNation.relativize(p)
+        val t = dst.resolve(rel.toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def scaffoldDir(): String = {
+      val files = graft.sources.RoundTrip
+        .clubsJsonFromNations(spark, corpus.toString).inputFiles
+      assert(files.nonEmpty, "scaffold read produced no input files")
+      // .../graft_clubs_json<rand>/k=…/part-….txt → the temp root
+      val root = files.head.replaceFirst("^file:", "")
+      root.substring(0, root.indexOf("/", root.indexOf("graft_clubs_json")))
+    }
+    copyNation()
+    val d1 = scaffoldDir()
+    assert(scaffoldDir() == d1, "same content signature should cache-hit")
+    // rewrite the corpus: same bytes, bumped mtimes → new signature
+    copyNation()
+    Files.walk(corpus.resolve("nation.parquet")).forEach { p =>
+      p.toFile.setLastModified(p.toFile.lastModified() + 10000); ()
+    }
+    val d2 = scaffoldDir()
+    assert(d2 != d1, "rewritten corpus must miss the cache")
+    assert(!new java.io.File(d1).exists(),
+      s"superseded scaffold dir leaked: $d1")
+  }
 }

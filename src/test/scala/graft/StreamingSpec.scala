@@ -603,4 +603,65 @@ class StreamingSpec extends SparkSpec {
     assert(keys.length == 1, s"torn .next leaked into live: ${keys.mkString(",")}")
     assert(!next.exists(), "torn .next should have been deleted")
   }
+
+  test("parquetUpsert writes its own commit marker, independent of committer config") {
+    // r12 ADVICE (medium): completeness must not hinge on
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs. The engine-owned
+    // _GRAFT_COMMIT is written by parquetUpsert itself after the write
+    // and rides through the swap into the live dir.
+    val base = Files.createTempDirectory("graft_marker").toString
+    val tableDir = base + "/state"
+    val batch = LiveScores.normalize(Seq(
+      RawScore("A", "Y", "1-0", "FT", "90", "flash", ts("2024-01-02 20:00:00")))
+      .toDF())
+    LiveScores.upsertBatch(spark, batch, tableDir)
+    assert(new java.io.File(tableDir, "_GRAFT_COMMIT").exists(),
+      "engine-owned commit marker missing from live dir")
+  }
+
+  test("crash repair with marksuccessfuljobs=false restores .old instead of wiping state") {
+    // The r12 ADVICE failure shape: live missing (crash after
+    // rename(live, .old)), .next complete but MARKERLESS (committer
+    // configured to skip _SUCCESS, and written by a build without the
+    // engine marker), .old holding the only full copy of prior state.
+    // The old repair deleted .next AND .old — total state loss. The
+    // repair must restore .old to live before discarding the
+    // unprovable .next.
+    val base = Files.createTempDirectory("graft_oldrestore").toString
+    val tableDir = base + "/state"
+    def batchOf(home: String) = LiveScores.normalize(Seq(
+      RawScore(home, "Y", "1-0", "FT", "90", "flash", ts("2024-01-02 20:00:00")))
+      .toDF())
+    LiveScores.upsertBatch(spark, batchOf("A"), tableDir)
+    val live = new java.io.File(tableDir)
+    val old = new java.io.File(tableDir + ".old")
+    val next = new java.io.File(tableDir + ".next")
+    assert(live.renameTo(old), "test setup: could not stage .old")
+    // a complete-looking .next with EVERY completeness marker stripped
+    LiveScores.upsertBatch(spark, batchOf("B"), tableDir + ".next.tmp")
+    assert(new java.io.File(tableDir + ".next.tmp").renameTo(next))
+    new java.io.File(next, "_SUCCESS").delete()
+    new java.io.File(next, "_GRAFT_COMMIT").delete()
+    LiveScores.upsertBatch(spark, batchOf("C"), tableDir)
+    val keys = spark.read.parquet(tableDir)
+      .select("external_id").collect().map(_.getString(0)).toSet
+    // A (restored from .old) + C (the new batch); B's unprovable .next
+    // is discarded — checkpoint replay owns rebuilding it.
+    assert(keys.size == 2, s"prior state lost in repair: ${keys.mkString(",")}")
+    assert(!next.exists() && !old.exists(), "staging dirs should be gone")
+  }
+
+  test("crash repair promotes .old when live and .next are both missing") {
+    val base = Files.createTempDirectory("graft_oldonly").toString
+    val tableDir = base + "/state"
+    def batchOf(home: String) = LiveScores.normalize(Seq(
+      RawScore(home, "Y", "1-0", "FT", "90", "flash", ts("2024-01-02 20:00:00")))
+      .toDF())
+    LiveScores.upsertBatch(spark, batchOf("A"), tableDir)
+    assert(new java.io.File(tableDir).renameTo(new java.io.File(tableDir + ".old")))
+    LiveScores.upsertBatch(spark, batchOf("B"), tableDir)
+    val keys = spark.read.parquet(tableDir)
+      .select("external_id").collect().map(_.getString(0)).toSet
+    assert(keys.size == 2, s".old-only state lost: ${keys.mkString(",")}")
+  }
 }
