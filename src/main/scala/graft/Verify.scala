@@ -13,6 +13,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // Pair this output dir with its corpus: tools/compare.py refuses to
+    // compare when the marker mismatches its own corpus argument (the
+    // r12 stale-output-dir incident, now enforced by tooling).
+    tools.CorpusMarker.write(sfDir, outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

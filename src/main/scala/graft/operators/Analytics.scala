@@ -1477,6 +1477,11 @@ object Analytics {
     * variance ((n·Σq²−(Σq)²)/(n(n−1)), VARCHAR-routed); z and √7 are
     * fixed literals/correctly-rounded ops, so the ranking doubles are
     * engine-identical and the top-20 selection is stable. */
+  /** z_{0.95} rounded to 3 decimals — the 95%-service-level quantile in
+    * the safety-stock formula, shared verbatim with the oracle SQL.
+    * Third-sourced in ThirdSourceSpec against Acklam's inverse normal. */
+  private[graft] val Z95_3dp = 1.645
+
   def safetyStockQuery(spark: SparkSession, dir: String,
                        topK: Int = 20): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -1497,7 +1502,7 @@ object Analytics {
       .select(col("l_partkey").as("p_partkey"), col("n_days"),
         (col("sq").cast("double") / col("n_days").cast("double"))
           .as("mean_daily_units"),
-        (lit(1.645) * col("sigma") * sqrt(lit(7.0))).as("safety_stock"))
+        (lit(Z95_3dp) * col("sigma") * sqrt(lit(7.0))).as("safety_stock"))
       .orderBy(col("safety_stock").desc, col("p_partkey").asc)
       .limit(topK)
   }

@@ -291,6 +291,14 @@ object Approx {
     * an exact long (empty registers contribute 2^55 via the zero-filled
     * 64-row spine), and the α·m²·2^55/S estimate is the only IEEE
     * step. Registers are a 64-row aggregate at any corpus size. */
+  /** Flajolet's HyperLogLog bias-correction constant for m = 64
+    * registers: α₆₄ = 0.709 exactly as published (HLL paper, Fig. 3 —
+    * the closed form α_m = 0.7213/(1+1.079/m) applies only for
+    * m ≥ 128). Shared verbatim with the oracle SQL; third-sourced in
+    * ThirdSourceSpec by Simpson-integrating the paper's defining
+    * integral α_m = (m ∫₀^∞ log₂((2+u)/(1+u))^m du)⁻¹. */
+  private[graft] val HllAlpha64 = 0.709
+
   def hllEstimate(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
     import spark.implicits._
@@ -316,7 +324,7 @@ object Approx {
       .agg(countDistinct(col("o_orderkey")).as("true_distinct"))
     agg.crossJoin(broadcast(truth))
       .withColumn("est",
-        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+        lit(HllAlpha64) * lit(4096.0) * lit(36028797018963968.0) /
           col("s_scaled").cast("double"))
       .withColumn("rel_err",
         (col("est") - col("true_distinct").cast("double")) /

@@ -735,6 +735,16 @@ object Distribution {
     * Per resample the weighted sum/count are exact longs; each mean is
     * one terminal division. One fact pass with a B-row spine fan-out
     * (constant factor), one B-row shuffle. */
+  /** Poisson(1) CDF cut points P(X≤k), k = 0..3, rounded to 4 decimals —
+    * pinned literals shared VERBATIM with the oracle SQL (q_bootstrap)
+    * so both engines cut the same uniform identically. Third-sourced in
+    * ThirdSourceSpec against e⁻¹·Σ(1/k!) partial sums: a mistyped
+    * threshold would make the "Poisson(1)" claim silently wrong on both
+    * sides (the shared-formula blind spot the third-source sweep
+    * exists to close). */
+  private[graft] val Poisson1Cdf4dp: Seq[Double] =
+    Seq(0.3679, 0.7358, 0.9197, 0.9810)
+
   def poissonBootstrap(spark: SparkSession, dir: String,
                        b: Int = 32): DataFrame = {
     import spark.implicits._
@@ -742,8 +752,9 @@ object Distribution {
     val u = conv(substring(md5(concat(col("o_orderkey").cast("string"),
       lit("|"), col("b").cast("string"))), 1, 13), 16, 10)
       .cast("double") / lit(4503599627370496.0)
-    val w = when(u < lit(0.3679), 0L).when(u < lit(0.7358), 1L)
-      .when(u < lit(0.9197), 2L).when(u < lit(0.9810), 3L).otherwise(4L)
+    val Seq(c0, c1, c2, c3) = Poisson1Cdf4dp
+    val w = when(u < lit(c0), 0L).when(u < lit(c1), 1L)
+      .when(u < lit(c2), 2L).when(u < lit(c3), 3L).otherwise(4L)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
       .crossJoin(broadcast(spine))

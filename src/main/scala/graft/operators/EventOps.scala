@@ -527,6 +527,12 @@ object EventOps {
     * experiment is void. χ² against the half/half expectation is two
     * fixed-order cell terms over exact counts; the flag compares against
     * the literal 3.841 (χ²₁, α=0.05) — no distribution function runs. */
+  /** χ²₁ critical value at α = 0.05, the classic 3-decimal table entry
+    * (= z²_{0.975} = 3.84146 → 3.841). Shared verbatim with the oracle
+    * SQL; third-sourced in ThirdSourceSpec as the square of Acklam's
+    * inverse normal at 0.975. */
+  private[graft] val Chi2Df1Crit95_3dp = 3.841
+
   def sampleRatioMismatch(spark: SparkSession, dir: String): DataFrame = {
     val users = events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -542,7 +548,7 @@ object EventOps {
           (col("n_a").cast("double") - col("expect")) / col("expect") +
         (col("n_b").cast("double") - col("expect")) *
           (col("n_b").cast("double") - col("expect")) / col("expect"))
-      .withColumn("srm_detected", col("chi2") > lit(3.841))
+      .withColumn("srm_detected", col("chi2") > lit(Chi2Df1Crit95_3dp))
       .select("n_a", "n_b", "expect", "chi2", "srm_detected")
   }
 

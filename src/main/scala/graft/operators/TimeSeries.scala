@@ -394,6 +394,12 @@ object TimeSeries {
       .orderBy("dow")
   }
 
+  /** z_{0.75} rounded to 4 decimals — the standard-normal quartile
+    * cutting the 4-letter SAX alphabet into equiprobable bands (±0.6745
+    * and 0). Shared verbatim with the oracle SQL; third-sourced in
+    * ThirdSourceSpec against Acklam's inverse normal. */
+  private[graft] val Z75_4dp = 0.6745
+
   def saxSymbols(spark: SparkSession, dir: String,
                  segments: Int = 16): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -427,9 +433,9 @@ object TimeSeries {
       .withColumn("z", (col("paa") - col("mu")) / col("sd"))
     paa.select(col("seg"), col("n_days_seg"), col("total_cents"), col("paa"),
         col("z"),
-        when(col("z") < lit(-0.6745), lit("a"))
+        when(col("z") < lit(-Z75_4dp), lit("a"))
           .when(col("z") < lit(0.0), lit("b"))
-          .when(col("z") < lit(0.6745), lit("c"))
+          .when(col("z") < lit(Z75_4dp), lit("c"))
           .otherwise(lit("d")).as("symbol"))
       .orderBy("seg")
   }
@@ -777,6 +783,16 @@ object TimeSeries {
     * the constants valid). Subgroup sums/ranges are exact longs; the
     * center lines are single divisions of exact totals; every limit
     * is a fixed tree. */
+  /** Shewhart x̄–R chart constants for subgroup size n = 7, the classic
+    * 3-decimal table entries: A₂ = 3/(d₂√7), D₃ = 1−3d₃/d₂,
+    * D₄ = 1+3d₃/d₂, where d₂ = E[range of 7 iid N(0,1)] ≈ 2.7044 and
+    * d₃ = sd of that range ≈ 0.8332. Shared verbatim with the oracle
+    * SQL; third-sourced in ThirdSourceSpec by numerically integrating
+    * the normal-range moments (no chart table consulted). */
+  private[graft] val XbarA2n7 = 0.419
+  private[graft] val RChartD3n7 = 0.076
+  private[graft] val RChartD4n7 = 1.924
+
   def xbarRQuery(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
@@ -798,10 +814,10 @@ object TimeSeries {
         (col("s").cast("double") / lit(7.0)).as("xbar"),
         col("r").cast("double").as("r"),
         xbb.as("x_center"), rbar.as("r_center"),
-        (xbb - lit(0.419) * rbar).as("x_lcl"),
-        (xbb + lit(0.419) * rbar).as("x_ucl"),
-        (lit(0.076) * rbar).as("r_lcl"),
-        (lit(1.924) * rbar).as("r_ucl"))
+        (xbb - lit(XbarA2n7) * rbar).as("x_lcl"),
+        (xbb + lit(XbarA2n7) * rbar).as("x_ucl"),
+        (lit(RChartD3n7) * rbar).as("r_lcl"),
+        (lit(RChartD4n7) * rbar).as("r_ucl"))
       .withColumn("out_of_control",
         col("xbar") < col("x_lcl") || col("xbar") > col("x_ucl") ||
           col("r") < col("r_lcl") || col("r") > col("r_ucl"))

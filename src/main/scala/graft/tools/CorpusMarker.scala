@@ -1,0 +1,58 @@
+package graft.tools
+
+/** Corpus-signature marker pairing a `graft.Verify` output dir with the
+  * exact corpus it was computed from (r12 verdict, next #4).
+  *
+  * The incident this kills: Verify runs overwrite shared output paths
+  * (e.g. /tmp/verify_out); a later sweep at a DIFFERENT scale factor
+  * silently replaces the outputs, and a "resumed" oracle compare then
+  * pairs mismatched scales — in round 12 that forced a full 100×
+  * pipeline re-run. The discipline was procedural ("always pair a fresh
+  * Verify with its own dir"); this makes the tooling enforce it:
+  * Verify writes `corpus_marker.json` into its output dir, and
+  * tools/compare.py recomputes the same stats from ITS corpus argument
+  * and refuses to compare on any mismatch (or a missing marker).
+  *
+  * Marker content, per top-level `*.parquet` table entry (file or
+  * Spark-written directory): recursive regular-file count, total bytes,
+  * and max mtime in WHOLE SECONDS. Seconds, not millis: Java's
+  * File.lastModified and Python's st_mtime_ns agree exactly once both
+  * are floored to seconds, while sub-second precision differs by
+  * filesystem and copy tool. File count + bytes catch the actual
+  * incident class (different SF = different sizes); mtime catches an
+  * in-place rewrite that happens to preserve sizes. Entry order in the
+  * JSON is sorted, so the file is byte-stable for a given corpus.
+  */
+object CorpusMarker {
+
+  val FileName = "corpus_marker.json"
+
+  /** (files, bytes, maxMtimeSeconds) per top-level table entry. */
+  def stats(sfDir: String): Seq[(String, Long, Long, Long)] = {
+    val root = new java.io.File(sfDir)
+    val entries = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    entries.toSeq.map { e =>
+      var files = 0L; var bytes = 0L; var mtime = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else {
+          files += 1; bytes += f.length()
+          mtime = math.max(mtime, f.lastModified() / 1000L)
+        }
+      walk(e)
+      (e.getName, files, bytes, mtime)
+    }
+  }
+
+  def write(sfDir: String, outDir: String): Unit = {
+    val body = stats(sfDir).map { case (name, files, bytes, mtime) =>
+      s""""$name":[$files,$bytes,$mtime]"""
+    }.mkString(",")
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, FileName),
+      s"""{"sf_dir":"$canonical","tables":{$body}}""")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stale-output-dir trap, enforced by tooling (r12 verdict, next #4):
+  * graft.Verify stamps its output dir with a corpus marker, and
+  * tools/compare.py refuses to pair outputs whose marker mismatches the
+  * corpus it is asked to compare against. These tests drive the REAL
+  * compare.py (the marker check runs before any DuckDB work, so the
+  * refusal paths are cheap). */
+class CorpusMarkerSpec extends AnyFunSuite {
+
+  private def outDirWith(markerFor: Option[String]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    markerFor.foreach(sf => graft.tools.CorpusMarker.write(sf, d.toString))
+    // empty oracle map: a matching marker lets compare.py proceed to a
+    // trivially green 0-query run, isolating the marker behavior
+    java.nio.file.Files.writeString(d.resolve("oracle_sql.json"), "{}")
+    d.toString
+  }
+
+  private def runCompare(sfDir: String, outDir: String): (Int, String) = {
+    val buf = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(
+      l => { buf.append(l).append('\n'); () },
+      l => { buf.append(l).append('\n'); () })
+    val rc = scala.sys.process
+      .Process(Seq("python3", "tools/compare.py", sfDir, outDir)).!(logger)
+    (rc, buf.toString)
+  }
+
+  test("compare.py refuses outputs whose marker names a different corpus") {
+    val out = outDirWith(Some(TestSpark.Sf0001))
+    val (rc, log) = runCompare("/root/testdata/sf0.01", out)
+    assert(rc != 0, s"mismatched marker was accepted:\n$log")
+    assert(log.contains("corpus marker mismatch"), log)
+  }
+
+  test("compare.py refuses an output dir with no marker at all") {
+    val out = outDirWith(None)
+    val (rc, log) = runCompare(TestSpark.Sf0001, out)
+    assert(rc != 0, s"markerless dir was accepted:\n$log")
+    assert(log.contains("no corpus_marker.json"), log)
+  }
+
+  test("compare.py accepts a marker matching its corpus argument") {
+    val out = outDirWith(Some(TestSpark.Sf0001))
+    val (rc, log) = runCompare(TestSpark.Sf0001, out)
+    assert(rc == 0, s"matching marker was refused:\n$log")
+  }
+
+  test("marker stats are deterministic and cover every corpus table") {
+    val s1 = graft.tools.CorpusMarker.stats(TestSpark.Sf0001)
+    assert(s1 == graft.tools.CorpusMarker.stats(TestSpark.Sf0001))
+    val names = s1.map(_._1).toSet
+    for (t <- Seq("lineitem.parquet", "documents.parquet", "embeddings.parquet"))
+      assert(names.contains(t), s"missing $t in $names")
+    assert(s1.forall { case (_, files, bytes, mtime) =>
+      files > 0 && bytes > 0 && mtime > 0 })
+  }
+}

@@ -123,4 +123,44 @@ class EntityResolutionSpec extends SparkSpec {
         s"uid pinning bypassed Silver.materialize; silver dir has $silverTables")
     } finally spark.conf.unset("spark.graft.silver.dir")
   }
+
+  test("surrogate key-format break: the prescribed re-mint migration converges") {
+    // Migration witness for the documented KEY-FORMAT BREAK
+    // (functions/Parsing.scala): surrogates minted pre-round-12 used
+    // concat_ws with a plain-space null sentinel; a get-or-create table
+    // persisted under that format, mixed naively with new batches,
+    // silently duplicates any entity whose natural key contains a null
+    // (same key, different id per format). The prescribed fix — re-mint
+    // every surrogate from the natural keys before mixing — must
+    // converge to exactly one entity per natural key and be a fixed
+    // point under re-merge.
+    import graft.functions.Parsing
+    def oldSurrogate(parts: org.apache.spark.sql.Column*) = // pre-r12 format
+      xxhash64(concat_ws("_",
+        parts.map(p => coalesce(p.cast("string"), lit(" "))): _*))
+    val oldTable = Seq(("Arsenal", Option("EN")), ("Ajax", Option.empty[String]))
+      .toDF("name", "country")
+      .withColumn("entity_id", oldSurrogate(col("name"), col("country")))
+    val newBatch = Seq(("Ajax", Option.empty[String]), ("Hansa Rostock", Option("DE")))
+      .toDF("name", "country")
+      .withColumn("entity_id", Parsing.surrogateId(col("name"), col("country")))
+    // the bug when the migration is skipped: ("Ajax", null) carries a
+    // DIFFERENT id in each format, so id-keyed get-or-create duplicates it
+    val naive = oldTable.unionByName(newBatch).dropDuplicates("entity_id")
+    assert(naive.filter(col("name") === "Ajax").count() == 2,
+      "expected the unmigrated mix to expose the duplicate — formats agree?")
+    // prescribed migration: re-mint from natural keys, then merge
+    val rebuilt = oldTable.withColumn("entity_id",
+      Parsing.surrogateId(col("name"), col("country")))
+    val merged = rebuilt.unionByName(newBatch).dropDuplicates("entity_id")
+    assert(merged.count() == 3, "one entity per natural key after rebuild")
+    assert(merged.select("name", "country").distinct().count() == 3)
+    // fixed point: re-merging the same batch changes nothing, and every
+    // persisted id equals a fresh mint from its own natural key
+    assert(merged.unionByName(newBatch).dropDuplicates("entity_id").count() == 3)
+    val idsAgree = merged.select(
+      (Parsing.surrogateId(col("name"), col("country")) === col("entity_id")).as("ok"))
+      .collect().forall(_.getBoolean(0))
+    assert(idsAgree, "migrated ids must equal fresh mints from natural keys")
+  }
 }

@@ -457,4 +457,100 @@ class ThirdSourceSpec extends SparkSpec {
     assert((0 to 3).flatMap(x => (0 to 3).map(y => xy2d(4, x, y))).sorted
       == (0L to 15L), "transliterated xy2d is not a permutation")
   }
+
+  test("Poisson(1) CDF cut points equal e^-1 * partial sums of 1/k!") {
+    // q_bootstrap's per-row resample weights come from cutting a uniform
+    // at the pinned Poisson(1) CDF values — literals shared VERBATIM
+    // with the oracle SQL, so nobody mirrors them (the Benford/Wilson/
+    // Tukey class; this was the one pinned-constant family the r12
+    // sweep missed). Third source: P(X<=k) = e^-1 * sum_{i<=k} 1/i!,
+    // computed here from Math.exp and integer factorials alone, rounded
+    // to the pinned 4-decimal precision.
+    val pinned = graft.operators.Distribution.Poisson1Cdf4dp
+    assert(pinned.size == 4 && pinned == pinned.sorted,
+      s"cut points must be 4 increasing values: $pinned")
+    var factorial = 1.0
+    var partial = 0.0
+    for (k <- 0 to 3) {
+      if (k > 0) factorial *= k
+      partial += 1.0 / factorial
+      val want = math.rint(math.exp(-1.0) * partial * 1e4) / 1e4
+      assert(pinned(k) == want,
+        f"P(X<=$k): pinned ${pinned(k)}%.4f, derived $want%.4f")
+    }
+    // and the residual tail actually exists: P(X>=4) under Poisson(1)
+    // is ~1.9% — the otherwise(4) branch is reachable, not dead
+    assert(1.0 - pinned.last > 0.018 && 1.0 - pinned.last < 0.020)
+  }
+
+  private def simpson(lo: Double, hi: Double, n: Int)(f: Double => Double)
+      : Double = {
+    val h = (hi - lo) / n
+    (h / 3.0) * (f(lo) + f(hi) +
+      (1 until n).map(i => (if (i % 2 == 1) 4.0 else 2.0) * f(lo + i * h)).sum)
+  }
+
+  test("z-quantile family: 1.645 / 0.6745 / 3.841 derive from Acklam's inverse normal") {
+    // Three more pinned-literal families shared verbatim with oracle SQL
+    // (the r13 grep audit of lit(<4+-digit decimal>)): the safety-stock
+    // service z, the SAX quartile breakpoints, and the SRM chi-square
+    // critical value — all quantiles of ONE distribution, each checked
+    // at its own pinned precision against the independent inverse normal.
+    assert(math.rint(invNorm(0.95) * 1e3) / 1e3
+      == graft.operators.Analytics.Z95_3dp,
+      s"z_0.95 ${invNorm(0.95)} does not round to the pinned 1.645")
+    assert(math.rint(invNorm(0.75) * 1e4) / 1e4
+      == graft.operators.TimeSeries.Z75_4dp,
+      s"z_0.75 ${invNorm(0.75)} does not round to the pinned 0.6745")
+    val z = invNorm(0.975) // chi2_1(0.95) = z_{0.975}^2 = 3.84146 -> 3.841
+    assert(math.rint(z * z * 1e3) / 1e3
+      == graft.operators.EventOps.Chi2Df1Crit95_3dp,
+      s"z_0.975^2 ${z * z} does not round to the pinned 3.841")
+  }
+
+  test("HLL alpha_64 = 0.709 derives from Flajolet's defining integral") {
+    // alpha_m = (m * I)^-1 with I = integral_0^inf log2((2+u)/(1+u))^m du
+    // (the HLL paper's bias-correction definition; the 0.7213/(1+1.079/m)
+    // closed form is only quoted for m >= 128, so the m=64 literal can't
+    // be cross-checked from it). The integrand is 1 at u=0 and decays
+    // ~(u ln2)^-64, so [0, 50] carries all mass beyond double precision.
+    val m = 64
+    val ln2 = math.log(2.0)
+    val integral = simpson(0.0, 50.0, 200000) { u =>
+      math.pow(math.log((2.0 + u) / (1.0 + u)) / ln2, m)
+    }
+    val alpha = 1.0 / (m * integral)
+    assert(math.rint(alpha * 1e3) / 1e3 == graft.operators.Approx.HllAlpha64,
+      s"derived alpha_64 $alpha does not round to the pinned 0.709")
+  }
+
+  test("x-bar/R chart constants for n=7 derive from the normal-range moments") {
+    // No control-chart table consulted: d2 = E[range of 7 iid N(0,1)] =
+    // integral of 1 - Phi^7 - (1-Phi)^7; E[R^2] = 2 * iint_{x<y}
+    // P(min<=x, max>=y) with P = 1 - (1-Phi(x))^7 - Phi(y)^7 +
+    // (Phi(y)-Phi(x))^7 (Hartley's identity, from (M-m)^2 =
+    // 2*iint_{m<=x<y<=M} dx dy). Both by Simpson over the spec's
+    // independent A&S Phi; then A2 = 3/(d2*sqrt(7)), D3/D4 = 1 -/+ 3*d3/d2
+    // with d3 = sd of the range. A wrong subgroup size or a transposed
+    // table row lands percent-level away.
+    val n = 7
+    val d2 = simpson(-9.0, 9.0, 3600) { x =>
+      1.0 - math.pow(phi(x), n) - math.pow(1.0 - phi(x), n)
+    }
+    val er2 = 2.0 * simpson(-8.0, 8.0, 800) { x =>
+      val px = phi(x)
+      simpson(x, 8.0, 400) { y =>
+        val py = phi(y)
+        1.0 - math.pow(1.0 - px, n) - math.pow(py, n) + math.pow(py - px, n)
+      }
+    }
+    val d3 = math.sqrt(er2 - d2 * d2)
+    import graft.operators.TimeSeries.{XbarA2n7, RChartD3n7, RChartD4n7}
+    assert(math.rint(3.0 / (d2 * math.sqrt(7.0)) * 1e3) / 1e3 == XbarA2n7,
+      s"A2 from d2=$d2 does not round to the pinned 0.419")
+    assert(math.rint((1.0 - 3.0 * d3 / d2) * 1e3) / 1e3 == RChartD3n7,
+      s"D3 from d2=$d2, d3=$d3 does not round to the pinned 0.076")
+    assert(math.rint((1.0 + 3.0 * d3 / d2) * 1e3) / 1e3 == RChartD4n7,
+      s"D4 from d2=$d2, d3=$d3 does not round to the pinned 1.924")
+  }
 }

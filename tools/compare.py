@@ -17,7 +17,55 @@ def canon(rows):
         out.append(tuple(repr(v) for v in r))
     return sorted(out)
 
+def corpus_stats(sf_dir):
+    """Mirror of graft.tools.CorpusMarker.stats: per top-level *.parquet
+    entry, (recursive file count, total bytes, max mtime floored to whole
+    seconds — the precision Java and Python agree on exactly)."""
+    tables = {}
+    for e in sorted(os.listdir(sf_dir)):
+        if not e.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, e)
+        files = bytes_ = mtime = 0
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                for n in names:
+                    st = os.stat(os.path.join(root, n))
+                    files += 1
+                    bytes_ += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns // 1_000_000_000)
+        else:
+            st = os.stat(p)
+            files, bytes_, mtime = 1, st.st_size, st.st_mtime_ns // 1_000_000_000
+        tables[e] = [files, bytes_, mtime]
+    return tables
+
+def check_marker(sf_dir, out_dir):
+    """Refuse to pair a Verify output dir with the wrong corpus: the
+    marker graft.Verify wrote must match stats recomputed from THIS
+    compare's corpus argument (r12 stale-output-dir incident — a resumed
+    compare paired outputs from a different scale factor)."""
+    marker_path = os.path.join(out_dir, "corpus_marker.json")
+    if not os.path.exists(marker_path):
+        print(f"[ABORT] {out_dir} has no corpus_marker.json — stale or "
+              "pre-marker Verify output; re-run graft.Verify into a fresh dir")
+        return False
+    marker = json.load(open(marker_path))
+    actual = corpus_stats(sf_dir)
+    if marker["tables"] != actual:
+        print(f"[ABORT] corpus marker mismatch: outputs in {out_dir} were "
+              f"computed from {marker.get('sf_dir')} whose stats differ from "
+              f"{sf_dir} — re-run graft.Verify against this corpus")
+        for t in sorted(set(marker["tables"]) | set(actual)):
+            m, a = marker["tables"].get(t), actual.get(t)
+            if m != a:
+                print(f"  {t}: marker={m} actual={a}")
+        return False
+    return True
+
 def main(sf_dir, out_dir):
+    if not check_marker(sf_dir, out_dir):
+        return 2
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
