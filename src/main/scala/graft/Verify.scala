@@ -20,6 +20,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // name every query as it starts: any engine WARN between two of
+      // these lines (codegen fallback, spill, broadcast timeout) is
+      // attributable by log order alone — r12's Janino attribution
+      // needed WARN-timestamp vs output-mtime forensics for lack of this
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
