@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI hook for the independent-recomputation witnesses (r13): the DuckDB
+  * oracle proves engine == oracle, but both were authored together — a
+  * shared misunderstanding of a statistic's definition survives the hash
+  * compare. tools/recompute_stats.py and tools/recompute_graph.py
+  * reimplement sixteen queries from raw parquet with textbook
+  * numpy/python algorithms that share no code, joins, or algebra with
+  * the engine. This spec regenerates the engine outputs for exactly
+  * those queries at sf0.001 and drives both tools, so the witness runs
+  * on every tree, not just the round it was authored in. */
+class RecomputeWitnessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val witnessed = Seq(
+    // recompute_stats.py
+    "q_kendall", "q_mannwhitney", "q_anova", "q_spearman", "q_welch",
+    "q_gini", "q_kruskal", "q_levene", "q_auc", "q_atkinson", "q_theil_sen",
+    // recompute_graph.py
+    "q_triangles", "q_pagerank", "q_component_sizes", "q_effective_dim",
+    "q_pca_power")
+
+  test("independent numpy recomputation matches the engine on 16 queries") {
+    val out = java.nio.file.Files.createTempDirectory("graft_recompute").toString
+    witnessed.foreach { q =>
+      SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$q")
+    }
+    for (tool <- Seq("recompute_stats.py", "recompute_graph.py")) {
+      val buf = new StringBuilder
+      val logger = scala.sys.process.ProcessLogger(
+        l => { buf.append(l).append('\n'); () },
+        l => { buf.append(l).append('\n'); () })
+      val rc = scala.sys.process
+        .Process(Seq("python3", s"tools/$tool", TestSpark.Sf0001, out)).!(logger)
+      assert(rc == 0, s"$tool reported mismatches:\n$buf")
+      assert(buf.toString.contains("ALL MATCH"), s"$tool output:\n$buf")
+    }
+  }
+}
