@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * compare. tools/recompute_stats.py and tools/recompute_graph.py
   * reimplement sixteen queries from raw parquet with textbook
   * numpy/python algorithms that share no code, joins, or algebra with
-  * the engine. This spec regenerates the engine outputs for exactly
-  * those queries at sf0.001 and drives both tools, so the witness runs
-  * on every tree, not just the round it was authored in. */
+  * the engine (recompute_timeseries.py adds the STAMP discord search,
+  * lag regression, Mann-Kendall, and cross-correlation). This spec
+  * regenerates the engine outputs for exactly those queries at sf0.001
+  * and drives all three tools, so the witness runs on every tree, not
+  * just the round it was authored in. */
 class RecomputeWitnessSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -20,15 +22,18 @@ class RecomputeWitnessSpec extends AnyFunSuite {
     "q_gini", "q_kruskal", "q_levene", "q_auc", "q_atkinson", "q_theil_sen",
     // recompute_graph.py
     "q_triangles", "q_pagerank", "q_component_sizes", "q_effective_dim",
-    "q_pca_power")
+    "q_pca_power",
+    // recompute_timeseries.py
+    "q_matrix_profile", "q_autocorr", "q_mann_kendall", "q_xcorr")
 
-  test("independent numpy recomputation matches the engine on 16 queries") {
+  test("independent numpy recomputation matches the engine on 20 queries") {
     val out = java.nio.file.Files.createTempDirectory("graft_recompute").toString
     witnessed.foreach { q =>
       SparkEntry.queries(q)(spark, TestSpark.Sf0001)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$q")
     }
-    for (tool <- Seq("recompute_stats.py", "recompute_graph.py")) {
+    for (tool <- Seq("recompute_stats.py", "recompute_graph.py",
+        "recompute_timeseries.py")) {
       val buf = new StringBuilder
       val logger = scala.sys.process.ProcessLogger(
         l => { buf.append(l).append('\n'); () },
