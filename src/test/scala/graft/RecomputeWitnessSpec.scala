@@ -24,16 +24,19 @@ class RecomputeWitnessSpec extends AnyFunSuite {
     "q_triangles", "q_pagerank", "q_component_sizes", "q_effective_dim",
     "q_pca_power",
     // recompute_timeseries.py
-    "q_matrix_profile", "q_autocorr", "q_mann_kendall", "q_xcorr")
+    "q_matrix_profile", "q_autocorr", "q_mann_kendall", "q_xcorr",
+    // recompute_text.py
+    "q_minhash_pairs", "q_jaccard_pairs", "q_bm25", "q_token_stats",
+    "q_lang_id")
 
-  test("independent numpy recomputation matches the engine on 20 queries") {
+  test("independent numpy recomputation matches the engine on 25 queries") {
     val out = java.nio.file.Files.createTempDirectory("graft_recompute").toString
     witnessed.foreach { q =>
       SparkEntry.queries(q)(spark, TestSpark.Sf0001)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$q")
     }
     for (tool <- Seq("recompute_stats.py", "recompute_graph.py",
-        "recompute_timeseries.py")) {
+        "recompute_timeseries.py", "recompute_text.py")) {
       val buf = new StringBuilder
       val logger = scala.sys.process.ProcessLogger(
         l => { buf.append(l).append('\n'); () },
