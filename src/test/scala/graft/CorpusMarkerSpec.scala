@@ -43,6 +43,16 @@ class CorpusMarkerSpec extends AnyFunSuite {
     assert(log.contains("no corpus_marker.json"), log)
   }
 
+  test("compare.py refuses a torn Verify run (marker present, oracle json absent)") {
+    // oracle_sql.json is written LAST by Verify; a dir with a marker
+    // but no oracle file is a mid-run crash — clean refusal, no trace
+    val d = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    graft.tools.CorpusMarker.write(TestSpark.Sf0001, d.toString)
+    val (rc, log) = runCompare(TestSpark.Sf0001, d.toString)
+    assert(rc != 0, s"torn Verify dir was accepted:\n$log")
+    assert(log.contains("no oracle_sql.json"), log)
+  }
+
   test("compare.py accepts a marker matching its corpus argument") {
     val out = outDirWith(Some(TestSpark.Sf0001))
     val (rc, log) = runCompare(TestSpark.Sf0001, out)

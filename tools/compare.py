@@ -66,6 +66,13 @@ def check_marker(sf_dir, out_dir):
 def main(sf_dir, out_dir):
     if not check_marker(sf_dir, out_dir):
         return 2
+    # oracle_sql.json is written LAST by graft.Verify, so its absence
+    # means the sweep died mid-run — refuse cleanly instead of a
+    # json.load stack trace on a partial output dir
+    if not os.path.exists(os.path.join(out_dir, "oracle_sql.json")):
+        print(f"[ABORT] {out_dir} has no oracle_sql.json — the Verify run "
+              "did not complete; re-run graft.Verify")
+        return 2
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
