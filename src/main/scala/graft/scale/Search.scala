@@ -102,8 +102,13 @@ object Search {
     *  - log-free idf: `(N − df + 0.5)/(df + 0.5)` — the classic BM25 idf
     *    without the `ln` wrap. `ln` is not IEEE-correctly-rounded and may
     *    differ in the last ulp across libm implementations; the rational
-    *    form is division-only (correctly rounded), and `ln` is monotone,
-    *    so rankings are identical.
+    *    form is division-only (correctly rounded). `ln` is monotone, so
+    *    SINGLE-term rankings are identical to log-idf BM25; for
+    *    multi-term queries the SUM of rational idfs can order documents
+    *    differently from the sum of log idfs (monotone per addend is not
+    *    monotone for the sum) — the engine DEFINES its score as the
+    *    rational-idf sum, and the oracle pins exactly that definition
+    *    (third-sourced in ThirdSourceSpec and recompute_text.py).
     *  - per-term scores are computed per document with `filter` HOF counts
     *    (no explode/shuffle), then summed in FIXED textual order
     *    (s0 + s1 + …): FP addition is order-sensitive, so both engines
