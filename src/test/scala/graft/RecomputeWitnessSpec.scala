@@ -32,16 +32,18 @@ class RecomputeWitnessSpec extends AnyFunSuite {
     "q_sessions", "q_funnel", "q_streaks",
     // recompute_sketch.py
     "q_knn_cosine", "q_kmv", "q_kmv_union", "q_simhash_pairs",
-    "q_winnow_pairs")
+    "q_winnow_pairs",
+    // recompute_eval.py
+    "q_ab_lift", "q_cuped", "q_ndcg", "q_youden")
 
-  test("independent numpy recomputation matches the engine on 33 queries") {
+  test("independent numpy recomputation matches the engine on 37 queries") {
     val out = java.nio.file.Files.createTempDirectory("graft_recompute").toString
     witnessed.foreach { q =>
       SparkEntry.queries(q)(spark, TestSpark.Sf0001)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$q")
     }
     for (tool <- Seq("recompute_stats.py", "recompute_graph.py",
-        "recompute_timeseries.py", "recompute_text.py", "recompute_events.py", "recompute_sketch.py")) {
+        "recompute_timeseries.py", "recompute_text.py", "recompute_events.py", "recompute_sketch.py", "recompute_eval.py")) {
       val buf = new StringBuilder
       val logger = scala.sys.process.ProcessLogger(
         l => { buf.append(l).append('\n'); () },
