@@ -15,7 +15,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Pair this output dir with its corpus: tools/compare.py refuses to
     // compare when the marker mismatches its own corpus argument (the
-    // r12 stale-output-dir incident, now enforced by tooling).
+    // r12 stale-output-dir incident, now enforced by tooling). A SUBSET
+    // run rewrites only its named outputs, so it must not re-stamp a dir
+    // whose other outputs came from a different corpus (r13 ADVICE) —
+    // full runs rewrite everything and may stamp unconditionally.
+    if (only.isDefined) tools.CorpusMarker.assertSubsetCompatible(sfDir, outDir)
     tools.CorpusMarker.write(sfDir, outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

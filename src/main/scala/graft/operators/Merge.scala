@@ -30,6 +30,21 @@ object Merge {
     * invisible to parquet directory scans. */
   private[graft] val CommitMarker = "_GRAFT_COMMIT"
 
+  /** Rename that REFUSES to fail silently. Hadoop's FileSystem.rename
+    * commonly signals failure by returning false rather than throwing
+    * (missing destination parent, some object-store semantics); every
+    * rename in [[parquetUpsert]] is followed by deletes, so a silently
+    * failed restore/promote would fall through to destroying the only
+    * surviving copy of the table — the exact loss the swap protocol
+    * exists to prevent. Aborting instead leaves a shape the next call's
+    * repair path recognizes (live/.old/.next all intact). */
+  private[graft] def renameOrAbort(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst),
+      s"parquetUpsert: rename($src -> $dst) returned false; aborting " +
+        "before any delete so prior table state survives")
+
   /** K1: union current+staged, keep the highest-version row per key.
     * `version` columns must form a total order (include a unique tiebreak). */
   def upsertLatest(current: DataFrame, staged: DataFrame,
@@ -110,16 +125,16 @@ object Merge {
       val committed =
         fs.exists(new org.apache.hadoop.fs.Path(next, CommitMarker)) ||
         fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
-      if (!fs.exists(live) && committed) fs.rename(next, live)
+      if (!fs.exists(live) && committed) renameOrAbort(fs, next, live)
       else if (!committed) {
-        if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+        if (!fs.exists(live) && fs.exists(old)) renameOrAbort(fs, old, live)
         fs.delete(next, true)
       }
     } else if (!fs.exists(live) && fs.exists(old)) {
       // live and .next both gone but .old survives: a crash after
       // rename(live, old) whose .next was already repaired away (or a
       // torn delete). The old state is the freshest full copy — restore.
-      fs.rename(old, live)
+      renameOrAbort(fs, old, live)
     }
     if (fs.exists(old)) fs.delete(old, true)
 
@@ -137,8 +152,8 @@ object Merge {
     // of committer config. Underscore-prefixed files are invisible to
     // parquet readers, so it rides along through the rename into live.
     fs.create(new org.apache.hadoop.fs.Path(next, CommitMarker), true).close()
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(next, live)
+    if (fs.exists(live)) renameOrAbort(fs, live, old)
+    renameOrAbort(fs, next, live)
     fs.delete(old, true)
     true
   }

@@ -458,11 +458,13 @@ object RoundTrip {
     * Dedup.cachedAudit). Cleanup is a real recursive delete in a
     * shutdown hook — File.deleteOnExit on a non-empty directory is a
     * no-op. */
-  // One live scaffold per (session, corpus dir): a superseding content
-  // signature deletes the previous dir EAGERLY (r12 ADVICE: keying by
-  // content leaked one temp dir + one shutdown hook per distinct corpus
-  // content in a long-lived session that rewrites the corpus). Exit
-  // cleanup is ONE JVM-wide hook draining whatever is still live.
+  // One CACHED scaffold per (session, corpus dir): a superseding content
+  // signature evicts the previous dir from the cache but leaves its
+  // files on disk until exit — lazily-read DataFrames handed out before
+  // the rewrite may still reference them (r13 ADVICE; r12's per-content
+  // keying leaked a dir per distinct content, r13's eager delete broke
+  // pre-rewrite readers). Exit cleanup is ONE JVM-wide hook draining
+  // pendingCleanup, which accumulates at most one dir per rewrite.
   private val clubsJsonCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Long, String)]
 
@@ -502,12 +504,15 @@ object RoundTrip {
     val tmp = clubsJsonCache.synchronized {
       clubsJsonCache.get((spark, dir)) match {
         case Some((s, path)) if s == sig => path
-        case prev =>
-          // stale content: drop the superseded dir now, not at exit
-          prev.foreach { case (_, oldPath) =>
-            pendingCleanup.remove(oldPath)
-            rmTree(new java.io.File(oldPath))
-          }
+        case _ =>
+          // stale content: the superseded dir is only evicted from the
+          // CACHE here — its files stay readable until JVM exit (it
+          // remains in pendingCleanup for the shutdown hook). Spark
+          // reads are lazy, so a DataFrame handed out before the corpus
+          // rewrite may still reference the old scaffold; an eager
+          // delete (r13's first cut) failed such callers mid-job. The
+          // leak is bounded: one superseded dir per corpus rewrite
+          // within one JVM, each a few KB of JSON.
           require(cleanupHookInstalled)
           val t = java.nio.file.Files.createTempDirectory("graft_clubs_json")
           pendingCleanup.add(t.toString)

@@ -45,14 +45,51 @@ object CorpusMarker {
     }
   }
 
-  def write(sfDir: String, outDir: String): Unit = {
+  /** The exact marker body [[write]] produces — byte-stable for a given
+    * corpus (sorted entries), so marker equality can be checked as plain
+    * string equality against an existing file. */
+  def render(sfDir: String): String = {
     val body = stats(sfDir).map { case (name, files, bytes, mtime) =>
       s""""$name":[$files,$bytes,$mtime]"""
     }.mkString(",")
     val canonical = new java.io.File(sfDir).getCanonicalPath
       .replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"sf_dir":"$canonical","tables":{$body}}"""
+  }
+
+  def write(sfDir: String, outDir: String): Unit =
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, FileName),
-      s"""{"sf_dir":"$canonical","tables":{$body}}""")
+      java.nio.file.Paths.get(outDir, FileName), render(sfDir))
+
+  /** Guard for SUBSET re-runs into an existing output dir (`Verify`'s
+    * dev-loop `only` arg): re-stamping the marker while other query
+    * outputs remain from a different corpus would hand compare.py a
+    * mixed-corpus dir that its marker gate accepts. A subset run is only
+    * allowed into (a) a dir whose existing marker matches this corpus
+    * byte-for-byte, or (b) a dir with no prior query outputs. Full runs
+    * rewrite every output, so they may stamp unconditionally.
+    *
+    * The sf_dir PATH is excluded from the equality check (only the
+    * `tables` stats object is compared): two paths to the same corpus
+    * content — a symlink, a bind mount, a copied dir — are the same
+    * corpus for compare.py, whose own gate also compares stats only. */
+  def assertSubsetCompatible(sfDir: String, outDir: String): Unit = {
+    def tablesOf(s: String): String =
+      s.substring(s.indexOf("\"tables\":"))
+    val markerPath = java.nio.file.Paths.get(outDir, FileName)
+    if (java.nio.file.Files.exists(markerPath)) {
+      val existing = java.nio.file.Files.readString(markerPath)
+      require(tablesOf(existing) == tablesOf(render(sfDir)),
+        s"subset Verify into $outDir refused: its corpus marker was " +
+          s"written from a different corpus than $sfDir — re-stamping " +
+          "would mix scales behind compare.py's gate. Use a fresh dir.")
+    } else {
+      val prior = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty).filterNot(_.getName == FileName)
+      require(prior.isEmpty,
+        s"subset Verify into $outDir refused: it holds pre-marker outputs " +
+          s"(${prior.take(3).map(_.getName).mkString(", ")}…) whose corpus " +
+          "is unknown. Use a fresh dir.")
+    }
   }
 }

@@ -59,6 +59,32 @@ class CorpusMarkerSpec extends AnyFunSuite {
     assert(rc == 0, s"matching marker was refused:\n$log")
   }
 
+  test("subset guard: mismatched marker refuses, matching or empty dir allows") {
+    // r13 ADVICE: a SUBSET Verify run (dev-loop `only` arg) into a dir
+    // stamped from a different corpus must refuse rather than re-stamp —
+    // re-stamping would hand compare.py a mixed-corpus dir its marker
+    // gate accepts. Full runs rewrite everything, so only subsets guard.
+    import graft.tools.CorpusMarker
+    val stale = outDirWith(Some("/root/testdata/sf0.01"))
+    val e = intercept[IllegalArgumentException] {
+      CorpusMarker.assertSubsetCompatible(TestSpark.Sf0001, stale)
+    }
+    assert(e.getMessage.contains("different corpus"), e.getMessage)
+    // matching marker: allowed
+    val matching = outDirWith(Some(TestSpark.Sf0001))
+    CorpusMarker.assertSubsetCompatible(TestSpark.Sf0001, matching)
+    // no marker, but pre-marker outputs present: unknown corpus, refuse
+    val preMarker = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    java.nio.file.Files.createDirectory(preMarker.resolve("q_old.parquet"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusMarker.assertSubsetCompatible(TestSpark.Sf0001, preMarker.toString)
+    }
+    assert(e2.getMessage.contains("pre-marker outputs"), e2.getMessage)
+    // fresh/empty dir: allowed
+    val fresh = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    CorpusMarker.assertSubsetCompatible(TestSpark.Sf0001, fresh.toString)
+  }
+
   test("marker stats are deterministic and cover every corpus table") {
     val s1 = graft.tools.CorpusMarker.stats(TestSpark.Sf0001)
     assert(s1 == graft.tools.CorpusMarker.stats(TestSpark.Sf0001))

@@ -5,14 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** CI hook for the independent-recomputation witnesses (r13): the DuckDB
   * oracle proves engine == oracle, but both were authored together — a
   * shared misunderstanding of a statistic's definition survives the hash
-  * compare. tools/recompute_stats.py and tools/recompute_graph.py
-  * reimplement sixteen queries from raw parquet with textbook
-  * numpy/python algorithms that share no code, joins, or algebra with
-  * the engine (recompute_timeseries.py adds the STAMP discord search,
-  * lag regression, Mann-Kendall, and cross-correlation). This spec
-  * regenerates the engine outputs for exactly those queries at sf0.001
-  * and drives all three tools, so the witness runs on every tree, not
-  * just the round it was authored in. */
+  * compare. The `tools/recompute_*.py` scripts reimplement the
+  * custom-formula queries from raw parquet with textbook numpy/python
+  * algorithms that share no code, joins, or algebra with the engine.
+  * This spec regenerates the engine outputs for exactly the queries in
+  * `witnessed` at sf0.001 and drives every tool in the loop below, so
+  * the witness runs on every tree, not just the round it was authored
+  * in. (The authoritative tool and query lists are the two literals in
+  * this file — scope is stated generically here so the doc can't rot.) */
 class RecomputeWitnessSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 

@@ -532,11 +532,13 @@ class SourcesSpec extends SparkSpec {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
 
-  test("clubs-JSON scaffold cache: hit on same content, eager delete on supersede") {
-    // r12 ADVICE: a corpus rewrite within one JVM must not leak the
-    // superseded scaffold dir until exit — the stale dir is deleted the
-    // moment a new content signature replaces it for the same
-    // (session, corpus dir).
+  test("clubs-JSON scaffold cache: hit on same content, supersede keeps the " +
+      "old dir readable for lazy pre-rewrite readers") {
+    // r13 ADVICE: Spark reads are lazy, so a DataFrame handed out before
+    // a corpus rewrite may still reference the superseded scaffold — it
+    // must stay READABLE until JVM exit (the shutdown hook deletes it),
+    // not be rmTree'd eagerly the moment a new content signature
+    // replaces it (r13's eager delete failed such callers mid-job).
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val corpus = Files.createTempDirectory("graft_cachetest")
     val srcNation = Paths.get(TestSpark.Sf0001, "nation.parquet")
@@ -562,6 +564,9 @@ class SourcesSpec extends SparkSpec {
       root.substring(0, root.indexOf("/", root.indexOf("graft_clubs_json")))
     }
     copyNation()
+    // a LAZY frame captured before the rewrite — nothing has read it yet
+    val preRewrite = graft.sources.RoundTrip
+      .clubsJsonFromNations(spark, corpus.toString)
     val d1 = scaffoldDir()
     assert(scaffoldDir() == d1, "same content signature should cache-hit")
     // rewrite the corpus: same bytes, bumped mtimes → new signature
@@ -571,7 +576,10 @@ class SourcesSpec extends SparkSpec {
     }
     val d2 = scaffoldDir()
     assert(d2 != d1, "rewritten corpus must miss the cache")
-    assert(!new java.io.File(d1).exists(),
-      s"superseded scaffold dir leaked: $d1")
+    assert(new java.io.File(d1).exists(),
+      s"superseded scaffold dir deleted while lazy readers may hold it: $d1")
+    // the pre-rewrite frame still evaluates against its old scaffold
+    assert(preRewrite.count() > 0,
+      "pre-rewrite lazy frame failed after its scaffold was superseded")
   }
 }

@@ -664,4 +664,29 @@ class StreamingSpec extends SparkSpec {
       .select("external_id").collect().map(_.getString(0)).toSet
     assert(keys.size == 2, s".old-only state lost: ${keys.mkString(",")}")
   }
+
+  test("a rename that fails by RETURNING FALSE aborts the swap instead of " +
+      "falling through to the deletes") {
+    // The FileSystem.rename CONTRACT signals most failures by returning
+    // false, not throwing (javadoc; missing destination parent, some
+    // object-store semantics — the local ChecksumFileSystem happens to
+    // throw instead, so the false path is exercised via a stub honoring
+    // the documented contract). Every rename in parquetUpsert precedes a
+    // delete; silently ignoring a false return on a restore/promote
+    // would destroy the only surviving copy of the table. The guard must
+    // turn false into an abort BEFORE any delete runs.
+    val base = Files.createTempDirectory("graft_renamefail").toString
+    val falseFs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean = false
+    }
+    falseFs.initialize(java.net.URI.create("file:///"),
+      spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(base + "/src")
+    val dst = new org.apache.hadoop.fs.Path(base + "/dst")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Merge.renameOrAbort(falseFs, src, dst)
+    }
+    assert(e.getMessage.contains("returned false"), e.getMessage)
+  }
 }
