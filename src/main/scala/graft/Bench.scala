@@ -40,6 +40,19 @@ import org.apache.spark.sql.SparkSession
   * `runs` object so spread contamination stays visible.
   * `light` warmup (table scans + headline queries, no samples) and
   * `none` remain for quick local profiling.
+  *
+  * ADAPTIVE REPS for sub-second queries (round 14): a query whose
+  * first timed rep is under `SPARK_GRAFT_BENCH_ADAPTIVE` seconds
+  * (default 1.5; 0 disables) is topped up to 3 timed reps, and its
+  * stat is the median of the TIMED reps alone (the codegen-inflated
+  * warmup sample is excluded once ≥3 honest reps exist, since it would
+  * bias an even-count median upward; it stays visible as `warm` in the
+  * `runs` object). Rationale: with one timed rep, one transient
+  * CPU-steal spike owns that query's committed number — two
+  * consecutive rounds of driver artifacts carried alphabetically
+  * contiguous (run-order) load clusters on untouched code. Median of
+  * three leaves one spiked rep harmless, for ~9 min of extra wall at
+  * the measured 0.63 s suite median.
   */
 object Bench {
 
@@ -91,8 +104,29 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
+    // ADAPTIVE REPS (r13 verdict, next #1): two consecutive driver-box
+    // artifacts carried alphabetically contiguous load clusters (r12
+    // q_k*, r13 the b–d block: 30/36 flagged regressions on untouched
+    // code) because sub-second queries had exactly one timed rep — one
+    // transient CPU-steal spike lands entirely in that query's number.
+    // Queries whose FIRST timed rep is under this threshold get topped
+    // up to `adaptiveTarget` timed reps; their stat is the MEDIAN OF THE
+    // TIMED REPS (the warmup sample is excluded once >=3 honest reps
+    // exist — it carries that query's codegen compilation and cold scan
+    // caches, so pooling it would bias an even-count median upward).
+    // One spiked rep out of three leaves the median on a clean rep. At
+    // the r13 median of 0.63 s/query this adds ~2 reps x ~0.7 s x ~400
+    // queries ≈ 9 min of wall — bounded, because queries OVER the
+    // threshold (where extra reps are expensive) keep the old
+    // warmup+1-rep min-of-2 protocol and the post-suite outlier re-run.
+    val adaptiveSec = sys.env.get("SPARK_GRAFT_BENCH_ADAPTIVE")
+      .map(_.toDouble).getOrElse(1.5) // 0 disables
+    val adaptiveTarget = math.max(3, reps)
+
     val protocol = s"warmup=$warmupMode (full warmup is timed and pooled " +
-      s"as a sample) + $reps timed rep(s); stat=min for <=2 samples else " +
+      s"as a sample) + $reps timed rep(s), topped up to $adaptiveTarget " +
+      s"reps when the first rep is under ${adaptiveSec}s (stat=median of " +
+      "timed reps, warmup sample excluded); stat=min for <=2 samples else " +
       "median; sustained outliers re-run, better run set kept"
 
     // Env-derived strings (sfDir, benchOut, warmup mode via protocol)
@@ -112,6 +146,15 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Per-query evidence: the warmup sample and the timed reps, kept
+    // apart so the stat can drop the codegen-inflated warmup once three
+    // honest timed reps exist (adaptive queries) while two-sample
+    // queries keep the min-of-{warmup, rep} protocol.
+    case class Rec(name: String, warm: Option[Double], timed: Seq[Double]) {
+      def samples: Seq[Double] = if (timed.size >= 3) timed else warm.toSeq ++ timed
+      def hasSamples: Boolean = samples.nonEmpty
+      def statVal: Double = stat(samples)
+    }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -128,17 +171,19 @@ object Bench {
     // artifact looks board-complete; n_timed is the honest progress
     // counter.
     var nTimed = 0
-    def writeArtifact(done: Seq[(String, Seq[Double])], partial: Boolean): Unit =
+    def writeArtifact(done: Seq[Rec], partial: Boolean): Unit =
       if (mayWrite) try {
-        val qs = done.map { case (k, rs) =>
-          "\"" + k + "\":" + (if (rs.isEmpty) "-1.0" else fmt(stat(rs)))
+        val qs = done.map { r =>
+          "\"" + r.name + "\":" + (if (!r.hasSamples) "-1.0" else fmt(r.statVal))
         }.mkString("{", ",", "}")
-        val spread = done.map { case (k, rs) =>
-          val body = if (rs.isEmpty) "\"n\":0"
-            else s""""stat":${fmt(stat(rs))},"min":${fmt(rs.min)},"max":${fmt(rs.max)},"n":${rs.size},"raw":[${rs.map(fmt).mkString(",")}]"""
-          "\"" + k + "\":{" + body + "}"
+        val spread = done.map { r =>
+          val rs = r.samples
+          val warmPart = r.warm.map(w => s""","warm":${fmt(w)}""").getOrElse("")
+          val body = if (rs.isEmpty) "\"n\":0" + warmPart
+            else s""""stat":${fmt(r.statVal)},"min":${fmt(rs.min)},"max":${fmt(rs.max)},"n":${rs.size},"raw":[${rs.map(fmt).mkString(",")}]""" + warmPart
+          "\"" + r.name + "\":{" + body + "}"
         }.mkString("{", ",", "}")
-        val total = done.collect { case (_, rs) if rs.nonEmpty => stat(rs) }.sum
+        val total = done.collect { case r if r.hasSamples => r.statVal }.sum
         val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","partial":$partial,"phase":"$phase","n_done":${done.size},"n_timed":$nTimed,"n_total":${names.size},"protocol":"${jesc(protocol)}","queries":$qs,"runs":$spread,"sf":"${jesc(sfDir)}"}"""
         val tmp = java.nio.file.Paths.get(benchOut + ".tmp")
         java.nio.file.Files.writeString(tmp, json + "\n")
@@ -152,8 +197,8 @@ object Bench {
     // Compact stdout line: bounded size regardless of board size, so the
     // LAST one printed always parses from a 2000-char tail. Headline
     // queries only; full map in BENCH.json.
-    def printCompact(done: Seq[(String, Seq[Double])], partial: Boolean): Unit = {
-      val m = done.collect { case (k, rs) if rs.nonEmpty => k -> stat(rs) }.toMap
+    def printCompact(done: Seq[Rec], partial: Boolean): Unit = {
+      val m = done.collect { case r if r.hasSamples => r.name -> r.statVal }.toMap
       val hq = Headline.filter(m.contains)
         .map(k => "\"" + k + "\":" + fmt(m(k))).mkString("{", ",", "}")
       val total = m.values.sum
@@ -183,12 +228,12 @@ object Bench {
         // publish after every warmup run too: a driver window that
         // expires INSIDE the warmup pass still leaves per-query
         // warmup-sample evidence (phase:"warmup" marks it as such)
-        val seen = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+        val seen = scala.collection.mutable.ArrayBuffer[Rec]()
         names.foreach { n =>
           try warmSamples(n) = time(SparkEntry.queries(n)(spark, sfDir).count())
           catch { case _: Throwable => () }
           dropCheckpoints()
-          seen += (n -> warmSamples.get(n).toSeq)
+          seen += Rec(n, warmSamples.get(n), Nil)
           writeArtifact(seen.toSeq, partial = true)
           printCompact(seen.toSeq, partial = true)
         }
@@ -214,11 +259,17 @@ object Bench {
     // remainder, so a window that expires mid-phase still leaves
     // FULL-BOARD numbers (warmup-grade for the tail — phase:"timed"
     // plus the runs' n flag which is which).
-    val acc = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+    val acc = scala.collection.mutable.ArrayBuffer[Rec]()
     names.zipWithIndex.foreach { case (n, i) =>
-      acc += (n -> (warmSamples.get(n).toSeq ++ runsOf(n, reps)))
+      var timed = runsOf(n, reps)
+      // adaptive top-up: a sub-threshold first rep means this query's
+      // number would otherwise ride on a single scheduler slice
+      if (adaptiveSec > 0 && timed.nonEmpty && timed.head < adaptiveSec &&
+          timed.size < adaptiveTarget)
+        timed = timed ++ runsOf(n, adaptiveTarget - timed.size)
+      acc += Rec(n, warmSamples.get(n), timed)
       nTimed = i + 1
-      val rest = names.drop(i + 1).map(m => m -> warmSamples.get(m).toSeq)
+      val rest = names.drop(i + 1).map(m => Rec(m, warmSamples.get(m), Nil))
       writeArtifact(acc.toSeq ++ rest, partial = true)
       printCompact(acc.toSeq ++ rest, partial = true)
     }
@@ -229,13 +280,13 @@ object Bench {
     // suite median and over 2 s — after the suite, when the spike has
     // passed, and keep whichever RUN SET has the smaller stat (pooling
     // the two sets would leave the combined stat spike-contaminated).
-    val stats0 = acc.collect { case (_, rs) if rs.nonEmpty => stat(rs) }.sorted
+    val stats0 = acc.collect { case r if r.hasSamples => r.statVal }.sorted
     val suiteMed = if (stats0.isEmpty) 0.0 else stats0(stats0.size / 2)
-    val results: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, rs) =>
-      if (rs.nonEmpty && stat(rs) > 2.0 && stat(rs) > 4 * suiteMed) {
-        val retry = runsOf(n, reps)
-        if (retry.nonEmpty && stat(retry) < stat(rs)) n -> retry else n -> rs
-      } else n -> rs
+    val results: Seq[Rec] = acc.toSeq.map { r =>
+      if (r.hasSamples && r.statVal > 2.0 && r.statVal > 4 * suiteMed) {
+        val retry = Rec(r.name, None, runsOf(r.name, reps))
+        if (retry.hasSamples && retry.statVal < r.statVal) retry else r
+      } else r
     }
 
     phase = "final"
