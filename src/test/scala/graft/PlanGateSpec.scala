@@ -239,6 +239,27 @@ class PlanGateSpec extends SparkSpec {
     assert(stale.isEmpty, s"whitelist entries without an unpartitioned window: $stale")
   }
 
+  test("the bounded-frame WARN quarantine intercepts (test-log noise gate)") {
+    // TestLogQuarantine suppresses the 8 whitelisted queries' benign
+    // "No Partition Defined" WARNs in test logs so a human scanning for
+    // REAL offenders isn't buried in false positives. OFFENDER DETECTION
+    // does not ride on the log line — the structural gate above walks
+    // all 434 plan trees — but the filter must be provably live, or a
+    // Spark logger rename would silently bring the noise back. Execute
+    // one whitelisted bounded-frame query and assert the quarantine
+    // counted a suppression.
+    require(TestLogQuarantine.installed)
+    val before = TestLogQuarantine.suppressed.get()
+    // collect(), not count(): under count() the optimizer prunes the
+    // window (its outputs are unused) and no WARN is ever emitted —
+    // measured. The warn fires in requiredChildDistribution at
+    // planning, so the full projection must survive optimization.
+    SparkEntry.queries("q_bh_fdr")(spark, TestSpark.Sf0001).collect()
+    assert(TestLogQuarantine.suppressed.get() > before,
+      "whitelisted bounded-frame query executed but the WARN quarantine " +
+        "intercepted nothing — logger name or message moved on this Spark")
+  }
+
   test("q_career_stats executes end-to-end with codegen fallback disabled") {
     // The S14 HTML-parse pipeline was the r11 sweep's one Janino
     // "code grows beyond 64 KB" whole-stage fallback: results were
