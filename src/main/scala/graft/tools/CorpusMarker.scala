@@ -74,8 +74,13 @@ object CorpusMarker {
     * content — a symlink, a bind mount, a copied dir — are the same
     * corpus for compare.py, whose own gate also compares stats only. */
   def assertSubsetCompatible(sfDir: String, outDir: String): Unit = {
-    def tablesOf(s: String): String =
-      s.substring(s.indexOf("\"tables\":"))
+    def tablesOf(s: String): String = {
+      val i = s.indexOf("\"tables\":")
+      // a marker without a tables object is corrupt — refuse with the
+      // same message as a mismatch (substring(-1) would throw an
+      // unhelpful StringIndexOutOfBounds instead)
+      if (i < 0) "corrupt-marker:" + s else s.substring(i)
+    }
     val markerPath = java.nio.file.Paths.get(outDir, FileName)
     if (java.nio.file.Files.exists(markerPath)) {
       val existing = java.nio.file.Files.readString(markerPath)

@@ -55,7 +55,11 @@ object Migrate {
               versionCols: Seq[String]): (Long, Long) = {
     require(naturalKeys.nonEmpty, "migration needs at least one natural key column")
     val target = new java.io.File(newDir)
-    require(!target.exists() || Option(target.listFiles()).forall(_.isEmpty),
+    // an existing FILE target must refuse too: File.listFiles is null
+    // for non-directories, and a null-tolerant emptiness check would
+    // silently treat a data file as "fresh"
+    require(!target.exists() ||
+        (target.isDirectory && Option(target.listFiles()).forall(_.isEmpty)),
       s"target $newDir already holds data — migrating into existing state " +
         "would mix key formats again; use a fresh dir")
     val old = spark.read.parquet(oldDir)

@@ -101,5 +101,14 @@ class MigrateSpec extends SparkSpec {
         Seq("name", "nope"), None, None, Nil)
     }
     assert(e2.getMessage.contains("natural key column nope"), e2.getMessage)
+    // an existing FILE target must refuse too (File.listFiles is null
+    // for non-directories — a null-tolerant check would pass it)
+    val fileTarget = java.nio.file.Files
+      .createTempFile("graft_migrate_file", ".parquet")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.tools.Migrate.migrate(spark, oldDir, fileTarget.toString,
+        Seq("name", "country"), None, None, Nil)
+    }
+    assert(e3.getMessage.contains("fresh dir"), e3.getMessage)
   }
 }
