@@ -17,9 +17,14 @@ object Verify {
     // compare when the marker mismatches its own corpus argument (the
     // r12 stale-output-dir incident, now enforced by tooling). A SUBSET
     // run rewrites only its named outputs, so it must not re-stamp a dir
-    // whose other outputs came from a different corpus (r13 ADVICE) —
-    // full runs rewrite everything and may stamp unconditionally.
+    // whose other outputs came from a different corpus (r13 ADVICE). A
+    // FULL run rewrites everything it attempts, but "stamp then rewrite"
+    // would leave a killed/partially-failed run's old-corpus outputs
+    // under a fresh matching marker — so stale outputs are deleted
+    // BEFORE stamping, making the marker truthful from the moment it
+    // exists (a later crash leaves outputs absent, not silently stale).
     if (only.isDefined) tools.CorpusMarker.assertSubsetCompatible(sfDir, outDir)
+    else tools.CorpusMarker.clearStaleOutputs(sfDir, outDir)
     tools.CorpusMarker.write(sfDir, outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

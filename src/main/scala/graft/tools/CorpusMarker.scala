@@ -61,6 +61,40 @@ object CorpusMarker {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, FileName), render(sfDir))
 
+  /** FULL-run preparation of an existing output dir: when the dir's
+    * marker was written from a DIFFERENT corpus (or prior outputs
+    * predate the marker), delete the stale query outputs before the run
+    * stamps the new marker. Rationale: a full run rewrites every output
+    * it attempts, but "stamp first, then rewrite" leaves a window — a
+    * killed run, or one query failing into Verify's per-query catch,
+    * leaves old-corpus parquet under a marker that matches the NEW
+    * corpus, a mixed-corpus dir the gate then accepts. Clearing first
+    * makes the marker truthful from the moment it is written: anything
+    * missing afterwards is a loudly-absent output, not a silently-stale
+    * one. Deletion is targeted at Verify-shaped entries (query output
+    * directories, oracle_sql.json, the marker) — foreign regular files
+    * in a mistyped outDir are left untouched. */
+  def clearStaleOutputs(sfDir: String, outDir: String): Unit = {
+    val dir = new java.io.File(outDir)
+    if (!dir.isDirectory) return
+    val markerPath = java.nio.file.Paths.get(outDir, FileName)
+    val markerMatches = java.nio.file.Files.exists(markerPath) && {
+      val existing = java.nio.file.Files.readString(markerPath)
+      val i = existing.indexOf("\"tables\":")
+      i >= 0 && existing.substring(i) ==
+        render(sfDir).substring(render(sfDir).indexOf("\"tables\":"))
+    }
+    if (markerMatches) return
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory || f.getName == "oracle_sql.json" ||
+          f.getName == FileName) rm(f)
+    }
+  }
+
   /** Guard for SUBSET re-runs into an existing output dir (`Verify`'s
     * dev-loop `only` arg): re-stamping the marker while other query
     * outputs remain from a different corpus would hand compare.py a
@@ -71,8 +105,12 @@ object CorpusMarker {
     *
     * The sf_dir PATH is excluded from the equality check (only the
     * `tables` stats object is compared): two paths to the same corpus
-    * content — a symlink, a bind mount, a copied dir — are the same
-    * corpus for compare.py, whose own gate also compares stats only. */
+    * files — a symlink, a bind mount — are the same corpus for
+    * compare.py, whose own gate also compares stats only. A COPY with
+    * fresh mtimes is a different corpus by design (stats embed per-file
+    * mtime seconds, precisely to catch in-place rewrites), so a copied
+    * corpus needs its own fresh Verify run — compare.py would refuse
+    * the pairing for the same reason. */
   def assertSubsetCompatible(sfDir: String, outDir: String): Unit = {
     def tablesOf(s: String): String = {
       val i = s.indexOf("\"tables\":")

@@ -18,23 +18,28 @@ import org.apache.spark.sql.functions.col
   * migration:
   *
   *   read old-format table → re-mint surrogate/external ids from the
-  *   natural keys → [[graft.operators.Merge.parquetUpsert]] into a
-  *   FRESH dir (old-format rows that collapse onto one re-minted id are
-  *   deduplicated by the merge's last-writer-wins rank).
+  *   natural keys → last-writer-wins rank-dedup on the re-minted id
+  *   (the upsert sinks' exact winner semantics: version order, then a
+  *   whole-row content-hash tiebreak) → one direct write into a FRESH
+  *   dir, stamped with the engine's commit marker so downstream
+  *   [[graft.operators.Merge.parquetUpsert]] calls see a committed
+  *   table.
   *
   * The target dir must not already hold a table: migrating INTO
   * existing state would mix formats again — exactly the bug. The source
-  * dir is never written; a failed run leaves it untouched and the
-  * partial target is recognizable (parquetUpsert's commit-marker
-  * protocol).
+  * dir is never written; a failed run leaves it untouched, and a torn
+  * target is recognizable (the commit marker is written only after the
+  * parquet job returns).
   *
   * Without a version column the keep-one winner is the merge's
   * content-hash tiebreak — deterministic given the row set (invariant
   * to partitioning and order), but arbitrary ACROSS distinct payloads;
   * pass `--version` when the table has a real recency column.
   *
-  * Scale: one shuffle on the re-minted key (the merge), no driver-side
-  * row movement — the same plan shape as every upsert in the engine.
+  * Scale: one shuffle on the re-minted key (the rank-dedup) and one
+  * write pass, no driver-side row movement and no intermediate
+  * materialization — the row counts it reports are parquet-footer
+  * reads, not data scans.
   *
   * Usage (sbt or plain java, same as Verify/Bench):
   * {{{
@@ -54,12 +59,16 @@ object Migrate {
               externalCol: Option[String],
               versionCols: Seq[String]): (Long, Long) = {
     require(naturalKeys.nonEmpty, "migration needs at least one natural key column")
-    val target = new java.io.File(newDir)
-    // an existing FILE target must refuse too: File.listFiles is null
-    // for non-directories, and a null-tolerant emptiness check would
-    // silently treat a data file as "fresh"
-    require(!target.exists() ||
-        (target.isDirectory && Option(target.listFiles()).forall(_.isEmpty)),
+    // Resolve the target through Hadoop's FileSystem, exactly as the
+    // write below will: a java.io.File guard is blind to scheme-
+    // prefixed paths (hdfs://, s3a://, file:/), and a blind guard would
+    // merge INTO an existing remote table — re-creating the very
+    // format-mixing duplication this tool exists to eliminate. An
+    // existing FILE target refuses too (it is data, not a fresh dir).
+    val target = new org.apache.hadoop.fs.Path(newDir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(target) ||
+        (fs.getFileStatus(target).isDirectory && fs.listStatus(target).isEmpty),
       s"target $newDir already holds data — migrating into existing state " +
         "would mix key formats again; use a fresh dir")
     val old = spark.read.parquet(oldDir)
@@ -84,14 +93,26 @@ object Migrate {
       graft.functions.Parsing.surrogateId(keyCols: _*)) }
     external.foreach { c => reminted = reminted.withColumn(c,
       graft.functions.Parsing.externalId(keyCols: _*)) }
-    // merge on the re-minted id (a pure function of the natural keys, so
-    // old-format duplicates of one logical entity now share a key and
-    // the merge's rank-dedup keeps exactly one)
+    // Dedup on the re-minted id (a pure function of the natural keys,
+    // so old-format duplicates of one logical entity now share a key)
+    // with parquetUpsert's EXACT winner semantics — version order, then
+    // a whole-row content-hash tiebreak — but written DIRECTLY: the
+    // target is fresh by construction, so the upsert's read-merge-swap
+    // machinery (and its eager localCheckpoint, a micro-batch device
+    // that would materialize the whole table to executor storage) buys
+    // nothing here. One shuffle on the key, one write pass; the counts
+    // are parquet-footer reads, not data scans.
     val mergeKey = (surrogate orElse external).get
-    val rowsIn = old.count()
-    graft.operators.Merge.parquetUpsert(
-      spark, reminted, newDir, Seq(mergeKey), versionCols)
-    (rowsIn, spark.read.parquet(newDir).count())
+    val tiebreak = org.apache.spark.sql.functions.xxhash64(
+      org.apache.spark.sql.functions.struct(reminted.columns.map(col): _*))
+    graft.operators.Ranking.latestPerKey(
+        reminted, Seq(col(mergeKey)), versionCols.map(col) :+ tiebreak)
+      .write.mode("errorifexists").parquet(newDir)
+    // same engine-owned completeness marker the upsert sinks leave in a
+    // live table, so downstream parquetUpsert calls see a committed dir
+    fs.create(new org.apache.hadoop.fs.Path(target,
+      graft.operators.Merge.CommitMarker), true).close()
+    (old.count(), spark.read.parquet(newDir).count())
   }
 
   def main(args: Array[String]): Unit = {

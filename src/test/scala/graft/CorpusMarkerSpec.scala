@@ -85,6 +85,34 @@ class CorpusMarkerSpec extends AnyFunSuite {
     CorpusMarker.assertSubsetCompatible(TestSpark.Sf0001, fresh.toString)
   }
 
+  test("full-run prep clears stale-corpus outputs before the new stamp") {
+    // "stamp first, rewrite second" would leave a killed full run's
+    // old-corpus outputs under a fresh matching marker — a mixed-corpus
+    // dir the gate accepts. clearStaleOutputs deletes Verify-shaped
+    // entries (query dirs, oracle json, marker) when the existing
+    // marker mismatches, leaves matching dirs untouched, and spares
+    // foreign regular files.
+    import graft.tools.CorpusMarker
+    val stale = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    CorpusMarker.write("/root/testdata/sf0.01", stale.toString)
+    java.nio.file.Files.createDirectory(stale.resolve("q_old.parquet"))
+    java.nio.file.Files.writeString(stale.resolve("oracle_sql.json"), "{}")
+    java.nio.file.Files.writeString(stale.resolve("unrelated.txt"), "keep")
+    CorpusMarker.clearStaleOutputs(TestSpark.Sf0001, stale.toString)
+    assert(!java.nio.file.Files.exists(stale.resolve("q_old.parquet")),
+      "stale query output survived the clear")
+    assert(!java.nio.file.Files.exists(stale.resolve("oracle_sql.json")))
+    assert(java.nio.file.Files.exists(stale.resolve("unrelated.txt")),
+      "foreign file was deleted")
+    // matching marker: nothing is touched
+    val fresh = java.nio.file.Files.createTempDirectory("graft_marker_spec")
+    CorpusMarker.write(TestSpark.Sf0001, fresh.toString)
+    java.nio.file.Files.createDirectory(fresh.resolve("q_keep.parquet"))
+    CorpusMarker.clearStaleOutputs(TestSpark.Sf0001, fresh.toString)
+    assert(java.nio.file.Files.exists(fresh.resolve("q_keep.parquet")),
+      "matching-corpus outputs must survive a full-run prep")
+  }
+
   test("marker stats are deterministic and cover every corpus table") {
     val s1 = graft.tools.CorpusMarker.stats(TestSpark.Sf0001)
     assert(s1 == graft.tools.CorpusMarker.stats(TestSpark.Sf0001))

@@ -36,6 +36,11 @@ class MigrateSpec extends SparkSpec {
       newDir, Seq("name", "country"), None, None, Nil)
     assert((rowsIn, entities) == (2L, 2L))
 
+    // the fresh-written table carries the engine's commit marker, so
+    // downstream parquetUpsert calls see a committed dir
+    assert(new java.io.File(newDir, "_GRAFT_COMMIT").exists(),
+      "migrated table missing the commit marker")
+
     // every persisted id equals a fresh mint from its own natural key
     val migrated = spark.read.parquet(newDir)
     val mismints = migrated.filter(
@@ -110,5 +115,13 @@ class MigrateSpec extends SparkSpec {
         Seq("name", "country"), None, None, Nil)
     }
     assert(e3.getMessage.contains("fresh dir"), e3.getMessage)
+    // the guard resolves through Hadoop's FileSystem: a scheme-prefixed
+    // path to existing data must refuse too (a java.io.File check is
+    // blind to "file:/..." and every remote scheme)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.tools.Migrate.migrate(spark, oldDir, "file:" + oldDir,
+        Seq("name", "country"), None, None, Nil)
+    }
+    assert(e4.getMessage.contains("fresh dir"), e4.getMessage)
   }
 }
