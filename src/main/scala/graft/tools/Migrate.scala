@@ -105,9 +105,13 @@ object Migrate {
     val mergeKey = (surrogate orElse external).get
     val tiebreak = org.apache.spark.sql.functions.xxhash64(
       org.apache.spark.sql.functions.struct(reminted.columns.map(col): _*))
+    // mode=overwrite, NOT errorifexists: the guard above already proved
+    // the target fresh (nonexistent or an empty dir), and errorifexists
+    // refuses an existing-but-empty dir — the one shape the guard
+    // deliberately allows
     graft.operators.Ranking.latestPerKey(
         reminted, Seq(col(mergeKey)), versionCols.map(col) :+ tiebreak)
-      .write.mode("errorifexists").parquet(newDir)
+      .write.mode("overwrite").parquet(newDir)
     // same engine-owned completeness marker the upsert sinks leave in a
     // live table, so downstream parquetUpsert calls see a committed dir
     fs.create(new org.apache.hadoop.fs.Path(target,

@@ -22,6 +22,21 @@ class MigrateSpec extends SparkSpec {
   private def freshDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
+  test("Migrate accepts an existing-but-EMPTY target dir") {
+    // the fresh-target guard deliberately allows an empty dir (mkdir'd
+    // ahead by an operator); the write mode must not then refuse it
+    import spark.implicits._
+    val oldDir = freshDir("graft_migrate_emptyok")
+    Seq(("A", "B")).toDF("name", "country")
+      .withColumn("entity_id", oldSurrogate(col("name"), col("country")))
+      .write.parquet(oldDir)
+    val emptyTarget = java.nio.file.Files
+      .createTempDirectory("graft_migrate_emptydir").toString
+    val (in, out) = graft.tools.Migrate.migrate(spark, oldDir, emptyTarget,
+      Seq("name", "country"), None, None, Nil)
+    assert((in, out) == (1L, 1L))
+  }
+
   test("Migrate re-mints both id columns and converges with new batches") {
     import spark.implicits._
     val oldDir = freshDir("graft_migrate_old")
