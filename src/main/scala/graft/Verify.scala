@@ -24,7 +24,8 @@ object Verify {
     // BEFORE stamping, making the marker truthful from the moment it
     // exists (a later crash leaves outputs absent, not silently stale).
     if (only.isDefined) tools.CorpusMarker.assertSubsetCompatible(sfDir, outDir)
-    else tools.CorpusMarker.clearStaleOutputs(sfDir, outDir)
+    else tools.CorpusMarker.clearStaleOutputs(sfDir, outDir,
+      SparkEntry.queries.keySet)
     tools.CorpusMarker.write(sfDir, outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -61,6 +61,15 @@ object CorpusMarker {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, FileName), render(sfDir))
 
+  /** The `"tables":{...}` portion of a marker string — the corpus
+    * identity compared by both guards (path excluded; see
+    * [[assertSubsetCompatible]]). A marker without it is corrupt and
+    * compares unequal to every rendered marker. */
+  private def tablesOf(s: String): String = {
+    val i = s.indexOf("\"tables\":")
+    if (i < 0) "corrupt-marker:" + s else s.substring(i)
+  }
+
   /** FULL-run preparation of an existing output dir: when the dir's
     * marker was written from a DIFFERENT corpus (or prior outputs
     * predate the marker), delete the stale query outputs before the run
@@ -71,27 +80,34 @@ object CorpusMarker {
     * corpus, a mixed-corpus dir the gate then accepts. Clearing first
     * makes the marker truthful from the moment it is written: anything
     * missing afterwards is a loudly-absent output, not a silently-stale
-    * one. Deletion is targeted at Verify-shaped entries (query output
-    * directories, oracle_sql.json, the marker) — foreign regular files
-    * in a mistyped outDir are left untouched. */
-  def clearStaleOutputs(sfDir: String, outDir: String): Unit = {
+    * one.
+    *
+    * Deletion is scoped to entries THIS tool owns: directories named in
+    * `queryNames` (the caller's query registry), oracle_sql.json, and
+    * the marker. Everything else — including foreign DIRECTORIES — is
+    * untouched, so a mistyped or arg-swapped outDir (a corpus dir, a
+    * repo checkout) loses nothing. Any failed delete aborts BEFORE the
+    * new marker can be stamped: a surviving stale output under a fresh
+    * matching marker is the exact silently-mixed state this exists to
+    * prevent. */
+  def clearStaleOutputs(sfDir: String, outDir: String,
+                        queryNames: Set[String]): Unit = {
     val dir = new java.io.File(outDir)
     if (!dir.isDirectory) return
     val markerPath = java.nio.file.Paths.get(outDir, FileName)
-    val markerMatches = java.nio.file.Files.exists(markerPath) && {
-      val existing = java.nio.file.Files.readString(markerPath)
-      val i = existing.indexOf("\"tables\":")
-      i >= 0 && existing.substring(i) ==
-        render(sfDir).substring(render(sfDir).indexOf("\"tables\":"))
-    }
+    val rendered = render(sfDir)
+    val markerMatches = java.nio.file.Files.exists(markerPath) &&
+      tablesOf(java.nio.file.Files.readString(markerPath)) == tablesOf(rendered)
     if (markerMatches) return
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+      require(f.delete() || !f.exists(),
+        s"could not delete stale output $f — aborting before the new " +
+          "corpus marker could mask it as current")
     }
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.isDirectory || f.getName == "oracle_sql.json" ||
-          f.getName == FileName) rm(f)
+      if ((f.isDirectory && queryNames.contains(f.getName)) ||
+          f.getName == "oracle_sql.json" || f.getName == FileName) rm(f)
     }
   }
 
@@ -112,13 +128,6 @@ object CorpusMarker {
     * corpus needs its own fresh Verify run — compare.py would refuse
     * the pairing for the same reason. */
   def assertSubsetCompatible(sfDir: String, outDir: String): Unit = {
-    def tablesOf(s: String): String = {
-      val i = s.indexOf("\"tables\":")
-      // a marker without a tables object is corrupt — refuse with the
-      // same message as a mismatch (substring(-1) would throw an
-      // unhelpful StringIndexOutOfBounds instead)
-      if (i < 0) "corrupt-marker:" + s else s.substring(i)
-    }
     val markerPath = java.nio.file.Paths.get(outDir, FileName)
     if (java.nio.file.Files.exists(markerPath)) {
       val existing = java.nio.file.Files.readString(markerPath)

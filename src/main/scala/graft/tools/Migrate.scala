@@ -20,16 +20,17 @@ import org.apache.spark.sql.functions.col
   *   read old-format table → re-mint surrogate/external ids from the
   *   natural keys → last-writer-wins rank-dedup on the re-minted id
   *   (the upsert sinks' exact winner semantics: version order, then a
-  *   whole-row content-hash tiebreak) → one direct write into a FRESH
-  *   dir, stamped with the engine's commit marker so downstream
-  *   [[graft.operators.Merge.parquetUpsert]] calls see a committed
-  *   table.
+  *   whole-row content-hash tiebreak) → one staged write promoted by a
+  *   single rename into a FRESH dir, stamped with the engine's commit
+  *   marker so downstream [[graft.operators.Merge.parquetUpsert]]
+  *   calls see a committed table.
   *
   * The target dir must not already hold a table: migrating INTO
   * existing state would mix formats again — exactly the bug. The source
-  * dir is never written; a failed run leaves it untouched, and a torn
-  * target is recognizable (the commit marker is written only after the
-  * parquet job returns).
+  * dir is never written; a failed run leaves it untouched, and the
+  * target NEVER exists torn — the table is staged in a sibling dir,
+  * commit-marked after the write returns, and promoted with one rename
+  * (a killed run leaves only a staging dir the next run overwrites).
   *
   * Without a version column the keep-one winner is the merge's
   * content-hash tiebreak — deterministic given the row set (invariant
@@ -105,17 +106,30 @@ object Migrate {
     val mergeKey = (surrogate orElse external).get
     val tiebreak = org.apache.spark.sql.functions.xxhash64(
       org.apache.spark.sql.functions.struct(reminted.columns.map(col): _*))
-    // mode=overwrite, NOT errorifexists: the guard above already proved
-    // the target fresh (nonexistent or an empty dir), and errorifexists
-    // refuses an existing-but-empty dir — the one shape the guard
-    // deliberately allows
+    // CRASH-SAFE promote: the deduped table is fully written to a
+    // staging sibling, the commit marker is created inside it AFTER the
+    // parquet job returns, and only then does one rename make it the
+    // target — so the target either does not exist or is complete and
+    // marked. A killed migration leaves a torn STAGING dir that the
+    // next run simply overwrites, and the fresh-target guard still
+    // passes. (A direct write to the target would leave a torn table
+    // that downstream parquetUpsert reads as live state — the live-dir
+    // read path has no completeness check; only .next staging dirs do.)
+    val staging = new org.apache.hadoop.fs.Path(newDir + ".inprogress")
+    if (fs.exists(staging)) fs.delete(staging, true)
     graft.operators.Ranking.latestPerKey(
         reminted, Seq(col(mergeKey)), versionCols.map(col) :+ tiebreak)
-      .write.mode("overwrite").parquet(newDir)
-    // same engine-owned completeness marker the upsert sinks leave in a
-    // live table, so downstream parquetUpsert calls see a committed dir
-    fs.create(new org.apache.hadoop.fs.Path(target,
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging,
       graft.operators.Merge.CommitMarker), true).close()
+    // the guard proved the target absent or an EMPTY dir; an empty dir
+    // must be removed first or rename semantics nest staging inside it
+    if (fs.exists(target))
+      require(fs.delete(target, false),
+        s"could not remove empty target $newDir before the promote")
+    require(fs.rename(staging, target),
+      s"rename($staging -> $target) returned false — staged table left " +
+        "in place, target untouched")
     (old.count(), spark.read.parquet(newDir).count())
   }
 

@@ -93,23 +93,29 @@ class CorpusMarkerSpec extends AnyFunSuite {
     // marker mismatches, leaves matching dirs untouched, and spares
     // foreign regular files.
     import graft.tools.CorpusMarker
+    val names = Set("q_old", "q_keep")
     val stale = java.nio.file.Files.createTempDirectory("graft_marker_spec")
     CorpusMarker.write("/root/testdata/sf0.01", stale.toString)
-    java.nio.file.Files.createDirectory(stale.resolve("q_old.parquet"))
+    java.nio.file.Files.createDirectory(stale.resolve("q_old"))
     java.nio.file.Files.writeString(stale.resolve("oracle_sql.json"), "{}")
     java.nio.file.Files.writeString(stale.resolve("unrelated.txt"), "keep")
-    CorpusMarker.clearStaleOutputs(TestSpark.Sf0001, stale.toString)
-    assert(!java.nio.file.Files.exists(stale.resolve("q_old.parquet")),
+    java.nio.file.Files.createDirectory(stale.resolve("unrelated_dir"))
+    CorpusMarker.clearStaleOutputs(TestSpark.Sf0001, stale.toString, names)
+    assert(!java.nio.file.Files.exists(stale.resolve("q_old")),
       "stale query output survived the clear")
     assert(!java.nio.file.Files.exists(stale.resolve("oracle_sql.json")))
     assert(java.nio.file.Files.exists(stale.resolve("unrelated.txt")),
       "foreign file was deleted")
+    // deletion is scoped to the query registry: a directory NOT named
+    // in it survives, so an arg-swapped/mistyped outDir loses nothing
+    assert(java.nio.file.Files.exists(stale.resolve("unrelated_dir")),
+      "foreign directory was deleted — the clear must be name-scoped")
     // matching marker: nothing is touched
     val fresh = java.nio.file.Files.createTempDirectory("graft_marker_spec")
     CorpusMarker.write(TestSpark.Sf0001, fresh.toString)
-    java.nio.file.Files.createDirectory(fresh.resolve("q_keep.parquet"))
-    CorpusMarker.clearStaleOutputs(TestSpark.Sf0001, fresh.toString)
-    assert(java.nio.file.Files.exists(fresh.resolve("q_keep.parquet")),
+    java.nio.file.Files.createDirectory(fresh.resolve("q_keep"))
+    CorpusMarker.clearStaleOutputs(TestSpark.Sf0001, fresh.toString, names)
+    assert(java.nio.file.Files.exists(fresh.resolve("q_keep")),
       "matching-corpus outputs must survive a full-run prep")
   }
 

@@ -37,6 +37,28 @@ class MigrateSpec extends SparkSpec {
     assert((in, out) == (1L, 1L))
   }
 
+  test("a torn staging dir from a killed migration is overwritten by a re-run " +
+      "and the target never exists torn") {
+    import spark.implicits._
+    val oldDir = freshDir("graft_migrate_torn")
+    Seq(("A", "B")).toDF("name", "country")
+      .withColumn("entity_id", oldSurrogate(col("name"), col("country")))
+      .write.parquet(oldDir)
+    val newDir = freshDir("graft_migrate_torn_out")
+    // simulate a kill mid-write: a partial, markerless staging dir
+    val staging = new java.io.File(newDir + ".inprogress")
+    assert(staging.mkdirs())
+    java.nio.file.Files.writeString(
+      staging.toPath.resolve("part-torn.parquet"), "garbage")
+    val (in, out) = graft.tools.Migrate.migrate(spark, oldDir, newDir,
+      Seq("name", "country"), None, None, Nil)
+    assert((in, out) == (1L, 1L))
+    assert(!staging.exists(), "staging dir should have been promoted away")
+    assert(new java.io.File(newDir, "_GRAFT_COMMIT").exists(),
+      "promoted table missing the commit marker")
+    assert(spark.read.parquet(newDir).count() == 1)
+  }
+
   test("Migrate re-mints both id columns and converges with new batches") {
     import spark.implicits._
     val oldDir = freshDir("graft_migrate_old")
