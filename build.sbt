@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r14: the 434-query bench generates far more whole-stage-codegen
+  // classes than the JDK17 default 240 MB code cache holds; once full,
+  // the JIT stops compiling and generated query code runs INTERPRETED —
+  // measured 4-10x per-query degradations appearing mid-run on
+  // untouched code (the likely mechanism behind the r12/r13
+  // "alphabetically contiguous load cluster" artifacts). Reserved, not
+  // committed, so the only cost is address space.
+  "-XX:ReservedCodeCacheSize=1g",
 )

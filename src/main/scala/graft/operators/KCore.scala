@@ -37,12 +37,21 @@ object KCore {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Every round's first filter join keys on a; fanning each round's
+    // surviving edge set by a BEFORE its lineage cut folds the next
+    // round's e-side exchange into the checkpoint job (the bfs device —
+    // the checkpoint otherwise captures the second join's hash(b)
+    // layout and round r+1 re-shuffles the whole edge list back to a).
     var e = graft.scale.Silver.scratch(
-      edges.select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")).distinct(),
+      graft.scale.Par.byKey(
+        edges.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")), col("a")).distinct(),
       "kcore_edges")
     for (_ <- 1 to rounds) {
       val alive = degrees(e).filter(col("deg") >= k).select("node")
+      // no re-key here: a per-round repartition costs the same exchange
+      // it would elide next round (the frame is REBUILT every round,
+      // unlike bfs's static edge list — measured net-negative)
       e = graft.scale.Silver.scratch(
         e.join(alive.withColumnRenamed("node", "a"), "a")
           .join(alive.withColumnRenamed("node", "b"), "b")
@@ -87,9 +96,17 @@ object KCore {
     * R-hop relaxation either way — deterministic and oracle-replayable. */
   def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    // Fanned BY THE PER-ROUND JOIN KEY before the lineage cut: the
+    // checkpoint captures hash(a, width), so every round's edges⋈dist
+    // join reuses it and only the (node-sized) dist frame is exchanged —
+    // the edge list is never re-shuffled after round 0 (measured ~10 MB
+    // of edge re-exchange per round before; guide §2.4). The distinct
+    // rides the same exchange (hash on a subset of its grouping keys).
     val und = graft.scale.Silver.scratch(
-      edges.select(col("a"), col("b")).unionAll(
-        edges.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      graft.scale.Par.byKey(
+        edges.select(col("a"), col("b")).unionAll(
+          edges.select(col("b").as("a"), col("a").as("b"))), col("a"))
+        .distinct(),
       "bfs_edges")
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
@@ -128,8 +145,10 @@ object KCore {
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     val e = graft.scale.Silver.scratch(
-      edges.select(col("a"), col("b"), col("w")).unionAll(
-        edges.select(col("b").as("a"), col("a").as("b"), col("w"))),
+      graft.scale.Par.byKey(
+        edges.select(col("a"), col("b"), col("w")).unionAll(
+          edges.select(col("b").as("a"), col("a").as("b"), col("w"))),
+        col("a")), // per-round join key — see bfs
       "sssp_edges")
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
@@ -180,8 +199,10 @@ object KCore {
   def walksQuery(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
     val e = graft.scale.Silver.scratch({
       val p = coTradingPairs(spark, dir)
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+      graft.scale.Par.byKey(
+        p.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(p.select(col("b").as("src"), col("a").as("dst"))),
+        col("src")) // per-step join key — see bfs
         .distinct()
     }, "walk_edges")
     var walk = Tables.supplier(spark, dir)
@@ -221,9 +242,13 @@ object KCore {
                     degCap: Long = 64L, topK: Int = 20): DataFrame = {
     val p = coTradingPairs(spark, dir)
     val edges = graft.scale.Silver.scratch(
-      p.select(col("a"), col("b")).unionAll(
-        p.select(col("b").as("a"), col("a").as("b"))).distinct(),
-      "lp_edges") // feeds degrees, wedges, and the existing-edge filter
+      graft.scale.Par.byKey(
+        p.select(col("a"), col("b")).unionAll(
+          p.select(col("b").as("a"), col("a").as("b"))), col("a"))
+        .distinct(),
+      "lp_edges") // feeds degrees, wedges, and the existing-edge filter —
+                  // all keyed on a/z, so the fan's hash(a, width) serves
+                  // every consumer without re-exchange (see bfs)
     val deg = edges.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
     val nbrs = edges.select(col("a").as("z"), col("b").as("nbr"))
       .join(deg.filter(col("deg") <= degCap), "z")
@@ -307,8 +332,10 @@ object KCore {
   def labeledBfs(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     val und = graft.scale.Silver.scratch(
-      edges.select(col("a"), col("b")).unionAll(
-        edges.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      graft.scale.Par.byKey(
+        edges.select(col("a"), col("b")).unionAll(
+          edges.select(col("b").as("a"), col("a").as("b"))), col("a"))
+        .distinct(), // per-round join key — see bfs
       "lbfs_edges")
     var dist = seeds.select(col("seed"), col("seed").as("node"),
       lit(0L).as("dist"))
@@ -456,8 +483,10 @@ object KCore {
                 rounds: Int = 4, topK: Int = 20): DataFrame = {
     val p = coTradingPairs(spark, dir)
     val und = graft.scale.Silver.scratch(
-      p.select(col("a"), col("b")).unionAll(
-        p.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      graft.scale.Par.byKey(
+        p.select(col("a"), col("b")).unionAll(
+          p.select(col("b").as("a"), col("a").as("b"))), col("b"))
+        .distinct(), // per-round join key is b here — see bfs
       "katz_edges")
     var w = und.select(col("a").as("node")).distinct()
       .withColumn("w", lit(1L))
@@ -594,8 +623,14 @@ object KCore {
   def ktrussQuery(spark: SparkSession, dir: String,
                   k: Int = 4, rounds: Int = 3,
                   minSupport: Long = 5L, degCap: Long = 1024L): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // fanned by the self-join key: the order-sized input explodes to
+    // Σ order-size² pair rows, so the join must run at compute width,
+    // not the 3 tasks AQE sizes from the ~6 MB input (measured 1.7 s →
+    // parallel; see graft.scale.Par)
+    val li = graft.scale.Par.fan(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct(),
+      col("l_orderkey"))
     // materialized ONCE: the pair-support frame feeds the threshold agg,
     // the edge filter, AND (via e0) the degree cap — without the cut the
     // lineitem self-join re-executes per consumer (measured 7.6 → 17.6 s)
@@ -623,7 +658,11 @@ object KCore {
       "truss_edges")
     var last: DataFrame = e.withColumn("support", lit(0L))
     for (r <- 1 to rounds) {
-      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      // both wedge branches key on a (=q): one fan serves both and the
+      // Σdeg² wedge explosion runs at compute width instead of the 3
+      // tasks AQE sizes from the ~5 MB edge bytes (measured 1.8 s/round)
+      val und = graft.scale.Par.fan(
+        e.unionAll(e.select(col("b").as("a"), col("a").as("b"))), col("a"))
       val sup = und.select(col("a").as("q"), col("b").as("i"))
         .join(und.select(col("a").as("q"), col("b").as("j")), Seq("q"))
         .filter(col("i") < col("j"))
@@ -678,9 +717,11 @@ object KCore {
   def constraintQuery(spark: SparkSession, dir: String,
                       topK: Int = 20, minSupport: Long = 5L,
                       degCap: Long = 1024L): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .distinct()
+    val li = graft.scale.Par.fan(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct(),
+      col("l_orderkey")) // fan before the explosive self-join (ktruss device)
     // materialized ONCE — feeds the threshold agg and the edge filter
     // (the ktrussQuery lesson: without the cut the lineitem self-join
     // re-executes per consumer)
@@ -707,9 +748,14 @@ object KCore {
     // center-cap BEFORE the wedge self-join, so hub fan never enumerates
     val centers = deg.filter(col("deg") <= degCap)
       .select(col("node").as("q"), col("p").as("pq"))
-    val wedges = und.select(col("a").as("i"), col("b").as("q"))
+    // the two wedge branches key on OPPOSITE endpoints (q = b and q = a),
+    // so each is fanned separately; the Σdeg² wedge explosion then runs
+    // at compute width (the ktruss per-round device)
+    val wedges = graft.scale.Par.fan(
+        und.select(col("a").as("i"), col("b").as("q")), col("q"))
       .join(centers, Seq("q"))
-      .join(und.select(col("a").as("q"), col("b").as("j")), Seq("q"))
+      .join(graft.scale.Par.fan(
+        und.select(col("a").as("q"), col("b").as("j")), col("q")), Seq("q"))
       .filter(col("i") =!= col("j"))
       .groupBy("i", "j").agg(sum(col("pq")).as("cn"))
     val terms = und.select(col("a").as("i"), col("b").as("j"))

@@ -54,11 +54,22 @@ object PageRank {
     * every few rounds, not every round. */
   def pagerank(edges: DataFrame, iters: Int = 5, ckptEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    // Both static frames fanned BY THEIR CONSUMER KEY before the cut
+    // (guide §2.4, the bfs device): e is joined on src every iteration
+    // (and outdeg's groupBy(src) rides the same layout, zero exchange);
+    // nodes is left-joined on node against the hash(node) output of each
+    // iteration's aggregation. After round 0 only the node-sized rank
+    // frame is ever exchanged — the edge list never re-shuffles.
     val e = graft.scale.Silver.scratch(
-      edges.select(col("src"), col("dst")).distinct(), "pr_edges")
+      graft.scale.Par.byKey(
+        edges.select(col("src"), col("dst")), col("src")).distinct(),
+      "pr_edges")
     val nodes = graft.scale.Silver.scratch(
-      e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct(), "pr_nodes")
+      graft.scale.Par.byKey(
+        e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node"))), col("node"))
+        .distinct(),
+      "pr_nodes")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val base = Init * 15L / 100L
     var rank = nodes.withColumn("rank", lit(Init))
@@ -115,29 +126,52 @@ object PageRank {
     * lineage cut per round via [[graft.scale.Silver.scratch]]. */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
-    val e = graft.scale.Silver.scratch(
-      edges.select(col("src"), col("dst")).distinct(), "hits_edges")
+    // e is consumed on BOTH endpoints (by src for authorities, by dst
+    // for hubs): keep two key-partitioned copies so neither half-round
+    // re-shuffles the edge list (one extra checkpoint of E rows buys
+    // 2·iters elided edge exchanges — the bfs device, two-key form).
+    val eSrc = graft.scale.Silver.scratch(
+      graft.scale.Par.byKey(
+        edges.select(col("src"), col("dst")), col("src")).distinct(),
+      "hits_edges_src")
+    val eDst = graft.scale.Silver.scratch(
+      graft.scale.Par.byKey(eSrc, col("dst")), "hits_edges_dst")
     val nodes = graft.scale.Silver.scratch(
-      e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct(), "hits_nodes")
+      graft.scale.Par.byKey(
+        eSrc.select(col("src").as("node"))
+          .unionAll(eSrc.select(col("dst").as("node"))), col("node"))
+        .distinct(),
+      "hits_nodes")
     // empty-graph guard: a null max would null every score (the
     // Triangles empty-edge lesson); with no edges all scores are 0.
-    def renorm(raw: DataFrame, out: String): DataFrame = {
-      val mx = raw.agg(max(col("raw")).as("mx"))
-      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
+    //
+    // r14: the max-renormalizer rides the half-round's own
+    // materialization as an `observe` side effect (the
+    // connectedComponents checksum device) instead of a broadcast
+    // one-row frame — the broadcast build RE-EXECUTED the whole raw
+    // subtree (edges⋈scores join + aggregation) a second time per
+    // half-round, doubling the iteration work. The observed max is the
+    // same exact long; renorm becomes a literal in the next plan.
+    def renorm(raw: DataFrame, out: String, tag: String): DataFrame = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"hits_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val rawM = graft.scale.Silver.scratch(
+        raw.observe(obs, max(col("raw")).as("mx")), s"hits_raw_$tag")
+      val mx = Option(obs.get.apply("mx")).map(_.asInstanceOf[Long])
+      nodes.join(rawM, Seq("node"), "left")
         .select(col("node"),
-          when(col("mx").isNull, lit(0L))
-            .otherwise(expr("(coalesce(raw, 0L) * 10000) div mx")).as(out))
+          mx.map(m => expr(s"(coalesce(raw, 0L) * 10000) div $m"))
+            .getOrElse(lit(0L)).as(out))
     }
     var h = nodes.withColumn("h", lit(10000L))
     var a = nodes.withColumn("a", lit(0L))
     for (i <- 1 to iters) {
-      val ain = e.join(h.withColumnRenamed("node", "src"), "src")
+      val ain = eSrc.join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("raw"))
-      a = graft.scale.Silver.scratch(renorm(ain, "a"), "hits_a")
-      val hout = e.join(a.withColumnRenamed("node", "dst"), "dst")
+      a = graft.scale.Silver.scratch(renorm(ain, "a", s"a$i"), "hits_a")
+      val hout = eDst.join(a.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("raw"))
-      h = graft.scale.Silver.scratch(renorm(hout, "h"), "hits_h")
+      h = graft.scale.Silver.scratch(renorm(hout, "h", s"h$i"), "hits_h")
     }
     h.join(a, "node").select(col("node"), col("h").as("hub"),
       col("a").as("authority"))
@@ -175,10 +209,15 @@ object PageRank {
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e = graft.scale.Silver.scratch(
-      edges.select(col("src"), col("dst")).distinct(), "lpa_edges")
+      graft.scale.Par.byKey(
+        edges.select(col("src"), col("dst")), col("src")).distinct(),
+      "lpa_edges") // per-round join key — see pagerank
     val nodes = graft.scale.Silver.scratch(
-      e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct(), "lpa_nodes")
+      graft.scale.Par.byKey(
+        e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node"))), col("node"))
+        .distinct(),
+      "lpa_nodes")
     var lab = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
       val votes = e.join(lab.withColumnRenamed("node", "src"), "src")

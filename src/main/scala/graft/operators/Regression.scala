@@ -241,7 +241,11 @@ object Regression {
         .groupBy("day")
         .agg((sum(col("p")) * 100).cast("long").as("y")),
       "theil_daily") // both sides of the pair join + the intercept pass
-    val pairs = daily.as("a")
+    // calendar²-bounded pair explosion from a calendar-sized input: fan
+    // the streamed side to compute width (the q_matrix_profile device —
+    // AQE leaves the daily aggregate in 1-2 partitions and the whole
+    // |days|²/2 slope evaluation runs there otherwise)
+    val pairs = graft.scale.Par.fan(daily, col("day")).as("a")
       .join(broadcast(daily.as("b")), col("a.day") < col("b.day"))
       .select(col("a.day").as("di"), col("b.day").as("dj"),
         ((col("b.y") - col("a.y")).cast("double") /

@@ -986,7 +986,13 @@ object TimeSeries {
       win = win.join(ranked.select((col("i") - k).as("i"),
         col("v").as(s"v$k")), Seq("i"))
     val winM = graft.scale.Silver.scratch(win, "mp_windows")
-    val left = winM.select(col("i").as("ti") +: col("day").as("day") +:
+    // The pair join below evaluates |days|² exact-decimal distances from
+    // a calendar-sized input; fan the streamed side to compute width or
+    // the whole quadratic phase runs in however few partitions AQE left
+    // the window frame in (measured: ONE task, 7-27 s — §2.5 input-vs-
+    // compute skew).
+    val left = graft.scale.Par.fan(winM, col("i"))
+      .select(col("i").as("ti") +: col("day").as("day") +:
       (0 until m).map(k => col(s"v$k").as(s"x$k")): _*)
     val right = winM.select(col("i").as("tj") +:
       (0 until m).map(k => col(s"v$k").as(s"y$k")): _*)

@@ -283,13 +283,17 @@ object EmbedStats {
       iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val d38 = "decimal(38,0)"
     val qv = Silver.materialize(
-      graft.sources.Tables.embeddings(spark, dir)
+      Par.fan(graft.sources.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("j0", "x")))
         .select(col("vec_id"), col("label"),
           (col("j0") + 1).cast("long").as("j"),
           floor((col("x").cast("double") + 1d) * 10000d).cast("long").as("q")),
-      "pca_qv") // feeds S (twice), m, and the projection pass
+        col("vec_id")),
+      "pca_qv") // feeds S (twice), m, and the projection pass; fanned by
+                // vec_id so the 64²-per-vector Gram self-join below runs
+                // at compute width, not in the one task AQE leaves a
+                // one-split snapshot in (measured 2.5-3.7 s single-task)
     val s = qv.as("a").join(qv.as("b"), "vec_id")
       .groupBy(col("a.j").as("j"), col("b.j").as("k"))
       .agg(sum(col("a.q").cast(d38) * col("b.q").cast(d38)).as("s_jk"))
@@ -300,9 +304,17 @@ object EmbedStats {
         .join(broadcast(m.select(col("j").as("k"), col("mj").as("mk"),
           col("n"))), "k")
         .select(col("j"), col("k"),
-          (col("n").cast(d38) * col("s_jk") - col("mj") * col("mk")).as("a")),
+          (col("n").cast(d38) * col("s_jk") - col("mj") * col("mk")).as("a"))
+        // dim²-bounded (4096 cells at any corpus): one partition, so the
+        // 12 iteration rounds below run 1-task jobs instead of fanning
+        // constant-size work across the cluster (measured ~0.4 s/round
+        // of pure task overhead when aMat inherits the Gram build's
+        // width)
+        .repartition(1),
       "pca_scatter") // consumed every round + the Rayleigh quotient
-    var x = m.select(col("j"), lit(10000L).as("x")).localCheckpoint(true)
+    var x = m.select(col("j"), lit(10000L).as("x"))
+      .repartition(1) // dim-bounded (64 rows) — same argument as aMat
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val y = aMat
         .join(broadcast(x.select(col("j").as("k"), col("x"))), "k")
