@@ -94,9 +94,10 @@ object Joins {
     // one row per (customer, supplier) — the bipartite edge list; feeds
     // both sides of the projection self-join.
     val cs = graft.scale.Silver.scratch(
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("s"))
-        .distinct(),
+      graft.scale.Par.fan(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("s")),
+        col("cust")).distinct(), // fan by the self-join key: the per-customer pair explosion must run at compute width (ktruss device)
       "bip_edges")
     cs.as("a").join(cs.as("b"),
         col("a.cust") === col("b.cust") && col("a.s") < col("b.s"))
@@ -122,9 +123,10 @@ object Joins {
     val o = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
     val cs = graft.scale.Silver.scratch(
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("s"))
-        .distinct(),
+      graft.scale.Par.fan(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("s")),
+        col("cust")).distinct(), // fan by the self-join key (see bipartiteProjectionQuery)
       "gj_edges")
     val deg = cs.groupBy(col("s")).agg(count(lit(1)).as("d"))
     val shared = cs.as("a").join(cs.as("b"),

@@ -427,8 +427,10 @@ object KCore {
           .as("z"),
         col("n"))
     val zM = graft.scale.Silver.scratch(z, "net_z")
-    val edges = li.select(col("l_orderkey"), col("l_suppkey")).as("x")
-      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
+    val liF = graft.scale.Par.fan(
+      li.select(col("l_orderkey"), col("l_suppkey")), col("l_orderkey"))
+    val edges = liF.as("x")
+      .join(liF.select(col("l_orderkey"), col("l_suppkey").as("s2")).as("y"),
         Seq("l_orderkey"))
       .filter(col("l_suppkey") < col("s2"))
       .select(col("l_suppkey").as("a"), col("s2").as("b"))

@@ -35,6 +35,21 @@ object Triangles {
     * .autoBroadcastJoinThreshold`-style driver/executor memory budgets). */
   private val BroadcastMaxBytes = 64L * 1024 * 1024
 
+  /** The part co-order edge list shared by the triangle-family queries:
+    * parts sharing an order form an edge. Fanned by the self-join key
+    * BEFORE the explosive join (the ktruss device): the pair fan-out is
+    * Σ order-size² rows from a ~6 MB input, so without the explicit
+    * width AQE runs it on ~3 tasks (measured 1.3-1.9 s at sf0.1). */
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.scale.Par.fan(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+      col("l_orderkey"))
+    li.as("i").join(li.as("j"),
+        col("i.l_orderkey") === col("j.l_orderkey") &&
+          col("i.l_partkey") < col("j.l_partkey"))
+      .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
+  }
+
   /** Per-node triangle participation counts from an undirected edge list
     * (columns `a`, `b`; distinct, a ≠ b, each edge once in either
     * direction). Returns (node, tri_cnt), only nodes in ≥1 triangle.
@@ -108,11 +123,7 @@ object Triangles {
   /** q_triangles: parts that co-occur in the same order form an edge;
     * per-part triangle counts over that graph. */
   def triangleQuery(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("i").join(li.as("j"),
-        col("i.l_orderkey") === col("j.l_orderkey") &&
-          col("i.l_partkey") < col("j.l_partkey"))
-      .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
+    val edges = coOrderEdges(spark, dir)
     nodeTriangleCounts(edges).orderBy("node")
   }
 
@@ -125,11 +136,7 @@ object Triangles {
     * naive wedge join); nodes outside every triangle left-join to 0. The
     * output is dimension-sized (≤ |parts| rows). */
   def localClusteringQuery(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("i").join(li.as("j"),
-        col("i.l_orderkey") === col("j.l_orderkey") &&
-          col("i.l_partkey") < col("j.l_partkey"))
-      .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
+    val edges = coOrderEdges(spark, dir)
     val und = graft.scale.Silver.scratch(
       edges.select(least(col("a"), col("b")).as("x"),
         greatest(col("a"), col("b")).as("y")).distinct(),
@@ -156,11 +163,7 @@ object Triangles {
     * single IEEE division. Output also carries n_nodes/n_edges — the
     * graph's one-row fact sheet. */
   def clusteringQuery(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("i").join(li.as("j"),
-        col("i.l_orderkey") === col("j.l_orderkey") &&
-          col("i.l_partkey") < col("j.l_partkey"))
-      .select(col("i.l_partkey").as("a"), col("j.l_partkey").as("b"))
+    val edges = coOrderEdges(spark, dir)
     val und = graft.scale.Silver.scratch(
       edges.select(least(col("a"), col("b")).as("x"),
         greatest(col("a"), col("b")).as("y")).distinct(),
@@ -219,9 +222,11 @@ object Triangles {
     * aggregates with the nation dim broadcast. */
   def modularityQuery(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val so = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-      .distinct()
+    val so = graft.scale.Par.fan(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+        .distinct(),
+      col("o")) // fan by the self-join key (coOrderEdges device)
     val edges = graft.scale.Silver.scratch(
       so.as("a").join(so.as("b"),
           col("a.o") === col("b.o") && col("a.s") < col("b.s"))

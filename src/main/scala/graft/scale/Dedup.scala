@@ -73,7 +73,7 @@ object Dedup {
     // parquet mid-read under a fixed name.
     Silver.scratch(docs
       .select(col("doc_id"), col(block).as("block"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id"))
+      .transform(d => Par.fan(d, col("doc_id"))) // compute-width fan: AQE coalesces a bare repartition(col) on the MB-sized corpus back to ~1 task and the shingle explosion runs serial
       .select(col("doc_id"), col("block"), explode(shingles(col("toks"))).as("sh")),
       "shingle_rows")
 
@@ -331,7 +331,7 @@ object Dedup {
       array_min(transform(col("__sh"), s => md5(concat(lit(s"$i|"), s))))
         .as(s"m$i"))
     Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // spread a one-split snapshot across cores
+      .transform(d => Par.fan(d, col("doc_id"))) // compute-width fan (AQE-proof; see shingleRows)
       .select(col("doc_id"), shingles(split(col("text"), " ")).as("__sh"))
       .select(col("doc_id") +: sig: _*)
   }
@@ -470,7 +470,7 @@ object Dedup {
                            maxHamming: Int = 3): DataFrame = {
     val sig = Silver.materialize(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      .transform(d => Par.fan(d, col("doc_id"))) // compute-width fan (see shingleRows)
       .select(col("doc_id"), simhashText(col("text")).as("sig")),
       "simhash_sig")
     val chunks = (0 until 4).map { c =>

@@ -857,7 +857,7 @@ object EmbedStats {
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000000.0)).cast("long") +
               lit(1000000L)).as("u"))
-        .repartition(col("vec_id")),
+        .transform(d => Par.fan(d, col("vec_id"))), // compute-width fan (AQE-proof; see Similarity.mutualKnnQuery)
       "dunn_pts") // both sides of the pair scoring
     val pairs = pts.select(col("vec_id").as("i"), col("label").as("li"),
         col("u"))

@@ -109,7 +109,7 @@ object Similarity {
     val emb = graft.scale.Silver.scratch(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .repartition(col("vec_id")), // spread the one-split snapshot
+        .transform(d => Par.fan(d, col("vec_id"))), // spread the one-split snapshot at compute width (AQE coalesces a bare repartition(col) on MB inputs back to 1 task — measured 2.7-3.6 s single-task scoring)
       "mknn_emb") // feeds both sides of the scoring pass
     val scored = emb.select(col("vec_id").as("src"), col("v"))
       .join(broadcast(emb.select(col("vec_id").as("dst"),
@@ -556,7 +556,7 @@ object Similarity {
         .select(col("vec_id"), col("label").cast("long").as("label"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000000.0))).as("u"))
-        .repartition(col("vec_id")), // spread the one-split snapshot
+        .transform(d => Par.fan(d, col("vec_id"))), // compute-width fan (see mutualKnnQuery)
       "knnacc_pts") // feeds both sides of the scoring pass
     val scored = pts.select(col("vec_id").as("src"),
         col("label").as("src_label"), col("u"))
@@ -590,7 +590,7 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(1000000.0))).as("u"))
-        .repartition(col("vec_id")),
+        .transform(d => Par.fan(d, col("vec_id"))), // compute-width fan (see mutualKnnQuery)
       "lof_pts") // feeds both sides of the scoring pass
     val scored = pts.select(col("vec_id").as("src"), col("u"))
       .join(broadcast(pts.select(col("vec_id").as("dst"),
