@@ -704,10 +704,15 @@ object Distribution {
         when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("ia"),
         when(col("c_mktsegment") === segB, 1L).otherwise(0L).as("ib"))
       .groupBy("v").agg(sum(col("ia")).as("a"), sum(col("ib")).as("b"))
-    val ranked = Ranking.distributedGlobalRank(
-      Ranking.distributedCumSum(per, Seq(col("v").asc), Seq("a", "b")),
-      Seq(col("v").asc), rankCol = "r", nCol = "__nv")
-      .select(col("r"), col("v"), col("cum_a"), col("cum_b"))
+    // r14: the rank IS the running count — cum-sum a ones column in the
+    // SAME pass instead of a second distributedGlobalRank over the same
+    // (v asc) order, which re-paid a full range exchange + sort +
+    // materialization of the domain frame (guide §2.4; identical r: both
+    // are 1-based inclusive over the unique order).
+    val ranked = Ranking.distributedCumSum(
+        per.withColumn("one", lit(1L)), Seq(col("v").asc),
+        Seq("a", "b", "one"))
+      .select(col("cum_one").as("r"), col("v"), col("cum_a"), col("cum_b"))
     val tot = per.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     ranked
       .join(ranked.select((col("r") - 1L).as("r"), col("v").as("v_next")), "r")

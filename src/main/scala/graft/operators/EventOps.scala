@@ -320,22 +320,37 @@ object EventOps {
         counts.groupBy("src").agg(sum(col("c")).as("r")), "src")
         .unionByName(sinks),
       "stationary_p")
-    val spine = counts.select(col("src").as("t"))
-      .unionAll(counts.select(col("dst").as("t"))).distinct()
-      .localCheckpoint(true)
-    var x = spine.select(col("t"), lit(1000000L).as("x")).localCheckpoint(true)
+    // r14: the power iteration runs DRIVER-SIDE on the collected
+    // transition matrix — the BPE-style bounded collect (see
+    // EmbedStats.pcaComponent for the full argument): p is
+    // |event types|²-bounded regardless of corpus size (the corpus was
+    // already reduced by the one windowed fact pass above), and the 12
+    // renormalized rounds previously cost ~50 distributed jobs + a
+    // per-round broadcast re-executing the iterate subtree for
+    // microseconds of arithmetic. BigInt products replay the exact
+    // `(x*c) div r` / `(y*10⁶) div ty` long arithmetic (operands
+    // non-negative, truncating = flooring); the guard fails loudly if
+    // re-pointed at an unbounded frame.
+    val pRows = p.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    require(pRows.length <= 64 * 64,
+      s"stationaryDistribution: transition matrix must be |types|²-bounded, got ${pRows.length}")
+    val spine = (pRows.map(_._1) ++ pRows.map(_._2)).distinct.sorted
+    var xv: Map[String, BigInt] = spine.map(_ -> BigInt(1000000)).toMap
     for (_ <- 1 to iters) {
-      val y = p.join(broadcast(x.select(col("t").as("src"), col("x"))), "src")
-        .groupBy(col("dst").as("t"))
-        .agg(sum(expr("(x * c) div r")).as("y"))
-      val filled = spine.join(y, Seq("t"), "left").na.fill(0L, Seq("y"))
-      val tot = filled.agg(sum(col("y")).as("ty"))
-      x = filled.crossJoin(broadcast(tot))
-        .select(col("t"), expr("(y * 1000000) div ty").as("x"))
-        .localCheckpoint(true)
+      val y0 = pRows.groupBy(_._2).map { case (dst, rs) =>
+        dst -> rs.map { case (src, _, c, r) => (xv(src) * c) / r }.sum
+      }
+      val filled = spine.map(t => t -> y0.getOrElse(t, BigInt(0))).toMap
+      val ty = filled.values.sum
+      require(spine.isEmpty || ty > 0,
+        "stationaryDistribution: zero total mass — renormalization undefined")
+      xv = filled.map { case (t, yt) => t -> (yt * 1000000) / ty }
     }
-    x.select(col("t").as("event_type"), col("x").as("pi_micro"),
-        (col("x").cast("double") / lit(1000000.0)).as("pi"))
+    spark.createDataFrame(spine.toSeq.map(t => (t, xv(t).toLong)))
+      .toDF("event_type", "pi_micro")
+      .select(col("event_type"), col("pi_micro"),
+        (col("pi_micro").cast("double") / lit(1000000.0)).as("pi"))
       .orderBy("event_type")
   }
 

@@ -312,21 +312,41 @@ object EmbedStats {
         // width)
         .repartition(1),
       "pca_scatter") // consumed every round + the Rayleigh quotient
-    var x = m.select(col("j"), lit(10000L).as("x"))
-      .repartition(1) // dim-bounded (64 rows) — same argument as aMat
-      .localCheckpoint(true)
+    // r14: the power iteration runs DRIVER-SIDE on the collected scatter
+    // matrix — the BPE-style bounded collect (SURVEY §7: "the one
+    // justified collect" class). Justification: aMat is dim²-bounded
+    // (≤ 64² = 4 096 cells at ANY corpus size — the corpus was already
+    // reduced by the two Spark passes above), and the 12 renormalized
+    // rounds previously cost ~24 distributed jobs + a per-round
+    // broadcast that re-executed the round subtree (~2.5-3 s of pure
+    // scheduling for microseconds of arithmetic). BigInt replays
+    // decimal(38,0) exactly on overflow-free inputs (|y| ≤ 64·a·10⁴ ≈
+    // 10²¹ ≪ 10³⁸), and `(|y|·10⁴) / mx` on non-negative BigInt is the
+    // same truncating division as Spark's IntegralDivide with the sign
+    // split out — bit-identical iterates, as the unrolled-CTE oracle
+    // confirms. The guard below fails loudly if anyone re-points this
+    // at an unbounded frame.
+    val cells = aMat.collect()
+    require(cells.length <= 64 * 64,
+      s"pcaComponent: scatter matrix must be dim²-bounded, got ${cells.length} cells")
+    val rows = cells.map(r => (r.getLong(0), r.getLong(1),
+      BigInt(r.getDecimal(2).toBigInteger)))
+    val dims = rows.map(_._1).distinct.sorted
+    var xv: Map[Long, BigInt] = dims.map(_ -> BigInt(10000)).toMap
     for (_ <- 1 to iters) {
-      val y = aMat
-        .join(broadcast(x.select(col("j").as("k"), col("x"))), "k")
-        .groupBy("j")
-        .agg(sum(col("a") * col("x").cast(d38)).as("y"))
-      val mx = y.agg(max(abs(col("y"))).as("mx"))
-      x = y.crossJoin(broadcast(mx))
-        .select(col("j"),
-          (when(col("y") < 0, -1L).otherwise(1L) *
-            expr("(abs(y) * 10000) div mx")).as("x"))
-        .localCheckpoint(true)
+      val y = rows.groupBy(_._1).map { case (j, cs) =>
+        j -> cs.map { case (_, k, a) => a * xv(k) }.sum
+      }
+      val mx = if (y.isEmpty) BigInt(1) else y.values.map(_.abs).max
+      require(y.isEmpty || mx > 0,
+        "pcaComponent: zero scatter matrix — renormalization undefined")
+      xv = y.map { case (j, yj) =>
+        j -> (if (yj.sign < 0) -((yj.abs * 10000) / mx)
+              else (yj.abs * 10000) / mx)
+      }
     }
+    val x = spark.createDataFrame(
+      dims.toSeq.map(j => (j, xv(j).toLong))).toDF("j", "x")
     (qv, aMat, x)
   }
 

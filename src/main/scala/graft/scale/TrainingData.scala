@@ -726,8 +726,17 @@ object TrainingData {
         .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
       sel = if (sel == null) Silver.scratch(gain, "mc_sel")
         else Silver.scratch(sel.unionAll(gain), "mc_sel")
+      // r14: accumulate the NEW pick's terms instead of re-deriving the
+      // whole covered set from all picks — broadcast one-row pick join +
+      // narrow union, and NO distinct: left_anti has existence
+      // semantics, so duplicate covered terms cannot change the gain
+      // counts (saves the per-round re-join + vocab-sized distinct
+      // shuffle; covered grows by ≤ one document's term list per round)
       covered = Silver.scratch(
-        d.join(sel.select("doc_id"), "doc_id").select("term").distinct(),
+        covered.unionAll(
+          d.join(broadcast(sel.filter(col("pick") === i.toLong)
+            .select("doc_id")), "doc_id")
+            .select("term")),
         "mc_covered")
     }
     sel.select(col("pick"), col("doc_id"), col("gain")).orderBy("pick")

@@ -60,22 +60,40 @@ object StreamReplay {
     * job executes eagerly inside this call (AvailableNow, awaited); the
     * result is localCheckpointed so the temp scaffolding can be deleted
     * before the caller consumes it. */
+  /** Session-scoped cache of the mod-sliced input drops, keyed by
+    * corpus dir — the [[slicedInput]] pattern applied to the upsert
+    * replay (r14): the slices are a pure function of the data
+    * (`event_id mod Slices`), so re-slicing per invocation only re-paid
+    * scaffolding I/O (4 filter+coalesce+write jobs per run, measured
+    * ~1 s + two full events scans). The STREAM itself — checkpoint,
+    * micro-batch loop, merge state — still runs fresh every call. No
+    * mtime pinning needed here: the merge is associative/commutative,
+    * so the final state is read-order-independent (the scaladoc's
+    * determinism argument), unlike the windowed replay's watermark. */
+  private val upsertSliceCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
   def streamUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_ms"))
     val base = java.nio.file.Files.createTempDirectory("graft_stream_replay")
-    val in = base.resolve("in"); val ckpt = base.resolve("ckpt")
+    val ckpt = base.resolve("ckpt")
     val state = base.resolve("state").toString
-    (0 until Slices).foreach { k =>
-      ev.filter(pmod(col("event_id"), lit(Slices)) === k)
-        .coalesce(1) // one file per drop -> one micro-batch per drop
-        .write.parquet(in.resolve(s"slice_$k").toString)
-    }
+    val in = upsertSliceCache.getOrElseUpdate((spark, dir), {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_stream_replay_in")
+      (0 until Slices).foreach { k =>
+        ev.filter(pmod(col("event_id"), lit(Slices)) === k)
+          .coalesce(1) // one file per drop -> one micro-batch per drop
+          .write.parquet(d.resolve(s"slice_$k").toString)
+      }
+      d.toString
+    })
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
-      .parquet(in.toString)
+      .parquet(in)
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -186,12 +204,28 @@ object StreamReplay {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_window")
     val ckpt = base.resolve("ckpt")
     val results = base.resolve("results").toString
+    // r14: the stream runs on a CLONED session whose shuffle-partition
+    // count — which fixes the state-store partition count for the whole
+    // checkpoint lifetime — is sized to the aggregation state, not the
+    // host session's core count. The state here is (open windows ×
+    // event types), bounded by the watermark horizon and the calendar,
+    // NOT by corpus size (the scale-shape note above), yet each of the
+    // ~5 micro-batches was paying (state partitions) × (HDFS state-store
+    // open/commit) of pure file I/O — measured 2 × 33-task jobs per
+    // batch with zero shuffle bytes, ~0.7 s each at 32 partitions.
+    // Parameterized for deployments with wider horizons; the cloned
+    // session leaves the caller's conf untouched.
+    val statePartitions = spark.conf
+      .getOption("spark.graft.stream.statePartitions").map(_.trim.toInt)
+      .getOrElse(8)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // Created eagerly: if no window ever closes (events span < one
     // watermark delay + window), nothing is emitted and the read below
     // must return an EMPTY frame — the batch oracle's answer — not
     // throw path-does-not-exist.
     java.nio.file.Files.createDirectories(base.resolve("results"))
-    val stream = spark.readStream.schema(ev.schema)
+    val stream = ss.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(in)
