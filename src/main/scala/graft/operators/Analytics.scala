@@ -671,9 +671,12 @@ object Analytics {
   private def basketPairs(spark: SparkSession, dir: String, minCnt: Long,
       scratchName: String): (DataFrame, DataFrame, DataFrame) = {
     val op = graft.scale.Silver.scratch(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct(),
+      graft.scale.Par.fan(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(),
+        col("o")), // fan by the self-join key (Σ basket² explosion —
+                   // the ktruss device)
       scratchName)
     val n = op.agg(countDistinct(col("o")).as("n_orders"))
     val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
@@ -766,9 +769,11 @@ object Analytics {
   def tripleItemsets(spark: SparkSession, dir: String,
                      minCnt: Long = 2L, k: Int = 20): DataFrame = {
     val op = graft.scale.Silver.scratch(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct(),
+      graft.scale.Par.fan(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(),
+        col("o")), // fan by the self-join key (Σ basket³ — ktruss device)
       "triple_edges") // feeds all three join branches
     op.as("a")
       .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))

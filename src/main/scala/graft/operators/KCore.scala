@@ -807,7 +807,10 @@ object KCore {
     * not four. Exact integers until one division per rung. */
   def richClubQuery(spark: SparkSession, dir: String,
                     cutoffs: Seq[Long] = Seq(2L, 4L, 8L, 16L)): DataFrame = {
-    val e = coTradingPairs(spark, dir)
+    // materialized: e feeds the degree aggregate AND the annotated edge
+    // pass — unscratched, the lineitem⋈orders+distinct re-executed per
+    // consumer (measured twice per run, ~0.8 s each)
+    val e = graft.scale.Silver.scratch(coTradingPairs(spark, dir), "rc_edges")
     val deg = graft.scale.Silver.scratch(
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg")),

@@ -253,13 +253,25 @@ object Dedup {
     // the exploded prefix volume (most rare-first prefix tokens are
     // hapaxes). Materialized once: the frame feeds both join sides.
     val preTok = Silver.scratch(
-      pre.select(col("doc_id"), explode(col("prefix")).as("tok"))
-        .join(df.filter(col("df") >= 2).select("tok"), "tok"),
+      Par.fan(
+        pre.select(col("doc_id"), explode(col("prefix")).as("tok"))
+          .join(df.filter(col("df") >= 2).select("tok"), "tok"),
+        col("tok")), // posting-list self-join below explodes per-token df²
+                     // — run it at compute width (AQE-proof fan)
       "prefix_ptok")
     val pa = preTok.select(col("doc_id").as("d1"), col("tok"))
     val pb = preTok.select(col("doc_id").as("d2"), col("tok"))
-    val cand = pa.join(pb, Seq("tok")).filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    // fan the candidates: the verify step walks array_intersect over
+    // the FULL token arrays per pair — compute-explosive relative to the
+    // candidate bytes, so AQE otherwise leaves it on ~2 tasks (measured
+    // 1.5-1.8 s on q_dedup_sweep's sweep join). The fan sits BEFORE the
+    // distinct and keys on d1 alone: hash(d1) clusters (d1,d2) too, so
+    // the distinct elides its own exchange AND its hash(d1, width)
+    // output feeds the d1-keyed verify join below with no re-exchange —
+    // one pinned-width exchange total, not an extra one.
+    val cand = Par.fan(
+      pa.join(pb, Seq("tok")).filter(col("d1") < col("d2"))
+        .select("d1", "d2"), col("d1")).distinct()
     val byId = pre.select(col("doc_id"), col("toks"), col("n"))
     cand
       .join(byId.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
